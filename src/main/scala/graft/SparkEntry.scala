@@ -1,13 +1,459 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.agg.ValueAggregators
+import graft.core.Tables
+import graft.functions.TextFunctions
+import graft.llm.{Dedup, Similarity}
+import graft.ops.{ComposeJoin, FieldSelection, Pipe, Sampling}
+
+/** Driver contract — the engine's declared conformance surface
+  * (SURVEY.md §2.12, Q1–Q20) plus the LLM-pipeline extension queries
+  * (q21+). Every entry with an `oracleSql` twin is hash-checked against
+  * DuckDB on the same parquet tables; entries without one get a
+  * rows-only check (hash-function-dependent sketches, external-process
+  * pipes).
+  */
 object SparkEntry {
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
-  /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
-  /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
-    * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+    queries("q02_tpch_q1")(spark, "/root/testdata/sf0.001")
+
+  // Shorthand loaders
+  private def li(s: SparkSession, d: String) = Tables.lineitem(s, d)
+  private def ord(s: SparkSession, d: String) = Tables.orders(s, d)
+  private def cust(s: SparkSession, d: String) = Tables.customer(s, d)
+  private def supp(s: SparkSession, d: String) = Tables.supplier(s, d)
+  private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
+  private def ev(s: SparkSession, d: String) = Tables.events(s, d)
+  private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+  private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
+
+  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+
+    // Q1 — scan + filter + project (§2.1, §2.3). Predicate and column
+    // pruning reach the parquet scan (PushedFilters in explain).
+    "q01_filter_project" -> ((s, d) =>
+      li(s, d)
+        .where(col("l_shipdate") < lit("1997-01-01").cast("timestamp") && col("l_quantity") > 45)
+        .select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net_price"))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // Q2 — TPC-H-Q1-shape aggregation: partial (combiner) + final agg.
+    "q02_tpch_q1" -> ((s, d) =>
+      li(s, d)
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+          round(sum("l_quantity"), 4).as("sum_qty"),
+          round(sum("l_extendedprice"), 4).as("sum_price"),
+          round(avg("l_discount"), 6).as("avg_disc"),
+          count(lit(1)).as("cnt"))
+        .orderBy("l_returnflag", "l_linestatus")),
+
+    // Q3 — wordcount (TokenCounterMapper + IntSumReducer).
+    "q03_wordcount" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w"))
+        .limit(100)),
+
+    // Q4 — fieldsel projection (FieldSelectionMapper).
+    "q04_fieldsel" -> ((s, d) =>
+      FieldSelection.project(ord(s, d),
+        Seq("o_orderpriority", "o_orderstatus", "o_orderkey"))
+        .orderBy("o_orderkey")),
+
+    // Q5 — ValueAggregator multi-aggregate via descriptor registry.
+    "q05_multi_agg" -> ((s, d) =>
+      ValueAggregators.aggregate(cust(s, d), Seq("c_mktsegment"), Seq(
+        "dsum:c_acctbal:sum_bal", "min:c_name:min_name",
+        "max:c_name:max_name", "uniq:c_nationkey:n_nations"))
+        .orderBy("c_mktsegment")),
+
+    // Q6 — inner equi-join (CompositeInputFormat `inner`).
+    "q06_join_inner" -> ((s, d) =>
+      ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("o_orderkey"), col("c_name"),
+          round(col("o_totalprice"), 4).as("total_price"))
+        .orderBy("o_orderkey")),
+
+    // Q7 — full-outer + N-way join (`outer`), aggregated per nation.
+    // Aggregate-then-join keeps the outer join on pre-reduced inputs.
+    "q07_join_outer_nway" -> ((s, d) => {
+      val c = cust(s, d).groupBy(col("c_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_cust"), sum("c_acctbal").as("cust_bal"))
+      val p = supp(s, d).groupBy(col("s_nationkey").as("nk"))
+        .agg(count(lit(1)).as("n_supp"), sum("s_acctbal").as("supp_bal"))
+      ComposeJoin.outer("nk", Seq(c, p))
+        .join(nat(s, d), col("n_nationkey") === col("nk"))
+        .select(col("n_name"),
+          coalesce(col("n_cust"), lit(0L)).as("n_cust"),
+          coalesce(col("n_supp"), lit(0L)).as("n_supp"),
+          round(coalesce(col("cust_bal"), lit(0.0)) + coalesce(col("supp_bal"), lit(0.0)), 4).as("total_bal"))
+        .orderBy("n_name")
+    }),
+
+    // Q8 — anti join (reduce-side presence-test idiom → left_anti):
+    // customers with no big-ticket order (filter pushed below the join).
+    "q08_anti_join" -> ((s, d) =>
+      cust(s, d).join(ord(s, d).where(col("o_totalprice") > 300000),
+          col("c_custkey") === col("o_custkey"), "left_anti")
+        .select("c_custkey").orderBy("c_custkey")),
+
+    // Q9 — `override` priority union: latest event wins (max_by).
+    "q09_override_argmax" -> ((s, d) =>
+      ev(s, d).groupBy("user_id")
+        .agg(max_by(col("event_type"), col("ts")).as("last_event"))
+        .orderBy("user_id")),
+
+    // Q10 — global total-order sort (TotalOrderPartitioner/TeraSort
+    // capability): RangePartitioner samples split points automatically.
+    "q10_total_sort" -> ((s, d) =>
+      li(s, d)
+        .orderBy(col("l_extendedprice").desc, col("l_orderkey"), col("l_linenumber"))
+        .select("l_orderkey", "l_partkey", "l_suppkey")
+        .limit(1000)),
+
+    // Q11 — set operations (union / intersect / except).
+    "q11_set_ops" -> ((s, d) => {
+      val cn = cust(s, d).select(col("c_nationkey").as("nk")).distinct()
+      val sn = supp(s, d).select(col("s_nationkey").as("nk")).distinct()
+      val u = cn.union(sn).distinct().withColumn("op", lit("union"))
+      val i = cn.intersect(sn).withColumn("op", lit("intersect"))
+      val e = cn.except(sn).withColumn("op", lit("except"))
+      u.unionByName(i).unionByName(e).select("op", "nk").orderBy("op", "nk")
+    }),
+
+    // Q12 — secondary sort: per-user event sequence, first 3 by time.
+    "q12_secondary_sort" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      ev(s, d).withColumn("rn", row_number().over(w))
+        .where(col("rn") <= 3)
+        .select(col("user_id"), col("rn"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "rn")
+    }),
+
+    // Q13 — ValueHistogram-style per-key report via descriptor registry.
+    "q13_histogram" -> ((s, d) =>
+      ValueAggregators.aggregate(ev(s, d), Seq("event_type"), Seq(
+        "count:event_id:cnt", "uniq:user_id:n_users",
+        "davg:value:avg_val", "dstd:value:sd_val"))
+        .orderBy("event_type")),
+
+    // Q14 — grep: regex match extraction + count + sort desc.
+    "q14_grep" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(regexp_extract_all(col("text"),
+          lit("(sort|merge|join|stream|filter)"), lit(0))).as("word"))
+        .groupBy("word").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("word"))),
+
+    // Q15 — map-only compute: deterministic midpoint-grid π estimate.
+    "q15_pi" -> ((s, d) => {
+      val x = ((col("id") % 1000).cast("double") + 0.5) / 1000.0
+      val y = (floor(col("id") / 1000).cast("double") + 0.5) / 1000.0
+      s.range(1000000L)
+        .select(when(x * x + y * y <= 1.0, 1).otherwise(0).as("inside"))
+        .agg(round(lit(4.0) * sum(col("inside")) / 1000000.0, 4).as("pi_est"))
+    }),
+
+    // Q16 — tumbling window (batch form of the streaming query).
+    "q16_tumbling_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"), window(col("ts"), "1 hour").getField("start").as("hour_bucket"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("sv"))
+        .orderBy("user_id", "hour_bucket")),
+
+    // Q17 — sliding window: 15-min buckets, 1-hour trailing sum.
+    "q17_sliding_window" -> ((s, d) => {
+      val b = ev(s, d)
+        .groupBy(col("event_type"),
+          floor(unix_micros(col("ts")) / lit(900000000L)).as("bucket"))
+        .agg(sum("value").as("v"), count(lit(1)).as("n"))
+      val w = Window.partitionBy("event_type").orderBy("bucket").rangeBetween(-3, 0)
+      b.select(col("event_type"), col("bucket"), col("n"),
+          round(sum(col("v")).over(w), 4).as("trailing_1h"))
+        .orderBy("event_type", "bucket")
+    }),
+
+    // Q18 — gap-based sessionization (30-min inactivity), batch form.
+    "q18_sessionize" -> ((s, d) => {
+      val wOrd = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+      val us = unix_micros(col("ts"))
+      val gapped = ev(s, d)
+        .withColumn("gap_us", us - lag(us, 1).over(wOrd))
+        .withColumn("new_s", when(col("gap_us").isNull || col("gap_us") > 1800000000L, 1).otherwise(0))
+      gapped
+        .withColumn("sess", sum(col("new_s")).over(wOrd.rowsBetween(Window.unboundedPreceding, 0)))
+        .groupBy("user_id", "sess")
+        .agg(count(lit(1)).as("n"), min("ts").as("start_ts"), max("ts").as("end_ts"))
+        .orderBy("user_id", "sess")
+    }),
+
+    // Q19 — exact/prefix dedup groups (LLM op).
+    "q19_dedup_exact" -> ((s, d) =>
+      Dedup.prefixGroups(docs(s, d), "text", 5).orderBy("h")),
+
+    // Q20 — cosine top-k of one query vector, brute force (LLM op).
+    "q20_cosine_topk" -> ((s, d) =>
+      Similarity.bruteTopK(emb(s, d), Seq(0L), 10, fast = false)
+        .select("vec_id", "sim")),
+
+    // ---- LLM-pipeline extension surface --------------------------------
+
+    // Token/char stats per document.
+    "q21_token_stats" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.tokenCount(col("text")).as("n_tokens"),
+        length(col("text")).cast("long").as("n_chars_calc"))
+        .orderBy("doc_id")),
+
+    // Quality-score ingredients: token count, stopword hits, mean word len.
+    "q22_text_quality" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("w").isin(TextFunctions.defaultStopwords.take(6): _*), 1).otherwise(0)).as("n_stop"),
+          round(avg(length(col("w")).cast("double")), 4).as("avg_wlen"))
+        .orderBy("doc_id")),
+
+    // Corpus profile per language tag.
+    "q23_lang_profile" -> ((s, d) =>
+      docs(s, d).groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("n_chars").as("total_chars"),
+          round(avg(col("n_chars").cast("double")), 4).as("avg_chars"))
+        .orderBy("lang")),
+
+    // Normalized-text fingerprint per document.
+    "q24_fingerprint" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+        TextFunctions.fingerprint(col("text")).as("fp"))
+        .orderBy("doc_id")),
+
+    // Exact n-gram Jaccard near-dup pairs (the sketch methods' oracle).
+    "q25_ngram_jaccard" -> ((s, d) =>
+      Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+        .orderBy("id1", "id2")),
+
+    // Brute-force ANN top-5 for query vectors 0..4.
+    "q26_ann_topk" -> ((s, d) =>
+      Similarity.bruteTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, fast = false)
+        .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
+        .orderBy("qid", "rnk")),
+
+    // MinHash+LSH near-dup candidates (rows-only: hash-family-specific).
+    "q27_minhash_neardup" -> ((s, d) =>
+      Dedup.minHashCandidates(docs(s, d), "doc_id", "text", 3, 0.35)
+        .orderBy("id1", "id2")),
+
+    // SimHash near-dup candidates via banded chunks (rows-only).
+    "q28_simhash_neardup" -> ((s, d) =>
+      Dedup.simHashPairs(docs(s, d), "doc_id", "text", 6)
+        .orderBy("id1", "id2")),
+
+    // Deterministic mod-sampling at scan (SequenceFileInputFilter).
+    "q29_sample_mod" -> ((s, d) =>
+      Sampling.modFilter(li(s, d), col("l_orderkey"), 10)
+        .select("l_orderkey", "l_linenumber", "l_quantity")
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // External-process pipe (Hadoop Streaming): uppercase via tr, then
+    // wordcount the piped output (rows-only: forks a child process).
+    "q30_pipe_wordcount" -> ((s, d) => {
+      val piped = Pipe.pipeMap(docs(s, d).orderBy("doc_id"),
+        Seq("tr", "a-z", "A-Z"), Seq(col("text")))
+      piped.select(explode(split(col("line"), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("w").agg(count(lit(1)).as("c"))
+        .orderBy(col("c").desc, col("w")).limit(50)
+    }),
+
+    // LSH-bucketed ANN (scale path; rows-only: plane-family-specific).
+    "q31_ann_lsh" -> ((s, d) =>
+      Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, 64)
+        .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
+        .orderBy("qid", "rnk"))
+  )
+
+  def oracleSql: Map[String, String] = Map(
+    "q01_filter_project" ->
+      """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*(1-l_discount),4) AS net_price
+        |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q02_tpch_q1" ->
+      """SELECT l_returnflag, l_linestatus, ROUND(SUM(l_quantity),4) AS sum_qty,
+        |ROUND(SUM(l_extendedprice),4) AS sum_price, ROUND(AVG(l_discount),6) AS avg_disc,
+        |COUNT(*) AS cnt FROM lineitem GROUP BY l_returnflag, l_linestatus
+        |ORDER BY l_returnflag, l_linestatus""".stripMargin,
+
+    "q03_wordcount" ->
+      """SELECT w, COUNT(*) AS c FROM
+        |(SELECT UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 100""".stripMargin,
+
+    "q04_fieldsel" ->
+      "SELECT o_orderpriority, o_orderstatus, o_orderkey FROM orders ORDER BY o_orderkey",
+
+    "q05_multi_agg" ->
+      """SELECT c_mktsegment, ROUND(SUM(c_acctbal),4) AS sum_bal, MIN(c_name) AS min_name,
+        |MAX(c_name) AS max_name, COUNT(DISTINCT c_nationkey) AS n_nations
+        |FROM customer GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q06_join_inner" ->
+      """SELECT o_orderkey, c_name, ROUND(o_totalprice,4) AS total_price
+        |FROM orders JOIN customer ON o_custkey = c_custkey ORDER BY o_orderkey""".stripMargin,
+
+    "q07_join_outer_nway" ->
+      """SELECT n_name, CAST(COALESCE(n_cust,0) AS BIGINT) AS n_cust,
+        |CAST(COALESCE(n_supp,0) AS BIGINT) AS n_supp,
+        |ROUND(COALESCE(cust_bal,0)+COALESCE(supp_bal,0),4) AS total_bal
+        |FROM (SELECT c_nationkey AS nk, COUNT(*) AS n_cust, SUM(c_acctbal) AS cust_bal
+        |      FROM customer GROUP BY 1) c
+        |FULL OUTER JOIN (SELECT s_nationkey AS nk, COUNT(*) AS n_supp, SUM(s_acctbal) AS supp_bal
+        |      FROM supplier GROUP BY 1) s USING (nk)
+        |JOIN nation ON n_nationkey = nk ORDER BY n_name""".stripMargin,
+
+    "q08_anti_join" ->
+      """SELECT c_custkey FROM customer
+        |WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey AND o_totalprice > 300000)
+        |ORDER BY c_custkey""".stripMargin,
+
+    "q09_override_argmax" ->
+      """SELECT user_id, ARG_MAX(event_type, ts) AS last_event
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q10_total_sort" ->
+      """SELECT l_orderkey, l_partkey, l_suppkey FROM lineitem
+        |ORDER BY l_extendedprice DESC, l_orderkey, l_linenumber LIMIT 1000""".stripMargin,
+
+    "q11_set_ops" ->
+      """SELECT op, nk FROM (
+        |SELECT 'union' AS op, nk FROM (SELECT c_nationkey AS nk FROM customer UNION SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'intersect' AS op, nk FROM (SELECT c_nationkey AS nk FROM customer INTERSECT SELECT s_nationkey FROM supplier)
+        |UNION ALL
+        |SELECT 'except' AS op, nk FROM (SELECT c_nationkey AS nk FROM customer EXCEPT SELECT s_nationkey FROM supplier)
+        |) ORDER BY op, nk""".stripMargin,
+
+    "q12_secondary_sort" ->
+      """SELECT user_id, rn, event_type, event_id FROM
+        |(SELECT user_id, event_id, event_type,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS INT) AS rn
+        | FROM events)
+        |WHERE rn <= 3 ORDER BY user_id, rn""".stripMargin,
+
+    "q13_histogram" ->
+      """SELECT event_type, COUNT(event_id) AS cnt, COUNT(DISTINCT user_id) AS n_users,
+        |ROUND(AVG(value),4) AS avg_val, ROUND(STDDEV_POP(value),4) AS sd_val
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q14_grep" ->
+      """SELECT m AS word, COUNT(*) AS c FROM
+        |(SELECT UNNEST(regexp_extract_all(text, '(sort|merge|join|stream|filter)')) AS m FROM documents)
+        |GROUP BY m ORDER BY c DESC, m""".stripMargin,
+
+    "q15_pi" ->
+      """SELECT ROUND(4.0 * SUM(CASE WHEN
+        |  (((i % 1000) + 0.5)/1000.0) * (((i % 1000) + 0.5)/1000.0) +
+        |  ((FLOOR(i/1000) + 0.5)/1000.0) * ((FLOOR(i/1000) + 0.5)/1000.0) <= 1.0
+        |  THEN 1 ELSE 0 END) / 1000000.0, 4) AS pi_est
+        |FROM range(1000000) t(i)""".stripMargin,
+
+    "q16_tumbling_window" ->
+      """SELECT user_id, CAST(date_trunc('hour', ts) AS TIMESTAMP) AS hour_bucket,
+        |COUNT(*) AS n, ROUND(SUM(value),4) AS sv
+        |FROM events GROUP BY user_id, hour_bucket ORDER BY user_id, hour_bucket""".stripMargin,
+
+    "q17_sliding_window" ->
+      """WITH b AS (SELECT event_type,
+        |  CAST(FLOOR(epoch_us(CAST(ts AS TIMESTAMP))/900000000) AS BIGINT) AS bucket,
+        |  SUM(value) AS v, COUNT(*) AS n FROM events GROUP BY 1, 2)
+        |SELECT event_type, bucket, n,
+        |  ROUND(SUM(v) OVER (PARTITION BY event_type ORDER BY bucket
+        |        RANGE BETWEEN 3 PRECEDING AND CURRENT ROW),4) AS trailing_1h
+        |FROM b ORDER BY event_type, bucket""".stripMargin,
+
+    "q18_sessionize" ->
+      """WITH x AS (
+        |  SELECT user_id, event_id, ts,
+        |    epoch_us(CAST(ts AS TIMESTAMP)) - LAG(epoch_us(CAST(ts AS TIMESTAMP)))
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |  FROM events),
+        |y AS (
+        |  SELECT user_id, ts,
+        |    CAST(SUM(CASE WHEN gap_us IS NULL OR gap_us > 1800000000 THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id ROWS UNBOUNDED PRECEDING) AS BIGINT) AS sess
+        |  FROM x)
+        |SELECT user_id, sess, COUNT(*) AS n, CAST(MIN(ts) AS TIMESTAMP) AS start_ts,
+        |  CAST(MAX(ts) AS TIMESTAMP) AS end_ts
+        |FROM y GROUP BY user_id, sess ORDER BY user_id, sess""".stripMargin,
+
+    "q19_dedup_exact" ->
+      """SELECT h, COUNT(*) AS c FROM
+        |(SELECT MD5(array_to_string((STRING_SPLIT(text,' '))[1:5],' ')) AS h FROM documents)
+        |GROUP BY h HAVING COUNT(*) > 1 ORDER BY h""".stripMargin,
+
+    "q20_cosine_topk" ->
+      """SELECT b.vec_id AS vec_id,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS sim
+        |FROM embeddings a JOIN embeddings b ON b.vec_id <> 0
+        |WHERE a.vec_id = 0
+        |ORDER BY list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) DESC, b.vec_id
+        |LIMIT 10""".stripMargin,
+
+    "q21_token_stats" ->
+      """SELECT doc_id, CAST(len(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tokens,
+        |CAST(length(text) AS BIGINT) AS n_chars_calc FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q22_text_quality" ->
+      """SELECT doc_id, COUNT(*) AS n_tok,
+        |CAST(SUM(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS BIGINT) AS n_stop,
+        |ROUND(AVG(CAST(length(w) AS DOUBLE)),4) AS avg_wlen
+        |FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS w FROM documents)
+        |GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q23_lang_profile" ->
+      """SELECT lang, COUNT(*) AS n_docs, CAST(SUM(n_chars) AS BIGINT) AS total_chars,
+        |ROUND(AVG(CAST(n_chars AS DOUBLE)),4) AS avg_chars
+        |FROM documents GROUP BY lang ORDER BY lang""".stripMargin,
+
+    "q24_fingerprint" ->
+      """SELECT doc_id, MD5(REGEXP_REPLACE(LOWER(text), '\s+', ' ', 'g')) AS fp
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q25_ngram_jaccard" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 200) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter),4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q26_ann_topk" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5),
+        |r AS (SELECT qid, vec_id, s,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims)
+        |SELECT qid, vec_id, rnk, ROUND(s,4) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
+
+    "q29_sample_mod" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+  )
 }

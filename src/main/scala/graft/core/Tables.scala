@@ -1,0 +1,49 @@
+package graft.core
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Loaders for the fixture tables (TESTDATA.md): one parquet per table
+  * under a scale-factor directory. Centralizing the reads keeps schema
+  * assumptions in one place and lets Catalyst push filters/projections
+  * into every scan (the engine's equivalent of Hadoop's
+  * `FileInputFormat` split planning — reference
+  * hadoop-mapreduce-client-core/.../lib/input/FileInputFormat.java:69 —
+  * which Spark's FileSourceScanExec supplies natively).
+  */
+object Tables {
+  val all: Seq[String] = Seq(
+    "region", "nation", "customer", "supplier", "part",
+    "orders", "lineitem", "events", "documents", "embeddings")
+
+  def load(spark: SparkSession, sfDir: String, name: String): DataFrame =
+    spark.read.parquet(s"$sfDir/$name.parquet")
+
+  def region(s: SparkSession, d: String): DataFrame    = load(s, d, "region")
+  def nation(s: SparkSession, d: String): DataFrame    = load(s, d, "nation")
+  def customer(s: SparkSession, d: String): DataFrame  = load(s, d, "customer")
+  def supplier(s: SparkSession, d: String): DataFrame  = load(s, d, "supplier")
+  def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
+  def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
+  def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
+  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
+    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
+    * (legacy flag) and truncate to microseconds — the same truncation
+    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping oracle parity. */
+  def events(s: SparkSession, d: String): DataFrame = {
+    s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    val raw = load(s, d, "events")
+    raw.schema("ts").dataType match {
+      case org.apache.spark.sql.types.LongType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
+          org.apache.spark.sql.functions.expr("ts div 1000")))
+      case _ => raw
+    }
+  }
+  def documents(s: SparkSession, d: String): DataFrame = load(s, d, "documents")
+  def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
+
+  /** Register every fixture table as a temp view so `spark.sql` can be
+    * used against the same names the DuckDB oracle sees. */
+  def registerAll(spark: SparkSession, sfDir: String): Unit =
+    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+}

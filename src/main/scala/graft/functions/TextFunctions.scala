@@ -1,0 +1,91 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.functions._
+
+/** Text-analysis column builders for the LLM-pipeline surface: token
+  * counting, shingling, fingerprinting, quality stats, language ID.
+  *
+  * All builders are pure `Column` expressions (whole-stage codegen
+  * friendly — no UDFs), so they fuse into the scan at 100 TB without
+  * breaking pushdown. The wordcount/grep capability they generalize is
+  * the reference's `TokenCounterMapper`
+  * (hadoop-mapreduce-client-core/.../lib/map/TokenCounterMapper.java:35)
+  * and `RegexMapper` (.../lib/map/RegexMapper.java:36).
+  */
+object TextFunctions {
+
+  /** Whitespace tokens (single-space split: fixture text is
+    * space-normalized; use `tokensWs` for arbitrary whitespace). */
+  def tokens(c: Column): Column = split(c, " ")
+
+  /** Tokens on runs of whitespace, BPE-ish: punctuation split off. */
+  def tokensWs(c: Column): Column =
+    split(trim(regexp_replace(c, "(\\p{Punct})", " $1 ")), "\\s+")
+
+  def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
+
+  /** Distinct word n-gram shingles of `n` consecutive tokens, joined by
+    * a single space. Empty array when the document has < n tokens. */
+  def wordShingles(c: Column, n: Int): Column = {
+    val ws = tokens(c)
+    when(size(ws) >= n,
+      array_distinct(
+        transform(sequence(lit(1), size(ws) - (n - 1)),
+          i => concat_ws(" ", (0 until n).map(k => element_at(ws, i + lit(k))): _*))))
+      .otherwise(array().cast("array<string>"))
+  }
+
+  /** Rolling-fingerprint-style document identity: md5 of the
+    * whitespace-normalized, lower-cased text. */
+  def fingerprint(c: Column): Column =
+    md5(regexp_replace(lower(c), "\\s+", " ").cast("binary"))
+
+  /** Prefix fingerprint over the first `nWords` tokens — catches
+    * truncation/extension near-duplicates that full-text hashing misses. */
+  def prefixFingerprint(c: Column, nWords: Int): Column =
+    md5(concat_ws(" ", slice(tokens(c), 1, nWords)).cast("binary"))
+
+  /** Number of tokens contained in `words` (with multiplicity). */
+  def stopwordCount(c: Column, words: Seq[String]): Column =
+    size(filter(tokens(c), w => w.isin(words: _*))).cast("long")
+
+  /** Ratio of non-[a-z0-9 ] characters — crude punctuation/noise score. */
+  def punctRatio(c: Column): Column =
+    length(regexp_replace(c, "[a-z0-9 ]", "")).cast("double") /
+      greatest(length(c), lit(1)).cast("double")
+
+  /** Composite quality score in [0,1]: penalizes very short docs, high
+    * punctuation ratio, and low stopword incidence. Heuristic only —
+    * thresholds are engine-defined, deterministic. */
+  def qualityScore(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
+    val lenScore = least(tokenCount(c).cast("double") / lit(20.0), lit(1.0))
+    val stopScore = least(stopwordCount(c, stopwords).cast("double") * lit(4.0) /
+      greatest(tokenCount(c), lit(1L)).cast("double"), lit(1.0))
+    val punctScore = lit(1.0) - least(punctRatio(c) * lit(4.0), lit(1.0))
+    round((lenScore + stopScore + punctScore) / lit(3.0), 4)
+  }
+
+  val defaultStopwords: Seq[String] =
+    Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
+
+  /** Per-language marker words for the n-gram/stopword language-ID
+    * heuristic. Deliberately tiny: language ID at 100 TB must stay a
+    * codegen'd expression, not a model call. */
+  val langMarkers: Map[String, Seq[String]] = Map(
+    "en" -> Seq("the", "and", "of", "to", "is", "with", "that"),
+    "de" -> Seq("der", "die", "das", "und", "ist", "nicht", "mit"),
+    "fr" -> Seq("le", "la", "les", "et", "est", "une", "pour"),
+    "es" -> Seq("el", "los", "las", "es", "una", "por", "como"),
+    "it" -> Seq("il", "gli", "che", "sono", "una", "per", "con"))
+
+  /** Predicted language = marker set with the most hits; ties broken by
+    * language code; "und" when nothing matches. */
+  def langId(c: Column): Column = {
+    val scored = langMarkers.toSeq.sortBy(_._1).map { case (lang, words) =>
+      struct(stopwordCount(c, words).as("s"), lit(lang).as("l"))
+    }
+    val best = array_max(array(scored: _*))
+    when(best.getField("s") > 0, best.getField("l")).otherwise(lit("und"))
+  }
+}

@@ -1,0 +1,187 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import graft.functions.TextFunctions
+
+/** Deduplication operators for large-scale text corpora: exact,
+  * n-gram-Jaccard, MinHash+LSH, and SimHash. The reference engine has
+  * no dedup surface (closest idiom: identity reduce on a hash key);
+  * this module is part of the LLM-pipeline extension the engine is
+  * specified to carry.
+  *
+  * Scale posture: every operator is a pure DataFrame pipeline whose
+  * only wide dependencies are hash-keyed `groupBy`s and a
+  * candidate-bucket join. Nothing here ever compares all-pairs: exact
+  * and prefix dedup group on a fingerprint; Jaccard joins only pairs
+  * sharing a shingle; MinHash-LSH joins only pairs sharing a band
+  * bucket. AQE's skew-join handles hot buckets (stopword-like shingles)
+  * at 100 TB.
+  */
+object Dedup {
+
+  /** Exact duplicate groups on a full-text fingerprint. */
+  def exactGroups(df: DataFrame, idCol: String, textCol: String): DataFrame =
+    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("h"))
+      .groupBy("h").agg(count("*").as("c"), collect_list(col(idCol)).as("ids"))
+      .where(col("c") > 1)
+
+  /** Duplicate-prefix groups (first `nWords` tokens) — catches
+    * truncated/extended near-copies. */
+  def prefixGroups(df: DataFrame, textCol: String, nWords: Int): DataFrame =
+    df.select(TextFunctions.prefixFingerprint(col(textCol), nWords).as("h"))
+      .groupBy("h").agg(count("*").as("c"))
+      .where(col("c") > 1)
+
+  /** Exact word-`n`-gram Jaccard over all pairs sharing ≥1 shingle.
+    * Output: (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold.
+    * This is the exact oracle the sketch methods approximate. */
+  def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    val g = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    val sz = g.groupBy("doc_id").agg(count("*").as("n"))
+    val pairs = g.alias("a")
+      .join(g.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count("*").as("inter"))
+    pairs
+      .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
+      .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
+      .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  // ---------------------------------------------------------------- MinHash
+
+  /** Number of hash functions in a MinHash signature. */
+  val NumHashes = 64
+  /** LSH banding: bandsCount * rowsPerBand == NumHashes. 16 bands of 4
+    * targets the ~0.5+ Jaccard regime (s-curve threshold ≈ (1/16)^(1/4) ≈ 0.5). */
+  val NumBands = 16
+  val RowsPerBand = 4
+
+  private val MersennePrime = (1L << 61) - 1
+  /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p with
+    * a_i, b_i < 2^31 and x < 2^31, so a_i·x + b_i < 2^62 never
+    * overflows a long. Seeded — signatures are stable across runs. */
+  private val (hashA, hashB) = {
+    val rnd = new scala.util.Random(42)
+    (Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
+     Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
+  }
+
+  /** 31-bit base hash of each shingle (murmur3 via `hash`, masked
+    * non-negative), as a long array column. */
+  private def shingleHashes(textCol: Column, n: Int): Column =
+    transform(TextFunctions.wordShingles(textCol, n),
+      g => (hash(g).cast("long").bitwiseAND(lit(0x7FFFFFFFL))))
+
+  /** MinHash signature: array of NumHashes minima. Pure expressions —
+    * no UDF, no shuffle; computed in one map pass over the corpus.
+    *
+    * Implemented as a single `aggregate` fold over the shingle hashes
+    * (init = p sentinel, step = elementwise `least` against the 64
+    * affine hashes of the current shingle). One fold instead of 64
+    * `array_min(transform(…))` columns keeps the expression tree O(1):
+    * the naive form re-inlines shingle generation 64× and overflows
+    * codegen into interpreted evaluation. */
+  def minHashSignature(textCol: Column, n: Int = 3): Column = {
+    val ab = array((0 until NumHashes).map(i =>
+      struct(lit(hashA(i)).as("a"), lit(hashB(i)).as("b"))): _*)
+    aggregate(
+      shingleHashes(textCol, n),
+      array_repeat(lit(MersennePrime), NumHashes),
+      (acc, h) => zip_with(acc, ab,
+        (m, c) => least(m, (c.getField("a") * h + c.getField("b")) % lit(MersennePrime))))
+  }
+
+  /** LSH candidate pairs + signature-estimated Jaccard.
+    * Output: (id1, id2, est_jaccard), id1 < id2, est ≥ minEst.
+    *
+    * Plan shape: map (signature) → explode NumBands band keys →
+    * hash-shuffle on (band, key) → per-bucket pair generation →
+    * distinct. Bucket membership lists are bounded by band selectivity;
+    * severely hot buckets (boilerplate corpora) should raise
+    * RowsPerBand rather than rely on the group materializing. */
+  def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
+                        n: Int = 3, minEst: Double = 0.5): DataFrame = {
+    val sigs = df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n).as("sig"))
+      .where(size(TextFunctions.tokens(col(textCol))) >= n)
+    val banded = sigs.select(col("doc_id"), col("sig"),
+      explode(array((0 until NumBands).map(b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bkey"))): _*)).as("bb"))
+    val buckets = banded
+      .groupBy(col("bb.band"), col("bb.bkey"))
+      .agg(collect_list(struct(col("doc_id"), col("sig"))).as("members"))
+      .where(size(col("members")) > 1)
+    val pairs = buckets
+      .select(explode(col("members")).as("m1"), col("members"))
+      .select(col("m1"), explode(col("members")).as("m2"))
+      .where(col("m1.doc_id") < col("m2.doc_id"))
+      .select(col("m1.doc_id").as("id1"), col("m2.doc_id").as("id2"),
+        col("m1.sig").as("sig1"), col("m2.sig").as("sig2"))
+      .dropDuplicates("id1", "id2")
+    pairs
+      .withColumn("est_jaccard",
+        size(filter(zip_with(col("sig1"), col("sig2"), (x, y) => x === y), b => b))
+          .cast("double") / lit(NumHashes.toDouble))
+      .where(col("est_jaccard") >= minEst)
+      .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  // ---------------------------------------------------------------- SimHash
+
+  /** 64-bit SimHash over word tokens: per bit, majority vote of token
+    * hashes. Implemented with two 32-bit murmur views (seeded hash()
+    * calls) combined into 64 bits; pure expressions, one map pass.
+    *
+    * Like [[minHashSignature]], a single `aggregate` fold — acc holds
+    * the 64 per-bit one-counts — so token hashing happens once per
+    * row, not 64×. */
+  def simHash(textCol: Column): Column = {
+    val ws = TextFunctions.tokens(textCol)
+    // 64-bit token hash: hi = murmur(seed=41), lo = murmur(seed=42)
+    val h64 = transform(ws, w =>
+      shiftleft(hash(w, lit(41)).cast("long").bitwiseAND(lit(0xFFFFFFFFL)), 32)
+        .bitwiseOR(hash(w, lit(42)).cast("long").bitwiseAND(lit(0xFFFFFFFFL))))
+    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
+    val oneCounts = aggregate(
+      h64,
+      array_repeat(lit(0L), 64),
+      (acc, h) => zip_with(acc, masks,
+        (cnt, m) => cnt + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(0L)))
+    val nTok = size(ws)
+    aggregate(
+      zip_with(oneCounts, masks,
+        (cnt, m) => when(cnt * 2 >= nTok, m).otherwise(lit(0L))),
+      lit(0L), (acc, v) => acc.bitwiseOR(v))
+  }
+
+  /** Hamming distance between two simhash longs. */
+  def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** SimHash near-dup pairs via banded chunk join: split the 64-bit
+    * simhash into 4 chunks of 16 bits; any pair within Hamming
+    * distance 3 shares ≥1 exact chunk (pigeonhole), so candidates are
+    * found with a hash join on (chunk index, chunk value) — never an
+    * all-pairs scan. `maxHamming` then exact-filters candidates.
+    * Output: (id1, id2, hamming), id1 < id2. */
+  def simHashPairs(df: DataFrame, idCol: String, textCol: String,
+                   maxHamming: Int = 3): DataFrame = {
+    val sh = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    val chunked = sh.select(col("doc_id"), col("sh"),
+      explode(array((0 until 4).map(i =>
+        struct(lit(i).as("ci"),
+          shiftright(col("sh"), i * 16).bitwiseAND(lit(0xFFFFL)).as("cv"))): _*)).as("ch"))
+    chunked.alias("a")
+      .join(chunked.alias("b"),
+        col("a.ch.ci") === col("b.ch.ci") && col("a.ch.cv") === col("b.ch.cv") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"),
+        hammingDistance(col("a.sh"), col("b.sh")).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .where(col("hamming") <= maxHamming)
+  }
+}

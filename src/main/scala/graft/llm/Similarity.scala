@@ -1,0 +1,90 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** Approximate-nearest-neighbor search over an embedding column
+  * (`array<float>`). LLM-pipeline extension surface (the reference has
+  * no vector capability).
+  *
+  * Two tiers:
+  *  - [[bruteTopK]]: exact top-k by cosine — broadcast the (small)
+  *    query set against the full corpus; one scan, no shuffle except
+  *    the final per-query top-k (`Window` + `row_number`, which AQE
+  *    executes as a partial top-k per partition). This is the
+  *    correctness baseline and is also the right plan at 100 TB when
+  *    the query set is small (queries broadcast; corpus never moves).
+  *  - [[lshTopK]]: random-hyperplane LSH — bucket corpus and queries by
+  *    sign-pattern, join only matching buckets (plus optional
+  *    multi-probe neighbors), then exact-rank within candidates. Scale
+  *    path: turns the all-pairs scan into a hash join whose cost tracks
+  *    bucket occupancy, not corpus size.
+  */
+object Similarity {
+
+  /** Exact cosine top-k of each query id against the whole corpus
+    * (self-pairs excluded). Output: (qid, vec_id, rank, sim). */
+  def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+                fast: Boolean = true): DataFrame = {
+    val cosFn: (Column, Column) => Column =
+      if (fast) VectorFunctions.cosineFast else VectorFunctions.cosine
+    val q = emb.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+    val sims = emb.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"), cosFn(col("qe"), col("embedding")).as("s"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
+  /** Number of random hyperplanes (bucket bits). */
+  val NumPlanes = 8
+
+  /** Deterministic pseudo-random hyperplanes (seeded), dim `d`. */
+  private def planes(d: Int): Array[Array[Double]] = {
+    val rnd = new scala.util.Random(7)
+    Array.fill(NumPlanes)(Array.fill(d)(rnd.nextGaussian()))
+  }
+
+  /** Sign-pattern bucket id of an embedding under the hyperplanes. */
+  def lshBucket(emb: Column, dim: Int): Column = {
+    val ps = planes(dim)
+    val bits = (0 until NumPlanes).map { i =>
+      val p = array(ps(i).map(lit): _*)
+      val proj = aggregate(zip_with(VectorFunctions.toDoubleArray(emb), p, (x, y) => x * y),
+        lit(0.0), (acc, v) => acc + v)
+      when(proj >= 0, lit(1 << i)).otherwise(lit(0))
+    }
+    bits.reduce(_ + _)
+  }
+
+  /** LSH-bucketed ANN top-k: candidates = corpus rows in any of the
+    * query's probe buckets (exact bucket + single-bit flips when
+    * `multiProbe`), ranked exactly within candidates. Recall < 1 by
+    * construction; raise NumPlanes/multiProbe for precision. */
+  def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, dim: Int,
+              multiProbe: Boolean = true): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim))
+    val probes: Column => Column = b =>
+      if (multiProbe) array((b +: (0 until NumPlanes).map(i => b.bitwiseXOR(lit(1 << i)))): _*)
+      else array(b)
+    val q = bucketed.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        explode(probes(col("bucket"))).as("bucket"))
+    val cands = bucketed.join(broadcast(q), Seq("bucket"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineFast(col("qe"), col("embedding")).as("s"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}

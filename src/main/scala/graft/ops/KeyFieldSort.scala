@@ -1,0 +1,62 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Unix-`sort(1)`-style `-k` sort specs over delimited text columns.
+  *
+  * Mirrors the semantics of the reference's
+  * `KeyFieldBasedComparator` / `KeyFieldBasedPartitioner`
+  * (hadoop-mapreduce-client-core/.../lib/partition/
+  * KeyFieldBasedComparator.java:53, KeyFieldBasedPartitioner.java:51):
+  * each spec is `-k pos1[,pos2][n][r]` with 1-based field positions,
+  * `n` = numeric compare, `r` = reverse. We support the field-level
+  * subset (no mid-field character offsets) — the overwhelmingly common
+  * case in streaming jobs.
+  *
+  * Instead of a byte comparator + custom partitioner, the parse result
+  * is a list of `Column` sort expressions handed to `orderBy`, so
+  * Spark's `RangePartitioner` (sampling) + Tungsten binary sort give
+  * total order at any scale with zero custom shuffle machinery.
+  */
+object KeyFieldSort {
+
+  final case class KeySpec(from: Int, to: Int, numeric: Boolean, reverse: Boolean)
+
+  private val SpecRe = "-k\\s*(\\d+)(?:,(\\d+))?([nr]*)".r
+
+  def parse(spec: String): Seq[KeySpec] =
+    SpecRe.findAllMatchIn(spec).map { m =>
+      val from = m.group(1).toInt
+      val to = Option(m.group(2)).map(_.toInt).getOrElse(from)
+      val flags = Option(m.group(3)).getOrElse("")
+      KeySpec(from, to, flags.contains('n'), flags.contains('r'))
+    }.toSeq
+
+  /** Sort expressions for `orderBy` over a delimited `text` column. */
+  def sortColumns(text: Column, spec: String, sep: String = "\t"): Seq[Column] = {
+    val parts = split(text, java.util.regex.Pattern.quote(sep))
+    parse(spec).flatMap { ks =>
+      (ks.from to ks.to).map { i =>
+        val f = coalesce(element_at(parts, i), lit(""))
+        val typed = if (ks.numeric) f.cast("double") else f
+        if (ks.reverse) typed.desc else typed.asc
+      }
+    }
+  }
+
+  /** Total-order sort of a delimited text frame by a `-k` spec. */
+  def sorted(df: DataFrame, textCol: String, spec: String, sep: String = "\t"): DataFrame =
+    df.orderBy(sortColumns(col(textCol), spec, sep): _*)
+
+  /** Partition (without total sort) by the key fields — the
+    * `KeyFieldBasedPartitioner` capability: co-locate records sharing
+    * the key fields, e.g. ahead of a reduce-side `pipe()`. */
+  def partitioned(df: DataFrame, textCol: String, spec: String,
+                  numPartitions: Int, sep: String = "\t"): DataFrame = {
+    val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
+    val keys = parse(spec).flatMap(ks => (ks.from to ks.to)
+      .map(i => coalesce(element_at(parts, i), lit(""))))
+    df.repartition(numPartitions, keys: _*)
+  }
+}

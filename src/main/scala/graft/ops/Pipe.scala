@@ -1,0 +1,59 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** External-process UDF surface — the capability of "Hadoop Streaming"
+  * (hadoop-tools/hadoop-streaming/.../StreamJob.java, PipeMapper.java:89,
+  * PipeReducer.java:82, PipeMapRed.java): fork a user executable per
+  * task, feed records as `key<sep>value` lines on stdin, parse stdout
+  * lines back into records.
+  *
+  * Built on `RDD.pipe` (Spark's native fork/exec operator — one child
+  * process per partition, streaming both directions, so memory stays
+  * O(pipe buffer) regardless of partition size).
+  *
+  *  - map-side (`pipeMap`): no shuffle at all.
+  *  - reduce-side (`pipeReduce`): `repartition(key)` +
+  *    `sortWithinPartitions(key, …)` first, so every key group arrives
+  *    contiguous on the child's stdin — the PipeReducer contract —
+  *    with exactly one shuffle.
+  */
+object Pipe {
+
+  /** Pipe selected columns (tab-joined by default) through `cmd`;
+    * result is one string column `line` per stdout line. */
+  def pipeMap(df: DataFrame, cmd: Seq[String],
+              cols: Seq[Column] = Nil, sep: String = "\t",
+              env: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val selected = if (cols.isEmpty) df.columns.toSeq.map(col) else cols
+    val lines = df.select(concat_ws(sep, selected.map(_.cast("string")): _*).as("line"))
+      .as[String]
+    lines.rdd.pipe(cmd, env).toDF("line")
+  }
+
+  /** Reduce-side pipe: co-locate and sort by `keyCols` (plus
+    * `sortCols`) before forking, so the child sees each key group
+    * contiguously, mirroring PipeReducer.java:82. */
+  def pipeReduce(df: DataFrame, cmd: Seq[String],
+                 keyCols: Seq[String], sortCols: Seq[Column] = Nil,
+                 numPartitions: Int = 32, sep: String = "\t",
+                 env: Map[String, String] = Map.empty): DataFrame = {
+    val arranged = df
+      .repartition(numPartitions, keyCols.map(col): _*)
+      .sortWithinPartitions(keyCols.map(col) ++ sortCols: _*)
+    pipeMap(arranged, cmd, Nil, sep, env)
+  }
+
+  /** Parse piped `line` output back into (key, value) on first `sep`,
+    * the KeyValueTextInputFormat convention
+    * (.../lib/input/KeyValueTextInputFormat.java:47). */
+  def parseKV(lines: DataFrame, sep: String = "\t"): DataFrame = {
+    val p = java.util.regex.Pattern.quote(sep)
+    lines.select(
+      split(col("line"), p, 2).getItem(0).as("key"),
+      coalesce(split(col("line"), p, 2).getItem(1), lit("")).as("value"))
+  }
+}

@@ -1,0 +1,48 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Deterministic scan-time filters/samplers, the declarative
+  * equivalents of the reference's `SequenceFileInputFilter` family
+  * (hadoop-mapreduce-client-core/.../lib/input/
+  * SequenceFileInputFilter.java:49 — RegexFilter:111, PercentFilter:154,
+  * MD5Filter:203) and `InputSampler`
+  * (.../lib/partition/InputSampler.java:57).
+  *
+  * All of these are plain `filter` predicates, so Catalyst pushes them
+  * into the scan where the source supports it; at 100 TB a hash-mod
+  * sample reads every row group but never shuffles.
+  */
+object Sampling {
+
+  /** PercentFilter: keep keys where hash(key) % f == 0 → ~1/f sample,
+    * deterministic and stable across runs/engines for the same key. */
+  def percentFilter(df: DataFrame, key: Column, f: Int): DataFrame =
+    df.filter(pmod(hash(key), lit(f)) === 0)
+
+  /** Arithmetic mod sample on an integral key — fully portable
+    * (hash-free) flavor used by the oracle-checked query. */
+  def modFilter(df: DataFrame, key: Column, f: Int): DataFrame =
+    df.filter(pmod(key, lit(f)) === 0)
+
+  /** MD5Filter: keep keys whose md5 prefix mod f == 0. */
+  def md5Filter(df: DataFrame, key: Column, f: Int): DataFrame =
+    df.filter(pmod(conv(substring(md5(key.cast("binary")), 1, 7), 16, 10).cast("long"), lit(f)) === 0)
+
+  /** RegexFilter: keep rows whose key matches the pattern. */
+  def regexFilter(df: DataFrame, key: Column, pattern: String): DataFrame =
+    df.filter(regexp_like(key, lit(pattern)))
+
+  /** Bernoulli sample (seeded) — InputSampler.RandomSampler analogue;
+    * Spark's `orderBy` does its own reservoir sampling for range
+    * partitioning, so no `writePartitionFile` equivalent is needed. */
+  def randomSample(df: DataFrame, fraction: Double, seed: Long = 42L): DataFrame =
+    df.sample(withReplacement = false, fraction, seed)
+
+  /** SplitSampler analogue: first `n` records per partition. */
+  def splitSample(df: DataFrame, nPerPartition: Int): DataFrame = {
+    val enc = org.apache.spark.sql.Encoders.row(df.schema)
+    df.mapPartitions(_.take(nPerPartition))(enc)
+  }
+}
