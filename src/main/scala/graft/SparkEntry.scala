@@ -277,8 +277,9 @@ object SparkEntry {
     }),
 
     // LSH-bucketed ANN (scale path; rows-only: plane-family-specific).
+    // 4 planes fits this corpus size; at 100 TB the knob goes up.
     "q31_ann_lsh" -> ((s, d) =>
-      Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, 64)
+      Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, 64, nPlanes = 4)
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
         .orderBy("qid", "rnk"))
   )

@@ -42,19 +42,23 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
-  /** Number of random hyperplanes (bucket bits). */
-  val NumPlanes = 8
+  /** Default number of random hyperplanes (bucket bits = 2^planes
+    * buckets). A selectivity knob: candidates per probe scale with
+    * corpus/2^planes, so raise it as the corpus grows (e.g. ~20 at
+    * 100 TB for million-row buckets) and lower it for small or weakly
+    * clustered corpora where recall matters more than pruning. */
+  val DefaultPlanes = 8
 
   /** Deterministic pseudo-random hyperplanes (seeded), dim `d`. */
-  private def planes(d: Int): Array[Array[Double]] = {
+  private def planes(d: Int, n: Int): Array[Array[Double]] = {
     val rnd = new scala.util.Random(7)
-    Array.fill(NumPlanes)(Array.fill(d)(rnd.nextGaussian()))
+    Array.fill(n)(Array.fill(d)(rnd.nextGaussian()))
   }
 
   /** Sign-pattern bucket id of an embedding under the hyperplanes. */
-  def lshBucket(emb: Column, dim: Int): Column = {
-    val ps = planes(dim)
-    val bits = (0 until NumPlanes).map { i =>
+  def lshBucket(emb: Column, dim: Int, nPlanes: Int = DefaultPlanes): Column = {
+    val ps = planes(dim, nPlanes)
+    val bits = (0 until nPlanes).map { i =>
       val p = array(ps(i).map(lit): _*)
       val proj = aggregate(zip_with(VectorFunctions.toDoubleArray(emb), p, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
@@ -66,12 +70,12 @@ object Similarity {
   /** LSH-bucketed ANN top-k: candidates = corpus rows in any of the
     * query's probe buckets (exact bucket + single-bit flips when
     * `multiProbe`), ranked exactly within candidates. Recall < 1 by
-    * construction; raise NumPlanes/multiProbe for precision. */
+    * construction; tune `nPlanes`/`multiProbe` per corpus. */
   def lshTopK(emb: DataFrame, queryIds: Seq[Long], k: Int, dim: Int,
-              multiProbe: Boolean = true): DataFrame = {
-    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim))
+              multiProbe: Boolean = true, nPlanes: Int = DefaultPlanes): DataFrame = {
+    val bucketed = emb.withColumn("bucket", lshBucket(col("embedding"), dim, nPlanes))
     val probes: Column => Column = b =>
-      if (multiProbe) array((b +: (0 until NumPlanes).map(i => b.bitwiseXOR(lit(1 << i)))): _*)
+      if (multiProbe) array((b +: (0 until nPlanes).map(i => b.bitwiseXOR(lit(1 << i)))): _*)
       else array(b)
     val q = bucketed.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("embedding").as("qe"),

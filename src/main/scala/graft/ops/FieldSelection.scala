@@ -41,7 +41,7 @@ object FieldSelection {
   def selectFields(text: Column, spec: String, sep: String = "\t"): Column = {
     val parts = split(text, java.util.regex.Pattern.quote(sep))
     val pieces: Seq[Column] = parseSpec(spec).map {
-      case Single(i)    => coalesce(element_at(parts, i + 1), lit(""))
+      case Single(i)    => coalesce(try_element_at(parts, lit(i + 1)), lit(""))
       case Range(a, b)  => concat_ws(sep, slice(parts, a + 1, b - a + 1))
       case OpenRange(a) => concat_ws(sep, slice(parts, lit(a + 1), greatest(size(parts) - a, lit(0))))
     }

@@ -38,7 +38,7 @@ object KeyFieldSort {
     val parts = split(text, java.util.regex.Pattern.quote(sep))
     parse(spec).flatMap { ks =>
       (ks.from to ks.to).map { i =>
-        val f = coalesce(element_at(parts, i), lit(""))
+        val f = coalesce(try_element_at(parts, lit(i)), lit(""))
         val typed = if (ks.numeric) f.cast("double") else f
         if (ks.reverse) typed.desc else typed.asc
       }
@@ -56,7 +56,7 @@ object KeyFieldSort {
                   numPartitions: Int, sep: String = "\t"): DataFrame = {
     val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val keys = parse(spec).flatMap(ks => (ks.from to ks.to)
-      .map(i => coalesce(element_at(parts, i), lit(""))))
+      .map(i => coalesce(try_element_at(parts, lit(i)), lit(""))))
     df.repartition(numPartitions, keys: _*)
   }
 }

@@ -54,6 +54,6 @@ object Pipe {
     val p = java.util.regex.Pattern.quote(sep)
     lines.select(
       split(col("line"), p, 2).getItem(0).as("key"),
-      coalesce(split(col("line"), p, 2).getItem(1), lit("")).as("value"))
+      coalesce(get(split(col("line"), p, 2), lit(1)), lit("")).as("value"))
   }
 }

@@ -1,0 +1,61 @@
+package graft.sources
+
+import org.apache.hadoop.io.{BytesWritable, LongWritable, Text}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Compatibility sources for the reference's row-file formats. The
+  * engine's native format is Parquet (TESTDATA.md); these exist so a
+  * user migrating from the reference can read legacy data in place.
+  *
+  * Each reader returns a DataFrame immediately, so downstream pruning
+  * and filtering still apply (after the scan — these row formats have
+  * no statistics to push into, same as on the reference).
+  */
+object CompatSources {
+
+  /** KeyValueTextInputFormat (.../lib/input/KeyValueTextInputFormat.java:47):
+    * each line split at the first separator → (key, value). Lines
+    * without the separator become (line, ""). */
+  def kvText(spark: SparkSession, path: String, sep: String = "\t"): DataFrame = {
+    val p = java.util.regex.Pattern.quote(sep)
+    spark.read.text(path).select(
+      split(col("value"), p, 2).getItem(0).as("key"),
+      coalesce(get(split(col("value"), p, 2), lit(1)), lit("")).as("value"))
+  }
+
+  /** FixedLengthInputFormat (.../lib/input/FixedLengthInputFormat.java:47):
+    * constant-length binary records, no delimiters. Built on the very
+    * Hadoop InputFormat (public API on Spark's classpath), so records
+    * split correctly across HDFS-style block boundaries at any scale.
+    * Output: one binary `record` column. */
+  def fixedLength(spark: SparkSession, path: String, recordLength: Int): DataFrame = {
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    conf.setInt("fixedlengthinputformat.record.length", recordLength)
+    val rdd = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.FixedLengthInputFormat],
+      classOf[LongWritable], classOf[BytesWritable], conf)
+      .map { case (_, v) => java.util.Arrays.copyOf(v.getBytes, v.getLength) }
+    import spark.implicits._
+    rdd.toDF("record")
+  }
+
+  /** SequenceFile with Text key/value (SequenceFileInputFormat —
+    * .../lib/input/SequenceFileInputFormat.java:41). */
+  def sequenceFileText(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.sequenceFile(path, classOf[Text], classOf[Text])
+      .map { case (k, v) => (k.toString, v.toString) }
+      .toDF("key", "value")
+  }
+
+  /** NLineInputFormat capability (.../lib/input/NLineInputFormat.java:63):
+    * text where task granularity is N lines per partition. Spark's
+    * equivalent knob is a repartition after read. */
+  def textNLines(spark: SparkSession, path: String, linesPerPartition: Int): DataFrame = {
+    val df = spark.read.text(path)
+    val n = math.max(1, (df.count() / math.max(1, linesPerPartition)).toInt)
+    df.repartition(n)
+  }
+}

@@ -1,0 +1,24 @@
+package graft
+
+/** Smoke-level contract checks over the whole declared surface: every
+  * query runs at sf0.001, every oracle key has a query, the flagship
+  * entry returns rows. (Value-level correctness is the DuckDB gate —
+  * tools/local_verify.py at sf0.01.) */
+class QueriesSpec extends SparkSpec {
+
+  test("every oracle key has a matching query") {
+    val missing = SparkEntry.oracleSql.keySet -- SparkEntry.queries.keySet
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("flagship entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
+    test(s"$name runs at sf0.001 and returns rows") {
+      val n = fn(spark, sf).count()
+      assert(n > 0, s"$name produced no rows")
+    }
+  }
+}

@@ -1,0 +1,101 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val docs = graft.core.Tables.documents(spark, sf)
+
+  test("exactGroups finds constructed duplicates") {
+    val df = Seq((1L, "same text here"), (2L, "same  TEXT here"), (3L, "different"))
+      .toDF("doc_id", "text")
+    val groups = Dedup.exactGroups(df, "doc_id", "text").collect()
+    assert(groups.length == 1 && groups(0).getAs[Long]("c") == 2L)
+  }
+
+  test("fixture corpus has planted near-duplicates ≥ 0.8 Jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    assert(exact.count() > 0)
+  }
+
+  test("minhash LSH candidates recover most exact near-dup pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 0.5)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = exact.count(cand.contains).toDouble / math.max(1, exact.size)
+    assert(recall >= 0.8, s"minhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("minhash estimate correlates with exact jaccard") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+    val cand = Dedup.minHashCandidates(docs, "doc_id", "text", 3, 0.5)
+    val joined = exact.join(cand, Seq("id1", "id2"))
+      .select(abs(col("jaccard") - col("est_jaccard")).as("err"))
+    if (joined.count() > 0) {
+      assert(joined.agg(avg("err")).head.getDouble(0) < 0.25)
+    }
+  }
+
+  test("simhash near-dup pairs include high-jaccard pairs") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val sh = Dedup.simHashPairs(docs, "doc_id", "text", 6)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = exact.count(sh.contains).toDouble / math.max(1, exact.size)
+    assert(recall >= 0.5, s"simhash recall $recall over ${exact.size} pairs")
+  }
+
+  test("hammingDistance counts differing bits") {
+    val df = Seq((5L, 6L)).toDF("a", "b") // 101 vs 110 → 2 bits differ
+    assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).head.getInt(0) == 2)
+  }
+}
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  lazy val emb = graft.core.Tables.embeddings(spark, sf)
+
+  /** Driver-side reference top-k for one query id. */
+  private def referenceTopK(qid: Long, k: Int): Seq[Long] = {
+    val all = emb.select(col("vec_id"), col("embedding")).as[(Long, Seq[Float])].collect()
+    val q = all.find(_._1 == qid).get._2.map(_.toDouble)
+    def cos(v: Seq[Float]): Double = {
+      val x = v.map(_.toDouble)
+      val d = x.zip(q).map { case (a, b) => a * b }.sum
+      d / (math.sqrt(x.map(a => a * a).sum) * math.sqrt(q.map(a => a * a).sum))
+    }
+    all.filter(_._1 != qid).map { case (id, v) => (id, cos(v)) }
+      .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
+  }
+
+  test("bruteTopK matches driver-side reference ranking") {
+    val got = Similarity.bruteTopK(emb, Seq(0L), 10)
+      .orderBy("rank").select("vec_id").as[Long].collect().toSeq
+    assert(got == referenceTopK(0L, 10))
+  }
+
+  test("slow and fast cosine tiers produce the same ranking") {
+    val slow = Similarity.bruteTopK(emb, Seq(3L), 10, fast = false)
+      .select("vec_id").as[Long].collect().toSeq
+    val fast = Similarity.bruteTopK(emb, Seq(3L), 10, fast = true)
+      .select("vec_id").as[Long].collect().toSeq
+    assert(slow == fast)
+  }
+
+  test("lshTopK achieves useful recall against brute force") {
+    val qids = Seq(0L, 1L, 2L, 3L, 4L)
+    val brute = Similarity.bruteTopK(emb, qids, 5)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val lsh = Similarity.lshTopK(emb, qids, 5, 64, nPlanes = 4)
+      .select("qid", "vec_id").as[(Long, Long)].collect().toSet
+    val recall = brute.count(lsh.contains).toDouble / brute.size
+    assert(recall >= 0.3, s"lsh recall $recall") // approximate by design
+    // and every LSH hit must be a real corpus vector with sane sim
+    assert(Similarity.lshTopK(emb, qids, 5, 64, nPlanes = 4)
+      .where(col("sim") > 1.0001 || col("sim") < -1.0001).count() == 0)
+  }
+}

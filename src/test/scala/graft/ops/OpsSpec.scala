@@ -1,0 +1,95 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class FieldSelectionSpec extends SparkSpec {
+  import FieldSelection._
+
+  test("spec parser handles singles, ranges, open ranges") {
+    assert(parseSpec("4,3,0") == Seq(Single(4), Single(3), Single(0)))
+    assert(parseSpec("1-3,7-") == Seq(Range(1, 3), OpenRange(7)))
+    assert(parseSpec("0") == Seq(Single(0)))
+  }
+
+  test("selectFields reorders and slices delimited text") {
+    import spark.implicits._
+    val df = Seq("a\tb\tc\td\te").toDF("line")
+    def sel(spec: String) =
+      df.select(selectFields(col("line"), spec).as("out")).head.getString(0)
+    assert(sel("2,0") == "c\ta")
+    assert(sel("1-3") == "b\tc\td")
+    assert(sel("3-") == "d\te")
+    assert(sel("0,2-") == "a\tc\td\te")
+  }
+
+  test("out-of-range single yields empty field") {
+    import spark.implicits._
+    val df = Seq("a\tb").toDF("line")
+    assert(df.select(selectFields(col("line"), "5").as("o")).head.getString(0) == "")
+  }
+}
+
+class KeyFieldSortSpec extends SparkSpec {
+  import KeyFieldSort._
+
+  test("parses -k specs with numeric/reverse flags") {
+    assert(parse("-k2,2nr -k1") ==
+      Seq(KeySpec(2, 2, numeric = true, reverse = true), KeySpec(1, 1, false, false)))
+  }
+
+  test("sorts text numerically and reversed per spec") {
+    import spark.implicits._
+    val df = Seq("b\t2", "a\t10", "c\t2").toDF("line")
+    val out = sorted(df, "line", "-k2,2nr -k1").as[String].collect()
+    assert(out.toSeq == Seq("a\t10", "b\t2", "c\t2"))
+  }
+}
+
+class SamplingSpec extends SparkSpec {
+  lazy val li = graft.core.Tables.lineitem(spark, sf)
+
+  test("modFilter keeps exactly keys ≡ 0 (mod f)") {
+    val out = Sampling.modFilter(li, col("l_orderkey"), 10)
+    assert(out.where(col("l_orderkey") % 10 =!= 0).count() == 0)
+    assert(out.count() > 0)
+  }
+
+  test("percentFilter samples deterministically at roughly 1/f") {
+    val n = li.count()
+    val s = Sampling.percentFilter(li, col("l_orderkey"), 10).count()
+    assert(s == Sampling.percentFilter(li, col("l_orderkey"), 10).count()) // stable
+    assert(s > n / 30 && s < n / 3) // loose 1/10 bound
+  }
+
+  test("regexFilter matches pattern") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val out = Sampling.regexFilter(docs, col("text"), "spark")
+    assert(out.count() > 0)
+    assert(out.where(!col("text").contains("spark")).count() == 0)
+  }
+
+  test("splitSample bounds records per partition") {
+    val out = Sampling.splitSample(li.repartition(4), 5)
+    assert(out.count() <= 20)
+  }
+}
+
+class CompactionSpec extends SparkSpec {
+  test("targetFileCount scales with bytes") {
+    assert(Compaction.targetFileCount(100, 1000) == 1)
+    assert(Compaction.targetFileCount(5000, 1000) == 5)
+    assert(Compaction.targetFileCount(5001, 1000) == 6)
+  }
+
+  test("compactParquet rewrites a directory into one file") {
+    val tmp = java.nio.file.Files.createTempDirectory("compact").toString
+    graft.core.Tables.nation(spark, sf).repartition(8).write.parquet(s"$tmp/in")
+    val n = Compaction.compactParquet(spark, s"$tmp/in", s"$tmp/out")
+    assert(n == 1)
+    val files = new java.io.File(s"$tmp/out").listFiles().count(_.getName.endsWith(".parquet"))
+    assert(files == 1)
+    assert(spark.read.parquet(s"$tmp/out").count() ==
+      graft.core.Tables.nation(spark, sf).count())
+  }
+}

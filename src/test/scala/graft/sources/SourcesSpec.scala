@@ -1,0 +1,77 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class CompatSourcesSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftsrc").toString
+
+  test("kvText splits at first tab") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/in.txt"),
+      "k1\tv1\nk2\tv2a\tv2b\nnoval\n")
+    val out = CompatSources.kvText(spark, s"$dir/in.txt")
+      .as[(String, String)].collect().toMap
+    assert(out == Map("k1" -> "v1", "k2" -> "v2a\tv2b", "noval" -> ""))
+  }
+
+  test("fixedLength reads constant-width binary records") {
+    val dir = tmpDir()
+    val payload = (0 until 10).flatMap(i => f"rec$i%05d".getBytes("UTF-8")).toArray
+    java.nio.file.Files.write(java.nio.file.Paths.get(s"$dir/fixed.bin"), payload)
+    val out = CompatSources.fixedLength(spark, s"$dir/fixed.bin", 8)
+      .as[Array[Byte]].collect().map(new String(_, "UTF-8")).sorted
+    assert(out.length == 10 && out(0) == "rec00000" && out(9) == "rec00009")
+  }
+
+  test("sequenceFileText round-trips key/value pairs") {
+    val dir = tmpDir()
+    val data = (1 to 20).map(i => (s"k$i", s"v$i"))
+    spark.sparkContext.parallelize(data, 2).saveAsSequenceFile(s"$dir/seq")
+    val out = CompatSources.sequenceFileText(spark, s"$dir/seq")
+      .as[(String, String)].collect().toSet
+    assert(out == data.toSet)
+  }
+
+  test("textNLines controls partition granularity") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lines.txt"),
+      (1 to 100).map(i => s"line$i").mkString("\n"))
+    val df = CompatSources.textNLines(spark, s"$dir/lines.txt", 10)
+    assert(df.rdd.getNumPartitions == 10)
+    assert(df.count() == 100)
+  }
+}
+
+class MultimodalSpec extends SparkSpec {
+
+  lazy val media = Multimodal.asMedia(
+    graft.core.Tables.documents(spark, sf), "doc_id", "text", "image")
+
+  test("asMedia produces the canonical media schema") {
+    assert(media.schema.fieldNames.toSeq ==
+      Seq("media_id", "media_type", "payload", "meta"))
+    assert(media.count() > 0)
+  }
+
+  test("stub decode is deterministic and in range") {
+    val d1 = Multimodal.extractFeatures(media).select("media_id", "decoded", "features")
+    val d2 = Multimodal.extractFeatures(media).select("media_id", "decoded", "features")
+    assert(d1.except(d2).count() == 0)
+    val bad = d1.where(col("decoded.width") < 1 || col("decoded.width") > 1920 ||
+      col("decoded.height") < 1 || col("decoded.height") > 1080).count()
+    assert(bad == 0)
+    assert(d1.select(size(col("features"))).distinct().head.getInt(0) == 8)
+  }
+
+  test("frame sampling emits one frame per interval") {
+    import spark.implicits._
+    val df = Seq((1L, Array[Byte](1, 2, 3), 5000L)).toDF("id", "payload", "dur")
+    val frames = df.select(explode(
+      Multimodal.frameSampleStub(col("payload"), col("dur"), 1000)).as("f"))
+    assert(frames.count() == 5)
+  }
+}
