@@ -72,30 +72,20 @@ object Dedup {
      Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
 
-  /** 31-bit base hash of each shingle (murmur3 via `hash`, masked
-    * non-negative), as a long array column. */
+  /** Distinct 31-bit base hashes of the word n-gram shingles, via the
+    * native fused expression (tokenize+hash+dedup in one loop). */
   private def shingleHashes(textCol: Column, n: Int): Column =
-    transform(TextFunctions.wordShingles(textCol, n),
-      g => (hash(g).cast("long").bitwiseAND(lit(0x7FFFFFFFL))))
+    graft.functions.SketchExpressions.shingleHashes(textCol, n)
 
-  /** MinHash signature: array of NumHashes minima. Pure expressions —
-    * no UDF, no shuffle; computed in one map pass over the corpus.
-    *
-    * Implemented as a single `aggregate` fold over the shingle hashes
-    * (init = p sentinel, step = elementwise `least` against the 64
-    * affine hashes of the current shingle). One fold instead of 64
-    * `array_min(transform(…))` columns keeps the expression tree O(1):
-    * the naive form re-inlines shingle generation 64× and overflows
-    * codegen into interpreted evaluation. */
-  def minHashSignature(textCol: Column, n: Int = 3): Column = {
-    val ab = array((0 until NumHashes).map(i =>
-      struct(lit(hashA(i)).as("a"), lit(hashB(i)).as("b"))): _*)
-    aggregate(
-      shingleHashes(textCol, n),
-      array_repeat(lit(MersennePrime), NumHashes),
-      (acc, h) => zip_with(acc, ab,
-        (m, c) => least(m, (c.getField("a") * h + c.getField("b")) % lit(MersennePrime))))
-  }
+  /** MinHash signature: array of NumHashes minima, computed by the
+    * native [[graft.functions.MinHashSignature]] expression — one
+    * JIT-compiled loop per row, no shuffle, no per-shingle allocation.
+    * (An equivalent `aggregate`-fold of pure column functions ran ~4×
+    * slower; 64 separate `array_min(transform(…))` columns ~40× —
+    * they re-inline shingle hashing per hash function.) */
+  def minHashSignature(textCol: Column, n: Int = 3): Column =
+    graft.functions.SketchExpressions.minHashSignature(
+      shingleHashes(textCol, n), hashA.toSeq, hashB.toSeq)
 
   /** LSH candidate pairs + signature-estimated Jaccard.
     * Output: (id1, id2, est_jaccard), id1 < id2, est ≥ minEst.
@@ -133,31 +123,12 @@ object Dedup {
 
   // ---------------------------------------------------------------- SimHash
 
-  /** 64-bit SimHash over word tokens: per bit, majority vote of token
-    * hashes. Implemented with two 32-bit murmur views (seeded hash()
-    * calls) combined into 64 bits; pure expressions, one map pass.
-    *
-    * Like [[minHashSignature]], a single `aggregate` fold — acc holds
-    * the 64 per-bit one-counts — so token hashing happens once per
-    * row, not 64×. */
-  def simHash(textCol: Column): Column = {
-    val ws = TextFunctions.tokens(textCol)
-    // 64-bit token hash: hi = murmur(seed=41), lo = murmur(seed=42)
-    val h64 = transform(ws, w =>
-      shiftleft(hash(w, lit(41)).cast("long").bitwiseAND(lit(0xFFFFFFFFL)), 32)
-        .bitwiseOR(hash(w, lit(42)).cast("long").bitwiseAND(lit(0xFFFFFFFFL))))
-    val masks = array((0 until 64).map(b => lit(1L << b)): _*)
-    val oneCounts = aggregate(
-      h64,
-      array_repeat(lit(0L), 64),
-      (acc, h) => zip_with(acc, masks,
-        (cnt, m) => cnt + when(h.bitwiseAND(m) =!= 0, 1L).otherwise(0L)))
-    val nTok = size(ws)
-    aggregate(
-      zip_with(oneCounts, masks,
-        (cnt, m) => when(cnt * 2 >= nTok, m).otherwise(lit(0L))),
-      lit(0L), (acc, v) => acc.bitwiseOR(v))
-  }
+  /** 64-bit SimHash over word tokens: per bit, majority vote of 64-bit
+    * FNV-1a token hashes, computed by the native
+    * [[graft.functions.SimHash64]] expression (one primitive loop per
+    * row — see MinHash note above for why not a column fold). */
+  def simHash(textCol: Column): Column =
+    graft.functions.SketchExpressions.simHash64(TextFunctions.tokens(textCol))
 
   /** Hamming distance between two simhash longs. */
   def hammingDistance(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
