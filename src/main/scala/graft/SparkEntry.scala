@@ -57,12 +57,7 @@ object SparkEntry {
 
     // Q3 — wordcount (TokenCounterMapper + IntSumReducer).
     "q03_wordcount" -> ((s, d) =>
-      docs(s, d)
-        .select(explode(TextFunctions.tokens(lower(col("text")))).as("w"))
-        .where(col("w") =!= "")
-        .groupBy("w").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("w"))
-        .limit(100)),
+      graft.jobs.Jobs.wordCount(docs(s, d), col("text")).limit(100)),
 
     // Q4 — fieldsel projection (FieldSelectionMapper).
     "q04_fieldsel" -> ((s, d) =>
@@ -149,20 +144,10 @@ object SparkEntry {
 
     // Q14 — grep: regex match extraction + count + sort desc.
     "q14_grep" -> ((s, d) =>
-      docs(s, d)
-        .select(explode(regexp_extract_all(col("text"),
-          lit("(sort|merge|join|stream|filter)"), lit(0))).as("word"))
-        .groupBy("word").agg(count(lit(1)).as("c"))
-        .orderBy(col("c").desc, col("word"))),
+      graft.jobs.Jobs.grep(docs(s, d), col("text"), "(sort|merge|join|stream|filter)")),
 
     // Q15 — map-only compute: deterministic midpoint-grid π estimate.
-    "q15_pi" -> ((s, d) => {
-      val x = ((col("id") % 1000).cast("double") + 0.5) / 1000.0
-      val y = (floor(col("id") / 1000).cast("double") + 0.5) / 1000.0
-      s.range(1000000L)
-        .select(when(x * x + y * y <= 1.0, 1).otherwise(0).as("inside"))
-        .agg(round(lit(4.0) * sum(col("inside")) / 1000000.0, 4).as("pi_est"))
-    }),
+    "q15_pi" -> ((s, d) => graft.jobs.Jobs.piEstimate(s)),
 
     // Q16 — tumbling window (batch form of the streaming query).
     "q16_tumbling_window" -> ((s, d) =>

@@ -1,0 +1,91 @@
+package graft.cli
+
+import org.apache.spark.sql.functions._
+import graft.core.Engine
+import graft.jobs.{Jobs, TeraSort}
+import graft.ops.{Compaction, KeyFieldSort, Pipe}
+import graft.sources.CompatSources
+
+/** `Tool`/`ToolRunner`-style CLI (reference:
+  * hadoop-common/.../util/ToolRunner.java:46,
+  * GenericOptionsParser.java:121): `graft <job> [-Dk=v ...] args…`.
+  *
+  * Verbs mirror the reference's example drivers and streaming CLI:
+  *
+  *   wordcount <in.parquet> <textCol> <out>
+  *   grep <in.parquet> <textCol> <pattern> <out>
+  *   sort <in.text> <-k spec> <out>            (sort(1)-style key fields)
+  *   pipe <in.parquet> <cmd...> -- <out>       (Hadoop Streaming)
+  *   terasort <rows>                           (gen → sort → validate)
+  *   compact <in.parquet-dir> <out>            (HAR-style small-file packing)
+  *   copy <src-parquet> <dst>                  (DistCp-shaped rewrite copy)
+  */
+object Main {
+  def main(args: Array[String]): Unit = {
+    val (confs, rest) = args.partition(_.startsWith("-D"))
+    val spark = Engine.session("graft-cli")
+    confs.map(_.stripPrefix("-D").split("=", 2)).foreach {
+      case Array(k, v) => spark.conf.set(k, v)
+      case other => sys.error(s"bad -D option: ${other.mkString("=")}")
+    }
+    try run(spark, rest.toList)
+    finally spark.stop()
+  }
+
+  private def run(spark: org.apache.spark.sql.SparkSession, args: List[String]): Unit =
+    args match {
+      case "wordcount" :: in :: textCol :: out :: Nil =>
+        Jobs.wordCount(spark.read.parquet(in), col(textCol))
+          .write.mode("overwrite").parquet(out)
+
+      case "grep" :: in :: textCol :: pattern :: out :: Nil =>
+        Jobs.grep(spark.read.parquet(in), col(textCol), pattern)
+          .write.mode("overwrite").parquet(out)
+
+      case "sort" :: in :: spec :: out :: Nil =>
+        KeyFieldSort.sorted(spark.read.text(in).toDF("line"), "line", spec)
+          .write.mode("overwrite").text(out)
+
+      case "pipe" :: tail =>
+        val (cmd, outPart) = tail.span(_ != "--")
+        (cmd, outPart.drop(1)) match {
+          case (in :: c, out :: Nil) if c.nonEmpty =>
+            Pipe.pipeMap(spark.read.parquet(in), c)
+              .write.mode("overwrite").text(out)
+          case _ => usage()
+        }
+
+      case "terasort" :: rows :: Nil =>
+        val sec = TeraSort.run(spark, rows.toLong)
+        println(f"terasort ${rows.toLong} rows: $sec%.2f s (validated)")
+
+      case "compact" :: in :: out :: Nil =>
+        val n = Compaction.compactParquet(spark, in, out)
+        println(s"compacted $in -> $out ($n files)")
+
+      case "copy" :: src :: dst :: Nil =>
+        // DistCp-shaped: distributed read/rewrite with committer-backed
+        // atomicity; bandwidth/thread control via -Dspark conf.
+        spark.read.parquet(src).write.mode("overwrite").parquet(dst)
+        println(s"copied $src -> $dst")
+
+      case "kvtext" :: in :: out :: Nil =>
+        CompatSources.kvText(spark, in).write.mode("overwrite").parquet(out)
+
+      case _ => usage()
+    }
+
+  private def usage(): Unit = {
+    System.err.println(
+      """usage: graft <job> [-Dk=v ...] <args>
+        |  wordcount <in.parquet> <textCol> <out>
+        |  grep <in.parquet> <textCol> <pattern> <out>
+        |  sort <in.text> "<-k spec>" <out>
+        |  pipe <in.parquet> <cmd> [arg...] -- <out>
+        |  terasort <rows>
+        |  compact <in-dir> <out-dir>
+        |  copy <src> <dst>
+        |  kvtext <in.text> <out>""".stripMargin)
+    sys.exit(2)
+  }
+}

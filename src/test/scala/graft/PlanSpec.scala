@@ -1,0 +1,53 @@
+package graft
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.execution.SimpleMode
+
+/** Physical-plan regressions: the properties that make the declared
+  * queries survive a 100×–1000× scale-up. A green result here means
+  * Catalyst is doing the work Hadoop users did by hand (SURVEY.md §4);
+  * a regression (filter not reaching the scan, a broadcast turning
+  * into a shuffle, top-k becoming a global sort) is a scale bug even
+  * while row counts stay correct. */
+class PlanSpec extends SparkSpec {
+
+  private def plan(q: String): String =
+    SparkEntry.queries(q)(spark, sf).queryExecution.explainString(SimpleMode)
+
+  test("q01: predicates are pushed into the parquet scan") {
+    val p = plan("q01_filter_project")
+    assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
+    assert(p.contains("LessThan(l_shipdate"), p)
+  }
+
+  test("q01: scan is column-pruned to the referenced columns") {
+    val p = plan("q01_filter_project")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_comment") && !readSchema.contains("l_returnflag"), readSchema)
+  }
+
+  test("q06: dimension side is broadcast, not shuffled") {
+    assert(plan("q06_join_inner").contains("BroadcastHashJoin"), plan("q06_join_inner"))
+  }
+
+  test("q07: aggregation is partial+final (map-side combine)") {
+    val p = plan("q07_join_outer_nway")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
+  test("q10: limit+sort compiles to top-k, not a global sort") {
+    assert(plan("q10_total_sort").contains("TakeOrderedAndProject"), plan("q10_total_sort"))
+  }
+
+  test("q02: aggregate reads only the five needed lineitem columns") {
+    val p = plan("q02_tpch_q1")
+    val readSchema = p.linesIterator.find(_.contains("ReadSchema")).get
+    assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"), readSchema)
+  }
+
+  test("q20: query side of the similarity scan is broadcast") {
+    assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
+      plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
+  }
+}
