@@ -266,7 +266,23 @@ object SparkEntry {
     "q31_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, 64, nPlanes = 4)
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
-        .orderBy("qid", "rnk"))
+        .orderBy("qid", "rnk")),
+
+    // Embedding-cosine near-dup pairs, blocked by label (LLM op).
+    "q32_embed_neardup" -> ((s, d) =>
+      Similarity.cosineNearDups(emb(s, d), "label", 0.35)
+        .orderBy("id1", "id2")),
+
+    // Multimodal plumbing: stub decode + feature extraction over
+    // documents treated as binary media (rows-only: stub kernels).
+    "q33_multimodal_features" -> ((s, d) => {
+      val media = graft.sources.Multimodal.asMedia(docs(s, d), "doc_id", "text", "image")
+      graft.sources.Multimodal.extractFeatures(media)
+        .select(col("media_id"), col("decoded.width").as("width"),
+          col("decoded.height").as("height"),
+          round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 4).as("feat_sum"))
+        .orderBy("media_id")
+    })
   )
 
   def oracleSql: Map[String, String] = Map(
@@ -440,6 +456,13 @@ object SparkEntry {
 
     "q29_sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin
+        |WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q32_embed_neardup" ->
+      """SELECT a.vec_id AS id1, b.vec_id AS id2,
+        |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS sim
+        |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
+        |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
+        |ORDER BY id1, id2""".stripMargin
   )
 }

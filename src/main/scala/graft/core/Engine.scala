@@ -23,6 +23,9 @@ object Engine {
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
+      // BloomMapFile's capability (io/BloomMapFile.java:54): prune the
+      // probe side of large joins with a runtime-built bloom filter.
+      .config("spark.sql.optimizer.runtime.bloomFilter.enabled", "true")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")

@@ -67,6 +67,22 @@ object Similarity {
     bits.reduce(_ + _)
   }
 
+  /** Embedding-cosine near-duplicate pairs above `threshold`, blocked
+    * by a coarse key (`blockCol`, e.g. a cluster/label/LSH bucket) so
+    * the pair space is per-block, never corpus². With an LSH bucket as
+    * the block this is the standard near-dup-at-scale shape; with a
+    * semantic label it is exact within blocks. */
+  def cosineNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"), col(blockCol).as("blk"))
+    val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"), col(blockCol).as("blk"))
+    a.join(b, Seq("blk"))
+      .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosineFast(col("e1"), col("e2")).as("s"))
+      .where(col("s") >= threshold)
+      .select(col("id1"), col("id2"), round(col("s"), 4).as("sim"))
+  }
+
   /** LSH-bucketed ANN top-k: candidates = corpus rows in any of the
     * query's probe buckets (exact bucket + single-bit flips when
     * `multiProbe`), ranked exactly within candidates. Recall < 1 by
