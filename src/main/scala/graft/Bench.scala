@@ -29,10 +29,13 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
-    // Warm the JVM/codegen once on the smallest SF so measured times
-    // reflect execution, not first-query classloading.
-    try SparkEntry.queries("q02_tpch_q1")(spark, "/root/testdata/sf0.001").count()
-    catch { case _: Throwable => () }
+    // Warm each headline plan once on the smallest SF so measured times
+    // reflect steady-state execution, not first-plan codegen/classload.
+    headline.foreach { name =>
+      try SparkEntry.queries(name)(spark, "/root/testdata/sf0.001")
+        .write.mode("overwrite").format("noop").save()
+      catch { case _: Throwable => () }
+    }
 
     val results = headline.map { name =>
       val sec = try {
