@@ -50,6 +50,48 @@ object CompatSources {
       .toDF("key", "value")
   }
 
+  /** StreamXmlRecordReader capability
+    * (hadoop-tools/hadoop-streaming/.../StreamXmlRecordReader.java):
+    * one record per `<tag>…</tag>` element. This implementation reads
+    * whole files (`wholeTextFiles`) and splits in memory — correct for
+    * many-small-XML-files corpora (the common legacy layout); a
+    * single multi-GB XML file would need a boundary-aware InputFormat,
+    * which we deliberately don't port (XML at that scale should be
+    * converted once, via this reader, into parquet). */
+  def xmlRecords(spark: SparkSession, path: String, tag: String): DataFrame = {
+    import spark.implicits._
+    val (open, close) = (s"<$tag", s"</$tag>")
+    spark.sparkContext.wholeTextFiles(path)
+      .flatMap { case (_, content) =>
+        val out = scala.collection.mutable.ArrayBuffer.empty[String]
+        var from = 0
+        while ({ val s = content.indexOf(open, from); s >= 0 && {
+          val e = content.indexOf(close, s)
+          e >= 0 && { out += content.substring(s, e + close.length); from = e + close.length; true }
+        }}) ()
+        out
+      }.toDF("record")
+  }
+
+  /** AutoInputFormat capability (.../streaming/AutoInputFormat.java):
+    * sniff a file's format from magic bytes. */
+  def sniffFormat(spark: SparkSession, path: String): String = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val target = if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(_.getName.startsWith("_")).headOption.getOrElse(p)
+    else p
+    val in = fs.open(target)
+    val magic = new Array[Byte](4)
+    val n = try in.read(magic) finally in.close()
+    val s = magic.take(math.max(n, 0)).map(_ & 0xff).toSeq
+    if (s.startsWith(Seq(0x50, 0x41, 0x52, 0x31))) "parquet"       // PAR1
+    else if (s.startsWith(Seq(0x53, 0x45, 0x51))) "sequencefile"   // SEQ
+    else "text"
+  }
+
   /** NLineInputFormat capability (.../lib/input/NLineInputFormat.java:63):
     * text where task granularity is N lines per partition. Spark's
     * equivalent knob is a repartition after read. */

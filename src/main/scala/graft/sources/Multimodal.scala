@@ -77,4 +77,37 @@ object Multimodal {
     media
       .withColumn("decoded", decodeImageStub(col("payload")))
       .withColumn("features", featureStub(col("payload")))
+
+  /** Batch-kernel variant: the `mapInPandas`-equivalent shape for
+    * kernels that amortize per-batch setup (model load, codec init).
+    * `kernel` receives payload batches of ≤ `batchSize` and returns one
+    * feature vector per payload, order-preserving — exactly the
+    * contract a GPU/ffmpeg-backed implementation needs; the stub
+    * kernel here is deterministic bytes-math. Runs per partition, no
+    * shuffle, memory bounded by `batchSize` payloads. */
+  def extractFeaturesBatched(media: DataFrame, batchSize: Int = 64)(
+      kernel: Seq[Array[Byte]] => Seq[Array[Double]] = stubBatchKernel): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val out = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        it.grouped(batchSize).flatMap { batch =>
+          // per-batch setup would happen here (model/codec init)
+          val features = kernel(batch.map(_._2))
+          require(features.length == batch.length,
+            "kernel must return one feature row per payload")
+          batch.map(_._1).zip(features)
+        }
+      }
+    out.toDF("media_id", "features")
+  }
+
+  /** STUB batch kernel: stable per-payload pseudo-features. */
+  def stubBatchKernel(payloads: Seq[Array[Byte]]): Seq[Array[Double]] =
+    payloads.map { bytes =>
+      var h = 0xcbf29ce484222325L
+      bytes.foreach { b => h ^= (b & 0xffL); h *= 0x100000001b3L }
+      Array.tabulate(8)(i => ((h >>> (i * 8)) & 0xff).toDouble / 255.0)
+    }
 }

@@ -74,4 +74,47 @@ class MultimodalSpec extends SparkSpec {
       Multimodal.frameSampleStub(col("payload"), col("dur"), 1000)).as("f"))
     assert(frames.count() == 5)
   }
+
+  test("batched kernel preserves order, one feature row per payload") {
+    val out = Multimodal.extractFeaturesBatched(media, batchSize = 7)()
+    assert(out.count() == media.count())
+    assert(out.where(size(col("features")) =!= 8).count() == 0)
+    // deterministic across runs
+    assert(out.except(Multimodal.extractFeaturesBatched(media, batchSize = 13)()).count() == 0)
+  }
+
+  test("batched kernel rejects a kernel that drops rows") {
+    val ex = intercept[org.apache.spark.SparkException] {
+      Multimodal.extractFeaturesBatched(media, batchSize = 4)(_.take(1).map(_ => Array(0.0)))
+        .count()
+    }
+    assert(ex.getMessage.contains("one feature row per payload") ||
+      Option(ex.getCause).exists(_.getMessage.contains("one feature row per payload")))
+  }
+}
+
+class XmlAndSniffSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("xmlRecords extracts tag-delimited records across files") {
+    val dir = java.nio.file.Files.createTempDirectory("xml").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.xml"),
+      "<root><doc id=\"1\">one</doc>junk<doc id=\"2\">two</doc></root>")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.xml"),
+      "<root><doc id=\"3\">three</doc></root>")
+    val recs = CompatSources.xmlRecords(spark, s"$dir/*.xml", "doc")
+      .as[String].collect().sorted
+    assert(recs.length == 3)
+    assert(recs.forall(r => r.startsWith("<doc") && r.endsWith("</doc>")))
+  }
+
+  test("sniffFormat detects parquet, sequencefile, and text") {
+    val dir = java.nio.file.Files.createTempDirectory("sniff").toString
+    graft.core.Tables.nation(spark, sf).write.parquet(s"$dir/p")
+    spark.sparkContext.parallelize(Seq(("k", "v")), 1).saveAsSequenceFile(s"$dir/s")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/t.txt"), "hello\n")
+    assert(CompatSources.sniffFormat(spark, s"$dir/p") == "parquet")
+    assert(CompatSources.sniffFormat(spark, s"$dir/s") == "sequencefile")
+    assert(CompatSources.sniffFormat(spark, s"$dir/t.txt") == "text")
+  }
 }

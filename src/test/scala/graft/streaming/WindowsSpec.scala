@@ -69,6 +69,25 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("file-replay parity: streaming over the events fixture equals the batch result") {
+    // replay the real fixture through the streaming path (file source),
+    // complete mode so every window is emitted regardless of watermark
+    val batchEvents = graft.core.Tables.events(spark, sf)
+    val dir = java.nio.file.Files.createTempDirectory("evreplay").toString
+    batchEvents.write.parquet(s"$dir/in")
+    val streamEvents = spark.readStream
+      .schema(batchEvents.schema).parquet(s"$dir/in")
+    val q = Windows.tumbling(streamEvents, "user_id", "1 hour")
+      .writeStream.format("memory").queryName("replay").outputMode("complete").start()
+    try {
+      q.processAllAvailable()
+      val streamed = spark.table("replay")
+      val batch = Windows.tumbling(batchEvents, "user_id", "1 hour")
+      assert(streamed.count() == batch.count())
+      assert(streamed.except(batch).count() == 0 && batch.except(streamed).count() == 0)
+    } finally q.stop()
+  }
+
   test("batch/stream parity: tumbling on batch events equals groupBy date_trunc") {
     val events = graft.core.Tables.events(spark, sf)
     val viaOp = Windows.tumbling(events, "user_id", "1 hour")
