@@ -273,6 +273,16 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, d), "label", 0.35)
         .orderBy("id1", "id2")),
 
+    // IVF ANN: coarse-quantizer posting lists + nProbe search
+    // (rows-only: centroids are data/seed-specific).
+    "q34_ann_ivf" -> ((s, d) => {
+      val e = emb(s, d)
+      val centroids = graft.llm.Ivf.buildCentroids(e, 8, 2)
+      graft.llm.Ivf.topK(e, Seq(0L, 1L, 2L, 3L, 4L), 5, centroids, 3)
+        .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
+        .orderBy("qid", "rnk")
+    }),
+
     // Multimodal plumbing: stub decode + feature extraction over
     // documents treated as binary media (rows-only: stub kernels).
     "q33_multimodal_features" -> ((s, d) => {

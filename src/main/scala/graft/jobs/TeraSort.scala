@@ -32,23 +32,27 @@ object TeraSort {
     * ordered and partition boundary maxima/minima interleave — and
     * (2) content preservation — xor-of-hashes checksum matches the
     * input's (order-insensitive, so it catches loss/duplication).
+    * ONE pass over the sorted output: per partition, (min, max,
+    * locally-sorted, count, xor-hash) in the same iterator, then an
+    * O(partitions) driver-side merge check — the TeraValidate shape
+    * (EX/terasort/TeraValidate.java:52,87) without a second job.
     * Returns (rowCount, checksum) on success; throws on violation. */
   def validate(sorted: DataFrame, expectedChecksum: Long, expectedRows: Long): (Long, Long) = {
     val spark = sorted.sparkSession
     import spark.implicits._
-    // per-partition: (partitionId, min, max, isLocallySorted, count, xorHash)
-    val parts = sorted.select(col("key"))
+    val parts = sorted.select(col("key"), xxhash64(col("key"), col("value")).as("h"))
       .mapPartitions { it =>
-        var pid = org.apache.spark.TaskContext.getPartitionId()
+        val pid = org.apache.spark.TaskContext.getPartitionId()
         var min: String = null; var max: String = null; var prev: String = null
-        var ok = true; var n = 0L
+        var ok = true; var n = 0L; var xor = 0L
         while (it.hasNext) {
-          val k = it.next().getString(0)
+          val row = it.next()
+          val k = row.getString(0)
           if (min == null) min = k
           if (prev != null && prev > k) ok = false
-          prev = k; max = k; n += 1
+          prev = k; max = k; n += 1; xor ^= row.getLong(1)
         }
-        Iterator.single((pid, Option(min), Option(max), ok, n))
+        Iterator.single((pid, Option(min), Option(max), ok, n, xor))
       }.collect().sortBy(_._1)
     val nonEmpty = parts.filter(_._5 > 0)
     require(nonEmpty.forall(_._4), "partition not locally sorted")
@@ -59,7 +63,7 @@ object TeraSort {
     }
     val rows = parts.map(_._5).sum
     require(rows == expectedRows, s"row count $rows != expected $expectedRows")
-    val checksum = checksumOf(sorted)
+    val checksum = parts.map(_._6).fold(0L)(_ ^ _)
     require(checksum == expectedChecksum, "checksum mismatch after sort")
     (rows, checksum)
   }

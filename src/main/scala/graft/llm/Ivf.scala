@@ -1,0 +1,93 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.VectorFunctions
+
+/** IVF (inverted-file) ANN index: a coarse quantizer — k centroids
+  * learned by Lloyd iterations — partitions the corpus into posting
+  * lists; a query probes only the `nProbe` nearest lists. The second
+  * ANN scale path next to [[Similarity.lshTopK]] (hyperplane LSH):
+  * IVF adapts to the data distribution where LSH is oblivious.
+  *
+  * Everything is DataFrame-native and deterministic: seeds are picked
+  * by hash order (no RNG), each Lloyd iteration is one
+  * broadcast-assign + one groupBy-mean (the classic iterative-MR shape
+  * collapsed into two narrow/one wide stage per iteration), and only
+  * k×dim doubles ever reach the driver. At 100 TB: k in the tens of
+  * thousands, assignment is a map-only pass with the centroid table
+  * broadcast, and search touches nProbe/k of the corpus.
+  */
+object Ivf {
+
+  /** Assignment column: index (0-based) of the nearest centroid by
+    * cosine; ties break to the lower index. */
+  private def nearestCentroid(centroids: Seq[Array[Double]]): Column = {
+    val scored = centroids.zipWithIndex.map { case (c, i) =>
+      val cCol = array(c.map(lit): _*)
+      struct(VectorFunctions.cosineFast(col("embedding"), cCol).as("s"),
+        lit(-i).as("negi"))
+    }
+    -array_max(array(scored: _*)).getField("negi")
+  }
+
+  /** Learn `k` centroids with `iters` Lloyd iterations. Deterministic:
+    * seeds are the first k vectors in xxhash64 order. */
+  def buildCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    var centroids: Seq[Array[Double]] = emb
+      .orderBy(xxhash64(col("vec_id")))
+      .limit(k)
+      .select(VectorFunctions.toDoubleArray(col("embedding")))
+      .as[Seq[Double]].collect().toSeq.map(_.toArray)
+    for (_ <- 0 until iters) {
+      val assigned = emb.withColumn("cluster", nearestCentroid(centroids))
+      val means = assigned
+        .select(col("cluster"), posexplode(VectorFunctions.toDoubleArray(col("embedding"))))
+        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+        .collect()
+      val byCluster = means.groupBy(_.getInt(0))
+      centroids = centroids.indices.map { i =>
+        byCluster.get(i) match {
+          case Some(rows) =>
+            val arr = new Array[Double](rows.length)
+            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
+            arr
+          case None => centroids(i) // empty cluster keeps its centroid
+        }
+      }
+    }
+    centroids
+  }
+
+  /** Corpus with its posting-list assignment (write once, reuse). */
+  def assign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
+    emb.withColumn("cluster", nearestCentroid(centroids))
+
+  /** ANN top-k: probe the `nProbe` clusters nearest each query vector,
+    * rank candidates exactly. Output: (qid, vec_id, rank, sim). */
+  def topK(emb: DataFrame, queryIds: Seq[Long], k: Int,
+           centroids: Seq[Array[Double]], nProbe: Int): DataFrame = {
+    val assigned = assign(emb, centroids)
+    val probeScores = centroids.zipWithIndex.map { case (c, i) =>
+      struct(VectorFunctions.cosineFast(col("qe"), array(c.map(lit): _*)).as("s"),
+        lit(i).as("i"))
+    }
+    val q = assigned.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("embedding").as("qe"),
+        slice(reverse(array_sort(array(probeScores: _*))), 1, nProbe).as("probes"))
+      .select(col("qid"), col("qe"), explode(col("probes").getField("i")).as("cluster"))
+    val cands = assigned.join(broadcast(q), Seq("cluster"))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineFast(col("qe"), col("embedding")).as("s"))
+      .dropDuplicates("qid", "vec_id")
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    cands.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}
