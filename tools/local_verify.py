@@ -9,16 +9,11 @@ import json, math, sys
 import duckdb
 
 def canon(rows):
-    out = []
-    for row in rows:
-        vals = []
-        for v in row:
-            if isinstance(v, float):
-                if math.isnan(v): vals.append("NaN")
-                else: vals.append(f"{v:.6g}")
-            else: vals.append(str(v))
-        out.append(tuple(vals))
-    return out
+    # strict: full-precision repr — mirrors the driver's value hashing.
+    # (All 28 oracle queries are bit-exact across Spark and DuckDB
+    # because every float output is ROUND()ed in both engines.)
+    return [tuple("NaN" if isinstance(v, float) and math.isnan(v) else repr(v)
+                  for v in row) for row in rows]
 
 def main():
     sf_dir, out_dir = sys.argv[1], sys.argv[2]
