@@ -1,0 +1,44 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+/** Key-salting for skewed joins and aggregations. AQE's skew-join
+  * handles most runtime skew (on by default in `core.Engine`); salting
+  * is the declarative fallback when one key dominates so heavily that
+  * even split shuffle blocks overwhelm a task — the 100 TB "null key /
+  * celebrity key" case.
+  *
+  * Join shape: the skewed (big) side gets a deterministic salt in
+  * [0, factor); the other side is replicated `factor`× with every
+  * salt value; the join key becomes (key, salt). Each hot key fans out
+  * over `factor` tasks. Aggregation shape: two-phase — partial
+  * aggregate on (key, salt), final on key.
+  */
+object Salting {
+
+  /** Deterministic per-row salt derived from stable row content. */
+  def salt(factor: Int, on: Column*): Column =
+    pmod(hash((lit(42) +: on): _*), lit(factor))
+
+  /** Salted equi-join: `skewed` big side vs `other` side replicated
+    * factor×. Result equals a plain inner join on `key`. */
+  def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
+                 factor: Int): DataFrame = {
+    val left = skewed.withColumn("__salt", salt(factor, skewed.columns.map(col): _*))
+    val right = other.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
+    left.join(right, Seq(key, "__salt")).drop("__salt")
+  }
+
+  /** Salted two-phase aggregation: partial on (key, salt), final on
+    * key. `partial` and `finalAgg` must compose (sum/sum, count/sum,
+    * min/min, …). */
+  def saltedAgg(df: DataFrame, key: String, factor: Int,
+                partial: Column, partialAlias: String,
+                finalAgg: String => Column): DataFrame =
+    df.withColumn("__salt", salt(factor, df.columns.map(col): _*))
+      .groupBy(col(key), col("__salt"))
+      .agg(partial.as(partialAlias))
+      .groupBy(col(key))
+      .agg(finalAgg(partialAlias).as(partialAlias))
+}
