@@ -76,13 +76,16 @@ object TeraSort {
       .rdd.fold(0L)(_ ^ _)
   }
 
-  /** End-to-end run: gen → checksum → sort → validate. Returns seconds. */
+  /** End-to-end run: gen (cached) → checksum → sort → validate.
+    * Returns seconds for the timed sort+validate phase. */
   def run(spark: SparkSession, rows: Long): Double = {
-    val input = gen(spark, rows)
-    val expected = checksumOf(input)
-    val t0 = System.nanoTime()
-    val sorted = sort(gen(spark, rows))
-    validate(sorted, expected, rows)
-    (System.nanoTime() - t0) / 1e9
+    val input = gen(spark, rows).persist()
+    try {
+      val expected = checksumOf(input)
+      val t0 = System.nanoTime()
+      val sorted = sort(input)
+      validate(sorted, expected, rows)
+      (System.nanoTime() - t0) / 1e9
+    } finally input.unpersist()
   }
 }
