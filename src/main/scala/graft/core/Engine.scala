@@ -19,6 +19,7 @@ object Engine {
     val spark = SparkSession.builder()
       .appName(appName)
       .master(master)
+      .withExtensions(new GraftExtensions) // SQL names for native exprs
       .config("spark.sql.shuffle.partitions", shufflePartitions.toString)
       .config("spark.sql.adaptive.enabled", "true")
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
