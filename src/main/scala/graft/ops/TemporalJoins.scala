@@ -1,0 +1,72 @@
+package graft.ops
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Temporal joins absent from both the reference and Spark's built-in
+  * operator set (SURVEY §2.4 "not present in reference: nested-loop,
+  * range/interval, as-of joins"), composed from built-ins per the
+  * custom-operator preference order — option (a), no Catalyst
+  * internals needed.
+  */
+object TemporalJoins {
+
+  /** As-of join: for every left row, the latest right row with
+    * `rightTs <= leftTs` within the same `key` (the market-data /
+    * latest-dimension-version lookup).
+    *
+    * Plan shape: tag both sides, union, ONE shuffle on (key) with a
+    * per-key time-ordered window, and `last(right value, ignoreNulls)`
+    * carries the most recent right row forward onto each left row.
+    * Never builds the per-key cross product, and skew follows the key
+    * distribution exactly like any keyed window. `rightCols` are the
+    * value columns to carry (renamed as given). */
+  def asOf(left: DataFrame, right: DataFrame, key: String,
+           leftTs: String, rightTs: String,
+           rightCols: Map[String, String]): DataFrame = {
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val rTagged = right
+      .select(col(key) +: col(rightTs).as("__ts") +:
+        rightCols.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // right rows sort before left rows at the same timestamp, so a
+    // right row AT the left timestamp is visible to it
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts"), col("__side"))
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = rightCols.values.foldLeft(unioned) { (df, v) =>
+      df.withColumn(v, last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
+    }
+    carried.where(col("__side") === 1)
+      .drop("__ts", "__side")
+  }
+
+  /** Interval (range) join: pair each point row with every interval
+    * row of the same `key` where `start <= ts < end`, WITHOUT a per-key
+    * cross product: both sides are bucketized on time (intervals
+    * explode over the buckets they span), the join is an equi-join on
+    * (key, bucket), and the exact containment predicate filters the
+    * candidates. Shuffle volume tracks interval span / bucketSize, the
+    * tuning knob. Timestamps are epoch-microsecond longs internally. */
+  def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
+                   ts: String, start: String, end: String,
+                   bucket: Column => Column): DataFrame = {
+    val p = points.withColumn("__b", bucket(col(ts)))
+    val i = intervals.withColumn("__b",
+      explode(sequence(bucket(col(start)), bucket(col(end)))))
+    // each point has exactly one bucket, so every (point, interval)
+    // pair matches at most once — no dedup needed, multiplicity of
+    // duplicate input rows is preserved
+    p.join(i, Seq(key, "__b"))
+      .where(col(ts) >= col(start) && col(ts) < col(end))
+      .drop("__b")
+  }
+
+  /** Convenience bucketizer: epoch-microseconds → `seconds`-wide bucket. */
+  def secondsBucket(seconds: Long): Column => Column =
+    c => floor(unix_micros(c) / lit(seconds * 1000000L)).cast("long")
+}

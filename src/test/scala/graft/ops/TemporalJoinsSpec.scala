@@ -1,0 +1,66 @@
+package graft.ops
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+class TemporalJoinsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def ts(min: Int): Timestamp =
+    Timestamp.valueOf(f"2024-01-01 ${min / 60}%02d:${min % 60}%02d:00")
+
+  test("asOf picks the latest right row at or before each left timestamp") {
+    val trades = Seq(
+      (1L, ts(5), "t1"), (1L, ts(20), "t2"), (1L, ts(3), "t0"),
+      (2L, ts(10), "t3")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(0), 100.0), (1L, ts(5), 105.0), (1L, ts(15), 110.0),
+      (2L, ts(30), 999.0)).toDF("key", "qts", "px")
+    val out = TemporalJoins.asOf(trades, quotes, "key", "ts", "qts",
+      Map("px" -> "px"))
+      .select("key", "trade", "px").as[(Long, String, Option[Double])]
+      .collect().map(r => (r._2, r._3)).toMap
+    assert(out("t0") == Some(100.0)) // before the 0:05 quote
+    assert(out("t1") == Some(105.0)) // quote AT the trade time wins
+    assert(out("t2") == Some(110.0))
+    assert(out("t3") == None)        // no quote yet for key 2
+  }
+
+  test("asOf equals the naive per-row lookup on real events") {
+    // right side: each user's first 5 events as 'versions'; left: all events
+    val ev = graft.core.Tables.events(spark, sf).limit(500)
+    val versions = ev.withColumn("rn", row_number().over(
+        org.apache.spark.sql.expressions.Window.partitionBy("user_id")
+          .orderBy("ts", "event_id")))
+      .where(col("rn") <= 5)
+      .select(col("user_id"), col("ts").as("vts"), col("event_id").as("vid"))
+    val got = TemporalJoins.asOf(
+      ev.select("user_id", "ts", "event_id"), versions,
+      "user_id", "ts", "vts", Map("vid" -> "vid"))
+    // naive: join all pairs, keep max vts <= ts
+    val naive = ev.select("user_id", "ts", "event_id").alias("l")
+      .join(versions.alias("v"), col("l.user_id") === col("v.user_id") &&
+        col("v.vts") <= col("l.ts"), "left")
+      .withColumn("rk", row_number().over(
+        org.apache.spark.sql.expressions.Window
+          .partitionBy(col("l.user_id"), col("l.event_id"))
+          .orderBy(col("v.vts").desc_nulls_last, col("v.vid").desc_nulls_last)))
+      .where(col("rk") === 1)
+      .select(col("l.user_id"), col("l.event_id"), col("v.vid"))
+    val gotS = got.select("user_id", "event_id", "vid")
+    assert(gotS.except(naive).count() == 0 && naive.except(gotS).count() == 0)
+  }
+
+  test("intervalJoin pairs points with containing intervals only") {
+    val points = Seq((1L, ts(5)), (1L, ts(45)), (2L, ts(5))).toDF("key", "ts")
+    val intervals = Seq(
+      (1L, ts(0), ts(10), "a"), (1L, ts(40), ts(50), "b"),
+      (1L, ts(4), ts(6), "c"), (2L, ts(20), ts(30), "d"))
+      .toDF("key", "start", "end", "name")
+    val out = TemporalJoins.intervalJoin(points, intervals, "key",
+      "ts", "start", "end", TemporalJoins.secondsBucket(600))
+      .select("key", "ts", "name").as[(Long, Timestamp, String)].collect().toSet
+    assert(out == Set((1L, ts(5), "a"), (1L, ts(5), "c"), (1L, ts(45), "b")))
+  }
+}
