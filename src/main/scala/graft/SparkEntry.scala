@@ -283,6 +283,20 @@ object SparkEntry {
         .orderBy("qid", "rnk")
     }),
 
+    // As-of join (operator gap in both reference and Spark, composed
+    // via ops.TemporalJoins): latest signup at or before each purchase.
+    "q35_asof_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("user_id"), col("ts"), col("event_id"))
+      val signups = e.where(col("event_type") === "signup")
+        .select(col("user_id"), col("ts").as("sts"), col("event_id").as("signup_id"))
+      graft.ops.TemporalJoins.asOf(purchases, signups, "user_id", "ts", "sts",
+          Map("signup_id" -> "signup_id"))
+        .select(col("user_id"), col("event_id"), col("signup_id"))
+        .orderBy("event_id")
+    }),
+
     // Multimodal plumbing: stub decode + feature extraction over
     // documents treated as binary media (rows-only: stub kernels).
     "q33_multimodal_features" -> ((s, d) => {
@@ -467,6 +481,13 @@ object SparkEntry {
     "q29_sample_mod" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
         |WHERE l_orderkey % 10 = 0 ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q35_asof_join" ->
+      """SELECT p.user_id AS user_id, p.event_id AS event_id, l.event_id AS signup_id
+        |FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
+        |  ON p.user_id = l.user_id AND p.ts >= l.ts
+        |ORDER BY p.event_id""".stripMargin,
 
     "q32_embed_neardup" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
