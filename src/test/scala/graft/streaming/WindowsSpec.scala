@@ -45,6 +45,17 @@ class WindowsSpec extends SparkSpec {
     assert(w0.get.getAs[Double]("sv") == 3.0)
   }
 
+  test("sliding windows assign each event to every overlapping window") {
+    val rows = streamOf("slide")(df =>
+      Windows.sliding(df, "user_id", "1 hour", "30 minutes", Some("10 minutes")))(Seq(
+      Seq((ts(45), 3L, 2.0)),   // overlaps windows starting 0:00 and 0:30
+      Seq((ts(600), 3L, 1.0)))) // advance watermark to flush
+    val hits = rows.filter(r => r.getAs[Long]("user_id") == 3L &&
+      Seq(ts(0), ts(30)).contains(r.getAs[Timestamp]("window_start")))
+    assert(hits.length == 2, s"expected 2 overlapping windows, got: $rows")
+    assert(hits.forall(_.getAs[Double]("sv") == 2.0))
+  }
+
   test("session windows split on gap") {
     val rows = streamOf("sess")(df =>
       Windows.sessions(df, "user_id", "30 minutes", Some("5 minutes")))(Seq(
