@@ -72,6 +72,30 @@ object Main {
       case "kvtext" :: in :: out :: Nil =>
         CompatSources.kvText(spark, in).write.mode("overwrite").parquet(out)
 
+      case "dedup" :: in :: textCol :: idCol :: threshold :: out :: Nil =>
+        graft.llm.Dedup.minHashCandidates(
+            spark.read.parquet(in), idCol, textCol, 3, threshold.toDouble)
+          .write.mode("overwrite").parquet(out)
+
+      // Streaming aggregation as a batch-bounded job: AvailableNow
+      // processes everything currently in `in` through the streaming
+      // engine (state, watermark, checkpoint) and terminates. Windows
+      // still open at end-of-input are withheld by the watermark and
+      // emit on the NEXT run over the same checkpoint — the
+      // incremental/backfill form of the continuous pipeline.
+      case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
+        val schema = spark.read.parquet(in).schema
+        val stream = spark.readStream.schema(schema).parquet(in)
+        val q = graft.streaming.Windows.tumbling(stream, keyCol, size, Some("1 minute"))
+          .writeStream
+          .format("parquet")
+          .option("path", out)
+          .option("checkpointLocation", s"$out/_checkpoint")
+          .outputMode("append")
+          .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+          .start()
+        q.awaitTermination()
+
       case _ => usage()
     }
 
@@ -85,7 +109,9 @@ object Main {
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  copy <src> <dst>
-        |  kvtext <in.text> <out>""".stripMargin)
+        |  kvtext <in.text> <out>
+        |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>
+        |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }
 }

@@ -92,6 +92,21 @@ object CompatSources {
     else "text"
   }
 
+  /** TextOutputFormat sink (.../lib/output/TextOutputFormat.java:44):
+    * `key<sep>value` lines. */
+  def kvTextWrite(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    df.select(concat_ws(sep, df.columns.map(c => col(c).cast("string")): _*).as("value"))
+      .write.mode("overwrite").text(path)
+
+  /** SequenceFileOutputFormat sink (.../lib/output/
+    * SequenceFileOutputFormat.java:43) for two string columns. */
+  def sequenceFileWrite(df: DataFrame, path: String): Unit = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    df.select(df.columns.take(2).map(c => col(c).cast("string")): _*)
+      .as[(String, String)].rdd.saveAsSequenceFile(path)
+  }
+
   /** NLineInputFormat capability (.../lib/input/NLineInputFormat.java:63):
     * text where task granularity is N lines per partition. Spark's
     * equivalent knob is a repartition after read. */

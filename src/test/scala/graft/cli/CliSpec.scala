@@ -26,6 +26,21 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/g").count() == 1)
   }
 
+  test("dedup verb finds the planted near-duplicates") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("dedup", s"$sf/documents.parquet", "text", "doc_id", "0.5", s"$tmp/dd")
+    assert(spark.read.parquet(s"$tmp/dd").count() > 0)
+  }
+
+  test("stream-window verb runs the streaming pipeline to completion") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    graft.core.Tables.events(spark, sf).write.parquet(s"$tmp/in")
+    runVerb("stream-window", s"$tmp/in", "user_id", "1 hour", s"$tmp/out")
+    val out = spark.read.parquet(s"$tmp/out")
+    assert(out.count() > 0)
+    assert(out.columns.toSet == Set("user_id", "window_start", "n", "sv"))
+  }
+
   test("copy verb round-trips a table") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     runVerb("copy", s"$sf/nation.parquet", s"$tmp/nation")

@@ -36,6 +36,24 @@ class CompatSourcesSpec extends SparkSpec {
     assert(out == data.toSet)
   }
 
+  test("kvTextWrite emits key TAB value lines readable by kvText") {
+    val dir = tmpDir()
+    val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
+    CompatSources.kvTextWrite(df, s"$dir/out")
+    val back = CompatSources.kvText(spark, s"$dir/out")
+      .as[(String, String)].collect().toSet
+    assert(back == Set("k1" -> "v1", "k2" -> "v2"))
+  }
+
+  test("sequenceFileWrite round-trips through sequenceFileText") {
+    val dir = tmpDir()
+    val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    CompatSources.sequenceFileWrite(df, s"$dir/seq")
+    val back = CompatSources.sequenceFileText(spark, s"$dir/seq")
+      .as[(String, String)].collect().toSet
+    assert(back == Set("a" -> "1", "b" -> "2"))
+  }
+
   test("textNLines controls partition granularity") {
     val dir = tmpDir()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lines.txt"),
