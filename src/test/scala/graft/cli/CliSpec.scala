@@ -41,6 +41,29 @@ class CliSpec extends SparkSpec {
     assert(out.columns.toSet == Set("user_id", "window_start", "n", "sv"))
   }
 
+  test("stream-window continues incrementally over its checkpoint") {
+    import spark.implicits._
+    import java.sql.Timestamp
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    def ev(minute: Int, id: Long) = (id,
+      Timestamp.valueOf(f"2024-01-01 ${minute / 60}%02d:${minute % 60}%02d:00"), 7L, 1.0)
+    def write(rows: Seq[(Long, Timestamp, Long, Double)]) =
+      rows.toDF("event_id", "ts", "user_id", "value")
+        .write.mode("append").parquet(s"$tmp/in")
+    // run 1: events in hour 0 plus one in hour 2 (advances watermark
+    // past hour 0, which emits; hour 2 stays open)
+    write(Seq(ev(5, 1), ev(10, 2), ev(125, 3)))
+    runVerb("stream-window", s"$tmp/in", "user_id", "1 hour", s"$tmp/out")
+    val after1 = spark.read.parquet(s"$tmp/out")
+    assert(after1.where($"n" === 2).count() == 1, after1.collect().toSeq)
+    // run 2: later data arrives; the checkpoint resumes, the open
+    // hour-2 window closes and emits exactly once
+    write(Seq(ev(300, 4)))
+    runVerb("stream-window", s"$tmp/in", "user_id", "1 hour", s"$tmp/out")
+    val after2 = spark.read.parquet(s"$tmp/out")
+    assert(after2.count() == after1.count() + 1, after2.collect().toSeq)
+  }
+
   test("copy verb round-trips a table") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     runVerb("copy", s"$sf/nation.parquet", s"$tmp/nation")
