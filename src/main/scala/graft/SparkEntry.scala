@@ -297,6 +297,21 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Interval join (ops.TemporalJoins): events inside each user's
+    // first-3-days window, via bucketized equi-join + exact filter.
+    "q36_interval_join" -> ((s, d) => {
+      val e = ev(s, d)
+      val iv = e.groupBy("user_id")
+        .agg(min(col("ts")).as("start_ts"))
+        .withColumn("end_ts", col("start_ts") + expr("INTERVAL 3 DAYS"))
+      graft.ops.TemporalJoins.intervalJoin(
+          e.select(col("user_id"), col("ts"), col("event_id")), iv,
+          "user_id", "ts", "start_ts", "end_ts",
+          graft.ops.TemporalJoins.secondsBucket(86400))
+        .select(col("user_id"), col("event_id"))
+        .orderBy("event_id")
+    }),
+
     // Multimodal plumbing: stub decode + feature extraction over
     // documents treated as binary media (rows-only: stub kernels).
     "q33_multimodal_features" -> ((s, d) => {
@@ -488,6 +503,15 @@ object SparkEntry {
         |ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') l
         |  ON p.user_id = l.user_id AND p.ts >= l.ts
         |ORDER BY p.event_id""".stripMargin,
+
+    "q36_interval_join" ->
+      """WITH iv AS (SELECT user_id, MIN(ts) AS start_ts,
+        |                   MIN(ts) + INTERVAL 3 DAY AS end_ts
+        |            FROM events GROUP BY user_id)
+        |SELECT e.user_id AS user_id, e.event_id AS event_id
+        |FROM events e JOIN iv ON e.user_id = iv.user_id
+        |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
+        |ORDER BY e.event_id""".stripMargin,
 
     "q32_embed_neardup" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
