@@ -42,6 +42,11 @@ object ValueAggregators {
       case "count"                     => count(c)
       case "uniq"                      => countDistinct(c)
       case s if s.startsWith("uniq~")  => approx_count_distinct(c, 0.05)
+      // pNN / pNN~ : exact / sketched percentile (e.g. p50, p95~)
+      case s if s.matches("p\\d{1,2}~?") =>
+        val q = s.stripPrefix("p").stripSuffix("~").toInt / 100.0
+        if (s.endsWith("~")) percentile_approx(c, lit(q), lit(10000))
+        else round(expr(s"percentile($field, $q)"), 4)
       case "histogram" => struct(
         count(c).as("count"), countDistinct(c).as("distinct"),
         round(avg(c), 4).as("mean"), round(stddev_pop(c), 4).as("stddev"),

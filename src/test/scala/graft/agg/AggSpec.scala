@@ -33,6 +33,27 @@ class ValueAggregatorsSpec extends SparkSpec {
     assert(out.columns.contains("uniq_100_x"))
   }
 
+  test("percentile descriptors: exact and sketched") {
+    val dfv = (1 to 100).map(i => ("a", i.toDouble)).toDF("k", "v")
+    val out = ValueAggregators.aggregate(dfv, Seq("k"),
+      Seq("p50:v:med", "p95~:v:p95s")).head
+    assert(out.getAs[Double]("med") == 50.5)
+    assert(math.abs(out.getAs[Double]("p95s") - 95.0) <= 1.0)
+  }
+
+  test("perGroup top-k ranks within each group") {
+    import org.apache.spark.sql.functions._
+    val ev = graft.core.Tables.events(spark, graft.TestSpark.sf)
+    val top = graft.ops.TopK.perGroup(ev, Seq("user_id"), 2,
+      col("value").desc, col("event_id"))
+    val sizes = top.groupBy("user_id").count()
+    assert(sizes.where(col("count") > 2).count() == 0)
+    // rank-1 row really is the group max
+    val max1 = top.where(col("rank") === 1).select("user_id", "value")
+    val trueMax = ev.groupBy("user_id").agg(max("value").as("value"))
+    assert(max1.except(trueMax).count() == 0)
+  }
+
   test("unknown descriptor fails fast") {
     intercept[IllegalArgumentException] {
       ValueAggregators.parse("bogus:v")
