@@ -57,6 +57,7 @@ object KeyFieldSort {
     val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
     val keys = parse(spec).flatMap(ks => (ks.from to ks.to)
       .map(i => coalesce(try_element_at(parts, lit(i)), lit(""))))
-    df.repartition(numPartitions, keys: _*)
+    if (keys.isEmpty) df.repartition(numPartitions)
+    else df.repartition(numPartitions, keys: _*)
   }
 }
