@@ -101,8 +101,25 @@ object Dedup {
     * 100 TB. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, minEst: Double = 0.5): DataFrame = {
-    val sigs = df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n).as("sig"))
+    // The signature frame feeds three join branches (bands, sig1,
+    // sig2); persist it so the corpus is scanned and sketched ONCE.
+    // The cache is released by Spark's ContextCleaner when the result
+    // frame is no longer referenced; callers doing repeated dedup
+    // rounds should build signatures(…) themselves and manage the
+    // persistence lifecycle explicitly.
+    val sigs = signatures(df, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    candidatesFromSignatures(sigs, minEst)
+  }
+
+  /** One row per doc: (doc_id, sig). The map-only sketch pass. */
+  def signatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
+    df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n).as("sig"))
       .where(size(TextFunctions.tokens(col(textCol))) >= n)
+
+  /** Candidate pairs from a (doc_id, sig) frame — persist `sigs`
+    * before calling: it is referenced by three join branches. */
+  def candidatesFromSignatures(sigs: DataFrame, minEst: Double): DataFrame = {
     val banded = sigs.select(col("doc_id"),
       explode(array((0 until NumBands).map(b =>
         struct(lit(b).as("band"), hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bkey"))): _*)).as("bb"))

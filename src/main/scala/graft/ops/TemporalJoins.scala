@@ -25,6 +25,10 @@ object TemporalJoins {
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
            rightCols: Map[String, String]): DataFrame = {
+    val collisions = rightCols.values.toSet
+      .intersect(left.columns.toSet) ++ Set("__ts", "__side").intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asOf carried-column names collide with left columns: $collisions — rename them")
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
