@@ -38,8 +38,11 @@ object Dedup {
     * This is the exact oracle the sketch methods approximate. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5): DataFrame = {
+    // the gram postings feed three branches (self-join a/b + sizes):
+    // persist so the corpus is tokenized/shingled once
     val g = df.select(col(idCol).as("doc_id"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val sz = g.groupBy("doc_id").agg(count("*").as("n"))
     val pairs = g.alias("a")
       .join(g.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -159,7 +162,10 @@ object Dedup {
     * Output: (id1, id2, hamming), id1 < id2. */
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
+    // the simhash frame feeds both sides of the chunk self-join:
+    // persist so the corpus is hashed once
     val sh = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>
         struct(lit(i).as("ci"),
