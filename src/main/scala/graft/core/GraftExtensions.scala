@@ -2,7 +2,8 @@ package graft.core
 
 import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
+import org.apache.spark.sql.types.{ArrayType, DoubleType}
 import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHashes, SimHash64}
 
 /** SQL surface for the engine's native expressions: registers
@@ -27,16 +28,16 @@ object GraftExtensions {
   private def info(name: String, usage: String) =
     new ExpressionInfo("graft", null, name, usage, "", "", "", "", "", "", "scala_udf")
 
-  private val minHashFamily = {
-    val rnd = new scala.util.Random(42)
-    (Seq.fill(64)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
-     Seq.fill(64)(rnd.nextInt(Int.MaxValue).toLong))
-  }
+  // SQL users hand in array<float> (the embeddings fixture's type) or
+  // array<double>; normalize to double so the kernel's getDouble reads
+  // are always valid.
+  private def asDoubles(e: Expression): Expression =
+    Cast(e, ArrayType(DoubleType))
 
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
-      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two double arrays"),
-      (es: Seq[Expression]) => CosineSimilarity(es(0), es(1))),
+      info("cosine_similarity", "cosine_similarity(a, b) - cosine of two numeric arrays"),
+      (es: Seq[Expression]) => CosineSimilarity(asDoubles(es(0)), asDoubles(es(1)))),
     ("simhash64",
       info("simhash64", "simhash64(tokens) - 64-bit simhash of a string array"),
       (es: Seq[Expression]) => SimHash64(es.head)),
@@ -46,7 +47,8 @@ object GraftExtensions {
         es(1).eval().asInstanceOf[Number].intValue)),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(hashes) - 64-wide minhash signature (engine hash family)"),
-      (es: Seq[Expression]) => MinHashSignature(es.head, minHashFamily._1, minHashFamily._2)))
+      (es: Seq[Expression]) => MinHashSignature(es.head,
+        graft.llm.Dedup.hashFamilyA, graft.llm.Dedup.hashFamilyB)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -68,12 +68,17 @@ object Dedup {
   private val MersennePrime = (1L << 61) - 1
   /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p with
     * a_i, b_i < 2^31 and x < 2^31, so a_i·x + b_i < 2^62 never
-    * overflows a long. Seeded — signatures are stable across runs. */
+    * overflows a long. Seeded — signatures are stable across runs.
+    * THE single definition: the SQL registration
+    * (core.GraftExtensions) reuses these, so SQL and DataFrame
+    * signatures can never drift apart. */
   private val (hashA, hashB) = {
     val rnd = new scala.util.Random(42)
     (Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue - 1).toLong + 1),
      Array.fill(NumHashes)(rnd.nextInt(Int.MaxValue).toLong))
   }
+  def hashFamilyA: Seq[Long] = hashA.toSeq
+  def hashFamilyB: Seq[Long] = hashB.toSeq
 
   /** Distinct 31-bit base hashes of the word n-gram shingles, via the
     * native fused expression (tokenize+hash+dedup in one loop). */
@@ -115,10 +120,15 @@ object Dedup {
     candidatesFromSignatures(sigs, minEst)
   }
 
-  /** One row per doc: (doc_id, sig). The map-only sketch pass. */
+  /** One row per doc: (doc_id, sig). The map-only sketch pass.
+    * Docs with no shingles (fewer than n tokens by the native
+    * expression's own tokenization) carry the all-sentinel signature;
+    * they are filtered on that very basis — a separate token-count
+    * filter with subtly different split semantics once let empty-sig
+    * docs through, where they all LSH-collided with est_jaccard=1.0. */
   def signatures(df: DataFrame, idCol: String, textCol: String, n: Int = 3): DataFrame =
     df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n).as("sig"))
-      .where(size(TextFunctions.tokens(col(textCol))) >= n)
+      .where(col("sig").getItem(0) =!= MersennePrime)
 
   /** Candidate pairs from a (doc_id, sig) frame — persist `sigs`
     * before calling: it is referenced by three join branches. */
@@ -163,8 +173,11 @@ object Dedup {
   def simHashPairs(df: DataFrame, idCol: String, textCol: String,
                    maxHamming: Int = 3): DataFrame = {
     // the simhash frame feeds both sides of the chunk self-join:
-    // persist so the corpus is hashed once
-    val sh = df.select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
+    // persist so the corpus is hashed once. Blank docs are excluded —
+    // they would all share the degenerate all-ones simhash and pair
+    // quadratically.
+    val sh = df.where(length(trim(col(textCol))) > 0)
+      .select(col(idCol).as("doc_id"), simHash(col(textCol)).as("sh"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val chunked = sh.select(col("doc_id"), col("sh"),
       explode(array((0 until 4).map(i =>

@@ -29,17 +29,21 @@ object ComposeJoin {
   def outer(key: String, dfs: Seq[DataFrame]): DataFrame =
     dfs.reduceLeft((l, r) => l.join(r, Seq(key), "full_outer"))
 
-  /** override(a, b, c…): per key and column, the value from the
-    * RIGHTMOST input that has the key wins
-    * (OverrideRecordReader.java:42) — priority union / config layering.
-    * All inputs must share the same schema.
+  /** override(a, b, c…): per key, the row from the RIGHTMOST input
+    * that has the key wins (OverrideRecordReader.java:42) — priority
+    * union / config layering. Presence is tracked with a marker, not
+    * value nullness: a null VALUE in a higher-priority input still
+    * overrides (coalesce on values would silently ignore null-valued
+    * overrides). All inputs must share the same schema.
     */
   def overrideJoin(key: String, dfs: Seq[DataFrame]): DataFrame = {
     val valueCols = dfs.head.columns.filterNot(_ == key).toSeq
     dfs.reduceLeft { (l, r) =>
-      val joined = l.alias("l").join(r.alias("r"), Seq(key), "full_outer")
+      val joined = l.alias("l")
+        .join(r.withColumn("__present", lit(true)).alias("r"), Seq(key), "full_outer")
       joined.select(col(key) +: valueCols.map(c =>
-        coalesce(col(s"r.$c"), col(s"l.$c")).as(c)): _*)
+        when(col("r.__present").isNotNull, col(s"r.$c"))
+          .otherwise(col(s"l.$c")).as(c)): _*)
     }
   }
 }

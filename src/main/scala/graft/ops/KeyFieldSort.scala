@@ -21,24 +21,37 @@ import org.apache.spark.sql.functions._
   */
 object KeyFieldSort {
 
-  final case class KeySpec(from: Int, to: Int, numeric: Boolean, reverse: Boolean)
+  /** `to == None` means "through the last field" — `sort(1)`'s
+    * `-kPOS1` without POS2 compares from POS1 to end of line. */
+  final case class KeySpec(from: Int, to: Option[Int], numeric: Boolean, reverse: Boolean)
 
   private val SpecRe = "-k\\s*(\\d+)(?:,(\\d+))?([nr]*)".r
 
   def parse(spec: String): Seq[KeySpec] =
     SpecRe.findAllMatchIn(spec).map { m =>
       val from = m.group(1).toInt
-      val to = Option(m.group(2)).map(_.toInt).getOrElse(from)
+      val to = Option(m.group(2)).map(_.toInt)
       val flags = Option(m.group(3)).getOrElse("")
       KeySpec(from, to, flags.contains('n'), flags.contains('r'))
     }.toSeq
 
-  /** Sort expressions for `orderBy` over a delimited `text` column. */
+  /** Sort expressions for `orderBy` over a delimited `text` column.
+    * Open-ended non-numeric keys compare the rest of the line as one
+    * string (separators included), matching `sort(1)`; open-ended
+    * NUMERIC keys use the first field only (`sort -n` reads the
+    * leading numeric prefix — a single field here). */
   def sortColumns(text: Column, spec: String, sep: String = "\t"): Seq[Column] = {
     val parts = split(text, java.util.regex.Pattern.quote(sep))
+    def field(i: Int) = coalesce(try_element_at(parts, lit(i)), lit(""))
     parse(spec).flatMap { ks =>
-      (ks.from to ks.to).map { i =>
-        val f = coalesce(try_element_at(parts, lit(i)), lit(""))
+      val keys: Seq[Column] = ks.to match {
+        case Some(to) => (ks.from to to).map(i => field(i))
+        case None if ks.numeric => Seq(field(ks.from))
+        case None =>
+          Seq(concat_ws(sep, slice(parts, lit(ks.from),
+            greatest(size(parts) - (ks.from - 1), lit(0)))))
+      }
+      keys.map { f =>
         val typed = if (ks.numeric) f.cast("double") else f
         if (ks.reverse) typed.desc else typed.asc
       }
@@ -55,8 +68,9 @@ object KeyFieldSort {
   def partitioned(df: DataFrame, textCol: String, spec: String,
                   numPartitions: Int, sep: String = "\t"): DataFrame = {
     val parts = split(col(textCol), java.util.regex.Pattern.quote(sep))
-    val keys = parse(spec).flatMap(ks => (ks.from to ks.to)
-      .map(i => coalesce(try_element_at(parts, lit(i)), lit(""))))
+    val keys = parse(spec).flatMap(ks =>
+      (ks.from to ks.to.getOrElse(ks.from))
+        .map(i => coalesce(try_element_at(parts, lit(i)), lit(""))))
     if (keys.isEmpty) df.repartition(numPartitions)
     else df.repartition(numPartitions, keys: _*)
   }

@@ -30,6 +30,8 @@ object Partitioners {
   }
 
   /** Partition id each row would land in — for tests/diagnostics. */
-  def partitionIdOf(df: DataFrame): DataFrame =
+  def partitionIdOf(df: DataFrame): DataFrame = {
+    require(!df.columns.contains("__pid"), "input already has a __pid column")
     df.withColumn("__pid", spark_partition_id())
+  }
 }

@@ -29,7 +29,11 @@ object Pipe {
     val spark = df.sparkSession
     import spark.implicits._
     val selected = if (cols.isEmpty) df.columns.toSeq.map(col) else cols
-    val lines = df.select(concat_ws(sep, selected.map(_.cast("string")): _*).as("line"))
+    // concat_ws silently DROPS null fields, shifting the record layout;
+    // nulls must serialize as empty fields so the child sees a stable
+    // column count (the reference always emits one separator per field)
+    val fields = selected.map(c => coalesce(c.cast("string"), lit("")))
+    val lines = df.select(concat_ws(sep, fields: _*).as("line"))
       .as[String]
     lines.rdd.pipe(cmd, env).toDF("line")
   }

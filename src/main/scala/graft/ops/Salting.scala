@@ -25,6 +25,8 @@ object Salting {
     * factor×. Result equals a plain inner join on `key`. */
   def saltedJoin(skewed: DataFrame, other: DataFrame, key: String,
                  factor: Int): DataFrame = {
+    require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
+      "input already has a __salt column")
     val left = skewed.withColumn("__salt", salt(factor, skewed.columns.map(col): _*))
     val right = other.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     left.join(right, Seq(key, "__salt")).drop("__salt")
@@ -35,10 +37,12 @@ object Salting {
     * min/min, …). */
   def saltedAgg(df: DataFrame, key: String, factor: Int,
                 partial: Column, partialAlias: String,
-                finalAgg: String => Column): DataFrame =
+                finalAgg: String => Column): DataFrame = {
+    require(!df.columns.contains("__salt"), "input already has a __salt column")
     df.withColumn("__salt", salt(factor, df.columns.map(col): _*))
       .groupBy(col(key), col("__salt"))
       .agg(partial.as(partialAlias))
       .groupBy(col(key))
       .agg(finalAgg(partialAlias).as(partialAlias))
+  }
 }

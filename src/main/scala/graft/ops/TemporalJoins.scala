@@ -26,7 +26,8 @@ object TemporalJoins {
            leftTs: String, rightTs: String,
            rightCols: Map[String, String]): DataFrame = {
     val collisions = rightCols.values.toSet
-      .intersect(left.columns.toSet) ++ Set("__ts", "__side").intersect(left.columns.toSet)
+      .intersect(left.columns.toSet) ++
+      Set("__ts", "__side", "__carry").intersect(left.columns.toSet)
     require(collisions.isEmpty,
       s"asOf carried-column names collide with left columns: $collisions — rename them")
     val lTagged = left
@@ -38,15 +39,25 @@ object TemporalJoins {
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
     // right rows sort before left rows at the same timestamp, so a
-    // right row AT the left timestamp is visible to it
+    // right row AT the left timestamp is visible to it. The final
+    // order key makes ties between equal-timestamp right rows
+    // deterministic (largest carried tuple wins).
+    val carryCols = rightCols.values.toSeq
     val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts"), col("__side"))
+      .orderBy(col("__ts") +: col("__side") +: carryCols.map(col): _*)
       .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = rightCols.values.foldLeft(unioned) { (df, v) =>
-      df.withColumn(v, last(when(col("__side") === 0, col(v)), ignoreNulls = true).over(w))
+    // carry the whole right row as ONE struct: a null FIELD inside the
+    // latest right row stays null (per-column last(ignoreNulls) would
+    // resurrect a stale older value for that column)
+    val carried = unioned
+      .withColumn("__carry", last(
+        when(col("__side") === 0, struct(carryCols.map(col): _*)),
+        ignoreNulls = true).over(w))
+    carryCols.foldLeft(carried) { (df, v) =>
+      df.withColumn(v, col("__carry").getField(v))
     }
-    carried.where(col("__side") === 1)
-      .drop("__ts", "__side")
+      .where(col("__side") === 1)
+      .drop("__ts", "__side", "__carry")
   }
 
   /** Interval (range) join: pair each point row with every interval
@@ -59,6 +70,8 @@ object TemporalJoins {
   def intervalJoin(points: DataFrame, intervals: DataFrame, key: String,
                    ts: String, start: String, end: String,
                    bucket: Column => Column): DataFrame = {
+    require(!points.columns.contains("__b") && !intervals.columns.contains("__b"),
+      "input already has a __b column")
     val p = points.withColumn("__b", bucket(col(ts)))
     val i = intervals.withColumn("__b",
       explode(sequence(bucket(col(start)), bucket(col(end)))))

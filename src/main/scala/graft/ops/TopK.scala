@@ -22,6 +22,7 @@ object TopK {
     * tiebreaker for determinism). Adds a `rank` column. */
   def perGroup(df: DataFrame, groupCols: Seq[String], k: Int,
                order: Column*): DataFrame = {
+    require(!df.columns.contains("rank"), "input already has a rank column")
     val w = Window.partitionBy(groupCols.map(col): _*).orderBy(order: _*)
     df.withColumn("rank", row_number().over(w)).where(col("rank") <= k)
   }

@@ -61,14 +61,25 @@ object CompatSources {
   def xmlRecords(spark: SparkSession, path: String, tag: String): DataFrame = {
     import spark.implicits._
     val (open, close) = (s"<$tag", s"</$tag>")
+    // `<$tag` must be followed by '>', whitespace or '/' — a bare
+    // prefix match would capture longer tag names (<items> for "item")
+    def isTagBoundary(c: Char) = c == '>' || c == '/' || c.isWhitespace
     spark.sparkContext.wholeTextFiles(path)
       .flatMap { case (_, content) =>
         val out = scala.collection.mutable.ArrayBuffer.empty[String]
         var from = 0
-        while ({ val s = content.indexOf(open, from); s >= 0 && {
-          val e = content.indexOf(close, s)
-          e >= 0 && { out += content.substring(s, e + close.length); from = e + close.length; true }
-        }}) ()
+        var s = content.indexOf(open, from)
+        while (s >= 0) {
+          val boundary = s + open.length
+          if (boundary < content.length && isTagBoundary(content.charAt(boundary))) {
+            val e = content.indexOf(close, s)
+            if (e >= 0) {
+              out += content.substring(s, e + close.length)
+              from = e + close.length
+            } else from = content.length
+          } else from = s + 1
+          s = if (from < content.length) content.indexOf(open, from) else -1
+        }
         out
       }.toDF("record")
   }
@@ -95,7 +106,10 @@ object CompatSources {
   /** TextOutputFormat sink (.../lib/output/TextOutputFormat.java:44):
     * `key<sep>value` lines. */
   def kvTextWrite(df: DataFrame, path: String, sep: String = "\t"): Unit =
-    df.select(concat_ws(sep, df.columns.map(c => col(c).cast("string")): _*).as("value"))
+    // nulls serialize as empty fields (concat_ws would drop them and
+    // shift the layout)
+    df.select(concat_ws(sep,
+        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
       .write.mode("overwrite").text(path)
 
   /** SequenceFileOutputFormat sink (.../lib/output/

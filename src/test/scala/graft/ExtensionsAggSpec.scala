@@ -13,6 +13,13 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(math.abs(r.getDouble(0) - 1.0) < 1e-12)
   }
 
+  test("cosine_similarity accepts float arrays (the embeddings type)") {
+    graft.core.Tables.embeddings(spark, sf).limit(5).createOrReplaceTempView("e5")
+    val r = spark.sql(
+      "SELECT cosine_similarity(embedding, embedding) AS c FROM e5")
+    assert(r.collect().forall(row => math.abs(row.getDouble(0) - 1.0) < 1e-9))
+  }
+
   test("shingle_hashes and minhash_signature compose in SQL") {
     val r = spark.sql(
       "SELECT size(minhash_signature(shingle_hashes('a b c d e', 3))) AS k").head

@@ -61,7 +61,7 @@ class PropertySpec extends SparkSpec {
     } yield (a, b, flags)
     cases(g) { case (a, b, flags) =>
       val parsed = parse(s"-k$a,$b$flags")
-      assert(parsed == Seq(KeySpec(a, b, flags.contains('n'), flags.contains('r'))))
+      assert(parsed == Seq(KeySpec(a, Some(b), flags.contains('n'), flags.contains('r'))))
     }
   }
 }

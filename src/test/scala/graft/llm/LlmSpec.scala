@@ -48,6 +48,16 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("short docs with trailing space never emit empty-signature pairs") {
+    // split-semantics trap: Spark's split("a b ") keeps a trailing
+    // empty token while the native tokenizer drops it; docs below the
+    // shingle width must be excluded on the SIGNATURE basis, else all
+    // of them share the sentinel signature and pair at est=1.0
+    val df = Seq((1L, "a b "), (2L, "x y "), (3L, "p q "))
+      .toDF("doc_id", "text")
+    assert(Dedup.minHashCandidates(df, "doc_id", "text", 3, 0.0).count() == 0)
+  }
+
   test("hammingDistance counts differing bits") {
     val df = Seq((5L, 6L)).toDF("a", "b") // 101 vs 110 → 2 bits differ
     assert(df.select(Dedup.hammingDistance(col("a"), col("b"))).head.getInt(0) == 2)

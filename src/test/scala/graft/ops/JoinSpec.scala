@@ -38,6 +38,14 @@ class ComposeJoinSpec extends SparkSpec {
       .as[(Int, String)].collect().toSeq
     assert(out == Seq((1, "old1"), (2, "new2"), (3, "new3")))
   }
+
+  test("override: a null VALUE in the higher-priority source still wins") {
+    val s1 = Seq((1, Some("old1")), (2, Some("old2"))).toDF("k", "v")
+    val s2 = Seq((2, None: Option[String])).toDF("k", "v")
+    val out = ComposeJoin.overrideJoin("k", Seq(s1, s2)).orderBy("k")
+      .as[(Int, Option[String])].collect().toSeq
+    assert(out == Seq((1, Some("old1")), (2, None)))
+  }
 }
 
 class SecondarySortSpec extends SparkSpec {
@@ -74,6 +82,13 @@ class PipeSpec extends SparkSpec {
     val out = Pipe.pipeMap(in, Seq("cat"), Seq(col("text")))
     assert(out.count() == 50)
     assert(out.select(col("line")).except(in.select(col("text"))).count() == 0)
+  }
+
+  test("pipeMap serializes nulls as empty fields, keeping the layout stable") {
+    import spark.implicits._
+    val in = Seq((Some("a"), None: Option[String], Some("c"))).toDF("x", "y", "z")
+    val out = Pipe.pipeMap(in, Seq("cat")).as[String].collect()
+    assert(out.toSeq == Seq("a\t\tc"), s"layout shifted: ${out.toSeq}")
   }
 
   test("pipeMap through tr transforms content") {

@@ -35,7 +35,8 @@ class KeyFieldSortSpec extends SparkSpec {
 
   test("parses -k specs with numeric/reverse flags") {
     assert(parse("-k2,2nr -k1") ==
-      Seq(KeySpec(2, 2, numeric = true, reverse = true), KeySpec(1, 1, false, false)))
+      Seq(KeySpec(2, Some(2), numeric = true, reverse = true),
+        KeySpec(1, None, numeric = false, reverse = false)))
   }
 
   test("sorts text numerically and reversed per spec") {
@@ -43,6 +44,13 @@ class KeyFieldSortSpec extends SparkSpec {
     val df = Seq("b\t2", "a\t10", "c\t2").toDF("line")
     val out = sorted(df, "line", "-k2,2nr -k1").as[String].collect()
     assert(out.toSeq == Seq("a\t10", "b\t2", "c\t2"))
+  }
+
+  test("open-ended -k spec compares through end of line, like sort(1)") {
+    import spark.implicits._
+    val df = Seq("a\tb", "a\ta").toDF("line")
+    val out = sorted(df, "line", "-k1").as[String].collect()
+    assert(out.toSeq == Seq("a\ta", "a\tb"))
   }
 }
 

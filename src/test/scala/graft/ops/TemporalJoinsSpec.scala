@@ -52,6 +52,24 @@ class TemporalJoinsSpec extends SparkSpec {
     assert(gotS.except(naive).count() == 0 && naive.except(gotS).count() == 0)
   }
 
+  test("asOf: a null FIELD in the latest right row is not papered over") {
+    val trades = Seq((1L, ts(10), "t")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(0), Some(100.0)), (1L, ts(5), None: Option[Double]))
+      .toDF("key", "qts", "px")
+    val out = TemporalJoins.asOf(trades, quotes, "key", "ts", "qts",
+      Map("px" -> "px")).select("px").head
+    assert(out.isNullAt(0), "stale px=100 resurfaced over the latest (null) value")
+  }
+
+  test("asOf rejects carried-column collisions with left columns") {
+    val l = Seq((1L, ts(1), 1.0)).toDF("key", "ts", "px")
+    val r = Seq((1L, ts(0), 2.0)).toDF("key", "qts", "px")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOf(l, r, "key", "ts", "qts", Map("px" -> "px"))
+    }
+  }
+
   test("intervalJoin pairs points with containing intervals only") {
     val points = Seq((1L, ts(5)), (1L, ts(45)), (2L, ts(5))).toDF("key", "ts")
     val intervals = Seq(

@@ -114,6 +114,9 @@ class MultimodalSpec extends SparkSpec {
 class XmlAndSniffSpec extends SparkSpec {
   import spark.implicits._
 
+  private def tmpDir(): String =
+    java.nio.file.Files.createTempDirectory("graftxml").toString
+
   test("xmlRecords extracts tag-delimited records across files") {
     val dir = java.nio.file.Files.createTempDirectory("xml").toString
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.xml"),
@@ -124,6 +127,15 @@ class XmlAndSniffSpec extends SparkSpec {
       .as[String].collect().sorted
     assert(recs.length == 3)
     assert(recs.forall(r => r.startsWith("<doc") && r.endsWith("</doc>")))
+  }
+
+  test("xmlRecords does not prefix-match longer tag names") {
+    val dir = tmpDir()
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/c.xml"),
+      "<items><item>a</item><item>b</item></items>")
+    val recs = CompatSources.xmlRecords(spark, s"$dir/c.xml", "item")
+      .as[String].collect().sorted
+    assert(recs.toSeq == Seq("<item>a</item>", "<item>b</item>"), recs.toSeq)
   }
 
   test("sniffFormat detects parquet, sequencefile, and text") {
