@@ -38,11 +38,16 @@ object Bench {
     }
 
     // best of 2: one run absorbs residual warmup/GC noise, the min is
-    // the steady-state number (standard benchmarking practice)
+    // the steady-state number. Spark's cache is cleared before every
+    // timed run — operators that persist intermediates (minhash
+    // signatures) must not serve run 2 from run 1's cache.
     val results = headline.map { name =>
       val sec = try {
-        Seq.fill(2)(time(SparkEntry.queries(name)(spark, sfDir)
-          .write.mode("overwrite").format("noop").save())).min
+        Seq.fill(2) {
+          spark.catalog.clearCache()
+          time(SparkEntry.queries(name)(spark, sfDir)
+            .write.mode("overwrite").format("noop").save())
+        }.min
       } catch { case _: Throwable => -1.0 }
       name -> sec
     } :+ ("terasort_1m" -> (try graft.jobs.TeraSort.run(spark, 1000000L)

@@ -33,7 +33,7 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map(
+  lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q1 — scan + filter + project (§2.1, §2.3). Predicate and column
     // pruning reach the parquet scan (PushedFilters in explain).
@@ -324,7 +324,7 @@ object SparkEntry {
     })
   )
 
-  def oracleSql: Map[String, String] = Map(
+  lazy val oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
       """SELECT l_orderkey, l_linenumber, ROUND(l_extendedprice*(1-l_discount),4) AS net_price
         |FROM lineitem WHERE l_shipdate < TIMESTAMP '1997-01-01' AND l_quantity > 45
@@ -473,8 +473,11 @@ object SparkEntry {
 
     "q25_ngram_jaccard" ->
       """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |-- series bound must exceed the longest document's token count
+        |-- (DuckDB can't correlate generate_series with len(ws));
+        |-- fixtures max ~100 tokens, 2000 leaves 20x headroom
         |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-        |      FROM tok, generate_series(1, 200) t(i) WHERE i <= len(ws)-2),
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
         |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
         |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)

@@ -41,7 +41,13 @@ object ValueAggregators {
       case "dstd"                      => round(stddev_pop(c), 4)
       case "count"                     => count(c)
       case "uniq"                      => countDistinct(c)
-      case s if s.startsWith("uniq~")  => approx_count_distinct(c, 0.05)
+      // uniq~N: the reference's capped UniqValueCount bounds memory by
+      // item count; HLL bounds it by sketch size, so the cap maps to a
+      // relative-error knob (HLL stderr ≈ 1.04/√m). N must be numeric.
+      case s if s.startsWith("uniq~") =>
+        val cap = s.stripPrefix("uniq~").toInt
+        require(cap > 0, s"uniq~ cap must be positive: $desc")
+        approx_count_distinct(c, math.min(0.4, math.max(0.005, 1.04 / math.sqrt(cap.toDouble))))
       // pNN / pNN~ : exact / sketched percentile (e.g. p50, p95~)
       case s if s.matches("p\\d{1,2}~?") =>
         val q = s.stripPrefix("p").stripSuffix("~").toInt / 100.0

@@ -43,7 +43,11 @@ object Tables {
   def embeddings(s: SparkSession, d: String): DataFrame = load(s, d, "embeddings")
 
   /** Register every fixture table as a temp view so `spark.sql` can be
-    * used against the same names the DuckDB oracle sees. */
+    * used against the same names the DuckDB oracle sees. `events` goes
+    * through its dedicated loader (nanos handling). */
   def registerAll(spark: SparkSession, sfDir: String): Unit =
-    all.foreach(n => load(spark, sfDir, n).createOrReplaceTempView(n))
+    all.foreach {
+      case "events" => events(spark, sfDir).createOrReplaceTempView("events")
+      case n        => load(spark, sfDir, n).createOrReplaceTempView(n)
+    }
 }

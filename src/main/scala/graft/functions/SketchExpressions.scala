@@ -30,19 +30,23 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
   override def prettyName: String = "minhash_signature"
 
   override def nullSafeEval(input: Any): Any = {
-    val hs = input.asInstanceOf[ArrayData].toLongArray()
+    val arr = input.asInstanceOf[ArrayData]
     val k = a.length
     val sig = Array.fill(k)(p)
     val aArr = a.toArray; val bArr = b.toArray
     var j = 0
-    while (j < hs.length) {
-      val h = hs(j); var i = 0
+    while (j < arr.numElements()) {
+      // null elements (possible from arbitrary SQL input) are skipped
+      if (arr.isNullAt(j)) { j += 1 }
+      else {
+      val h = arr.getLong(j); var i = 0
       while (i < k) {
         val v = (aArr(i) * h + bArr(i)) % p
         if (v < sig(i)) sig(i) = v
         i += 1
       }
       j += 1
+      }
     }
     new GenericArrayData(sig)
   }
@@ -63,6 +67,8 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
     val counts = new Array[Int](64)
     var j = 0
     while (j < n) {
+      if (toks.isNullAt(j)) { j += 1 } // skip null tokens (SQL input)
+      else {
       val bytes = toks.getUTF8String(j).getBytes
       // FNV-1a 64-bit
       var h = 0xcbf29ce484222325L
@@ -71,6 +77,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
       var i = 0
       while (i < 64) { if (((h >>> i) & 1L) != 0L) counts(i) += 1 else counts(i) -= 1; i += 1 }
       j += 1
+      }
     }
     var out = 0L; var i = 0
     while (i < 64) { if (counts(i) >= 0) out |= (1L << i); i += 1 }

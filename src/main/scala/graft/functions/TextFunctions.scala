@@ -50,9 +50,10 @@ object TextFunctions {
   def stopwordCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(words: _*))).cast("long")
 
-  /** Ratio of non-[a-z0-9 ] characters — crude punctuation/noise score. */
+  /** Ratio of non-alphanumeric characters — crude punctuation/noise
+    * score (case-insensitive: capitals are letters, not noise). */
   def punctRatio(c: Column): Column =
-    length(regexp_replace(c, "[a-z0-9 ]", "")).cast("double") /
+    length(regexp_replace(lower(c), "[a-z0-9 ]", "")).cast("double") /
       greatest(length(c), lit(1)).cast("double")
 
   /** Composite quality score in [0,1]: penalizes very short docs, high

@@ -52,7 +52,9 @@ object KeyFieldSort {
             greatest(size(parts) - (ks.from - 1), lit(0)))))
       }
       keys.map { f =>
-        val typed = if (ks.numeric) f.cast("double") else f
+        // try_cast: sort(1) treats non-numeric/missing fields as 0-ish,
+        // never crashes; a plain cast throws under Spark 4 ANSI mode
+        val typed = if (ks.numeric) f.try_cast("double") else f
         if (ks.reverse) typed.desc else typed.asc
       }
     }

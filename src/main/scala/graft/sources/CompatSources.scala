@@ -96,7 +96,13 @@ object CompatSources {
     else p
     val in = fs.open(target)
     val magic = new Array[Byte](4)
-    val n = try in.read(magic) finally in.close()
+    // loop: a single read() may legally return fewer bytes than asked
+    val n = try {
+      var read = 0
+      var r = 0
+      while (read < 4 && { r = in.read(magic, read, 4 - read); r >= 0 }) read += r
+      read
+    } finally in.close()
     val s = magic.take(math.max(n, 0)).map(_ & 0xff).toSeq
     if (s.startsWith(Seq(0x50, 0x41, 0x52, 0x31))) "parquet"       // PAR1
     else if (s.startsWith(Seq(0x53, 0x45, 0x51))) "sequencefile"   // SEQ

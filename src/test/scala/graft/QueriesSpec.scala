@@ -15,6 +15,13 @@ class QueriesSpec extends SparkSpec {
     assert(SparkEntry.entry(spark).count() > 0)
   }
 
+  test("registerAll exposes every table to SQL, events with real timestamps") {
+    graft.core.Tables.registerAll(spark, sf)
+    assert(spark.sql("SELECT COUNT(*) FROM lineitem").head.getLong(0) > 0)
+    val tsType = spark.sql("SELECT ts FROM events LIMIT 1").schema.head.dataType
+    assert(tsType == org.apache.spark.sql.types.TimestampType, tsType)
+  }
+
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 and returns rows") {
       val n = fn(spark, sf).count()

@@ -59,4 +59,9 @@ class ValueAggregatorsSpec extends SparkSpec {
       ValueAggregators.parse("bogus:v")
     }
   }
+
+  test("uniq~ cap must be a positive integer") {
+    intercept[NumberFormatException] { ValueAggregators.parse("uniq~abc:v") }
+    intercept[IllegalArgumentException] { ValueAggregators.parse("uniq~0:v") }
+  }
 }

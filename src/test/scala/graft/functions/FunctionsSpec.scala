@@ -45,6 +45,13 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out.toSeq == Seq("en", "de", "und"))
   }
 
+  test("punctRatio does not count capitals as noise") {
+    val df = Seq(("ALL CAPS TEXT", "all caps text")).toDF("u", "l")
+    val r = df.select(TextFunctions.punctRatio(col("u")).as("pu"),
+      TextFunctions.punctRatio(col("l")).as("pl")).head
+    assert(r.getDouble(0) == r.getDouble(1))
+  }
+
   test("qualityScore stays in [0,1] and penalizes junk") {
     val df = Seq(
       "the quick brown fox jumps over the lazy dog and runs to the hills for a long time today",

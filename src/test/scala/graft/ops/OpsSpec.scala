@@ -46,6 +46,13 @@ class KeyFieldSortSpec extends SparkSpec {
     assert(out.toSeq == Seq("a\t10", "b\t2", "c\t2"))
   }
 
+  test("numeric keys tolerate malformed/missing fields (no ANSI crash)") {
+    import spark.implicits._
+    val df = Seq("a\tnot-a-number", "b\t5", "c").toDF("line")
+    val out = sorted(df, "line", "-k2,2n").as[String].collect()
+    assert(out.length == 3 && out.contains("b\t5"))
+  }
+
   test("open-ended -k spec compares through end of line, like sort(1)") {
     import spark.implicits._
     val df = Seq("a\tb", "a\ta").toDF("line")
