@@ -46,6 +46,13 @@ class PlanSpec extends SparkSpec {
     assert(!readSchema.contains("l_shipdate") && !readSchema.contains("l_partkey"), readSchema)
   }
 
+  test("point lookup pushes the equality predicate into the scan") {
+    val li = graft.core.Tables.lineitem(spark, sf)
+    val p = graft.ops.Lookup.pointLookup(li, org.apache.spark.sql.functions.col("l_orderkey"), 1L)
+      .queryExecution.explainString(SimpleMode)
+    assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)"), p)
+  }
+
   test("q20: query side of the similarity scan is broadcast") {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
