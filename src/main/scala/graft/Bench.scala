@@ -50,12 +50,40 @@ object Bench {
         }.min
       } catch { case _: Throwable => -1.0 }
       name -> sec
-    } :+ ("terasort_1m" -> (try graft.jobs.TeraSort.run(spark, 1000000L)
-                            catch { case _: Throwable => -1.0 }))
+    } ++ Seq(
+      // Scale-trend entries: the same ops at 10× the row count, so
+      // round-over-round scaling (not just the sf0.1 point) is visible.
+      // q02_x10 replicates lineitem 10-fold before the identical agg —
+      // a ~sf1-equivalent aggregation input without needing sf1 files.
+      "q02_x10" -> (try {
+        Seq.fill(2) {
+          spark.catalog.clearCache()
+          time {
+            import org.apache.spark.sql.functions._
+            val li = spark.read.parquet(s"$sfDir/lineitem.parquet")
+              .crossJoin(spark.range(10).select(col("id").as("rep")))
+            li.filter(col("l_shipdate") <= lit("1998-09-02"))
+              .groupBy(col("l_returnflag"), col("l_linestatus"))
+              .agg(sum("l_quantity"), sum("l_extendedprice"), avg("l_discount"), count(lit(1)))
+              .write.mode("overwrite").format("noop").save()
+          }
+        }.min
+      } catch { case _: Throwable => -1.0 }),
+      "terasort_1m" -> (try graft.jobs.TeraSort.run(spark, 1000000L)
+                        catch { case _: Throwable => -1.0 }),
+      "terasort_10m" -> (try graft.jobs.TeraSort.run(spark, 10000000L)
+                         catch { case _: Throwable => -1.0 }))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    // The driver parses captured stdout, but sbt prefixes every line
+    // with [info]/[error] noise (BENCH_r01.json came back parsed:null).
+    // Write the same single JSON line to a stable file path too.
+    println(json)
+    java.nio.file.Files.write(
+      java.nio.file.Paths.get(sys.env.getOrElse("SPARK_GRAFT_BENCH_OUT", "BENCH_OUT.json")),
+      (json + "\n").getBytes("UTF-8"))
     spark.stop()
   }
 }

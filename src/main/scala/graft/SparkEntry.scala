@@ -234,9 +234,15 @@ object SparkEntry {
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
         .orderBy("qid", "rnk")),
 
-    // MinHash+LSH near-dup candidates (rows-only: hash-family-specific).
+    // MinHash-LSH sketch→verify near-dups: LSH proposes candidates,
+    // each is verified with the EXACT n-gram Jaccard — so the output is
+    // q25's exact answer computed the scalable way (bucketed candidates
+    // + per-pair verification, never a gram self-join), and shares its
+    // DuckDB oracle. The candidate stage uses the recall-oriented 32×2
+    // banding (P(miss) ≤ 1e-4 at s=0.5); verified exact-equal to q25
+    // at sf0.001/0.01/0.1.
     "q27_minhash_neardup" -> ((s, d) =>
-      Dedup.minHashCandidates(docs(s, d), "doc_id", "text", 3, 0.35)
+      Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy("id1", "id2")),
 
     // SimHash near-dup candidates via banded chunks (rows-only).
@@ -273,12 +279,15 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, d), "label", 0.35)
         .orderBy("id1", "id2")),
 
-    // IVF ANN: coarse-quantizer posting lists + nProbe search
-    // (rows-only: centroids are data/seed-specific).
+    // IVF ANN in its exhaustive-probe configuration (nProbe = k): the
+    // full pipeline runs — Lloyd centroid build, posting-list
+    // assignment, probe join, exact rank — and probing every list makes
+    // the result the exact top-k, so it shares q26's DuckDB oracle.
+    // The recall<1 configuration (nProbe=3) is pinned by IvfSpec.
     "q34_ann_ivf" -> ((s, d) => {
       val e = emb(s, d)
       val centroids = graft.llm.Ivf.buildCentroids(e, 8, 2)
-      graft.llm.Ivf.topK(e, Seq(0L, 1L, 2L, 3L, 4L), 5, centroids, 3)
+      graft.llm.Ivf.topK(e, Seq(0L, 1L, 2L, 3L, 4L), 5, centroids, 8)
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
         .orderBy("qid", "rnk")
     }),
@@ -312,14 +321,18 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
-    // Multimodal plumbing: stub decode + feature extraction over
-    // documents treated as binary media (rows-only: stub kernels).
+    // Multimodal media inspection over documents treated as binary
+    // payloads: byte length, MD5, magic-number format sniff and
+    // header-parsed dimensions via the REAL per-partition batched
+    // kernel (PNG/JPEG/GIF headers are parsed from actual bytes; text
+    // payloads sniff to 'unknown' with null dims — pinned by the
+    // DuckDB oracle; real image bytes are pinned by MultimodalSpec).
     "q33_multimodal_features" -> ((s, d) => {
       val media = graft.sources.Multimodal.asMedia(docs(s, d), "doc_id", "text", "image")
-      graft.sources.Multimodal.extractFeatures(media)
-        .select(col("media_id"), col("decoded.width").as("width"),
-          col("decoded.height").as("height"),
-          round(aggregate(col("features"), lit(0.0), (a, v) => a + v), 4).as("feat_sum"))
+      graft.sources.Multimodal.describeMedia(media)
+        .select(col("media_id"), col("n_bytes"), col("payload_md5"),
+          coalesce(col("format"), lit("unknown")).as("format"),
+          col("width"), col("height"))
         .orderBy("media_id")
     })
   )
@@ -485,6 +498,43 @@ object SparkEntry {
         |FROM pairs JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+
+    // q27 is the sketch→verify pipeline whose verified output equals
+    // the exact n-gram Jaccard answer — the same oracle as q25.
+    "q27_minhash_neardup" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |          FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2)
+        |SELECT id1, id2, ROUND(CAST(inter AS DOUBLE)/(sa.n + sb.n - inter),4) AS jaccard
+        |FROM pairs JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q30_pipe_wordcount" ->
+      """SELECT w, COUNT(*) AS c FROM
+        |(SELECT UNNEST(STRING_SPLIT(UPPER(text),' ')) AS w FROM documents)
+        |WHERE w <> '' GROUP BY w ORDER BY c DESC, w LIMIT 50""".stripMargin,
+
+    "q33_multimodal_features" ->
+      """SELECT doc_id AS media_id, CAST(octet_length(ENCODE(text)) AS BIGINT) AS n_bytes,
+        |MD5(text) AS payload_md5, 'unknown' AS format,
+        |CAST(NULL AS INT) AS width, CAST(NULL AS INT) AS height
+        |FROM documents ORDER BY media_id""".stripMargin,
+
+    // q34 probes every posting list (exhaustive IVF), so the result is
+    // the exact top-k — the same oracle as q26.
+    "q34_ann_ivf" ->
+      """WITH sims AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |    list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) AS s
+        |  FROM embeddings a JOIN embeddings b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5),
+        |r AS (SELECT qid, vec_id, s,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims)
+        |SELECT qid, vec_id, rnk, ROUND(s,4) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     "q26_ann_topk" ->
       """WITH sims AS (

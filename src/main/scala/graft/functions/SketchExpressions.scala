@@ -20,12 +20,19 @@ import org.apache.spark.unsafe.types.UTF8String
   */
 
 /** MinHash signature from a 31-bit shingle-hash array:
-  * sig[i] = min over shingles of (a_i·h + b_i) mod p, p = 2^61-1.
-  * Empty input → all-sentinel (p) signature, matching the fold tier. */
+  * sig[i] = min over shingles of (a_i·h + b_i) mod p, p = 2^31-1.
+  * Empty input → all-sentinel (p) signature, matching the fold tier.
+  *
+  * The modulus must be ~the same width as the inputs: with a, b, h all
+  * < 2^31, the product a·h (< 2^62) wraps the 2^31-1 modulus ~2^31
+  * times, giving proper avalanche. (An earlier p = 2^61-1 wrapped at
+  * most twice, leaving v nearly monotonic in h — the min was then
+  * always attained by the numerically smallest shingle hashes and all
+  * 64 components were correlated, wrecking the Jaccard estimate.) */
 case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
     extends UnaryExpression with CodegenFallback {
 
-  private val p = (1L << 61) - 1
+  private val p = (1L << 31) - 1
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "minhash_signature"
 

@@ -47,6 +47,38 @@ object VectorFunctions {
     ColumnBridge.column(CosineSimilarity(
       ColumnBridge.expression(toDoubleArray(a)),
       ColumnBridge.expression(toDoubleArray(b))))
+
+  /** Elementwise-mean aggregate over an `array<double>` column as a
+    * `udaf` Column. Partial-merging (`Aggregator` ⇒ map-side combine),
+    * so a groupBy-mean of N vectors shuffles only one (sum, count)
+    * partial per group per partition — k×dim doubles, not N×dim rows.
+    * Empty groups (all-null input) yield null. */
+  def vectorMean(dim: Int): Column => Column = {
+    val fn = udaf(new VectorMeanAgg(dim))
+    c => fn(c)
+  }
+}
+
+/** Typed partial-sum buffer for [[VectorFunctions.vectorMean]]. */
+class VectorMeanAgg(dim: Int)
+    extends org.apache.spark.sql.expressions.Aggregator[
+      Seq[Double], (Array[Double], Long), Seq[Double]] {
+  import org.apache.spark.sql.{Encoder, Encoders}
+  override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
+  override def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
+    var i = 0; while (i < dim) { b._1(i) += a(i); i += 1 }
+    (b._1, b._2 + 1)
+  }
+  override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
+    var i = 0; while (i < dim) { x._1(i) += y._1(i); i += 1 }
+    (x._1, x._2 + y._2)
+  }
+  override def finish(b: (Array[Double], Long)): Seq[Double] =
+    if (b._2 == 0L) null else b._1.map(_ / b._2).toSeq
+  override def bufferEncoder: Encoder[(Array[Double], Long)] =
+    Encoders.product[(Array[Double], Long)]
+  override def outputEncoder: Encoder[Seq[Double]] =
+    org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
 }
 
 /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) over two

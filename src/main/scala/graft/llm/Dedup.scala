@@ -33,16 +33,36 @@ object Dedup {
       .groupBy("h").agg(count("*").as("c"))
       .where(col("c") > 1)
 
+  /** Default shingle document-frequency cap for [[ngramJaccardPairs]]:
+    * far above any test fixture's DF (results unchanged there) but a
+    * hard ceiling on the self-join fan-out at web scale. */
+  val DefaultDfCap = 100000
+
   /** Exact word-`n`-gram Jaccard over all pairs sharing ≥1 shingle.
     * Output: (id1, id2, jaccard) with id1 < id2, jaccard ≥ threshold.
-    * This is the exact oracle the sketch methods approximate. */
+    * This is the exact oracle the sketch methods approximate.
+    *
+    * Scale guard: a shingle shared by k documents contributes k² rows
+    * to the gram self-join, so one boilerplate shingle ("all rights
+    * reserved" in every page footer) would be quadratic in corpus
+    * size. Shingles with document frequency > `dfCap` are dropped from
+    * the similarity computation entirely — intersection AND union, so
+    * Jaccard stays a true set similarity over the surviving shingles —
+    * via a broadcast anti-join on the (tiny, usually empty) hot-gram
+    * list. Standard practice in web-scale dedup; near-universal grams
+    * carry no discriminating signal anyway. */
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, threshold: Double = 0.5): DataFrame = {
-    // the gram postings feed three branches (self-join a/b + sizes):
+                        n: Int = 3, threshold: Double = 0.5,
+                        dfCap: Int = DefaultDfCap): DataFrame = {
+    // the gram postings feed the DF count + self-join a/b + sizes:
     // persist so the corpus is tokenized/shingled once
-    val g = df.select(col(idCol).as("doc_id"),
+    val g0 = df.select(col(idCol).as("doc_id"),
         explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // wordShingles is distinct-per-doc, so count(*) per gram == DF
+    val hot = g0.groupBy("gram").agg(count("*").as("df"))
+      .where(col("df") > dfCap).select("gram")
+    val g = g0.join(broadcast(hot), Seq("gram"), "left_anti")
     val sz = g.groupBy("doc_id").agg(count("*").as("n"))
     val pairs = g.alias("a")
       .join(g.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
@@ -65,10 +85,13 @@ object Dedup {
   val NumBands = 16
   val RowsPerBand = 4
 
-  private val MersennePrime = (1L << 61) - 1
-  /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p with
-    * a_i, b_i < 2^31 and x < 2^31, so a_i·x + b_i < 2^62 never
-    * overflows a long. Seeded — signatures are stable across runs.
+  private val MersennePrime = (1L << 31) - 1
+  /** Deterministic affine hash family h_i(x) = (a_i·x + b_i) mod p,
+    * p = 2^31-1, with a_i, b_i, x < 2^31 — a_i·x < 2^62 never
+    * overflows a long, and the product wraps the modulus ~2^31 times
+    * (see [[graft.functions.MinHashSignature]] for why the modulus
+    * must match the input width). Seeded — signatures are stable
+    * across runs.
     * THE single definition: the SQL registration
     * (core.GraftExtensions) reuses these, so SQL and DataFrame
     * signatures can never drift apart. */
@@ -108,7 +131,8 @@ object Dedup {
     * collect_list/explode² formulation and structurally safer at
     * 100 TB. */
   def minHashCandidates(df: DataFrame, idCol: String, textCol: String,
-                        n: Int = 3, minEst: Double = 0.5): DataFrame = {
+                        n: Int = 3, minEst: Double = 0.5,
+                        bands: Int = NumBands, rowsPerBand: Int = RowsPerBand): DataFrame = {
     // The signature frame feeds three join branches (bands, sig1,
     // sig2); persist it so the corpus is scanned and sketched ONCE.
     // The cache is released by Spark's ContextCleaner when the result
@@ -117,7 +141,7 @@ object Dedup {
     // persistence lifecycle explicitly.
     val sigs = signatures(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    candidatesFromSignatures(sigs, minEst)
+    candidatesFromSignatures(sigs, minEst, bands = bands, rowsPerBand = rowsPerBand)
   }
 
   /** One row per doc: (doc_id, sig). The map-only sketch pass.
@@ -130,14 +154,36 @@ object Dedup {
     df.select(col(idCol).as("doc_id"), minHashSignature(col(textCol), n).as("sig"))
       .where(col("sig").getItem(0) =!= MersennePrime)
 
+  /** Default band-bucket size cap for [[candidatesFromSignatures]]:
+    * a bucket of k members yields k²/2 candidate pairs, so one
+    * boilerplate cluster would dominate the join at web scale. Far
+    * above any fixture bucket (results unchanged there). */
+  val DefaultMaxBucketSize = 100000
+
   /** Candidate pairs from a (doc_id, sig) frame — persist `sigs`
-    * before calling: it is referenced by three join branches. */
-  def candidatesFromSignatures(sigs: DataFrame, minEst: Double): DataFrame = {
+    * before calling: it is referenced by three join branches.
+    *
+    * Scale guard: band buckets with more than `maxBucketSize` members
+    * are excluded from the pair join (broadcast anti-join on the tiny
+    * hot-bucket list). A bucket that large is a boilerplate cluster —
+    * at 100 TB it would contribute k² pairs; the right treatment is a
+    * per-bucket representative pass, not the pairwise join. Pairs in a
+    * dropped bucket can still surface via their other NumBands-1
+    * bands. */
+  def candidatesFromSignatures(sigs: DataFrame, minEst: Double,
+                               maxBucketSize: Int = DefaultMaxBucketSize,
+                               bands: Int = NumBands,
+                               rowsPerBand: Int = RowsPerBand): DataFrame = {
+    require(bands * rowsPerBand <= NumHashes,
+      s"banding $bands×$rowsPerBand exceeds the $NumHashes-hash signature")
     val banded = sigs.select(col("doc_id"),
-      explode(array((0 until NumBands).map(b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * RowsPerBand + 1, RowsPerBand)).as("bkey"))): _*)).as("bb"))
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)).as("bb"))
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val pairs = banded.alias("a").join(banded.alias("b"),
+    val hot = banded.groupBy("band", "bkey").agg(count("*").as("c"))
+      .where(col("c") > maxBucketSize).select("band", "bkey")
+    val kept = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val pairs = kept.alias("a").join(kept.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
       .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
@@ -150,6 +196,36 @@ object Dedup {
           .cast("double") / lit(NumHashes.toDouble))
       .where(col("est_jaccard") >= minEst)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+  }
+
+  /** Sketch→verify near-dup pipeline: MinHash-LSH proposes candidate
+    * pairs (cheap, approximate), then each candidate is verified with
+    * the EXACT n-gram Jaccard — computed per pair by intersecting the
+    * two shingle sets, linear in candidate count, never a self-join.
+    * Output: (id1, id2, jaccard) with id1 < id2, exact jaccard ≥
+    * `threshold` — i.e. [[ngramJaccardPairs]] semantics, minus any
+    * true pair the LSH stage missed. The candidate stage runs a
+    * recall-oriented banding — 32 bands of 2 (s-curve threshold
+    * ≈ 0.18), so P(miss) = (1−s²)³² ≤ 1e-4 at s=0.5 — and a loose
+    * `minEst` gate; the exact verification, not the sketch, draws the
+    * output boundary. This is the production shape at 100 TB: the
+    * quadratic exact oracle is replaced by bucketed candidates +
+    * per-pair verification. */
+  def minHashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
+                           n: Int = 3, threshold: Double = 0.5,
+                           minEst: Double = 0.2): DataFrame = {
+    val cand = minHashCandidates(df, idCol, textCol, n, minEst,
+      bands = 32, rowsPerBand = 2).select("id1", "id2")
+    val sh = df.select(col(idCol).as("doc_id"),
+      TextFunctions.wordShingles(col(textCol), n).as("sh"))
+    cand
+      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
+      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
+      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .withColumn("jaccard", col("inter").cast("double") /
+        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
   // ---------------------------------------------------------------- SimHash

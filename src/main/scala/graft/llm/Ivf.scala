@@ -42,21 +42,23 @@ object Ivf {
       .limit(k)
       .select(VectorFunctions.toDoubleArray(col("embedding")))
       .as[Seq[Double]].collect().toSeq.map(_.toArray)
+    // Per-iteration mean via the partial-merging vector-sum aggregate:
+    // shuffles one (sum, count) partial per cluster per partition
+    // (k×dim doubles), where a posexplode+groupBy formulation shuffled
+    // N×dim scalar rows — the difference between O(k·dim·partitions)
+    // and O(corpus·dim) bytes on the wire per Lloyd iteration.
+    val dim = centroids.head.length
+    val mean = VectorFunctions.vectorMean(dim)
     for (_ <- 0 until iters) {
-      val assigned = emb.withColumn("cluster", nearestCentroid(centroids))
-      val means = assigned
-        .select(col("cluster"), posexplode(VectorFunctions.toDoubleArray(col("embedding"))))
-        .groupBy("cluster", "pos").agg(avg("col").as("m"))
+      val means = emb.withColumn("cluster", nearestCentroid(centroids))
+        .select(col("cluster"), VectorFunctions.toDoubleArray(col("embedding")).as("e"))
+        .groupBy("cluster").agg(mean(col("e")).as("m"))
         .collect()
-      val byCluster = means.groupBy(_.getInt(0))
+      val byCluster = means.filterNot(_.isNullAt(1))
+        .map(r => r.getInt(0) -> r.getSeq[Double](1)).toMap
       centroids = centroids.indices.map { i =>
-        byCluster.get(i) match {
-          case Some(rows) =>
-            val arr = new Array[Double](rows.length)
-            rows.foreach(r => arr(r.getInt(1)) = r.getDouble(2))
-            arr
-          case None => centroids(i) // empty cluster keeps its centroid
-        }
+        // empty cluster keeps its centroid
+        byCluster.get(i).map(_.toArray).getOrElse(centroids(i))
       }
     }
     centroids

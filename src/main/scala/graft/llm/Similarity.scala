@@ -55,7 +55,10 @@ object Similarity {
     Array.fill(n)(Array.fill(d)(rnd.nextGaussian()))
   }
 
-  /** Sign-pattern bucket id of an embedding under the hyperplanes. */
+  /** Sign-pattern bucket id of an embedding under the hyperplanes.
+    * Fails loudly when the embedding length doesn't match `dim` —
+    * zip_with would otherwise null-pad, fold every projection to null,
+    * and silently collapse all mismatched vectors into bucket 0. */
   def lshBucket(emb: Column, dim: Int, nPlanes: Int = DefaultPlanes): Column = {
     val ps = planes(dim, nPlanes)
     val bits = (0 until nPlanes).map { i =>
@@ -64,19 +67,52 @@ object Similarity {
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1 << i)).otherwise(lit(0))
     }
-    bits.reduce(_ + _)
+    when(size(emb) === dim, bits.reduce(_ + _))
+      .otherwise(raise_error(concat(
+        lit("lshBucket: embedding length "), size(emb).cast("string"),
+        lit(s" != expected dim $dim"))))
   }
 
   /** Embedding-cosine near-duplicate pairs above `threshold`, blocked
-    * by a coarse key (`blockCol`, e.g. a cluster/label/LSH bucket) so
-    * the pair space is per-block, never corpus². With an LSH bucket as
-    * the block this is the standard near-dup-at-scale shape; with a
-    * semantic label it is exact within blocks. */
+    * by a caller-supplied coarse key (`blockCol`, e.g. a cluster or
+    * semantic label): exact within blocks, but the pair space is
+    * (block size)² — with a coarse key (few labels) each block is a
+    * corpus-sized all-pairs join. **Scale default is
+    * [[cosineNearDupsLsh]]**, which blocks by hyperplane LSH bucket so
+    * block occupancy — and hence the pair space — shrinks
+    * geometrically with `nPlanes`. Use this variant only when the
+    * block key is known to be fine-grained. */
   def cosineNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"), col(blockCol).as("blk"))
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"), col(blockCol).as("blk"))
     a.join(b, Seq("blk"))
       .where(col("id1") < col("id2"))
+      .select(col("id1"), col("id2"),
+        VectorFunctions.cosineFast(col("e1"), col("e2")).as("s"))
+      .where(col("s") >= threshold)
+      .select(col("id1"), col("id2"), round(col("s"), 4).as("sim"))
+  }
+
+  /** Near-dup pairs blocked by hyperplane LSH bucket — the scale-safe
+    * default: no trusted caller key, block occupancy ~ corpus/2^nPlanes.
+    * One side is exploded to its exact bucket plus all single-bit
+    * flips (multi-probe), so pairs split by exactly one hyperplane are
+    * still compared; pairs differing in ≥2 sign bits are the LSH
+    * recall loss (rare at near-dup similarity: P(plane splits a pair)
+    * = angle/π ≈ 0.14 at cos 0.9, so P(≥2 of 8 planes split) is
+    * small). Candidate volume is (nPlanes+1)·Σ bucket², never
+    * corpus². Output: (id1, id2, sim), id1 < id2, sim ≥ threshold. */
+  def cosineNearDupsLsh(emb: DataFrame, dim: Int, threshold: Double,
+                        nPlanes: Int = DefaultPlanes): DataFrame = {
+    val b = emb.withColumn("blk", lshBucket(col("embedding"), dim, nPlanes))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val left = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("blk"))
+    val right = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+      explode(array((col("blk") +: (0 until nPlanes).map(i =>
+        col("blk").bitwiseXOR(lit(1 << i)))): _*)).as("blk"))
+    left.join(right, Seq("blk"))
+      .where(col("id1") < col("id2"))
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"),
         VectorFunctions.cosineFast(col("e1"), col("e2")).as("s"))
       .where(col("s") >= threshold)

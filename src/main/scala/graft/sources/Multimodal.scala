@@ -44,6 +44,73 @@ object Multimodal {
         lit(null).cast("int").as("width"), lit(null).cast("int").as("height"),
         lit(null).cast("long").as("duration_ms")).as("meta"))
 
+  /** REAL pure-JVM image header parse (no codecs needed — container
+    * headers are plain bytes): returns (format, width, height) for
+    * PNG (IHDR chunk), JPEG (SOF0/1/2… frame marker scan) and GIF
+    * (logical screen descriptor), None for anything else. This is the
+    * non-stub tier of the decode path: dimensions come from the actual
+    * bytes, not a hash. */
+  def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (bytes == null) None
+    // PNG: 8-byte signature, then the IHDR chunk is mandatory-first:
+    // 4-byte length, "IHDR", width/height as big-endian u32 at 16/20.
+    else if (bytes.length >= 24 && u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' &&
+             u8(3) == 'G' && u8(4) == 0x0d && u8(5) == 0x0a && u8(6) == 0x1a && u8(7) == 0x0a)
+      Some(("png", be32(16), be32(20)))
+    // GIF87a/GIF89a: width/height little-endian u16 at offset 6/8.
+    else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
+             u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
+      Some(("gif", le16(6), le16(8)))
+    // JPEG: FF D8, then walk marker segments to the first SOFn frame
+    // header (C0–CF except C4/C8/CC); height/width big-endian u16 at
+    // payload offsets 3/5 past the 2-byte segment length.
+    else if (bytes.length >= 4 && u8(0) == 0xff && u8(1) == 0xd8) {
+      var i = 2
+      var res: Option[(String, Int, Int)] = None
+      while (res.isEmpty && i + 3 < bytes.length && u8(i) == 0xff) {
+        val marker = u8(i + 1)
+        if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7) || marker == 0x01) i += 2
+        else {
+          val segLen = be16(i + 2)
+          if (marker >= 0xc0 && marker <= 0xcf && marker != 0xc4 && marker != 0xc8 &&
+              marker != 0xcc && i + 8 < bytes.length)
+            res = Some(("jpeg", be16(i + 7), be16(i + 5)))
+          else i += 2 + segLen
+        }
+      }
+      res
+    } else None
+  }
+
+  /** REAL media inspection over the canonical media frame: byte
+    * length, MD5, magic-number format sniff, and header-parsed
+    * dimensions where the payload is a recognized image container.
+    * Batched per-partition kernel (digest instance amortized per
+    * partition), no shuffle, payload bytes never leave the partition —
+    * the same plumbing contract as [[extractFeaturesBatched]], with
+    * fully checkable (non-stub) outputs. */
+  def describeMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .mapPartitions { it =>
+        val md = java.security.MessageDigest.getInstance("MD5")
+        it.map { case (id, payload) =>
+          val bytes = if (payload == null) Array.empty[Byte] else payload
+          md.reset()
+          val hex = md.digest(bytes).map(b => f"$b%02x").mkString
+          val hdr = parseImageHeader(bytes)
+          (id, bytes.length.toLong, hex, hdr.map(_._1), hdr.map(_._2), hdr.map(_._3))
+        }
+      }
+      .toDF("media_id", "n_bytes", "payload_md5", "format", "width", "height")
+  }
+
   /** STUB decode: deterministic fake image decode. A real kernel
     * would parse the codec header; the stub derives stable pseudo
     * dimensions from a payload hash so plumbing (schema, nulls,
