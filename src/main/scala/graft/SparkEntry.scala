@@ -326,7 +326,7 @@ object SparkEntry {
     // header-parsed dimensions via the REAL per-partition batched
     // kernel (PNG/JPEG/GIF headers are parsed from actual bytes; text
     // payloads sniff to 'unknown' with null dims — pinned by the
-    // DuckDB oracle; real image bytes are pinned by MultimodalSpec).
+    // DuckDB oracle; real image bytes are pinned by MultimodalHeaderSpec).
     "q33_multimodal_features" -> ((s, d) => {
       val media = graft.sources.Multimodal.asMedia(docs(s, d), "doc_id", "text", "image")
       graft.sources.Multimodal.describeMedia(media)

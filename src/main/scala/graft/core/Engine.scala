@@ -31,6 +31,26 @@ object Engine {
       .config("spark.sql.session.timeZone", "UTC")
       .config("spark.ui.enabled", "false")
       .getOrCreate()
+    // getOrCreate() silently ignores withExtensions and every .config
+    // when a session already exists in the JVM (tests, notebooks,
+    // thriftserver). Re-register the SQL functions on the live session
+    // and re-assert the runtime-settable confs so the engine posture
+    // holds either way; warn on the ones fixed at session build.
+    GraftExtensions.register(spark)
+    Seq(
+      "spark.sql.shuffle.partitions" -> shufflePartitions.toString,
+      "spark.sql.adaptive.enabled" -> "true",
+      "spark.sql.adaptive.coalescePartitions.enabled" -> "true",
+      "spark.sql.adaptive.skewJoin.enabled" -> "true",
+      "spark.sql.optimizer.runtime.bloomFilter.enabled" -> "true",
+      "spark.sql.parquet.compression.codec" -> "zstd",
+      "spark.sql.session.timeZone" -> "UTC",
+    ).foreach { case (k, v) =>
+      try spark.conf.set(k, v)
+      catch { case _: org.apache.spark.sql.AnalysisException =>
+        System.err.println(s"[graft] reused session: cannot set $k=$v")
+      }
+    }
     spark.sparkContext.setLogLevel("WARN")
     spark
   }

@@ -66,8 +66,11 @@ class VectorMeanAgg(dim: Int)
   import org.apache.spark.sql.{Encoder, Encoders}
   override def zero: (Array[Double], Long) = (new Array[Double](dim), 0L)
   override def reduce(b: (Array[Double], Long), a: Seq[Double]): (Array[Double], Long) = {
-    var i = 0; while (i < dim) { b._1(i) += a(i); i += 1 }
-    (b._1, b._2 + 1)
+    if (a == null) b // null rows don't contribute (and mustn't NPE)
+    else {
+      var i = 0; while (i < dim) { b._1(i) += a(i); i += 1 }
+      (b._1, b._2 + 1)
+    }
   }
   override def merge(x: (Array[Double], Long), y: (Array[Double], Long)): (Array[Double], Long) = {
     var i = 0; while (i < dim) { x._1(i) += y._1(i); i += 1 }

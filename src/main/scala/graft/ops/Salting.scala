@@ -17,9 +17,17 @@ import org.apache.spark.sql.functions._
   */
 object Salting {
 
-  /** Deterministic per-row salt derived from stable row content. */
+  /** Per-row salt with a positional component: the hash mixes in
+    * `monotonically_increasing_id()` (partition id in the high bits,
+    * per-partition counter in the low bits), so even bitwise-identical
+    * rows under one hot key — the classic skew shape — fan out across
+    * all `factor` buckets. A content-only salt (hash of the row's
+    * columns) silently defeats itself exactly there: duplicated records
+    * all hash to ONE bucket. Not stable across runs/repartitioning —
+    * irrelevant for salting, where any spread is correct because the
+    * other side is replicated over every salt value. */
   def salt(factor: Int, on: Column*): Column =
-    pmod(hash((lit(42) +: on): _*), lit(factor))
+    pmod(hash((lit(42) +: monotonically_increasing_id() +: on): _*), lit(factor))
 
   /** Salted equi-join: `skewed` big side vs `other` side replicated
     * factor×. Result equals a plain inner join on `key`. */
@@ -27,7 +35,7 @@ object Salting {
                  factor: Int): DataFrame = {
     require(!skewed.columns.contains("__salt") && !other.columns.contains("__salt"),
       "input already has a __salt column")
-    val left = skewed.withColumn("__salt", salt(factor, skewed.columns.map(col): _*))
+    val left = skewed.withColumn("__salt", salt(factor))
     val right = other.withColumn("__salt", explode(sequence(lit(0), lit(factor - 1))))
     left.join(right, Seq(key, "__salt")).drop("__salt")
   }
@@ -39,7 +47,7 @@ object Salting {
                 partial: Column, partialAlias: String,
                 finalAgg: String => Column): DataFrame = {
     require(!df.columns.contains("__salt"), "input already has a __salt column")
-    df.withColumn("__salt", salt(factor, df.columns.map(col): _*))
+    df.withColumn("__salt", salt(factor))
       .groupBy(col(key), col("__salt"))
       .agg(partial.as(partialAlias))
       .groupBy(col(key))

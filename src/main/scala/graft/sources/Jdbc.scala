@@ -31,6 +31,10 @@ object Jdbc {
       val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(splitColumn)
       val row = spark.read.jdbc(url,
         s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b", props).head
+      // MIN/MAX are NULL on an empty table — partition bounds are
+      // meaningless there; read single-partition instead of NPEing.
+      if (row.isNullAt(0) || row.isNullAt(1))
+        return spark.read.jdbc(url, table, props)
       (row.getAs[Number](0).longValue, row.getAs[Number](1).longValue)
     }
     spark.read.jdbc(url, table, splitColumn, lo, hi, numPartitions, props)

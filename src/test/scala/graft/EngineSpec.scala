@@ -1,0 +1,34 @@
+package graft
+
+import graft.core.Engine
+
+/** Pins the getOrCreate() reuse path: when a SparkSession already
+  * exists in the JVM (exactly this test harness's situation),
+  * `withExtensions` and builder configs are silently ignored —
+  * Engine.session must still deliver the SQL-registered native
+  * functions and the runtime-settable engine confs. */
+class EngineSpec extends SparkSpec {
+
+  test("Engine.session on a pre-existing session still registers SQL functions") {
+    // the shared TestSpark session was built WITHOUT GraftExtensions
+    val s = Engine.session(shufflePartitions = 8) // keep the harness posture
+    assert(s eq spark, "getOrCreate must reuse the existing session")
+    val sh = s.sql("SELECT simhash64(array('alpha','beta')) AS h").head.getLong(0)
+    val direct = s.range(1).select(
+      graft.functions.SketchExpressions.simHash64(
+        org.apache.spark.sql.functions.array(
+          org.apache.spark.sql.functions.lit("alpha"),
+          org.apache.spark.sql.functions.lit("beta")))).head.getLong(0)
+    assert(sh == direct)
+    assert(s.sql("SELECT cosine_similarity(array(1.0,0.0), array(1.0,0.0)) AS c")
+      .head.getDouble(0) == 1.0)
+  }
+
+  test("Engine.session re-asserts runtime confs on a reused session") {
+    val s = Engine.session(shufflePartitions = 8)
+    assert(s.conf.get("spark.sql.adaptive.enabled") == "true")
+    assert(s.conf.get("spark.sql.session.timeZone") == "UTC")
+    assert(s.conf.get("spark.sql.parquet.compression.codec") == "zstd")
+    assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
+  }
+}

@@ -102,4 +102,26 @@ class VectorFunctionsSpec extends SparkSpec {
     val df = Seq((Seq(0.0f, 0.0f), Seq(1.0f, 2.0f))).toDF("a", "b")
     assert(df.select(VectorFunctions.cosineFast(col("a"), col("b"))).head.isNullAt(0))
   }
+
+  test("vectorMean aggregates elementwise means per group (partial-merging udaf)") {
+    val df = Seq(
+      ("a", Seq(1.0, 2.0, 3.0)), ("a", Seq(3.0, 4.0, 5.0)),
+      ("b", Seq(10.0, 0.0, -2.0))).toDF("k", "v")
+      // spread group 'a' over partitions so merge() actually runs
+      .repartition(4)
+    val mean = VectorFunctions.vectorMean(3)
+    val out = df.groupBy("k").agg(mean(col("v")).as("m"))
+      .orderBy("k").as[(String, Seq[Double])].collect()
+    assert(out(0) == (("a", Seq(2.0, 3.0, 4.0))))
+    assert(out(1) == (("b", Seq(10.0, 0.0, -2.0))))
+  }
+
+  test("vectorMean of an empty group is null") {
+    val df = Seq(("a", null.asInstanceOf[Seq[Double]])).toDF("k", "v")
+    val mean = VectorFunctions.vectorMean(3)
+    // Aggregator semantics: null inputs are skipped before reduce, so
+    // an all-null group hits finish() with count 0 → null
+    val r = df.groupBy("k").agg(mean(col("v")).as("m")).head
+    assert(r.isNullAt(1))
+  }
 }

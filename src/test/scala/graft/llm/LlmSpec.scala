@@ -48,6 +48,17 @@ class DedupSpec extends SparkSpec {
     assert(recall >= 0.5, s"simhash recall $recall over ${exact.size} pairs")
   }
 
+  test("minHashVerifiedPairs equals the exact n-gram Jaccard answer") {
+    // the sketch→verify pipeline must reproduce the exact oracle's
+    // output bit-for-bit on the fixture (q27 === q25's contract)
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("id1", "id2").collect().toSeq
+    val verified = Dedup.minHashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+      .orderBy("id1", "id2").collect().toSeq
+    assert(exact.nonEmpty)
+    assert(verified == exact)
+  }
+
   test("short docs with trailing space never emit empty-signature pairs") {
     // split-semantics trap: Spark's split("a b ") keeps a trailing
     // empty token while the native tokenizer drops it; docs below the

@@ -1,0 +1,65 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Similarity.cosineNearDupsLsh]] — the scale-safe (no trusted
+  * block key) embedding near-dup path — against the exact all-pairs
+  * answer on a corpus small enough to brute-force.
+  */
+class LshNearDupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val dim = 16
+
+  /** 20 clusters of 3 near-identical vectors + 40 singletons, seeded. */
+  private lazy val emb = {
+    val rnd = new scala.util.Random(11)
+    def vec() = Array.fill(dim)(rnd.nextGaussian().toFloat)
+    def jitter(v: Array[Float]) = v.map(x => x + (rnd.nextGaussian() * 0.02).toFloat)
+    val rows = (0 until 20).flatMap { c =>
+      val base = vec()
+      Seq((c * 3L, base), (c * 3L + 1, jitter(base)), (c * 3L + 2, jitter(base)))
+    } ++ (0 until 40).map(i => (1000L + i, vec()))
+    rows.toDF("vec_id", "embedding")
+  }
+
+  // exact all-pairs baseline: cosineNearDups with one global block is
+  // a true brute-force on this 100-row corpus
+  private def exactPairs(threshold: Double): Set[(Long, Long)] =
+    Similarity.cosineNearDups(emb.withColumn("blk", lit(1)), "blk", threshold)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+
+  test("cosineNearDupsLsh finds only true pairs (precision 1 by construction)") {
+    val exact = exactPairs(0.9)
+    val lsh = Similarity.cosineNearDupsLsh(emb, dim, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), s"false positives: ${lsh.diff(exact)}")
+  }
+
+  test("cosineNearDupsLsh recall ≥ 0.8 vs exact all-pairs at high similarity") {
+    val exact = exactPairs(0.9)
+    assert(exact.size >= 20, s"fixture must plant near-dup pairs, got ${exact.size}")
+    val lsh = Similarity.cosineNearDupsLsh(emb, dim, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val recall = lsh.intersect(exact).size.toDouble / exact.size
+    assert(recall >= 0.8, f"recall $recall%.2f < 0.8 (|exact|=${exact.size}, |lsh|=${lsh.size})")
+  }
+
+  test("cosineNearDupsLsh sims match the exact computation on found pairs") {
+    val exact = Similarity.cosineNearDups(emb.withColumn("blk", lit(1)), "blk", 0.9)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+      .map(t => (t._1, t._2) -> t._3).toMap
+    val lsh = Similarity.cosineNearDupsLsh(emb, dim, 0.9)
+      .select("id1", "id2", "sim").as[(Long, Long, Double)].collect()
+    lsh.foreach { case (a, b, s) => assert(exact((a, b)) == s) }
+  }
+
+  test("lshBucket raises on embedding dimension mismatch") {
+    val bad = Seq((1L, Array.fill(dim + 1)(0.5f))).toDF("vec_id", "embedding")
+    val e = intercept[Exception] {
+      bad.select(Similarity.lshBucket(col("embedding"), dim)).collect()
+    }
+    assert(e.getMessage != null)
+  }
+}

@@ -25,6 +25,18 @@ class SaltingSpec extends SparkSpec {
     assert(salts > 4, s"hot key only hit $salts salt buckets")
   }
 
+  test("bitwise-identical duplicate rows under a hot key still fan out") {
+    // the classic skew shape: one key, duplicated records. A salt
+    // derived from row content alone maps all of these to ONE bucket —
+    // the positional component must spread them anyway.
+    val dupes = spark.range(10000).select(lit(0L).as("k"), lit(7L).as("v"))
+    val buckets = dupes.withColumn("s", Salting.salt(8)).select("s").distinct().count()
+    assert(buckets > 4, s"duplicate rows hit only $buckets salt buckets")
+    // and the salted join over them still equals the plain join
+    val plain = dupes.join(dim, "k").count()
+    assert(Salting.saltedJoin(dupes, dim, "k", 8).count() == plain)
+  }
+
   test("saltedAgg equals the plain aggregation") {
     val plain = skewed.groupBy("k").agg(sum("v").as("sv"))
     val salted = Salting.saltedAgg(skewed, "k", 8, sum(col("v")), "sv", c => sum(col(c)))

@@ -25,4 +25,12 @@ class JdbcSpec extends SparkSpec {
     assert(back.rdd.getNumPartitions == 4)
     assert(back.count() == customer.count())
   }
+
+  test("range-partitioned read of an empty table returns empty instead of NPE") {
+    val empty = graft.core.Tables.nation(spark, sf).where("n_nationkey < 0")
+    Jdbc.write(empty, url, "empty_t", SaveMode.Overwrite)
+    // MIN/MAX are NULL here — the reader must fall back to a plain read
+    val back = Jdbc.readPartitioned(spark, url, "empty_t", "n_nationkey", 4)
+    assert(back.count() == 0)
+  }
 }

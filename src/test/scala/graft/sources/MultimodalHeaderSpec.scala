@@ -1,0 +1,114 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Multimodal.parseImageHeader]] and [[Multimodal.describeMedia]]
+  * with REAL container bytes: hand-built minimal PNG / GIF / JPEG
+  * headers (inline-golden style, like the reference's embedded fixture
+  * strings in hadoop-streaming's TestStreaming.java). The q33 oracle
+  * only pins the text-payload path ('unknown'/null dims); these pin the
+  * image branches.
+  */
+class MultimodalHeaderSpec extends SparkSpec {
+  import spark.implicits._
+
+  /** Minimal valid PNG prefix: 8-byte signature + IHDR chunk header
+    * with width/height as big-endian u32 at offsets 16/20. */
+  private def png(w: Int, h: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(33) // big-endian by default
+    b.put(Array(0x89, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a).map(_.toByte))
+    b.putInt(13).put("IHDR".getBytes("US-ASCII"))
+    b.putInt(w).putInt(h)
+    b.put(Array[Byte](8, 6, 0, 0, 0)) // depth, color, compression, filter, interlace
+    b.array()
+  }
+
+  /** GIF89a header: magic + logical screen descriptor (w/h LE16 at 6/8). */
+  private def gif(w: Int, h: Int): Array[Byte] =
+    "GIF89a".getBytes("US-ASCII") ++ Array(
+      (w & 0xff).toByte, ((w >> 8) & 0xff).toByte,
+      (h & 0xff).toByte, ((h >> 8) & 0xff).toByte,
+      0xf7.toByte, 0.toByte, 0.toByte)
+
+  /** JPEG: SOI, APP0 (skipped by the marker walk), then a SOFn frame
+    * header carrying height/width as big-endian u16 at payload +5/+7. */
+  private def jpeg(w: Int, h: Int, sofMarker: Int = 0xC0): Array[Byte] = {
+    val app0 = Array(0xFF, 0xE0, 0x00, 0x10) ++ Array.fill(14)(0)
+    val sof = Array(0xFF, sofMarker, 0x00, 0x11, 8,
+      (h >> 8) & 0xff, h & 0xff, (w >> 8) & 0xff, w & 0xff) ++ Array.fill(10)(0)
+    (Array(0xFF, 0xD8) ++ app0 ++ sof).map(_.toByte)
+  }
+
+  test("parseImageHeader reads PNG IHDR dimensions") {
+    assert(Multimodal.parseImageHeader(png(640, 480)) == Some(("png", 640, 480)))
+    assert(Multimodal.parseImageHeader(png(1, 1)) == Some(("png", 1, 1)))
+    assert(Multimodal.parseImageHeader(png(65535, 3)) == Some(("png", 65535, 3)))
+  }
+
+  test("parseImageHeader reads the GIF logical screen descriptor (little-endian)") {
+    assert(Multimodal.parseImageHeader(gif(320, 200)) == Some(("gif", 320, 200)))
+    assert(Multimodal.parseImageHeader(gif(300, 1)) == Some(("gif", 300, 1))) // >255: both LE bytes used
+    val gif87 = gif(12, 34); gif87(4) = '7'.toByte
+    assert(Multimodal.parseImageHeader(gif87) == Some(("gif", 12, 34)))
+  }
+
+  test("parseImageHeader walks JPEG markers to the first SOF frame") {
+    assert(Multimodal.parseImageHeader(jpeg(1024, 768)) == Some(("jpeg", 1024, 768)))
+    // progressive (SOF2) parses the same way
+    assert(Multimodal.parseImageHeader(jpeg(99, 44, sofMarker = 0xC2)) == Some(("jpeg", 99, 44)))
+    // a DHT segment (C4) before the frame is skipped, not parsed as SOF
+    val dht = Array(0xFF, 0xC4, 0x00, 0x04, 0, 0).map(_.toByte)
+    val withDht = Array(0xFF, 0xD8).map(_.toByte) ++ dht ++ jpeg(7, 9).drop(2)
+    assert(Multimodal.parseImageHeader(withDht) == Some(("jpeg", 7, 9)))
+  }
+
+  test("parseImageHeader rejects non-image and truncated payloads") {
+    assert(Multimodal.parseImageHeader("plain text".getBytes) == None)
+    assert(Multimodal.parseImageHeader(null) == None)
+    assert(Multimodal.parseImageHeader(Array.empty[Byte]) == None)
+    assert(Multimodal.parseImageHeader(png(10, 10).take(20)) == None) // < 24 bytes
+    assert(Multimodal.parseImageHeader("GIF8".getBytes) == None)
+    assert(Multimodal.parseImageHeader(Array(0xFF, 0xD8).map(_.toByte)) == None) // SOI only
+  }
+
+  test("describeMedia surfaces real dimensions for image payloads and nulls for text") {
+    val rows = Seq(
+      (1L, png(800, 600)),
+      (2L, gif(64, 32)),
+      (3L, jpeg(1920, 1080)),
+      (4L, "just some text".getBytes("UTF-8")),
+      (5L, null.asInstanceOf[Array[Byte]]))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
+    val out = Multimodal.describeMedia(media)
+      .orderBy("media_id")
+      .collect()
+      .map(r => (r.getLong(0), r.getLong(1), r.getString(2),
+        Option(r.getString(3)), Option(r.get(4)), Option(r.get(5))))
+
+    def md5hex(b: Array[Byte]) =
+      java.security.MessageDigest.getInstance("MD5").digest(b).map(x => f"$x%02x").mkString
+
+    assert(out(0) == ((1L, png(800, 600).length.toLong, md5hex(png(800, 600)),
+      Some("png"), Some(800), Some(600))))
+    assert(out(1) == ((2L, gif(64, 32).length.toLong, md5hex(gif(64, 32)),
+      Some("gif"), Some(64), Some(32))))
+    assert(out(2) == ((3L, jpeg(1920, 1080).length.toLong, md5hex(jpeg(1920, 1080)),
+      Some("jpeg"), Some(1920), Some(1080))))
+    assert(out(3) == ((4L, 14L, md5hex("just some text".getBytes("UTF-8")), None, None, None)))
+    assert(out(4) == ((5L, 0L, md5hex(Array.empty[Byte]), None, None, None)))
+  }
+
+  test("extractFeaturesBatched preserves order and batches payloads") {
+    val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
+    val out = Multimodal.extractFeaturesBatched(media, batchSize = 3)()
+      .orderBy("media_id").collect()
+    assert(out.map(_.getLong(0)).toSeq == (0L until 10L))
+    // features are the deterministic stub kernel's output, row-aligned
+    val expect = Multimodal.stubBatchKernel(rows.map(_._2))
+    out.zip(expect).foreach { case (r, e) =>
+      assert(r.getSeq[Double](1) == e.toSeq)
+    }
+  }
+}
