@@ -321,6 +321,26 @@ object SparkEntry {
         .orderBy("event_id")
     }),
 
+    // Reduce-side tagged join (hadoop-datajoin): tag each source, one
+    // shuffle on the key, per-key cross product through the theta
+    // `combine` — here the inner-join combine, so the output equals the
+    // SQL inner join and shares its oracle. The cap is lifted because
+    // the oracle demands exact multiplicities.
+    "q38_datajoin" -> ((s, d) => {
+      import s.implicits._
+      val o = ord(s, d).select(col("o_custkey").as("key"), col("o_orderkey"))
+      val c = cust(s, d).select(col("c_custkey").as("key"), col("c_name"))
+      val tagged = graft.ops.DataJoin.taggedLines(Seq(("C", c), ("O", o)), "key")
+      graft.ops.DataJoin.taggedJoin(tagged, maxValuesPerKey = Long.MaxValue)(
+          graft.ops.DataJoin.innerCombine(2))
+        .toDF("line")
+        .select(
+          split(col("line"), "\t").getItem(0).cast("long").as("custkey"),
+          split(col("line"), "\t").getItem(1).as("c_name"),
+          split(col("line"), "\t").getItem(2).cast("long").as("o_orderkey"))
+        .orderBy("o_orderkey")
+    }),
+
     // Multimodal media inspection over documents treated as binary
     // payloads: byte length, MD5, magic-number format sniff and
     // header-parsed dimensions via the REAL per-partition batched
@@ -565,6 +585,11 @@ object SparkEntry {
         |FROM events e JOIN iv ON e.user_id = iv.user_id
         |  AND e.ts >= iv.start_ts AND e.ts < iv.end_ts
         |ORDER BY e.event_id""".stripMargin,
+
+    "q38_datajoin" ->
+      """SELECT CAST(o_custkey AS BIGINT) AS custkey, c_name, CAST(o_orderkey AS BIGINT) AS o_orderkey
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |ORDER BY o_orderkey""".stripMargin,
 
     "q32_embed_neardup" ->
       """SELECT a.vec_id AS id1, b.vec_id AS id2,
