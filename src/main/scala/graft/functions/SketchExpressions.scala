@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
@@ -94,19 +94,29 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
-/** Distinct 31-bit hashes of word n-gram shingles, straight from the
-  * text: tokenize on single spaces, hash each n-token window with
-  * FNV-1a (tokens separated by NUL), dedup in a hash set. Never
-  * materializes shingle strings — the dominant cost of the
-  * `transform`+`concat_ws` column tier (~20× slower at corpus scale). */
-case class ShingleHashes(child: Expression, n: Int)
+/** Distinct hashes of word n-gram shingles, straight from the text:
+  * tokenize on single spaces (keeping empty tokens, exactly like Spark
+  * SQL `split(text, ' ')` — the column tier this must agree with), hash
+  * each n-token window with FNV-1a (tokens separated by NUL), dedup in
+  * a hash set. Never materializes shingle strings — the dominant cost
+  * of the `transform`+`concat_ws` column tier (~20× slower at corpus
+  * scale).
+  *
+  * `mask31` = true (default) folds each hash to 31 bits — the width
+  * [[MinHashSignature]]'s affine family needs (see its modulus note).
+  * `mask31` = false keeps the full 64-bit hash: used when the hash SET
+  * itself stands in for the shingle set (exact-Jaccard verification),
+  * where 31-bit cross-doc collisions (~1e-4 per pair at 500 shingles)
+  * would perturb the intersection count; at 64 bits the collision odds
+  * per pair are ~1e-14. */
+case class ShingleHashes(child: Expression, n: Int, mask31: Boolean = true)
     extends UnaryExpression with CodegenFallback {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(' ')
+    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
     if (toks.length < n) new GenericArrayData(Array.emptyLongArray)
     else {
       val seen = new java.util.LinkedHashSet[java.lang.Long]()
@@ -121,7 +131,7 @@ case class ShingleHashes(child: Expression, n: Int)
           h ^= 0L; h *= 0x100000001b3L // NUL separator between tokens
           k += 1
         }
-        seen.add(h & 0x7FFFFFFFL)
+        seen.add(if (mask31) h & 0x7FFFFFFFL else h)
         i += 1
       }
       val out = new Array[Long](seen.size)
@@ -134,9 +144,151 @@ case class ShingleHashes(child: Expression, n: Int)
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** Little-endian packing of an array<long> into binary. Array columns
+  * in the columnar cache are reassembled element-by-element on every
+  * read (measured ~14 executor-seconds for 5000 rows × ~116 longs at
+  * sf0.1); a binary column is one memcpy. The packed form is the cache/
+  * shuffle representation of sketches; [[SigAgreeCount]],
+  * [[PackedIntersectCount]] and [[BandKeys]] consume it directly. */
+case class PackLongs(child: Expression) extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = BinaryType
+  override def prettyName: String = "pack_longs"
+  override def nullSafeEval(input: Any): Any = {
+    val arr = input.asInstanceOf[ArrayData]
+    val n = arr.numElements()
+    val out = new Array[Byte](n * 8)
+    var i = 0
+    while (i < n) {
+      var v = arr.getLong(i); var k = 0
+      while (k < 8) { out(i * 8 + k) = (v & 0xff).toByte; v >>>= 8; k += 1 }
+      i += 1
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+private object Packed {
+  /** Long at element index i of a little-endian packed array. */
+  def longAt(b: Array[Byte], i: Int): Long = {
+    var v = 0L; var k = 7
+    while (k >= 0) { v = (v << 8) | (b(i * 8 + k) & 0xffL); k -= 1 }
+    v
+  }
+}
+
+/** Number of positions where two equal-length packed long arrays agree —
+  * the MinHash signature-agreement count (Jaccard estimate × width). */
+case class SigAgreeCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sig_agree_count"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
+    val n = math.min(a.length, b.length) / 8
+    var c = 0; var i = 0
+    while (i < n) {
+      if (Packed.longAt(a, i) == Packed.longAt(b, i)) c += 1
+      i += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** |A ∩ B| of two packed distinct-long sets, via an open-addressed
+  * primitive hash probe — no boxing, no per-row collection churn. */
+case class PackedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with CodegenFallback {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "packed_intersect_count"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    var a = l.asInstanceOf[Array[Byte]]; var b = r.asInstanceOf[Array[Byte]]
+    if (a.length > b.length) { val t = a; a = b; b = t } // build on smaller
+    val n = a.length / 8
+    if (n == 0) 0
+    else {
+      var cap = 16
+      while (cap < n * 2) cap <<= 1
+      val table = new Array[Long](cap); val used = new Array[Boolean](cap)
+      var i = 0
+      while (i < n) {
+        val v = Packed.longAt(a, i)
+        var slot = (java.lang.Long.hashCode(v * 0x9E3779B97F4A7C15L) & (cap - 1))
+        while (used(slot) && table(slot) != v) slot = (slot + 1) & (cap - 1)
+        used(slot) = true; table(slot) = v
+        i += 1
+      }
+      val m = b.length / 8
+      var c = 0; var j = 0
+      while (j < m) {
+        val v = Packed.longAt(b, j)
+        var slot = (java.lang.Long.hashCode(v * 0x9E3779B97F4A7C15L) & (cap - 1))
+        var hit = false; var cont = true
+        while (cont && used(slot)) {
+          if (table(slot) == v) { hit = true; cont = false }
+          else slot = (slot + 1) & (cap - 1)
+        }
+        if (hit) c += 1
+        j += 1
+      }
+      c
+    }
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
+/** LSH band keys from a packed MinHash signature: one int key per band,
+  * mixing that band's `rowsPerBand` signature words. Output array<int>
+  * of length `bands` — posexplode gives (band, key) rows without any
+  * per-band array slicing. */
+case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
+    extends UnaryExpression with CodegenFallback {
+  override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
+  override def prettyName: String = "band_keys"
+  override def nullSafeEval(input: Any): Any = {
+    val sig = input.asInstanceOf[Array[Byte]]
+    val out = new Array[Int](bands)
+    var b = 0
+    while (b < bands) {
+      var h = 0xcbf29ce484222325L
+      var k = 0
+      while (k < rowsPerBand) {
+        var v = Packed.longAt(sig, b * rowsPerBand + k)
+        var byteI = 0
+        while (byteI < 8) { h ^= (v & 0xffL); h *= 0x100000001b3L; v >>>= 8; byteI += 1 }
+        k += 1
+      }
+      out(b) = (h ^ (h >>> 32)).toInt
+      b += 1
+    }
+    new GenericArrayData(out)
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
 object SketchExpressions {
   def shingleHashes(text: Column, n: Int): Column =
     ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n))
+
+  /** Full-64-bit shingle hashes — the collision-safe stand-in for the
+    * shingle string set in exact-Jaccard verification. */
+  def shingleHashes64(text: Column, n: Int): Column =
+    ColumnBridge.column(ShingleHashes(ColumnBridge.expression(text), n, mask31 = false))
+
+  def packLongs(arr: Column): Column =
+    ColumnBridge.column(PackLongs(ColumnBridge.expression(arr)))
+
+  def sigAgreeCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SigAgreeCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def packedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(PackedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  def bandKeys(packedSig: Column, bands: Int, rowsPerBand: Int): Column =
+    ColumnBridge.column(BandKeys(ColumnBridge.expression(packedSig), bands, rowsPerBand))
 
   def minHashSignature(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), a, b))

@@ -180,22 +180,8 @@ object Dedup {
   def candidatesFromSignatures(sigs: DataFrame, minEst: Double,
                                maxBucketSize: Int = DefaultMaxBucketSize,
                                bands: Int = NumBands,
-                               rowsPerBand: Int = RowsPerBand): DataFrame = {
-    require(bands * rowsPerBand <= NumHashes,
-      s"banding $bands×$rowsPerBand exceeds the $NumHashes-hash signature")
-    val banded = sigs.select(col("doc_id"),
-      explode(array((0 until bands).map(b =>
-        struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)).as("bb"))
-      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
-    val hot = banded.groupBy("band", "bkey").agg(count("*").as("c"))
-      .where(col("c") > maxBucketSize).select("band", "bkey")
-    val kept = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
-    val pairs = kept.alias("a").join(kept.alias("b"),
-        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
-          col("a.doc_id") < col("b.doc_id"))
-      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .dropDuplicates("id1", "id2")
-    pairs
+                               rowsPerBand: Int = RowsPerBand): DataFrame =
+    bandedPairs(sigs, bands, rowsPerBand, maxBucketSize)
       .join(sigs.select(col("doc_id").as("id1"), col("sig").as("sig1")), "id1")
       .join(sigs.select(col("doc_id").as("id2"), col("sig").as("sig2")), "id2")
       .withColumn("est_jaccard",
@@ -203,6 +189,40 @@ object Dedup {
           .cast("double") / lit(NumHashes.toDouble))
       .where(col("est_jaccard") >= minEst)
       .select(col("id1"), col("id2"), round(col("est_jaccard"), 4).as("est_jaccard"))
+
+  /** Distinct candidate (id1, id2) pairs sharing ≥1 band bucket, from a
+    * frame carrying (doc_id, sig) — the LSH core shared by
+    * [[candidatesFromSignatures]] and [[minHashVerifiedPairs]]. Persist
+    * the input: it feeds the two sides of the bucket self-join. The
+    * bucket shuffle ships ids only (no signature payload); buckets
+    * larger than `maxBucketSize` are excluded via a broadcast anti-join
+    * on the (tiny, usually empty) hot-bucket list — see
+    * [[candidatesFromSignatures]]'s scale note. */
+  def bandedPairs(sigs: DataFrame, bands: Int, rowsPerBand: Int,
+                               maxBucketSize: Int): DataFrame =
+    pairsFromBandRows(bandRows(sigs, bands, rowsPerBand), maxBucketSize)
+
+  /** The (doc_id, band, bkey) band table: `bands` rows per doc, ids and
+    * two ints only — the narrow frame every candidate branch consumes. */
+  def bandRows(sigs: DataFrame, bands: Int, rowsPerBand: Int): DataFrame = {
+    require(bands * rowsPerBand <= NumHashes,
+      s"banding $bands×$rowsPerBand exceeds the $NumHashes-hash signature")
+    sigs.select(col("doc_id"),
+      explode(array((0 until bands).map(b =>
+        struct(lit(b).as("band"), hash(slice(col("sig"), b * rowsPerBand + 1, rowsPerBand)).as("bkey"))): _*)).as("bb"))
+      .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
+  }
+
+  /** Distinct (id1, id2) pairs sharing ≥1 (band, bkey) bucket. */
+  private def pairsFromBandRows(banded: DataFrame, maxBucketSize: Int): DataFrame = {
+    val hot = banded.groupBy("band", "bkey").agg(count("*").as("c"))
+      .where(col("c") > maxBucketSize).select("band", "bkey")
+    val kept = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    kept.alias("a").join(kept.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") < col("b.doc_id"))
+      .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .dropDuplicates("id1", "id2")
   }
 
   /** Sketch→verify near-dup pipeline: MinHash-LSH proposes candidate
@@ -221,23 +241,76 @@ object Dedup {
   def minHashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            minEst: Double = 0.2): DataFrame = {
-    val cand = minHashCandidates(df, idCol, textCol, n, minEst,
-      bands = 32, rowsPerBand = 2).select("id1", "id2")
-    // The shingle frame feeds BOTH verification join branches (id1,
-    // id2); persist it or the docs parquet is re-scanned and
-    // wordShingles re-evaluated per branch (measured 3.8× on the
-    // sf0.1 bench). Freed by ContextCleaner with the result frame.
-    val sh = df.select(col(idCol).as("doc_id"),
-      TextFunctions.wordShingles(col(textCol), n).as("sh"))
+    import graft.functions.{SketchExpressions => SE}
+    // ONE corpus scan computes both sketches side by side: the MinHash
+    // signature (drives candidates) and the 64-bit shingle-hash set
+    // (stands in for the shingle set at verification — collision odds
+    // ~1e-14/pair, vs the string-shingle frame this replaces, whose
+    // array materialization was ~20× the cost of the fused hash loop).
+    // Both are cached PACKED as binary: array-typed columns are
+    // reassembled element-by-element on every columnar-cache read
+    // (measured ~14 executor-seconds at sf0.1), binary is one memcpy.
+    // Persist BEFORE the no-shingle filter: a `.where` on the computed
+    // column is pushed below the projection into the scan, evaluating
+    // the whole sketch twice (observed in the plan).
+    val sketch = widen(df).select(col(idCol).as("doc_id"),
+        SE.packLongs(minHashSignature(col(textCol), n)).as("sigb"),
+        SE.packLongs(SE.shingleHashes64(col(textCol), n)).as("shhb"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // Materialize the sketch ONCE before the plan fans out: AQE submits
+    // the downstream shuffle stages as concurrent jobs, and uncached
+    // racing branches each recompute the whole corpus sketch (observed:
+    // 4 concurrent ~1 s sketch jobs at sf0.1 before this count).
+    sketch.count()
+    // docs with no shingles (< n tokens) have an empty shingle set and
+    // the all-sentinel signature; drop them here (they would all
+    // LSH-collide) — length() on the cached binary, nothing recomputed
+    val base = sketch.where(length(col("shhb")) > 0)
+    // The band table is consumed by three branches (bucket-size count,
+    // both self-join sides); it is tiny (id + 2 ints, `bands` rows per
+    // doc) and primitive-typed, so cache it too. Recall-oriented 32×2
+    // banding — see the s-curve note in the scaladoc.
+    val banded = base.select(col("doc_id"),
+        posexplode(SE.bandKeys(col("sigb"), 32, 2)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    banded.count()
+    val cand = pairsFromBandRows(banded, DefaultMaxBucketSize)
     cand
-      .join(sh.select(col("doc_id").as("id1"), col("sh").as("sh1")), "id1")
-      .join(sh.select(col("doc_id").as("id2"), col("sh").as("sh2")), "id2")
-      .withColumn("inter", size(array_intersect(col("sh1"), col("sh2"))))
+      .join(base.select(col("doc_id").as("id1"), col("sigb").as("sig1"), col("shhb").as("sh1")), "id1")
+      .join(base.select(col("doc_id").as("id2"), col("sigb").as("sig2"), col("shhb").as("sh2")), "id2")
+      // cheap 64-word signature gate first: And short-circuits, so the
+      // O(|sh1|+|sh2|) exact intersection runs only on survivors
+      .withColumn("est", SE.sigAgreeCount(col("sig1"), col("sig2"))
+        .cast("double") / lit(NumHashes.toDouble))
+      .where(col("est") >= minEst)
+      .withColumn("inter", SE.packedIntersectCount(col("sh1"), col("sh2")))
       .withColumn("jaccard", col("inter").cast("double") /
-        (size(col("sh1")) + size(col("sh2")) - col("inter")))
+        ((length(col("sh1")) + length(col("sh2"))) / 8 - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Sketch passes are CPU-bound map work; a small input (one parquet
+    * split — the local-bench shape) would run them single-threaded.
+    * Widen only when the scan has fewer splits than a modest byte-based
+    * target (~4 MB of input per task, min 8, capped at the cluster's
+    * slots): at 100 TB the scan already has more splits than slots and
+    * no shuffle is added, while a tiny input is neither serialized on
+    * one core nor burdened with `slots` near-empty shuffle-map tasks
+    * (per-task fixed cost dominates below a few MB per task). */
+  private def widen(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= slots) df
+    else {
+      val bytes = try df.inputFiles.map(p =>
+        new java.io.File(new java.net.URI(p).getPath).length).sum
+      catch { case _: Exception => Long.MaxValue }
+      val target = math.max(math.min(slots.toLong, bytes / (4L << 20) + 1).toInt,
+        math.min(8, slots))
+      if (parts >= target) df else df.repartition(target)
+    }
   }
 
   // ---------------------------------------------------------------- SimHash

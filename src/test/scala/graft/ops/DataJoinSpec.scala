@@ -33,8 +33,9 @@ class DataJoinSpec extends SparkSpec {
   }
 
   test("inner combine equals the SQL 3-way inner join (multiplicities included)") {
+    val n = srcs // local copy: the combine closure must not capture the suite
     val got = DataJoin.taggedJoin(tagged) { (k, tags, vs) =>
-      if (tags.length == srcs) Some((k, vs(0), vs(1), vs(2))) else None
+      if (tags.length == n) Some((k, vs(0), vs(1), vs(2))) else None
     }.toDF("k", "v0", "v1", "v2")
     val Seq((_, a), (_, b), (_, c)) = sources
     val want = a.select(col("k"), col("v").as("v0"))
@@ -57,8 +58,9 @@ class DataJoinSpec extends SparkSpec {
   }
 
   test("combine returning None filters tuples (reference null path)") {
+    val n = srcs // local copy: the combine closure must not capture the suite
     val got = DataJoin.taggedJoin(tagged) { (k, tags, vs) =>
-      if (tags.length == srcs && k % 2 == 0) Some(k) else None
+      if (tags.length == n && k % 2 == 0) Some(k) else None
     }
     assert(got.collect().toSet == (0 until srcs * 2 + 1).filter(_ % 2 == 0).map(_.toLong).toSet)
   }
