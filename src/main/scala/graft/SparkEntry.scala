@@ -279,6 +279,17 @@ object SparkEntry {
       Similarity.cosineNearDups(emb(s, d), "label", 0.35)
         .orderBy("id1", "id2")),
 
+    // Embedding near-dup blocked by hyperplane LSH bucket — the
+    // scale-safe sibling of q32 (no trusted block key; occupancy
+    // ~ corpus/2^planes; multi-probe covers single-bit splits). The
+    // oracle recomputes the same seeded plane family, buckets, probes
+    // and cosine in DuckDB (planes inlined as SQL literals), so the
+    // whole pipeline — bucketing, probing, pair join, verification —
+    // is checked cross-engine.
+    "q37_embed_neardup_lsh" -> ((s, d) =>
+      Similarity.cosineNearDupsLsh(emb(s, d), 64, 0.35)
+        .orderBy("id1", "id2")),
+
     // IVF ANN in its exhaustive-probe configuration (nProbe = k): the
     // full pipeline runs — Lloyd centroid build, posting-list
     // assignment, probe join, exact rank — and probing every list makes
@@ -596,6 +607,105 @@ object SparkEntry {
         |  ROUND(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])),4) AS sim
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q28_simhash_neardup" -> simHashOracleSql(maxHamming = 6),
+    "q31_ann_lsh" -> lshTopKOracleSql(nPlanes = 4, k = 5),
+    "q37_embed_neardup_lsh" -> lshNearDupOracleSql(nPlanes = 8, threshold = 0.35)
   )
+
+  // ------------------------------------------------- generated oracles
+  //
+  // These three queries are deterministic sketch algorithms (seeded
+  // hyperplanes / FNV-1a SimHash), so their DuckDB oracles recompute
+  // the SAME algorithm from the raw tables in SQL — planes inlined as
+  // literals, FNV in HUGEINT mod-2^64 arithmetic — rather than trusting
+  // any Spark-side value. Cross-engine agreement checks tokenization,
+  // hashing, bucketing, probing, the pair joins and the final ranking/
+  // threshold semantics end to end.
+
+  /** DuckDB SQL literal for the seeded hyperplane family — the same
+    * doubles [[graft.llm.Similarity.lshBucket]] uses (Double.toString
+    * round-trips exactly; DuckDB parses to the nearest double = the
+    * same value). */
+  private def planesSqlLit(dim: Int, n: Int): String =
+    graft.llm.Similarity.planeFamily(dim, n)
+      .map(_.mkString("[", ",", "]::DOUBLE[]")).mkString("[", ", ", "]")
+
+  /** Bucket expression over column `emb` (DOUBLE[]) given plane list
+    * column `ps`. The projection fold is list_prepend(0.0)+reduce so
+    * the double additions happen in exactly the order of Spark's
+    * `aggregate(zip_with(...), 0.0, _+_)` — bit-identical signs. */
+  private def bucketSqlExpr(nPlanes: Int): String =
+    (0 until nPlanes).map { i =>
+      s"""(CASE WHEN list_reduce(list_prepend(0.0::DOUBLE,
+         |  list_transform(list_zip(emb, ps[${i + 1}]), s -> s[1]*s[2])), (a,b) -> a+b) >= 0
+         |  THEN ${1 << i} ELSE 0 END)""".stripMargin
+    }.mkString(" + ")
+
+  private def probesSqlList(nPlanes: Int): String =
+    ("bucket" +: (0 until nPlanes).map(i => s"xor(bucket, ${1 << i})")).mkString("[", ", ", "]")
+
+  /** Oracle for q31: recompute buckets with the inlined plane family,
+    * gather each query's multi-probe candidates, rank by exact cosine. */
+  private def lshTopKOracleSql(nPlanes: Int, k: Int): String =
+    s"""WITH pl AS (SELECT ${planesSqlLit(64, nPlanes)} AS ps),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${bucketSqlExpr(nPlanes)} AS bucket FROM e, pl),
+       |q AS (SELECT vec_id AS qid, unnest(${probesSqlList(nPlanes)}) AS bucket
+       |      FROM b WHERE vec_id < 5),
+       |cand AS (SELECT DISTINCT qid, c.vec_id AS vec_id
+       |         FROM q JOIN b c USING (bucket) WHERE c.vec_id <> qid),
+       |sims AS (SELECT qid, cand.vec_id AS vec_id,
+       |           list_cosine_similarity(qb.emb, cb.emb) AS s
+       |         FROM cand JOIN b qb ON qb.vec_id = qid
+       |                   JOIN b cb ON cb.vec_id = cand.vec_id),
+       |r AS (SELECT qid, vec_id, s,
+       |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims)
+       |SELECT qid, vec_id, rnk, ROUND(s,4) AS sim FROM r WHERE rnk <= $k ORDER BY qid, rnk""".stripMargin
+
+  /** Oracle for q37: same bucket recomputation; candidate pairs share
+    * the left side's exact bucket with any of the right side's probe
+    * buckets (id1 < id2, distinct), verified by exact cosine. */
+  private def lshNearDupOracleSql(nPlanes: Int, threshold: Double): String =
+    s"""WITH pl AS (SELECT ${planesSqlLit(64, nPlanes)} AS ps),
+       |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
+       |b AS (SELECT vec_id, emb, ${bucketSqlExpr(nPlanes)} AS bucket FROM e, pl),
+       |pr AS (SELECT vec_id, unnest(${probesSqlList(nPlanes)}) AS bucket FROM b),
+       |cand AS (SELECT DISTINCT a.vec_id AS id1, p.vec_id AS id2
+       |         FROM b a JOIN pr p USING (bucket) WHERE a.vec_id < p.vec_id),
+       |sims AS (SELECT id1, id2, list_cosine_similarity(b1.emb, b2.emb) AS s
+       |         FROM cand JOIN b b1 ON b1.vec_id = id1 JOIN b b2 ON b2.vec_id = id2)
+       |SELECT id1, id2, ROUND(s,4) AS sim FROM sims WHERE s >= $threshold ORDER BY id1, id2""".stripMargin
+
+  /** Oracle for q28: FNV-1a 64 per token (HUGEINT mod-2^64 — BIGINT
+    * would overflow-error, DuckDB has no wrapping multiply), per-bit
+    * majority vote, 4×16-bit chunk candidate join, Hamming filter —
+    * the exact [[graft.llm.Dedup.simHashPairs]] contract recomputed
+    * from the raw text. */
+  private def simHashOracleSql(maxHamming: Int): String = {
+    val pow2 = (0 until 64).map(i => s"${BigInt(1) << i}::HUGEINT").mkString("[", ",", "]")
+    s"""WITH pw AS (SELECT $pow2 AS p),
+       |docs AS (SELECT doc_id, text FROM documents WHERE length(trim(text)) > 0),
+       |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM docs),
+       |th AS (SELECT doc_id,
+       |  list_reduce(
+       |    list_prepend(14695981039346656037::HUGEINT,
+       |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+       |  ) AS h FROM tok),
+       |bits AS (SELECT doc_id, i,
+       |    SUM(CASE WHEN (h // p[i+1]) % 2 = 1 THEN 1 ELSE -1 END) AS v
+       |  FROM th, pw, range(0, 64) r(i) GROUP BY doc_id, i),
+       |sh AS (SELECT doc_id,
+       |  CAST(CASE WHEN s >= 9223372036854775808::HUGEINT THEN s - 18446744073709551616::HUGEINT ELSE s END AS BIGINT) AS sb
+       |  FROM (SELECT doc_id, SUM(CASE WHEN v >= 0 THEN p[i+1] ELSE 0::HUGEINT END) AS s
+       |        FROM bits, pw GROUP BY doc_id)),
+       |ch AS (SELECT doc_id, sb, i AS ci, (sb >> (i*16)) & 65535 AS cv
+       |  FROM sh, range(0, 4) r(i)),
+       |cand AS (SELECT DISTINCT a.doc_id AS id1, b.doc_id AS id2, a.sb AS s1, b.sb AS s2
+       |  FROM ch a JOIN ch b ON a.ci = b.ci AND a.cv = b.cv AND a.doc_id < b.doc_id)
+       |SELECT id1, id2, CAST(bit_count(xor(s1, s2)) AS INT) AS hamming
+       |FROM cand WHERE bit_count(xor(s1, s2)) <= $maxHamming ORDER BY id1, id2""".stripMargin
+  }
 }

@@ -55,6 +55,11 @@ object Similarity {
     Array.fill(n)(Array.fill(d)(rnd.nextGaussian()))
   }
 
+  /** The exact plane values [[lshBucket]] uses — exported so an oracle
+    * can recompute the same buckets in another engine (the family is
+    * seeded, so these are stable across runs and JVMs). */
+  def planeFamily(d: Int, n: Int): Array[Array[Double]] = planes(d, n)
+
   /** Sign-pattern bucket id of an embedding under the hyperplanes.
     * Fails loudly when the embedding length doesn't match `dim` —
     * zip_with would otherwise null-pad, fold every projection to null,
