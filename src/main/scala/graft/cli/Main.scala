@@ -63,11 +63,23 @@ object Main {
         val n = Compaction.compactParquet(spark, in, out)
         println(s"compacted $in -> $out ($n files)")
 
-      case "copy" :: src :: dst :: Nil =>
-        // DistCp-shaped: distributed read/rewrite with committer-backed
-        // atomicity; bandwidth/thread control via -Dspark conf.
+      // DistCp: listing-based copy of an arbitrary file tree; -update
+      // skips destination files that already match by size
+      // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java).
+      case "copy" :: tail =>
+        val (flags, paths) = tail.partition(_.startsWith("-"))
+        paths match {
+          case src :: dst :: Nil =>
+            val r = graft.ops.DistCp.copy(spark, src, dst,
+              update = flags.contains("-update"))
+            println(s"copied ${r.copied} files (${r.bytes} bytes), skipped ${r.skipped}: $src -> $dst")
+          case _ => usage()
+        }
+
+      // The old parquet-rewrite copy (recompress/recodec while copying)
+      case "rewrite" :: src :: dst :: Nil =>
         spark.read.parquet(src).write.mode("overwrite").parquet(dst)
-        println(s"copied $src -> $dst")
+        println(s"rewrote $src -> $dst")
 
       case "kvtext" :: in :: out :: Nil =>
         CompatSources.kvText(spark, in).write.mode("overwrite").parquet(out)
@@ -108,7 +120,8 @@ object Main {
         |  pipe <in.parquet> <cmd> [arg...] -- <out>
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
-        |  copy <src> <dst>
+        |  copy [-update] <src-tree> <dst>
+        |  rewrite <src.parquet> <dst>
         |  kvtext <in.text> <out>
         |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)

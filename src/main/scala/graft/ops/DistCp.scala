@@ -1,0 +1,112 @@
+package graft.ops
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Distributed listing-based file copy — the reference DistCp's actual
+  * surface (hadoop-tools/hadoop-distcp/.../SimpleCopyListing.java:60,
+  * CopyMapper.java:48, DistCpSync.java:45): copy an arbitrary file tree
+  * (any format, not just tables), with `-update` semantics that skip
+  * files already present at the destination with the same size.
+  *
+  * Shape mirrors the reference exactly where it matters at scale: the
+  * LISTING is a driver-side recursive walk (DistCp's SimpleCopyListing
+  * is also single-process — listing metadata is tiny relative to data),
+  * while the BYTES move in parallel tasks, each streaming one file
+  * through a temp name + atomic rename (CopyMapper's .distcp.tmp
+  * idiom). Spark's role is the scheduler: the file list becomes an RDD
+  * partitioned so each task carries a similar byte budget.
+  */
+object DistCp {
+
+  /** What a copy run did. `skipped` counts -update size-matches. */
+  case class CopyResult(copied: Long, skipped: Long, bytes: Long)
+
+  private case class Entry(rel: String, len: Long)
+
+  /** Copy `src` (file or directory tree) under `dst`.
+    *
+    * @param update  skip files whose destination already exists with
+    *                the same length (DistCp `-update`'s default
+    *                size-based skip; the reference adds checksums,
+    *                which HDFS provides for free — local/object stores
+    *                compare sizes exactly like this).
+    */
+  def copy(spark: SparkSession, src: String, dst: String,
+           update: Boolean = false, tasksHint: Int = 0): CopyResult = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val srcFs = new Path(src).getFileSystem(conf)
+    val srcPath = srcFs.makeQualified(new Path(src))
+    val srcRoot = srcFs.getFileStatus(srcPath)
+
+    // SimpleCopyListing: recursive walk, relative paths from the root.
+    def walk(p: Path): Seq[(Path, Long, Boolean)] = {
+      val st = srcFs.getFileStatus(p)
+      if (st.isFile) Seq((p, st.getLen, false))
+      else (p, 0L, true) +: srcFs.listStatus(p).toSeq.flatMap(s => walk(s.getPath))
+    }
+    val rootUri = (if (srcRoot.isFile) srcPath.getParent else srcPath).toUri
+    def rel(p: Path): String = rootUri.relativize(p.toUri).getPath
+    val all = walk(srcPath)
+    val dirs = all.filter(_._3).map(e => rel(e._1)).filter(_.nonEmpty)
+    val files = all.filterNot(_._3).map(e => Entry(rel(e._1), e._2))
+
+    val dstFs = new Path(dst).getFileSystem(conf)
+    val dstPath = dstFs.makeQualified(new Path(dst))
+    // -update: size-based skip against the existing destination tree
+    val existing: Map[String, Long] =
+      if (!update || !dstFs.exists(dstPath)) Map.empty
+      else {
+        def walkDst(p: Path): Seq[(String, Long)] = {
+          val st = dstFs.getFileStatus(p)
+          if (st.isFile) Seq((dstPath.toUri.relativize(p.toUri).getPath, st.getLen))
+          else dstFs.listStatus(p).toSeq.flatMap(s => walkDst(s.getPath))
+        }
+        walkDst(dstPath).toMap
+      }
+    val toCopy = files.filter(f => !existing.get(f.rel).contains(f.len))
+    val skipped = files.size - toCopy.size
+
+    // directory structure (incl. empties) created up front, driver-side
+    dstFs.mkdirs(dstPath)
+    dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
+
+    if (toCopy.nonEmpty) {
+      // byte-balanced task layout: sort by size desc, round-robin over
+      // the partition count so one giant file doesn't serialize a wave
+      val slots = spark.sparkContext.defaultParallelism
+      val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
+      val assigned = toCopy.sortBy(-_.len).zipWithIndex
+        .map { case (e, i) => (i % parts, e) }
+      val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
+      val dstStr = dstPath.toString
+      val confBytes = {
+        val baos = new java.io.ByteArrayOutputStream()
+        conf.write(new java.io.DataOutputStream(baos)); baos.toByteArray
+      }
+      spark.sparkContext.parallelize(assigned, parts)
+        .mapPartitions { it =>
+          val c = new Configuration(false)
+          c.readFields(new java.io.DataInputStream(new java.io.ByteArrayInputStream(confBytes)))
+          it.map { case (_, e) =>
+            val from = new Path(srcRootStr, e.rel)
+            val to = new Path(dstStr, e.rel)
+            val fsIn = from.getFileSystem(c); val fsOut = to.getFileSystem(c)
+            // CopyMapper's tmp-then-rename: readers never see partial files
+            val tmp = new Path(to.getParent, s".distcp.tmp.${to.getName}")
+            val in = fsIn.open(from)
+            try {
+              val out = fsOut.create(tmp, true)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+              finally out.close()
+            } finally in.close()
+            fsOut.delete(to, false)
+            if (!fsOut.rename(tmp, to)) sys.error(s"rename failed: $tmp -> $to")
+            e.len
+          }
+        }.count() // materialize the copies
+    }
+    CopyResult(toCopy.size.toLong, skipped.toLong, toCopy.map(_.len).sum)
+  }
+}

@@ -60,4 +60,31 @@ object Pipe {
       split(col("line"), p, 2).getItem(0).as("key"),
       coalesce(get(split(col("line"), p, 2), lit(1)), lit("")).as("value"))
   }
+
+  /** Typed pipe framing — the modern stand-in for Hadoop Streaming's
+    * typed-bytes protocol (hadoop-tools/hadoop-streaming/.../typedbytes/
+    * Type.java:24-43, TypedBytesInput.java): instead of a binary
+    * tag-length-value stream, each record crosses the pipe as ONE
+    * JSON-LINES object, so the child sees types (numbers, booleans,
+    * nulls, nested arrays/structs) rather than pre-flattened tab text,
+    * and tab/newline-bearing strings survive (JSON escapes them — the
+    * tab-joined line idiom's documented corruption case).
+    *
+    * `to_json` emits one `{"col": value, …}` object per row; any tool
+    * that speaks JSON-lines (jq, python, a streaming model scorer) is a
+    * valid child. */
+  def pipeMapJson(df: DataFrame, cmd: Seq[String],
+                  env: Map[String, String] = Map.empty): DataFrame = {
+    val spark = df.sparkSession
+    import spark.implicits._
+    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("line")).as[String]
+    lines.rdd.pipe(cmd, env).toDF("line")
+  }
+
+  /** Parse a JSON-lines pipe output back into typed columns against an
+    * explicit schema — the read side of [[pipeMapJson]]'s framing.
+    * Rows the child emits that don't parse become null columns
+    * (from_json semantics), mirroring typed-bytes' lenient reader. */
+  def parseJson(lines: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
+    lines.select(from_json(col("line"), schema).as("r")).select(col("r.*"))
 }

@@ -50,6 +50,21 @@ object CompatSources {
       .toDF("key", "value")
   }
 
+  /** SequenceFileAsBinaryInputFormat (.../lib/input/
+    * SequenceFileAsBinaryInputFormat.java:38): key/value bytes exactly
+    * as stored, no Writable interpretation. Output: (key, value) binary
+    * columns. BytesWritable buffers are reused by the record reader, so
+    * each is copied to its logical length before leaving the scan. */
+  def sequenceFileBinary(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext
+      .sequenceFile(path, classOf[BytesWritable], classOf[BytesWritable])
+      .map { case (k, v) =>
+        (java.util.Arrays.copyOf(k.getBytes, k.getLength),
+         java.util.Arrays.copyOf(v.getBytes, v.getLength))
+      }.toDF("key", "value")
+  }
+
   /** StreamXmlRecordReader capability
     * (hadoop-tools/hadoop-streaming/.../StreamXmlRecordReader.java):
     * one record per `<tag>…</tag>` element. This implementation reads
@@ -125,6 +140,19 @@ object CompatSources {
     import spark.implicits._
     df.select(df.columns.take(2).map(c => col(c).cast("string")): _*)
       .as[(String, String)].rdd.saveAsSequenceFile(path)
+  }
+
+  /** SequenceFileAsBinaryOutputFormat sink (.../lib/output/
+    * SequenceFileAsBinaryOutputFormat.java:39): first two binary
+    * columns written as raw BytesWritable key/value — the write twin of
+    * [[sequenceFileBinary]], so arbitrary serialized payloads round-trip
+    * without a Writable mapping. */
+  def sequenceFileBinaryWrite(df: DataFrame, path: String): Unit = {
+    val Array(k, v) = df.columns.take(2)
+    df.select(col(k).cast("binary"), col(v).cast("binary"))
+      .rdd.map(r => (new BytesWritable(r.getAs[Array[Byte]](0)),
+                     new BytesWritable(r.getAs[Array[Byte]](1))))
+      .saveAsSequenceFile(path)
   }
 
   /** NLineInputFormat capability (.../lib/input/NLineInputFormat.java:63):

@@ -1,0 +1,64 @@
+package graft.ops
+
+import graft.SparkSpec
+import java.nio.file.{Files, Paths}
+
+/** Pins [[DistCp.copy]] against the reference DistCp contract
+  * (SimpleCopyListing + CopyMapper + -update): full-tree copy of mixed
+  * content incl. empty dirs/files, and an -update rerun that copies
+  * ONLY the changed file.
+  */
+class DistCpSpec extends SparkSpec {
+
+  private def mkTree(): String = {
+    val root = Files.createTempDirectory("distcp-src").toString
+    Files.createDirectories(Paths.get(s"$root/a/b"))
+    Files.createDirectories(Paths.get(s"$root/empty"))
+    Files.writeString(Paths.get(s"$root/top.txt"), "top-level")
+    Files.writeString(Paths.get(s"$root/a/mid.csv"), "1,2,3\n4,5,6\n")
+    Files.write(Paths.get(s"$root/a/b/deep.bin"), (0 until 4096).map(_.toByte).toArray)
+    Files.writeString(Paths.get(s"$root/a/b/zero.dat"), "")
+    root
+  }
+
+  private def read(p: String): Seq[Byte] = Files.readAllBytes(Paths.get(p)).toSeq
+
+  test("copies a mixed tree: nested dirs, binary, empty file, empty dir") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    val r = DistCp.copy(spark, src, dst)
+    assert(r.copied == 4 && r.skipped == 0)
+    assert(read(s"$dst/top.txt") == read(s"$src/top.txt"))
+    assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+    assert(read(s"$dst/a/b/deep.bin") == read(s"$src/a/b/deep.bin"))
+    assert(Files.size(Paths.get(s"$dst/a/b/zero.dat")) == 0)
+    assert(Files.isDirectory(Paths.get(s"$dst/empty")), "empty dir structure preserved")
+    // no tmp litter anywhere in the destination tree
+    val litter = Files.walk(Paths.get(dst)).filter(
+      _.getFileName.toString.startsWith(".distcp.tmp")).count()
+    assert(litter == 0, "tmp files left behind")
+  }
+
+  test("-update rerun copies only the changed file") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    assert(DistCp.copy(spark, src, dst).copied == 4)
+    // change ONE file (different size so the size-skip sees it)
+    Files.writeString(Paths.get(s"$src/a/mid.csv"), "7,8,9\n10,11,12\n13,14,15\n")
+    val r2 = DistCp.copy(spark, src, dst, update = true)
+    assert(r2.copied == 1, s"expected only the changed file, got ${r2.copied}")
+    assert(r2.skipped == 3)
+    assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+    // idempotent third run: everything skips
+    val r3 = DistCp.copy(spark, src, dst, update = true)
+    assert(r3.copied == 0 && r3.skipped == 4)
+  }
+
+  test("single-file source copies into the destination dir") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/single"
+    val r = DistCp.copy(spark, s"$src/top.txt", dst)
+    assert(r.copied == 1)
+    assert(read(s"$dst/top.txt") == read(s"$src/top.txt"))
+  }
+}

@@ -107,6 +107,35 @@ class PipeSpec extends SparkSpec {
     assert(out.count() == 10)
   }
 
+  test("pipeMapJson round-trips a non-trivial schema through cat (typed-bytes stand-in)") {
+    import spark.implicits._
+    import org.apache.spark.sql.types._
+    // tab- and newline-hostile strings, nulls, nested array — the cases
+    // the line idiom cannot carry
+    val in = Seq(
+      (1L, Some("tab\there"), Seq(1.5, 2.5), true),
+      (2L, None: Option[String], Seq.empty[Double], false),
+      (3L, Some("plain"), Seq(-0.25), true)
+    ).toDF("id", "s", "xs", "flag")
+    val schema = StructType(Seq(
+      StructField("id", LongType), StructField("s", StringType),
+      StructField("xs", ArrayType(DoubleType)), StructField("flag", BooleanType)))
+    val out = Pipe.parseJson(Pipe.pipeMapJson(in, Seq("cat")), schema)
+    assert(out.count() == 3)
+    assert(out.except(in).count() == 0 && in.except(out).count() == 0)
+    // the tab survived intact (the tab-joined idiom would have split it)
+    assert(out.where(col("id") === 1L).select("s").head.getString(0) == "tab\there")
+  }
+
+  test("pipeMapJson lets a jq-less child filter JSON with grep") {
+    import spark.implicits._
+    val in = Seq((1, "keep"), (2, "drop"), (3, "keep")).toDF("id", "tag")
+    // `|| true`: grep exits 1 on a partition with no matches, which
+    // RDD.pipe would surface as a task failure
+    val out = Pipe.pipeMapJson(in, Seq("sh", "-c", "grep keep || true"))
+    assert(out.count() == 2)
+  }
+
   test("parseKV splits on first separator only") {
     import spark.implicits._
     val lines = Seq("k1\tv1\tv2", "bare").toDF("line")

@@ -54,6 +54,22 @@ class CompatSourcesSpec extends SparkSpec {
     assert(back == Set("a" -> "1", "b" -> "2"))
   }
 
+  test("sequenceFileBinary round-trips arbitrary bytes (incl. empty and high-bit)") {
+    val dir = tmpDir()
+    val data: Seq[(Array[Byte], Array[Byte])] = Seq(
+      ("k1".getBytes("UTF-8"), Array[Byte](0, 1, -1, 127, -128)),
+      ("k2".getBytes("UTF-8"), Array.emptyByteArray),
+      (Array[Byte](-1, -2), (0 until 1000).map(_.toByte).toArray))
+    val df = data.toDF("key", "value")
+    CompatSources.sequenceFileBinaryWrite(df, s"$dir/seqbin")
+    val back = CompatSources.sequenceFileBinary(spark, s"$dir/seqbin")
+      .as[(Array[Byte], Array[Byte])].collect()
+      .map { case (k, v) => (k.toSeq, v.toSeq) }.toSet
+    assert(back == data.map { case (k, v) => (k.toSeq, v.toSeq) }.toSet)
+    // and the file is a genuine SequenceFile (sniffable magic)
+    assert(CompatSources.sniffFormat(spark, s"$dir/seqbin") == "sequencefile")
+  }
+
   test("textNLines controls partition granularity") {
     val dir = tmpDir()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lines.txt"),
