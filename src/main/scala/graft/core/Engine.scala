@@ -46,8 +46,14 @@ object Engine {
       "spark.sql.parquet.compression.codec" -> "zstd",
       "spark.sql.session.timeZone" -> "UTC",
     ).foreach { case (k, v) =>
-      try spark.conf.set(k, v)
-      catch { case _: org.apache.spark.sql.AnalysisException =>
+      try {
+        // a reused session may carry deliberate owner settings: surface
+        // every value this re-assertion actually changes
+        val prev = spark.conf.getOption(k)
+        spark.conf.set(k, v)
+        if (prev.exists(_ != v))
+          System.err.println(s"[graft] reused session: overriding $k=${prev.get} -> $v")
+      } catch { case _: org.apache.spark.sql.AnalysisException =>
         System.err.println(s"[graft] reused session: cannot set $k=$v")
       }
     }

@@ -21,17 +21,55 @@ import graft.functions.TextFunctions
 object Dedup {
 
   /** Exact duplicate groups on a full-text fingerprint. The id list is
-    * capped at `maxIds` per group (count stays exact): a billion-fold
-    * duplicated boilerplate doc must not materialize a billion-element
-    * array in one row — callers needing every member join back on `h`. */
+    * capped at the `maxIds` SMALLEST ids per group (count stays exact):
+    * a billion-fold duplicated boilerplate doc must not materialize a
+    * billion-element array in one row — callers needing every member
+    * join back on `h`.
+    *
+    * Plan shape: a per-partition partial aggregate (mapPartitions)
+    * keeps the exact count and the smallest `maxIds` ids per
+    * fingerprint — memory O(keys × maxIds) regardless of duplication —
+    * then ONE groupBy merges the partials. The smallest-N property is
+    * associative, so the merged result equals the global smallest N
+    * and the output is deterministic. (An earlier row_number window
+    * formulation shipped and sorted EVERY duplicate row of a hot
+    * fingerprint through one task — a disk-spilling straggler at
+    * exactly the billion-fold-dup scale this caps.) */
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
-                  maxIds: Int = 100): DataFrame =
-    df.select(col(idCol), TextFunctions.fingerprint(col(textCol)).as("h"))
-      .withColumn("__rn", row_number().over(
-        org.apache.spark.sql.expressions.Window.partitionBy("h").orderBy(col(idCol))))
-      .groupBy("h").agg(count("*").as("c"),
-        sort_array(collect_list(when(col("__rn") <= maxIds, col(idCol)))).as("ids"))
+                  maxIds: Int = 100): DataFrame = {
+    val idType = df.schema(idCol).dataType
+    val pre = df.select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("h"))
+    val partialSchema = org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
+      org.apache.spark.sql.types.StructField("ids",
+        org.apache.spark.sql.types.ArrayType(idType, containsNull = false)),
+      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType,
+        nullable = false)))
+    val cmp: (Any, Any) => Int = (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val partial = pre.mapPartitions { it =>
+      // max-heap of size ≤ maxIds per key: evict the largest, keep
+      // duplicates (multiplicity is part of the contract)
+      val heapOrd = Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0)
+      val acc = scala.collection.mutable.HashMap
+        .empty[String, (scala.collection.mutable.PriorityQueue[Any], Array[Long])]
+      it.foreach { r =>
+        val id = r.get(0); val h = r.getString(1)
+        val (heap, cnt) = acc.getOrElseUpdate(h,
+          (scala.collection.mutable.PriorityQueue.empty[Any](heapOrd), Array(0L)))
+        cnt(0) += 1
+        if (heap.size < maxIds) heap.enqueue(id)
+        else if (cmp(id, heap.head) < 0) { heap.dequeue(); heap.enqueue(id) }
+      }
+      acc.iterator.map { case (h, (heap, cnt)) =>
+        org.apache.spark.sql.Row(h, heap.toSeq, cnt(0))
+      }
+    }(org.apache.spark.sql.Encoders.row(partialSchema))
+    partial.groupBy("h")
+      .agg(sum("c").as("c"),
+        slice(array_sort(flatten(collect_list(col("ids")))), 1, maxIds).as("ids"))
       .where(col("c") > 1)
+      .select(col("h"), col("c"), col("ids"))
+  }
 
   /** Duplicate-prefix groups (first `nWords` tokens) — catches
     * truncated/extended near-copies. */

@@ -69,7 +69,14 @@ object DataJoin {
     * (key, tag, line) where `line` is the tab-joined remaining columns
     * — the reference's Text-record idiom (TaggedMapOutput over
     * delimited lines). Null fields serialize as empty (concat_ws would
-    * drop them and shift the layout). */
+    * drop them and shift the layout).
+    *
+    * Precondition: payload fields must not CONTAIN tabs — a tab inside
+    * a field shifts the split-based layout downstream (innerCombine
+    * tab-joins again), exactly as in the reference's delimited-Text
+    * records. For tab-bearing data use [[taggedJoin]] directly with
+    * typed tuples (it imposes no line encoding), or
+    * [[graft.ops.Pipe.pipeMapJson]]-style JSON framing. */
   def taggedLines(sources: Seq[(String, DataFrame)], keyCol: String): Dataset[(String, String, String)] = {
     require(sources.nonEmpty, "at least one tagged source required")
     val spark = sources.head._2.sparkSession

@@ -25,7 +25,17 @@ object Salting {
     * columns) silently defeats itself exactly there: duplicated records
     * all hash to ONE bucket. Not stable across runs/repartitioning —
     * irrelevant for salting, where any spread is correct because the
-    * other side is replicated over every salt value. */
+    * other side is replicated over every salt value.
+    *
+    * Retry caveat (the classic rand()-salt hazard): because the salt is
+    * nondeterministic, a shuffle-map stage recomputed after a fetch
+    * failure can assign recomputed rows different salts than the
+    * already-fetched output — risking rare duplicated/lost rows IF the
+    * upstream row set per partition is itself nondeterministic. Put
+    * salted ops directly on deterministic input (a file scan, a
+    * checkpointed frame); Spark additionally rolls back and re-runs
+    * all reducers of an INDETERMINATE stage on such retries, which is
+    * the engine-level mitigation for this exact pattern. */
   def salt(factor: Int, on: Column*): Column =
     pmod(hash((lit(42) +: monotonically_increasing_id() +: on): _*), lit(factor))
 

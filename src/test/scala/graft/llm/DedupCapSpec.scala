@@ -89,4 +89,17 @@ class DedupCapSpec extends SparkSpec {
     assert(ids.length == 100, s"id list must be capped at 100, got ${ids.length}")
     assert(ids == ids.sorted)
   }
+
+  test("exactGroups returns the GLOBAL smallest ids with multiplicity across partitions") {
+    // a hot key spread over many partitions, interleaved so each
+    // partition's local smallest-N differs from the global answer, plus
+    // a planted duplicate id (multiplicity must survive the cap)
+    val rows = (0 until 200).map(i => (i.toLong, "dup text")) :+ (3L, "dup text")
+    val docs = rows.toDF("doc_id", "text").repartition(7)
+    val g = Dedup.exactGroups(docs, "doc_id", "text", maxIds = 10).collect()
+    assert(g.length == 1 && g(0).getAs[Long]("c") == 201)
+    val ids = g(0).getSeq[Long](g(0).fieldIndex("ids"))
+    // global smallest 10 of {0,1,2,3,3,4,...}: the duplicate 3 is in
+    assert(ids == Seq(0L, 1L, 2L, 3L, 3L, 4L, 5L, 6L, 7L, 8L), s"got $ids")
+  }
 }
