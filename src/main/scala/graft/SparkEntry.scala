@@ -682,7 +682,10 @@ object SparkEntry {
     * would overflow-error, DuckDB has no wrapping multiply), per-bit
     * majority vote, 4×16-bit chunk candidate join, Hamming filter —
     * the exact [[graft.llm.Dedup.simHashPairs]] contract recomputed
-    * from the raw text. */
+    * from the raw text. The Scala expression hashes UTF-8 BYTES, so
+    * the SQL UTF-8-encodes each codepoint before folding (a raw
+    * `unicode(c)` would diverge on any non-ASCII character and can
+    * exceed the low-byte xor's 0-255 domain). */
   private def simHashOracleSql(maxHamming: Int): String = {
     val pow2 = (0 until 64).map(i => s"${BigInt(1) << i}::HUGEINT").mkString("[", ",", "]")
     s"""WITH pw AS (SELECT $pow2 AS p),
@@ -691,7 +694,13 @@ object SparkEntry {
        |th AS (SELECT doc_id,
        |  list_reduce(
        |    list_prepend(14695981039346656037::HUGEINT,
-       |      list_transform(string_split(t, ''), c -> CAST(unicode(c) AS HUGEINT))),
+       |      flatten(list_transform(list_transform(string_split(t, ''), c -> unicode(c)),
+       |        cp -> CASE
+       |          WHEN cp < 128 THEN [CAST(cp AS HUGEINT)]
+       |          WHEN cp < 2048 THEN [CAST(192 + cp//64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+       |          WHEN cp < 65536 THEN [CAST(224 + cp//4096 AS HUGEINT), CAST(128 + (cp//64)%64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+       |          ELSE [CAST(240 + cp//262144 AS HUGEINT), CAST(128 + (cp//4096)%64 AS HUGEINT), CAST(128 + (cp//64)%64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+       |        END))),
        |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
        |  ) AS h FROM tok),
        |bits AS (SELECT doc_id, i,

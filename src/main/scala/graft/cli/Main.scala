@@ -68,6 +68,13 @@ object Main {
       // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java).
       case "copy" :: tail =>
         val (flags, paths) = tail.partition(_.startsWith("-"))
+        // unknown flags must be LOUD: a typo'd "-updtae" (or GNU-style
+        // "--update") silently degrading to a full recopy is the
+        // opposite of what the operator asked for
+        flags.filterNot(_ == "-update") match {
+          case Nil => ()
+          case bad => System.err.println(s"copy: unknown flag(s) ${bad.mkString(" ")}"); usage()
+        }
         paths match {
           case src :: dst :: Nil =>
             val r = graft.ops.DistCp.copy(spark, src, dst,

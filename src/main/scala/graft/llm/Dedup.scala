@@ -35,34 +35,64 @@ object Dedup {
     * formulation shipped and sorted EVERY duplicate row of a hot
     * fingerprint through one task — a disk-spilling straggler at
     * exactly the billion-fold-dup scale this caps.) */
+  /** Distinct fingerprints the partial-aggregate map holds before
+    * flushing partials downstream — bounds task heap on mostly-unique
+    * corpora (where keys ≈ rows and a map with no cap would hold the
+    * whole partition as boxed objects, with no spill path). Flushing
+    * early is always correct: the final merge combines any number of
+    * partials per key (count sums; smallest-N of smallest-Ns is the
+    * global smallest-N). */
+  val ExactGroupsFlushKeys = 1 << 16
+
   def exactGroups(df: DataFrame, idCol: String, textCol: String,
                   maxIds: Int = 100): DataFrame = {
+    import org.apache.spark.sql.types._
     val idType = df.schema(idCol).dataType
+    // the partial comparator must agree with the final array_sort or a
+    // partition heap could evict a globally-smallest id: strings sort
+    // by UTF-8 bytes in Spark (not UTF-16 code units — they differ for
+    // supplementary-plane characters), numerics/date/timestamp agree
+    // with Comparable
+    val cmp: (Any, Any) => Int = idType match {
+      case StringType => (a, b) =>
+        org.apache.spark.unsafe.types.UTF8String.fromString(a.asInstanceOf[String])
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(b.asInstanceOf[String]))
+      case _: NumericType | DateType | TimestampType | BooleanType =>
+        (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+      case other => throw new IllegalArgumentException(
+        s"exactGroups: unsupported id type $other (need string/numeric/date/timestamp/boolean)")
+    }
     val pre = df.select(col(idCol).as("id"), TextFunctions.fingerprint(col(textCol)).as("h"))
-    val partialSchema = org.apache.spark.sql.types.StructType(Seq(
-      org.apache.spark.sql.types.StructField("h", org.apache.spark.sql.types.StringType),
-      org.apache.spark.sql.types.StructField("ids",
-        org.apache.spark.sql.types.ArrayType(idType, containsNull = false)),
-      org.apache.spark.sql.types.StructField("c", org.apache.spark.sql.types.LongType,
-        nullable = false)))
-    val cmp: (Any, Any) => Int = (a, b) => a.asInstanceOf[Comparable[Any]].compareTo(b)
+    val partialSchema = StructType(Seq(
+      StructField("h", StringType),
+      StructField("ids", ArrayType(idType, containsNull = false)),
+      StructField("c", LongType, nullable = false)))
+    val flushKeys = ExactGroupsFlushKeys
     val partial = pre.mapPartitions { it =>
       // max-heap of size ≤ maxIds per key: evict the largest, keep
       // duplicates (multiplicity is part of the contract)
       val heapOrd = Ordering.fromLessThan[Any]((a, b) => cmp(a, b) < 0)
-      val acc = scala.collection.mutable.HashMap
-        .empty[String, (scala.collection.mutable.PriorityQueue[Any], Array[Long])]
-      it.foreach { r =>
-        val id = r.get(0); val h = r.getString(1)
-        val (heap, cnt) = acc.getOrElseUpdate(h,
-          (scala.collection.mutable.PriorityQueue.empty[Any](heapOrd), Array(0L)))
-        cnt(0) += 1
-        if (heap.size < maxIds) heap.enqueue(id)
-        else if (cmp(id, heap.head) < 0) { heap.dequeue(); heap.enqueue(id) }
-      }
-      acc.iterator.map { case (h, (heap, cnt)) =>
-        org.apache.spark.sql.Row(h, heap.toSeq, cnt(0))
-      }
+      def emit(acc: scala.collection.mutable.HashMap[String, (scala.collection.mutable.PriorityQueue[Any], Array[Long])]) =
+        acc.iterator.map { case (h, (heap, cnt)) =>
+          org.apache.spark.sql.Row(h, heap.toSeq, cnt(0))
+        }.toVector // materialize before the map is cleared/reused
+      new Iterator[Vector[org.apache.spark.sql.Row]] {
+        def hasNext: Boolean = it.hasNext
+        def next(): Vector[org.apache.spark.sql.Row] = {
+          val acc = scala.collection.mutable.HashMap
+            .empty[String, (scala.collection.mutable.PriorityQueue[Any], Array[Long])]
+          while (it.hasNext && acc.size < flushKeys) {
+            val r = it.next()
+            val id = r.get(0); val h = r.getString(1)
+            val (heap, cnt) = acc.getOrElseUpdate(h,
+              (scala.collection.mutable.PriorityQueue.empty[Any](heapOrd), Array(0L)))
+            cnt(0) += 1
+            if (heap.size < maxIds) heap.enqueue(id)
+            else if (cmp(id, heap.head) < 0) { heap.dequeue(); heap.enqueue(id) }
+          }
+          emit(acc)
+        }
+      }.flatten
     }(org.apache.spark.sql.Encoders.row(partialSchema))
     partial.groupBy("h")
       .agg(sum("c").as("c"),
@@ -275,7 +305,14 @@ object Dedup {
     * `minEst` gate; the exact verification, not the sketch, draws the
     * output boundary. This is the production shape at 100 TB: the
     * quadratic exact oracle is replaced by bucketed candidates +
-    * per-pair verification. */
+    * per-pair verification.
+    *
+    * EAGER: construction runs two jobs (sketch + band table are
+    * persisted and materialized before the plan fans out — see the
+    * inline notes for why). Build this frame when you intend to
+    * execute it, like an MLlib `fit`; for plan inspection without the
+    * corpus passes, compose the stages ([[signatures]],
+    * [[bandedPairs]]) directly. */
   def minHashVerifiedPairs(df: DataFrame, idCol: String, textCol: String,
                            n: Int = 3, threshold: Double = 0.5,
                            minEst: Double = 0.2): DataFrame = {
@@ -342,9 +379,16 @@ object Dedup {
     val parts = df.rdd.getNumPartitions
     if (parts >= slots) df
     else {
-      val bytes = try df.inputFiles.map(p =>
-        new java.io.File(new java.net.URI(p).getPath).length).sum
-      catch { case _: Exception => Long.MaxValue }
+      // Hadoop FS for sizes: works on any scheme (java.io.File returns
+      // a silent 0 for hdfs:// paths — under-widening exactly the
+      // remote inputs this targets); unknown → assume big
+      val bytes = try {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        df.inputFiles.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).getFileStatus(path).getLen
+        }.sum
+      } catch { case _: Exception => Long.MaxValue }
       val target = math.max(math.min(slots.toLong, bytes / (4L << 20) + 1).toInt,
         math.min(8, slots))
       if (parts >= target) df else df.repartition(target)

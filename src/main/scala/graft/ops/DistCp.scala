@@ -79,6 +79,9 @@ object DistCp {
       val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
       val assigned = toCopy.sortBy(-_.len).zipWithIndex
         .map { case (e, i) => (i % parts, e) }
+        // place by the round-robin key: parallelize alone would slice
+        // the size-sorted list contiguously and give one task ALL the
+        // largest files — the exact anti-balance this layout prevents
       val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
       val dstStr = dstPath.toString
       val confBytes = {
@@ -86,6 +89,7 @@ object DistCp {
         conf.write(new java.io.DataOutputStream(baos)); baos.toByteArray
       }
       spark.sparkContext.parallelize(assigned, parts)
+        .partitionBy(new org.apache.spark.HashPartitioner(parts))
         .mapPartitions { it =>
           val c = new Configuration(false)
           c.readFields(new java.io.DataInputStream(new java.io.ByteArrayInputStream(confBytes)))

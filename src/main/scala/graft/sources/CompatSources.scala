@@ -149,9 +149,14 @@ object CompatSources {
     * without a Writable mapping. */
   def sequenceFileBinaryWrite(df: DataFrame, path: String): Unit = {
     val Array(k, v) = df.columns.take(2)
+    // BytesWritable has no null notion: null cells write as empty bytes
+    // (the constructor would NPE inside a task otherwise)
+    def bytes(r: org.apache.spark.sql.Row, i: Int): Array[Byte] = {
+      val b = r.getAs[Array[Byte]](i)
+      if (b == null) Array.emptyByteArray else b
+    }
     df.select(col(k).cast("binary"), col(v).cast("binary"))
-      .rdd.map(r => (new BytesWritable(r.getAs[Array[Byte]](0)),
-                     new BytesWritable(r.getAs[Array[Byte]](1))))
+      .rdd.map(r => (new BytesWritable(bytes(r, 0)), new BytesWritable(bytes(r, 1))))
       .saveAsSequenceFile(path)
   }
 

@@ -34,8 +34,10 @@ class DistCpSpec extends SparkSpec {
     assert(Files.size(Paths.get(s"$dst/a/b/zero.dat")) == 0)
     assert(Files.isDirectory(Paths.get(s"$dst/empty")), "empty dir structure preserved")
     // no tmp litter anywhere in the destination tree
-    val litter = Files.walk(Paths.get(dst)).filter(
+    val walk = Files.walk(Paths.get(dst))
+    val litter = try walk.filter(
       _.getFileName.toString.startsWith(".distcp.tmp")).count()
+    finally walk.close()
     assert(litter == 0, "tmp files left behind")
   }
 
