@@ -83,6 +83,11 @@ object Main {
           case _ => usage()
         }
 
+      // DistCh: parallel chmod over a tree (owner/group via ops.DistCh API)
+      case "chmod" :: mode :: root :: Nil =>
+        val r = graft.ops.DistCh.change(spark, root, perm = Some(mode))
+        println(s"changed ${r.changed} paths under $root")
+
       // The old parquet-rewrite copy (recompress/recodec while copying)
       case "rewrite" :: src :: dst :: Nil =>
         spark.read.parquet(src).write.mode("overwrite").parquet(dst)
@@ -128,6 +133,7 @@ object Main {
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  copy [-update] <src-tree> <dst>
+        |  chmod <mode> <tree>
         |  rewrite <src.parquet> <dst>
         |  kvtext <in.text> <out>
         |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>

@@ -63,4 +63,18 @@ class DistCpSpec extends SparkSpec {
     assert(r.copied == 1)
     assert(read(s"$dst/top.txt") == read(s"$src/top.txt"))
   }
+
+  test("DistCh chmod changes permissions across the tree (octal and rwx specs)") {
+    import java.nio.file.attribute.PosixFilePermission._
+    val src = mkTree()
+    val r = DistCh.change(spark, src, perm = Some("600"), filesOnly = true)
+    assert(r.changed == 4, s"expected 4 files changed, got ${r.changed}")
+    val perms = Files.getPosixFilePermissions(Paths.get(s"$src/a/b/deep.bin"))
+    assert(perms.contains(OWNER_READ) && perms.contains(OWNER_WRITE) &&
+      !perms.contains(GROUP_READ) && !perms.contains(OTHERS_READ), s"got $perms")
+    DistCh.change(spark, src, perm = Some("-rw-r--r--"), filesOnly = true)
+    val perms2 = Files.getPosixFilePermissions(Paths.get(s"$src/top.txt"))
+    assert(perms2.contains(GROUP_READ) && perms2.contains(OTHERS_READ) &&
+      !perms2.contains(GROUP_WRITE), s"got $perms2")
+  }
 }
