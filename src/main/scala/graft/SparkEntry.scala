@@ -267,6 +267,23 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // Binary typed-bytes pipe (hadoop-streaming `-io typedbytes`):
+    // rows cross a forked child as tag-length-value VECTOR records and
+    // come back bit-identical — the md5 over the round-tripped text is
+    // the oracle's proof the binary framing preserved every byte
+    // (tabs/newlines included, which the line pipes can't carry).
+    "q39_typedbytes_pipe" -> ((s, d) => {
+      val in = docs(s, d).select(col("doc_id"), col("text"))
+      val rt = Pipe.pipeTypedBytes(in, Seq("cat"),
+        org.apache.spark.sql.types.StructType(Seq(
+          org.apache.spark.sql.types.StructField("doc_id", org.apache.spark.sql.types.LongType),
+          org.apache.spark.sql.types.StructField("text", org.apache.spark.sql.types.StringType))))
+      rt.select(col("doc_id"),
+          length(col("text")).cast("long").as("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
     // LSH-bucketed ANN (scale path; rows-only: plane-family-specific).
     // 4 planes fits this corpus size; at 100 TB the knob goes up.
     "q31_ann_lsh" -> ((s, d) =>
@@ -608,6 +625,12 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // cat is identity, so the round-trip through the typed-bytes wire
+    // must reproduce the source bytes exactly — md5 is the witness.
+    "q39_typedbytes_pipe" ->
+      """SELECT doc_id, CAST(LENGTH(text) AS BIGINT) AS n_chars, MD5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     "q28_simhash_neardup" -> simHashOracleSql(maxHamming = 6),
     "q31_ann_lsh" -> lshTopKOracleSql(nPlanes = 4, k = 5),

@@ -87,4 +87,63 @@ object Pipe {
     * (from_json semantics), mirroring typed-bytes' lenient reader. */
   def parseJson(lines: DataFrame, schema: org.apache.spark.sql.types.StructType): DataFrame =
     lines.select(from_json(col("line"), schema).as("r")).select(col("r.*"))
+
+  /** Binary pipe with the real typed-bytes wire format
+    * (hadoop-tools/hadoop-streaming/.../typedbytes/TypedBytesInput.java,
+    * `-io typedbytes`): each input row crosses the child's stdin as one
+    * typed-bytes VECTOR; the child's stdout is parsed as a stream of
+    * typed-bytes records coerced to `outSchema`. See [[TypedBytes]] for
+    * the wire spec. Unlike the line pipes above this carries types,
+    * nested arrays/maps/structs and raw binary — nothing is flattened
+    * to text, and separator-bearing strings can't corrupt framing.
+    *
+    * One child per non-empty partition, a writer thread feeding stdin
+    * while the task thread streams stdout — memory O(pipe buffer), the
+    * same posture as `RDD.pipe`. A non-zero child exit fails the task
+    * (PipeMapRed.java's waitOutputThreads contract).
+    */
+  def pipeTypedBytes(df: DataFrame, cmd: Seq[String],
+                     outSchema: org.apache.spark.sql.types.StructType,
+                     env: Map[String, String] = Map.empty): DataFrame = {
+    import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
+    val spark = df.sparkSession
+    val out = df.rdd.mapPartitions { it =>
+      if (!it.hasNext) Iterator.empty
+      else {
+        val pb = new ProcessBuilder(cmd: _*)
+        val pe = pb.environment(); env.foreach { case (k, v) => pe.put(k, v) }
+        pb.redirectError(ProcessBuilder.Redirect.INHERIT)
+        val proc = pb.start()
+        @volatile var writeErr: Throwable = null
+        val writer = new Thread(() => {
+          val os = new DataOutputStream(new BufferedOutputStream(proc.getOutputStream, 1 << 16))
+          try { it.foreach(TypedBytes.writeRow(os, _)); os.flush() }
+          catch { case t: Throwable => writeErr = t }
+          finally { try os.close() catch { case _: Throwable => () } }
+        }, "typedbytes-stdin-writer")
+        writer.setDaemon(true)
+        writer.start()
+        val is = new DataInputStream(new BufferedInputStream(proc.getInputStream, 1 << 16))
+        new Iterator[org.apache.spark.sql.Row] {
+          private var nextRow = TypedBytes.readRow(is, outSchema)
+          override def hasNext: Boolean = nextRow.isDefined || { finish(); false }
+          override def next(): org.apache.spark.sql.Row = {
+            val r = nextRow.get
+            nextRow = TypedBytes.readRow(is, outSchema)
+            r
+          }
+          private def finish(): Unit = {
+            writer.join()
+            val code = proc.waitFor()
+            if (code != 0)
+              throw new java.io.IOException(s"typed-bytes child ${cmd.head} exited with $code")
+            // a write error against a child that exited 0 (closed stdin
+            // early, e.g. `head`) is the child's prerogative; only
+            // surface it alongside a non-zero exit above
+          }
+        }
+      }
+    }
+    spark.createDataFrame(out, outSchema)
+  }
 }
