@@ -99,6 +99,43 @@ object CompatSources {
       }.toDF("record")
   }
 
+  /** Split-streamable sibling of [[xmlRecords]] for SINGLE LARGE XML
+    * files: sets `textinputformat.record.delimiter` to the element's
+    * close tag, so the line reader yields one chunk per element and
+    * handles records spanning split boundaries exactly like long lines
+    * (the record reader reads past its split end to the next
+    * delimiter) — no whole-file materialization at any file size.
+    * Mirrors StreamXmlRecordReader's begin/end-pattern scan
+    * (hadoop-tools/hadoop-streaming/.../StreamXmlRecordReader.java:119)
+    * including its default non-nesting contract: same-name nested
+    * elements and self-closing `<tag/>` forms are out of scope both
+    * there and here. */
+  def xmlRecordsStreamed(spark: SparkSession, path: String, tag: String): DataFrame = {
+    import spark.implicits._
+    val close = s"</$tag>"
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    conf.set("textinputformat.record.delimiter", close)
+    val open = s"<$tag"
+    spark.sparkContext.newAPIHadoopFile(path,
+        classOf[org.apache.hadoop.mapreduce.lib.input.TextInputFormat],
+        classOf[LongWritable], classOf[Text], conf)
+      .flatMap { case (_, t) =>
+        // chunk = everything since the previous close tag (exclusive);
+        // locate the first true open-tag boundary inside it
+        val chunk = t.toString
+        def isTagBoundary(c: Char) = c == '>' || c == '/' || c.isWhitespace
+        var s = chunk.indexOf(open)
+        var found = -1
+        while (s >= 0 && found < 0) {
+          val b = s + open.length
+          if (b < chunk.length && isTagBoundary(chunk.charAt(b))) found = s
+          else s = chunk.indexOf(open, s + 1)
+        }
+        if (found >= 0) Some(chunk.substring(found) + close) else None
+      }.toDF("record")
+  }
+
   /** AutoInputFormat capability (.../streaming/AutoInputFormat.java):
     * sniff a file's format from magic bytes. */
   def sniffFormat(spark: SparkSession, path: String): String = {

@@ -154,6 +154,34 @@ class XmlAndSniffSpec extends SparkSpec {
     assert(recs.toSeq == Seq("<item>a</item>", "<item>b</item>"), recs.toSeq)
   }
 
+  test("xmlRecordsStreamed agrees with xmlRecords and splits one large file") {
+    val dir = tmpDir()
+    // one "large" file with many records, multiline bodies, junk
+    // between elements, and a decoy longer tag name
+    val recs = (1 to 500).map(i => s"""<doc id="$i">line1\nline2 $i</doc>""")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/big.xml"),
+      "<docs>\n" + recs.mkString("\n junk \n") + "\n</docs>")
+    val streamed = CompatSources.xmlRecordsStreamed(spark, s"$dir/big.xml", "doc")
+      .as[String].collect().sorted
+    val whole = CompatSources.xmlRecords(spark, s"$dir/big.xml", "doc")
+      .as[String].collect().sorted
+    assert(streamed.length == 500)
+    assert(streamed.toSeq == whole.toSeq)
+    // force multiple splits over the same file: records must survive
+    // split boundaries (the delimiter-reader contract)
+    val conf = spark.sparkContext.hadoopConfiguration
+    val prev = conf.get("mapreduce.input.fileinputformat.split.maxsize")
+    conf.set("mapreduce.input.fileinputformat.split.maxsize", "2048")
+    try {
+      val split = CompatSources.xmlRecordsStreamed(spark, s"$dir/big.xml", "doc")
+        .as[String].collect().sorted
+      assert(split.toSeq == whole.toSeq)
+    } finally {
+      if (prev == null) conf.unset("mapreduce.input.fileinputformat.split.maxsize")
+      else conf.set("mapreduce.input.fileinputformat.split.maxsize", prev)
+    }
+  }
+
   test("sniffFormat detects parquet, sequencefile, and text") {
     val dir = java.nio.file.Files.createTempDirectory("sniff").toString
     graft.core.Tables.nation(spark, sf).write.parquet(s"$dir/p")
