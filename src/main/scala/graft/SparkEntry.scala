@@ -267,6 +267,17 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // Deterministic train/val/test split (LLM-pipeline op): md5-bucket
+    // assignment is content-stable, so the oracle recomputes the same
+    // buckets in DuckDB and the per-split membership must agree
+    // exactly (id_sum is the witness, not just counts).
+    "q40_hash_split" -> ((s, d) =>
+      Sampling.hashSplit(docs(s, d), col("doc_id"),
+          Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n"), sum("doc_id").as("id_sum"))
+        .orderBy("split")),
+
     // Binary typed-bytes pipe (hadoop-streaming `-io typedbytes`):
     // rows cross a forked child as tag-length-value VECTOR records and
     // come back bit-identical — the md5 over the round-tripped text is
@@ -625,6 +636,16 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // bucket bounds = round(cum_weight * 65536) for 0.8/0.1/0.1
+    "q40_hash_split" ->
+      """WITH b AS (SELECT doc_id,
+        |  ('0x' || substr(md5(CAST(doc_id AS VARCHAR)),1,4))::INT AS bucket
+        |  FROM documents)
+        |SELECT CASE WHEN bucket < 52429 THEN 'train'
+        |            WHEN bucket < 58982 THEN 'val' ELSE 'test' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
 
     // cat is identity, so the round-trip through the typed-bytes wire
     // must reproduce the source bytes exactly — md5 is the witness.

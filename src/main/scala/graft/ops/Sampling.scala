@@ -45,4 +45,37 @@ object Sampling {
     val enc = org.apache.spark.sql.Encoders.row(df.schema)
     df.mapPartitions(_.take(nPerPartition))(enc)
   }
+
+  /** Stratified sample: per-stratum Bernoulli fractions (training-set
+    * class balancing). Seeded and map-only — no shuffle at any scale. */
+  def stratified[T](df: DataFrame, keyCol: String,
+                    fractions: Map[T, Double], seed: Long = 42L): DataFrame =
+    df.stat.sampleBy(keyCol, fractions, seed)
+
+  /** Deterministic train/val/test assignment for ML pipelines: bucket
+    * each row by an md5 prefix of its id (16 bits, uniform), carve
+    * [0, 65536) by cumulative weight, and label with the matching
+    * split name. Content-stable: the same id lands in the same split
+    * across runs, engines and data orderings — the property that keeps
+    * a held-out set held out when the corpus is re-ingested. Pure
+    * column arithmetic (no shuffle, no UDF); weights are normalized.
+    */
+  def hashSplit(df: DataFrame, id: Column,
+                weights: Seq[(String, Double)],
+                splitCol: String = "split"): DataFrame = {
+    require(weights.nonEmpty && weights.forall(_._2 > 0),
+      "hashSplit: weights must be positive")
+    val total = weights.map(_._2).sum
+    val bucket = conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
+      .cast("int")
+    // cumulative upper bounds over the 16-bit bucket space; the last
+    // split takes everything remaining so coverage is exhaustive
+    val bounds = weights.scanLeft(0.0) { case (acc, (_, w)) => acc + w / total }
+      .tail.map(c => math.round(c * 65536).toInt)
+    val labeled = weights.map(_._1).zip(bounds).dropRight(1)
+      .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
+        coalesce(acc, when(bucket < hi, name))
+      }
+    df.withColumn(splitCol, coalesce(labeled, lit(weights.last._1)))
+  }
 }

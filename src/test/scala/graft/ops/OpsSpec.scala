@@ -88,6 +88,50 @@ class SamplingSpec extends SparkSpec {
     val out = Sampling.splitSample(li.repartition(4), 5)
     assert(out.count() <= 20)
   }
+
+  test("hashSplit is exhaustive, disjoint, deterministic, and ~proportional") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val n = docs.count()
+    val split = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+    // exhaustive: every row labeled, only the three labels
+    assert(split.where(col("split").isNull).count() == 0)
+    val counts = split.groupBy("split").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    assert(counts.keySet.subsetOf(Set("train", "val", "test")))
+    assert(counts.values.sum == n)
+    // ~proportional (loose: 500 docs, 16-bit buckets)
+    assert(counts("train") > n * 6 / 10 && counts("train") < n * 95 / 100)
+    // deterministic and order-independent: shuffling input rows
+    // reassigns nothing
+    val again = Sampling.hashSplit(docs.orderBy(rand(7)), col("doc_id"),
+      Seq("train" -> 0.8, "val" -> 0.1, "test" -> 0.1))
+      .select("doc_id", "split")
+    assert(split.select("doc_id", "split").except(again).count() == 0)
+  }
+
+  test("hashSplit normalizes weights (2/1/1 == 0.5/0.25/0.25)") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val a = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("a" -> 2.0, "b" -> 1.0, "c" -> 1.0)).select("doc_id", "split")
+    val b = Sampling.hashSplit(docs, col("doc_id"),
+      Seq("a" -> 0.5, "b" -> 0.25, "c" -> 0.25)).select("doc_id", "split")
+    assert(a.except(b).count() == 0 && b.except(a).count() == 0)
+  }
+
+  test("stratified sampling respects per-class fractions") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val langs = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val fracs: Map[Any, Double] = langs.keys.map {
+      case l if l == langs.keys.head => (l: Any) -> 1.0
+      case l => (l: Any) -> 0.0
+    }.toMap
+    val out = Sampling.stratified(docs, "lang", fracs)
+    // fraction 1.0 keeps every row of that class; 0.0 drops the rest
+    assert(out.where(col("lang") === langs.keys.head).count() == langs(langs.keys.head))
+    assert(out.where(col("lang") =!= langs.keys.head).count() == 0)
+  }
 }
 
 class CompactionSpec extends SparkSpec {
