@@ -41,14 +41,9 @@ object DistCp {
     val srcRoot = srcFs.getFileStatus(srcPath)
 
     // SimpleCopyListing: recursive walk, relative paths from the root.
-    def walk(p: Path): Seq[(Path, Long, Boolean)] = {
-      val st = srcFs.getFileStatus(p)
-      if (st.isFile) Seq((p, st.getLen, false))
-      else (p, 0L, true) +: srcFs.listStatus(p).toSeq.flatMap(s => walk(s.getPath))
-    }
     val rootUri = (if (srcRoot.isFile) srcPath.getParent else srcPath).toUri
     def rel(p: Path): String = rootUri.relativize(p.toUri).getPath
-    val all = walk(srcPath)
+    val all = FsTrees.walk(srcFs, srcPath)
     val dirs = all.filter(_._3).map(e => rel(e._1)).filter(_.nonEmpty)
     val files = all.filterNot(_._3).map(e => Entry(rel(e._1), e._2))
 
@@ -84,15 +79,11 @@ object DistCp {
         // largest files — the exact anti-balance this layout prevents
       val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
       val dstStr = dstPath.toString
-      val confBytes = {
-        val baos = new java.io.ByteArrayOutputStream()
-        conf.write(new java.io.DataOutputStream(baos)); baos.toByteArray
-      }
+      val confBytes = FsTrees.shipConf(conf)
       spark.sparkContext.parallelize(assigned, parts)
         .partitionBy(new org.apache.spark.HashPartitioner(parts))
         .mapPartitions { it =>
-          val c = new Configuration(false)
-          c.readFields(new java.io.DataInputStream(new java.io.ByteArrayInputStream(confBytes)))
+          val c = FsTrees.readConf(confBytes)
           it.map { case (_, e) =>
             val from = new Path(srcRootStr, e.rel)
             val to = new Path(dstStr, e.rel)

@@ -114,8 +114,17 @@ object Pipe {
         val pe = pb.environment(); env.foreach { case (k, v) => pe.put(k, v) }
         pb.redirectError(ProcessBuilder.Redirect.INHERIT)
         val proc = pb.start()
+        // if the task dies or stops early (limit/take, downstream
+        // failure, kill), reap the child and unblock the writer — the
+        // same completion hook PipedRDD registers
+        val tc = org.apache.spark.TaskContext.get()
+        if (tc != null) tc.addTaskCompletionListener[Unit](_ => proc.destroy())
         @volatile var writeErr: Throwable = null
         val writer = new Thread(() => {
+          // upstream expressions evaluate on THIS thread while it pulls
+          // `it`; they need the task's thread-locals (see
+          // TaskContextBridge)
+          if (tc != null) org.apache.spark.graft.TaskContextBridge.set(tc)
           val os = new DataOutputStream(new BufferedOutputStream(proc.getOutputStream, 1 << 16))
           try { it.foreach(TypedBytes.writeRow(os, _)); os.flush() }
           catch { case t: Throwable => writeErr = t }
@@ -135,11 +144,18 @@ object Pipe {
           private def finish(): Unit = {
             writer.join()
             val code = proc.waitFor()
+            // an UPSTREAM failure on the writer thread must fail the
+            // task even when the child exited 0 — otherwise a crashed
+            // input silently truncates the output. The one tolerated
+            // case: the child closed stdin early on purpose (broken
+            // pipe, e.g. `head`) and still exited clean.
+            val earlyStdinClose =
+              writeErr.isInstanceOf[java.io.IOException] && code == 0
+            if (writeErr != null && !earlyStdinClose)
+              throw new java.io.IOException(
+                s"typed-bytes upstream failed while feeding ${cmd.head}", writeErr)
             if (code != 0)
               throw new java.io.IOException(s"typed-bytes child ${cmd.head} exited with $code")
-            // a write error against a child that exited 0 (closed stdin
-            // early, e.g. `head`) is the child's prerogative; only
-            // surface it alongside a non-zero exit above
           }
         }
       }

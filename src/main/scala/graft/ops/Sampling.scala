@@ -76,6 +76,11 @@ object Sampling {
       .foldLeft(lit(null).cast("string")) { case (acc, (name, hi)) =>
         coalesce(acc, when(bucket < hi, name))
       }
-    df.withColumn(splitCol, coalesce(labeled, lit(weights.last._1)))
+    // a null id has no content to be stable on — assigning it anywhere
+    // (it would otherwise fall through to the LAST split, polluting the
+    // held-out set) is silent corruption; fail the job instead
+    df.withColumn(splitCol,
+      when(id.isNull, raise_error(lit("hashSplit: null id — split membership must be content-stable")))
+        .otherwise(coalesce(labeled, lit(weights.last._1))))
   }
 }

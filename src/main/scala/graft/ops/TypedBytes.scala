@@ -78,7 +78,11 @@ object TypedBytes {
       (0 until r.length).foreach(i => writeValue(out, r.get(i)))
     case d: java.math.BigDecimal => writeValue(out, d.toPlainString)
     case d: BigDecimal => writeValue(out, d.bigDecimal.toPlainString)
-    case other => writeValue(out, other.toString) // dates, timestamps
+    // temporal values appear as java.sql types by default and as
+    // java.time types under spark.sql.datetime.java8API.enabled; both
+    // cross the wire as their ISO-ish toString, and coerce() parses
+    // either form back into whichever class the session expects
+    case other => writeValue(out, other.toString)
   }
 
   // ---- decode ------------------------------------------------------
@@ -165,12 +169,28 @@ object TypedBytes {
         val cells = v.asInstanceOf[Seq[Any]]
         Row.fromSeq(cells.zip(st.fields).map { case (c, f) => coerce(c, f.dataType) })
       case d: DecimalType => new java.math.BigDecimal(v.toString)
-      case DateType => v match {
-        case d: java.sql.Date => d; case s: String => java.sql.Date.valueOf(s)
-      }
-      case TimestampType => v match {
-        case t: java.sql.Timestamp => t; case s: String => java.sql.Timestamp.valueOf(s)
-      }
+      case DateType =>
+        val d = v match {
+          case d: java.sql.Date => d.toLocalDate
+          case d: java.time.LocalDate => d
+          case s: String => java.time.LocalDate.parse(s)
+        }
+        if (java8Api) d else java.sql.Date.valueOf(d)
+      case TimestampType =>
+        val t = v match {
+          case t: java.sql.Timestamp => t.toInstant
+          case i: java.time.Instant => i
+          // java.sql.Timestamp.toString has a space, Instant has 'T'
+          case s: String if s.contains("T") => java.time.Instant.parse(s)
+          case s: String => java.sql.Timestamp.valueOf(s).toInstant
+        }
+        if (java8Api) t else java.sql.Timestamp.from(t)
       case _ => v
     }
+
+  /** Which temporal classes `createDataFrame` expects in this session
+    * (evaluated on the task thread, where SQLConf is task-local). */
+  private def java8Api: Boolean =
+    try org.apache.spark.sql.internal.SQLConf.get.datetimeJava8ApiEnabled
+    catch { case _: Throwable => false }
 }

@@ -64,6 +64,25 @@ class DistCpSpec extends SparkSpec {
     assert(read(s"$dst/top.txt") == read(s"$src/top.txt"))
   }
 
+  test("DistCh parsePerm: octal with sticky, rwx form, loud rejections") {
+    assert(DistCh.parsePerm("644") == Integer.parseInt("644", 8).toShort)
+    assert(DistCh.parsePerm("1777") == Integer.parseInt("1777", 8).toShort) // sticky kept
+    assert(DistCh.parsePerm("-rw-r--r--") == Integer.parseInt("644", 8).toShort)
+    assert(DistCh.parsePerm("rw-r--r--") == Integer.parseInt("644", 8).toShort)
+    intercept[IllegalArgumentException] { DistCh.parsePerm("99") }   // not octal
+    intercept[IllegalArgumentException] { DistCh.parsePerm("4755") } // setuid unrepresentable
+  }
+
+  test("DistCh with dirs included changes directories after files, deepest first") {
+    import java.nio.file.attribute.PosixFilePermission._
+    val src = mkTree()
+    val r = DistCh.change(spark, src, perm = Some("755"))
+    // 4 files + root + a + a/b + empty = 8 paths
+    assert(r.changed == 8, s"expected 8 paths changed, got ${r.changed}")
+    val dirPerms = Files.getPosixFilePermissions(Paths.get(s"$src/a/b"))
+    assert(dirPerms.contains(OTHERS_EXECUTE) && !dirPerms.contains(GROUP_WRITE), s"got $dirPerms")
+  }
+
   test("DistCh chmod changes permissions across the tree (octal and rwx specs)") {
     import java.nio.file.attribute.PosixFilePermission._
     val src = mkTree()

@@ -110,6 +110,20 @@ class SamplingSpec extends SparkSpec {
     assert(split.select("doc_id", "split").except(again).count() == 0)
   }
 
+  test("hashSplit fails loudly on null ids instead of polluting a split") {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types._
+    val schema = StructType(Seq(StructField("id", LongType)))
+    val df = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(Row(1L), Row(null)), 1), schema)
+    val e = intercept[Exception] {
+      Sampling.hashSplit(df, col("id"), Seq("a" -> 0.5, "b" -> 0.5)).collect()
+    }
+    def mentions(t: Throwable): Boolean = t != null &&
+      (Option(t.getMessage).exists(_.contains("null id")) || mentions(t.getCause))
+    assert(mentions(e), s"got $e")
+  }
+
   test("hashSplit normalizes weights (2/1/1 == 0.5/0.25/0.25)") {
     val docs = graft.core.Tables.documents(spark, sf)
     val a = Sampling.hashSplit(docs, col("doc_id"),

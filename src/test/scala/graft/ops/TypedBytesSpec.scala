@@ -3,6 +3,7 @@ package graft.ops
 import java.io.{ByteArrayInputStream, ByteArrayOutputStream, DataInputStream, DataOutputStream}
 
 import org.apache.spark.sql.Row
+import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.types._
 
 import graft.SparkSpec
@@ -104,6 +105,47 @@ class TypedBytesSpec extends SparkSpec {
     }
     assert(e.getMessage.contains("exited with 3") ||
       Option(e.getCause).exists(_.getMessage.contains("exited with 3")))
+  }
+
+  test("pipeTypedBytes fails the task when UPSTREAM evaluation dies mid-stream") {
+    // ANSI division by zero inside the select: it throws on the writer
+    // thread while feeding the child; the child (cat) still exits 0 —
+    // without writer-error propagation this would silently truncate
+    val schema = StructType(Seq(StructField("q", IntegerType)))
+    val df = spark.range(0, 100, 1, 1).toDF("n")
+      .select((lit(100) / (col("n") - 50)).cast("int").as("q"))
+    val e = intercept[Exception] {
+      Pipe.pipeTypedBytes(df, Seq("cat"), schema).collect()
+    }
+    def mentionsUpstream(t: Throwable): Boolean =
+      t != null && (t.getMessage != null && (t.getMessage.contains("upstream failed") ||
+        t.getMessage.contains("DIVIDE_BY_ZERO")) || mentionsUpstream(t.getCause))
+    assert(mentionsUpstream(e), s"got: $e")
+  }
+
+  test("pipeTypedBytes round-trips timestamp and date columns") {
+    val schema = StructType(Seq(
+      StructField("d", DateType), StructField("t", TimestampType)))
+    val rows = Seq(
+      Row(java.sql.Date.valueOf("2026-08-12"),
+          java.sql.Timestamp.valueOf("2026-08-12 13:00:00.123")),
+      Row(null, null))
+    val df = spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+    val got = Pipe.pipeTypedBytes(df, Seq("cat"), schema).collect()
+      .sortBy(r => if (r.isNullAt(0)) "" else r.get(0).toString)
+    assert(got.length == 2)
+    assert(got(0).isNullAt(0) && got(0).isNullAt(1))
+    assert(got(1).get(0).toString == "2026-08-12")
+    assert(got(1).get(1).toString.startsWith("2026-08-12 13:00:00.123"))
+  }
+
+  test("pipeTypedBytes tolerates a child that closes stdin early and exits 0") {
+    val schema = StructType(Seq(StructField("n", IntegerType)))
+    val df = spark.range(0, 100000, 1, 1).toDF("n").select(col("n").cast("int"))
+    // child reads nothing: the writer hits a broken pipe, but exit 0
+    // means the child meant it (the `head` contract)
+    val out = Pipe.pipeTypedBytes(df, Seq("sh", "-c", "exit 0"), schema)
+    assert(out.count() == 0)
   }
 
   test("pipeTypedBytes tolerates a child that emits nothing and exits 0") {
