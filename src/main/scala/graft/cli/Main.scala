@@ -88,6 +88,19 @@ object Main {
         val r = graft.ops.DistCh.change(spark, root, perm = Some(mode))
         println(s"changed ${r.changed} paths under $root")
 
+      // Train/val/test split: "train=0.98,val=0.01,test=0.01" spec;
+      // output partitioned by split label so each lands in its own dir
+      case "split" :: in :: idCol :: spec :: out :: Nil =>
+        val weights = spec.split(',').toSeq.map { part =>
+          part.split('=') match {
+            case Array(name, w) => name -> w.toDouble
+            case _ => sys.error(s"split: bad weight spec '$part' (want name=weight)")
+          }
+        }
+        graft.ops.Sampling.hashSplit(spark.read.parquet(in), col(idCol), weights)
+          .write.mode("overwrite").partitionBy("split").parquet(out)
+        println(s"split $in by $idCol into ${weights.map(_._1).mkString("/")} under $out")
+
       // The old parquet-rewrite copy (recompress/recodec while copying)
       case "rewrite" :: src :: dst :: Nil =>
         spark.read.parquet(src).write.mode("overwrite").parquet(dst)
@@ -134,6 +147,7 @@ object Main {
         |  compact <in-dir> <out-dir>
         |  copy [-update] <src-tree> <dst>
         |  chmod <mode> <tree>
+        |  split <in.parquet> <idCol> name=w,name=w,... <out>
         |  rewrite <src.parquet> <dst>
         |  kvtext <in.text> <out>
         |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>

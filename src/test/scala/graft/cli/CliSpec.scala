@@ -64,6 +64,17 @@ class CliSpec extends SparkSpec {
     assert(after2.count() == after1.count() + 1, after2.collect().toSeq)
   }
 
+  test("split verb writes one partition directory per split label") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("split", s"$sf/documents.parquet", "doc_id",
+      "train=0.8,val=0.1,test=0.1", s"$tmp/sp")
+    val dirs = new java.io.File(s"$tmp/sp").listFiles()
+      .filter(_.getName.startsWith("split=")).map(_.getName).sorted
+    assert(dirs.toSeq == Seq("split=test", "split=train", "split=val"), dirs.toSeq)
+    val back = spark.read.parquet(s"$tmp/sp")
+    assert(back.count() == spark.read.parquet(s"$sf/documents.parquet").count())
+  }
+
   test("copy verb round-trips a table") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     runVerb("copy", s"$sf/nation.parquet", s"$tmp/nation")
