@@ -63,6 +63,12 @@ object Main {
         val n = Compaction.compactParquet(spark, in, out)
         println(s"compacted $in -> $out ($n files)")
 
+      // hadoop archive: pack a tree into a har:// readable archive
+      case "archive" :: src :: dst :: Nil =>
+        val r = graft.ops.Har.archive(spark, src, dst)
+        println(s"archived ${r.files} files (${r.bytes} bytes) + ${r.dirs} dirs " +
+          s"into ${r.parts} parts: har://$dst")
+
       // DistCp: listing-based copy of an arbitrary file tree; -update
       // skips destination files that already match by size
       // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java).
@@ -145,6 +151,7 @@ object Main {
         |  pipe <in.parquet> <cmd> [arg...] -- <out>
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
+        |  archive <src-tree> <dst.har>
         |  copy [-update] <src-tree> <dst>
         |  chmod <mode> <tree>
         |  split <in.parquet> <idCol> name=w,name=w,... <out>

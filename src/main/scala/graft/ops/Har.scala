@@ -1,0 +1,147 @@
+package graft.ops
+
+import org.apache.hadoop.fs.{FileStatus, Path}
+import org.apache.spark.sql.SparkSession
+
+/** Hadoop Archive (HAR) writer + read-side registration — the full
+  * capability of `hadoop archive`
+  * (hadoop-tools/hadoop-archives/.../HadoopArchives.java:660-830,
+  * read side hadoop-common/.../fs/HarFileSystem.java:63,560-615):
+  * pack a tree of small files into a few part files plus a two-level
+  * index, readable in place through `har://` URIs by the stock
+  * `HarFileSystem` on every engine that speaks Hadoop filesystems —
+  * including this one (`spark.read.*("har:///…")` after
+  * [[registerScheme]]).
+  *
+  * Layout written (version 3, byte-compatible with the reference
+  * reader, which this repo's spec verifies by reading through
+  * `HarFileSystem` itself):
+  *
+  * {{{
+  * out.har/_index        one line per path, sorted by path-hash:
+  *                       enc(path) file part-N start len enc(props)
+  *                       enc(path) dir enc(props) 0 0 enc(child)...
+  * out.har/_masterindex  "3", then "startHash endHash startPos endPos"
+  *                       per 1000-line block of _index
+  * out.har/part-N        concatenated file bytes, one per task
+  * }}}
+  *
+  * Scale posture mirrors [[DistCp]]: the driver owns only metadata
+  * (listing + index lines, O(files)); the BYTES move in parallel
+  * tasks, each streaming its byte-balanced slice into its own part
+  * file. The reference writes parts with a MapReduce job; same shape.
+  */
+object Har {
+
+  case class ArchiveResult(files: Long, dirs: Long, parts: Int, bytes: Long)
+
+  /** Make `har://` resolvable in this session (idempotent). The
+    * hadoop-client jars ship HarFileSystem but Spark sessions don't
+    * always carry the scheme mapping. */
+  def registerScheme(spark: SparkSession): Unit =
+    spark.sparkContext.hadoopConfiguration
+      .setIfUnset("fs.har.impl", "org.apache.hadoop.fs.HarFileSystem")
+
+  private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
+
+  /** modTime perm owner group, URL-encoded as ONE field
+    * (HadoopArchives.encodeProperties). */
+  private def props(st: FileStatus): String =
+    enc(s"${st.getModificationTime} ${st.getPermission.toShort} " +
+      s"${st.getOwner} ${st.getGroup}")
+
+  /** HarFileSystem.getHarHash: Java String.hashCode masked positive. */
+  private[ops] def harHash(relPath: String): Int =
+    relPath.hashCode & 0x7fffffff
+
+  def archive(spark: SparkSession, src: String, dstHar: String,
+              partsHint: Int = 0): ArchiveResult = {
+    require(dstHar.endsWith(".har"), s"HAR path must end in .har: $dstHar")
+    registerScheme(spark)
+    val conf = new org.apache.hadoop.conf.Configuration(
+      spark.sparkContext.hadoopConfiguration)
+    val srcFs = new Path(src).getFileSystem(conf)
+    val srcPath = srcFs.makeQualified(new Path(src))
+    val rootUri = srcPath.toUri
+    def rel(p: Path): String = {
+      val r = rootUri.relativize(p.toUri).getPath
+      if (r.isEmpty) "/" else "/" + r.stripSuffix("/")
+    }
+    val all = FsTrees.walk(srcFs, srcPath)
+    val files = all.collect { case (p, len, false) => (p.toString, len) }
+    val dirPaths = all.collect { case (p, _, true) => p }
+
+    val dstFs = new Path(dstHar).getFileSystem(conf)
+    val dstPath = dstFs.makeQualified(new Path(dstHar))
+    dstFs.delete(dstPath, true)
+    dstFs.mkdirs(dstPath)
+
+    // byte-balanced slices, one part file per task (largest first,
+    // round-robin — same layout as DistCp's task assignment)
+    val slots = math.max(1, math.min(
+      if (partsHint > 0) partsHint else spark.sparkContext.defaultParallelism,
+      math.max(1, files.size)))
+    val slices: Seq[(Int, Seq[(String, Long)])] = files.sortBy(-_._2).zipWithIndex
+      .map { case (f, i) => (i % slots, f) }
+      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val confBytes = FsTrees.shipConf(conf)
+    val dstStr = dstPath.toString
+
+    // (srcPath, partName, startPos, len) per file — metadata only
+    val fileEntries: Array[(String, String, Long, Long)] =
+      if (slices.isEmpty) Array.empty
+      else spark.sparkContext.parallelize(slices, slices.size)
+        .flatMap { case (slot, slice) =>
+          val c = FsTrees.readConf(confBytes)
+          val partName = s"part-$slot"
+          val outP = new Path(dstStr, partName)
+          val out = outP.getFileSystem(c).create(outP, true)
+          var pos = 0L
+          val entries = try slice.map { case (pStr, len) =>
+            val p = new Path(pStr)
+            val in = p.getFileSystem(c).open(p)
+            try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+            finally in.close()
+            val e = (pStr, partName, pos, len)
+            pos += len
+            e
+          } finally out.close()
+          entries.iterator
+        }.collect()
+
+    // index lines: files from the task results, dirs driver-side
+    val fileLines = fileEntries.toSeq.map { case (pStr, part, start, len) =>
+      val p = new Path(pStr)
+      val r = rel(p)
+      (harHash(r), s"${enc(r)} file $part $start $len ${props(srcFs.getFileStatus(p))} ")
+    }
+    val dirLines = dirPaths.map { p =>
+      val r = rel(p)
+      val children = srcFs.listStatus(p).map(_.getPath.getName)
+      (harHash(r), s"${enc(r)} dir ${props(srcFs.getFileStatus(p))} 0 0 " +
+        children.map(c => enc(c) + " ").mkString)
+    }
+    val lines = (fileLines ++ dirLines).sortBy(_._1)
+
+    // _index + _masterindex ("3", then hash/byte ranges per 1000 lines)
+    val indexOut = dstFs.create(new Path(dstPath, "_index"), true)
+    val master = new StringBuilder("3 \n")
+    var (startHash, startPos, written, curPos, lastHash) = (0, 0L, 0, 0L, 0)
+    lines.foreach { case (h, line) =>
+      val bytes = (line + "\n").getBytes("UTF-8")
+      indexOut.write(bytes)
+      curPos += bytes.length; written += 1; lastHash = h
+      if (written >= 1000) {
+        master.append(s"$startHash $lastHash $startPos $curPos \n")
+        startHash = lastHash; startPos = curPos; written = 0
+      }
+    }
+    if (written > 0) master.append(s"$startHash $lastHash $startPos $curPos \n")
+    indexOut.close()
+    val masterOut = dstFs.create(new Path(dstPath, "_masterindex"), true)
+    masterOut.write(master.toString.getBytes("UTF-8"))
+    masterOut.close()
+
+    ArchiveResult(files.size, dirPaths.size, slices.size, files.map(_._2).sum)
+  }
+}

@@ -1,0 +1,69 @@
+package graft.ops
+
+import java.nio.file.{Files, Paths}
+
+import org.apache.hadoop.fs.{FileSystem, Path}
+
+import graft.SparkSpec
+
+/** The archive must be readable by the STOCK HarFileSystem — these
+  * tests never parse graft's own output; they go through `har://`
+  * URIs end to end, which is the compatibility contract.
+  */
+class HarSpec extends SparkSpec {
+
+  private def mkTree(): String = {
+    val root = Files.createTempDirectory("har-src").toString
+    Files.createDirectories(Paths.get(s"$root/a/b"))
+    Files.writeString(Paths.get(s"$root/top.txt"), "hello har\n")
+    Files.writeString(Paths.get(s"$root/a/mid.csv"), "1,2\n3,4\n")
+    Files.write(Paths.get(s"$root/a/b/deep.bin"), (0 until 4096).map(_.toByte).toArray)
+    Files.writeString(Paths.get(s"$root/a/b/empty.dat"), "")
+    root
+  }
+
+  private def harFs(harUri: String): FileSystem =
+    FileSystem.get(new java.net.URI(harUri), spark.sparkContext.hadoopConfiguration)
+
+  test("archive round-trips every file byte-exact through stock HarFileSystem") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("har-out").toString + "/t.har"
+    val r = Har.archive(spark, src, dst, partsHint = 2)
+    assert(r.files == 4 && r.dirs == 3 && r.parts == 2)
+    val harRoot = s"har://${new java.net.URI("file://" + dst).getPath}"
+    val fs = harFs(harRoot)
+    def readHar(rel: String): Array[Byte] = {
+      val in = fs.open(new Path(harRoot + rel))
+      try {
+        val buf = new java.io.ByteArrayOutputStream()
+        org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        buf.toByteArray
+      } finally in.close()
+    }
+    assert(new String(readHar("/top.txt"), "UTF-8") == "hello har\n")
+    assert(readHar("/a/b/deep.bin").toSeq ==
+      (0 until 4096).map(_.toByte).toSeq)
+    assert(readHar("/a/b/empty.dat").isEmpty)
+  }
+
+  test("archive directory listing and Spark reads work through har://") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("har-out").toString + "/t.har"
+    Har.archive(spark, src, dst)
+    val harRoot = s"har://$dst"
+    val fs = harFs(harRoot)
+    val rootNames = fs.listStatus(new Path(harRoot)).map(_.getPath.getName).sorted
+    assert(rootNames.toSeq == Seq("a", "top.txt"), rootNames.toSeq)
+    val aNames = fs.listStatus(new Path(s"$harRoot/a")).map(_.getPath.getName).sorted
+    assert(aNames.toSeq == Seq("b", "mid.csv"), aNames.toSeq)
+    // the whole point: a Spark scan straight off the archive
+    import spark.implicits._
+    val lines = spark.read.textFile(s"$harRoot/a/mid.csv").collect().sorted
+    assert(lines.toSeq == Seq("1,2", "3,4"))
+  }
+
+  test("harHash matches the reference's masked String.hashCode") {
+    assert(Har.harHash("/") == ("/".hashCode & 0x7fffffff))
+    assert(Har.harHash("/a/b.txt") >= 0)
+  }
+}
