@@ -1,7 +1,7 @@
 package graft.ops
 
 import org.apache.hadoop.conf.Configuration
-import org.apache.hadoop.fs.{FileSystem, Path}
+import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
 
 /** Shared plumbing for the distributed file-maintenance jobs
   * ([[DistCp]], [[DistCh]]): driver-side tree listing and shipping a
@@ -10,14 +10,22 @@ import org.apache.hadoop.fs.{FileSystem, Path}
   */
 private[ops] object FsTrees {
 
-  /** Recursive driver-side listing: (path, length, isDirectory), root
-    * first. Metadata-only — the tiny side of any tree job; parallelize
-    * per top-level child past ~10M entries (SCALE.md trade-off 4). */
-  def walk(fs: FileSystem, p: Path): Seq[(Path, Long, Boolean)] = {
-    val st = fs.getFileStatus(p)
-    if (st.isFile) Seq((p, st.getLen, false))
-    else (p, 0L, true) +: fs.listStatus(p).toSeq.flatMap(s => walk(fs, s.getPath))
+  /** Recursive driver-side listing, root's status first. One RPC per
+    * directory (`listStatus` carries every child's full status, so
+    * consumers never re-stat). Metadata-only — the tiny side of any
+    * tree job; parallelize per top-level child past ~10M entries
+    * (SCALE.md trade-off 4). */
+  def walkStatuses(fs: FileSystem, p: Path): Seq[FileStatus] = {
+    def rec(st: FileStatus): Seq[FileStatus] =
+      if (st.isFile) Seq(st)
+      else st +: fs.listStatus(st.getPath).toSeq.flatMap(rec)
+    rec(fs.getFileStatus(p))
   }
+
+  /** (path, length, isDirectory) view of [[walkStatuses]]. */
+  def walk(fs: FileSystem, p: Path): Seq[(Path, Long, Boolean)] =
+    walkStatuses(fs, p).map(st =>
+      (st.getPath, if (st.isFile) st.getLen else 0L, st.isDirectory))
 
   def shipConf(conf: Configuration): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()

@@ -67,9 +67,15 @@ object Har {
       val r = rootUri.relativize(p.toUri).getPath
       if (r.isEmpty) "/" else "/" + r.stripSuffix("/")
     }
-    val all = FsTrees.walk(srcFs, srcPath)
-    val files = all.collect { case (p, len, false) => (p.toString, len) }
-    val dirPaths = all.collect { case (p, _, true) => p }
+    // one listStatus per directory; statuses reused for props and
+    // children below — no per-path re-stat on the driver
+    val all = FsTrees.walkStatuses(srcFs, srcPath)
+    val files = all.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
+    val dirStatuses = all.filter(_.isDirectory)
+    val statusByPath = all.map(st => st.getPath.toString -> st).toMap
+    val childrenByDir = all.filterNot(_.getPath == srcPath)
+      .groupBy(_.getPath.getParent.toString)
+      .view.mapValues(_.map(_.getPath.getName)).toMap
 
     val dstFs = new Path(dstHar).getFileSystem(conf)
     val dstPath = dstFs.makeQualified(new Path(dstHar))
@@ -111,14 +117,13 @@ object Har {
 
     // index lines: files from the task results, dirs driver-side
     val fileLines = fileEntries.toSeq.map { case (pStr, part, start, len) =>
-      val p = new Path(pStr)
-      val r = rel(p)
-      (harHash(r), s"${enc(r)} file $part $start $len ${props(srcFs.getFileStatus(p))} ")
+      val r = rel(new Path(pStr))
+      (harHash(r), s"${enc(r)} file $part $start $len ${props(statusByPath(pStr))} ")
     }
-    val dirLines = dirPaths.map { p =>
-      val r = rel(p)
-      val children = srcFs.listStatus(p).map(_.getPath.getName)
-      (harHash(r), s"${enc(r)} dir ${props(srcFs.getFileStatus(p))} 0 0 " +
+    val dirLines = dirStatuses.map { st =>
+      val r = rel(st.getPath)
+      val children = childrenByDir.getOrElse(st.getPath.toString, Seq.empty)
+      (harHash(r), s"${enc(r)} dir ${props(st)} 0 0 " +
         children.map(c => enc(c) + " ").mkString)
     }
     val lines = (fileLines ++ dirLines).sortBy(_._1)
@@ -142,6 +147,6 @@ object Har {
     masterOut.write(master.toString.getBytes("UTF-8"))
     masterOut.close()
 
-    ArchiveResult(files.size, dirPaths.size, slices.size, files.map(_._2).sum)
+    ArchiveResult(files.size, dirStatuses.size, slices.size, files.map(_._2).sum)
   }
 }
