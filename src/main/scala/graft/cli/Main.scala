@@ -67,7 +67,7 @@ object Main {
       case "archive" :: src :: dst :: Nil =>
         val r = graft.ops.Har.archive(spark, src, dst)
         println(s"archived ${r.files} files (${r.bytes} bytes) + ${r.dirs} dirs " +
-          s"into ${r.parts} parts: har://$dst")
+          s"into ${r.parts} parts at $dst (readable via har:// URIs)")
 
       // DistCp: listing-based copy of an arbitrary file tree; -update
       // skips destination files that already match by size

@@ -72,11 +72,10 @@ object DistCp {
       // the partition count so one giant file doesn't serialize a wave
       val slots = spark.sparkContext.defaultParallelism
       val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
-      val assigned = toCopy.sortBy(-_.len).zipWithIndex
-        .map { case (e, i) => (i % parts, e) }
-        // place by the round-robin key: parallelize alone would slice
-        // the size-sorted list contiguously and give one task ALL the
-        // largest files — the exact anti-balance this layout prevents
+      // place by the round-robin key: parallelize alone would slice
+      // the size-sorted list contiguously and give one task ALL the
+      // largest files — the exact anti-balance this layout prevents
+      val assigned = FsTrees.roundRobin(toCopy, parts)(_.len)
       val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
       val dstStr = dstPath.toString
       val confBytes = FsTrees.shipConf(conf)

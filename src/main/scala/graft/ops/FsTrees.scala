@@ -27,6 +27,12 @@ private[ops] object FsTrees {
     walkStatuses(fs, p).map(st =>
       (st.getPath, if (st.isFile) st.getLen else 0L, st.isDirectory))
 
+  /** Byte-balanced task assignment shared by the tree jobs: largest
+    * first, round-robin over `slots`, so no task gets all the big
+    * files. Returns (slot, item) pairs. */
+  def roundRobin[A](items: Seq[A], slots: Int)(size: A => Long): Seq[(Int, A)] =
+    items.sortBy(a => -size(a)).zipWithIndex.map { case (a, i) => (i % slots, a) }
+
   def shipConf(conf: Configuration): Array[Byte] = {
     val baos = new java.io.ByteArrayOutputStream()
     conf.write(new java.io.DataOutputStream(baos))

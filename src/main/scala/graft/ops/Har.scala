@@ -44,11 +44,13 @@ object Har {
 
   private def enc(s: String) = java.net.URLEncoder.encode(s, "UTF-8")
 
-  /** modTime perm owner group, URL-encoded as ONE field
-    * (HadoopArchives.encodeProperties). */
+  /** modTime perm owner group, URL-encoded as ONE field — with owner
+    * and group ALSO encoded individually first, exactly as
+    * HadoopArchives.encodeProperties double-encodes them (an owner
+    * name with a space must not shift the field layout). */
   private def props(st: FileStatus): String =
     enc(s"${st.getModificationTime} ${st.getPermission.toShort} " +
-      s"${st.getOwner} ${st.getGroup}")
+      s"${enc(st.getOwner)} ${enc(st.getGroup)}")
 
   /** HarFileSystem.getHarHash: Java String.hashCode masked positive. */
   private[ops] def harHash(relPath: String): Int =
@@ -62,7 +64,12 @@ object Har {
       spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
-    val rootUri = srcPath.toUri
+    val srcRootSt = srcFs.getFileStatus(srcPath)
+    // a single-file src relativizes against its PARENT (DistCp's rule)
+    // so the archive holds "/<name>" plus a root dir entry, not a
+    // nameless "/" file
+    val rootForRel = if (srcRootSt.isFile) srcPath.getParent else srcPath
+    val rootUri = rootForRel.toUri
     def rel(p: Path): String = {
       val r = rootUri.relativize(p.toUri).getPath
       if (r.isEmpty) "/" else "/" + r.stripSuffix("/")
@@ -71,46 +78,60 @@ object Har {
     // children below — no per-path re-stat on the driver
     val all = FsTrees.walkStatuses(srcFs, srcPath)
     val files = all.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
-    val dirStatuses = all.filter(_.isDirectory)
     val statusByPath = all.map(st => st.getPath.toString -> st).toMap
-    val childrenByDir = all.filterNot(_.getPath == srcPath)
-      .groupBy(_.getPath.getParent.toString)
-      .view.mapValues(_.map(_.getPath.getName)).toMap
+    val (dirStatuses, childrenByDir) =
+      if (srcRootSt.isFile)
+        (Seq(srcFs.getFileStatus(rootForRel)),
+         Map(rootForRel.toString -> Seq(srcPath.getName)))
+      else
+        (all.filter(_.isDirectory),
+         all.filterNot(_.getPath == srcPath)
+           .groupBy(_.getPath.getParent.toString)
+           .view.mapValues(_.map(_.getPath.getName)).toMap)
 
     val dstFs = new Path(dstHar).getFileSystem(conf)
     val dstPath = dstFs.makeQualified(new Path(dstHar))
-    dstFs.delete(dstPath, true)
-    dstFs.mkdirs(dstPath)
+    // stage into a sibling tmp dir; the existing archive (and its
+    // readers) survive until the new one is complete, and a failed
+    // run leaves dst untouched (CopyMapper's tmp-then-rename idiom,
+    // whole-archive granularity). NOTE: assumes no speculative
+    // re-execution of part tasks (off by default) — two attempts of
+    // one slot would interleave writes into the same part file.
+    val tmpPath = new Path(dstPath.getParent,
+      s".${dstPath.getName}.tmp")
+    dstFs.delete(tmpPath, true)
+    dstFs.mkdirs(tmpPath)
 
-    // byte-balanced slices, one part file per task (largest first,
-    // round-robin — same layout as DistCp's task assignment)
+    // byte-balanced slices, one part file per task
     val slots = math.max(1, math.min(
       if (partsHint > 0) partsHint else spark.sparkContext.defaultParallelism,
       math.max(1, files.size)))
-    val slices: Seq[(Int, Seq[(String, Long)])] = files.sortBy(-_._2).zipWithIndex
-      .map { case (f, i) => (i % slots, f) }
-      .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
+    val slices: Seq[(Int, Seq[(String, Long)])] =
+      FsTrees.roundRobin(files, slots)(_._2)
+        .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     val confBytes = FsTrees.shipConf(conf)
-    val dstStr = dstPath.toString
+    val tmpStr = tmpPath.toString
 
-    // (srcPath, partName, startPos, len) per file — metadata only
+    // (srcPath, partName, startPos, len) per file — metadata only.
+    // Offsets come from the OUTPUT STREAM position, not the listed
+    // length: a file that grew/shrank between listing and copy must
+    // not shift every later entry in its part
+    // (HadoopArchives.map uses partStream.getPos the same way).
     val fileEntries: Array[(String, String, Long, Long)] =
       if (slices.isEmpty) Array.empty
       else spark.sparkContext.parallelize(slices, slices.size)
         .flatMap { case (slot, slice) =>
           val c = FsTrees.readConf(confBytes)
           val partName = s"part-$slot"
-          val outP = new Path(dstStr, partName)
+          val outP = new Path(tmpStr, partName)
           val out = outP.getFileSystem(c).create(outP, true)
-          var pos = 0L
-          val entries = try slice.map { case (pStr, len) =>
+          val entries = try slice.map { case (pStr, _) =>
             val p = new Path(pStr)
+            val start = out.getPos
             val in = p.getFileSystem(c).open(p)
             try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
             finally in.close()
-            val e = (pStr, partName, pos, len)
-            pos += len
-            e
+            (pStr, partName, start, out.getPos - start)
           } finally out.close()
           entries.iterator
         }.collect()
@@ -129,24 +150,32 @@ object Har {
     val lines = (fileLines ++ dirLines).sortBy(_._1)
 
     // _index + _masterindex ("3", then hash/byte ranges per 1000 lines)
-    val indexOut = dstFs.create(new Path(dstPath, "_index"), true)
+    val indexOut = dstFs.create(new Path(tmpPath, "_index"), true)
     val master = new StringBuilder("3 \n")
-    var (startHash, startPos, written, curPos, lastHash) = (0, 0L, 0, 0L, 0)
-    lines.foreach { case (h, line) =>
-      val bytes = (line + "\n").getBytes("UTF-8")
-      indexOut.write(bytes)
-      curPos += bytes.length; written += 1; lastHash = h
-      if (written >= 1000) {
-        master.append(s"$startHash $lastHash $startPos $curPos \n")
-        startHash = lastHash; startPos = curPos; written = 0
+    try {
+      var (startHash, startPos, written, curPos, lastHash) = (0, 0L, 0, 0L, 0)
+      lines.foreach { case (h, line) =>
+        val bytes = (line + "\n").getBytes("UTF-8")
+        indexOut.write(bytes)
+        curPos += bytes.length; written += 1; lastHash = h
+        if (written >= 1000) {
+          master.append(s"$startHash $lastHash $startPos $curPos \n")
+          startHash = lastHash; startPos = curPos; written = 0
+        }
       }
-    }
-    if (written > 0) master.append(s"$startHash $lastHash $startPos $curPos \n")
-    indexOut.close()
-    val masterOut = dstFs.create(new Path(dstPath, "_masterindex"), true)
-    masterOut.write(master.toString.getBytes("UTF-8"))
-    masterOut.close()
+      if (written > 0) master.append(s"$startHash $lastHash $startPos $curPos \n")
+    } finally indexOut.close()
+    val masterOut = dstFs.create(new Path(tmpPath, "_masterindex"), true)
+    try masterOut.write(master.toString.getBytes("UTF-8"))
+    finally masterOut.close()
 
-    ArchiveResult(files.size, dirStatuses.size, slices.size, files.map(_._2).sum)
+    // publish: replace the old archive only now that the new one is
+    // complete on disk
+    dstFs.delete(dstPath, true)
+    if (!dstFs.rename(tmpPath, dstPath))
+      sys.error(s"HAR publish failed: rename $tmpPath -> $dstPath")
+
+    ArchiveResult(files.size, dirStatuses.size, slices.size,
+      fileEntries.map(_._4).sum)
   }
 }

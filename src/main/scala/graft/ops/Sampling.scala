@@ -65,6 +65,9 @@ object Sampling {
                 splitCol: String = "split"): DataFrame = {
     require(weights.nonEmpty && weights.forall(_._2 > 0),
       "hashSplit: weights must be positive")
+    require(!df.columns.contains(splitCol),
+      s"hashSplit: input already has a '$splitCol' column — overwriting it " +
+        "would silently destroy data; pass a different splitCol")
     val total = weights.map(_._2).sum
     val bucket = conv(substring(md5(id.cast("string").cast("binary")), 1, 4), 16, 10)
       .cast("int")

@@ -62,6 +62,39 @@ class HarSpec extends SparkSpec {
     assert(lines.toSeq == Seq("1,2", "3,4"))
   }
 
+  test("archiving a single file keeps its name under a root dir entry") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("har-out").toString + "/one.har"
+    val r = Har.archive(spark, s"$src/top.txt", dst)
+    assert(r.files == 1 && r.dirs == 1)
+    val fs = harFs(s"har://$dst")
+    val in = fs.open(new Path(s"har://$dst/top.txt"))
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false) finally in.close()
+    assert(new String(buf.toByteArray, "UTF-8") == "hello har\n")
+  }
+
+  test("re-archiving replaces the old archive atomically (staged publish)") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("har-out").toString + "/t.har"
+    Har.archive(spark, src, dst)
+    // change content, archive again over the same destination
+    Files.writeString(Paths.get(s"$src/top.txt"), "second version\n")
+    Har.archive(spark, src, dst)
+    // fresh instance (not FileSystem.get cache); HarFileSystem's
+    // static metadata cache revalidates by _masterindex mtime
+    val fs = FileSystem.newInstance(new java.net.URI(s"har://$dst"),
+      spark.sparkContext.hadoopConfiguration)
+    val in = fs.open(new Path(s"har://$dst/top.txt"))
+    val buf = new java.io.ByteArrayOutputStream()
+    try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false) finally in.close()
+    assert(new String(buf.toByteArray, "UTF-8") == "second version\n")
+    // no stale tmp staging dir left behind
+    val parent = new java.io.File(dst).getParentFile
+    assert(!parent.listFiles().exists(_.getName.contains(".tmp")),
+      parent.listFiles().map(_.getName).toSeq)
+  }
+
   test("harHash matches the reference's masked String.hashCode") {
     assert(Har.harHash("/") == ("/".hashCode & 0x7fffffff))
     assert(Har.harHash("/a/b.txt") >= 0)

@@ -124,6 +124,15 @@ class SamplingSpec extends SparkSpec {
     assert(mentions(e), s"got $e")
   }
 
+  test("hashSplit refuses an input that already has the split column") {
+    val docs = graft.core.Tables.documents(spark, sf)
+      .withColumn("split", lit("precious"))
+    val e = intercept[IllegalArgumentException] {
+      Sampling.hashSplit(docs, col("doc_id"), Seq("a" -> 0.5, "b" -> 0.5))
+    }
+    assert(e.getMessage.contains("already has"))
+  }
+
   test("hashSplit normalizes weights (2/1/1 == 0.5/0.25/0.25)") {
     val docs = graft.core.Tables.documents(spark, sf)
     val a = Sampling.hashSplit(docs, col("doc_id"),
