@@ -267,6 +267,16 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // Int8-quantized ANN (LLM-pipeline op): corpus scanned as packed
+    // 1-byte/element blobs, integer cosine (per-vector scales cancel).
+    // The oracle recomputes the same quantization in DuckDB —
+    // FLOOR(x+0.5) both sides, since DuckDB round() is
+    // half-away-from-zero but JVM Math.round is floor(x+0.5).
+    "q41_ann_int8" -> ((s, d) =>
+      Similarity.bruteTopKQuantized(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5)
+        .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
+        .orderBy("qid", "rnk")),
+
     // Deterministic train/val/test split (LLM-pipeline op): md5-bucket
     // assignment is content-stable, so the oracle recomputes the same
     // buckets in DuckDB and the per-split membership must agree
@@ -636,6 +646,22 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    "q41_ann_int8" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |m AS (SELECT vec_id, v, CAST(list_max(list_transform(v, y -> abs(y))) AS DOUBLE) AS mx FROM e),
+        |qz AS (SELECT vec_id,
+        |  list_transform(v, x -> CASE WHEN mx = 0 THEN 0.0
+        |    ELSE CAST(FLOOR(x / (mx/127.0) + 0.5) AS DOUBLE) END) AS qv FROM m),
+        |sims AS (
+        |  SELECT a.vec_id AS qid, b.vec_id AS vec_id,
+        |    list_inner_product(a.qv, b.qv) /
+        |      (sqrt(list_inner_product(a.qv, a.qv)) * sqrt(list_inner_product(b.qv, b.qv))) AS s
+        |  FROM qz a JOIN qz b ON b.vec_id <> a.vec_id
+        |  WHERE a.vec_id < 5),
+        |r AS (SELECT qid, vec_id, s,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY qid ORDER BY s DESC, vec_id) AS INT) AS rnk FROM sims)
+        |SELECT qid, vec_id, rnk, ROUND(s,4) AS sim FROM r WHERE rnk <= 5 ORDER BY qid, rnk""".stripMargin,
 
     // bucket bounds = round(cum_weight * 65536) for 0.8/0.1/0.1
     "q40_hash_split" ->

@@ -48,6 +48,21 @@ object VectorFunctions {
       ColumnBridge.expression(toDoubleArray(a)),
       ColumnBridge.expression(toDoubleArray(b))))
 
+  /** Per-vector symmetric int8 quantization: packed BINARY blob, 1
+    * byte per element (8× smaller than array<double> on the wire and
+    * in cache, and a blob avoids the columnar cache's element-wise
+    * array reassembly). Scale (max|v|/127) is NOT stored: cosine is
+    * invariant to per-vector scaling, so similarity search needs only
+    * the bytes — pair with [[cosineInt8]]. */
+  def quantizeInt8(a: Column): Column =
+    ColumnBridge.column(QuantizeInt8(ColumnBridge.expression(toDoubleArray(a))))
+
+  /** Cosine over two int8-quantized blobs. Approximate: rounding error
+    * only (≲0.01 absolute for typical normalized embeddings). */
+  def cosineInt8(a: Column, b: Column): Column =
+    ColumnBridge.column(CosineSimilarityInt8(
+      ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
   /** Elementwise-mean aggregate over an `array<double>` column as a
     * `udaf` Column. Partial-merging (`Aggregator` ⇒ map-side combine),
     * so a groupBy-mean of N vectors shuffles only one (sum, count)
@@ -82,6 +97,58 @@ class VectorMeanAgg(dim: Int)
     Encoders.product[(Array[Double], Long)]
   override def outputEncoder: Encoder[Seq[Double]] =
     org.apache.spark.sql.catalyst.encoders.ExpressionEncoder[Seq[Double]]()
+}
+
+/** array<double> → int8 bytes, one pass: scale = max|v|/127,
+  * bytes(i) = round(v(i)/scale). An all-zero vector quantizes to
+  * all-zero bytes (its cosine is null in every tier). */
+case class QuantizeInt8(child: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = org.apache.spark.sql.types.BinaryType
+  override def nullable: Boolean = true
+  override def prettyName: String = "quantize_int8"
+  override def nullSafeEval(v: Any): Any = {
+    val x = v.asInstanceOf[ArrayData].toDoubleArray()
+    var m = 0.0; var i = 0
+    while (i < x.length) { val a = math.abs(x(i)); if (a > m) m = a; i += 1 }
+    val out = new Array[Byte](x.length)
+    if (m > 0.0) {
+      val scale = m / 127.0
+      i = 0
+      while (i < x.length) { out(i) = math.round(x(i) / scale).toByte; i += 1 }
+    }
+    out
+  }
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Cosine over two int8-quantized blobs — per-vector scales cancel,
+  * so the bytes alone carry the angle. Long accumulators: safe to
+  * dim ≈ 5.7e14 at |a|,|b| ≤ 127. Null/mismatched/zero inputs → null. */
+case class CosineSimilarityInt8(left: Expression, right: Expression)
+    extends BinaryExpression
+    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+  override def dataType: DataType = DoubleType
+  override def nullable: Boolean = true
+  override def prettyName: String = "cosine_similarity_int8"
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[Array[Byte]]
+    val y = b.asInstanceOf[Array[Byte]]
+    if (x.length != y.length) null
+    else {
+      var d = 0L; var nx = 0L; var ny = 0L; var i = 0
+      while (i < x.length) {
+        val ax = x(i).toLong; val bx = y(i).toLong
+        d += ax * bx; nx += ax * ax; ny += bx * bx; i += 1
+      }
+      val denom = math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble)
+      if (denom == 0.0) null else d / denom
+    }
+  }
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): Expression =
+    copy(left = newLeft, right = newRight)
 }
 
 /** dot(a,b) / (sqrt(dot(a,a)) * sqrt(dot(b,b))) over two

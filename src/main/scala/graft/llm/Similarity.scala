@@ -42,6 +42,29 @@ object Similarity {
       .orderBy(col("qid"), col("rank"))
   }
 
+  /** [[bruteTopK]] over int8-quantized vectors: the corpus is scanned
+    * as 1-byte-per-element blobs (8× fewer bytes than array<double>
+    * in scan, cache and broadcast) and ranked with the integer cosine
+    * — per-vector scales cancel, so no dequantization happens
+    * anywhere. Approximate only through rounding (recall vs the exact
+    * ranking pinned in `QuantizedSimSpec`); the 100 TB memory-bound
+    * variant of the brute scan. */
+  def bruteTopKQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val qz = emb.select(col("vec_id"),
+      VectorFunctions.quantizeInt8(col("embedding")).as("qv"))
+    val q = qz.where(col("vec_id").isin(queryIds: _*))
+      .select(col("vec_id").as("qid"), col("qv").as("qqv"))
+    val sims = qz.crossJoin(broadcast(q))
+      .where(col("vec_id") =!= col("qid"))
+      .select(col("qid"), col("vec_id"),
+        VectorFunctions.cosineInt8(col("qqv"), col("qv")).as("s"))
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Default number of random hyperplanes (bucket bits = 2^planes
     * buckets). A selectivity knob: candidates per probe scale with
     * corpus/2^planes, so raise it as the corpus grows (e.g. ~20 at
