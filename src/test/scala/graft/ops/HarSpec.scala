@@ -62,6 +62,17 @@ class HarSpec extends SparkSpec {
     assert(lines.toSeq == Seq("1,2", "3,4"))
   }
 
+  test("parquet tables read in place through har:// (seek-capable archive reads)") {
+    // parquet scans need random access (footer seek + row-group reads),
+    // the stronger read-side contract than streaming a text file
+    val src = Files.createTempDirectory("har-pq").toString
+    graft.core.Tables.nation(spark, sf).write.parquet(s"$src/nation.parquet")
+    val dst = Files.createTempDirectory("har-out").toString + "/pq.har"
+    Har.archive(spark, src, dst)
+    val n = spark.read.parquet(s"har://$dst/nation.parquet").count()
+    assert(n == graft.core.Tables.nation(spark, sf).count())
+  }
+
   test("archiving a single file keeps its name under a root dir entry") {
     val src = mkTree()
     val dst = Files.createTempDirectory("har-out").toString + "/one.har"
