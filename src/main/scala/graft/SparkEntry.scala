@@ -270,8 +270,10 @@ object SparkEntry {
     // Int8-quantized ANN (LLM-pipeline op): corpus scanned as packed
     // 1-byte/element blobs, integer cosine (per-vector scales cancel).
     // The oracle recomputes the same quantization in DuckDB —
-    // FLOOR(x+0.5) both sides, since DuckDB round() is
-    // half-away-from-zero but JVM Math.round is floor(x+0.5).
+    // FLOOR(x+0.5) there vs JVM Math.round here, since DuckDB round()
+    // is half-away-from-zero. (Not bit-equivalent for inputs one ulp
+    // below 0.5 — Math.round special-cases 0.49999999999999994 —
+    // but reachable only if x/scale lands exactly there.)
     "q41_ann_int8" -> ((s, d) =>
       Similarity.bruteTopKQuantized(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5)
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))

@@ -108,6 +108,13 @@ case class QuantizeInt8(child: Expression)
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "quantize_int8"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other => org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"$prettyName expects array<double> (wrap with toDoubleArray), got ${other.simpleString}")
+    }
   override def nullSafeEval(v: Any): Any = {
     val x = v.asInstanceOf[ArrayData].toDoubleArray()
     var m = 0.0; var i = 0
@@ -125,13 +132,22 @@ case class QuantizeInt8(child: Expression)
 
 /** Cosine over two int8-quantized blobs — per-vector scales cancel,
   * so the bytes alone carry the angle. Long accumulators: safe to
-  * dim ≈ 5.7e14 at |a|,|b| ≤ 127. Null/mismatched/zero inputs → null. */
+  * dim ≈ 5.7e14 at |a|,|b| ≤ 127. Null/mismatched/zero inputs → null.
+  * Codegen'd like [[CosineSimilarity]] — this is the per-pair hot
+  * loop of the quantized scan, it must stay inside whole-stage
+  * codegen. */
 case class CosineSimilarityInt8(left: Expression, right: Expression)
-    extends BinaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    extends BinaryExpression {
   override def dataType: DataType = DoubleType
   override def nullable: Boolean = true
   override def prettyName: String = "cosine_similarity_int8"
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    if (left.dataType == org.apache.spark.sql.types.BinaryType &&
+        right.dataType == org.apache.spark.sql.types.BinaryType)
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+      s"$prettyName expects two BINARY int8 blobs (use quantizeInt8), got " +
+        s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
   override def nullSafeEval(a: Any, b: Any): Any = {
     val x = a.asInstanceOf[Array[Byte]]
     val y = b.asInstanceOf[Array[Byte]]
@@ -145,6 +161,26 @@ case class CosineSimilarityInt8(left: Expression, right: Expression)
       val denom = math.sqrt(nx.toDouble) * math.sqrt(ny.toDouble)
       if (denom == 0.0) null else d / denom
     }
+  }
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode = {
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val d = ctx.freshName("d"); val nx = ctx.freshName("nx"); val ny = ctx.freshName("ny")
+      val denom = ctx.freshName("denom")
+      s"""
+         |if ($a.length != $b.length) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  long $d = 0L; long $nx = 0L; long $ny = 0L;
+         |  for (int $i = 0; $i < $a.length; $i++) {
+         |    long ax = $a[$i]; long bx = $b[$i];
+         |    $d += ax * bx; $nx += ax * ax; $ny += bx * bx;
+         |  }
+         |  double $denom = java.lang.Math.sqrt((double) $nx) * java.lang.Math.sqrt((double) $ny);
+         |  if ($denom == 0.0) { ${ev.isNull} = true; } else { ${ev.value} = $d / $denom; }
+         |}
+       """.stripMargin
+    })
   }
   override protected def withNewChildrenInternal(
       newLeft: Expression, newRight: Expression): Expression =

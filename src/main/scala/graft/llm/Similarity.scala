@@ -24,6 +24,17 @@ import graft.functions.VectorFunctions
   */
 object Similarity {
 
+  /** The shared ranking tail: per-qid top-k by similarity, ties by
+    * vec_id, rounded sim. ONE definition so the exact, LSH and
+    * quantized paths can never diverge on the ranking contract. */
+  private[llm] def rankTopK(sims: DataFrame, k: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
+    sims.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= k)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Exact cosine top-k of each query id against the whole corpus
     * (self-pairs excluded). Output: (qid, vec_id, rank, sim). */
   def bruteTopK(emb: DataFrame, queryIds: Seq[Long], k: Int,
@@ -35,34 +46,34 @@ object Similarity {
     val sims = emb.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"), cosFn(col("qe"), col("embedding")).as("s"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(sims, k)
   }
 
-  /** [[bruteTopK]] over int8-quantized vectors: the corpus is scanned
-    * as 1-byte-per-element blobs (8× fewer bytes than array<double>
-    * in scan, cache and broadcast) and ranked with the integer cosine
-    * — per-vector scales cancel, so no dequantization happens
-    * anywhere. Approximate only through rounding (recall vs the exact
-    * ranking pinned in `QuantizedSimSpec`); the 100 TB memory-bound
-    * variant of the brute scan. */
-  def bruteTopKQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
-    val qz = emb.select(col("vec_id"),
+  /** (vec_id, qv) int8-blob view of an embedding frame — the form to
+    * PERSIST (or write to parquet) when the scan itself should shrink:
+    * stored blobs are 8× smaller than array<double> in file, cache
+    * and broadcast. Quantizing inline (what [[bruteTopKQuantized]]
+    * does when handed raw embeddings) shrinks only the broadcast and
+    * the per-pair compute, not the source scan. */
+  def quantized(emb: DataFrame): DataFrame =
+    emb.select(col("vec_id"),
       VectorFunctions.quantizeInt8(col("embedding")).as("qv"))
+
+  /** [[bruteTopK]] over int8 blobs, ranked with the codegen'd integer
+    * cosine — per-vector scales cancel, so nothing dequantizes.
+    * Accepts either raw embeddings (quantizes on the fly) or a
+    * pre-quantized [[quantized]] frame (the stored-blob scan path).
+    * Approximate only through rounding; recall vs the exact ranking
+    * is pinned in `QuantizedSimSpec`. */
+  def bruteTopKQuantized(emb: DataFrame, queryIds: Seq[Long], k: Int): DataFrame = {
+    val qz = if (emb.columns.contains("qv")) emb else quantized(emb)
     val q = qz.where(col("vec_id").isin(queryIds: _*))
       .select(col("vec_id").as("qid"), col("qv").as("qqv"))
     val sims = qz.crossJoin(broadcast(q))
       .where(col("vec_id") =!= col("qid"))
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosineInt8(col("qqv"), col("qv")).as("s"))
-    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
-    sims.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(sims, k)
   }
 
   /** Default number of random hyperplanes (bucket bits = 2^planes
@@ -165,10 +176,6 @@ object Similarity {
       .select(col("qid"), col("vec_id"),
         VectorFunctions.cosineFast(col("qe"), col("embedding")).as("s"))
       .dropDuplicates("qid", "vec_id")
-    val w = Window.partitionBy(col("qid")).orderBy(col("s").desc, col("vec_id"))
-    cands.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= k)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("s"), 4).as("sim"))
-      .orderBy(col("qid"), col("rank"))
+    rankTopK(cands, k)
   }
 }
