@@ -267,6 +267,12 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // WordMean/WordMedian/WordStandardDeviation in one pass (three
+    // separate jobs in the reference) — the percentile/stddev pair is
+    // the part worth oracle-checking cross-engine.
+    "q42_word_stats" -> ((s, d) =>
+      graft.jobs.Jobs.wordStats(docs(s, d), col("text"))),
+
     // Int8-quantized ANN (LLM-pipeline op): corpus scanned as packed
     // 1-byte/element blobs, integer cosine (per-vector scales cancel).
     // The oracle recomputes the same quantization in DuckDB —
@@ -648,6 +654,16 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // Spark `percentile` and DuckDB `median` both interpolate at even
+    // counts (percentile_cont semantics), so the values hash-match
+    "q42_word_stats" ->
+      """SELECT ROUND(AVG(CAST(length(w) AS DOUBLE)),4) AS mean_len,
+        |ROUND(CAST(median(length(w)) AS DOUBLE),4) AS median_len,
+        |ROUND(stddev_pop(CAST(length(w) AS DOUBLE)),4) AS stddev_len,
+        |CAST(COUNT(*) AS BIGINT) AS n_words
+        |FROM (SELECT UNNEST(STRING_SPLIT(text,' ')) AS w FROM documents)
+        |WHERE w <> ''""".stripMargin,
 
     "q41_ann_int8" ->
       """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
