@@ -267,6 +267,17 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // KeyFieldBasedComparator: sort tab-delimited text lines by a
+    // "-k2,2nr -k1,1n" spec (numeric desc on field 2, then numeric on
+    // field 1 — a unique composite, so the line ORDER is the check).
+    "q43_keyfield_sort" -> ((s, d) =>
+      graft.ops.KeyFieldSort.sorted(
+        li(s, d).select(concat_ws("\t",
+          col("l_orderkey"), col("l_linenumber"),
+          // bigint: double→string renders differently across engines
+          col("l_quantity").cast("long")).as("line")),
+        "line", "-k2,2nr -k1,1n")),
+
     // WordMean/WordMedian/WordStandardDeviation in one pass (three
     // separate jobs in the reference) — the percentile/stddev pair is
     // the part worth oracle-checking cross-engine.
@@ -654,6 +665,11 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    "q43_keyfield_sort" ->
+      """SELECT l_orderkey || CHR(9) || l_linenumber || CHR(9) || CAST(l_quantity AS BIGINT) AS line
+        |FROM lineitem
+        |ORDER BY l_linenumber DESC, l_orderkey""".stripMargin,
 
     // Spark `percentile` and DuckDB `median` both interpolate at even
     // counts (percentile_cont semantics), so the values hash-match
