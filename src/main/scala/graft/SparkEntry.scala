@@ -267,6 +267,31 @@ object SparkEntry {
         .orderBy(col("c").desc, col("w")).limit(50)
     }),
 
+    // Legacy-format round-trips: the migration-correctness claim made
+    // executable. Write the table through the compat SINK, read it back
+    // through the compat SOURCE, aggregate — the oracle aggregates the
+    // parquet original directly, so any byte lost or shifted in either
+    // direction breaks the hash.
+    "q44_kvtext_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-kvrt").toString + "/kv"
+      graft.sources.CompatSources.kvTextWrite(
+        docs(s, d).select(col("doc_id"), col("lang")), tmp)
+      graft.sources.CompatSources.kvText(s, tmp)
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("key").cast("long")).as("id_sum"))
+        .orderBy("value")
+    }),
+
+    "q45_seqfile_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-seqrt").toString + "/seq"
+      graft.sources.CompatSources.sequenceFileWrite(
+        docs(s, d).select(col("doc_id"), col("lang")), tmp)
+      graft.sources.CompatSources.sequenceFileText(s, tmp)
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("key").cast("long")).as("id_sum"))
+        .orderBy("value")
+    }),
+
     // KeyFieldBasedComparator: sort tab-delimited text lines by a
     // "-k2,2nr -k1,1n" spec (numeric desc on field 2, then numeric on
     // field 1 — a unique composite, so the line ORDER is the check).
@@ -665,6 +690,15 @@ object SparkEntry {
         |FROM embeddings a JOIN embeddings b ON a.label = b.label AND a.vec_id < b.vec_id
         |WHERE list_cosine_similarity(CAST(a.embedding AS DOUBLE[]), CAST(b.embedding AS DOUBLE[])) >= 0.35
         |ORDER BY id1, id2""".stripMargin,
+
+    // both round-trips share the one aggregation over the original
+    "q44_kvtext_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q45_seqfile_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
 
     "q43_keyfield_sort" ->
       """SELECT l_orderkey || CHR(9) || l_linenumber || CHR(9) || CAST(l_quantity AS BIGINT) AS line
