@@ -292,6 +292,47 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // Compressed-codec round-trip (FileOutputFormat
+    // .setOutputCompressorClass + codec-transparent rescan): same
+    // witness aggregation as q44, but the bytes cross a SPLITTABLE
+    // bzip2-compressed text sink — codec chosen because at 100 TB a
+    // gzip part is one split forever while bzip2 blocks re-split.
+    "q48_codec_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-bz2rt").toString + "/kvbz2"
+      graft.sources.CompatSources.kvTextWrite(
+        docs(s, d).select(col("doc_id"), col("lang")), tmp, codec = Some("bzip2"))
+      graft.sources.CompatSources.kvText(s, tmp)
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("key").cast("long")).as("id_sum"))
+        .orderBy("value")
+    }),
+
+    // ROLLUP (grouping sets family — absent in the reference, declared
+    // per SURVEY §2.5): subtotal rows are disambiguated by GROUPING()
+    // markers, and group keys are coalesced to '' so the output carries
+    // no NULLs (Spark and DuckDB default NULL sort order differs).
+    "q46_rollup" -> ((s, d) =>
+      li(s, d).rollup(col("l_returnflag"), col("l_linestatus"))
+        .agg(grouping(col("l_returnflag")).cast("int").as("g_flag"),
+          grouping(col("l_linestatus")).cast("int").as("g_status"),
+          round(sum("l_quantity"), 4).as("sum_qty"), count(lit(1)).as("n"))
+        .select(col("g_flag"), col("g_status"),
+          coalesce(col("l_returnflag"), lit("")).as("flag"),
+          coalesce(col("l_linestatus"), lit("")).as("status"),
+          col("sum_qty"), col("n"))
+        .orderBy("g_flag", "g_status", "flag", "status")),
+
+    // Skew-salted two-phase aggregation: the declared witness that
+    // saltedAgg EQUALS the plain GROUP BY (the oracle computes the
+    // plain form). l_quantity is integer-valued, so the double sums are
+    // exact and order-independent across the extra salt stage.
+    "q47_salted_agg" -> ((s, d) =>
+      graft.ops.Salting.saltedAgg(
+          li(s, d).select(col("l_returnflag").as("k"), col("l_quantity").as("v")),
+          "k", 16, sum(col("v")), "sv", c => sum(col(c)))
+        .select(col("k"), round(col("sv"), 4).as("sum_qty"))
+        .orderBy("k")),
+
     // KeyFieldBasedComparator: sort tab-delimited text lines by a
     // "-k2,2nr -k1,1n" spec (numeric desc on field 2, then numeric on
     // field 1 — a unique composite, so the line ORDER is the check).
@@ -699,6 +740,25 @@ object SparkEntry {
     "q45_seqfile_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    // same witness aggregation as q44 — the round-trip is Spark-side
+    "q48_codec_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q46_rollup" ->
+      """SELECT CAST(GROUPING(l_returnflag) AS INTEGER) AS g_flag,
+        |  CAST(GROUPING(l_linestatus) AS INTEGER) AS g_status,
+        |  COALESCE(l_returnflag, '') AS flag,
+        |  COALESCE(l_linestatus, '') AS status,
+        |  ROUND(SUM(l_quantity), 4) AS sum_qty, COUNT(*) AS n
+        |FROM lineitem GROUP BY ROLLUP(l_returnflag, l_linestatus)
+        |ORDER BY g_flag, g_status, flag, status""".stripMargin,
+
+    // the oracle is the UNSALTED aggregation — equality IS the claim
+    "q47_salted_agg" ->
+      """SELECT l_returnflag AS k, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin,
 
     "q43_keyfield_sort" ->
       """SELECT l_orderkey || CHR(9) || l_linenumber || CHR(9) || CAST(l_quantity AS BIGINT) AS line

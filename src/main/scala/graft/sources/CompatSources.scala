@@ -162,13 +162,23 @@ object CompatSources {
   }
 
   /** TextOutputFormat sink (.../lib/output/TextOutputFormat.java:44):
-    * `key<sep>value` lines. */
-  def kvTextWrite(df: DataFrame, path: String, sep: String = "\t"): Unit =
+    * `key<sep>value` lines. `codec` maps the reference's
+    * `FileOutputFormat.setOutputCompressorClass` (.../lib/output/
+    * FileOutputFormat.java:118): "bzip2"|"gzip"|"lz4"|"deflate"|"snappy".
+    * At scale prefer bzip2/none — Hadoop's BZip2 codec is splittable
+    * (io/compress/SplittableCompressionCodec.java), so a later scan
+    * still parallelizes; a gzip part is one split forever. Reads are
+    * codec-transparent (extension-dispatched), so [[kvText]] needs no
+    * flag. */
+  def kvTextWrite(df: DataFrame, path: String, sep: String = "\t",
+                  codec: Option[String] = None): Unit = {
     // nulls serialize as empty fields (concat_ws would drop them and
     // shift the layout)
-    df.select(concat_ws(sep,
+    val lines = df.select(concat_ws(sep,
         df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
-      .write.mode("overwrite").text(path)
+      .write.mode("overwrite")
+    codec.fold(lines)(c => lines.option("compression", c)).text(path)
+  }
 
   /** SequenceFileOutputFormat sink (.../lib/output/
     * SequenceFileOutputFormat.java:43) for two string columns. */

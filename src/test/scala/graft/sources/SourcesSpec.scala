@@ -45,6 +45,19 @@ class CompatSourcesSpec extends SparkSpec {
     assert(back == Set("k1" -> "v1", "k2" -> "v2"))
   }
 
+  test("kvTextWrite with bzip2 codec actually compresses and round-trips") {
+    val dir = tmpDir()
+    val df = Seq(("k1", "v1"), ("k2", "v2"), ("k3", "")).toDF("k", "v")
+    CompatSources.kvTextWrite(df, s"$dir/out", codec = Some("bzip2"))
+    // the parts must really be compressed, not just renamed
+    val parts = new java.io.File(s"$dir/out").listFiles()
+      .filter(_.getName.startsWith("part-")).map(_.getName)
+    assert(parts.nonEmpty && parts.forall(_.endsWith(".bz2")), parts.toSeq)
+    val back = CompatSources.kvText(spark, s"$dir/out")
+      .as[(String, String)].collect().toSet
+    assert(back == Set("k1" -> "v1", "k2" -> "v2", "k3" -> ""))
+  }
+
   test("sequenceFileWrite round-trips through sequenceFileText") {
     val dir = tmpDir()
     val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
