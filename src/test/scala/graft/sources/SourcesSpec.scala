@@ -83,6 +83,23 @@ class CompatSourcesSpec extends SparkSpec {
     assert(CompatSources.sniffFormat(spark, s"$dir/seqbin") == "sequencefile")
   }
 
+  test("many small files bin-pack into few splits (CombineFileInputFormat posture)") {
+    // CombineFileInputFormat (.../lib/input/CombineFileInputFormat.java:84)
+    // packs small files into shared splits so task count tracks bytes,
+    // not file count. Spark's scan does the same bin-packing via
+    // maxPartitionBytes + openCostInBytes — prove it holds: 200 tiny
+    // files must not become 200 partitions.
+    val dir = tmpDir()
+    (0 until 200).foreach { i =>
+      java.nio.file.Files.writeString(
+        java.nio.file.Paths.get(s"$dir/f$i.txt"), s"line_$i\n")
+    }
+    val scanned = spark.read.text(dir)
+    assert(scanned.count() == 200)
+    val parts = scanned.rdd.getNumPartitions
+    assert(parts <= 16, s"200 small files produced $parts partitions")
+  }
+
   test("textNLines controls partition granularity") {
     val dir = tmpDir()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lines.txt"),
