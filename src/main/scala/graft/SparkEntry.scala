@@ -228,6 +228,16 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy("id1", "id2")),
 
+    // Duplicate-GROUP resolution (LLM op): connected components over
+    // the exact Jaccard pairs — comp_id is the canonical (min) doc id
+    // per duplicate cluster, the thing a dedup pipeline actually keeps.
+    // Oracle recomputes components via a recursive transitive closure.
+    "q49_dup_components" -> ((s, d) =>
+      Dedup.components(Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
+        .orderBy("comp_id")),
+
     // Brute-force ANN top-5 for query vectors 0..4.
     "q26_ann_topk" -> ((s, d) =>
       Similarity.bruteTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, fast = false)
@@ -652,6 +662,27 @@ object SparkEntry {
         |FROM pairs JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+
+    // components oracle: q25's pair pipeline + recursive transitive
+    // closure; LEAST(a, MIN(reachable)) is the component min = comp_id
+    "q49_dup_components" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id1, id2
+        |       FROM p0 JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a)
+        |SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(id) AS BIGINT) AS id_sum
+        |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin,
 
     // q27 is the sketch→verify pipeline whose verified output equals
     // the exact n-gram Jaccard answer — the same oracle as q25.

@@ -435,4 +435,56 @@ object Dedup {
       .dropDuplicates("id1", "id2")
       .where(col("hamming") <= maxHamming)
   }
+
+  // ------------------------------------------------------- components
+
+  /** Resolve near-dup PAIRS into duplicate GROUPS — the step a real
+    * dedup pipeline runs after any pair generator above (keep one
+    * canonical doc per group, drop the rest). Connected components by
+    * iterative min-label propagation: every node's label converges to
+    * the smallest id reachable from it, so `comp_id` is stable,
+    * content-determined, and directly usable as the canonical id.
+    *
+    * Output: (id, comp_id) for every id appearing in `pairs`.
+    *
+    * Scale shape: one shuffle (edge join + min-aggregate) per
+    * iteration; iterations = graph diameter. Near-dup graphs are
+    * dense clusters of copies — diameter is small regardless of corpus
+    * size. Lineage is cut with an eager localCheckpoint per iteration
+    * (an iterative join otherwise compounds the plan exponentially).
+    * If `maxIter` rounds don't converge the method THROWS rather than
+    * return wrong groups — at that point the graph is chain-shaped and
+    * the right tool is the O(log²n)-round large-star/small-star
+    * algorithm (Kiveris et al., "Connected Components in MapReduce and
+    * Beyond"), not silent truncation. */
+  def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
+                 maxIter: Int = 25): DataFrame = {
+    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
+      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
+      .localCheckpoint(true)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val prop = edges.join(labels, edges("a") === labels("id"))
+        .select(col("b").as("id"), col("comp"))
+      val next = labels.union(prop)
+        .groupBy("id").agg(min("comp").as("comp"))
+        .localCheckpoint(true)
+      converged = next.alias("n")
+        .join(labels.alias("o"), col("n.id") === col("o.id"))
+        .where(col("n.comp") =!= col("o.comp")).isEmpty
+      labels = next
+      iter += 1
+    }
+    edges.unpersist()
+    if (!converged)
+      throw new IllegalStateException(
+        s"components: not converged after $maxIter rounds — graph diameter " +
+          "exceeds maxIter; raise it or use a star-contraction algorithm")
+    labels.select(col("id"), col("comp").as("comp_id"))
+  }
 }

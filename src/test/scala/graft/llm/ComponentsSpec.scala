@@ -1,0 +1,47 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Connected-component resolution of near-dup pairs into groups. */
+class ComponentsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def comps(pairs: Seq[(Long, Long)]): Map[Long, Long] =
+    Dedup.components(pairs.toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+
+  test("disjoint pairs form separate groups labeled by their min id") {
+    assert(comps(Seq(1L -> 2L, 3L -> 4L)) ==
+      Map(1L -> 1L, 2L -> 1L, 3L -> 3L, 4L -> 3L))
+  }
+
+  test("transitive pairs merge into one group (a-b, b-c, c-d)") {
+    assert(comps(Seq(2L -> 7L, 7L -> 5L, 5L -> 9L)) ==
+      Map(2L -> 2L, 7L -> 2L, 5L -> 2L, 9L -> 2L))
+  }
+
+  test("a chain longer than one hop converges (diameter > 2)") {
+    val chain = (0L until 12L).map(i => i -> (i + 1))
+    val got = comps(chain)
+    assert(got.size == 13 && got.values.forall(_ == 0L), got)
+  }
+
+  test("a star around a high id picks the smallest leaf as canonical") {
+    assert(comps(Seq(100L -> 3L, 100L -> 8L, 100L -> 5L)) ==
+      Map(100L -> 3L, 3L -> 3L, 8L -> 3L, 5L -> 3L))
+  }
+
+  test("pair order and direction do not matter") {
+    val a = comps(Seq(4L -> 1L, 2L -> 4L))
+    val b = comps(Seq(1L -> 4L, 4L -> 2L))
+    assert(a == b && a == Map(1L -> 1L, 4L -> 1L, 2L -> 1L))
+  }
+
+  test("non-convergence within maxIter throws instead of returning wrong groups") {
+    val chain = (0L until 40L).map(i => i -> (i + 1))
+    intercept[IllegalStateException] {
+      Dedup.components(chain.toDF("id1", "id2"), maxIter = 2).collect()
+    }
+  }
+}
