@@ -54,4 +54,28 @@ object Windows {
   def dedupWithinWatermark(events: DataFrame, watermark: String, keys: String*): DataFrame =
     events.withWatermark("ts", watermark)
       .dropDuplicatesWithinWatermark(keys.toSeq)
+
+  /** Stream-stream attribution join: pair each `effects` event with
+    * the `causes` event of the same `key` that happened at most
+    * `within` BEFORE it (click→impression, purchase→signup).
+    *
+    * Both sides carry a watermark and the join condition carries the
+    * time bound — the two things Spark needs to bound join STATE: a
+    * buffered cause is dropped once the effect-side watermark passes
+    * `cause.ts + within`, so state does not grow with the stream.
+    * An unbounded stream-stream equi-join (no watermark, no range)
+    * buffers both streams forever — never ship that shape. Inner join
+    * by default; "leftOuter" (effects side) emits unmatched effects
+    * after the watermark closes their window. */
+  def attributionJoin(causes: DataFrame, effects: DataFrame, key: String,
+                      watermark: String, within: String,
+                      joinType: String = "inner"): DataFrame = {
+    val c = causes.withWatermark("ts", watermark).alias("cause")
+    val e = effects.withWatermark("ts", watermark).alias("effect")
+    // expr() — the interval bound isn't expressible with Column ops
+    e.join(c,
+      expr(s"cause.$key = effect.$key AND " +
+        s"effect.ts >= cause.ts AND effect.ts <= cause.ts + INTERVAL $within"),
+      joinType)
+  }
 }

@@ -80,6 +80,28 @@ class WindowsSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("stream-stream attribution join pairs effects with in-window causes only") {
+    implicit val sqlCtx = spark.sqlContext
+    val causes = MemoryStream[(Timestamp, Long)]
+    val effects = MemoryStream[(Timestamp, Long)]
+    val joined = Windows.attributionJoin(
+      causes.toDF.toDF("ts", "ad_id"), effects.toDF.toDF("ts", "ad_id"),
+      "ad_id", watermark = "10 minutes", within = "10 MINUTES")
+      .selectExpr("cause.ad_id AS ad_id", "cause.ts AS cause_ts", "effect.ts AS effect_ts")
+    val q = joined.writeStream.format("memory").queryName("attr")
+      .outputMode("append").start()
+    try {
+      causes.addData(Seq(ts(0) -> 1L, ts(30) -> 2L))
+      // effect at +5 min of cause 1 (in window); effect at +50 min of
+      // cause 2 (out of window); effect with no cause at all
+      effects.addData(Seq(ts(5) -> 1L, ts(80) -> 2L, ts(7) -> 9L))
+      q.processAllAvailable()
+      val rows = spark.table("attr")
+        .as[(Long, Timestamp, Timestamp)].collect().toSet
+      assert(rows == Set((1L, ts(0), ts(5))), rows)
+    } finally q.stop()
+  }
+
   test("file-replay parity: streaming over the events fixture equals the batch result") {
     // replay the real fixture through the streaming path (file source),
     // complete mode so every window is emitted regardless of watermark
