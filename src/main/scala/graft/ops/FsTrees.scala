@@ -2,6 +2,8 @@ package graft.ops
 
 import org.apache.hadoop.conf.Configuration
 import org.apache.hadoop.fs.{FileStatus, FileSystem, Path}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
 
 /** Shared plumbing for the distributed file-maintenance jobs
   * ([[DistCp]], [[DistCh]]): driver-side tree listing and shipping a
@@ -26,6 +28,50 @@ private[ops] object FsTrees {
   def walk(fs: FileSystem, p: Path): Seq[(Path, Long, Boolean)] =
     walkStatuses(fs, p).map(st =>
       (st.getPath, if (st.isFile) st.getLen else 0L, st.isDirectory))
+
+  /** Distributed tree listing — the scale path past ~10M entries,
+    * where the driver-side [[walk]] serializes every listStatus RPC
+    * through one thread (SCALE.md trade-off 4; the reference's
+    * SimpleCopyListing has the same single-threaded shape). Each ROUND
+    * lists one tree LEVEL with the directory frontier spread over
+    * executors, so list fan-out scales with the cluster; only
+    * directory paths return to the driver between rounds (dirs ≪
+    * files in any real tree) while file entries stay distributed in
+    * persisted level frames. Rounds = tree depth.
+    *
+    * Returns (path, len, is_dir) for the root and everything under it
+    * — same contents as [[walk]], as a DataFrame. */
+  def walkDistributed(spark: SparkSession, root: Path, conf: Configuration,
+                      fanout: Int = 256): DataFrame = {
+    import spark.implicits._
+    val fs = root.getFileSystem(conf)
+    val rootSt = fs.getFileStatus(root)
+    val confBytes = shipConf(conf)
+    val rootRow = Seq((rootSt.getPath.toString,
+      if (rootSt.isFile) rootSt.getLen else 0L, rootSt.isDirectory))
+      .toDF("path", "len", "is_dir")
+    var levels = Seq(rootRow)
+    var frontier: Seq[String] =
+      if (rootSt.isDirectory) Seq(rootSt.getPath.toString) else Seq.empty
+    while (frontier.nonEmpty) {
+      val parts = math.max(1, math.min(fanout, frontier.size))
+      val level = spark.sparkContext.parallelize(frontier, parts)
+        .mapPartitions { it =>
+          val c = readConf(confBytes)
+          it.flatMap { d =>
+            val p = new Path(d)
+            p.getFileSystem(c).listStatus(p).iterator.map(st =>
+              (st.getPath.toString, if (st.isFile) st.getLen else 0L, st.isDirectory))
+          }
+        }.toDF("path", "len", "is_dir")
+        // each level is read twice (frontier collect + caller's action):
+        // persist so no level's RPCs run twice
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = level.where(col("is_dir")).select("path").as[String].collect().toSeq
+      levels :+= level
+    }
+    levels.reduce(_ unionByName _)
+  }
 
   /** Byte-balanced task assignment shared by the tree jobs: largest
     * first, round-robin over `slots`, so no task gets all the big

@@ -53,6 +53,21 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("PushedFilters: [IsNotNull(l_orderkey), EqualTo(l_orderkey,1)"), p)
   }
 
+  test("q46: rollup is Expand + partial/final aggregate, not N re-scans") {
+    val p = plan("q46_rollup")
+    assert(p.contains("Expand"), p)
+    assert(p.contains("partial_sum") || p.contains("partial count"), p)
+    // one scan feeds all grouping sets — the reference would run 3 jobs
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q47: salted aggregation aggregates on (key, salt) before the final key agg") {
+    val p = plan("q47_salted_agg")
+    // two aggregate stages around the salt column, each itself partial+final
+    assert(p.contains("__salt"), p)
+    assert(p.contains("partial_sum"), p)
+  }
+
   test("q20: query side of the similarity scan is broadcast") {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))

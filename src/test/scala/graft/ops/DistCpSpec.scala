@@ -83,6 +83,27 @@ class DistCpSpec extends SparkSpec {
     assert(dirPerms.contains(OTHERS_EXECUTE) && !dirPerms.contains(GROUP_WRITE), s"got $dirPerms")
   }
 
+  test("walkDistributed lists exactly what the driver walk lists") {
+    val src = mkTree()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = new org.apache.hadoop.fs.Path(src).getFileSystem(conf)
+    val root = fs.makeQualified(new org.apache.hadoop.fs.Path(src))
+    val driver = FsTrees.walk(fs, root)
+      .map { case (p, len, d) => (p.toString, len, d) }.toSet
+    val dist = FsTrees.walkDistributed(spark, root, conf)
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getBoolean(2))).toSet
+    assert(dist == driver, s"distributed=${dist.diff(driver)} driver=${driver.diff(dist)}")
+  }
+
+  test("DistCh with distributedListing matches the driver-listing result") {
+    import java.nio.file.attribute.PosixFilePermission._
+    val src = mkTree()
+    val r = DistCh.change(spark, src, perm = Some("755"), distributedListing = true)
+    assert(r.changed == 8, s"expected 8 paths changed, got ${r.changed}")
+    val dirPerms = Files.getPosixFilePermissions(Paths.get(s"$src/a/b"))
+    assert(dirPerms.contains(OTHERS_EXECUTE) && !dirPerms.contains(GROUP_WRITE), s"got $dirPerms")
+  }
+
   test("DistCh chmod changes permissions across the tree (octal and rwx specs)") {
     import java.nio.file.attribute.PosixFilePermission._
     val src = mkTree()
