@@ -11,12 +11,14 @@ import org.apache.spark.sql.SparkSession
   * files already present at the destination with the same size.
   *
   * Shape mirrors the reference exactly where it matters at scale: the
-  * LISTING is a driver-side recursive walk (DistCp's SimpleCopyListing
-  * is also single-process — listing metadata is tiny relative to data),
-  * while the BYTES move in parallel tasks, each streaming one file
-  * through a temp name + atomic rename (CopyMapper's .distcp.tmp
-  * idiom). Spark's role is the scheduler: the file list becomes an RDD
-  * partitioned so each task carries a similar byte budget.
+  * LISTING is a driver-side recursive walk by default (DistCp's
+  * SimpleCopyListing is also single-process — listing metadata is tiny
+  * relative to data) with a distributed per-level listing behind
+  * `distributedListing` for ~10M+ entry trees, while the BYTES move in
+  * parallel tasks, each streaming one file through a temp name +
+  * atomic rename (CopyMapper's .distcp.tmp idiom). Spark's role is the
+  * scheduler: the file list becomes an RDD partitioned so each task
+  * carries a similar byte budget.
   */
 object DistCp {
 
@@ -32,9 +34,21 @@ object DistCp {
     *                size-based skip; the reference adds checksums,
     *                which HDFS provides for free — local/object stores
     *                compare sizes exactly like this).
+    * @param distributedListing  list BOTH trees with
+    *                [[FsTrees.walkDistributed]] and compute the
+    *                `-update` skip set as a distributed join of the
+    *                two listings instead of a driver walk + hash map —
+    *                the switch for ~10M+ entry trees. Same result
+    *                either way (pinned by DistCpSpec).
     */
   def copy(spark: SparkSession, src: String, dst: String,
-           update: Boolean = false, tasksHint: Int = 0): CopyResult = {
+           update: Boolean = false, tasksHint: Int = 0,
+           distributedListing: Boolean = false): CopyResult =
+    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint)
+    else copyDriver(spark, src, dst, update, tasksHint)
+
+  private def copyDriver(spark: SparkSession, src: String, dst: String,
+                         update: Boolean, tasksHint: Int): CopyResult = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
@@ -83,24 +97,95 @@ object DistCp {
         .partitionBy(new org.apache.spark.HashPartitioner(parts))
         .mapPartitions { it =>
           val c = FsTrees.readConf(confBytes)
-          it.map { case (_, e) =>
-            val from = new Path(srcRootStr, e.rel)
-            val to = new Path(dstStr, e.rel)
-            val fsIn = from.getFileSystem(c); val fsOut = to.getFileSystem(c)
-            // CopyMapper's tmp-then-rename: readers never see partial files
-            val tmp = new Path(to.getParent, s".distcp.tmp.${to.getName}")
-            val in = fsIn.open(from)
-            try {
-              val out = fsOut.create(tmp, true)
-              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
-              finally out.close()
-            } finally in.close()
-            fsOut.delete(to, false)
-            if (!fsOut.rename(tmp, to)) sys.error(s"rename failed: $tmp -> $to")
-            e.len
-          }
+          it.map { case (_, e) => copyOne(c, srcRootStr, dstStr, e.rel); e.len }
         }.count() // materialize the copies
     }
     CopyResult(toCopy.size.toLong, skipped.toLong, toCopy.map(_.len).sum)
+  }
+
+  /** One file: stream through a temp name + atomic rename (CopyMapper's
+    * .distcp.tmp idiom — readers never see partial files). */
+  private def copyOne(c: Configuration, srcRootStr: String, dstStr: String,
+                      rel: String): Unit = {
+    val from = new Path(srcRootStr, rel)
+    val to = new Path(dstStr, rel)
+    val fsIn = from.getFileSystem(c); val fsOut = to.getFileSystem(c)
+    val tmp = new Path(to.getParent, s".distcp.tmp.${to.getName}")
+    val in = fsIn.open(from)
+    try {
+      val out = fsOut.create(tmp, true)
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
+      finally out.close()
+    } finally in.close()
+    fsOut.delete(to, false)
+    if (!fsOut.rename(tmp, to)) sys.error(s"rename failed: $tmp -> $to")
+  }
+
+  /** The ~10M+ entry path: both listings are per-level distributed
+    * frames, the `-update` skip set is a LEFT JOIN of src against dst
+    * on relative path (the DistCpSync diff, as a plan), and the
+    * byte-balanced layout is a global order-by-size + round-robin slot
+    * — the same largest-first placement as the driver path, computed
+    * as a window over the (metadata-only) file list. Only directory
+    * paths are ever collected to the driver (mkdirs must run before
+    * any copy; dirs ≪ files). */
+  private def copyDistributed(spark: SparkSession, src: String, dst: String,
+                              update: Boolean, tasksHint: Int): CopyResult = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val srcFs = new Path(src).getFileSystem(conf)
+    val srcPath = srcFs.makeQualified(new Path(src))
+    val srcRoot = srcFs.getFileStatus(srcPath)
+    val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
+
+    // qualified child paths share the root's prefix, so rel = suffix
+    def rels(listing: org.apache.spark.sql.DataFrame, rootStr: String) =
+      listing.withColumn("rel", expr(s"substring(path, ${rootStr.length + 2})"))
+    val all = rels(FsTrees.walkDistributed(spark, srcPath, conf), srcRootStr)
+    val srcFiles = all.where(!col("is_dir")).select("rel", "len")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val dirRels = all.where(col("is_dir") && length(col("rel")) > 0)
+      .select("rel").as[String].collect()
+
+    val dstFs = new Path(dst).getFileSystem(conf)
+    val dstPath = dstFs.makeQualified(new Path(dst))
+    val existing =
+      if (!update || !dstFs.exists(dstPath))
+        Seq.empty[(String, Long)].toDF("rel", "dst_len")
+      else rels(FsTrees.walkDistributed(spark, dstPath, conf), dstPath.toString)
+        .where(!col("is_dir")).select(col("rel"), col("len").as("dst_len"))
+    val toCopy = srcFiles.join(existing, Seq("rel"), "left")
+      .where(col("dst_len").isNull || col("dst_len") =!= col("len"))
+      .select("rel", "len")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    val nFiles = srcFiles.count()
+    val nCopy = toCopy.count()
+
+    dstFs.mkdirs(dstPath)
+    dirRels.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
+
+    var bytes = 0L
+    if (nCopy > 0) {
+      val slots = spark.sparkContext.defaultParallelism
+      val parts = math.max(1, math.min(
+        if (tasksHint > 0) tasksHint else slots, nCopy).toInt)
+      val dstStr = dstPath.toString
+      val confBytes = FsTrees.shipConf(conf)
+      // single-task window over file METADATA — same driver-sized cost
+      // as the listing sort in the reference's UniformSizeInputFormat
+      val slotted = toCopy.withColumn("slot",
+          pmod(row_number().over(org.apache.spark.sql.expressions.Window
+            .orderBy(col("len").desc, col("rel"))), lit(parts)))
+        .repartition(parts, col("slot"))
+      bytes = slotted.select("rel", "len").as[(String, Long)].rdd
+        .mapPartitions { it =>
+          val c = FsTrees.readConf(confBytes)
+          it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel); len }
+        }.sum().toLong
+    }
+    srcFiles.unpersist(); toCopy.unpersist()
+    CopyResult(nCopy, nFiles - nCopy, bytes)
   }
 }

@@ -83,6 +83,20 @@ class DistCpSpec extends SparkSpec {
     assert(dirPerms.contains(OTHERS_EXECUTE) && !dirPerms.contains(GROUP_WRITE), s"got $dirPerms")
   }
 
+  test("distributedListing copy matches the driver-listing copy, -update included") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    val r = DistCp.copy(spark, src, dst, distributedListing = true)
+    assert(r.copied == 4 && r.skipped == 0 && r.bytes == 4117, r)
+    assert(read(s"$dst/a/b/deep.bin") == read(s"$src/a/b/deep.bin"))
+    assert(Files.isDirectory(Paths.get(s"$dst/empty")))
+    // -update rerun: only the changed file moves, diffed via the join
+    Files.writeString(Paths.get(s"$src/a/mid.csv"), "1,2,3\n4,5,6\n7,8,9\n")
+    val r2 = DistCp.copy(spark, src, dst, update = true, distributedListing = true)
+    assert(r2.copied == 1 && r2.skipped == 3, r2)
+    assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+  }
+
   test("walkDistributed lists exactly what the driver walk lists") {
     val src = mkTree()
     val conf = spark.sparkContext.hadoopConfiguration
