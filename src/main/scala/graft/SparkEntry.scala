@@ -228,6 +228,29 @@ object SparkEntry {
       Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy("id1", "id2")),
 
+    // End-to-end curation pipeline (LLM op composition): keep only the
+    // canonical member of each exact-dup group, gate on token count
+    // and stopword ratio — integer-arithmetic thresholds (n_stop*20 >=
+    // n_tok i.e. ratio >= 0.05) so the filter is bit-exact across
+    // engines — and account the kept corpus per language.
+    "q50_curation" -> ((s, d) => {
+      val base = docs(s, d)
+      val stats = base
+        .select(col("doc_id"), explode(TextFunctions.tokens(col("text"))).as("w"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_tok"),
+          sum(when(col("w").isin(TextFunctions.defaultStopwords.take(6): _*), 1)
+            .otherwise(0)).as("n_stop"))
+      val canon = base
+        .withColumn("keep", col("doc_id") ===
+          min("doc_id").over(Window.partitionBy(md5(col("text").cast("binary")))))
+      canon.where(col("keep")).join(stats, "doc_id")
+        .where(col("n_tok") >= 5 && col("n_stop") * 20 >= col("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"), sum("doc_id").as("id_sum"))
+        .orderBy("lang")
+    }),
+
     // Duplicate-GROUP resolution (LLM op): connected components over
     // the exact Jaccard pairs — comp_id is the canonical (min) doc id
     // per duplicate cluster, the thing a dedup pipeline actually keeps.
@@ -662,6 +685,21 @@ object SparkEntry {
         |FROM pairs JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
         |WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5
         |ORDER BY id1, id2""".stripMargin,
+
+    "q50_curation" ->
+      """WITH stats AS (
+        |  SELECT doc_id, COUNT(*) AS n_tok,
+        |    SUM(CASE WHEN w IN ('the','a','of','and','to','in') THEN 1 ELSE 0 END) AS n_stop
+        |  FROM (SELECT doc_id, UNNEST(STRING_SPLIT(text,' ')) AS w FROM documents)
+        |  GROUP BY doc_id),
+        |canon AS (
+        |  SELECT doc_id, lang,
+        |    doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+        |  FROM documents)
+        |SELECT lang, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(c.doc_id) AS BIGINT) AS id_sum
+        |FROM canon c JOIN stats s ON c.doc_id = s.doc_id
+        |WHERE keep AND s.n_tok >= 5 AND s.n_stop * 20 >= s.n_tok
+        |GROUP BY lang ORDER BY lang""".stripMargin,
 
     // components oracle: q25's pair pipeline + recursive transitive
     // closure; LEAST(a, MIN(reachable)) is the component min = comp_id
