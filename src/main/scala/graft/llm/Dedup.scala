@@ -459,8 +459,10 @@ object Dedup {
     * Beyond"), not silent truncation. */
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 25): DataFrame = {
-    val edges = pairs.select(col(id1).cast("long").as("a"), col(id2).cast("long").as("b"))
-      .union(pairs.select(col(id2).cast("long").as("a"), col(id1).cast("long").as("b")))
+    // ids keep their source type: min/least order strings and numerics
+    // alike (a cast would silently null non-numeric ids)
+    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
+      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     var labels = edges.groupBy(col("a"))
       .agg(min(col("b")).as("mb"))

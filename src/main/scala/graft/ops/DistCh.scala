@@ -81,8 +81,8 @@ object DistCh {
       spark.sparkContext.parallelize(paths, math.max(1,
         math.min(spark.sparkContext.defaultParallelism, math.max(paths.size, 1))))
 
-    // (filesRdd, dir levels deepest-first) from either listing path
-    val (filesRdd, dirLevels) =
+    // (filesRdd, dir levels deepest-first, cache cleanup) per listing path
+    val (filesRdd, dirLevels, cleanup) =
       if (distributedListing) {
         import org.apache.spark.sql.functions.{col, size, split}
         import spark.implicits._
@@ -94,7 +94,7 @@ object DistCh {
           dirs.select("depth").distinct().as[Int].collect().sorted.reverse.toSeq
             .map(d => dirs.where(col("depth") === d).select("path").as[String].rdd)
         }
-        (fr, levels)
+        (fr, levels, () => { all.unpersist(); () })
       } else {
         val all = FsTrees.walk(fs, rootPath)
         val files = all.collect { case (p, _, false) => p.toString }
@@ -103,13 +103,14 @@ object DistCh {
         // one stage per depth, deepest level first (see ordering note)
         val levels = dirs.groupBy(_.count(_ == '/')).toSeq.sortBy(-_._1)
           .map { case (_, level) => parallelized(level) }
-        (parallelized(files), levels)
+        (parallelized(files), levels, () => ())
       }
 
     var n = runStage(filesRdd)
     // directories deepest-first, so no task ever needs to traverse a
     // directory a concurrent task may already have restricted
     dirLevels.foreach { level => n += runStage(level) }
+    cleanup()
     ChResult(n)
   }
 }

@@ -142,19 +142,24 @@ object DistCp {
     // qualified child paths share the root's prefix, so rel = suffix
     def rels(listing: org.apache.spark.sql.DataFrame, rootStr: String) =
       listing.withColumn("rel", expr(s"substring(path, ${rootStr.length + 2})"))
-    val all = rels(FsTrees.walkDistributed(spark, srcPath, conf), srcRootStr)
+    val srcAll = FsTrees.walkDistributed(spark, srcPath, conf)
+    val all = rels(srcAll, srcRootStr)
+    // srcAll is persisted+materialized — derived frames recompute from
+    // the cache, so no further persists needed on the metadata side
     val srcFiles = all.where(!col("is_dir")).select("rel", "len")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val dirRels = all.where(col("is_dir") && length(col("rel")) > 0)
       .select("rel").as[String].collect()
 
     val dstFs = new Path(dst).getFileSystem(conf)
     val dstPath = dstFs.makeQualified(new Path(dst))
-    val existing =
-      if (!update || !dstFs.exists(dstPath))
-        Seq.empty[(String, Long)].toDF("rel", "dst_len")
-      else rels(FsTrees.walkDistributed(spark, dstPath, conf), dstPath.toString)
+    val dstAll =
+      if (!update || !dstFs.exists(dstPath)) None
+      else Some(FsTrees.walkDistributed(spark, dstPath, conf))
+    val existing = dstAll match {
+      case None => Seq.empty[(String, Long)].toDF("rel", "dst_len")
+      case Some(a) => rels(a, dstPath.toString)
         .where(!col("is_dir")).select(col("rel"), col("len").as("dst_len"))
+    }
     val toCopy = srcFiles.join(existing, Seq("rel"), "left")
       .where(col("dst_len").isNull || col("dst_len") =!= col("len"))
       .select("rel", "len")
@@ -185,7 +190,7 @@ object DistCp {
           it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel); len }
         }.sum().toLong
     }
-    srcFiles.unpersist(); toCopy.unpersist()
+    toCopy.unpersist(); srcAll.unpersist(); dstAll.foreach(_.unpersist())
     CopyResult(nCopy, nFiles - nCopy, bytes)
   }
 }

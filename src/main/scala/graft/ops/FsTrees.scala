@@ -40,7 +40,10 @@ private[ops] object FsTrees {
     * persisted level frames. Rounds = tree depth.
     *
     * Returns (path, len, is_dir) for the root and everything under it
-    * — same contents as [[walk]], as a DataFrame. */
+    * — same contents as [[walk]], as ONE persisted DataFrame (already
+    * materialized: no listing RPC re-runs on later actions). Callers
+    * should `unpersist()` it when done; the per-level scratch frames
+    * are released before returning. */
   def walkDistributed(spark: SparkSession, root: Path, conf: Configuration,
                       fanout: Int = 256): DataFrame = {
     import spark.implicits._
@@ -50,7 +53,7 @@ private[ops] object FsTrees {
     val rootRow = Seq((rootSt.getPath.toString,
       if (rootSt.isFile) rootSt.getLen else 0L, rootSt.isDirectory))
       .toDF("path", "len", "is_dir")
-    var levels = Seq(rootRow)
+    var levels = Seq.empty[DataFrame]
     var frontier: Seq[String] =
       if (rootSt.isDirectory) Seq(rootSt.getPath.toString) else Seq.empty
     while (frontier.nonEmpty) {
@@ -64,13 +67,17 @@ private[ops] object FsTrees {
               (st.getPath.toString, if (st.isFile) st.getLen else 0L, st.isDirectory))
           }
         }.toDF("path", "len", "is_dir")
-        // each level is read twice (frontier collect + caller's action):
-        // persist so no level's RPCs run twice
+        // each level is read twice (frontier collect + the final
+        // materialization): persist so no level's RPCs run twice
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontier = level.where(col("is_dir")).select("path").as[String].collect().toSeq
       levels :+= level
     }
-    levels.reduce(_ unionByName _)
+    val all = (rootRow +: levels).reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    all.count() // materialize from the level caches, then free them
+    levels.foreach(_.unpersist())
+    all
   }
 
   /** Byte-balanced task assignment shared by the tree jobs: largest

@@ -38,6 +38,13 @@ class ComponentsSpec extends SparkSpec {
     assert(a == b && a == Map(1L -> 1L, 4L -> 1L, 2L -> 1L))
   }
 
+  test("string ids survive (no silent numeric cast) and pick the lexicographic min") {
+    val got = Dedup.components(
+        Seq("docB" -> "docA", "docB" -> "docC").toDF("id1", "id2"))
+      .as[(String, String)].collect().toMap
+    assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"), got)
+  }
+
   test("non-convergence within maxIter throws instead of returning wrong groups") {
     val chain = (0L until 40L).map(i => i -> (i + 1))
     intercept[IllegalStateException] {
