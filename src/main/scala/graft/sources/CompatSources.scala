@@ -181,12 +181,44 @@ object CompatSources {
   }
 
   /** SequenceFileOutputFormat sink (.../lib/output/
-    * SequenceFileOutputFormat.java:43) for two string columns. */
-  def sequenceFileWrite(df: DataFrame, path: String): Unit = {
+    * SequenceFileOutputFormat.java:43) for two string columns.
+    * `codec` + `blockCompress` select among the reference's three
+    * SequenceFile layouts (io/SequenceFile.java:237 CompressionType:
+    * NONE / RECORD / BLOCK): None → uncompressed; Some("gzip"|"bzip2"|
+    * "deflate") → record- or block-compressed via the same Hadoop
+    * codec classes the reference uses. BLOCK is the scale default —
+    * it compresses batches of records (far better ratio than
+    * per-record) and stays seekable at sync points. */
+  def sequenceFileWrite(df: DataFrame, path: String,
+                        codec: Option[String] = None,
+                        blockCompress: Boolean = true): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    df.select(df.columns.take(2).map(c => col(c).cast("string")): _*)
-      .as[(String, String)].rdd.saveAsSequenceFile(path)
+    val rdd = df.select(df.columns.take(2).map(c => col(c).cast("string")): _*)
+      .as[(String, String)].rdd
+    codec match {
+      case None => rdd.saveAsSequenceFile(path)
+      case Some(name) =>
+        import org.apache.hadoop.io.Text
+        import org.apache.hadoop.io.compress.CompressionCodec
+        val codecClass: Class[_ <: CompressionCodec] = name.toLowerCase match {
+          case "gzip" => classOf[org.apache.hadoop.io.compress.GzipCodec]
+          case "bzip2" => classOf[org.apache.hadoop.io.compress.BZip2Codec]
+          case "deflate" | "default" => classOf[org.apache.hadoop.io.compress.DefaultCodec]
+          case other => throw new IllegalArgumentException(
+            s"sequenceFileWrite: unsupported codec '$other' (gzip|bzip2|deflate)")
+        }
+        val jc = new org.apache.hadoop.mapred.JobConf(
+          spark.sparkContext.hadoopConfiguration)
+        jc.setBoolean("mapreduce.output.fileoutputformat.compress", true)
+        jc.set("mapreduce.output.fileoutputformat.compress.type",
+          if (blockCompress) "BLOCK" else "RECORD")
+        jc.setClass("mapreduce.output.fileoutputformat.compress.codec",
+          codecClass, classOf[CompressionCodec])
+        rdd.map { case (k, v) => (new Text(k), new Text(v)) }
+          .saveAsHadoopFile(path, classOf[Text], classOf[Text],
+            classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Text, Text]], jc)
+    }
   }
 
   /** SequenceFileAsBinaryOutputFormat sink (.../lib/output/

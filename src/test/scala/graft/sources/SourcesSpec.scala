@@ -67,6 +67,45 @@ class CompatSourcesSpec extends SparkSpec {
     assert(back == Set("a" -> "1", "b" -> "2"))
   }
 
+  test("sequenceFileWrite block-gzip layout really compresses and round-trips") {
+    val dir = tmpDir()
+    val df = (1 to 50).map(i => (s"k$i", "v" * 100)).toDF("k", "v")
+    CompatSources.sequenceFileWrite(df, s"$dir/seq", codec = Some("gzip"))
+    // the container must really be block-compressed with the gzip codec
+    val part = new java.io.File(s"$dir/seq").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(part.getPath)))
+    try {
+      assert(reader.isBlockCompressed, "expected BLOCK compression")
+      assert(reader.getCompressionCodec.isInstanceOf[
+        org.apache.hadoop.io.compress.GzipCodec], reader.getCompressionCodec)
+    } finally reader.close()
+    val back = CompatSources.sequenceFileText(spark, s"$dir/seq")
+      .as[(String, String)].collect().toSet
+    assert(back == (1 to 50).map(i => (s"k$i", "v" * 100)).toSet)
+  }
+
+  test("sequenceFileWrite record-compressed layout round-trips too") {
+    val dir = tmpDir()
+    val df = Seq(("a", "1"), ("b", "2")).toDF("k", "v")
+    CompatSources.sequenceFileWrite(df, s"$dir/seq", codec = Some("deflate"),
+      blockCompress = false)
+    val part = new java.io.File(s"$dir/seq").listFiles()
+      .filter(_.getName.startsWith("part-")).head
+    val conf = spark.sparkContext.hadoopConfiguration
+    val reader = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(
+        new org.apache.hadoop.fs.Path(part.getPath)))
+    try assert(reader.isCompressed && !reader.isBlockCompressed)
+    finally reader.close()
+    val back = CompatSources.sequenceFileText(spark, s"$dir/seq")
+      .as[(String, String)].collect().toSet
+    assert(back == Set("a" -> "1", "b" -> "2"))
+  }
+
   test("sequenceFileBinary round-trips arbitrary bytes (incl. empty and high-bit)") {
     val dir = tmpDir()
     val data: Seq[(Array[Byte], Array[Byte])] = Seq(
