@@ -120,6 +120,11 @@ object Main {
             spark.read.parquet(in), idCol, textCol, 3, threshold.toDouble)
           .write.mode("overwrite").parquet(out)
 
+      // pair list (id1,id2 columns) → (id, comp_id) duplicate groups
+      case "resolve" :: in :: out :: Nil =>
+        graft.llm.Dedup.components(spark.read.parquet(in))
+          .write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows
@@ -158,6 +163,7 @@ object Main {
         |  rewrite <src.parquet> <dst>
         |  kvtext <in.text> <out>
         |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>
+        |  resolve <pairs.parquet> <out>   (id1,id2 pairs -> id,comp_id groups)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -32,6 +32,17 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/dd").count() > 0)
   }
 
+  test("resolve verb turns a pair list into duplicate groups") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    Seq((1L, 2L), (2L, 3L), (7L, 9L)).toDF("id1", "id2")
+      .write.parquet(s"$tmp/pairs")
+    runVerb("resolve", s"$tmp/pairs", s"$tmp/groups")
+    val got = spark.read.parquet(s"$tmp/groups")
+      .as[(Long, Long)].collect().toMap
+    assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
+  }
+
   test("stream-window verb runs the streaming pipeline to completion") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     graft.core.Tables.events(spark, sf).write.parquet(s"$tmp/in")

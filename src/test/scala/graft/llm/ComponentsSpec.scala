@@ -45,6 +45,33 @@ class ComponentsSpec extends SparkSpec {
     assert(got == Map("docA" -> "docA", "docB" -> "docA", "docC" -> "docA"), got)
   }
 
+  test("random graphs match a brute-force union-find (fixed seeds)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(seed)
+      val n = 30
+      val pairs = Seq.fill(25)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      // reference: union-find with path compression
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val want = pairs.flatMap(p => Seq(p._1, p._2)).distinct
+        .map(v => v -> find(v)).toMap
+      // find() roots at the min only along union order; normalize to
+      // component-min to match components()' contract
+      val byRoot = want.groupBy(_._2).flatMap { case (_, m) =>
+        val mn = m.keys.min; m.keys.map(_ -> mn)
+      }
+      assert(comps(pairs) == byRoot, s"seed=$seed")
+    }
+  }
+
   test("non-convergence within maxIter throws instead of returning wrong groups") {
     val chain = (0L until 40L).map(i => i -> (i + 1))
     intercept[IllegalStateException] {
