@@ -366,6 +366,21 @@ object SparkEntry {
         .select(col("k"), round(col("sv"), 4).as("sum_qty"))
         .orderBy("k")),
 
+    // Routed-output round-trip (MultipleTextOutputFormat layout): write
+    // documents partitioned BY LANG, read the tree back, aggregate.
+    // Any row routed to the wrong directory or lost in partition
+    // discovery breaks the hash (partition values come back from
+    // DIRECTORY NAMES, not data pages — that's what's being checked).
+    "q51_routed_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-route").toString + "/bylang"
+      graft.ops.Outputs.routedByColumn(
+        docs(s, d).select(col("doc_id"), col("lang")), tmp, "lang")
+      s.read.parquet(tmp)
+        .groupBy(col("lang").cast("string").as("value"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("value")
+    }),
+
     // KeyFieldBasedComparator: sort tab-delimited text lines by a
     // "-k2,2nr -k1,1n" spec (numeric desc on field 2, then numeric on
     // field 1 — a unique composite, so the line ORDER is the check).
@@ -812,6 +827,11 @@ object SparkEntry {
 
     // same witness aggregation as q44 — the round-trip is Spark-side
     "q48_codec_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    // same witness shape as q44: the routing is Spark-side
+    "q51_routed_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
 
