@@ -381,6 +381,21 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // Output-granularity round-trip (TeraOutputFormat/NLine posture):
+    // write documents as MANY SMALL FILES (maxRecordsPerFile=25 → ~20
+    // parts at sf0.01), then read the splinters back through the
+    // bin-packing scan. The oracle proves no record is lost or doubled
+    // across the file-count blowup and re-pack.
+    "q52_smallfiles_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-small").toString + "/shards"
+      graft.ops.Outputs.withMaxRecordsPerFile(
+        docs(s, d).select(col("doc_id"), col("lang")), tmp, 25)
+      s.read.parquet(tmp)
+        .groupBy(col("lang").as("value"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("value")
+    }),
+
     // KeyFieldBasedComparator: sort tab-delimited text lines by a
     // "-k2,2nr -k1,1n" spec (numeric desc on field 2, then numeric on
     // field 1 — a unique composite, so the line ORDER is the check).
@@ -827,6 +842,11 @@ object SparkEntry {
 
     // same witness aggregation as q44 — the round-trip is Spark-side
     "q48_codec_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    // same witness shape as q44: the file-count blowup is Spark-side
+    "q52_smallfiles_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
 
