@@ -451,7 +451,11 @@ object Dedup {
     * iteration; iterations = graph diameter. Near-dup graphs are
     * dense clusters of copies — diameter is small regardless of corpus
     * size. Lineage is cut with an eager localCheckpoint per iteration
-    * (an iterative join otherwise compounds the plan exponentially).
+    * (an iterative join otherwise compounds the plan exponentially);
+    * localCheckpoint blocks live in executor storage, so an executor
+    * loss fails the job rather than silently recomputing — on an
+    * unreliable cluster set a checkpoint dir and swap in
+    * `checkpoint()` for strict recoverability.
     * If `maxIter` rounds don't converge the method THROWS rather than
     * return wrong groups — at that point the graph is chain-shaped and
     * the right tool is the O(log²n)-round large-star/small-star

@@ -180,10 +180,13 @@ object DistCp {
       val confBytes = FsTrees.shipConf(conf)
       // single-task window over file METADATA — same driver-sized cost
       // as the listing sort in the reference's UniformSizeInputFormat
+      // range-partition on the slot id: hash(slot) % parts can land two
+      // slots in one task and leave another empty; ranges over the
+      // dense [0, parts) ids keep one slot per task
       val slotted = toCopy.withColumn("slot",
           pmod(row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("len").desc, col("rel"))), lit(parts)))
-        .repartition(parts, col("slot"))
+        .repartitionByRange(parts, col("slot"))
       bytes = slotted.select("rel", "len").as[(String, Long)].rdd
         .mapPartitions { it =>
           val c = FsTrees.readConf(confBytes)

@@ -66,7 +66,10 @@ object Windows {
     * An unbounded stream-stream equi-join (no watermark, no range)
     * buffers both streams forever — never ship that shape. Inner join
     * by default; "leftOuter" (effects side) emits unmatched effects
-    * after the watermark closes their window. */
+    * after the watermark closes their window.
+    *
+    * The result carries BOTH sides' columns under the `cause`/`effect`
+    * aliases — select with qualified names (`cause.ts`, `effect.ts`). */
   def attributionJoin(causes: DataFrame, effects: DataFrame, key: String,
                       watermark: String, within: String,
                       joinType: String = "inner"): DataFrame = {
