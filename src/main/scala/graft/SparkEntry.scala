@@ -381,6 +381,24 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // Bucketed merge join — the CompositeInputFormat contract (both
+    // inputs identically partitioned + sorted on disk) as an ORACLE
+    // row, not just a plan assertion: the join itself plans with no
+    // Exchange on the bucket key (asserted in PlanSpec/BucketingSpec);
+    // only the downstream per-customer aggregate shuffles.
+    "q53_bucketed_join" -> ((s, d) => {
+      graft.ops.Bucketing.writeBucketed(
+        ord(s, d).select(col("o_orderkey"), col("o_custkey")),
+        "q53_orders_b", 8, "o_orderkey")
+      graft.ops.Bucketing.writeBucketed(
+        li(s, d).select(col("l_orderkey").as("o_orderkey"), col("l_quantity")),
+        "q53_lineitem_b", 8, "o_orderkey")
+      graft.ops.Bucketing.bucketedJoin(s, "q53_orders_b", "q53_lineitem_b", "o_orderkey")
+        .groupBy("o_custkey")
+        .agg(count(lit(1)).as("n"), round(sum(col("l_quantity")), 4).as("sum_qty"))
+        .orderBy("o_custkey")
+    }),
+
     // Output-granularity round-trip (TeraOutputFormat/NLine posture):
     // write documents as MANY SMALL FILES (maxRecordsPerFile=25 → ~20
     // parts at sf0.01), then read the splinters back through the
@@ -844,6 +862,11 @@ object SparkEntry {
     "q48_codec_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q53_bucketed_join" ->
+      """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty
+        |FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        |GROUP BY o_custkey ORDER BY o_custkey""".stripMargin,
 
     // same witness shape as q44: the file-count blowup is Spark-side
     "q52_smallfiles_roundtrip" ->

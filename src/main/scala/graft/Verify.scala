@@ -11,6 +11,10 @@ object Verify {
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
       .config("spark.sql.session.timeZone", "UTC")
+      // bucketed-table queries (q53) saveAsTable here; default would
+      // drop a spark-warehouse dir into the repo CWD
+      .config("spark.sql.warehouse.dir",
+        Files.createTempDirectory("graft-verify-wh").toString)
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")

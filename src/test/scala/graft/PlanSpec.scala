@@ -68,6 +68,16 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q53: bucketed join never shuffles on the bucket key") {
+    val p = plan("q53_bucketed_join")
+    // at sf0.001 the small side broadcasts (also shuffle-free); with
+    // broadcast off the bucketed no-Exchange SMJ is pinned in
+    // BucketingSpec — either way the key must not hash-partition
+    assert(p.contains("SortMergeJoin") || p.contains("BroadcastHashJoin"), p)
+    assert(!p.contains("Exchange hashpartitioning(o_orderkey"), p)
+    assert(p.contains("Bucketed: true"), p)
+  }
+
   test("q20: query side of the similarity scan is broadcast") {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
