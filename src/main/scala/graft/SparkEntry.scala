@@ -381,6 +381,26 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // Deterministic exactly-N subset selection (LLM op): the 100
+    // smallest md5(doc_id) — content-stable and uniform; plans as
+    // distributed top-k, never a global sort.
+    "q54_det_sample" -> ((s, d) =>
+      Sampling.deterministicSample(
+          docs(s, d).select(col("doc_id"), col("lang")), col("doc_id"), 100)
+        .orderBy("doc_id")),
+
+    // Sequence-length bucketing (LLM op): histogram of documents over
+    // width-16 token-count buckets — the batch-packing statistic a
+    // training pipeline uses to group similar-length sequences.
+    // Integer-exact bucketing (floor over small exact doubles).
+    "q55_length_buckets" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), size(split(col("text"), " ")).cast("long").as("n_tok"))
+        .withColumn("bucket", (floor(col("n_tok") / lit(16.0)) * 16).cast("long"))
+        .groupBy("bucket")
+        .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
+        .orderBy("bucket")),
+
     // Bucketed merge join — the CompositeInputFormat contract (both
     // inputs identically partitioned + sorted on disk) as an ORACLE
     // row, not just a plan assertion: the join itself plans with no
@@ -862,6 +882,21 @@ object SparkEntry {
     "q48_codec_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    // both engines order the same lowercase-hex md5 strings; ids are
+    // unique so the top-100 set is tie-free
+    "q54_det_sample" ->
+      """SELECT doc_id, lang FROM (
+        |  SELECT doc_id, lang FROM documents
+        |  ORDER BY MD5(CAST(doc_id AS VARCHAR)) LIMIT 100)
+        |ORDER BY doc_id""".stripMargin,
+
+    "q55_length_buckets" ->
+      """WITH t AS (SELECT doc_id, CAST(len(STRING_SPLIT(text,' ')) AS BIGINT) AS n_tok
+        |           FROM documents)
+        |SELECT CAST(FLOOR(n_tok/16.0) AS BIGINT)*16 AS bucket,
+        |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tok_sum
+        |FROM t GROUP BY 1 ORDER BY bucket""".stripMargin,
 
     "q53_bucketed_join" ->
       """SELECT o_custkey, COUNT(*) AS n, ROUND(SUM(l_quantity), 4) AS sum_qty

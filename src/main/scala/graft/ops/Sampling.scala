@@ -34,6 +34,18 @@ object Sampling {
   def regexFilter(df: DataFrame, key: Column, pattern: String): DataFrame =
     df.filter(regexp_like(key, lit(pattern)))
 
+  /** Deterministic exactly-N sample: take the N smallest md5(id)
+    * values — content-stable (same corpus → same sample, independent
+    * of partitioning/run), uniform (md5 order is unrelated to any data
+    * order), and exact-count where Bernoulli sampling is only
+    * expected-count. Plans as distributed top-k (TakeOrderedAndProject,
+    * per-partition heaps of N), never a global sort — the subset-
+    * selection op a training pipeline wants for "pick 1M docs of the
+    * corpus, reproducibly". */
+  def deterministicSample(df: DataFrame, id: Column, n: Int): DataFrame =
+    df.withColumn("__smp", md5(id.cast("string").cast("binary")))
+      .orderBy(col("__smp")).limit(n).drop("__smp")
+
   /** Bernoulli sample (seeded) — InputSampler.RandomSampler analogue;
     * Spark's `orderBy` does its own reservoir sampling for range
     * partitioning, so no `writePartitionFile` equivalent is needed. */

@@ -68,6 +68,10 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_sum"), p)
   }
 
+  test("q54: deterministic sample plans as distributed top-k, not a global sort") {
+    assert(plan("q54_det_sample").contains("TakeOrderedAndProject"), plan("q54_det_sample"))
+  }
+
   test("q53: bucketed join never shuffles on the bucket key") {
     val p = plan("q53_bucketed_join")
     // at sf0.001 the small side broadcasts (also shuffle-free); with
