@@ -26,6 +26,21 @@ class JdbcSpec extends SparkSpec {
     assert(back.count() == customer.count())
   }
 
+  test("DBCountPageView shape: DB scan -> aggregate -> DB sink round trip") {
+    // the reference example (EX/DBCountPageView.java): read an access
+    // log from a database, count views per url, write the counts back
+    import spark.implicits._
+    val log = Seq(("/a", "u1"), ("/a", "u2"), ("/b", "u1"), ("/a", "u1"))
+      .toDF("url", "visitor")
+    Jdbc.write(log, url, "access_log", SaveMode.Overwrite)
+    val counts = Jdbc.read(spark, url, "access_log")
+      .groupBy("url").count()
+    Jdbc.write(counts, url, "pageview_counts", SaveMode.Overwrite)
+    val back = Jdbc.read(spark, url, "pageview_counts")
+      .as[(String, Long)].collect().toMap
+    assert(back == Map("/a" -> 3L, "/b" -> 1L), back)
+  }
+
   test("range-partitioned read of an empty table returns empty instead of NPE") {
     val empty = graft.core.Tables.nation(spark, sf).where("n_nationkey < 0")
     Jdbc.write(empty, url, "empty_t", SaveMode.Overwrite)
