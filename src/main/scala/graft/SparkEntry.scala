@@ -381,6 +381,16 @@ object SparkEntry {
         .orderBy("value")
     }),
 
+    // BPE-style token accounting (LLM op): per-doc pre-merge BPE token
+    // count next to the whitespace count — the cost estimate a
+    // training pipeline budgets corpora with. Same regex family in
+    // both engines (pattern avoids lookahead for RE2 parity).
+    "q56_bpe_tokens" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          TextFunctions.bpeTokenCount(col("text")).as("n_bpe"),
+          TextFunctions.tokenCount(col("text")).as("n_ws"))
+        .orderBy("doc_id")),
+
     // Deterministic exactly-N subset selection (LLM op): the 100
     // smallest md5(doc_id) — content-stable and uniform; plans as
     // distributed top-k, never a global sort.
@@ -882,6 +892,13 @@ object SparkEntry {
     "q48_codec_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q56_bpe_tokens" ->
+      """SELECT doc_id,
+        |  CAST(len(regexp_extract_all(text,
+        |    '''(?:[sdmt]|ll|ve|re)| ?\p{L}+| ?\p{N}+| ?[^\s\p{L}\p{N}]+')) AS BIGINT) AS n_bpe,
+        |  CAST(len(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_ws
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // both engines order the same lowercase-hex md5 strings; ids are
     // unique so the top-100 set is tie-free

@@ -25,6 +25,19 @@ object TextFunctions {
 
   def tokenCount(c: Column): Column = size(tokens(c)).cast("long")
 
+  /** BPE-style pre-tokenizer — GPT-2's split pattern minus its
+    * trailing-whitespace lookahead (RE2-based engines can't express
+    * lookahead, and the oracle runs on one): contraction suffixes,
+    * space-prefixed letter runs, digit runs, punctuation runs. The
+    * resulting count is the standard pre-merge proxy for "how many BPE
+    * tokens will this text cost". */
+  val bpePattern: String =
+    "'(?:[sdmt]|ll|ve|re)| ?\\p{L}+| ?\\p{N}+| ?[^\\s\\p{L}\\p{N}]+"
+
+  def bpeTokens(c: Column): Column = regexp_extract_all(c, lit(bpePattern), lit(0))
+
+  def bpeTokenCount(c: Column): Column = size(bpeTokens(c)).cast("long")
+
   /** Distinct word n-gram shingles of `n` consecutive tokens, joined by
     * a single space. Empty array when the document has < n tokens. */
   def wordShingles(c: Column, n: Int): Column = {

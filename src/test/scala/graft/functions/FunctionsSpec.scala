@@ -61,6 +61,16 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("bpeTokens splits contractions, digit runs, and punctuation like a BPE pre-tokenizer") {
+    val df = Seq("I can't pay 100 dollars!!").toDF("t")
+    val toks = df.select(TextFunctions.bpeTokens(col("t")).as("bt"))
+      .as[Seq[String]].collect().head
+    assert(toks == Seq("I", " can", "'t", " pay", " 100", " dollars", "!!"), toks)
+    val counts = df.select(TextFunctions.bpeTokenCount(col("t")),
+      TextFunctions.tokenCount(col("t"))).as[(Long, Long)].collect().head
+    assert(counts == (7L, 5L), counts)
+  }
+
   test("tokenCount matches documents.n_chars-derived expectations") {
     val docs = graft.core.Tables.documents(spark, sf)
     val bad = docs.select(TextFunctions.tokenCount(col("text")).as("n"))
