@@ -25,7 +25,7 @@ object Ivf {
     * cosine; ties break to the lower index. */
   private def nearestCentroid(centroids: Seq[Array[Double]]): Column = {
     val scored = centroids.zipWithIndex.map { case (c, i) =>
-      val cCol = array(c.map(lit): _*)
+      val cCol = array(c.toIndexedSeq.map(lit): _*)
       struct(VectorFunctions.cosineFast(col("embedding"), cCol).as("s"),
         lit(-i).as("negi"))
     }
@@ -74,7 +74,7 @@ object Ivf {
            centroids: Seq[Array[Double]], nProbe: Int): DataFrame = {
     val assigned = assign(emb, centroids)
     val probeScores = centroids.zipWithIndex.map { case (c, i) =>
-      struct(VectorFunctions.cosineFast(col("qe"), array(c.map(lit): _*)).as("s"),
+      struct(VectorFunctions.cosineFast(col("qe"), array(c.toIndexedSeq.map(lit): _*)).as("s"),
         lit(i).as("i"))
     }
     val q = assigned.where(col("vec_id").isin(queryIds: _*))

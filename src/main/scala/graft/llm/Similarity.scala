@@ -101,7 +101,7 @@ object Similarity {
   def lshBucket(emb: Column, dim: Int, nPlanes: Int = DefaultPlanes): Column = {
     val ps = planes(dim, nPlanes)
     val bits = (0 until nPlanes).map { i =>
-      val p = array(ps(i).map(lit): _*)
+      val p = array(ps(i).toIndexedSeq.map(lit): _*)
       val proj = aggregate(zip_with(VectorFunctions.toDoubleArray(emb), p, (x, y) => x * y),
         lit(0.0), (acc, v) => acc + v)
       when(proj >= 0, lit(1 << i)).otherwise(lit(0))

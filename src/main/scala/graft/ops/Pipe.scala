@@ -77,7 +77,7 @@ object Pipe {
                   env: Map[String, String] = Map.empty): DataFrame = {
     val spark = df.sparkSession
     import spark.implicits._
-    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("line")).as[String]
+    val lines = df.select(to_json(struct(df.columns.toIndexedSeq.map(col): _*)).as("line")).as[String]
     lines.rdd.pipe(cmd, env).toDF("line")
   }
 

@@ -175,7 +175,7 @@ object CompatSources {
     // nulls serialize as empty fields (concat_ws would drop them and
     // shift the layout)
     val lines = df.select(concat_ws(sep,
-        df.columns.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
+        df.columns.toIndexedSeq.map(c => coalesce(col(c).cast("string"), lit(""))): _*).as("value"))
       .write.mode("overwrite")
     codec.fold(lines)(c => lines.option("compression", c)).text(path)
   }
@@ -194,7 +194,7 @@ object CompatSources {
                         blockCompress: Boolean = true): Unit = {
     val spark = df.sparkSession
     import spark.implicits._
-    val rdd = df.select(df.columns.take(2).map(c => col(c).cast("string")): _*)
+    val rdd = df.select(df.columns.take(2).toIndexedSeq.map(c => col(c).cast("string")): _*)
       .as[(String, String)].rdd
     codec match {
       case None => rdd.saveAsSequenceFile(path)

@@ -30,7 +30,7 @@ object Jdbc {
     val (lo, hi) = bounds.getOrElse {
       val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(splitColumn)
       val row = spark.read.jdbc(url,
-        s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b", props).head
+        s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b", props).head()
       // MIN/MAX are NULL on an empty table — partition bounds are
       // meaningless there; read single-partition instead of NPEing.
       if (row.isNullAt(0) || row.isNullAt(1))
