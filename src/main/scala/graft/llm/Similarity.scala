@@ -120,9 +120,25 @@ object Similarity {
     * [[cosineNearDupsLsh]]**, which blocks by hyperplane LSH bucket so
     * block occupancy — and hence the pair space — shrinks
     * geometrically with `nPlanes`. Use this variant only when the
-    * block key is known to be fine-grained. */
-  def cosineNearDups(emb: DataFrame, blockCol: String, threshold: Double): DataFrame = {
+    * block key is known to be fine-grained.
+    *
+    * Guard: any block larger than `maxBlockSize` FAILS the job inside
+    * the plan (raise_error) instead of silently running its quadratic
+    * join — cannot drop or truncate, because this variant's contract
+    * is exactness within blocks; the fix at that point is the LSH
+    * sibling, not a bigger cluster. */
+  def cosineNearDups(emb: DataFrame, blockCol: String, threshold: Double,
+                     maxBlockSize: Int = 100000): DataFrame = {
+    val sizes = emb.groupBy(col(blockCol).as("blk")).agg(count(lit(1)).as("__bc"))
+    val guard = when(col("__bc") <= maxBlockSize, col("id1"))
+      .otherwise(raise_error(concat(
+        lit(s"cosineNearDups: block '"), col("blk").cast("string"),
+        lit(s"' has "), col("__bc").cast("string"),
+        lit(s" members (> maxBlockSize=$maxBlockSize, i.e. >" +
+          s" ${maxBlockSize.toLong * maxBlockSize / 2} candidate pairs)" +
+          " - use cosineNearDupsLsh at this scale"))))
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"), col(blockCol).as("blk"))
+      .join(sizes, Seq("blk")).withColumn("id1", guard).drop("__bc")
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"), col(blockCol).as("blk"))
     a.join(b, Seq("blk"))
       .where(col("id1") < col("id2"))

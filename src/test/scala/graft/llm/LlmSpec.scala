@@ -93,6 +93,19 @@ class SimilaritySpec extends SparkSpec {
       .sortBy { case (id, s) => (-s, id) }.take(k).map(_._1).toSeq
   }
 
+  test("cosineNearDups fails loudly when a block exceeds maxBlockSize") {
+    val small = emb.limit(5).withColumn("lbl", org.apache.spark.sql.functions.lit("one"))
+    val e = intercept[Exception] {
+      Similarity.cosineNearDups(small, "lbl", 0.0, maxBlockSize = 2).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("cosineNearDupsLsh")), msgs(e))
+    // within the cap it still runs exact
+    assert(Similarity.cosineNearDups(small, "lbl", -1.0, maxBlockSize = 10)
+      .count() == 10) // 5 choose 2
+  }
+
   test("bruteTopK matches driver-side reference ranking") {
     val got = Similarity.bruteTopK(emb, Seq(0L), 10)
       .orderBy("rank").select("vec_id").as[Long].collect().toSeq
