@@ -86,6 +86,85 @@ object Multimodal {
     } else None
   }
 
+  /** Parsed audio/video container header (the non-stub tier for the
+    * audio/video payloads, sibling of [[parseImageHeader]]).
+    * `sampleRate` is Hz for WAV and the mvhd timescale for MP4;
+    * `channels` is 0 where the container doesn't carry it at this
+    * level (MP4). */
+  final case class AvHeader(format: String, durationMs: Long,
+                            sampleRate: Int, channels: Int)
+
+  /** REAL pure-JVM audio/video header parse — WAV (RIFF chunk walk:
+    * fmt sample-rate/channels/byte-rate, data size → duration) and
+    * MP4 (top-level box walk to moov/mvhd v0/v1: timescale +
+    * duration). No codec library: container headers are plain bytes,
+    * exactly like the image tier. Returns None for anything else. */
+  def parseAvHeader(bytes: Array[Byte]): Option[AvHeader] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      (u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24))
+    def be32(i: Int): Long =
+      ((u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
+      var i = 12
+      var rate = 0; var ch = 0; var byteRate = 0L; var dataLen = -1L
+      while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
+        val id = fourcc(i); val sz = le32(i + 4)
+        if (id == "fmt " && i + 24 <= bytes.length) {
+          ch = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
+        } else if (id == "data") dataLen = sz
+        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+      }
+      if (rate <= 0) None
+      else Some(AvHeader("wav",
+        if (byteRate > 0 && dataLen >= 0) dataLen * 1000 / byteRate else 0L, rate, ch))
+    } else if (fourcc(4) == "ftyp") {
+      var i = 0
+      var res: Option[AvHeader] = None
+      while (res.isEmpty && i + 8 <= bytes.length) {
+        val sz = be32(i); val tp = fourcc(i + 4)
+        if (tp == "moov") {
+          var j = i + 8
+          val end = math.min(i + sz, bytes.length.toLong).toInt
+          while (res.isEmpty && j + 8 <= end) {
+            val s2 = be32(j)
+            if (fourcc(j + 4) == "mvhd" && j + 32 <= bytes.length) {
+              val (ts, dur) =
+                if (u8(j + 8) == 1) // v1: 64-bit times
+                  (be32(j + 28), (be32(j + 32) << 32) | be32(j + 36))
+                else (be32(j + 20), be32(j + 24))
+              res = Some(AvHeader("mp4",
+                if (ts > 0) dur * 1000 / ts else 0L, ts.toInt, 0))
+            }
+            j += math.max(8L, s2).toInt
+          }
+        }
+        i += math.max(8L, sz).toInt
+      }
+      res
+    } else None
+  }
+
+  /** [[describeMedia]]'s audio/video sibling: per-payload byte length
+    * plus the header-parsed container facts. Same plumbing contract —
+    * per-partition, no shuffle, payloads never leave the partition. */
+  def describeAv(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val hdr = parseAvHeader(payload)
+        (id, Option(payload).fold(0L)(_.length.toLong),
+          hdr.map(_.format), hdr.map(_.durationMs),
+          hdr.map(_.sampleRate), hdr.map(_.channels))
+      }
+      .toDF("media_id", "n_bytes", "format", "duration_ms", "sample_rate", "channels")
+  }
+
   /** REAL media inspection over the canonical media frame: byte
     * length, MD5, magic-number format sniff, and header-parsed
     * dimensions where the payload is a recognized image container.

@@ -99,6 +99,58 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(out(4) == ((5L, 0L, md5hex(Array.empty[Byte]), None, None, None)))
   }
 
+  // canonical 44-byte PCM WAV header + data: stereo 8 kHz 16-bit,
+  // byteRate 32000; dataLen bytes of audio → dataLen*1000/32000 ms
+  private def wav(dataLen: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(44 + dataLen)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + dataLen)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(1).putShort(2).putInt(8000).putInt(32000).putShort(4).putShort(16)
+      .put("data".getBytes("US-ASCII")).putInt(dataLen)
+    b.array()
+  }
+
+  // minimal MP4: ftyp box, then moov containing an mvhd v0 with
+  // timescale 600 and duration 1200 → 2000 ms
+  private def mp4(timescale: Int, duration: Int): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(16 + 8 + 108)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    b.putInt(8 + 108).put("moov".getBytes("US-ASCII"))
+    b.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0)                       // version 0 + flags
+      .putInt(0).putInt(0)             // ctime, mtime
+      .putInt(timescale).putInt(duration)
+    b.array()
+  }
+
+  test("parseAvHeader reads WAV sample rate, channels, and data-derived duration") {
+    val got = Multimodal.parseAvHeader(wav(16000))
+    assert(got.contains(Multimodal.AvHeader("wav", 500L, 8000, 2)), got)
+  }
+
+  test("parseAvHeader walks MP4 boxes to mvhd timescale/duration") {
+    val got = Multimodal.parseAvHeader(mp4(600, 1200))
+    assert(got.contains(Multimodal.AvHeader("mp4", 2000L, 600, 0)), got)
+    assert(Multimodal.parseAvHeader("nonsense bytes!!".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseAvHeader(Array.empty[Byte]).isEmpty)
+  }
+
+  test("describeAv reports container facts per payload, nulls for unknown") {
+    val rows = Seq((1L, wav(32000)), (2L, mp4(600, 600)),
+      (3L, "not media".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "av")
+    val out = Multimodal.describeAv(media).orderBy("media_id")
+      .as[(Long, Long, Option[String], Option[Long], Option[Int], Option[Int])]
+      .collect().toSeq
+    assert(out(0) == ((1L, 44L + 32000L, Some("wav"), Some(1000L), Some(8000), Some(2))))
+    assert(out(1) == ((2L, 132L, Some("mp4"), Some(1000L), Some(600), Some(0))))
+    assert(out(2) == ((3L, 9L, None, None, None, None)))
+  }
+
   test("extractFeaturesBatched preserves order and batches payloads") {
     val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
     val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
