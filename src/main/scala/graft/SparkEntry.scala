@@ -411,6 +411,37 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("bucket")),
 
+    // XML element-record round-trip (StreamXmlRecordReader): wrap each
+    // document in <doc id="...">...</doc>, write as text, re-read with
+    // the SPLIT-STREAMABLE XML reader (delimiter-based — one chunk per
+    // element even inside a single large file). Record length is the
+    // witness that every element came back byte-complete.
+    "q57_xml_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString + "/docs"
+      docs(s, d).select(concat(lit("<doc id=\""), col("doc_id"), lit("\">"),
+          col("text"), lit("</doc>")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      graft.sources.CompatSources.xmlRecordsStreamed(s, tmp, "doc")
+        .select(
+          regexp_extract(col("record"), "id=\"(\\d+)\"", 1).cast("long").as("doc_id"),
+          length(col("record")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
+    }),
+
+    // JDBC round-trip (DBOutputFormat → DataDrivenDBInputFormat): the
+    // table crosses an embedded Derby database and comes back through
+    // the min/max-range partitioned reader; the oracle aggregates the
+    // parquet original.
+    "q58_jdbc_roundtrip" -> ((s, d) => {
+      val url = "jdbc:derby:memory:graftq58;create=true"
+      graft.sources.Jdbc.write(nat(s, d),
+        url, "nation_rt", org.apache.spark.sql.SaveMode.Overwrite)
+      graft.sources.Jdbc.readPartitioned(s, url, "nation_rt", "n_nationkey", 4)
+        .select(col("n_nationkey").cast("long").as("nk"), col("n_name"),
+          col("n_regionkey").cast("long").as("rk"))
+        .orderBy("nk")
+    }),
+
     // Bucketed merge join — the CompositeInputFormat contract (both
     // inputs identically partitioned + sorted on disk) as an ORACLE
     // row, not just a plan assertion: the join itself plans with no
@@ -892,6 +923,15 @@ object SparkEntry {
     "q48_codec_roundtrip" ->
       """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
         |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q57_xml_roundtrip" ->
+      """SELECT doc_id,
+        |  CAST(LENGTH('<doc id="' || doc_id || '">' || text || '</doc>') AS BIGINT) AS n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q58_jdbc_roundtrip" ->
+      """SELECT n_nationkey AS nk, n_name, n_regionkey AS rk
+        |FROM nation ORDER BY nk""".stripMargin,
 
     "q56_bpe_tokens" ->
       """SELECT doc_id,
