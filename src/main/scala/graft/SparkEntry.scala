@@ -411,6 +411,66 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("bucket")),
 
+    // Fixed-length record round-trip (FixedLengthInputFormat): each
+    // doc becomes a 17-byte record (10-digit zero-padded id + 6-byte
+    // space-padded lang + the text writer's newline as byte 17), read
+    // back through the constant-width binary scanner and re-parsed by
+    // byte offset — the q44 witness aggregation proves no drift.
+    "q59_fixedlen_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-fix").toString + "/fix"
+      docs(s, d).select(concat(
+          lpad(col("doc_id").cast("string"), 10, "0"),
+          rpad(col("lang"), 6, " ")).as("value"))
+        .write.mode("overwrite").text(tmp)
+      graft.sources.CompatSources.fixedLength(s, tmp, 17)
+        .select(
+          expr("substring(record, 1, 10)").cast("string").cast("long").as("key"),
+          trim(expr("substring(record, 11, 6)").cast("string")).as("value"))
+        .groupBy(col("value"))
+        .agg(count(lit(1)).as("n"), sum(col("key")).as("id_sum"))
+        .orderBy("value")
+    }),
+
+    // Heterogeneous union (MultipleInputs/DelegatingMapper): two
+    // differently-shaped sources, each with its own projection mapper,
+    // unioned into one frame and accounted per source tag.
+    "q60_multi_inputs" -> ((s, d) =>
+      graft.ops.MultipleInputs.union(Seq(
+          docs(s, d) -> ((df: DataFrame) =>
+            df.select(col("doc_id").as("id"), lit("doc").as("src"))),
+          ord(s, d) -> ((df: DataFrame) =>
+            df.select(col("o_orderkey").cast("long").as("id"), lit("order").as("src")))))
+        .groupBy("src")
+        .agg(count(lit(1)).as("n"), sum("id").as("id_sum"))
+        .orderBy("src")),
+
+    // HAR round-trip (HadoopArchives): parquet table archived into a
+    // real version-3 HAR, then read IN PLACE through the har:// scheme
+    // (seek-capable archive reads) — same witness as q44.
+    "q61_har_roundtrip" -> ((s, d) => {
+      val tmp = java.nio.file.Files.createTempDirectory("graft-har").toString
+      docs(s, d).select(col("doc_id"), col("lang"))
+        .coalesce(2).write.mode("overwrite").parquet(s"$tmp/src/docs.parquet")
+      graft.ops.Har.archive(s, s"$tmp/src", s"$tmp/a.har")
+      s.read.parquet(s"har://$tmp/a.har/docs.parquet")
+        .groupBy(col("lang").as("value"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("value")
+    }),
+
+    // Skip-mode bad records (SkipBadRecords): the per-row transform
+    // throws on docs with < 6 tokens; the wrapper drops (and counts)
+    // exactly those rows instead of failing the job — the oracle keeps
+    // the rows whose 6th token exists.
+    "q62_skip_bad" -> ((s, d) => {
+      implicit val enc = org.apache.spark.sql.Encoders.product[(Long, String)]
+      val (ds, _) = graft.ops.SkipBadRecords.mapSkipBad(
+        docs(s, d).select(col("doc_id"), col("text")),
+        // -1 limit keeps trailing empty tokens — STRING_SPLIT parity
+        r => (r.getLong(0), r.getString(1).split(" ", -1)(5)))
+      ds.toDF("doc_id", "w6").orderBy("doc_id")
+    }),
+
     // XML element-record round-trip (StreamXmlRecordReader): wrap each
     // document in <doc id="...">...</doc>, write as text, re-read with
     // the SPLIT-STREAMABLE XML reader (delimiter-based — one chunk per
@@ -928,6 +988,26 @@ object SparkEntry {
       """SELECT doc_id,
         |  CAST(LENGTH('<doc id="' || doc_id || '">' || text || '</doc>') AS BIGINT) AS n_chars
         |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // q59/q61 share q44's witness: the container crossing is Spark-side
+    "q59_fixedlen_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q61_har_roundtrip" ->
+      """SELECT lang AS value, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM documents GROUP BY lang ORDER BY value""".stripMargin,
+
+    "q60_multi_inputs" ->
+      """SELECT src, COUNT(*) AS n, CAST(SUM(id) AS BIGINT) AS id_sum FROM (
+        |  SELECT doc_id AS id, 'doc' AS src FROM documents
+        |  UNION ALL SELECT o_orderkey AS id, 'order' AS src FROM orders)
+        |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q62_skip_bad" ->
+      """SELECT doc_id, ws[6] AS w6
+        |FROM (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents)
+        |WHERE len(ws) >= 6 ORDER BY doc_id""".stripMargin,
 
     "q58_jdbc_roundtrip" ->
       """SELECT n_nationkey AS nk, n_name, n_regionkey AS rk
