@@ -411,6 +411,20 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"), sum("n_tok").as("tok_sum"))
         .orderBy("bucket")),
 
+    // Typed Aggregator tier (ValueHistogram report as a custom
+    // `Aggregator` + udaf — the combiner/reducer split expressed once):
+    // moment-identity stddev must match the SQL engines' stddev_pop at
+    // 4 decimals.
+    "q63_typed_histogram" -> ((s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(graft.agg.ValueHistogramAgg.histogram(col("value")).as("h"))
+        .select(col("event_type"), col("h.count").as("n"),
+          round(col("h.mean"), 4).as("mean_v"),
+          round(col("h.stddev"), 4).as("stddev_v"),
+          round(col("h.min"), 4).as("min_v"),
+          round(col("h.max"), 4).as("max_v"))
+        .orderBy("event_type")),
+
     // Fixed-length record round-trip (FixedLengthInputFormat): each
     // doc becomes a 17-byte record (10-digit zero-padded id + 6-byte
     // space-padded lang + the text writer's newline as byte 17), read
@@ -1003,6 +1017,12 @@ object SparkEntry {
         |  SELECT doc_id AS id, 'doc' AS src FROM documents
         |  UNION ALL SELECT o_orderkey AS id, 'order' AS src FROM orders)
         |GROUP BY src ORDER BY src""".stripMargin,
+
+    "q63_typed_histogram" ->
+      """SELECT event_type, COUNT(*) AS n, ROUND(AVG(value),4) AS mean_v,
+        |  ROUND(stddev_pop(value),4) AS stddev_v,
+        |  ROUND(MIN(value),4) AS min_v, ROUND(MAX(value),4) AS max_v
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
 
     "q62_skip_bad" ->
       """SELECT doc_id, ws[6] AS w6
