@@ -108,41 +108,54 @@ object Multimodal {
     def be32(i: Int): Long =
       ((u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong)
     def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    // all cursor arithmetic in Long: chunk/box sizes are unsigned u32
+    // from untrusted bytes — Int math would overflow negative on a
+    // hostile size and walk the cursor backwards (infinite loop)
     if (fourcc(0) == "RIFF" && fourcc(8) == "WAVE") {
-      var i = 12
+      var i = 12L
       var rate = 0; var ch = 0; var byteRate = 0L; var dataLen = -1L
       while (i + 8 <= bytes.length && (rate == 0 || dataLen < 0)) {
-        val id = fourcc(i); val sz = le32(i + 4)
+        val ii = i.toInt
+        val id = fourcc(ii); val sz = le32(ii + 4)
         if (id == "fmt " && i + 24 <= bytes.length) {
-          ch = le16(i + 10); rate = le32(i + 12).toInt; byteRate = le32(i + 16)
+          ch = le16(ii + 10); rate = le32(ii + 12).toInt; byteRate = le32(ii + 16)
         } else if (id == "data") dataLen = sz
-        i += 8 + sz.toInt + (sz.toInt & 1) // RIFF chunks are word-aligned
+        i += 8L + sz + (sz & 1) // RIFF chunks are word-aligned
       }
       if (rate <= 0) None
       else Some(AvHeader("wav",
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000 / byteRate else 0L, rate, ch))
     } else if (fourcc(4) == "ftyp") {
-      var i = 0
+      var i = 0L
       var res: Option[AvHeader] = None
       while (res.isEmpty && i + 8 <= bytes.length) {
-        val sz = be32(i); val tp = fourcc(i + 4)
+        val ii = i.toInt
+        val sz = be32(ii); val tp = fourcc(ii + 4)
         if (tp == "moov") {
           var j = i + 8
-          val end = math.min(i + sz, bytes.length.toLong).toInt
+          val end = math.min(i + math.max(8L, sz), bytes.length.toLong)
           while (res.isEmpty && j + 8 <= end) {
-            val s2 = be32(j)
-            if (fourcc(j + 4) == "mvhd" && j + 32 <= bytes.length) {
-              val (ts, dur) =
-                if (u8(j + 8) == 1) // v1: 64-bit times
-                  (be32(j + 28), (be32(j + 32) << 32) | be32(j + 36))
-                else (be32(j + 20), be32(j + 24))
-              res = Some(AvHeader("mp4",
-                if (ts > 0) dur * 1000 / ts else 0L, ts.toInt, 0))
+            val jj = j.toInt
+            val s2 = be32(jj)
+            if (fourcc(jj + 4) == "mvhd") {
+              // v0 needs bytes through j+27, v1 through j+39
+              if (u8(jj + 8) == 1 && j + 40 <= bytes.length)
+                res = Some(AvHeader("mp4", {
+                  val ts = be32(jj + 28)
+                  val dur = (be32(jj + 32) << 32) | be32(jj + 36)
+                  if (ts > 0) dur * 1000 / ts else 0L
+                }, be32(jj + 28).toInt, 0))
+              else if (u8(jj + 8) == 0 && j + 28 <= bytes.length)
+                res = Some(AvHeader("mp4", {
+                  val ts = be32(jj + 20); val dur = be32(jj + 24)
+                  if (ts > 0) dur * 1000 / ts else 0L
+                }, be32(jj + 20).toInt, 0))
+              else return None // truncated mvhd: malformed, not media
             }
-            j += math.max(8L, s2).toInt
+            j += math.max(8L, s2)
           }
         }
-        i += math.max(8L, sz).toInt
+        i += math.max(8L, sz)
       }
       res
     } else None

@@ -139,6 +139,34 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.parseAvHeader(Array.empty[Byte]).isEmpty)
   }
 
+  test("parseAvHeader survives truncated and hostile-size containers") {
+    // truncated v1 mvhd: version byte says 64-bit times but bytes stop
+    val truncated = {
+      val full = mp4(600, 1200)
+      full(16 + 8 + 8) = 1.toByte // mvhd version -> 1
+      full.take(16 + 8 + 20)
+    }
+    assert(Multimodal.parseAvHeader(truncated).isEmpty)
+    // hostile box size 0xFFFFFFFF: must terminate, not loop or negate
+    val hostile = java.nio.ByteBuffer.allocate(24)
+      .putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+      .putInt(0xFFFFFFFF).put("moov".getBytes("US-ASCII")).array()
+    assert(Multimodal.parseAvHeader(hostile).isEmpty)
+    // hostile RIFF chunk size: same property on the WAV walk
+    val hostileWav = {
+      val w = wav(0)
+      val b = java.nio.ByteBuffer.wrap(w).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.putInt(16, 0xFFFFFFFF) // fmt chunk size -> u32 max
+      w
+    }
+    // fmt was read before the hostile size advanced the cursor out;
+    // data chunk never found -> duration 0. The property is that the
+    // walk TERMINATED with the facts it had.
+    assert(Multimodal.parseAvHeader(hostileWav)
+      .contains(Multimodal.AvHeader("wav", 0L, 8000, 2)))
+  }
+
   test("describeAv reports container facts per payload, nulls for unknown") {
     val rows = Seq((1L, wav(32000)), (2L, mp4(600, 600)),
       (3L, "not media".getBytes("UTF-8")))
