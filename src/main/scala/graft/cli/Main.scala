@@ -69,22 +69,36 @@ object Main {
         println(s"archived ${r.files} files (${r.bytes} bytes) + ${r.dirs} dirs " +
           s"into ${r.parts} parts at $dst (readable via har:// URIs)")
 
-      // DistCp: listing-based copy of an arbitrary file tree; -update
-      // skips destination files that already match by size
-      // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java).
+      // DistCp: listing-based copy of an arbitrary file tree. -update
+      // skips destination files that already match by size; -diff runs
+      // the incremental sync (copy changed, DELETE removed); -bandwidth
+      // caps each task's read rate in MB/s
+      // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java,
+      // DistCpSync.java, util/ThrottledInputStream.java).
       case "copy" :: tail =>
-        val (flags, paths) = tail.partition(_.startsWith("-"))
-        // unknown flags must be LOUD: a typo'd "-updtae" (or GNU-style
-        // "--update") silently degrading to a full recopy is the
-        // opposite of what the operator asked for
-        flags.filterNot(_ == "-update") match {
-          case Nil => ()
-          case bad => System.err.println(s"copy: unknown flag(s) ${bad.mkString(" ")}"); usage()
+        var (update, diff, bw) = (false, false, 0.0)
+        val paths = scala.collection.mutable.ListBuffer.empty[String]
+        var restArgs = tail
+        while (restArgs.nonEmpty) restArgs = restArgs match {
+          case "-update" :: t => update = true; t
+          case "-diff" :: t => diff = true; t
+          case "-bandwidth" :: v :: t => bw = v.toDouble; t
+          // unknown flags must be LOUD: a typo'd "-updtae" (or GNU-style
+          // "--update") silently degrading to a full recopy is the
+          // opposite of what the operator asked for
+          case f :: _ if f.startsWith("-") =>
+            System.err.println(s"copy: unknown flag $f"); usage(); Nil
+          case p :: t => paths += p; t
+          case Nil => Nil
         }
-        paths match {
+        paths.toList match {
+          case src :: dst :: Nil if diff =>
+            val r = graft.ops.DistCp.sync(spark, src, dst, bandwidthMB = bw)
+            println(s"synced $src -> $dst: copied ${r.copied} (${r.bytes} bytes), " +
+              s"deleted ${r.deleted}, skipped ${r.skipped}")
           case src :: dst :: Nil =>
             val r = graft.ops.DistCp.copy(spark, src, dst,
-              update = flags.contains("-update"))
+              update = update, bandwidthMB = bw)
             println(s"copied ${r.copied} files (${r.bytes} bytes), skipped ${r.skipped}: $src -> $dst")
           case _ => usage()
         }
@@ -157,7 +171,7 @@ object Main {
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  archive <src-tree> <dst.har>
-        |  copy [-update] <src-tree> <dst>
+        |  copy [-update] [-diff] [-bandwidth <MB/s>] <src-tree> <dst>
         |  chmod <mode> <tree>
         |  split <in.parquet> <idCol> name=w,name=w,... <out>
         |  rewrite <src.parquet> <dst>

@@ -25,7 +25,34 @@ object DistCp {
   /** What a copy run did. `skipped` counts -update size-matches. */
   case class CopyResult(copied: Long, skipped: Long, bytes: Long)
 
+  /** What a [[sync]] run did: `copied` new+changed files moved,
+    * `deleted` destination paths removed, `skipped` unchanged files. */
+  case class SyncResult(copied: Long, deleted: Long, skipped: Long, bytes: Long)
+
   private case class Entry(rel: String, len: Long)
+
+  /** Read-side token bucket — the `-bandwidth` throttle
+    * (TOOLS/hadoop-distcp/.../util/ThrottledInputStream.java:39, wired
+    * from DistCpConstants.CONF_LABEL_BANDWIDTH_MB): caps the OBSERVED
+    * rate total/elapsed at `maxBytesPerSec` by sleeping before reads,
+    * so a capped task converges on the cap regardless of burst shape.
+    * Per TASK, as in the reference (cluster-wide cap = per-map cap ×
+    * concurrent maps; same contract here with tasks). */
+  private final class ThrottledStream(in: java.io.InputStream,
+                                      maxBytesPerSec: Long) extends java.io.InputStream {
+    private val start = System.nanoTime()
+    private var total = 0L
+    private def throttle(): Unit =
+      while (total * 1e9 / math.max(1L, System.nanoTime() - start) > maxBytesPerSec)
+        Thread.sleep(10)
+    override def read(): Int = {
+      throttle(); val r = in.read(); if (r >= 0) total += 1; r
+    }
+    override def read(b: Array[Byte], off: Int, len: Int): Int = {
+      throttle(); val r = in.read(b, off, len); if (r > 0) total += r; r
+    }
+    override def close(): Unit = in.close()
+  }
 
   /** Copy `src` (file or directory tree) under `dst`.
     *
@@ -40,15 +67,20 @@ object DistCp {
     *                two listings instead of a driver walk + hash map —
     *                the switch for ~10M+ entry trees. Same result
     *                either way (pinned by DistCpSpec).
+    * @param bandwidthMB  `-bandwidth`: per-task read-rate cap in MB/s
+    *                (0 = unthrottled). Cluster-wide ceiling = cap ×
+    *                concurrent tasks, the reference's per-map contract.
     */
   def copy(spark: SparkSession, src: String, dst: String,
            update: Boolean = false, tasksHint: Int = 0,
-           distributedListing: Boolean = false): CopyResult =
-    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint)
-    else copyDriver(spark, src, dst, update, tasksHint)
+           distributedListing: Boolean = false,
+           bandwidthMB: Double = 0): CopyResult =
+    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint, bandwidthMB)
+    else copyDriver(spark, src, dst, update, tasksHint, bandwidthMB)
 
   private def copyDriver(spark: SparkSession, src: String, dst: String,
-                         update: Boolean, tasksHint: Int): CopyResult = {
+                         update: Boolean, tasksHint: Int,
+                         bandwidthMB: Double): CopyResult = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
@@ -81,37 +113,46 @@ object DistCp {
     dstFs.mkdirs(dstPath)
     dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
 
-    if (toCopy.nonEmpty) {
-      // byte-balanced task layout: sort by size desc, round-robin over
-      // the partition count so one giant file doesn't serialize a wave
-      val slots = spark.sparkContext.defaultParallelism
-      val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
-      // place by the round-robin key: parallelize alone would slice
-      // the size-sorted list contiguously and give one task ALL the
-      // largest files — the exact anti-balance this layout prevents
-      val assigned = FsTrees.roundRobin(toCopy, parts)(_.len)
-      val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
-      val dstStr = dstPath.toString
-      val confBytes = FsTrees.shipConf(conf)
-      spark.sparkContext.parallelize(assigned, parts)
-        .partitionBy(new org.apache.spark.HashPartitioner(parts))
-        .mapPartitions { it =>
-          val c = FsTrees.readConf(confBytes)
-          it.map { case (_, e) => copyOne(c, srcRootStr, dstStr, e.rel); e.len }
-        }.count() // materialize the copies
-    }
+    val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
+    runCopies(spark, conf, srcRootStr, dstPath.toString, toCopy, tasksHint, bandwidthMB)
     CopyResult(toCopy.size.toLong, skipped.toLong, toCopy.map(_.len).sum)
+  }
+
+  /** The parallel byte-moving stage shared by [[copy]] and [[sync]]:
+    * byte-balanced task layout (sort by size desc, round-robin over the
+    * partition count so one giant file doesn't serialize a wave), one
+    * streamed copy per file. */
+  private def runCopies(spark: SparkSession, conf: Configuration,
+                        srcRootStr: String, dstStr: String,
+                        toCopy: Seq[Entry], tasksHint: Int,
+                        bandwidthMB: Double): Unit = {
+    if (toCopy.isEmpty) return
+    val slots = spark.sparkContext.defaultParallelism
+    val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
+    // place by the round-robin key: parallelize alone would slice
+    // the size-sorted list contiguously and give one task ALL the
+    // largest files — the exact anti-balance this layout prevents
+    val assigned = FsTrees.roundRobin(toCopy, parts)(_.len)
+    val confBytes = FsTrees.shipConf(conf)
+    val bps = (bandwidthMB * 1024 * 1024).toLong
+    spark.sparkContext.parallelize(assigned, parts)
+      .partitionBy(new org.apache.spark.HashPartitioner(parts))
+      .mapPartitions { it =>
+        val c = FsTrees.readConf(confBytes)
+        it.map { case (_, e) => copyOne(c, srcRootStr, dstStr, e.rel, bps); e.len }
+      }.count() // materialize the copies
   }
 
   /** One file: stream through a temp name + atomic rename (CopyMapper's
     * .distcp.tmp idiom — readers never see partial files). */
   private def copyOne(c: Configuration, srcRootStr: String, dstStr: String,
-                      rel: String): Unit = {
+                      rel: String, maxBytesPerSec: Long = 0): Unit = {
     val from = new Path(srcRootStr, rel)
     val to = new Path(dstStr, rel)
     val fsIn = from.getFileSystem(c); val fsOut = to.getFileSystem(c)
     val tmp = new Path(to.getParent, s".distcp.tmp.${to.getName}")
-    val in = fsIn.open(from)
+    val raw = fsIn.open(from)
+    val in = if (maxBytesPerSec > 0) new ThrottledStream(raw, maxBytesPerSec) else raw
     try {
       val out = fsOut.create(tmp, true)
       try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024)
@@ -119,6 +160,68 @@ object DistCp {
     } finally in.close()
     fsOut.delete(to, false)
     if (!fsOut.rename(tmp, to)) sys.error(s"rename failed: $tmp -> $to")
+  }
+
+  /** `-diff`-style incremental replication — the capability of
+    * DistCpSync (TOOLS/hadoop-distcp/.../DistCpSync.java:45)
+    * reinterpreted without HDFS snapshots: the two TREE LISTINGS are
+    * the snapshots. Diffing src against dst yields the action sets
+    * directly — copy every file that is new or changed (size differs,
+    * or src modified after the destination's copy), delete every
+    * destination path that no longer exists under src — so a repeated
+    * sync converges to a no-op, and dst mirrors src without recopying
+    * the unchanged bulk (the point of `-diff` over plain `-update`:
+    * deletions propagate too).
+    *
+    * Change detection is size + newer-mtime (the object-store posture;
+    * the reference's HDFS checksum comparison has no local analogue —
+    * a same-size, same-age rewrite is indistinguishable, as with
+    * `-update` on stores without checksums). Deletes run deepest-first
+    * so directories empty out before their own removal.
+    */
+  def sync(spark: SparkSession, src: String, dst: String,
+           tasksHint: Int = 0, bandwidthMB: Double = 0): SyncResult = {
+    val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
+    val srcFs = new Path(src).getFileSystem(conf)
+    val srcPath = srcFs.makeQualified(new Path(src))
+    val srcRoot = srcFs.getFileStatus(srcPath)
+    val rootForRel = if (srcRoot.isFile) srcPath.getParent else srcPath
+    val rootUri = rootForRel.toUri
+    def rel(p: Path): String = rootUri.relativize(p.toUri).getPath
+
+    val srcAll = FsTrees.walkStatuses(srcFs, srcPath)
+    val srcDirs = srcAll.filter(_.isDirectory).map(st => rel(st.getPath)).filter(_.nonEmpty)
+    val srcFiles = srcAll.filter(_.isFile)
+      .map(st => rel(st.getPath) -> ((st.getLen, st.getModificationTime))).toMap
+
+    val dstFs = new Path(dst).getFileSystem(conf)
+    val dstPath = dstFs.makeQualified(new Path(dst))
+    val dstUri = dstPath.toUri
+    val dstAll =
+      if (dstFs.exists(dstPath)) FsTrees.walkStatuses(dstFs, dstPath)
+      else Seq.empty
+    val dstByRel = dstAll.map(st => dstUri.relativize(st.getPath.toUri).getPath -> st)
+      .filter(_._1.nonEmpty).toMap
+
+    // copy set: new files, size changes, or src newer than the copy
+    val toCopy = srcFiles.toSeq.collect {
+      case (r, (len, mtime)) if dstByRel.get(r).forall(st =>
+        !st.isFile || st.getLen != len || mtime > st.getModificationTime) =>
+        Entry(r, len)
+    }
+    // delete set: anything under dst with no src counterpart; children
+    // sort after parents lexicographically, so reverse order empties
+    // directories before removing them
+    val srcRels = srcFiles.keySet ++ srcDirs
+    val toDelete = dstByRel.keys.filterNot(srcRels).toSeq.sorted.reverse
+    toDelete.foreach(r => dstFs.delete(new Path(dstPath, r), false))
+
+    dstFs.mkdirs(dstPath)
+    srcDirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
+    runCopies(spark, conf, rootForRel.toString, dstPath.toString, toCopy,
+      tasksHint, bandwidthMB)
+    SyncResult(toCopy.size.toLong, toDelete.size.toLong,
+      (srcFiles.size - toCopy.size).toLong, toCopy.map(_.len).sum)
   }
 
   /** The ~10M+ entry path: both listings are per-level distributed
@@ -130,7 +233,8 @@ object DistCp {
     * paths are ever collected to the driver (mkdirs must run before
     * any copy; dirs ≪ files). */
   private def copyDistributed(spark: SparkSession, src: String, dst: String,
-                              update: Boolean, tasksHint: Int): CopyResult = {
+                              update: Boolean, tasksHint: Int,
+                              bandwidthMB: Double): CopyResult = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -187,10 +291,11 @@ object DistCp {
           pmod(row_number().over(org.apache.spark.sql.expressions.Window
             .orderBy(col("len").desc, col("rel"))), lit(parts)))
         .repartitionByRange(parts, col("slot"))
+      val bps = (bandwidthMB * 1024 * 1024).toLong
       bytes = slotted.select("rel", "len").as[(String, Long)].rdd
         .mapPartitions { it =>
           val c = FsTrees.readConf(confBytes)
-          it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel); len }
+          it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel, bps); len }
         }.sum().toLong
     }
     toCopy.unpersist(); srcAll.unpersist(); dstAll.foreach(_.unpersist())

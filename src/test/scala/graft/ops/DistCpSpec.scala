@@ -56,6 +56,59 @@ class DistCpSpec extends SparkSpec {
     assert(r3.copied == 0 && r3.skipped == 4)
   }
 
+  test("-diff sync copies exactly the changed files and deletes removed ones") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    assert(DistCp.copy(spark, src, dst).copied == 4)
+    // mutate src: change one file, add one, remove one file and one dir
+    Thread.sleep(20) // ensure the change's mtime is after the copy's
+    Files.writeString(Paths.get(s"$src/a/mid.csv"), "7,8,9\n10,11,12\n13,14,15\n")
+    Files.writeString(Paths.get(s"$src/a/new.txt"), "fresh")
+    Files.delete(Paths.get(s"$src/top.txt"))
+    Files.delete(Paths.get(s"$src/empty"))
+    val r = DistCp.sync(spark, src, dst)
+    assert(r.copied == 2, s"expected changed+new only, got $r")
+    assert(r.deleted == 2 && r.skipped == 2, r)
+    assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+    assert(read(s"$dst/a/new.txt") == read(s"$src/a/new.txt"))
+    assert(!Files.exists(Paths.get(s"$dst/top.txt")), "removed file still in dst")
+    assert(!Files.exists(Paths.get(s"$dst/empty")), "removed dir still in dst")
+    // repeated sync converges to a no-op
+    val r2 = DistCp.sync(spark, src, dst)
+    assert(r2.copied == 0 && r2.deleted == 0 && r2.skipped == 4, r2)
+  }
+
+  test("-diff sync deletes a removed subtree deepest-first") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    DistCp.copy(spark, src, dst)
+    // remove the whole a/ subtree (a dir containing a dir containing files)
+    import scala.jdk.CollectionConverters._
+    val w = Files.walk(Paths.get(s"$src/a"))
+    try w.sorted(java.util.Comparator.reverseOrder()).iterator().asScala
+      .foreach(Files.delete)
+    finally w.close()
+    val r = DistCp.sync(spark, src, dst)
+    // deleted: a/mid.csv, a/b/deep.bin, a/b/zero.dat, a/b, a
+    assert(r.deleted == 5 && r.copied == 0, r)
+    assert(!Files.exists(Paths.get(s"$dst/a")))
+    assert(Files.exists(Paths.get(s"$dst/top.txt")), "surviving file removed")
+  }
+
+  test("-bandwidth caps the measured copy rate") {
+    val src = Files.createTempDirectory("distcp-src").toString
+    // 2 MB file at 1 MB/s: unthrottled this copies in milliseconds;
+    // capped it must take >= ~1.5 s (allowing scheduler slop)
+    Files.write(Paths.get(s"$src/big.bin"), new Array[Byte](2 * 1024 * 1024))
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    val t0 = System.nanoTime()
+    val r = DistCp.copy(spark, s"$src/big.bin", dst, bandwidthMB = 1.0)
+    val sec = (System.nanoTime() - t0) / 1e9
+    assert(r.copied == 1 && r.bytes == 2 * 1024 * 1024, r)
+    assert(read(s"$dst/big.bin").length == 2 * 1024 * 1024)
+    assert(sec >= 1.5, f"throttled copy finished in $sec%.2f s — cap not applied")
+  }
+
   test("single-file source copies into the destination dir") {
     val src = mkTree()
     val dst = Files.createTempDirectory("distcp-dst").toString + "/single"
