@@ -50,6 +50,87 @@ object CompatSources {
       .toDF("key", "value")
   }
 
+  /** The declared key/value Writable class names of a SequenceFile —
+    * read from the file HEADER (io/SequenceFile.java:1903 reads the
+    * same two class-name strings), so [[sequenceFileAuto]] can dispatch
+    * without the caller knowing how the legacy file was written. On a
+    * directory, sniffs the first non-underscore data file (all parts of
+    * one output share a header by construction). */
+  def sequenceFileClasses(spark: SparkSession, path: String): (String, String) = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    val fs = org.apache.hadoop.fs.FileSystem.get(new java.net.URI(path), conf)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val target = if (fs.getFileStatus(p).isDirectory)
+      fs.listStatus(p).filter(_.isFile).map(_.getPath)
+        .filterNot(_.getName.startsWith("_")).headOption.getOrElse(
+          throw new IllegalArgumentException(s"no data files under $path"))
+    else p
+    val r = new org.apache.hadoop.io.SequenceFile.Reader(conf,
+      org.apache.hadoop.io.SequenceFile.Reader.file(target))
+    try (r.getKeyClassName, r.getValueClassName)
+    finally r.close()
+  }
+
+  private val writableTypes: Map[String, org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    Map(
+      "org.apache.hadoop.io.Text" -> StringType,
+      "org.apache.hadoop.io.IntWritable" -> IntegerType,
+      "org.apache.hadoop.io.LongWritable" -> LongType,
+      "org.apache.hadoop.io.FloatWritable" -> FloatType,
+      "org.apache.hadoop.io.DoubleWritable" -> DoubleType,
+      "org.apache.hadoop.io.BooleanWritable" -> BooleanType,
+      "org.apache.hadoop.io.BytesWritable" -> BinaryType)
+  }
+
+  /** One Writable → one Spark value; record readers REUSE Writable
+    * instances, so every conversion copies out of the buffer. */
+  private def fromWritable(w: org.apache.hadoop.io.Writable): Any = w match {
+    case t: Text => t.toString
+    case i: org.apache.hadoop.io.IntWritable => i.get
+    case l: LongWritable => l.get
+    case f: org.apache.hadoop.io.FloatWritable => f.get
+    case d: org.apache.hadoop.io.DoubleWritable => d.get
+    case b: org.apache.hadoop.io.BooleanWritable => b.get
+    case b: BytesWritable => java.util.Arrays.copyOf(b.getBytes, b.getLength)
+    case other => throw new IllegalArgumentException(
+      s"unsupported Writable ${other.getClass.getName}")
+  }
+
+  /** Typed SequenceFile reader — dispatches on the header's declared
+    * key/value classes, so legacy files with numeric Writable keys (the
+    * default WordCount output shape, LIB/output/SequenceFileOutputFormat
+    * .java:43) read as properly-typed columns with no cast shim.
+    * Supports Text, Int/Long/Float/Double/BooleanWritable, BytesWritable
+    * and NullWritable on either side; a NullWritable side (the
+    * values-only idiom) drops its column rather than materializing a
+    * null column. Anything exotic fails LOUDLY with the class name —
+    * use [[sequenceFileBinary]] plus a custom decode for those. */
+  def sequenceFileAuto(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.hadoop.io.Writable
+    val nullW = "org.apache.hadoop.io.NullWritable"
+    val (kc, vc) = sequenceFileClasses(spark, path)
+    for (c <- Seq(kc, vc) if c != nullW && !writableTypes.contains(c))
+      throw new IllegalArgumentException(
+        s"sequenceFileAuto: no column mapping for $c - read via sequenceFileBinary")
+    val fields = Seq("key" -> kc, "value" -> vc).collect {
+      case (n, c) if c != nullW => org.apache.spark.sql.types.StructField(n, writableTypes(c))
+    }
+    val schema = org.apache.spark.sql.types.StructType(fields)
+    val (useK, useV) = (kc != nullW, vc != nullW)
+    val rows = spark.sparkContext.newAPIHadoopFile(
+      path,
+      classOf[org.apache.hadoop.mapreduce.lib.input.SequenceFileInputFormat[Writable, Writable]],
+      classOf[Writable], classOf[Writable],
+      new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration))
+      .map { case (k, v) =>
+        val cells = (if (useK) Seq(fromWritable(k)) else Nil) ++
+          (if (useV) Seq(fromWritable(v)) else Nil)
+        org.apache.spark.sql.Row(cells: _*)
+      }
+    spark.createDataFrame(rows, schema)
+  }
+
   /** SequenceFileAsBinaryInputFormat (.../lib/input/
     * SequenceFileAsBinaryInputFormat.java:38): key/value bytes exactly
     * as stored, no Writable interpretation. Output: (key, value) binary
@@ -241,10 +322,40 @@ object CompatSources {
 
   /** NLineInputFormat capability (.../lib/input/NLineInputFormat.java:63):
     * text where task granularity is N lines per partition. Spark's
-    * equivalent knob is a repartition after read. */
+    * equivalent knob is a repartition after read.
+    *
+    * The partition count comes from LISTING metadata plus a bounded
+    * (64 KiB) driver-side prefix sample for the average line length —
+    * NOT from a `count()` job, which would scan the whole input once
+    * just to pick a granularity knob (at 100 TB that doubles the scan;
+    * the reference's NLineInputFormat pays the same full read in
+    * getSplitsForFile, driver-side). Granularity is approximate — the
+    * contract is task SIZE, not an exact per-task line count. Caveat:
+    * for compressed inputs the byte/line ratio is measured on
+    * compressed bytes, so partitions land coarser by ~the compression
+    * ratio. */
   def textNLines(spark: SparkSession, path: String, linesPerPartition: Int): DataFrame = {
-    val df = spark.read.text(path)
-    val n = math.max(1, (df.count() / math.max(1, linesPerPartition)).toInt)
-    df.repartition(n)
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val st = fs.getFileStatus(p)
+    val files = if (st.isDirectory)
+      fs.listStatus(p).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_")).toSeq
+    else Seq(st)
+    val totalBytes = files.map(_.getLen).sum
+    val avgLine = files.find(_.getLen > 0).fold(80.0) { s =>
+      val want = math.min(s.getLen, 1L << 16).toInt
+      val buf = new Array[Byte](want)
+      val in = fs.open(s.getPath)
+      try in.readFully(0, buf) finally in.close()
+      var nl = buf.count(_ == '\n')
+      // a sampled-to-EOF file whose last line lacks a newline still has
+      // that line
+      if (want.toLong == s.getLen && buf.nonEmpty && buf.last != '\n') nl += 1
+      if (nl == 0) want.toDouble else want.toDouble / nl
+    }
+    val estLines = totalBytes / avgLine
+    val n = math.max(1, math.ceil(estLines / math.max(1, linesPerPartition)).toInt)
+    spark.read.text(path).repartition(n)
   }
 }

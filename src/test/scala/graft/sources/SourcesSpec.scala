@@ -36,6 +36,70 @@ class CompatSourcesSpec extends SparkSpec {
     assert(out == data.toSet)
   }
 
+  test("sequenceFileAuto reads typed numeric Writable keys from the header") {
+    import org.apache.hadoop.io.{IntWritable, SequenceFile, Text => HText}
+    val dir = tmpDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    // written via the Hadoop API directly — the legacy-file shape, no
+    // Spark involvement on the write side
+    val p = new org.apache.hadoop.fs.Path(s"$dir/typed.seq")
+    val w = SequenceFile.createWriter(conf,
+      SequenceFile.Writer.file(p),
+      SequenceFile.Writer.keyClass(classOf[IntWritable]),
+      SequenceFile.Writer.valueClass(classOf[HText]))
+    try (1 to 20).foreach(i => w.append(new IntWritable(i), new HText(s"v$i")))
+    finally w.close()
+
+    assert(CompatSources.sequenceFileClasses(spark, s"$dir/typed.seq") ==
+      ("org.apache.hadoop.io.IntWritable", "org.apache.hadoop.io.Text"))
+    val df = CompatSources.sequenceFileAuto(spark, s"$dir/typed.seq")
+    import org.apache.spark.sql.types._
+    assert(df.schema == StructType(Seq(
+      StructField("key", IntegerType), StructField("value", StringType))))
+    assert(df.as[(Int, String)].collect().toSet == (1 to 20).map(i => (i, s"v$i")).toSet)
+  }
+
+  test("sequenceFileAuto: Long/Double pairs, NullWritable key drops its column") {
+    import org.apache.hadoop.io.{DoubleWritable, LongWritable, NullWritable, SequenceFile}
+    val dir = tmpDir()
+    val conf = spark.sparkContext.hadoopConfiguration
+    val p1 = new org.apache.hadoop.fs.Path(s"$dir/ld.seq")
+    val w1 = SequenceFile.createWriter(conf, SequenceFile.Writer.file(p1),
+      SequenceFile.Writer.keyClass(classOf[LongWritable]),
+      SequenceFile.Writer.valueClass(classOf[DoubleWritable]))
+    try (1 to 5).foreach(i => w1.append(new LongWritable(i * 10L), new DoubleWritable(i / 2.0)))
+    finally w1.close()
+    val ld = CompatSources.sequenceFileAuto(spark, s"$dir/ld.seq")
+      .as[(Long, Double)].collect().toSet
+    assert(ld == (1 to 5).map(i => (i * 10L, i / 2.0)).toSet)
+
+    val p2 = new org.apache.hadoop.fs.Path(s"$dir/nv.seq")
+    val w2 = SequenceFile.createWriter(conf, SequenceFile.Writer.file(p2),
+      SequenceFile.Writer.keyClass(classOf[NullWritable]),
+      SequenceFile.Writer.valueClass(classOf[LongWritable]))
+    try (1 to 5).foreach(i => w2.append(NullWritable.get(), new LongWritable(i)))
+    finally w2.close()
+    val nv = CompatSources.sequenceFileAuto(spark, s"$dir/nv.seq")
+    assert(nv.columns.toSeq == Seq("value"))
+    assert(nv.as[Long].collect().toSet == (1L to 5L).toSet)
+  }
+
+  test("sequenceFileAuto fails loudly on an unmapped Writable class") {
+    import org.apache.hadoop.io.{MapWritable, NullWritable, SequenceFile}
+    val dir = tmpDir()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/map.seq")
+    val w = SequenceFile.createWriter(spark.sparkContext.hadoopConfiguration,
+      SequenceFile.Writer.file(p),
+      SequenceFile.Writer.keyClass(classOf[NullWritable]),
+      SequenceFile.Writer.valueClass(classOf[MapWritable]))
+    try w.append(NullWritable.get(), new MapWritable())
+    finally w.close()
+    val e = intercept[IllegalArgumentException] {
+      CompatSources.sequenceFileAuto(spark, s"$dir/map.seq")
+    }
+    assert(e.getMessage.contains("MapWritable"))
+  }
+
   test("kvTextWrite emits key TAB value lines readable by kvText") {
     val dir = tmpDir()
     val df = Seq(("k1", "v1"), ("k2", "v2")).toDF("k", "v")
@@ -139,11 +203,24 @@ class CompatSourcesSpec extends SparkSpec {
     assert(parts <= 16, s"200 small files produced $parts partitions")
   }
 
-  test("textNLines controls partition granularity") {
+  test("textNLines controls partition granularity without a count() pass") {
     val dir = tmpDir()
     java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/lines.txt"),
       (1 to 100).map(i => s"line$i").mkString("\n"))
-    val df = CompatSources.textNLines(spark, s"$dir/lines.txt", 10)
+    // constructing the frame must launch NO Spark job (the old
+    // implementation ran a full count() scan to pick the granularity)
+    @volatile var jobs = 0
+    val listener = new org.apache.spark.scheduler.SparkListener {
+      override def onJobStart(j: org.apache.spark.scheduler.SparkListenerJobStart): Unit =
+        jobs += 1
+    }
+    spark.sparkContext.addSparkListener(listener)
+    val df = try {
+      val d = CompatSources.textNLines(spark, s"$dir/lines.txt", 10)
+      Thread.sleep(300) // listener events are delivered asynchronously
+      d
+    } finally spark.sparkContext.removeSparkListener(listener)
+    assert(jobs == 0, s"textNLines launched $jobs jobs during construction")
     assert(df.rdd.getNumPartitions == 10)
     assert(df.count() == 100)
   }
