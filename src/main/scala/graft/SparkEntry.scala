@@ -12,12 +12,34 @@ import graft.ops.{ComposeJoin, FieldSelection, Pipe, Sampling}
 
 /** Driver contract — the engine's declared conformance surface
   * (SURVEY.md §2.12, Q1–Q20) plus the LLM-pipeline extension queries
-  * (q21+). Every entry with an `oracleSql` twin is hash-checked against
-  * DuckDB on the same parquet tables; entries without one get a
-  * rows-only check (hash-function-dependent sketches, external-process
-  * pipes).
+  * (q21+). EVERY entry has an `oracleSql` twin hash-checked against
+  * DuckDB on the same parquet tables — including the sketch/pipe
+  * queries, whose oracles recompute the seeded algorithms in SQL.
   */
 object SparkEntry {
+
+  /** Run-scoped scratch root for the round-trip queries (q44, q45,
+    * q48, q51, q52, q57, q58, q59, q61): ONE temp tree per JVM, one
+    * REUSED subdir per query (every write below is mode=overwrite), and
+    * a shutdown hook that deletes the whole tree — so repeated
+    * bench/verify iterations in one process don't leak a fresh
+    * temp-dir full of table copies per invocation. */
+  private lazy val scratchRoot: java.nio.file.Path = {
+    val p = java.nio.file.Files.createTempDirectory("graft-scratch")
+    sys.addShutdownHook {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(p.toFile)
+    }
+    p
+  }
+
+  private def scratch(name: String): String = {
+    val d = scratchRoot.resolve(name)
+    java.nio.file.Files.createDirectories(d)
+    d.toString
+  }
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
@@ -306,7 +328,7 @@ object SparkEntry {
     // parquet original directly, so any byte lost or shifted in either
     // direction breaks the hash.
     "q44_kvtext_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-kvrt").toString + "/kv"
+      val tmp = scratch("q44") + "/kv"
       graft.sources.CompatSources.kvTextWrite(
         docs(s, d).select(col("doc_id"), col("lang")), tmp)
       graft.sources.CompatSources.kvText(s, tmp)
@@ -316,7 +338,7 @@ object SparkEntry {
     }),
 
     "q45_seqfile_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-seqrt").toString + "/seq"
+      val tmp = scratch("q45") + "/seq"
       graft.sources.CompatSources.sequenceFileWrite(
         docs(s, d).select(col("doc_id"), col("lang")), tmp)
       graft.sources.CompatSources.sequenceFileText(s, tmp)
@@ -331,7 +353,7 @@ object SparkEntry {
     // bzip2-compressed text sink — codec chosen because at 100 TB a
     // gzip part is one split forever while bzip2 blocks re-split.
     "q48_codec_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-bz2rt").toString + "/kvbz2"
+      val tmp = scratch("q48") + "/kvbz2"
       graft.sources.CompatSources.kvTextWrite(
         docs(s, d).select(col("doc_id"), col("lang")), tmp, codec = Some("bzip2"))
       graft.sources.CompatSources.kvText(s, tmp)
@@ -372,7 +394,7 @@ object SparkEntry {
     // discovery breaks the hash (partition values come back from
     // DIRECTORY NAMES, not data pages — that's what's being checked).
     "q51_routed_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-route").toString + "/bylang"
+      val tmp = scratch("q51") + "/bylang"
       graft.ops.Outputs.routedByColumn(
         docs(s, d).select(col("doc_id"), col("lang")), tmp, "lang")
       s.read.parquet(tmp)
@@ -431,7 +453,7 @@ object SparkEntry {
     // back through the constant-width binary scanner and re-parsed by
     // byte offset — the q44 witness aggregation proves no drift.
     "q59_fixedlen_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-fix").toString + "/fix"
+      val tmp = scratch("q59") + "/fix"
       docs(s, d).select(concat(
           lpad(col("doc_id").cast("string"), 10, "0"),
           rpad(col("lang"), 6, " ")).as("value"))
@@ -462,7 +484,7 @@ object SparkEntry {
     // real version-3 HAR, then read IN PLACE through the har:// scheme
     // (seek-capable archive reads) — same witness as q44.
     "q61_har_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-har").toString
+      val tmp = scratch("q61")
       docs(s, d).select(col("doc_id"), col("lang"))
         .coalesce(2).write.mode("overwrite").parquet(s"$tmp/src/docs.parquet")
       graft.ops.Har.archive(s, s"$tmp/src", s"$tmp/a.har")
@@ -491,7 +513,7 @@ object SparkEntry {
     // element even inside a single large file). Record length is the
     // witness that every element came back byte-complete.
     "q57_xml_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-xml").toString + "/docs"
+      val tmp = scratch("q57") + "/docs"
       docs(s, d).select(concat(lit("<doc id=\""), col("doc_id"), lit("\">"),
           col("text"), lit("</doc>")).as("value"))
         .write.mode("overwrite").text(tmp)
@@ -505,9 +527,14 @@ object SparkEntry {
     // JDBC round-trip (DBOutputFormat → DataDrivenDBInputFormat): the
     // table crosses an embedded Derby database and comes back through
     // the min/max-range partitioned reader; the oracle aggregates the
-    // parquet original.
+    // parquet original. The database lives ON DISK under the scratch
+    // root (an in-memory URL only works because local mode shares one
+    // JVM — each executor of a real cluster would boot a fresh empty
+    // db). Embedded Derby is still single-host; a real deployment
+    // points this harness at a network JDBC URL, which is the only
+    // line that changes.
     "q58_jdbc_roundtrip" -> ((s, d) => {
-      val url = "jdbc:derby:memory:graftq58;create=true"
+      val url = s"jdbc:derby:${scratch("q58")}/db;create=true"
       graft.sources.Jdbc.write(nat(s, d),
         url, "nation_rt", org.apache.spark.sql.SaveMode.Overwrite)
       graft.sources.Jdbc.readPartitioned(s, url, "nation_rt", "n_nationkey", 4)
@@ -540,7 +567,7 @@ object SparkEntry {
     // bin-packing scan. The oracle proves no record is lost or doubled
     // across the file-count blowup and re-pack.
     "q52_smallfiles_roundtrip" -> ((s, d) => {
-      val tmp = java.nio.file.Files.createTempDirectory("graft-small").toString + "/shards"
+      val tmp = scratch("q52") + "/shards"
       graft.ops.Outputs.withMaxRecordsPerFile(
         docs(s, d).select(col("doc_id"), col("lang")), tmp, 25)
       s.read.parquet(tmp)

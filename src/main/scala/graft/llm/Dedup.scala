@@ -463,27 +463,51 @@ object Dedup {
     * Beyond"), not silent truncation. */
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 25): DataFrame = {
+    val spark = pairs.sparkSession
+    // lineage cut with an explicit RDD handle: Dataset.localCheckpoint
+    // hides its cached RDD, so a loop over it LEAKS one checkpoint's
+    // storage per iteration for the life of the session. Holding the
+    // RDD ourselves lets each round free the previous round's blocks.
+    def cut(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+      val rdd = df.rdd.localCheckpoint()
+      rdd.count() // eager: materialize before the source frame changes
+      (spark.createDataFrame(rdd, df.schema), rdd)
+    }
     // ids keep their source type: min/least order strings and numerics
     // alike (a cast would silently null non-numeric ids)
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.groupBy(col("a"))
-      .agg(min(col("b")).as("mb"))
-      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
-      .localCheckpoint(true)
+    var (labels, labelsRdd) = cut(
+      edges.groupBy(col("a"))
+        .agg(min(col("b")).as("mb"))
+        .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      // ONE join per round: the merged frame carries old and new labels
+      // side by side, so convergence is a scan of the checkpointed
+      // result (the `chg` column), not a second next-vs-labels join job
       val prop = edges.join(labels, edges("a") === labels("id"))
         .select(col("b").as("id"), col("comp"))
-      val next = labels.union(prop)
-        .groupBy("id").agg(min("comp").as("comp"))
-        .localCheckpoint(true)
-      converged = next.alias("n")
-        .join(labels.alias("o"), col("n.id") === col("o.id"))
-        .where(col("n.comp") =!= col("o.comp")).isEmpty
-      labels = next
+        .groupBy("id").agg(min("comp").as("pc"))
+      // prop's ids ⊆ labels' ids (edges are symmetric, so every node
+      // already has a label) — the left join loses nothing
+      val merged = labels.select(col("id"), col("comp").as("oldc"))
+        .join(prop, Seq("id"), "left")
+        .select(col("id"),
+          least(col("oldc"), coalesce(col("pc"), col("oldc"))).as("comp"),
+          (coalesce(col("pc"), col("oldc")) < col("oldc")).as("chg"))
+      // ONE action materializes the checkpoint AND counts changed
+      // labels — no separate convergence scan job
+      val mergedRdd = merged.rdd.localCheckpoint()
+      val changed = mergedRdd
+        .mapPartitions(it => Iterator.single(it.count(_.getBoolean(2)).toLong))
+        .sum()
+      converged = changed == 0
+      labelsRdd.unpersist() // previous round's checkpoint blocks freed
+      labels = spark.createDataFrame(mergedRdd, merged.schema).select("id", "comp")
+      labelsRdd = mergedRdd
       iter += 1
     }
     edges.unpersist()
@@ -491,6 +515,8 @@ object Dedup {
       throw new IllegalStateException(
         s"components: not converged after $maxIter rounds — graph diameter " +
           "exceeds maxIter; raise it or use a star-contraction algorithm")
+    // the FINAL checkpoint stays cached — the result reads from it;
+    // ContextCleaner releases it when the frame is no longer referenced
     labels.select(col("id"), col("comp").as("comp_id"))
   }
 }

@@ -134,9 +134,11 @@ object Similarity {
       .otherwise(raise_error(concat(
         lit(s"cosineNearDups: block '"), col("blk").cast("string"),
         lit(s"' has "), col("__bc").cast("string"),
-        lit(s" members (> maxBlockSize=$maxBlockSize, i.e. >" +
-          s" ${maxBlockSize.toLong * maxBlockSize / 2} candidate pairs)" +
-          " - use cosineNearDupsLsh at this scale"))))
+        lit(s" members (> maxBlockSize=$maxBlockSize), i.e. "),
+        // the offending block's OWN pair count n(n-1)/2, not the
+        // maxBlockSize bound — the message sizes the actual problem
+        (col("__bc") * (col("__bc") - 1) / 2).cast("string"),
+        lit(" candidate pairs - use cosineNearDupsLsh at this scale"))))
     val a = emb.select(col("vec_id").as("id1"), col("embedding").as("e1"), col(blockCol).as("blk"))
       .join(sizes, Seq("blk")).withColumn("id1", guard).drop("__bc")
     val b = emb.select(col("vec_id").as("id2"), col("embedding").as("e2"), col(blockCol).as("blk"))
@@ -159,6 +161,13 @@ object Similarity {
     * corpus². Output: (id1, id2, sim), id1 < id2, sim ≥ threshold. */
   def cosineNearDupsLsh(emb: DataFrame, dim: Int, threshold: Double,
                         nPlanes: Int = DefaultPlanes): DataFrame = {
+    // The bucketed frame feeds BOTH sides of the pair self-join:
+    // persist so the corpus is scanned and bucketed once. The cache is
+    // released by Spark's ContextCleaner when the result frame is no
+    // longer referenced (same contract as Dedup.minHashCandidates);
+    // callers running repeated near-dup rounds over one corpus should
+    // bucket once themselves and manage the persistence lifecycle
+    // explicitly.
     val b = emb.withColumn("blk", lshBucket(col("embedding"), dim, nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val left = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("blk"))

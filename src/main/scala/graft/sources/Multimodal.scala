@@ -126,36 +126,50 @@ object Multimodal {
       else Some(AvHeader("wav",
         if (byteRate > 0 && dataLen >= 0) dataLen * 1000 / byteRate else 0L, rate, ch))
     } else if (fourcc(4) == "ftyp") {
+      def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+      // ISO-BMFF box bounds at offset o → (contentStart, boxEnd).
+      // size==1 → 64-bit largesize follows the type (16-byte header);
+      // size==0 → box extends to end of file; otherwise u32 size with
+      // an 8-byte header. All floors keep hostile sizes advancing
+      // forward (min header size), never backwards.
+      def boxBounds(o: Long): (Long, Long) = {
+        val sz = be32(o.toInt)
+        if (sz == 1 && o + 16 <= bytes.length)
+          (o + 16, o + math.max(16L, be64(o.toInt + 8)))
+        else if (sz == 0) (o + 8, bytes.length.toLong)
+        else (o + 8, o + math.max(8L, sz))
+      }
       var i = 0L
       var res: Option[AvHeader] = None
       while (res.isEmpty && i + 8 <= bytes.length) {
-        val ii = i.toInt
-        val sz = be32(ii); val tp = fourcc(ii + 4)
-        if (tp == "moov") {
-          var j = i + 8
-          val end = math.min(i + math.max(8L, sz), bytes.length.toLong)
+        val (content, boxEnd) = boxBounds(i)
+        if (fourcc(i.toInt + 4) == "moov") {
+          var j = content
+          val end = math.min(boxEnd, bytes.length.toLong)
           while (res.isEmpty && j + 8 <= end) {
-            val jj = j.toInt
-            val s2 = be32(jj)
-            if (fourcc(jj + 4) == "mvhd") {
-              // v0 needs bytes through j+27, v1 through j+39
-              if (u8(jj + 8) == 1 && j + 40 <= bytes.length)
+            val (c2, b2) = boxBounds(j)
+            // mvhd fields addressed from the CONTENT start, so a
+            // largesize header on any enclosing/was-parsed box can't
+            // shift the field layout
+            if (fourcc(j.toInt + 4) == "mvhd" && c2 + 4 <= bytes.length) {
+              val c = c2.toInt
+              if (u8(c) == 1 && c2 + 32 <= bytes.length)
                 res = Some(AvHeader("mp4", {
-                  val ts = be32(jj + 28)
-                  val dur = (be32(jj + 32) << 32) | be32(jj + 36)
+                  val ts = be32(c + 20)
+                  val dur = (be32(c + 24) << 32) | be32(c + 28)
                   if (ts > 0) dur * 1000 / ts else 0L
-                }, be32(jj + 28).toInt, 0))
-              else if (u8(jj + 8) == 0 && j + 28 <= bytes.length)
+                }, be32(c + 20).toInt, 0))
+              else if (u8(c) == 0 && c2 + 20 <= bytes.length)
                 res = Some(AvHeader("mp4", {
-                  val ts = be32(jj + 20); val dur = be32(jj + 24)
+                  val ts = be32(c + 12); val dur = be32(c + 16)
                   if (ts > 0) dur * 1000 / ts else 0L
-                }, be32(jj + 20).toInt, 0))
+                }, be32(c + 12).toInt, 0))
               else return None // truncated mvhd: malformed, not media
             }
-            j += math.max(8L, s2)
+            j = b2
           }
         }
-        i += math.max(8L, sz)
+        i = boxEnd
       }
       res
     } else None

@@ -167,6 +167,23 @@ class MultimodalHeaderSpec extends SparkSpec {
       .contains(Multimodal.AvHeader("wav", 0L, 8000, 2)))
   }
 
+  test("parseAvHeader honors size==1 largesize box headers") {
+    // moov written with the 64-bit largesize form: size field 1, type,
+    // then the real size as a u64 — children start 16 bytes in, not 8
+    val b = java.nio.ByteBuffer.allocate(16 + 16 + 108)
+      .order(java.nio.ByteOrder.BIG_ENDIAN)
+    b.putInt(16).put("ftyp".getBytes("US-ASCII"))
+      .put("isom".getBytes("US-ASCII")).putInt(0)
+    b.putInt(1).put("moov".getBytes("US-ASCII")).putLong(16 + 108)
+    b.putInt(108).put("mvhd".getBytes("US-ASCII"))
+      .putInt(0).putInt(0).putInt(0)
+      .putInt(600).putInt(1200)
+    val got = Multimodal.parseAvHeader(b.array())
+    assert(got.contains(Multimodal.AvHeader("mp4", 2000L, 600, 0)), got)
+    // size==1 with the largesize bytes missing: must terminate cleanly
+    assert(Multimodal.parseAvHeader(b.array().take(30)).isEmpty)
+  }
+
   test("describeAv reports container facts per payload, nulls for unknown") {
     val rows = Seq((1L, wav(32000)), (2L, mp4(600, 600)),
       (3L, "not media".getBytes("UTF-8")))
