@@ -46,12 +46,49 @@ object Main {
         KeyFieldSort.sorted(spark.read.text(in).toDF("line"), "line", spec)
           .write.mode("overwrite").text(out)
 
+      // Hadoop Streaming CLI surface (StreamJob.java): map-side by
+      // default; -reduce <keyCol> is the -reducer contract (co-locate +
+      // sort so each key group arrives contiguous on the child's
+      // stdin); -io typedbytes switches the framing to the binary
+      // typed-bytes wire format (-schema <ddl> declares the child's
+      // output shape; defaults to the input schema, the `cat` case).
       case "pipe" :: tail =>
-        val (cmd, outPart) = tail.span(_ != "--")
-        (cmd, outPart.drop(1)) match {
+        var reduceKey: Option[String] = None
+        var io = "text"
+        var schemaDdl: Option[String] = None
+        var restArgs = tail
+        var parsing = true
+        while (parsing) restArgs match {
+          case "-reduce" :: k :: t => reduceKey = Some(k); restArgs = t
+          case "-io" :: fmt :: t => io = fmt; restArgs = t
+          case "-schema" :: ddl :: t => schemaDdl = Some(ddl); restArgs = t
+          case f :: _ if f.startsWith("-") =>
+            System.err.println(s"pipe: unknown flag $f"); usage(); parsing = false
+          case _ => parsing = false
+        }
+        val (cmdPart, outPart) = restArgs.span(_ != "--")
+        (cmdPart, outPart.drop(1)) match {
           case (in :: c, out :: Nil) if c.nonEmpty =>
-            Pipe.pipeMap(spark.read.parquet(in), c)
-              .write.mode("overwrite").text(out)
+            val df = spark.read.parquet(in)
+            io match {
+              case "text" =>
+                val piped = reduceKey match {
+                  case Some(k) => Pipe.pipeReduce(df, c, Seq(k))
+                  case None => Pipe.pipeMap(df, c)
+                }
+                piped.write.mode("overwrite").text(out)
+              case "typedbytes" =>
+                val schema = schemaDdl
+                  .map(org.apache.spark.sql.types.StructType.fromDDL)
+                  .getOrElse(df.schema)
+                // reduce-side arrangement composes with the binary framing
+                val arranged = reduceKey.fold(df)(k =>
+                  df.repartition(col(k)).sortWithinPartitions(col(k)))
+                Pipe.pipeTypedBytes(arranged, c, schema)
+                  .write.mode("overwrite").parquet(out)
+              case other =>
+                sys.error(s"pipe: unknown -io format '$other' (text|typedbytes)")
+            }
           case _ => usage()
         }
 
@@ -167,7 +204,7 @@ object Main {
         |  wordcount <in.parquet> <textCol> <out>
         |  grep <in.parquet> <textCol> <pattern> <out>
         |  sort <in.text> "<-k spec>" <out>
-        |  pipe <in.parquet> <cmd> [arg...] -- <out>
+        |  pipe [-reduce <keyCol>] [-io typedbytes] [-schema <ddl>] <in.parquet> <cmd> [arg...] -- <out>
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  archive <src-tree> <dst.har>

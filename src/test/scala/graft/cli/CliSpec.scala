@@ -86,6 +86,47 @@ class CliSpec extends SparkSpec {
     assert(back.count() == spark.read.parquet(s"$sf/documents.parquet").count())
   }
 
+  test("pipe -reduce runs 'sort | uniq -c' as a contiguous-key reducer") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    graft.core.Tables.documents(spark, sf).select($"lang")
+      .write.parquet(s"$tmp/in")
+    runVerb("pipe", "-reduce", "lang", s"$tmp/in",
+      "bash", "-c", "sort | uniq -c", "--", s"$tmp/out")
+    // every "count lang" line the child emitted, summed per lang, must
+    // reproduce the groupBy counts (keys arrive contiguous per
+    // partition, so uniq -c yields at most one line per lang per task)
+    val got = spark.read.text(s"$tmp/out").as[String].collect()
+      .map(_.trim.split("\\s+", 2)).map { case Array(n, l) => l -> n.toLong }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
+    val want = graft.core.Tables.documents(spark, sf)
+      .groupBy($"lang").count().as[(String, Long)].collect().toMap
+    assert(got == want, s"got=$got want=$want")
+  }
+
+  test("pipe -io typedbytes round-trips a typed table through cat") {
+    import spark.implicits._
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    graft.core.Tables.documents(spark, sf).select($"doc_id", $"lang")
+      .write.parquet(s"$tmp/in")
+    runVerb("pipe", "-io", "typedbytes", s"$tmp/in", "cat", "--", s"$tmp/out")
+    val in = spark.read.parquet(s"$tmp/in").as[(Long, String)].collect().toSet
+    val out = spark.read.parquet(s"$tmp/out").as[(Long, String)].collect().toSet
+    assert(out == in, s"typed-bytes cat round-trip diverged: ${out.diff(in)}")
+  }
+
+  test("copy -diff verb syncs deletions") {
+    val src = java.nio.file.Files.createTempDirectory("cli-sync").toString
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/a.txt"), "a")
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$src/b.txt"), "b")
+    val dst = java.nio.file.Files.createTempDirectory("cli-sync").toString + "/out"
+    runVerb("copy", s"$src", dst)
+    java.nio.file.Files.delete(java.nio.file.Paths.get(s"$src/b.txt"))
+    runVerb("copy", "-diff", s"$src", dst)
+    assert(!java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/b.txt")))
+    assert(java.nio.file.Files.exists(java.nio.file.Paths.get(s"$dst/a.txt")))
+  }
+
   test("copy verb round-trips a table") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     runVerb("copy", s"$sf/nation.parquet", s"$tmp/nation")
