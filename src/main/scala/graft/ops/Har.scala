@@ -26,10 +26,13 @@ import org.apache.spark.sql.SparkSession
   * out.har/part-N        concatenated file bytes, one per task
   * }}}
   *
-  * Scale posture mirrors [[DistCp]]: the driver owns only metadata
-  * (listing + index lines, O(files)); the BYTES move in parallel
-  * tasks, each streaming its byte-balanced slice into its own part
-  * file. The reference writes parts with a MapReduce job; same shape.
+  * Scale posture mirrors [[DistCp]]: the driver owns only the LISTING
+  * (O(files) once, the reference's own single-process listing shape);
+  * the BYTES move in parallel tasks, each streaming its byte-balanced
+  * slice into its own part file, and the INDEX is sorted distributed
+  * and streamed through the driver one partition at a time — no
+  * O(files) collect. The reference writes parts with a MapReduce job;
+  * same shape.
   */
 object Har {
 
@@ -75,10 +78,13 @@ object Har {
       if (r.isEmpty) "/" else "/" + r.stripSuffix("/")
     }
     // one listStatus per directory; statuses reused for props and
-    // children below — no per-path re-stat on the driver
+    // children below — no per-path re-stat on the driver. Each file
+    // tuple carries its rel path and encoded props so the copy tasks
+    // can emit complete index lines without a driver-side map shipping
+    // in the closure.
     val all = FsTrees.walkStatuses(srcFs, srcPath)
-    val files = all.filter(_.isFile).map(st => (st.getPath.toString, st.getLen))
-    val statusByPath = all.map(st => st.getPath.toString -> st).toMap
+    val files = all.filter(_.isFile)
+      .map(st => (st.getPath.toString, st.getLen, rel(st.getPath), props(st)))
     val (dirStatuses, childrenByDir) =
       if (srcRootSt.isFile)
         (Seq(srcFs.getFileStatus(rootForRel)),
@@ -106,55 +112,68 @@ object Har {
     val slots = math.max(1, math.min(
       if (partsHint > 0) partsHint else spark.sparkContext.defaultParallelism,
       math.max(1, files.size)))
-    val slices: Seq[(Int, Seq[(String, Long)])] =
+    val slices: Seq[(Int, Seq[(String, Long, String, String)])] =
       FsTrees.roundRobin(files, slots)(_._2)
         .groupBy(_._1).view.mapValues(_.map(_._2)).toSeq
     val confBytes = FsTrees.shipConf(conf)
     val tmpStr = tmpPath.toString
 
-    // (srcPath, partName, startPos, len) per file — metadata only.
-    // Offsets come from the OUTPUT STREAM position, not the listed
-    // length: a file that grew/shrank between listing and copy must
-    // not shift every later entry in its part
-    // (HadoopArchives.map uses partStream.getPos the same way).
-    val fileEntries: Array[(String, String, Long, Long)] =
-      if (slices.isEmpty) Array.empty
+    // (harHash, indexLine, bytesWritten) per file — metadata only, and
+    // it STAYS distributed: the index is sorted by hash as an RDD and
+    // streamed to the single _index file via toLocalIterator, so the
+    // driver never holds O(files) index entries (the r5 bound — a
+    // ~100M-file archive collected multi-GB of tuples). Offsets come
+    // from the OUTPUT STREAM position, not the listed length: a file
+    // that grew/shrank between listing and copy must not shift every
+    // later entry in its part (HadoopArchives.map uses
+    // partStream.getPos the same way).
+    val fileEntries: org.apache.spark.rdd.RDD[(Int, String, Long)] =
+      if (slices.isEmpty) spark.sparkContext.emptyRDD
       else spark.sparkContext.parallelize(slices, slices.size)
         .flatMap { case (slot, slice) =>
           val c = FsTrees.readConf(confBytes)
           val partName = s"part-$slot"
           val outP = new Path(tmpStr, partName)
           val out = outP.getFileSystem(c).create(outP, true)
-          val entries = try slice.map { case (pStr, _) =>
+          val entries = try slice.map { case (pStr, _, r, pr) =>
             val p = new Path(pStr)
             val start = out.getPos
             val in = p.getFileSystem(c).open(p)
             try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
             finally in.close()
-            (pStr, partName, start, out.getPos - start)
+            val len = out.getPos - start
+            (harHash(r), s"${enc(r)} file $partName $start $len $pr ", len)
           } finally out.close()
           entries.iterator
-        }.collect()
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // materialize the copies EXACTLY ONCE before any derived action:
+    // sortBy's range-sampling pass would otherwise re-run the
+    // side-effecting part writes (idempotent — same slice order, same
+    // offsets, create(true) — but double the byte traffic)
+    val nBytes = fileEntries.map(_._3).sum().toLong
+    val nFiles = files.size
 
-    // index lines: files from the task results, dirs driver-side
-    val fileLines = fileEntries.toSeq.map { case (pStr, part, start, len) =>
-      val r = rel(new Path(pStr))
-      (harHash(r), s"${enc(r)} file $part $start $len ${props(statusByPath(pStr))} ")
-    }
+    // dirs are driver-side (dirs ≪ files; children lists need the
+    // grouped listing anyway) and join the distributed sort as a tiny RDD
     val dirLines = dirStatuses.map { st =>
       val r = rel(st.getPath)
       val children = childrenByDir.getOrElse(st.getPath.toString, Seq.empty)
       (harHash(r), s"${enc(r)} dir ${props(st)} 0 0 " +
         children.map(c => enc(c) + " ").mkString)
     }
-    val lines = (fileLines ++ dirLines).sortBy(_._1)
+    val lines = fileEntries.map { case (h, l, _) => (h, l) }
+      .union(spark.sparkContext.parallelize(dirLines,
+        math.max(1, math.min(slots, dirLines.size))))
+      .sortBy(_._1)
 
-    // _index + _masterindex ("3", then hash/byte ranges per 1000 lines)
+    // _index + _masterindex ("3", then hash/byte ranges per 1000 lines),
+    // streamed: one partition in driver memory at a time, masterindex
+    // accumulates O(files/1000)
     val indexOut = dstFs.create(new Path(tmpPath, "_index"), true)
     val master = new StringBuilder("3 \n")
     try {
       var (startHash, startPos, written, curPos, lastHash) = (0, 0L, 0, 0L, 0)
-      lines.foreach { case (h, line) =>
+      lines.toLocalIterator.foreach { case (h, line) =>
         val bytes = (line + "\n").getBytes("UTF-8")
         indexOut.write(bytes)
         curPos += bytes.length; written += 1; lastHash = h
@@ -165,6 +184,7 @@ object Har {
       }
       if (written > 0) master.append(s"$startHash $lastHash $startPos $curPos \n")
     } finally indexOut.close()
+    fileEntries.unpersist()
     val masterOut = dstFs.create(new Path(tmpPath, "_masterindex"), true)
     try masterOut.write(master.toString.getBytes("UTF-8"))
     finally masterOut.close()
@@ -175,7 +195,6 @@ object Har {
     if (!dstFs.rename(tmpPath, dstPath))
       sys.error(s"HAR publish failed: rename $tmpPath -> $dstPath")
 
-    ArchiveResult(files.size, dirStatuses.size, slices.size,
-      fileEntries.map(_._4).sum)
+    ArchiveResult(nFiles, dirStatuses.size, slices.size, nBytes)
   }
 }

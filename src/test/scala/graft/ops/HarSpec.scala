@@ -106,6 +106,30 @@ class HarSpec extends SparkSpec {
       parent.listFiles().map(_.getName).toSeq)
   }
 
+  test("a >1000-entry archive spans masterindex blocks and stays readable") {
+    // 2500 files crosses the 1000-line _index block size twice, so the
+    // streamed masterindex write emits ≥3 range rows — and the stock
+    // reader must still resolve paths that land in every block
+    val root = Files.createTempDirectory("har-many").toString
+    (0 until 2500).foreach(i =>
+      Files.writeString(Paths.get(f"$root/f$i%04d.txt"), i.toString))
+    val dst = Files.createTempDirectory("har-out").toString + "/many.har"
+    val r = Har.archive(spark, root, dst, partsHint = 4)
+    assert(r.files == 2500 && r.parts == 4, r)
+    val masterLines = Files.readAllLines(Paths.get(s"$dst/_masterindex"))
+    assert(masterLines.size >= 4, s"expected 3+ block rows, got $masterLines") // "3" + blocks
+    val harRoot = s"har://${new java.net.URI("file://" + dst).getPath}"
+    val fs = harFs(harRoot)
+    assert(fs.listStatus(new Path(harRoot + "/")).length == 2500)
+    for (i <- Seq(0, 999, 1000, 1777, 2499)) {
+      val in = fs.open(new Path(harRoot + f"/f$i%04d.txt"))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      assert(new String(buf.toByteArray, "UTF-8") == i.toString)
+    }
+  }
+
   test("harHash matches the reference's masked String.hashCode") {
     assert(Har.harHash("/") == ("/".hashCode & 0x7fffffff))
     assert(Har.harHash("/a/b.txt") >= 0)
