@@ -21,9 +21,13 @@ object Bench {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
+    // q37 (LSH-blocked embedding near-dup) and q49 (pair→group
+    // connected components) track the LLM-pipeline ops a training
+    // corpus actually runs at scale, alongside the MinHash family (q27)
     val headline = Seq(
       "q02_tpch_q1", "q03_wordcount", "q06_join_inner", "q10_total_sort",
-      "q14_grep", "q19_dedup_exact", "q20_cosine_topk", "q27_minhash_neardup")
+      "q14_grep", "q19_dedup_exact", "q20_cosine_topk", "q27_minhash_neardup",
+      "q37_embed_neardup_lsh", "q49_dup_components")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
