@@ -277,8 +277,13 @@ object SparkEntry {
     // the exact Jaccard pairs — comp_id is the canonical (min) doc id
     // per duplicate cluster, the thing a dedup pipeline actually keeps.
     // Oracle recomputes components via a recursive transitive closure.
+    // Pairs come from the SCALE path (MinHash-LSH candidates verified
+    // with exact Jaccard — the composition a real pipeline runs), while
+    // the oracle recomputes the exact all-pairs transitive closure; the
+    // two pair sets are identical because the verify stage draws the
+    // output boundary with the exact measure (q27's contract).
     "q49_dup_components" -> ((s, d) =>
-      Dedup.components(Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5))
+      Dedup.components(Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5))
         .groupBy("comp_id")
         .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
         .orderBy("comp_id")),
