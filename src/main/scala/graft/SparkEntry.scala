@@ -305,7 +305,8 @@ object SparkEntry {
       Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5)
         .orderBy("id1", "id2")),
 
-    // SimHash near-dup candidates via banded chunks (rows-only).
+    // SimHash near-dup candidates via banded chunks; the oracle
+    // recomputes the FNV-1a/majority-vote sketch in SQL.
     "q28_simhash_neardup" -> ((s, d) =>
       Dedup.simHashPairs(docs(s, d), "doc_id", "text", 6)
         .orderBy("id1", "id2")),
@@ -317,7 +318,7 @@ object SparkEntry {
         .orderBy("l_orderkey", "l_linenumber")),
 
     // External-process pipe (Hadoop Streaming): uppercase via tr, then
-    // wordcount the piped output (rows-only: forks a child process).
+    // wordcount the piped output; the oracle applies upper() in SQL.
     "q30_pipe_wordcount" -> ((s, d) => {
       val piped = Pipe.pipeMap(docs(s, d).orderBy("doc_id"),
         Seq("tr", "a-z", "A-Z"), Seq(col("text")))
@@ -638,8 +639,9 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
-    // LSH-bucketed ANN (scale path; rows-only: plane-family-specific).
-    // 4 planes fits this corpus size; at 100 TB the knob goes up.
+    // LSH-bucketed ANN (scale path); the oracle inlines the seeded
+    // plane family as SQL literals. 4 planes fits this corpus size;
+    // at 100 TB the knob goes up.
     "q31_ann_lsh" -> ((s, d) =>
       Similarity.lshTopK(emb(s, d), Seq(0L, 1L, 2L, 3L, 4L), 5, 64, nPlanes = 4)
         .select(col("qid"), col("vec_id"), col("rank").as("rnk"), col("sim"))
