@@ -61,6 +61,20 @@ object DistCp {
     *                size-based skip; the reference adds checksums,
     *                which HDFS provides for free — local/object stores
     *                compare sizes exactly like this).
+    * @param checksum  with `update`, ALSO content-compare the
+    *                size-matched files (the reference's CRC check,
+    *                which `-skipcrccheck` turns off —
+    *                TOOLS/hadoop-distcp/.../util/DistCpUtils.java
+    *                `checksumsAreEqual`): a same-size rewrite that the
+    *                size-skip would silently miss gets copied. Uses
+    *                the filesystem's native `getFileChecksum` when
+    *                both sides expose a comparable algorithm (free on
+    *                HDFS), else streams both files through MD5 — a
+    *                full read of every size-matched PAIR, in parallel
+    *                tasks. That read cost is the honest price of
+    *                content verification on stores without native
+    *                checksums; leave it off when size+rerun semantics
+    *                are enough.
     * @param distributedListing  list BOTH trees with
     *                [[FsTrees.walkDistributed]] and compute the
     *                `-update` skip set as a distributed join of the
@@ -74,13 +88,49 @@ object DistCp {
   def copy(spark: SparkSession, src: String, dst: String,
            update: Boolean = false, tasksHint: Int = 0,
            distributedListing: Boolean = false,
-           bandwidthMB: Double = 0): CopyResult =
-    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint, bandwidthMB)
-    else copyDriver(spark, src, dst, update, tasksHint, bandwidthMB)
+           bandwidthMB: Double = 0, checksum: Boolean = false): CopyResult =
+    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint, bandwidthMB, checksum)
+    else copyDriver(spark, src, dst, update, tasksHint, bandwidthMB, checksum)
+
+  /** Content summary of one file for the `-update` checksum compare:
+    * the filesystem's native checksum (algorithm-tagged, e.g. HDFS's
+    * MD5-of-CRC) when it exposes one, else a streamed MD5 of the
+    * bytes. Two files compare equal iff their summaries match; when
+    * the two SIDES return different algorithm tags (HDFS vs local),
+    * the caller re-summarizes both via [[md5Of]] so the comparison is
+    * always like-for-like. */
+  private def nativeSum(c: Configuration, p: Path): Option[(String, Seq[Byte])] = {
+    val fs = p.getFileSystem(c)
+    Option(fs.getFileChecksum(p)).map { fc =>
+      val bytes = new java.io.ByteArrayOutputStream()
+      fc.write(new java.io.DataOutputStream(bytes))
+      (fc.getAlgorithmName, bytes.toByteArray.toSeq)
+    }
+  }
+
+  private def md5Of(c: Configuration, p: Path): Seq[Byte] = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+    val in = p.getFileSystem(c).open(p)
+    try {
+      val buf = new Array[Byte](64 * 1024)
+      var n = in.read(buf)
+      while (n >= 0) { if (n > 0) md.update(buf, 0, n); n = in.read(buf) }
+    } finally in.close()
+    md.digest().toSeq
+  }
+
+  /** True iff the two files' contents differ, per the cheapest
+    * comparable evidence: native checksums when both sides agree on
+    * the algorithm, streamed MD5 of both otherwise. */
+  private def sumsDiffer(c: Configuration, src: Path, dst: Path): Boolean =
+    (nativeSum(c, src), nativeSum(c, dst)) match {
+      case (Some((aAlg, aSum)), Some((bAlg, bSum))) if aAlg == bAlg => aSum != bSum
+      case _ => md5Of(c, src) != md5Of(c, dst)
+    }
 
   private def copyDriver(spark: SparkSession, src: String, dst: String,
                          update: Boolean, tasksHint: Int,
-                         bandwidthMB: Double): CopyResult = {
+                         bandwidthMB: Double, checksum: Boolean): CopyResult = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
@@ -106,14 +156,32 @@ object DistCp {
         }
         walkDst(dstPath).toMap
       }
-    val toCopy = files.filter(f => !existing.get(f.rel).contains(f.len))
+    val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
+    val (sizeMatched, sizeChanged) =
+      files.partition(f => existing.get(f.rel).contains(f.len))
+    // -checksum: content-compare the size-matched survivors in
+    // parallel tasks (each task reads its pair of files); only the
+    // differing RELS come back to the driver — metadata-sized.
+    val contentChanged: Seq[Entry] =
+      if (!checksum || sizeMatched.isEmpty) Seq.empty
+      else {
+        val confBytes = FsTrees.shipConf(conf)
+        val dstStr = dstPath.toString
+        val parts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, sizeMatched.size))
+        spark.sparkContext.parallelize(sizeMatched, parts).mapPartitions { it =>
+          val c = FsTrees.readConf(confBytes)
+          it.filter(e =>
+            sumsDiffer(c, new Path(srcRootStr, e.rel), new Path(dstStr, e.rel)))
+        }.collect().toSeq
+      }
+    val toCopy = sizeChanged ++ contentChanged
     val skipped = files.size - toCopy.size
 
     // directory structure (incl. empties) created up front, driver-side
     dstFs.mkdirs(dstPath)
     dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
 
-    val srcRootStr = (if (srcRoot.isFile) srcPath.getParent else srcPath).toString
     runCopies(spark, conf, srcRootStr, dstPath.toString, toCopy, tasksHint, bandwidthMB)
     CopyResult(toCopy.size.toLong, skipped.toLong, toCopy.map(_.len).sum)
   }
@@ -234,7 +302,7 @@ object DistCp {
     * any copy; dirs ≪ files). */
   private def copyDistributed(spark: SparkSession, src: String, dst: String,
                               update: Boolean, tasksHint: Int,
-                              bandwidthMB: Double): CopyResult = {
+                              bandwidthMB: Double, checksum: Boolean): CopyResult = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -264,9 +332,27 @@ object DistCp {
       case Some(a) => rels(a, dstPath.toString)
         .where(!col("is_dir")).select(col("rel"), col("len").as("dst_len"))
     }
-    val toCopy = srcFiles.join(existing, Seq("rel"), "left")
+    val joined = srcFiles.join(existing, Seq("rel"), "left")
+    val sizeChanged = joined
       .where(col("dst_len").isNull || col("dst_len") =!= col("len"))
       .select("rel", "len")
+    // -checksum: the size-matched rows stay distributed — each task
+    // content-compares its pair of files and keeps only the changed
+    // rels; nothing per-file ever reaches the driver on this path.
+    val contentChanged =
+      if (!checksum) Seq.empty[(String, Long)].toDF("rel", "len")
+      else {
+        val confBytes2 = FsTrees.shipConf(conf)
+        val dstStr0 = dstPath.toString
+        joined.where(col("dst_len") === col("len"))
+          .select("rel", "len").as[(String, Long)].rdd
+          .mapPartitions { it =>
+            val c = FsTrees.readConf(confBytes2)
+            it.filter { case (r, _) =>
+              sumsDiffer(c, new Path(srcRootStr, r), new Path(dstStr0, r)) }
+          }.toDF("rel", "len")
+      }
+    val toCopy = sizeChanged.union(contentChanged)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val nFiles = srcFiles.count()

@@ -78,6 +78,32 @@ class DistCpSpec extends SparkSpec {
     assert(r2.copied == 0 && r2.deleted == 0 && r2.skipped == 4, r2)
   }
 
+  test("-checksum catches a same-size rewrite that the size-skip misses") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    assert(DistCp.copy(spark, src, dst).copied == 4)
+    // rewrite ONE file with DIFFERENT content of the SAME length
+    assert(Files.size(Paths.get(s"$src/a/mid.csv")) == 12)
+    Files.writeString(Paths.get(s"$src/a/mid.csv"), "9,9,9\n8,8,8\n")
+    // plain -update: size matches, change silently skipped (documented)
+    val r1 = DistCp.copy(spark, src, dst, update = true)
+    assert(r1.copied == 0 && r1.skipped == 4, r1)
+    assert(read(s"$dst/a/mid.csv") != read(s"$src/a/mid.csv"))
+    // -update -checksum: content compare finds it, on BOTH listing paths
+    for (distributed <- Seq(false, true)) {
+      val rewrite = if (distributed) "3,3,3\n4,4,4\n" else "9,9,9\n8,8,8\n"
+      Files.writeString(Paths.get(s"$src/a/mid.csv"), rewrite)
+      val r2 = DistCp.copy(spark, src, dst, update = true, checksum = true,
+        distributedListing = distributed)
+      assert(r2.copied == 1 && r2.skipped == 3, s"distributed=$distributed: $r2")
+      assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+      // idempotent rerun: checksum now matches everywhere
+      val r3 = DistCp.copy(spark, src, dst, update = true, checksum = true,
+        distributedListing = distributed)
+      assert(r3.copied == 0 && r3.skipped == 4, s"distributed=$distributed: $r3")
+    }
+  }
+
   test("-diff sync deletes a removed subtree deepest-first") {
     val src = mkTree()
     val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
