@@ -738,7 +738,24 @@ object SparkEntry {
           coalesce(col("format"), lit("unknown")).as("format"),
           col("width"), col("height"))
         .orderBy("media_id")
-    })
+    }),
+
+    // Gopher-style repetition quality signals (single scan, tagged
+    // explode, two partial-agg shuffles). The corpus text is
+    // single-line, so the query feeds a word-per-line view (space ->
+    // newline) to exercise the line family; the n-gram families split
+    // on \s+ and see the same tokens either way.
+    "q64_repetition" -> ((s, d) =>
+      graft.llm.Repetition.signals(
+        docs(s, d).select(col("doc_id"),
+          translate(col("text"), " ", "\n").as("text")),
+        "doc_id", "text")
+        .select(col("doc_id"), col("n_lines"),
+          round(col("dup_line_frac"), 4).as("dup_line_frac"),
+          round(col("dup_line_char_frac"), 4).as("dup_line_char_frac"),
+          round(col("top_ngram_char_frac"), 4).as("top_ngram_char_frac"),
+          round(col("dup_ngram_char_frac"), 4).as("dup_ngram_char_frac"))
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1167,7 +1184,40 @@ object SparkEntry {
 
     "q28_simhash_neardup" -> simHashOracleSql(maxHamming = 6),
     "q31_ann_lsh" -> lshTopKOracleSql(nPlanes = 4, k = 5),
-    "q37_embed_neardup_lsh" -> lshNearDupOracleSql(nPlanes = 8, threshold = 0.35)
+    "q37_embed_neardup_lsh" -> lshNearDupOracleSql(nPlanes = 8, threshold = 0.35),
+
+    // Recomputes the tagged-unit counting: lines of the word-per-line
+    // view ARE the tokens, so every family derives from one split.
+    // The generate_series bound pattern follows q25 (no correlated
+    // series in DuckDB; 2000 >> max document token count).
+    "q64_repetition" ->
+      """WITH tok AS (SELECT doc_id, CAST(length(text) AS BIGINT) AS chars,
+        |  STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |units AS (
+        |  SELECT doc_id, chars, 'L' AS k, ws[i] AS u
+        |    FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)
+        |  UNION ALL
+        |  SELECT doc_id, chars, 'T', ws[i] || ' ' || ws[i+1]
+        |    FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 1
+        |  UNION ALL
+        |  SELECT doc_id, chars, 'D',
+        |    ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4]
+        |    FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 4),
+        |counted AS (SELECT doc_id, chars, k, u, COUNT(*) AS c, length(u) AS ulen
+        |  FROM units GROUP BY 1, 2, 3, 4),
+        |agg AS (SELECT doc_id, chars,
+        |  CAST(COALESCE(SUM(CASE WHEN k = 'L' THEN c END), 0) AS BIGINT) AS n_lines,
+        |  CAST(SUM(CASE WHEN k = 'L' THEN 1 ELSE 0 END) AS BIGINT) AS d_lines,
+        |  CAST(SUM(CASE WHEN k = 'L' AND c > 1 THEN c * ulen ELSE 0 END) AS BIGINT) AS dlc,
+        |  CAST(MAX(CASE WHEN k = 'T' THEN c * ulen ELSE 0 END) AS BIGINT) AS topc,
+        |  CAST(SUM(CASE WHEN k = 'D' AND c > 1 THEN c * ulen ELSE 0 END) AS BIGINT) AS dgc
+        |  FROM counted GROUP BY 1, 2)
+        |SELECT doc_id, n_lines,
+        |  ROUND(CAST(n_lines - d_lines AS DOUBLE) / GREATEST(n_lines, 1), 4) AS dup_line_frac,
+        |  ROUND(CAST(dlc AS DOUBLE) / GREATEST(chars, 1), 4) AS dup_line_char_frac,
+        |  ROUND(CAST(topc AS DOUBLE) / GREATEST(chars, 1), 4) AS top_ngram_char_frac,
+        |  ROUND(CAST(dgc AS DOUBLE) / GREATEST(chars, 1), 4) AS dup_ngram_char_frac
+        |FROM agg ORDER BY doc_id""".stripMargin
   )
 
   // ------------------------------------------------- generated oracles
