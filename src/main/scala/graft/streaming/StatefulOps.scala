@@ -43,6 +43,36 @@ object StatefulOps {
       }
   }
 
+  /** Streaming exact dedup: emit only the FIRST record seen for each
+    * `keyOf` value (typically a content hash — md5 of the normalized
+    * text), dropping later duplicates both within a micro-batch and
+    * across batches. Per-key state is one timestamp, evicted `ttlMs`
+    * after the key last appeared — the memory bound that makes exact
+    * dedup viable on an unbounded stream. The contract is therefore
+    * TTL-windowed: a duplicate arriving more than `ttlMs` after its
+    * original re-emits (same shape as Spark's
+    * `dropDuplicatesWithinWatermark`, but keyed on arbitrary content
+    * and evicted on processing time, so it needs no event-time
+    * column). Each duplicate ALSO refreshes the TTL, so a
+    * continuously-reposted document stays suppressed. */
+  def dedupFirst[T](ds: Dataset[T], keyOf: T => String, ttlMs: Long)(
+      implicit enc: org.apache.spark.sql.Encoder[T]): Dataset[T] = {
+    import ds.sparkSession.implicits._
+    ds.groupByKey(keyOf)
+      .flatMapGroupsWithState[Long, T](
+        OutputMode.Append, GroupStateTimeout.ProcessingTimeTimeout) {
+        (_: String, batch: Iterator[T], state: GroupState[Long]) =>
+          if (state.hasTimedOut) { state.remove(); Iterator.empty }
+          else {
+            val out = if (state.exists) Iterator.empty[T]
+                      else Iterator.single(batch.next())
+            state.update(System.currentTimeMillis())
+            state.setTimeoutDuration(ttlMs)
+            out
+          }
+      }
+  }
+
   /** Running per-key event count, updated every micro-batch —
     * the minimal mapGroupsWithState shape (update-mode state). */
   def runningCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {
