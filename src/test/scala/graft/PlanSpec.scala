@@ -82,6 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
+  test("q64: repetition signals aggregate partial+final, one scan, no join") {
+    val p = plan("q64_repetition")
+    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
+    assert(!p.contains("Join"), s"repetition signals should not join:\n$p")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
+      s"repetition signals should scan the corpus once:\n$p")
+  }
+
   test("q20: query side of the similarity scan is broadcast") {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
