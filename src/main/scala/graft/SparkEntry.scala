@@ -755,6 +755,17 @@ object SparkEntry {
           round(col("dup_line_char_frac"), 4).as("dup_line_char_frac"),
           round(col("top_ngram_char_frac"), 4).as("top_ngram_char_frac"),
           round(col("dup_ngram_char_frac"), 4).as("dup_ngram_char_frac"))
+        .orderBy("doc_id")),
+
+    // Token-budget sequence packing: two-phase distributed prefix sum
+    // (range partitions + per-partition totals + seeded second pass),
+    // never a single-partition window. Budget 256 packs a few docs
+    // per batch at this corpus' 10-100 token documents.
+    "q65_seq_packing" -> ((s, d) =>
+      graft.llm.Packing.packSequences(
+        docs(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
+        "doc_id", "n_tok", budget = 256)
         .orderBy("doc_id"))
   )
 
@@ -1217,7 +1228,17 @@ object SparkEntry {
         |  ROUND(CAST(dlc AS DOUBLE) / GREATEST(chars, 1), 4) AS dup_line_char_frac,
         |  ROUND(CAST(topc AS DOUBLE) / GREATEST(chars, 1), 4) AS top_ngram_char_frac,
         |  ROUND(CAST(dgc AS DOUBLE) / GREATEST(chars, 1), 4) AS dup_ngram_char_frac
-        |FROM agg ORDER BY doc_id""".stripMargin
+        |FROM agg ORDER BY doc_id""".stripMargin,
+
+    // The window form IS the packing definition; the engine computes
+    // it as a two-phase scan, but the values must match exactly.
+    "q65_seq_packing" ->
+      """WITH t AS (SELECT doc_id,
+        |  CAST(len(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok FROM documents),
+        |c AS (SELECT doc_id, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
+        |SELECT doc_id, n_tok, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id
+        |FROM c ORDER BY doc_id""".stripMargin
   )
 
   // ------------------------------------------------- generated oracles
