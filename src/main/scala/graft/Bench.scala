@@ -23,11 +23,14 @@ object Bench {
 
     // q37 (LSH-blocked embedding near-dup) and q49 (pair→group
     // connected components) track the LLM-pipeline ops a training
-    // corpus actually runs at scale, alongside the MinHash family (q27)
+    // corpus actually runs at scale, alongside the MinHash family
+    // (q27); q64 (repetition quality signals) tracks the pre-dedup
+    // filter scan, q65 the two-phase prefix-sum packing.
     val headline = Seq(
       "q02_tpch_q1", "q03_wordcount", "q06_join_inner", "q10_total_sort",
       "q14_grep", "q19_dedup_exact", "q20_cosine_topk", "q27_minhash_neardup",
-      "q37_embed_neardup_lsh", "q49_dup_components")
+      "q37_embed_neardup_lsh", "q49_dup_components", "q64_repetition",
+      "q65_seq_packing")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -82,10 +82,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Bucketed: true"), p)
   }
 
-  test("q64: repetition signals aggregate partial+final, one scan, no join") {
+  test("q64: repetition signals are map-only — no exchange, no join, one scan") {
     val p = plan("q64_repetition")
-    assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("Join"), s"repetition signals should not join:\n$p")
+    // the per-document fold must not ship exploded units anywhere:
+    // the only allowed exchange is the final presentation ORDER BY
+    val exchanges = p.linesIterator.count(_.contains("Exchange"))
+    assert(exchanges <= 1, s"expected only the orderBy exchange, got $exchanges:\n$p")
+    assert(!p.contains("Generate"), s"no explode expected in the fold plan:\n$p")
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
       s"repetition signals should scan the corpus once:\n$p")
   }

@@ -41,11 +41,12 @@ class RepetitionSpec extends SparkSpec {
     assert(math.abs(d(r, 5) - 2.4) < 1e-12, "dup_ngram_char_frac")
   }
 
-  test("degenerate docs: single word scores zero, empty text drops out") {
+  test("degenerate docs: single word scores zero, empty text scores zero") {
     val m = sig(3L -> "short", 4L -> "")
     val r = m(3L)
     assert(r.getLong(1) == 1 && (2 to 5).forall(i => d(r, i) == 0.0))
-    assert(!m.contains(4L), "no units -> no output row")
+    val e = m(4L) // map-only: empty docs still get a (zero) row
+    assert(e.getLong(1) == 0 && (2 to 5).forall(i => d(e, i) == 0.0))
   }
 
   test("blank-line and whitespace handling: lines trimmed, empties dropped") {
