@@ -766,7 +766,17 @@ object SparkEntry {
         docs(s, d).select(col("doc_id"),
           graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok")),
         "doc_id", "n_tok", budget = 256)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Token-window chunking (map-only explode): 32-token windows
+    // stepping by 24 (8-token overlap) over ~54-token documents give
+    // 2-3 chunks per doc; the md5 witnesses the exact window text.
+    "q66_chunking" -> ((s, d) =>
+      graft.llm.Chunking.chunkTokens(docs(s, d), "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+        .orderBy("doc_id", "chunk_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1238,7 +1248,20 @@ object SparkEntry {
         |c AS (SELECT doc_id, n_tok,
         |  SUM(n_tok) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING) AS cum FROM t)
         |SELECT doc_id, n_tok, CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id
-        |FROM c ORDER BY doc_id""".stripMargin
+        |FROM c ORDER BY doc_id""".stripMargin,
+
+    // Window starts step by 24; chunk count = ceil((n-8)/24), min 1.
+    // Series bound pattern follows q25 (no correlated series).
+    "q66_chunking" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |n AS (SELECT doc_id, ws, len(ws) AS n FROM tok WHERE len(ws) > 0),
+        |c AS (SELECT doc_id, ws, i AS chunk_id
+        |      FROM n, generate_series(0, 2000) t(i)
+        |      WHERE i < GREATEST((n - 8 + 23) // 24, 1))
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(ws[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_tok,
+        |  MD5(array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_md5
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
   )
 
   // ------------------------------------------------- generated oracles
