@@ -776,7 +776,22 @@ object SparkEntry {
         maxTokens = 32, overlap = 8)
         .select(col("doc_id"), col("chunk_id"), col("n_tok"),
           md5(col("chunk").cast("binary")).as("chunk_md5"))
-        .orderBy("doc_id", "chunk_id"))
+        .orderBy("doc_id", "chunk_id")),
+
+    // PII redaction (map-only regexp scan). The corpus is synthetic
+    // word soup with no PII, so the query plants one deterministic
+    // email/IP/phone per document and verifies the scrub; the oracle
+    // interpolates the SAME pattern constants (RE2-safe by design).
+    "q67_pii_redaction" -> ((s, d) => {
+      val t = concat(col("text"), lit(" user"), col("doc_id").cast("string"),
+        lit("@example.com 10.0."), (col("doc_id") % 256).cast("string"),
+        lit(".7 call +1 555 0199 now"))
+      val r = graft.functions.TextFunctions.redactPii(t)
+      docs(s, d).select(col("doc_id"),
+          md5(r.cast("binary")).as("scrub_md5"),
+          (length(t) - length(r)).cast("long").as("shrink"))
+        .orderBy("doc_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1261,7 +1276,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id,
         |  CAST(len(ws[chunk_id*24+1 : chunk_id*24+32]) AS BIGINT) AS n_tok,
         |  MD5(array_to_string(ws[chunk_id*24+1 : chunk_id*24+32], ' ')) AS chunk_md5
-        |FROM c ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM c ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same planted PII, same regexes (interpolated from the shared
+    // constants), scrubbed with RE2's 'g' flag = Spark's replace-all.
+    "q67_pii_redaction" -> {
+      val e = graft.functions.TextFunctions.emailPattern
+      val ip = graft.functions.TextFunctions.ipv4Pattern
+      val ph = graft.functions.TextFunctions.phonePattern
+      s"""WITH dirty AS (SELECT doc_id,
+         |  text || ' user' || doc_id || '@example.com 10.0.' || (doc_id % 256)
+         |    || '.7 call +1 555 0199 now' AS t FROM documents),
+         |s AS (SELECT doc_id, t, regexp_replace(regexp_replace(regexp_replace(
+         |  t, '$e', '<EMAIL>', 'g'), '$ip', '<IP>', 'g'), '$ph', '<PHONE>', 'g') AS r
+         |  FROM dirty)
+         |SELECT doc_id, MD5(r) AS scrub_md5,
+         |  CAST(length(t) - length(r) AS BIGINT) AS shrink
+         |FROM s ORDER BY doc_id""".stripMargin
+    }
   )
 
   // ------------------------------------------------- generated oracles

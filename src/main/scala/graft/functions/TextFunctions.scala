@@ -83,6 +83,27 @@ object TextFunctions {
   val defaultStopwords: Seq[String] =
     Seq("the", "a", "of", "and", "to", "in", "is", "it", "for", "on")
 
+  /** PII-redaction patterns, shared verbatim with the q67 oracle SQL
+    * so both engines run the SAME regex. Deliberately RE2-safe (no
+    * lookaround, no backrefs — DuckDB is RE2; `\b`/`\d`/`{m,}` agree
+    * between Java regex and RE2 on ASCII). */
+  val emailPattern = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+  val ipv4Pattern = "\\b\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\.\\d{1,3}\\b"
+  val phonePattern = "\\+?\\d[\\d\\- ()]{6,}\\d"
+
+  /** Curation-stage PII scrub: emails, dotted-quad IPs, then
+    * phone-shaped digit runs become placeholder tokens. Order
+    * matters — emails and IPs contain digit runs a later phone pass
+    * would otherwise eat. Map-only, codegen'd `regexp_replace`;
+    * heuristic by design (a redaction pass at 100 TB is a regex
+    * scan, not an NER model) — tune patterns per corpus. */
+  def redactPii(c: Column): Column =
+    regexp_replace(
+      regexp_replace(
+        regexp_replace(c, emailPattern, "<EMAIL>"),
+        ipv4Pattern, "<IP>"),
+      phonePattern, "<PHONE>")
+
   /** Per-language marker words for the n-gram/stopword language-ID
     * heuristic. Deliberately tiny: language ID at 100 TB must stay a
     * codegen'd expression, not a model call. */

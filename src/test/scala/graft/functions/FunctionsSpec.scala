@@ -61,6 +61,21 @@ class TextFunctionsSpec extends SparkSpec {
     assert(out(0) > out(1))
   }
 
+  test("redactPii scrubs emails, IPs and phone runs; leaves clean text alone") {
+    def scrub(s: String): String =
+      Seq(s).toDF("t").select(TextFunctions.redactPii(col("t"))).head.getString(0)
+    assert(scrub("mail bob.smith+x@corp.example.org now")
+      == "mail <EMAIL> now")
+    assert(scrub("host 192.168.0.1 and 10.0.255.7 up") == "host <IP> and <IP> up")
+    assert(scrub("call +1 555 0199 today") == "call <PHONE> today")
+    assert(scrub("a@b.co c@d.io") == "<EMAIL> <EMAIL>")
+    // order matters: the email's digits must not become a <PHONE>
+    assert(scrub("u123456789@ex.com") == "<EMAIL>")
+    assert(scrub("plain words only") == "plain words only")
+    // too-short digit runs are not phones
+    assert(scrub("version 12345 ok") == "version 12345 ok")
+  }
+
   test("bpeTokens splits contractions, digit runs, and punctuation like a BPE pre-tokenizer") {
     val df = Seq("I can't pay 100 dollars!!").toDF("t")
     val toks = df.select(TextFunctions.bpeTokens(col("t")).as("bt"))
