@@ -180,6 +180,26 @@ object Main {
         graft.llm.Dedup.components(spark.read.parquet(in))
           .write.mode("overwrite").parquet(out)
 
+      // quality signals: per-doc repetition stats + scores for filtering
+      case "signals" :: in :: idCol :: textCol :: out :: Nil =>
+        graft.llm.Repetition.signals(spark.read.parquet(in), idCol, textCol)
+          .write.mode("overwrite").parquet(out)
+
+      // token-window chunking: "32+8" = 32-token windows, 8 overlap
+      case "chunk" :: in :: idCol :: textCol :: spec :: out :: Nil =>
+        val (maxTok, overlap) = spec.split('+') match {
+          case Array(m) => (m.toInt, 0)
+          case Array(m, o) => (m.toInt, o.toInt)
+          case _ => sys.error(s"chunk: bad window spec '$spec' (want max or max+overlap)")
+        }
+        graft.llm.Chunking.chunkTokens(spark.read.parquet(in), idCol, textCol, maxTok, overlap)
+          .write.mode("overwrite").parquet(out)
+
+      // token-budget packing: append pack_id walking idCol order
+      case "pack" :: in :: idCol :: tokCol :: budget :: out :: Nil =>
+        graft.llm.Packing.packSequences(spark.read.parquet(in), idCol, tokCol, budget.toLong)
+          .write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows
@@ -219,6 +239,9 @@ object Main {
         |  kvtext <in.text> <out>
         |  dedup <in.parquet> <textCol> <idCol> <threshold> <out>
         |  resolve <pairs.parquet> <out>   (id1,id2 pairs -> id,comp_id groups)
+        |  signals <in.parquet> <idCol> <textCol> <out>   (repetition quality stats)
+        |  chunk <in.parquet> <idCol> <textCol> <max[+overlap]> <out>
+        |  pack <in.parquet> <idCol> <tokCol> <budget> <out>
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

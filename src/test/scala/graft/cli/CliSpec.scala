@@ -43,6 +43,25 @@ class CliSpec extends SparkSpec {
     assert(got == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 7L -> 7L, 9L -> 7L), got)
   }
 
+  test("signals, chunk and pack verbs compose into the curation walk") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("signals", s"$sf/documents.parquet", "doc_id", "text", s"$tmp/sig")
+    val sig = spark.read.parquet(s"$tmp/sig")
+    assert(sig.columns.contains("dup_ngram_char_frac") && sig.count() > 0)
+    runVerb("chunk", s"$sf/documents.parquet", "doc_id", "text", "32+8", s"$tmp/chunks")
+    val chunks = spark.read.parquet(s"$tmp/chunks")
+    assert(chunks.count() > sig.count(), "expected multiple chunks per doc")
+    assert(chunks.agg(org.apache.spark.sql.functions.max(col("n_tok"))).head.getLong(0) <= 32)
+    // pack a token table on its unique key (packSequences' contract)
+    spark.range(100).select(col("id"), (col("id") % 17 + 1).as("n_tok"))
+      .write.parquet(s"$tmp/toks")
+    runVerb("pack", s"$tmp/toks", "id", "n_tok", "64", s"$tmp/packed")
+    val packed = spark.read.parquet(s"$tmp/packed")
+    assert(packed.count() == 100)
+    assert(packed.agg(org.apache.spark.sql.functions.max(col("pack_id"))).head.getLong(0) > 0)
+  }
+
   test("stream-window verb runs the streaming pipeline to completion") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     graft.core.Tables.events(spark, sf).write.parquet(s"$tmp/in")
