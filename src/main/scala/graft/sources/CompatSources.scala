@@ -302,6 +302,44 @@ object CompatSources {
     }
   }
 
+  /** Typed write twin of [[sequenceFileAuto]]: the first two columns
+    * become key/value with their NATIVE Writable classes (Int →
+    * IntWritable, Long → LongWritable, Float/Double/Boolean/Binary/
+    * String likewise — the inverse of `writableTypes`), declared in
+    * the file header, so a legacy consumer reading with e.g.
+    * `IntWritable` keys (the default WordCount output shape) accepts
+    * the file as-is; [[sequenceFileWrite]]'s Text/Text cast would make
+    * it throw a class mismatch. Null cells fail LOUDLY — numeric
+    * Writables have no null notion, and silently writing zeros would
+    * corrupt the data. */
+  def sequenceFileTypedWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    import org.apache.spark.sql.types._
+    def writableFor(dt: DataType, colName: String): (Class[_ <: Writable], Any => Writable) =
+      dt match {
+        case StringType => (classOf[Text], v => new Text(v.asInstanceOf[String]))
+        case IntegerType => (classOf[IntWritable], v => new IntWritable(v.asInstanceOf[Int]))
+        case LongType => (classOf[LongWritable], v => new LongWritable(v.asInstanceOf[Long]))
+        case FloatType => (classOf[FloatWritable], v => new FloatWritable(v.asInstanceOf[Float]))
+        case DoubleType => (classOf[DoubleWritable], v => new DoubleWritable(v.asInstanceOf[Double]))
+        case BooleanType => (classOf[BooleanWritable], v => new BooleanWritable(v.asInstanceOf[Boolean]))
+        case BinaryType => (classOf[BytesWritable], v => new BytesWritable(v.asInstanceOf[Array[Byte]]))
+        case other => throw new IllegalArgumentException(
+          s"sequenceFileTypedWrite: column '$colName' has no Writable mapping for $other")
+      }
+    val Seq(kf, vf) = df.schema.fields.take(2).toSeq
+    val (kCls, mkK) = writableFor(kf.dataType, kf.name)
+    val (vCls, mkV) = writableFor(vf.dataType, vf.name)
+    val (kName, vName) = (kf.name, vf.name)
+    df.select(col(kName), col(vName)).rdd.map { r =>
+      if (r.isNullAt(0) || r.isNullAt(1))
+        sys.error(s"sequenceFileTypedWrite: null in '$kName'/'$vName' - " +
+          "Writables cannot represent null; filter or fill first")
+      (mkK(r.get(0)), mkV(r.get(1)))
+    }.saveAsHadoopFile(path, kCls, vCls,
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
   /** SequenceFileAsBinaryOutputFormat sink (.../lib/output/
     * SequenceFileAsBinaryOutputFormat.java:39): first two binary
     * columns written as raw BytesWritable key/value — the write twin of

@@ -59,6 +59,41 @@ class CompatSourcesSpec extends SparkSpec {
     assert(df.as[(Int, String)].collect().toSet == (1 to 20).map(i => (i, s"v$i")).toSet)
   }
 
+  test("sequenceFileTypedWrite declares native Writable classes in the header") {
+    val dir = tmpDir()
+    // Int keys, Double values — the shape sequenceFileWrite's
+    // Text/Text cast can NOT produce for a typed legacy consumer
+    val df = Seq((7, 0.5), (8, 1.25), (9, -3.0)).toDF("k", "v")
+    CompatSources.sequenceFileTypedWrite(df, s"$dir/typed_out")
+    val part = new java.io.File(s"$dir/typed_out").listFiles()
+      .filter(_.getName.startsWith("part-")).head.getPath
+    assert(CompatSources.sequenceFileClasses(spark, part) ==
+      ("org.apache.hadoop.io.IntWritable", "org.apache.hadoop.io.DoubleWritable"))
+    // a legacy Hadoop-API reader with typed Writables accepts the file
+    import org.apache.hadoop.io.{DoubleWritable, IntWritable, SequenceFile}
+    val r = new SequenceFile.Reader(spark.sparkContext.hadoopConfiguration,
+      SequenceFile.Reader.file(new org.apache.hadoop.fs.Path(part)))
+    val seen = scala.collection.mutable.Set.empty[(Int, Double)]
+    try {
+      val k = new IntWritable(); val v = new DoubleWritable()
+      while (r.next(k, v)) seen += ((k.get, v.get))
+    } finally r.close()
+    assert(seen.nonEmpty && seen.subsetOf(Set((7, 0.5), (8, 1.25), (9, -3.0))))
+    // and the auto reader round-trips the full set with types intact
+    val back = CompatSources.sequenceFileAuto(spark, s"$dir/typed_out")
+    assert(back.schema.map(_.dataType) ==
+      Seq(org.apache.spark.sql.types.IntegerType, org.apache.spark.sql.types.DoubleType))
+    assert(back.as[(Int, Double)].collect().toSet == Set((7, 0.5), (8, 1.25), (9, -3.0)))
+    // nulls fail loudly instead of writing zeros
+    val withNull = Seq((Some(1), "a"), (None, "b"))
+      .toDF("k", "v").selectExpr("cast(k as int) k", "v")
+    val err = intercept[org.apache.spark.SparkException] {
+      CompatSources.sequenceFileTypedWrite(withNull, s"$dir/null_out")
+    }
+    assert(err.getMessage.contains("null") ||
+      Option(err.getCause).exists(_.getMessage.contains("null")))
+  }
+
   test("sequenceFileAuto: Long/Double pairs, NullWritable key drops its column") {
     import org.apache.hadoop.io.{DoubleWritable, LongWritable, NullWritable, SequenceFile}
     val dir = tmpDir()
