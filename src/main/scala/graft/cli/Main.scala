@@ -113,13 +113,14 @@ object Main {
       // (TOOLS/hadoop-distcp/.../SimpleCopyListing.java, CopyMapper.java,
       // DistCpSync.java, util/ThrottledInputStream.java).
       case "copy" :: tail =>
-        var (update, diff, bw, crc) = (false, false, 0.0, false)
+        var (update, diff, bw, crc, pres) = (false, false, 0.0, false, false)
         val paths = scala.collection.mutable.ListBuffer.empty[String]
         var restArgs = tail
         while (restArgs.nonEmpty) restArgs = restArgs match {
           case "-update" :: t => update = true; t
           case "-diff" :: t => diff = true; t
           case "-bandwidth" :: v :: t => bw = v.toDouble; t
+          case "-p" :: t => pres = true; t
           // content-verify size-matched files on -update (the
           // reference's CRC check; off by default here because it
           // reads every matched pair on stores without native sums)
@@ -139,7 +140,7 @@ object Main {
               s"deleted ${r.deleted}, skipped ${r.skipped}")
           case src :: dst :: Nil =>
             val r = graft.ops.DistCp.copy(spark, src, dst,
-              update = update, bandwidthMB = bw, checksum = crc)
+              update = update, bandwidthMB = bw, checksum = crc, preserve = pres)
             println(s"copied ${r.copied} files (${r.bytes} bytes), skipped ${r.skipped}: $src -> $dst")
           case _ => usage()
         }
@@ -232,7 +233,7 @@ object Main {
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  archive <src-tree> <dst.har>
-        |  copy [-update] [-checksum] [-diff] [-bandwidth <MB/s>] <src-tree> <dst>
+        |  copy [-update] [-checksum] [-diff] [-p] [-bandwidth <MB/s>] <src-tree> <dst>
         |  chmod <mode> <tree>
         |  split <in.parquet> <idCol> name=w,name=w,... <out>
         |  rewrite <src.parquet> <dst>

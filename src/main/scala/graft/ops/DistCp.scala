@@ -84,13 +84,21 @@ object DistCp {
     * @param bandwidthMB  `-bandwidth`: per-task read-rate cap in MB/s
     *                (0 = unthrottled). Cluster-wide ceiling = cap ×
     *                concurrent tasks, the reference's per-map contract.
+    * @param preserve  `-p`: after each copy, stamp the destination
+    *                file with the source's permissions and
+    *                modification time (the reference's
+    *                `-ppt` attribute set; ownership needs a
+    *                privileged destination FS and is left to
+    *                [[DistCh]]). One extra source stat + two
+    *                destination RPCs per file, inside the copy task.
     */
   def copy(spark: SparkSession, src: String, dst: String,
            update: Boolean = false, tasksHint: Int = 0,
            distributedListing: Boolean = false,
-           bandwidthMB: Double = 0, checksum: Boolean = false): CopyResult =
-    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint, bandwidthMB, checksum)
-    else copyDriver(spark, src, dst, update, tasksHint, bandwidthMB, checksum)
+           bandwidthMB: Double = 0, checksum: Boolean = false,
+           preserve: Boolean = false): CopyResult =
+    if (distributedListing) copyDistributed(spark, src, dst, update, tasksHint, bandwidthMB, checksum, preserve)
+    else copyDriver(spark, src, dst, update, tasksHint, bandwidthMB, checksum, preserve)
 
   /** Content summary of one file for the `-update` checksum compare:
     * the filesystem's native checksum (algorithm-tagged, e.g. HDFS's
@@ -130,7 +138,8 @@ object DistCp {
 
   private def copyDriver(spark: SparkSession, src: String, dst: String,
                          update: Boolean, tasksHint: Int,
-                         bandwidthMB: Double, checksum: Boolean): CopyResult = {
+                         bandwidthMB: Double, checksum: Boolean,
+                         preserve: Boolean): CopyResult = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
@@ -182,7 +191,8 @@ object DistCp {
     dstFs.mkdirs(dstPath)
     dirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
 
-    runCopies(spark, conf, srcRootStr, dstPath.toString, toCopy, tasksHint, bandwidthMB)
+    runCopies(spark, conf, srcRootStr, dstPath.toString, toCopy, tasksHint,
+      bandwidthMB, preserve)
     CopyResult(toCopy.size.toLong, skipped.toLong, toCopy.map(_.len).sum)
   }
 
@@ -193,7 +203,7 @@ object DistCp {
   private def runCopies(spark: SparkSession, conf: Configuration,
                         srcRootStr: String, dstStr: String,
                         toCopy: Seq[Entry], tasksHint: Int,
-                        bandwidthMB: Double): Unit = {
+                        bandwidthMB: Double, preserve: Boolean = false): Unit = {
     if (toCopy.isEmpty) return
     val slots = spark.sparkContext.defaultParallelism
     val parts = math.max(1, math.min(if (tasksHint > 0) tasksHint else slots, toCopy.size))
@@ -207,14 +217,15 @@ object DistCp {
       .partitionBy(new org.apache.spark.HashPartitioner(parts))
       .mapPartitions { it =>
         val c = FsTrees.readConf(confBytes)
-        it.map { case (_, e) => copyOne(c, srcRootStr, dstStr, e.rel, bps); e.len }
+        it.map { case (_, e) => copyOne(c, srcRootStr, dstStr, e.rel, bps, preserve); e.len }
       }.count() // materialize the copies
   }
 
   /** One file: stream through a temp name + atomic rename (CopyMapper's
     * .distcp.tmp idiom — readers never see partial files). */
   private def copyOne(c: Configuration, srcRootStr: String, dstStr: String,
-                      rel: String, maxBytesPerSec: Long = 0): Unit = {
+                      rel: String, maxBytesPerSec: Long = 0,
+                      preserve: Boolean = false): Unit = {
     val from = new Path(srcRootStr, rel)
     val to = new Path(dstStr, rel)
     val fsIn = from.getFileSystem(c); val fsOut = to.getFileSystem(c)
@@ -228,6 +239,13 @@ object DistCp {
     } finally in.close()
     fsOut.delete(to, false)
     if (!fsOut.rename(tmp, to)) sys.error(s"rename failed: $tmp -> $to")
+    if (preserve) {
+      // -p: stamp source perms + mtime AFTER the rename (stamping the
+      // tmp file would lose the mtime to the rename on some stores)
+      val st = fsIn.getFileStatus(from)
+      fsOut.setPermission(to, st.getPermission)
+      fsOut.setTimes(to, st.getModificationTime, -1)
+    }
   }
 
   /** `-diff`-style incremental replication — the capability of
@@ -302,7 +320,8 @@ object DistCp {
     * any copy; dirs ≪ files). */
   private def copyDistributed(spark: SparkSession, src: String, dst: String,
                               update: Boolean, tasksHint: Int,
-                              bandwidthMB: Double, checksum: Boolean): CopyResult = {
+                              bandwidthMB: Double, checksum: Boolean,
+                              preserve: Boolean): CopyResult = {
     import spark.implicits._
     import org.apache.spark.sql.functions._
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
@@ -381,7 +400,7 @@ object DistCp {
       bytes = slotted.select("rel", "len").as[(String, Long)].rdd
         .mapPartitions { it =>
           val c = FsTrees.readConf(confBytes)
-          it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel, bps); len }
+          it.map { case (rel, len) => copyOne(c, srcRootStr, dstStr, rel, bps, preserve); len }
         }.sum().toLong
     }
     toCopy.unpersist(); srcAll.unpersist(); dstAll.foreach(_.unpersist())

@@ -104,6 +104,31 @@ class DistCpSpec extends SparkSpec {
     }
   }
 
+  test("-p preserves source permissions and modification times") {
+    import java.nio.file.attribute.PosixFilePermissions
+    val src = mkTree()
+    // give one file distinctive perms and an old mtime
+    val target = Paths.get(s"$src/a/mid.csv")
+    java.nio.file.Files.setPosixFilePermissions(target,
+      PosixFilePermissions.fromString("rw-------"))
+    val oldMtime = java.nio.file.attribute.FileTime.fromMillis(1500000000000L)
+    java.nio.file.Files.setLastModifiedTime(target, oldMtime)
+
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    assert(DistCp.copy(spark, src, dst, preserve = true).copied == 4)
+    val copied = Paths.get(s"$dst/a/mid.csv")
+    assert(java.nio.file.Files.getPosixFilePermissions(copied) ==
+      PosixFilePermissions.fromString("rw-------"),
+      "permissions not preserved")
+    assert(java.nio.file.Files.getLastModifiedTime(copied).toMillis == 1500000000000L,
+      "mtime not preserved")
+    // without -p the copy gets fresh metadata (mtime ~now)
+    val dst2 = Files.createTempDirectory("distcp-dst").toString + "/plain"
+    DistCp.copy(spark, src, dst2)
+    assert(java.nio.file.Files.getLastModifiedTime(
+      Paths.get(s"$dst2/a/mid.csv")).toMillis > 1600000000000L)
+  }
+
   test("-diff sync deletes a removed subtree deepest-first") {
     val src = mkTree()
     val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
