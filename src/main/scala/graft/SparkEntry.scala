@@ -791,6 +791,33 @@ object SparkEntry {
           md5(r.cast("binary")).as("scrub_md5"),
           (length(t) - length(r)).cast("long").as("shrink"))
         .orderBy("doc_id")
+    }),
+
+    // Curation pipeline v2 — the chunk/pack generation of q50: an
+    // integer-exact repetition gate (raw counts, no double rounding),
+    // canonical-dup keep, token-window chunking, and budget packing,
+    // composed as one verified walk. Every stage is individually
+    // oracled (q64/q19/q66/q65); this pins their composition.
+    "q68_curation_v2" -> ((s, d) => {
+      val base = docs(s, d)
+      val stats = graft.llm.Repetition.stats(base, "doc_id", "text")
+        .select(col("doc_id"), col("chars"), col("dup_gram_chars"))
+      val kept = base.join(stats, Seq("doc_id"))
+        .where(col("dup_gram_chars") * 10 < col("chars") * 3 &&
+          graft.functions.TextFunctions.tokenCount(col("text")) >= 20)
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(md5(col("text").cast("binary")))
+      val canon = kept
+        .withColumn("__keep", col("doc_id") === min("doc_id").over(w))
+        .where(col("__keep")).select("doc_id", "text")
+      val chunks = graft.llm.Chunking.chunkTokens(canon, "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+      // chunk_id < 64 at any document length this corpus can reach,
+      // so the combined key keeps (doc, chunk) order globally
+      val seqd = chunks.withColumn("seq", col("doc_id") * 64 + col("chunk_id"))
+      graft.llm.Packing.packSequences(seqd, "seq", "n_tok", budget = 256)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("pack_id"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -1293,7 +1320,37 @@ object SparkEntry {
          |SELECT doc_id, MD5(r) AS scrub_md5,
          |  CAST(length(t) - length(r) AS BIGINT) AS shrink
          |FROM s ORDER BY doc_id""".stripMargin
-    }
+    },
+
+    // The composition oracle re-derives every stage: dup-5-gram
+    // counting (q64 shape), the integer gate, window keep-min (q50
+    // shape), chunk windows (q66 shape) and the running-sum pack
+    // stripe (q65 shape) over the combined (doc, chunk) key.
+    "q68_curation_v2" ->
+      """WITH tok AS (SELECT doc_id, text, CAST(length(text) AS BIGINT) AS chars,
+        |  STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g5 AS (SELECT doc_id,
+        |  ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] || ' ' || ws[i+3] || ' ' || ws[i+4] AS u
+        |  FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 4),
+        |gc AS (SELECT doc_id, CAST(SUM(CASE WHEN c > 1 THEN c * ulen ELSE 0 END) AS BIGINT) AS dgc
+        |  FROM (SELECT doc_id, u, COUNT(*) AS c, length(u) AS ulen FROM g5 GROUP BY 1, 2)
+        |  GROUP BY 1),
+        |kept AS (SELECT t.doc_id, t.text, t.ws FROM tok t
+        |  LEFT JOIN gc ON gc.doc_id = t.doc_id
+        |  WHERE COALESCE(gc.dgc, 0) * 10 < t.chars * 3 AND len(t.ws) >= 20),
+        |canon AS (SELECT doc_id, ws FROM (
+        |  SELECT doc_id, ws, doc_id = MIN(doc_id) OVER (PARTITION BY MD5(text)) AS keep
+        |  FROM kept) WHERE keep),
+        |chunks AS (SELECT doc_id, i AS chunk_id,
+        |  CAST(len(ws[i*24+1 : i*24+32]) AS BIGINT) AS n_tok
+        |  FROM canon, generate_series(0, 2000) t(i)
+        |  WHERE i < GREATEST((len(ws) - 8 + 23) // 24, 1)),
+        |packed AS (SELECT doc_id, chunk_id, n_tok,
+        |  SUM(n_tok) OVER (ORDER BY doc_id * 64 + chunk_id ROWS UNBOUNDED PRECEDING) AS cum
+        |  FROM chunks)
+        |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tok,
+        |  CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id
+        |FROM packed ORDER BY doc_id, chunk_id""".stripMargin
   )
 
   // ------------------------------------------------- generated oracles

@@ -40,6 +40,26 @@ import org.apache.spark.sql.graft.ColumnBridge
   */
 object Repetition {
 
+  /** Raw integer counts behind [[signals]] — `idCol, chars, n_lines,
+    * distinct_lines, dup_line_chars, top_gram_cover, dup_gram_chars`.
+    * Use THIS tier for filter gates that must reproduce bit-for-bit
+    * across engines (integer comparisons like
+    * `dup_gram_chars * 10 < chars * 3` never hit double rounding —
+    * the q50 lesson). */
+  def stats(df: DataFrame, idCol: String, textCol: String,
+            topN: Int = 2, dupN: Int = 5): DataFrame = {
+    require(topN >= 1 && dupN >= 1, s"n-gram sizes must be >= 1: $topN, $dupN")
+    val text = col(textCol)
+    val st = ColumnBridge.column(graft.functions.RepetitionStats(
+      ColumnBridge.expression(text), topN, dupN))
+    df.select(col(idCol), length(text).cast("long").as("chars"), st.as("__st"))
+      .select(col(idCol), col("chars"), col("__st.n_lines").as("n_lines"),
+        col("__st.distinct_lines").as("distinct_lines"),
+        col("__st.dup_line_chars").as("dup_line_chars"),
+        col("__st.top_gram_cover").as("top_gram_cover"),
+        col("__st.dup_gram_chars").as("dup_gram_chars"))
+  }
+
   /** Per-document repetition signals for `df(textCol)`, keyed by
     * `idCol`. Returns `idCol, n_lines, dup_line_frac,
     * dup_line_char_frac, top_ngram_char_frac, dup_ngram_char_frac`
