@@ -57,10 +57,25 @@ object Packing {
       t
     }
 
-    // pass 1: per-partition token totals (partition count rows)
+    // pass 1: per-partition token totals (partition count rows).
+    // Duplicate order keys would make pack boundaries depend on tie
+    // placement — range partitioning puts equal keys in ONE partition
+    // and the sort makes them adjacent, so this pass can check
+    // uniqueness completely for free.
+    val keyAt = arranged.schema.fieldIndex(orderCol)
     val partSums = arranged.rdd.mapPartitionsWithIndex { (pid, it) =>
       var s = 0L
-      it.foreach(s += tokOf(_))
+      var prev: Any = null
+      it.foreach { r =>
+        if (r.isNullAt(keyAt))
+          sys.error(s"packSequences: null $orderCol value - the walk needs a total order")
+        val k = r.get(keyAt)
+        if (prev != null && prev == k)
+          sys.error(s"packSequences: duplicate $orderCol value '$k' - " +
+            "the walk order would be nondeterministic; use a unique key")
+        prev = k
+        s += tokOf(r)
+      }
       Iterator.single(pid -> s)
     }.collect().toMap
 

@@ -43,6 +43,15 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("duplicate order keys fail loudly instead of packing nondeterministically") {
+    val df = Seq((1L, 4L), (1L, 5L), (2L, 6L)).toDF("id", "n_tok")
+    val err = intercept[org.apache.spark.SparkException] {
+      Packing.packSequences(df, "id", "n_tok", budget = 10, numPartitions = 2)
+    }
+    assert(err.getMessage.contains("duplicate")
+      || Option(err.getCause).exists(_.getMessage.contains("duplicate")))
+  }
+
   test("int token columns work; negative counts fail loudly") {
     val ok = Packing.packSequences(
       Seq((1L, 5), (2L, 6)).toDF("id", "n_tok"), "id", "n_tok", budget = 8)
