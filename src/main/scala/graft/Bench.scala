@@ -83,7 +83,20 @@ object Bench {
       "terasort_1m" -> (try Seq.fill(2)(graft.jobs.TeraSort.run(spark, 1000000L)).min
                         catch { case _: Throwable => -1.0 }),
       "terasort_10m" -> (try Seq.fill(2)(graft.jobs.TeraSort.run(spark, 10000000L)).min
-                         catch { case _: Throwable => -1.0 }))
+                         catch { case _: Throwable => -1.0 }),
+      // MRBench equivalent (…/mapred/MRBench.java:40): the SAME
+      // minimal job run 50 times back to back — the framework's
+      // per-job overhead metric. The reference pays JVM spin-up + AM
+      // scheduling per run (tens of seconds each on a real cluster);
+      // here the plan is reused and each run is one scheduled,
+      // executed, collected Spark job.
+      "mrbench_50" -> (try {
+        val job = spark.range(100).selectExpr("sum(id)")
+        job.collect() // plan + codegen once, outside the timed runs
+        val t0 = System.nanoTime()
+        (1 to 50).foreach(_ => job.collect())
+        (System.nanoTime() - t0) / 1e9
+      } catch { case _: Throwable => -1.0 }))
 
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
