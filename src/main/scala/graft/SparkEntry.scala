@@ -20,10 +20,12 @@ object SparkEntry {
 
   /** Run-scoped scratch root for the round-trip queries (q44, q45,
     * q48, q51, q52, q57, q58, q59, q61): ONE temp tree per JVM, one
-    * REUSED subdir per query (every write below is mode=overwrite), and
-    * a shutdown hook that deletes the whole tree — so repeated
-    * bench/verify iterations in one process don't leak a fresh
-    * temp-dir full of table copies per invocation. */
+    * subdir per query WIPED on every request — not all writers below
+    * have an overwrite mode (q45's saveAsSequenceFile and q61's HAR
+    * publish both fail on an existing destination), so a clean slate
+    * per invocation is what makes reruns safe — and a shutdown hook
+    * deletes the whole tree, so repeated bench/verify iterations in
+    * one process don't leak a fresh temp-dir per invocation. */
   private lazy val scratchRoot: java.nio.file.Path = {
     val p = java.nio.file.Files.createTempDirectory("graft-scratch")
     sys.addShutdownHook {
@@ -35,8 +37,19 @@ object SparkEntry {
     p
   }
 
-  private def scratch(name: String): String = {
+  /** `wipe = false` is for q58 only: embedded Derby keeps booted
+    * databases registered by path for the JVM's life, so deleting its
+    * files between invocations would corrupt the still-booted engine —
+    * and its writer already runs SaveMode.Overwrite against the reused
+    * database. */
+  private def scratch(name: String, wipe: Boolean = true): String = {
     val d = scratchRoot.resolve(name)
+    if (wipe) {
+      def del(f: java.io.File): Unit = {
+        Option(f.listFiles).foreach(_.foreach(del)); f.delete(); ()
+      }
+      del(d.toFile) // clean slate per invocation (see scratchRoot note)
+    }
     java.nio.file.Files.createDirectories(d)
     d.toString
   }
@@ -540,7 +553,7 @@ object SparkEntry {
     // points this harness at a network JDBC URL, which is the only
     // line that changes.
     "q58_jdbc_roundtrip" -> ((s, d) => {
-      val url = s"jdbc:derby:${scratch("q58")}/db;create=true"
+      val url = s"jdbc:derby:${scratch("q58", wipe = false)}/db;create=true"
       graft.sources.Jdbc.write(nat(s, d),
         url, "nation_rt", org.apache.spark.sql.SaveMode.Overwrite)
       graft.sources.Jdbc.readPartitioned(s, url, "nation_rt", "n_nationkey", 4)

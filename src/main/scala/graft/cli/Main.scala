@@ -135,7 +135,11 @@ object Main {
         }
         paths.toList match {
           case src :: dst :: Nil if diff =>
-            val r = graft.ops.DistCp.sync(spark, src, dst, bandwidthMB = bw)
+            // -diff subsumes -update; -checksum and -p apply to the
+            // sync exactly as they do to copy (no silently dropped
+            // flags — the LOUD-flags contract above)
+            val r = graft.ops.DistCp.sync(spark, src, dst, bandwidthMB = bw,
+              checksum = crc, preserve = pres)
             println(s"synced $src -> $dst: copied ${r.copied} (${r.bytes} bytes), " +
               s"deleted ${r.deleted}, skipped ${r.skipped}")
           case src :: dst :: Nil =>

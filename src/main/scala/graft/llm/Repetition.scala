@@ -65,21 +65,15 @@ object Repetition {
     * dup_line_char_frac, top_ngram_char_frac, dup_ngram_char_frac`
     * (raw doubles — callers round for display/compare). */
   def signals(df: DataFrame, idCol: String, textCol: String,
-              topN: Int = 2, dupN: Int = 5): DataFrame = {
-    require(topN >= 1 && dupN >= 1, s"n-gram sizes must be >= 1: $topN, $dupN")
-    val text = col(textCol)
-    val stats = ColumnBridge.column(graft.functions.RepetitionStats(
-      ColumnBridge.expression(text), topN, dupN))
-    df.select(col(idCol), length(text).cast("long").as("__chars"),
-        stats.as("__st"))
-      .select(col(idCol), col("__st.n_lines").as("n_lines"),
-        ((col("__st.n_lines") - col("__st.distinct_lines")).cast("double") /
-          greatest(col("__st.n_lines"), lit(1L))).as("dup_line_frac"),
-        (col("__st.dup_line_chars").cast("double") /
-          greatest(col("__chars"), lit(1L))).as("dup_line_char_frac"),
-        (col("__st.top_gram_cover").cast("double") /
-          greatest(col("__chars"), lit(1L))).as("top_ngram_char_frac"),
-        (col("__st.dup_gram_chars").cast("double") /
-          greatest(col("__chars"), lit(1L))).as("dup_ngram_char_frac"))
-  }
+              topN: Int = 2, dupN: Int = 5): DataFrame =
+    stats(df, idCol, textCol, topN, dupN)
+      .select(col(idCol), col("n_lines"),
+        ((col("n_lines") - col("distinct_lines")).cast("double") /
+          greatest(col("n_lines"), lit(1L))).as("dup_line_frac"),
+        (col("dup_line_chars").cast("double") /
+          greatest(col("chars"), lit(1L))).as("dup_line_char_frac"),
+        (col("top_gram_cover").cast("double") /
+          greatest(col("chars"), lit(1L))).as("top_ngram_char_frac"),
+        (col("dup_gram_chars").cast("double") /
+          greatest(col("chars"), lit(1L))).as("dup_ngram_char_frac"))
 }

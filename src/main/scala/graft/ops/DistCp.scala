@@ -259,14 +259,20 @@ object DistCp {
     * the unchanged bulk (the point of `-diff` over plain `-update`:
     * deletions propagate too).
     *
-    * Change detection is size + newer-mtime (the object-store posture;
-    * the reference's HDFS checksum comparison has no local analogue —
-    * a same-size, same-age rewrite is indistinguishable, as with
-    * `-update` on stores without checksums). Deletes run deepest-first
-    * so directories empty out before their own removal.
+    * Change detection is size + newer-mtime. WITHOUT `preserve`, the
+    * destination's mtime is the COPY time, so "newer" means "modified
+    * after the last sync" — a same-size replacement whose preserved
+    * mtime predates the last sync is missed. WITH `preserve`, copies
+    * carry the source mtime, the comparison becomes src-vs-prior-src,
+    * and only a same-size same-mtime rewrite remains invisible; the
+    * `checksum` option closes that last gap by content-comparing every
+    * size-matched skip candidate (same contract and read cost as
+    * [[copy]]'s checksum flag). Deletes run deepest-first so
+    * directories empty out before their own removal.
     */
   def sync(spark: SparkSession, src: String, dst: String,
-           tasksHint: Int = 0, bandwidthMB: Double = 0): SyncResult = {
+           tasksHint: Int = 0, bandwidthMB: Double = 0,
+           checksum: Boolean = false, preserve: Boolean = false): SyncResult = {
     val conf = new Configuration(spark.sparkContext.hadoopConfiguration)
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
@@ -290,11 +296,29 @@ object DistCp {
       .filter(_._1.nonEmpty).toMap
 
     // copy set: new files, size changes, or src newer than the copy
-    val toCopy = srcFiles.toSeq.collect {
-      case (r, (len, mtime)) if dstByRel.get(r).forall(st =>
-        !st.isFile || st.getLen != len || mtime > st.getModificationTime) =>
-        Entry(r, len)
+    val (changedByMeta, skipCandidates) = srcFiles.toSeq.partition {
+      case (r, (len, mtime)) => dstByRel.get(r).forall(st =>
+        !st.isFile || st.getLen != len || mtime > st.getModificationTime)
     }
+    // -checksum: content-compare the metadata-identical candidates in
+    // parallel tasks, exactly like copy's checksum path
+    val changedByContent: Seq[Entry] =
+      if (!checksum || skipCandidates.isEmpty) Seq.empty
+      else {
+        val confBytes = FsTrees.shipConf(conf)
+        val srcRootStr = rootForRel.toString
+        val dstStr = dstPath.toString
+        val cand = skipCandidates.map { case (r, (len, _)) => Entry(r, len) }
+        val parts = math.max(1, math.min(
+          spark.sparkContext.defaultParallelism, cand.size))
+        spark.sparkContext.parallelize(cand, parts).mapPartitions { it =>
+          val c = FsTrees.readConf(confBytes)
+          it.filter(e =>
+            sumsDiffer(c, new Path(srcRootStr, e.rel), new Path(dstStr, e.rel)))
+        }.collect().toSeq
+      }
+    val toCopy = changedByMeta.map { case (r, (len, _)) => Entry(r, len) } ++
+      changedByContent
     // delete set: anything under dst with no src counterpart; children
     // sort after parents lexicographically, so reverse order empties
     // directories before removing them
@@ -305,7 +329,7 @@ object DistCp {
     dstFs.mkdirs(dstPath)
     srcDirs.foreach(d => dstFs.mkdirs(new Path(dstPath, d)))
     runCopies(spark, conf, rootForRel.toString, dstPath.toString, toCopy,
-      tasksHint, bandwidthMB)
+      tasksHint, bandwidthMB, preserve)
     SyncResult(toCopy.size.toLong, toDelete.size.toLong,
       (srcFiles.size - toCopy.size).toLong, toCopy.map(_.len).sum)
   }

@@ -376,10 +376,17 @@ object CompatSources {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(path), spark.sparkContext.hadoopConfiguration)
     val p = new org.apache.hadoop.fs.Path(path)
-    val st = fs.getFileStatus(p)
-    val files = if (st.isDirectory)
-      fs.listStatus(p).filter(_.isFile).filterNot(_.getPath.getName.startsWith("_")).toSeq
-    else Seq(st)
+    // match what spark.read.text(path) will actually read: expand
+    // globs (globStatus; getFileStatus throws on a glob literal) and
+    // recurse into directories, skipping _SUCCESS/_metadata siblings
+    def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
+      if (st.isFile) Seq(st)
+      else fs.listStatus(st.getPath).toSeq
+        .filterNot(_.getPath.getName.startsWith("_")).flatMap(leaves)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(s"textNLines: no input matches $path")
+    val files = matched.flatMap(leaves)
     val totalBytes = files.map(_.getLen).sum
     val avgLine = files.find(_.getLen > 0).fold(80.0) { s =>
       val want = math.min(s.getLen, 1L << 16).toInt

@@ -28,4 +28,13 @@ class QueriesSpec extends SparkSpec {
       assert(n > 0, s"$name produced no rows")
     }
   }
+
+  test("scratch-backed round-trip queries rerun in one JVM") {
+    // q45's saveAsSequenceFile and q61's HAR publish have no overwrite
+    // mode — a rerun only works because scratch() wipes per invocation;
+    // q58 must NOT be wiped (Derby keeps booted dbs registered by path)
+    for (q <- Seq("q45_seqfile_roundtrip", "q61_har_roundtrip", "q58_jdbc_roundtrip")) {
+      assert(SparkEntry.queries(q)(spark, sf).count() > 0, s"$q rerun failed")
+    }
+  }
 }

@@ -129,6 +129,30 @@ class DistCpSpec extends SparkSpec {
       Paths.get(s"$dst2/a/mid.csv")).toMillis > 1600000000000L)
   }
 
+  test("-diff -checksum catches a same-size rewrite with a non-newer mtime") {
+    val src = mkTree()
+    val dst = Files.createTempDirectory("distcp-dst").toString + "/out"
+    assert(DistCp.copy(spark, src, dst).copied == 4)
+    // same-size rewrite whose mtime PREDATES the copy (mv/tar -p shape)
+    val target = Paths.get(s"$src/a/mid.csv")
+    Files.writeString(target, "9,9,9\n8,8,8\n")
+    Files.setLastModifiedTime(target,
+      java.nio.file.attribute.FileTime.fromMillis(1500000000000L))
+    // metadata-only sync misses it (documented)
+    val r1 = DistCp.sync(spark, src, dst)
+    assert(r1.copied == 0 && r1.skipped == 4, r1)
+    // content-verified sync catches it; -p carries the source mtime
+    val r2 = DistCp.sync(spark, src, dst, checksum = true, preserve = true)
+    assert(r2.copied == 1 && r2.skipped == 3, r2)
+    assert(read(s"$dst/a/mid.csv") == read(s"$src/a/mid.csv"))
+    assert(Files.getLastModifiedTime(Paths.get(s"$dst/a/mid.csv")).toMillis
+      == 1500000000000L, "sync -p did not preserve the mtime")
+    // converged: the preserved mtime keeps the rerun a no-op even
+    // without the checksum read
+    val r3 = DistCp.sync(spark, src, dst, checksum = true)
+    assert(r3.copied == 0 && r3.skipped == 4, r3)
+  }
+
   test("-diff sync deletes a removed subtree deepest-first") {
     val src = mkTree()
     val dst = Files.createTempDirectory("distcp-dst").toString + "/out"

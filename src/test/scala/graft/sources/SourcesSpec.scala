@@ -259,6 +259,28 @@ class CompatSourcesSpec extends SparkSpec {
     assert(df.rdd.getNumPartitions == 10)
     assert(df.count() == 100)
   }
+
+  test("textNLines accepts globs and nested directories like spark.read.text") {
+    val dir = tmpDir()
+    java.nio.file.Files.createDirectories(java.nio.file.Paths.get(s"$dir/sub"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/a.txt"),
+      (1 to 40).map(i => s"a$i").mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/b.txt"),
+      (1 to 40).map(i => s"b$i").mkString("\n"))
+    java.nio.file.Files.writeString(java.nio.file.Paths.get(s"$dir/sub/c.txt"),
+      (1 to 20).map(i => s"c$i").mkString("\n"))
+    // glob over the flat files
+    val g = CompatSources.textNLines(spark, s"$dir/*.txt", 10)
+    assert(g.count() == 80)
+    assert(g.rdd.getNumPartitions == 8, s"got ${g.rdd.getNumPartitions}")
+    // directory root: estimate must include the nested file so the
+    // partition count matches what spark.read.text actually reads
+    val d = CompatSources.textNLines(spark, s"$dir/sub", 10)
+    assert(d.count() == 20 && d.rdd.getNumPartitions == 2)
+    intercept[java.io.FileNotFoundException] {
+      CompatSources.textNLines(spark, s"$dir/missing*.txt", 10)
+    }
+  }
 }
 
 class MultimodalSpec extends SparkSpec {
