@@ -831,6 +831,18 @@ object SparkEntry {
       graft.llm.Packing.packSequences(seqd, "seq", "n_tok", budget = 256)
         .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("pack_id"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Train/eval decontamination: every tenth document plays the eval
+    // corpus; its distinct 3-grams broadcast against the train scan.
+    // Every train doc comes back with its overlap count (clean = 0).
+    "q69_decontamination" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.llm.Decontamination.overlapFlags(
+        all.where(col("doc_id") % 10 =!= 0),
+        all.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
     })
   )
 
@@ -1363,7 +1375,21 @@ object SparkEntry {
         |  FROM chunks)
         |SELECT doc_id, CAST(chunk_id AS BIGINT) AS chunk_id, n_tok,
         |  CAST((cum - n_tok) // 256 AS BIGINT) AS pack_id
-        |FROM packed ORDER BY doc_id, chunk_id""".stripMargin
+        |FROM packed ORDER BY doc_id, chunk_id""".stripMargin,
+
+    // Same split, same distinct-3-gram join, recomputed in SQL.
+    "q69_decontamination" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 2),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 10 <> 0),
+        |ov AS (SELECT tr.doc_id, COUNT(*) AS n FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(ov.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM tok WHERE doc_id % 10 <> 0) t
+        |LEFT JOIN ov ON ov.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin
   )
 
   // ------------------------------------------------- generated oracles
