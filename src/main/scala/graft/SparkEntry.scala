@@ -843,7 +843,18 @@ object SparkEntry {
         all.where(col("doc_id") % 10 === 0),
         "doc_id", "text", n = 3)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Winnowing rolling-hash fingerprints (k=8 chars, w=4 window):
+    // count + md5 of the sorted fingerprint set; the oracle
+    // recomputes the base-263 polynomial per position in SQL.
+    "q70_winnow_fp" -> ((s, d) =>
+      docs(s, d).select(col("doc_id"),
+          graft.functions.TextFunctions.rollingFingerprints(col("text")).as("f"))
+        .select(col("doc_id"), size(col("f")).cast("long").as("n_fp"),
+          md5(concat_ws(",", transform(col("f"), x => x.cast("string")))
+            .cast("binary")).as("fp_md5"))
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1389,7 +1400,32 @@ object SparkEntry {
         |  COALESCE(ov.n, 0) > 0 AS contaminated
         |FROM (SELECT doc_id FROM tok WHERE doc_id % 10 <> 0) t
         |LEFT JOIN ov ON ov.doc_id = t.doc_id
-        |ORDER BY t.doc_id""".stripMargin
+        |ORDER BY t.doc_id""".stripMargin,
+
+    // Recomputes the winnow: base-263 polynomial hash per 8-char
+    // position (power constants inlined below, mod 2^31-1 — term sums
+    // stay < 2^41, exact in BIGINT), 4-hash window minima via a
+    // clamped window frame, distinct set per document.
+    "q70_winnow_fp" -> {
+      val p = (1L << 31) - 1
+      val pows = Array.iterate(1L, 8)(x => x * 263 % p).reverse
+      val terms = (0 until 8)
+        .map(j => s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, i,
+         |    ($terms) % $p AS hv,
+         |    CAST(length(text) AS BIGINT) - 7 AS n
+         |  FROM documents, generate_series(1, 2000) t(i)
+         |  WHERE i <= length(text) - 7),
+         |mins AS (SELECT doc_id, i, n,
+         |  MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+         |  FROM h),
+         |fp AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= GREATEST(n - 3, 1))
+         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
+         |  MD5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m)) AS fp_md5
+         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
+    }
   )
 
   // ------------------------------------------------- generated oracles

@@ -59,6 +59,15 @@ object TextFunctions {
   def prefixFingerprint(c: Column, nWords: Int): Column =
     md5(concat_ws(" ", slice(tokens(c), 1, nWords)).cast("binary"))
 
+  /** Winnowing rolling-hash fingerprints ([[RollingWinnow]]):
+    * sorted distinct window-minimum hashes; any shared substring of
+    * `w + k - 1`+ characters guarantees a shared fingerprint —
+    * substring-level matching where [[fingerprint]] needs exact
+    * equality and MinHash sees only whole-document Jaccard. */
+  def rollingFingerprints(c: Column, k: Int = 8, w: Int = 4): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      RollingWinnow(org.apache.spark.sql.graft.ColumnBridge.expression(c), k, w))
+
   /** Number of tokens contained in `words` (with multiplicity). */
   def stopwordCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(words: _*))).cast("long")
