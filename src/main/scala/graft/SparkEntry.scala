@@ -854,7 +854,14 @@ object SparkEntry {
         .select(col("doc_id"), size(col("f")).cast("long").as("n_fp"),
           md5(concat_ws(",", transform(col("f"), x => x.cast("string")))
             .cast("binary")).as("fp_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Substring-level near-dup pairs over the winnow fingerprints.
+    // minShared = 40 is calibrated to this corpus' heavy word reuse
+    // (p99 of shared-fp counts ≈ 26); real corpora sit far lower.
+    "q71_winnow_pairs" -> ((s, d) =>
+      graft.llm.Dedup.winnowPairs(docs(s, d), "doc_id", "text", minShared = 40)
+        .orderBy("id1", "id2"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1403,30 +1410,49 @@ object SparkEntry {
         |ORDER BY t.doc_id""".stripMargin,
 
     // Recomputes the winnow: base-263 polynomial hash per 8-char
-    // position (power constants inlined below, mod 2^31-1 — term sums
-    // stay < 2^41, exact in BIGINT), 4-hash window minima via a
-    // clamped window frame, distinct set per document.
-    "q70_winnow_fp" -> {
-      val p = (1L << 31) - 1
-      val pows = Array.iterate(1L, 8)(x => x * 263 % p).reverse
-      val terms = (0 until 8)
-        .map(j => s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}")
-        .mkString(" + ")
-      s"""WITH h AS (SELECT doc_id, i,
-         |    ($terms) % $p AS hv,
-         |    CAST(length(text) AS BIGINT) - 7 AS n
-         |  FROM documents, generate_series(1, 2000) t(i)
-         |  WHERE i <= length(text) - 7),
-         |mins AS (SELECT doc_id, i, n,
-         |  MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
-         |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
-         |  FROM h),
-         |fp AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= GREATEST(n - 3, 1))
+    // position (power constants inlined, mod 2^31-1 — term sums stay
+    // < 2^41, exact in BIGINT), 4-hash window minima via a clamped
+    // window frame, distinct set per document.
+    "q70_winnow_fp" ->
+      s"""WITH $winnowFpCte
          |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
          |  MD5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m)) AS fp_md5
-         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin
-    }
+         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    // Same fingerprint CTE, self-joined on the hash value. No doc
+    // fingerprint exceeds the 100k dfCap here, so the fence is a
+    // no-op for the oracle (spec-pinned separately in WinnowPairsSpec).
+    "q71_winnow_pairs" ->
+      s"""WITH $winnowFpCte,
+         |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+         |    CAST(COUNT(*) AS BIGINT) AS n_shared
+         |  FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
+         |  GROUP BY 1, 2)
+         |SELECT id1, id2, n_shared FROM pairs
+         |WHERE n_shared >= 40 ORDER BY id1, id2""".stripMargin
   )
+
+  /** Shared winnow CTE (q70/q71): `fp(doc_id, m)` = the distinct
+    * window-min rolling hashes per document, k=8, w=4, base 263
+    * mod 2^31-1 — the exact [[graft.functions.RollingWinnow]]
+    * algorithm in SQL. */
+  private lazy val winnowFpCte: String = {
+    val p = (1L << 31) - 1
+    val pows = Array.iterate(1L, 8)(x => x * 263 % p).reverse
+    val terms = (0 until 8)
+      .map(j => s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}")
+      .mkString(" + ")
+    s"""h AS (SELECT doc_id, i,
+       |    ($terms) % $p AS hv,
+       |    CAST(length(text) AS BIGINT) - 7 AS n
+       |  FROM documents, generate_series(1, 2000) t(i)
+       |  WHERE i <= length(text) - 7),
+       |mins AS (SELECT doc_id, i, n,
+       |  MIN(hv) OVER (PARTITION BY doc_id ORDER BY i
+       |    ROWS BETWEEN CURRENT ROW AND 3 FOLLOWING) AS m
+       |  FROM h),
+       |fp AS (SELECT DISTINCT doc_id, m FROM mins WHERE i <= GREATEST(n - 3, 1))""".stripMargin
+  }
 
   // ------------------------------------------------- generated oracles
   //

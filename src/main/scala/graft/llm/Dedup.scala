@@ -151,6 +151,38 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** SUBSTRING-level near-dup pairs via shared winnowing fingerprints
+    * ([[graft.functions.RollingWinnow]]): documents sharing at least
+    * `minShared` window-min rolling hashes — the detector for partial
+    * plagiarism/quotation overlap, where n-gram Jaccard (whole-doc
+    * ratio) and MinHash (Jaccard sketch) both dilute a long shared
+    * passage inside otherwise-different documents. Any shared
+    * substring of `w + k - 1` characters contributes at least one
+    * shared fingerprint, so `minShared` roughly thresholds the number
+    * of independent shared passages (or the length of one).
+    *
+    * Scale shape: same postings discipline as [[ngramJaccardPairs]] —
+    * fingerprints join only within equal hash values; fingerprints
+    * appearing in more than `dfCap` documents (site boilerplate) are
+    * fenced out via a broadcast anti-join before the self-join can
+    * square them. */
+  def winnowPairs(df: DataFrame, idCol: String, textCol: String,
+                  k: Int = 8, w: Int = 4, minShared: Int = 3,
+                  dfCap: Int = DefaultDfCap): DataFrame = {
+    val f0 = df.select(col(idCol).as("doc_id"),
+        explode(TextFunctions.rollingFingerprints(col(textCol), k, w)).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // rollingFingerprints is distinct-per-doc: count(*) per fp == DF
+    val hot = f0.groupBy("fp").agg(count("*").as("df"))
+      .where(col("df") > dfCap).select("fp")
+    val f = f0.join(broadcast(hot), Seq("fp"), "left_anti")
+    f.alias("a")
+      .join(f.alias("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count("*").as("n_shared"))
+      .where(col("n_shared") >= minShared)
+  }
+
   // ---------------------------------------------------------------- MinHash
 
   /** Number of hash functions in a MinHash signature. */
