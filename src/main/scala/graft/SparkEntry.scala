@@ -1413,11 +1413,16 @@ object SparkEntry {
     // position (power constants inlined, mod 2^31-1 — term sums stay
     // < 2^41, exact in BIGINT), 4-hash window minima via a clamped
     // window frame, distinct set per document.
+    // LEFT JOIN from documents: a doc too short for any k-gram still
+    // yields a (0, md5('')) row, matching the Spark side's per-doc
+    // projection — dropping it would break the row-count compare.
     "q70_winnow_fp" ->
       s"""WITH $winnowFpCte
-         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_fp,
-         |  MD5(string_agg(CAST(m AS VARCHAR), ',' ORDER BY m)) AS fp_md5
-         |FROM fp GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+         |SELECT d.doc_id, CAST(COUNT(fp.m) AS BIGINT) AS n_fp,
+         |  MD5(COALESCE(string_agg(CAST(fp.m AS VARCHAR), ',' ORDER BY fp.m), ''))
+         |    AS fp_md5
+         |FROM documents d LEFT JOIN fp ON fp.doc_id = d.doc_id
+         |GROUP BY d.doc_id ORDER BY d.doc_id""".stripMargin,
 
     // Same fingerprint CTE, self-joined on the hash value. No doc
     // fingerprint exceeds the 100k dfCap here, so the fence is a

@@ -18,9 +18,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * partial overlap.
   *
   * Returns the SORTED DISTINCT window-minimum hash values as
-  * `array<long>`. Hash: base-263 polynomial over code units mod
-  * 2^31-1 (products stay < 2^40, exact in a long — the same
-  * stay-in-range reasoning as [[MinHashSignature]]'s modulus note).
+  * `array<long>`. Hash: base-263 polynomial over Unicode CODEPOINTS
+  * mod 2^31-1 (products stay < 2^52, exact in a long — the same
+  * stay-in-range reasoning as [[MinHashSignature]]'s modulus note;
+  * codepoints, not UTF-16 units, because SQL oracles index text by
+  * codepoint).
   * Texts shorter than `k` yield no fingerprints; with fewer than `w`
   * hashes the single clamped window still yields one (every
   * non-trivial document gets at least one fingerprint).
@@ -40,8 +42,11 @@ case class RollingWinnow(child: Expression, k: Int, w: Int)
   override def prettyName: String = "rolling_winnow"
 
   override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
-    val n = s.length - k + 1 // rolling k-gram hash count
+    // hash CODEPOINTS, not UTF-16 units: SQL engines index and ord()
+    // by codepoint, so surrogate pairs must be one symbol here too or
+    // the q70/q71 oracles diverge on any non-BMP character
+    val cp = input.asInstanceOf[UTF8String].toString.codePoints().toArray
+    val n = cp.length - k + 1 // rolling k-gram hash count
     if (n <= 0) return new GenericArrayData(Array.emptyLongArray)
     // B^(k-1) mod P, for the rolling eviction term
     var bk = 1L
@@ -50,11 +55,11 @@ case class RollingWinnow(child: Expression, k: Int, w: Int)
     val hashes = new Array[Long](n)
     var h = 0L
     i = 0
-    while (i < k) { h = (h * B + s.charAt(i)) % P; i += 1 }
+    while (i < k) { h = (h * B + cp(i)) % P; i += 1 }
     hashes(0) = h
     i = 1
     while (i < n) {
-      h = ((h - s.charAt(i - 1) * bk % P + P * P) % P * B + s.charAt(i + k - 1)) % P
+      h = ((h - cp(i - 1) * bk % P + P * P) % P * B + cp(i + k - 1)) % P
       hashes(i) = h
       i += 1
     }

@@ -129,26 +129,37 @@ object Dedup {
   def ngramJaccardPairs(df: DataFrame, idCol: String, textCol: String,
                         n: Int = 3, threshold: Double = 0.5,
                         dfCap: Int = DefaultDfCap): DataFrame = {
-    // the gram postings feed the DF count + self-join a/b + sizes:
-    // persist so the corpus is tokenized/shingled once
-    val g0 = df.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // wordShingles is distinct-per-doc, so count(*) per gram == DF
-    val hot = g0.groupBy("gram").agg(count("*").as("df"))
-      .where(col("df") > dfCap).select("gram")
-    val g = g0.join(broadcast(hot), Seq("gram"), "left_anti")
+    val postings = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    val (g, pairs) = postingsPairs(postings, "gram", dfCap)
     val sz = g.groupBy("doc_id").agg(count("*").as("n"))
-    val pairs = g.alias("a")
-      .join(g.alias("b"), col("a.gram") === col("b.gram") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count("*").as("inter"))
     pairs
       .join(sz.select(col("doc_id").as("id1"), col("n").as("n1")), "id1")
       .join(sz.select(col("doc_id").as("id2"), col("n").as("n2")), "id2")
       .withColumn("jaccard", col("inter").cast("double") / (col("n1") + col("n2") - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Shared postings discipline for the pair generators: persist the
+    * (doc_id, key) postings so the corpus is tokenized once, fence
+    * keys present in more than `dfCap` documents via a broadcast
+    * anti-join BEFORE the self-join can square them, then count
+    * shared keys per `id1 < id2` pair. Postings must be distinct
+    * per document, so count(*) per key == document frequency.
+    * Returns (fenced postings, pair counts as `id1, id2, inter`). */
+  private def postingsPairs(postings: DataFrame, keyCol: String,
+                            dfCap: Int): (DataFrame, DataFrame) = {
+    val p0 = postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val hot = p0.groupBy(keyCol).agg(count("*").as("df"))
+      .where(col("df") > dfCap).select(keyCol)
+    val p = p0.join(broadcast(hot), Seq(keyCol), "left_anti")
+    val pairs = p.alias("a")
+      .join(p.alias("b"),
+        col(s"a.$keyCol") === col(s"b.$keyCol") && col("a.doc_id") < col("b.doc_id"))
+      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+      .agg(count("*").as("inter"))
+    (p, pairs)
   }
 
   /** SUBSTRING-level near-dup pairs via shared winnowing fingerprints
@@ -169,17 +180,10 @@ object Dedup {
   def winnowPairs(df: DataFrame, idCol: String, textCol: String,
                   k: Int = 8, w: Int = 4, minShared: Int = 3,
                   dfCap: Int = DefaultDfCap): DataFrame = {
-    val f0 = df.select(col(idCol).as("doc_id"),
-        explode(TextFunctions.rollingFingerprints(col(textCol), k, w)).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    // rollingFingerprints is distinct-per-doc: count(*) per fp == DF
-    val hot = f0.groupBy("fp").agg(count("*").as("df"))
-      .where(col("df") > dfCap).select("fp")
-    val f = f0.join(broadcast(hot), Seq("fp"), "left_anti")
-    f.alias("a")
-      .join(f.alias("b"), col("a.fp") === col("b.fp") && col("a.doc_id") < col("b.doc_id"))
-      .groupBy(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
-      .agg(count("*").as("n_shared"))
+    val postings = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.rollingFingerprints(col(textCol), k, w)).as("fp"))
+    val (_, pairs) = postingsPairs(postings, "fp", dfCap)
+    pairs.withColumnRenamed("inter", "n_shared")
       .where(col("n_shared") >= minShared)
   }
 

@@ -50,6 +50,17 @@ class RollingWinnowSpec extends SparkSpec {
     assert(short.size == 1, "clamped single window must yield the min")
   }
 
+  test("supplementary-plane characters hash as one codepoint, not two units") {
+    val emoji = new String(Character.toChars(0x1F600)) // 2 UTF-16 units
+    val text = s"abcdefg$emoji" // 8 codepoints -> exactly one k=8 hash
+    val got = Seq(text).toDF("t")
+      .select(org.apache.spark.sql.graft.ColumnBridge.column(
+        RollingWinnow(org.apache.spark.sql.graft.ColumnBridge.expression(col("t")), 8, 1)))
+      .as[Seq[Long]].head
+    val want = text.codePoints().toArray.foldLeft(0L)((h, c) => (h * B + c) % P)
+    assert(got == Seq(want), s"got $got want $want")
+  }
+
   test("identical texts get identical fingerprint sets, any padding") {
     val Seq(a, b) = fp("the same text body", "the same text body")
     assert(a == b && a.nonEmpty)
