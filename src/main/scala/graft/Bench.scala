@@ -76,6 +76,25 @@ object Bench {
           }
         }.min
       } catch { case _: Throwable => -1.0 }),
+      // Map-only scale trend: the fused repetition scan on 10× the
+      // documents (replicated, then spread over the cores — the base
+      // fixture is one parquet file = one task, so the x10 also shows
+      // what the partitioned layout buys). Linear per-doc cost is the
+      // claim; wall-clock should grow ~10×/32-way-parallel.
+      "q64_x10" -> (try {
+        Seq.fill(2) {
+          spark.catalog.clearCache()
+          time {
+            import org.apache.spark.sql.functions._
+            val d = spark.read.parquet(s"$sfDir/documents.parquet")
+              .crossJoin(spark.range(10).select(col("id").as("rep")))
+              .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
+              .repartition(32)
+            graft.llm.Repetition.signals(d, "doc_id", "text")
+              .write.mode("overwrite").format("noop").save()
+          }
+        }.min
+      } catch { case _: Throwable => -1.0 }),
       // min-of-2 like every other entry: a single terasort run swung
       // ±50% round-over-round (r2 1.65 s → r3 2.45 s with no code
       // change); the min absorbs GC/JIT noise from the preceding
