@@ -861,7 +861,54 @@ object SparkEntry {
     // (p99 of shared-fp counts ≈ 26); real corpora sit far lower.
     "q71_winnow_pairs" -> ((s, d) =>
       graft.llm.Dedup.winnowPairs(docs(s, d), "doc_id", "text", minShared = 40)
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // NLineInputFormat round-trip: docs out as k\tv text, back in
+    // through the listing-sized N-lines reader (no counting pass),
+    // re-parsed and hash-witnessed. Granularity itself is pinned in
+    // CompatSourcesSpec; this row pins CONTENT through the format.
+    "q72_nline_roundtrip" -> ((s, d) => {
+      val tmp = scratch("q72") + "/nline"
+      graft.sources.CompatSources.kvTextWrite(
+        docs(s, d).select(col("doc_id"), col("text")), tmp)
+      graft.sources.CompatSources.textNLines(s, tmp, linesPerPartition = 50)
+        .select(split(col("value"), "\t").as("kv"))
+        .select(col("kv").getItem(0).cast("long").as("doc_id"),
+          md5(col("kv").getItem(1).cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // MultipleOutputs: one cached pass, two named sinks, re-read and
+    // reconciled — no row lost, duplicated, or cross-routed.
+    "q73_side_outputs" -> ((s, d) => {
+      val base = scratch("q73")
+      graft.ops.Outputs.sideOutputs(docs(s, d), Map(
+        "long" -> (df => df.where(col("n_chars") >= 300).select("doc_id", "n_chars")),
+        "short" -> (df => df.where(col("n_chars") < 300).select("doc_id", "n_chars"))),
+        base)
+      val l = s.read.parquet(s"$base/long").withColumn("side", lit("long"))
+      val sh = s.read.parquet(s"$base/short").withColumn("side", lit("short"))
+      l.union(sh).groupBy("side")
+        .agg(count(lit(1)).as("n"), sum("n_chars").as("sum_chars"))
+        .orderBy("side")
+    }),
+
+    // ChainMapper: three chained links fuse into one plan (codegen
+    // span asserted in ChainSpec); values must equal the composed SQL.
+    "q74_chain" -> ((s, d) =>
+      graft.ops.Chain(li(s, d))(
+        _.where(col("l_quantity") >= 45),
+        _.select(col("l_orderkey"), col("l_linenumber"),
+          round(col("l_extendedprice") * (lit(1) - col("l_discount")), 4).as("net")),
+        _.where(col("net") > 50000))
+        .orderBy("l_orderkey", "l_linenumber")),
+
+    // MapFile getEntry: point lookup with the equality predicate
+    // pushed into the scan (plan-asserted in PlanSpec).
+    "q75_point_lookup" -> ((s, d) =>
+      graft.ops.Lookup.pointLookup(li(s, d), col("l_orderkey"), 1L)
+        .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
+        .orderBy("l_linenumber"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1434,7 +1481,27 @@ object SparkEntry {
          |  FROM fp a JOIN fp b ON a.m = b.m AND a.doc_id < b.doc_id
          |  GROUP BY 1, 2)
          |SELECT id1, id2, n_shared FROM pairs
-         |WHERE n_shared >= 40 ORDER BY id1, id2""".stripMargin
+         |WHERE n_shared >= 40 ORDER BY id1, id2""".stripMargin,
+
+    "q72_nline_roundtrip" ->
+      """SELECT doc_id, MD5(text) AS text_md5 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q73_side_outputs" ->
+      """SELECT CASE WHEN n_chars >= 300 THEN 'long' ELSE 'short' END AS side,
+        |  COUNT(*) AS n, CAST(SUM(n_chars) AS BIGINT) AS sum_chars
+        |FROM documents GROUP BY 1 ORDER BY 1""".stripMargin,
+
+    "q74_chain" ->
+      """SELECT l_orderkey, l_linenumber,
+        |  ROUND(l_extendedprice * (1 - l_discount), 4) AS net
+        |FROM lineitem
+        |WHERE l_quantity >= 45
+        |  AND ROUND(l_extendedprice * (1 - l_discount), 4) > 50000
+        |ORDER BY l_orderkey, l_linenumber""".stripMargin,
+
+    "q75_point_lookup" ->
+      """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
+        |WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin
   )
 
   /** Shared winnow CTE (q70/q71): `fp(doc_id, m)` = the distinct
