@@ -908,7 +908,32 @@ object SparkEntry {
     "q75_point_lookup" -> ((s, d) =>
       graft.ops.Lookup.pointLookup(li(s, d), col("l_orderkey"), 1L)
         .select(col("l_orderkey"), col("l_linenumber"), col("l_quantity"))
-        .orderBy("l_linenumber"))
+        .orderBy("l_linenumber")),
+
+    // Small-file compaction round-trip: splinter documents into ~20
+    // shards, compact to byte-sized few files, re-read — the witness
+    // proves no record lost or doubled through splinter + compact.
+    "q76_compaction" -> ((s, d) => {
+      val base = scratch("q76")
+      docs(s, d).select(col("doc_id"), col("text"))
+        .write.option("maxRecordsPerFile", 25).parquet(s"$base/shards")
+      graft.ops.Compaction.compactParquet(s, s"$base/shards", s"$base/packed")
+      s.read.parquet(s"$base/packed")
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // DistCp round-trip as an oracle row: copy the parquet tree
+    // file-by-file (listing + balanced tasks + atomic renames), then
+    // read the COPY — identity witnesses byte-faithful transport.
+    "q77_distcp_roundtrip" -> ((s, d) => {
+      val base = scratch("q77")
+      graft.ops.DistCp.copy(s, s"$d/documents.parquet", s"$base/copy")
+      s.read.parquet(s"$base/copy")
+        .select(col("doc_id"), col("n_chars"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1501,7 +1526,14 @@ object SparkEntry {
 
     "q75_point_lookup" ->
       """SELECT l_orderkey, l_linenumber, l_quantity FROM lineitem
-        |WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin
+        |WHERE l_orderkey = 1 ORDER BY l_linenumber""".stripMargin,
+
+    "q76_compaction" ->
+      """SELECT doc_id, MD5(text) AS text_md5 FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q77_distcp_roundtrip" ->
+      """SELECT doc_id, n_chars, MD5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared winnow CTE (q70/q71): `fp(doc_id, m)` = the distinct
