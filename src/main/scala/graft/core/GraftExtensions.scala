@@ -4,7 +4,7 @@ import org.apache.spark.sql.{SparkSession, SparkSessionExtensions}
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Cast, Expression, ExpressionInfo}
 import org.apache.spark.sql.types.{ArrayType, DoubleType}
-import graft.functions.{CosineSimilarity, MinHashSignature, ShingleHashes, SimHash64}
+import graft.functions.{CosineSimilarity, MinHashSignature, RepetitionStats, RollingWinnow, ShingleHashes, SimHash64}
 
 /** SQL surface for the engine's native expressions: registers
   * `cosine_similarity`, `simhash64`, `shingle_hashes` (and a
@@ -48,7 +48,19 @@ object GraftExtensions {
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(hashes) - 64-wide minhash signature (engine hash family)"),
       (es: Seq[Expression]) => MinHashSignature(es.head,
-        graft.llm.Dedup.hashFamilyA, graft.llm.Dedup.hashFamilyB)))
+        graft.llm.Dedup.hashFamilyA, graft.llm.Dedup.hashFamilyB)),
+    ("repetition_stats",
+      info("repetition_stats",
+        "repetition_stats(text, topN, dupN) - struct of dup-line/n-gram repetition counts"),
+      (es: Seq[Expression]) => RepetitionStats(es.head,
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)),
+    ("rolling_winnow",
+      info("rolling_winnow",
+        "rolling_winnow(text, k, w) - sorted distinct winnowing fingerprints (base-263 rolling hash)"),
+      (es: Seq[Expression]) => RollingWinnow(es.head,
+        es(1).eval().asInstanceOf[Number].intValue,
+        es(2).eval().asInstanceOf[Number].intValue)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

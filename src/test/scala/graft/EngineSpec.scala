@@ -22,6 +22,12 @@ class EngineSpec extends SparkSpec {
     assert(sh == direct)
     assert(s.sql("SELECT cosine_similarity(array(1.0,0.0), array(1.0,0.0)) AS c")
       .head.getDouble(0) == 1.0)
+    // the round-6 expressions are SQL functions too
+    assert(s.sql("SELECT repetition_stats('a a a a', 2, 2).dup_gram_chars AS d")
+      .head.getLong(0) > 0)
+    val fps = s.sql("SELECT rolling_winnow('abcdefghijkl', 8, 4) AS f")
+      .head.getSeq[Long](0)
+    assert(fps.nonEmpty)
   }
 
   test("Engine.session re-asserts runtime confs on a reused session") {
