@@ -27,6 +27,13 @@ class DecontaminationSpec extends SparkSpec {
     assert(got(3L) == ((1L, true)), "repeated shared gram counts once")
   }
 
+  test("empty eval corpus marks every train doc clean") {
+    val got = Decontamination.overlapFlags(train,
+      eval0.where($"id" < 0), "id", "text", 3)
+      .as[(Long, Long, Boolean)].collect()
+    assert(got.length == 3 && got.forall(r => r._2 == 0L && !r._3))
+  }
+
   test("broadcast and shuffle paths agree; broadcast plans a BroadcastHashJoin") {
     val b = Decontamination.overlapFlags(train, eval0, "id", "text", 3)
     val s = Decontamination.overlapFlags(train, eval0, "id", "text", 3,

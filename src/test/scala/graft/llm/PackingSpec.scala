@@ -43,6 +43,14 @@ class PackingSpec extends SparkSpec {
     }
   }
 
+  test("string order keys walk in lexicographic order") {
+    val df = Seq(("b", 6L), ("a", 6L), ("c", 6L)).toDF("id", "n_tok")
+    val got = Packing.packSequences(df, "id", "n_tok", budget = 10, numPartitions = 2)
+      .select("id", "pack_id").as[(String, Long)].collect().toMap
+    // walk a(0), b(6), c(12) -> stripes 0, 0, 1
+    assert(got == Map("a" -> 0L, "b" -> 0L, "c" -> 1L), got.toString)
+  }
+
   test("duplicate order keys fail loudly instead of packing nondeterministically") {
     val df = Seq((1L, 4L), (1L, 5L), (2L, 6L)).toDF("id", "n_tok")
     val err = intercept[org.apache.spark.SparkException] {
