@@ -38,7 +38,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // verify the injection list is well-formed (names + builders),
     // the real withExtensions path needs a fresh JVM-level session
     assert(graft.core.GraftExtensions.definitions.map(_._1).toSet ==
-      Set("cosine_similarity", "simhash64", "shingle_hashes", "minhash_signature"))
+      Set("cosine_similarity", "simhash64", "shingle_hashes", "minhash_signature",
+        "repetition_stats", "rolling_winnow"))
   }
 }
 
