@@ -933,7 +933,18 @@ object SparkEntry {
         .select(col("doc_id"), col("n_chars"),
           md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // SemDeDup-style semantic dedup: LSH-bucketed cosine near-dup
+    // pairs (the q37 pipeline) resolved into duplicate groups (the
+    // q49 components), summarized per semantic component — keep
+    // comp_id (the min id) and this is the prune list.
+    "q78_semantic_dedup" -> ((s, d) =>
+      graft.llm.Dedup.components(
+        Similarity.cosineNearDupsLsh(emb(s, d), 64, 0.35))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).as("n_vecs"), sum("id").as("id_sum"))
+        .orderBy("comp_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1533,7 +1544,9 @@ object SparkEntry {
 
     "q77_distcp_roundtrip" ->
       """SELECT doc_id, n_chars, MD5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q78_semantic_dedup" -> semanticDedupOracleSql(nPlanes = 8, threshold = 0.35)
   )
 
   /** Shared winnow CTE (q70/q71): `fp(doc_id, m)` = the distinct
@@ -1611,16 +1624,36 @@ object SparkEntry {
   /** Oracle for q37: same bucket recomputation; candidate pairs share
     * the left side's exact bucket with any of the right side's probe
     * buckets (id1 < id2, distinct), verified by exact cosine. */
-  private def lshNearDupOracleSql(nPlanes: Int, threshold: Double): String =
-    s"""WITH pl AS (SELECT ${planesSqlLit(64, nPlanes)} AS ps),
+  /** Shared LSH near-dup CTE list ending in `sims(id1, id2, s)` —
+    * q37 filters and presents it; q78 feeds it into the closure. */
+  private def lshPairCtes(nPlanes: Int): String =
+    s"""pl AS (SELECT ${planesSqlLit(64, nPlanes)} AS ps),
        |e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS emb FROM embeddings),
        |b AS (SELECT vec_id, emb, ${bucketSqlExpr(nPlanes)} AS bucket FROM e, pl),
        |pr AS (SELECT vec_id, unnest(${probesSqlList(nPlanes)}) AS bucket FROM b),
        |cand AS (SELECT DISTINCT a.vec_id AS id1, p.vec_id AS id2
        |         FROM b a JOIN pr p USING (bucket) WHERE a.vec_id < p.vec_id),
        |sims AS (SELECT id1, id2, list_cosine_similarity(b1.emb, b2.emb) AS s
-       |         FROM cand JOIN b b1 ON b1.vec_id = id1 JOIN b b2 ON b2.vec_id = id2)
+       |         FROM cand JOIN b b1 ON b1.vec_id = id1 JOIN b b2 ON b2.vec_id = id2)""".stripMargin
+
+  private def lshNearDupOracleSql(nPlanes: Int, threshold: Double): String =
+    s"""WITH ${lshPairCtes(nPlanes)}
        |SELECT id1, id2, ROUND(s,4) AS sim FROM sims WHERE s >= $threshold ORDER BY id1, id2""".stripMargin
+
+  /** q78: the q37 pair pipeline, resolved to duplicate groups by the
+    * q49 recursive closure — SemDeDup's cluster-then-prune posture
+    * summarized per semantic-duplicate component. */
+  private def semanticDedupOracleSql(nPlanes: Int, threshold: Double): String =
+    s"""WITH RECURSIVE ${lshPairCtes(nPlanes)},
+       |jp AS (SELECT id1, id2 FROM sims WHERE s >= $threshold),
+       |ed AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+       |reach AS (SELECT a, b FROM ed
+       |          UNION
+       |          SELECT r.a, e2.b FROM reach r JOIN ed e2 ON r.b = e2.a),
+       |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a)
+       |SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_vecs,
+       |  CAST(SUM(id) AS BIGINT) AS id_sum
+       |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin
 
   /** Oracle for q28: FNV-1a 64 per token (HUGEINT mod-2^64 — BIGINT
     * would overflow-error, DuckDB has no wrapping multiply), per-bit
