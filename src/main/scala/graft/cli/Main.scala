@@ -205,6 +205,13 @@ object Main {
         graft.llm.Packing.packSequences(spark.read.parquet(in), idCol, tokCol, budget.toLong)
           .write.mode("overwrite").parquet(out)
 
+      // train/eval decontamination: n-gram overlap flags per train doc
+      case "decon" :: train :: eval0 :: idCol :: textCol :: n :: out :: Nil =>
+        graft.llm.Decontamination.overlapFlags(
+            spark.read.parquet(train), spark.read.parquet(eval0),
+            idCol, textCol, n.toInt)
+          .write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows
@@ -247,6 +254,7 @@ object Main {
         |  signals <in.parquet> <idCol> <textCol> <out>   (repetition quality stats)
         |  chunk <in.parquet> <idCol> <textCol> <max[+overlap]> <out>
         |  pack <in.parquet> <idCol> <tokCol> <budget> <out>
+        |  decon <train.parquet> <eval.parquet> <idCol> <textCol> <ngram> <out>
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

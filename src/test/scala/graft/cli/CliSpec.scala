@@ -60,6 +60,11 @@ class CliSpec extends SparkSpec {
     val packed = spark.read.parquet(s"$tmp/packed")
     assert(packed.count() == 100)
     assert(packed.agg(org.apache.spark.sql.functions.max(col("pack_id"))).head.getLong(0) > 0)
+    // decon: the corpus checked against itself is fully contaminated
+    runVerb("decon", s"$sf/documents.parquet", s"$sf/documents.parquet",
+      "doc_id", "text", "3", s"$tmp/decon")
+    val dec = spark.read.parquet(s"$tmp/decon")
+    assert(dec.where(col("contaminated")).count() == dec.count())
   }
 
   test("stream-window verb runs the streaming pipeline to completion") {
