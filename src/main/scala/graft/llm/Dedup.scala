@@ -518,13 +518,21 @@ object Dedup {
       edges.groupBy(col("a"))
         .agg(min(col("b")).as("mb"))
         .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
+    // Delta propagation: only labels that CHANGED last round can
+    // improve a neighbor this round — min is monotone, so an
+    // unchanged node's contribution was already folded in the round
+    // after it last improved. Round 1 treats every initial label as
+    // changed; the frontier then SHRINKS as components settle, so
+    // late rounds join edges against the still-active rim only
+    // instead of re-shuffling every settled label.
+    var frontier = labels
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
       // ONE join per round: the merged frame carries old and new labels
       // side by side, so convergence is a scan of the checkpointed
       // result (the `chg` column), not a second next-vs-labels join job
-      val prop = edges.join(labels, edges("a") === labels("id"))
+      val prop = edges.join(frontier, edges("a") === frontier("id"))
         .select(col("b").as("id"), col("comp"))
         .groupBy("id").agg(min("comp").as("pc"))
       // prop's ids ⊆ labels' ids (edges are symmetric, so every node
@@ -542,7 +550,9 @@ object Dedup {
         .sum()
       converged = changed == 0
       labelsRdd.unpersist() // previous round's checkpoint blocks freed
-      labels = spark.createDataFrame(mergedRdd, merged.schema).select("id", "comp")
+      val mergedDf = spark.createDataFrame(mergedRdd, merged.schema)
+      labels = mergedDf.select("id", "comp")
+      frontier = mergedDf.where(col("chg")).select("id", "comp")
       labelsRdd = mergedRdd
       iter += 1
     }
