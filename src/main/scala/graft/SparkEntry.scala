@@ -944,6 +944,16 @@ object SparkEntry {
         Similarity.cosineNearDupsLsh(emb(s, d), 64, 0.35))
         .groupBy("comp_id")
         .agg(count(lit(1)).as("n_vecs"), sum("id").as("id_sum"))
+        .orderBy("comp_id")),
+
+    // q49's pair set resolved by the OTHER algorithm — the
+    // large-star/small-star alternation (the chain-graph escape
+    // hatch). Same oracle values: two independent implementations and
+    // a recursive SQL closure must all agree on the groups.
+    "q79_components_star" -> ((s, d) =>
+      Dedup.componentsStar(Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5))
+        .groupBy("comp_id")
+        .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
         .orderBy("comp_id"))
   )
 
@@ -1126,24 +1136,7 @@ object SparkEntry {
 
     // components oracle: q25's pair pipeline + recursive transitive
     // closure; LEAST(a, MIN(reachable)) is the component min = comp_id
-    "q49_dup_components" ->
-      """WITH RECURSIVE
-        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
-        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
-        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
-        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
-        |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
-        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
-        |jp AS (SELECT id1, id2
-        |       FROM p0 JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
-        |       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
-        |e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
-        |reach AS (SELECT a, b FROM e
-        |          UNION
-        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
-        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a)
-        |SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(id) AS BIGINT) AS id_sum
-        |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin,
+    "q49_dup_components" -> dupComponentsOracleSql,
 
     // q27 is the sketch→verify pipeline whose verified output equals
     // the exact n-gram Jaccard answer — the same oracle as q25.
@@ -1546,8 +1539,34 @@ object SparkEntry {
       """SELECT doc_id, n_chars, MD5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin,
 
-    "q78_semantic_dedup" -> semanticDedupOracleSql(nPlanes = 8, threshold = 0.35)
+    "q78_semantic_dedup" -> semanticDedupOracleSql(nPlanes = 8, threshold = 0.35),
+
+    // componentsStar must reproduce components' values exactly —
+    // same pair set, same closure oracle.
+    "q79_components_star" -> dupComponentsOracleSql
   )
+
+  /** Shared by q49 (label propagation) and q79 (star alternation):
+    * the exact-Jaccard pair pipeline resolved by a recursive
+    * transitive closure — two engine algorithms, one ground truth. */
+  private lazy val dupComponentsOracleSql: String =
+    """WITH RECURSIVE
+      |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+      |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+      |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+      |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+      |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+      |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+      |jp AS (SELECT id1, id2
+      |       FROM p0 JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+      |       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+      |e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+      |reach AS (SELECT a, b FROM e
+      |          UNION
+      |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+      |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a)
+      |SELECT comp_id, CAST(COUNT(*) AS BIGINT) AS n_docs, CAST(SUM(id) AS BIGINT) AS id_sum
+      |FROM comp GROUP BY comp_id ORDER BY comp_id""".stripMargin
 
   /** Shared winnow CTE (q70/q71): `fp(doc_id, m)` = the distinct
     * window-min rolling hashes per document, k=8, w=4, base 263

@@ -78,4 +78,33 @@ class ComponentsSpec extends SparkSpec {
       Dedup.components(chain.toDF("id1", "id2"), maxIter = 2).collect()
     }
   }
+
+  private def starComps(pairs: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
+    Dedup.componentsStar(pairs.toDF("id1", "id2"), maxIter = maxIter)
+      .as[(Long, Long)].collect().toMap
+
+  test("componentsStar agrees with components on random graphs") {
+    val rnd = new scala.util.Random(7)
+    for (_ <- 1 to 4) {
+      val pairs = Seq.fill(40)((rnd.nextInt(30).toLong, rnd.nextInt(30).toLong))
+        .filter(p => p._1 != p._2)
+      assert(starComps(pairs) == comps(pairs))
+    }
+  }
+
+  test("componentsStar resolves a 64-chain in far fewer than diameter rounds") {
+    // diameter 64: label propagation needs ~64 rounds; the star
+    // alternation must land inside a 10-round budget (O(log^2 n))
+    val chain = (0L until 64L).map(i => i -> (i + 1))
+    val got = starComps(chain, maxIter = 10)
+    assert(got.size == 65 && got.values.forall(_ == 0L), got.toString)
+  }
+
+  test("componentsStar labels every node, minima included, exactly once") {
+    val got = Dedup.componentsStar(
+      Seq(5L -> 9L, 9L -> 2L, 11L -> 30L).toDF("id1", "id2"))
+      .as[(Long, Long)].collect()
+    assert(got.length == got.map(_._1).distinct.length, "duplicate id rows")
+    assert(got.toMap == Map(2L -> 2L, 5L -> 2L, 9L -> 2L, 11L -> 11L, 30L -> 11L))
+  }
 }
