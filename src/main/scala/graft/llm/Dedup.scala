@@ -497,24 +497,27 @@ object Dedup {
     * the right tool is the O(log²n)-round large-star/small-star
     * algorithm (Kiveris et al., "Connected Components in MapReduce and
     * Beyond"), not silent truncation. */
+  /** Lineage cut with an explicit RDD handle, shared by the two
+    * component loops: Dataset.localCheckpoint hides its cached RDD,
+    * so a loop over it LEAKS one checkpoint's storage per iteration
+    * for the life of the session. Holding the RDD ourselves lets each
+    * round free the previous round's blocks. (On an unreliable
+    * cluster swap localCheckpoint for checkpoint here — ONE place.) */
+  private def cutCheckpoint(df: DataFrame)
+      : (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
+    val rdd = df.rdd.localCheckpoint()
+    rdd.count() // eager: materialize before the source frame changes
+    (df.sparkSession.createDataFrame(rdd, df.schema), rdd)
+  }
+
   def components(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                  maxIter: Int = 25): DataFrame = {
-    val spark = pairs.sparkSession
-    // lineage cut with an explicit RDD handle: Dataset.localCheckpoint
-    // hides its cached RDD, so a loop over it LEAKS one checkpoint's
-    // storage per iteration for the life of the session. Holding the
-    // RDD ourselves lets each round free the previous round's blocks.
-    def cut(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.localCheckpoint()
-      rdd.count() // eager: materialize before the source frame changes
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
     // ids keep their source type: min/least order strings and numerics
     // alike (a cast would silently null non-numeric ids)
     val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
       .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsRdd) = cut(
+    var (labels, labelsRdd) = cutCheckpoint(
       edges.groupBy(col("a"))
         .agg(min(col("b")).as("mb"))
         .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
@@ -550,7 +553,7 @@ object Dedup {
         .sum()
       converged = changed == 0
       labelsRdd.unpersist() // previous round's checkpoint blocks freed
-      val mergedDf = spark.createDataFrame(mergedRdd, merged.schema)
+      val mergedDf = pairs.sparkSession.createDataFrame(mergedRdd, merged.schema)
       labels = mergedDf.select("id", "comp")
       frontier = mergedDf.where(col("chg")).select("id", "comp")
       labelsRdd = mergedRdd
@@ -588,12 +591,6 @@ object Dedup {
     * exactly as in [[components]]. */
   def componentsStar(pairs: DataFrame, id1: String = "id1", id2: String = "id2",
                      maxIter: Int = 50): DataFrame = {
-    val spark = pairs.sparkSession
-    def cut(df: DataFrame): (DataFrame, org.apache.spark.rdd.RDD[org.apache.spark.sql.Row]) = {
-      val rdd = df.rdd.localCheckpoint()
-      rdd.count()
-      (spark.createDataFrame(rdd, df.schema), rdd)
-    }
     // drop self-loops, dedup on the UNDIRECTED form
     def canon(e: DataFrame): DataFrame =
       e.where(col("a") =!= col("b"))
@@ -628,13 +625,13 @@ object Dedup {
       (r.getLong(0), r.getLong(1))
     }
 
-    var (edges, edgesRdd) = cut(canon(
+    var (edges, edgesRdd) = cutCheckpoint(canon(
       pairs.select(col(id1).as("a"), col(id2).as("b"))))
     var sig = signature(edges)
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
-      val (next, nextRdd) = cut(smallStar(largeStar(edges)))
+      val (next, nextRdd) = cutCheckpoint(smallStar(largeStar(edges)))
       val nextSig = signature(next)
       converged = nextSig == sig
       edgesRdd.unpersist()
@@ -645,9 +642,16 @@ object Dedup {
       throw new IllegalStateException(
         s"componentsStar: not converged after $maxIter rounds")
     // fixed point: stars stored in canonical (min, member) order — `a`
-    // IS the component min; minima label their own component
-    edges.select(col("b").as("id"), col("a").as("comp_id"))
+    // IS the component min; minima label their own component. The two
+    // branches are disjoint (a != b throughout) and each is already
+    // duplicate-free, so no outer distinct. Nodes whose only edges
+    // were self-loops never enter the edge set — the left join from
+    // the PAIR node universe restores them as their own singleton
+    // component (components() emits them too; same contract).
+    val starLabels = edges.select(col("b").as("id"), col("a").as("comp_id"))
       .union(edges.select(col("a").as("id"), col("a").as("comp_id")).distinct())
-      .distinct()
+    pairs.select(col(id1).as("id")).union(pairs.select(col(id2).as("id"))).distinct()
+      .join(starLabels, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp_id"), col("id")).as("comp_id"))
   }
 }

@@ -100,6 +100,13 @@ class ComponentsSpec extends SparkSpec {
     assert(got.size == 65 && got.values.forall(_ == 0L), got.toString)
   }
 
+  test("componentsStar keeps self-loop-only nodes as singleton components") {
+    // (7,7) must not vanish: same contract as components()
+    val pairs = Seq(1L -> 2L, 7L -> 7L)
+    assert(starComps(pairs) == Map(1L -> 1L, 2L -> 1L, 7L -> 7L))
+    assert(comps(pairs) == starComps(pairs))
+  }
+
   test("componentsStar labels every node, minima included, exactly once") {
     val got = Dedup.componentsStar(
       Seq(5L -> 9L, 9L -> 2L, 11L -> 30L).toDF("id1", "id2"))
