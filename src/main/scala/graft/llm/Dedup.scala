@@ -147,7 +147,10 @@ object Dedup {
     * anti-join BEFORE the self-join can square them, then count
     * shared keys per `id1 < id2` pair. Postings must be distinct
     * per document, so count(*) per key == document frequency.
-    * Returns (fenced postings, pair counts as `id1, id2, inter`). */
+    * Returns (fenced postings, pair counts as `id1, id2, inter`).
+    * The postings cache is released by the ContextCleaner when the
+    * returned frames are garbage-collected (the
+    * [[minHashCandidates]] lifecycle contract). */
   private def postingsPairs(postings: DataFrame, keyCol: String,
                             dfCap: Int): (DataFrame, DataFrame) = {
     val p0 = postings.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
