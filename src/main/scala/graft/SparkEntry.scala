@@ -954,7 +954,20 @@ object SparkEntry {
       Dedup.componentsStar(Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5))
         .groupBy("comp_id")
         .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
-        .orderBy("comp_id"))
+        .orderBy("comp_id")),
+
+    // ORC round-trip: the OTHER Hadoop-era columnar format (Hive
+    // warehouses ship ORC as often as parquet). Native Spark source —
+    // write, read back, hash-witness every record.
+    "q80_orc_roundtrip" -> ((s, d) => {
+      val tmp = scratch("q80") + "/orc"
+      docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .write.orc(tmp)
+      s.read.orc(tmp)
+        .select(col("doc_id"), col("lang"),
+          md5(col("text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1543,7 +1556,11 @@ object SparkEntry {
 
     // componentsStar must reproduce components' values exactly —
     // same pair set, same closure oracle.
-    "q79_components_star" -> dupComponentsOracleSql
+    "q79_components_star" -> dupComponentsOracleSql,
+
+    "q80_orc_roundtrip" ->
+      """SELECT doc_id, lang, MD5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
