@@ -967,6 +967,22 @@ object SparkEntry {
         .select(col("doc_id"), col("lang"),
           md5(col("text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Avro container round-trip (avro-mapred, the pre-columnar
+    // MapReduce interchange format): flat schema derived from the
+    // frame, records read back via their JSON encoding + from_json.
+    "q81_avro_roundtrip" -> ((s, d) => {
+      val tmp = scratch("q81") + "/avro"
+      graft.sources.CompatSources.avroWriteFlat(
+        docs(s, d).select(col("doc_id"), col("lang"), col("text")), tmp)
+      graft.sources.CompatSources.avroJson(s, tmp)
+        .select(from_json(col("record"),
+          org.apache.spark.sql.types.StructType.fromDDL(
+            "doc_id long, lang string, text string")).as("r"))
+        .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
+          md5(col("r.text").cast("binary")).as("text_md5"))
+        .orderBy("doc_id")
     })
   )
 
@@ -1559,6 +1575,10 @@ object SparkEntry {
     "q79_components_star" -> dupComponentsOracleSql,
 
     "q80_orc_roundtrip" ->
+      """SELECT doc_id, lang, MD5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q81_avro_roundtrip" ->
       """SELECT doc_id, lang, MD5(text) AS text_md5
         |FROM documents ORDER BY doc_id""".stripMargin
   )

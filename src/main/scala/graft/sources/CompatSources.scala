@@ -340,6 +340,79 @@ object CompatSources {
       classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
   }
 
+  /** Avro container-file reader (the `avro-mapred` surface MapReduce
+    * pipelines used before columnar formats — AvroKeyInputFormat over
+    * the object-container format). Without the spark-avro connector
+    * on the classpath, the schema-dynamic but honest mapping is each
+    * record's JSON encoding: one `record` string column, which
+    * `from_json` turns into typed columns once the caller states a
+    * schema. Splittable: the container format's sync markers make
+    * block boundaries seekable, and the input format splits on them. */
+  def avroJson(spark: SparkSession, path: String): DataFrame = {
+    import spark.implicits._
+    spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable],
+        new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration))
+      .map(_._1.datum().toString) // GenericRecord renders as JSON
+      .toDF("record")
+  }
+
+  /** Avro container-file writer for FLAT schemas: the first-class
+    * primitive columns (string/int/long/float/double/boolean) become
+    * an Avro record schema derived from the DataFrame schema; nested
+    * or exotic types fail LOUDLY — container files with complex
+    * schemas should go through a real connector, not a silent
+    * stringification. Null cells map to Avro nullable unions. */
+  def avroWriteFlat(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    val fields = df.schema.fields
+    fields.foreach { f =>
+      f.dataType match {
+        case StringType | IntegerType | LongType | FloatType | DoubleType | BooleanType => ()
+        case other => throw new IllegalArgumentException(
+          s"avroWriteFlat: column '${f.name}' has unsupported type $other " +
+            "(flat primitives only)")
+      }
+    }
+    def avroType(dt: DataType): String = dt match {
+      case StringType => "string"
+      case IntegerType => "int"
+      case LongType => "long"
+      case FloatType => "float"
+      case DoubleType => "double"
+      case BooleanType => "boolean"
+      case other => sys.error(s"unreachable: $other")
+    }
+    val schemaJson = fields.map(f =>
+        s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}""")
+      .mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(
+      new org.apache.hadoop.conf.Configuration(df.sparkSession.sparkContext.hadoopConfiguration))
+    org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
+      new org.apache.avro.Schema.Parser().parse(schemaJson))
+    val names = fields.map(_.name)
+    df.rdd.mapPartitions { it =>
+      // one schema parse per TASK, not per record
+      val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
+      it.map { r =>
+        val rec = new org.apache.avro.generic.GenericData.Record(schema)
+        names.zipWithIndex.foreach { case (n, i) =>
+          rec.put(n, if (r.isNullAt(i)) null else r.get(i))
+        }
+        (new org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord](rec),
+          org.apache.hadoop.io.NullWritable.get())
+      }
+    }.saveAsNewAPIHadoopFile(
+      path,
+      classOf[org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord]],
+      classOf[org.apache.hadoop.io.NullWritable],
+      classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[org.apache.avro.generic.GenericRecord]],
+      job.getConfiguration)
+  }
+
   /** SequenceFileAsBinaryOutputFormat sink (.../lib/output/
     * SequenceFileAsBinaryOutputFormat.java:39): first two binary
     * columns written as raw BytesWritable key/value — the write twin of

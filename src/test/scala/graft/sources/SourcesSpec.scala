@@ -59,6 +59,44 @@ class CompatSourcesSpec extends SparkSpec {
     assert(df.as[(Int, String)].collect().toSet == (1 to 20).map(i => (i, s"v$i")).toSet)
   }
 
+  test("Avro container round-trip; legacy Avro-API files read; nested types loud") {
+    import org.apache.spark.sql.functions.{col, from_json}
+    val dir = tmpDir()
+    // write flat typed rows, read back through the JSON surface
+    val df = Seq((1L, "alpha", 0.5, true), (2L, "beta", -1.25, false))
+      .toDF("id", "name", "score", "ok")
+    CompatSources.avroWriteFlat(df, s"$dir/out")
+    val back = CompatSources.avroJson(spark, s"$dir/out")
+      .select(from_json(col("record"),
+        org.apache.spark.sql.types.StructType.fromDDL(
+          "id long, name string, score double, ok boolean")).as("r"))
+      .select("r.*").as[(Long, String, Double, Boolean)].collect().toSet
+    assert(back == Set((1L, "alpha", 0.5, true), (2L, "beta", -1.25, false)))
+
+    // a file written with the DIRECT Avro API (the legacy shape)
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"kv","fields":[
+        |{"name":"k","type":"int"},{"name":"v","type":"string"}]}""".stripMargin)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/legacy.avro"))
+    try (1 to 5).foreach { i =>
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("k", i); rec.put("v", s"val$i"); w.append(rec)
+    } finally w.close()
+    val legacy = CompatSources.avroJson(spark, s"$dir/legacy.avro")
+      .select(from_json(col("record"),
+        org.apache.spark.sql.types.StructType.fromDDL("k int, v string")).as("r"))
+      .select("r.*").as[(Int, String)].collect().toSet
+    assert(legacy == (1 to 5).map(i => (i, s"val$i")).toSet)
+
+    // nested columns must fail loudly, not stringify silently
+    intercept[IllegalArgumentException] {
+      CompatSources.avroWriteFlat(
+        Seq((1L, Seq("a"))).toDF("id", "arr"), s"$dir/bad")
+    }
+  }
+
   test("sequenceFileTypedWrite declares native Writable classes in the header") {
     val dir = tmpDir()
     // Int keys, Double values — the shape sequenceFileWrite's
