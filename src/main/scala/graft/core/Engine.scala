@@ -1,6 +1,6 @@
 package graft.core
 
-import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.{DataFrame, SparkSession}
 
 /** Session factory with the engine's scale-oriented defaults.
   *
@@ -59,5 +59,36 @@ object Engine {
     }
     spark.sparkContext.setLogLevel("WARN")
     spark
+  }
+
+  /** CPU-bound map passes (sketching, repetition stats, chunking) are
+    * only as parallel as their input has splits; a small input (one
+    * parquet file — the local-bench shape, or any small-file corpus)
+    * would run them single-threaded. Widen only when the scan has fewer
+    * splits than a modest byte-based target (~4 MB of input per task,
+    * min 8, capped at the cluster's slots): at 100 TB the scan already
+    * has more splits than slots and NO shuffle is added, while a tiny
+    * input is neither serialized on one core nor burdened with `slots`
+    * near-empty shuffle-map tasks (per-task fixed cost dominates below
+    * a few MB per task). */
+  def widen(df: DataFrame): DataFrame = {
+    val slots = df.sparkSession.sparkContext.defaultParallelism
+    val parts = df.rdd.getNumPartitions
+    if (parts >= slots) df
+    else {
+      // Hadoop FS for sizes: works on any scheme (java.io.File returns
+      // a silent 0 for hdfs:// paths — under-widening exactly the
+      // remote inputs this targets); unknown → assume big
+      val bytes = try {
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        df.inputFiles.map { p =>
+          val path = new org.apache.hadoop.fs.Path(p)
+          path.getFileSystem(conf).getFileStatus(path).getLen
+        }.sum
+      } catch { case _: Exception => Long.MaxValue }
+      val target = math.max(math.min(slots.toLong, bytes / (4L << 20) + 1).toInt,
+        math.min(8, slots))
+      if (parts >= target) df else df.repartition(target)
+    }
   }
 }

@@ -34,6 +34,18 @@ object GraftExtensions {
   private def asDoubles(e: Expression): Expression =
     Cast(e, ArrayType(DoubleType))
 
+  // the int knobs of these functions are baked into the expression at
+  // plan time (they size per-row JVM buffers), so they must be
+  // literals; a column reference would otherwise surface as an opaque
+  // internal eval() failure — name the parameter instead
+  private def intLiteral(fn: String, param: String, e: Expression): Int = {
+    if (!e.foldable)
+      throw new IllegalArgumentException(
+        s"$fn: argument '$param' must be a literal integer, got non-foldable " +
+          s"expression ${e.sql}")
+    e.eval().asInstanceOf[Number].intValue
+  }
+
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
     ("cosine_similarity",
       info("cosine_similarity", "cosine_similarity(a, b) - cosine of two numeric arrays"),
@@ -44,7 +56,7 @@ object GraftExtensions {
     ("shingle_hashes",
       info("shingle_hashes", "shingle_hashes(text, n) - distinct 31-bit word n-gram hashes"),
       (es: Seq[Expression]) => ShingleHashes(es.head,
-        es(1).eval().asInstanceOf[Number].intValue)),
+        intLiteral("shingle_hashes", "n", es(1)))),
     ("minhash_signature",
       info("minhash_signature", "minhash_signature(hashes) - 64-wide minhash signature (engine hash family)"),
       (es: Seq[Expression]) => MinHashSignature(es.head,
@@ -53,14 +65,14 @@ object GraftExtensions {
       info("repetition_stats",
         "repetition_stats(text, topN, dupN) - struct of dup-line/n-gram repetition counts"),
       (es: Seq[Expression]) => RepetitionStats(es.head,
-        es(1).eval().asInstanceOf[Number].intValue,
-        es(2).eval().asInstanceOf[Number].intValue)),
+        intLiteral("repetition_stats", "topN", es(1)),
+        intLiteral("repetition_stats", "dupN", es(2)))),
     ("rolling_winnow",
       info("rolling_winnow",
         "rolling_winnow(text, k, w) - sorted distinct winnowing fingerprints (base-263 rolling hash)"),
       (es: Seq[Expression]) => RollingWinnow(es.head,
-        es(1).eval().asInstanceOf[Number].intValue,
-        es(2).eval().asInstanceOf[Number].intValue)))
+        intLiteral("rolling_winnow", "k", es(1)),
+        intLiteral("rolling_winnow", "w", es(2)))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -41,7 +41,8 @@ object Chunking {
       i => struct(i.as("chunk_id"),
         concat_ws(" ", slice(w, (i * step + 1L).cast("int"), lit(maxTokens)))
           .as("chunk")))
-    df.select(col(idCol),
+    // tokenize+slice is the cost — spread a few-split scan first
+    graft.core.Engine.widen(df).select(col(idCol),
         filter(split(col(textCol), "\\s+"), (x: Column) => x =!= "").as("__words"))
       .where(size(w) > 0)
       .select(col(idCol), explode(chunks).as("__c"))

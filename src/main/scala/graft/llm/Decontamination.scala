@@ -40,7 +40,17 @@ object Decontamination {
     // number of DISTINCT shared grams
     val overlaps = trainGrams.join(evalGrams, "__g")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
-    train.select(col(idCol))
+    // idCol must be unique in `train`: duplicates would pool their
+    // grams in the groupBy above and fan out the left join below —
+    // fail loudly in-plan (same contract as Packing.packSequences).
+    // The id projection shuffles for the join anyway; the pre-agg adds
+    // only a map-side partial pass over the slim (id) column.
+    val base = train.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > 1L, raise_error(concat(
+          lit(s"Decontamination.overlapFlags: duplicate $idCol in train: "),
+          col(idCol).cast("string"))))
+        .otherwise(col(idCol)).as(idCol))
+    base
       .join(overlaps, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),

@@ -405,34 +405,9 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
-  /** Sketch passes are CPU-bound map work; a small input (one parquet
-    * split — the local-bench shape) would run them single-threaded.
-    * Widen only when the scan has fewer splits than a modest byte-based
-    * target (~4 MB of input per task, min 8, capped at the cluster's
-    * slots): at 100 TB the scan already has more splits than slots and
-    * no shuffle is added, while a tiny input is neither serialized on
-    * one core nor burdened with `slots` near-empty shuffle-map tasks
-    * (per-task fixed cost dominates below a few MB per task). */
-  private def widen(df: DataFrame): DataFrame = {
-    val slots = df.sparkSession.sparkContext.defaultParallelism
-    val parts = df.rdd.getNumPartitions
-    if (parts >= slots) df
-    else {
-      // Hadoop FS for sizes: works on any scheme (java.io.File returns
-      // a silent 0 for hdfs:// paths — under-widening exactly the
-      // remote inputs this targets); unknown → assume big
-      val bytes = try {
-        val conf = df.sparkSession.sparkContext.hadoopConfiguration
-        df.inputFiles.map { p =>
-          val path = new org.apache.hadoop.fs.Path(p)
-          path.getFileSystem(conf).getFileStatus(path).getLen
-        }.sum
-      } catch { case _: Exception => Long.MaxValue }
-      val target = math.max(math.min(slots.toLong, bytes / (4L << 20) + 1).toInt,
-        math.min(8, slots))
-      if (parts >= target) df else df.repartition(target)
-    }
-  }
+  /** Sketch passes are CPU-bound map work — spread small inputs over
+    * the cores; see [[graft.core.Engine.widen]] for the policy. */
+  private def widen(df: DataFrame): DataFrame = graft.core.Engine.widen(df)
 
   // ---------------------------------------------------------------- SimHash
 

@@ -52,7 +52,9 @@ object Repetition {
     val text = col(textCol)
     val st = ColumnBridge.column(graft.functions.RepetitionStats(
       ColumnBridge.expression(text), topN, dupN))
-    df.select(col(idCol), length(text).cast("long").as("chars"), st.as("__st"))
+    // the per-row fold is the cost — spread a few-split scan first
+    graft.core.Engine.widen(df)
+      .select(col(idCol), length(text).cast("long").as("chars"), st.as("__st"))
       .select(col(idCol), col("chars"), col("__st.n_lines").as("n_lines"),
         col("__st.distinct_lines").as("distinct_lines"),
         col("__st.dup_line_chars").as("dup_line_chars"),

@@ -327,6 +327,9 @@ object CompatSources {
         case other => throw new IllegalArgumentException(
           s"sequenceFileTypedWrite: column '$colName' has no Writable mapping for $other")
       }
+    require(df.schema.length >= 2,
+      s"sequenceFileTypedWrite: need a key and a value column, got ${df.schema.length} " +
+        s"(${df.schema.fieldNames.mkString(", ")})")
     val Seq(kf, vf) = df.schema.fields.take(2).toSeq
     val (kCls, mkK) = writableFor(kf.dataType, kf.name)
     val (vCls, mkV) = writableFor(vf.dataType, vf.name)
@@ -385,6 +388,14 @@ object CompatSources {
       case DoubleType => "double"
       case BooleanType => "boolean"
       case other => sys.error(s"unreachable: $other")
+    }
+    // the schema is built by interpolation, so a name outside Avro's
+    // own lexical rule (avro spec: [A-Za-z_][A-Za-z0-9_]*) would yield
+    // an unparseable or differently-parsed schema — reject it loudly
+    fields.map(_.name).find(!_.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { bad =>
+      throw new IllegalArgumentException(
+        s"avroWriteFlat: column name '$bad' is not a legal Avro field name " +
+          "([A-Za-z_][A-Za-z0-9_]*); rename the column before writing")
     }
     val schemaJson = fields.map(f =>
         s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}""")
@@ -451,11 +462,13 @@ object CompatSources {
     val p = new org.apache.hadoop.fs.Path(path)
     // match what spark.read.text(path) will actually read: expand
     // globs (globStatus; getFileStatus throws on a glob literal) and
-    // recurse into directories, skipping _SUCCESS/_metadata siblings
+    // list ONE directory level — read.text does not recurse into
+    // nested subdirectories without recursiveFileLookup, so neither
+    // does the sizing pass. _SUCCESS/_metadata siblings skipped.
     def leaves(st: org.apache.hadoop.fs.FileStatus): Seq[org.apache.hadoop.fs.FileStatus] =
       if (st.isFile) Seq(st)
       else fs.listStatus(st.getPath).toSeq
-        .filterNot(_.getPath.getName.startsWith("_")).flatMap(leaves)
+        .filterNot(_.getPath.getName.startsWith("_")).filter(_.isFile)
     val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
     if (matched.isEmpty)
       throw new java.io.FileNotFoundException(s"textNLines: no input matches $path")

@@ -85,10 +85,15 @@ class PlanSpec extends SparkSpec {
   test("q64: repetition signals are map-only — no exchange, no join, one scan") {
     val p = plan("q64_repetition")
     assert(!p.contains("Join"), s"repetition signals should not join:\n$p")
-    // the per-document fold must not ship exploded units anywhere:
-    // the only allowed exchange is the final presentation ORDER BY
+    // the per-document fold must not ship exploded units anywhere: the
+    // only allowed exchanges are the input-widening roundrobin (a
+    // no-op once the scan has >= slots splits — Engine.widen) and the
+    // final presentation ORDER BY. Never a hash exchange: that would
+    // mean a groupBy/join snuck into the fold.
+    assert(!p.contains("Exchange hashpartitioning"),
+      s"no aggregation/join exchange expected in the fold plan:\n$p")
     val exchanges = p.linesIterator.count(_.contains("Exchange"))
-    assert(exchanges <= 1, s"expected only the orderBy exchange, got $exchanges:\n$p")
+    assert(exchanges <= 2, s"expected at most widen + orderBy exchanges, got $exchanges:\n$p")
     assert(!p.contains("Generate"), s"no explode expected in the fold plan:\n$p")
     assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1,
       s"repetition signals should scan the corpus once:\n$p")
