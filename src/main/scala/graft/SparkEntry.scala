@@ -983,6 +983,48 @@ object SparkEntry {
         .select(col("r.doc_id").as("doc_id"), col("r.lang").as("lang"),
           md5(col("r.text").cast("binary")).as("text_md5"))
         .orderBy("doc_id")
+    }),
+
+    // Q82 — NESTED Avro round-trip (§1.3): struct + array columns
+    // written to the container format and read back TYPED via the
+    // schema sniffed from the file header (avroStructs) — the
+    // spark-avro-style surface for the one-level-nested legacy data
+    // avro-mapred pipelines actually carry, vs q81's stringly
+    // from_json path that needs a caller-supplied schema.
+    "q82_avro_nested" -> ((s, d) => {
+      val tmp = scratch("q82") + "/avro"
+      graft.sources.CompatSources.avroWriteNested(
+        docs(s, d).select(col("doc_id"),
+          struct(col("lang"), length(col("text")).cast("long").as("chars")).as("meta"),
+          split(col("text"), " ").as("toks")), tmp)
+      graft.sources.CompatSources.avroStructs(s, tmp)
+        .select(col("doc_id"), col("meta.lang").as("lang"),
+          col("meta.chars").as("chars"),
+          size(col("toks")).cast("long").as("n_tok"),
+          md5(concat_ws(" ", col("toks")).cast("binary")).as("toks_md5"))
+        .orderBy("doc_id")
+    }),
+
+    // Q83 — JDBC round-trip split on a TEXT column (§2.1 DBInputFormat
+    // family): the reference's TextSplitter capability. customer goes
+    // into Derby keyed by c_name (VARCHAR), and the read back is
+    // range-partitioned on that string key via per-partition WHERE
+    // predicates (Spark's own partitionColumn is numeric/date-only).
+    // JdbcSpec asserts the read actually lands in >1 partition.
+    "q83_jdbc_text_split" -> ((s, d) => {
+      val url = s"jdbc:derby:${scratch("q83", wipe = false)}/db;create=true"
+      // VARCHAR, not Spark's default CLOB mapping: the split column
+      // must support comparisons (the scenario is a VARCHAR key)
+      val wprops = new java.util.Properties
+      wprops.setProperty("createTableColumnTypes",
+        "c_name VARCHAR(32), c_mktsegment VARCHAR(16)")
+      graft.sources.Jdbc.write(
+        cust(s, d).select(col("c_name"), col("c_custkey"), col("c_mktsegment")),
+        url, "customer_rt", org.apache.spark.sql.SaveMode.Overwrite, wprops)
+      graft.sources.Jdbc.readPartitionedText(s, url, "customer_rt", "c_name", 4)
+        .select(col("c_name"), col("c_custkey").cast("long").as("ck"),
+          col("c_mktsegment"))
+        .orderBy("ck")
     })
   )
 
@@ -1580,7 +1622,22 @@ object SparkEntry {
 
     "q81_avro_roundtrip" ->
       """SELECT doc_id, lang, MD5(text) AS text_md5
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the nested writer/reader must not perturb any value: recompute
+    // the struct fields and the token array straight from the base
+    // table (single-space word soup → split/join is lossless)
+    "q82_avro_nested" ->
+      """SELECT doc_id, lang, CAST(length(text) AS BIGINT) AS chars,
+        |CAST(len(STRING_SPLIT(text, ' ')) AS BIGINT) AS n_tok,
+        |MD5(array_to_string(STRING_SPLIT(text, ' '), ' ')) AS toks_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    // the split-read must be exactly the table, no row lost or doubled
+    // across the predicate ranges
+    "q83_jdbc_text_split" ->
+      """SELECT c_name, c_custkey AS ck, c_mktsegment
+        |FROM customer ORDER BY ck""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -363,6 +363,123 @@ object CompatSources {
       .toDF("record")
   }
 
+  /** Avro container-file reader with a TYPED one-level-nested surface:
+    * the writer schema is sniffed from the first container file's
+    * header (Avro embeds it — no caller-supplied schema needed, unlike
+    * [[avroJson]]+`from_json`), mapped to a Spark schema, and each
+    * GenericRecord decoded to a Row. Supported mapping — the shapes
+    * legacy avro-mapred data actually has (reference serializer:
+    * hadoop-common .../io/serializer/avro/AvroSerialization.java:43):
+    * primitives, `[null, T]` unions (→ nullable), enum→string,
+    * bytes/fixed→binary, ONE level of record→struct, array/map of
+    * primitives. Deeper nesting fails loudly pointing at [[avroJson]],
+    * which handles arbitrary schemas as JSON strings. Splittable: the
+    * container sync markers give block-aligned splits; the sniffed
+    * schema is set as the reader schema so mixed-file directories
+    * decode uniformly or fail loudly (no silent field drift). */
+  def avroStructs(spark: SparkSession, path: String): DataFrame = {
+    import org.apache.spark.sql.types._
+    import scala.jdk.CollectionConverters._
+    val conf = new org.apache.hadoop.conf.Configuration(spark.sparkContext.hadoopConfiguration)
+    val p = new org.apache.hadoop.fs.Path(path)
+    val fs = p.getFileSystem(conf)
+    // sniff the writer schema from one file header (a few KB read; the
+    // alternative — a caller-supplied schema — is exactly the burden
+    // the container format exists to remove)
+    val matched = Option(fs.globStatus(p)).map(_.toSeq).getOrElse(Seq.empty)
+    if (matched.isEmpty)
+      throw new java.io.FileNotFoundException(s"avroStructs: no input matches $path")
+    val first = matched
+      .flatMap(st => if (st.isFile) Seq(st) else fs.listStatus(st.getPath).toSeq.filter(_.isFile))
+      .filterNot(_.getPath.getName.startsWith("_")).filter(_.getLen > 0)
+      .headOption.getOrElse(throw new java.io.FileNotFoundException(
+        s"avroStructs: no non-empty data file under $path"))
+    val avroSchema = {
+      val in = fs.open(first.getPath)
+      try {
+        val r = new org.apache.avro.file.DataFileStream(in,
+          new org.apache.avro.generic.GenericDatumReader[org.apache.avro.generic.GenericRecord]())
+        try r.getSchema finally r.close()
+      } finally { try in.close() catch { case _: Exception => () } }
+    }
+    require(avroSchema.getType == org.apache.avro.Schema.Type.RECORD,
+      s"avroStructs: top-level schema must be a record, got ${avroSchema.getType}")
+    def sparkType(s: org.apache.avro.Schema, nestedOk: Boolean): (DataType, Boolean) = {
+      import org.apache.avro.Schema.Type._
+      s.getType match {
+        case UNION =>
+          val nonNull = s.getTypes.asScala.filterNot(_.getType == NULL)
+          require(nonNull.size == 1 && nonNull.size < s.getTypes.size,
+            s"avroStructs: only [null, T] unions are supported, got $s")
+          (sparkType(nonNull.head, nestedOk)._1, true)
+        case STRING | ENUM => (StringType, false)
+        case INT => (IntegerType, false)
+        case LONG => (LongType, false)
+        case FLOAT => (FloatType, false)
+        case DOUBLE => (DoubleType, false)
+        case BOOLEAN => (BooleanType, false)
+        case BYTES | FIXED => (BinaryType, false)
+        case RECORD =>
+          if (!nestedOk) throw new IllegalArgumentException(
+            s"avroStructs maps ONE level of record nesting; '${s.getFullName}' nests deeper - " +
+              "read via avroJson + from_json instead")
+          (StructType(s.getFields.asScala.map { f =>
+            val (dt, n) = sparkType(f.schema(), nestedOk = false)
+            StructField(f.name, dt, n)
+          }.toSeq), false)
+        case ARRAY =>
+          val (dt, n) = sparkType(s.getElementType, nestedOk = false)
+          (ArrayType(dt, containsNull = n), false)
+        case MAP =>
+          val (dt, n) = sparkType(s.getValueType, nestedOk = false)
+          (MapType(StringType, dt, valueContainsNull = n), false)
+        case other => throw new IllegalArgumentException(
+          s"avroStructs: unsupported Avro type $other in $s - read via avroJson instead")
+      }
+    }
+    val sparkSchema = StructType(avroSchema.getFields.asScala.map { f =>
+      val (dt, n) = sparkType(f.schema(), nestedOk = true)
+      StructField(f.name, dt, n)
+    }.toSeq)
+    val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
+    org.apache.avro.mapreduce.AvroJob.setInputKeySchema(job, avroSchema)
+    val nTop = avroSchema.getFields.size
+    val rows = spark.sparkContext.newAPIHadoopFile(
+        path,
+        classOf[org.apache.avro.mapreduce.AvroKeyInputFormat[org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord]],
+        classOf[org.apache.hadoop.io.NullWritable],
+        job.getConfiguration)
+      .map { case (k, _) =>
+        val r = k.datum()
+        org.apache.spark.sql.Row.fromSeq((0 until nTop).map(i => avroValue(r.get(i))))
+      }
+    spark.createDataFrame(rows, sparkSchema)
+  }
+
+  /** Avro runtime value → Spark row value, by runtime class: Utf8 and
+    * enum symbols → String, ByteBuffer/fixed → byte arrays, records →
+    * nested Rows (field order = schema order on both sides), avro
+    * arrays/maps → Scala collections. Primitives box through as-is. */
+  private def avroValue(v: Any): Any = v match {
+    case null => null
+    case s: CharSequence => s.toString // Utf8 included
+    case e: org.apache.avro.generic.GenericEnumSymbol[_] => e.toString
+    case b: java.nio.ByteBuffer =>
+      val a = new Array[Byte](b.remaining()); b.duplicate().get(a); a
+    case f: org.apache.avro.generic.GenericFixed => f.bytes().clone()
+    case r: org.apache.avro.generic.GenericRecord =>
+      org.apache.spark.sql.Row.fromSeq(
+        (0 until r.getSchema.getFields.size).map(i => avroValue(r.get(i))))
+    case c: java.util.Collection[_] =>
+      import scala.jdk.CollectionConverters._
+      c.asScala.map(avroValue).toSeq
+    case m: java.util.Map[_, _] =>
+      import scala.jdk.CollectionConverters._
+      m.asScala.map { case (k, x) => String.valueOf(k) -> avroValue(x) }.toMap
+    case other => other
+  }
+
   /** Avro container-file writer for FLAT schemas: the first-class
     * primitive columns (string/int/long/float/double/boolean) become
     * an Avro record schema derived from the DataFrame schema; nested
@@ -380,40 +497,63 @@ object CompatSources {
             "(flat primitives only)")
       }
     }
-    def avroType(dt: DataType): String = dt match {
-      case StringType => "string"
-      case IntegerType => "int"
-      case LongType => "long"
-      case FloatType => "float"
-      case DoubleType => "double"
-      case BooleanType => "boolean"
-      case other => sys.error(s"unreachable: $other")
+    avroWriteNested(df, path)
+  }
+
+  /** Avro container-file writer for ONE level of nesting — the write
+    * twin of [[avroStructs]]: primitive columns plus struct-of-
+    * primitives, array-of-primitives and map(string → primitive)
+    * columns become the corresponding Avro record/array/map schema
+    * (every slot a `[null, T]` union — Avro's idiom for nullable).
+    * Deeper nesting fails loudly: container files with genuinely
+    * complex schemas should go through a real connector. */
+  def avroWriteNested(df: DataFrame, path: String): Unit = {
+    import org.apache.spark.sql.types._
+    // names land in interpolated schema JSON — enforce Avro's own
+    // lexical rule so the schema parses, and parses to what we meant
+    def legal(n: String): Unit =
+      if (!n.matches("[A-Za-z_][A-Za-z0-9_]*"))
+        throw new IllegalArgumentException(
+          s"avroWrite: name '$n' is not a legal Avro name " +
+            "([A-Za-z_][A-Za-z0-9_]*); rename before writing")
+    def typeJson(name: String, dt: DataType, nestedOk: Boolean): String = dt match {
+      case StringType => "\"string\""
+      case IntegerType => "\"int\""
+      case LongType => "\"long\""
+      case FloatType => "\"float\""
+      case DoubleType => "\"double\""
+      case BooleanType => "\"boolean\""
+      case BinaryType => "\"bytes\""
+      case st: StructType =>
+        if (!nestedOk) throw new IllegalArgumentException(
+          s"avroWrite: struct '$name' nests deeper than one level")
+        st.fields.map { f =>
+          legal(f.name)
+          s"""{"name":"${f.name}","type":["null",${typeJson(f.name, f.dataType, nestedOk = false)}]}"""
+        }.mkString(s"""{"type":"record","name":"${name}_r","fields":[""", ",", "]}")
+      case ArrayType(et, _) =>
+        s"""{"type":"array","items":["null",${typeJson(name, et, nestedOk = false)}]}"""
+      case MapType(StringType, vt, _) =>
+        s"""{"type":"map","values":["null",${typeJson(name, vt, nestedOk = false)}]}"""
+      case other => throw new IllegalArgumentException(
+        s"avroWrite: column '$name' has unsupported type $other " +
+          "(primitives, struct/array/map of primitives)")
     }
-    // the schema is built by interpolation, so a name outside Avro's
-    // own lexical rule (avro spec: [A-Za-z_][A-Za-z0-9_]*) would yield
-    // an unparseable or differently-parsed schema — reject it loudly
-    fields.map(_.name).find(!_.matches("[A-Za-z_][A-Za-z0-9_]*")).foreach { bad =>
-      throw new IllegalArgumentException(
-        s"avroWriteFlat: column name '$bad' is not a legal Avro field name " +
-          "([A-Za-z_][A-Za-z0-9_]*); rename the column before writing")
-    }
-    val schemaJson = fields.map(f =>
-        s"""{"name":"${f.name}","type":["null","${avroType(f.dataType)}"]}""")
-      .mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
+    val fields = df.schema.fields
+    val schemaJson = fields.map { f =>
+        legal(f.name)
+        s"""{"name":"${f.name}","type":["null",${typeJson(f.name, f.dataType, nestedOk = true)}]}"""
+      }.mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       new org.apache.hadoop.conf.Configuration(df.sparkSession.sparkContext.hadoopConfiguration))
     org.apache.avro.mapreduce.AvroJob.setOutputKeySchema(job,
       new org.apache.avro.Schema.Parser().parse(schemaJson))
-    val names = fields.map(_.name)
     df.rdd.mapPartitions { it =>
       // one schema parse per TASK, not per record
       val schema = new org.apache.avro.Schema.Parser().parse(schemaJson)
       it.map { r =>
-        val rec = new org.apache.avro.generic.GenericData.Record(schema)
-        names.zipWithIndex.foreach { case (n, i) =>
-          rec.put(n, if (r.isNullAt(i)) null else r.get(i))
-        }
-        (new org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord](rec),
+        (new org.apache.avro.mapred.AvroKey[org.apache.avro.generic.GenericRecord](
+          toAvroRecord(r, schema)),
           org.apache.hadoop.io.NullWritable.get())
       }
     }.saveAsNewAPIHadoopFile(
@@ -422,6 +562,46 @@ object CompatSources {
       classOf[org.apache.hadoop.io.NullWritable],
       classOf[org.apache.avro.mapreduce.AvroKeyOutputFormat[org.apache.avro.generic.GenericRecord]],
       job.getConfiguration)
+  }
+
+  /** Spark Row → GenericRecord following `schema` (field order is
+    * schema order on both sides — [[avroWriteNested]] derives the
+    * schema from the same StructType the Row came from). */
+  private def toAvroRecord(row: org.apache.spark.sql.Row,
+                           schema: org.apache.avro.Schema): org.apache.avro.generic.GenericData.Record = {
+    import scala.jdk.CollectionConverters._
+    def unwrap(s: org.apache.avro.Schema): org.apache.avro.Schema =
+      if (s.getType == org.apache.avro.Schema.Type.UNION)
+        s.getTypes.asScala.find(_.getType != org.apache.avro.Schema.Type.NULL).get
+      else s
+    def toAvro(v: Any, s0: org.apache.avro.Schema): Any = {
+      if (v == null) null
+      else {
+        val s = unwrap(s0)
+        s.getType match {
+          case org.apache.avro.Schema.Type.RECORD =>
+            toAvroRecord(v.asInstanceOf[org.apache.spark.sql.Row], s)
+          case org.apache.avro.Schema.Type.ARRAY =>
+            val seq = v.asInstanceOf[scala.collection.Seq[_]]
+            val out = new java.util.ArrayList[Any](seq.size)
+            seq.foreach(x => out.add(toAvro(x, s.getElementType)))
+            out
+          case org.apache.avro.Schema.Type.MAP =>
+            val out = new java.util.HashMap[String, Any]()
+            v.asInstanceOf[scala.collection.Map[String, _]]
+              .foreach { case (k, x) => out.put(k, toAvro(x, s.getValueType)) }
+            out
+          case org.apache.avro.Schema.Type.BYTES =>
+            java.nio.ByteBuffer.wrap(v.asInstanceOf[Array[Byte]])
+          case _ => v
+        }
+      }
+    }
+    val rec = new org.apache.avro.generic.GenericData.Record(schema)
+    schema.getFields.asScala.zipWithIndex.foreach { case (f, i) =>
+      rec.put(i, toAvro(row.get(i), f.schema()))
+    }
+    rec
   }
 
   /** SequenceFileAsBinaryOutputFormat sink (.../lib/output/

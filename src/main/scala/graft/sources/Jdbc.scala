@@ -40,6 +40,87 @@ object Jdbc {
     spark.read.jdbc(url, table, splitColumn, lo, hi, numPartitions, props)
   }
 
+  /** Text-column range-partitioned read — the reference's TextSplitter
+    * capability (.../lib/db/TextSplitter.java:40) that Spark's own
+    * jdbc reader lacks: `partitionColumn` must be numeric/date there,
+    * so a table whose only indexed key is a VARCHAR cannot be
+    * split-read. Strings map order-preservingly onto base-65536
+    * integers over their first 8 chars (position i contributes
+    * `char << 16*(7-i)` — the same positional scheme TextSplitter
+    * uses); MIN/MAX of the split column are mapped, the interval is
+    * cut uniformly in exact integer arithmetic, and interior cuts map
+    * back to boundary strings. Each range becomes one WHERE predicate
+    * via `spark.read.jdbc(predicates)`: unbounded first/last ranges
+    * plus an IS NULL leg on the first, so every row lands in exactly
+    * one partition even if values drift outside the sampled MIN/MAX
+    * between bound discovery and the read (the reference's splitter
+    * anchors its ends the same way). Splits are range-uniform in the
+    * char space, not row-uniform — same caveat as TextSplitter; AQE
+    * coalesces small partitions downstream. */
+  def readPartitionedText(spark: SparkSession, url: String, table: String,
+                          splitColumn: String, numPartitions: Int,
+                          props: Properties = new Properties): DataFrame = {
+    require(numPartitions >= 1, s"numPartitions must be >= 1: $numPartitions")
+    val q = org.apache.spark.sql.jdbc.JdbcDialects.get(url).quoteIdentifier(splitColumn)
+    val row = spark.read.jdbc(url,
+      s"(SELECT MIN($q) AS lo, MAX($q) AS hi FROM $table) b", props).head()
+    if (numPartitions == 1 || row.isNullAt(0) || row.isNullAt(1))
+      return spark.read.jdbc(url, table, props)
+    val cuts = textCuts(row.getString(0), row.getString(1), numPartitions)
+    if (cuts.isEmpty) return spark.read.jdbc(url, table, props)
+    // boundary strings land inside SQL literals — double any quotes
+    def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    val preds =
+      Seq(s"$q < ${lit(cuts.head)} OR $q IS NULL") ++
+        cuts.sliding(2).collect { case Seq(a, b) =>
+          s"$q >= ${lit(a)} AND $q < ${lit(b)}"
+        } ++
+        Seq(s"$q >= ${lit(cuts.last)}")
+    spark.read.jdbc(url, table, preds.toArray, props)
+  }
+
+  /** Up to `numPartitions - 1` interior boundary strings strictly
+    * ordered ascending (possibly fewer — a narrow [lo, hi] interval
+    * cannot be cut `numPartitions` ways). The common prefix of the
+    * bounds is stripped before mapping and re-attached to every cut
+    * (TextSplitter does the same) — otherwise keys like
+    * `Customer#000000001 .. Customer#000001500`, identical in their
+    * first `depth` chars, would look like an empty interval. Exact
+    * BigInt math: no floating-point drift at depth 8 (65536^8 = 2^128
+    * overflows any primitive). */
+  private[sources] def textCuts(lo0: String, hi0: String, numPartitions: Int): Seq[String] = {
+    val common = lo0.zip(hi0).takeWhile { case (x, y) => x == y }.length
+    val prefix = lo0.take(common)
+    val (lo, hi) = (lo0.drop(common), hi0.drop(common))
+    val depth = 8
+    def toBig(s: String): BigInt =
+      (0 until depth).map { i =>
+        BigInt(if (i < s.length) s.charAt(i).toInt else 0) << (16 * (depth - 1 - i))
+      }.sum
+    def toStr(v: BigInt): String = {
+      val sb = new StringBuilder
+      (0 until depth).foreach { i =>
+        var c = ((v >> (16 * (depth - 1 - i))) & 0xFFFF).toInt
+        // lone surrogates are not valid in SQL string literals; clamp
+        // below the surrogate block (boundaries need only be valid and
+        // ordered, not exact interpolations)
+        if (c >= 0xD800 && c <= 0xDFFF) c = 0xD7FF
+        sb.append(c.toChar)
+      }
+      // NULs are padding, not content - and an embedded NUL would be
+      // hostile inside a SQL literal; truncating at the first one keeps
+      // the boundary valid and still inside (lo, hi)
+      sb.toString.takeWhile(_ != '\u0000')
+    }
+    val (a, b) = (toBig(lo), toBig(hi))
+    if (b <= a) return Seq.empty
+    val raw = (1 until numPartitions).map(k => a + (b - a) * k / numPartitions)
+    // sort + distinct guarantees non-overlapping ranges even if the
+    // surrogate clamp perturbed an interpolated value
+    raw.map(toStr).filter(s => s > lo && s < hi).distinct.sorted
+      .map(prefix + _)
+  }
+
   /** Batched-INSERT sink (DBOutputFormat). */
   def write(df: DataFrame, url: String, table: String,
             mode: SaveMode = SaveMode.Append,

@@ -97,6 +97,91 @@ class CompatSourcesSpec extends SparkSpec {
     }
   }
 
+  test("Avro one-level nested structs round-trip typed; deeper nesting loud") {
+    import org.apache.spark.sql.functions.{col, struct, map_from_arrays, array, lit}
+    val dir = tmpDir()
+    val df = Seq(
+        (1L, ("en", 10), Seq("a", "b"), Map("x" -> 1L)),
+        (2L, ("de", 20), Seq("c"), Map("y" -> 2L, "z" -> 3L)))
+      .toDF("id", "meta0", "toks", "props")
+      .select(col("id"),
+        struct(col("meta0._1").as("lang"), col("meta0._2").as("n")).as("meta"),
+        col("toks"), col("props"))
+    CompatSources.avroWriteNested(df, s"$dir/nested")
+    val back = CompatSources.avroStructs(spark, s"$dir/nested")
+    // schema came from the FILE header, typed — not JSON strings
+    assert(back.schema("meta").dataType.isInstanceOf[org.apache.spark.sql.types.StructType])
+    val rows = back.select(col("id"), col("meta.lang"), col("meta.n"),
+        col("toks"), col("props"))
+      .as[(Long, String, Int, Seq[String], Map[String, Long])].collect().toSet
+    assert(rows == Set(
+      (1L, "en", 10, Seq("a", "b"), Map("x" -> 1L)),
+      (2L, "de", 20, Seq("c"), Map("y" -> 2L, "z" -> 3L))))
+
+    // null struct cell and null array element survive the round-trip
+    val withNulls = Seq(Tuple1(3L)).toDF("id")
+      .select(col("id"),
+        org.apache.spark.sql.functions.lit(null).cast("struct<lang:string,n:int>").as("meta"),
+        array(lit("only"), lit(null).cast("string")).as("toks"),
+        lit(null).cast("map<string,bigint>").as("props"))
+    CompatSources.avroWriteNested(withNulls, s"$dir/nulls")
+    val nback = CompatSources.avroStructs(spark, s"$dir/nulls")
+    val r = nback.collect().head
+    assert(r.getAs[Any]("meta") == null && r.getAs[Any]("props") == null)
+    assert(r.getSeq[String](r.fieldIndex("toks")) == Seq("only", null))
+
+    // a nested file written with the DIRECT Avro API (enum included)
+    val schema = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"doc","fields":[
+        |{"name":"id","type":"long"},
+        |{"name":"meta","type":{"type":"record","name":"m","fields":[
+        |  {"name":"lang","type":{"type":"enum","name":"lg","symbols":["en","de"]}},
+        |  {"name":"n","type":"int"}]}},
+        |{"name":"toks","type":{"type":"array","items":"string"}}]}""".stripMargin)
+    val w = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](schema))
+    w.create(schema, new java.io.File(s"$dir/legacy_nested.avro"))
+    try {
+      val meta = new org.apache.avro.generic.GenericData.Record(schema.getField("meta").schema())
+      meta.put("lang", new org.apache.avro.generic.GenericData.EnumSymbol(
+        schema.getField("meta").schema().getField("lang").schema(), "de"))
+      meta.put("n", 7)
+      val rec = new org.apache.avro.generic.GenericData.Record(schema)
+      rec.put("id", 42L); rec.put("meta", meta)
+      rec.put("toks", java.util.Arrays.asList("x", "y"))
+      w.append(rec)
+    } finally w.close()
+    val legacy = CompatSources.avroStructs(spark, s"$dir/legacy_nested.avro")
+      .select(col("id"), col("meta.lang"), col("meta.n"), col("toks"))
+      .as[(Long, String, Int, Seq[String])].collect().toSet
+    assert(legacy == Set((42L, "de", 7, Seq("x", "y"))))
+
+    // two-level nesting: loud on write…
+    intercept[IllegalArgumentException] {
+      CompatSources.avroWriteNested(df.select(struct(col("meta")).as("outer")), s"$dir/deep")
+    }
+    // …and loud on read of a direct-API deep file
+    val deep = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"o","fields":[{"name":"a","type":
+        |{"type":"record","name":"b","fields":[{"name":"c","type":
+        |{"type":"record","name":"d","fields":[{"name":"e","type":"int"}]}}]}}]}""".stripMargin)
+    val w2 = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](deep))
+    w2.create(deep, new java.io.File(s"$dir/deep.avro"))
+    try {
+      val d3 = new org.apache.avro.generic.GenericData.Record(deep.getField("a").schema().getField("c").schema())
+      d3.put("e", 1)
+      val d2 = new org.apache.avro.generic.GenericData.Record(deep.getField("a").schema())
+      d2.put("c", d3)
+      val d1 = new org.apache.avro.generic.GenericData.Record(deep)
+      d1.put("a", d2)
+      w2.append(d1)
+    } finally w2.close()
+    intercept[IllegalArgumentException] {
+      CompatSources.avroStructs(spark, s"$dir/deep.avro")
+    }
+  }
+
   test("sequenceFileTypedWrite declares native Writable classes in the header") {
     val dir = tmpDir()
     // Int keys, Double values — the shape sequenceFileWrite's
