@@ -80,6 +80,51 @@ private[ops] object FsTrees {
     all
   }
 
+  /** Full-status variant of [[walkDistributed]] for consumers that
+    * need ownership/permission metadata in the listing ([[Har]]'s
+    * index props): columns `path, len, is_dir, mtime, perm, owner,
+    * group`. Same level-by-level shape and persistence contract —
+    * returned persisted + materialized, caller unpersists. Kept as its
+    * own loop rather than widening [[walkDistributed]]: its callers
+    * unpersist the exact frame they were handed, so changing that
+    * frame's schema under them would silently break the cache
+    * accounting. */
+  def walkStatusesDistributed(spark: SparkSession, root: Path, conf: Configuration,
+                              fanout: Int = 256): DataFrame = {
+    import spark.implicits._
+    def row(st: FileStatus): (String, Long, Boolean, Long, Int, String, String) =
+      (st.getPath.toString, if (st.isFile) st.getLen else 0L, st.isDirectory,
+        st.getModificationTime, st.getPermission.toShort.toInt,
+        st.getOwner, st.getGroup)
+    val cols = Seq("path", "len", "is_dir", "mtime", "perm", "owner", "group")
+    val fs = root.getFileSystem(conf)
+    val rootSt = fs.getFileStatus(root)
+    val confBytes = shipConf(conf)
+    val rootRow = Seq(row(rootSt)).toDF(cols: _*)
+    var levels = Seq.empty[DataFrame]
+    var frontier: Seq[String] =
+      if (rootSt.isDirectory) Seq(rootSt.getPath.toString) else Seq.empty
+    while (frontier.nonEmpty) {
+      val parts = math.max(1, math.min(fanout, frontier.size))
+      val level = spark.sparkContext.parallelize(frontier, parts)
+        .mapPartitions { it =>
+          val c = readConf(confBytes)
+          it.flatMap { d =>
+            val p = new Path(d)
+            p.getFileSystem(c).listStatus(p).iterator.map(row)
+          }
+        }.toDF(cols: _*)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      frontier = level.where(col("is_dir")).select("path").as[String].collect().toSeq
+      levels :+= level
+    }
+    val all = (rootRow +: levels).reduce(_ unionByName _)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    all.count()
+    levels.foreach(_.unpersist())
+    all
+  }
+
   /** Byte-balanced task assignment shared by the tree jobs: largest
     * first, round-robin over `slots`, so no task gets all the big
     * files. Returns (slot, item) pairs. */

@@ -60,7 +60,7 @@ object Har {
     relPath.hashCode & 0x7fffffff
 
   def archive(spark: SparkSession, src: String, dstHar: String,
-              partsHint: Int = 0): ArchiveResult = {
+              partsHint: Int = 0, distributedListing: Boolean = false): ArchiveResult = {
     require(dstHar.endsWith(".har"), s"HAR path must end in .har: $dstHar")
     registerScheme(spark)
     val conf = new org.apache.hadoop.conf.Configuration(
@@ -68,6 +68,10 @@ object Har {
     val srcFs = new Path(src).getFileSystem(conf)
     val srcPath = srcFs.makeQualified(new Path(src))
     val srcRootSt = srcFs.getFileStatus(srcPath)
+    // the distributed listing exists for huge TREES; a single-file src
+    // is by definition not one
+    if (distributedListing && srcRootSt.isDirectory)
+      return archiveDistributed(spark, srcPath, dstHar, partsHint, conf)
     // a single-file src relativizes against its PARENT (DistCp's rule)
     // so the archive holds "/<name>" plus a root dir entry, not a
     // nameless "/" file
@@ -164,11 +168,121 @@ object Har {
     val lines = fileEntries.map { case (h, l, _) => (h, l) }
       .union(spark.sparkContext.parallelize(dirLines,
         math.max(1, math.min(slots, dirLines.size))))
-      .sortBy(_._1)
 
-    // _index + _masterindex ("3", then hash/byte ranges per 1000 lines),
-    // streamed: one partition in driver memory at a time, masterindex
-    // accumulates O(files/1000)
+    writeIndexAndPublish(dstFs, tmpPath, dstPath, lines)
+    fileEntries.unpersist()
+
+    ArchiveResult(nFiles, dirStatuses.size, slices.size, nBytes)
+  }
+
+  /** Scale path past driver memory — the [[DistCp.copyDistributed]]
+    * posture applied to archiving: the tree is listed level-by-level
+    * with the directory frontier spread over executors
+    * ([[FsTrees.walkStatusesDistributed]]), file→part assignment is a
+    * metadata-only window instead of a driver-side sort, per-dir child
+    * lists come from a distributed groupBy on the parent path, and the
+    * driver never holds O(files) of anything — its costs are
+    * O(directories-per-level) frontiers and the streamed index write.
+    * The ~100M-file archives HAR exists for (HadoopArchives.java:84
+    * motivates the tool with the namenode small-file problem) don't
+    * fit the driver-side listing's multi-GB status Seq. */
+  private def archiveDistributed(spark: SparkSession, srcPath: Path,
+                                 dstHar: String, partsHint: Int,
+                                 conf: org.apache.hadoop.conf.Configuration): ArchiveResult = {
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val all = FsTrees.walkStatusesDistributed(spark, srcPath, conf)
+    val rootStr = srcPath.toString
+    // qualified child paths share the root's prefix: rel = "/" + suffix
+    val withRel = all.withColumn("rel",
+      when(col("path") === rootStr, lit("/"))
+        .otherwise(concat(lit("/"), expr(s"substring(path, ${rootStr.length + 2})"))))
+    val files = withRel.where(!col("is_dir"))
+    val nFiles = files.count()
+    val nDirs = withRel.where(col("is_dir")).count()
+
+    val dstFs = new Path(dstHar).getFileSystem(conf)
+    val dstPath = dstFs.makeQualified(new Path(dstHar))
+    val tmpPath = new Path(dstPath.getParent, s".${dstPath.getName}.tmp")
+    dstFs.delete(tmpPath, true)
+    dstFs.mkdirs(tmpPath)
+
+    val slots = math.max(1, math.min(
+      if (partsHint > 0) partsHint.toLong else spark.sparkContext.defaultParallelism.toLong,
+      math.max(1L, nFiles))).toInt
+    val confBytes = FsTrees.shipConf(conf)
+    val tmpStr = tmpPath.toString
+
+    // byte-balanced slot assignment as a single-task window over file
+    // METADATA (len desc round-robin — the driver-sized cost the
+    // reference's own listing sort pays); ranges over the dense
+    // [0, slots) ids land exactly one slot per task
+    val slotted = files.withColumn("slot",
+        pmod(row_number().over(org.apache.spark.sql.expressions.Window
+          .orderBy(col("len").desc, col("rel"))), lit(slots)))
+      .repartitionByRange(slots, col("slot"))
+    val fileEntries: org.apache.spark.rdd.RDD[(Int, String, Long)] =
+      slotted.select(col("path"), col("rel"), col("mtime"), col("perm"),
+          col("owner"), col("group"), col("slot"))
+        .as[(String, String, Long, Int, String, String, Int)].rdd
+        .mapPartitions { it =>
+          if (!it.hasNext) Iterator.empty
+          else {
+            val c = FsTrees.readConf(confBytes)
+            val buffered = it.buffered
+            val partName = s"part-${buffered.head._7}"
+            val outP = new Path(tmpStr, partName)
+            val out = outP.getFileSystem(c).create(outP, true)
+            // strict: offsets come from the stream position, so the
+            // whole slice must be written before the iterator returns
+            val entries = try buffered.map { case (pStr, r, mtime, perm, owner, group, _) =>
+              val p = new Path(pStr)
+              val start = out.getPos
+              val in = p.getFileSystem(c).open(p)
+              try org.apache.hadoop.io.IOUtils.copyBytes(in, out, 64 * 1024, false)
+              finally in.close()
+              val len = out.getPos - start
+              val pr = enc(s"$mtime $perm ${enc(owner)} ${enc(group)}")
+              (harHash(r), s"${enc(r)} file $partName $start $len $pr ", len)
+            }.toVector finally out.close()
+            entries.iterator
+          }
+        }.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val nBytes = fileEntries.map(_._3).sum().toLong
+
+    // per-dir child-name lists via a distributed groupBy on the parent
+    // path (the one piece the driver path holds as a Map); names
+    // sorted for determinism — HarFileSystem does not care about order
+    val childAgg = withRel.where(col("path") =!= rootStr)
+      .select(regexp_replace(col("path"), "/[^/]*$", "").as("parent"),
+        substring_index(col("path"), "/", -1).as("name"))
+      .groupBy("parent").agg(sort_array(collect_list(col("name"))).as("names"))
+    val dirLines = withRel.where(col("is_dir"))
+      .join(childAgg, withRel("path") === childAgg("parent"), "left")
+      .select(col("rel"), col("mtime"), col("perm"), col("owner"), col("group"), col("names"))
+      .as[(String, Long, Int, String, String, Option[Seq[String]])].rdd
+      .map { case (r, mtime, perm, owner, group, names) =>
+        val pr = enc(s"$mtime $perm ${enc(owner)} ${enc(group)}")
+        (harHash(r), s"${enc(r)} dir $pr 0 0 " +
+          names.getOrElse(Seq.empty).map(c => enc(c) + " ").mkString)
+      }
+
+    writeIndexAndPublish(dstFs, tmpPath, dstPath,
+      fileEntries.map { case (h, l, _) => (h, l) }.union(dirLines))
+    fileEntries.unpersist()
+    all.unpersist()
+    ArchiveResult(nFiles, nDirs, if (nFiles == 0) 0 else slots, nBytes)
+  }
+
+  /** Sort the index lines by hash distributed, then stream them into
+    * `_index` one partition at a time (the driver never holds
+    * O(files) lines), build `_masterindex` ("3", then hash/byte
+    * ranges per 1000 lines, O(files/1000)), and publish by replacing
+    * the old archive only once the new one is complete on disk. */
+  private def writeIndexAndPublish(dstFs: org.apache.hadoop.fs.FileSystem,
+                                   tmpPath: Path, dstPath: Path,
+                                   linesUnsorted: org.apache.spark.rdd.RDD[(Int, String)]): Unit = {
+    val lines = linesUnsorted.sortBy(_._1)
     val indexOut = dstFs.create(new Path(tmpPath, "_index"), true)
     val master = new StringBuilder("3 \n")
     try {
@@ -184,17 +298,12 @@ object Har {
       }
       if (written > 0) master.append(s"$startHash $lastHash $startPos $curPos \n")
     } finally indexOut.close()
-    fileEntries.unpersist()
     val masterOut = dstFs.create(new Path(tmpPath, "_masterindex"), true)
     try masterOut.write(master.toString.getBytes("UTF-8"))
     finally masterOut.close()
 
-    // publish: replace the old archive only now that the new one is
-    // complete on disk
     dstFs.delete(dstPath, true)
     if (!dstFs.rename(tmpPath, dstPath))
       sys.error(s"HAR publish failed: rename $tmpPath -> $dstPath")
-
-    ArchiveResult(nFiles, dirStatuses.size, slices.size, nBytes)
   }
 }

@@ -134,4 +134,58 @@ class HarSpec extends SparkSpec {
     assert(Har.harHash("/") == ("/".hashCode & 0x7fffffff))
     assert(Har.harHash("/a/b.txt") >= 0)
   }
+
+  test("distributed listing produces the same archive surface as the driver path") {
+    val src = mkTree()
+    val out = Files.createTempDirectory("har-out").toString
+    val r1 = Har.archive(spark, src, s"$out/drv.har", partsHint = 2)
+    val r2 = Har.archive(spark, src, s"$out/dist.har", partsHint = 2,
+      distributedListing = true)
+    assert(r2.files == r1.files && r2.dirs == r1.dirs && r2.bytes == r1.bytes, (r1, r2))
+    // byte-exact file reads through the stock reader on BOTH archives
+    for (rel <- Seq("/top.txt", "/a/mid.csv", "/a/b/deep.bin", "/a/b/empty.dat")) {
+      def read(dst: String): Seq[Byte] = {
+        val fs = harFs(s"har://$out/$dst")
+        val in = fs.open(new Path(s"har://$out/$dst$rel"))
+        val buf = new java.io.ByteArrayOutputStream()
+        try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+        finally in.close()
+        buf.toByteArray.toSeq
+      }
+      assert(read("dist.har") == read("drv.har"), rel)
+    }
+  }
+
+  test("100k-entry tree archives via the distributed path and reads back") {
+    // the scale contract: the listing, slot assignment, child lists and
+    // index all stay distributed — the driver streams, never holds,
+    // O(files). 100 dirs x 1000 files (+ dirs + root = 100,101 entries),
+    // files created from executors so the fixture build parallelizes.
+    val root = Files.createTempDirectory("har-100k").toString
+    (0 until 100).foreach(d => Files.createDirectories(Paths.get(f"$root/d$d%03d")))
+    spark.sparkContext.parallelize(0 until 100000, 32).foreach { i =>
+      val p = Paths.get(f"$root/d${i / 1000}%03d/f$i%06d.txt")
+      Files.writeString(p, i.toString)
+      ()
+    }
+    val dst = Files.createTempDirectory("har-out").toString + "/big.har"
+    val r = Har.archive(spark, root, dst, distributedListing = true)
+    assert(r.files == 100000 && r.dirs == 101, r)
+    // every entry made it into the index (streamed count, not a parse)
+    val indexLines = Files.lines(Paths.get(s"$dst/_index")).count()
+    assert(indexLines == 100101L, indexLines)
+    // point reads through the stock HarFileSystem across the range
+    val harRoot = s"har://${new java.net.URI("file://" + dst).getPath}"
+    val fs = harFs(harRoot)
+    for (i <- Seq(0, 1, 999, 50000, 99999)) {
+      val in = fs.open(new Path(harRoot + f"/d${i / 1000}%03d/f$i%06d.txt"))
+      val buf = new java.io.ByteArrayOutputStream()
+      try org.apache.hadoop.io.IOUtils.copyBytes(in, buf, 4096, false)
+      finally in.close()
+      assert(new String(buf.toByteArray, "UTF-8") == i.toString, i)
+    }
+    // and a Spark scan straight off one archived directory
+    val n = spark.read.textFile(s"$harRoot/d042").count()
+    assert(n == 1000L, n)
+  }
 }
