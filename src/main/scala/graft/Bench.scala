@@ -36,6 +36,18 @@ object Bench {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
     }
 
+    // 10× documents for the dedup-family scale trends: replica-tagged
+    // ids AND replica-tagged words (see the q27_x10 comment below).
+    def docsX10(spark: SparkSession, dir: String) = {
+      import org.apache.spark.sql.functions._
+      spark.read.parquet(s"$dir/documents.parquet")
+        .crossJoin(spark.range(10).select(col("id").as("rep")))
+        .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+          regexp_replace(col("text"), lit("(\\S+)"),
+            concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+        .repartition(32)
+    }
+
     // Warm each headline plan once on the smallest SF so measured times
     // reflect steady-state execution, not first-plan codegen/classload.
     headline.foreach { name =>
@@ -91,6 +103,37 @@ object Bench {
               .select((col("doc_id") * 10 + col("rep")).as("doc_id"), col("text"))
               .repartition(32)
             graft.llm.Repetition.signals(d, "doc_id", "text")
+              .write.mode("overwrite").format("noop").save()
+          }
+        }.min
+      } catch { case _: Throwable => -1.0 }),
+      // Dedup-family scale trends: MinHash sketch→verify and the
+      // pair→group components at 10× the corpus. Each replica prefixes
+      // EVERY word with its replica tag, so no shingle crosses
+      // replicas: the near-dup pair structure replicates 10× (the
+      // honest linear scale-up) instead of every doc gaining 9
+      // near-identical twins (a quadratic pair explosion that would
+      // measure a different workload, not scaling).
+      "q27_x10" -> (try {
+        Seq.fill(2) {
+          spark.catalog.clearCache()
+          time {
+            graft.llm.Dedup.minHashVerifiedPairs(
+              docsX10(spark, sfDir), "doc_id", "text", 3, 0.5)
+              .write.mode("overwrite").format("noop").save()
+          }
+        }.min
+      } catch { case _: Throwable => -1.0 }),
+      "q49_x10" -> (try {
+        Seq.fill(2) {
+          spark.catalog.clearCache()
+          time {
+            import org.apache.spark.sql.functions._
+            graft.llm.Dedup.components(
+              graft.llm.Dedup.minHashVerifiedPairs(
+                docsX10(spark, sfDir), "doc_id", "text", 3, 0.5))
+              .groupBy("comp_id")
+              .agg(count(lit(1)).as("n_docs"), sum("id").as("id_sum"))
               .write.mode("overwrite").format("noop").save()
           }
         }.min

@@ -1025,7 +1025,22 @@ object SparkEntry {
         .select(col("c_name"), col("c_custkey").cast("long").as("ck"),
           col("c_mktsegment"))
         .orderBy("ck")
-    })
+    }),
+
+    // Q84 — stateful dedup, batch-checkable face (§2.10): keep the
+    // event-time-earliest event per (user, type). This is the
+    // deterministic replay semantics of the streaming
+    // dropDuplicatesWithinWatermark surface (StatefulOps
+    // .dedupWithinWatermark); stream/batch agreement is spec-pinned in
+    // StatefulSpec, and the oracle re-derives the representative with
+    // ROW_NUMBER — possible only because the kept row is the earliest,
+    // not dropDuplicates' arbitrary one.
+    "q84_stateful_dedup" -> ((s, d) =>
+      graft.streaming.StatefulOps.dedupEarliestBatch(
+        ev(s, d), Seq("user_id", "event_type"), "ts", tieCols = Seq("value"))
+        .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
+          round(col("value"), 4).as("v"))
+        .orderBy("user_id", "event_type"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1637,7 +1652,21 @@ object SparkEntry {
     // across the predicate ranges
     "q83_jdbc_text_split" ->
       """SELECT c_name, c_custkey AS ck, c_mktsegment
-        |FROM customer ORDER BY ck""".stripMargin
+        |FROM customer ORDER BY ck""".stripMargin,
+
+    // earliest-(ts, value) representative per key, re-derived with a
+    // window rank. The cast to micro-resolution TIMESTAMP happens in
+    // its own CTE so the window ranks the SAME precision Spark reads
+    // (events.parquet is nanos; Tables.events truncates to micros).
+    "q84_stateful_dedup" ->
+      """WITH c AS (SELECT user_id, event_type, CAST(ts AS TIMESTAMP) AS cts, value
+        |  FROM events),
+        |r AS (SELECT user_id, event_type, cts, value,
+        |  ROW_NUMBER() OVER (PARTITION BY user_id, event_type
+        |                     ORDER BY cts, value) AS rn
+        |  FROM c)
+        |SELECT user_id, event_type, cts AS first_ts, ROUND(value, 4) AS v
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -100,11 +100,23 @@ object Main {
         val n = Compaction.compactParquet(spark, in, out)
         println(s"compacted $in -> $out ($n files)")
 
-      // hadoop archive: pack a tree into a har:// readable archive
-      case "archive" :: src :: dst :: Nil =>
-        val r = graft.ops.Har.archive(spark, src, dst)
-        println(s"archived ${r.files} files (${r.bytes} bytes) + ${r.dirs} dirs " +
-          s"into ${r.parts} parts at $dst (readable via har:// URIs)")
+      // hadoop archive: pack a tree into a har:// readable archive.
+      // -distributed lists the tree from executors (≥10M-entry trees
+      // whose listing would not fit the driver — SCALE.md trade-off 4)
+      case "archive" :: tail if tail.nonEmpty =>
+        val dist = tail.contains("-distributed")
+        tail.filter(_.startsWith("-")).filterNot(_ == "-distributed") match {
+          case bad if bad.nonEmpty =>
+            sys.error(s"archive: unknown flag(s) ${bad.mkString(" ")}")
+          case _ => ()
+        }
+        tail.filterNot(_.startsWith("-")) match {
+          case src :: dst :: Nil =>
+            val r = graft.ops.Har.archive(spark, src, dst, distributedListing = dist)
+            println(s"archived ${r.files} files (${r.bytes} bytes) + ${r.dirs} dirs " +
+              s"into ${r.parts} parts at $dst (readable via har:// URIs)")
+          case other => sys.error(s"archive: expected <src-tree> <dst.har>, got $other")
+        }
 
       // DistCp: listing-based copy of an arbitrary file tree. -update
       // skips destination files that already match by size; -diff runs
@@ -243,7 +255,7 @@ object Main {
         |  pipe [-reduce <keyCol>] [-io typedbytes] [-schema <ddl>] <in.parquet> <cmd> [arg...] -- <out>
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
-        |  archive <src-tree> <dst.har>
+        |  archive [-distributed] <src-tree> <dst.har>
         |  copy [-update] [-checksum] [-diff] [-p] [-bandwidth <MB/s>] <src-tree> <dst>
         |  chmod <mode> <tree>
         |  split <in.parquet> <idCol> name=w,name=w,... <out>

@@ -73,6 +73,40 @@ object StatefulOps {
       }
   }
 
+  /** Event-time streaming dedup via Spark's own
+    * `dropDuplicatesWithinWatermark`: keep the first arrival per key,
+    * with per-key state evicted once the watermark passes `delay`
+    * behind the max seen event time — the bounded-memory contract
+    * [[dedupFirst]] provides with processing-time TTL, here tied to
+    * EVENT time so replaying an out-of-order-but-bounded stream
+    * suppresses the same duplicates. Works on a streaming Dataset;
+    * on a batch Dataset Spark treats it as plain dropDuplicates. */
+  def dedupWithinWatermark(ds: Dataset[org.apache.spark.sql.Row],
+                           keyCols: Seq[String], tsCol: String,
+                           delay: String): Dataset[org.apache.spark.sql.Row] =
+    ds.withWatermark(tsCol, delay).dropDuplicatesWithinWatermark(keyCols)
+
+  /** Batch twin of the streaming dedups, with the DETERMINISTIC
+    * representative the streaming side converges to when arrivals are
+    * event-time ordered: the row with the smallest `(tsCol, tieCols)`
+    * per key. Plain dropDuplicates keeps an ARBITRARY row, which no
+    * oracle can re-derive; min_by over the full row struct keeps the
+    * earliest and needs one partial-aggregated shuffle, no window
+    * straggler. This is the replay/batch-reprocessing semantics of
+    * [[dedupWithinWatermark]] on a finite, fully-arrived dataset. */
+  def dedupEarliestBatch(df: org.apache.spark.sql.DataFrame,
+                         keyCols: Seq[String], tsCol: String,
+                         tieCols: Seq[String] = Seq.empty): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions._
+    require(keyCols.nonEmpty, "dedupEarliestBatch: need at least one key column")
+    val ord = struct((tsCol +: tieCols).map(col): _*)
+    val row = struct(df.columns.map(col): _*)
+    val kept = df.groupBy(keyCols.map(col): _*)
+      .agg(min_by(row, ord).as("__first"))
+      .select(col("__first.*"))
+    kept
+  }
+
   /** Running per-key event count, updated every micro-batch —
     * the minimal mapGroupsWithState shape (update-mode state). */
   def runningCounts(events: Dataset[Event]): Dataset[(Long, Long)] = {

@@ -26,6 +26,23 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/g").count() == 1)
   }
 
+  test("archive verb accepts -distributed and rejects unknown flags") {
+    val src = java.nio.file.Files.createTempDirectory("cli-har")
+    java.nio.file.Files.writeString(src.resolve("a.txt"), "one\n")
+    java.nio.file.Files.writeString(src.resolve("b.txt"), "two\n")
+    val out = java.nio.file.Files.createTempDirectory("cli-har-out").toString
+    runVerb("archive", "-distributed", src.toString, s"$out/t.har")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(s"har://$out/t.har"), spark.sparkContext.hadoopConfiguration)
+    val names = fs.listStatus(new org.apache.hadoop.fs.Path(s"har://$out/t.har"))
+      .map(_.getPath.getName).sorted
+    assert(names.toSeq == Seq("a.txt", "b.txt"), names.toSeq)
+    val e = intercept[java.lang.reflect.InvocationTargetException] {
+      runVerb("archive", "-distribtued", src.toString, s"$out/typo.har")
+    }
+    assert(e.getCause.getMessage.contains("unknown flag"), e.getCause.getMessage)
+  }
+
   test("dedup verb finds the planted near-duplicates") {
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
     runVerb("dedup", s"$sf/documents.parquet", "text", "doc_id", "0.5", s"$tmp/dd")

@@ -74,6 +74,49 @@ class StatefulSpec extends SparkSpec {
     } finally q.stop()
   }
 
+  test("dropDuplicatesWithinWatermark stream agrees with the batch earliest-row twin") {
+    implicit val sqlCtx = spark.sqlContext
+    // event-time-ordered arrivals, duplicates landing in LATER batches
+    // than their originals (or alone in their batch), so the streaming
+    // first-arrival keep is deterministically the earliest row — the
+    // exact representative dedupEarliestBatch picks
+    val batch1 = Seq((ts(0), 1L, "click", 1.0), (ts(1), 2L, "view", 2.0))
+    val batch2 = Seq((ts(2), 1L, "click", 3.0), // dup of (1, click)
+                     (ts(3), 3L, "click", 4.0),
+                     (ts(4), 2L, "view", 5.0))  // dup of (2, view)
+    val ms = MemoryStream[(Timestamp, Long, String, Double)]
+    val streamed = StatefulOps.dedupWithinWatermark(
+      ms.toDS().toDF("ts", "user_id", "event_type", "value"),
+      Seq("user_id", "event_type"), "ts", "10 minutes")
+    val q = streamed.writeStream.format("memory").queryName("wm_dedup")
+      .outputMode("append").start()
+    try {
+      ms.addData(batch1: _*); q.processAllAvailable()
+      ms.addData(batch2: _*); q.processAllAvailable()
+      val got = spark.table("wm_dedup")
+        .as[(Timestamp, Long, String, Double)].collect().toSet
+      val expected = StatefulOps.dedupEarliestBatch(
+        (batch1 ++ batch2).toDF("ts", "user_id", "event_type", "value"),
+        Seq("user_id", "event_type"), "ts", tieCols = Seq("value"))
+        .as[(Timestamp, Long, String, Double)].collect().toSet
+      assert(got == expected, s"stream $got vs batch $expected")
+      assert(got.map(r => (r._2, r._3)) ==
+        Set((1L, "click"), (2L, "view"), (3L, "click")))
+    } finally q.stop()
+  }
+
+  test("dedupEarliestBatch keeps the (ts, tie)-minimal row per key") {
+    val df = Seq(
+        (ts(5), 1L, "a", 9.0), (ts(1), 1L, "a", 7.0), // earliest wins
+        (ts(2), 1L, "a", 3.0),
+        (ts(2), 2L, "b", 5.0), (ts(2), 2L, "b", 1.0)) // ts tie → min value
+      .toDF("ts", "user_id", "event_type", "value")
+    val kept = StatefulOps.dedupEarliestBatch(
+        df, Seq("user_id", "event_type"), "ts", tieCols = Seq("value"))
+      .as[(Timestamp, Long, String, Double)].collect().toSet
+    assert(kept == Set((ts(1), 1L, "a", 7.0), (ts(2), 2L, "b", 1.0)), kept)
+  }
+
   test("flatMapGroupsWithState emits session summary on timeout") {
     implicit val sqlCtx = spark.sqlContext
     val ms = MemoryStream[Event]
