@@ -1040,7 +1040,31 @@ object SparkEntry {
         ev(s, d), Seq("user_id", "event_type"), "ts", tieCols = Seq("value"))
         .select(col("user_id"), col("event_type"), col("ts").as("first_ts"),
           round(col("value"), 4).as("v"))
-        .orderBy("user_id", "event_type"))
+        .orderBy("user_id", "event_type")),
+
+    // Q85 — cross-document line dedup (RefinedWeb/C4 boilerplate
+    // scrub): lines occurring in more than maxDf distinct documents
+    // are removed from every document, survivors reassembled in
+    // order. Word-soup fixture has no newlines, so words stand in as
+    // lines (the q64 convention); at maxDf=250 the common soup
+    // vocabulary is the "site chrome" being scrubbed.
+    "q85_line_dedup" -> ((s, d) =>
+      graft.llm.Dedup.lineDedup(docs(s, d), "doc_id", "text",
+        maxDf = 250, sep = " ")
+        .select(col("doc_id"), col("n_lines"),
+          md5(col("text").cast("binary")).as("new_md5"))
+        .orderBy("doc_id")),
+
+    // Q86 — deterministic exact-proportion stratified sample: per
+    // lang, the ceil(n/5) docs with smallest md5(doc_id) — class-
+    // balanced subsetting that is reproducible across runs/engines
+    // (sampleBy is seeded Bernoulli: expected-count only, and its
+    // RNG does not reproduce in SQL).
+    "q86_stratified_sample" -> ((s, d) =>
+      graft.ops.Sampling.stratifiedExact(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), num = 1, den = 5)
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1666,7 +1690,38 @@ object SparkEntry {
         |                     ORDER BY cts, value) AS rn
         |  FROM c)
         |SELECT user_id, event_type, cts AS first_ts, ROUND(value, 4) AS v
-        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin
+        |FROM r WHERE rn = 1 ORDER BY user_id, event_type""".stripMargin,
+
+    // recompute the whole scrub: per-line document frequency over
+    // DISTINCT docs, drop lines past the cap, reassemble in position
+    // order; docs scrubbed to nothing keep a row via the LEFT JOIN
+    "q85_line_dedup" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |l AS (SELECT doc_id, i AS pos, ws[i] AS line
+        |      FROM tok, generate_series(1, 2000) t(i)
+        |      WHERE i <= len(ws) AND trim(ws[i]) <> ''),
+        |c AS (SELECT line FROM (SELECT line, COUNT(DISTINCT doc_id) AS df
+        |                        FROM l GROUP BY line) WHERE df > 250),
+        |k AS (SELECT doc_id, pos, line FROM l
+        |      WHERE line NOT IN (SELECT line FROM c)),
+        |a AS (SELECT doc_id, COUNT(*) AS n_lines,
+        |             string_agg(line, ' ' ORDER BY pos) AS t
+        |      FROM k GROUP BY doc_id)
+        |SELECT d.doc_id, CAST(COALESCE(a.n_lines, 0) AS BIGINT) AS n_lines,
+        |  MD5(COALESCE(a.t, '')) AS new_md5
+        |FROM documents d LEFT JOIN a ON a.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // integer keep rule (rn-1)*den < n*num == rn <= ceil(n*num/den):
+    // no double threshold to round differently across engines
+    "q86_stratified_sample" ->
+      """WITH r AS (SELECT doc_id, lang,
+        |  ROW_NUMBER() OVER (PARTITION BY lang
+        |    ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn,
+        |  COUNT(*) OVER (PARTITION BY lang) AS n
+        |  FROM documents)
+        |SELECT doc_id, lang FROM r WHERE (rn - 1) * 5 < n
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

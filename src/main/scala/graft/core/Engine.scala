@@ -72,6 +72,10 @@ object Engine {
     * near-empty shuffle-map tasks (per-task fixed cost dominates below
     * a few MB per task). */
   def widen(df: DataFrame): DataFrame = {
+    // a streaming Dataset has no .rdd (and its parallelism is the
+    // source's micro-batch partitioning) — widening is a no-op there,
+    // which keeps the map-only ops stream-composable
+    if (df.isStreaming) return df
     val slots = df.sparkSession.sparkContext.defaultParallelism
     val parts = df.rdd.getNumPartitions
     if (parts >= slots) df

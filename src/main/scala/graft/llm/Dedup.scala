@@ -101,6 +101,53 @@ object Dedup {
       .select(col("h"), col("c"), col("ids"))
   }
 
+  /** Cross-document LINE dedup — the RefinedWeb/C4-style boilerplate
+    * scrub that runs before whole-document dedup: a line occurring in
+    * more than `maxDf` DISTINCT documents (site chrome, license
+    * headers, cookie banners) is removed from EVERY document, and each
+    * document's surviving lines are reassembled in original order.
+    * Returns `idCol, textCol, n_lines` — one row per input document,
+    * `("", 0)` when everything was boilerplate (dropping such docs
+    * silently would hide exactly the documents the scrub gutted).
+    *
+    * Scale shape: the DF count shuffles one row per DISTINCT
+    * (doc, line) pair — the postings discipline, line bytes ∝ corpus.
+    * The common set is bounded by construction (|common| ≤ Σ distinct
+    * lines per doc / maxDf) and broadcast for an exchange-free anti
+    * join on the wide side; `broadcastCommon = false` plans the same
+    * anti join as a shuffle for pathological (tiny-maxDf) calls.
+    * Reassembly groups the SURVIVING lines by document — a corpus-sized
+    * shuffle, the honest cost of any pass that rewrites text (the
+    * alternative, re-filtering per-row against a driver-collected
+    * common array, holds O(common) on the driver and in every task).
+    * `sep` is a literal separator, split with -1 so trailing empties
+    * don't shift positions; blank lines are not counted or deduped and
+    * do not survive reassembly (same normalization as the quality
+    * signals). */
+  def lineDedup(df: DataFrame, idCol: String, textCol: String,
+                maxDf: Long, sep: String = "\n",
+                broadcastCommon: Boolean = true): DataFrame = {
+    require(maxDf >= 1, s"maxDf must be >= 1: $maxDf")
+    val lines = widen(df).select(col(idCol),
+        posexplode(split(col(textCol), java.util.regex.Pattern.quote(sep), -1)))
+      .withColumnRenamed("pos", "__pos").withColumnRenamed("col", "__line")
+      .where(length(trim(col("__line"))) > 0)
+    val common0 = lines.select(col(idCol), col("__line")).distinct()
+      .groupBy("__line").agg(count(lit(1)).as("__df"))
+      .where(col("__df") > maxDf)
+      .select("__line")
+    val common = if (broadcastCommon) broadcast(common0) else common0
+    val kept = lines.join(common, Seq("__line"), "left_anti")
+      .groupBy(col(idCol))
+      .agg(count(lit(1)).as("n_lines"),
+        concat_ws(sep, transform(
+          array_sort(collect_list(struct(col("__pos"), col("__line")))),
+          x => x.getField("__line"))).as("__text"))
+    df.select(col(idCol)).join(kept, Seq(idCol), "left")
+      .select(col(idCol), coalesce(col("__text"), lit("")).as(textCol),
+        coalesce(col("n_lines"), lit(0L)).as("n_lines"))
+  }
+
   /** Duplicate-prefix groups (first `nWords` tokens) — catches
     * truncated/extended near-copies. */
   def prefixGroups(df: DataFrame, textCol: String, nWords: Int): DataFrame =

@@ -64,6 +64,31 @@ object Sampling {
                     fractions: Map[T, Double], seed: Long = 42L): DataFrame =
     df.stat.sampleBy(keyCol, fractions, seed)
 
+  /** Deterministic EXACT-proportion stratified sample: per stratum,
+    * keep the `ceil(n_k * num / den)` rows with the smallest md5(id) —
+    * [[deterministicSample]]'s content-stable/reproducible contract
+    * applied per class, and exact-count where [[stratified]]
+    * (`sampleBy`) is only expected-count. The fraction is an integer
+    * ratio so the keep rule is pure integer arithmetic — a double
+    * threshold can round differently across engines (the q50 lesson).
+    * One hash-partition shuffle on the stratum key; each stratum ranks
+    * inside its partitions (sort spills if a stratum is huge — the
+    * same bound any per-key window op carries; a stratum column with
+    * near-row cardinality makes the ranks trivially 1 and the sort
+    * free). */
+  def stratifiedExact(df: DataFrame, strataCol: String, id: Column,
+                      num: Long, den: Long): DataFrame = {
+    require(num >= 0 && den > 0 && num <= den,
+      s"stratifiedExact: need 0 <= num <= den, got $num/$den")
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    df.withColumn("__rn", row_number().over(
+        w.orderBy(md5(id.cast("string").cast("binary")), id)))
+      .withColumn("__n", count(lit(1)).over(w))
+      // rn <= ceil(n*num/den)  ⇔  (rn-1)*den < n*num, in integers
+      .where((col("__rn") - 1) * den < col("__n") * num)
+      .drop("__rn", "__n")
+  }
+
   /** Deterministic train/val/test assignment for ML pipelines: bucket
     * each row by an md5 prefix of its id (16 bits, uniform), carve
     * [0, 65536) by cumulative weight, and label with the matching

@@ -15,6 +15,34 @@ class DedupSpec extends SparkSpec {
     assert(groups.length == 1 && groups(0).getAs[Long]("c") == 2L)
   }
 
+  test("lineDedup scrubs cross-document boilerplate, keeps doc-local lines") {
+    val df = Seq(
+      (1L, "COOKIE BANNER\nreal content one\nLICENSE"),
+      (2L, "COOKIE BANNER\nreal content two\nLICENSE"),
+      (3L, "COOKIE BANNER\nunique paragraph\nLICENSE"),
+      (4L, "COOKIE BANNER\nLICENSE"), // nothing survives
+      (5L, "")).toDF("doc_id", "text") // empty in, empty out — still a row
+    val out = Dedup.lineDedup(df, "doc_id", "text", maxDf = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out == Seq(
+      (1L, "real content one", 1L),
+      (2L, "real content two", 1L),
+      (3L, "unique paragraph", 1L),
+      (4L, "", 0L),
+      (5L, "", 0L)), out)
+    // a line at exactly maxDf distinct docs survives (strictly-greater
+    // cap), and multiplicity inside ONE doc does not inflate its df
+    val df2 = Seq(
+      (1L, "twice\ntwice\nown1"), (2L, "twice\nown2")).toDF("doc_id", "text")
+    val out2 = Dedup.lineDedup(df2, "doc_id", "text", maxDf = 2)
+      .as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(out2 == Seq((1L, "twice\ntwice\nown1", 3L), (2L, "twice\nown2", 2L)), out2)
+    // broadcast and shuffle anti-join paths agree
+    val shuffled = Dedup.lineDedup(df, "doc_id", "text", maxDf = 2,
+      broadcastCommon = false).as[(Long, String, Long)].collect().sortBy(_._1).toSeq
+    assert(shuffled == out)
+  }
+
   test("fixture corpus has planted near-duplicates ≥ 0.8 Jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     assert(exact.count() > 0)

@@ -142,6 +142,27 @@ class SamplingSpec extends SparkSpec {
     assert(a.except(b).count() == 0 && b.except(a).count() == 0)
   }
 
+  test("stratifiedExact keeps exactly ceil(n*num/den) per stratum, order-independent") {
+    val docs = graft.core.Tables.documents(spark, sf)
+    val perLang = docs.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    val out = Sampling.stratifiedExact(docs, "lang", col("doc_id"), 1, 5)
+    val got = out.groupBy("lang").count().collect()
+      .map(r => r.getString(0) -> r.getLong(1)).toMap
+    // exact ceil(n/5) per class — not Bernoulli's expected-count
+    assert(got == perLang.view.mapValues(n => (n + 4) / 5).toMap, (got, perLang))
+    // content-stable: a shuffled input picks the SAME rows
+    val again = Sampling.stratifiedExact(docs.orderBy(rand(11)), "lang",
+      col("doc_id"), 1, 5).select("doc_id")
+    assert(out.select("doc_id").except(again).count() == 0)
+    // full fraction is the identity; degenerate args are loud
+    assert(Sampling.stratifiedExact(docs, "lang", col("doc_id"), 1, 1).count()
+      == docs.count())
+    intercept[IllegalArgumentException] {
+      Sampling.stratifiedExact(docs, "lang", col("doc_id"), 3, 2)
+    }
+  }
+
   test("stratified sampling respects per-class fractions") {
     val docs = graft.core.Tables.documents(spark, sf)
     val langs = docs.groupBy("lang").count().collect()
