@@ -99,6 +99,22 @@ class PlanSpec extends SparkSpec {
       s"repetition signals should scan the corpus once:\n$p")
   }
 
+  test("q85: boilerplate common set broadcasts into the anti join") {
+    val p = plan("q85_line_dedup")
+    // the wide (corpus lines) side must never shuffle for the scrub
+    // itself: the bounded common set crosses as a broadcast
+    assert(p.contains("BroadcastHashJoin") && p.contains("LeftAnti"), p)
+  }
+
+  test("q86: stratified sample is one hash shuffle, no global sort") {
+    val p = plan("q86_stratified_sample")
+    // per-stratum ranks partition by lang; the only sorts are inside
+    // those hash partitions (and the presentation orderBy) — a
+    // partition-less window would collapse the corpus onto one task
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
   test("q20: query side of the similarity scan is broadcast") {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
