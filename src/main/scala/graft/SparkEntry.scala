@@ -1064,7 +1064,26 @@ object SparkEntry {
       graft.ops.Sampling.stratifiedExact(
         docs(s, d).select(col("doc_id"), col("lang")),
         "lang", col("doc_id"), num = 1, den = 5)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q87 — per-group length quantiles (the sequence-length
+    // distribution stats a packing/bucketing config is tuned from).
+    // Exact `percentile` interpolates like DuckDB's quantile_cont
+    // (the q42 median precedent), so the oracle is exact equality.
+    // Exact percentile holds one group's values per aggregation
+    // buffer — fine when groups ≪ rows (lang cardinality); the
+    // 100 TB/any-cardinality path is percentile_approx (mergeable
+    // t-digest partial agg, the `pNN~` ValueAggregator descriptor),
+    // spec-pinned within tolerance of exact in AggSpec.
+    "q87_length_quantiles" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"),
+          graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+        .groupBy("lang")
+        .agg(count(lit(1)).as("n_docs"),
+          round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
+          round(expr("percentile(n_tok, 0.9)"), 4).as("p90"))
+        .orderBy("lang"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1721,7 +1740,15 @@ object SparkEntry {
         |  COUNT(*) OVER (PARTITION BY lang) AS n
         |  FROM documents)
         |SELECT doc_id, lang FROM r WHERE (rn - 1) * 5 < n
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    "q87_length_quantiles" ->
+      """WITH t AS (SELECT lang, len(STRING_SPLIT(text, ' ')) AS n_tok
+        |           FROM documents)
+        |SELECT lang, COUNT(*) AS n_docs,
+        |  ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
+        |  ROUND(quantile_cont(n_tok, 0.9), 4) AS p90
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -41,6 +41,24 @@ class ValueAggregatorsSpec extends SparkSpec {
     assert(math.abs(out.getAs[Double]("p95s") - 95.0) <= 1.0)
   }
 
+  test("sketched percentile tracks exact per-group quantiles on the corpus") {
+    // the q87 scale claim: percentile_approx (mergeable t-digest, the
+    // any-cardinality path) stays within tight tolerance of the exact
+    // per-group percentile the oracle checks
+    import org.apache.spark.sql.functions._
+    val docs = graft.core.Tables.documents(spark, graft.TestSpark.sf)
+      .select(col("lang"),
+        graft.functions.TextFunctions.tokenCount(col("text")).as("n_tok"))
+    val both = docs.groupBy("lang").agg(
+      expr("percentile(n_tok, 0.9)").as("exact"),
+      percentile_approx(col("n_tok"), lit(0.9), lit(10000)).as("approx"))
+    both.collect().foreach { r =>
+      val (e, a) = (r.getAs[Double]("exact"), r.getAs[Long]("approx").toDouble)
+      assert(math.abs(e - a) <= math.max(2.0, e * 0.05),
+        s"lang ${r.getString(0)}: exact $e vs approx $a")
+    }
+  }
+
   test("perGroup top-k ranks within each group") {
     import org.apache.spark.sql.functions._
     val ev = graft.core.Tables.events(spark, graft.TestSpark.sf)
