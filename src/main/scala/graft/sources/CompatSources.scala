@@ -363,17 +363,19 @@ object CompatSources {
       .toDF("record")
   }
 
-  /** Avro container-file reader with a TYPED one-level-nested surface:
-    * the writer schema is sniffed from the first container file's
-    * header (Avro embeds it — no caller-supplied schema needed, unlike
+  /** Avro container-file reader with a TYPED nested surface: the
+    * writer schema is sniffed from the first container file's header
+    * (Avro embeds it — no caller-supplied schema needed, unlike
     * [[avroJson]]+`from_json`), mapped to a Spark schema, and each
     * GenericRecord decoded to a Row. Supported mapping — the shapes
-    * legacy avro-mapred data actually has (reference serializer:
-    * hadoop-common .../io/serializer/avro/AvroSerialization.java:43):
-    * primitives, `[null, T]` unions (→ nullable), enum→string,
-    * bytes/fixed→binary, ONE level of record→struct, array/map of
-    * primitives. Deeper nesting fails loudly pointing at [[avroJson]],
-    * which handles arbitrary schemas as JSON strings. Splittable: the
+    * the reference's Avro serializer accepts (hadoop-common
+    * .../io/serializer/avro/AvroSerialization.java:43 handles
+    * arbitrary record schemas): primitives, `[null, T]` unions
+    * (→ nullable), enum→string, bytes/fixed→binary, record→struct and
+    * array/map at ANY nesting, recursion-capped at [[AvroMaxDepth]]
+    * (Avro allows self-referential schemas, which no finite Spark
+    * schema can express — those fail loudly pointing at [[avroJson]],
+    * which handles anything as JSON strings). Splittable: the
     * container sync markers give block-aligned splits; the sniffed
     * schema is set as the reader schema so mixed-file directories
     * decode uniformly or fail loudly (no silent field drift). */
@@ -404,14 +406,17 @@ object CompatSources {
     }
     require(avroSchema.getType == org.apache.avro.Schema.Type.RECORD,
       s"avroStructs: top-level schema must be a record, got ${avroSchema.getType}")
-    def sparkType(s: org.apache.avro.Schema, nestedOk: Boolean): (DataType, Boolean) = {
+    def sparkType(s: org.apache.avro.Schema, depth: Int): (DataType, Boolean) = {
       import org.apache.avro.Schema.Type._
+      if (depth > AvroMaxDepth) throw new IllegalArgumentException(
+        s"avroStructs: schema nests deeper than $AvroMaxDepth (recursive Avro " +
+          "schemas have no finite Spark schema) - read via avroJson + from_json instead")
       s.getType match {
         case UNION =>
           val nonNull = s.getTypes.asScala.filterNot(_.getType == NULL)
           require(nonNull.size == 1 && nonNull.size < s.getTypes.size,
             s"avroStructs: only [null, T] unions are supported, got $s")
-          (sparkType(nonNull.head, nestedOk)._1, true)
+          (sparkType(nonNull.head, depth)._1, true)
         case STRING | ENUM => (StringType, false)
         case INT => (IntegerType, false)
         case LONG => (LongType, false)
@@ -420,25 +425,22 @@ object CompatSources {
         case BOOLEAN => (BooleanType, false)
         case BYTES | FIXED => (BinaryType, false)
         case RECORD =>
-          if (!nestedOk) throw new IllegalArgumentException(
-            s"avroStructs maps ONE level of record nesting; '${s.getFullName}' nests deeper - " +
-              "read via avroJson + from_json instead")
           (StructType(s.getFields.asScala.map { f =>
-            val (dt, n) = sparkType(f.schema(), nestedOk = false)
+            val (dt, n) = sparkType(f.schema(), depth + 1)
             StructField(f.name, dt, n)
           }.toSeq), false)
         case ARRAY =>
-          val (dt, n) = sparkType(s.getElementType, nestedOk = false)
+          val (dt, n) = sparkType(s.getElementType, depth + 1)
           (ArrayType(dt, containsNull = n), false)
         case MAP =>
-          val (dt, n) = sparkType(s.getValueType, nestedOk = false)
+          val (dt, n) = sparkType(s.getValueType, depth + 1)
           (MapType(StringType, dt, valueContainsNull = n), false)
         case other => throw new IllegalArgumentException(
           s"avroStructs: unsupported Avro type $other in $s - read via avroJson instead")
       }
     }
     val sparkSchema = StructType(avroSchema.getFields.asScala.map { f =>
-      val (dt, n) = sparkType(f.schema(), nestedOk = true)
+      val (dt, n) = sparkType(f.schema(), depth = 1)
       StructField(f.name, dt, n)
     }.toSeq)
     val job = org.apache.hadoop.mapreduce.Job.getInstance(conf)
@@ -456,6 +458,11 @@ object CompatSources {
       }
     spark.createDataFrame(rows, sparkSchema)
   }
+
+  /** Recursion cap shared by [[avroStructs]] and [[avroWriteNested]]:
+    * deep enough for any hand-written schema, finite so a recursive
+    * (self-referential) Avro schema fails loudly instead of looping. */
+  val AvroMaxDepth = 16
 
   /** Avro runtime value → Spark row value, by runtime class: Utf8 and
     * enum symbols → String, ByteBuffer/fixed → byte arrays, records →
@@ -500,13 +507,15 @@ object CompatSources {
     avroWriteNested(df, path)
   }
 
-  /** Avro container-file writer for ONE level of nesting — the write
-    * twin of [[avroStructs]]: primitive columns plus struct-of-
-    * primitives, array-of-primitives and map(string → primitive)
-    * columns become the corresponding Avro record/array/map schema
-    * (every slot a `[null, T]` union — Avro's idiom for nullable).
-    * Deeper nesting fails loudly: container files with genuinely
-    * complex schemas should go through a real connector. */
+  /** Avro container-file writer for nested schemas — the write twin
+    * of [[avroStructs]]: primitive columns plus struct, array and
+    * map(string → _) columns at any nesting (capped at
+    * [[AvroMaxDepth]], matching the reader) become the corresponding
+    * Avro record/array/map schema (every slot a `[null, T]` union —
+    * Avro's idiom for nullable). Nested record type names are
+    * path-qualified: Avro requires record names to be unique within a
+    * schema, so two sibling structs both holding a field `meta` must
+    * not collide. */
   def avroWriteNested(df: DataFrame, path: String): Unit = {
     import org.apache.spark.sql.types._
     // names land in interpolated schema JSON — enforce Avro's own
@@ -516,33 +525,35 @@ object CompatSources {
         throw new IllegalArgumentException(
           s"avroWrite: name '$n' is not a legal Avro name " +
             "([A-Za-z_][A-Za-z0-9_]*); rename before writing")
-    def typeJson(name: String, dt: DataType, nestedOk: Boolean): String = dt match {
-      case StringType => "\"string\""
-      case IntegerType => "\"int\""
-      case LongType => "\"long\""
-      case FloatType => "\"float\""
-      case DoubleType => "\"double\""
-      case BooleanType => "\"boolean\""
-      case BinaryType => "\"bytes\""
-      case st: StructType =>
-        if (!nestedOk) throw new IllegalArgumentException(
-          s"avroWrite: struct '$name' nests deeper than one level")
-        st.fields.map { f =>
-          legal(f.name)
-          s"""{"name":"${f.name}","type":["null",${typeJson(f.name, f.dataType, nestedOk = false)}]}"""
-        }.mkString(s"""{"type":"record","name":"${name}_r","fields":[""", ",", "]}")
-      case ArrayType(et, _) =>
-        s"""{"type":"array","items":["null",${typeJson(name, et, nestedOk = false)}]}"""
-      case MapType(StringType, vt, _) =>
-        s"""{"type":"map","values":["null",${typeJson(name, vt, nestedOk = false)}]}"""
-      case other => throw new IllegalArgumentException(
-        s"avroWrite: column '$name' has unsupported type $other " +
-          "(primitives, struct/array/map of primitives)")
+    def typeJson(pathName: String, dt: DataType, depth: Int): String = {
+      if (depth > AvroMaxDepth) throw new IllegalArgumentException(
+        s"avroWrite: '$pathName' nests deeper than $AvroMaxDepth levels")
+      dt match {
+        case StringType => "\"string\""
+        case IntegerType => "\"int\""
+        case LongType => "\"long\""
+        case FloatType => "\"float\""
+        case DoubleType => "\"double\""
+        case BooleanType => "\"boolean\""
+        case BinaryType => "\"bytes\""
+        case st: StructType =>
+          st.fields.map { f =>
+            legal(f.name)
+            s"""{"name":"${f.name}","type":["null",${typeJson(s"${pathName}_${f.name}", f.dataType, depth + 1)}]}"""
+          }.mkString(s"""{"type":"record","name":"${pathName}_r","fields":[""", ",", "]}")
+        case ArrayType(et, _) =>
+          s"""{"type":"array","items":["null",${typeJson(s"${pathName}_i", et, depth + 1)}]}"""
+        case MapType(StringType, vt, _) =>
+          s"""{"type":"map","values":["null",${typeJson(s"${pathName}_v", vt, depth + 1)}]}"""
+        case other => throw new IllegalArgumentException(
+          s"avroWrite: column '$pathName' has unsupported type $other " +
+            "(primitives, struct/array/map)")
+      }
     }
     val fields = df.schema.fields
     val schemaJson = fields.map { f =>
         legal(f.name)
-        s"""{"name":"${f.name}","type":["null",${typeJson(f.name, f.dataType, nestedOk = true)}]}"""
+        s"""{"name":"${f.name}","type":["null",${typeJson(f.name, f.dataType, depth = 1)}]}"""
       }.mkString("""{"type":"record","name":"row","fields":[""", ",", "]}")
     val job = org.apache.hadoop.mapreduce.Job.getInstance(
       new org.apache.hadoop.conf.Configuration(df.sparkSession.sparkContext.hadoopConfiguration))

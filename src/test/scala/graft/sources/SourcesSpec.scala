@@ -97,7 +97,7 @@ class CompatSourcesSpec extends SparkSpec {
     }
   }
 
-  test("Avro one-level nested structs round-trip typed; deeper nesting loud") {
+  test("Avro nested structs round-trip typed at any depth; recursive schemas loud") {
     import org.apache.spark.sql.functions.{col, struct, map_from_arrays, array, lit}
     val dir = tmpDir()
     val df = Seq(
@@ -156,11 +156,17 @@ class CompatSourcesSpec extends SparkSpec {
       .as[(Long, String, Int, Seq[String])].collect().toSet
     assert(legacy == Set((42L, "de", 7, Seq("x", "y"))))
 
-    // two-level nesting: loud on write…
-    intercept[IllegalArgumentException] {
-      CompatSources.avroWriteNested(df.select(struct(col("meta")).as("outer")), s"$dir/deep")
-    }
-    // …and loud on read of a direct-API deep file
+    // deeper nesting round-trips too (struct in struct, and a
+    // direct-API three-level record) — the reference's serializer
+    // takes arbitrary record schemas, so the typed surface must not
+    // stop at one level
+    CompatSources.avroWriteNested(
+      df.select(struct(struct(col("meta")).as("inner"), col("id").as("tag")).as("outer")),
+      s"$dir/deep_w")
+    val deepBack = CompatSources.avroStructs(spark, s"$dir/deep_w")
+      .select(col("outer.inner.meta.lang"), col("outer.inner.meta.n"), col("outer.tag"))
+      .as[(String, Int, Long)].collect().toSet
+    assert(deepBack == Set(("en", 10, 1L), ("de", 20, 2L)), deepBack)
     val deep = new org.apache.avro.Schema.Parser().parse(
       """{"type":"record","name":"o","fields":[{"name":"a","type":
         |{"type":"record","name":"b","fields":[{"name":"c","type":
@@ -177,9 +183,28 @@ class CompatSourcesSpec extends SparkSpec {
       d1.put("a", d2)
       w2.append(d1)
     } finally w2.close()
-    intercept[IllegalArgumentException] {
-      CompatSources.avroStructs(spark, s"$dir/deep.avro")
+    val threeDeep = CompatSources.avroStructs(spark, s"$dir/deep.avro")
+      .select(col("a.c.e")).as[Int].collect().toSeq
+    assert(threeDeep == Seq(1), threeDeep)
+
+    // a RECURSIVE schema (self-referential list node) has no finite
+    // Spark schema — the depth cap must reject it loudly, not loop
+    val recursive = new org.apache.avro.Schema.Parser().parse(
+      """{"type":"record","name":"node","fields":[
+        |{"name":"v","type":"int"},
+        |{"name":"next","type":["null","node"]}]}""".stripMargin)
+    val w3 = new org.apache.avro.file.DataFileWriter(
+      new org.apache.avro.generic.GenericDatumWriter[org.apache.avro.generic.GenericRecord](recursive))
+    w3.create(recursive, new java.io.File(s"$dir/rec.avro"))
+    try {
+      val n1 = new org.apache.avro.generic.GenericData.Record(recursive)
+      n1.put("v", 1); n1.put("next", null)
+      w3.append(n1)
+    } finally w3.close()
+    val e = intercept[IllegalArgumentException] {
+      CompatSources.avroStructs(spark, s"$dir/rec.avro")
     }
+    assert(e.getMessage.contains("nests deeper"), e.getMessage)
   }
 
   test("sequenceFileTypedWrite declares native Writable classes in the header") {
