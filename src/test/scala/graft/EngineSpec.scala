@@ -37,4 +37,27 @@ class EngineSpec extends SparkSpec {
     assert(s.conf.get("spark.sql.parquet.compression.codec") == "zstd")
     assert(s.conf.get("spark.sql.shuffle.partitions") == "8")
   }
+
+  test("Engine.widen spreads a few-split scan, no-ops when wide or streaming") {
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // a one-file scan (the local-bench fixture shape) widens to >= the
+    // small-input floor so CPU-bound map passes don't run one task
+    val docs = graft.core.Tables.documents(spark, TestSpark.sf)
+    val narrow = docs.coalesce(1)
+    assert(narrow.rdd.getNumPartitions == 1)
+    val widened = Engine.widen(narrow)
+    val floor = math.min(8, spark.sparkContext.defaultParallelism)
+    assert(widened.rdd.getNumPartitions >= floor, widened.rdd.getNumPartitions)
+    // rows are only moved, never changed
+    assert(widened.count() == docs.count())
+    // already-wide input: identical frame back, no added exchange
+    val wide = docs.repartition(spark.sparkContext.defaultParallelism)
+    assert(Engine.widen(wide) eq wide)
+    // streaming input: .rdd does not exist there — must pass through
+    implicit val sqlCtx = spark.sqlContext
+    val ms = org.apache.spark.sql.execution.streaming.runtime.MemoryStream[String]
+    val stream = ms.toDS().toDF("text")
+    assert(Engine.widen(stream) eq stream)
+  }
 }
