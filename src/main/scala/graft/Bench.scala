@@ -30,7 +30,7 @@ object Bench {
       "q02_tpch_q1", "q03_wordcount", "q06_join_inner", "q10_total_sort",
       "q14_grep", "q19_dedup_exact", "q20_cosine_topk", "q27_minhash_neardup",
       "q37_embed_neardup_lsh", "q49_dup_components", "q64_repetition",
-      "q65_seq_packing", "q68_curation_v2")
+      "q65_seq_packing", "q68_curation_v2", "q85_line_dedup")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
