@@ -1083,7 +1083,23 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_docs"),
           round(expr("percentile(n_tok, 0.5)"), 4).as("p50"),
           round(expr("percentile(n_tok, 0.9)"), 4).as("p90"))
-        .orderBy("lang"))
+        .orderBy("lang")),
+
+    // Q88 — INCREMENTAL near-dup against a persisted sketch index:
+    // "history" (doc_id % 5 != 0) is sketched once into a parquet
+    // index; the "new batch" (doc_id % 5 == 0) is then deduped
+    // against it WITHOUT re-reading history text — the ingest shape
+    // at 100 TB, where re-sketching the corpus per batch is the
+    // anti-pattern. Oracle recomputes the exact cross-pair Jaccard.
+    "q88_incremental_neardup" -> ((s, d) => {
+      val base = docs(s, d)
+      val idxPath = scratch("q88") + "/sketch_index"
+      graft.llm.Dedup.writeSketchIndex(
+        base.where(col("doc_id") % 5 =!= 0), "doc_id", "text", 3, idxPath)
+      graft.llm.Dedup.incrementalNearDups(
+        base.where(col("doc_id") % 5 === 0), idxPath, "doc_id", "text", 3, 0.5)
+        .orderBy("new_id", "hist_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1748,7 +1764,25 @@ object SparkEntry {
         |SELECT lang, COUNT(*) AS n_docs,
         |  ROUND(quantile_cont(n_tok, 0.5), 4) AS p50,
         |  ROUND(quantile_cont(n_tok, 0.9), 4) AS p90
-        |FROM t GROUP BY lang ORDER BY lang""".stripMargin
+        |FROM t GROUP BY lang ORDER BY lang""".stripMargin,
+
+    // the exact cross-pair ground truth (new × history only): same
+    // 3-gram shingle-set Jaccard CTE as q25/q49, restricted by the
+    // batch split predicate
+    "q88_incremental_neardup" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS new_id, b.doc_id AS hist_id, COUNT(*) AS inter
+        |      FROM g a JOIN g b ON a.gram = b.gram
+        |      WHERE a.doc_id % 5 = 0 AND b.doc_id % 5 <> 0
+        |      GROUP BY 1, 2)
+        |SELECT new_id, hist_id,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = hist_id
+        |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
+        |ORDER BY new_id, hist_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -414,9 +414,7 @@ object Dedup {
     // Persist BEFORE the no-shingle filter: a `.where` on the computed
     // column is pushed below the projection into the scan, evaluating
     // the whole sketch twice (observed in the plan).
-    val sketch = widen(df).select(col(idCol).as("doc_id"),
-        SE.packLongs(minHashSignature(col(textCol), n)).as("sigb"),
-        SE.packLongs(SE.shingleHashes64(col(textCol), n)).as("shhb"))
+    val sketch = sketchFrame(df, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Materialize the sketch ONCE before the plan fans out: AQE submits
     // the downstream shuffle stages as concurrent jobs, and uncached
@@ -455,6 +453,87 @@ object Dedup {
   /** Sketch passes are CPU-bound map work — spread small inputs over
     * the cores; see [[graft.core.Engine.widen]] for the policy. */
   private def widen(df: DataFrame): DataFrame = graft.core.Engine.widen(df)
+
+  /** Persist the MinHash sketch index for INCREMENTAL dedup:
+    * (doc_id, sigb, shhb) — the packed 64-hash signature and the
+    * packed 64-bit shingle-hash set, exactly the two caches
+    * [[minHashVerifiedPairs]] computes per run, written once. At
+    * 100 TB this is the difference between sketching the whole corpus
+    * per ingest batch and sketching each batch once: history text is
+    * never re-read. Written unfiltered (no-shingle docs keep a row —
+    * their stored sketch is bytes-empty and they are filtered on READ,
+    * where the filter touches stored bytes; filtering here would push
+    * the predicate into the scan and evaluate the whole sketch twice,
+    * the [[minHashVerifiedPairs]] lesson). Grow the index by appending
+    * each verified batch's sketches ([[sketchFrame]] + append). */
+  def writeSketchIndex(df: DataFrame, idCol: String, textCol: String,
+                       n: Int, path: String): Unit =
+    sketchFrame(df, idCol, textCol, n)
+      .write.mode("overwrite").parquet(path)
+
+  /** The packed (doc_id, sigb, shhb) sketch pass shared by
+    * [[minHashVerifiedPairs]] and the incremental index. UNFILTERED:
+    * callers persist/materialize first and drop no-shingle docs with a
+    * `length(shhb) > 0` on the cached/stored column. */
+  def sketchFrame(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
+    import graft.functions.{SketchExpressions => SE}
+    widen(df).select(col(idCol).as("doc_id"),
+        SE.packLongs(minHashSignature(col(textCol), n)).as("sigb"),
+        SE.packLongs(SE.shingleHashes64(col(textCol), n)).as("shhb"))
+  }
+
+  /** Near-dups of an INCREMENT against a persisted sketch index —
+    * cross pairs only (new × history): sketch the new batch, band-join
+    * its bucket keys against the index's, gate on signature agreement,
+    * verify with the exact packed-shingle intersection. Same
+    * sketch→verify semantics as [[minHashVerifiedPairs]], but history
+    * contributes only its stored sketches (no text re-read, no
+    * history × history work — those pairs were found when history was
+    * ingested). Output `(new_id, hist_id, jaccard)`, jaccard ≥
+    * `threshold`.
+    *
+    * Scale: the band join ships ids+two ints per band row; hot buckets
+    * are fenced on the INDEX side (history is the big side — a new
+    * batch large enough to need its own fence should be split into
+    * smaller increments). */
+  def incrementalNearDups(newDocs: DataFrame, indexPath: String,
+                          idCol: String, textCol: String,
+                          n: Int = 3, threshold: Double = 0.5,
+                          minEst: Double = 0.2,
+                          maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import graft.functions.{SketchExpressions => SE}
+    val spark = newDocs.sparkSession
+    // filters run over STORED/cached sketch bytes, nothing recomputed
+    val idx = spark.read.parquet(indexPath).where(length(col("shhb")) > 0)
+    val inc0 = sketchFrame(newDocs, idCol, textCol, n)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    inc0.count() // materialize once: the plan fans out below
+    val inc = inc0.where(length(col("shhb")) > 0)
+    def bandsOf(d: DataFrame) = d
+      .select(col("doc_id"), posexplode(SE.bandKeys(col("sigb"), 32, 2)))
+      .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+    val idxBands = bandsOf(idx)
+    val hot = idxBands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
+      .where(col("c") > maxBucketSize).select("band", "bkey")
+    val cand = bandsOf(inc).join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+      .alias("a")
+      .join(idxBands.alias("b"),
+        col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+          col("a.doc_id") =!= col("b.doc_id"))
+      .select(col("a.doc_id").as("new_id"), col("b.doc_id").as("hist_id"))
+      .dropDuplicates("new_id", "hist_id")
+    cand
+      .join(inc.select(col("doc_id").as("new_id"), col("sigb").as("sig1"), col("shhb").as("sh1")), "new_id")
+      .join(idx.select(col("doc_id").as("hist_id"), col("sigb").as("sig2"), col("shhb").as("sh2")), "hist_id")
+      .withColumn("est", SE.sigAgreeCount(col("sig1"), col("sig2"))
+        .cast("double") / lit(NumHashes.toDouble))
+      .where(col("est") >= minEst)
+      .withColumn("inter", SE.packedIntersectCount(col("sh1"), col("sh2")))
+      .withColumn("jaccard", col("inter").cast("double") /
+        ((length(col("sh1")) + length(col("sh2"))) / 8 - col("inter")))
+      .where(col("jaccard") >= threshold)
+      .select(col("new_id"), col("hist_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
 
   // ---------------------------------------------------------------- SimHash
 

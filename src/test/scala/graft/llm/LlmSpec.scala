@@ -43,6 +43,30 @@ class DedupSpec extends SparkSpec {
     assert(shuffled == out)
   }
 
+  test("incremental near-dup vs the sketch index matches the one-shot cross pairs") {
+    val tmp = java.nio.file.Files.createTempDirectory("sketch-idx").toString
+    val hist = docs.where(col("doc_id") % 5 =!= 0)
+    val nw = docs.where(col("doc_id") % 5 === 0)
+    Dedup.writeSketchIndex(hist, "doc_id", "text", 3, s"$tmp/idx")
+    val inc = Dedup.incrementalNearDups(nw, s"$tmp/idx", "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect().toSet
+    // ground truth: the full-corpus verified pairs, restricted to the
+    // cross (new, hist) orientation in either order
+    val full = Dedup.minHashVerifiedPairs(docs, "doc_id", "text", 3, 0.5)
+      .as[(Long, Long, Double)].collect()
+    val cross = full.flatMap { case (a, b, j) =>
+      if (a % 5 == 0 && b % 5 != 0) Some((a, b, j))
+      else if (b % 5 == 0 && a % 5 != 0) Some((b, a, j))
+      else None
+    }.toSet
+    assert(inc == cross, s"incremental $inc vs one-shot cross $cross")
+    // and the index write never re-reads history text on the query:
+    // deduping a SECOND batch against the same stored index works
+    val inc2 = Dedup.incrementalNearDups(nw.limit(10), s"$tmp/idx",
+      "doc_id", "text", 3, 0.5).collect()
+    assert(inc2.length <= inc.size)
+  }
+
   test("fixture corpus has planted near-duplicates ≥ 0.8 Jaccard") {
     val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 3, 0.8)
     assert(exact.count() > 0)
