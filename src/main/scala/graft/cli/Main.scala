@@ -217,6 +217,24 @@ object Main {
         graft.llm.Packing.packSequences(spark.read.parquet(in), idCol, tokCol, budget.toLong)
           .write.mode("overwrite").parquet(out)
 
+      // cross-document boilerplate line scrub (RefinedWeb/C4 shape):
+      // lines in more than maxDf distinct docs removed everywhere
+      case "scrub" :: in :: idCol :: textCol :: maxDf :: out :: Nil =>
+        graft.llm.Dedup.lineDedup(spark.read.parquet(in), idCol, textCol, maxDf.toLong)
+          .write.mode("overwrite").parquet(out)
+
+      // persist the MinHash sketch index once per corpus increment…
+      case "sketchindex" :: in :: idCol :: textCol :: n :: out :: Nil =>
+        graft.llm.Dedup.writeSketchIndex(
+          spark.read.parquet(in), idCol, textCol, n.toInt, out)
+        println(s"sketch index for $in written to $out")
+
+      // …then dedup each NEW batch against it without re-reading history
+      case "dedup-inc" :: in :: index :: idCol :: textCol :: threshold :: out :: Nil =>
+        graft.llm.Dedup.incrementalNearDups(
+            spark.read.parquet(in), index, idCol, textCol, 3, threshold.toDouble)
+          .write.mode("overwrite").parquet(out)
+
       // train/eval decontamination: n-gram overlap flags per train doc
       case "decon" :: train :: eval0 :: idCol :: textCol :: n :: out :: Nil =>
         graft.llm.Decontamination.overlapFlags(
@@ -267,6 +285,9 @@ object Main {
         |  chunk <in.parquet> <idCol> <textCol> <max[+overlap]> <out>
         |  pack <in.parquet> <idCol> <tokCol> <budget> <out>
         |  decon <train.parquet> <eval.parquet> <idCol> <textCol> <ngram> <out>
+        |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
+        |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
+        |  dedup-inc <new.parquet> <index> <idCol> <textCol> <threshold> <out>
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -26,6 +26,25 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/g").count() == 1)
   }
 
+  test("scrub, sketchindex and dedup-inc verbs run the curation ops end to end") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("scrub", s"$sf/documents.parquet", "doc_id", "text", "250", s"$tmp/scrubbed")
+    val scrubbed = spark.read.parquet(s"$tmp/scrubbed")
+    assert(scrubbed.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count()) // every doc keeps a row
+    assert(scrubbed.columns.toSet == Set("doc_id", "text", "n_lines"))
+
+    runVerb("sketchindex", s"$sf/documents.parquet", "doc_id", "text", "3", s"$tmp/idx")
+    runVerb("dedup-inc", s"$sf/documents.parquet", s"$tmp/idx",
+      "doc_id", "text", "0.5", s"$tmp/incdups")
+    // deduping the corpus against its own index finds the planted
+    // near-dup pairs (both orientations, self-pairs excluded)
+    val pairs = spark.read.parquet(s"$tmp/incdups")
+    assert(pairs.count() > 0)
+    assert(pairs.where(col("new_id") === col("hist_id")).count() == 0)
+  }
+
   test("archive verb accepts -distributed and rejects unknown flags") {
     val src = java.nio.file.Files.createTempDirectory("cli-har")
     java.nio.file.Files.writeString(src.resolve("a.txt"), "one\n")
