@@ -1099,7 +1099,19 @@ object SparkEntry {
       graft.llm.Dedup.incrementalNearDups(
         base.where(col("doc_id") % 5 === 0), idxPath, "doc_id", "text", 3, 0.5)
         .orderBy("new_id", "hist_id")
-    })
+    }),
+
+    // Q89 — top-k per group (the grouped-argmax family beyond q09's
+    // single argmax): top-2 events per event_type by value, unique
+    // tiebreak on event_id so both engines rank identically. Plans as
+    // rank-over-window inside each hash partition — no global sort.
+    "q89_topk_per_group" -> ((s, d) =>
+      graft.ops.TopK.perGroup(
+        ev(s, d).select(col("event_type"), col("event_id"), col("user_id"), col("value")),
+        Seq("event_type"), 2, col("value").desc, col("event_id"))
+        .select(col("event_type"), col("event_id"), col("user_id"),
+          round(col("value"), 4).as("v"), col("rank").cast("long").as("rnk"))
+        .orderBy("event_type", "rnk"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1782,7 +1794,16 @@ object SparkEntry {
         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = new_id JOIN sz sb ON sb.doc_id = hist_id
         |WHERE CAST(inter AS DOUBLE) / (sa.n + sb.n - inter) >= 0.5
-        |ORDER BY new_id, hist_id""".stripMargin
+        |ORDER BY new_id, hist_id""".stripMargin,
+
+    "q89_topk_per_group" ->
+      """WITH r AS (SELECT event_type, event_id, user_id, value,
+        |  ROW_NUMBER() OVER (PARTITION BY event_type
+        |    ORDER BY value DESC, event_id) AS rnk
+        |  FROM events)
+        |SELECT event_type, event_id, user_id, ROUND(value, 4) AS v,
+        |  CAST(rnk AS BIGINT) AS rnk
+        |FROM r WHERE rnk <= 2 ORDER BY event_type, rnk""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
