@@ -229,10 +229,12 @@ object Main {
           spark.read.parquet(in), idCol, textCol, n.toInt, out)
         println(s"sketch index for $in written to $out")
 
-      // …then dedup each NEW batch against it without re-reading history
-      case "dedup-inc" :: in :: index :: idCol :: textCol :: threshold :: out :: Nil =>
+      // …then dedup each NEW batch against it without re-reading
+      // history; <ngram> must match the index (validated against its
+      // stored shingle_n — mismatched sketches join into garbage)
+      case "dedup-inc" :: in :: index :: idCol :: textCol :: n :: threshold :: out :: Nil =>
         graft.llm.Dedup.incrementalNearDups(
-            spark.read.parquet(in), index, idCol, textCol, 3, threshold.toDouble)
+            spark.read.parquet(in), index, idCol, textCol, n.toInt, threshold.toDouble)
           .write.mode("overwrite").parquet(out)
 
       // train/eval decontamination: n-gram overlap flags per train doc
@@ -287,7 +289,7 @@ object Main {
         |  decon <train.parquet> <eval.parquet> <idCol> <textCol> <ngram> <out>
         |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
-        |  dedup-inc <new.parquet> <index> <idCol> <textCol> <threshold> <out>
+        |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -43,7 +43,13 @@ object GraftExtensions {
       throw new IllegalArgumentException(
         s"$fn: argument '$param' must be a literal integer, got non-foldable " +
           s"expression ${e.sql}")
-    e.eval().asInstanceOf[Number].intValue
+    e.eval() match {
+      case n: Number => n.intValue
+      case null => throw new IllegalArgumentException(
+        s"$fn: argument '$param' must be a literal integer, got NULL")
+      case _ => throw new IllegalArgumentException(
+        s"$fn: argument '$param' must be a literal integer, got ${e.sql}")
+    }
   }
 
   val definitions: Seq[(String, ExpressionInfo, Seq[Expression] => Expression)] = Seq(

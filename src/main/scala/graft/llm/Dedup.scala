@@ -468,7 +468,10 @@ object Dedup {
     * each verified batch's sketches ([[sketchFrame]] + append). */
   def writeSketchIndex(df: DataFrame, idCol: String, textCol: String,
                        n: Int, path: String): Unit =
-    sketchFrame(df, idCol, textCol, n)
+    // shingle_n is constant per index (dictionary/RLE-encoded to ~nothing
+    // on disk) and lets the query side REFUSE a mismatched n — sketches
+    // built from different shingle sizes band-join into garbage silently
+    sketchFrame(df, idCol, textCol, n).withColumn("shingle_n", lit(n))
       .write.mode("overwrite").parquet(path)
 
   /** The packed (doc_id, sigb, shhb) sketch pass shared by
@@ -504,7 +507,18 @@ object Dedup {
     import graft.functions.{SketchExpressions => SE}
     val spark = newDocs.sparkSession
     // filters run over STORED/cached sketch bytes, nothing recomputed
-    val idx = spark.read.parquet(indexPath).where(length(col("shhb")) > 0)
+    val idx0 = spark.read.parquet(indexPath)
+    // an index sketched with a different shingle size would band-join
+    // and intersect incomparable sketches — wrong pairs, no error.
+    // The check reads one row's metadata column, not the corpus.
+    require(idx0.columns.contains("shingle_n"),
+      s"incrementalNearDups: $indexPath is not a sketch index " +
+        "(no shingle_n column; write it with writeSketchIndex)")
+    val idxN = idx0.select("shingle_n").head.getInt(0)
+    require(idxN == n,
+      s"incrementalNearDups: index $indexPath was sketched with n=$idxN, " +
+        s"but n=$n was requested; re-sketch one side")
+    val idx = idx0.where(length(col("shhb")) > 0)
     val inc0 = sketchFrame(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     inc0.count() // materialize once: the plan fans out below

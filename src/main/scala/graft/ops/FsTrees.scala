@@ -46,29 +46,67 @@ private[ops] object FsTrees {
     * are released before returning. */
   def walkDistributed(spark: SparkSession, root: Path, conf: Configuration,
                       fanout: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    walkLoop(spark, root, conf, fanout,
+      StructType(Seq(StructField("path", StringType, nullable = false),
+        StructField("len", LongType, nullable = false),
+        StructField("is_dir", BooleanType, nullable = false))),
+      st => org.apache.spark.sql.Row(st.getPath.toString,
+        if (st.isFile) st.getLen else 0L, st.isDirectory))
+  }
+
+  /** Full-status variant of [[walkDistributed]] for consumers that
+    * need ownership/permission metadata in the listing ([[Har]]'s
+    * index props): columns `path, len, is_dir, mtime, perm, owner,
+    * group`. Same level-by-level shape and persistence contract:
+    * returned persisted + materialized, caller unpersists. */
+  def walkStatusesDistributed(spark: SparkSession, root: Path, conf: Configuration,
+                              fanout: Int = 256): DataFrame = {
+    import org.apache.spark.sql.types._
+    walkLoop(spark, root, conf, fanout,
+      StructType(Seq(StructField("path", StringType, nullable = false),
+        StructField("len", LongType, nullable = false),
+        StructField("is_dir", BooleanType, nullable = false),
+        StructField("mtime", LongType, nullable = false),
+        StructField("perm", IntegerType, nullable = false),
+        StructField("owner", StringType), StructField("group", StringType))),
+      st => org.apache.spark.sql.Row(st.getPath.toString,
+        if (st.isFile) st.getLen else 0L, st.isDirectory,
+        st.getModificationTime, st.getPermission.toShort.toInt,
+        st.getOwner, st.getGroup))
+  }
+
+  /** The one level-by-level walk both distributed listings share,
+    * parameterized on the per-status row shape (`schema` must carry
+    * `path` and `is_dir` — the frontier columns). Each wrapper hands
+    * its caller the exact frame this persists, so the unpersist
+    * contract stays intact for both schemas. */
+  private def walkLoop(spark: SparkSession, root: Path, conf: Configuration,
+                       fanout: Int,
+                       schema: org.apache.spark.sql.types.StructType,
+                       toRow: FileStatus => org.apache.spark.sql.Row): DataFrame = {
     import spark.implicits._
     val fs = root.getFileSystem(conf)
     val rootSt = fs.getFileStatus(root)
     val confBytes = shipConf(conf)
-    val rootRow = Seq((rootSt.getPath.toString,
-      if (rootSt.isFile) rootSt.getLen else 0L, rootSt.isDirectory))
-      .toDF("path", "len", "is_dir")
+    val rootRow = spark.createDataFrame(
+      spark.sparkContext.parallelize(Seq(toRow(rootSt)), 1), schema)
     var levels = Seq.empty[DataFrame]
     var frontier: Seq[String] =
       if (rootSt.isDirectory) Seq(rootSt.getPath.toString) else Seq.empty
     while (frontier.nonEmpty) {
       val parts = math.max(1, math.min(fanout, frontier.size))
-      val level = spark.sparkContext.parallelize(frontier, parts)
+      val rows = spark.sparkContext.parallelize(frontier, parts)
         .mapPartitions { it =>
           val c = readConf(confBytes)
           it.flatMap { d =>
             val p = new Path(d)
-            p.getFileSystem(c).listStatus(p).iterator.map(st =>
-              (st.getPath.toString, if (st.isFile) st.getLen else 0L, st.isDirectory))
+            p.getFileSystem(c).listStatus(p).iterator.map(toRow)
           }
-        }.toDF("path", "len", "is_dir")
-        // each level is read twice (frontier collect + the final
-        // materialization): persist so no level's RPCs run twice
+        }
+      // each level is read twice (frontier collect + the final
+      // materialization): persist so no level's RPCs run twice
+      val level = spark.createDataFrame(rows, schema)
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       frontier = level.where(col("is_dir")).select("path").as[String].collect().toSeq
       levels :+= level
@@ -76,51 +114,6 @@ private[ops] object FsTrees {
     val all = (rootRow +: levels).reduce(_ unionByName _)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     all.count() // materialize from the level caches, then free them
-    levels.foreach(_.unpersist())
-    all
-  }
-
-  /** Full-status variant of [[walkDistributed]] for consumers that
-    * need ownership/permission metadata in the listing ([[Har]]'s
-    * index props): columns `path, len, is_dir, mtime, perm, owner,
-    * group`. Same level-by-level shape and persistence contract —
-    * returned persisted + materialized, caller unpersists. Kept as its
-    * own loop rather than widening [[walkDistributed]]: its callers
-    * unpersist the exact frame they were handed, so changing that
-    * frame's schema under them would silently break the cache
-    * accounting. */
-  def walkStatusesDistributed(spark: SparkSession, root: Path, conf: Configuration,
-                              fanout: Int = 256): DataFrame = {
-    import spark.implicits._
-    def row(st: FileStatus): (String, Long, Boolean, Long, Int, String, String) =
-      (st.getPath.toString, if (st.isFile) st.getLen else 0L, st.isDirectory,
-        st.getModificationTime, st.getPermission.toShort.toInt,
-        st.getOwner, st.getGroup)
-    val cols = Seq("path", "len", "is_dir", "mtime", "perm", "owner", "group")
-    val fs = root.getFileSystem(conf)
-    val rootSt = fs.getFileStatus(root)
-    val confBytes = shipConf(conf)
-    val rootRow = Seq(row(rootSt)).toDF(cols: _*)
-    var levels = Seq.empty[DataFrame]
-    var frontier: Seq[String] =
-      if (rootSt.isDirectory) Seq(rootSt.getPath.toString) else Seq.empty
-    while (frontier.nonEmpty) {
-      val parts = math.max(1, math.min(fanout, frontier.size))
-      val level = spark.sparkContext.parallelize(frontier, parts)
-        .mapPartitions { it =>
-          val c = readConf(confBytes)
-          it.flatMap { d =>
-            val p = new Path(d)
-            p.getFileSystem(c).listStatus(p).iterator.map(row)
-          }
-        }.toDF(cols: _*)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      frontier = level.where(col("is_dir")).select("path").as[String].collect().toSeq
-      levels :+= level
-    }
-    val all = (rootRow +: levels).reduce(_ unionByName _)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    all.count()
     levels.foreach(_.unpersist())
     all
   }

@@ -215,16 +215,24 @@ object Har {
 
     // byte-balanced slot assignment as a single-task window over file
     // METADATA (len desc round-robin — the driver-sized cost the
-    // reference's own listing sort pays); ranges over the dense
-    // [0, slots) ids land exactly one slot per task
+    // reference's own listing sort pays); an IDENTITY partitioner on
+    // the dense [0, slots) ids then lands exactly one slot per task —
+    // range/hash partitioning can merge two slots into one partition
+    // (sampled range bounds / hash collisions), which would silently
+    // fold two byte-balanced slices into one part file
     val slotted = files.withColumn("slot",
         pmod(row_number().over(org.apache.spark.sql.expressions.Window
           .orderBy(col("len").desc, col("rel"))), lit(slots)))
-      .repartitionByRange(slots, col("slot"))
     val fileEntries: org.apache.spark.rdd.RDD[(Int, String, Long)] =
       slotted.select(col("path"), col("rel"), col("mtime"), col("perm"),
           col("owner"), col("group"), col("slot"))
         .as[(String, String, Long, Int, String, String, Int)].rdd
+        .keyBy(_._7)
+        .partitionBy(new org.apache.spark.Partitioner {
+          override def numPartitions: Int = slots
+          override def getPartition(key: Any): Int = key.asInstanceOf[Int]
+        })
+        .values
         .mapPartitions { it =>
           if (!it.hasNext) Iterator.empty
           else {

@@ -37,7 +37,7 @@ class CliSpec extends SparkSpec {
 
     runVerb("sketchindex", s"$sf/documents.parquet", "doc_id", "text", "3", s"$tmp/idx")
     runVerb("dedup-inc", s"$sf/documents.parquet", s"$tmp/idx",
-      "doc_id", "text", "0.5", s"$tmp/incdups")
+      "doc_id", "text", "3", "0.5", s"$tmp/incdups")
     // deduping the corpus against its own index finds the planted
     // near-dup pairs (both orientations, self-pairs excluded)
     val pairs = spark.read.parquet(s"$tmp/incdups")

@@ -65,6 +65,12 @@ class DedupSpec extends SparkSpec {
     val inc2 = Dedup.incrementalNearDups(nw.limit(10), s"$tmp/idx",
       "doc_id", "text", 3, 0.5).collect()
     assert(inc2.length <= inc.size)
+    // a shingle-size mismatch with the stored index is refused loudly
+    // (mismatched sketches would band-join into garbage silently)
+    val e = intercept[IllegalArgumentException] {
+      Dedup.incrementalNearDups(nw, s"$tmp/idx", "doc_id", "text", 5, 0.5)
+    }
+    assert(e.getMessage.contains("sketched with n=3"), e.getMessage)
   }
 
   test("fixture corpus has planted near-duplicates ≥ 0.8 Jaccard") {
