@@ -30,7 +30,10 @@ object Bench {
       "q02_tpch_q1", "q03_wordcount", "q06_join_inner", "q10_total_sort",
       "q14_grep", "q19_dedup_exact", "q20_cosine_topk", "q27_minhash_neardup",
       "q37_embed_neardup_lsh", "q49_dup_components", "q64_repetition",
-      "q65_seq_packing", "q68_curation_v2", "q85_line_dedup")
+      "q65_seq_packing", "q68_curation_v2", "q85_line_dedup",
+      // round-7 additions: the shuffled shard export (prefix-scan
+      // positioning) and the two-pass unigram quality signal
+      "q91_shuffle_shard", "q92_unigram_rarity")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

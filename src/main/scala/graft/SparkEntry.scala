@@ -1111,7 +1111,56 @@ object SparkEntry {
         Seq("event_type"), 2, col("value").desc, col("event_id"))
         .select(col("event_type"), col("event_id"), col("user_id"),
           round(col("value"), 4).as("v"), col("rank").cast("long").as("rnk"))
-        .orderBy("event_type", "rnk"))
+        .orderBy("event_type", "rnk")),
+
+    // Q90 — temperature-balanced (α=1/2) multilingual sampling:
+    // per-language quotas ∝ floor(sqrt(count)), membership by the
+    // stratifiedExact rank rule. Integer quota math end to end (the
+    // only float is IEEE-exact sqrt), so both engines pick the exact
+    // same 116 of 500 documents.
+    "q90_temperature_sample" -> ((s, d) =>
+      graft.ops.Sampling.temperatureSample(
+        docs(s, d).select(col("doc_id"), col("lang")),
+        "lang", col("doc_id"), targetTotal = 120L)
+        .orderBy("doc_id")),
+
+    // Q91 — deterministic global shuffle + round-robin shard export:
+    // position via the packing prefix scan (unit budget), never a
+    // single-partition window.
+    "q91_shuffle_shard" -> ((s, d) =>
+      graft.llm.Shuffling.shard(
+        docs(s, d).select(col("doc_id")), "doc_id", numShards = 8)
+        .orderBy("doc_id")),
+
+    // Q92 — corpus unigram rarity scoring: two-pass quality signal
+    // (vocab agg, then score join). floor(log2(total/cnt)) computed
+    // as binary-string length — integers until the final rounded avg.
+    "q92_unigram_rarity" -> ((s, d) =>
+      graft.llm.UnigramLM.raritySignals(
+        docs(s, d).select(col("doc_id"), col("text")), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Q93 — bloom-prefiltered decontamination: same exact answer
+    // shape as q69 (different eval slice, doc_id % 7), but train
+    // grams pass Spark's codegen'd BloomFilterMightContain before
+    // any join — the false-positive sliver dies in the exact verify.
+    "q93_bloom_decontam" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.llm.Decontamination.overlapFlagsBloom(
+        all.where(col("doc_id") % 7 =!= 0),
+        all.where(col("doc_id") % 7 === 0),
+        "doc_id", "text", n = 3, expectedGrams = 1L << 16)
+        .orderBy("doc_id")
+    }),
+
+    // Q94 — data-mixture epoch plan: integer ceil repeat factors from
+    // relative source weights (src0 5×, src1 3×, rest 1×; T=1000),
+    // replicas exploded map-side against a broadcast factor table.
+    "q94_mix_epochs" -> ((s, d) =>
+      graft.llm.Mixing.epochPlan(
+        docs(s, d).select(col("doc_id"), col("source")),
+        "source", Map("src0" -> 5L, "src1" -> 3L), targetTotal = 1000L)
+        .orderBy("doc_id", "replica"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1803,7 +1852,66 @@ object SparkEntry {
         |  FROM events)
         |SELECT event_type, event_id, user_id, ROUND(value, 4) AS v,
         |  CAST(rnk AS BIGINT) AS rnk
-        |FROM r WHERE rnk <= 2 ORDER BY event_type, rnk""".stripMargin
+        |FROM r WHERE rnk <= 2 ORDER BY event_type, rnk""".stripMargin,
+
+    "q90_temperature_sample" ->
+      """WITH c AS (SELECT lang, COUNT(*) AS n FROM documents GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM c),
+        |q AS (SELECT lang, LEAST(n, (120 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) AS t
+        |      FROM w),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM documents)
+        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |WHERE rn <= t ORDER BY doc_id""".stripMargin,
+
+    "q91_shuffle_shard" ->
+      """WITH p AS (SELECT doc_id,
+        |  ROW_NUMBER() OVER (ORDER BY MD5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) - 1 AS pos
+        |  FROM documents)
+        |SELECT doc_id, pos, pos % 8 AS shard, pos // 8 AS pos_in_shard
+        |FROM p ORDER BY doc_id""".stripMargin,
+
+    "q92_unigram_rarity" ->
+      """WITH t AS (SELECT doc_id, tok FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS tok FROM documents)
+        |  WHERE tok <> ''),
+        |v AS (SELECT tok, COUNT(*) AS cnt FROM t GROUP BY tok),
+        |sc AS (SELECT doc_id, COUNT(*) AS n_tok,
+        |         CAST(SUM(LENGTH(BIN((SELECT COUNT(*) FROM t) // cnt)) - 1) AS BIGINT) AS rsum
+        |       FROM t JOIN v USING (tok) GROUP BY doc_id)
+        |SELECT d.doc_id, COALESCE(sc.n_tok, 0) AS n_tok,
+        |  COALESCE(sc.rsum, 0) AS rarity_sum,
+        |  CASE WHEN COALESCE(sc.n_tok, 0) > 0
+        |       THEN ROUND(CAST(sc.rsum AS DOUBLE) / sc.n_tok, 4) END AS rarity_avg
+        |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin,
+
+    "q93_bloom_decontam" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 2),
+        |ev AS (SELECT DISTINCT g FROM g WHERE doc_id % 7 = 0),
+        |tr AS (SELECT doc_id, g FROM g WHERE doc_id % 7 <> 0),
+        |ov AS (SELECT tr.doc_id, COUNT(*) AS n FROM tr JOIN ev USING (g) GROUP BY 1)
+        |SELECT t.doc_id, CAST(COALESCE(ov.n, 0) AS BIGINT) AS n_overlap,
+        |  COALESCE(ov.n, 0) > 0 AS contaminated
+        |FROM (SELECT doc_id FROM tok WHERE doc_id % 7 <> 0) t
+        |LEFT JOIN ov ON ov.doc_id = t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
+
+    "q94_mix_epochs" ->
+      """WITH c AS (SELECT source, COUNT(*) AS n FROM documents GROUP BY source),
+        |wt AS (SELECT source, n,
+        |         CASE source WHEN 'src0' THEN 5 WHEN 'src1' THEN 3 ELSE 1 END AS w
+        |       FROM c),
+        |f AS (SELECT source,
+        |        LEAST(16, (1000 * w + (SELECT CAST(SUM(w) AS BIGINT) FROM wt) * n - 1)
+        |                  // ((SELECT CAST(SUM(w) AS BIGINT) FROM wt) * n)) AS r
+        |      FROM wt)
+        |SELECT d.doc_id, d.source, CAST(t.i AS BIGINT) AS replica
+        |FROM documents d JOIN f USING (source), generate_series(0, 15) t(i)
+        |WHERE t.i < f.r
+        |ORDER BY d.doc_id, replica""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

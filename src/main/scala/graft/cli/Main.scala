@@ -244,6 +244,42 @@ object Main {
             idCol, textCol, n.toInt)
           .write.mode("overwrite").parquet(out)
 
+      // same, with the rare-overlap Bloom prefilter in the train scan
+      case "decon-bloom" :: train :: eval0 :: idCol :: textCol :: n :: out :: Nil =>
+        graft.llm.Decontamination.overlapFlagsBloom(
+            spark.read.parquet(train), spark.read.parquet(eval0),
+            idCol, textCol, n.toInt)
+          .write.mode("overwrite").parquet(out)
+
+      // temperature-balanced (α=1/2) stratified sample of ~target rows
+      case "tempsample" :: in :: strataCol :: idCol :: target :: out :: Nil =>
+        graft.ops.Sampling.temperatureSample(
+            spark.read.parquet(in), strataCol, col(idCol), target.toLong)
+          .write.mode("overwrite").parquet(out)
+
+      // deterministic global shuffle + round-robin shard assignment;
+      // the output is partitioned BY shard so each shard is its own
+      // file set, ready to feed a loader
+      case "shard" :: in :: idCol :: nShards :: out :: Nil =>
+        graft.llm.Shuffling.shard(spark.read.parquet(in), idCol, nShards.toInt)
+          .write.mode("overwrite").partitionBy("shard").parquet(out)
+
+      // data-mixture epoch plan: "src0=5,src1=3" relative weights
+      case "mix" :: in :: srcCol :: spec :: target :: out :: Nil =>
+        val weights = spec.split(',').filter(_.nonEmpty).map { kv =>
+          kv.split('=') match {
+            case Array(k, v) => k -> v.toLong
+            case _ => sys.error(s"mix: bad weight '$kv' (want source=weight)")
+          }
+        }.toMap
+        graft.llm.Mixing.epochPlan(spark.read.parquet(in), srcCol, weights, target.toLong)
+          .write.mode("overwrite").parquet(out)
+
+      // corpus unigram rarity quality signal per document
+      case "rarity" :: in :: idCol :: textCol :: out :: Nil =>
+        graft.llm.UnigramLM.raritySignals(spark.read.parquet(in), idCol, textCol)
+          .write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows
@@ -287,6 +323,11 @@ object Main {
         |  chunk <in.parquet> <idCol> <textCol> <max[+overlap]> <out>
         |  pack <in.parquet> <idCol> <tokCol> <budget> <out>
         |  decon <train.parquet> <eval.parquet> <idCol> <textCol> <ngram> <out>
+        |  decon-bloom <train.parquet> <eval.parquet> <idCol> <textCol> <ngram> <out>
+        |  tempsample <in.parquet> <strataCol> <idCol> <target> <out>
+        |  shard <in.parquet> <idCol> <numShards> <out>   (shuffled, partitioned by shard)
+        |  mix <in.parquet> <srcCol> src=w,src=w,... <target> <out>
+        |  rarity <in.parquet> <idCol> <textCol> <out>   (unigram LM quality signal)
         |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
         |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>

@@ -56,4 +56,62 @@ object Decontamination {
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
   }
+
+  /** [[overlapFlags]] with a Bloom prefilter on the train side — the
+    * 100 TB posture when overlap is rare (the common case: benchmark
+    * grams are a vanishing fraction of a web corpus). The eval grams
+    * build a Bloom filter DISTRIBUTED-side (`stat.bloomFilter` runs a
+    * treeAggregate; only the merged bitset reaches the driver), which
+    * then rides the plan as a constant probed by Spark's own
+    * codegen'd `BloomFilterMightContain` — the same expression
+    * Spark's runtime row-level filtering injects, fed the same
+    * `xxhash64` it expects. Train grams that miss the filter (the
+    * overwhelming majority) die in the scan stage and NEVER shuffle;
+    * the surviving sliver goes through the exact join, so false
+    * positives cannot reach the output and the result is
+    * bit-identical to [[overlapFlags]] — the filter changes the
+    * plan, not the answer.
+    *
+    * `expectedGrams`/`fpp` size the filter: at the default 1% fpp the
+    * bitset is ~1.2 bytes per eval gram — a 10M-gram benchmark suite
+    * is a ~12 MB plan constant, the same order as a broadcast of the
+    * gram set itself but probed with zero join machinery. */
+  def overlapFlagsBloom(train: DataFrame, eval0: DataFrame,
+                        idCol: String, textCol: String, n: Int,
+                        expectedGrams: Long = 1L << 20,
+                        fpp: Double = 0.01): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    require(expectedGrams > 0, s"expectedGrams must be positive: $expectedGrams")
+    require(fpp > 0 && fpp < 1, s"fpp must be in (0,1): $fpp")
+    val evalGrams = eval0
+      .select(explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .distinct()
+    // build over xxhash64(gram) longs: stat.bloomFilter putLong's an
+    // integral column, which is exactly what BloomFilterMightContain's
+    // mightContainLong probe expects for its xxhash64'd value
+    val bf = evalGrams.select(xxhash64(col("__g")).as("__h"))
+      .stat.bloomFilter("__h", expectedGrams, fpp)
+    val bos = new java.io.ByteArrayOutputStream()
+    bf.writeTo(bos)
+    import org.apache.spark.sql.catalyst.expressions.{BloomFilterMightContain, Literal}
+    val mightContain = org.apache.spark.sql.graft.ColumnBridge.column(
+      BloomFilterMightContain(
+        Literal(bos.toByteArray, org.apache.spark.sql.types.BinaryType),
+        org.apache.spark.sql.graft.ColumnBridge.expression(xxhash64(col("__g")))))
+    val trainGrams = train.select(col(idCol),
+        explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+      .where(mightContain)
+    val overlaps = trainGrams.join(broadcast(evalGrams), "__g")
+      .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
+    val base = train.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
+      .select(when(col("__n") > 1L, raise_error(concat(
+          lit(s"Decontamination.overlapFlagsBloom: duplicate $idCol in train: "),
+          col(idCol).cast("string"))))
+        .otherwise(col(idCol)).as(idCol))
+    base
+      .join(overlaps, Seq(idCol), "left")
+      .select(col(idCol),
+        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
+        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+  }
 }

@@ -89,6 +89,55 @@ object Sampling {
       .drop("__rn", "__n")
   }
 
+  /** Temperature-balanced (α = 1/2) stratified sampling — the
+    * multilingual-corpus rebalancing step of an LLM data pipeline
+    * (XLM-R-style exponentiated sampling): stratum `s` gets a quota
+    * proportional to `count_s^α`, so dominant languages are
+    * down-weighted and small languages keep representation, without
+    * ever over-drawing a stratum (`quota ≤ count`).
+    *
+    * α is fixed at 1/2 because that keeps the whole quota rule in
+    * EXACT integer arithmetic: `w_s = floor(sqrt(n_s))` (IEEE sqrt is
+    * correctly rounded, so the floor is engine-portable — a general
+    * `pow(n, α)` is not), `quota_s = min(n_s, T·w_s / Σw)` with
+    * BigInt driver math, and membership is [[stratifiedExact]]'s
+    * rank rule (smallest md5(id) per stratum) — content-stable and
+    * reproducible across runs, engines, and partitionings.
+    *
+    * Per-stratum counts are collected to the driver: strata are
+    * languages/sources (tens, not millions) — the same groups ≪ rows
+    * contract as [[stratifiedExact]]. One hash-partition shuffle for
+    * the per-stratum rank; the quota table joins back as a broadcast.
+    * Null strata are matched null-safely (kept, like the window
+    * partitioning in [[stratifiedExact]]). */
+  def temperatureSample(df: DataFrame, strataCol: String, id: Column,
+                        targetTotal: Long): DataFrame = {
+    require(targetTotal >= 0, s"temperatureSample: targetTotal must be >= 0: $targetTotal")
+    val spark = df.sparkSession
+    val counts = df.groupBy(col(strataCol)).agg(count(lit(1)).as("__n")).collect()
+    val totalW = counts.map(r => math.sqrt(r.getLong(1).toDouble).toLong).sum
+    val quotaRows = counts.map { r =>
+      val n = r.getLong(1)
+      val w = math.sqrt(n.toDouble).toLong // floor: exact for n < 2^53
+      val quota =
+        if (totalW == 0L) 0L
+        else math.min(n, ((BigInt(targetTotal) * w) / totalW).toLong)
+      org.apache.spark.sql.Row(r.get(0), quota)
+    }
+    val qSchema = org.apache.spark.sql.types.StructType(Seq(
+      df.schema(strataCol).copy(nullable = true),
+      org.apache.spark.sql.types.StructField("__quota", org.apache.spark.sql.types.LongType)))
+    val quotas = spark.createDataFrame(
+      spark.sparkContext.parallelize(quotaRows.toSeq, 1), qSchema)
+    val w = org.apache.spark.sql.expressions.Window.partitionBy(col(strataCol))
+    val ranked = df.withColumn("__rn", row_number().over(
+      w.orderBy(md5(id.cast("string").cast("binary")), id)))
+    ranked
+      .join(broadcast(quotas), ranked(strataCol) <=> quotas(strataCol))
+      .where(col("__rn") <= col("__quota"))
+      .select(df.columns.map(ranked(_)): _*)
+  }
+
   /** Deterministic train/val/test assignment for ML pipelines: bucket
     * each row by an md5 prefix of its id (16 bits, uniform), carve
     * [0, 65536) by cumulative weight, and label with the matching
