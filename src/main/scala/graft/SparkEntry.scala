@@ -1160,7 +1160,130 @@ object SparkEntry {
       graft.llm.Mixing.epochPlan(
         docs(s, d).select(col("doc_id"), col("source")),
         "source", Map("src0" -> 5L, "src1" -> 3L), targetTotal = 1000L)
-        .orderBy("doc_id", "replica"))
+        .orderBy("doc_id", "replica")),
+
+    // Q95 — key-distribution skew report: top-20 heaviest event users
+    // with integer ppm share and basis-points-of-mean — the diagnosis
+    // that decides salting/AQE before a big join. Partial-agg groupBy
+    // + top-k heap; no sort, no key-space collect.
+    "q95_skew_report" -> ((s, d) =>
+      graft.ops.Skew.report(ev(s, d).select(col("user_id")), "user_id", 20)
+        .orderBy(desc("cnt"), col("user_id"))),
+
+    // Q96 — heavy hitters, sketch-then-verify: Misra-Gries candidates
+    // (treeAggregate, ≤k entries per summary) then an exact count
+    // pass. The MG ≤ n/k undercount bound makes the final set exactly
+    // {key | cnt·k > n} — sketch luck cannot change the answer.
+    "q96_heavy_hitters" -> ((s, d) =>
+      graft.ops.HeavyHitters.exactOverThreshold(
+        ev(s, d).select(col("user_id")), "user_id", k = 130)
+        .orderBy(desc("cnt"), col("user_id"))),
+
+    // Q97 — staged funnel (view → click → purchase, each strictly
+    // after the previous): conditional-MIN chain per user, planned as
+    // hash aggs + left joins — no per-user event sort. Non-converting
+    // users keep their stage-0 row.
+    "q97_funnel" -> ((s, d) =>
+      graft.ops.Funnels.funnel(ev(s, d), "user_id", "event_type", "ts",
+        Seq("view", "click", "purchase"))
+        .orderBy("user_id")),
+
+    // Q98 — cohort retention triangle: cohort = first active day,
+    // distinct users per (cohort, day offset). Whole-day integer
+    // arithmetic; one groupBy-min + join + distinct count.
+    "q98_retention" -> ((s, d) =>
+      graft.ops.Funnels.retention(ev(s, d), "user_id", "ts")
+        .orderBy("cohort", "day_offset")),
+
+    // Q99 — semi-structured JSON property extraction (the events
+    // table's props column): get_json_object is codegen'd per row, so
+    // the parse rides the scan — no UDF, no shuffle before the agg.
+    "q99_json_props" -> ((s, d) =>
+      ev(s, d)
+        .select(get_json_object(col("props"), "$.k").cast("long").as("k"),
+          col("value"))
+        .groupBy(pmod(col("k"), lit(10L)).as("k_mod"))
+        .agg(count(lit(1)).as("n"), round(sum("value"), 4).as("value_sum"))
+        .orderBy("k_mod")),
+
+    // Q100 — pivot: per-user event-type counts widened to columns
+    // (the reporting shape). Values are pinned explicitly — an
+    // unpinned pivot adds a distinct-collect job and makes the output
+    // schema data-dependent, which a declared query must not be.
+    "q100_pivot" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L) // absent (user, type) combos: 0, like the SQL CASE-SUM
+        .orderBy("user_id")),
+
+    // Q101 — unpivot (melt): the exact inverse, q100's wide frame
+    // back to (user_id, event_type, cnt) long form — round-trip
+    // pinned against the plain groupBy in both engines.
+    "q101_unpivot" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+        .agg(count(lit(1)))
+        .na.fill(0L)
+        .unpivot(Array(col("user_id")), "event_type", "cnt")
+        .orderBy("user_id", "event_type")),
+
+    // Q102 — per-group NTILE quartiles (events per user by value):
+    // partitioned window, never a global single-partition sort; the
+    // (value, event_id) ordering makes tile edges engine-identical.
+    "q102_ntile" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"), round(col("value"), 4).as("v"),
+          ntile(4).over(w).cast("long").as("quartile"))
+        .orderBy("user_id", "quartile", "event_id")
+    }),
+
+    // Q103 — user journey paths: the full ordered event-type sequence
+    // per user as one string (path mining's input). Ordered collect is
+    // array_sort over (ts, event_id, type) structs — deterministic
+    // tiebreak, no window; per-group memory is bounded by the per-user
+    // event count (the op's honest contract, like exact percentile).
+    "q103_event_paths" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"))
+        .agg(
+          array_join(
+            transform(
+              array_sort(collect_list(struct(col("ts"), col("event_id"), col("event_type")))),
+              x => x.getField("event_type")),
+            ">").as("path"),
+          count(lit(1)).as("n_events"))
+        .orderBy("user_id")),
+
+    // Q104 — running total per user (ROWS UNBOUNDED PRECEDING frame):
+    // the cumulative-metric window surface. Rounded — both engines
+    // sum the frame in the same (ts, event_id) order.
+    "q104_running_total" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding,
+          org.apache.spark.sql.expressions.Window.currentRow)
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(sum(col("value")).over(w), 4).as("run_sum"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q105 — inter-event gaps via LAG: microsecond-integer deltas
+    // (unix_micros — no float time anywhere), null for each user's
+    // first event.
+    "q105_event_gaps" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -1911,7 +2034,95 @@ object SparkEntry {
         |SELECT d.doc_id, d.source, CAST(t.i AS BIGINT) AS replica
         |FROM documents d JOIN f USING (source), generate_series(0, 15) t(i)
         |WHERE t.i < f.r
-        |ORDER BY d.doc_id, replica""".stripMargin
+        |ORDER BY d.doc_id, replica""".stripMargin,
+
+    "q95_skew_report" ->
+      """WITH c AS (SELECT user_id, COUNT(*) AS cnt FROM events GROUP BY user_id),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total, COUNT(*) AS nkeys FROM c)
+        |SELECT user_id, cnt, cnt * 1000000 // total AS share_ppm,
+        |  cnt * nkeys * 10000 // total AS x_mean_bp
+        |FROM c, t ORDER BY cnt DESC, user_id LIMIT 20""".stripMargin,
+
+    "q96_heavy_hitters" ->
+      """WITH c AS (SELECT CAST(user_id AS VARCHAR) AS user_id, COUNT(*) AS cnt
+        |           FROM events GROUP BY 1),
+        |t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS total FROM c)
+        |SELECT user_id, cnt FROM c, t WHERE cnt * 130 > total
+        |ORDER BY cnt DESC, user_id""".stripMargin,
+
+    "q97_funnel" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |s0 AS (SELECT user_id, MIN(ts) AS t_0 FROM events
+        |       WHERE event_type = 'view' GROUP BY 1),
+        |s1 AS (SELECT e.user_id, MIN(e.ts) AS t_1 FROM events e
+        |       JOIN s0 ON s0.user_id = e.user_id
+        |       WHERE e.event_type = 'click' AND e.ts > s0.t_0 GROUP BY 1),
+        |s2 AS (SELECT e.user_id, MIN(e.ts) AS t_2 FROM events e
+        |       JOIN s1 ON s1.user_id = e.user_id
+        |       WHERE e.event_type = 'purchase' AND e.ts > s1.t_1 GROUP BY 1)
+        |SELECT u.user_id,
+        |  CAST(CASE WHEN t_2 IS NOT NULL THEN 3 WHEN t_1 IS NOT NULL THEN 2
+        |            WHEN t_0 IS NOT NULL THEN 1 ELSE 0 END AS BIGINT) AS stage,
+        |  t_0, t_1, t_2
+        |FROM u LEFT JOIN s0 USING (user_id) LEFT JOIN s1 USING (user_id)
+        |LEFT JOIN s2 USING (user_id)
+        |ORDER BY u.user_id""".stripMargin,
+
+    "q98_retention" ->
+      """WITH c AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS cohort
+        |           FROM events GROUP BY 1),
+        |a AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events)
+        |SELECT c.cohort, CAST(a.day - c.cohort AS BIGINT) AS day_offset,
+        |  COUNT(*) AS n_users
+        |FROM a JOIN c USING (user_id)
+        |GROUP BY 1, 2 ORDER BY cohort, day_offset""".stripMargin,
+
+    "q99_json_props" ->
+      """SELECT CAST(props->>'k' AS BIGINT) % 10 AS k_mod, COUNT(*) AS n,
+        |  ROUND(SUM(value), 4) AS value_sum
+        |FROM events GROUP BY 1 ORDER BY k_mod""".stripMargin,
+
+    "q100_pivot" ->
+      """SELECT user_id,
+        |  CAST(SUM(CASE WHEN event_type = 'click' THEN 1 ELSE 0 END) AS BIGINT) AS click,
+        |  CAST(SUM(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error,
+        |  CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS BIGINT) AS purchase,
+        |  CAST(SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END) AS BIGINT) AS signup,
+        |  CAST(SUM(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END) AS BIGINT) AS view
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q101_unpivot" ->
+      """WITH u AS (SELECT DISTINCT user_id FROM events),
+        |t AS (SELECT UNNEST(['click','error','purchase','signup','view']) AS event_type),
+        |c AS (SELECT user_id, event_type, COUNT(*) AS cnt FROM events GROUP BY 1, 2)
+        |SELECT u.user_id, t.event_type, CAST(COALESCE(c.cnt, 0) AS BIGINT) AS cnt
+        |FROM u CROSS JOIN t
+        |LEFT JOIN c ON c.user_id = u.user_id AND c.event_type = t.event_type
+        |ORDER BY u.user_id, t.event_type""".stripMargin,
+
+    "q102_ntile" ->
+      """SELECT user_id, event_id, ROUND(value, 4) AS v,
+        |  CAST(NTILE(4) OVER (PARTITION BY user_id ORDER BY value, event_id) AS BIGINT)
+        |    AS quartile
+        |FROM events ORDER BY user_id, quartile, event_id""".stripMargin,
+
+    "q103_event_paths" ->
+      """SELECT user_id,
+        |  STRING_AGG(event_type, '>' ORDER BY ts, event_id) AS path,
+        |  COUNT(*) AS n_events
+        |FROM events GROUP BY user_id ORDER BY user_id""".stripMargin,
+
+    "q104_running_total" ->
+      """SELECT user_id, event_id,
+        |  ROUND(SUM(value) OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 4) AS run_sum
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q105_event_gaps" ->
+      """SELECT user_id, event_id,
+        |  epoch_us(ts) - LAG(epoch_us(ts), 1)
+        |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
+        |FROM events ORDER BY user_id, event_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

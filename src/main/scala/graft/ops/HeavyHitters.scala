@@ -1,0 +1,83 @@
+package graft.ops
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+import scala.collection.mutable
+
+/** Heavy hitters by sketch-then-verify — the streaming-classic
+  * Misra-Gries summary run distributed, then an EXACT second pass
+  * over just the candidates. The guarantee that makes this safe at
+  * 100 TB: a merged Misra-Gries summary of size `k` undercounts any
+  * key by at most n/k, so every key with true count > n/k SURVIVES
+  * the sketch — phase 2's exact counts then discard the false
+  * candidates, and the final answer is exactly
+  * `{key | count(key) · k > n}`, independent of sketch luck. (Same
+  * prefilter-then-exact shape as `Decontamination.overlapFlagsBloom`:
+  * the sketch changes the plan, not the answer.)
+  *
+  * Phase 1 is a `treeAggregate` over the key column — per-partition
+  * size-k summaries merged pairwise (O(k log k) each, driver sees
+  * one); phase 2 filters the scan to the ≤k candidate keys (an
+  * `isin` pushed to the source) and counts them exactly. Nothing
+  * larger than k entries ever leaves an executor.
+  */
+object HeavyHitters {
+
+  private val NULL = " null" // sentinel: the summary map needs a key for null
+
+  /** Misra-Gries add: bump a tracked key or claim a free slot; on a
+    * full summary, decrement all (dropping zeros) and discard the
+    * arrival — the classic ≤ n/k undercount trade. */
+  private def add(m: mutable.Map[String, Long], key: String, k: Int) = {
+    if (m.contains(key) || m.size < k) { m(key) = m.getOrElse(key, 0L) + 1L; m }
+    else {
+      val out = mutable.Map.empty[String, Long]
+      m.foreach { case (kk, v) => if (v > 1L) out(kk) = v - 1L }
+      out
+    }
+  }
+
+  /** Merge: sum counters; if over k entries, subtract the (k+1)-th
+    * largest value from all and keep the positive ones — preserves
+    * the ≤ n/k bound for merged summaries (Agarwal et al., PODS'12,
+    * "Mergeable summaries"). */
+  private def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long], k: Int) = {
+    b.foreach { case (kk, v) => a(kk) = a.getOrElse(kk, 0L) + v }
+    if (a.size <= k) a
+    else {
+      val cut = a.values.toArray.sorted(Ordering[Long].reverse).apply(k)
+      val out = mutable.Map.empty[String, Long]
+      a.foreach { case (kk, v) => if (v - cut > 0L) out(kk) = v - cut }
+      out
+    }
+  }
+
+  /** Keys whose count strictly exceeds total/k, with exact counts.
+    * Output: keyCol (as string), cnt. Null keys participate like any
+    * other value (sentinel-bucketed internally, reported as null). */
+  def exactOverThreshold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
+    val kk = k
+    val keys = df.select(col(keyCol).cast("string")).rdd
+      .map(r => if (r.isNullAt(0)) NULL else r.getString(0))
+    val candidates = keys.treeAggregate(mutable.Map.empty[String, Long])(
+      (m, key) => add(m, key, kk), (a, b) => merge(a, b, kk)).keys.toSeq
+
+    val spark = df.sparkSession
+    if (candidates.isEmpty) {
+      import org.apache.spark.sql.types._
+      return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        StructType(Seq(StructField(keyCol, StringType), StructField("cnt", LongType))))
+    }
+    // phase 2: exact counts for the candidate sliver only
+    val total = broadcast(df.groupBy().agg(count(lit(1)).as("__total")))
+    df.select(coalesce(col(keyCol).cast("string"), lit(NULL)).as("__k"))
+      .where(col("__k").isin(candidates: _*))
+      .groupBy(col("__k")).agg(count(lit(1)).as("cnt"))
+      .crossJoin(total)
+      .where(col("cnt") * k > col("__total"))
+      .select(when(col("__k") === NULL, lit(null).cast("string"))
+          .otherwise(col("__k")).as(keyCol),
+        col("cnt"))
+  }
+}

@@ -119,4 +119,41 @@ class PlanSpec extends SparkSpec {
     assert(plan("q20_cosine_topk").contains("BroadcastNestedLoopJoin") ||
       plan("q20_cosine_topk").contains("BroadcastExchange"), plan("q20_cosine_topk"))
   }
+
+  test("q90: quota table joins back as a broadcast, rank is one hash shuffle") {
+    val p = plan("q90_temperature_sample")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Exchange hashpartitioning(lang"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q95: skew report tops out as per-partition heaps, not a global sort") {
+    val p = plan("q95_skew_report")
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(p.contains("partial_count"), p) // map-side combine before the shuffle
+  }
+
+  test("q97: funnel is hash aggs + joins — no per-user event sort") {
+    val p = plan("q97_funnel")
+    // partial aggregation of the per-stage MINs (map-side combine)
+    assert(p.contains("partial_min"), p)
+    // no window operator: the conditional-MIN chain must not have
+    // turned into a sort-based window walk
+    assert(!p.contains("Window"), p)
+  }
+
+  test("q102: ntile window partitions by user — never a single partition") {
+    val p = plan("q102_ntile")
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+  }
+
+  test("q94: mixture replication is a broadcast probe + generator, no shuffle") {
+    val p = plan("q94_mix_epochs")
+    assert(p.contains("BroadcastHashJoin"), p)
+    assert(p.contains("Generate"), p) // the explode(sequence(...))
+    // presentation orderBy aside, the plan must not hash-shuffle the corpus
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 0, s"expected no hash exchange, got $hashEx:\n$p")
+  }
 }
