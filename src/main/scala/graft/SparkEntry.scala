@@ -1283,7 +1283,55 @@ object SparkEntry {
         .select(col("user_id"), col("event_id"),
           (unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
         .orderBy("user_id", "event_id")
-    })
+    }),
+
+    // Q106 — statistical aggregates (stddev/variance/covar/corr per
+    // event type, value vs the JSON k property): the second-moment
+    // family beyond q05's sum/min/max. All rounded — both engines use
+    // the same co-moment definitions on the same 2k-row groups.
+    "q106_stats_aggs" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"), col("value"),
+          get_json_object(col("props"), "$.k").cast("double").as("k"))
+        .groupBy(col("event_type"))
+        .agg(round(stddev_samp(col("value")), 4).as("sd_v"),
+          round(var_samp(col("value")), 4).as("var_v"),
+          round(covar_samp(col("value"), col("k")), 4).as("cov_vk"),
+          round(corr(col("value"), col("k")), 4).as("corr_vk"))
+        .orderBy("event_type")),
+
+    // Q107 — percent_rank / cume_dist per user over value (unique
+    // (value, event_id) ordering ⇒ engine-identical ranks); the
+    // relative-standing window surface next to q102's ntile.
+    "q107_percent_rank" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("value"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_id"),
+          round(percent_rank().over(w), 4).as("pr"),
+          round(cume_dist().over(w), 4).as("cd"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q108 — BPE-style pair counting (one tokenizer-training merge
+    // round): adjacent character-pair frequencies weighted by word
+    // frequency, top-20. Counting over the DISTINCT-word table, not
+    // raw tokens, is the scale move — pair extraction runs once per
+    // vocabulary word (10⁵–10⁷ rows) instead of once per corpus token
+    // (10¹²). length-1 words are fenced BEFORE the transform: Spark's
+    // sequence(1, 0) counts DOWN, it does not produce empty.
+    "q108_bpe_pairs" -> ((s, d) =>
+      docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy(col("w")).agg(count(lit(1)).as("c"))
+        .where(length(col("w")) >= 2)
+        .select(explode(expr(
+          "transform(sequence(1, length(w) - 1), i -> substring(w, i, 2))")).as("pair"),
+          col("c"))
+        .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
+        .orderBy(desc("freq"), col("pair"))
+        .limit(20))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2122,7 +2170,31 @@ object SparkEntry {
       """SELECT user_id, event_id,
         |  epoch_us(ts) - LAG(epoch_us(ts), 1)
         |    OVER (PARTITION BY user_id ORDER BY ts, event_id) AS gap_us
-        |FROM events ORDER BY user_id, event_id""".stripMargin
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q106_stats_aggs" ->
+      """SELECT event_type,
+        |  ROUND(STDDEV_SAMP(value), 4) AS sd_v,
+        |  ROUND(VAR_SAMP(value), 4) AS var_v,
+        |  ROUND(COVAR_SAMP(value, k), 4) AS cov_vk,
+        |  ROUND(CORR(value, k), 4) AS corr_vk
+        |FROM (SELECT event_type, value, CAST(props->>'k' AS DOUBLE) AS k FROM events)
+        |GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q107_percent_rank" ->
+      """SELECT user_id, event_id,
+        |  ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr,
+        |  ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS cd
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q108_bpe_pairs" ->
+      """WITH w AS (SELECT w, COUNT(*) AS c FROM (
+        |    SELECT UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents)
+        |  WHERE w <> '' GROUP BY w),
+        |p AS (SELECT SUBSTRING(w.w, t.i, 2) AS pair, CAST(SUM(w.c) AS BIGINT) AS freq
+        |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
+        |      GROUP BY 1)
+        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

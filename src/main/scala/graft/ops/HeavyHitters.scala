@@ -27,8 +27,9 @@ object HeavyHitters {
 
   /** Misra-Gries add: bump a tracked key or claim a free slot; on a
     * full summary, decrement all (dropping zeros) and discard the
-    * arrival — the classic ≤ n/k undercount trade. */
-  private def add(m: mutable.Map[String, Long], key: String, k: Int) = {
+    * arrival — the classic ≤ n/k undercount trade. (private[ops] so
+    * the survival guarantee is property-testable without Spark jobs.) */
+  private[ops] def add(m: mutable.Map[String, Long], key: String, k: Int) = {
     if (m.contains(key) || m.size < k) { m(key) = m.getOrElse(key, 0L) + 1L; m }
     else {
       val out = mutable.Map.empty[String, Long]
@@ -41,7 +42,7 @@ object HeavyHitters {
     * largest value from all and keep the positive ones — preserves
     * the ≤ n/k bound for merged summaries (Agarwal et al., PODS'12,
     * "Mergeable summaries"). */
-  private def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long], k: Int) = {
+  private[ops] def merge(a: mutable.Map[String, Long], b: mutable.Map[String, Long], k: Int) = {
     b.foreach { case (kk, v) => a(kk) = a.getOrElse(kk, 0L) + v }
     if (a.size <= k) a
     else {

@@ -1,0 +1,48 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins the Datasketches HLL surface (Spark 4 `hll_sketch_agg` /
+  * `hll_union_agg` / `hll_sketch_estimate`): accuracy against the
+  * exact distinct count, and the mergeability contract — sharded
+  * sketches unioned == the whole-corpus sketch, byte-for-byte
+  * estimate. Mergeability is what makes the sketch the 100 TB path:
+  * per-partition sketches shuffle as ~KB blobs (map-side combined)
+  * where an exact distinct shuffles every value. Estimates are
+  * deterministic for a given input set but implementation-specific,
+  * so this is a tolerance/invariant spec, not a DuckDB oracle row. */
+class SketchAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val docs = spark.read.parquet(s"$sf/documents.parquet")
+  private lazy val toks = docs
+    .select(explode(split(lower(col("text")), " ")).as("tok"))
+    .where(col("tok") =!= "")
+
+  test("hll estimate within 3% of the exact distinct token count") {
+    val exact = toks.select(countDistinct(col("tok"))).as[Long].head()
+    val est = toks.select(hll_sketch_estimate(hll_sketch_agg(col("tok"))))
+      .as[Long].head()
+    assert(math.abs(est - exact).toDouble / exact <= 0.03, s"est=$est exact=$exact")
+  }
+
+  test("sharded sketches union to the same estimate as one pass") {
+    val whole = toks.select(hll_sketch_estimate(hll_sketch_agg(col("tok"))))
+      .as[Long].head()
+    val sharded = toks
+      .withColumn("shard", pmod(hash(col("tok")), lit(7)))
+      .groupBy("shard").agg(hll_sketch_agg(col("tok")).as("sk"))
+      .select(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    assert(sharded == whole, s"sharded=$sharded whole=$whole")
+  }
+
+  test("estimates are deterministic for the same input set") {
+    val a = toks.repartition(3)
+      .select(hll_sketch_estimate(hll_sketch_agg(col("tok")))).as[Long].head()
+    val b = toks.repartition(11)
+      .select(hll_sketch_estimate(hll_sketch_agg(col("tok")))).as[Long].head()
+    assert(a == b, s"$a vs $b")
+  }
+}
