@@ -280,6 +280,20 @@ object Main {
         graft.llm.UnigramLM.raritySignals(spark.read.parquet(in), idCol, textCol)
           .write.mode("overwrite").parquet(out)
 
+      // learn BPE merges over the corpus word-frequency table; the
+      // output parquet is the ordered merge list (rank, a, b, freq)
+      case "bpe-train" :: in :: textCol :: nMerges :: out :: Nil =>
+        val words = spark.read.parquet(in)
+          .select(explode(split(lower(col(textCol)), " ")).as("w"))
+          .where(col("w") =!= "")
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val merges = graft.llm.BpeTrainer.learnMerges(words, "w", "c", nMerges.toInt)
+        import spark.implicits._
+        merges.zipWithIndex
+          .map { case (m, i) => (i.toLong, m.a, m.b, m.freq) }
+          .toDF("rank", "a", "b", "freq")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows
@@ -328,6 +342,7 @@ object Main {
         |  shard <in.parquet> <idCol> <numShards> <out>   (shuffled, partitioned by shard)
         |  mix <in.parquet> <srcCol> src=w,src=w,... <target> <out>
         |  rarity <in.parquet> <idCol> <textCol> <out>   (unigram LM quality signal)
+        |  bpe-train <in.parquet> <textCol> <nMerges> <out>   (learn tokenizer merges)
         |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
         |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>

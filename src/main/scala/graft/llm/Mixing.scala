@@ -44,6 +44,14 @@ object Mixing {
     require(defaultWeight >= 0 && weights.values.forall(_ >= 0),
       "Mixing.epochPlan: weights must be non-negative")
     require(maxRepeat >= 1, s"Mixing.epochPlan: maxRepeat must be >= 1: $maxRepeat")
+    // weights are keyed by STRING source values; on any other column
+    // type every lookup would silently fall through to defaultWeight
+    require(df.schema(srcCol).dataType == org.apache.spark.sql.types.StringType,
+      s"Mixing.epochPlan: $srcCol must be a string column, got " +
+        df.schema(srcCol).dataType.simpleString)
+    require(!df.columns.contains("replica"),
+      "Mixing.epochPlan: input already has a 'replica' column — the output " +
+        "index would silently shadow it")
     val spark = df.sparkSession
     val counts = df.groupBy(col(srcCol)).agg(count(lit(1)).as("__n")).collect()
     val weightOf: Any => Long = {

@@ -36,6 +36,10 @@ object Shuffling {
     * fails loudly otherwise. */
   def shard(df: DataFrame, idCol: String, numShards: Int): DataFrame = {
     require(numShards > 0, s"Shuffling.shard: numShards must be positive: $numShards")
+    val reserved = Seq("pos", "shard", "pos_in_shard").filter(df.columns.contains)
+    require(reserved.isEmpty,
+      s"Shuffling.shard: input already has ${reserved.mkString("/")} — the " +
+        "output columns would silently shadow them")
     val keyed = df
       .withColumn("__shuf",
         concat(md5(col(idCol).cast("string").cast("binary")), col(idCol).cast("string")))

@@ -70,7 +70,9 @@ object HeavyHitters {
       return spark.createDataFrame(spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         StructType(Seq(StructField(keyCol, StringType), StructField("cnt", LongType))))
     }
-    // phase 2: exact counts for the candidate sliver only
+    // phase 2: exact counts for the candidate sliver only. The isin
+    // list is ≤ k entries — k is a SUMMARY size (hundreds/thousands),
+    // so the predicate stays a sane in-filter the scan can evaluate.
     val total = broadcast(df.groupBy().agg(count(lit(1)).as("__total")))
     df.select(coalesce(col(keyCol).cast("string"), lit(NULL)).as("__k"))
       .where(col("__k").isin(candidates: _*))

@@ -23,7 +23,9 @@ object Skew {
     * Two scalar aggregates (total rows, distinct keys) ride along as a
     * broadcast cross join — at any scale the heavy part is the one
     * partial-agg shuffle of (key, count) pairs; the top-k plans as
-    * per-partition heaps (TakeOrdered), never a global sort. */
+    * per-partition heaps (TakeOrdered), never a global sort.
+    * (Integer headroom: `cnt · 1e6` stays inside a long up to ~9×10¹²
+    * rows per key — beyond any single key at 100 TB.) */
   def report(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"Skew.report: topN must be positive: $topN")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))

@@ -119,4 +119,38 @@ object StatefulOps {
           (userId, next)
       }
   }
+
+  /** Running per-user (count, sum) via `transformWithState` — the
+    * operator-state-v2 surface (Spark 4): typed `ValueState` from the
+    * processor handle instead of a single opaque GroupState value, so
+    * a processor can hold several independently-evolving states and
+    * register timers. Requires the RocksDB state store provider
+    * (`spark.sql.streaming.stateStore.providerClass`); HDFS-backed
+    * state rejects this operator at query start. */
+  class RunningStatsProcessor
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, (Long, Long, Double)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var stats: ValueState[(Long, Double)] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      stats = getHandle.getValueState[(Long, Double)](
+        "stats", Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble), TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Long, Double)] = {
+      var (n, sum) = Option(stats.get()).getOrElse((0L, 0.0))
+      rows.foreach { e => n += 1; sum += e.value }
+      stats.update((n, sum))
+      Iterator.single((userId, n, sum))
+    }
+  }
+
+  /** One (userId, running count, running sum) row per key per
+    * micro-batch that touched it. */
+  def runningStatsTws(events: Dataset[Event]): Dataset[(Long, Long, Double)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    events.groupByKey(_.userId)
+      .transformWithState(new RunningStatsProcessor,
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -1,0 +1,50 @@
+package graft.streaming
+
+import java.sql.Timestamp
+import graft.SparkSpec
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+
+/** Pins [[StatefulOps.runningStatsTws]] — the transformWithState
+  * (state v2) surface: typed ValueState accumulates across
+  * micro-batches, and the final per-key stats equal the batch
+  * groupBy over the same data (stream/batch parity). RocksDB state
+  * store is set for the query's session conf and restored after —
+  * transformWithState rejects the default HDFS-backed provider. */
+class TransformWithStateSpec extends SparkSpec {
+  import spark.implicits._
+  import StatefulOps._
+
+  private def ts(min: Int) = Timestamp.valueOf(f"2024-01-01 00:${min}%02d:00")
+
+  test("running (count, sum) accumulates across micro-batches; parity with batch agg") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = runningStatsTws(ms.toDS()).writeStream
+        .format("memory").queryName("tws_stats").outputMode("update").start()
+      try {
+        val batch1 = Seq(Event(ts(0), 1L, 2.0), Event(ts(1), 1L, 3.0), Event(ts(2), 2L, 5.0))
+        val batch2 = Seq(Event(ts(3), 1L, 7.0), Event(ts(4), 3L, 1.0))
+        ms.addData(batch1: _*)
+        q.processAllAvailable()
+        ms.addData(batch2: _*)
+        q.processAllAvailable()
+        val last = spark.table("tws_stats").as[(Long, Long, Double)].collect()
+          .groupBy(_._1).view.mapValues(rs => rs.maxBy(_._2)).toMap
+        // stream result == batch groupBy over the union of batches
+        val expected = (batch1 ++ batch2).groupBy(_.userId)
+          .map { case (u, es) => u -> ((u, es.size.toLong, es.map(_.value).sum)) }
+        assert(last == expected, s"$last vs $expected")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+}
