@@ -1313,6 +1313,14 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Q109 — rolling 7-day active users: each (user, day) fans out to
+    // the 7 target days it contributes to (map-only, bounded 7×) and
+    // a count-distinct lands per day — never a range join, which
+    // would compare every activity row against every spine day.
+    "q109_rolling_wau" -> ((s, d) =>
+      graft.ops.Funnels.rollingActive(ev(s, d), "user_id", "ts", windowDays = 7)
+        .orderBy("day")),
+
     // Q108 — BPE-style pair counting (one tokenizer-training merge
     // round): adjacent character-pair frequencies weighted by word
     // frequency, top-20. Counting over the DISTINCT-word table, not
@@ -2186,6 +2194,15 @@ object SparkEntry {
         |  ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr,
         |  ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS cd
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q109_rolling_wau" ->
+      """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
+        |s AS (SELECT DISTINCT day FROM d),
+        |c AS (SELECT d.user_id, d.day + CAST(t.i AS INTEGER) AS day2
+        |      FROM d, generate_series(0, 6) t(i))
+        |SELECT s.day, CAST(COUNT(DISTINCT c.user_id) AS BIGINT) AS active_users
+        |FROM s JOIN c ON c.day2 = s.day
+        |GROUP BY s.day ORDER BY s.day""".stripMargin,
 
     "q108_bpe_pairs" ->
       """WITH w AS (SELECT w, COUNT(*) AS c FROM (

@@ -59,6 +59,29 @@ object Funnels {
       .select(col(userCol) +: col("stage") +: stages.indices.map(i => col(s"t_$i")): _*)
   }
 
+  /** Rolling N-day active users (DAU/WAU/MAU family): for every day
+    * with activity, the distinct users active in the trailing
+    * `windowDays` window. NOT a range join — a (user, day) row would
+    * be compared against every spine day (O(rows·days) at 100 TB).
+    * Instead each distinct (user, day) fans out to the `windowDays`
+    * target days it contributes to (`explode(sequence)`, map-only,
+    * bounded w× growth) and the count-distinct aggregates per target
+    * day; a semi join against the real-day spine drops the trailing
+    * ghost days the fan-out invents past the last active date. */
+  def rollingActive(events: DataFrame, userCol: String, tsCol: String,
+                    windowDays: Int): DataFrame = {
+    require(windowDays >= 1, s"Funnels.rollingActive: windowDays must be >= 1: $windowDays")
+    val days = events.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    val spine = days.select(col("__day").as("day")).distinct()
+    days
+      .select(col(userCol),
+        explode(sequence(lit(0), lit(windowDays - 1))).as("__i"), col("__day"))
+      .select(col(userCol), date_add(col("__day"), col("__i")).as("day"))
+      .join(spine, Seq("day"), "left_semi")
+      .groupBy(col("day"))
+      .agg(countDistinct(col(userCol)).as("active_users"))
+  }
+
   /** Cohort retention: cohort = the user's first active day; one row
     * per (cohort day, day offset) with the count of distinct cohort
     * users active that day. The classic triangle matrix, computed as

@@ -60,6 +60,26 @@ class FunnelsSpec extends SparkSpec {
     assert(got == Seq((1L, 1L)), got.toString)
   }
 
+  test("rolling active: trailing window counts, no ghost days past the last date") {
+    val df = events(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (2L, "view", "2024-01-01 11:00:00"),
+      (1L, "view", "2024-01-03 10:00:00"),
+      (3L, "view", "2024-01-05 10:00:00"))
+    val got = Funnels.rollingActive(df, "user", "at", windowDays = 3)
+      .as[(java.sql.Date, Long)].collect()
+      .map { case (d, n) => d.toString -> n }.toMap
+    // day1: {1,2}; day3 window 01-03: {1,2}∪{1} = {1,2}; day5 window
+    // 03-05: {1,3}. Days 2 and 4 had no activity → no row (spine).
+    assert(got == Map("2024-01-01" -> 2L, "2024-01-03" -> 2L, "2024-01-05" -> 2L), got.toString)
+    // a user active twice in the window still counts once
+    val dup = Funnels.rollingActive(events(
+      (1L, "view", "2024-01-01 10:00:00"),
+      (1L, "view", "2024-01-02 10:00:00")), "user", "at", 3)
+      .as[(java.sql.Date, Long)].collect().map { case (d, n) => d.toString -> n }.toMap
+    assert(dup == Map("2024-01-01" -> 1L, "2024-01-02" -> 1L), dup.toString)
+  }
+
   test("retention: cohort day offsets, one count per user-day") {
     val df = events(
       (1L, "view", "2024-01-01 10:00:00"),
