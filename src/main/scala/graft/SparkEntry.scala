@@ -1313,6 +1313,33 @@ object SparkEntry {
         .orderBy("user_id", "event_id")
     }),
 
+    // Q110 — fuzzy name matching (record linkage): distinct part
+    // names blocked on first char + length band, verified by
+    // Levenshtein ≤ 3 — the blocking discipline that keeps edit
+    // distance off the quadratic all-pairs path.
+    "q110_fuzzy_names" -> ((s, d) =>
+      graft.ops.FuzzyJoin.pairs(
+        s.read.parquet(s"$d/part.parquet").select(col("p_name")),
+        "p_name", maxDist = 3)
+        .orderBy("n1", "n2")),
+
+    // Q111 — curation v3, composing this round's primitives end to
+    // end: length gate (pushdown predicate) → temperature-balanced
+    // language sampling → deterministic shuffle-shard; the per
+    // (shard, lang) counts prove the export interleaves languages
+    // evenly. Integer logic at every stage, so the whole pipeline is
+    // oracle-exact.
+    "q111_curation_v3" -> ((s, d) => {
+      val gated = docs(s, d).where(col("n_chars") >= 200)
+        .select(col("doc_id"), col("lang"))
+      val balanced = graft.ops.Sampling.temperatureSample(
+        gated, "lang", col("doc_id"), targetTotal = 120L)
+      graft.llm.Shuffling.shard(balanced, "doc_id", numShards = 4)
+        .groupBy(col("shard"), col("lang"))
+        .agg(count(lit(1)).as("n"), sum(col("doc_id")).as("id_sum"))
+        .orderBy("shard", "lang")
+    }),
+
     // Q109 — rolling 7-day active users: each (user, day) fans out to
     // the 7 target days it contributes to (map-only, bounded 7×) and
     // a count-distinct lands per day — never a range join, which
@@ -2194,6 +2221,32 @@ object SparkEntry {
         |  ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr,
         |  ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS cd
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q110_fuzzy_names" ->
+      """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),
+        |p AS (SELECT a.p_name AS n1, b.p_name AS n2
+        |      FROM n a JOIN n b ON SUBSTRING(a.p_name,1,1) = SUBSTRING(b.p_name,1,1)
+        |      WHERE a.p_name < b.p_name
+        |        AND ABS(LENGTH(a.p_name) - LENGTH(b.p_name)) <= 3
+        |        AND levenshtein(a.p_name, b.p_name) <= 3)
+        |SELECT n1, n2, CAST(levenshtein(n1, n2) AS BIGINT) AS dist
+        |FROM p ORDER BY n1, n2""".stripMargin,
+
+    "q111_curation_v3" ->
+      """WITH g AS (SELECT doc_id, lang FROM documents WHERE n_chars >= 200),
+        |c AS (SELECT lang, COUNT(*) AS n FROM g GROUP BY lang),
+        |w AS (SELECT lang, n, CAST(FLOOR(SQRT(n)) AS BIGINT) AS w FROM c),
+        |q AS (SELECT lang, LEAST(n, (120 * w) // (SELECT CAST(SUM(w) AS BIGINT) FROM w)) AS t
+        |      FROM w),
+        |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
+        |        ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
+        |      FROM g),
+        |samp AS (SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= t),
+        |p AS (SELECT doc_id, lang,
+        |        ROW_NUMBER() OVER (ORDER BY MD5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) - 1 AS pos
+        |      FROM samp)
+        |SELECT pos % 4 AS shard, lang, COUNT(*) AS n, CAST(SUM(doc_id) AS BIGINT) AS id_sum
+        |FROM p GROUP BY 1, 2 ORDER BY shard, lang""".stripMargin,
 
     "q109_rolling_wau" ->
       """WITH d AS (SELECT DISTINCT user_id, CAST(ts AS DATE) AS day FROM events),
