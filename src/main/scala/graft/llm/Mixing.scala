@@ -76,9 +76,12 @@ object Mixing {
       org.apache.spark.sql.types.StructField("__r", org.apache.spark.sql.types.LongType)))
     val factors = spark.createDataFrame(
       spark.sparkContext.parallelize(factorRows.toSeq, 1), fSchema)
-    df.join(broadcast(factors), df(srcCol) <=> factors(srcCol))
+    // widen narrow scans: the replica explode is the map stage that
+    // feeds the epoch writer — one input file must not mean one task
+    val wide = graft.core.Engine.widen(df)
+    wide.join(broadcast(factors), wide(srcCol) <=> factors(srcCol))
       .where(col("__r") > 0L)
       .withColumn("replica", explode(sequence(lit(0L), col("__r") - 1L)))
-      .select(df.columns.map(df(_)) :+ col("replica"): _*)
+      .select(wide.columns.map(wide(_)) :+ col("replica"): _*)
   }
 }

@@ -34,7 +34,10 @@ object UnigramLM {
     * single-space split, empty tokens dropped. */
   def raritySignals(df: DataFrame, idCol: String, textCol: String,
                     broadcastVocab: Boolean = false): DataFrame = {
-    val toks = df
+    // widen narrow scans first: the tokenize+explode pass is the
+    // CPU-bound map stage, and a one-file input would run it on one
+    // task (the q64 lesson — Engine.widen no-ops once splits >= slots)
+    val toks = graft.core.Engine.widen(df)
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("__tok"))
       .where(col("__tok") =!= "")
     val vocab0 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
