@@ -153,4 +153,38 @@ object StatefulOps {
       .transformWithState(new RunningStatsProcessor,
         TimeMode.None(), OutputMode.Update())
   }
+
+  /** Per-user running top-k values via `ListState` — the multi-state
+    * side of the v2 surface: the state is a bounded LIST the
+    * processor rewrites per batch (a GroupState would serialize one
+    * opaque blob; ListState lets the store page elements). State is
+    * capped at k elements per key by construction — eviction is the
+    * processor's own top-k trim, so memory is bounded at any stream
+    * length. */
+  class TopKProcessor(k: Int)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, (Long, Seq[Double])] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ListState}
+    import org.apache.spark.sql.Encoders
+    @transient private var top: ListState[Double] = _
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      top = getHandle.getListState[Double]("top", Encoders.scalaDouble, TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Seq[Double])] = {
+      val merged = (top.get().toSeq ++ rows.map(_.value))
+        .sorted(Ordering[Double].reverse).take(k)
+      top.put(merged.toArray)
+      Iterator.single((userId, merged))
+    }
+  }
+
+  /** One (userId, descending top-k values) row per key per touching
+    * micro-batch. */
+  def runningTopKTws(events: Dataset[Event], k: Int): Dataset[(Long, Seq[Double])] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(k >= 1, s"runningTopKTws: k must be >= 1: $k")
+    events.groupByKey(_.userId)
+      .transformWithState(new TopKProcessor(k),
+        TimeMode.None(), OutputMode.Update())
+  }
 }

@@ -38,6 +38,25 @@ class SketchAggSpec extends SparkSpec {
     assert(sharded == whole, s"sharded=$sharded whole=$whole")
   }
 
+  test("incremental: a persisted sketch unions with a new batch — history never re-read") {
+    // the q88 incremental-dedup pattern applied to distinct counting:
+    // sketch history once to a (binary) parquet column, union new
+    // batches against it; estimate == the one-shot whole-corpus pass
+    val dir = java.nio.file.Files.createTempDirectory("hll-idx").toString
+    val history = toks.where(pmod(hash(col("tok")), lit(2)) === 0)
+    val fresh = toks.where(pmod(hash(col("tok")), lit(2)) === 1)
+    history.agg(hll_sketch_agg(col("tok")).as("sk"))
+      .write.mode("overwrite").parquet(dir)
+    val stored = spark.read.parquet(dir)
+    val est = stored
+      .unionAll(fresh.agg(hll_sketch_agg(col("tok")).as("sk")))
+      .select(hll_sketch_estimate(hll_union_agg(col("sk"))))
+      .as[Long].head()
+    val whole = toks.select(hll_sketch_estimate(hll_sketch_agg(col("tok"))))
+      .as[Long].head()
+    assert(est == whole, s"incremental=$est whole=$whole")
+  }
+
   test("estimates are deterministic for the same input set") {
     val a = toks.repartition(3)
       .select(hll_sketch_estimate(hll_sketch_agg(col("tok")))).as[Long].head()

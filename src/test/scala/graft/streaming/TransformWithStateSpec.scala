@@ -47,4 +47,34 @@ class TransformWithStateSpec extends SparkSpec {
       }
     }
   }
+
+  test("ListState top-k: bounded state accumulates the true running top-3") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = runningTopKTws(ms.toDS(), k = 3).writeStream
+        .format("memory").queryName("tws_topk").outputMode("update").start()
+      try {
+        ms.addData(Event(ts(0), 1L, 5.0), Event(ts(1), 1L, 2.0), Event(ts(2), 1L, 9.0))
+        q.processAllAvailable()
+        ms.addData(Event(ts(3), 1L, 7.0), Event(ts(4), 1L, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_topk").as[(Long, Seq[Double])].collect()
+        // last emission for user 1 = top-3 over all five values
+        val last = rows.last._2
+        assert(last == Seq(9.0, 7.0, 5.0), rows.mkString(", "))
+        // first batch's emission was the top-3 of the first three
+        assert(rows.head._2 == Seq(9.0, 5.0, 2.0), rows.mkString(", "))
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
 }
