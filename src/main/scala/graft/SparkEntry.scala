@@ -1340,6 +1340,22 @@ object SparkEntry {
         .orderBy("shard", "lang")
     }),
 
+    // Q112 — incremental EXACT-dedup ingest (q88's pattern for exact
+    // content identity): the history's md5 set is the persisted
+    // index; the new batch anti-joins it and only unseen content
+    // survives. Within-batch duplicates are q19's job — this stage
+    // answers only "have we EVER ingested this content".
+    "q112_dedup_ingest" -> ((s, d) => {
+      val all = docs(s, d)
+      val index = all.where(col("doc_id") % 3 =!= 0)
+        .select(md5(col("text").cast("binary")).as("h")).distinct()
+      all.where(col("doc_id") % 3 === 0)
+        .select(col("doc_id"), md5(col("text").cast("binary")).as("h"))
+        .join(index, Seq("h"), "left_anti")
+        .select(col("doc_id"))
+        .orderBy("doc_id")
+    }),
+
     // Q109 — rolling 7-day active users: each (user, day) fans out to
     // the 7 target days it contributes to (map-only, bounded 7×) and
     // a count-distinct lands per day — never a range join, which
@@ -2221,6 +2237,13 @@ object SparkEntry {
         |  ROUND(PERCENT_RANK() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS pr,
         |  ROUND(CUME_DIST() OVER (PARTITION BY user_id ORDER BY value, event_id), 4) AS cd
         |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q112_dedup_ingest" ->
+      """WITH h AS (SELECT DISTINCT MD5(text) AS h FROM documents WHERE doc_id % 3 <> 0),
+        |b AS (SELECT doc_id, MD5(text) AS h FROM documents WHERE doc_id % 3 = 0)
+        |SELECT doc_id FROM b
+        |WHERE NOT EXISTS (SELECT 1 FROM h WHERE h.h = b.h)
+        |ORDER BY doc_id""".stripMargin,
 
     "q110_fuzzy_names" ->
       """WITH n AS (SELECT DISTINCT p_name FROM part WHERE p_name IS NOT NULL),

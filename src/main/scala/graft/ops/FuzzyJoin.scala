@@ -34,9 +34,11 @@ object FuzzyJoin {
       substring(col("__n"), 1, blockPrefix).as("__b"))
     left.join(right, "__b")
       .where(col("n1") < col("n2"))
+      // cheap band prunes BEFORE the DP distance runs; then compute
+      // the distance once, as a named column the filter reuses
       .where(abs(length(col("n1")) - length(col("n2"))) <= maxDist)
-      .where(levenshtein(col("n1"), col("n2")) <= maxDist)
-      .select(col("n1"), col("n2"),
-        levenshtein(col("n1"), col("n2")).cast("long").as("dist"))
+      .withColumn("dist", levenshtein(col("n1"), col("n2")).cast("long"))
+      .where(col("dist") <= maxDist)
+      .select(col("n1"), col("n2"), col("dist"))
   }
 }
