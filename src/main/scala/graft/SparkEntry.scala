@@ -2084,7 +2084,8 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |      FROM documents)
-        |SELECT r.doc_id, r.lang FROM r JOIN q USING (lang)
+        |SELECT r.doc_id, r.lang FROM r
+        |JOIN q ON r.lang IS NOT DISTINCT FROM q.lang
         |WHERE rn <= t ORDER BY doc_id""".stripMargin,
 
     "q91_shuffle_shard" ->
@@ -2131,7 +2132,8 @@ object SparkEntry {
         |                  // ((SELECT CAST(SUM(w) AS BIGINT) FROM wt) * n)) AS r
         |      FROM wt)
         |SELECT d.doc_id, d.source, CAST(t.i AS BIGINT) AS replica
-        |FROM documents d JOIN f USING (source), generate_series(0, 15) t(i)
+        |FROM documents d
+        |JOIN f ON d.source IS NOT DISTINCT FROM f.source, generate_series(0, 15) t(i)
         |WHERE t.i < f.r
         |ORDER BY d.doc_id, replica""".stripMargin,
 
@@ -2264,7 +2266,8 @@ object SparkEntry {
         |r AS (SELECT doc_id, lang, ROW_NUMBER() OVER (PARTITION BY lang
         |        ORDER BY MD5(CAST(doc_id AS VARCHAR)), doc_id) AS rn
         |      FROM g),
-        |samp AS (SELECT r.doc_id, r.lang FROM r JOIN q USING (lang) WHERE rn <= t),
+        |samp AS (SELECT r.doc_id, r.lang FROM r
+        |         JOIN q ON r.lang IS NOT DISTINCT FROM q.lang WHERE rn <= t),
         |p AS (SELECT doc_id, lang,
         |        ROW_NUMBER() OVER (ORDER BY MD5(CAST(doc_id AS VARCHAR)) || CAST(doc_id AS VARCHAR)) - 1 AS pos
         |      FROM samp)

@@ -40,22 +40,21 @@ object Decontamination {
     // number of DISTINCT shared grams
     val overlaps = trainGrams.join(evalGrams, "__g")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
-    // idCol must be unique in `train`: duplicates would pool their
-    // grams in the groupBy above and fan out the left join below —
-    // fail loudly in-plan (same contract as Packing.packSequences).
-    // The id projection shuffles for the join anyway; the pre-agg adds
-    // only a map-side partial pass over the slim (id) column.
-    val base = train.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .select(when(col("__n") > 1L, raise_error(concat(
-          lit(s"Decontamination.overlapFlags: duplicate $idCol in train: "),
-          col(idCol).cast("string"))))
-        .otherwise(col(idCol)).as(idCol))
-    base
+    // the id projection shuffles for the join anyway; the unique-id
+    // guard's pre-agg adds only a map-side pass over the slim column
+    flagsFromOverlaps(train, overlaps, idCol, "Decontamination.overlapFlags")
+  }
+
+  /** Shared result shaping for both decontamination paths: unique-id
+    * guard ([[Guards.uniqueIdBase]]), left join so CLEAN documents
+    * keep their row, counts coalesced to 0. */
+  private def flagsFromOverlaps(train: DataFrame, overlaps: DataFrame,
+                                idCol: String, opName: String): DataFrame =
+    Guards.uniqueIdBase(train, idCol, opName)
       .join(overlaps, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
         (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
-  }
 
   /** [[overlapFlags]] with a Bloom prefilter on the train side — the
     * 100 TB posture when overlap is rare (the common case: benchmark
@@ -103,15 +102,6 @@ object Decontamination {
       .where(mightContain)
     val overlaps = trainGrams.join(broadcast(evalGrams), "__g")
       .groupBy(idCol).agg(count(lit(1)).as("n_overlap"))
-    val base = train.groupBy(col(idCol)).agg(count(lit(1)).as("__n"))
-      .select(when(col("__n") > 1L, raise_error(concat(
-          lit(s"Decontamination.overlapFlagsBloom: duplicate $idCol in train: "),
-          col(idCol).cast("string"))))
-        .otherwise(col(idCol)).as(idCol))
-    base
-      .join(overlaps, Seq(idCol), "left")
-      .select(col(idCol),
-        coalesce(col("n_overlap"), lit(0L)).as("n_overlap"),
-        (coalesce(col("n_overlap"), lit(0L)) > 0).as("contaminated"))
+    flagsFromOverlaps(train, overlaps, idCol, "Decontamination.overlapFlagsBloom")
   }
 }

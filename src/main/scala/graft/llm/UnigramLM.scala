@@ -36,10 +36,16 @@ object UnigramLM {
                     broadcastVocab: Boolean = false): DataFrame = {
     // widen narrow scans first: the tokenize+explode pass is the
     // CPU-bound map stage, and a one-file input would run it on one
-    // task (the q64 lesson — Engine.widen no-ops once splits >= slots)
+    // task (the q64 lesson — Engine.widen no-ops once splits >= slots).
+    // Persisted because the plan reads it three times (vocab agg,
+    // scalar total, score join) and Spark does not dedup common
+    // subplans — without the cache the most expensive stage would run
+    // 3×. Blocks are freed by the ContextCleaner when the returned
+    // frame is collected (the minHashCandidates lifecycle contract).
     val toks = graft.core.Engine.widen(df)
       .select(col(idCol), explode(split(lower(col(textCol)), " ")).as("__tok"))
       .where(col("__tok") =!= "")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val vocab0 = toks.groupBy(col("__tok")).agg(count(lit(1)).as("__cnt"))
     val vocab = if (broadcastVocab) broadcast(vocab0) else vocab0
     // corpus total as a 1-row broadcast (sum of vocab counts == token
@@ -53,15 +59,7 @@ object UnigramLM {
       .withColumn("__rar", (length(bin(expr("__total div __cnt"))) - 1).cast("long"))
       .groupBy(col(idCol))
       .agg(count(lit(1)).as("n_tok"), sum(col("__rar")).as("rarity_sum"))
-    // idCol must be unique: duplicates would pool their tokens in the
-    // score groupBy and fan out the left join — fail loudly in-plan
-    // (same contract as Decontamination.overlapFlags / packSequences)
-    val base = df.groupBy(col(idCol)).agg(count(lit(1)).as("__dup"))
-      .select(when(col("__dup") > 1L, raise_error(concat(
-          lit(s"UnigramLM.raritySignals: duplicate $idCol: "),
-          col(idCol).cast("string"))))
-        .otherwise(col(idCol)).as(idCol))
-    base
+    Guards.uniqueIdBase(df, idCol, "UnigramLM.raritySignals")
       .join(scored, Seq(idCol), "left")
       .select(col(idCol),
         coalesce(col("n_tok"), lit(0L)).as("n_tok"),

@@ -17,13 +17,19 @@ import scala.collection.mutable
   *
   * Phase 1 is a `treeAggregate` over the key column — per-partition
   * size-k summaries merged pairwise (O(k log k) each, driver sees
-  * one); phase 2 filters the scan to the ≤k candidate keys (an
-  * `isin` pushed to the source) and counts them exactly. Nothing
-  * larger than k entries ever leaves an executor.
+  * one) — which also carries the exact row count, so the total needs
+  * no extra scan; phase 2 filters the scan to the ≤k candidate keys
+  * (an `isin` pushed to the source) and counts them exactly. Nothing
+  * larger than k entries ever leaves an executor, and the input is
+  * read exactly twice.
   */
 object HeavyHitters {
 
-  private val NULL = " null" // sentinel: the summary map needs a key for null
+  // Injective key encoding: "v" + value, "n" for null — a sentinel
+  // VALUE (any fixed string) could collide with real data and pool
+  // two keys' counts; a reserved PREFIX cannot.
+  private val NULL_KEY = "n"
+  private def encode(raw: String): String = if (raw == null) NULL_KEY else "v" + raw
 
   /** Misra-Gries add: bump a tracked key or claim a free slot; on a
     * full summary, decrement all (dropping zeros) and discard the
@@ -55,14 +61,19 @@ object HeavyHitters {
 
   /** Keys whose count strictly exceeds total/k, with exact counts.
     * Output: keyCol (as string), cnt. Null keys participate like any
-    * other value (sentinel-bucketed internally, reported as null). */
+    * other value (prefix-encoded internally — injective, so a data
+    * value can never pool with the null bucket — and reported as
+    * null). */
   def exactOverThreshold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
     val kk = k
     val keys = df.select(col(keyCol).cast("string")).rdd
-      .map(r => if (r.isNullAt(0)) NULL else r.getString(0))
-    val candidates = keys.treeAggregate(mutable.Map.empty[String, Long])(
-      (m, key) => add(m, key, kk), (a, b) => merge(a, b, kk)).keys.toSeq
+      .map(r => encode(if (r.isNullAt(0)) null else r.getString(0)))
+    // summary and exact row count in ONE pass
+    val (summary, total) = keys.treeAggregate((mutable.Map.empty[String, Long], 0L))(
+      { case ((m, n), key) => (add(m, key, kk), n + 1L) },
+      { case ((ma, na), (mb, nb)) => (merge(ma, mb, kk), na + nb) })
+    val candidates = summary.keys.toSeq
 
     val spark = df.sparkSession
     if (candidates.isEmpty) {
@@ -73,14 +84,13 @@ object HeavyHitters {
     // phase 2: exact counts for the candidate sliver only. The isin
     // list is ≤ k entries — k is a SUMMARY size (hundreds/thousands),
     // so the predicate stays a sane in-filter the scan can evaluate.
-    val total = broadcast(df.groupBy().agg(count(lit(1)).as("__total")))
-    df.select(coalesce(col(keyCol).cast("string"), lit(NULL)).as("__k"))
+    df.select(when(col(keyCol).isNull, lit(NULL_KEY))
+        .otherwise(concat(lit("v"), col(keyCol).cast("string"))).as("__k"))
       .where(col("__k").isin(candidates: _*))
       .groupBy(col("__k")).agg(count(lit(1)).as("cnt"))
-      .crossJoin(total)
-      .where(col("cnt") * k > col("__total"))
-      .select(when(col("__k") === NULL, lit(null).cast("string"))
-          .otherwise(col("__k")).as(keyCol),
+      .where(col("cnt") * k > lit(total))
+      .select(when(col("__k") === NULL_KEY, lit(null).cast("string"))
+          .otherwise(expr("substring(__k, 2)")).as(keyCol),
         col("cnt"))
   }
 }

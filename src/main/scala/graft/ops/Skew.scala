@@ -25,7 +25,10 @@ object Skew {
     * partial-agg shuffle of (key, count) pairs; the top-k plans as
     * per-partition heaps (TakeOrdered), never a global sort.
     * (Integer headroom: `cnt · 1e6` stays inside a long up to ~9×10¹²
-    * rows per key — beyond any single key at 100 TB.) */
+    * rows per key; the x-mean term multiplies cnt · n_keys · 1e4,
+    * which CAN exceed a long on a high-cardinality table, so it runs
+    * in DECIMAL(38,0) — exact to 38 digits, floored after the
+    * division.) */
   def report(df: DataFrame, keyCol: String, topN: Int): DataFrame = {
     require(topN > 0, s"Skew.report: topN must be positive: $topN")
     val counts = df.groupBy(col(keyCol)).agg(count(lit(1)).as("cnt"))
@@ -34,7 +37,8 @@ object Skew {
     counts.crossJoin(totals)
       .select(col(keyCol), col("cnt"),
         expr("cnt * 1000000L div __total").as("share_ppm"),
-        expr("cnt * __nkeys * 10000L div __total").as("x_mean_bp"))
+        expr("CAST(floor(CAST(cnt AS DECIMAL(38,0)) * __nkeys * 10000 / __total) AS BIGINT)")
+          .as("x_mean_bp"))
       .orderBy(col("cnt").desc, col(keyCol))
       .limit(topN)
   }
