@@ -187,4 +187,50 @@ object StatefulOps {
       .transformWithState(new TopKProcessor(k),
         TimeMode.None(), OutputMode.Update())
   }
+
+  case class TypedEvent(ts: Timestamp, userId: Long, eventType: String)
+
+  /** Streaming funnel — `ops.Funnels.funnel`'s real-time twin: per
+    * user, advance through `stages` on each strictly-later matching
+    * event and emit (userId, stage, ts) whenever the stage ADVANCES.
+    * State is one (stage, lastTs) pair per user — O(1), unbounded
+    * streams safe. Within a micro-batch rows are walked in event-time
+    * order; ACROSS batches ordering is the stream's delivery order —
+    * an event arriving after a later stage already matched cannot
+    * retroactively improve the path (the batch op replays history;
+    * the stream decides online — the standard trade). */
+  class FunnelProcessor(stages: Seq[String])
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, TypedEvent, (Long, Int, Timestamp)] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[(Int, Long)] = _ // (stage, lastTs micros)
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Int, Long)](
+        "funnel", Encoders.tuple(Encoders.scalaInt, Encoders.scalaLong), TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[TypedEvent],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[(Long, Int, Timestamp)] = {
+      var (stage, lastTs) = Option(st.get()).getOrElse((0, Long.MinValue))
+      val out = Seq.newBuilder[(Long, Int, Timestamp)]
+      rows.toSeq.sortBy(e => (e.ts.getTime, e.eventType)).foreach { e =>
+        if (stage < stages.size && e.eventType == stages(stage) &&
+            (stage == 0 || e.ts.getTime > lastTs)) {
+          stage += 1; lastTs = e.ts.getTime
+          out += ((userId, stage, e.ts))
+        }
+      }
+      st.update((stage, lastTs))
+      out.result().iterator
+    }
+  }
+
+  /** Emit (userId, reached stage 1..n, at-ts) on every advance. */
+  def funnelTws(events: Dataset[TypedEvent], stages: Seq[String]): Dataset[(Long, Int, Timestamp)] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(stages.nonEmpty && stages.distinct.size == stages.size,
+      s"funnelTws: stages must be non-empty and distinct: $stages")
+    events.groupByKey(_.userId)
+      .transformWithState(new FunnelProcessor(stages),
+        TimeMode.None(), OutputMode.Append())
+  }
 }

@@ -48,6 +48,48 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("streaming funnel advances per stage and agrees with the batch funnel on ordered input") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[TypedEvent]
+      val q = funnelTws(ms.toDS(), Seq("view", "click", "purchase")).writeStream
+        .format("memory").queryName("tws_funnel").outputMode("append").start()
+      try {
+        // batch 1: user 1 view+click (click strictly later); user 2's
+        // click arrives BEFORE any view — must not advance
+        ms.addData(
+          TypedEvent(ts(0), 1L, "view"), TypedEvent(ts(1), 1L, "click"),
+          TypedEvent(ts(0), 2L, "click"))
+        q.processAllAvailable()
+        // batch 2: user 1 purchases; user 2 finally views
+        ms.addData(TypedEvent(ts(2), 1L, "purchase"), TypedEvent(ts(1), 2L, "view"))
+        q.processAllAvailable()
+        val rows = spark.table("tws_funnel").as[(Long, Int, Timestamp)].collect().toSet
+        assert(rows == Set(
+          (1L, 1, ts(0)), (1L, 2, ts(1)), (1L, 3, ts(2)),
+          (2L, 1, ts(1))), rows.toString)
+        // parity: max reached stage matches the batch funnel over the same events
+        val batchDf = Seq(
+          (1L, "view", ts(0)), (1L, "click", ts(1)), (1L, "purchase", ts(2)),
+          (2L, "click", ts(0)), (2L, "view", ts(1))).toDF("user", "etype", "at")
+        val batch = graft.ops.Funnels.funnel(batchDf, "user", "etype", "at",
+            Seq("view", "click", "purchase"))
+          .select("user", "stage").as[(Long, Long)].collect().toMap
+        val stream = rows.groupBy(_._1).view.mapValues(_.map(_._2).max.toLong).toMap
+        assert(stream == batch.filter(_._2 > 0), s"$stream vs $batch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ListState top-k: bounded state accumulates the true running top-3") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
