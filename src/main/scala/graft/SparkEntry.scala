@@ -1382,7 +1382,78 @@ object SparkEntry {
           col("c"))
         .groupBy(col("pair")).agg(sum(col("c")).as("freq"))
         .orderBy(desc("freq"), col("pair"))
-        .limit(20))
+        .limit(20)),
+
+    // Q113 — TF-IDF top-5 terms per document. One big shuffle (the
+    // (doc, term) count); the document-frequency side is
+    // vocabulary-sized and joins back on the term key; the corpus size
+    // N is a single scalar (parquet-metadata count, not a data scan).
+    // Ranking happens on the ROUNDED score so both engines select the
+    // same rows (raw doubles could differ in the last ulp).
+    "q113_tfidf" -> ((s, d) => {
+      val n = docs(s, d).count()
+      val tf = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      val scored = tf.join(dfreq, "w")
+        .select(col("doc_id"), col("w"),
+          round(col("tf") * log((lit(n) + 1.0) / (col("df") + 1.0)), 4).as("tfidf"))
+      val rk = row_number().over(org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(desc("tfidf"), col("w")))
+      scored.withColumn("rk", rk).where(col("rk") <= 5)
+        .orderBy("doc_id", "rk")
+    }),
+
+    // Q114 — inverted index (the canonical MapReduce job): term →
+    // document-frequency + a CAPPED sorted posting list (first 20 doc
+    // ids). The cap is the scale contract: full posting lists for
+    // stop-words are unbounded per key; a capped index is what a
+    // lookup service actually serves, and collect_list stays bounded.
+    "q114_inverted_index" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "").distinct()
+        .groupBy("w")
+        .agg(count(lit(1)).as("n_docs"),
+          array_join(slice(array_sort(collect_list(col("doc_id"))), 1, 20), ",")
+            .as("postings"))
+        .where(col("n_docs") >= 5)
+        .orderBy("w").limit(300)),
+
+    // Q116 — full CUBE with grouping_id (q46's rollup sibling):
+    // grouping_id() INSIDE .agg (a later select would re-resolve it
+    // against the output), group keys coalesced to '' so both
+    // engines agree on the subtotal rows' sort position.
+    "q116_cube" -> ((s, d) =>
+      ord(s, d).cube(col("o_orderstatus"), col("o_orderpriority"))
+        .agg(grouping_id().as("gid"), count(lit(1)).as("n"),
+          round(sum("o_totalprice"), 4).as("rev"))
+        .select(coalesce(col("o_orderstatus"), lit("")).as("status"),
+          coalesce(col("o_orderpriority"), lit("")).as("prio"),
+          col("gid"), col("n"), col("rev"))
+        .orderBy("gid", "status", "prio")),
+
+    // Q117 — event-time RANGE frame: per-customer rolling 90-day
+    // spend as ONE window pass (shuffle on o_custkey + in-partition
+    // sort) — the scale-correct replacement for the self-join
+    // (orders × orders within 90 days) that multiplies the fact
+    // table by the window width. Peers at the same date are all in
+    // frame, so intra-date ordering cannot change the sum. The frame
+    // key is an integer DAY number (o_orderdate is date-grained;
+    // TIMESTAMP_NTZ has no direct epoch cast), matching the oracle's
+    // INTERVAL 90 DAY bound exactly.
+    "q117_range_frame" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey"))
+        .orderBy(datediff(col("o_orderdate"), lit("1995-01-01")))
+        .rangeBetween(-90, 0)
+      ord(s, d).select(col("o_custkey"), col("o_orderkey"), col("o_orderdate"),
+          round(sum(col("o_totalprice")).over(w), 4).as("spend_90d"),
+          count(lit(1)).over(w).as("n_90d"))
+        .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2290,7 +2361,45 @@ object SparkEntry {
         |p AS (SELECT SUBSTRING(w.w, t.i, 2) AS pair, CAST(SUM(w.c) AS BIGINT) AS freq
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
-        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin
+        |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    "q113_tfidf" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM toks WHERE w <> '' GROUP BY 1, 2),
+        |dfreq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |n AS (SELECT COUNT(*) AS n FROM documents),
+        |scored AS (SELECT doc_id, w,
+        |             ROUND(tf * LN((n + 1.0) / (df + 1.0)), 4) AS tfidf
+        |           FROM tf JOIN dfreq USING (w) CROSS JOIN n),
+        |ranked AS (SELECT doc_id, w, tfidf,
+        |             ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, w) AS rk
+        |           FROM scored)
+        |SELECT doc_id, w, tfidf, CAST(rk AS BIGINT) AS rk FROM ranked
+        |WHERE rk <= 5 ORDER BY doc_id, rk""".stripMargin,
+
+    "q114_inverted_index" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents)
+        |  WHERE w <> '')
+        |SELECT w, COUNT(*) AS n_docs,
+        |  ARRAY_TO_STRING(LIST_SORT(LIST(doc_id))[1:20], ',') AS postings
+        |FROM dw GROUP BY w HAVING COUNT(*) >= 5 ORDER BY w LIMIT 300""".stripMargin,
+
+    "q116_cube" ->
+      """SELECT COALESCE(o_orderstatus,'') AS status, COALESCE(o_orderpriority,'') AS prio,
+        |CAST(GROUPING(o_orderstatus, o_orderpriority) AS INTEGER) AS gid,
+        |COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS rev
+        |FROM orders GROUP BY CUBE (o_orderstatus, o_orderpriority)
+        |ORDER BY gid, status, prio""".stripMargin,
+
+    "q117_range_frame" ->
+      """SELECT o_custkey, o_orderkey, o_orderdate,
+        |ROUND(SUM(o_totalprice) OVER w, 4) AS spend_90d,
+        |COUNT(*) OVER w AS n_90d
+        |FROM orders
+        |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
+        |             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
