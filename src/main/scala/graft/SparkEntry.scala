@@ -1453,6 +1453,21 @@ object SparkEntry {
           round(sum(col("o_totalprice")).over(w), 4).as("spend_90d"),
           count(lit(1)).over(w).as("n_90d"))
         .orderBy("o_custkey", "o_orderdate", "o_orderkey")
+    }),
+
+    // Q118 — PageRank over the part↔supplier bipartite graph (node
+    // ids 2·part / 2·supp+1, edges both directions so no node
+    // dangles), 3 fixed iterations @ damping 0.85 — fixed count
+    // because the oracle unrolls the identical rounds in SQL. Ranked
+    // on the ROUNDED score (float sum order differs between engines).
+    "q118_pagerank" -> ((s, d) => {
+      val pairs = li(s, d)
+        .select(col("l_partkey").as("p"), col("l_suppkey").as("sp")).distinct()
+      val edges = pairs.select((col("p") * 2).as("src"), (col("sp") * 2 + 1).as("dst"))
+        .union(pairs.select(col("sp") * 2 + 1, col("p") * 2))
+      val rk = graft.ops.PageRank.run(edges, "src", "dst", iterations = 3)
+        .select(col("node"), round(col("rank"), 4).as("rank"))
+      rk.orderBy(desc("rank"), col("node")).limit(50)
     })
   )
 
@@ -2399,7 +2414,29 @@ object SparkEntry {
         |FROM orders
         |WINDOW w AS (PARTITION BY o_custkey ORDER BY o_orderdate
         |             RANGE BETWEEN INTERVAL 90 DAY PRECEDING AND CURRENT ROW)
-        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin
+        |ORDER BY o_custkey, o_orderdate, o_orderkey""".stripMargin,
+
+    "q118_pagerank" ->
+      """WITH pairs AS (SELECT DISTINCT l_partkey AS p, l_suppkey AS sp FROM lineitem),
+        |e AS (SELECT 2*p AS src, 2*sp+1 AS dst FROM pairs
+        |      UNION ALL SELECT 2*sp+1, 2*p FROM pairs),
+        |deg AS (SELECT src, COUNT(*) AS d FROM e GROUP BY 1),
+        |n AS (SELECT src AS node FROM e UNION SELECT dst FROM e),
+        |r0 AS (SELECT node, 1.0 AS r FROM n),
+        |c1 AS (SELECT e.dst AS node, SUM(r0.r / deg.d) AS m
+        |       FROM e JOIN deg USING (src) JOIN r0 ON r0.node = e.src GROUP BY 1),
+        |r1 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c1.m, 0) AS r
+        |       FROM n LEFT JOIN c1 USING (node)),
+        |c2 AS (SELECT e.dst AS node, SUM(r1.r / deg.d) AS m
+        |       FROM e JOIN deg USING (src) JOIN r1 ON r1.node = e.src GROUP BY 1),
+        |r2 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c2.m, 0) AS r
+        |       FROM n LEFT JOIN c2 USING (node)),
+        |c3 AS (SELECT e.dst AS node, SUM(r2.r / deg.d) AS m
+        |       FROM e JOIN deg USING (src) JOIN r2 ON r2.node = e.src GROUP BY 1),
+        |r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c3.m, 0) AS r
+        |       FROM n LEFT JOIN c3 USING (node))
+        |SELECT node, ROUND(r, 4) AS rank FROM r3
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
