@@ -1468,6 +1468,26 @@ object SparkEntry {
       val rk = graft.ops.PageRank.run(edges, "src", "dst", iterations = 3)
         .select(col("node"), round(col("rank"), 4).as("rank"))
       rk.orderBy(desc("rank"), col("node")).limit(50)
+    }),
+
+    // Q119 — distributed k-means (the IVF coarse-quantizer trainer,
+    // q34's machinery) verified END-TO-END: 2 Lloyd rounds from
+    // vec_id-ordered seeds (xxhash64 seeding is the production
+    // default; the oracle can't replay xxhash64, and determinism is
+    // what's under test), then the round-3 assignment summarized per
+    // cluster. The oracle unrolls both rounds — argmax-by-cosine,
+    // element-wise means, empty-cluster fallback — in SQL, so the
+    // Lloyd loop itself is oracle-checked, not just its ANN effect.
+    "q119_kmeans" -> ((s, d) => {
+      val e = emb(s, d)
+      val cents = graft.llm.Ivf.buildCentroids(e, 8, 2, seedOrder = col("vec_id"))
+      graft.llm.Ivf.assign(e, cents)
+        .select(col("cluster"), expr(
+          "aggregate(transform(embedding, x -> CAST(x AS DOUBLE)), 0D, (acc, x) -> acc + x)")
+          .as("sv"))
+        .groupBy("cluster")
+        .agg(count(lit(1)).as("n"), round(avg(col("sv")), 4).as("mean_sum"))
+        .orderBy("cluster")
     })
   )
 
@@ -2436,7 +2456,44 @@ object SparkEntry {
         |r3 AS (SELECT n.node, 0.15 + 0.85 * COALESCE(c3.m, 0) AS r
         |       FROM n LEFT JOIN c3 USING (node))
         |SELECT node, ROUND(r, 4) AS rank FROM r3
-        |ORDER BY rank DESC, node LIMIT 50""".stripMargin
+        |ORDER BY rank DESC, node LIMIT 50""".stripMargin,
+
+    // Two unrolled Lloyd rounds: assignment = argmax cosine with ties
+    // to the lower centroid index; update = element-wise mean
+    // (generate_series + positional AVG — DuckDB generate_series
+    // can't take a lateral bound, hence cap 4096 + WHERE);
+    // empty clusters keep their seed via the list-level COALESCE.
+    "q119_kmeans" ->
+      """WITH e AS (SELECT vec_id, CAST(embedding AS DOUBLE[]) AS v FROM embeddings),
+        |c0 AS (SELECT vec_id AS cid, v FROM e WHERE vec_id < 8),
+        |a1 AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c0 c) WHERE rn = 1),
+        |m1 AS (SELECT cid, t.i, AVG(v[t.i]) AS mv
+        |       FROM e JOIN a1 USING (vec_id), generate_series(1, 4096) t(i)
+        |       WHERE t.i <= len(v) GROUP BY cid, t.i),
+        |c1 AS (SELECT c0.cid, COALESCE(ml.v, c0.v) AS v FROM c0
+        |       LEFT JOIN (SELECT cid, LIST(mv ORDER BY i) AS v FROM m1 GROUP BY cid) ml USING (cid)),
+        |a2 AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c1 c) WHERE rn = 1),
+        |m2 AS (SELECT cid, t.i, AVG(v[t.i]) AS mv
+        |       FROM e JOIN a2 USING (vec_id), generate_series(1, 4096) t(i)
+        |       WHERE t.i <= len(v) GROUP BY cid, t.i),
+        |c2 AS (SELECT c0.cid, COALESCE(ml.v, c0.v) AS v FROM c0
+        |       LEFT JOIN (SELECT cid, LIST(mv ORDER BY i) AS v FROM m2 GROUP BY cid) ml USING (cid)),
+        |a3 AS (SELECT vec_id, cid FROM (
+        |    SELECT e.vec_id, c.cid,
+        |      ROW_NUMBER() OVER (PARTITION BY e.vec_id
+        |        ORDER BY list_cosine_similarity(e.v, c.v) DESC, c.cid) AS rn
+        |    FROM e CROSS JOIN c2 c) WHERE rn = 1)
+        |SELECT CAST(a3.cid AS INTEGER) AS cluster, COUNT(*) AS n,
+        |  ROUND(AVG(list_sum(e.v)), 4) AS mean_sum
+        |FROM e JOIN a3 USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

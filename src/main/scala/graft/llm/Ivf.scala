@@ -33,12 +33,16 @@ object Ivf {
   }
 
   /** Learn `k` centroids with `iters` Lloyd iterations. Deterministic:
-    * seeds are the first k vectors in xxhash64 order. */
-  def buildCentroids(emb: DataFrame, k: Int, iters: Int): Seq[Array[Double]] = {
+    * seeds are the first k vectors in `seedOrder` (default: xxhash64
+    * of the id — a data-independent pseudo-shuffle; q119's oracle
+    * passes plain `vec_id` order instead because DuckDB has no
+    * xxhash64 to replay). */
+  def buildCentroids(emb: DataFrame, k: Int, iters: Int,
+                     seedOrder: Column = xxhash64(col("vec_id"))): Seq[Array[Double]] = {
     val spark = emb.sparkSession
     import spark.implicits._
     var centroids: Seq[Array[Double]] = emb
-      .orderBy(xxhash64(col("vec_id")))
+      .orderBy(seedOrder)
       .limit(k)
       .select(VectorFunctions.toDoubleArray(col("embedding")))
       .as[Seq[Double]].collect().toSeq.map(_.toArray)
