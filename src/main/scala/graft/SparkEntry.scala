@@ -1488,7 +1488,63 @@ object SparkEntry {
         .groupBy("cluster")
         .agg(count(lit(1)).as("n"), round(avg(col("sv")), 4).as("mean_sum"))
         .orderBy("cluster")
-    })
+    }),
+
+    // Q115 — word co-occurrence PMI over documents. The vocabulary is
+    // FENCED to the top-100 terms before the per-doc self-join (the
+    // same discipline as the dedup dfCap fences): pair blowup is then
+    // ≤ C(100,2) per doc regardless of corpus size, and the vocab
+    // side broadcasts. PMI ranks on the rounded score.
+    "q115_pmi" -> ((s, d) => {
+      val n = docs(s, d).count()
+      val dw = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "").distinct()
+      val vocab = dw.groupBy("w").agg(count(lit(1)).as("cx"))
+        .orderBy(desc("cx"), col("w")).limit(100)
+      val dv = dw.join(broadcast(vocab), "w")
+      dv.alias("a").join(dv.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
+          col("a.cx").as("cx1"), col("b.cx").as("cx2"))
+        .agg(count(lit(1)).as("cxy"))
+        .where(col("cxy") >= 10)
+        .select(col("w1"), col("w2"), col("cxy"),
+          round(log(col("cxy") * lit(n.toDouble) / (col("cx1") * col("cx2"))), 4)
+            .as("pmi"))
+        .orderBy(desc("pmi"), col("w1"), col("w2")).limit(30)
+    }),
+
+    // Q120 — time-series gap fill: per-user daily event counts with
+    // an explicit zero for every silent day. The spine is a map-side
+    // sequence() explode bounded by each user's own span — never a
+    // calendar × users cross join, and never a driver-side date loop.
+    "q120_gapfill" -> ((s, d) => {
+      val daily = ev(s, d).where(col("user_id") < 40)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg(count(lit(1)).as("n"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      spine.join(daily, Seq("user_id", "day"), "left")
+        .select(col("user_id"), col("day"), coalesce(col("n"), lit(0L)).as("n"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Q121 — content-defined chunk dedup stats: cut every document at
+    // rolling-hash boundaries ([[graft.functions.CdcCuts]], k=8,
+    // mod 64), hash each chunk, report corpus-level chunk dedup. The
+    // per-character scan is a fused native expression; chunks never
+    // shuffle as text — only their md5s reach the aggregation.
+    "q121_cdc_dedup" -> ((s, d) =>
+      graft.core.Engine.widen(docs(s, d))
+        .select(explode(TextFunctions.cdcChunkHashes(col("text"), 8, 64)).as("h"))
+        .agg(count(lit(1)).as("total_chunks"),
+          countDistinct(col("h")).as("uniq_chunks"))
+        .select(col("total_chunks"), col("uniq_chunks"),
+          round(lit(1.0) - col("uniq_chunks").cast("double") / col("total_chunks"), 4)
+            .as("dup_ratio")))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2493,7 +2549,64 @@ object SparkEntry {
         |    FROM e CROSS JOIN c2 c) WHERE rn = 1)
         |SELECT CAST(a3.cid AS INTEGER) AS cluster, COUNT(*) AS n,
         |  ROUND(AVG(list_sum(e.v)), 4) AS mean_sum
-        |FROM e JOIN a3 USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin
+        |FROM e JOIN a3 USING (vec_id) GROUP BY 1 ORDER BY cluster""".stripMargin,
+
+    "q115_pmi" ->
+      """WITH dw AS (SELECT DISTINCT doc_id, w FROM (
+        |    SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents)
+        |  WHERE w <> ''),
+        |vocab AS (SELECT w, COUNT(*) AS cx FROM dw GROUP BY w
+        |          ORDER BY cx DESC, w LIMIT 100),
+        |dv AS (SELECT dw.doc_id, dw.w, vocab.cx FROM dw JOIN vocab USING (w)),
+        |p AS (SELECT a.w AS w1, b.w AS w2, a.cx AS cx1, b.cx AS cx2, COUNT(*) AS cxy
+        |      FROM dv a JOIN dv b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY 1, 2, 3, 4),
+        |n AS (SELECT COUNT(*) AS n FROM documents)
+        |SELECT w1, w2, cxy,
+        |  ROUND(LN(cxy * n * 1.0 / (cx1 * cx2)), 4) AS pmi
+        |FROM p CROSS JOIN n WHERE cxy >= 10
+        |ORDER BY pmi DESC, w1, w2 LIMIT 30""".stripMargin,
+
+    "q120_gapfill" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day, COUNT(*) AS n
+        |               FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, d0 + CAST(t.i AS INTEGER) AS day
+        |          FROM span, generate_series(0, 5000) t(i)
+        |          WHERE d0 + CAST(t.i AS INTEGER) <= d1)
+        |SELECT s.user_id, s.day, CAST(COALESCE(daily.n, 0) AS BIGINT) AS n
+        |FROM spine s LEFT JOIN daily ON daily.user_id = s.user_id AND daily.day = s.day
+        |ORDER BY s.user_id, s.day""".stripMargin,
+
+    // The identical base-263 window hash as winnowFpCte (direct-sum
+    // formulation — no rolling subtraction, so every term stays
+    // < 2^52 and the sum < 2^55, exact in BIGINT), cut where
+    // hv % 64 = 0; a cut landing exactly at length(text) is folded
+    // by the UNION's dedup, zero-length docs contribute no chunk.
+    "q121_cdc_dedup" -> {
+      val p = (1L << 31) - 1
+      val pows = Array.iterate(1L, 8)(x => x * 263 % p).reverse
+      val terms = (0 until 8)
+        .map(j => s"CAST(ord(substring(text, i + $j, 1)) AS BIGINT) * ${pows(j)}")
+        .mkString(" + ")
+      s"""WITH h AS (SELECT doc_id, i, ($terms) % $p AS hv
+         |  FROM documents, generate_series(1, 2000) t(i)
+         |  WHERE i <= length(text) - 7),
+         |cuts AS (SELECT doc_id, i + 7 AS ep FROM h WHERE hv % 64 = 0),
+         |b AS (SELECT doc_id, ep FROM cuts UNION
+         |      SELECT doc_id, CAST(length(text) AS BIGINT) AS ep FROM documents
+         |      WHERE length(text) > 0),
+         |ch AS (SELECT doc_id,
+         |         COALESCE(LAG(ep) OVER (PARTITION BY doc_id ORDER BY ep), 0) AS s,
+         |         ep AS e
+         |       FROM b),
+         |chunks AS (SELECT MD5(SUBSTRING(d.text, CAST(ch.s + 1 AS INTEGER),
+         |                    CAST(ch.e - ch.s AS INTEGER))) AS hh
+         |           FROM ch JOIN documents d USING (doc_id))
+         |SELECT COUNT(*) AS total_chunks, COUNT(DISTINCT hh) AS uniq_chunks,
+         |  ROUND(1 - COUNT(DISTINCT hh) * 1.0 / COUNT(*), 4) AS dup_ratio
+         |FROM chunks""".stripMargin
+    }
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

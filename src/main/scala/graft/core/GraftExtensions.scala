@@ -78,7 +78,13 @@ object GraftExtensions {
         "rolling_winnow(text, k, w) - sorted distinct winnowing fingerprints (base-263 rolling hash)"),
       (es: Seq[Expression]) => RollingWinnow(es.head,
         intLiteral("rolling_winnow", "k", es(1)),
-        intLiteral("rolling_winnow", "w", es(2)))))
+        intLiteral("rolling_winnow", "w", es(2)))),
+    ("cdc_cuts",
+      info("cdc_cuts",
+        "cdc_cuts(text, k, mod) - content-defined chunk end positions (k-char rolling hash ≡ 0 mod `mod`)"),
+      (es: Seq[Expression]) => graft.functions.CdcCuts(es.head,
+        intLiteral("cdc_cuts", "k", es(1)),
+        intLiteral("cdc_cuts", "mod", es(2)))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

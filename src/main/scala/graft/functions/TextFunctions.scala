@@ -68,6 +68,29 @@ object TextFunctions {
     org.apache.spark.sql.graft.ColumnBridge.column(
       RollingWinnow(org.apache.spark.sql.graft.ColumnBridge.expression(c), k, w))
 
+  /** Content-defined chunk cut positions ([[CdcCuts]]): 1-based
+    * codepoint end positions where the k-char rolling hash hits
+    * residue 0 (mod `mod`) — boundaries survive offset shifts, so
+    * chunk-level dedup sees through insertions that break fixed-size
+    * blocking. */
+  def cdcCuts(c: Column, k: Int = 8, mod: Int = 64): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      CdcCuts(org.apache.spark.sql.graft.ColumnBridge.expression(c), k, mod))
+
+  /** MD5 per content-defined chunk: split `c` at [[cdcCuts]] and hash
+    * each piece. The per-character scan is native; the per-CHUNK
+    * substring+md5 transform is a few evaluations per row, where
+    * interpreted HOF cost is irrelevant. Empty text → empty array. */
+  def cdcChunkHashes(c: Column, k: Int = 8, mod: Int = 64): Column = {
+    val bs = array_distinct(concat(array(lit(0)), cdcCuts(c, k, mod),
+      array(length(c)))) // 0 never collides (cuts start at k ≥ 1); a
+    // cut AT the end collides with length — distinct folds it
+    // starts = bs[0..m-2], ends = bs[1..m-1]; m = 1 (empty text)
+    // yields two empty slices → empty result, no special case
+    zip_with(slice(bs, lit(1), size(bs) - 1), slice(bs, lit(2), size(bs) - 1),
+      (s, e) => md5(substring(c, s + 1, e - s).cast("binary")))
+  }
+
   /** Number of tokens contained in `words` (with multiplicity). */
   def stopwordCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(words: _*))).cast("long")
