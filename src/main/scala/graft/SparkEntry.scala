@@ -1544,7 +1544,51 @@ object SparkEntry {
           countDistinct(col("h")).as("uniq_chunks"))
         .select(col("total_chunks"), col("uniq_chunks"),
           round(lit(1.0) - col("uniq_chunks").cast("double") / col("total_chunks"), 4)
-            .as("dup_ratio")))
+            .as("dup_ratio"))),
+
+    // Q122 — triangle counting (node-iterator form) on the
+    // co-purchase graph: parts sharing an order are edges (oriented
+    // a < b, so each triangle is counted ONCE), then two hash joins
+    // close the wedge. Edge fanout per order is C(items, 2) — bounded
+    // by order size, not corpus size; the wedge join's profile is the
+    // graph's degree distribution, the documented skew knob being the
+    // same salting used everywhere else.
+    "q122_triangles" -> ((s, d) => {
+      val lp = li(s, d)
+        .select(col("l_orderkey").as("o"), col("l_partkey").as("p")).distinct()
+      val e = lp.alias("x").join(lp.alias("y"),
+          col("x.o") === col("y.o") && col("x.p") < col("y.p"))
+        .select(col("x.p").as("a"), col("y.p").as("b")).distinct()
+      e.alias("e1").join(e.alias("e2"), col("e1.b") === col("e2.a"))
+        .join(e.alias("e3"),
+          col("e1.a") === col("e3.a") && col("e2.b") === col("e3.b"))
+        .agg(count(lit(1)).as("n_triangles"))
+    }),
+
+    // Q123 — z-order (Morton) key: the data-layout clustering curve,
+    // computed purely from codegen'd bit built-ins (ops.ZOrder).
+    // The declared query pins the interleave math; ZOrderSpec pins
+    // the LAYOUT claim (clustered writes → tight per-file min/max on
+    // BOTH dimensions, the file-skipping precondition).
+    "q123_zorder" -> ((s, d) =>
+      li(s, d).select(col("l_orderkey"), col("l_linenumber"),
+          col("l_partkey"), col("l_suppkey"),
+          graft.ops.ZOrder.zValue(col("l_partkey"), col("l_suppkey")).as("z"))
+        .orderBy(desc("z"), col("l_orderkey"), col("l_linenumber")).limit(100)),
+
+    // Q124 — salted skew JOIN (q47's join sibling): the hot-key
+    // defense for a fact⋈dim join — fact side salted, dim side
+    // replicated factor×, equality with the plain join proven by the
+    // oracle. AQE skew-join handles this adaptively; the explicit
+    // salt is the deterministic variant that also works pre-AQE and
+    // under stats the planner can't see.
+    "q124_salted_join" -> ((s, d) => {
+      val dim = cust(s, d).select(col("c_custkey").as("o_custkey"), col("c_mktsegment"))
+      graft.ops.Salting.saltedJoin(ord(s, d), dim, "o_custkey", factor = 8)
+        .groupBy("c_mktsegment")
+        .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
+        .orderBy("c_mktsegment")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2606,7 +2650,29 @@ object SparkEntry {
          |SELECT COUNT(*) AS total_chunks, COUNT(DISTINCT hh) AS uniq_chunks,
          |  ROUND(1 - COUNT(DISTINCT hh) * 1.0 / COUNT(*), 4) AS dup_ratio
          |FROM chunks""".stripMargin
-    }
+    },
+
+    "q122_triangles" ->
+      """WITH lp AS (SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem),
+        |e AS (SELECT DISTINCT x.p AS a, y.p AS b FROM lp x JOIN lp y
+        |      ON x.o = y.o AND x.p < y.p)
+        |SELECT COUNT(*) AS n_triangles
+        |FROM e e1 JOIN e e2 ON e1.b = e2.a
+        |          JOIN e e3 ON e1.a = e3.a AND e2.b = e3.b""".stripMargin,
+
+    "q123_zorder" -> {
+      val terms = (0 until 21).flatMap(j => Seq(
+        s"(((l_partkey >> $j) & 1) << ${2 * j})",
+        s"(((l_suppkey >> $j) & 1) << ${2 * j + 1})")).mkString(" + ")
+      s"""SELECT l_orderkey, l_linenumber, l_partkey, l_suppkey,
+         |CAST($terms AS BIGINT) AS z
+         |FROM lineitem ORDER BY z DESC, l_orderkey, l_linenumber LIMIT 100""".stripMargin
+    },
+
+    "q124_salted_join" ->
+      """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS rev
+        |FROM orders JOIN customer ON o_custkey = c_custkey
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
