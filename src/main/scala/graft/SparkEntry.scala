@@ -1588,7 +1588,57 @@ object SparkEntry {
         .groupBy("c_mktsegment")
         .agg(count(lit(1)).as("n"), round(sum("o_totalprice"), 4).as("rev"))
         .orderBy("c_mktsegment")
-    })
+    }),
+
+    // Q125 — Markov transition matrix over event streams: LAG pairs
+    // each event with its predecessor (one window pass — never a
+    // self-join on adjacent sequence numbers), probabilities
+    // normalized per source state by a second, state-cardinality-sized
+    // window.
+    "q125_transitions" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val pairs = ev(s, d)
+        .select(lag(col("event_type"), 1).over(w).as("prev"),
+          col("event_type").as("cur"))
+        .where(col("prev").isNotNull)
+        .groupBy("prev", "cur").agg(count(lit(1)).as("n"))
+      val tot = org.apache.spark.sql.expressions.Window.partitionBy(col("prev"))
+      pairs.select(col("prev"), col("cur"), col("n"),
+          round(col("n") / sum(col("n")).over(tot), 4).as("p"))
+        .orderBy("prev", "cur")
+    }),
+
+    // Q126 — exact money aggregation: prices cast to DECIMAL at the
+    // scan so every product and sum is EXACT integer-scaled
+    // arithmetic — the result hash-matches the oracle with NO
+    // rounding, independent of partitioning or merge order (doubles
+    // would differ in the last ulp by sum order alone). The per-cent
+    // cast is unambiguous: the doubles sit within 1e-10 of their
+    // cent value, far from any rounding tie.
+    "q126_decimal_money" -> ((s, d) =>
+      li(s, d)
+        .select(col("l_returnflag"),
+          (col("l_extendedprice").cast("decimal(18,2)") *
+            (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
+            .as("net"))
+        .groupBy("l_returnflag")
+        .agg(sum(col("net")).cast("decimal(38,4)").as("revenue"),
+          count(lit(1)).as("n"))
+        .orderBy("l_returnflag")),
+
+    // Q127 — conditional aggregation (SQL FILTER clause semantics):
+    // one scan computing plain and predicate-gated aggregates side by
+    // side — the idiom that replaces N filtered sub-queries (N scans)
+    // with one pass.
+    "q127_conditional_agg" -> ((s, d) =>
+      ev(s, d).groupBy("event_type")
+        .agg(count(lit(1)).as("n_all"),
+          count(when(col("value") > 100, 1)).as("n_big"),
+          round(sum(when(col("value") > 100, col("value"))), 4).as("sum_big"),
+          countDistinct(when(dayofweek(col("ts")) === 1, col("user_id")))
+            .as("sunday_users"))
+        .orderBy("event_type"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2672,7 +2722,34 @@ object SparkEntry {
     "q124_salted_join" ->
       """SELECT c_mktsegment, COUNT(*) AS n, ROUND(SUM(o_totalprice),4) AS rev
         |FROM orders JOIN customer ON o_custkey = c_custkey
-        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin
+        |GROUP BY c_mktsegment ORDER BY c_mktsegment""".stripMargin,
+
+    "q125_transitions" ->
+      """WITH pr AS (SELECT event_type AS cur,
+        |    LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev
+        |  FROM events),
+        |p AS (SELECT prev, cur, COUNT(*) AS n FROM pr
+        |      WHERE prev IS NOT NULL GROUP BY 1, 2)
+        |SELECT prev, cur, n,
+        |  ROUND(n * 1.0 / SUM(n) OVER (PARTITION BY prev), 4) AS p
+        |FROM p ORDER BY prev, cur""".stripMargin,
+
+    "q126_decimal_money" ->
+      """SELECT l_returnflag,
+        |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+        |  COUNT(*) AS n
+        |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
+
+    // DuckDB dayofweek() is Postgres dow (0 = Sunday); Spark's
+    // dayofweek() is 1 = Sunday — the predicates below pick the same
+    // day on each side.
+    "q127_conditional_agg" ->
+      """SELECT event_type, COUNT(*) AS n_all,
+        |  COUNT(*) FILTER (WHERE value > 100) AS n_big,
+        |  ROUND(SUM(value) FILTER (WHERE value > 100), 4) AS sum_big,
+        |  COUNT(DISTINCT user_id) FILTER (WHERE dayofweek(ts) = 0) AS sunday_users
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
