@@ -156,4 +156,45 @@ class PlanSpec extends SparkSpec {
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
     assert(hashEx == 0, s"expected no hash exchange, got $hashEx:\n$p")
   }
+
+  test("q117: 90-day rolling spend is ONE window pass — no self-join") {
+    val p = plan("q117_range_frame")
+    assert(!p.contains("Join"), s"range frame must not become a self-join:\n$p")
+    assert(p.contains("Exchange hashpartitioning(o_custkey"), p)
+    assert(!p.contains("Exchange SinglePartition"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+  }
+
+  test("q115: vocabulary fence broadcasts into the pair join") {
+    val p = plan("q115_pmi")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q121: CDC chunk hashing is map-only up to the single global agg") {
+    val p = plan("q121_cdc_dedup")
+    assert(!p.contains("Join"), s"chunking must not join:\n$p")
+    // one scan; partial_count proves map-side combine ran before the
+    // single-row final aggregation
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("partial_count"), p)
+  }
+
+  test("q123: z-value is pure codegen'd arithmetic — no UDF, no fallback expr") {
+    val p = plan("q123_zorder")
+    assert(p.contains("TakeOrderedAndProject"), p) // top-k, not global sort
+    assert(!p.contains("BatchEvalPython") && !p.contains("ScalaUDF"), p)
+  }
+
+  test("q124: salted join replicates the dim side, never a single partition") {
+    val p = plan("q124_salted_join")
+    assert(p.contains("Generate"), p) // explode(sequence(0, factor-1))
+    assert(!p.contains("Exchange SinglePartition") ||
+      p.contains("TakeOrderedAndProject"), p)
+  }
+
+  test("q125: transition matrix is one window pass + hash aggs, partitioned by user") {
+    val p = plan("q125_transitions")
+    assert(p.contains("Exchange hashpartitioning(user_id"), p)
+    assert(!p.contains("Join"), p)
+  }
 }
