@@ -1638,7 +1638,55 @@ object SparkEntry {
           round(sum(when(col("value") > 100, col("value"))), 4).as("sum_big"),
           countDistinct(when(dayofweek(col("ts")) === 1, col("user_id")))
             .as("sunday_users"))
-        .orderBy("event_type"))
+        .orderBy("event_type")),
+
+    // Q128 — BM25 ranked retrieval (k1=1.2, b=0.75) for a fixed term
+    // set: the search-scoring layer over q113's tf/df machinery. The
+    // corpus-level scalars (N, avg doc length) stay IN the plan as
+    // broadcast one-row frames — no driver collect — and the df side
+    // is vocabulary-bounded. Ranking is on the rounded score.
+    "q128_bm25" -> ((s, d) => {
+      val qterms = Seq("table", "fast", "batch")
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+      val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+      val stats = lens.agg(avg(col("len")).as("avglen"))
+        .crossJoin(docs(s, d).agg(count(lit(1)).as("n")))
+      val tf = toks.where(col("w").isin(qterms: _*))
+        .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+      val dfq = tf.groupBy("w").agg(count(lit(1)).as("df"))
+      tf.join(broadcast(dfq), "w").join(lens, "doc_id")
+        .crossJoin(broadcast(stats))
+        .select(col("doc_id"),
+          (log((col("n") - col("df") + 0.5) / (col("df") + 0.5) + 1.0) *
+            col("tf") * (lit(1.2) + 1.0) /
+            (col("tf") + lit(1.2) *
+              (lit(1.0) - 0.75 + lit(0.75) * col("len") / col("avglen"))))
+            .as("s"))
+        .groupBy("doc_id").agg(round(sum(col("s")), 4).as("bm25"))
+        .orderBy(desc("bm25"), col("doc_id")).limit(20)
+    }),
+
+    // Q129 — SCD2 dimension build: collapse each customer's order
+    // stream into status-change intervals (valid_from/valid_to, open
+    // row NULL). Both window passes share the o_custkey partitioning,
+    // so the change detection and the interval close ride ONE
+    // shuffle — plan-asserted.
+    "q129_scd2" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = ord(s, d)
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("o_orderkey"),
+          lag(col("o_orderstatus"), 1).over(w).as("prev"))
+        .where(col("prev").isNull || col("prev") =!= col("status"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("valid_from"), col("o_orderkey"))
+      changes.select(col("o_custkey"), col("status"), col("valid_from"),
+          col("o_orderkey"), lead(col("valid_from"), 1).over(w2).as("valid_to"))
+        .orderBy("o_custkey", "valid_from", "o_orderkey")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -2749,7 +2797,36 @@ object SparkEntry {
         |  COUNT(*) FILTER (WHERE value > 100) AS n_big,
         |  ROUND(SUM(value) FILTER (WHERE value > 100), 4) AS sum_big,
         |  COUNT(DISTINCT user_id) FILTER (WHERE dayofweek(ts) = 0) AS sunday_users
-        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    "q128_bm25" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w
+        |              FROM documents),
+        |tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        |lens AS (SELECT doc_id, COUNT(*) AS len FROM tk GROUP BY 1),
+        |stats AS (SELECT AVG(len) AS avglen,
+        |            (SELECT COUNT(*) FROM documents) AS n FROM lens),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS tf FROM tk
+        |       WHERE w IN ('table','fast','batch') GROUP BY 1, 2),
+        |dfq AS (SELECT w, COUNT(*) AS df FROM tf GROUP BY 1),
+        |sc AS (SELECT tf.doc_id,
+        |    LN((n - df + 0.5) / (df + 0.5) + 1.0) * tf * (1.2 + 1.0) /
+        |      (tf + 1.2 * (1.0 - 0.75 + 0.75 * len / avglen)) AS s
+        |  FROM tf JOIN dfq USING (w) JOIN lens USING (doc_id) CROSS JOIN stats)
+        |SELECT doc_id, ROUND(SUM(s), 4) AS bm25 FROM sc
+        |GROUP BY 1 ORDER BY bm25 DESC, doc_id LIMIT 20""".stripMargin,
+
+    "q129_scd2" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate, o_orderkey,
+        |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT o_custkey, status, o_orderdate AS valid_from, o_orderkey
+        |       FROM o WHERE prev IS NULL OR prev <> status)
+        |SELECT o_custkey, status, valid_from, o_orderkey,
+        |  LEAD(valid_from) OVER (PARTITION BY o_custkey
+        |    ORDER BY valid_from, o_orderkey) AS valid_to
+        |FROM ch ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

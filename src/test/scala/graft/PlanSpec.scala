@@ -197,4 +197,12 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Exchange hashpartitioning(user_id"), p)
     assert(!p.contains("Join"), p)
   }
+
+  test("q129: both SCD2 window passes ride ONE custkey shuffle") {
+    val p = plan("q129_scd2")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1,
+      s"change-detect and interval-close windows should share one exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), p)
+  }
 }
