@@ -1686,6 +1686,129 @@ object SparkEntry {
       changes.select(col("o_custkey"), col("status"), col("valid_from"),
           col("o_orderkey"), lead(col("valid_from"), 1).over(w2).as("valid_to"))
         .orderBy("o_custkey", "valid_from", "o_orderkey")
+    }),
+
+    // Q130 — inactivity-gap sessionization (30-min gap): the classic
+    // clickstream operator. New-session flag via LAG, session id via
+    // running SUM, then per-session stats. All three passes — the two
+    // windows AND the (user_id, session_id) groupBy — ride the ONE
+    // user_id shuffle: HashPartitioning(user_id) satisfies the
+    // grouping's ClusteredDistribution because user_id is a subset of
+    // the group keys. Plan-asserted.
+    "q130_sessionize" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val flagged = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("value"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+               unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs,
+            1L).otherwise(0L).as("new_s"))
+      flagged
+        .select(col("user_id"), col("ts"), col("value"),
+          sum(col("new_s")).over(w).as("session_id"))
+        .groupBy("user_id", "session_id")
+        .agg(count(lit(1)).as("n_events"),
+          (max(unix_micros(col("ts"))) - min(unix_micros(col("ts")))).as("dur_us"),
+          round(sum(col("value")), 4).as("sum_value"))
+        .orderBy("user_id", "session_id")
+    }),
+
+    // Q131 — market-basket pair counting: part pairs co-occurring in
+    // the same order, with min-support 2 and a deterministic top-100.
+    // The self-join is CO-PARTITIONED on l_orderkey (both legs shuffle
+    // once on the key, then join locally) and the per-order fan-out is
+    // bounded by items-per-order squared (≤ ~50 for TPC-H-shaped
+    // data), so the pair explosion never quadratics on corpus size.
+    // countDistinct absorbs duplicate part rows within an order.
+    "q131_basket_pairs" -> ((s, d) => {
+      val a = li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("p1"))
+      val b = li(s, d).select(col("l_orderkey").as("ok"), col("l_partkey").as("p2"))
+      a.join(b, Seq("ok"))
+        .where(col("p1") < col("p2"))
+        .groupBy("p1", "p2").agg(countDistinct(col("ok")).as("n_orders"))
+        .where(col("n_orders") >= 2)
+        .orderBy(desc("n_orders"), col("p1"), col("p2")).limit(100)
+    }),
+
+    // Q132 — per-group linear regression: revenue-vs-time trend per
+    // nation via the regr_* second-moment family (slope, intercept,
+    // r², count) — both engines implement the same covar/var
+    // definitions, so ROUND(4) parity holds like q106's corr/covar.
+    // x is DAYS since epoch (micros / 86400e6): slope in $/day is
+    // O(1), so 4 decimals carry signal; in $/µs it would round to 0.
+    "q132_regression" -> ((s, d) =>
+      ord(s, d).join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          (unix_micros(col("o_orderdate").cast("timestamp")).cast("double")
+            / 86400e6).as("x"),
+          col("o_totalprice").as("y"))
+        .groupBy("n_name")
+        .agg(regr_count(col("y"), col("x")).as("n"),
+          round(regr_slope(col("y"), col("x")), 4).as("slope"),
+          round(regr_intercept(col("y"), col("x")), 4).as("icept"),
+          round(regr_r2(col("y"), col("x")), 4).as("r2"))
+        .orderBy("n_name")),
+
+    // Q133 — token entropy + corpus KL divergence: per-doc Shannon
+    // entropy of the unigram distribution and KL(doc ‖ corpus) — the
+    // "unusual token mix" quality signal next to q92's rarity. The
+    // corpus total rides a broadcast one-row frame; the vocab join is
+    // a shuffle join (vocabulary is NOT assumed broadcastable at
+    // 100 TB). `+ 0.0` normalizes IEEE -0.0 from -(p·log2 p) on
+    // single-token docs so both engines hash +0.0.
+    "q133_entropy_kl" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val wdoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val corpus = tf.groupBy("w").agg(sum(col("c")).as("cw"))
+      val tot = corpus.agg(sum(col("cw")).as("tot"))
+      tf.select(col("doc_id"), col("w"), col("c"), sum(col("c")).over(wdoc).as("n"))
+        .join(corpus, "w").crossJoin(broadcast(tot))
+        .select(col("doc_id"),
+          (col("c").cast("double") / col("n")).as("p"),
+          (col("cw").cast("double") / col("tot")).as("q"))
+        .groupBy("doc_id")
+        .agg(round(sum(-(col("p") * log2(col("p")))) + 0.0, 4).as("entropy"),
+          round(sum(col("p") * log2(col("p") / col("q"))) + 0.0, 4).as("kl"))
+        .orderBy("doc_id")
+    }),
+
+    // Q134 — largest-remainder money allocation: split each order's
+    // total (in integer cents) across its lineitems proportional to
+    // extended price, remainder cents to the largest fractional
+    // shares. ALL-INTEGER arithmetic (base = t·w div Σw, fractional
+    // rank = t·w mod Σw) so the per-order sum is exactly t and both
+    // engines agree bit-for-bit — no double rounding at the floor
+    // boundary. One o_orderkey shuffle carries the join and all three
+    // window passes.
+    "q134_allocation" -> ((s, d) => {
+      val lic = li(s, d).select(col("l_orderkey").as("ok"),
+        col("l_linenumber").as("ln"),
+        round(col("l_extendedprice") * 100).cast("long").as("w"))
+      val oc = ord(s, d).select(col("o_orderkey").as("ok"),
+        round(col("o_totalprice") * 100).cast("long").as("t"))
+      val wp = org.apache.spark.sql.expressions.Window.partitionBy(col("ok"))
+      val wr = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("ok")).orderBy(desc("r"), col("ln"))
+      lic.join(oc, "ok")
+        .select(col("ok"), col("ln"), col("w"), col("t"),
+          sum(col("w")).over(wp).as("wsum"))
+        .select(col("ok"), col("ln"), col("t"),
+          expr("(t * w) div wsum").as("base"),
+          ((col("t") * col("w")) % col("wsum")).as("r"))
+        .select(col("ok"), col("ln"), col("base"),
+          (col("t") - sum(col("base")).over(wp)).as("rem"),
+          row_number().over(wr).as("rn"))
+        .select(col("ok"), col("ln"),
+          (col("base") + when(col("rn") <= col("rem"), 1L).otherwise(0L))
+            .as("alloc_cents"))
+        // (ok, ln) is NOT unique in the fixture — alloc_cents joins the
+        // total order so tied rows pair deterministically across engines
+        .orderBy("ok", "ln", "alloc_cents")
     })
   )
 
@@ -2826,7 +2949,83 @@ object SparkEntry {
         |SELECT o_custkey, status, valid_from, o_orderkey,
         |  LEAD(valid_from) OVER (PARTITION BY o_custkey
         |    ORDER BY valid_from, o_orderkey) AS valid_to
-        |FROM ch ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin
+        |FROM ch ORDER BY o_custkey, valid_from, o_orderkey""".stripMargin,
+
+    "q130_sessionize" ->
+      """WITH g AS (SELECT user_id, event_id, ts, value,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, ts, value,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS session_id
+        |  FROM g)
+        |SELECT user_id, session_id, CAST(COUNT(*) AS BIGINT) AS n_events,
+        |  MAX(epoch_us(ts)) - MIN(epoch_us(ts)) AS dur_us,
+        |  ROUND(SUM(value), 4) AS sum_value
+        |FROM sess GROUP BY 1, 2 ORDER BY user_id, session_id""".stripMargin,
+
+    "q131_basket_pairs" ->
+      """SELECT a.l_partkey AS p1, b.l_partkey AS p2,
+        |  CAST(COUNT(DISTINCT a.l_orderkey) AS BIGINT) AS n_orders
+        |FROM lineitem a JOIN lineitem b
+        |  ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        |GROUP BY 1, 2 HAVING COUNT(DISTINCT a.l_orderkey) >= 2
+        |ORDER BY n_orders DESC, p1, p2 LIMIT 100""".stripMargin,
+
+    "q132_regression" ->
+      """SELECT n_name,
+        |  CAST(regr_count(y, x) AS BIGINT) AS n,
+        |  ROUND(regr_slope(y, x), 4) AS slope,
+        |  ROUND(regr_intercept(y, x), 4) AS icept,
+        |  ROUND(regr_r2(y, x), 4) AS r2
+        |FROM (SELECT n_name,
+        |        epoch_us(o_orderdate) / 86400000000.0 AS x,
+        |        o_totalprice AS y
+        |      FROM orders
+        |      JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey)
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q133_entropy_kl" ->
+      """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        |              FROM documents),
+        |tk AS (SELECT doc_id, w FROM toks WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tk GROUP BY 1, 2),
+        |tn AS (SELECT doc_id, w, c,
+        |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n FROM tf),
+        |corpus AS (SELECT w, CAST(SUM(c) AS BIGINT) AS cw FROM tf GROUP BY 1),
+        |tot AS (SELECT CAST(SUM(cw) AS BIGINT) AS tot FROM corpus),
+        |pq AS (SELECT doc_id,
+        |         CAST(c AS DOUBLE) / n AS p,
+        |         CAST(cw AS DOUBLE) / tot AS q
+        |       FROM tn JOIN corpus USING (w) CROSS JOIN tot)
+        |SELECT doc_id,
+        |  ROUND(SUM(-(p * LOG2(p))) + 0.0, 4) AS entropy,
+        |  ROUND(SUM(p * LOG2(p / q)) + 0.0, 4) AS kl
+        |FROM pq GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q134_allocation" ->
+      """WITH lw AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+        |    CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS w FROM lineitem),
+        |ow AS (SELECT o_orderkey AS ok,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS t FROM orders),
+        |j AS (SELECT lw.ok, ln, w, t,
+        |    CAST(SUM(w) OVER (PARTITION BY lw.ok) AS BIGINT) AS wsum
+        |  FROM lw JOIN ow ON lw.ok = ow.ok),
+        |b AS (SELECT ok, ln, t,
+        |    CAST((t * w) // wsum AS BIGINT) AS base,
+        |    CAST((t * w) % wsum AS BIGINT) AS r FROM j),
+        |c AS (SELECT ok, ln, base,
+        |    t - CAST(SUM(base) OVER (PARTITION BY ok) AS BIGINT) AS rem,
+        |    ROW_NUMBER() OVER (PARTITION BY ok ORDER BY r DESC, ln) AS rn
+        |  FROM b)
+        |SELECT ok, ln,
+        |  CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
+        |    AS alloc_cents
+        |FROM c ORDER BY ok, ln, alloc_cents""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

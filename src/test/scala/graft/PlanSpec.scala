@@ -205,4 +205,40 @@ class PlanSpec extends SparkSpec {
       s"change-detect and interval-close windows should share one exchange, got $hashEx:\n$p")
     assert(!p.contains("Join"), p)
   }
+
+  test("q128: BM25 corpus scalars and df ride broadcasts; ranking is top-k") {
+    val p = plan("q128_bm25")
+    // stats (1 row), dfq (vocab-bounded) and the small joined sides all
+    // broadcast — the only shuffles are the tf/len aggregations
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 2, p)
+    assert(p.contains("TakeOrderedAndProject"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q130: windows AND session groupBy share ONE user_id shuffle") {
+    val p = plan("q130_sessionize")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // HashPartitioning(user_id) satisfies the (user_id, session_id)
+    // grouping's ClusteredDistribution — no re-shuffle after the windows
+    assert(hashEx == 1,
+      s"lag window, sum window and session groupBy should share one exchange, got $hashEx:\n$p")
+  }
+
+  test("q131: basket self-join is an equi-join on the order key, never nested-loop") {
+    val p = plan("q131_basket_pairs")
+    // broadcast at this fixture size, shuffle-equi at scale — either
+    // way the p1 < p2 pairing must stay a residual condition on an
+    // orderkey equi-join, NOT the join condition of a nested loop
+    assert(p.contains("HashJoin [ok#") || p.contains("SortMergeJoin [ok#"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q134: allocation join and all three window passes share the order-key shuffles") {
+    val p = plan("q134_allocation")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // two input shuffles feed the join; wsum/rem/row_number windows
+    // reuse that partitioning — no extra exchange downstream
+    assert(hashEx <= 2,
+      s"windows should reuse the join partitioning, got $hashEx exchanges:\n$p")
+  }
 }
