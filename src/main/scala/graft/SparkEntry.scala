@@ -1809,6 +1809,138 @@ object SparkEntry {
         // (ok, ln) is NOT unique in the fixture — alloc_cents joins the
         // total order so tied rows pair deterministically across engines
         .orderBy("ok", "ln", "alloc_cents")
+    }),
+
+    // Q135 — linear interpolation over the q120 gap-fill spine: daily
+    // mean value per user, missing days interpolated between the
+    // nearest observed anchors. The anchors come from IGNORE-NULLS
+    // last/first over mirrored frames — both windows AND the spine
+    // join share the user_id/day partitioning lineage, and because
+    // the spine is bounded by each user's observed min/max day, the
+    // anchors always exist (no edge-extrapolation case).
+    "q135_interpolate" -> ((s, d) => {
+      // daily mean via EXACT integer cents then one double division —
+      // a float avg's summation order differs across engines and a
+      // 1-ulp input difference can flip the final ROUND(4)
+      val daily = ev(s, d).where(col("user_id") < 40)
+        .groupBy(col("user_id"), to_date(col("ts")).as("day"))
+        .agg((sum(round(col("value") * 100).cast("long")).cast("double") /
+          (lit(100.0) * count(lit(1)).cast("double"))).as("v"))
+      val spine = daily.groupBy("user_id")
+        .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
+        .select(col("user_id"),
+          explode(expr("sequence(d0, d1, interval 1 day)")).as("day"))
+      val joined = spine.join(daily, Seq("user_id", "day"), "left")
+      val wPrev = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      val wNext = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("day"))
+        .rowsBetween(0, org.apache.spark.sql.expressions.Window.unboundedFollowing)
+      joined
+        .select(col("user_id"), col("day"), col("v"),
+          last(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wPrev).as("pd"),
+          last(when(col("v").isNotNull, col("v")), ignoreNulls = true)
+            .over(wPrev).as("pv"),
+          first(when(col("v").isNotNull, col("day")), ignoreNulls = true)
+            .over(wNext).as("nd"),
+          first(when(col("v").isNotNull, col("v")), ignoreNulls = true)
+            .over(wNext).as("nv"))
+        // NO final ROUND: midpoint interpolation of cent-exact values
+        // lands on exact .5 boundaries where Spark (BigDecimal
+        // HALF_UP) and DuckDB (float-multiply round) disagree by 1e-4.
+        // Every input here is an exact integer in a double, and both
+        // engines evaluate the same op order, so the raw result is
+        // bit-identical — the 6-sig-fig compare needs no rounding.
+        .select(col("user_id"), col("day"),
+          when(col("v").isNotNull, col("v"))
+            .otherwise(col("pv") + (col("nv") - col("pv")) *
+              datediff(col("day"), col("pd")).cast("double") /
+              datediff(col("nd"), col("pd")).cast("double")).as("v_filled"))
+        .orderBy("user_id", "day")
+    }),
+
+    // Q136 — CDC latest-wins compaction with tombstones (the
+    // Hudi/Delta merge-on-read semantics): each event is an upsert
+    // keyed by user_id, versioned by (ts, event_id); a user whose
+    // LATEST event is an 'error' is tombstoned out. One user_id
+    // shuffle carries the version window and the filter — a
+    // deterministic QUALIFY-style merge, not a driver loop.
+    "q136_cdc_compact" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(desc("ts"), desc("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_type"), col("value"), col("event_id"),
+          row_number().over(w).as("rn"))
+        .where(col("rn") === 1 && col("event_type") =!= "error")
+        .select(col("user_id"), col("event_type"),
+          round(col("value"), 4).as("value"), col("event_id"))
+        .orderBy("user_id")
+    }),
+
+    // Q137 — item-item cosine similarity from co-purchase counts (the
+    // collaborative-filtering kernel): parts as vectors over
+    // customers, cosine via a customer-blocked pair join. The fence
+    // is IN the semantics: customers with > 100 distinct parts are
+    // excluded BEFORE the pair fan-out (the q25-dfCap discipline), so
+    // the per-block cost is capped at 100² regardless of corpus size.
+    // All pair arithmetic is integer until the final sqrt.
+    "q137_item_cosine" -> ((s, d) => {
+      val cp = ord(s, d).join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
+        .agg(count(lit(1)).as("c"))
+      val wck = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+      val fenced = cp.select(col("ck"), col("pk"), col("c"),
+          count(lit(1)).over(wck).as("np"))
+        .where(col("np") <= 100)
+      val a = fenced.select(col("ck"), col("pk").as("p1"), col("c").as("c1"))
+      val b = fenced.select(col("ck"), col("pk").as("p2"), col("c").as("c2"))
+      val dots = a.join(b, Seq("ck")).where(col("p1") < col("p2"))
+        .groupBy("p1", "p2")
+        .agg(sum(col("c1") * col("c2")).as("dot"), count(lit(1)).as("n_common"))
+        .where(col("n_common") >= 3)
+      val norms = fenced.groupBy(col("pk")).agg(sum(col("c") * col("c")).as("sq"))
+      dots
+        .join(norms.select(col("pk").as("p1"), col("sq").as("sq1")), "p1")
+        .join(norms.select(col("pk").as("p2"), col("sq").as("sq2")), "p2")
+        .select(col("p1"), col("p2"), col("n_common"),
+          round(col("dot").cast("double") /
+            sqrt(col("sq1").cast("double") * col("sq2").cast("double")), 4)
+            .as("cos"))
+        .orderBy(desc("cos"), col("p1"), col("p2")).limit(100)
+    }),
+
+    // Q138 — single-source BFS over the co-purchase part graph
+    // ([[graft.ops.Bfs]]): minimal hop count from part 0 within 3
+    // hops. Frontier join rounds with per-round checkpoint cuts and
+    // early exit — the iterative-joins twin of q118's PageRank, with
+    // a shrinking (visited-pruned) frontier. Oracle: WITH RECURSIVE
+    // min-dist closure.
+    "q138_bfs" -> ((s, d) => {
+      val pairs = li(s, d).as("x").join(li(s, d).as("y"),
+          col("x.l_orderkey") === col("y.l_orderkey") &&
+            col("x.l_partkey") < col("y.l_partkey"))
+        .select(col("x.l_partkey").as("a"), col("y.l_partkey").as("b"))
+      val edges = pairs.union(pairs.select(col("b"), col("a")))
+      graft.ops.Bfs.run(edges, "a", "b", source = 0L, maxDepth = 3)
+        .orderBy("dist", "node")
+    }),
+
+    // Q139 — equi-width histogram (20 global bins over o_totalprice)
+    // per order priority: the profiling primitive. Global min/max ride
+    // a broadcast one-row frame; the bin formula multiplies before
+    // dividing — identical IEEE evaluation order in both engines — and
+    // the max row is clamped into the last bin.
+    "q139_histogram" -> ((s, d) => {
+      val stats = ord(s, d).agg(min(col("o_totalprice")).as("mn"),
+        max(col("o_totalprice")).as("mx"))
+      ord(s, d).crossJoin(broadcast(stats))
+        .select(col("o_orderpriority").as("prio"),
+          least(floor((col("o_totalprice") - col("mn")) * 20.0 /
+            (col("mx") - col("mn"))), lit(19L)).as("bin"))
+        .groupBy("prio", "bin").agg(count(lit(1)).as("n"))
+        .orderBy("prio", "bin")
     })
   )
 
@@ -3025,7 +3157,92 @@ object SparkEntry {
         |SELECT ok, ln,
         |  CAST(base + CASE WHEN rn <= rem THEN 1 ELSE 0 END AS BIGINT)
         |    AS alloc_cents
-        |FROM c ORDER BY ok, ln, alloc_cents""".stripMargin
+        |FROM c ORDER BY ok, ln, alloc_cents""".stripMargin,
+
+    "q135_interpolate" ->
+      """WITH daily AS (SELECT user_id, CAST(ts AS DATE) AS day,
+        |      CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS DOUBLE)
+        |        / (100.0 * CAST(COUNT(*) AS DOUBLE)) AS v
+        |    FROM events WHERE user_id < 40 GROUP BY 1, 2),
+        |span AS (SELECT user_id, MIN(day) AS d0, MAX(day) AS d1 FROM daily GROUP BY 1),
+        |spine AS (SELECT user_id, d0 + CAST(t.i AS INTEGER) AS day
+        |          FROM span, generate_series(0, 5000) t(i)
+        |          WHERE d0 + CAST(t.i AS INTEGER) <= d1),
+        |j AS (SELECT s.user_id, s.day, daily.v
+        |      FROM spine s LEFT JOIN daily
+        |        ON daily.user_id = s.user_id AND daily.day = s.day),
+        |a AS (SELECT user_id, day, v,
+        |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wp AS pd,
+        |    last_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER wp AS pv,
+        |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+        |      OVER wn AS nd,
+        |    first_value(CASE WHEN v IS NOT NULL THEN v END IGNORE NULLS)
+        |      OVER wn AS nv
+        |  FROM j
+        |  WINDOW wp AS (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
+        |         wn AS (PARTITION BY user_id ORDER BY day
+        |          ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING))
+        |SELECT user_id, day,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (nv - pv) * CAST(date_diff('day', pd, day) AS DOUBLE)
+        |              / CAST(date_diff('day', pd, nd) AS DOUBLE) END
+        |    AS v_filled
+        |FROM a ORDER BY user_id, day""".stripMargin,
+
+    "q136_cdc_compact" ->
+      """WITH r AS (SELECT user_id, event_type, value, event_id,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts DESC, event_id DESC) AS rn
+        |  FROM events)
+        |SELECT user_id, event_type, ROUND(value, 4) AS value, event_id
+        |FROM r WHERE rn = 1 AND event_type <> 'error'
+        |ORDER BY user_id""".stripMargin,
+
+    "q137_item_cosine" ->
+      """WITH cp AS (SELECT o_custkey AS ck, l_partkey AS pk, COUNT(*) AS c
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |    GROUP BY 1, 2),
+        |f AS (SELECT ck, pk, c FROM
+        |    (SELECT ck, pk, c, COUNT(*) OVER (PARTITION BY ck) AS np FROM cp)
+        |  WHERE np <= 100),
+        |d AS (SELECT a.pk AS p1, b.pk AS p2,
+        |        CAST(SUM(a.c * b.c) AS BIGINT) AS dot,
+        |        CAST(COUNT(*) AS BIGINT) AS n_common
+        |      FROM f a JOIN f b ON a.ck = b.ck AND a.pk < b.pk
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+        |nrm AS (SELECT pk, CAST(SUM(c * c) AS BIGINT) AS sq FROM f GROUP BY 1)
+        |SELECT p1, p2, n_common,
+        |  ROUND(CAST(dot AS DOUBLE) /
+        |    SQRT(CAST(n1.sq AS DOUBLE) * CAST(n2.sq AS DOUBLE)), 4) AS cos
+        |FROM d JOIN nrm n1 ON d.p1 = n1.pk JOIN nrm n2 ON d.p2 = n2.pk
+        |ORDER BY cos DESC, p1, p2 LIMIT 100""".stripMargin,
+
+    "q138_bfs" ->
+      """WITH RECURSIVE pairs AS (
+        |  SELECT DISTINCT x.l_partkey AS a, y.l_partkey AS b
+        |  FROM lineitem x JOIN lineitem y
+        |    ON x.l_orderkey = y.l_orderkey AND x.l_partkey < y.l_partkey),
+        |edges AS (SELECT a, b FROM pairs UNION ALL SELECT b, a FROM pairs),
+        |walk(node, dist) AS (
+        |  SELECT CAST(0 AS BIGINT), 0
+        |  UNION
+        |  SELECT e.b, w.dist + 1
+        |  FROM walk w JOIN edges e ON e.a = w.node WHERE w.dist < 3)
+        |SELECT node, MIN(dist) AS dist FROM walk
+        |GROUP BY 1 ORDER BY dist, node""".stripMargin,
+
+    "q139_histogram" ->
+      """WITH s AS (SELECT MIN(o_totalprice) AS mn, MAX(o_totalprice) AS mx
+        |           FROM orders)
+        |SELECT o_orderpriority AS prio,
+        |  CAST(LEAST(FLOOR((o_totalprice - mn) * 20.0 / (mx - mn)), 19)
+        |    AS BIGINT) AS bin,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders CROSS JOIN s
+        |GROUP BY 1, 2 ORDER BY prio, bin""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

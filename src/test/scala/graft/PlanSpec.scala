@@ -233,6 +233,27 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q136: CDC compaction is one user_id shuffle, no join, no global sort before the filter") {
+    val p = plan("q136_cdc_compact")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"expected the single version-window exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q139: histogram stats ride a broadcast, counting is partial+final") {
+    val p = plan("q139_histogram")
+    assert(p.contains("BroadcastExchange"), p)
+    assert(p.contains("partial_count"), p)
+    // the only key shuffle is the final (prio, bin) aggregation
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 1, s"got $hashEx hash exchanges:\n$p")
+  }
+
+  test("q137: fenced pair join never degenerates to a nested loop") {
+    val p = plan("q137_item_cosine")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q134: allocation join and all three window passes share the order-key shuffles") {
     val p = plan("q134_allocation")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
