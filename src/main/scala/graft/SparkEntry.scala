@@ -1941,6 +1941,157 @@ object SparkEntry {
             (col("mx") - col("mn"))), lit(19L)).as("bin"))
         .groupBy("prio", "bin").agg(count(lit(1)).as("n"))
         .orderBy("prio", "bin")
+    }),
+
+    // Q140 — cohort retention matrix: users grouped by first-activity
+    // WEEK (both engines truncate to ISO Monday), counted per
+    // weeks-since-cohort offset. Two shuffles: user_id for the cohort
+    // window, then (cohort, offset) for the matrix — the per-user
+    // distinct week set never leaves its user partition before
+    // aggregation.
+    "q140_cohort_matrix" -> ((s, d) => {
+      val wm = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      ev(s, d)
+        .select(col("user_id"), trunc(to_date(col("ts")), "week").as("m"))
+        .distinct()
+        .select(col("user_id"), col("m"), min(col("m")).over(wm).as("cohort"))
+        .select(col("cohort"),
+          (datediff(col("m"), col("cohort")) / 7).cast("int").as("m_offset"))
+        .groupBy("cohort", "m_offset").agg(count(lit(1)).as("n_users"))
+        .orderBy("cohort", "m_offset")
+    }),
+
+    // Q141 — column profiler (the DESCRIBE/data-quality primitive):
+    // null count, distinct count and min/max per profiled column, as
+    // a long-format table. ONE scan feeds every per-column aggregate
+    // (the multi-distinct Expand plan), then a stack() pivots the
+    // single metrics row into long format; numeric and string extrema
+    // keep their own typed columns so no engine-specific
+    // number→string formatting enters the hash.
+    "q141_profile" -> ((s, d) => {
+      def nn(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L))
+      ord(s, d).agg(
+          nn("o_custkey").as("nn1"), countDistinct(col("o_custkey")).as("nd1"),
+          min(col("o_custkey")).cast("double").as("mn1"),
+          max(col("o_custkey")).cast("double").as("mx1"),
+          nn("o_totalprice").as("nn2"),
+          countDistinct(col("o_totalprice")).as("nd2"),
+          min(col("o_totalprice")).cast("double").as("mn2"),
+          max(col("o_totalprice")).cast("double").as("mx2"),
+          nn("o_orderstatus").as("nn3"),
+          countDistinct(col("o_orderstatus")).as("nd3"),
+          min(col("o_orderstatus")).as("ms3"), max(col("o_orderstatus")).as("mxs3"),
+          nn("o_orderpriority").as("nn4"),
+          countDistinct(col("o_orderpriority")).as("nd4"),
+          min(col("o_orderpriority")).as("ms4"),
+          max(col("o_orderpriority")).as("mxs4"))
+        .select(expr(
+          """stack(4,
+            |  'o_custkey', nn1, nd1, mn1, mx1,
+            |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_totalprice', nn2, nd2, mn2, mx2,
+            |    CAST(NULL AS STRING), CAST(NULL AS STRING),
+            |  'o_orderstatus', nn3, nd3, CAST(NULL AS DOUBLE),
+            |    CAST(NULL AS DOUBLE), ms3, mxs3,
+            |  'o_orderpriority', nn4, nd4, CAST(NULL AS DOUBLE),
+            |    CAST(NULL AS DOUBLE), ms4, mxs4)
+            |AS (col_name, n_nulls, n_distinct, min_num, max_num,
+            |    min_str, max_str)""".stripMargin))
+        .orderBy("col_name")
+    }),
+
+    // Q142 — weighted median order price per nation (weight = lineitem
+    // count): smallest price whose running weight covers half the
+    // total, selected with the INTEGER rule 2·cum ≥ tot — never a
+    // double-threshold compare. Both windows and the final min share
+    // the nation partitioning.
+    "q142_weighted_median" -> ((s, d) => {
+      val w = ord(s, d)
+        .join(li(s, d), col("o_orderkey") === col("l_orderkey"))
+        .groupBy(col("o_orderkey"), col("o_custkey"), col("o_totalprice"))
+        .agg(count(lit(1)).as("wt"))
+      val j = w.join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"), col("o_totalprice").as("x"),
+          col("wt"), col("o_orderkey"))
+      val wc = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(col("x"), col("o_orderkey"))
+      val wt = org.apache.spark.sql.expressions.Window.partitionBy(col("n_name"))
+      j.select(col("n_name"), col("x"),
+          sum(col("wt")).over(wc).as("cum"), sum(col("wt")).over(wt).as("tot"))
+        .where(col("cum") * 2 >= col("tot"))
+        .groupBy("n_name").agg(min(col("x")).as("w_median"))
+        .orderBy("n_name")
+    }),
+
+    // Q143 — eventually-follows event pairs: how often type A precedes
+    // type B for the same user, over ALL later events (vs q125's
+    // immediate-successor transitions). The self-join is blocked per
+    // user with a ≤ 1000-events fence BEFORE the quadratic fan-out —
+    // the q137 discipline applied to sequence mining.
+    "q143_follows_pairs" -> ((s, d) => {
+      val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      val e = ev(s, d)
+        .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
+          count(lit(1)).over(wu).as("ne"))
+        .where(col("ne") <= 1000)
+      val a = e.select(col("user_id"), col("event_type").as("ta"),
+        col("ts").as("tsa"), col("event_id").as("ida"))
+      val b = e.select(col("user_id"), col("event_type").as("tb"),
+        col("ts").as("tsb"), col("event_id").as("idb"))
+      a.join(b, Seq("user_id"))
+        .where(col("tsa") < col("tsb") ||
+          (col("tsa") === col("tsb") && col("ida") < col("idb")))
+        .groupBy("ta", "tb").agg(count(lit(1)).as("n_pairs"))
+        .orderBy("ta", "tb")
+    }),
+
+    // Q144 — share-of-total analytics: each nation's revenue share and
+    // rank within its region. Revenue totals are EXACT integer cents;
+    // the share division is one double op on identical integers, so
+    // no rounding drift. Region-level windows reuse the nation-agg
+    // partitioning lineage; dims broadcast.
+    "q144_revenue_share" -> ((s, d) => {
+      val rev = ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .groupBy(col("r_name"), col("n_name"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+      val wrk = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("r_name")).orderBy(desc("cents"), col("n_name"))
+      rev.select(col("r_name"), col("n_name"),
+          round(col("cents").cast("double") /
+            sum(col("cents")).over(wr).cast("double"), 4).as("share"),
+          rank().over(wrk).as("rnk"))
+        .orderBy("r_name", "rnk", "n_name")
+    }),
+
+    // Q145 — referential-integrity audit: orphan counts for every FK
+    // edge of the schema in one result. Each leg is an anti-join
+    // (broadcast for the small parents, shuffle for orders at scale);
+    // the global aggregate emits its row even when the anti-join is
+    // empty, so zero-orphan edges stay in the output.
+    "q145_fk_orphans" -> ((s, d) => {
+      def orphans(fact: DataFrame, fk: String, dim: DataFrame, pk: String,
+                  label: String) =
+        fact.select(col(fk)).where(col(fk).isNotNull)
+          .join(dim.select(col(pk)), col(fk) === col(pk), "left_anti")
+          .agg(count(lit(1)).as("n_orphans"))
+          .select(lit(label).as("fk_edge"), col("n_orphans"))
+      orphans(li(s, d), "l_orderkey", ord(s, d), "o_orderkey",
+          "lineitem.l_orderkey->orders")
+        .union(orphans(li(s, d), "l_partkey", Tables.part(s, d), "p_partkey",
+          "lineitem.l_partkey->part"))
+        .union(orphans(ord(s, d), "o_custkey", cust(s, d), "c_custkey",
+          "orders.o_custkey->customer"))
+        .union(orphans(cust(s, d), "c_nationkey", nat(s, d), "n_nationkey",
+          "customer.c_nationkey->nation"))
+        .union(orphans(nat(s, d), "n_regionkey", Tables.region(s, d),
+          "r_regionkey", "nation.n_regionkey->region"))
+        .orderBy("fk_edge")
     })
   )
 
@@ -3242,7 +3393,102 @@ object SparkEntry {
         |    AS BIGINT) AS bin,
         |  CAST(COUNT(*) AS BIGINT) AS n
         |FROM orders CROSS JOIN s
-        |GROUP BY 1, 2 ORDER BY prio, bin""".stripMargin
+        |GROUP BY 1, 2 ORDER BY prio, bin""".stripMargin,
+
+    "q140_cohort_matrix" ->
+      """WITH um AS (SELECT DISTINCT user_id,
+        |      CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS m
+        |    FROM events),
+        |c AS (SELECT user_id, m,
+        |      MIN(m) OVER (PARTITION BY user_id) AS cohort FROM um)
+        |SELECT cohort, CAST(date_diff('day', cohort, m) / 7 AS INTEGER) AS m_offset,
+        |  CAST(COUNT(*) AS BIGINT) AS n_users
+        |FROM c GROUP BY 1, 2 ORDER BY cohort, m_offset""".stripMargin,
+
+    "q141_profile" ->
+      """WITH m AS (SELECT
+        |    CAST(SUM(CASE WHEN o_custkey IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn1,
+        |    CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS nd1,
+        |    CAST(MIN(o_custkey) AS DOUBLE) AS mn1,
+        |    CAST(MAX(o_custkey) AS DOUBLE) AS mx1,
+        |    CAST(SUM(CASE WHEN o_totalprice IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn2,
+        |    CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS nd2,
+        |    CAST(MIN(o_totalprice) AS DOUBLE) AS mn2,
+        |    CAST(MAX(o_totalprice) AS DOUBLE) AS mx2,
+        |    CAST(SUM(CASE WHEN o_orderstatus IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn3,
+        |    CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT) AS nd3,
+        |    MIN(o_orderstatus) AS ms3, MAX(o_orderstatus) AS mxs3,
+        |    CAST(SUM(CASE WHEN o_orderpriority IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS nn4,
+        |    CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT) AS nd4,
+        |    MIN(o_orderpriority) AS ms4, MAX(o_orderpriority) AS mxs4
+        |  FROM orders)
+        |SELECT 'o_custkey' AS col_name, nn1 AS n_nulls, nd1 AS n_distinct,
+        |  mn1 AS min_num, mx1 AS max_num,
+        |  CAST(NULL AS VARCHAR) AS min_str, CAST(NULL AS VARCHAR) AS max_str
+        |FROM m
+        |UNION ALL SELECT 'o_totalprice', nn2, nd2, mn2, mx2, NULL, NULL FROM m
+        |UNION ALL SELECT 'o_orderstatus', nn3, nd3, NULL, NULL, ms3, mxs3 FROM m
+        |UNION ALL SELECT 'o_orderpriority', nn4, nd4, NULL, NULL, ms4, mxs4 FROM m
+        |ORDER BY col_name""".stripMargin,
+
+    "q142_weighted_median" ->
+      """WITH w AS (SELECT o_orderkey, o_custkey, o_totalprice, COUNT(*) AS wt
+        |    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+        |    GROUP BY 1, 2, 3),
+        |j AS (SELECT n_name, o_totalprice AS x, wt, o_orderkey
+        |      FROM w JOIN customer ON o_custkey = c_custkey
+        |      JOIN nation ON c_nationkey = n_nationkey),
+        |c AS (SELECT n_name, x,
+        |    CAST(SUM(wt) OVER (PARTITION BY n_name
+        |      ORDER BY x, o_orderkey) AS BIGINT) AS cum,
+        |    CAST(SUM(wt) OVER (PARTITION BY n_name) AS BIGINT) AS tot
+        |  FROM j)
+        |SELECT n_name, MIN(x) AS w_median FROM c WHERE cum * 2 >= tot
+        |GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q143_follows_pairs" ->
+      """WITH e0 AS (SELECT user_id, event_type, epoch_us(ts) AS tus, event_id,
+        |      COUNT(*) OVER (PARTITION BY user_id) AS ne FROM events),
+        |e AS (SELECT user_id, event_type, tus, event_id FROM e0 WHERE ne <= 1000)
+        |SELECT a.event_type AS ta, b.event_type AS tb,
+        |  CAST(COUNT(*) AS BIGINT) AS n_pairs
+        |FROM e a JOIN e b ON a.user_id = b.user_id
+        |  AND (a.tus < b.tus OR (a.tus = b.tus AND a.event_id < b.event_id))
+        |GROUP BY 1, 2 ORDER BY ta, tb""".stripMargin,
+
+    "q144_revenue_share" ->
+      """WITH rev AS (SELECT r_name, n_name,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey
+        |  GROUP BY 1, 2)
+        |SELECT r_name, n_name,
+        |  ROUND(CAST(cents AS DOUBLE) /
+        |    CAST(CAST(SUM(cents) OVER (PARTITION BY r_name) AS BIGINT)
+        |      AS DOUBLE), 4) AS share,
+        |  CAST(RANK() OVER (PARTITION BY r_name ORDER BY cents DESC, n_name)
+        |    AS INTEGER) AS rnk
+        |FROM rev ORDER BY r_name, rnk, n_name""".stripMargin,
+
+    "q145_fk_orphans" ->
+      """SELECT 'lineitem.l_orderkey->orders' AS fk_edge,
+        |  CAST(COUNT(*) AS BIGINT) AS n_orphans
+        |FROM lineitem WHERE l_orderkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM orders WHERE o_orderkey = l_orderkey)
+        |UNION ALL SELECT 'lineitem.l_partkey->part', CAST(COUNT(*) AS BIGINT)
+        |FROM lineitem WHERE l_partkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM part WHERE p_partkey = l_partkey)
+        |UNION ALL SELECT 'orders.o_custkey->customer', CAST(COUNT(*) AS BIGINT)
+        |FROM orders WHERE o_custkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+        |UNION ALL SELECT 'customer.c_nationkey->nation', CAST(COUNT(*) AS BIGINT)
+        |FROM customer WHERE c_nationkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM nation WHERE n_nationkey = c_nationkey)
+        |UNION ALL SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT)
+        |FROM nation WHERE n_regionkey IS NOT NULL AND NOT EXISTS
+        |  (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
+        |ORDER BY fk_edge""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -254,6 +254,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
   }
 
+  test("q143: follows-pairs self-join is a user_id equi-join with the fence below it") {
+    val p = plan("q143_follows_pairs")
+    assert(p.contains("HashJoin [user_id") || p.contains("SortMergeJoin [user_id"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // the ≤1000-events fence (count window) must be computed BEFORE the
+    // quadratic fan-out, i.e. a Window node below the join
+    assert(p.indexOf("Window") > p.indexOf("Join"), p)
+  }
+
   test("q134: allocation join and all three window passes share the order-key shuffles") {
     val p = plan("q134_allocation")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
