@@ -2092,6 +2092,89 @@ object SparkEntry {
         .union(orphans(nat(s, d), "n_regionkey", Tables.region(s, d),
           "r_regionkey", "nation.n_regionkey->region"))
         .orderBy("fk_edge")
+    }),
+
+    // Q146 — Jaro-Winkler fuzzy matching ([[graft.functions
+    // .JaroWinkler]] native expression) with last-word blocking: the
+    // record-linkage metric beside q110's edit distance, oracled
+    // char-for-char against DuckDB's jaro_winkler_similarity. The
+    // block key bounds the pair fan-out exactly like q110's prefix
+    // block; the threshold compares the ROUNDED value in both engines.
+    "q146_jw_names" -> ((s, d) => {
+      val names = Tables.part(s, d).select(col("p_name")).distinct()
+        .select(col("p_name"), element_at(split(col("p_name"), " "), -1).as("blk"))
+      val a = names.select(col("blk"), col("p_name").as("n1"))
+      val b = names.select(col("blk"), col("p_name").as("n2"))
+      a.join(b, Seq("blk")).where(col("n1") < col("n2"))
+        .select(col("n1"), col("n2"),
+          round(TextFunctions.jaroWinkler(col("n1"), col("n2")), 4).as("jw"))
+        .where(col("jw") >= 0.8)
+        .orderBy(desc("jw"), col("n1"), col("n2")).limit(100)
+    }),
+
+    // Q147 — bigram language-model scoring (q92's rarity signal taken
+    // to order 2): corpus bigram/unigram counts with add-one
+    // smoothing, each document scored by its mean negative log2
+    // bigram probability — the cheap perplexity proxy curation
+    // pipelines gate on. Vocabulary size rides a broadcast one-row
+    // frame; the count joins shuffle on their keys (vocab² is NOT
+    // assumed broadcastable).
+    "q147_bigram_ppl" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .where(col("w") =!= "")
+      val wseq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = toks
+        .select(col("doc_id"), col("w").as("w1"),
+          lead(col("w"), 1).over(wseq).as("w2"))
+        .where(col("w2").isNotNull)
+      val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val c1 = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
+      val vocab = toks.agg(countDistinct(col("w")).as("v"))
+      bg.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+        .crossJoin(broadcast(vocab))
+        .select(col("doc_id"),
+          (-log2((col("c2") + 1).cast("double") /
+            (col("c1") + col("v")).cast("double"))).as("nll"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), round(avg(col("nll")), 4).as("ppl_bits"))
+        .orderBy("doc_id")
+    }),
+
+    // Q148 — dedup keep-list materialization: the step a pipeline
+    // actually ships — every document mapped to its near-dup cluster
+    // representative (min doc_id), singletons to themselves, with a
+    // keep/drop flag. Reuses q49's verified-pair components, so the
+    // oracle extends the same recursive closure.
+    "q148_dedup_keep" -> ((s, d) => {
+      val comps = Dedup.components(
+        Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5))
+      docs(s, d).select(col("doc_id"))
+        .join(comps.select(col("id").as("doc_id"), col("comp_id")),
+          Seq("doc_id"), "left")
+        .select(col("doc_id"),
+          coalesce(col("comp_id"), col("doc_id")).as("rep_id"),
+          when(coalesce(col("comp_id"), col("doc_id")) =!= col("doc_id"), 1)
+            .otherwise(0).as("is_dup"))
+        .orderBy("doc_id")
+    }),
+
+    // Q149 — JSONL round-trip (the LLM interchange format): documents
+    // serialized to JSON-lines through the text sink, read back with
+    // an explicit schema, and required to be IDENTICAL to the source
+    // — which is exactly what the oracle checks. Exercises JSON
+    // escaping of embedded quotes/newlines through a real
+    // write-then-read, not an in-plan to_json/from_json pair.
+    "q149_jsonl_roundtrip" -> ((s, d) => {
+      val out = scratch("q149_jsonl")
+      docs(s, d)
+        .select(to_json(struct(col("doc_id"), col("text"), col("lang")))
+          .as("value"))
+        .write.mode("overwrite").text(out)
+      s.read.schema("doc_id BIGINT, text STRING, lang STRING").json(out)
+        .orderBy("doc_id")
     })
   )
 
@@ -3488,7 +3571,59 @@ object SparkEntry {
         |UNION ALL SELECT 'nation.n_regionkey->region', CAST(COUNT(*) AS BIGINT)
         |FROM nation WHERE n_regionkey IS NOT NULL AND NOT EXISTS
         |  (SELECT 1 FROM region WHERE r_regionkey = n_regionkey)
-        |ORDER BY fk_edge""".stripMargin
+        |ORDER BY fk_edge""".stripMargin,
+
+    "q146_jw_names" ->
+      """WITH names AS (SELECT DISTINCT p_name FROM part),
+        |t AS (SELECT p_name, STRING_SPLIT(p_name, ' ')[-1] AS blk FROM names)
+        |SELECT a.p_name AS n1, b.p_name AS n2,
+        |  ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) AS jw
+        |FROM t a JOIN t b ON a.blk = b.blk AND a.p_name < b.p_name
+        |WHERE ROUND(jaro_winkler_similarity(a.p_name, b.p_name), 4) >= 0.8
+        |ORDER BY jw DESC, n1, n2 LIMIT 100""".stripMargin,
+
+    "q147_bigram_ppl" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS l
+        |           FROM documents),
+        |tk0 AS (SELECT doc_id, UNNEST(l) AS w,
+        |          UNNEST(range(1, LEN(l) + 1)) AS pos FROM t),
+        |tk AS (SELECT doc_id, w, pos FROM tk0 WHERE w <> ''),
+        |bg0 AS (SELECT doc_id, w AS w1,
+        |          LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2 FROM tk),
+        |bg AS (SELECT doc_id, w1, w2 FROM bg0 WHERE w2 IS NOT NULL),
+        |c2 AS (SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS c2 FROM bg GROUP BY 1, 2),
+        |c1 AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c1 FROM tk GROUP BY 1),
+        |v AS (SELECT CAST(COUNT(DISTINCT w) AS BIGINT) AS v FROM tk)
+        |SELECT bg.doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  ROUND(AVG(-LOG2(CAST(c2.c2 + 1 AS DOUBLE)
+        |    / CAST(c1.c1 + v.v AS DOUBLE))), 4) AS ppl_bits
+        |FROM bg JOIN c2 USING (w1, w2) JOIN c1 ON c1.w = bg.w1 CROSS JOIN v
+        |GROUP BY 1 ORDER BY bg.doc_id""".stripMargin,
+
+    "q148_dedup_keep" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id1, id2
+        |       FROM p0 JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a)
+        |SELECT d.doc_id, COALESCE(c.comp_id, d.doc_id) AS rep_id,
+        |  CASE WHEN COALESCE(c.comp_id, d.doc_id) <> d.doc_id THEN 1 ELSE 0 END
+        |    AS is_dup
+        |FROM documents d LEFT JOIN comp c ON c.id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    "q149_jsonl_roundtrip" ->
+      """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

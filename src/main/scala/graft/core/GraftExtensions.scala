@@ -84,7 +84,11 @@ object GraftExtensions {
         "cdc_cuts(text, k, mod) - content-defined chunk end positions (k-char rolling hash ≡ 0 mod `mod`)"),
       (es: Seq[Expression]) => graft.functions.CdcCuts(es.head,
         intLiteral("cdc_cuts", "k", es(1)),
-        intLiteral("cdc_cuts", "mod", es(2)))))
+        intLiteral("cdc_cuts", "mod", es(2)))),
+    ("jaro_winkler",
+      info("jaro_winkler",
+        "jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, prefix<=4, boost threshold 0.7)"),
+      (es: Seq[Expression]) => graft.functions.JaroWinkler(es.head, es(1))))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -91,6 +91,14 @@ object TextFunctions {
       (s, e) => md5(substring(c, s + 1, e - s).cast("binary")))
   }
 
+  /** Jaro-Winkler similarity ([[JaroWinkler]]): standard p=0.1 /
+    * prefix≤4 / boost-threshold-0.7 definition, matching DuckDB's
+    * `jaro_winkler_similarity` for oracle parity. */
+  def jaroWinkler(a: Column, b: Column): Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(
+      JaroWinkler(org.apache.spark.sql.graft.ColumnBridge.expression(a),
+        org.apache.spark.sql.graft.ColumnBridge.expression(b)))
+
   /** Number of tokens contained in `words` (with multiplicity). */
   def stopwordCount(c: Column, words: Seq[String]): Column =
     size(filter(tokens(c), w => w.isin(words: _*))).cast("long")
