@@ -2175,7 +2175,20 @@ object SparkEntry {
         .write.mode("overwrite").text(out)
       s.read.schema("doc_id BIGINT, text STRING, lang STRING").json(out)
         .orderBy("doc_id")
-    })
+    }),
+
+    // Q150 — prefix-filtered EXACT set-similarity join
+    // ([[graft.llm.SetSimJoin]], the PPJoin principle): token-set
+    // Jaccard ≥ 4/5 with zero recall loss — the deterministic sibling
+    // of q27's MinHash sketch→verify. The oracle is the brute-force
+    // all-pairs definition; matching it proves the prefix filter
+    // dropped nothing. Keep rule is integer (5·i ≥ 4·(n1+n2−i)).
+    "q150_setsim_pairs" -> ((s, d) =>
+      graft.llm.SetSimJoin.jaccardPairs(docs(s, d), "doc_id", "text", 4, 5)
+        .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
+          round(col("inter").cast("double") /
+            (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
+        .orderBy("id1", "id2"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -3623,7 +3636,22 @@ object SparkEntry {
         |ORDER BY d.doc_id""".stripMargin,
 
     "q149_jsonl_roundtrip" ->
-      """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q150_setsim_pairs" ->
+      """WITH tk0 AS (SELECT doc_id,
+        |      UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents),
+        |tk AS (SELECT DISTINCT doc_id, tok FROM tk0 WHERE tok <> ''),
+        |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |        CAST(COUNT(*) AS BIGINT) AS inter
+        |      FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      GROUP BY 1, 2)
+        |SELECT id1, id2, inter, sa.n AS n1, sb.n AS n2,
+        |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
+        |FROM p JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
