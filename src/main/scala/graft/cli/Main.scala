@@ -300,6 +300,36 @@ object Main {
       // still open at end-of-input are withheld by the watermark and
       // emit on the NEXT run over the same checkpoint — the
       // incremental/backfill form of the continuous pipeline.
+      // exact prefix-filtered set-similarity dedup pairs (PPJoin
+      // principle): threshold is a rational num/den so every keep
+      // decision is integer arithmetic
+      case "setsim" :: in :: idCol :: textCol :: num :: den :: out :: Nil =>
+        graft.llm.SetSimJoin.jaccardPairs(spark.read.parquet(in),
+            idCol, textCol, num.toInt, den.toInt)
+          .write.mode("overwrite").parquet(out)
+
+      // single-source BFS over an edge parquet (srcCol, dstCol)
+      case "bfs" :: in :: srcCol :: dstCol :: source :: maxDepth :: out :: Nil =>
+        graft.ops.Bfs.run(spark.read.parquet(in), srcCol, dstCol,
+            source.toLong, maxDepth.toInt)
+          .write.mode("overwrite").parquet(out)
+
+      // dedup keep-list: near-dup components resolved to a canonical
+      // representative per document (q148 shape)
+      case "dedup-keep" :: in :: idCol :: textCol :: n :: threshold :: out :: Nil =>
+        val d = spark.read.parquet(in)
+        val comps = graft.llm.Dedup.components(
+          graft.llm.Dedup.minHashVerifiedPairs(d, idCol, textCol,
+            n.toInt, threshold.toDouble))
+        d.select(col(idCol))
+          .join(comps.select(col("id").as(idCol), col("comp_id")),
+            Seq(idCol), "left")
+          .select(col(idCol),
+            coalesce(col("comp_id"), col(idCol)).as("rep_id"),
+            when(coalesce(col("comp_id"), col(idCol)) =!= col(idCol), 1)
+              .otherwise(0).as("is_dup"))
+          .write.mode("overwrite").parquet(out)
+
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -343,6 +373,9 @@ object Main {
         |  mix <in.parquet> <srcCol> src=w,src=w,... <target> <out>
         |  rarity <in.parquet> <idCol> <textCol> <out>   (unigram LM quality signal)
         |  bpe-train <in.parquet> <textCol> <nMerges> <out>   (learn tokenizer merges)
+        |  setsim <in.parquet> <idCol> <textCol> <num> <den> <out>   (exact Jaccard >= num/den pairs)
+        |  bfs <edges.parquet> <srcCol> <dstCol> <source> <maxDepth> <out>
+        |  dedup-keep <in.parquet> <idCol> <textCol> <ngram> <threshold> <out>   (doc -> representative)
         |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
         |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>

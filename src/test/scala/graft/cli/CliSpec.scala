@@ -193,4 +193,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/nation").count() ==
       graft.core.Tables.nation(spark, sf).count())
   }
+
+  test("setsim, bfs and dedup-keep verbs run end to end") {
+    import org.apache.spark.sql.functions.col
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("setsim", s"$sf/documents.parquet", "doc_id", "text", "4", "5",
+      s"$tmp/ss")
+    val ss = spark.read.parquet(s"$tmp/ss")
+    assert(ss.columns.toSet == Set("id1", "id2", "inter", "n1", "n2"))
+    assert(ss.where(col("id1") >= col("id2")).count() == 0)
+
+    import spark.implicits._
+    Seq((0L, 1L), (1L, 2L), (2L, 3L)).toDF("s", "t")
+      .write.mode("overwrite").parquet(s"$tmp/edges")
+    runVerb("bfs", s"$tmp/edges", "s", "t", "0", "2", s"$tmp/bfs")
+    val bfs = spark.read.parquet(s"$tmp/bfs")
+      .as[(Long, Int)].collect().toMap
+    assert(bfs == Map(0L -> 0, 1L -> 1, 2L -> 2))
+
+    runVerb("dedup-keep", s"$sf/documents.parquet", "doc_id", "text", "3",
+      "0.5", s"$tmp/keep")
+    val keep = spark.read.parquet(s"$tmp/keep")
+    assert(keep.count() ==
+      spark.read.parquet(s"$sf/documents.parquet").count())
+    assert(keep.where(col("rep_id") > col("doc_id")).count() == 0) // rep is min
+  }
 }
