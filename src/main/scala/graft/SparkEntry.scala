@@ -2188,7 +2188,135 @@ object SparkEntry {
         .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
           round(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
-        .orderBy("id1", "id2"))
+        .orderBy("id1", "id2")),
+
+    // Q151 — funnel time-to-convert: first-view → first-later-purchase
+    // latency per user, summarized as exact interpolated percentiles
+    // (q87's percentile↔quantile_cont parity on INTEGER micros, where
+    // interpolation midpoints are exact in a double). One user_id
+    // shuffle computes both firsts.
+    "q151_time_to_convert" -> ((s, d) => {
+      val firsts = ev(s, d).groupBy("user_id")
+        .agg(min(when(col("event_type") === "view", unix_micros(col("ts"))))
+            .as("v"),
+          min(when(col("event_type") === "purchase", unix_micros(col("ts"))))
+            .as("p"))
+        .where(col("v").isNotNull && col("p").isNotNull && col("p") >= col("v"))
+        .select(expr("(p - v) DIV 1000000").as("dur_s"))
+      firsts.agg(count(lit(1)).as("n_converts"),
+        round(expr("percentile(dur_s, 0.5)"), 4).as("p50_s"),
+        round(expr("percentile(dur_s, 0.9)"), 4).as("p90_s"))
+    }),
+
+    // Q152 — week-over-week growth per event type: weekly counts with
+    // a LAG ratio in integer counts until the final division. Weeks
+    // with no rows are simply absent (the LAG skips them — gap-fill is
+    // q120's job, composable upstream).
+    "q152_wow_growth" -> ((s, d) => {
+      val wk = ev(s, d)
+        .groupBy(col("event_type"), trunc(to_date(col("ts")), "week").as("wk"))
+        .agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("event_type")).orderBy(col("wk"))
+      wk.select(col("event_type"), col("wk"), col("n"),
+          lag(col("n"), 1).over(w).as("prev"))
+        .select(col("event_type"), col("wk"), col("n"),
+          round((col("n") - col("prev")) * 100.0 / col("prev"), 4)
+            .as("pct_change"))
+        .orderBy("event_type", "wk")
+    }),
+
+    // Q153 — top revenue parts per nation WITH ties kept: dense_rank
+    // over integer-cent revenue (vs q89's unique-tiebreak rank) — the
+    // "show every part tied at rank k" semantics. Revenue in exact
+    // cents so tie groups are engine-identical.
+    "q153_dense_rank_ties" -> ((s, d) => {
+      val rev = li(s, d)
+        .join(ord(s, d), col("l_orderkey") === col("o_orderkey"))
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .groupBy(col("n_name"), col("l_partkey"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("n_name")).orderBy(desc("cents"))
+      rev.select(col("n_name"), col("l_partkey"), col("cents"),
+          dense_rank().over(w).as("rnk"))
+        .where(col("rnk") <= 2)
+        .orderBy("n_name", "rnk", "l_partkey")
+    }),
+
+    // Q154 — events since last purchase (the reset-counter sequence
+    // idiom): a running marker count segments each user's stream, and
+    // a row_number within the segment counts from the marker. Both
+    // windows AND the segment window ride ONE user_id shuffle.
+    "q154_since_marker" -> ((s, d) => {
+      val wu = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val seg = ev(s, d)
+        .select(col("user_id"), col("event_id"), col("ts"), col("event_type"),
+          sum(when(col("event_type") === "purchase", 1L).otherwise(0L))
+            .over(wu).as("seg"))
+      val ws = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("seg"))
+        .orderBy(col("ts"), col("event_id"))
+      seg.select(col("user_id"), col("event_id"),
+          // a purchase row starts its own segment at position 1 → 0
+          // events since the marker; pre-first-marker rows count from
+          // stream start (seg 0)
+          (row_number().over(ws) -
+            when(col("seg") > 0, 1).otherwise(0)).as("n_since"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q155 — order↔lineitem reconciliation (the ETL consistency
+    // audit): per-order delta between the header total and the line
+    // sum, in exact integer cents, summarized by sign class. Integer
+    // end to end; the sign split is when/otherwise, not signum
+    // doubles.
+    "q155_reconcile" -> ((s, d) => {
+      val lines = li(s, d).groupBy(col("l_orderkey").as("ok"))
+        .agg(sum(round(col("l_extendedprice") * 100).cast("long")).as("line_cents"))
+      ord(s, d)
+        .select(col("o_orderkey").as("ok"),
+          round(col("o_totalprice") * 100).cast("long").as("hdr_cents"))
+        .join(lines, Seq("ok"), "left")
+        .select(col("ok"),
+          (col("hdr_cents") - coalesce(col("line_cents"), lit(0L))).as("delta"))
+        .select(when(col("delta") > 0, lit("header_gt"))
+            .when(col("delta") < 0, lit("lines_gt"))
+            .otherwise(lit("exact")).as("cls"),
+          col("delta"))
+        .groupBy("cls")
+        .agg(count(lit(1)).as("n"), min(col("delta")).as("min_delta"),
+          max(col("delta")).as("max_delta"), sum(col("delta")).as("sum_delta"))
+        .orderBy("cls")
+    }),
+
+    // Q156 — median absolute deviation of order totals per nation
+    // (the robust outlier scale): exact interpolated median of
+    // integer cents, then the median of integer |x − median·2|/2
+    // offsets — kept in HALF-cents so the interpolated median (a
+    // .5-exact double) re-enters integer arithmetic without loss.
+    "q156_mad" -> ((s, d) => {
+      val x = ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .select(col("n_name"),
+          (round(col("o_totalprice") * 100).cast("long") * 2).as("hc"))
+      val med = x.groupBy("n_name").agg(expr("percentile(hc, 0.5)").as("m"))
+      x.join(med, "n_name")
+        // hc is even, m is integer-valued (percentile of even ints at
+        // .5 interpolates to an integer) → abs diff exact in double
+        .select(col("n_name"), abs(col("hc") - col("m")).as("ad"))
+        .groupBy("n_name")
+        // NO round on mad: every intermediate here is exact (integer
+        // or .5-exact double), and k/400 can sit exactly on a .00005
+        // boundary where the engines' ROUNDs disagree (q135 lesson) —
+        // the raw doubles are bit-identical instead
+        .agg(count(lit(1)).as("n"),
+          (expr("percentile(ad, 0.5)") / 200.0).as("mad"))
+        .orderBy("n_name")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -3651,7 +3779,85 @@ object SparkEntry {
         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
         |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    "q151_time_to_convert" ->
+      """WITH f AS (SELECT user_id,
+        |    MIN(CASE WHEN event_type = 'view' THEN epoch_us(ts) END) AS v,
+        |    MIN(CASE WHEN event_type = 'purchase' THEN epoch_us(ts) END) AS p
+        |  FROM events GROUP BY 1),
+        |d AS (SELECT (p - v) // 1000000 AS dur_s FROM f
+        |      WHERE v IS NOT NULL AND p IS NOT NULL AND p >= v)
+        |SELECT CAST(COUNT(*) AS BIGINT) AS n_converts,
+        |  ROUND(quantile_cont(dur_s, 0.5), 4) AS p50_s,
+        |  ROUND(quantile_cont(dur_s, 0.9), 4) AS p90_s
+        |FROM d""".stripMargin,
+
+    "q152_wow_growth" ->
+      """WITH wk AS (SELECT event_type,
+        |    CAST(DATE_TRUNC('week', CAST(ts AS DATE)) AS DATE) AS wk,
+        |    CAST(COUNT(*) AS BIGINT) AS n
+        |  FROM events GROUP BY 1, 2),
+        |l AS (SELECT event_type, wk, n,
+        |    LAG(n) OVER (PARTITION BY event_type ORDER BY wk) AS prev
+        |  FROM wk)
+        |SELECT event_type, wk, n,
+        |  ROUND((n - prev) * 100.0 / prev, 4) AS pct_change
+        |FROM l ORDER BY event_type, wk""".stripMargin,
+
+    "q153_dense_rank_ties" ->
+      """WITH rev AS (SELECT n_name, l_partkey,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        |  JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  GROUP BY 1, 2),
+        |r AS (SELECT n_name, l_partkey, cents,
+        |    CAST(DENSE_RANK() OVER (PARTITION BY n_name ORDER BY cents DESC)
+        |      AS INTEGER) AS rnk
+        |  FROM rev)
+        |SELECT n_name, l_partkey, cents, rnk FROM r WHERE rnk <= 2
+        |ORDER BY n_name, rnk, l_partkey""".stripMargin,
+
+    "q154_since_marker" ->
+      """WITH s AS (SELECT user_id, event_id, ts,
+        |    CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id) AS BIGINT)
+        |      AS seg
+        |  FROM events)
+        |SELECT user_id, event_id,
+        |  CAST(ROW_NUMBER() OVER (PARTITION BY user_id, seg
+        |      ORDER BY ts, event_id)
+        |    - CASE WHEN seg > 0 THEN 1 ELSE 0 END AS INTEGER) AS n_since
+        |FROM s ORDER BY user_id, event_id""".stripMargin,
+
+    "q155_reconcile" ->
+      """WITH lines AS (SELECT l_orderkey AS ok,
+        |    CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS line_cents
+        |  FROM lineitem GROUP BY 1),
+        |d AS (SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT)
+        |        - COALESCE(line_cents, 0) AS delta
+        |      FROM orders LEFT JOIN lines ON lines.ok = o_orderkey)
+        |SELECT CASE WHEN delta > 0 THEN 'header_gt'
+        |            WHEN delta < 0 THEN 'lines_gt'
+        |            ELSE 'exact' END AS cls,
+        |  CAST(COUNT(*) AS BIGINT) AS n, MIN(delta) AS min_delta,
+        |  MAX(delta) AS max_delta, CAST(SUM(delta) AS BIGINT) AS sum_delta
+        |FROM d GROUP BY 1 ORDER BY cls""".stripMargin,
+
+    "q156_mad" ->
+      """WITH x AS (SELECT n_name,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) * 2 AS hc
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey),
+        |med AS (SELECT n_name, quantile_cont(hc, 0.5) AS m FROM x GROUP BY 1),
+        |a AS (SELECT x.n_name, ABS(hc - m) AS ad
+        |      FROM x JOIN med ON x.n_name = med.n_name)
+        |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
+        |  quantile_cont(ad, 0.5) / 200.0 AS mad
+        |FROM a GROUP BY 1 ORDER BY n_name""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
