@@ -2316,6 +2316,78 @@ object SparkEntry {
         .agg(count(lit(1)).as("n"),
           (expr("percentile(ad, 0.5)") / 200.0).as("mad"))
         .orderBy("n_name")
+    }),
+
+    // Q157 — cumulative distinct users by day (the growth curve):
+    // per-user FIRST day (one user_id shuffle) makes the running
+    // distinct a plain running SUM of daily first-appearances — never
+    // a per-day distinct-scan. The unpartitioned window runs over the
+    // ~30-row day spine (bounded by calendar, not data).
+    "q157_cumulative_users" -> ((s, d) => {
+      val firstDay = ev(s, d).groupBy("user_id")
+        .agg(min(to_date(col("ts"))).as("day"))
+      val daily = firstDay.groupBy("day").agg(count(lit(1)).as("n_new"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.select(col("day"), col("n_new"),
+          sum(col("n_new")).over(w).as("cum_users"))
+        .orderBy("day")
+    }),
+
+    // Q158 — conversion by session ordinal (q130's sessionization
+    // composed with a purchase flag): does the 1st session convert
+    // better than the 5th? All integer counts; the ordinal IS q130's
+    // running session id.
+    "q158_session_conversion" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val sess = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"), col("event_type"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+               unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs,
+            1L).otherwise(0L).as("new_s"))
+        .select(col("user_id"), col("event_type"),
+          sum(col("new_s")).over(w).as("sid"))
+      sess.groupBy("user_id", "sid")
+        .agg(max(when(col("event_type") === "purchase", 1).otherwise(0))
+          .as("converted"))
+        .groupBy(col("sid").as("session_ordinal"))
+        .agg(count(lit(1)).as("n_sessions"),
+          sum(col("converted")).cast("long").as("n_converted"))
+        .orderBy("session_ordinal")
+    }),
+
+    // Q159 — weekly price percentile bands: p50/p90 of integer-cent
+    // order totals per ISO week (q151's percentile parity, grouped on
+    // the time axis) — the trend-monitoring primitive.
+    "q159_weekly_bands" -> ((s, d) =>
+      ord(s, d)
+        .select(trunc(to_date(col("o_orderdate").cast("timestamp")), "week")
+            .as("wk"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("wk")
+        .agg(count(lit(1)).as("n"),
+          round(expr("percentile(cents, 0.5)"), 4).as("p50_cents"),
+          round(expr("percentile(cents, 0.9)"), 4).as("p90_cents"))
+        .orderBy("wk")),
+
+    // Q160 — schema evolution through the lake (mergeSchema): two
+    // batches written with DIFFERENT column sets read back as one
+    // table with NULL-filled gaps — the lakehouse migration path a
+    // fixed-schema engine can't express. The oracle reconstructs the
+    // union shape directly from the source table.
+    "q160_schema_evolution" -> ((s, d) => {
+      val out = scratch("q160_evo")
+      docs(s, d).where(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"))
+        .write.mode("overwrite").parquet(s"$out/b1")
+      docs(s, d).where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"))
+        .write.mode("append").parquet(s"$out/b2")
+      s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
+        .select(col("doc_id"), col("lang"), col("source"))
+        .orderBy("doc_id")
     })
   )
 
@@ -3857,7 +3929,53 @@ object SparkEntry {
         |      FROM x JOIN med ON x.n_name = med.n_name)
         |SELECT n_name, CAST(COUNT(*) AS BIGINT) AS n,
         |  quantile_cont(ad, 0.5) / 200.0 AS mad
-        |FROM a GROUP BY 1 ORDER BY n_name""".stripMargin
+        |FROM a GROUP BY 1 ORDER BY n_name""".stripMargin,
+
+    "q157_cumulative_users" ->
+      """WITH f AS (SELECT user_id, MIN(CAST(ts AS DATE)) AS day
+        |           FROM events GROUP BY 1),
+        |daily AS (SELECT day, CAST(COUNT(*) AS BIGINT) AS n_new
+        |          FROM f GROUP BY 1)
+        |SELECT day, n_new,
+        |  CAST(SUM(n_new) OVER (ORDER BY day
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |    AS cum_users
+        |FROM daily ORDER BY day""".stripMargin,
+
+    "q158_session_conversion" ->
+      """WITH g AS (SELECT user_id, ts, event_id, event_type,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, event_type,
+        |    CAST(SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS BIGINT) AS sid
+        |  FROM g),
+        |per AS (SELECT user_id, sid,
+        |    MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+        |      AS converted
+        |  FROM sess GROUP BY 1, 2)
+        |SELECT sid AS session_ordinal, CAST(COUNT(*) AS BIGINT) AS n_sessions,
+        |  CAST(SUM(converted) AS BIGINT) AS n_converted
+        |FROM per GROUP BY 1 ORDER BY session_ordinal""".stripMargin,
+
+    "q159_weekly_bands" ->
+      """WITH t AS (SELECT
+        |    CAST(DATE_TRUNC('week', CAST(o_orderdate AS DATE)) AS DATE) AS wk,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders)
+        |SELECT wk, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(quantile_cont(cents, 0.5), 4) AS p50_cents,
+        |  ROUND(quantile_cont(cents, 0.9), 4) AS p90_cents
+        |FROM t GROUP BY 1 ORDER BY wk""".stripMargin,
+
+    "q160_schema_evolution" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 250 THEN lang ELSE NULL END AS lang,
+        |  CASE WHEN doc_id >= 250 THEN source ELSE NULL END AS source
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
