@@ -33,7 +33,11 @@ object Bench {
       "q65_seq_packing", "q68_curation_v2", "q85_line_dedup",
       // round-7 additions: the shuffled shard export (prefix-scan
       // positioning) and the two-pass unigram quality signal
-      "q91_shuffle_shard", "q92_unigram_rarity")
+      "q91_shuffle_shard", "q92_unigram_rarity",
+      // round-7 session-3 additions: exact prefix-filtered set
+      // similarity (the deterministic MinHash sibling) and the
+      // bigram-LM perplexity scan
+      "q150_setsim_pairs", "q147_bigram_ppl")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -2178,13 +2178,15 @@ object SparkEntry {
     }),
 
     // Q150 — prefix-filtered EXACT set-similarity join
-    // ([[graft.llm.SetSimJoin]], the PPJoin principle): token-set
-    // Jaccard ≥ 4/5 with zero recall loss — the deterministic sibling
-    // of q27's MinHash sketch→verify. The oracle is the brute-force
-    // all-pairs definition; matching it proves the prefix filter
-    // dropped nothing. Keep rule is integer (5·i ≥ 4·(n1+n2−i)).
+    // ([[graft.llm.SetSimJoin]], the PPJoin principle) on 3-gram
+    // shingle sets at Jaccard ≥ 1/2: the SAME ground truth as
+    // q25/q27, computed by a third independent algorithm (prefix +
+    // length + positional filters, zero recall loss). The oracle is
+    // the brute-force all-pairs definition; matching it proves the
+    // filters dropped nothing. Keep rule is integer (2·i ≥ n1+n2−i).
     "q150_setsim_pairs" -> ((s, d) =>
-      graft.llm.SetSimJoin.jaccardPairs(docs(s, d), "doc_id", "text", 4, 5)
+      graft.llm.SetSimJoin.jaccardPairs(docs(s, d), "doc_id", "text",
+          1, 2, ngram = 3)
         .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"),
           round(col("inter").cast("double") /
             (col("n1") + col("n2") - col("inter")), 4).as("jaccard"))
@@ -3839,18 +3841,21 @@ object SparkEntry {
       """SELECT doc_id, text, lang FROM documents ORDER BY doc_id""".stripMargin,
 
     "q150_setsim_pairs" ->
-      """WITH tk0 AS (SELECT doc_id,
-        |      UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS tok FROM documents),
-        |tk AS (SELECT DISTINCT doc_id, tok FROM tk0 WHERE tok <> ''),
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws
+        |             FROM documents),
+        |tk AS (SELECT DISTINCT doc_id,
+        |         ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |       FROM tok, generate_series(1, 2000) t(i)
+        |       WHERE i <= len(ws) - 2),
         |sz AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n FROM tk GROUP BY 1),
         |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
         |        CAST(COUNT(*) AS BIGINT) AS inter
-        |      FROM tk a JOIN tk b ON a.tok = b.tok AND a.doc_id < b.doc_id
+        |      FROM tk a JOIN tk b ON a.g = b.g AND a.doc_id < b.doc_id
         |      GROUP BY 1, 2)
         |SELECT id1, id2, inter, sa.n AS n1, sb.n AS n2,
         |  ROUND(CAST(inter AS DOUBLE) / (sa.n + sb.n - inter), 4) AS jaccard
         |FROM p JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
-        |WHERE inter * 5 >= (sa.n + sb.n - inter) * 4
+        |WHERE inter * 2 >= sa.n + sb.n - inter
         |ORDER BY id1, id2""".stripMargin,
 
     "q151_time_to_convert" ->

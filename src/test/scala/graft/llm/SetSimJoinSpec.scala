@@ -64,4 +64,17 @@ class SetSimJoinSpec extends SparkSpec {
       SetSimJoin.jaccardPairs(corpus.toDF("id", "text"), "id", "text", 3, 2)
     }
   }
+
+  test("ngram=3 agrees with Dedup.ngramJaccardPairs on the fixture sample") {
+    import org.apache.spark.sql.functions.col
+    val docs = graft.core.Tables.documents(spark, sf).limit(200)
+    val viaPrefix = SetSimJoin
+      .jaccardPairs(docs, "doc_id", "text", 1, 2, ngram = 3)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val viaPostings = Dedup
+      .ngramJaccardPairs(docs, "doc_id", "text", 3, 0.5, dfCap = 1000000)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(viaPrefix == viaPostings)
+    assert(viaPrefix.nonEmpty)
+  }
 }
