@@ -2390,6 +2390,49 @@ object SparkEntry {
       s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
+    }),
+
+    // Q161 — cascading delete audit (the GDPR/right-to-erasure shape):
+    // a customer deletion list propagates through orders to lineitems,
+    // and the audit reports per-table dropped/total counts BEFORE
+    // anything is rewritten. Each cascade level is a semi-join on the
+    // parent's keys — never a rewrite-then-count.
+    "q161_cascade_delete" -> ((s, d) => {
+      val delC = cust(s, d).where(col("c_acctbal") < 0).select(col("c_custkey"))
+      val delO = ord(s, d).join(delC, col("o_custkey") === col("c_custkey"),
+        "left_semi")
+      val delL = li(s, d).join(delO.select(col("o_orderkey")),
+        col("l_orderkey") === col("o_orderkey"), "left_semi")
+      def audit(label: String, dropped: DataFrame, total: DataFrame) =
+        dropped.agg(count(lit(1)).as("n_dropped"))
+          .crossJoin(total.agg(count(lit(1)).as("n_total")))
+          .select(lit(label).as("tbl"), col("n_dropped"), col("n_total"))
+      audit("customer", delC, cust(s, d))
+        .union(audit("orders", delO, ord(s, d)))
+        .union(audit("lineitem", delL, li(s, d)))
+        .orderBy("tbl")
+    }),
+
+    // Q162 — snapshot diff (the table-versioning primitive): two
+    // deterministic versions of the orders table compared by key via
+    // ONE full-outer join, classified added/removed/changed/unchanged.
+    // Integer cents end to end; at scale this is the single co-
+    // partitioned join a version-diff job needs.
+    "q162_snapshot_diff" -> ((s, d) => {
+      val base = ord(s, d).select(col("o_orderkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("v"))
+      val v1 = base.where(col("k") % 7 =!= 0)
+      val v2 = base.where(col("k") % 5 =!= 0)
+        .select(col("k"),
+          (col("v") + when(col("k") % 3 === 0, 100L).otherwise(0L)).as("v"))
+      v1.select(col("k"), col("v").as("v1"))
+        .join(v2.select(col("k"), col("v").as("v2")), Seq("k"), "full_outer")
+        .select(when(col("v1").isNull, lit("added"))
+          .when(col("v2").isNull, lit("removed"))
+          .when(col("v1") =!= col("v2"), lit("changed"))
+          .otherwise(lit("unchanged")).as("status"))
+        .groupBy("status").agg(count(lit(1)).as("n"))
+        .orderBy("status")
     })
   )
 
@@ -3980,7 +4023,39 @@ object SparkEntry {
       """SELECT doc_id,
         |  CASE WHEN doc_id < 250 THEN lang ELSE NULL END AS lang,
         |  CASE WHEN doc_id >= 250 THEN source ELSE NULL END AS source
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q161_cascade_delete" ->
+      """WITH delc AS (SELECT c_custkey FROM customer WHERE c_acctbal < 0),
+        |dro AS (SELECT o_orderkey FROM orders
+        |        WHERE o_custkey IN (SELECT c_custkey FROM delc)),
+        |drl AS (SELECT l_orderkey FROM lineitem
+        |        WHERE l_orderkey IN (SELECT o_orderkey FROM dro))
+        |SELECT 'customer' AS tbl,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM delc) AS n_dropped,
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM customer) AS n_total
+        |UNION ALL SELECT 'lineitem',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM drl),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem)
+        |UNION ALL SELECT 'orders',
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM dro),
+        |  (SELECT CAST(COUNT(*) AS BIGINT) FROM orders)
+        |ORDER BY tbl""".stripMargin,
+
+    "q162_snapshot_diff" ->
+      """WITH base AS (SELECT o_orderkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS v FROM orders),
+        |v1 AS (SELECT k, v FROM base WHERE k % 7 <> 0),
+        |v2 AS (SELECT k, v + CASE WHEN k % 3 = 0 THEN 100 ELSE 0 END AS v
+        |       FROM base WHERE k % 5 <> 0),
+        |j AS (SELECT COALESCE(v1.k, v2.k) AS k, v1.v AS a, v2.v AS b
+        |      FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k)
+        |SELECT CASE WHEN a IS NULL THEN 'added'
+        |            WHEN b IS NULL THEN 'removed'
+        |            WHEN a <> b THEN 'changed'
+        |            ELSE 'unchanged' END AS status,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -263,6 +263,21 @@ class PlanSpec extends SparkSpec {
     assert(p.indexOf("Window") > p.indexOf("Join"), p)
   }
 
+  test("q154: reset-counter segment windows ride ONE user_id shuffle") {
+    val p = plan("q154_since_marker")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    // the (user_id, seg) window's ClusteredDistribution is satisfied by
+    // HashPartitioning(user_id) — same reuse as q130's groupBy
+    assert(hashEx == 1, s"expected one exchange, got $hashEx:\n$p")
+    assert(!p.contains("Join"), p)
+  }
+
+  test("q158: session windows and per-session groupBy share the user shuffle; only the ordinal rollup re-shuffles") {
+    val p = plan("q158_session_conversion")
+    val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
+    assert(hashEx == 2, s"expected user_id + session_ordinal exchanges only, got $hashEx:\n$p")
+  }
+
   test("q134: allocation join and all three window passes share the order-key shuffles") {
     val p = plan("q134_allocation")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))

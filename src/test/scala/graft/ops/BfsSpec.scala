@@ -51,6 +51,15 @@ class BfsSpec extends SparkSpec {
     assert(got == Map(0L -> 0, 1L -> 1, 2L -> 2))
   }
 
+  test("maxDepth validation is loud") {
+    intercept[IllegalArgumentException] {
+      Bfs.run(Seq((1L, 2L)).toDF("s", "t"), "s", "t", 1L, 0)
+    }
+    intercept[IllegalArgumentException] {
+      Bfs.run(Seq((1L, 2L)).toDF("s", "t"), "s", "t", 1L, 31)
+    }
+  }
+
   test("matches naive on a random-ish fixed graph") {
     val edges = Seq(
       (0L, 1L), (0L, 2L), (1L, 4L), (2L, 4L), (4L, 5L), (5L, 6L),
