@@ -2433,7 +2433,39 @@ object SparkEntry {
           .otherwise(lit("unchanged")).as("status"))
         .groupBy("status").agg(count(lit(1)).as("n"))
         .orderBy("status")
-    })
+    }),
+
+    // Q163 — BAG-semantics set operations (intersectAll / exceptAll,
+    // SQL's INTERSECT ALL / EXCEPT ALL): multiplicity-preserving —
+    // the q11 set variants deduplicate, these keep min/difference of
+    // counts. Physical shape is an aggregate-and-replicate, not a
+    // distinct.
+    "q163_bag_setops" -> ((s, d) => {
+      val a = ord(s, d).select(col("o_custkey").as("k"))
+      val b = ord(s, d).where(col("o_orderstatus") === "F")
+        .select(col("o_custkey").as("k"))
+      a.intersectAll(b).groupBy("k").agg(count(lit(1)).as("n_inter"))
+        .join(a.exceptAll(b).groupBy("k").agg(count(lit(1)).as("n_except")),
+          Seq("k"), "full_outer")
+        .select(col("k"), coalesce(col("n_inter"), lit(0L)).as("n_inter"),
+          coalesce(col("n_except"), lit(0L)).as("n_except"))
+        .orderBy("k")
+    }),
+
+    // Q164 — null-preserving explode (explode_outer / LEFT JOIN
+    // LATERAL): docs whose token filter empties the array must KEEP a
+    // row with a NULL token — the outer-unnest semantics a plain
+    // explode silently drops. Counted per doc so the zero-row docs
+    // are visible in the hash.
+    "q164_explode_outer" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode_outer(filter(split(lower(col("text")), " "),
+            w => length(w) >= 12)).as("w"))
+        .groupBy("doc_id")
+        .agg(count(col("w")).as("n_long_tokens"),
+          count(lit(1)).as("n_rows"))
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4055,7 +4087,35 @@ object SparkEntry {
         |            WHEN a <> b THEN 'changed'
         |            ELSE 'unchanged' END AS status,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM j GROUP BY 1 ORDER BY status""".stripMargin
+        |FROM j GROUP BY 1 ORDER BY status""".stripMargin,
+
+    "q163_bag_setops" ->
+      """WITH a AS (SELECT o_custkey AS k FROM orders),
+        |b AS (SELECT o_custkey AS k FROM orders WHERE o_orderstatus = 'F'),
+        |ia AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_inter
+        |       FROM (SELECT k FROM a INTERSECT ALL SELECT k FROM b)
+        |       GROUP BY 1),
+        |ea AS (SELECT k, CAST(COUNT(*) AS BIGINT) AS n_except
+        |       FROM (SELECT k FROM a EXCEPT ALL SELECT k FROM b)
+        |       GROUP BY 1)
+        |SELECT COALESCE(ia.k, ea.k) AS k,
+        |  COALESCE(n_inter, 0) AS n_inter,
+        |  COALESCE(n_except, 0) AS n_except
+        |FROM ia FULL OUTER JOIN ea ON ia.k = ea.k
+        |ORDER BY k""".stripMargin,
+
+    "q164_explode_outer" ->
+      """WITH t AS (SELECT doc_id,
+        |    LIST_FILTER(STRING_SPLIT(LOWER(text), ' '),
+        |                w -> LEN(w) >= 12) AS l
+        |  FROM documents),
+        |e AS (SELECT doc_id,
+        |    UNNEST(CASE WHEN LEN(l) = 0
+        |           THEN CAST([NULL] AS VARCHAR[]) ELSE l END) AS w
+        |  FROM t)
+        |SELECT doc_id, CAST(COUNT(w) AS BIGINT) AS n_long_tokens,
+        |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
