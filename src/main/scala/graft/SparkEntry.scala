@@ -2466,6 +2466,65 @@ object SparkEntry {
         .agg(count(col("w")).as("n_long_tokens"),
           count(lit(1)).as("n_rows"))
         .orderBy("doc_id"))
+,
+    // Q165 — hierarchy share report: ONE grouping-sets pass computes
+    // region and nation revenue, then each nation joins its region
+    // row for percent-of-parent — never a second scan. Integer-cent
+    // totals; one double division per row.
+    "q165_hierarchy_share" -> ((s, d) => {
+      val base = ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
+        .join(broadcast(Tables.region(s, d)),
+          col("n_regionkey") === col("r_regionkey"))
+        .select(col("r_name"), col("n_name"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+      val gs = base.groupBy(col("r_name"), col("n_name"))
+        .agg(sum(col("cents")).as("cents"))
+      val regions = gs.groupBy("r_name").agg(sum(col("cents")).as("r_cents"))
+      gs.join(regions, "r_name")
+        .select(col("r_name"), col("n_name"), col("cents"),
+          round(col("cents").cast("double") / col("r_cents").cast("double"), 4)
+            .as("share_of_region"))
+        .orderBy("r_name", "n_name")
+    }),
+
+    // Q166 — array set-algebra per group: event-type vocabularies of
+    // each user's first vs second half-month, compared with
+    // array_intersect/array_union sizes (behavioral retention). The
+    // per-half sets are sorted collect_sets — deterministic arrays —
+    // and only their SIZES reach the output, so no array ordering
+    // enters the hash.
+    "q166_array_algebra" -> ((s, d) => {
+      val half = ev(s, d)
+        .select(col("user_id"), col("event_type"),
+          when(dayofmonth(col("ts")) <= 15, 1).otherwise(2).as("half"))
+        .distinct()
+      val sets = half.groupBy("user_id")
+        .agg(sort_array(collect_set(when(col("half") === 1, col("event_type"))))
+            .as("h1"),
+          sort_array(collect_set(when(col("half") === 2, col("event_type"))))
+            .as("h2"))
+      sets.select(col("user_id"),
+          size(col("h1")).cast("long").as("n_first"),
+          size(col("h2")).cast("long").as("n_second"),
+          size(array_intersect(col("h1"), col("h2"))).cast("long").as("n_both"),
+          size(array_union(col("h1"), col("h2"))).cast("long").as("n_any"))
+        .orderBy("user_id")
+    }),
+
+    // Q167 — regexp_extract_all (scalar extraction surface): every
+    // number in each document summed — RE2-safe digit-class pattern
+    // shared verbatim with the oracle, ANSI-safe via try_cast for
+    // > 18-digit runs.
+    "q167_extract_numbers" -> ((s, d) =>
+      docs(s, d)
+        .select(col("doc_id"),
+          explode_outer(expr("regexp_extract_all(text, '[0-9]+', 0)")).as("num"))
+        .groupBy("doc_id")
+        .agg(count(col("num")).as("n_numbers"),
+          coalesce(sum(expr("try_cast(num AS BIGINT)")), lit(0L)).as("num_sum"))
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4115,6 +4174,48 @@ object SparkEntry {
         |  FROM t)
         |SELECT doc_id, CAST(COUNT(w) AS BIGINT) AS n_long_tokens,
         |  CAST(COUNT(*) AS BIGINT) AS n_rows
+        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q165_hierarchy_share" ->
+      """WITH base AS (SELECT r_name, n_name,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |  FROM orders JOIN customer ON o_custkey = c_custkey
+        |  JOIN nation ON c_nationkey = n_nationkey
+        |  JOIN region ON n_regionkey = r_regionkey),
+        |gs AS (SELECT r_name, n_name, CAST(SUM(cents) AS BIGINT) AS cents
+        |       FROM base GROUP BY 1, 2),
+        |r AS (SELECT r_name, CAST(SUM(cents) AS BIGINT) AS r_cents
+        |      FROM gs GROUP BY 1)
+        |SELECT gs.r_name, n_name, cents,
+        |  ROUND(CAST(cents AS DOUBLE) / CAST(r_cents AS DOUBLE), 4)
+        |    AS share_of_region
+        |FROM gs JOIN r ON gs.r_name = r.r_name
+        |ORDER BY gs.r_name, n_name""".stripMargin,
+
+    "q166_array_algebra" ->
+      """WITH h AS (SELECT DISTINCT user_id, event_type,
+        |    CASE WHEN DAY(ts) <= 15 THEN 1 ELSE 2 END AS half FROM events),
+        |t AS (SELECT user_id, event_type,
+        |    MAX(CASE WHEN half = 1 THEN 1 ELSE 0 END) AS in1,
+        |    MAX(CASE WHEN half = 2 THEN 1 ELSE 0 END) AS in2
+        |  FROM h GROUP BY 1, 2)
+        |SELECT user_id,
+        |  CAST(SUM(in1) AS BIGINT) AS n_first,
+        |  CAST(SUM(in2) AS BIGINT) AS n_second,
+        |  CAST(SUM(in1 * in2) AS BIGINT) AS n_both,
+        |  CAST(COUNT(*) AS BIGINT) AS n_any
+        |FROM t GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q167_extract_numbers" ->
+      """WITH t AS (SELECT doc_id,
+        |    regexp_extract_all(text, '[0-9]+', 0) AS l FROM documents),
+        |e AS (SELECT doc_id,
+        |    UNNEST(CASE WHEN LEN(l) = 0
+        |           THEN CAST([NULL] AS VARCHAR[]) ELSE l END) AS num
+        |  FROM t)
+        |SELECT doc_id, CAST(COUNT(num) AS BIGINT) AS n_numbers,
+        |  COALESCE(CAST(SUM(TRY_CAST(num AS BIGINT)) AS BIGINT), 0)
+        |    AS num_sum
         |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
   )
 
