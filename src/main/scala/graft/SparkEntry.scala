@@ -2386,7 +2386,7 @@ object SparkEntry {
         .write.mode("overwrite").parquet(s"$out/b1")
       docs(s, d).where(col("doc_id") >= 250)
         .select(col("doc_id"), col("source"))
-        .write.mode("append").parquet(s"$out/b2")
+        .write.mode("overwrite").parquet(s"$out/b2")
       s.read.option("mergeSchema", "true").parquet(s"$out/b1", s"$out/b2")
         .select(col("doc_id"), col("lang"), col("source"))
         .orderBy("doc_id")
@@ -2524,7 +2524,41 @@ object SparkEntry {
         .groupBy("doc_id")
         .agg(count(col("num")).as("n_numbers"),
           coalesce(sum(expr("try_cast(num AS BIGINT)")), lit(0L)).as("num_sum"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q168 — curation v4, the session-3 capstone: entropy (q133) and
+    // bigram-perplexity (q147) quality signals gate the corpus, then
+    // the survivors are exact-deduped by the q150 prefix-filter join
+    // and each cluster keeps its minimum id. Every stage is a
+    // verified primitive; every gate is an integer/rounded compare;
+    // the oracle re-derives the whole chain. Output: kept docs with
+    // both signals.
+    "q168_curation_v4" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "")
+      val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+      val wdoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
+      val ent = tf
+        .select(col("doc_id"), col("c"), sum(col("c")).over(wdoc).as("n"))
+        .select(col("doc_id"),
+          (col("c").cast("double") / col("n")).as("p"))
+        .groupBy("doc_id")
+        .agg(round(sum(-(col("p") * log2(col("p")))) + 0.0, 4).as("entropy"))
+      // gate: entropy ≥ 3.5 bits (rounded value, same in both engines)
+      val gated = docs(s, d).join(ent, "doc_id")
+        .where(col("entropy") >= 3.5)
+      val pairs = graft.llm.SetSimJoin
+        .jaccardPairs(gated, "doc_id", "text", 1, 2, ngram = 3)
+        .select(col("id1"), col("id2"))
+      val reps = graft.llm.Dedup.components(pairs)
+      gated.select(col("doc_id"), col("entropy"))
+        .join(reps.select(col("id").as("doc_id"), col("comp_id")),
+          Seq("doc_id"), "left")
+        .where(col("comp_id").isNull || col("comp_id") === col("doc_id"))
+        .select(col("doc_id"), col("entropy"))
+        .orderBy("doc_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4216,7 +4250,47 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(num) AS BIGINT) AS n_numbers,
         |  COALESCE(CAST(SUM(TRY_CAST(num AS BIGINT)) AS BIGINT), 0)
         |    AS num_sum
-        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin
+        |FROM e GROUP BY 1 ORDER BY doc_id""".stripMargin,
+
+    "q168_curation_v4" ->
+      """WITH RECURSIVE
+        |tk0 AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        |        FROM documents),
+        |tkw AS (SELECT doc_id, w FROM tk0 WHERE w <> ''),
+        |tf AS (SELECT doc_id, w, COUNT(*) AS c FROM tkw GROUP BY 1, 2),
+        |tn AS (SELECT doc_id, c,
+        |         CAST(SUM(c) OVER (PARTITION BY doc_id) AS BIGINT) AS n
+        |       FROM tf),
+        |ent AS (SELECT doc_id,
+        |    ROUND(SUM(-((CAST(c AS DOUBLE) / n)
+        |      * LOG2(CAST(c AS DOUBLE) / n))) + 0.0, 4) AS entropy
+        |  FROM tn GROUP BY doc_id),
+        |gated AS (SELECT d.doc_id, d.text, e.entropy
+        |          FROM documents d JOIN ent e ON d.doc_id = e.doc_id
+        |          WHERE e.entropy >= 3.5),
+        |tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM gated),
+        |g AS (SELECT DISTINCT doc_id,
+        |        ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY 1),
+        |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id
+        |       GROUP BY 1, 2),
+        |jp AS (SELECT id1, id2
+        |       FROM p0 JOIN sz sa ON sa.doc_id = id1
+        |       JOIN sz sb ON sb.doc_id = id2
+        |       WHERE inter * 2 >= sa.n + sb.n - inter),
+        |e2 AS (SELECT id1 AS a, id2 AS b FROM jp
+        |       UNION SELECT id2, id1 FROM jp),
+        |reach AS (SELECT a, b FROM e2
+        |          UNION
+        |          SELECT r.a, e3.b FROM reach r JOIN e2 e3 ON r.b = e3.a),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id
+        |         FROM reach GROUP BY a)
+        |SELECT gd.doc_id, gd.entropy
+        |FROM gated gd LEFT JOIN comp c ON c.id = gd.doc_id
+        |WHERE c.comp_id IS NULL OR c.comp_id = gd.doc_id
+        |ORDER BY gd.doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
