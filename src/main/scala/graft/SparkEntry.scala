@@ -2558,6 +2558,40 @@ object SparkEntry {
         .where(col("comp_id").isNull || col("comp_id") === col("doc_id"))
         .select(col("doc_id"), col("entropy"))
         .orderBy("doc_id")
+    }),
+
+    // Q169 — partition pruning through a partitioned table (THE
+    // 100 TB lever: a predicate on the partition column must skip
+    // whole directories, not filter rows): events written partitioned
+    // by event_type, read back with an equality predicate. The scan's
+    // PartitionFilters carry the predicate — plan-asserted — so at
+    // scale only 1/5 of the files are ever listed or read.
+    "q169_partition_prune" -> ((s, d) => {
+      val out = scratch("q169_part")
+      ev(s, d).write.mode("overwrite").partitionBy("event_type").parquet(out)
+      s.read.parquet(out).where(col("event_type") === "purchase")
+        .groupBy("user_id")
+        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+        .orderBy("user_id")
+    }),
+
+    // Q170 — CSV round-trip (header + RFC quoting): the
+    // lowest-common-denominator interchange format, written and read
+    // back with an explicit schema and required to be identical to
+    // the source. escape='"' pins RFC-4180 double-quote escaping on
+    // both sides; multiLine tolerates embedded newlines (at the cost
+    // of splittability — a round-trip check, not the scan pattern to
+    // copy for bulk ingest).
+    "q170_csv_roundtrip" -> ((s, d) => {
+      val out = scratch("q170_csv")
+      docs(s, d).select(col("doc_id"), col("lang"), col("text"))
+        .write.mode("overwrite")
+        .option("header", "true").option("escape", "\"").csv(out)
+      s.read
+        .option("header", "true").option("escape", "\"")
+        .option("multiLine", "true")
+        .schema("doc_id BIGINT, lang STRING, text STRING").csv(out)
+        .orderBy("doc_id")
     })
   )
 
@@ -4290,7 +4324,16 @@ object SparkEntry {
         |SELECT gd.doc_id, gd.entropy
         |FROM gated gd LEFT JOIN comp c ON c.id = gd.doc_id
         |WHERE c.comp_id IS NULL OR c.comp_id = gd.doc_id
-        |ORDER BY gd.doc_id""".stripMargin
+        |ORDER BY gd.doc_id""".stripMargin,
+
+    "q169_partition_prune" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(SUM(value), 4) AS v
+        |FROM events WHERE event_type = 'purchase'
+        |GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q170_csv_roundtrip" ->
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -278,6 +278,15 @@ class PlanSpec extends SparkSpec {
     assert(hashEx == 2, s"expected user_id + session_ordinal exchanges only, got $hashEx:\n$p")
   }
 
+  test("q169: partition-column predicate prunes directories, not rows") {
+    val p = plan("q169_partition_prune")
+    val scanLine = p.linesIterator.find(_.contains("PartitionFilters")).get
+    assert(scanLine.contains("event_type"), scanLine)
+    // the predicate must NOT fall through to a row-level Filter on
+    // the partition column (pruning happens at listing time)
+    assert(scanLine.contains("purchase") || p.contains("(event_type#"), scanLine)
+  }
+
   test("q134: allocation join and all three window passes share the order-key shuffles") {
     val p = plan("q134_allocation")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
