@@ -2592,6 +2592,39 @@ object SparkEntry {
         .option("multiLine", "true")
         .schema("doc_id BIGINT, lang STRING, text STRING").csv(out)
         .orderBy("doc_id")
+    }),
+
+    // Q171 — SCD2 dimension lookup: q129's status intervals consumed
+    // by q36's bucketized interval join — each order resolves the
+    // dimension status valid AT its date, WITHOUT a per-key cross
+    // product (intervals explode over 90-day buckets, the join is an
+    // equi-join on (custkey, bucket)). Zero-width intervals (two
+    // status changes on one date) match nothing under [from, to) —
+    // those orders surface as the off-diagonal counts, which is the
+    // point of the reconciliation output.
+    "q171_scd2_lookup" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("o_orderdate"), col("o_orderkey"))
+      val changes = ord(s, d)
+        .select(col("o_custkey"), col("o_orderstatus").as("status"),
+          col("o_orderdate").as("valid_from"), col("o_orderkey"),
+          lag(col("o_orderstatus"), 1).over(w).as("prev"))
+        .where(col("prev").isNull || col("prev") =!= col("status"))
+      val w2 = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("o_custkey")).orderBy(col("valid_from"), col("o_orderkey"))
+      val iv = changes
+        .select(col("o_custkey").as("ck"), col("status").as("dim_status"),
+          col("valid_from").cast("timestamp").as("vf"),
+          lead(col("valid_from"), 1).over(w2).cast("timestamp").as("vt0"))
+        .select(col("ck"), col("dim_status"), col("vf"),
+          coalesce(col("vt0"), lit("2002-01-01").cast("timestamp")).as("vt"))
+      val pts = ord(s, d).select(col("o_custkey").as("ck"),
+        col("o_orderdate").cast("timestamp").as("od"),
+        col("o_orderstatus").as("order_status"))
+      graft.ops.TemporalJoins.intervalJoin(pts, iv, "ck", "od", "vf", "vt",
+          graft.ops.TemporalJoins.secondsBucket(86400L * 90))
+        .groupBy("order_status", "dim_status").agg(count(lit(1)).as("n"))
+        .orderBy("order_status", "dim_status")
     })
   )
 
@@ -4333,7 +4366,26 @@ object SparkEntry {
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
 
     "q170_csv_roundtrip" ->
-      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin
+      """SELECT doc_id, lang, text FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q171_scd2_lookup" ->
+      """WITH o AS (SELECT o_custkey, o_orderstatus AS status, o_orderdate,
+        |    o_orderkey,
+        |    LAG(o_orderstatus) OVER (PARTITION BY o_custkey
+        |      ORDER BY o_orderdate, o_orderkey) AS prev
+        |  FROM orders),
+        |ch AS (SELECT o_custkey, status, o_orderdate AS valid_from, o_orderkey
+        |       FROM o WHERE prev IS NULL OR prev <> status),
+        |iv AS (SELECT o_custkey, status AS dim_status, valid_from AS vf,
+        |    COALESCE(LEAD(valid_from) OVER (PARTITION BY o_custkey
+        |      ORDER BY valid_from, o_orderkey),
+        |      TIMESTAMP '2002-01-01') AS vt
+        |  FROM ch),
+        |j AS (SELECT ord.o_orderstatus AS order_status, iv.dim_status
+        |      FROM orders ord JOIN iv ON ord.o_custkey = iv.o_custkey
+        |        AND ord.o_orderdate >= iv.vf AND ord.o_orderdate < iv.vt)
+        |SELECT order_status, dim_status, CAST(COUNT(*) AS BIGINT) AS n
+        |FROM j GROUP BY 1, 2 ORDER BY order_status, dim_status""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
