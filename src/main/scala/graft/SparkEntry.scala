@@ -2625,6 +2625,40 @@ object SparkEntry {
           graft.ops.TemporalJoins.secondsBucket(86400L * 90))
         .groupBy("order_status", "dim_status").agg(count(lit(1)).as("n"))
         .orderBy("order_status", "dim_status")
+    }),
+
+    // Q172 — built-in session_window (the q130 semantics via Spark's
+    // native session operator instead of the lag/running-sum idiom):
+    // same 30-minute gap rule, so the oracle is q130's gap-flag CTE
+    // re-aggregated to (start, end, count) — two machineries, one
+    // ground truth. The streaming twin of this exact operator runs
+    // under watermarks in the streaming specs.
+    "q172_session_window" -> ((s, d) =>
+      ev(s, d)
+        .groupBy(col("user_id"),
+          session_window(col("ts"), "30 minutes").as("sw"))
+        .agg(count(lit(1)).as("n_events"))
+        .select(col("user_id"),
+          unix_micros(col("sw.start")).as("start_us"),
+          // built-in session end = last event + gap; normalize to the
+          // last EVENT time for the oracle by subtracting the gap
+          (unix_micros(col("sw.end")) - 1800000000L).as("last_us"),
+          col("n_events"))
+        .orderBy("user_id", "start_us")),
+
+    // Q173 — unionByName with missing columns (q160's evolution
+    // semantics WITHOUT the lake round-trip): two frames with
+    // different column sets unioned by NAME, gaps null-filled — the
+    // positional-union trap (silent column misalignment) this API
+    // exists to prevent.
+    "q173_union_by_name" -> ((s, d) => {
+      val a = docs(s, d).where(col("doc_id") < 250)
+        .select(col("doc_id"), col("lang"), col("n_chars"))
+      val b = docs(s, d).where(col("doc_id") >= 250)
+        .select(col("doc_id"), col("source"), col("n_chars"))
+      a.unionByName(b, allowMissingColumns = true)
+        .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -4385,7 +4419,29 @@ object SparkEntry {
         |      FROM orders ord JOIN iv ON ord.o_custkey = iv.o_custkey
         |        AND ord.o_orderdate >= iv.vf AND ord.o_orderdate < iv.vt)
         |SELECT order_status, dim_status, CAST(COUNT(*) AS BIGINT) AS n
-        |FROM j GROUP BY 1, 2 ORDER BY order_status, dim_status""".stripMargin
+        |FROM j GROUP BY 1, 2 ORDER BY order_status, dim_status""".stripMargin,
+
+    "q172_session_window" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sess AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS sid
+        |  FROM g)
+        |SELECT user_id, MIN(epoch_us(ts)) AS start_us,
+        |  MAX(epoch_us(ts)) AS last_us, CAST(COUNT(*) AS BIGINT) AS n_events
+        |FROM sess GROUP BY user_id, sid
+        |ORDER BY user_id, start_us""".stripMargin,
+
+    "q173_union_by_name" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id < 250 THEN lang END AS lang,
+        |  CASE WHEN doc_id >= 250 THEN source END AS source,
+        |  n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
