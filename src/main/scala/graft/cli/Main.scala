@@ -300,6 +300,11 @@ object Main {
       // still open at end-of-input are withheld by the watermark and
       // emit on the NEXT run over the same checkpoint — the
       // incremental/backfill form of the continuous pipeline.
+      // single-pass column profile of any parquet table
+      case "profile" :: in :: out :: Nil =>
+        graft.ops.Profiler.profile(spark.read.parquet(in))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+
       // exact prefix-filtered set-similarity dedup pairs (PPJoin
       // principle): threshold is a rational num/den so every keep
       // decision is integer arithmetic
@@ -373,6 +378,7 @@ object Main {
         |  mix <in.parquet> <srcCol> src=w,src=w,... <target> <out>
         |  rarity <in.parquet> <idCol> <textCol> <out>   (unigram LM quality signal)
         |  bpe-train <in.parquet> <textCol> <nMerges> <out>   (learn tokenizer merges)
+        |  profile <in.parquet> <out>   (single-pass column metrics)
         |  setsim <in.parquet> <idCol> <textCol> <num> <den> <out>   (exact Jaccard >= num/den pairs)
         |  bfs <edges.parquet> <srcCol> <dstCol> <source> <maxDepth> <out>
         |  dedup-keep <in.parquet> <idCol> <textCol> <ngram> <threshold> <out>   (doc -> representative)
