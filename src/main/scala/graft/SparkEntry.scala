@@ -2659,6 +2659,53 @@ object SparkEntry {
       a.unionByName(b, allowMissingColumns = true)
         .select(col("doc_id"), col("lang"), col("source"), col("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Q174 — quartile array per group: ONE exact-percentile aggregate
+    // computes all three cut points (no per-quantile re-scan), then
+    // the array unnests to (group, quartile, value) rows. Integer
+    // cents in; interpolated midpoints are exact halves (the q156
+    // argument), ROUND(4) out.
+    "q174_quartiles" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("prio")
+        .agg(expr("percentile(cents, array(0.25, 0.5, 0.75))").as("qs"))
+        .select(col("prio"), posexplode(col("qs")).as(Seq("i", "v")))
+        .select(col("prio"), (col("i") + 1).as("quartile"),
+          round(col("v"), 4).as("v"))
+        .orderBy("prio", "quartile")),
+
+    // Q175 — bitwise aggregates (flag-set algebra): per-user OR/AND
+    // of an event-type bitmask — the roll-up a permission/feature-
+    // flag pipeline runs. Pure integer.
+    "q175_bit_aggs" -> ((s, d) => {
+      val mask = ev(s, d).select(col("user_id"),
+        when(col("event_type") === "view", 1L)
+          .when(col("event_type") === "click", 2L)
+          .when(col("event_type") === "purchase", 4L)
+          .when(col("event_type") === "signup", 8L)
+          .otherwise(16L).as("m"))
+      mask.groupBy("user_id")
+        .agg(expr("bit_or(m)").as("any_of"), expr("bit_and(m)").as("all_of"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")
+    }),
+
+    // Q176 — correlated scalar subquery through the SQL entry point
+    // (spark.sql over registered views): each customer against their
+    // OWN max order value — Catalyst decorrelates the subquery into
+    // an aggregate + join, never a per-row re-scan (plan-asserted: no
+    // nested loop).
+    "q176_correlated_subquery" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT c_custkey, c_mktsegment,
+          (SELECT CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT)
+           FROM orders WHERE o_custkey = c_custkey) AS max_cents
+        FROM customer
+        ORDER BY c_custkey""")
     })
   )
 
@@ -4441,7 +4488,35 @@ object SparkEntry {
         |  CASE WHEN doc_id < 250 THEN lang END AS lang,
         |  CASE WHEN doc_id >= 250 THEN source END AS source,
         |  n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q174_quartiles" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders),
+        |q AS (SELECT prio, quantile_cont(cents, [0.25, 0.5, 0.75]) AS qs
+        |      FROM t GROUP BY 1),
+        |e AS (SELECT prio, UNNEST(qs) AS v,
+        |        UNNEST(range(1, 4)) AS quartile FROM q)
+        |SELECT prio, CAST(quartile AS INTEGER) AS quartile,
+        |  ROUND(v, 4) AS v
+        |FROM e ORDER BY prio, quartile""".stripMargin,
+
+    "q175_bit_aggs" ->
+      """WITH m AS (SELECT user_id,
+        |    CAST(CASE event_type WHEN 'view' THEN 1 WHEN 'click' THEN 2
+        |         WHEN 'purchase' THEN 4 WHEN 'signup' THEN 8
+        |         ELSE 16 END AS BIGINT) AS m
+        |  FROM events)
+        |SELECT user_id, CAST(BIT_OR(m) AS BIGINT) AS any_of,
+        |  CAST(BIT_AND(m) AS BIGINT) AS all_of,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM m GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q176_correlated_subquery" ->
+      """SELECT c_custkey, c_mktsegment,
+        |  (SELECT CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT)
+        |   FROM orders WHERE o_custkey = c_custkey) AS max_cents
+        |FROM customer ORDER BY c_custkey""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

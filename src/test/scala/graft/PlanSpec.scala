@@ -287,6 +287,13 @@ class PlanSpec extends SparkSpec {
     assert(scanLine.contains("purchase") || p.contains("(event_type#"), scanLine)
   }
 
+  test("q176: correlated scalar subquery decorrelates to aggregate+join, not per-row re-scan") {
+    val p = plan("q176_correlated_subquery")
+    assert(p.contains("HashAggregate") || p.contains("SortAggregate"), p)
+    assert(p.contains("Join"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
   test("q134: allocation join and all three window passes share the order-key shuffles") {
     val p = plan("q134_allocation")
     val hashEx = p.linesIterator.count(_.contains("Exchange hashpartitioning"))
