@@ -2706,6 +2706,40 @@ object SparkEntry {
            FROM orders WHERE o_custkey = c_custkey) AS max_cents
         FROM customer
         ORDER BY c_custkey""")
+    }),
+
+    // Q177 — ordered STRING_AGG export (the CSV-list column feeds):
+    // each user's full event-type journey as one comma-joined string.
+    // Ordering is (epoch_us, event_id) in BOTH engines — the raw
+    // nanos-vs-micros timestamp trap (q143) applied to sort keys —
+    // via the array_sort(struct)→transform→array_join idiom on the
+    // Spark side.
+    "q177_string_agg" -> ((s, d) =>
+      ev(s, d)
+        .groupBy("user_id")
+        .agg(array_join(
+            transform(
+              array_sort(collect_list(struct(
+                unix_micros(col("ts")).as("t"), col("event_id").as("e"),
+                col("event_type").as("ty")))),
+              x => x.getField("ty")), ",").as("journey"),
+          count(lit(1)).as("n"))
+        .orderBy("user_id")),
+
+    // Q178 — trailing 3-row moving average of daily revenue (the
+    // ROWS-frame shape next to q104's running total and q117's RANGE
+    // frame): integer-cent daily sums, one exact double division —
+    // raw output, both engines bit-identical.
+    "q178_moving_avg" -> ((s, d) => {
+      val daily = ord(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(-2, 0)
+      daily.select(col("day"), col("cents"),
+          (sum(col("cents")).over(w).cast("double") /
+            count(lit(1)).over(w).cast("double")).as("ma3"))
+        .orderBy("day")
     })
   )
 
@@ -4516,7 +4550,26 @@ object SparkEntry {
       """SELECT c_custkey, c_mktsegment,
         |  (SELECT CAST(ROUND(MAX(o_totalprice) * 100) AS BIGINT)
         |   FROM orders WHERE o_custkey = c_custkey) AS max_cents
-        |FROM customer ORDER BY c_custkey""".stripMargin
+        |FROM customer ORDER BY c_custkey""".stripMargin,
+
+    "q177_string_agg" ->
+      """SELECT user_id,
+        |  STRING_AGG(event_type, ',' ORDER BY epoch_us(ts), event_id)
+        |    AS journey,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q178_moving_avg" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1)
+        |SELECT day, cents,
+        |  CAST(SUM(cents) OVER w AS DOUBLE)
+        |    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma3
+        |FROM daily
+        |WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
+        |ORDER BY day""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
