@@ -2740,7 +2740,47 @@ object SparkEntry {
           (sum(col("cents")).over(w).cast("double") /
             count(lit(1)).over(w).cast("double")).as("ma3"))
         .orderBy("day")
-    })
+    }),
+
+    // Q179 — chi-square contingency cells (segment × priority
+    // independence test): observed counts, expected under
+    // independence, and each cell's chi² contribution — emitted PER
+    // CELL, deliberately not summed: a cross-cell float sum has
+    // engine-dependent order, per-cell terms are bit-identical
+    // (integer marginals, two exact divisions). The consumer sums 25
+    // numbers.
+    "q179_chi_square" -> ((s, d) => {
+      val joined = ord(s, d)
+        .join(cust(s, d), col("o_custkey") === col("c_custkey"))
+        .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      val cells = joined.groupBy("seg", "prio").agg(count(lit(1)).as("n"))
+      val rows = cells.groupBy("seg").agg(sum(col("n")).as("rn"))
+      val cls = cells.groupBy("prio").agg(sum(col("n")).as("cn"))
+      val tot = cells.agg(sum(col("n")).as("t"))
+      cells.join(rows, "seg").join(cls, "prio").crossJoin(broadcast(tot))
+        .select(col("seg"), col("prio"), col("n"),
+          (col("rn") * col("cn")).cast("double")./(col("t").cast("double"))
+            .as("e"))
+        .select(col("seg"), col("prio"), col("n"), round(col("e"), 4).as("e"),
+          round(pow(col("n").cast("double") - col("e"), 2) / col("e"), 6)
+            .as("chi_term"))
+        .orderBy("seg", "prio")
+    }),
+
+    // Q180 — Benford first-digit profile of order totals (the fraud/
+    // quality screen): observed first-digit counts vs the log10(1+1/d)
+    // expectation. Integer counts; the expected share is a constant
+    // computed identically in both engines.
+    "q180_benford" -> ((s, d) =>
+      ord(s, d)
+        .select(substring(round(col("o_totalprice") * 100).cast("long")
+          .cast("string"), 1, 1).as("digit"))
+        .where(col("digit") =!= "0")
+        .groupBy("digit").agg(count(lit(1)).as("n"))
+        .select(col("digit"), col("n"),
+          round(log10(lit(1.0) + lit(1.0) /
+            col("digit").cast("double")), 4).as("benford_share"))
+        .orderBy("digit"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4569,7 +4609,31 @@ object SparkEntry {
         |    / CAST(COUNT(*) OVER w AS DOUBLE) AS ma3
         |FROM daily
         |WINDOW w AS (ORDER BY day ROWS BETWEEN 2 PRECEDING AND CURRENT ROW)
-        |ORDER BY day""".stripMargin
+        |ORDER BY day""".stripMargin,
+
+    "q179_chi_square" ->
+      """WITH j AS (SELECT c_mktsegment AS seg, o_orderpriority AS prio
+        |           FROM orders JOIN customer ON o_custkey = c_custkey),
+        |cells AS (SELECT seg, prio, CAST(COUNT(*) AS BIGINT) AS n
+        |          FROM j GROUP BY 1, 2),
+        |r AS (SELECT seg, CAST(SUM(n) AS BIGINT) AS rn FROM cells GROUP BY 1),
+        |c AS (SELECT prio, CAST(SUM(n) AS BIGINT) AS cn FROM cells GROUP BY 1),
+        |t AS (SELECT CAST(SUM(n) AS BIGINT) AS t FROM cells),
+        |e AS (SELECT seg, prio, n,
+        |        CAST(rn * cn AS DOUBLE) / CAST(t.t AS DOUBLE) AS e
+        |      FROM cells JOIN r USING (seg) JOIN c USING (prio) CROSS JOIN t)
+        |SELECT seg, prio, n, ROUND(e, 4) AS e,
+        |  ROUND(POW(CAST(n AS DOUBLE) - e, 2) / e, 6) AS chi_term
+        |FROM e ORDER BY seg, prio""".stripMargin,
+
+    "q180_benford" ->
+      """WITH d AS (SELECT SUBSTRING(CAST(CAST(ROUND(o_totalprice * 100)
+        |      AS BIGINT) AS VARCHAR), 1, 1) AS digit FROM orders)
+        |SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
+        |    AS benford_share
+        |FROM d WHERE digit <> '0'
+        |GROUP BY 1 ORDER BY digit""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
