@@ -1647,10 +1647,15 @@ object SparkEntry {
     // is vocabulary-bounded. Ranking is on the rounded score.
     "q128_bm25" -> ((s, d) => {
       val qterms = Seq("table", "fast", "batch")
+      // toks feeds lens and tf; lens feeds stats and the score join —
+      // cached so the corpus scan+explode happens once (diamond-reuse
+      // lesson)
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .where(col("w") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val lens = toks.groupBy("doc_id").agg(count(lit(1)).as("len"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val stats = lens.agg(avg(col("len")).as("avglen"))
         .crossJoin(docs(s, d).agg(count(lit(1)).as("n")))
       val tf = toks.where(col("w").isin(qterms: _*))
@@ -1762,7 +1767,11 @@ object SparkEntry {
       val toks = docs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .where(col("w") =!= "")
+      // tf feeds the doc-length window, the corpus df AND the final
+      // join: without the cache each branch re-scans + re-explodes the
+      // corpus (4 scans observed). Released by the ContextCleaner.
       val tf = toks.groupBy("doc_id", "w").agg(count(lit(1)).as("c"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wdoc = org.apache.spark.sql.expressions.Window.partitionBy(col("doc_id"))
       val corpus = tf.groupBy("w").agg(sum(col("c")).as("cw"))
       val tot = corpus.agg(sum(col("cw")).as("tot"))
@@ -1891,9 +1900,12 @@ object SparkEntry {
         .groupBy(col("o_custkey").as("ck"), col("l_partkey").as("pk"))
         .agg(count(lit(1)).as("c"))
       val wck = org.apache.spark.sql.expressions.Window.partitionBy(col("ck"))
+      // fenced feeds both pair legs AND the norms — cached so the
+      // orders⨝lineitem aggregation runs once (diamond-reuse lesson)
       val fenced = cp.select(col("ck"), col("pk"), col("c"),
           count(lit(1)).over(wck).as("np"))
         .where(col("np") <= 100)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = fenced.select(col("ck"), col("pk").as("p1"), col("c").as("c1"))
       val b = fenced.select(col("ck"), col("pk").as("p2"), col("c").as("c2"))
       val dots = a.join(b, Seq("ck")).where(col("p1") < col("p2"))
@@ -2031,10 +2043,13 @@ object SparkEntry {
     // the q137 discipline applied to sequence mining.
     "q143_follows_pairs" -> ((s, d) => {
       val wu = org.apache.spark.sql.expressions.Window.partitionBy(col("user_id"))
+      // both self-join legs read e — cached so the fence window runs
+      // once (diamond-reuse lesson)
       val e = ev(s, d)
         .select(col("user_id"), col("event_type"), col("ts"), col("event_id"),
           count(lit(1)).over(wu).as("ne"))
         .where(col("ne") <= 1000)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val a = e.select(col("user_id"), col("event_type").as("ta"),
         col("ts").as("tsa"), col("event_id").as("ida"))
       val b = e.select(col("user_id"), col("event_type").as("tb"),
@@ -2120,16 +2135,22 @@ object SparkEntry {
     // frame; the count joins shuffle on their keys (vocab² is NOT
     // assumed broadcastable).
     "q147_bigram_ppl" -> ((s, d) => {
+      // toks feeds the bigram window, the unigram counts AND the
+      // vocabulary; bg feeds its counts AND the final join — cached so
+      // the corpus is tokenized once and the bigram window runs once
+      // (the q133/q179 diamond-reuse lesson)
       val toks = docs(s, d)
         .select(col("doc_id"),
           posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
         .where(col("w") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val wseq = org.apache.spark.sql.expressions.Window
         .partitionBy(col("doc_id")).orderBy(col("pos"))
       val bg = toks
         .select(col("doc_id"), col("w").as("w1"),
           lead(col("w"), 1).over(wseq).as("w2"))
         .where(col("w2").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val c2 = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
       val c1 = toks.groupBy(col("w").as("w1")).agg(count(lit(1)).as("c1"))
       val vocab = toks.agg(countDistinct(col("w")).as("v"))
@@ -2300,11 +2321,14 @@ object SparkEntry {
     // offsets — kept in HALF-cents so the interpolated median (a
     // .5-exact double) re-enters integer arithmetic without loss.
     "q156_mad" -> ((s, d) => {
+      // x feeds the median AND the deviation join — cached so the
+      // customer join runs once (diamond-reuse lesson)
       val x = ord(s, d)
         .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .join(broadcast(nat(s, d)), col("c_nationkey") === col("n_nationkey"))
         .select(col("n_name"),
           (round(col("o_totalprice") * 100).cast("long") * 2).as("hc"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val med = x.groupBy("n_name").agg(expr("percentile(hc, 0.5)").as("m"))
       x.join(med, "n_name")
         // hc is even, m is integer-valued (percentile of even ints at
@@ -2481,8 +2505,11 @@ object SparkEntry {
           round(col("o_totalprice") * 100).cast("long").as("cents"))
       val gs = base.groupBy(col("r_name"), col("n_name"))
         .agg(sum(col("cents")).as("cents"))
-      val regions = gs.groupBy("r_name").agg(sum(col("cents")).as("r_cents"))
-      gs.join(regions, "r_name")
+      // parent total as a window over the aggregated frame — the
+      // groupBy-and-join-back form re-scans base per level (q179 note)
+      val wr = org.apache.spark.sql.expressions.Window.partitionBy(col("r_name"))
+      gs.select(col("r_name"), col("n_name"), col("cents"),
+          sum(col("cents")).over(wr).as("r_cents"))
         .select(col("r_name"), col("n_name"), col("cents"),
           round(col("cents").cast("double") / col("r_cents").cast("double"), 4)
             .as("share_of_region"))
@@ -2545,9 +2572,12 @@ object SparkEntry {
           (col("c").cast("double") / col("n")).as("p"))
         .groupBy("doc_id")
         .agg(round(sum(-(col("p") * log2(col("p")))) + 0.0, 4).as("entropy"))
-      // gate: entropy ≥ 3.5 bits (rounded value, same in both engines)
+      // gate: entropy ≥ 3.5 bits (rounded value, same in both
+      // engines); cached — it feeds the pair join and the final keep
+      // filter (diamond-reuse lesson)
       val gated = docs(s, d).join(ent, "doc_id")
         .where(col("entropy") >= 3.5)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val pairs = graft.llm.SetSimJoin
         .jaccardPairs(gated, "doc_id", "text", 1, 2, ngram = 3)
         .select(col("id1"), col("id2"))
@@ -2753,11 +2783,17 @@ object SparkEntry {
       val joined = ord(s, d)
         .join(cust(s, d), col("o_custkey") === col("c_custkey"))
         .select(col("c_mktsegment").as("seg"), col("o_orderpriority").as("prio"))
+      // marginals as WINDOWS over the one aggregated cells frame —
+      // the join-back-to-branches form re-scans the base join once
+      // per marginal (4 scans, observed in the plan); windows over
+      // the |seg|×|prio|-bounded frame cost nothing at any scale
       val cells = joined.groupBy("seg", "prio").agg(count(lit(1)).as("n"))
-      val rows = cells.groupBy("seg").agg(sum(col("n")).as("rn"))
-      val cls = cells.groupBy("prio").agg(sum(col("n")).as("cn"))
-      val tot = cells.agg(sum(col("n")).as("t"))
-      cells.join(rows, "seg").join(cls, "prio").crossJoin(broadcast(tot))
+      val wSeg = org.apache.spark.sql.expressions.Window.partitionBy(col("seg"))
+      val wPrio = org.apache.spark.sql.expressions.Window.partitionBy(col("prio"))
+      val wAll = org.apache.spark.sql.expressions.Window.partitionBy()
+      cells.select(col("seg"), col("prio"), col("n"),
+          sum(col("n")).over(wSeg).as("rn"), sum(col("n")).over(wPrio).as("cn"),
+          sum(col("n")).over(wAll).as("t"))
         .select(col("seg"), col("prio"), col("n"),
           (col("rn") * col("cn")).cast("double")./(col("t").cast("double"))
             .as("e"))
