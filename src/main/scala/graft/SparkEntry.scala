@@ -1396,6 +1396,8 @@ object SparkEntry {
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .where(col("w") =!= "")
         .groupBy("doc_id", "w").agg(count(lit(1)).as("tf"))
+        // tf feeds the df table AND the score join (diamond-reuse lesson)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val dfreq = tf.groupBy("w").agg(count(lit(1)).as("df"))
       val scored = tf.join(dfreq, "w")
         .select(col("doc_id"), col("w"),
@@ -1497,12 +1499,16 @@ object SparkEntry {
     // side broadcasts. PMI ranks on the rounded score.
     "q115_pmi" -> ((s, d) => {
       val n = docs(s, d).count()
+      // dw feeds the vocab AND the filtered postings; dv feeds both
+      // self-join legs (diamond-reuse lesson)
       val dw = docs(s, d)
         .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
         .where(col("w") =!= "").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val vocab = dw.groupBy("w").agg(count(lit(1)).as("cx"))
         .orderBy(desc("cx"), col("w")).limit(100)
       val dv = dw.join(broadcast(vocab), "w")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       dv.alias("a").join(dv.alias("b"),
           col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
         .groupBy(col("a.w").as("w1"), col("b.w").as("w2"),
@@ -1520,9 +1526,11 @@ object SparkEntry {
     // sequence() explode bounded by each user's own span — never a
     // calendar × users cross join, and never a driver-side date loop.
     "q120_gapfill" -> ((s, d) => {
+      // daily feeds the spine bounds AND the left join (diamond-reuse)
       val daily = ev(s, d).where(col("user_id") < 40)
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg(count(lit(1)).as("n"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spine = daily.groupBy("user_id")
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
@@ -1835,6 +1843,8 @@ object SparkEntry {
         .groupBy(col("user_id"), to_date(col("ts")).as("day"))
         .agg((sum(round(col("value") * 100).cast("long")).cast("double") /
           (lit(100.0) * count(lit(1)).cast("double"))).as("v"))
+        // feeds the spine bounds AND the left join (diamond-reuse)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val spine = daily.groupBy("user_id")
         .agg(min(col("day")).as("d0"), max(col("day")).as("d1"))
         .select(col("user_id"),
