@@ -2826,7 +2826,23 @@ object SparkEntry {
         .select(col("digit"), col("n"),
           round(log10(lit(1.0) + lit(1.0) /
             col("digit").cast("double")), 4).as("benford_share"))
-        .orderBy("digit"))
+        .orderBy("digit")),
+
+    // Q181 — geometric and harmonic mean price per priority (the
+    // index-number aggregates): exp(mean(ln x)) and n/Σ(1/x) over
+    // positive integer cents. Both reduce to one float sum per group
+    // (order-sensitive like q106's moments) — ROUND(4) absorbs the
+    // 1e-12 ordering wiggle on these group sizes.
+    "q181_mean_family" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderpriority").as("prio"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .groupBy("prio")
+        .agg(count(lit(1)).as("n"),
+          round(exp(avg(log(col("cents").cast("double")))), 4).as("geo_cents"),
+          round(count(lit(1)).cast("double") /
+            sum(lit(1.0) / col("cents").cast("double")), 4).as("harm_cents"))
+        .orderBy("prio"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4679,7 +4695,16 @@ object SparkEntry {
         |  ROUND(LOG10(1.0 + 1.0 / CAST(digit AS DOUBLE)), 4)
         |    AS benford_share
         |FROM d WHERE digit <> '0'
-        |GROUP BY 1 ORDER BY digit""".stripMargin
+        |GROUP BY 1 ORDER BY digit""".stripMargin,
+
+    "q181_mean_family" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT prio, CAST(COUNT(*) AS BIGINT) AS n,
+        |  ROUND(EXP(AVG(LN(CAST(cents AS DOUBLE)))), 4) AS geo_cents,
+        |  ROUND(CAST(COUNT(*) AS DOUBLE)
+        |    / SUM(1.0 / CAST(cents AS DOUBLE)), 4) AS harm_cents
+        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
