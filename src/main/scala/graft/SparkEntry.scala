@@ -2842,7 +2842,56 @@ object SparkEntry {
           round(exp(avg(log(col("cents").cast("double")))), 4).as("geo_cents"),
           round(count(lit(1)).cast("double") /
             sum(lit(1.0) / col("cents").cast("double")), 4).as("harm_cents"))
-        .orderBy("prio"))
+        .orderBy("prio")),
+
+    // Q182 — running peak and drawdown of daily revenue (the
+    // peak-to-trough monitor): running MAX window + one exact
+    // division, raw bit-identical doubles. The unpartitioned window
+    // runs over the calendar-bounded day spine (q157's argument).
+    "q182_drawdown" -> ((s, d) => {
+      val daily = ord(s, d)
+        .groupBy(to_date(col("o_orderdate")).as("day"))
+        .agg(sum(round(col("o_totalprice") * 100).cast("long")).as("cents"))
+      val w = org.apache.spark.sql.expressions.Window.orderBy(col("day"))
+        .rowsBetween(org.apache.spark.sql.expressions.Window.unboundedPreceding, 0)
+      daily.select(col("day"), col("cents"), max(col("cents")).over(w).as("peak"))
+        .select(col("day"), col("cents"), col("peak"),
+          ((col("peak") - col("cents")).cast("double") /
+            col("peak").cast("double")).as("drawdown"))
+        .orderBy("day")
+    }),
+
+    // Q183 — debounce (per-key rate limiting, the throttling
+    // semantics ingestion edges apply): an event survives only if the
+    // SAME user+type saw nothing in the trailing 5 minutes. One
+    // (user, type) shuffle; integer-micros compare.
+    "q183_debounce" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id"), col("event_type"))
+        .orderBy(col("ts"), col("event_id"))
+      ev(s, d)
+        .select(col("user_id"), col("event_type"), col("event_id"),
+          (unix_micros(col("ts")) -
+            lag(unix_micros(col("ts")), 1).over(w)).as("gap_us"))
+        .where(col("gap_us").isNull || col("gap_us") > 300000000L)
+        .select(col("user_id"), col("event_type"), col("event_id"))
+        .orderBy("user_id", "event_id")
+    }),
+
+    // Q184 — clipped running balance ([[graft.ops.StatefulScan]]):
+    // bal = max(0, bal + delta) per user in event order — a
+    // NON-ASSOCIATIVE recurrence no SQL window frame can express,
+    // run as a secondary-sort scan (one shuffle, O(1) state). The
+    // oracle replays the recurrence with a WITH RECURSIVE step join.
+    "q184_clipped_balance" -> ((s, d) => {
+      val e = ev(s, d).select(col("user_id"), col("event_id"), col("ts"),
+        when(col("event_type").isin("purchase", "signup"),
+          round(col("value") * 100).cast("long"))
+          .otherwise(-round(col("value") * 100).cast("long")).as("delta"))
+      graft.ops.StatefulScan.clippedRunningSum(e, "user_id", "event_id",
+          "delta", Seq(col("ts"), col("event_id")))
+        .orderBy("user_id", "event_id")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4704,7 +4753,47 @@ object SparkEntry {
         |  ROUND(EXP(AVG(LN(CAST(cents AS DOUBLE)))), 4) AS geo_cents,
         |  ROUND(CAST(COUNT(*) AS DOUBLE)
         |    / SUM(1.0 / CAST(cents AS DOUBLE)), 4) AS harm_cents
-        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "q182_drawdown" ->
+      """WITH daily AS (SELECT CAST(o_orderdate AS DATE) AS day,
+        |    CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |      AS cents
+        |  FROM orders GROUP BY 1),
+        |p AS (SELECT day, cents,
+        |    CAST(MAX(cents) OVER (ORDER BY day
+        |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+        |      AS peak
+        |  FROM daily)
+        |SELECT day, cents, peak,
+        |  CAST(peak - cents AS DOUBLE) / CAST(peak AS DOUBLE) AS drawdown
+        |FROM p ORDER BY day""".stripMargin,
+
+    "q183_debounce" ->
+      """WITH g AS (SELECT user_id, event_type, event_id,
+        |    epoch_us(ts) - LAG(epoch_us(ts)) OVER (
+        |      PARTITION BY user_id, event_type
+        |      ORDER BY ts, event_id) AS gap_us
+        |  FROM events)
+        |SELECT user_id, event_type, event_id FROM g
+        |WHERE gap_us IS NULL OR gap_us > 300000000
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q184_clipped_balance" ->
+      """WITH RECURSIVE e AS (SELECT user_id, event_id,
+        |    CASE WHEN event_type IN ('purchase', 'signup')
+        |         THEN CAST(ROUND(value * 100) AS BIGINT)
+        |         ELSE -CAST(ROUND(value * 100) AS BIGINT) END AS delta,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS rn
+        |  FROM events),
+        |walk(user_id, rn, event_id, bal) AS (
+        |  SELECT user_id, rn, event_id, GREATEST(0, delta) FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.rn, e.event_id, GREATEST(0, w.bal + e.delta)
+        |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
+        |SELECT user_id, event_id, CAST(bal AS BIGINT) AS balance
+        |FROM walk ORDER BY user_id, event_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

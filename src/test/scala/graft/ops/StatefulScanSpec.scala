@@ -1,0 +1,56 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Pins [[StatefulScan.clippedRunningSum]] against a naive in-memory
+  * scanLeft — the recurrence is non-associative, so there is no
+  * window-function reference to compare against (that inexpressibility
+  * is the point of the op). */
+class StatefulScanSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def naive(rows: Seq[(Long, Long, Long)],
+                    floor: Long): Map[(Long, Long), Long] =
+    rows.groupBy(_._1).flatMap { case (k, rs) =>
+      var bal = floor
+      rs.sortBy(_._2).map { case (_, id, d) =>
+        bal = math.max(floor, bal + d)
+        (k, id) -> bal
+      }
+    }
+
+  private def run(rows: Seq[(Long, Long, Long)],
+                  floor: Long): Map[(Long, Long), Long] =
+    StatefulScan.clippedRunningSum(
+        rows.toDF("k", "id", "d"), "k", "id", "d", Seq(col("id")), floor)
+      .as[(Long, Long, Long)].collect()
+      .map { case (k, id, b) => (k, id) -> b }.toMap
+
+  test("clips at the floor and matches the naive scan") {
+    val rows = Seq(
+      (1L, 1L, 50L), (1L, 2L, -80L), (1L, 3L, 30L), (1L, 4L, -10L),
+      (2L, 1L, -5L), (2L, 2L, 100L), (2L, 3L, -40L))
+    assert(run(rows, 0L) == naive(rows, 0L))
+    // the clip actually engaged: key 1 row 2 would be -30 unclipped
+    assert(run(rows, 0L)((1L, 2L)) == 0L)
+    assert(run(rows, 0L)((1L, 3L)) == 30L)
+  }
+
+  test("a plain running sum (no clip hits) equals the window form") {
+    val rows = (1L to 20L).map(i => (i % 3, i, i))
+    val got = run(rows, Long.MinValue / 2)
+    assert(got == naive(rows, Long.MinValue / 2))
+  }
+
+  test("nonzero floor starts and clips at the floor") {
+    val rows = Seq((7L, 1L, -100L), (7L, 2L, 5L))
+    val got = run(rows, 10L)
+    assert(got == Map((7L, 1L) -> 10L, (7L, 2L) -> 15L))
+  }
+
+  test("many keys spread across partitions keep independent state") {
+    val rows = (0L until 500L).map(i => (i % 50, i, if (i % 7 == 0) -3L else 2L))
+    assert(run(rows, 0L) == naive(rows, 0L))
+  }
+}
