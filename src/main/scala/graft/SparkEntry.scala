@@ -2891,6 +2891,26 @@ object SparkEntry {
       graft.ops.StatefulScan.clippedRunningSum(e, "user_id", "event_id",
           "delta", Seq(col("ts"), col("event_id")))
         .orderBy("user_id", "event_id")
+    }),
+
+    // Q185 — incremental aggregate maintenance (the materialized-view
+    // refresh contract): a stored per-user aggregate is advanced by a
+    // delta batch by MERGING partials — count adds, sum adds, max
+    // maxes — without re-touching base rows. The oracle aggregates
+    // the whole table flat: merge(base, delta) == full recompute is
+    // exactly the associativity the refresh relies on.
+    "q185_incremental_agg" -> ((s, d) => {
+      def aggOf(df: DataFrame) = df.groupBy("user_id")
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("sum_cents"),
+          max(round(col("value") * 100).cast("long")).as("max_cents"))
+      val base = aggOf(ev(s, d).where(dayofmonth(col("ts")) <= 15))
+      val delta = aggOf(ev(s, d).where(dayofmonth(col("ts")) > 15))
+      base.unionByName(delta)
+        .groupBy("user_id")
+        .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
+          max(col("max_cents")).as("max_cents"))
+        .orderBy("user_id")
     })
   )
 
@@ -4793,7 +4813,15 @@ object SparkEntry {
         |  SELECT e.user_id, e.rn, e.event_id, GREATEST(0, w.bal + e.delta)
         |  FROM walk w JOIN e ON e.user_id = w.user_id AND e.rn = w.rn + 1)
         |SELECT user_id, event_id, CAST(bal AS BIGINT) AS balance
-        |FROM walk ORDER BY user_id, event_id""".stripMargin
+        |FROM walk ORDER BY user_id, event_id""".stripMargin,
+
+    "q185_incremental_agg" ->
+      """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS sum_cents,
+        |  CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
+        |    AS max_cents
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
