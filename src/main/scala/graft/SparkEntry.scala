@@ -2911,6 +2911,46 @@ object SparkEntry {
         .agg(sum(col("n")).as("n"), sum(col("sum_cents")).as("sum_cents"),
           max(col("max_cents")).as("max_cents"))
         .orderBy("user_id")
+    }),
+
+    // Q186 — explicit GROUPING SETS (the third grouping form next to
+    // q46's ROLLUP and q116's CUBE): two independent slices + the
+    // grand total from ONE scan/Expand pass. Group keys coalesced to
+    // a sentinel — the NULL-sort-order divergence lesson — and the
+    // SQL text is dialect-shared with the oracle verbatim.
+    "q186_grouping_sets" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT COALESCE(r_name, '@total') AS rname,
+          COALESCE(o_orderpriority, '@total') AS prio,
+          CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+            AS cents,
+          CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders
+        JOIN customer ON o_custkey = c_custkey
+        JOIN nation ON c_nationkey = n_nationkey
+        JOIN region ON n_regionkey = r_regionkey
+        GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        ORDER BY rname, prio""")
+    }),
+
+    // Q187 — discrete percentiles (percentile_disc / quantile_disc):
+    // the NO-INTERPOLATION quantile — returned values are actual data
+    // points, so cross-engine parity is exact by construction (no
+    // formula-dependent midpoint doubles, the q182-histogram hazard
+    // this variant avoids).
+    "q187_percentile_disc" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT o_orderpriority AS prio,
+          CAST(percentile_disc(0.5) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+            AS p50,
+          CAST(percentile_disc(0.9) WITHIN GROUP (ORDER BY cents) AS BIGINT)
+            AS p90
+        FROM (SELECT o_orderpriority,
+                CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+              FROM orders)
+        GROUP BY 1 ORDER BY prio""")
     })
   )
 
@@ -4821,7 +4861,27 @@ object SparkEntry {
         |    AS sum_cents,
         |  CAST(MAX(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT)
         |    AS max_cents
-        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin
+        |FROM events GROUP BY 1 ORDER BY user_id""".stripMargin,
+
+    "q186_grouping_sets" ->
+      """SELECT COALESCE(r_name, '@total') AS rname,
+        |  COALESCE(o_orderpriority, '@total') AS prio,
+        |  CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+        |    AS cents,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM orders
+        |JOIN customer ON o_custkey = c_custkey
+        |JOIN nation ON c_nationkey = n_nationkey
+        |JOIN region ON n_regionkey = r_regionkey
+        |GROUP BY GROUPING SETS ((r_name), (o_orderpriority), ())
+        |ORDER BY rname, prio""".stripMargin,
+
+    "q187_percentile_disc" ->
+      """WITH t AS (SELECT o_orderpriority AS prio,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
+        |SELECT prio, quantile_disc(cents, 0.5) AS p50,
+        |  quantile_disc(cents, 0.9) AS p90
+        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
