@@ -2951,6 +2951,57 @@ object SparkEntry {
                 CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
               FROM orders)
         GROUP BY 1 ORDER BY prio""")
+    }),
+
+    // Q188 — embedding vector algebra (the tensor-adjacent surface):
+    // consecutive-vector sums and dot products via zip_with +
+    // aggregate folds — codegen'd array kernels, no UDF, and the
+    // fold order is the array order. ROUND(4) absorbs the unnest-sum
+    // ordering difference on the oracle side (q119's precedent).
+    "q188_vector_algebra" -> ((s, d) => {
+      val a = emb(s, d).select(col("vec_id"), col("embedding").as("ea"))
+      val b = emb(s, d).select((col("vec_id") - 1).as("vec_id"),
+        col("embedding").as("eb"))
+      a.join(b, "vec_id")
+        .select(col("vec_id"),
+          expr("""sqrt(aggregate(
+                    zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) + CAST(y AS DOUBLE)),
+                    0D, (acc, v) -> acc + v * v))""").as("sum_norm"),
+          expr("""aggregate(
+                    zip_with(ea, eb, (x, y) -> CAST(x AS DOUBLE) * CAST(y AS DOUBLE)),
+                    0D, (acc, v) -> acc + v)""").as("dot"))
+        .select(col("vec_id"), round(col("sum_norm"), 4).as("sum_norm"),
+          round(col("dot"), 4).as("dot"))
+        .orderBy("vec_id")
+    }),
+
+    // Q189 — concurrent-session sweep line: +1/−1 deltas at session
+    // starts/ends, pre-aggregated to unique instants, then the
+    // DISTRIBUTED two-phase prefix scan ([[graft.ops.PrefixSum]] —
+    // never a single-partition window, the q91 discipline) gives
+    // concurrency at every instant; per-day maxima summarize. The
+    // oracle replays the sweep with a SQL running sum.
+    "q189_concurrency" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("user_id")).orderBy(col("ts"), col("event_id"))
+      val gapUs = 30L * 60 * 1000000
+      val sess = ev(s, d)
+        .select(col("user_id"), col("ts"), col("event_id"),
+          when(lag(col("ts"), 1).over(w).isNull ||
+               unix_micros(col("ts")) - lag(unix_micros(col("ts")), 1).over(w) > gapUs,
+            1L).otherwise(0L).as("new_s"))
+        .select(col("user_id"), col("ts"), sum(col("new_s")).over(w).as("sid"))
+        .groupBy("user_id", "sid")
+        .agg(min(unix_micros(col("ts"))).as("s_us"),
+          max(unix_micros(col("ts"))).as("e_us"))
+      val deltas = sess.select(col("s_us").as("us"), lit(1L).as("d"))
+        .unionByName(sess.select((col("e_us") + 1).as("us"), lit(-1L).as("d")))
+      val instants = deltas.groupBy("us").agg(sum(col("d")).as("d"))
+      graft.ops.PrefixSum.runningSum(instants, "us", "d", "conc")
+        .select(to_date(timestamp_micros(col("us"))).as("day"), col("conc"))
+        .groupBy("day")
+        .agg(max(col("conc")).as("max_conc"), count(lit(1)).as("n_instants"))
+        .orderBy("day")
     })
   )
 
@@ -4881,7 +4932,41 @@ object SparkEntry {
         |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders)
         |SELECT prio, quantile_disc(cents, 0.5) AS p50,
         |  quantile_disc(cents, 0.9) AS p90
-        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin
+        |FROM t GROUP BY 1 ORDER BY prio""".stripMargin,
+
+    "q188_vector_algebra" ->
+      """WITH p AS (SELECT a.vec_id, a.embedding AS ea, b.embedding AS eb
+        |           FROM embeddings a JOIN embeddings b
+        |             ON b.vec_id = a.vec_id + 1),
+        |u AS (SELECT vec_id, UNNEST(ea) AS x, UNNEST(eb) AS y FROM p)
+        |SELECT vec_id,
+        |  ROUND(SQRT(SUM((CAST(x AS DOUBLE) + CAST(y AS DOUBLE))
+        |    * (CAST(x AS DOUBLE) + CAST(y AS DOUBLE)))), 4) AS sum_norm,
+        |  ROUND(SUM(CAST(x AS DOUBLE) * CAST(y AS DOUBLE)), 4) AS dot
+        |FROM u GROUP BY 1 ORDER BY vec_id""".stripMargin,
+
+    "q189_concurrency" ->
+      """WITH g AS (SELECT user_id, ts, event_id,
+        |    CASE WHEN LAG(ts) OVER w IS NULL
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
+        |         THEN 1 ELSE 0 END AS new_s
+        |  FROM events
+        |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
+        |sr AS (SELECT user_id, ts,
+        |    SUM(new_s) OVER (PARTITION BY user_id
+        |      ORDER BY ts, event_id) AS sid
+        |  FROM g),
+        |sess AS (SELECT user_id, sid, MIN(epoch_us(ts)) AS s_us,
+        |    MAX(epoch_us(ts)) AS e_us
+        |  FROM sr GROUP BY 1, 2),
+        |d0 AS (SELECT s_us AS us, 1 AS d FROM sess
+        |       UNION ALL SELECT e_us + 1, -1 FROM sess),
+        |inst AS (SELECT us, CAST(SUM(d) AS BIGINT) AS d FROM d0 GROUP BY 1),
+        |run AS (SELECT us,
+        |    CAST(SUM(d) OVER (ORDER BY us) AS BIGINT) AS conc FROM inst)
+        |SELECT CAST(make_timestamp(us) AS DATE) AS day,
+        |  MAX(conc) AS max_conc, CAST(COUNT(*) AS BIGINT) AS n_instants
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
