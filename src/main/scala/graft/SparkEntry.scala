@@ -3002,7 +3002,19 @@ object SparkEntry {
         .groupBy("day")
         .agg(max(col("conc")).as("max_conc"), count(lit(1)).as("n_instants"))
         .orderBy("day")
-    })
+    }),
+
+    // Q190 — deterministic weighted sampling (Efraimidis-Spirakis
+    // A-ES, [[graft.ops.Sampling.weightedSample]]): sample-by-quality
+    // with hash-derived uniforms — content-stable, no RNG, replayable
+    // in SQL. Weights = n_chars, so longer documents are favored;
+    // the oracle recomputes priority = u^(1/w) from the same md5
+    // prefix.
+    "q190_weighted_sample" -> ((s, d) =>
+      graft.ops.Sampling.weightedSample(
+          docs(s, d).select(col("doc_id"), col("n_chars")),
+          col("doc_id"), "n_chars", 100)
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4966,7 +4978,17 @@ object SparkEntry {
         |    CAST(SUM(d) OVER (ORDER BY us) AS BIGINT) AS conc FROM inst)
         |SELECT CAST(make_timestamp(us) AS DATE) AS day,
         |  MAX(conc) AS max_conc, CAST(COUNT(*) AS BIGINT) AS n_instants
-        |FROM run GROUP BY 1 ORDER BY day""".stripMargin
+        |FROM run GROUP BY 1 ORDER BY day""".stripMargin,
+
+    "q190_weighted_sample" ->
+      """WITH p AS (SELECT doc_id, n_chars,
+        |    POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) + 1.0) / (POW(2, 60) + 1.0),
+        |        1.0 / CAST(n_chars AS DOUBLE)) AS pri
+        |  FROM documents),
+        |k AS (SELECT doc_id, n_chars FROM p
+        |      ORDER BY pri DESC, doc_id LIMIT 100)
+        |SELECT doc_id, n_chars FROM k ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

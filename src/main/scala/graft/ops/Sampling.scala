@@ -46,6 +46,32 @@ object Sampling {
     df.withColumn("__smp", md5(id.cast("string").cast("binary")))
       .orderBy(col("__smp")).limit(n).drop("__smp")
 
+  /** Deterministic WEIGHTED exactly-N sample — Efraimidis-Spirakis
+    * A-ES with hash-derived uniforms instead of randomness: priority
+    * = u^(1/w) with u = md5(id)-uniform in (0,1), keep the N largest.
+    * Inclusion probability tracks weight (the curation "sample by
+    * quality score" contract) while staying content-stable and
+    * replayable across runs and engines — the weighted sibling of
+    * [[deterministicSample]]. Non-positive weights fail IN-PLAN
+    * (raise_error), not silently.
+    *
+    * Scale posture: one map pass + TakeOrderedAndProject top-N —
+    * no shuffle beyond the top-N merge; the 60-bit md5 prefix keeps
+    * u exactly representable in a double. */
+  def weightedSample(df: DataFrame, id: Column, weightCol: String,
+                     n: Int): DataFrame = {
+    require(n >= 0, s"weightedSample: n must be >= 0: $n")
+    val u = (conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
+      16, 10).cast("long").cast("double") + 1.0) / (math.pow(2, 60) + 1.0)
+    val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
+      .otherwise(expr(
+        s"raise_error('weightedSample: non-positive weight in $weightCol')"))
+    df.withColumn("__pri", pow(u, lit(1.0) / w))
+      .orderBy(col("__pri").desc, id)
+      .limit(n)
+      .drop("__pri")
+  }
+
   /** Bernoulli sample (seeded) — InputSampler.RandomSampler analogue;
     * Spark's `orderBy` does its own reservoir sampling for range
     * partitioning, so no `writePartitionFile` equivalent is needed. */

@@ -176,6 +176,31 @@ class SamplingSpec extends SparkSpec {
     assert(out.where(col("lang") === langs.keys.head).count() == langs(langs.keys.head))
     assert(out.where(col("lang") =!= langs.keys.head).count() == 0)
   }
+
+  test("weightedSample: exact n, deterministic, weight-skewed, loud on bad weights") {
+    import spark.implicits._
+    val docs = graft.core.Tables.documents(spark, sf)
+      .select(col("doc_id"), col("n_chars"))
+    val s1 = Sampling.weightedSample(docs, col("doc_id"), "n_chars", 50)
+    assert(s1.count() == 50)
+    assert(s1.collect().map(_.getLong(0)).toSet ==
+      Sampling.weightedSample(docs, col("doc_id"), "n_chars", 50)
+        .collect().map(_.getLong(0)).toSet) // replayable
+    // a weight ~1e6 times everything else must be selected
+    val skew = (1L to 200L).map(i => (i, if (i == 7L) 1000000L else 1L))
+      .toDF("doc_id", "w")
+    val got = Sampling.weightedSample(skew, col("doc_id"), "w", 10)
+      .collect().map(_.getLong(0)).toSet
+    assert(got.contains(7L), got.toString)
+    // sampled mean weight exceeds the population mean (weights bias up)
+    val popMean = docs.agg(avg(col("n_chars"))).head().getDouble(0)
+    val smpMean = s1.agg(avg(col("n_chars"))).head().getDouble(0)
+    assert(smpMean > popMean, s"$smpMean !> $popMean")
+    val bad = Seq((1L, 0L)).toDF("doc_id", "w")
+    intercept[Exception] {
+      Sampling.weightedSample(bad, col("doc_id"), "w", 1).collect()
+    }
+  }
 }
 
 class CompactionSpec extends SparkSpec {
