@@ -300,6 +300,13 @@ object Main {
       // still open at end-of-input are withheld by the watermark and
       // emit on the NEXT run over the same checkpoint — the
       // incremental/backfill form of the continuous pipeline.
+      // deterministic weighted exactly-N sample (Efraimidis-Spirakis,
+      // md5-derived uniforms — replayable, no RNG)
+      case "wsample" :: in :: idCol :: wCol :: n :: out :: Nil =>
+        graft.ops.Sampling.weightedSample(spark.read.parquet(in),
+            col(idCol), wCol, n.toInt)
+          .write.mode("overwrite").parquet(out)
+
       // single-pass column profile of any parquet table
       case "profile" :: in :: out :: Nil =>
         graft.ops.Profiler.profile(spark.read.parquet(in))
@@ -379,6 +386,7 @@ object Main {
         |  rarity <in.parquet> <idCol> <textCol> <out>   (unigram LM quality signal)
         |  bpe-train <in.parquet> <textCol> <nMerges> <out>   (learn tokenizer merges)
         |  profile <in.parquet> <out>   (single-pass column metrics)
+        |  wsample <in.parquet> <idCol> <weightCol> <n> <out>   (weighted exact-N sample)
         |  setsim <in.parquet> <idCol> <textCol> <num> <den> <out>   (exact Jaccard >= num/den pairs)
         |  bfs <edges.parquet> <srcCol> <dstCol> <source> <maxDepth> <out>
         |  dedup-keep <in.parquet> <idCol> <textCol> <ngram> <threshold> <out>   (doc -> representative)
