@@ -2611,7 +2611,8 @@ object SparkEntry {
       ev(s, d).write.mode("overwrite").partitionBy("event_type").parquet(out)
       s.read.parquet(out).where(col("event_type") === "purchase")
         .groupBy("user_id")
-        .agg(count(lit(1)).as("n"), round(sum(col("value")), 4).as("v"))
+        .agg(count(lit(1)).as("n"),
+          sum(round(col("value") * 100).cast("long")).as("v_cents"))
         .orderBy("user_id")
     }),
 
@@ -2669,10 +2670,12 @@ object SparkEntry {
 
     // Q172 — built-in session_window (the q130 semantics via Spark's
     // native session operator instead of the lag/running-sum idiom):
-    // same 30-minute gap rule, so the oracle is q130's gap-flag CTE
-    // re-aggregated to (start, end, count) — two machineries, one
-    // ground truth. The streaming twin of this exact operator runs
-    // under watermarks in the streaming specs.
+    // same 30-minute gap rule INCLUDING the boundary — session_window
+    // MERGES two events exactly gap apart (verified empirically), so
+    // the oracle's new-session test is STRICT `>`, identical to
+    // q130's. Two machineries, one ground truth. The streaming twin
+    // of this exact operator runs under watermarks in the streaming
+    // specs.
     "q172_session_window" -> ((s, d) =>
       ev(s, d)
         .groupBy(col("user_id"),
@@ -4750,7 +4753,7 @@ object SparkEntry {
 
     "q169_partition_prune" ->
       """SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n,
-        |  ROUND(SUM(value), 4) AS v
+        |  CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS v_cents
         |FROM events WHERE event_type = 'purchase'
         |GROUP BY 1 ORDER BY user_id""".stripMargin,
 
@@ -4779,7 +4782,7 @@ object SparkEntry {
     "q172_session_window" ->
       """WITH g AS (SELECT user_id, ts, event_id,
         |    CASE WHEN LAG(ts) OVER w IS NULL
-        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w >= 1800000000
+        |           OR epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800000000
         |         THEN 1 ELSE 0 END AS new_s
         |  FROM events
         |  WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)),
@@ -4982,9 +4985,9 @@ object SparkEntry {
 
     "q190_weighted_sample" ->
       """WITH p AS (SELECT doc_id, n_chars,
-        |    POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |    ROUND(POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
         |           AS BIGINT) + 1.0) / (POW(2, 60) + 1.0),
-        |        1.0 / CAST(n_chars AS DOUBLE)) AS pri
+        |        1.0 / CAST(n_chars AS DOUBLE)), 9) AS pri
         |  FROM documents),
         |k AS (SELECT doc_id, n_chars FROM p
         |      ORDER BY pri DESC, doc_id LIMIT 100)

@@ -33,8 +33,11 @@ object Profiler {
     require(df.schema.nonEmpty, "profile: empty schema")
     val cols = df.schema.fields
     // names are interpolated into the stack() SQL below — reject the
-    // ones that would silently break it (the avroWriteFlat lesson)
-    cols.foreach(f => require(!f.name.contains("'") && !f.name.contains("`"),
+    // ones that would silently break it (the avroWriteFlat lesson):
+    // quotes and backticks break the literal, a backslash re-escapes
+    // it (a name like a\nb would silently become a<newline>b)
+    cols.foreach(f => require(!f.name.contains("'") && !f.name.contains("`")
+        && !f.name.contains("\\"),
       s"profile: unsupported character in column name: ${f.name}"))
     val aggs = cols.zipWithIndex.flatMap { case (f, i) =>
       val c = col(f.name)

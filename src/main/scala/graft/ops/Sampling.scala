@@ -61,12 +61,21 @@ object Sampling {
   def weightedSample(df: DataFrame, id: Column, weightCol: String,
                      n: Int): DataFrame = {
     require(n >= 0, s"weightedSample: n must be >= 0: $n")
+    // the name is interpolated into raise_error below — keep it loud
+    // and un-injectable (the Profiler guard, same reason)
+    require(weightCol.matches("[A-Za-z_][A-Za-z0-9_]*"),
+      s"weightedSample: unsupported weight column name: $weightCol")
     val u = (conv(substring(md5(id.cast("string").cast("binary")), 1, 15),
       16, 10).cast("long").cast("double") + 1.0) / (math.pow(2, 60) + 1.0)
     val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
       .otherwise(expr(
         s"raise_error('weightedSample: non-positive weight in $weightCol')"))
-    df.withColumn("__pri", pow(u, lit(1.0) / w))
+    // the pow() double IS the keep decision, and libm pow is not
+    // correctly rounded — a 1-ulp JVM/DuckDB disagreement at the
+    // rank-n cutoff would flip membership. Rounding to 9 significant
+    // decimals collapses ulp-level noise to EQUAL, and the id
+    // tiebreak then orders equals identically in both engines.
+    df.withColumn("__pri", round(pow(u, lit(1.0) / w), 9))
       .orderBy(col("__pri").desc, id)
       .limit(n)
       .drop("__pri")

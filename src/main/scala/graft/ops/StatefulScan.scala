@@ -20,9 +20,10 @@ import org.apache.spark.sql.functions.col
   */
 object StatefulScan {
 
-  /** Clipped running sum per key: `bal = max(floor, bal + delta)`,
-    * starting from `max(floor, first delta)`, rows visited in
-    * `sortCols` order within each key.
+  /** Clipped running sum per key: `bal = max(floor, bal + delta)`
+    * with the balance INITIALIZED to `floor` (so the first row yields
+    * `max(floor, floor + delta)`), rows visited in `sortCols` order
+    * within each key.
     *
     * @param keyCol   grouping column (long)
     * @param idCol    row identity carried to the output (long)
