@@ -3017,7 +3017,35 @@ object SparkEntry {
       graft.ops.Sampling.weightedSample(
           docs(s, d).select(col("doc_id"), col("n_chars")),
           col("doc_id"), "n_chars", 100)
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q191 — keyset-free pagination (LIMIT/OFFSET over a total
+    // order): page 3 of the price-ranked orders via DataFrame.offset
+    // — deterministic only because the ordering is total (cents,
+    // orderkey), the contract every pagination bug violates.
+    "q191_pagination" -> ((s, d) =>
+      ord(s, d)
+        .select(col("o_orderkey"),
+          round(col("o_totalprice") * 100).cast("long").as("cents"))
+        .orderBy(desc("cents"), col("o_orderkey"))
+        .offset(100).limit(50)),
+
+    // Q192 — null-safe equality join (<=>): NULL keys MATCH each
+    // other, unlike plain equality where they silently drop — the
+    // semantics reconciliation jobs need when "unknown" is a real
+    // category. Keys made nullable via NULLIF; oracle uses IS NOT
+    // DISTINCT FROM.
+    "q192_nullsafe_join" -> ((s, d) => {
+      val a = ev(s, d)
+        .select(nullif(col("event_type"), lit("error")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("na"))
+      val b = ev(s, d).where(col("value") > 100)
+        .select(nullif(col("event_type"), lit("error")).as("k"))
+        .groupBy("k").agg(count(lit(1)).as("nb"))
+      a.join(b, a("k") <=> b("k"), "left")
+        .select(a("k").as("k"), col("na"), coalesce(col("nb"), lit(0L)).as("nb"))
+        .orderBy(asc_nulls_first("k"))
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -4991,7 +5019,23 @@ object SparkEntry {
         |  FROM documents),
         |k AS (SELECT doc_id, n_chars FROM p
         |      ORDER BY pri DESC, doc_id LIMIT 100)
-        |SELECT doc_id, n_chars FROM k ORDER BY doc_id""".stripMargin
+        |SELECT doc_id, n_chars FROM k ORDER BY doc_id""".stripMargin,
+
+    "q191_pagination" ->
+      """SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        |FROM orders
+        |ORDER BY cents DESC, o_orderkey LIMIT 50 OFFSET 100""".stripMargin,
+
+    "q192_nullsafe_join" ->
+      """WITH a AS (SELECT NULLIF(event_type, 'error') AS k,
+        |             CAST(COUNT(*) AS BIGINT) AS na
+        |           FROM events GROUP BY 1),
+        |b AS (SELECT NULLIF(event_type, 'error') AS k,
+        |        CAST(COUNT(*) AS BIGINT) AS nb
+        |      FROM events WHERE value > 100 GROUP BY 1)
+        |SELECT a.k, na, COALESCE(nb, 0) AS nb
+        |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
+        |ORDER BY a.k NULLS FIRST""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
