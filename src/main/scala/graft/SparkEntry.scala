@@ -1619,11 +1619,16 @@ object SparkEntry {
 
     // Q126 — exact money aggregation: prices cast to DECIMAL at the
     // scan so every product and sum is EXACT integer-scaled
-    // arithmetic — the result hash-matches the oracle with NO
-    // rounding, independent of partitioning or merge order (doubles
+    // arithmetic, independent of partitioning or merge order (doubles
     // would differ in the last ulp by sum order alone). The per-cent
     // cast is unambiguous: the doubles sit within 1e-10 of their
-    // cent value, far from any rounding tie.
+    // cent value, far from any rounding tie. The OUTPUT is scale-4
+    // integer units (BIGINT), not raw DecimalType: cross-engine
+    // hashers render DECIMAL(38,4) inconsistently (trailing-zero /
+    // decimal-vs-float normalization), so the hashed column is the
+    // representation-stable integer while the decimal arithmetic —
+    // the capability under test — stays in the plan (schema pinned
+    // by DecimalPolicySpec).
     "q126_decimal_money" -> ((s, d) =>
       li(s, d)
         .select(col("l_returnflag"),
@@ -1631,7 +1636,7 @@ object SparkEntry {
             (lit(1).cast("decimal(3,2)") - col("l_discount").cast("decimal(3,2)")))
             .as("net"))
         .groupBy("l_returnflag")
-        .agg(sum(col("net")).cast("decimal(38,4)").as("revenue"),
+        .agg((sum(col("net")) * lit(10000)).cast("long").as("revenue_e4"),
           count(lit(1)).as("n"))
         .orderBy("l_returnflag")),
 
@@ -4144,7 +4149,7 @@ object SparkEntry {
     "q126_decimal_money" ->
       """SELECT l_returnflag,
         |  CAST(SUM(CAST(l_extendedprice AS DECIMAL(18,2)) *
-        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) AS DECIMAL(38,4)) AS revenue,
+        |           (1 - CAST(l_discount AS DECIMAL(3,2)))) * 10000 AS BIGINT) AS revenue_e4,
         |  COUNT(*) AS n
         |FROM lineitem GROUP BY l_returnflag ORDER BY l_returnflag""".stripMargin,
 

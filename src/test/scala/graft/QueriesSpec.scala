@@ -24,9 +24,30 @@ class QueriesSpec extends SparkSpec {
 
   SparkEntry.queries.toSeq.sortBy(_._1).foreach { case (name, fn) =>
     test(s"$name runs at sf0.001 and returns rows") {
-      val n = fn(spark, sf).count()
+      val df = fn(spark, sf)
+      // Decimal output policy (SCALE.md): DecimalType is welcome IN
+      // the plan (exact money arithmetic) but never in a hashed output
+      // column — cross-engine hashers render DECIMAL inconsistently
+      // (q126, round 7). Emit integer units or ROUND'd doubles.
+      val dec = df.schema.fields
+        .filter(_.dataType.isInstanceOf[org.apache.spark.sql.types.DecimalType])
+        .map(_.name)
+      assert(dec.isEmpty,
+        s"$name emits raw DecimalType column(s) ${dec.mkString(",")} — " +
+          "emit integer units (x*10^s cast to long) instead")
+      val n = df.count()
       assert(n > 0, s"$name produced no rows")
     }
+  }
+
+  test("q126 keeps exact DecimalType arithmetic internal to the plan") {
+    val df = SparkEntry.queries("q126_decimal_money")(spark, sf)
+    val plan = df.queryExecution.analyzed.toString
+    // the capability under test: products and sums are decimal-exact
+    assert(plan.contains("decimal("), s"no decimal arithmetic in plan:\n${plan.take(800)}")
+    // ...but the emitted column is representation-stable integer units
+    assert(df.schema("revenue_e4").dataType ==
+      org.apache.spark.sql.types.LongType)
   }
 
   test("scratch-backed round-trip queries rerun in one JVM") {
