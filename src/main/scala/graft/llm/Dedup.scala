@@ -632,21 +632,39 @@ object Dedup {
                  maxIter: Int = 25): DataFrame = {
     // ids keep their source type: min/least order strings and numerics
     // alike (a cast would silently null non-numeric ids)
-    val edges = pairs.select(col(id1).as("a"), col(id2).as("b"))
-      .union(pairs.select(col(id2).as("a"), col(id1).as("b")))
+    // Symmetrize with ONE scan of `pairs` + explode, not a union of
+    // two scans: `pairs` is typically an expensive unpersisted subplan
+    // (the MinHash verify join), and a union would execute it twice
+    // when edges first materializes.
+    val edges = pairs
+      .select(explode(array(
+        struct(col(id1).as("a"), col(id2).as("b")),
+        struct(col(id2).as("a"), col(id1).as("b")))).as("e"))
+      .select(col("e.a").as("a"), col("e.b").as("b"))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    var (labels, labelsRdd) = cutCheckpoint(
-      edges.groupBy(col("a"))
-        .agg(min(col("b")).as("mb"))
-        .select(col("a").as("id"), least(col("a"), col("mb")).as("comp")))
+    // Initial labels (1-hop neighborhood min) are NOT checkpointed as
+    // a separate job: round 0 fuses init + first propagation into ONE
+    // query, so the common case — dense near-dup clusters where the
+    // 1-hop min is already the fixed point and round 0 merely
+    // verifies it — pays a single job instead of two jobs + an extra
+    // checkpoint/RDD round-trip. The init subplan appears twice in
+    // round 0's plan (frontier leg + labels leg); its shuffle is
+    // deduped by exchange reuse, and the duplicated agg over the
+    // persisted edges is far cheaper than the checkpoint job it
+    // replaces (profiled: ~0.5 s fixed cost per job at bench scale).
+    val init = edges.groupBy(col("a"))
+      .agg(min(col("b")).as("mb"))
+      .select(col("a").as("id"), least(col("a"), col("mb")).as("comp"))
     // Delta propagation: only labels that CHANGED last round can
     // improve a neighbor this round — min is monotone, so an
     // unchanged node's contribution was already folded in the round
-    // after it last improved. Round 1 treats every initial label as
+    // after it last improved. Round 0 treats every initial label as
     // changed; the frontier then SHRINKS as components settle, so
     // late rounds join edges against the still-active rim only
     // instead of re-shuffling every settled label.
-    var frontier = labels
+    var labels: DataFrame = init
+    var labelsRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var frontier = init
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
@@ -670,7 +688,8 @@ object Dedup {
         .mapPartitions(it => Iterator.single(it.count(_.getBoolean(2)).toLong))
         .sum()
       converged = changed == 0
-      labelsRdd.unpersist() // previous round's checkpoint blocks freed
+      if (labelsRdd != null)
+        labelsRdd.unpersist() // previous round's checkpoint blocks freed
       val mergedDf = pairs.sparkSession.createDataFrame(mergedRdd, merged.schema)
       labels = mergedDf.select("id", "comp")
       frontier = mergedDf.where(col("chg")).select("id", "comp")
