@@ -5018,9 +5018,9 @@ object SparkEntry {
 
     "q190_weighted_sample" ->
       """WITH p AS (SELECT doc_id, n_chars,
-        |    ROUND(POW((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
-        |           AS BIGINT) + 1.0) / (POW(2, 60) + 1.0),
-        |        1.0 / CAST(n_chars AS DOUBLE)), 9) AS pri
+        |    ROUND(LN((CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))
+        |           AS BIGINT) + 1.0) / (POW(2, 60) + 1.0))
+        |        / CAST(n_chars AS DOUBLE), 9) AS pri
         |  FROM documents),
         |k AS (SELECT doc_id, n_chars FROM p
         |      ORDER BY pri DESC, doc_id LIMIT 100)

@@ -71,7 +71,15 @@ object Funnels {
   def rollingActive(events: DataFrame, userCol: String, tsCol: String,
                     windowDays: Int): DataFrame = {
     require(windowDays >= 1, s"Funnels.rollingActive: windowDays must be >= 1: $windowDays")
-    val days = events.select(col(userCol), to_date(col(tsCol)).as("__day")).distinct()
+    // a null timestamp would flow into BOTH legs — a day=null output
+    // row pooling all null-ts users, and date_add(null) silently
+    // dropping them from real windows — so fail loudly in-plan
+    // instead (the hashSplit/weightedSample convention)
+    val days = events.select(col(userCol),
+        when(col(tsCol).isNull, raise_error(lit(
+          s"Funnels.rollingActive: null $tsCol — filter or impute timestamps first")))
+          .otherwise(to_date(col(tsCol))).as("__day"))
+      .distinct()
     val spine = days.select(col("__day").as("day")).distinct()
     days
       .select(col(userCol),

@@ -32,15 +32,24 @@ object HeavyHitters {
   private def encode(raw: String): String = if (raw == null) NULL_KEY else "v" + raw
 
   /** Misra-Gries add: bump a tracked key or claim a free slot; on a
-    * full summary, decrement all (dropping zeros) and discard the
-    * arrival — the classic ≤ n/k undercount trade. (private[ops] so
-    * the survival guarantee is property-testable without Spark jobs.) */
+    * full summary, decrement IN PLACE by the tracked minimum and
+    * discard the arrival — the classic ≤ n/k undercount trade.
+    * Decrementing by the minimum (≥ 1) rather than 1 guarantees every
+    * full-summary scan frees at least one slot, so the next untracked
+    * key claims a slot in O(1) instead of triggering another O(k)
+    * scan — on high-cardinality data the scans amortize against the
+    * slots they free instead of running per arrival. The bound is
+    * unchanged: a scan removes k·dec + 1 mass, so Σ dec ≤ n/k, and
+    * any key's undercount ≤ Σ dec ≤ n/k (the same subtract-a-cut
+    * argument [[merge]] already relies on). (private[ops] so the
+    * survival guarantee is property-testable without Spark jobs.) */
   private[ops] def add(m: mutable.Map[String, Long], key: String, k: Int) = {
     if (m.contains(key) || m.size < k) { m(key) = m.getOrElse(key, 0L) + 1L; m }
     else {
-      val out = mutable.Map.empty[String, Long]
-      m.foreach { case (kk, v) => if (v > 1L) out(kk) = v - 1L }
-      out
+      val dec = m.valuesIterator.min
+      m.filterInPlace((_, v) => v > dec)
+      m.mapValuesInPlace((_, v) => v - dec)
+      m
     }
   }
 
@@ -88,7 +97,10 @@ object HeavyHitters {
         .otherwise(concat(lit("v"), col(keyCol).cast("string"))).as("__k"))
       .where(col("__k").isin(candidates: _*))
       .groupBy(col("__k")).agg(count(lit(1)).as("cnt"))
-      .where(col("cnt") * k > lit(total))
+      // cnt > total/k in integer form ⟺ cnt·k > total (for q=total/k,
+      // r=total mod k: cnt ≥ q+1 ⟺ cnt·k ≥ total - r + k > total) —
+      // but never overflows where cnt·k could past Long.MaxValue/k
+      .where(col("cnt") > lit(total / k))
       .select(when(col("__k") === NULL_KEY, lit(null).cast("string"))
           .otherwise(expr("substring(__k, 2)")).as(keyCol),
         col("cnt"))

@@ -48,7 +48,8 @@ object Sampling {
 
   /** Deterministic WEIGHTED exactly-N sample — Efraimidis-Spirakis
     * A-ES with hash-derived uniforms instead of randomness: priority
-    * = u^(1/w) with u = md5(id)-uniform in (0,1), keep the N largest.
+    * = u^(1/w) with u = md5(id)-uniform in (0,1), keep the N largest
+    * (compared in the log domain, ln(u)/w — same order, see below).
     * Inclusion probability tracks weight (the curation "sample by
     * quality score" contract) while staying content-stable and
     * replayable across runs and engines — the weighted sibling of
@@ -70,12 +71,20 @@ object Sampling {
     val w = when(col(weightCol) > 0, col(weightCol).cast("double"))
       .otherwise(expr(
         s"raise_error('weightedSample: non-positive weight in $weightCol')"))
-    // the pow() double IS the keep decision, and libm pow is not
-    // correctly rounded — a 1-ulp JVM/DuckDB disagreement at the
-    // rank-n cutoff would flip membership. Rounding to 9 significant
-    // decimals collapses ulp-level noise to EQUAL, and the id
+    // the computed double IS the keep decision, and libm pow/log are
+    // not correctly rounded — a 1-ulp JVM/DuckDB disagreement at the
+    // rank-n cutoff would flip membership. The priority is compared in
+    // the LOG domain: ln(u)/w orders identically to u^(1/w) (exp is
+    // monotone) but has bounded dynamic range — ln(u) ∈ [-42, 0) for
+    // the 60-bit uniform — so rounding to 9 absolute decimals
+    // collapses ulp noise to EQUAL without flattening small-weight
+    // tails to 0.0 (u^(1/w) spans hundreds of orders of magnitude and
+    // an absolute round zeroed everything below 5e-10). The id
     // tiebreak then orders equals identically in both engines.
-    df.withColumn("__pri", round(pow(u, lit(1.0) / w), 9))
+    // Residual: |ln(u)/w| < 1e-9 (u within 1e-9·w of 1) still ties at
+    // the TOP and falls to the id tiebreak — a bounded sliver, not the
+    // unbounded tail the pow-domain round collapsed.
+    df.withColumn("__pri", round(log(u) / w, 9))
       .orderBy(col("__pri").desc, id)
       .limit(n)
       .drop("__pri")

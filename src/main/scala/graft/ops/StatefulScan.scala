@@ -37,6 +37,15 @@ object StatefulScan {
     val parts =
       if (numPartitions > 0) numPartitions
       else df.sparkSession.sessionState.conf.numShufflePartitions
+    // the per-row getAs[Long] calls below would surface an Int (or
+    // other) column as an opaque task-time ClassCastException — name
+    // the offending argument up front instead (the loud in-plan
+    // convention of the sibling ops)
+    for ((arg, c) <- Seq("keyCol" -> keyCol, "idCol" -> idCol, "deltaCol" -> deltaCol)) {
+      val dt = df.schema(c).dataType
+      require(dt == org.apache.spark.sql.types.LongType,
+        s"StatefulScan.clippedRunningSum: $arg '$c' must be LongType, got $dt — cast it first")
+    }
     implicit val enc = org.apache.spark.sql.Encoders.product[(Long, Long, Long)]
     SecondarySort.groupedSorted[Long, (Long, Long, Long)](
         df, keyCol, sortCols, parts)(

@@ -70,12 +70,27 @@ object Jdbc {
     if (cuts.isEmpty) return spark.read.jdbc(url, table, props)
     // boundary strings land inside SQL literals — double any quotes
     def lit(s: String) = "'" + s.replace("'", "''") + "'"
+    // Ranges are mutually exclusive BY CONSTRUCTION, not by cut
+    // ordering: the cuts ascend in Java UTF-16 order, but the
+    // predicates run under the DATABASE's collation (case-insensitive
+    // and locale collations — MySQL/SQL Server defaults — can order
+    // the same strings differently), so `>= a AND < b` windows built
+    // from adjacent cuts could overlap there and read rows twice.
+    // Instead each leg takes `< cut_i` AND the negation of every
+    // earlier leg's test: for ANY deterministic comparison a row
+    // matches exactly the leg of its smallest satisfied cut (or the
+    // all-negations last leg), and NULL only the IS NULL leg. Under a
+    // binary collation the extra conjuncts are redundant and index
+    // range scans still apply; the literal count is O(partitions²),
+    // immaterial next to the read.
+    val ls = cuts.map(lit)
+    def geEarlier(i: Int) = (0 until i).map(j => s"$q >= ${ls(j)}")
     val preds =
-      Seq(s"$q < ${lit(cuts.head)} OR $q IS NULL") ++
-        cuts.sliding(2).collect { case Seq(a, b) =>
-          s"$q >= ${lit(a)} AND $q < ${lit(b)}"
+      Seq(s"$q < ${ls.head} OR $q IS NULL") ++
+        (1 until cuts.length).map { i =>
+          (s"$q < ${ls(i)}" +: geEarlier(i)).mkString(" AND ")
         } ++
-        Seq(s"$q >= ${lit(cuts.last)}")
+        Seq(geEarlier(cuts.length).mkString(" AND "))
     spark.read.jdbc(url, table, preds.toArray, props)
   }
 
