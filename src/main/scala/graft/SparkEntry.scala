@@ -3050,6 +3050,41 @@ object SparkEntry {
       a.join(b, a("k") <=> b("k"), "left")
         .select(a("k").as("k"), col("na"), coalesce(col("nb"), lit(0L)).as("nb"))
         .orderBy(asc_nulls_first("k"))
+    }),
+
+    // Q193 — `-io rawbytes` binary pipe ([[graft.ops.Pipe.pipeRawBytes]],
+    // RawBytesInputWriter.java:30 framing): document text crosses a
+    // child process as length-prefixed RAW bytes and comes back
+    // bit-exact (`cat` — identity on the framed stream), witnessed by
+    // md5 over the returned payload. Any framing error — a swallowed
+    // newline, an off-by-one length, an escape — changes the digest;
+    // the oracle digests the source column directly.
+    "q193_pipe_rawbytes" -> ((s, d) =>
+      graft.ops.Pipe.pipeRawBytes(
+          docs(s, d).select(col("doc_id").cast("string").as("k"), col("text")),
+          Seq("cat"))
+        .select(col("key").cast("string").cast("long").as("doc_id"),
+          md5(col("value")).as("text_md5"))
+        .orderBy("doc_id")),
+
+    // Q194 — MapWritable-valued SequenceFile round-trip
+    // (io/MapWritable.java:37 → map<string,string> per SURVEY §1.2):
+    // a legacy-shaped feature-store file (Text key, per-doc feature
+    // map) written with stock Hadoop classes, header-dispatched back
+    // through sequenceFileAuto, features extracted by map key. The
+    // oracle recomputes the features from the parquet source.
+    "q194_seqfile_map_values" -> ((s, d) => {
+      val tmp = scratch("q194") + "/seqmap"
+      graft.sources.CompatSources.sequenceFileMapWrite(
+        docs(s, d).select(col("doc_id").cast("string").as("k"),
+          map(lit("lang"), col("lang"),
+            lit("n_chars"), col("n_chars").cast("string")).as("features")),
+        tmp)
+      graft.sources.CompatSources.sequenceFileAuto(s, tmp)
+        .select(col("key").cast("long").as("doc_id"),
+          col("value").getItem("lang").as("lang"),
+          col("value").getItem("n_chars").cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5040,7 +5075,15 @@ object SparkEntry {
         |      FROM events WHERE value > 100 GROUP BY 1)
         |SELECT a.k, na, COALESCE(nb, 0) AS nb
         |FROM a LEFT JOIN b ON a.k IS NOT DISTINCT FROM b.k
-        |ORDER BY a.k NULLS FIRST""".stripMargin
+        |ORDER BY a.k NULLS FIRST""".stripMargin,
+
+    "q193_pipe_rawbytes" ->
+      """SELECT doc_id, md5(text) AS text_md5
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q194_seqfile_map_values" ->
+      """SELECT doc_id, lang, n_chars
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

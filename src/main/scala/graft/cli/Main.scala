@@ -86,8 +86,16 @@ object Main {
                   df.repartition(col(k)).sortWithinPartitions(col(k)))
                 Pipe.pipeTypedBytes(arranged, c, schema)
                   .write.mode("overwrite").parquet(out)
+              case "rawbytes" =>
+                // first two columns cross as length-prefixed raw bytes
+                // (RawBytesInputWriter framing); output is binary
+                // key/value — the binary-mapper contract
+                val arranged = reduceKey.fold(df)(k =>
+                  df.repartition(col(k)).sortWithinPartitions(col(k)))
+                Pipe.pipeRawBytes(arranged, c)
+                  .write.mode("overwrite").parquet(out)
               case other =>
-                sys.error(s"pipe: unknown -io format '$other' (text|typedbytes)")
+                sys.error(s"pipe: unknown -io format '$other' (text|typedbytes|rawbytes)")
             }
           case _ => usage()
         }
@@ -364,7 +372,7 @@ object Main {
         |  wordcount <in.parquet> <textCol> <out>
         |  grep <in.parquet> <textCol> <pattern> <out>
         |  sort <in.text> "<-k spec>" <out>
-        |  pipe [-reduce <keyCol>] [-io typedbytes] [-schema <ddl>] <in.parquet> <cmd> [arg...] -- <out>
+        |  pipe [-reduce <keyCol>] [-io typedbytes|rawbytes] [-schema <ddl>] <in.parquet> <cmd> [arg...] -- <out>
         |  terasort <rows>
         |  compact <in-dir> <out-dir>
         |  archive [-distributed] <src-tree> <dst.har>

@@ -104,7 +104,67 @@ object Pipe {
     */
   def pipeTypedBytes(df: DataFrame, cmd: Seq[String],
                      outSchema: org.apache.spark.sql.types.StructType,
-                     env: Map[String, String] = Map.empty): DataFrame = {
+                     env: Map[String, String] = Map.empty): DataFrame =
+    pipeFramed(df, cmd, outSchema, env, "typed-bytes")(
+      TypedBytes.writeRow, TypedBytes.readRow(_, outSchema))
+
+  /** Binary pipe with the RAW length-prefixed framing (`-io rawbytes`,
+    * hadoop-tools/hadoop-streaming/.../io/RawBytesInputWriter.java:30,
+    * RawBytesOutputReader.java): each record crosses the pipe as
+    * `[4-byte big-endian length][bytes]` for the key then the value —
+    * no type tags at all, the child sees exactly the payload bytes.
+    * This is the framing a binary mapper over opaque payloads (images,
+    * packed features — the multimodal case) speaks: unlike the text
+    * pipes nothing is escaped or flattened, and unlike typed-bytes the
+    * child needs no protocol library, just read-length/read-bytes.
+    *
+    * Input: the first two columns, cast to binary. Output: (key,
+    * value) binary columns parsed with the same framing. Null cells
+    * write as zero-length (BytesWritable has no null either). Process
+    * management — writer thread, early-stdin-close tolerance, child
+    * exit checks — is [[pipeTypedBytes]]'s, shared via `pipeFramed`. */
+  def pipeRawBytes(df: DataFrame, cmd: Seq[String],
+                   env: Map[String, String] = Map.empty): DataFrame = {
+    import org.apache.spark.sql.types._
+    require(df.schema.length >= 2,
+      s"pipeRawBytes: need key and value columns, got ${df.schema.fieldNames.mkString(", ")}")
+    val Seq(k, v) = df.columns.take(2).toSeq
+    val in = df.select(coalesce(col(k).cast("binary"), lit(Array.empty[Byte])).as("key"),
+      coalesce(col(v).cast("binary"), lit(Array.empty[Byte])).as("value"))
+    val outSchema = StructType(Seq(
+      StructField("key", BinaryType), StructField("value", BinaryType)))
+    def writeBlob(os: java.io.DataOutputStream, b: Array[Byte]): Unit = {
+      os.writeInt(b.length); os.write(b)
+    }
+    def readBlob(is: java.io.DataInputStream): Array[Byte] = {
+      val b = new Array[Byte](is.readInt()); is.readFully(b); b
+    }
+    pipeFramed(in, cmd, outSchema, env, "rawbytes")(
+      (os, r) => {
+        writeBlob(os, r.getAs[Array[Byte]](0)); writeBlob(os, r.getAs[Array[Byte]](1))
+      },
+      is => {
+        // clean EOF is only legal BEFORE a record's key length; a
+        // truncated record (EOF mid-frame, including inside the key's
+        // own payload) propagates as the error it is
+        val len = try Some(is.readInt()) catch { case _: java.io.EOFException => None }
+        len.map { n =>
+          val kb = new Array[Byte](n); is.readFully(kb)
+          org.apache.spark.sql.Row(kb, readBlob(is))
+        }
+      })
+  }
+
+  /** Shared child-process scaffold for the binary pipe framings: one
+    * child per non-empty partition, a writer thread feeding stdin
+    * while the task thread streams stdout — memory O(pipe buffer), the
+    * same posture as `RDD.pipe`. A non-zero child exit fails the task
+    * (PipeMapRed.java's waitOutputThreads contract). */
+  private def pipeFramed(df: DataFrame, cmd: Seq[String],
+                         outSchema: org.apache.spark.sql.types.StructType,
+                         env: Map[String, String], proto: String)(
+      writeRow: (java.io.DataOutputStream, org.apache.spark.sql.Row) => Unit,
+      readRow: java.io.DataInputStream => Option[org.apache.spark.sql.Row]): DataFrame = {
     import java.io.{BufferedInputStream, BufferedOutputStream, DataInputStream, DataOutputStream}
     val spark = df.sparkSession
     val out = df.rdd.mapPartitions { it =>
@@ -126,19 +186,19 @@ object Pipe {
           // TaskContextBridge)
           if (tc != null) org.apache.spark.graft.TaskContextBridge.set(tc)
           val os = new DataOutputStream(new BufferedOutputStream(proc.getOutputStream, 1 << 16))
-          try { it.foreach(TypedBytes.writeRow(os, _)); os.flush() }
+          try { it.foreach(writeRow(os, _)); os.flush() }
           catch { case t: Throwable => writeErr = t }
           finally { try os.close() catch { case _: Throwable => () } }
-        }, "typedbytes-stdin-writer")
+        }, s"$proto-stdin-writer")
         writer.setDaemon(true)
         writer.start()
         val is = new DataInputStream(new BufferedInputStream(proc.getInputStream, 1 << 16))
         new Iterator[org.apache.spark.sql.Row] {
-          private var nextRow = TypedBytes.readRow(is, outSchema)
+          private var nextRow = readRow(is)
           override def hasNext: Boolean = nextRow.isDefined || { finish(); false }
           override def next(): org.apache.spark.sql.Row = {
             val r = nextRow.get
-            nextRow = TypedBytes.readRow(is, outSchema)
+            nextRow = readRow(is)
             r
           }
           private def finish(): Unit = {
@@ -153,9 +213,9 @@ object Pipe {
               writeErr.isInstanceOf[java.io.IOException] && code == 0
             if (writeErr != null && !earlyStdinClose)
               throw new java.io.IOException(
-                s"typed-bytes upstream failed while feeding ${cmd.head}", writeErr)
+                s"$proto upstream failed while feeding ${cmd.head}", writeErr)
             if (code != 0)
-              throw new java.io.IOException(s"typed-bytes child ${cmd.head} exited with $code")
+              throw new java.io.IOException(s"$proto child ${cmd.head} exited with $code")
           }
         }
       }

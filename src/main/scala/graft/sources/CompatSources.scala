@@ -12,6 +12,14 @@ import org.apache.spark.sql.functions._
   * and filtering still apply (after the scan — these row formats have
   * no statistics to push into, same as on the reference).
   */
+/** The ArrayWritable-subclass pattern Hadoop requires for array-valued
+  * SequenceFiles (ArrayWritable.java:46 has no no-arg constructor, so
+  * the deserializer can only instantiate a subclass that pins the
+  * element class) — Text elements, the common feature-list shape. A
+  * top-level class so its stable name lands in file headers and
+  * reflection can instantiate it on any executor. */
+class TextArrayWritable extends org.apache.hadoop.io.ArrayWritable(classOf[Text])
+
 object CompatSources {
 
   /** KeyValueTextInputFormat (.../lib/input/KeyValueTextInputFormat.java:47):
@@ -84,7 +92,16 @@ object CompatSources {
   }
 
   /** One Writable → one Spark value; record readers REUSE Writable
-    * instances, so every conversion copies out of the buffer. */
+    * instances, so every conversion copies out of the buffer.
+    * Container Writables recurse: MapWritable/SortedMapWritable
+    * (heterogeneous Writable→Writable maps, io/MapWritable.java:37) →
+    * `Map[String, String]` with both sides rendered through their
+    * primitive conversion then stringified — the representation that
+    * survives ANY mix of per-entry types, which is MapWritable's
+    * whole point; ArrayWritable (io/ArrayWritable.java:46) →
+    * `Seq` of its homogeneous element conversion. Binary map entries
+    * have no faithful string form and fail loudly toward
+    * [[sequenceFileBinary]]. */
   private def fromWritable(w: org.apache.hadoop.io.Writable): Any = w match {
     case t: Text => t.toString
     case i: org.apache.hadoop.io.IntWritable => i.get
@@ -93,8 +110,24 @@ object CompatSources {
     case d: org.apache.hadoop.io.DoubleWritable => d.get
     case b: org.apache.hadoop.io.BooleanWritable => b.get
     case b: BytesWritable => java.util.Arrays.copyOf(b.getBytes, b.getLength)
+    case m: org.apache.hadoop.io.AbstractMapWritable =>
+      import scala.jdk.CollectionConverters._
+      m.asInstanceOf[java.util.Map[org.apache.hadoop.io.Writable, org.apache.hadoop.io.Writable]]
+        .asScala.map { case (k, v) =>
+          stringifyEntry(fromWritable(k)) -> stringifyEntry(fromWritable(v))
+        }.toMap
+    case a: org.apache.hadoop.io.ArrayWritable => a.get().toSeq.map(fromWritable)
     case other => throw new IllegalArgumentException(
       s"unsupported Writable ${other.getClass.getName}")
+  }
+
+  private def stringifyEntry(v: Any): String = v match {
+    case null => null
+    case _: Array[Byte] | _: Map[_, _] | _: Seq[_] =>
+      throw new IllegalArgumentException(
+        "MapWritable entries of binary/nested type have no faithful string form - " +
+          "read via sequenceFileBinary and decode explicitly")
+    case s => String.valueOf(s)
   }
 
   /** Typed SequenceFile reader — dispatches on the header's declared
@@ -102,19 +135,52 @@ object CompatSources {
     * default WordCount output shape, LIB/output/SequenceFileOutputFormat
     * .java:43) read as properly-typed columns with no cast shim.
     * Supports Text, Int/Long/Float/Double/BooleanWritable, BytesWritable
-    * and NullWritable on either side; a NullWritable side (the
+    * and NullWritable on either side, plus the container Writables
+    * legacy feature stores lean on: MapWritable/SortedMapWritable →
+    * `map<string,string>` and ArrayWritable subclasses → `array<t>`
+    * (see [[writableColumnType]]); a NullWritable side (the
     * values-only idiom) drops its column rather than materializing a
     * null column. Anything exotic fails LOUDLY with the class name —
     * use [[sequenceFileBinary]] plus a custom decode for those. */
+  /** Column type for a header-declared Writable class, beyond the
+    * primitive [[writableTypes]] table: MapWritable/SortedMapWritable
+    * → `MapType(string, string)` (per-entry types are dynamic — the
+    * stringified form is the one schema that fits them all);
+    * an ArrayWritable SUBCLASS → `ArrayType` of its element type.
+    * Plain `ArrayWritable` cannot appear in a valid file: it has no
+    * no-arg constructor, so Hadoop itself can't deserialize it — the
+    * classic requirement that array-valued SequenceFiles declare a
+    * subclass, which is also what makes the element type discoverable
+    * here (instantiate the subclass, ask `getValueClass`). */
+  private def writableColumnType(c: String): Option[org.apache.spark.sql.types.DataType] = {
+    import org.apache.spark.sql.types._
+    writableTypes.get(c).orElse {
+      if (c == "org.apache.hadoop.io.MapWritable" ||
+          c == "org.apache.hadoop.io.SortedMapWritable")
+        Some(MapType(StringType, StringType))
+      else
+        try {
+          val cls = Class.forName(c)
+          if (classOf[org.apache.hadoop.io.ArrayWritable].isAssignableFrom(cls))
+            writableTypes.get(
+              cls.getDeclaredConstructor().newInstance()
+                .asInstanceOf[org.apache.hadoop.io.ArrayWritable].getValueClass.getName)
+              .map(ArrayType(_))
+          else None
+        } catch { case _: ReflectiveOperationException => None }
+    }
+  }
+
   def sequenceFileAuto(spark: SparkSession, path: String): DataFrame = {
     import org.apache.hadoop.io.Writable
     val nullW = "org.apache.hadoop.io.NullWritable"
     val (kc, vc) = sequenceFileClasses(spark, path)
-    for (c <- Seq(kc, vc) if c != nullW && !writableTypes.contains(c))
+    val types = Seq(kc, vc).map(c => c -> writableColumnType(c)).toMap
+    for (c <- Seq(kc, vc) if c != nullW && types(c).isEmpty)
       throw new IllegalArgumentException(
         s"sequenceFileAuto: no column mapping for $c - read via sequenceFileBinary")
     val fields = Seq("key" -> kc, "value" -> vc).collect {
-      case (n, c) if c != nullW => org.apache.spark.sql.types.StructField(n, writableTypes(c))
+      case (n, c) if c != nullW => org.apache.spark.sql.types.StructField(n, types(c).get)
     }
     val schema = org.apache.spark.sql.types.StructType(fields)
     val (useK, useV) = (kc != nullW, vc != nullW)
@@ -340,6 +406,65 @@ object CompatSources {
           "Writables cannot represent null; filter or fill first")
       (mkK(r.get(0)), mkV(r.get(1)))
     }.saveAsHadoopFile(path, kCls, vCls,
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
+  /** Map-valued SequenceFile writer — the legacy-producer twin of
+    * [[sequenceFileAuto]]'s MapWritable read path: first column is the
+    * key (Text — the feature-store idiom keys by entity id string;
+    * cast upstream), second a `map<string,string>` that becomes a
+    * MapWritable of Text→Text entries. A stock Hadoop consumer reading
+    * `Text`/`MapWritable` accepts the file as-is. Null keys/maps fail
+    * loudly ([[sequenceFileTypedWrite]]'s rule); null map VALUES are
+    * skipped (MapWritable has no null Writable). */
+  def sequenceFileMapWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    require(df.schema.length >= 2, "sequenceFileMapWrite: need key and map columns")
+    val Seq(kf, vf) = df.schema.fields.take(2).toSeq
+    require(kf.dataType == org.apache.spark.sql.types.StringType,
+      s"sequenceFileMapWrite: key column '${kf.name}' must be string, got ${kf.dataType}")
+    require(vf.dataType == org.apache.spark.sql.types.MapType(
+        org.apache.spark.sql.types.StringType, org.apache.spark.sql.types.StringType),
+      s"sequenceFileMapWrite: value column '${vf.name}' must be map<string,string>, got ${vf.dataType}")
+    val (kName, vName) = (kf.name, vf.name)
+    df.select(col(kName), col(vName)).rdd.map { r =>
+      if (r.isNullAt(0) || r.isNullAt(1))
+        sys.error(s"sequenceFileMapWrite: null in '$kName'/'$vName' - " +
+          "Writables cannot represent null; filter or fill first")
+      val mw = new MapWritable()
+      r.getMap[String, String](1).foreach { case (k, v) =>
+        if (v != null) mw.put(new Text(k), new Text(v))
+      }
+      (new Text(r.getString(0)), mw): (Writable, Writable)
+    }.saveAsHadoopFile(path, classOf[Text], classOf[MapWritable],
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
+  /** Array-valued SequenceFile writer: second column
+    * `array<string>` → [[TextArrayWritable]] (an ArrayWritable
+    * subclass with the no-arg constructor Hadoop's deserializer
+    * demands — plain ArrayWritable files are unreadable by Hadoop
+    * itself, the classic gotcha). */
+  def sequenceFileArrayWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    require(df.schema.length >= 2, "sequenceFileArrayWrite: need key and array columns")
+    val Seq(kf, vf) = df.schema.fields.take(2).toSeq
+    require(kf.dataType == org.apache.spark.sql.types.StringType,
+      s"sequenceFileArrayWrite: key column '${kf.name}' must be string, got ${kf.dataType}")
+    require(vf.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType) ||
+      vf.dataType == org.apache.spark.sql.types.ArrayType(
+        org.apache.spark.sql.types.StringType, containsNull = false),
+      s"sequenceFileArrayWrite: value column '${vf.name}' must be array<string>, got ${vf.dataType}")
+    val (kName, vName) = (kf.name, vf.name)
+    df.select(col(kName), col(vName)).rdd.map { r =>
+      if (r.isNullAt(0) || r.isNullAt(1))
+        sys.error(s"sequenceFileArrayWrite: null in '$kName'/'$vName' - " +
+          "Writables cannot represent null; filter or fill first")
+      val aw = new TextArrayWritable()
+      aw.set(r.getSeq[String](1).map(s => new Text(s): Writable).toArray)
+      (new Text(r.getString(0)), aw): (Writable, Writable)
+    }.saveAsHadoopFile(path, classOf[Text], classOf[TextArrayWritable],
       classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
   }
 

@@ -542,4 +542,66 @@ class XmlAndSniffSpec extends SparkSpec {
     assert(CompatSources.sniffFormat(spark, s"$dir/s") == "sequencefile")
     assert(CompatSources.sniffFormat(spark, s"$dir/t.txt") == "text")
   }
+
+  test("MapWritable values round-trip to map<string,string> via the header") {
+    import org.apache.spark.sql.functions.{col, lit, map}
+    val dir = tmpDir()
+    val src = Seq((1L, "en", 120L), (2L, "fr", 45L), (3L, "en", 7L))
+      .toDF("doc_id", "lang", "n_chars")
+      .select(col("doc_id").cast("string").as("k"),
+        map(lit("lang"), col("lang"),
+          lit("n_chars"), col("n_chars").cast("string")).as("m"))
+    CompatSources.sequenceFileMapWrite(src, s"$dir/m")
+    val part = new java.io.File(s"$dir/m").listFiles()
+      .filter(_.getName.startsWith("part-")).head.getPath
+    assert(CompatSources.sequenceFileClasses(spark, part) ==
+      ("org.apache.hadoop.io.Text", "org.apache.hadoop.io.MapWritable"))
+    val back = CompatSources.sequenceFileAuto(spark, s"$dir/m")
+    import org.apache.spark.sql.types._
+    assert(back.schema("value").dataType == MapType(StringType, StringType))
+    val got = back.select(col("key").cast("long"),
+        col("value").getItem("lang"), col("value").getItem("n_chars").cast("long"))
+      .as[(Long, String, Long)].collect().toSet
+    assert(got == Set((1L, "en", 120L), (2L, "fr", 45L), (3L, "en", 7L)))
+  }
+
+  test("heterogeneous MapWritable entries (legacy-written) stringify per entry") {
+    // the reference's MapWritable is Writable→Writable per ENTRY — a
+    // legacy feature store mixes Text and numeric values in one map
+    import org.apache.hadoop.io.{IntWritable, MapWritable, SequenceFile, Text => HText}
+    val dir = tmpDir()
+    val p = new org.apache.hadoop.fs.Path(s"$dir/het.seq")
+    val w = SequenceFile.createWriter(spark.sparkContext.hadoopConfiguration,
+      SequenceFile.Writer.file(p),
+      SequenceFile.Writer.keyClass(classOf[HText]),
+      SequenceFile.Writer.valueClass(classOf[MapWritable]))
+    try {
+      val m = new MapWritable()
+      m.put(new HText("name"), new HText("alpha"))
+      m.put(new HText("count"), new IntWritable(42))
+      w.append(new HText("r1"), m)
+    } finally w.close()
+    val back = CompatSources.sequenceFileAuto(spark, s"$dir/het.seq")
+    val row = back.collect().head
+    val m = row.getMap[String, String](1)
+    assert(row.getString(0) == "r1" && m("name") == "alpha" && m("count") == "42")
+  }
+
+  test("ArrayWritable-subclass values round-trip to array<string>") {
+    import org.apache.spark.sql.functions.col
+    val dir = tmpDir()
+    val src = Seq(("a", Seq("x", "y")), ("b", Seq.empty[String]), ("c", Seq("z")))
+      .toDF("k", "tags")
+    CompatSources.sequenceFileArrayWrite(src, s"$dir/a")
+    val part = new java.io.File(s"$dir/a").listFiles()
+      .filter(_.getName.startsWith("part-")).head.getPath
+    assert(CompatSources.sequenceFileClasses(spark, part)._2 ==
+      "graft.sources.TextArrayWritable")
+    val back = CompatSources.sequenceFileAuto(spark, s"$dir/a")
+    import org.apache.spark.sql.types._
+    assert(back.schema("value").dataType.isInstanceOf[ArrayType])
+    val got = back.select(col("key"), col("value"))
+      .as[(String, Seq[String])].collect().toSet
+    assert(got == Set(("a", Seq("x", "y")), ("b", Seq.empty[String]), ("c", Seq("z"))))
+  }
 }
