@@ -188,6 +188,42 @@ object Dedup {
       .select(col("id1"), col("id2"), round(col("jaccard"), 4).as("jaccard"))
   }
 
+  /** Asymmetric CONTAINMENT pairs (Broder's "roughly contained"
+    * relation): emit (sub_id, sup_id, containment) whenever at least
+    * `thresholdPct`% of `sub`'s word-`n`-grams also occur in `sup` —
+    * the detector for SUB-DOCUMENT duplication (a tweet quoted inside
+    * an article, a doc truncated into another, boilerplate wrapping a
+    * copy), which symmetric Jaccard dilutes: a 100-gram doc fully
+    * contained in a 10,000-gram doc scores jaccard ≈ 0.01 but
+    * containment 1.0. Both directions of every co-shingled pair are
+    * tested; a pair of near-identical docs yields two rows.
+    *
+    * The keep rule is pure integer arithmetic
+    * (`inter · 100 ≥ pct · |sub|`) — no double threshold to disagree
+    * across engines. Scale shape: identical to [[ngramJaccardPairs]]
+    * (same fenced postings self-join via [[postingsPairs]], same
+    * `dfCap` guard); the direction fan-out is 2× the pair count,
+    * after aggregation. */
+  def containmentPairs(df: DataFrame, idCol: String, textCol: String,
+                       n: Int = 3, thresholdPct: Int = 90,
+                       dfCap: Int = DefaultDfCap): DataFrame = {
+    require(thresholdPct >= 1 && thresholdPct <= 100,
+      s"containmentPairs: thresholdPct must be in [1,100]: $thresholdPct")
+    val postings = df.select(col(idCol).as("doc_id"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("gram"))
+    val (g, pairs) = postingsPairs(postings, "gram", dfCap)
+    val sz = g.groupBy("doc_id").agg(count("*").as("n"))
+    val directions = pairs
+      .select(col("id1").as("sub_id"), col("id2").as("sup_id"), col("inter"))
+      .unionAll(pairs
+        .select(col("id2").as("sub_id"), col("id1").as("sup_id"), col("inter")))
+    directions
+      .join(sz.select(col("doc_id").as("sub_id"), col("n")), "sub_id")
+      .where(col("inter") * 100 >= col("n") * thresholdPct)
+      .select(col("sub_id"), col("sup_id"),
+        round(col("inter").cast("double") / col("n"), 4).as("containment"))
+  }
+
   /** Shared postings discipline for the pair generators: persist the
     * (doc_id, key) postings so the corpus is tokenized once, fence
     * keys present in more than `dfCap` documents via a broadcast

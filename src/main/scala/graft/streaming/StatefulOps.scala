@@ -188,6 +188,85 @@ object StatefulOps {
         TimeMode.None(), OutputMode.Update())
   }
 
+  /** Event-time TIMER session closer — the state-v2 surface's third
+    * leg (SURVEY §2.10): ValueState + `registerTimer`, firing when the
+    * WATERMARK passes the session's quiet-gap deadline rather than on
+    * processing-time wall clock ([[sessionSummaries]]' flavor). Replay
+    * determinism follows: the same event stream with the same
+    * watermark policy closes the same sessions at the same event-time
+    * boundaries, however fast the replay runs. Per key: one state
+    * tuple, one live timer (re-armed on every arrival — stale
+    * deadlines are deleted first), both freed on fire; memory is O(1)
+    * per active key. An arrival whose event time is already past the
+    * open session's quiet gap closes that session inline (the
+    * watermark — hence the timer — trails the very batch carrying the
+    * arrival), so sessions split at the same event-time boundaries as
+    * `session_window`: strict gap, events exactly gap-apart merge
+    * (the q172 boundary rule). */
+  class SessionTimerProcessor(gapMs: Long)
+      extends org.apache.spark.sql.streaming.StatefulProcessor[Long, Event, SessionOut] {
+    import org.apache.spark.sql.streaming.{TimeMode, TTLConfig, ValueState}
+    import org.apache.spark.sql.Encoders
+    @transient private var st: ValueState[(Long, Double, Long)] = _ // n, sum, maxTs
+    override def init(outputMode: OutputMode, timeMode: TimeMode): Unit =
+      st = getHandle.getValueState[(Long, Double, Long)](
+        "session",
+        Encoders.tuple(Encoders.scalaLong, Encoders.scalaDouble, Encoders.scalaLong),
+        TTLConfig.NONE)
+    override def handleInputRows(userId: Long, rows: Iterator[Event],
+        timerValues: org.apache.spark.sql.streaming.TimerValues): Iterator[SessionOut] = {
+      // An arrival already past the open session's quiet gap closes
+      // that session INLINE — the timer cannot have fired yet (the
+      // watermark only advances after the batch that carries this very
+      // event), and waiting for it would wrongly merge the two
+      // sessions. The timer's job is only the no-further-events tail.
+      // Strict `>` on the gap: events exactly gap-apart MERGE, the
+      // session_window boundary rule.
+      val out = Seq.newBuilder[SessionOut]
+      var cur = Option(st.get())
+      rows.toSeq.sortBy(_.ts.getTime).foreach { e =>
+        cur = cur match {
+          case Some((n, sum, maxTs)) if e.ts.getTime > maxTs + gapMs =>
+            out += SessionOut(userId, n, sum)
+            Some((1L, e.value, e.ts.getTime))
+          case Some((n, sum, maxTs)) =>
+            Some((n + 1, sum + e.value, math.max(maxTs, e.ts.getTime)))
+          case None =>
+            Some((1L, e.value, e.ts.getTime))
+        }
+      }
+      val (n, sum, maxTs) = cur.get
+      // exactly one live deadline per key: drop any stale timer, arm
+      // the new quiet-gap deadline off the latest event time seen
+      getHandle.listTimers().foreach(getHandle.deleteTimer)
+      getHandle.registerTimer(maxTs + gapMs)
+      st.update((n, sum, maxTs))
+      out.result().iterator
+    }
+    override def handleExpiredTimer(userId: Long,
+        timerValues: org.apache.spark.sql.streaming.TimerValues,
+        expiredTimerInfo: org.apache.spark.sql.streaming.ExpiredTimerInfo): Iterator[SessionOut] = {
+      val closed = Option(st.get()).map(s => SessionOut(userId, s._1, s._2))
+      st.clear()
+      closed.iterator
+    }
+  }
+
+  /** Sessions closed by event-time timers: one (userId, n, sum) row
+    * per session, emitted when the watermark passes the last event in
+    * the session plus `gapMs`. `delay` is the out-of-orderness bound
+    * handed to the watermark. */
+  def sessionCloseTws(events: Dataset[Event], gapMs: Long,
+                      delay: String = "10 seconds"): Dataset[SessionOut] = {
+    import events.sparkSession.implicits._
+    import org.apache.spark.sql.streaming.TimeMode
+    require(gapMs > 0, s"sessionCloseTws: gapMs must be positive: $gapMs")
+    events.withWatermark("ts", delay)
+      .groupByKey(_.userId)
+      .transformWithState(new SessionTimerProcessor(gapMs),
+        TimeMode.EventTime(), OutputMode.Append())
+  }
+
   case class TypedEvent(ts: Timestamp, userId: Long, eventType: String)
 
   /** Streaming funnel — `ops.Funnels.funnel`'s real-time twin: per

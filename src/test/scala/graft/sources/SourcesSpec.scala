@@ -268,19 +268,22 @@ class CompatSourcesSpec extends SparkSpec {
   }
 
   test("sequenceFileAuto fails loudly on an unmapped Writable class") {
-    import org.apache.hadoop.io.{MapWritable, NullWritable, SequenceFile}
+    // MapWritable graduated to a real mapping (map<string,string>), so
+    // the unmapped example is now VIntWritable — a Writable with no
+    // sane column type (its width is per-value)
+    import org.apache.hadoop.io.{NullWritable, SequenceFile, VIntWritable}
     val dir = tmpDir()
-    val p = new org.apache.hadoop.fs.Path(s"$dir/map.seq")
+    val p = new org.apache.hadoop.fs.Path(s"$dir/vint.seq")
     val w = SequenceFile.createWriter(spark.sparkContext.hadoopConfiguration,
       SequenceFile.Writer.file(p),
       SequenceFile.Writer.keyClass(classOf[NullWritable]),
-      SequenceFile.Writer.valueClass(classOf[MapWritable]))
-    try w.append(NullWritable.get(), new MapWritable())
+      SequenceFile.Writer.valueClass(classOf[VIntWritable]))
+    try w.append(NullWritable.get(), new VIntWritable(7))
     finally w.close()
     val e = intercept[IllegalArgumentException] {
-      CompatSources.sequenceFileAuto(spark, s"$dir/map.seq")
+      CompatSources.sequenceFileAuto(spark, s"$dir/vint.seq")
     }
-    assert(e.getMessage.contains("MapWritable"))
+    assert(e.getMessage.contains("VIntWritable"))
   }
 
   test("kvTextWrite emits key TAB value lines readable by kvText") {

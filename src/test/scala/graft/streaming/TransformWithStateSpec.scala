@@ -90,6 +90,88 @@ class TransformWithStateSpec extends SparkSpec {
     }
   }
 
+  test("event-time timers close sessions when the watermark passes the gap; session_window parity") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      // 5-minute quiet gap, tight 1-second out-of-orderness bound
+      val q = sessionCloseTws(ms.toDS(), gapMs = 5 * 60 * 1000L, delay = "1 second")
+        .writeStream.format("memory").queryName("tws_sessions")
+        .outputMode("append").start()
+      try {
+        // user 1: events at 00:00 and 00:02 (one session);
+        // user 2: event at 00:01
+        ms.addData(Event(ts(0), 1L, 2.0), Event(ts(2), 1L, 3.0), Event(ts(1), 2L, 5.0))
+        q.processAllAvailable()
+        // nothing may close yet: watermark still behind the deadlines
+        assert(spark.table("tws_sessions").isEmpty)
+        // a later event (user 3, 00:20) advances the max event time;
+        // the watermark computed from it (00:19:59) passes both
+        // deadlines (00:07, 00:06) on the FOLLOWING batch
+        ms.addData(Event(ts(20), 3L, 1.0))
+        q.processAllAvailable()
+        ms.addData(Event(ts(21), 3L, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sessions").as[SessionOut].collect().toSet
+        assert(rows == Set(SessionOut(1L, 2L, 5.0), SessionOut(2L, 1L, 5.0)), rows.toString)
+        // parity: the closed sessions equal session_window's batch
+        // answer (same 5-minute gap) over the same closed-user events
+        import org.apache.spark.sql.functions._
+        val batch = Seq(Event(ts(0), 1L, 2.0), Event(ts(2), 1L, 3.0), Event(ts(1), 2L, 5.0))
+          .toDF()
+          .groupBy(session_window(col("ts"), "5 minutes"), col("userId"))
+          .agg(count(lit(1)).as("n"), sum("value").as("s"))
+          .select(col("userId"), col("n"), col("s"))
+          .as[(Long, Long, Double)].collect()
+          .map(t => SessionOut(t._1, t._2, t._3)).toSet
+        assert(rows == batch, s"$rows vs $batch")
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
+  test("a post-close arrival starts a FRESH session (state and timer were freed)") {
+    implicit val sqlCtx = spark.sqlContext
+    val key = "spark.sql.streaming.stateStore.providerClass"
+    val prev = spark.conf.getOption(key)
+    spark.conf.set(key,
+      "org.apache.spark.sql.execution.streaming.state.RocksDBStateStoreProvider")
+    try {
+      val ms = MemoryStream[Event]
+      val q = sessionCloseTws(ms.toDS(), gapMs = 5 * 60 * 1000L, delay = "1 second")
+        .writeStream.format("memory").queryName("tws_sessions2")
+        .outputMode("append").start()
+      try {
+        ms.addData(Event(ts(0), 1L, 2.0))
+        q.processAllAvailable()
+        ms.addData(Event(ts(20), 1L, 7.0)) // advances watermark AND re-keys user 1
+        q.processAllAvailable()
+        ms.addData(Event(ts(40), 2L, 1.0))
+        q.processAllAvailable()
+        ms.addData(Event(ts(59), 2L, 1.0))
+        q.processAllAvailable()
+        val rows = spark.table("tws_sessions2").as[SessionOut].collect().toSet
+        // first session (n=1, sum=2) closed by the 00:20 arrival's
+        // watermark; second (n=1, sum=7) closed by the 00:40 one
+        assert(rows.contains(SessionOut(1L, 1L, 2.0)) && rows.contains(SessionOut(1L, 1L, 7.0)),
+          rows.toString)
+      } finally q.stop()
+    } finally {
+      prev match {
+        case Some(v) => spark.conf.set(key, v)
+        case None => spark.conf.unset(key)
+      }
+    }
+  }
+
   test("ListState top-k: bounded state accumulates the true running top-3") {
     implicit val sqlCtx = spark.sqlContext
     val key = "spark.sql.streaming.stateStore.providerClass"
