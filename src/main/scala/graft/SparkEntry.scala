@@ -3085,6 +3085,103 @@ object SparkEntry {
           col("value").getItem("lang").as("lang"),
           col("value").getItem("n_chars").cast("long").as("n_chars"))
         .orderBy("doc_id")
+    }),
+
+    // Q195 — asymmetric CONTAINMENT pairs ([[graft.llm.Dedup
+    // .containmentPairs]]): sub-document duplication (a doc quoted or
+    // truncated inside another) that symmetric Jaccard dilutes.
+    // Integer keep rule (inter·100 ≥ 60·|sub|), both directions
+    // tested. Threshold 60% rather than 90 so the synthetic fixtures
+    // (no true subsets, several heavy-overlap near-dups) yield rows.
+    "q195_containment_pairs" -> ((s, d) =>
+      Dedup.containmentPairs(docs(s, d), "doc_id", "text", 3, 60)
+        .orderBy("sub_id", "sup_id")),
+
+    // Q196 — k-anonymity audit ([[graft.ops.Privacy]]): the violating
+    // (lang, source) equivalence classes under k=10 plus the release
+    // gate's summary row folded in via a marker union — the privacy
+    // op a dataset passes before export.
+    "q196_k_anonymity" -> ((s, d) => {
+      val v = graft.ops.Privacy.kAnonymityViolations(
+        docs(s, d), Seq("lang", "source"), 10L)
+      val r = graft.ops.Privacy.kAnonymityReport(
+          docs(s, d), Seq("lang", "source"), 10L)
+        .select(lit("__report").as("lang"),
+          concat(col("n_classes"), lit("/"), col("n_violating"), lit("/"),
+            col("rows_at_risk"), lit("/"), col("achieved_k")).as("source"),
+          col("n_classes").as("n"))
+      v.unionByName(r).orderBy("lang", "source")
+    }),
+
+    // Q197 — stopword-profile language ID ([[graft.llm.LangId]]):
+    // score per literal function-word profile, argmax with the
+    // alphabetical-first tie rule; deterministic, model-free,
+    // map-only. (The synthetic corpus shares one word pool across
+    // langs, so predictions measure the scorer, not real accuracy —
+    // the discriminating fixture lives in the unit spec.)
+    "q197_lang_id" -> ((s, d) =>
+      graft.llm.LangId.predict(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
+
+    // Q198 — deterministic per-group MODE: most frequent source per
+    // lang with the (count desc, value asc) tie rule made explicit —
+    // `mode()` alone is nondeterministic on ties in both engines.
+    "q198_mode" -> ((s, d) => {
+      val cnt = docs(s, d).groupBy("lang", "source").agg(count(lit(1)).as("n"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(desc("n"), asc("source"))
+      cnt.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("lang"), col("source").as("mode_source"), col("n"))
+        .orderBy("lang")
+    }),
+
+    // Q199 — robust means per group: 10% two-sided TRIMMED mean (drop
+    // the floor(n/10) smallest and largest values) and WINSORIZED mean
+    // (clamp to the surviving extremes) of n_chars per lang. Rank
+    // cutoffs are pure integer arithmetic over a total order
+    // (n_chars, doc_id); only the final means are rounded.
+    "q199_robust_mean" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      val ranked = docs(s, d)
+        .select(col("lang"), col("n_chars"), col("doc_id"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+      val cut = floor(col("m") / 10)
+      // means as explicit integer-SUM / COUNT: the sums are exact, the
+      // single double division is bit-identical across engines — no
+      // ROUND, no AVG-implementation drift (the r7 parity lesson)
+      val kept = ranked.where(col("rn") > cut && col("rn") <= col("m") - cut)
+      val trimmed = kept.groupBy("lang")
+        .agg((sum("n_chars").cast("double") / count(lit(1))).as("trimmed_mean"),
+          min("n_chars").as("lo"), max("n_chars").as("hi"),
+          count(lit(1)).as("n_kept"))
+      val winsor = ranked.join(trimmed.select(col("lang"), col("lo"), col("hi")), "lang")
+        .groupBy("lang")
+        .agg((sum(greatest(least(col("n_chars"), col("hi")), col("lo"))).cast("double") /
+          count(lit(1))).as("winsorized_mean"))
+      trimmed.join(winsor, "lang")
+        .select(col("lang"), col("trimmed_mean"), col("winsorized_mean"), col("n_kept"))
+        .orderBy("lang")
+    }),
+
+    // Q200 — MERGE INTO applied as a batch operator ([[graft.ops
+    // .Merge.applyChanges]]): customer balances (integer cents) merged
+    // with an order-derived CDC batch — latest change per key wins
+    // (compaction), latest 'P' status deletes, everything else
+    // upserts. The oracle replays the same MERGE as a window + full
+    // outer join.
+    "q200_merge_apply" -> ((s, d) => {
+      val base = cust(s, d).select(col("c_custkey").as("k"),
+        round(col("c_acctbal") * 100).cast("long").as("cents"))
+      val changes = ord(s, d).select(col("o_custkey").as("k"),
+        round(col("o_totalprice") * 100).cast("long").as("cents"),
+        when(col("o_orderstatus") === "P", lit("D")).otherwise(lit("U")).as("op"),
+        col("o_orderkey").as("ord"))
+      graft.ops.Merge.applyChanges(base, changes, Seq("k"), "op", "ord")
+        .orderBy("k")
     })
   )
 
@@ -5083,7 +5180,97 @@ object SparkEntry {
 
     "q194_seqfile_map_values" ->
       """SELECT doc_id, lang, n_chars
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q195_containment_pairs" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |p AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |      FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |d AS (SELECT id1 AS sub_id, id2 AS sup_id, inter FROM p
+        |      UNION ALL SELECT id2, id1, inter FROM p)
+        |SELECT sub_id, sup_id, CAST(inter AS DOUBLE) / n AS containment
+        |FROM d JOIN sz ON sz.doc_id = sub_id
+        |WHERE inter * 100 >= n * 60
+        |ORDER BY sub_id, sup_id""".stripMargin,
+
+    "q196_k_anonymity" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |v AS (SELECT lang, source, n FROM c WHERE n < 10),
+        |r AS (SELECT '__report' AS lang,
+        |        COUNT(*) || '/' || CAST(SUM(CASE WHEN n < 10 THEN 1 ELSE 0 END) AS BIGINT)
+        |          || '/' || CAST(COALESCE(SUM(CASE WHEN n < 10 THEN n END), 0) AS BIGINT)
+        |          || '/' || MIN(n) AS source,
+        |        CAST(COUNT(*) AS BIGINT) AS n
+        |      FROM c)
+        |SELECT lang, source, n FROM v
+        |UNION ALL SELECT lang, source, n FROM r
+        |ORDER BY lang, source""".stripMargin,
+
+    "q197_lang_id" ->
+      """WITH t AS (SELECT doc_id, STRING_SPLIT(LOWER(text), ' ') AS ws FROM documents),
+        |s AS (SELECT doc_id,
+        |  CAST(LEN(LIST_FILTER(ws, w -> w IN ('der','die','und','das','ist','nicht','ein','zu'))) AS BIGINT) AS s_de,
+        |  CAST(LEN(LIST_FILTER(ws, w -> w IN ('the','a','of','and','to','in','is','that'))) AS BIGINT) AS s_en,
+        |  CAST(LEN(LIST_FILTER(ws, w -> w IN ('el','de','que','y','los','una','las','por'))) AS BIGINT) AS s_es,
+        |  CAST(LEN(LIST_FILTER(ws, w -> w IN ('le','la','et','les','des','est','une','dans'))) AS BIGINT) AS s_fr,
+        |  CAST(LEN(LIST_FILTER(ws, w -> w IN ('的','是','了','在','我','有','他','不'))) AS BIGINT) AS s_zh
+        |FROM t)
+        |SELECT doc_id,
+        |  CASE WHEN s_de >= s_en AND s_de >= s_es AND s_de >= s_fr AND s_de >= s_zh THEN 'de'
+        |       WHEN s_en >= s_de AND s_en >= s_es AND s_en >= s_fr AND s_en >= s_zh THEN 'en'
+        |       WHEN s_es >= s_de AND s_es >= s_en AND s_es >= s_fr AND s_es >= s_zh THEN 'es'
+        |       WHEN s_fr >= s_de AND s_fr >= s_en AND s_fr >= s_es AND s_fr >= s_zh THEN 'fr'
+        |       ELSE 'zh' END AS pred_lang,
+        |  GREATEST(s_de, s_en, s_es, s_fr, s_zh) AS score,
+        |  s_de, s_en, s_es, s_fr, s_zh
+        |FROM s ORDER BY doc_id""".stripMargin,
+
+    "q198_mode" ->
+      """WITH c AS (SELECT lang, source, CAST(COUNT(*) AS BIGINT) AS n
+        |           FROM documents GROUP BY 1, 2),
+        |r AS (SELECT lang, source, n,
+        |        ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n DESC, source) AS rn
+        |      FROM c)
+        |SELECT lang, source AS mode_source, n FROM r WHERE rn = 1 ORDER BY lang""".stripMargin,
+
+    "q199_robust_mean" ->
+      """WITH r AS (SELECT lang, n_chars, doc_id,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS m
+        |  FROM documents),
+        |k AS (SELECT * FROM r WHERE rn > m // 10 AND rn <= m - m // 10),
+        |t AS (SELECT lang,
+        |        CAST(SUM(n_chars) AS DOUBLE) / COUNT(*) AS trimmed_mean,
+        |        MIN(n_chars) AS lo, MAX(n_chars) AS hi,
+        |        CAST(COUNT(*) AS BIGINT) AS n_kept
+        |      FROM k GROUP BY lang),
+        |w AS (SELECT r.lang,
+        |        CAST(SUM(GREATEST(LEAST(r.n_chars, t.hi), t.lo)) AS DOUBLE) / COUNT(*)
+        |          AS winsorized_mean
+        |      FROM r JOIN t ON r.lang = t.lang GROUP BY r.lang)
+        |SELECT t.lang, trimmed_mean, winsorized_mean, n_kept
+        |FROM t JOIN w ON t.lang = w.lang ORDER BY t.lang""".stripMargin,
+
+    "q200_merge_apply" ->
+      """WITH base AS (SELECT c_custkey AS k,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer),
+        |ch AS (SELECT o_custkey AS k,
+        |    CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+        |    CASE WHEN o_orderstatus = 'P' THEN 'D' ELSE 'U' END AS op,
+        |    o_orderkey AS ord
+        |  FROM orders),
+        |latest AS (SELECT k, cents, op FROM
+        |    (SELECT *, ROW_NUMBER() OVER (PARTITION BY k ORDER BY ord DESC) AS rn FROM ch)
+        |  WHERE rn = 1)
+        |SELECT COALESCE(b.k, l.k) AS k,
+        |  COALESCE(l.cents, b.cents) AS cents
+        |FROM base b FULL OUTER JOIN latest l ON b.k = l.k
+        |WHERE l.op IS NULL OR l.op <> 'D'
+        |ORDER BY k""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

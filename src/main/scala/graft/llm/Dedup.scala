@@ -220,8 +220,12 @@ object Dedup {
     directions
       .join(sz.select(col("doc_id").as("sub_id"), col("n")), "sub_id")
       .where(col("inter") * 100 >= col("n") * thresholdPct)
+      // RAW double, not ROUND(·,4): one division of two exact integers
+      // is bit-identical across engines, while rounding a ratio that
+      // lands exactly on a half-boundary (1/32 = 0.03125) is not —
+      // the r7 ROUND-parity lesson
       .select(col("sub_id"), col("sup_id"),
-        round(col("inter").cast("double") / col("n"), 4).as("containment"))
+        (col("inter").cast("double") / col("n")).as("containment"))
   }
 
   /** Shared postings discipline for the pair generators: persist the

@@ -49,11 +49,13 @@ object Merge {
         countDistinct(col(ordCol)).as("__nord"))
       .select((keyCols.map(k => col(s"__ch.$k").as(k)) ++
         dataCols.map(c => col(s"__ch.$c").as(s"__ch_$c")) :+
-        col(s"__ch.$opCol").as("__op") :+
+        // the guard lives INSIDE the kept op column — a standalone
+        // guard column would be pruned (and its raise_error silenced)
+        // the moment it is dropped
         when(col("__n") =!= col("__nord"), raise_error(lit(
           s"Merge.applyChanges: duplicate $ordCol within a key's change batch - " +
-            "latest-change selection would be nondeterministic"))).as("__dup")): _*)
-      .drop("__dup")
+            "latest-change selection would be nondeterministic")))
+          .otherwise(col(s"__ch.$opCol")).as("__op")): _*)
 
     base.join(latest, keyCols, "full_outer")
       .where(col("__op").isNull || col("__op") =!= "D")
