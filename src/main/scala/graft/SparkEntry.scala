@@ -3182,7 +3182,67 @@ object SparkEntry {
         col("o_orderkey").as("ord"))
       graft.ops.Merge.applyChanges(base, changes, Seq("k"), "op", "ord")
         .orderBy("k")
-    })
+    }),
+
+    // Q201 — EWMA smoothing per user ([[graft.ops.StatefulScan
+    // .ewma]]): the canonical non-associative recurrence (ewma_i =
+    // α·x_i + (1-α)·ewma_{i-1}), replayed bit-for-bit by a recursive
+    // CTE oracle — each step is the same two IEEE multiplies and add
+    // in the same order, so the doubles are emitted RAW.
+    "q201_ewma" -> ((s, d) =>
+      graft.ops.StatefulScan.ewma(
+          ev(s, d).select(col("user_id"), col("event_id"),
+            col("value").cast("double").as("value"), col("ts")),
+          "user_id", "event_id", "value", Seq(col("ts"), col("event_id")), 0.5)
+        .orderBy("user_id", "event_id")),
+
+    // Q202 — sessionization with a quiet-gap cut AND a max-duration
+    // cap ([[graft.ops.StatefulScan.cappedSessions]]) — the contract
+    // session_window cannot express (its sessions extend while events
+    // keep arriving; bot traffic makes week-long sessions). 1-hour
+    // gap, 6-hour cap; the oracle replays the scan recursively.
+    "q202_capped_sessions" -> ((s, d) =>
+      graft.ops.StatefulScan.cappedSessions(
+          ev(s, d).select(col("user_id"), col("event_id"),
+            unix_micros(col("ts")).as("ts_us")),
+          "user_id", "event_id", "ts_us",
+          gapUs = 3600L * 1000000, maxDurUs = 6 * 3600L * 1000000)
+        .orderBy("user_id", "event_id")),
+
+    // Q203 — quantile normalization (rank → [0,1] feature scaling)
+    // per language over n_chars: qn = (rank-1)/(m-1) on the total
+    // order (n_chars, doc_id) — integer ratio, raw double, single-key
+    // shuffle. The feature-engineering twin of q107's percent_rank.
+    "q203_quantile_norm" -> ((s, d) => {
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy("lang").orderBy(col("n_chars"), col("doc_id"))
+      docs(s, d).select(col("doc_id"), col("lang"), col("n_chars"))
+        .withColumn("rn", row_number().over(w))
+        .withColumn("m", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy("lang")))
+        .select(col("doc_id"), col("lang"),
+          when(col("m") === 1, lit(0.0))
+            .otherwise((col("rn") - 1).cast("double") / (col("m") - 1)).as("qnorm"))
+        .orderBy("doc_id")
+    }),
+
+    // Q204 — OHLC downsampling (time-series resample to 1-hour bars
+    // per event type): open/close picked atomically by min_by/max_by
+    // over the (ts, event_id) total order, high/low/volume plain
+    // aggregates — one shuffle, map-side combined. Values pass
+    // through untouched (picks, not arithmetic) → raw doubles.
+    "q204_ohlc_bars" -> ((s, d) =>
+      ev(s, d)
+        .select(col("event_type"), col("event_id"), col("value"),
+          unix_micros(col("ts")).as("us"))
+        .withColumn("bucket", floor(col("us") / (3600L * 1000000)))
+        .groupBy("event_type", "bucket")
+        .agg(min_by(col("value"), struct(col("us"), col("event_id"))).as("open"),
+          max(col("value")).as("high"),
+          min(col("value")).as("low"),
+          max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
+          count(lit(1)).as("n"))
+        .orderBy("event_type", "bucket"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -5270,7 +5330,75 @@ object SparkEntry {
         |  COALESCE(l.cents, b.cents) AS cents
         |FROM base b FULL OUTER JOIN latest l ON b.k = l.k
         |WHERE l.op IS NULL OR l.op <> 'D'
-        |ORDER BY k""".stripMargin
+        |ORDER BY k""".stripMargin,
+
+    // epoch_us(ts) everywhere ts orders rows: the parquet is
+    // TIMESTAMP_NS in DuckDB but micro-truncated in Spark (q143 rule)
+    "q201_ewma" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, CAST(value AS DOUBLE) AS value,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, rn, value AS x, value AS ewma
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.rn, e.value,
+        |    0.5 * e.value + 0.5 * r.ewma
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, x, ewma FROM r
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q202_capped_sessions" ->
+      """WITH RECURSIVE e AS (
+        |  SELECT user_id, event_id, epoch_us(ts) AS ts_us,
+        |    ROW_NUMBER() OVER (PARTITION BY user_id
+        |      ORDER BY epoch_us(ts), event_id) AS rn
+        |  FROM events),
+        |r AS (
+        |  SELECT user_id, event_id, ts_us, rn,
+        |    CAST(1 AS BIGINT) AS session_ord, ts_us AS sess_start
+        |  FROM e WHERE rn = 1
+        |  UNION ALL
+        |  SELECT e.user_id, e.event_id, e.ts_us, e.rn,
+        |    CASE WHEN e.ts_us - r.ts_us > 3600000000
+        |           OR e.ts_us - r.sess_start > 21600000000
+        |         THEN r.session_ord + 1 ELSE r.session_ord END,
+        |    CASE WHEN e.ts_us - r.ts_us > 3600000000
+        |           OR e.ts_us - r.sess_start > 21600000000
+        |         THEN e.ts_us ELSE r.sess_start END
+        |  FROM r JOIN e ON e.user_id = r.user_id AND e.rn = r.rn + 1)
+        |SELECT user_id, event_id, ts_us, session_ord FROM r
+        |ORDER BY user_id, event_id""".stripMargin,
+
+    "q203_quantile_norm" ->
+      """WITH r AS (SELECT doc_id, lang, n_chars,
+        |    ROW_NUMBER() OVER (PARTITION BY lang ORDER BY n_chars, doc_id) AS rn,
+        |    COUNT(*) OVER (PARTITION BY lang) AS m
+        |  FROM documents)
+        |SELECT doc_id, lang,
+        |  CASE WHEN m = 1 THEN 0.0
+        |       ELSE CAST(rn - 1 AS DOUBLE) / (m - 1) END AS qnorm
+        |FROM r ORDER BY doc_id""".stripMargin,
+
+    "q204_ohlc_bars" ->
+      """WITH e AS (SELECT event_type, event_id, value,
+        |    epoch_us(ts) AS us, epoch_us(ts) // 3600000000 AS bucket
+        |  FROM events),
+        |r AS (SELECT *,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY us, event_id) AS rf,
+        |    ROW_NUMBER() OVER (PARTITION BY event_type, bucket
+        |      ORDER BY us DESC, event_id DESC) AS rl
+        |  FROM e)
+        |SELECT event_type, bucket,
+        |  MAX(CASE WHEN rf = 1 THEN value END) AS open,
+        |  MAX(value) AS high,
+        |  MIN(value) AS low,
+        |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
+        |  CAST(COUNT(*) AS BIGINT) AS n
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -53,4 +53,52 @@ class StatefulScanSpec extends SparkSpec {
     val rows = (0L until 500L).map(i => (i % 50, i, if (i % 7 == 0) -3L else 2L))
     assert(run(rows, 0L) == naive(rows, 0L))
   }
+
+  test("ewma matches the naive recurrence bit-for-bit") {
+    val rows = (0L until 300L).map(i => (i % 7, i, (i * 37 % 101).toDouble))
+    val naiveEwma: Map[(Long, Long), Double] =
+      rows.groupBy(_._1).flatMap { case (k, rs) =>
+        var prev = Double.NaN
+        rs.sortBy(_._2).map { case (_, id, x) =>
+          prev = if (prev.isNaN) x else 0.25 * x + 0.75 * prev
+          (k, id) -> prev
+        }
+      }
+    val got = StatefulScan.ewma(rows.toDF("k", "id", "x"), "k", "id", "x",
+        Seq(col("id")), 0.25)
+      .as[(Long, Long, Double, Double)].collect()
+      .map { case (k, id, _, e) => (k, id) -> e }.toMap
+    assert(got == naiveEwma) // exact ==: same IEEE op order
+  }
+
+  test("ewma rejects non-double value columns loudly") {
+    val e = intercept[IllegalArgumentException] {
+      StatefulScan.ewma(Seq((1L, 1L, 2L)).toDF("k", "id", "x"),
+        "k", "id", "x", Seq(col("id")), 0.5)
+    }
+    assert(e.getMessage.contains("DoubleType"))
+  }
+
+  test("cappedSessions splits on gap, on duration cap, and restarts the span") {
+    // key 1: events at 0, 10, 20, 100 (gap 50 splits), then a chain
+    // 100..160 in steps of 20 crossing the 50-duration cap
+    val ts = Seq(0L, 10L, 20L, 100L, 120L, 140L, 160L)
+    val rows = ts.zipWithIndex.map { case (t, i) => (1L, i.toLong, t) }
+    val got = StatefulScan.cappedSessions(rows.toDF("k", "id", "ts"),
+        "k", "id", "ts", gapUs = 50L, maxDurUs = 50L)
+      .as[(Long, Long, Long, Long)].collect()
+      .map { case (_, id, _, ord) => id -> ord }.toMap
+    // 0,10,20 → session 1; 100 → 2 (gap); 120,140 extend (span 40);
+    // 160 → 3 (span 60 > 50 cap)
+    assert(got == Map(0L -> 1L, 1L -> 1L, 2L -> 1L, 3L -> 2L,
+      4L -> 2L, 5L -> 2L, 6L -> 3L), got.toString)
+  }
+
+  test("cappedSessions with huge caps degenerates to one session per key") {
+    val rows = (0L until 100L).map(i => (i % 5, i, i * 1000L))
+    val got = StatefulScan.cappedSessions(rows.toDF("k", "id", "ts"),
+        "k", "id", "ts", gapUs = Long.MaxValue / 4, maxDurUs = Long.MaxValue / 4)
+      .as[(Long, Long, Long, Long)].collect()
+    assert(got.forall(_._4 == 1L))
+  }
 }
