@@ -3242,7 +3242,117 @@ object SparkEntry {
           min(col("value")).as("low"),
           max_by(col("value"), struct(col("us"), col("event_id"))).as("close"),
           count(lit(1)).as("n"))
-        .orderBy("event_type", "bucket"))
+        .orderBy("event_type", "bucket")),
+
+    // Q205 — NATIVE recursive CTE (WITH RECURSIVE, Spark 4): the
+    // declarative form of the iterative graph walks this engine
+    // otherwise runs as driver loops (Bfs, Dedup.components). A
+    // binary-tree hierarchy over contiguous custkeys (parent =
+    // floor(k/2)) is walked from the root accumulating path sums in
+    // integer cents; depth is bounded by log2(maxkey) so the
+    // recursion terminates well under the engine's level limit. Both
+    // engines run the SAME recursive SQL — the oracle is the dialect
+    // twin, not a reformulation.
+    "q205_recursive_cte" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH RECURSIVE walk AS (
+          SELECT c_custkey AS k,
+            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_cents,
+            0 AS depth
+          FROM customer WHERE c_custkey = 1
+          UNION ALL
+          SELECT c.c_custkey,
+            w.path_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT),
+            w.depth + 1
+          FROM customer c JOIN walk w
+            ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = w.k
+          WHERE c.c_custkey > 1)
+        SELECT CAST(depth AS BIGINT) AS depth, COUNT(*) AS n,
+          SUM(path_cents) AS cents
+        FROM walk GROUP BY depth ORDER BY depth""")
+    }),
+
+    // Q206 — VARIANT semi-structured ingestion (Spark 4 VariantType):
+    // parse_json once into the binary variant encoding, then typed
+    // path extraction (variant_get) feeding plain aggregates — the
+    // shreddable modern path for JSON event payloads at scale, vs
+    // q99's per-access get_json_object string re-parse. try_variant_get
+    // on an absent path exercises the null (not error) contract.
+    "q206_variant_json" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT event_type,
+          COUNT(DISTINCT variant_get(parse_json(props), '$.k', 'long')) AS n_k,
+          SUM(variant_get(parse_json(props), '$.k', 'long')) AS sum_k,
+          SUM(CASE WHEN try_variant_get(parse_json(props), '$.missing', 'long')
+              IS NULL THEN 1 ELSE 0 END) AS n_missing
+        FROM events GROUP BY event_type ORDER BY event_type""")
+    }),
+
+    // Q207 — collated aggregation (Spark 4 string collations): COUNT
+    // DISTINCT under UTF8_LCASE vs the case-sensitive default over a
+    // deterministically case-perturbed column. The collation lives in
+    // the comparison (hash-agg keys), not in a normalized copy of the
+    // data; outputs are counts only, so no collation-dependent string
+    // representative leaks into the hashed result.
+    "q207_collated_agg" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        WITH m AS (SELECT source,
+            CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END AS lang2
+          FROM documents)
+        SELECT source,
+          COUNT(DISTINCT COLLATE(lang2, 'UTF8_LCASE')) AS n_ci,
+          COUNT(DISTINCT lang2) AS n_cs
+        FROM m GROUP BY source ORDER BY source""")
+    }),
+
+    // Q208 — correlated LATERAL subquery with ORDER BY + LIMIT
+    // (per-group top-k as a join operand, Spark 4): top-3 customers
+    // by balance per nation, written the way a SQL user writes it;
+    // Catalyst decorrelates the limit into a partitioned window
+    // instead of executing the subquery per outer row.
+    "q208_lateral_topk" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT n_nationkey, s.c_custkey, s.cents
+        FROM nation, LATERAL (
+          SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+          FROM customer WHERE c_nationkey = n_nationkey
+          ORDER BY cents DESC, c_custkey LIMIT 3) s
+        ORDER BY n_nationkey, cents DESC, c_custkey""")
+    }),
+
+    // Q209 — leakage-safe train/val/test splits: near-duplicate
+    // CLUSTERS (connected components over verified MinHash pairs)
+    // are assigned to a split atomically via an md5 bucket of the
+    // cluster representative — the eval-contamination guard a naive
+    // per-document hash split violates (two near-dups landing in
+    // train and test). Singleton docs are their own cluster. By
+    // construction no cluster spans splits; the output audits the
+    // split sizes in docs / clusters / chars.
+    "q209_leakage_safe_splits" -> ((s, d) => {
+      val pairs = Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+      val comp = Dedup.components(pairs)
+      val withRep = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
+        .select(col("doc_id"), col("n_chars"),
+          coalesce(col("comp_id"), col("doc_id")).as("rep"))
+      val bucket = pmod(
+        conv(substring(md5(col("rep").cast("string").cast("binary")), 1, 4),
+          16, 10).cast("long"), lit(20))
+      withRep
+        .withColumn("split",
+          when(bucket === 0, lit("val"))
+            .when(bucket === 1, lit("test"))
+            .otherwise(lit("train")))
+        .groupBy("split")
+        .agg(count(lit(1)).as("n_docs"),
+          countDistinct(col("rep")).as("n_clusters"),
+          sum("n_chars").as("chars"))
+        .orderBy("split")
+    })
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -5398,7 +5508,87 @@ object SparkEntry {
         |  MIN(value) AS low,
         |  MAX(CASE WHEN rl = 1 THEN value END) AS close,
         |  CAST(COUNT(*) AS BIGINT) AS n
-        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin
+        |FROM r GROUP BY 1, 2 ORDER BY event_type, bucket""".stripMargin,
+
+    // the same recursive SQL, dialect-twinned (DuckDB SUM(BIGINT)
+    // returns HUGEINT → explicit BIGINT casts on the aggregates)
+    "q205_recursive_cte" ->
+      """WITH RECURSIVE walk AS (
+        |  SELECT c_custkey AS k,
+        |    CAST(ROUND(c_acctbal * 100) AS BIGINT) AS path_cents,
+        |    0 AS depth
+        |  FROM customer WHERE c_custkey = 1
+        |  UNION ALL
+        |  SELECT c.c_custkey,
+        |    w.path_cents + CAST(ROUND(c.c_acctbal * 100) AS BIGINT),
+        |    w.depth + 1
+        |  FROM customer c JOIN walk w
+        |    ON CAST(FLOOR(c.c_custkey / 2.0) AS BIGINT) = w.k
+        |  WHERE c.c_custkey > 1)
+        |SELECT CAST(depth AS BIGINT) AS depth,
+        |  CAST(COUNT(*) AS BIGINT) AS n,
+        |  CAST(SUM(path_cents) AS BIGINT) AS cents
+        |FROM walk GROUP BY depth ORDER BY depth""".stripMargin,
+
+    "q206_variant_json" ->
+      """SELECT event_type,
+        |  CAST(COUNT(DISTINCT CAST(props->>'k' AS BIGINT)) AS BIGINT) AS n_k,
+        |  CAST(SUM(CAST(props->>'k' AS BIGINT)) AS BIGINT) AS sum_k,
+        |  CAST(SUM(CASE WHEN json_extract_string(props, '$.missing') IS NULL
+        |      THEN 1 ELSE 0 END) AS BIGINT) AS n_missing
+        |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin,
+
+    // case-insensitive distinct re-derived by LOWER() normalization —
+    // the fixture langs are ASCII, where UTF8_LCASE == lowercase-fold
+    "q207_collated_agg" ->
+      """WITH m AS (SELECT source,
+        |    CASE WHEN doc_id % 2 = 0 THEN UPPER(lang) ELSE lang END AS lang2
+        |  FROM documents)
+        |SELECT source,
+        |  CAST(COUNT(DISTINCT LOWER(lang2)) AS BIGINT) AS n_ci,
+        |  CAST(COUNT(DISTINCT lang2) AS BIGINT) AS n_cs
+        |FROM m GROUP BY source ORDER BY source""".stripMargin,
+
+    "q208_lateral_topk" ->
+      """SELECT n_nationkey, s.c_custkey, s.cents
+        |FROM nation, LATERAL (
+        |  SELECT c_custkey, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        |  FROM customer WHERE c_nationkey = n_nationkey
+        |  ORDER BY cents DESC, c_custkey LIMIT 3) s
+        |ORDER BY n_nationkey, cents DESC, c_custkey""".stripMargin,
+
+    // the q49 closure pipeline (exact-Jaccard pairs → recursive
+    // reachability → min-id component), extended to singleton docs
+    // via the LEFT JOIN COALESCE, then the same md5-bucket split rule
+    "q209_leakage_safe_splits" ->
+      """WITH RECURSIVE
+        |tok AS (SELECT doc_id, STRING_SPLIT(text,' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS gram
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws)-2),
+        |sz AS (SELECT doc_id, COUNT(*) AS n FROM g GROUP BY doc_id),
+        |p0 AS (SELECT a.doc_id AS id1, b.doc_id AS id2, COUNT(*) AS inter
+        |       FROM g a JOIN g b ON a.gram = b.gram AND a.doc_id < b.doc_id GROUP BY 1, 2),
+        |jp AS (SELECT id1, id2
+        |       FROM p0 JOIN sz sa ON sa.doc_id = id1 JOIN sz sb ON sb.doc_id = id2
+        |       WHERE CAST(inter AS DOUBLE)/(sa.n + sb.n - inter) >= 0.5),
+        |e AS (SELECT id1 AS a, id2 AS b FROM jp UNION SELECT id2, id1 FROM jp),
+        |reach AS (SELECT a, b FROM e
+        |          UNION
+        |          SELECT r.a, e2.b FROM reach r JOIN e e2 ON r.b = e2.a),
+        |comp AS (SELECT a AS id, LEAST(a, MIN(b)) AS comp_id FROM reach GROUP BY a),
+        |rep AS (SELECT d.doc_id, d.n_chars,
+        |          COALESCE(c.comp_id, d.doc_id) AS rep
+        |        FROM documents d LEFT JOIN comp c ON c.id = d.doc_id),
+        |b AS (SELECT doc_id, n_chars, rep,
+        |        CAST(('0x' || substr(md5(CAST(rep AS VARCHAR)), 1, 4)) AS BIGINT)
+        |          % 20 AS bk
+        |      FROM rep)
+        |SELECT CASE WHEN bk = 0 THEN 'val' WHEN bk = 1 THEN 'test'
+        |            ELSE 'train' END AS split,
+        |  CAST(COUNT(*) AS BIGINT) AS n_docs,
+        |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
+        |  CAST(SUM(n_chars) AS BIGINT) AS chars
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -25,10 +25,14 @@ object Tables {
   def part(s: SparkSession, d: String): DataFrame      = load(s, d, "part")
   def orders(s: SparkSession, d: String): DataFrame    = load(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame  = load(s, d, "lineitem")
-  /** `events.ts` is physically TIMESTAMP(NANOS), which Spark's parquet
-    * reader rejects ([PARQUET_TYPE_ILLEGAL]). Read nanos as long
-    * (legacy flag) and truncate to microseconds — the same truncation
-    * DuckDB applies on `CAST(ts AS TIMESTAMP)`, keeping oracle parity. */
+  /** `events.ts` arrives in whatever physical form the fixture
+    * generator used: TIMESTAMP(NANOS) (read as long via the legacy
+    * flag, truncated to micros — the same truncation DuckDB applies on
+    * `CAST(ts AS TIMESTAMP)`) or naive TIMESTAMP(MICROS)
+    * (isAdjustedToUTC=false, which Spark 4 infers as TIMESTAMP_NTZ —
+    * cast to TIMESTAMP under the pinned UTC session zone, bit-identical
+    * micros). Normalizing HERE keeps every consumer — unix_micros,
+    * session_window, watermarks — on plain TimestampType. */
   def events(s: SparkSession, d: String): DataFrame = {
     s.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     val raw = load(s, d, "events")
@@ -36,6 +40,9 @@ object Tables {
       case org.apache.spark.sql.types.LongType =>
         raw.withColumn("ts", org.apache.spark.sql.functions.timestamp_micros(
           org.apache.spark.sql.functions.expr("ts div 1000")))
+      case org.apache.spark.sql.types.TimestampNTZType =>
+        raw.withColumn("ts", org.apache.spark.sql.functions.col("ts")
+          .cast(org.apache.spark.sql.types.TimestampType))
       case _ => raw
     }
   }

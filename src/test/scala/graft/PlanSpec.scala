@@ -302,4 +302,22 @@ class PlanSpec extends SparkSpec {
     assert(hashEx <= 2,
       s"windows should reuse the join partitioning, got $hashEx exchanges:\n$p")
   }
+
+  test("q208: correlated LATERAL limit decorrelates to a group-limit window, not per-row subqueries") {
+    val p = plan("q208_lateral_topk")
+    // WindowGroupLimit with a Partial stage = map-side top-k per key
+    // BEFORE the shuffle; the outer join side broadcasts
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(!p.contains("CartesianProduct"), p)
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
+  test("q209: cluster-rep split never shuffles full text — scan prunes to id/chars + tokens") {
+    val p = plan("q209_leakage_safe_splits")
+    // the documents scan feeding the split audit reads only the two
+    // audited columns; text is read once by the MinHash pair pipeline
+    val schemas = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(schemas.exists(s => s.contains("doc_id") && s.contains("n_chars")
+      && !s.contains("text")), schemas.mkString("\n"))
+  }
 }
