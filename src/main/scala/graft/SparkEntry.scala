@@ -3352,6 +3352,40 @@ object SparkEntry {
           countDistinct(col("rep")).as("n_clusters"),
           sum("n_chars").as("chars"))
         .orderBy("split")
+    }),
+
+    // Q210 — filter-threshold sweep in ONE scan: kept-vs-total per
+    // (threshold, lang) for 10 candidate quality cutoffs at once —
+    // the way a curation pipeline tunes a filter without re-reading
+    // 100 TB per candidate. The 10× row fan-out happens AFTER the
+    // two-column projection and is absorbed by the map-side partial
+    // agg; plan-asserted single FileScan.
+    "q210_threshold_sweep" -> ((s, d) =>
+      docs(s, d)
+        .select(col("lang"), col("n_chars"),
+          explode(sequence(lit(0), lit(9))).as("thresh"))
+        .withColumn("thresh", col("thresh").cast("long"))
+        .groupBy("thresh", "lang")
+        .agg(sum(when(col("n_chars") >= col("thresh") * 200, 1L)
+            .otherwise(0L)).as("kept"),
+          count(lit(1)).as("total"))
+        .orderBy("thresh", "lang")),
+
+    // Q211 — count-min sketch point estimates ([[graft.ops.CountMin]])
+    // vs exact counts for the top-20 users: d=4 rows × w=64 columns,
+    // md5-derived cells, so the oracle rebuilds the IDENTICAL grid in
+    // SQL and the comparison is bit-exact — including the 13/20 keys
+    // whose estimates overcount through collisions at this w. The
+    // no_undercount column witnesses the sketch's one-sided error
+    // guarantee on every probed key.
+    "q211_countmin_sketch" -> ((s, d) => {
+      val keys = ev(s, d).groupBy("user_id").agg(count(lit(1)).as("exact"))
+        .orderBy(desc("exact"), col("user_id")).limit(20)
+      val cms = graft.ops.CountMin.sketch(ev(s, d), "user_id", d = 4, w = 64)
+      graft.ops.CountMin.estimate(cms, keys, "user_id", d = 4, w = 64)
+        .select(col("user_id"), col("exact"), col("est"),
+          (col("est") >= col("exact")).as("no_undercount"))
+        .orderBy(desc("exact"), col("user_id"))
     })
   )
 
@@ -5588,7 +5622,37 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_docs,
         |  CAST(COUNT(DISTINCT rep) AS BIGINT) AS n_clusters,
         |  CAST(SUM(n_chars) AS BIGINT) AS chars
-        |FROM b GROUP BY 1 ORDER BY split""".stripMargin
+        |FROM b GROUP BY 1 ORDER BY split""".stripMargin,
+
+    "q210_threshold_sweep" ->
+      """SELECT t.i AS thresh, lang,
+        |  CAST(COUNT(*) FILTER (WHERE n_chars >= t.i * 200) AS BIGINT) AS kept,
+        |  CAST(COUNT(*) AS BIGINT) AS total
+        |FROM documents, generate_series(0, 9) t(i)
+        |GROUP BY 1, 2 ORDER BY thresh, lang""".stripMargin,
+
+    // the identical d=4 × w=64 grid rebuilt from the same md5 cell
+    // rule, estimates as MIN over the key's cells
+    "q211_countmin_sketch" ->
+      """WITH cells AS (
+        |  SELECT r.i AS row_i,
+        |    CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |      CAST(user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64 AS col_i,
+        |    COUNT(*) AS cnt
+        |  FROM events, generate_series(0, 3) r(i)
+        |  GROUP BY 1, 2),
+        |top AS (SELECT user_id, COUNT(*) AS exact FROM events
+        |        GROUP BY 1 ORDER BY exact DESC, user_id LIMIT 20),
+        |est AS (
+        |  SELECT t.user_id, t.exact, MIN(c.cnt) AS est
+        |  FROM top t, generate_series(0, 3) r(i)
+        |  JOIN cells c ON c.row_i = r.i
+        |    AND c.col_i = CAST(('0x' || substr(md5(CAST(r.i AS VARCHAR) || '|' ||
+        |      CAST(t.user_id AS VARCHAR)), 1, 8)) AS BIGINT) % 64
+        |  GROUP BY 1, 2)
+        |SELECT user_id, CAST(exact AS BIGINT) AS exact,
+        |  CAST(est AS BIGINT) AS est, est >= exact AS no_undercount
+        |FROM est ORDER BY exact DESC, user_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

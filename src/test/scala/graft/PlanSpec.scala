@@ -312,6 +312,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("BroadcastHashJoin"), p)
   }
 
+  test("q210: ten-threshold sweep reads the table exactly once") {
+    val p = plan("q210_threshold_sweep")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    // fan-out is absorbed before the shuffle by a partial aggregate
+    assert(p.contains("partial_sum") || p.contains("partial_count"), p)
+  }
+
+  test("q211: count-min probe joins broadcast the d*w sketch, never shuffle it") {
+    val p = plan("q211_countmin_sketch")
+    assert(p.contains("BroadcastHashJoin"), p)
+  }
+
   test("q209: cluster-rep split never shuffles full text — scan prunes to id/chars + tokens") {
     val p = plan("q209_leakage_safe_splits")
     // the documents scan feeding the split audit reads only the two
