@@ -3386,6 +3386,65 @@ object SparkEntry {
         .select(col("user_id"), col("exact"), col("est"),
           (col("est") >= col("exact")).as("no_undercount"))
         .orderBy(desc("exact"), col("user_id"))
+    }),
+
+    // Q212 — one k-means (Lloyd) step ([[graft.llm.Clustering]]):
+    // label-seeded integer centroids, broadcast assignment, audited
+    // as the (old, new) transition matrix with an id_sum witness —
+    // per-vector assignments, not just counts, must agree. The
+    // determinism contract (exact integer centroid sums, fixed-order
+    // double distance) is what lets the DuckDB oracle replay an ML
+    // training step bit-for-bit.
+    "q212_kmeans_step" -> ((s, d) =>
+      graft.llm.Clustering.lloydStep(emb(s, d), "vec_id", "embedding",
+          "label", dim = 64, scale = 1000)
+        .groupBy(col("label").as("old_label"), col("assigned").as("new_label"))
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        .orderBy("old_label", "new_label")),
+
+    // Q213 — Stupid Backoff held-out scoring (Brants et al. 2007, the
+    // web-scale LM score that skips normalization so counts stay raw
+    // map-side aggregates): bigram ratio when the train split saw the
+    // bigram, else 0.4 × add-1 unigram. Distinct from q147 (in-corpus
+    // add-1 perplexity): this is the TRAIN/HELD-OUT shape —
+    // quality-scoring new batches against the corpus LM — and
+    // n_backoff is the exact-integer witness of which branch fired
+    // per bigram. toks/bg persist at the fork (diamond-plan policy).
+    "q213_backoff_lm" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"),
+          posexplode(split(lower(col("text")), " ")).as(Seq("pos", "w")))
+        .where(col("w") =!= "")
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val wseq = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("doc_id")).orderBy(col("pos"))
+      val bg = toks
+        .select(col("doc_id"), col("w").as("w1"),
+          lead(col("w"), 1).over(wseq).as("w2"))
+        .where(col("w2").isNotNull)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val trainBg = bg.where(col("doc_id") % 10 =!= 0)
+        .groupBy("w1", "w2").agg(count(lit(1)).as("c2"))
+      val trainUni = toks.where(col("doc_id") % 10 =!= 0)
+        .groupBy("w").agg(count(lit(1)).as("c1"))
+      val nv = trainUni.agg(sum("c1").as("nn"), count(lit(1)).as("v"))
+      val test = bg.where(col("doc_id") % 10 === 0)
+      val score = when(col("c2").isNotNull,
+        col("c2").cast("double") / col("c1").cast("double"))
+        .otherwise(lit(0.4) * (coalesce(col("cu2"), lit(0L)).cast("double") + 1.0) /
+          (col("nn").cast("double") + col("v").cast("double")))
+      test
+        .join(trainBg, Seq("w1", "w2"), "left")
+        .join(trainUni.withColumnRenamed("w", "w1"), Seq("w1"), "left")
+        .join(trainUni.select(col("w").as("w2"), col("c1").as("cu2")),
+          Seq("w2"), "left")
+        .crossJoin(broadcast(nv))
+        .select(col("doc_id"), score.as("s"),
+          when(col("c2").isNull, 1L).otherwise(0L).as("backed"))
+        .groupBy("doc_id")
+        .agg(count(lit(1)).as("n_bigrams"), sum("backed").as("n_backoff"),
+          round(avg(-log2(col("s"))), 4).as("bits"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5652,7 +5711,74 @@ object SparkEntry {
         |  GROUP BY 1, 2)
         |SELECT user_id, CAST(exact AS BIGINT) AS exact,
         |  CAST(est AS BIGINT) AS est, est >= exact AS no_undercount
-        |FROM est ORDER BY exact DESC, user_id""".stripMargin
+        |FROM est ORDER BY exact DESC, user_id""".stripMargin,
+
+    // the same quantize → integer-centroid → fixed-order double
+    // distance pipeline; list_dot_product over BIGINT lists is exact
+    // below 2^53 so the CAST to BIGINT loses nothing
+    "q212_kmeans_step" ->
+      """WITH qv AS (
+        |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+        |    list_transform(embedding,
+        |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+        |  FROM embeddings),
+        |x2 AS (SELECT vec_id, label, q,
+        |    CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM qv),
+        |cell AS (SELECT label, i AS pos, SUM(q[i]) AS s
+        |  FROM qv, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        |cent AS (SELECT label AS clabel, list(s ORDER BY pos) AS sv
+        |  FROM cell GROUP BY 1),
+        |nn AS (SELECT CAST(label AS BIGINT) AS clabel, COUNT(*) AS n
+        |  FROM embeddings GROUP BY 1),
+        |d AS (
+        |  SELECT vec_id, label, clabel,
+        |    CAST(xx AS DOUBLE)
+        |      - (2.0 * CAST(CAST(list_dot_product(q, sv) AS BIGINT) AS DOUBLE))
+        |        / CAST(n AS DOUBLE)
+        |      + CAST(CAST(list_dot_product(sv, sv) AS BIGINT) AS DOUBLE)
+        |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dist
+        |  FROM x2 CROSS JOIN cent JOIN nn USING (clabel)),
+        |a AS (SELECT vec_id, label, clabel,
+        |    ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+        |  FROM d)
+        |SELECT label AS old_label, clabel AS new_label,
+        |  CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(vec_id) AS BIGINT) AS id_sum
+        |FROM a WHERE rn = 1 GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin,
+
+    "q213_backoff_lm" ->
+      """WITH tok AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, STRING_SPLIT(lower(text), ' ') AS ws FROM documents),
+        |    generate_series(1, 2000) t(i)
+        |  WHERE i <= len(ws) AND ws[i] <> ''),
+        |bg AS (
+        |  SELECT doc_id, w AS w1,
+        |    LEAD(w) OVER (PARTITION BY doc_id ORDER BY pos) AS w2
+        |  FROM tok),
+        |bg2 AS (SELECT doc_id, w1, w2 FROM bg WHERE w2 IS NOT NULL),
+        |trainbg AS (SELECT w1, w2, COUNT(*) AS c2 FROM bg2
+        |            WHERE doc_id % 10 <> 0 GROUP BY 1, 2),
+        |trainuni AS (SELECT w, COUNT(*) AS c1 FROM tok
+        |             WHERE doc_id % 10 <> 0 GROUP BY 1),
+        |nv AS (SELECT CAST(SUM(c1) AS BIGINT) AS nn,
+        |         CAST(COUNT(*) AS BIGINT) AS v FROM trainuni),
+        |test AS (SELECT doc_id, w1, w2 FROM bg2 WHERE doc_id % 10 = 0),
+        |sc AS (
+        |  SELECT t.doc_id,
+        |    CASE WHEN tb.c2 IS NOT NULL
+        |      THEN CAST(tb.c2 AS DOUBLE) / CAST(u1.c1 AS DOUBLE)
+        |      ELSE 0.4 * (CAST(COALESCE(u2.c1, 0) AS DOUBLE) + 1.0)
+        |             / (CAST(nv.nn AS DOUBLE) + CAST(nv.v AS DOUBLE)) END AS s,
+        |    CASE WHEN tb.c2 IS NULL THEN 1 ELSE 0 END AS backed
+        |  FROM test t
+        |  LEFT JOIN trainbg tb ON tb.w1 = t.w1 AND tb.w2 = t.w2
+        |  LEFT JOIN trainuni u1 ON u1.w = t.w1
+        |  LEFT JOIN trainuni u2 ON u2.w = t.w2
+        |  CROSS JOIN nv)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+        |  CAST(SUM(backed) AS BIGINT) AS n_backoff,
+        |  ROUND(AVG(-LOG2(s)), 4) AS bits
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
