@@ -259,6 +259,20 @@ object Main {
             idCol, textCol, n.toInt)
           .write.mode("overwrite").parquet(out)
 
+      // one deterministic Lloyd assignment step: refine a labeled
+      // embedding table toward its centroids (id, old label, assigned)
+      case "kmeans-step" :: in :: idCol :: vecCol :: labelCol :: dim :: out :: Nil =>
+        graft.llm.Clustering.lloydStep(
+            spark.read.parquet(in), idCol, vecCol, labelCol, dim.toInt)
+          .write.mode("overwrite").parquet(out)
+
+      // count-min sketch of a key column: d*w cells, mergeable across
+      // shards by cellwise sum (build once per increment, union later)
+      case "cmsketch" :: in :: keyCol :: d0 :: w0 :: out :: Nil =>
+        graft.ops.CountMin.sketch(
+            spark.read.parquet(in), keyCol, d0.toInt, w0.toInt)
+          .write.mode("overwrite").parquet(out)
+
       // temperature-balanced (α=1/2) stratified sample of ~target rows
       case "tempsample" :: in :: strataCol :: idCol :: target :: out :: Nil =>
         graft.ops.Sampling.temperatureSample(
@@ -401,6 +415,8 @@ object Main {
         |  scrub <in.parquet> <idCol> <textCol> <maxDf> <out>
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
         |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>
+        |  kmeans-step <in.parquet> <idCol> <vecCol> <labelCol> <dim> <out>
+        |  cmsketch <in.parquet> <keyCol> <d> <w> <out>   (mergeable count-min cells)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

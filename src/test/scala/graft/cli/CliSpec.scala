@@ -26,6 +26,20 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/g").count() == 1)
   }
 
+  test("kmeans-step and cmsketch verbs run the new ops end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("kmeans-step", s"$sf/embeddings.parquet",
+      "vec_id", "embedding", "label", "64", s"$tmp/km")
+    val km = spark.read.parquet(s"$tmp/km")
+    assert(km.columns.toSeq == Seq("vec_id", "label", "assigned"))
+    assert(km.count() ==
+      spark.read.parquet(s"$sf/embeddings.parquet").count())
+    runVerb("cmsketch", s"$sf/events.parquet", "user_id", "4", "64", s"$tmp/cm")
+    val cm = spark.read.parquet(s"$tmp/cm")
+    assert(cm.columns.toSeq == Seq("row_i", "col_i", "cnt"))
+    assert(cm.count() <= 4 * 64)
+  }
+
   test("scrub, sketchindex and dedup-inc verbs run the curation ops end to end") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
