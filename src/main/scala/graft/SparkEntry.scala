@@ -3445,6 +3445,38 @@ object SparkEntry {
         .agg(count(lit(1)).as("n_bigrams"), sum("backed").as("n_backoff"),
           round(avg(-log2(col("s"))), 4).as("bits"))
         .orderBy("doc_id")
+    }),
+
+    // Q214 — event-TIME range window frame (RANGE BETWEEN INTERVAL …
+    // PRECEDING): the rolling trailing-hour count per user — frames
+    // defined by the timestamp AXIS, not row offsets, so irregular
+    // event spacing is handled by the frame itself (the sliding-window
+    // shape q16 does in streaming, here as a batch window). One
+    // shuffle on user_id; the frame scan is per-partition.
+    "q214_range_frame" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT user_id, event_id,
+          COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+            RANGE BETWEEN INTERVAL '1' HOUR PRECEDING AND CURRENT ROW) AS n_1h
+        FROM events ORDER BY user_id, event_id""")
+    }),
+
+    // Q215 — UNPIVOT (wide → long relayout): three per-line measures
+    // rotated into (measure, value) rows — the inverse of q100's
+    // PIVOT, one projection, no shuffle until the output sort. The
+    // fixture's (orderkey, linenumber) is NOT unique, so cents joins
+    // the sort key to keep the order total.
+    "q215_unpivot" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql("""
+        SELECT l_orderkey, l_linenumber, measure,
+          CAST(ROUND(val * 100) AS BIGINT) AS cents
+        FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+                l_tax FROM lineitem)
+        UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+        WHERE l_orderkey < 100
+        ORDER BY l_orderkey, l_linenumber, measure, cents""")
     })
   )
 
@@ -5778,7 +5810,23 @@ object SparkEntry {
         |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bigrams,
         |  CAST(SUM(backed) AS BIGINT) AS n_backoff,
         |  ROUND(AVG(-LOG2(s)), 4) AS bits
-        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM sc GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q214_range_frame" ->
+      """SELECT user_id, event_id,
+        |  CAST(COUNT(*) OVER (PARTITION BY user_id ORDER BY ts
+        |    RANGE BETWEEN INTERVAL 1 HOUR PRECEDING AND CURRENT ROW)
+        |    AS BIGINT) AS n_1h
+        |FROM events ORDER BY user_id, event_id""".stripMargin,
+
+    "q215_unpivot" ->
+      """SELECT l_orderkey, l_linenumber, measure,
+        |  CAST(ROUND(val * 100) AS BIGINT) AS cents
+        |FROM (SELECT l_orderkey, l_linenumber, l_extendedprice, l_discount,
+        |        l_tax FROM lineitem)
+        |UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
+        |WHERE l_orderkey < 100
+        |ORDER BY l_orderkey, l_linenumber, measure, cents""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
