@@ -3477,6 +3477,31 @@ object SparkEntry {
         UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
         WHERE l_orderkey < 100
         ORDER BY l_orderkey, l_linenumber, measure, cents""")
+    }),
+
+    // Q216 — tagged-union SequenceFile values (io/GenericWritable
+    // .java:80, the class-index-tagged stream): per-row-DYNAMIC value
+    // types — even docs carry a LongWritable, odd docs a Text —
+    // written by the stock legacy-producer twin ([[graft.sources
+    // .UnionWritable]]), header-dispatched back through
+    // sequenceFileAuto as struct<tag, value> (SURVEY §1.2's ADT
+    // mapping). The oracle recomputes tag and payload from the
+    // parquet source, so a wrong index byte, member order, or decode
+    // branch flips rows. ObjectWritable (class-name-tagged) and
+    // TwoDArrayWritable legs are unit-pinned in WritableUnionSpec.
+    "q216_seqfile_union_values" -> ((s, d) => {
+      val tmp = scratch("q216") + "/sequnion"
+      graft.sources.CompatSources.sequenceFileUnionWrite(
+        docs(s, d).select(col("doc_id").cast("string").as("k"),
+          when(col("doc_id") % 2 === 0, lit("long")).otherwise(lit("text")).as("kind"),
+          when(col("doc_id") % 2 === 0, col("n_chars").cast("string"))
+            .otherwise(col("lang")).as("value")),
+        tmp)
+      graft.sources.CompatSources.sequenceFileAuto(s, tmp)
+        .select(col("key").cast("long").as("doc_id"),
+          col("value").getField("tag").as("tag"),
+          col("value").getField("value").as("val"))
+        .orderBy("doc_id")
     })
   )
 
@@ -5826,7 +5851,15 @@ object SparkEntry {
         |        l_tax FROM lineitem)
         |UNPIVOT (val FOR measure IN (l_extendedprice, l_discount, l_tax))
         |WHERE l_orderkey < 100
-        |ORDER BY l_orderkey, l_linenumber, measure, cents""".stripMargin
+        |ORDER BY l_orderkey, l_linenumber, measure, cents""".stripMargin,
+
+    "q216_seqfile_union_values" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'org.apache.hadoop.io.LongWritable'
+        |       ELSE 'org.apache.hadoop.io.Text' END AS tag,
+        |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR)
+        |       ELSE lang END AS val
+        |FROM documents ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

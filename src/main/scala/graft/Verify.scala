@@ -34,6 +34,11 @@ object Verify {
         catch { case e: Throwable =>
           System.err.println(s"[verify] $name failed: ${e.getMessage}")
         }
+        // queries persist fork points (diamond-plan policy) without
+        // unpersisting; across 215 queries those entries accumulate and
+        // evict each other (ADVICE r8). One harness-level drop per
+        // query keeps every run's cache to its own frames.
+        finally spark.catalog.clearCache()
       }
     }
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)

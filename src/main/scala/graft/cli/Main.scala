@@ -266,6 +266,14 @@ object Main {
             spark.read.parquet(in), idCol, vecCol, labelCol, dim.toInt)
           .write.mode("overwrite").parquet(out)
 
+      // full k-means to an exact integer fixed point (hash-seeded,
+      // codebook-scale k): writes (id, cluster), reports rounds
+      case "kmeans" :: in :: idCol :: vecCol :: k :: maxIter :: dim :: out :: Nil =>
+        val r = graft.llm.Clustering.lloyd(spark.read.parquet(in),
+          idCol, vecCol, k.toInt, maxIter.toInt, dim.toInt)
+        r.assign.write.mode("overwrite").parquet(out)
+        System.err.println(s"[kmeans] rounds=${r.rounds} converged=${r.converged}")
+
       // count-min sketch of a key column: d*w cells, mergeable across
       // shards by cellwise sum (build once per increment, union later)
       case "cmsketch" :: in :: keyCol :: d0 :: w0 :: out :: Nil =>
@@ -416,6 +424,7 @@ object Main {
         |  sketchindex <in.parquet> <idCol> <textCol> <ngram> <out.index>
         |  dedup-inc <new.parquet> <index> <idCol> <textCol> <ngram> <threshold> <out>
         |  kmeans-step <in.parquet> <idCol> <vecCol> <labelCol> <dim> <out>
+        |  kmeans <in.parquet> <idCol> <vecCol> <k> <maxIter> <dim> <out>
         |  cmsketch <in.parquet> <keyCol> <d> <w> <out>   (mergeable count-min cells)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)

@@ -40,6 +40,13 @@ object Clustering {
   private def dotL(a: Column, b: Column): Column =
     aggregate(zip_with(a, b, (x, y) => x * y), lit(0L), (acc, v) => acc + v)
 
+  /** Result of [[lloyd]]: the final per-vector assignment, the final
+    * centroids as doubles (S/n — the form [[Ivf]] consumes), how many
+    * rounds ran, and whether the state reached its fixed point before
+    * `maxIter`. */
+  case class LloydResult(assign: DataFrame, centroids: Map[Long, Array[Double]],
+                         rounds: Int, converged: Boolean)
+
   /** Run one assignment step: seed centroids from `labelCol` (the
     * previous iteration's assignment), return one row per vector with
     * the previous and the newly assigned centroid label.
@@ -76,10 +83,126 @@ object Clustering {
       .crossJoin(broadcast(cent))
       .join(broadcast(counts), "__c")
       .select(col(idCol), col("__old"), col("__c"), dist.as("__dist"))
-    val w = org.apache.spark.sql.expressions.Window
-      .partitionBy(idCol).orderBy(col("__dist"), col("__c"))
-    scored.withColumn("__rn", row_number().over(w))
-      .where(col("__rn") === 1)
-      .select(col(idCol), col("__old").as(labelCol), col("__c").as("assigned"))
+    // argmin as min_by over the (dist, centroid-id) struct: the SAME
+    // deterministic tie rule as an ORDER BY (dist, c) — struct
+    // comparison is lexicographic, and __c is unique within a group so
+    // the ordering key never ties — but executed as an AGGREGATE with
+    // map-side partial merge (partial_min_by): each id's k fanned rows
+    // reduce to one BEFORE the exchange, where a row_number window
+    // sort-shuffled all n·k rows. Spark lowers struct-ordered min_by
+    // to SortAggregate (struct agg buffers aren't mutable, and
+    // MaxMinBy is declarative, so neither Hash- nor ObjectHashAggregate
+    // applies) — that residual sort is PARTITION-LOCAL, below the
+    // partial agg; nothing k-fanned crosses the wire. Plan pinned
+    // (partial_min_by present, no Window) in ClusteringSpec.
+    scored.groupBy(col(idCol))
+      .agg(min_by(struct(col("__old"), col("__c")),
+        struct(col("__dist"), col("__c"))).as("__m"))
+      .select(col(idCol), col("__m.__old").as(labelCol),
+        col("__m.__c").as("assigned"))
+  }
+
+  /** Iterated Lloyd to a fixed point — the full k-means driver over
+    * the same determinism contract as [[lloydStep]] (integer-grid
+    * vectors, exact integer (S, n) centroid state, fixed-order double
+    * distances, ties to the lowest centroid id).
+    *
+    * Loop shape (the BpeTrainer discipline — BpeTrainer.scala's
+    * persist-once + tiny-collect-per-round): the quantized corpus
+    * persists ONCE; each round is one d·k-cell aggregate (map-side
+    * combined) whose k·(dim+1) longs — and nothing else — reach the
+    * driver, and assignment is a map-only scalar expression over the
+    * centroid LITERALS (the DistributedCache-file idiom with the
+    * "file" inlined into the plan). Vectors never shuffle and never
+    * land on the driver; per round the wire carries O(d·k·partitions)
+    * partial cells.
+    *
+    * Convergence = the integer centroid state repeating EXACTLY.
+    * Assignment is a pure function of the (S, n) state and the state a
+    * pure function of the assignment, so a repeated state is a fixed
+    * point: every later round would reproduce it verbatim. Integer
+    * equality makes the test exact (no epsilon), and it subsumes the
+    * zero-reassignment test one extra count job would buy.
+    *
+    * Seeding: initial labels are `pmod(xxhash64(id), k)` — the
+    * data-independent pseudo-shuffle [[Ivf.buildCentroids]] uses for
+    * seed ORDER, here as a balanced random-partition init (classic
+    * random-partition Lloyd; Lloyd 1982).
+    *
+    * This driver-loop form inlines k·dim literals per round into the
+    * plan, so it is for codebook-scale k (IVF coarse quantizers, 8 —
+    * few thousand). Beyond that, chain [[lloydStep]] rounds: the
+    * centroid table stays distributed (broadcast-joined), trading
+    * literal-free plans for one extra shuffle per round. */
+  def lloyd(emb: DataFrame, idCol: String, vecCol: String, k: Int,
+            maxIter: Int, dim: Int, scale: Int = 1000): LloydResult = {
+    require(k >= 1, s"lloyd: k must be >= 1, got $k")
+    require(k.toLong * dim <= (1L << 18),
+      s"lloyd: k*dim = ${k.toLong * dim} literal cells would bloat the plan - " +
+        "chain lloydStep rounds (distributed centroid table) at this k")
+    val guarded = when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("lloyd: embedding length "), size(col(vecCol)).cast("string"),
+        lit(s" != expected dim $dim"))))
+    val q = emb.select(col(idCol), quantize(guarded, scale).as("__q"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+
+    // exact integer centroid state, one aggregate per round: per-(c,
+    // pos) sums; n rides along as the per-cell count (every vector
+    // contributes exactly one element per position)
+    def state(assigned: DataFrame): Map[Long, (Array[Long], Long)] = {
+      val rows = assigned.select(col("__c"), posexplode(col("__q")))
+        .groupBy("__c", "pos")
+        .agg(sum("col").as("s"), count(lit(1)).as("n"))
+        .collect()
+      rows.groupBy(_.getLong(0)).map { case (c, rs) =>
+        val sv = new Array[Long](dim); var n = 0L
+        rs.foreach { r => sv(r.getInt(1)) = r.getLong(2); n = r.getLong(3) }
+        c -> ((sv, n))
+      }
+    }
+
+    // nearest centroid of the CURRENT state as one scalar expression:
+    // same fixed-order double math as lloydStep, argmin via least()
+    // over (dist, c) structs (lexicographic - ties to lowest c)
+    def assignExpr(st: Map[Long, (Array[Long], Long)]): Column = {
+      val cand = st.toSeq.sortBy(_._1).map { case (c, (sv, n)) =>
+        val svCol = array(sv.toIndexedSeq.map(lit): _*)
+        val ss = sv.foldLeft(0L)((acc, x) => acc + x * x)
+        val nD = lit(n).cast("double")
+        val d = col("__xx").cast("double") -
+          (lit(2.0) * dotL(col("__q"), svCol).cast("double")) / nD +
+          lit(ss).cast("double") / (nD * nD)
+        struct(d.as("d"), lit(c).as("c"))
+      }
+      if (cand.size == 1) cand.head.getField("c")
+      else least(cand: _*).getField("c")
+    }
+
+    def eq(a: Map[Long, (Array[Long], Long)], b: Map[Long, (Array[Long], Long)]): Boolean =
+      a.keySet == b.keySet && a.forall { case (c, (sv, n)) =>
+        val (bv, bn) = b(c); n == bn && java.util.Arrays.equals(sv, bv)
+      }
+
+    val seeded = q.withColumn("__c", pmod(xxhash64(col(idCol)), lit(k)).cast("long"))
+    var st = state(seeded)
+    var assigned = seeded
+    var rounds = 0
+    var converged = false
+    while (rounds < maxIter && !converged) {
+      assigned = q.withColumn("__xx", dotL(col("__q"), col("__q")))
+        .withColumn("__c", assignExpr(st))
+      // empty clusters keep their previous centroid (Ivf convention)
+      val next = st.map { case (c, v) => c -> v } ++ state(assigned)
+      converged = eq(next, st)
+      st = next
+      rounds += 1
+    }
+    val out = assigned.select(col(idCol), col("__c").as("cluster"))
+    val cents = st.map { case (c, (sv, n)) =>
+      c -> sv.map(_.toDouble / (n.toDouble * scale))
+    }
+    q.unpersist()
+    LloydResult(out, cents, rounds, converged)
   }
 }

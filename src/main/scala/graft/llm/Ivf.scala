@@ -68,6 +68,20 @@ object Ivf {
     centroids
   }
 
+  /** Codebook trained by the engine-portable integer-exact Lloyd
+    * driver ([[Clustering.lloyd]]) instead of the float cosine rounds
+    * above: bit-deterministic across engines/JVMs (the lloydStep
+    * replay contract), converges by exact integer fixed point.
+    * Centroids come back ordered by cluster id in [[assign]]/[[topK]]
+    * index form; a cluster left empty by the hash seeding (only
+    * possible when the corpus is barely larger than k) keeps a zero
+    * vector, which no query probes first. */
+  def buildCentroidsLloyd(emb: DataFrame, k: Int, maxIter: Int,
+                          dim: Int): Seq[Array[Double]] = {
+    val r = Clustering.lloyd(emb, "vec_id", "embedding", k, maxIter, dim)
+    (0L until k.toLong).map(c => r.centroids.getOrElse(c, Array.fill(dim)(0.0)))
+  }
+
   /** Corpus with its posting-list assignment (write once, reuse). */
   def assign(emb: DataFrame, centroids: Seq[Array[Double]]): DataFrame =
     emb.withColumn("cluster", nearestCentroid(centroids))

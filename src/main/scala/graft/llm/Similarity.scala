@@ -176,10 +176,17 @@ object Similarity {
         col("blk").bitwiseXOR(lit(1 << i)))): _*)).as("blk"))
     left.join(right, Seq("blk"))
       .where(col("id1") < col("id2"))
-      .dropDuplicates("id1", "id2")
+      // Cosine and threshold BEFORE the multi-probe dedup: a duplicate
+      // (id1,id2) candidate has the identical similarity on every
+      // probe, so projecting to (id1,id2,s) and filtering first is
+      // equivalent — and the dropDuplicates exchange then carries 3
+      // scalars per surviving pair instead of two dim-length double
+      // arrays (~40× less dedup-shuffle volume at dim=64). Pinned by
+      // SimilaritySpec (dedup-exchange schema has no array column).
       .select(col("id1"), col("id2"),
         VectorFunctions.cosineFast(col("e1"), col("e2")).as("s"))
       .where(col("s") >= threshold)
+      .dropDuplicates("id1", "id2")
       .select(col("id1"), col("id2"), round(col("s"), 4).as("sim"))
   }
 

@@ -45,18 +45,23 @@ object CountMin {
   }
 
   /** Point-estimate the count of every key in `keys` (a small frame
-    * with column `keyCol`): MIN over the key's d cells. Keys hashing
-    * to an all-empty cell row never survive the inner join — callers
-    * probing keys that may be absent should left-join a zero. */
+    * with column `keyCol`): MIN over the key's d cells, where a cell
+    * absent from the sparse sketch frame counts as its implicit zero.
+    * Present keys increment all d of their cells, so for them the
+    * zeros never fire; a key the sketch never saw gets the standard
+    * count-min answer — 0 whenever any of its cells is untouched —
+    * instead of vanishing or over-estimating through an inner join. */
   def estimate(sketchDf: DataFrame, keys: DataFrame, keyCol: String,
                d: Int = 4, w: Int = 64): DataFrame = {
     val probes = keys
       .withColumn("row_i", explode(sequence(lit(0), lit(d - 1))))
       .withColumn("row_i", col("row_i").cast("long"))
       .withColumn("col_i", cellCol(col("row_i"), col(keyCol), w))
-    probes.join(broadcast(sketchDf), Seq("row_i", "col_i"))
+    // LEFT join + zero-coalesce restores the implicit-zero cells the
+    // sparse representation elides (ADVICE r8).
+    probes.join(broadcast(sketchDf), Seq("row_i", "col_i"), "left")
       .groupBy(keys.columns.map(col).toIndexedSeq: _*)
-      .agg(min("cnt").as("est"))
+      .agg(min(coalesce(col("cnt"), lit(0L))).as("est"))
   }
 
   /** Merge shard-local sketches (same d, w): cellwise sum. */

@@ -20,6 +20,25 @@ import org.apache.spark.sql.functions._
   * reflection can instantiate it on any executor. */
 class TextArrayWritable extends org.apache.hadoop.io.ArrayWritable(classOf[Text])
 
+/** GenericWritable subclass (io/GenericWritable.java:80) — the
+  * tagged-union value idiom: the stream stores a one-byte INDEX into
+  * this `getTypes` array before each payload, so the member order is
+  * part of the on-disk format and must never be reordered. Members
+  * cover the string/integer/floating shapes legacy union files mixed.
+  * Top-level class (stable name in file headers, reflectable on any
+  * executor), no-arg constructor via GenericWritable itself. */
+class UnionWritable extends org.apache.hadoop.io.GenericWritable {
+  override protected def getTypes: Array[Class[_ <: org.apache.hadoop.io.Writable]] =
+    Array(classOf[Text], classOf[LongWritable],
+      classOf[org.apache.hadoop.io.DoubleWritable])
+}
+
+/** TwoDArrayWritable subclass (io/TwoDArrayWritable.java): same
+  * no-no-arg-constructor rule as ArrayWritable — files must declare a
+  * subclass pinning the element class, which is also what makes the
+  * element type header-discoverable. Text elements. */
+class TextTwoDArrayWritable extends org.apache.hadoop.io.TwoDArrayWritable(classOf[Text])
+
 object CompatSources {
 
   /** KeyValueTextInputFormat (.../lib/input/KeyValueTextInputFormat.java:47):
@@ -117,6 +136,25 @@ object CompatSources {
           stringifyEntry(fromWritable(k)) -> stringifyEntry(fromWritable(v))
         }.toMap
     case a: org.apache.hadoop.io.ArrayWritable => a.get().toSeq.map(fromWritable)
+    // tagged unions → struct<tag: string, value: string>: the concrete
+    // class (GenericWritable) / declared class (ObjectWritable) is the
+    // tag, the payload its stringified primitive conversion — the one
+    // static schema a per-row-dynamic type fits, same rationale as the
+    // MapWritable entry stringification above. Binary/nested members
+    // fail loudly toward sequenceFileBinary (stringifyEntry's rule).
+    case g: org.apache.hadoop.io.GenericWritable =>
+      val inner = g.get()
+      org.apache.spark.sql.Row(inner.getClass.getName,
+        stringifyEntry(fromWritable(inner)))
+    case o: org.apache.hadoop.io.ObjectWritable =>
+      val v = o.get() match {
+        case w: org.apache.hadoop.io.Writable => fromWritable(w)
+        case x => x // declared-primitive/String instances arrive boxed
+      }
+      org.apache.spark.sql.Row(o.getDeclaredClass.getName, stringifyEntry(v))
+    case t: org.apache.hadoop.io.TwoDArrayWritable =>
+      t.get().toSeq.map(_.toSeq.map(fromWritable))
+    case _: org.apache.hadoop.io.NullWritable => null
     case other => throw new IllegalArgumentException(
       s"unsupported Writable ${other.getClass.getName}")
   }
@@ -152,16 +190,42 @@ object CompatSources {
     * classic requirement that array-valued SequenceFiles declare a
     * subclass, which is also what makes the element type discoverable
     * here (instantiate the subclass, ask `getValueClass`). */
+  /** Schema of a tagged-union column (GenericWritable subclasses and
+    * ObjectWritable): the per-row-dynamic member type becomes
+    * struct<tag, value> — SURVEY §1.2's ADT mapping flattened to the
+    * stringified form the heterogeneous-container convention already
+    * uses for MapWritable entries. */
+  private val unionColumnType: org.apache.spark.sql.types.DataType = {
+    import org.apache.spark.sql.types._
+    StructType(Seq(StructField("tag", StringType), StructField("value", StringType)))
+  }
+
   private def writableColumnType(c: String): Option[org.apache.spark.sql.types.DataType] = {
     import org.apache.spark.sql.types._
     writableTypes.get(c).orElse {
       if (c == "org.apache.hadoop.io.MapWritable" ||
           c == "org.apache.hadoop.io.SortedMapWritable")
         Some(MapType(StringType, StringType))
+      else if (c == "org.apache.hadoop.io.ObjectWritable")
+        Some(unionColumnType)
       else
         try {
           val cls = Class.forName(c)
-          if (classOf[org.apache.hadoop.io.ArrayWritable].isAssignableFrom(cls))
+          if (classOf[org.apache.hadoop.io.GenericWritable].isAssignableFrom(cls))
+            Some(unionColumnType)
+          else if (classOf[org.apache.hadoop.io.TwoDArrayWritable].isAssignableFrom(cls)) {
+            // TwoDArrayWritable exposes no getValueClass; the element
+            // class lives in its private `valueClass` field (set by the
+            // subclass constructor — the only way a readable file
+            // exists). Hadoop is classpath (unnamed-module) code, so
+            // setAccessible is permitted under Java 17.
+            val f = classOf[org.apache.hadoop.io.TwoDArrayWritable]
+              .getDeclaredField("valueClass")
+            f.setAccessible(true)
+            val elem = f.get(cls.getDeclaredConstructor().newInstance())
+              .asInstanceOf[Class[_]].getName
+            writableTypes.get(elem).map(t => ArrayType(ArrayType(t)))
+          } else if (classOf[org.apache.hadoop.io.ArrayWritable].isAssignableFrom(cls))
             writableTypes.get(
               cls.getDeclaredConstructor().newInstance()
                 .asInstanceOf[org.apache.hadoop.io.ArrayWritable].getValueClass.getName)
@@ -465,6 +529,81 @@ object CompatSources {
       aw.set(r.getSeq[String](1).map(s => new Text(s): Writable).toArray)
       (new Text(r.getString(0)), aw): (Writable, Writable)
     }.saveAsHadoopFile(path, classOf[Text], classOf[TextArrayWritable],
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
+  /** Member constructor shared by the tagged-union writers: kind →
+    * Writable, the three shapes [[UnionWritable]] enumerates. */
+  private def unionMember(kind: String, value: String): org.apache.hadoop.io.Writable =
+    kind match {
+      case "text"   => new Text(value)
+      case "long"   => new LongWritable(value.toLong)
+      case "double" => new org.apache.hadoop.io.DoubleWritable(value.toDouble)
+      case other => sys.error(
+        s"union writer: unknown kind '$other' (want text|long|double)")
+    }
+
+  private def requireUnionCols(df: DataFrame, who: String): Unit = {
+    import org.apache.spark.sql.types.StringType
+    require(df.schema.length >= 3, s"$who: need (key, kind, value) string columns")
+    df.schema.fields.take(3).foreach(f => require(f.dataType == StringType,
+      s"$who: column '${f.name}' must be string, got ${f.dataType}"))
+  }
+
+  /** Tagged-union SequenceFile writer, GenericWritable flavor — the
+    * legacy-producer twin of [[sequenceFileAuto]]'s union read path:
+    * (key, kind, value) string columns → Text key and a
+    * [[UnionWritable]] wrapping the kind-selected member (text|long|
+    * double). A stock Hadoop consumer reading Text/UnionWritable (with
+    * this class on its classpath, the GenericWritable deployment rule)
+    * accepts the file as-is. */
+  def sequenceFileUnionWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    requireUnionCols(df, "sequenceFileUnionWrite")
+    df.select(col(df.columns(0)), col(df.columns(1)), col(df.columns(2))).rdd.map { r =>
+      if ((0 to 2).exists(r.isNullAt))
+        sys.error("sequenceFileUnionWrite: null key/kind/value - " +
+          "Writables cannot represent null; filter or fill first")
+      val u = new UnionWritable
+      u.set(unionMember(r.getString(1), r.getString(2)))
+      (new Text(r.getString(0)), u): (Writable, Writable)
+    }.saveAsHadoopFile(path, classOf[Text], classOf[UnionWritable],
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
+  /** Tagged-union SequenceFile writer, ObjectWritable flavor: the
+    * class-NAME-tagged stream (io/ObjectWritable.java:40 writes each
+    * value's declared class as a string — self-describing but fatter
+    * than GenericWritable's index byte; no subclass needed on the
+    * consumer classpath). Same (key, kind, value) contract. */
+  def sequenceFileObjectWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    requireUnionCols(df, "sequenceFileObjectWrite")
+    df.select(col(df.columns(0)), col(df.columns(1)), col(df.columns(2))).rdd.map { r =>
+      if ((0 to 2).exists(r.isNullAt))
+        sys.error("sequenceFileObjectWrite: null key/kind/value - " +
+          "Writables cannot represent null; filter or fill first")
+      val m = unionMember(r.getString(1), r.getString(2))
+      (new Text(r.getString(0)), new ObjectWritable(m.getClass, m)): (Writable, Writable)
+    }.saveAsHadoopFile(path, classOf[Text], classOf[ObjectWritable],
+      classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
+  }
+
+  /** 2-D array SequenceFile writer: second column `array<array<string>>`
+    * → [[TextTwoDArrayWritable]] (subclass rule, see the class doc). */
+  def sequenceFileTwoDArrayWrite(df: DataFrame, path: String): Unit = {
+    import org.apache.hadoop.io._
+    require(df.schema.length >= 2, "sequenceFileTwoDArrayWrite: need key and array columns")
+    val (kName, vName) = (df.columns(0), df.columns(1))
+    df.select(col(kName), col(vName)).rdd.map { r =>
+      if (r.isNullAt(0) || r.isNullAt(1))
+        sys.error(s"sequenceFileTwoDArrayWrite: null in '$kName'/'$vName' - " +
+          "Writables cannot represent null; filter or fill first")
+      val t = new TextTwoDArrayWritable
+      t.set(r.getSeq[scala.collection.Seq[String]](1)
+        .map(_.map(s => new Text(s): Writable).toArray).toArray)
+      (new Text(r.getString(0)), t): (Writable, Writable)
+    }.saveAsHadoopFile(path, classOf[Text], classOf[TextTwoDArrayWritable],
       classOf[org.apache.hadoop.mapred.SequenceFileOutputFormat[Writable, Writable]])
   }
 

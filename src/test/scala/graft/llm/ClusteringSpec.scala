@@ -51,9 +51,14 @@ class ClusteringSpec extends SparkSpec {
     val got = Clustering.lloydStep(mk(rows), "vec_id", "embedding",
       "label", dim = 6, scale = 1000)
       .select("vec_id", "assigned").as[(Long, Long)].collect().toMap
-    // replay: same quantization, exact integer sums, same double order
+    // replay: same quantization, exact integer sums, same double order.
+    // HALF_UP in java.math terms = half-away-from-zero, matching Spark
+    // round() and DuckDB ROUND; Scala math.round is half-toward-
+    // positive-infinity and diverges at negative .5 (ADVICE r8).
+    def roundAway(x: Double): Long = java.math.BigDecimal.valueOf(x)
+      .setScale(0, java.math.RoundingMode.HALF_UP).longValueExact()
     val q = rows.map { case (id, v, l) =>
-      (id, v.map(e => math.round(e.toDouble * 1000)), l.toLong)
+      (id, v.map(e => roundAway(e.toDouble * 1000)), l.toLong)
     }
     val sums = q.groupBy(_._3).map { case (l, vs) =>
       l -> (vs.map(_._2).transpose.map(_.sum), vs.size.toLong)
@@ -67,6 +72,102 @@ class ClusteringSpec extends SparkSpec {
       }.min
       assert(got(id) == best._2, s"vec $id: got ${got(id)}, want ${best._2}")
     }
+  }
+
+  test("argmin is a hash aggregate, not a window sort (scale plan)") {
+    val rows = (0L until 30L).map { i =>
+      (i, Seq.fill(4)((i % 3) * 10.0f), (i % 3).toInt)
+    }
+    val p = Clustering.lloydStep(mk(rows), "vec_id", "embedding",
+        "label", dim = 4, scale = 1000)
+      .queryExecution.explainString(org.apache.spark.sql.execution.SimpleMode)
+    // the argmin over the k-fanned frame must reduce map-side
+    // (partial_min_by before the exchange), not sort-shuffle n·k rows
+    // under a row_number window; the SortAggregate Spark picks for
+    // struct-ordered min_by keeps its sorts partition-local
+    assert(p.contains("partial_min_by"), p)
+    assert(!p.contains("Window"), p)
+  }
+
+  test("lloyd converges on separated blobs and recovers the blob partition") {
+    // 4 tight blobs of 10 vectors in distinct orthants — any sane
+    // k-means run with k=4 must end with clusters == blobs
+    val rnd = new scala.util.Random(5)
+    val dirs = Seq(Seq(1f, 1f, 1f, 1f), Seq(-1f, -1f, 1f, 1f),
+      Seq(1f, -1f, -1f, 1f), Seq(-1f, 1f, -1f, -1f))
+    val rows = (0L until 40L).map { i =>
+      val b = (i % 4).toInt
+      (i, dirs(b).map(x => x * 50f + rnd.nextFloat()), b)
+    }
+    val r = Clustering.lloyd(mk(rows), "vec_id", "embedding",
+      k = 4, maxIter = 20, dim = 4)
+    assert(r.converged, s"did not converge in ${r.rounds} rounds")
+    val got = r.assign.select("vec_id", "cluster")
+      .as[(Long, Long)].collect().toMap
+    val byBlob = (0L until 40L).groupBy(_ % 4)
+      .map { case (b, ids) => b -> ids.map(got).toSet }
+    assert(byBlob.values.forall(_.size == 1), s"blob split: $byBlob")
+    assert(byBlob.values.flatten.toSet.size == 4, s"blobs merged: $byBlob")
+  }
+
+  test("lloyd's fixed point is a lloydStep fixed point (differential)") {
+    // the driver loop (literal centroids, least() argmin) and the
+    // distributed step (broadcast centroid table, min_by argmin) share
+    // one contract: feeding lloyd's converged labels back through
+    // lloydStep must reassign nothing
+    val rnd = new scala.util.Random(7)
+    val rows = (0L until 50L).map { i =>
+      (i, Seq.fill(4)(rnd.nextFloat() * 2 - 1), 0)
+    }
+    val r = Clustering.lloyd(mk(rows).drop("label"), "vec_id", "embedding",
+      k = 3, maxIter = 30, dim = 4)
+    assert(r.converged)
+    val relabeled = mk(rows).drop("label")
+      .join(r.assign.withColumnRenamed("cluster", "label"), "vec_id")
+    val moved = Clustering.lloydStep(relabeled, "vec_id", "embedding",
+      "label", dim = 4)
+      .where(col("label") =!= col("assigned")).count()
+    assert(moved == 0, s"$moved vectors moved under lloydStep replay")
+  }
+
+  test("lloyd membership matches Ivf's internal Lloyd on separated blobs (differential)") {
+    // different metric (quantized euclidean vs float cosine) and
+    // different seeding — on well-separated data both must land on the
+    // same PARTITION of the points (cluster ids may differ)
+    val rnd = new scala.util.Random(9)
+    val dirs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f), Seq(0f, 0f, 1f, 0f))
+    val rows = (0L until 30L).map { i =>
+      val b = (i % 3).toInt
+      (i, dirs(b).map(x => x * 20f + rnd.nextFloat() * 0.1f), 0)
+    }
+    val emb = mk(rows).drop("label")
+    val viaLloyd = Clustering.lloyd(emb, "vec_id", "embedding",
+        k = 3, maxIter = 20, dim = 4)
+      .assign.select("vec_id", "cluster").as[(Long, Long)].collect()
+    val cents = Ivf.buildCentroids(emb, 3, 5)
+    val viaIvf = Ivf.assign(emb, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect()
+    def partition(xs: Seq[(Long, AnyVal)]): Set[Set[Long]] =
+      xs.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+    assert(partition(viaLloyd.toSeq) == partition(viaIvf.toSeq))
+  }
+
+  test("buildCentroidsLloyd centroids drive Ivf.assign to the same clusters") {
+    val rnd = new scala.util.Random(13)
+    val dirs = Seq(Seq(1f, 0f, 0f, 0f), Seq(0f, 1f, 0f, 0f))
+    val rows = (0L until 20L).map { i =>
+      val b = (i % 2).toInt
+      (i, dirs(b).map(x => x * 20f + rnd.nextFloat() * 0.1f), 0)
+    }
+    val emb = mk(rows).drop("label")
+    val cents = Ivf.buildCentroidsLloyd(emb, k = 2, maxIter = 20, dim = 4)
+    assert(cents.size == 2)
+    val got = Ivf.assign(emb, cents)
+      .select("vec_id", "cluster").as[(Long, Int)].collect().toMap
+    val byBlob = (0L until 20L).groupBy(_ % 2)
+      .map { case (b, ids) => b -> ids.map(got).toSet }
+    assert(byBlob.values.forall(_.size == 1) &&
+      byBlob(0L) != byBlob(1L), s"$byBlob")
   }
 
   test("dimension mismatch fails loudly in-plan") {

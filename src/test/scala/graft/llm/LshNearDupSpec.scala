@@ -55,6 +55,26 @@ class LshNearDupSpec extends SparkSpec {
     lsh.foreach { case (a, b, s) => assert(exact((a, b)) == s) }
   }
 
+  test("multi-probe dedup exchange carries scalars, not embedding arrays") {
+    import org.apache.spark.sql.catalyst.plans.logical.Aggregate
+    import org.apache.spark.sql.types.ArrayType
+    val df = Similarity.cosineNearDupsLsh(emb, dim, 0.9)
+    // the dropDuplicates("id1","id2") lowers to an Aggregate keyed on
+    // (id1, id2); its input must be the projected (id1, id2, s) rows —
+    // shuffling the two dim-length arrays per candidate pair through
+    // the dedup exchange is the r8 ADVICE finding this pins closed
+    val dedups = df.queryExecution.optimizedPlan.collect {
+      case a: Aggregate
+        if a.groupingExpressions.flatMap(_.references.map(_.name))
+          .toSet == Set("id1", "id2") => a
+    }
+    assert(dedups.nonEmpty, df.queryExecution.optimizedPlan.toString)
+    dedups.foreach { a =>
+      val arrays = a.child.output.filter(_.dataType.isInstanceOf[ArrayType])
+      assert(arrays.isEmpty, s"dedup input still carries arrays: $arrays")
+    }
+  }
+
   test("lshBucket raises on embedding dimension mismatch") {
     val bad = Seq((1L, Array.fill(dim + 1)(0.5f))).toDF("vec_id", "embedding")
     val e = intercept[Exception] {
