@@ -3325,15 +3325,20 @@ object SparkEntry {
     }),
 
     // Q209 — leakage-safe train/val/test splits: near-duplicate
-    // CLUSTERS (connected components over verified MinHash pairs)
-    // are assigned to a split atomically via an md5 bucket of the
+    // CLUSTERS (connected components over exact-Jaccard pairs) are
+    // assigned to a split atomically via an md5 bucket of the
     // cluster representative — the eval-contamination guard a naive
     // per-document hash split violates (two near-dups landing in
     // train and test). Singleton docs are their own cluster. By
     // construction no cluster spans splits; the output audits the
-    // split sizes in docs / clusters / chars.
+    // split sizes in docs / clusters / chars. Pairs use the EXACT
+    // postings path (ngramJaccardPairs), not MinHash-LSH: the oracle
+    // enumerates all true pairs, and an audit query must share that
+    // pair-completeness guarantee rather than LSH's probabilistic
+    // recall (ADVICE r8) — at this query's audit scale the exact
+    // self-join is the right plan anyway.
     "q209_leakage_safe_splits" -> ((s, d) => {
-      val pairs = Dedup.minHashVerifiedPairs(docs(s, d), "doc_id", "text", 3, 0.5)
+      val pairs = Dedup.ngramJaccardPairs(docs(s, d), "doc_id", "text", 3, 0.5)
       val comp = Dedup.components(pairs)
       val withRep = docs(s, d).select(col("doc_id"), col("n_chars"))
         .join(comp.withColumnRenamed("id", "doc_id"), Seq("doc_id"), "left")
@@ -3502,7 +3507,24 @@ object SparkEntry {
           col("value").getField("tag").as("tag"),
           col("value").getField("value").as("val"))
         .orderBy("doc_id")
-    })
+    }),
+
+    // Q217 — exact duplicated-substring extents ([[graft.llm
+    // .ExactSubstring]], the Lee et al. 2022 rule): maximal per-doc
+    // spans of ≥ 8 consecutive words occurring verbatim more than
+    // once in the corpus — 1-based inclusive token extents, the
+    // input a surgical substring-removal pass consumes. Exact (no
+    // LSH/sampling recall), so the DuckDB oracle replays the
+    // definition verbatim on raw gram strings while the engine keys
+    // on md5(gram); the window-count/islands equivalence is the
+    // whole algorithm, so any drift in tokenization, gram framing,
+    // counting, or run-merging flips rows.
+    "q217_exact_substring_dups" -> ((s, d) =>
+      graft.llm.ExactSubstring.duplicatedExtents(docs(s, d), "doc_id", "text", 8)
+        .select(col("doc_id"), col("start_idx").cast("long").as("start_idx"),
+          col("end_idx").cast("long").as("end_idx"),
+          col("n_words").cast("long").as("n_words"))
+        .orderBy("doc_id", "start_idx"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -5859,7 +5881,38 @@ object SparkEntry {
         |       ELSE 'org.apache.hadoop.io.Text' END AS tag,
         |  CASE WHEN doc_id % 2 = 0 THEN CAST(n_chars AS VARCHAR)
         |       ELSE lang END AS val
-        |FROM documents ORDER BY doc_id""".stripMargin
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
+    "q217_exact_substring_dups" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |       generate_series(1, 2000) t(i)
+        |  WHERE i <= len(ws) AND ws[i] <> ''),
+        |tok AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, w
+        |        FROM tok0),
+        |gw AS (SELECT doc_id, idx, w,
+        |         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS w1,
+        |         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS w2,
+        |         LEAD(w, 3) OVER (PARTITION BY doc_id ORDER BY idx) AS w3,
+        |         LEAD(w, 4) OVER (PARTITION BY doc_id ORDER BY idx) AS w4,
+        |         LEAD(w, 5) OVER (PARTITION BY doc_id ORDER BY idx) AS w5,
+        |         LEAD(w, 6) OVER (PARTITION BY doc_id ORDER BY idx) AS w6,
+        |         LEAD(w, 7) OVER (PARTITION BY doc_id ORDER BY idx) AS w7
+        |       FROM tok),
+        |g AS (SELECT doc_id, idx,
+        |        w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+        |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+        |      FROM gw WHERE w7 IS NOT NULL),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, idx,
+        |        idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS island
+        |      FROM g WHERE gram IN (SELECT gram FROM dup))
+        |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS start_idx,
+        |  CAST(MAX(idx) + 7 AS BIGINT) AS end_idx,
+        |  CAST(MAX(idx) + 7 - MIN(idx) + 1 AS BIGINT) AS n_words
+        |FROM m GROUP BY doc_id, island ORDER BY doc_id, start_idx""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
