@@ -217,7 +217,9 @@ object Bench {
       val qStart = txt.indexOf("\"queries\":{")
       val body = txt.substring(qStart + 11, txt.indexOf('}', qStart))
       if (!sameSf) Map.empty
-      else """"([A-Za-z0-9_]+)":(-?[0-9.]+(?:[Ee][+-]?[0-9]+)?)""".r
+      // \s* after the colon: tolerate a pretty-printed/re-serialized
+      // baseline (a json.dump'd file defaults to ": " separators)
+      else """"([A-Za-z0-9_]+)":\s*(-?[0-9.]+(?:[Ee][+-]?[0-9]+)?)""".r
         .findAllMatchIn(body).map(m => m.group(1) -> m.group(2).toDouble).toMap
     } catch { case _: Throwable => Map.empty }
     def r3(x: Double) = math.round(x * 1000) / 1000.0

@@ -3524,7 +3524,21 @@ object SparkEntry {
         .select(col("doc_id"), col("start_idx").cast("long").as("start_idx"),
           col("end_idx").cast("long").as("end_idx"),
           col("n_words").cast("long").as("n_words"))
-        .orderBy("doc_id", "start_idx"))
+        .orderBy("doc_id", "start_idx")),
+
+    // Q218 — surgical substring scrub (the second half of the Lee et
+    // al. pipeline over q217's extents): every duplicated extent is
+    // removed EXCEPT its canonical copy — the corpus-minimum
+    // (doc_id, idx) occurrence of the extent's first gram keeps its
+    // extent, so one occurrence of repeated text survives. Output is
+    // per-doc before/removed word counts plus an md5 over the
+    // scrubbed text re-joined in token order: both engines must agree
+    // on the exact kept token SEQUENCE, not just counts.
+    "q218_substring_scrub" -> ((s, d) =>
+      graft.llm.ExactSubstring.scrub(docs(s, d), "doc_id", "text", 8)
+        .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
+          col("n_removed").cast("long").as("n_removed"), col("text_md5"))
+        .orderBy("doc_id"))
   )
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -5912,7 +5926,53 @@ object SparkEntry {
         |SELECT doc_id, CAST(MIN(idx) AS BIGINT) AS start_idx,
         |  CAST(MAX(idx) + 7 AS BIGINT) AS end_idx,
         |  CAST(MAX(idx) + 7 - MIN(idx) + 1 AS BIGINT) AS n_words
-        |FROM m GROUP BY doc_id, island ORDER BY doc_id, start_idx""".stripMargin
+        |FROM m GROUP BY doc_id, island ORDER BY doc_id, start_idx""".stripMargin,
+
+    "q218_substring_scrub" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |       generate_series(1, 2000) t(i)
+        |  WHERE i <= len(ws) AND ws[i] <> ''),
+        |tok AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, w
+        |        FROM tok0),
+        |gw AS (SELECT doc_id, idx, w,
+        |         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS w1,
+        |         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS w2,
+        |         LEAD(w, 3) OVER (PARTITION BY doc_id ORDER BY idx) AS w3,
+        |         LEAD(w, 4) OVER (PARTITION BY doc_id ORDER BY idx) AS w4,
+        |         LEAD(w, 5) OVER (PARTITION BY doc_id ORDER BY idx) AS w5,
+        |         LEAD(w, 6) OVER (PARTITION BY doc_id ORDER BY idx) AS w6,
+        |         LEAD(w, 7) OVER (PARTITION BY doc_id ORDER BY idx) AS w7
+        |       FROM tok),
+        |g AS (SELECT doc_id, idx,
+        |        w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+        |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+        |      FROM gw WHERE w7 IS NOT NULL),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, idx,
+        |        idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS island
+        |      FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |ext AS (SELECT doc_id, MIN(idx) AS s, MAX(idx) + 7 AS e
+        |        FROM m GROUP BY doc_id, island),
+        |canon AS (SELECT gram, doc_id AS c_doc, idx AS c_idx FROM g
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY gram
+        |            ORDER BY doc_id, idx) = 1),
+        |rem AS (SELECT a.doc_id, a.s, a.e
+        |        FROM (SELECT e.doc_id, e.s, e.e, g.gram FROM ext e
+        |              JOIN g ON g.doc_id = e.doc_id AND g.idx = e.s) a
+        |        JOIN canon c ON c.gram = a.gram
+        |        WHERE NOT (c.c_doc = a.doc_id AND c.c_idx = a.s)),
+        |kt AS (SELECT t.doc_id, t.idx, t.w,
+        |         EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id
+        |                 AND t.idx BETWEEN r.s AND r.e) AS dropd
+        |       FROM tok t)
+        |SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_words,
+        |  CAST(SUM(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
+        |  MD5(COALESCE(STRING_AGG(CASE WHEN NOT dropd THEN w END, ' '
+        |    ORDER BY idx), '')) AS text_md5
+        |FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -41,40 +41,108 @@ import org.apache.spark.sql.functions._
   */
 object ExactSubstring {
 
+  private val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
+
+  /** Non-empty tokens, renumbered contiguously per document:
+    * (doc_id, idx, w), idx 1-based. */
+  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
+    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
+    df.select(col(idCol).as("doc_id"),
+        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
+      .where(col("w") =!= "")
+      .withColumn("idx", row_number().over(byDoc))
+      .select("doc_id", "idx", "w")
+  }
+
+  /** The length-minRun gram STARTING at each idx; md5 keeps the
+    * count-stage exchange at 16 bytes/position independent of
+    * minRun: (doc_id, idx, gh). */
+  private def grams(toks: DataFrame, minRun: Int): DataFrame = {
+    val gramCols = col("w") +: (1 until minRun).map(i => lead(col("w"), i).over(byIdx))
+    toks
+      .withColumn("last", lead(col("w"), minRun - 1).over(byIdx))
+      .withColumn("gh", md5(concat_ws(" ", gramCols: _*)))
+      .where(col("last").isNotNull)
+      .select(col("doc_id"), col("idx"), col("gh"))
+  }
+
+  /** Window starts whose gram repeats corpus-wide (any second verbatim
+    * occurrence, same doc or another — the paper's rule), with their
+    * gaps-and-islands key: consecutive duplicated starts share
+    * (idx − row_number), each island is one maximal extent. */
+  private def dupStarts(g: DataFrame): DataFrame = {
+    val dup = g.groupBy("gh").agg(count(lit(1)).as("occ"))
+      .where(col("occ") >= 2).select("gh")
+    g.join(dup, "gh")
+      .withColumn("island", col("idx") - row_number().over(byIdx))
+  }
+
   /** Maximal duplicated extents: (doc_id, start_idx, end_idx,
     * n_words). See the object doc for the exact definition. */
   def duplicatedExtents(df: DataFrame, idCol: String, textCol: String,
                         minRun: Int): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    // non-empty tokens, renumbered contiguously per document
-    val toks = df
-      .select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .where(col("w") =!= "")
-      .withColumn("idx", row_number().over(byDoc))
-    // the length-minRun gram STARTING at each idx; md5 keeps the
-    // count-stage exchange at 16 bytes/position independent of minRun
-    val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
-    val lastW = lead(col("w"), minRun - 1).over(byIdx)
-    val gramCols = col("w") +: (1 until minRun).map(i => lead(col("w"), i).over(byIdx))
-    val grams = toks
-      .withColumn("last", lastW)
-      .withColumn("gh", md5(concat_ws(" ", gramCols: _*)))
-      .where(col("last").isNotNull)
-      .select(col("doc_id"), col("idx"), col("gh"))
-    // corpus-wide occurrence count ≥ 2 — any second verbatim
-    // occurrence, same doc or another (the paper's rule)
-    val dup = grams.groupBy("gh").agg(count(lit(1)).as("occ"))
-      .where(col("occ") >= 2).select("gh")
-    // gaps-and-islands: consecutive duplicated window-starts share
-    // (idx − row_number), each island is one maximal extent
-    val marked = grams.join(dup, "gh")
-      .withColumn("island", col("idx") - row_number().over(byIdx))
-    marked.groupBy(col("doc_id"), col("island"))
+    dupStarts(grams(tokens(df, idCol, textCol), minRun))
+      .groupBy(col("doc_id"), col("island"))
       .agg(min("idx").as("start_idx"),
         (max("idx") + lit(minRun - 1)).as("end_idx"))
       .select(col("doc_id"), col("start_idx"), col("end_idx"),
         (col("end_idx") - col("start_idx") + 1).as("n_words"))
+  }
+
+  /** Surgical removal — the second half of the Lee et al. pipeline:
+    * drop every duplicated extent EXCEPT its canonical copy, so one
+    * occurrence of repeated text survives the scrub.
+    *
+    * Canonical rule (deterministic, local per extent): an extent is
+    * kept iff its anchor position — (doc_id, start_idx) — is the
+    * corpus-minimum (doc_id, idx) occurrence of its FIRST gram. Every
+    * other extent's closed [start_idx, end_idx] token span is removed.
+    * The leading-gram minimum holder always keeps its extent, so the
+    * extent's leading region survives somewhere; a mid-extent overlap
+    * in another document resolves against that document (its own
+    * anchor decides its own extent). Self-repeats keep their first
+    * occurrence: overlapping same-doc repetitions merge into one
+    * island and survive intact, disjoint ones lose the later copy.
+    *
+    * Output per document: (doc_id, n_words, n_removed, text_md5) —
+    * the scrubbed text is re-joined with single spaces in idx order
+    * and witnessed by md5, so engines must agree on the exact kept
+    * token sequence, not just counts. Scale shape: everything is the
+    * extents pipeline plus one broadcast-size canonical lookup per
+    * anchor gram, one per-doc range array (extents per doc, not
+    * tokens), and one per-doc aggregate; tokens shuffle once. */
+  def scrub(df: DataFrame, idCol: String, textCol: String,
+            minRun: Int): DataFrame = {
+    require(minRun >= 2, s"minRun must be >= 2, got $minRun")
+    val toks = tokens(df, idCol, textCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val g = grams(toks, minRun)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val extents = dupStarts(g)
+      .groupBy(col("doc_id"), col("island"))
+      .agg(min("idx").as("start_idx"), (max("idx") + lit(minRun - 1)).as("end_idx"))
+      .drop("island")
+    // canonical occurrence of each gram that anchors some extent
+    val canon = g.groupBy("gh")
+      .agg(min(struct(col("doc_id"), col("idx"))).as("__c"))
+      .select(col("gh"), col("__c.doc_id").as("c_doc"), col("__c.idx").as("c_idx"))
+    val anchored = extents
+      .join(g.withColumnRenamed("idx", "start_idx"), Seq("doc_id", "start_idx"))
+      .join(canon, "gh")
+    val removed = anchored
+      .where(col("c_doc") =!= col("doc_id") || col("c_idx") =!= col("start_idx"))
+      .groupBy("doc_id")
+      .agg(collect_list(struct(col("start_idx"), col("end_idx"))).as("rs"))
+    val kept = toks.join(removed, Seq("doc_id"), "left")
+      .withColumn("drop", col("rs").isNotNull && exists(col("rs"),
+        r => col("idx").between(r.getField("start_idx"), r.getField("end_idx"))))
+    kept.groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("drop"),
+            struct(col("idx"), col("w"))))),
+          x => x.getField("w")), " ").cast("binary")).as("text_md5"))
   }
 }

@@ -100,6 +100,87 @@ class ExactSubstringSpec extends SparkSpec {
     }
   }
 
+  /** Driver-side scrub replay: extents from [[reference]], canonical =
+    * min (doc, start-gram occurrence), removal = union of non-kept
+    * extent spans. */
+  private def scrubReference(docs: Seq[(Long, String)], minRun: Int)
+      : Map[Long, (Int, Int, Seq[String])] = {
+    val toks = docs.map { case (id, t) =>
+      id -> t.split(" ").filter(_.nonEmpty).toSeq
+    }.toMap
+    val gramAt = (id: Long, s: Int) => toks(id).slice(s - 1, s - 1 + minRun).mkString(" ")
+    val occ = for {
+      (id, ws) <- toks.toSeq; i <- 1 to ws.length - minRun + 1
+    } yield (gramAt(id, i), id, i)
+    val canon = occ.groupBy(_._1).view
+      .mapValues(_.map(o => (o._2, o._3)).min).toMap
+    val removedSpans = reference(docs, minRun).toSeq.filter { case (id, s, _, _) =>
+      canon(gramAt(id, s)) != ((id, s))
+    }
+    toks.map { case (id, ws) =>
+      val dead = removedSpans.collect {
+        case (d, s, e, _) if d == id => (s, e)
+      }
+      val kept = ws.zipWithIndex.collect {
+        case (w, i) if !dead.exists { case (s, e) => i + 1 >= s && i + 1 <= e } => w
+      }
+      id -> ((ws.length, ws.length - kept.length, kept))
+    }
+  }
+
+  test("scrub matches the driver-side canonical-keeper replay") {
+    val boiler = (1 to 10).map(i => s"b$i").mkString(" ")
+    val docs = Seq(
+      1L -> s"alpha beta $boiler gamma delta epsilon zeta eta theta",
+      2L -> s"one two three $boiler four five six seven eight nine",
+      3L -> ("x1 x2 x3 x4 x5 x6 x7 x8 mid1 mid2 mid3 " +
+        "x1 x2 x3 x4 x5 x6 x7 x8 tail1 tail2"),
+      4L -> (1 to 30).map(i => s"u$i").mkString(" "))
+    val want = scrubReference(docs, 4)
+    val got = ExactSubstring.scrub(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 4)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+    assert(want.exists(_._2._2 > 0), "fixture must remove something")
+    docs.foreach { case (id, _) =>
+      val (n, rem, kept) = want(id)
+      val keptMd5 = java.security.MessageDigest.getInstance("MD5")
+        .digest(kept.mkString(" ").getBytes("UTF-8"))
+        .map("%02x".format(_)).mkString
+      assert(got(id) == ((n.toLong, rem.toLong, keptMd5)),
+        s"doc $id: got ${got(id)}, want ($n, $rem, $keptMd5)")
+    }
+    // doc 1 holds the canonical boilerplate (lowest doc id): untouched;
+    // doc 2 loses exactly the boilerplate span; doc 3's self-repeat
+    // loses the second copy; doc 4 is untouched
+    assert(got(1L)._2 == 0L)
+    assert(got(2L)._2 > 0L)
+    assert(got(3L)._2 > 0L)
+    assert(got(4L)._2 == 0L)
+  }
+
+  test("scrub on random corpora: counts consistent, canonical copy always survives") {
+    val rnd = new scala.util.Random(17)
+    val vocab = (1 to 30).map(i => s"w$i")
+    def doc(n: Int) = Seq.fill(n)(vocab(rnd.nextInt(vocab.size))).mkString(" ")
+    val base = doc(50)
+    val docs: Seq[(Long, String)] = Seq(1L -> base, 2L -> base,
+      3L -> doc(40), 4L -> (doc(10) + " " + base))
+    val want = scrubReference(docs, 5)
+    val got = ExactSubstring.scrub(docs.toDF("doc_id", "text"),
+        "doc_id", "text", 5)
+      .as[(Long, Long, Long, String)].collect()
+      .map(r => r._1 -> ((r._2, r._3))).toMap
+    docs.foreach { case (id, _) =>
+      val (n, rem, _) = want(id)
+      assert(got(id) == ((n.toLong, rem.toLong)), s"doc $id")
+    }
+    // doc 1 is the canonical full copy: nothing removed from it
+    assert(got(1L)._2 == 0L)
+    // doc 2 (verbatim copy) loses its whole duplicated span
+    assert(got(2L)._2 > 0L)
+  }
+
   test("runs of repeated spaces do not split an extent") {
     val span = (1 to 8).map(i => s"p$i").mkString(" ")
     val docs = Seq(
