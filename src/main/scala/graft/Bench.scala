@@ -59,7 +59,10 @@ object Bench {
       // round-7 session-3 additions: exact prefix-filtered set
       // similarity (the deterministic MinHash sibling) and the
       // bigram-LM perplexity scan
-      "q150_setsim_pairs", "q147_bigram_ppl")
+      "q150_setsim_pairs", "q147_bigram_ppl",
+      // round-9: exact duplicated-substring extents (the Lee et al.
+      // rule) — the new heavy text op, tracked from its first round
+      "q217_exact_substring_dups")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
