@@ -3538,8 +3538,59 @@ object SparkEntry {
       graft.llm.ExactSubstring.scrub(docs(s, d), "doc_id", "text", 8)
         .select(col("doc_id"), col("n_words").cast("long").as("n_words"),
           col("n_removed").cast("long").as("n_removed"), col("text_md5"))
-        .orderBy("doc_id"))
+        .orderBy("doc_id")),
+
+    // Q219 — product-quantization ENCODE ([[graft.llm.Pq]], Jégou et
+    // al. 2011): each 64-dim embedding stored as 4 codes — the 32×
+    // memory tier of the ANN family (int8 q41 is 4×, IVF q34 prunes
+    // but stores vectors whole). The codebook here is the FIXED
+    // synthetic quarter-step grid below (every value exactly
+    // representable), so the oracle replays the whole encode —
+    // subvector slicing, fixed-order squared-distance sums, and the
+    // tie-to-lowest argmin — cross-engine; codebook TRAINING is the
+    // q212-pinned deterministic Lloyd path, spec-verified in PqSpec
+    // (zero-quantization-error exactness, blob recall, determinism).
+    "q219_pq_encode" -> ((s, d) =>
+      graft.llm.Pq.encode(emb(s, d), "vec_id", "embedding", pqSynthModel)
+        .select(col("vec_id") +:
+          (0 until 4).map(i => element_at(col("codes"), i + 1)
+            .cast("long").as(s"c$i")): _*)
+        .orderBy("vec_id"))
   )
+
+  /** q219's synthetic codebook: values on the quarter grid in
+    * [-3, 3] — exact doubles, so both engines' distance sums are
+    * bit-identical. Formula shared verbatim with [[pqEncodeOracleSql]]. */
+  private def pqSynthCb(s: Int, c: Int, i: Int): Double =
+    ((c * 31 + i * 17 + s * 7) % 25 - 12) / 4.0
+
+  private lazy val pqSynthModel = graft.llm.Pq.Model(64, 4, 4,
+    (0 until 4).map(s => (0 until 4).map(c =>
+      Array.tabulate(16)(i => pqSynthCb(s, c, i)))))
+
+  /** Generated oracle for q219: per-subspace distances as one CTE
+    * (left-associated term chain = the engine's aggregate fold; the
+    * engine's leading 0.0+ is an IEEE no-op on the non-negative first
+    * square), argmin via <=-chained CASE (ties to the lowest code —
+    * the least(struct) rule). */
+  private lazy val pqEncodeOracleSql: String = {
+    def dist(s: Int, c: Int): String = (0 until 16).map { i =>
+      val v = pqSynthCb(s, c, i)
+      val e = s"CAST(embedding[${s * 16 + i + 1}] AS DOUBLE)"
+      s"($e - ($v)) * ($e - ($v))"
+    }.mkString(" + ")
+    val dcols = for (s <- 0 until 4; c <- 0 until 4)
+      yield s"(${dist(s, c)}) AS d${s}_$c"
+    val cases = (0 until 4).map { s =>
+      def d(c: Int) = s"d${s}_$c"
+      s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+         |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+         |     WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END AS c$s""".stripMargin
+    }
+    s"""WITH d AS (SELECT vec_id, ${dcols.mkString(",\n  ")} FROM embeddings)
+       |SELECT vec_id, ${cases.mkString(",\n  ")}
+       |FROM d ORDER BY vec_id""".stripMargin
+  }
 
   lazy val oracleSql: Map[String, String] = Map(
     "q01_filter_project" ->
@@ -5972,7 +6023,9 @@ object SparkEntry {
         |  CAST(SUM(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_removed,
         |  MD5(COALESCE(STRING_AGG(CASE WHEN NOT dropd THEN w END, ' '
         |    ORDER BY idx), '')) AS text_md5
-        |FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin
+        |FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
+
+    "q219_pq_encode" -> pqEncodeOracleSql
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

@@ -1,0 +1,133 @@
+package graft.llm
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Product quantization for ANN (Jégou, Douze & Schmid 2011, "Product
+  * Quantization for Nearest Neighbor Search"): split each dim-d vector
+  * into `m` subvectors of d/m dims, train a `k`-centroid codebook per
+  * subspace, store each corpus vector as `m` small integer codes.
+  * Search is ADC (asymmetric distance computation): the QUERY keeps
+  * full precision; per subspace a k-entry lookup table of squared
+  * distances query-subvector → centroid is computed once (driver-side,
+  * m·k doubles), and each corpus vector's approximate distance is the
+  * sum of m table lookups over its codes.
+  *
+  * Why this is the memory tier the other ANN paths lack: int8 (q41)
+  * compresses 4× and still scans d multiplies per pair; IVF (q34)
+  * prunes which vectors are scanned but stores them whole. PQ stores
+  * d=64 floats as m=8 codes — 256 B → 8 B per vector, 32× — so a
+  * 100 TB float corpus becomes a ~3 TB code table that fits a modest
+  * cluster's memory, scanned with integer lookups (no float math per
+  * dimension). Compose with IVF for the classic IVF-PQ: posting-list
+  * pruning over code-compressed residuals.
+  *
+  * Codebooks come from [[Clustering.lloyd]] per subspace — the
+  * integer-exact fixed-point driver — so training is deterministic
+  * across runs/JVMs and the encode argmin (fixed-order double math,
+  * ties to the lowest code) matches the q212 portability contract.
+  * Scale posture: training is m lloyd runs over subDim-wide
+  * projections (each: quantized corpus persisted once, d·k-cell
+  * aggregates per round); encode is MAP-ONLY against m·k literal
+  * centroids; ADC scan is map-only against broadcast-size literal
+  * LUTs + one top-k. Vectors never shuffle anywhere.
+  */
+object Pq {
+
+  /** Trained model: `codebooks(s)(c)` is centroid c of subspace s
+    * (subDim doubles). Missing/empty clusters hold zero vectors. */
+  case class Model(dim: Int, m: Int, k: Int, codebooks: Seq[Seq[Array[Double]]]) {
+    val subDim: Int = dim / m
+    require(codebooks.size == m && codebooks.forall(_.size == k),
+      s"Pq.Model: need $m x $k codebooks")
+  }
+
+  /** Train per-subspace codebooks with [[Clustering.lloyd]]. */
+  def train(emb: DataFrame, idCol: String, vecCol: String,
+            dim: Int, m: Int, k: Int, maxIter: Int = 10,
+            scale: Int = 1000): Model = {
+    require(m >= 1 && dim % m == 0, s"Pq.train: m=$m must divide dim=$dim")
+    val subDim = dim / m
+    val books = (0 until m).map { s =>
+      val sub = emb.select(col(idCol),
+        slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
+      val r = Clustering.lloyd(sub, idCol, vecCol, k, maxIter, subDim, scale)
+      (0L until k.toLong).map(c =>
+        r.centroids.getOrElse(c, Array.fill(subDim)(0.0)))
+    }
+    Model(dim, m, k, books)
+  }
+
+  /** Squared-euclidean distance of a subvector column to a literal
+    * centroid, in a fixed evaluation order (same portability argument
+    * as Clustering.lloydStep's distance). */
+  private def sqDist(sub: Column, cent: Array[Double]): Column = {
+    val c = array(cent.toIndexedSeq.map(lit): _*)
+    aggregate(zip_with(sub, c, (x, y) => {
+      val d = x.cast("double") - y; d * d
+    }), lit(0.0), (acc, v) => acc + v)
+  }
+
+  /** Encode: (idCol, codes) with `codes` an array<int> of length m;
+    * codes(s) = argmin over the subspace-s codebook, ties to the
+    * lowest code. Map-only — the codebooks ride as plan literals. */
+  def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
+    val guarded = when(size(col(vecCol)) === model.dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit("Pq.encode: embedding length "), size(col(vecCol)).cast("string"),
+        lit(s" != expected dim ${model.dim}"))))
+    val codes = (0 until model.m).map { s =>
+      val sub = slice(guarded, s * model.subDim + 1, model.subDim)
+      val cand = model.codebooks(s).zipWithIndex.map { case (cent, c) =>
+        struct(sqDist(sub, cent).as("d"), lit(c).as("c"))
+      }
+      (if (cand.size == 1) cand.head else least(cand: _*)).getField("c")
+    }
+    emb.select(col(idCol), array(codes: _*).as("codes"))
+  }
+
+  /** ADC top-k for a small query set: collects the query vectors
+    * (|queryIds| rows), builds each query's m·k LUT driver-side, and
+    * ranks the code table with per-query literal lookups — one
+    * map-only scan over codes per query batch, then the shared
+    * rank tail. Output: (qid, vec_id, rank, adist), ascending
+    * approximate distance, ties to the lower vec_id; self-pairs kept
+    * (a query's own code row is its quantized self). */
+  def adcTopK(codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
+              queryIds: Seq[Long], topK: Int, model: Model): DataFrame = {
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs: Map[Long, Array[Double]] = emb
+      .where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap.view.mapValues(_.toArray).toMap
+    val missing = queryIds.filterNot(qs.contains)
+    require(missing.isEmpty, s"Pq.adcTopK: query ids not found: ${missing.mkString(", ")}")
+    val perQuery = queryIds.map { qid =>
+      val qv = qs(qid)
+      // lut(s)(c): fixed summation order matches sqDist
+      val lut = (0 until model.m).map { s =>
+        model.codebooks(s).map { cent =>
+          var acc = 0.0
+          var i = 0
+          while (i < model.subDim) {
+            val d = qv(s * model.subDim + i) - cent(i); acc += d * d; i += 1
+          }
+          acc
+        }
+      }
+      val dist = (0 until model.m).map { s =>
+        val table = array(lut(s).toIndexedSeq.map(lit): _*)
+        element_at(table, element_at(col("codes"), s + 1) + 1)
+      }.reduce(_ + _)
+      codes.select(lit(qid).as("qid"), col(idCol).as("vec_id"), dist.as("adist"))
+    }
+    val all = perQuery.reduce(_.unionByName(_))
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    all.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("adist"), 6).as("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+}
