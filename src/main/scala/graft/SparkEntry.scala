@@ -3555,8 +3555,129 @@ object SparkEntry {
         .select(col("vec_id") +:
           (0 until 4).map(i => element_at(col("codes"), i + 1)
             .cast("long").as(s"c$i")): _*)
-        .orderBy("vec_id"))
+        .orderBy("vec_id")),
+
+    // Q220 — IVF-PQ composed ANN search ([[graft.llm.Pq.ivfAdcTopK]],
+    // Jégou et al. 2011 §IV): coarse cells prune WHICH vectors are
+    // scanned (q34's posting lists), PQ codes over RESIDUALS compress
+    // WHAT is scanned (q219's 32× tier) — the classic billion-scale
+    // index shape. Both the coarse grid and the residual codebook are
+    // the pinned quarter-step formulas below, so the DuckDB oracle
+    // replays the ENTIRE composed path — assignment argmin, residual
+    // subtraction, residual encode, per-(query, cell) LUT sums, probe
+    // ranking, ADC candidate ranking — term-for-term in the same IEEE
+    // evaluation order; one flipped tie or summation-order drift
+    // anywhere in the three-stage pipeline flips rows.
+    "q220_ivfpq_search" -> ((s, d) =>
+      graft.llm.Pq.ivfAdcTopK(emb(s, d), "vec_id", "embedding",
+        ivfCoarseGrid, ivfPqModel, ivfPqQueryIds, nProbe = 2, topK = 3)
+        .select(col("qid"), col("vec_id"), col("rank").cast("long").as("rank"),
+          col("adist"))),
+
+    // Q221 — TPC-H Q21 shape: DOUBLY-correlated EXISTS + NOT EXISTS
+    // (the inner predicates reference BOTH l1 and o_orderdate from the
+    // outer block). The decorrelation stress test beyond q176 (scalar)
+    // and q208 (lateral): Catalyst's RewritePredicateSubquery must
+    // turn both subqueries into one LeftSemi and one LeftAnti join on
+    // l_orderkey with the correlated date predicate carried as a join
+    // condition — no per-row re-execution anywhere. The fixture has
+    // no receipt/commit dates, so "late" is shipped > 60 days after
+    // the order date. PlanSpec pins the semi/anti shape.
+    "q221_multi_exists" -> ((s, d) => {
+      Tables.registerAll(s, d)
+      s.sql(q221Sql)
+    }),
+
+    // Q222 — time-grid gap fill + linear interpolation: resample each
+    // user's event stream onto a dense 1-hour grid between their first
+    // and last active hour, filling silent hours by interpolating
+    // between the flanking observed buckets on the TIME axis. The
+    // missing-data half of the resampling story (q204 downsamples to
+    // OHLC bars; this reinflates). Plan: one partial-agg shuffle to
+    // buckets, the grid generated from per-user (min, max) via
+    // sequence+explode — O(active-span hours), never a cross join —
+    // then two window passes (forward/backward last-non-null) on the
+    // user_id partitioning the buckets already have. Values live in
+    // INTEGER 1e-4 units end to end (the SCALE.md policy): the bucket
+    // stat is max() (order-independent), and the interpolation is
+    // exact integer arithmetic — round-half-away via trunc division,
+    // which Spark `div` and DuckDB `//` share for all signs — so the
+    // result is bit-replayable with no float-rounding tie anywhere
+    // (a round(double, 4) here diverged cross-engine on exact .00005
+    // midpoints, which ratio-1/2 interpolation mass-produces).
+    "q222_gapfill_interp" -> ((s, d) => {
+      val buckets = Tables.events(s, d)
+        .groupBy(col("user_id"), date_trunc("hour", col("ts")).as("h"))
+        .agg(round(max("value") * 10000).cast("long").as("v"))
+      val grid = buckets.groupBy("user_id")
+        .agg(min("h").as("mn"), max("h").as("mx"))
+        .select(col("user_id"),
+          explode(sequence(col("mn"), col("mx"), expr("INTERVAL 1 HOUR"))).as("h"))
+      val wFwd = Window.partitionBy("user_id").orderBy("h")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val wBwd = Window.partitionBy("user_id").orderBy(col("h").desc)
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val known = when(col("v").isNotNull, col("h"))
+      val delta = (col("nv") - col("pv")) *
+        expr("timestampdiff(HOUR, ph, h)")
+      val den = expr("timestampdiff(HOUR, ph, nh)")
+      val interp = col("pv") + expr(
+        "(2 * __delta + __sgn * __den) div (2 * __den)")
+      grid.join(buckets, Seq("user_id", "h"), "left")
+        .withColumn("pv", last(col("v"), ignoreNulls = true).over(wFwd))
+        .withColumn("ph", last(known, ignoreNulls = true).over(wFwd))
+        .withColumn("nv", last(col("v"), ignoreNulls = true).over(wBwd))
+        .withColumn("nh", last(known, ignoreNulls = true).over(wBwd))
+        .withColumn("__delta", delta)
+        .withColumn("__sgn", when(delta < 0, -1L).otherwise(1L))
+        .withColumn("__den", den)
+        .select(col("user_id"), col("h"),
+          when(col("v").isNotNull, col("v")).otherwise(interp).as("val_e4"),
+          when(col("v").isNull, 1L).otherwise(0L).as("filled"))
+        .orderBy("user_id", "h")
+    }),
+
+    // Q223 — 2-D skyline (Pareto front) over parts: cheapest-for-size
+    // frontier under (minimize price, maximize size). The engine
+    // NEVER forms the quadratic dominance self-join: one partial-agg
+    // shuffle to per-price group maxima, a running max over the
+    // price-sorted GROUP frame (one row per distinct price — the only
+    // single-partition step, O(distinct prices) ≪ n), then a
+    // broadcast-size join back. A row survives iff it holds its price
+    // group's max size AND beats every strictly-cheaper group's max.
+    // The oracle is the definitional NOT EXISTS dominance test, so
+    // the equivalence of the two formulations is what's checked.
+    "q223_skyline" -> ((s, d) => {
+      val p = Tables.part(s, d).select(col("p_partkey"),
+        col("p_retailprice").as("price"), col("p_size").as("sz"))
+      val groups = p.groupBy("price").agg(max("sz").as("gmax"))
+      val wPrev = Window.orderBy("price").rowsBetween(Window.unboundedPreceding, -1)
+      val gm = groups.withColumn("pmax", max("gmax").over(wPrev))
+      p.join(gm, Seq("price"))
+        .where(col("sz") === col("gmax") &&
+          (col("pmax").isNull || col("pmax") < col("sz")))
+        .select(col("p_partkey"), col("price"), col("sz"))
+        .orderBy("price", "p_partkey")
+    })
   )
+
+  /** q221's SQL — shared verbatim with the oracle (DuckDB parses the
+    * same text), so the engines differ only in decorrelation strategy. */
+  private val q221Sql: String =
+    """SELECT s_name, CAST(COUNT(*) AS BIGINT) AS numwait
+      |FROM supplier, lineitem l1, orders
+      |WHERE s_suppkey = l1.l_suppkey AND o_orderkey = l1.l_orderkey
+      |  AND o_orderstatus = 'F'
+      |  AND l1.l_shipdate > o_orderdate + INTERVAL 60 DAY
+      |  AND EXISTS (SELECT 1 FROM lineitem l2
+      |              WHERE l2.l_orderkey = l1.l_orderkey
+      |                AND l2.l_suppkey <> l1.l_suppkey)
+      |  AND NOT EXISTS (SELECT 1 FROM lineitem l3
+      |                  WHERE l3.l_orderkey = l1.l_orderkey
+      |                    AND l3.l_suppkey <> l1.l_suppkey
+      |                    AND l3.l_shipdate > o_orderdate + INTERVAL 60 DAY)
+      |GROUP BY s_name
+      |ORDER BY numwait DESC, s_name""".stripMargin
 
   /** q219's synthetic codebook: values on the quarter grid in
     * [-3, 3] — exact doubles, so both engines' distance sums are
@@ -3590,6 +3711,91 @@ object SparkEntry {
     s"""WITH d AS (SELECT vec_id, ${dcols.mkString(",\n  ")} FROM embeddings)
        |SELECT vec_id, ${cases.mkString(",\n  ")}
        |FROM d ORDER BY vec_id""".stripMargin
+  }
+
+  /** q220's pinned coarse grid and residual codebook: quarter-step
+    * values (exact doubles) like q219's, but distinct formulas so the
+    * coarse and residual spaces don't alias. Shared verbatim with
+    * [[ivfPqOracleSql]]. */
+  private def ivfCoarseVal(c: Int, i: Int): Double =
+    ((c * 37 + i * 13) % 21 - 10) / 4.0
+  private def ivfPqVal(s: Int, c: Int, i: Int): Double =
+    ((c * 29 + i * 11 + s * 5) % 17 - 8) / 4.0
+
+  private lazy val ivfCoarseGrid: Seq[Array[Double]] =
+    (0 until 4).map(c => Array.tabulate(64)(i => ivfCoarseVal(c, i)))
+  private lazy val ivfPqModel = graft.llm.Pq.Model(64, 4, 4,
+    (0 until 4).map(s => (0 until 4).map(c =>
+      Array.tabulate(16)(i => ivfPqVal(s, c, i)))))
+  private val ivfPqQueryIds = Seq(0L, 101L, 202L, 303L)
+
+  /** Generated oracle for q220 — the full IVF-PQ replay. CTE stages
+    * mirror the engine 1:1: a1 coarse distances (64-term chains), a2
+    * assignment (<=-chained argmin, ties low), r residuals (CASE on
+    * the assigned cell), cd/codes residual PQ encode (the q219
+    * shape over r columns), pb per-(query, cell) LUTs — one UNION
+    * branch per cell so the cell is a literal and every LUT entry is
+    * a ((e - coarse) - cb)² chain in engine order — pr/probes probe
+    * ranking by (distance, cell), cand ADC sums via CASE on each
+    * code, rk the final (adist, vec_id) ranking. */
+  private lazy val ivfPqOracleSql: String = {
+    def e(i: Int) = s"CAST(embedding[${i + 1}] AS DOUBLE)"
+    def coarseDist(c: Int): String = (0 until 64).map { i =>
+      val v = ivfCoarseVal(c, i)
+      s"(${e(i)} - ($v)) * (${e(i)} - ($v))"
+    }.mkString(" + ")
+    val a1Cols = (0 until 4).map(c => s"(${coarseDist(c)}) AS dc$c")
+    val argminCell =
+      """CASE WHEN dc0 <= dc1 AND dc0 <= dc2 AND dc0 <= dc3 THEN 0
+        |     WHEN dc1 <= dc2 AND dc1 <= dc3 THEN 1
+        |     WHEN dc2 <= dc3 THEN 2 ELSE 3 END AS cl""".stripMargin
+    val resCols = (0 until 64).map { i =>
+      val branches = (0 until 4).map(c =>
+        s"WHEN $c THEN ${e(i)} - (${ivfCoarseVal(c, i)})").mkString(" ")
+      s"CASE cl $branches END AS r$i"
+    }
+    def codeDist(s: Int, c: Int): String = (0 until 16).map { i =>
+      val v = ivfPqVal(s, c, i)
+      s"(r${s * 16 + i} - ($v)) * (r${s * 16 + i} - ($v))"
+    }.mkString(" + ")
+    val cdCols = for (s <- 0 until 4; c <- 0 until 4)
+      yield s"(${codeDist(s, c)}) AS d${s}_$c"
+    val codeCases = (0 until 4).map { s =>
+      def d(c: Int) = s"d${s}_$c"
+      s"""CASE WHEN ${d(0)} <= ${d(1)} AND ${d(0)} <= ${d(2)} AND ${d(0)} <= ${d(3)} THEN 0
+         |     WHEN ${d(1)} <= ${d(2)} AND ${d(1)} <= ${d(3)} THEN 1
+         |     WHEN ${d(2)} <= ${d(3)} THEN 2 ELSE 3 END AS s$s""".stripMargin
+    }
+    def lutVal(cell: Int, s: Int, c: Int): String = (0 until 16).map { i =>
+      val t = s"((${e(s * 16 + i)} - (${ivfCoarseVal(cell, s * 16 + i)})) - (${ivfPqVal(s, c, i)}))"
+      s"$t * $t"
+    }.mkString(" + ")
+    val qidList = ivfPqQueryIds.mkString(", ")
+    val pbBranches = (0 until 4).map { cell =>
+      val luts = for (s <- 0 until 4; c <- 0 until 4)
+        yield s"(${lutVal(cell, s, c)}) AS l${s}_$c"
+      s"""SELECT vec_id AS qid, $cell AS pcl, dc$cell AS pd,
+         |  ${luts.mkString(",\n  ")}
+         |FROM a1 WHERE vec_id IN ($qidList)""".stripMargin
+    }
+    val adcSum = (0 until 4).map { s =>
+      val branches = (0 until 4).map(c => s"WHEN $c THEN p.l${s}_$c").mkString(" ")
+      s"(CASE c.s$s $branches END)"
+    }.mkString(" + ")
+    s"""WITH a1 AS (SELECT vec_id, embedding, ${a1Cols.mkString(",\n  ")} FROM embeddings),
+       |a2 AS (SELECT vec_id, embedding, $argminCell FROM a1),
+       |r AS (SELECT vec_id, cl, ${resCols.mkString(",\n  ")} FROM a2),
+       |cd AS (SELECT vec_id, cl, ${cdCols.mkString(",\n  ")} FROM r),
+       |codes AS (SELECT vec_id, cl, ${codeCases.mkString(",\n  ")} FROM cd),
+       |pb AS (${pbBranches.mkString("\nUNION ALL\n")}),
+       |pr AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY qid ORDER BY pd, pcl) AS prk FROM pb),
+       |probes AS (SELECT * FROM pr WHERE prk <= 2),
+       |cand AS (SELECT p.qid, c.vec_id, $adcSum AS adist
+       |         FROM probes p JOIN codes c ON c.cl = p.pcl),
+       |rk AS (SELECT qid, vec_id, adist,
+       |         ROW_NUMBER() OVER (PARTITION BY qid ORDER BY adist, vec_id) AS rnk FROM cand)
+       |SELECT qid, vec_id, CAST(rnk AS BIGINT) AS rank, ROUND(adist, 6) AS adist
+       |FROM rk WHERE rnk <= 3 ORDER BY qid, rank""".stripMargin
   }
 
   lazy val oracleSql: Map[String, String] = Map(
@@ -6025,7 +6231,47 @@ object SparkEntry {
         |    ORDER BY idx), '')) AS text_md5
         |FROM kt GROUP BY doc_id ORDER BY doc_id""".stripMargin,
 
-    "q219_pq_encode" -> pqEncodeOracleSql
+    "q219_pq_encode" -> pqEncodeOracleSql,
+    "q220_ivfpq_search" -> ivfPqOracleSql,
+    "q221_multi_exists" -> q221Sql,
+    "q222_gapfill_interp" ->
+      """WITH b AS (SELECT user_id, date_trunc('hour', ts) AS h,
+        |                  CAST(ROUND(MAX(value) * 10000) AS BIGINT) AS v
+        |           FROM events GROUP BY 1, 2),
+        |g AS (SELECT user_id, UNNEST(generate_series(mn, mx, INTERVAL 1 HOUR)) AS h
+        |      FROM (SELECT user_id, MIN(h) AS mn, MAX(h) AS mx FROM b GROUP BY 1)),
+        |j AS (SELECT g.user_id, g.h, b.v FROM g
+        |      LEFT JOIN b ON b.user_id = g.user_id AND b.h = g.h),
+        |f AS (SELECT user_id, h, v,
+        |        LAST_VALUE(v IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pv,
+        |        LAST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS ph,
+        |        FIRST_VALUE(v IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nv,
+        |        FIRST_VALUE(CASE WHEN v IS NOT NULL THEN h END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY h
+        |           ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nh
+        |      FROM j)
+        |SELECT user_id, h,
+        |  CASE WHEN v IS NOT NULL THEN v
+        |       ELSE pv + (2 * ((nv - pv) * date_diff('hour', ph, h))
+        |                  + (CASE WHEN (nv - pv) * date_diff('hour', ph, h) < 0
+        |                          THEN -1 ELSE 1 END) * date_diff('hour', ph, nh))
+        |                 // (2 * date_diff('hour', ph, nh)) END AS val_e4,
+        |  CAST(CASE WHEN v IS NULL THEN 1 ELSE 0 END AS BIGINT) AS filled
+        |FROM f ORDER BY user_id, h""".stripMargin,
+    "q223_skyline" ->
+      """SELECT p.p_partkey, p.p_retailprice AS price, p.p_size AS sz
+        |FROM part p
+        |WHERE NOT EXISTS (
+        |  SELECT 1 FROM part q
+        |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
+        |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
+        |ORDER BY price, p.p_partkey""".stripMargin
   )
 
   /** Shared by q49 (label propagation) and q79 (star alternation):

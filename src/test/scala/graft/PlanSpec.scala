@@ -353,4 +353,28 @@ class PlanSpec extends SparkSpec {
     // (exists() over the array), never as an exploded range join
     assert(p.contains("exists"), p)
   }
+
+  test("q221: both correlated subqueries decorrelate to one semi + one anti join") {
+    val p = plan("q221_multi_exists")
+    // RewritePredicateSubquery must leave no per-row subquery behind
+    assert(p.contains("LeftSemi"), p)
+    assert(p.contains("LeftAnti"), p)
+    assert(!p.toLowerCase.contains("subquery"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+  }
+
+  test("q223: skyline is group-max + frame scan, never the quadratic dominance join") {
+    val p = plan("q223_skyline")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    // per-price maxima combine map-side before the exchange
+    assert(p.contains("partial_max"), p)
+    // exactly one scan of part feeds both the group pass and the join back
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) <= 2, p)
+  }
+
+  test("q222: grid generation is sequence+explode off per-user extents, not a time cross join") {
+    val p = plan("q222_gapfill_interp")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
+    assert(p.contains("sequence("), p)
+  }
 }
