@@ -3658,6 +3658,154 @@ object SparkEntry {
           (col("pmax").isNull || col("pmax") < col("sz")))
         .select(col("p_partkey"), col("price"), col("sz"))
         .orderBy("price", "p_partkey")
+    }),
+
+    // Q224 — last-touch attribution: each purchase credits the most
+    // recent EARLIER non-purchase event by the same user within a
+    // 7-day lookback. One window over the per-user stream — never the
+    // events⋈events self-join a naive attribution writes (quadratic on
+    // hot users): the ROWS frame [unbounded, -1) with a conditional
+    // `last(..., ignoreNulls)` is the O(n log n)-per-user shape, one
+    // hash exchange on user_id. Both the cause id and its ts come from
+    // the SAME row because their CASE nulls coincide. Ties at equal ts
+    // break by event_id (the window's secondary sort key) so the
+    // "latest touch" is well-defined on any engine. gap_s is integer
+    // (floor) seconds — order-free, engine-portable.
+    // Reference twin: secondary-sorted reduce over (user, ts) streams
+    // (the SecondarySort idiom, q12) — here one declarative window.
+    "q224_attribution" -> ((s, d) => {
+      val w = Window.partitionBy("user_id").orderBy(col("ts"), col("event_id"))
+        .rowsBetween(Window.unboundedPreceding, -1)
+      val causeId = when(col("event_type") =!= "purchase", col("event_id"))
+      val causeTs = when(col("event_type") =!= "purchase", col("ts"))
+      val inWin = col("cause_ts") >= col("ts") - expr("INTERVAL 7 DAYS")
+      ev(s, d)
+        .withColumn("cause_id", last(causeId, ignoreNulls = true).over(w))
+        .withColumn("cause_ts", last(causeTs, ignoreNulls = true).over(w))
+        .where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"),
+          when(inWin, col("cause_id")).as("cause_id"),
+          when(inWin, expr("(unix_micros(ts) - unix_micros(cause_ts)) div 1000000"))
+            .as("gap_s"))
+        .orderBy("event_id")
+    }),
+
+    // Q225 — population-stability-index drift audit between the first
+    // ten sources (reference split A) and the rest (split B) over the
+    // document-length distribution: the dataset-drift gate a curation
+    // pipeline runs before mixing a new crawl into training data.
+    // Fixed integer bins (LEAST(9, n_chars/100) — mergeable across
+    // shards), add-1 smoothing so empty bins never divide by zero, and
+    // the per-bin contribution (p−q)·ln(p/q) lands as a ROUND(·×1e4)
+    // BIGINT so the psi total is an ORDER-FREE integer sum (double
+    // summation order never reaches the output). One partial-agg
+    // shuffle over ≤10 bin rows; the bin spine is a literal sequence.
+    "q225_psi" -> ((s, d) => {
+      val counts = docs(s, d).select(
+          (expr("CAST(substring(source, 4) AS INT)") < 10).as("is_a"),
+          expr("LEAST(9, n_chars DIV 100)").as("bin"))
+        .groupBy("bin").agg(
+          sum(when(col("is_a"), 1L).otherwise(0L)).as("n_a"),
+          sum(when(col("is_a"), 0L).otherwise(1L)).as("n_b"))
+      val spine = s.range(0, 10).select(col("id").as("bin"))
+      // totals as window sums over the ≤10 post-agg rows (every doc
+      // lands in a bin, so the window total IS the corpus total) —
+      // the raw table is scanned exactly once
+      val p = (col("n_a") + 1L).cast("double") / (col("tot_a") + 10L).cast("double")
+      val q = (col("n_b") + 1L).cast("double") / (col("tot_b") + 10L).cast("double")
+      val contrib = round((p - q) * log(p / q) * 10000).cast("long")
+      spine.join(counts, Seq("bin"), "left")
+        .select(col("bin"), coalesce(col("n_a"), lit(0L)).as("n_a"),
+          coalesce(col("n_b"), lit(0L)).as("n_b"))
+        .withColumn("tot_a", expr("SUM(n_a) OVER ()"))
+        .withColumn("tot_b", expr("SUM(n_b) OVER ()"))
+        .select(col("bin"), col("n_a"), col("n_b"), contrib.as("contrib_e4"))
+        .withColumn("psi_e4", expr("SUM(contrib_e4) OVER ()"))
+        .orderBy("bin")
+    }),
+
+    // Q226 — three chained Lloyd iterations (lloydStep ∘ lloydStep ∘
+    // lloydStep): the distributed-table twin of the Clustering.lloyd
+    // driver loop, for k too large to inline as literals. Each round
+    // re-joins the new assignment to the (persisted) vector table and
+    // runs the same integer-exact step the q212 oracle replays — the
+    // DuckDB side unrolls the identical CTE three times, so THREE
+    // rounds of argmin/centroid state match bit-for-bit across
+    // engines, not just one. At 100 TB each round is one d·k-cell
+    // partial-agg shuffle + a broadcast of centroids; a production
+    // loop would checkpoint the assignment between rounds (the q49
+    // explicit-RDD lifecycle) — three rounds keeps the plan finite
+    // for the oracle while exercising the real chaining.
+    "q226_kmeans_iter" -> ((s, d) => {
+      val vecs = emb(s, d).select(col("vec_id"), col("embedding"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val seed = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
+      val r3 = (1 to 3).foldLeft(seed) { (cur, _) =>
+        graft.llm.Clustering.lloydStep(cur, "vec_id", "embedding",
+            "label", dim = 64, scale = 1000)
+          .select(col("vec_id"), col("assigned").as("label"))
+          .join(vecs, "vec_id")
+      }
+      r3.groupBy(col("label").as("cluster"))
+        .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+        .orderBy("cluster")
+    }),
+
+    // Q227 — market-basket frequent pairs at brand granularity (the
+    // a-priori 2-itemset pass): brands co-bought in the same order,
+    // support ≥ 2. The per-order self-join fans out C(brands-in-
+    // order, 2) — bounded by ORDER size (≤7 TPC-H lines), never by
+    // corpus size — and the pair count combines map-side. Brand
+    // lookup (25 rows effective) rides a hash join keyed on partkey;
+    // the distinct fence before pairing keeps multi-line same-brand
+    // orders from inflating support. q122's triangle wedge is the
+    // 3-itemset sibling of this plan.
+    "q227_brand_pairs" -> ((s, d) => {
+      val ib = li(s, d)
+        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
+        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
+        .distinct()
+      ib.alias("a").join(ib.alias("c"),
+          col("a.ok") === col("c.ok") && col("a.b") < col("c.b"))
+        .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
+        .agg(count(lit(1)).as("support"))
+        .where(col("support") >= 2)
+        .orderBy(desc("support"), col("b1"), col("b2"))
+    }),
+
+    // Q228 — pointwise mutual information over token co-occurrence
+    // (document granularity): the association-mining pass a corpus
+    // profiler runs (collocations, topic seeds). The scale contract
+    // is the df fence BEFORE pairing (the Dedup dfCap idiom): only
+    // tokens with df ≥ 3 enter the per-doc self-join, so pair fanout
+    // tracks the fenced per-doc vocabulary, not raw text; production
+    // corpora add an UPPER df cap here (the stop-word fence — this
+    // synthetic corpus's 31-word vocab is all near-ubiquitous, so a
+    // cap would empty the query rather than demonstrate it).
+    // PMI = ln(c_ij·N / (c_i·c_j)) over exact integer counts (the
+    // long products are exact well past any real corpus), emitted as
+    // a ROUND(·×1e4) BIGINT; ordering is by the integer keys only —
+    // no double ever decides a row's identity or position.
+    "q228_pmi" -> ((s, d) => {
+      val t = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "").distinct()
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val n = t.select("doc_id").distinct().count()
+      val dfreq = t.groupBy("w").agg(count(lit(1)).as("df"))
+        .where(col("df") >= 3)
+      val tf = t.join(dfreq, "w").select(col("doc_id"), col("w"), col("df"))
+      val pmi = log((col("cij") * n).cast("double") /
+        (col("df1") * col("df2")).cast("double"))
+      tf.alias("a").join(tf.alias("b"),
+          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
+        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
+        .agg(count(lit(1)).as("cij"),
+          first(col("a.df")).as("df1"), first(col("b.df")).as("df2"))
+        .where(col("cij") >= 3)
+        .select(col("w1"), col("w2"), col("cij"),
+          round(pmi * 10000).cast("long").as("pmi_e4"))
+        .orderBy("w1", "w2")
     })
   )
 
@@ -6271,8 +6419,110 @@ object SparkEntry {
         |  SELECT 1 FROM part q
         |  WHERE q.p_retailprice <= p.p_retailprice AND q.p_size >= p.p_size
         |    AND (q.p_retailprice < p.p_retailprice OR q.p_size > p.p_size))
-        |ORDER BY price, p.p_partkey""".stripMargin
+        |ORDER BY price, p.p_partkey""".stripMargin,
+    "q224_attribution" ->
+      """WITH w AS (
+        |  SELECT event_id, user_id, ts, event_type,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN event_id END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cause_id,
+        |    LAST_VALUE(CASE WHEN event_type <> 'purchase' THEN ts END
+        |               IGNORE NULLS)
+        |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+        |            ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS cause_ts
+        |  FROM events)
+        |SELECT event_id, user_id,
+        |  CASE WHEN cause_ts >= ts - INTERVAL 7 DAY THEN cause_id END AS cause_id,
+        |  CASE WHEN cause_ts >= ts - INTERVAL 7 DAY
+        |       THEN (epoch_us(ts) - epoch_us(cause_ts)) // 1000000 END AS gap_s
+        |FROM w WHERE event_type = 'purchase' ORDER BY event_id""".stripMargin,
+    "q225_psi" ->
+      """WITH b AS (SELECT CAST(substring(source, 4) AS INT) < 10 AS is_a,
+        |             LEAST(9, n_chars // 100) AS bin FROM documents),
+        |c AS (SELECT bin,
+        |        CAST(SUM(CASE WHEN is_a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+        |        CAST(SUM(CASE WHEN is_a THEN 0 ELSE 1 END) AS BIGINT) AS n_b
+        |      FROM b GROUP BY 1),
+        |sp AS (SELECT CAST(i AS BIGINT) AS bin FROM generate_series(0, 9) g(i)),
+        |j0 AS (SELECT sp.bin, COALESCE(c.n_a, 0) AS n_a, COALESCE(c.n_b, 0) AS n_b
+        |       FROM sp LEFT JOIN c USING (bin)),
+        |j AS (SELECT bin, n_a, n_b,
+        |        CAST(SUM(n_a) OVER () AS BIGINT) AS tot_a,
+        |        CAST(SUM(n_b) OVER () AS BIGINT) AS tot_b FROM j0),
+        |k AS (SELECT bin, n_a, n_b,
+        |        CAST(ROUND((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE)
+        |                    - CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + 10 AS DOUBLE))
+        |                   * LN((CAST(n_a + 1 AS DOUBLE) / CAST(tot_a + 10 AS DOUBLE))
+        |                        / (CAST(n_b + 1 AS DOUBLE) / CAST(tot_b + 10 AS DOUBLE)))
+        |                   * 10000) AS BIGINT) AS contrib_e4
+        |      FROM j)
+        |SELECT bin, n_a, n_b, contrib_e4,
+        |  CAST(SUM(contrib_e4) OVER () AS BIGINT) AS psi_e4
+        |FROM k ORDER BY bin""".stripMargin,
+    "q226_kmeans_iter" -> kmeansIterOracleSql,
+    "q227_brand_pairs" ->
+      """WITH ib AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
+        |            FROM lineitem JOIN part ON l_partkey = p_partkey)
+        |SELECT a.b AS b1, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS support
+        |FROM ib a JOIN ib c ON a.ok = c.ok AND a.b < c.b
+        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
+        |ORDER BY support DESC, b1, b2""".stripMargin,
+    "q228_pmi" ->
+      """WITH t AS (SELECT DISTINCT doc_id, w FROM (
+        |     SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
+        |     FROM documents) WHERE w <> ''),
+        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
+        |d AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1
+        |      HAVING COUNT(*) >= 3),
+        |tf AS (SELECT doc_id, w, df FROM t JOIN d USING (w)),
+        |p AS (SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS cij,
+        |        FIRST(a.df) AS df1, FIRST(b.df) AS df2
+        |      FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.w < b.w
+        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
+        |SELECT w1, w2, cij,
+        |  CAST(ROUND(LN(CAST(cij * n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE))
+        |             * 10000) AS BIGINT) AS pmi_e4
+        |FROM p CROSS JOIN n ORDER BY w1, w2""".stripMargin
   )
+
+  /** Generated oracle for q226: the q212 single-step replay CTE
+    * unrolled three times, each round seeding from the previous
+    * round's assignment — same quantization, same exact-integer
+    * centroid state, same fixed-order double distance, same
+    * (dist, centroid-id) tie rule. */
+  private lazy val kmeansIterOracleSql: String = {
+    def round(i: Int, prev: String): String =
+      s"""cell$i AS (SELECT label, i AS pos, SUM(q[i]) AS s
+         |  FROM $prev, generate_series(1, 64) t(i) GROUP BY 1, 2),
+         |cent$i AS (SELECT label AS clabel, list(s ORDER BY pos) AS sv
+         |  FROM cell$i GROUP BY 1),
+         |nn$i AS (SELECT label AS clabel, COUNT(*) AS n FROM $prev GROUP BY 1),
+         |d$i AS (SELECT vec_id, clabel, q, xx,
+         |    CAST(xx AS DOUBLE)
+         |      - (2.0 * CAST(CAST(list_dot_product(q, sv) AS BIGINT) AS DOUBLE))
+         |        / CAST(n AS DOUBLE)
+         |      + CAST(CAST(list_dot_product(sv, sv) AS BIGINT) AS DOUBLE)
+         |        / (CAST(n AS DOUBLE) * CAST(n AS DOUBLE)) AS dist
+         |  FROM $prev CROSS JOIN cent$i JOIN nn$i USING (clabel)),
+         |a$i AS (SELECT vec_id, clabel AS label, q, xx FROM (
+         |    SELECT vec_id, clabel, q, xx,
+         |      ROW_NUMBER() OVER (PARTITION BY vec_id ORDER BY dist, clabel) AS rn
+         |    FROM d$i) WHERE rn = 1)""".stripMargin
+    s"""WITH qv AS (
+       |  SELECT vec_id, CAST(label AS BIGINT) AS label,
+       |    list_transform(embedding,
+       |      e -> CAST(ROUND(CAST(e AS DOUBLE) * 1000) AS BIGINT)) AS q
+       |  FROM embeddings),
+       |a0 AS (SELECT vec_id, label, q,
+       |    CAST(list_dot_product(q, q) AS BIGINT) AS xx FROM qv),
+       |${round(1, "a0")},
+       |${round(2, "a1")},
+       |${round(3, "a2")}
+       |SELECT label AS cluster, CAST(COUNT(*) AS BIGINT) AS n,
+       |  CAST(SUM(vec_id) AS BIGINT) AS id_sum
+       |FROM a3 GROUP BY 1 ORDER BY 1""".stripMargin
+  }
 
   /** Shared by q49 (label propagation) and q79 (star alternation):
     * the exact-Jaccard pair pipeline resolved by a recursive

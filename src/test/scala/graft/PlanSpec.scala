@@ -377,4 +377,38 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     assert(p.contains("sequence("), p)
   }
+
+  test("q224: attribution is one window over one events scan, never a self-join") {
+    val p = plan("q224_attribution")
+    // the naive form joins events to events per purchase (quadratic on
+    // hot users); the window form reads the table once and sorts only
+    // within user partitions
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join"), p)
+    // the type filter must NOT be pushed below the window (it would
+    // drop the non-purchase cause rows the frame reads)
+    assert(!p.contains("EqualTo(event_type,purchase)"), p)
+  }
+
+  test("q225: PSI drift audit is one documents scan + a 10-row spine") {
+    val p = plan("q225_psi")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    // bin counts combine map-side before the exchange
+    assert(p.contains("partial_sum"), p)
+    // scan prunes to the two audited columns
+    val rs = p.linesIterator.filter(_.contains("ReadSchema")).toSeq
+    assert(rs.exists(s => s.contains("source") && s.contains("n_chars")
+      && !s.contains("text")), rs.mkString("\n"))
+  }
+
+  test("q226: each chained Lloyd round broadcasts centroids and partially aggregates cells") {
+    val p = plan("q226_kmeans_iter")
+    // three rounds = three broadcast joins of the k-row centroid/count
+    // tables; the vector table is never on the build side of a shuffle
+    // exchange keyed by centroid
+    assert(p.linesIterator.count(_.contains("BroadcastExchange")) >= 3, p)
+    assert(p.contains("partial_min_by") || p.contains("partial_sum"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
 }
