@@ -3806,6 +3806,26 @@ object SparkEntry {
         .select(col("w1"), col("w2"), col("cij"),
           round(pmi * 10000).cast("long").as("pmi_e4"))
         .orderBy("w1", "w2")
+    }),
+
+    // Q229 — as-of join with a tolerance (pandas merge_asof): each
+    // purchase looks up the latest click value by the same user, but
+    // a click older than one hour EXPIRES to null instead of serving
+    // stale state. Exercises ops.TemporalJoins.asOfWithin — q35's
+    // union+window as-of plan (one keyed shuffle, no per-key cross
+    // product) with the right timestamp riding in the carry struct
+    // and the age check as a map-side scalar.
+    "q229_asof_tolerance" -> ((s, d) => {
+      val e = ev(s, d)
+      val purchases = e.where(col("event_type") === "purchase")
+        .select(col("event_id"), col("user_id"), col("ts"))
+      val clicks = e.where(col("event_type") === "click")
+        .select(col("user_id"), col("ts"), col("value"))
+      graft.ops.TemporalJoins.asOfWithin(purchases, clicks, "user_id",
+          "ts", "ts", Map("value" -> "click_value"), toleranceSeconds = 3600)
+        .select(col("event_id"), col("user_id"),
+          round(col("click_value"), 4).as("click_value"))
+        .orderBy("event_id")
     })
   )
 
@@ -6483,7 +6503,25 @@ object SparkEntry {
         |SELECT w1, w2, cij,
         |  CAST(ROUND(LN(CAST(cij * n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE))
         |             * 10000) AS BIGINT) AS pmi_e4
-        |FROM p CROSS JOIN n ORDER BY w1, w2""".stripMargin
+        |FROM p CROSS JOIN n ORDER BY w1, w2""".stripMargin,
+    "q229_asof_tolerance" ->
+      """WITH u AS (
+        |  SELECT event_id, user_id, ts, NULL AS cv, 1 AS side
+        |  FROM events WHERE event_type = 'purchase'
+        |  UNION ALL
+        |  SELECT NULL, user_id, ts, value, 0
+        |  FROM events WHERE event_type = 'click'),
+        |c AS (SELECT event_id, user_id, ts, side,
+        |        LAST_VALUE(CASE WHEN side = 0 THEN cv END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY ts ASC, side ASC, cv ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
+        |        LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
+        |          (PARTITION BY user_id ORDER BY ts ASC, side ASC, cv ASC NULLS FIRST
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lts
+        |      FROM u)
+        |SELECT event_id, user_id,
+        |  CASE WHEN lts >= ts - INTERVAL 1 HOUR THEN ROUND(lv, 4) END AS click_value
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin
   )
 
   /** Generated oracle for q226: the q212 single-step replay CTE

@@ -60,6 +60,54 @@ object TemporalJoins {
       .drop("__ts", "__side", "__carry")
   }
 
+  /** As-of join with a tolerance (pandas merge_asof semantics): like
+    * [[asOf]], but a carried right row EXPIRES once it is more than
+    * `toleranceSeconds` older than the left timestamp — the lookup
+    * comes back null instead of serving arbitrarily stale state (the
+    * market-data "quote too old" rule). Same plan shape as [[asOf]]
+    * (one keyed shuffle, one window pass, no per-key cross product);
+    * the right timestamp rides inside the carry struct and the age
+    * check is a map-side scalar afterwards, so the tolerance adds
+    * zero exchanges. */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 rightCols: Map[String, String],
+                 toleranceSeconds: Long): DataFrame = {
+    val collisions = rightCols.values.toSet
+      .intersect(left.columns.toSet) ++
+      Set("__ts", "__side", "__carry", "__rts").intersect(left.columns.toSet)
+    require(collisions.isEmpty,
+      s"asOfWithin carried-column names collide with left columns: $collisions — rename them")
+    require(toleranceSeconds >= 0, s"negative tolerance: $toleranceSeconds")
+    val lTagged = left
+      .withColumn("__ts", col(leftTs))
+      .withColumn("__side", lit(1))
+    val rTagged = right
+      .select(col(key) +: col(rightTs).as("__ts") +: col(rightTs).as("__rts") +:
+        rightCols.toSeq.map { case (from, to) => col(from).as(to) }: _*)
+      .withColumn("__side", lit(0))
+    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
+    // identical ordering contract to asOf: right rows before left rows
+    // at equal timestamps; equal-timestamp right rows tie-break on the
+    // carried tuple (largest wins)
+    val carryCols = rightCols.values.toSeq
+    val w = Window.partitionBy(col(key))
+      .orderBy(col("__ts") +: col("__side") +: carryCols.map(col): _*)
+      .rowsBetween(Window.unboundedPreceding, 0)
+    val carried = unioned
+      .withColumn("__carry", last(
+        when(col("__side") === 0, struct((col("__rts") +: carryCols.map(col)): _*)),
+        ignoreNulls = true).over(w))
+    val fresh = col("__carry").isNotNull &&
+      unix_micros(col("__ts")) - unix_micros(col("__carry").getField("__rts")) <=
+        lit(toleranceSeconds * 1000000L)
+    carryCols.foldLeft(carried) { (df, v) =>
+      df.withColumn(v, when(fresh, col("__carry").getField(v)))
+    }
+      .where(col("__side") === 1)
+      .drop("__ts", "__side", "__carry", "__rts")
+  }
+
   /** Interval (range) join: pair each point row with every interval
     * row of the same `key` where `start <= ts < end`, WITHOUT a per-key
     * cross product: both sides are bucketized on time (intervals

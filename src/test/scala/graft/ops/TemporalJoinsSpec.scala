@@ -70,6 +70,42 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOfWithin expires carried rows older than the tolerance") {
+    val trades = Seq(
+      (1L, ts(5), "fresh"),    // quote at 0:04, 60s old → within 120s
+      (1L, ts(10), "stale"),   // same quote now 360s old → expired
+      (1L, ts(4), "exact"),    // quote AT the trade time, age 0
+      (2L, ts(10), "never"))   // no quote at all
+      .toDF("key", "ts", "trade")
+    val quotes = Seq((1L, ts(4), 105.0)).toDF("key", "qts", "px")
+    val out = TemporalJoins.asOfWithin(trades, quotes, "key", "ts", "qts",
+      Map("px" -> "px"), toleranceSeconds = 120)
+      .select("trade", "px").as[(String, Option[Double])].collect().toMap
+    assert(out("fresh") == Some(105.0))
+    assert(out("exact") == Some(105.0))
+    assert(out("stale") == None, "tolerance must expire the 6-minute-old quote")
+    assert(out("never") == None)
+  }
+
+  test("asOfWithin keeps asOf's null-field and tie semantics") {
+    // latest right row carries a null FIELD — the tolerance variant
+    // must not resurrect the older non-null value either
+    val trades = Seq((1L, ts(10), "t")).toDF("key", "ts", "trade")
+    val quotes = Seq(
+      (1L, ts(0), Some(100.0)), (1L, ts(9), None: Option[Double]))
+      .toDF("key", "qts", "px")
+    val out = TemporalJoins.asOfWithin(trades, quotes, "key", "ts", "qts",
+      Map("px" -> "px"), toleranceSeconds = 3600).select("px").head
+    assert(out.isNullAt(0), "stale px=100 resurfaced over the latest (null) value")
+    // equal-timestamp right rows: largest carried tuple wins (asOf rule)
+    val q2 = Seq((1L, ts(9), Some(7.0)), (1L, ts(9), Some(9.0)))
+      .toDF("key", "qts", "px")
+    val out2 = TemporalJoins.asOfWithin(trades, q2, "key", "ts", "qts",
+      Map("px" -> "px"), toleranceSeconds = 3600)
+      .select("px").as[Option[Double]].head
+    assert(out2 == Some(9.0))
+  }
+
   test("intervalJoin pairs points with containing intervals only") {
     val points = Seq((1L, ts(5)), (1L, ts(45)), (2L, ts(5))).toDF("key", "ts")
     val intervals = Seq(
