@@ -3826,6 +3826,36 @@ object SparkEntry {
         .select(col("event_id"), col("user_id"),
           round(col("click_value"), 4).as("click_value"))
         .orderBy("event_id")
+    }),
+
+    // Q230 — hashed-feature linear quality classifier (the
+    // fasttext-shaped scoring pass a curation pipeline runs per doc):
+    // distinct token FNV-64 hashes (the shingle_hashes n=1 native
+    // expression — one codegen'd pass, no shuffle) fold into 4096
+    // feature buckets, a synthetic oracle-pinned weight table
+    // w(b) = (b·31+7) mod 201 − 100 replaces trained weights (the
+    // q219 synthetic-codebook pattern: the MODEL is fixture, the
+    // PLUMBING is real), and the doc score is sigmoid(Σw / 100n).
+    // Σw is an exact integer fold over the hash array — map-only,
+    // order-free; the only doubles are one division, one exp, one
+    // round. 4096 buckets bounds the feature space at any corpus
+    // size — the entire model broadcasts as 32 KB regardless of
+    // vocabulary (the feature-hashing trick, Weinberger et al. 2009).
+    "q230_quality_classifier" -> ((s, d) => {
+      val hs = graft.functions.SketchExpressions
+        .shingleHashes64(col("text"), 1)
+      docs(s, d)
+        .select(col("doc_id"), hs.as("hs"))
+        .select(col("doc_id"), size(col("hs")).cast("long").as("n_feat"),
+          aggregate(col("hs"), lit(0L),
+            (acc, h) => acc + ((pmod(h, lit(4096L)) * 31L + 7L) % 201L - 100L))
+            .as("sw"))
+        .select(col("doc_id"), col("n_feat"),
+          when(col("n_feat") > 0,
+            round(lit(1.0) / (lit(1.0) +
+              exp(-(col("sw").cast("double") /
+                (lit(100.0) * col("n_feat"))))), 4)).as("quality"))
+        .orderBy("doc_id")
     })
   )
 
@@ -6521,8 +6551,40 @@ object SparkEntry {
         |      FROM u)
         |SELECT event_id, user_id,
         |  CASE WHEN lts >= ts - INTERVAL 1 HOUR THEN ROUND(lv, 4) END AS click_value
-        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin
+        |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
+    "q230_quality_classifier" -> qualityClassifierOracleSql
   )
+
+  /** Oracle for q230: per-token FNV-1a 64 in HUGEINT mod-2^64 (the
+    * simHashOracleSql byte-fold) with [[graft.functions.ShingleHashes]]'s
+    * trailing NUL-separator multiply, hash-set dedup per doc, then the
+    * same synthetic bucket-weight formula and sigmoid. */
+  private lazy val qualityClassifierOracleSql: String = {
+    val fold = """list_reduce(
+      |    list_prepend(14695981039346656037::HUGEINT,
+      |      flatten(list_transform(list_transform(string_split(t, ''), c -> unicode(c)),
+      |        cp -> CASE
+      |          WHEN cp < 128 THEN [CAST(cp AS HUGEINT)]
+      |          WHEN cp < 2048 THEN [CAST(192 + cp//64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+      |          WHEN cp < 65536 THEN [CAST(224 + cp//4096 AS HUGEINT), CAST(128 + (cp//64)%64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+      |          ELSE [CAST(240 + cp//262144 AS HUGEINT), CAST(128 + (cp//4096)%64 AS HUGEINT), CAST(128 + (cp//64)%64 AS HUGEINT), CAST(128 + cp%64 AS HUGEINT)]
+      |        END))),
+      |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
+      |  )""".stripMargin
+    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+       |th AS (SELECT doc_id,
+       |  ($fold * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS h
+       |  FROM tok),
+       |dh AS (SELECT DISTINCT doc_id, h FROM th),
+       |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |         CAST(SUM((CAST(h % 4096 AS BIGINT) * 31 + 7) % 201 - 100) AS BIGINT) AS sw
+       |       FROM dh GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_feat, 0) AS n_feat,
+       |  CASE WHEN sc.n_feat > 0
+       |       THEN ROUND(1.0 / (1.0 + EXP(-(CAST(sw AS DOUBLE) / (100.0 * n_feat)))), 4)
+       |  END AS quality
+       |FROM documents d LEFT JOIN sc USING (doc_id) ORDER BY d.doc_id""".stripMargin
+  }
 
   /** Generated oracle for q226: the q212 single-step replay CTE
     * unrolled three times, each round seeding from the previous
