@@ -3726,7 +3726,11 @@ object SparkEntry {
 
     // Q226 — three chained Lloyd iterations (lloydStep ∘ lloydStep ∘
     // lloydStep): the distributed-table twin of the Clustering.lloyd
-    // driver loop, for k too large to inline as literals. Each round
+    // driver loop, for k too large to inline as literals (q119's
+    // Ivf-internal rounds are the cosine-metric codebook cousin;
+    // q212 is ONE round of this exact integer-grid contract — this
+    // query is the multi-round oracle proof of the CHAINED path,
+    // which neither covers). Each round
     // re-joins the new assignment to the (persisted) vector table and
     // runs the same integer-exact step the q212 oracle replays — the
     // DuckDB side unrolls the identical CTE three times, so THREE
@@ -3749,63 +3753,6 @@ object SparkEntry {
       r3.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .orderBy("cluster")
-    }),
-
-    // Q227 — market-basket frequent pairs at brand granularity (the
-    // a-priori 2-itemset pass): brands co-bought in the same order,
-    // support ≥ 2. The per-order self-join fans out C(brands-in-
-    // order, 2) — bounded by ORDER size (≤7 TPC-H lines), never by
-    // corpus size — and the pair count combines map-side. Brand
-    // lookup (25 rows effective) rides a hash join keyed on partkey;
-    // the distinct fence before pairing keeps multi-line same-brand
-    // orders from inflating support. q122's triangle wedge is the
-    // 3-itemset sibling of this plan.
-    "q227_brand_pairs" -> ((s, d) => {
-      val ib = li(s, d)
-        .join(Tables.part(s, d), col("l_partkey") === col("p_partkey"))
-        .select(col("l_orderkey").as("ok"), col("p_brand").as("b"))
-        .distinct()
-      ib.alias("a").join(ib.alias("c"),
-          col("a.ok") === col("c.ok") && col("a.b") < col("c.b"))
-        .groupBy(col("a.b").as("b1"), col("c.b").as("b2"))
-        .agg(count(lit(1)).as("support"))
-        .where(col("support") >= 2)
-        .orderBy(desc("support"), col("b1"), col("b2"))
-    }),
-
-    // Q228 — pointwise mutual information over token co-occurrence
-    // (document granularity): the association-mining pass a corpus
-    // profiler runs (collocations, topic seeds). The scale contract
-    // is the df fence BEFORE pairing (the Dedup dfCap idiom): only
-    // tokens with df ≥ 3 enter the per-doc self-join, so pair fanout
-    // tracks the fenced per-doc vocabulary, not raw text; production
-    // corpora add an UPPER df cap here (the stop-word fence — this
-    // synthetic corpus's 31-word vocab is all near-ubiquitous, so a
-    // cap would empty the query rather than demonstrate it).
-    // PMI = ln(c_ij·N / (c_i·c_j)) over exact integer counts (the
-    // long products are exact well past any real corpus), emitted as
-    // a ROUND(·×1e4) BIGINT; ordering is by the integer keys only —
-    // no double ever decides a row's identity or position.
-    "q228_pmi" -> ((s, d) => {
-      val t = docs(s, d)
-        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
-        .where(col("w") =!= "").distinct()
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val n = t.select("doc_id").distinct().count()
-      val dfreq = t.groupBy("w").agg(count(lit(1)).as("df"))
-        .where(col("df") >= 3)
-      val tf = t.join(dfreq, "w").select(col("doc_id"), col("w"), col("df"))
-      val pmi = log((col("cij") * n).cast("double") /
-        (col("df1") * col("df2")).cast("double"))
-      tf.alias("a").join(tf.alias("b"),
-          col("a.doc_id") === col("b.doc_id") && col("a.w") < col("b.w"))
-        .groupBy(col("a.w").as("w1"), col("b.w").as("w2"))
-        .agg(count(lit(1)).as("cij"),
-          first(col("a.df")).as("df1"), first(col("b.df")).as("df2"))
-        .where(col("cij") >= 3)
-        .select(col("w1"), col("w2"), col("cij"),
-          round(pmi * 10000).cast("long").as("pmi_e4"))
-        .orderBy("w1", "w2")
     }),
 
     // Q229 — as-of join with a tolerance (pandas merge_asof): each
@@ -6511,29 +6458,6 @@ object SparkEntry {
         |  CAST(SUM(contrib_e4) OVER () AS BIGINT) AS psi_e4
         |FROM k ORDER BY bin""".stripMargin,
     "q226_kmeans_iter" -> kmeansIterOracleSql,
-    "q227_brand_pairs" ->
-      """WITH ib AS (SELECT DISTINCT l_orderkey AS ok, p_brand AS b
-        |            FROM lineitem JOIN part ON l_partkey = p_partkey)
-        |SELECT a.b AS b1, c.b AS b2, CAST(COUNT(*) AS BIGINT) AS support
-        |FROM ib a JOIN ib c ON a.ok = c.ok AND a.b < c.b
-        |GROUP BY 1, 2 HAVING COUNT(*) >= 2
-        |ORDER BY support DESC, b1, b2""".stripMargin,
-    "q228_pmi" ->
-      """WITH t AS (SELECT DISTINCT doc_id, w FROM (
-        |     SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text), ' ')) AS w
-        |     FROM documents) WHERE w <> ''),
-        |n AS (SELECT COUNT(DISTINCT doc_id) AS n FROM t),
-        |d AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS df FROM t GROUP BY 1
-        |      HAVING COUNT(*) >= 3),
-        |tf AS (SELECT doc_id, w, df FROM t JOIN d USING (w)),
-        |p AS (SELECT a.w AS w1, b.w AS w2, CAST(COUNT(*) AS BIGINT) AS cij,
-        |        FIRST(a.df) AS df1, FIRST(b.df) AS df2
-        |      FROM tf a JOIN tf b ON a.doc_id = b.doc_id AND a.w < b.w
-        |      GROUP BY 1, 2 HAVING COUNT(*) >= 3)
-        |SELECT w1, w2, cij,
-        |  CAST(ROUND(LN(CAST(cij * n AS DOUBLE) / CAST(df1 * df2 AS DOUBLE))
-        |             * 10000) AS BIGINT) AS pmi_e4
-        |FROM p CROSS JOIN n ORDER BY w1, w2""".stripMargin,
     "q229_asof_tolerance" ->
       """WITH u AS (
         |  SELECT event_id, user_id, ts, NULL AS cv, 1 AS side
