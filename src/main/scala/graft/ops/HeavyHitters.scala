@@ -73,15 +73,56 @@ object HeavyHitters {
     * other value (prefix-encoded internally — injective, so a data
     * value can never pool with the null bucket — and reported as
     * null). */
-  def exactOverThreshold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
-    require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
+  /** Phase 1 as a reusable unit: the distributed size-k summary and
+    * the exact row count of `df`, one pass. */
+  private def summarize(df: DataFrame, keyCol: String,
+                        k: Int): (mutable.Map[String, Long], Long) = {
     val kk = k
     val keys = df.select(col(keyCol).cast("string")).rdd
       .map(r => encode(if (r.isNullAt(0)) null else r.getString(0)))
     // summary and exact row count in ONE pass
-    val (summary, total) = keys.treeAggregate((mutable.Map.empty[String, Long], 0L))(
+    keys.treeAggregate((mutable.Map.empty[String, Long], 0L))(
       { case ((m, n), key) => (add(m, key, kk), n + 1L) },
       { case ((ma, na), (mb, nb)) => (merge(ma, mb, kk), na + nb) })
+  }
+
+  /** Streaming leg: a running Misra-Gries summary folded across
+    * micro-batches (use [[StreamingSummary.ingest]] as the
+    * `foreachBatch` body). Each batch runs the same distributed
+    * phase-1 treeAggregate; the running state merges via [[merge]],
+    * so the mergeable-summaries bound (Agarwal et al., PODS'12)
+    * spans the WHOLE stream: any key's undercount ≤ n/k over
+    * everything ingested, hence every key with true count > n/k is
+    * tracked. There is no exact second pass here — the history is
+    * gone, which is exactly why the batch op re-verifies and this
+    * one documents the error bound instead. Driver state is O(k)
+    * regardless of stream length; parity with the batch guarantee is
+    * pinned by StreamingHeavyHittersSpec. */
+  final class StreamingSummary(keyCol: String, k: Int) {
+    require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
+    // var, not in-place: merge returns a REBUILT map when the cut
+    // fires (over-k shrink), so the result must be reassigned
+    private var state = mutable.Map.empty[String, Long]
+    private var n = 0L
+    /** foreachBatch body: fold one micro-batch into the summary. */
+    def ingest(batch: DataFrame): Unit = this.synchronized {
+      val (s, t) = summarize(batch, keyCol, k)
+      state = merge(state, s, k)
+      n += t
+    }
+    def total: Long = this.synchronized(n)
+    /** Tracked candidates with their (undercount ≤ total/k)
+      * estimates; the encoded null bucket decodes to None. */
+    def candidates: Map[Option[String], Long] = this.synchronized {
+      state.map { case (ek, v) =>
+        (if (ek == NULL_KEY) Option.empty[String] else Some(ek.substring(1))) -> v
+      }.toMap
+    }
+  }
+
+  def exactOverThreshold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
+    require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
+    val (summary, total) = summarize(df, keyCol, k)
     val candidates = summary.keys.toSeq
 
     val spark = df.sparkSession
