@@ -3793,7 +3793,10 @@ object SparkEntry {
         .shingleHashes64(col("text"), 1)
       docs(s, d)
         .select(col("doc_id"), hs.as("hs"))
-        .select(col("doc_id"), size(col("hs")).cast("long").as("n_feat"),
+        // null text → null hash array; coalesce to 0 features so the
+        // row matches the oracle's LEFT JOIN + COALESCE shape
+        .select(col("doc_id"),
+          coalesce(size(col("hs")), lit(0)).cast("long").as("n_feat"),
           aggregate(col("hs"), lit(0L),
             (acc, h) => acc + ((pmod(h, lit(4096L)) * 31L + 7L) % 201L - 100L))
             .as("sw"))
@@ -6459,6 +6462,10 @@ object SparkEntry {
         |FROM k ORDER BY bin""".stripMargin,
     "q226_kmeans_iter" -> kmeansIterOracleSql,
     "q229_asof_tolerance" ->
+      // the carry is ONE struct (ts + value from the SAME click row),
+      // mirroring asOfWithin's whole-struct carry: a null value FIELD
+      // inside the latest click stays null instead of resurrecting an
+      // older non-null value (decoupled per-column LAST_VALUEs would)
       """WITH u AS (
         |  SELECT event_id, user_id, ts, NULL AS cv, 1 AS side
         |  FROM events WHERE event_type = 'purchase'
@@ -6466,15 +6473,14 @@ object SparkEntry {
         |  SELECT NULL, user_id, ts, value, 0
         |  FROM events WHERE event_type = 'click'),
         |c AS (SELECT event_id, user_id, ts, side,
-        |        LAST_VALUE(CASE WHEN side = 0 THEN cv END IGNORE NULLS) OVER
+        |        LAST_VALUE(CASE WHEN side = 0 THEN {'ts': ts, 'v': cv} END
+        |                   IGNORE NULLS) OVER
         |          (PARTITION BY user_id ORDER BY ts ASC, side ASC, cv ASC NULLS FIRST
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lv,
-        |        LAST_VALUE(CASE WHEN side = 0 THEN ts END IGNORE NULLS) OVER
-        |          (PARTITION BY user_id ORDER BY ts ASC, side ASC, cv ASC NULLS FIRST
-        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS lts
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS carry
         |      FROM u)
         |SELECT event_id, user_id,
-        |  CASE WHEN lts >= ts - INTERVAL 1 HOUR THEN ROUND(lv, 4) END AS click_value
+        |  CASE WHEN carry.ts >= ts - INTERVAL 1 HOUR
+        |       THEN ROUND(carry.v, 4) END AS click_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
     "q230_quality_classifier" -> qualityClassifierOracleSql
   )

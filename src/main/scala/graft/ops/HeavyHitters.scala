@@ -68,11 +68,6 @@ object HeavyHitters {
     }
   }
 
-  /** Keys whose count strictly exceeds total/k, with exact counts.
-    * Output: keyCol (as string), cnt. Null keys participate like any
-    * other value (prefix-encoded internally — injective, so a data
-    * value can never pool with the null bucket — and reported as
-    * null). */
   /** Phase 1 as a reusable unit: the distributed size-k summary and
     * the exact row count of `df`, one pass. */
   private def summarize(df: DataFrame, keyCol: String,
@@ -120,6 +115,11 @@ object HeavyHitters {
     }
   }
 
+  /** Keys whose count strictly exceeds total/k, with exact counts.
+    * Output: keyCol (as string), cnt. Null keys participate like any
+    * other value (prefix-encoded internally — injective, so a data
+    * value can never pool with the null bucket — and reported as
+    * null). */
   def exactOverThreshold(df: DataFrame, keyCol: String, k: Int): DataFrame = {
     require(k >= 2, s"HeavyHitters: k must be >= 2: $k")
     val (summary, total) = summarize(df, keyCol, k)

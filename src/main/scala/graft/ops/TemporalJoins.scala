@@ -24,17 +24,54 @@ object TemporalJoins {
     * value columns to carry (renamed as given). */
   def asOf(left: DataFrame, right: DataFrame, key: String,
            leftTs: String, rightTs: String,
-           rightCols: Map[String, String]): DataFrame = {
-    val collisions = rightCols.values.toSet
-      .intersect(left.columns.toSet) ++
-      Set("__ts", "__side", "__carry").intersect(left.columns.toSet)
+           rightCols: Map[String, String]): DataFrame =
+    asOfCore(left, right, key, leftTs, rightTs, rightCols,
+      toleranceSeconds = None, caller = "asOf")
+
+  /** As-of join with a tolerance (pandas merge_asof semantics): like
+    * [[asOf]], but a carried right row EXPIRES once it is more than
+    * `toleranceSeconds` older than the left timestamp — the lookup
+    * comes back null instead of serving arbitrarily stale state (the
+    * market-data "quote too old" rule). Same plan shape as [[asOf]]
+    * (one keyed shuffle, one window pass, no per-key cross product);
+    * the right timestamp rides inside the carry struct and the age
+    * check is a map-side scalar afterwards, so the tolerance adds
+    * zero exchanges. The expiry runs AFTER the carry, so it never
+    * changes WHICH right row is carried — "latest at-or-before, then
+    * freshness-checked". */
+  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
+                 leftTs: String, rightTs: String,
+                 rightCols: Map[String, String],
+                 toleranceSeconds: Long): DataFrame = {
+    require(toleranceSeconds >= 0, s"negative tolerance: $toleranceSeconds")
+    asOfCore(left, right, key, leftTs, rightTs, rightCols,
+      toleranceSeconds = Some(toleranceSeconds), caller = "asOfWithin")
+  }
+
+  /** One body for both as-of flavors, so the ordering/carry contract
+    * lives in exactly one place. `__rts` (the carried right
+    * timestamp) joins the carry struct only when a tolerance asks
+    * for it — the plain asOf plan stays as narrow as before. */
+  private def asOfCore(left: DataFrame, right: DataFrame, key: String,
+                       leftTs: String, rightTs: String,
+                       rightCols: Map[String, String],
+                       toleranceSeconds: Option[Long],
+                       caller: String): DataFrame = {
+    val reserved = Set("__ts", "__side", "__carry", "__rts")
+    val collisions = rightCols.values.toSet.intersect(left.columns.toSet) ++
+      reserved.intersect(left.columns.toSet) ++
+      // a rename TARGET may not shadow the internals either
+      reserved.intersect(rightCols.values.toSet)
     require(collisions.isEmpty,
-      s"asOf carried-column names collide with left columns: $collisions — rename them")
+      s"$caller carried-column names collide with left/internal columns: " +
+        s"$collisions — rename them")
     val lTagged = left
       .withColumn("__ts", col(leftTs))
       .withColumn("__side", lit(1))
+    val rtsCol: Seq[Column] =
+      if (toleranceSeconds.isDefined) Seq(col(rightTs).as("__rts")) else Nil
     val rTagged = right
-      .select(col(key) +: col(rightTs).as("__ts") +:
+      .select(col(key) +: col(rightTs).as("__ts") +: rtsCol ++:
         rightCols.toSeq.map { case (from, to) => col(from).as(to) }: _*)
       .withColumn("__side", lit(0))
     val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
@@ -49,60 +86,19 @@ object TemporalJoins {
     // carry the whole right row as ONE struct: a null FIELD inside the
     // latest right row stays null (per-column last(ignoreNulls) would
     // resurrect a stale older value for that column)
+    val structCols = rtsCol.map(_ => col("__rts")) ++ carryCols.map(col)
     val carried = unioned
       .withColumn("__carry", last(
-        when(col("__side") === 0, struct(carryCols.map(col): _*)),
+        when(col("__side") === 0, struct(structCols: _*)),
         ignoreNulls = true).over(w))
-    carryCols.foldLeft(carried) { (df, v) =>
-      df.withColumn(v, col("__carry").getField(v))
+    val keep: Column = toleranceSeconds match {
+      case Some(tol) => col("__carry").isNotNull &&
+        unix_micros(col("__ts")) - unix_micros(col("__carry").getField("__rts")) <=
+          lit(tol * 1000000L)
+      case None => lit(true)
     }
-      .where(col("__side") === 1)
-      .drop("__ts", "__side", "__carry")
-  }
-
-  /** As-of join with a tolerance (pandas merge_asof semantics): like
-    * [[asOf]], but a carried right row EXPIRES once it is more than
-    * `toleranceSeconds` older than the left timestamp — the lookup
-    * comes back null instead of serving arbitrarily stale state (the
-    * market-data "quote too old" rule). Same plan shape as [[asOf]]
-    * (one keyed shuffle, one window pass, no per-key cross product);
-    * the right timestamp rides inside the carry struct and the age
-    * check is a map-side scalar afterwards, so the tolerance adds
-    * zero exchanges. */
-  def asOfWithin(left: DataFrame, right: DataFrame, key: String,
-                 leftTs: String, rightTs: String,
-                 rightCols: Map[String, String],
-                 toleranceSeconds: Long): DataFrame = {
-    val collisions = rightCols.values.toSet
-      .intersect(left.columns.toSet) ++
-      Set("__ts", "__side", "__carry", "__rts").intersect(left.columns.toSet)
-    require(collisions.isEmpty,
-      s"asOfWithin carried-column names collide with left columns: $collisions — rename them")
-    require(toleranceSeconds >= 0, s"negative tolerance: $toleranceSeconds")
-    val lTagged = left
-      .withColumn("__ts", col(leftTs))
-      .withColumn("__side", lit(1))
-    val rTagged = right
-      .select(col(key) +: col(rightTs).as("__ts") +: col(rightTs).as("__rts") +:
-        rightCols.toSeq.map { case (from, to) => col(from).as(to) }: _*)
-      .withColumn("__side", lit(0))
-    val unioned = lTagged.unionByName(rTagged, allowMissingColumns = true)
-    // identical ordering contract to asOf: right rows before left rows
-    // at equal timestamps; equal-timestamp right rows tie-break on the
-    // carried tuple (largest wins)
-    val carryCols = rightCols.values.toSeq
-    val w = Window.partitionBy(col(key))
-      .orderBy(col("__ts") +: col("__side") +: carryCols.map(col): _*)
-      .rowsBetween(Window.unboundedPreceding, 0)
-    val carried = unioned
-      .withColumn("__carry", last(
-        when(col("__side") === 0, struct((col("__rts") +: carryCols.map(col)): _*)),
-        ignoreNulls = true).over(w))
-    val fresh = col("__carry").isNotNull &&
-      unix_micros(col("__ts")) - unix_micros(col("__carry").getField("__rts")) <=
-        lit(toleranceSeconds * 1000000L)
     carryCols.foldLeft(carried) { (df, v) =>
-      df.withColumn(v, when(fresh, col("__carry").getField(v)))
+      df.withColumn(v, when(keep, col("__carry").getField(v)))
     }
       .where(col("__side") === 1)
       .drop("__ts", "__side", "__carry", "__rts")

@@ -70,6 +70,18 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("both as-of flavors reject rename targets that shadow internal columns") {
+    val l = Seq((1L, ts(1), "t")).toDF("key", "ts", "trade")
+    val r = Seq((1L, ts(0), 2.0)).toDF("key", "qts", "px")
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOfWithin(l, r, "key", "ts", "qts",
+        Map("px" -> "__rts"), toleranceSeconds = 60)
+    }
+    intercept[IllegalArgumentException] {
+      TemporalJoins.asOf(l, r, "key", "ts", "qts", Map("px" -> "__carry"))
+    }
+  }
+
   test("asOfWithin expires carried rows older than the tolerance") {
     val trades = Seq(
       (1L, ts(5), "fresh"),    // quote at 0:04, 60s old → within 120s
