@@ -62,7 +62,11 @@ object Bench {
       "q150_setsim_pairs", "q147_bigram_ppl",
       // round-9: exact duplicated-substring extents (the Lee et al.
       // rule) — the new heavy text op, tracked from its first round
-      "q217_exact_substring_dups")
+      "q217_exact_substring_dups",
+      // round-9 session 3: the chained 3-round k-means (iterative-job
+      // cost envelope) and the map-only hashed-feature classifier
+      // (pure scan throughput indicator)
+      "q226_kmeans_iter", "q230_quality_classifier")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

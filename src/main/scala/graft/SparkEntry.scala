@@ -3806,6 +3806,38 @@ object SparkEntry {
               exp(-(col("sw").cast("double") /
                 (lit(100.0) * col("n_feat"))))), 4)).as("quality"))
         .orderBy("doc_id")
+    }),
+
+    // Q231 — mergeable log₂-binned quantile sketch: the O(bins)
+    // approximation tier between q63's equi-width histogram and q87's
+    // exact percentile (whose state is O(group) — the any-cardinality
+    // path q87's own scaladoc defers to a mergeable sketch). Bin =
+    // floor(log₂ cents) as LENGTH(BIN(x))−1 (the q92 exact-integer
+    // idiom — no float log, no boundary ulp), so the histogram is
+    // integers end to end: shard histograms merge by count addition,
+    // the quantile is the first bin where 100·cum ≥ q·n (integer
+    // cross-multiplication, no division), and the reported bound is
+    // the bin's exact lower edge 2^b in cents. One partial-agg
+    // shuffle to ≤64 bins per group at ANY data size; relative error
+    // is bounded by the bin ratio (2×) like any log-binned sketch.
+    "q231_binned_quantiles" -> ((s, d) => {
+      val cents = expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1)")
+      val b = (length(bin(cents)) - 1).cast("long")
+      val hist = ev(s, d).select(col("event_type"), b.as("b"))
+        .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+      val wCum = Window.partitionBy("event_type").orderBy("b")
+        .rowsBetween(Window.unboundedPreceding, 0)
+      val cum = hist
+        .withColumn("cum", sum("c").over(wCum))
+        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
+      def qb(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("b")))
+      cum.groupBy("event_type").agg(
+          max("n").as("n"), qb(50).as("b50"), qb(90).as("b90"), qb(99).as("b99"))
+        .select(col("event_type"), col("n"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b50 AS INT))").as("p50_lb"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b90 AS INT))").as("p90_lb"),
+          expr("shiftleft(CAST(1 AS BIGINT), CAST(b99 AS INT))").as("p99_lb"))
+        .orderBy("event_type")
     })
   )
 
@@ -6482,7 +6514,26 @@ object SparkEntry {
         |  CASE WHEN carry.ts >= ts - INTERVAL 1 HOUR
         |       THEN ROUND(carry.v, 4) END AS click_value
         |FROM c WHERE side = 1 ORDER BY event_id""".stripMargin,
-    "q230_quality_classifier" -> qualityClassifierOracleSql
+    "q230_quality_classifier" -> qualityClassifierOracleSql,
+    "q231_binned_quantiles" ->
+      """WITH e AS (SELECT event_type,
+        |             GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1) AS cents
+        |           FROM events),
+        |h AS (SELECT event_type, CAST(LENGTH(BIN(cents)) - 1 AS BIGINT) AS b,
+        |        COUNT(*) AS c FROM e GROUP BY 1, 2),
+        |cu AS (SELECT event_type, b, c,
+        |         SUM(c) OVER (PARTITION BY event_type ORDER BY b
+        |           ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS cum,
+        |         SUM(c) OVER (PARTITION BY event_type) AS n FROM h),
+        |g AS (SELECT event_type, CAST(MAX(n) AS BIGINT) AS n,
+        |        MIN(CASE WHEN cum * 100 >= n * 50 THEN b END) AS b50,
+        |        MIN(CASE WHEN cum * 100 >= n * 90 THEN b END) AS b90,
+        |        MIN(CASE WHEN cum * 100 >= n * 99 THEN b END) AS b99
+        |      FROM cu GROUP BY 1)
+        |SELECT event_type, n,
+        |  (1::BIGINT << b50) AS p50_lb, (1::BIGINT << b90) AS p90_lb,
+        |  (1::BIGINT << b99) AS p99_lb
+        |FROM g ORDER BY event_type""".stripMargin
   )
 
   /** Oracle for q230: per-token FNV-1a 64 in HUGEINT mod-2^64 (the

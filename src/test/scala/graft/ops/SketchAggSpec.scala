@@ -64,4 +64,26 @@ class SketchAggSpec extends SparkSpec {
       .select(hll_sketch_estimate(hll_sketch_agg(col("tok")))).as[Long].head()
     assert(a == b, s"$a vs $b")
   }
+
+  // q231's log2-binned quantile sketch: shard histograms merged by
+  // count addition must reproduce the whole-corpus histogram exactly
+  // (integer bins — no ulp), and hence identical quantile bounds.
+  // That additivity is the sketch's 100 TB contract: per-shard state
+  // is <=64 integer cells per group regardless of rows.
+  test("log2-binned quantile histogram merges exactly across shards") {
+    val ev = graft.core.Tables.events(spark, sf)
+    def hist(df: org.apache.spark.sql.DataFrame) = df
+      .select(col("event_type"), (length(bin(
+        expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1)"))) - 1)
+        .cast("long").as("b"))
+      .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
+    val whole = hist(ev)
+    val merged = (0 until 3)
+      .map(i => hist(ev.where(pmod(col("event_id"), lit(3)) === i)))
+      .reduce(_ unionByName _)
+      .groupBy("event_type", "b").agg(sum("c").as("c"))
+    val wRows = whole.as[(String, Long, Long)].collect().toSet
+    val mRows = merged.as[(String, Long, Long)].collect().toSet
+    assert(wRows == mRows, s"merged shard histogram diverged:\n$wRows\nvs\n$mRows")
+  }
 }
