@@ -3788,25 +3788,9 @@ object SparkEntry {
     // round. 4096 buckets bounds the feature space at any corpus
     // size — the entire model broadcasts as 32 KB regardless of
     // vocabulary (the feature-hashing trick, Weinberger et al. 2009).
-    "q230_quality_classifier" -> ((s, d) => {
-      val hs = graft.functions.SketchExpressions
-        .shingleHashes64(col("text"), 1)
-      docs(s, d)
-        .select(col("doc_id"), hs.as("hs"))
-        // null text → null hash array; coalesce to 0 features so the
-        // row matches the oracle's LEFT JOIN + COALESCE shape
-        .select(col("doc_id"),
-          coalesce(size(col("hs")), lit(0)).cast("long").as("n_feat"),
-          aggregate(col("hs"), lit(0L),
-            (acc, h) => acc + ((pmod(h, lit(4096L)) * 31L + 7L) % 201L - 100L))
-            .as("sw"))
-        .select(col("doc_id"), col("n_feat"),
-          when(col("n_feat") > 0,
-            round(lit(1.0) / (lit(1.0) +
-              exp(-(col("sw").cast("double") /
-                (lit(100.0) * col("n_feat"))))), 4)).as("quality"))
-        .orderBy("doc_id")
-    }),
+    "q230_quality_classifier" -> ((s, d) =>
+      graft.llm.HashedClassifier.score(docs(s, d), "doc_id", "text")
+        .orderBy("doc_id")),
 
     // Q231 — mergeable log₂-binned quantile sketch: the O(bins)
     // approximation tier between q63's equi-width histogram and q87's
@@ -3822,21 +3806,9 @@ object SparkEntry {
     // is bounded by the bin ratio (2×) like any log-binned sketch.
     "q231_binned_quantiles" -> ((s, d) => {
       val cents = expr("GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1)")
-      val b = (length(bin(cents)) - 1).cast("long")
-      val hist = ev(s, d).select(col("event_type"), b.as("b"))
-        .groupBy("event_type", "b").agg(count(lit(1)).as("c"))
-      val wCum = Window.partitionBy("event_type").orderBy("b")
-        .rowsBetween(Window.unboundedPreceding, 0)
-      val cum = hist
-        .withColumn("cum", sum("c").over(wCum))
-        .withColumn("n", sum("c").over(Window.partitionBy("event_type")))
-      def qb(q: Int) = min(when(col("cum") * 100 >= col("n") * q, col("b")))
-      cum.groupBy("event_type").agg(
-          max("n").as("n"), qb(50).as("b50"), qb(90).as("b90"), qb(99).as("b99"))
-        .select(col("event_type"), col("n"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b50 AS INT))").as("p50_lb"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b90 AS INT))").as("p90_lb"),
-          expr("shiftleft(CAST(1 AS BIGINT), CAST(b99 AS INT))").as("p99_lb"))
+      val hist = graft.ops.QuantileSketch.histogram(
+        ev(s, d), "event_type", cents)
+      graft.ops.QuantileSketch.quantiles(hist, "event_type", Seq(50, 90, 99))
         .orderBy("event_type")
     })
   )

@@ -342,6 +342,22 @@ object Main {
         graft.ops.Profiler.profile(spark.read.parquet(in))
           .coalesce(1).write.mode("overwrite").parquet(out)
 
+      // hashed-feature linear quality score per row (map-only;
+      // synthetic oracle-pinned weights — swap in llm.HashedClassifier
+      // for a trained table)
+      case "quality" :: in :: idCol :: textCol :: out :: Nil =>
+        graft.llm.HashedClassifier.score(spark.read.parquet(in), idCol, textCol)
+          .write.mode("overwrite").parquet(out)
+
+      // mergeable log2-binned quantile bounds per key: valueExpr is a
+      // SQL expression producing a positive integer (e.g. cents)
+      case "quantiles" :: in :: keyCol :: valueExpr :: qs :: out :: Nil =>
+        val hist = graft.ops.QuantileSketch.histogram(
+          spark.read.parquet(in), keyCol, expr(valueExpr))
+        graft.ops.QuantileSketch.quantiles(hist, keyCol,
+            qs.split(',').toIndexedSeq.map(_.trim.toInt))
+          .coalesce(1).write.mode("overwrite").parquet(out)
+
       // exact prefix-filtered set-similarity dedup pairs (PPJoin
       // principle): threshold is a rational num/den so every keep
       // decision is integer arithmetic
@@ -426,6 +442,8 @@ object Main {
         |  kmeans-step <in.parquet> <idCol> <vecCol> <labelCol> <dim> <out>
         |  kmeans <in.parquet> <idCol> <vecCol> <k> <maxIter> <dim> <out>
         |  cmsketch <in.parquet> <keyCol> <d> <w> <out>   (mergeable count-min cells)
+        |  quality <in.parquet> <idCol> <textCol> <out>   (hashed-feature linear score)
+        |  quantiles <in.parquet> <keyCol> "<posIntExpr>" <q,q,...> <out>   (log2-binned bounds)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -40,6 +40,22 @@ class CliSpec extends SparkSpec {
     assert(cm.count() <= 4 * 64)
   }
 
+  test("quality and quantiles verbs run the round-9 ops end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("quality", s"$sf/documents.parquet", "doc_id", "text", s"$tmp/q")
+    val q = spark.read.parquet(s"$tmp/q")
+    assert(q.columns.toSeq == Seq("doc_id", "n_feat", "quality"))
+    assert(q.where("quality < 0 OR quality > 1").count() == 0)
+    runVerb("quantiles", s"$sf/events.parquet", "event_type",
+      "GREATEST(CAST(ROUND(value * 100) AS BIGINT), 1)", "50,99", s"$tmp/p")
+    val p = spark.read.parquet(s"$tmp/p")
+    assert(p.columns.toSeq == Seq("event_type", "n", "p50_lb", "p99_lb"))
+    // lower bounds are powers of two and monotone across percentiles
+    import org.apache.spark.sql.functions._
+    assert(p.where(col("p99_lb") < col("p50_lb")).count() == 0)
+    assert(p.where(expr("bit_count(p50_lb) != 1 OR bit_count(p99_lb) != 1")).count() == 0)
+  }
+
   test("scrub, sketchindex and dedup-inc verbs run the curation ops end to end") {
     import org.apache.spark.sql.functions.col
     val tmp = java.nio.file.Files.createTempDirectory("cli").toString
