@@ -402,6 +402,15 @@ class PlanSpec extends SparkSpec {
       && !s.contains("text")), rs.mkString("\n"))
   }
 
+  test("q231: quantile sketch reduces to bins in one partial-agg pass, windows only the histogram") {
+    val p = plan("q231_binned_quantiles")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    // the data-size aggregation combines map-side; everything after
+    // operates on the <=64-bins-per-group histogram
+    assert(p.contains("partial_count"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
+  }
+
   test("q226: each chained Lloyd round broadcasts centroids and partially aggregates cells") {
     val p = plan("q226_kmeans_iter")
     // three rounds = three broadcast joins of the k-row centroid/count
