@@ -88,10 +88,12 @@ object Bench {
     // SIGN-FLIP pattern to the coordinates. Within a replica both
     // vectors of a pair flip identically, so every cosine — and hence
     // the near-dup pair structure — is preserved exactly; across
-    // replicas the products get independent random signs, so
-    // cross-replica similarity collapses toward 0 and no replica-twin
-    // pairs appear. The honest linear 10× (the embedding analogue of
-    // docsX10's word tagging).
+    // replicas the products get independent pseudo-random signs, so
+    // cross-replica similarity collapses toward 0 IN EXPECTATION
+    // (variance Σx⁴/(Σx²)² — a statistical, not exact, guarantee:
+    // energy-concentrated vectors can leave some replica-twin pairs
+    // above threshold, unlike docsX10's exact word tagging). Good
+    // enough for a scale TREND; not a pair-count invariant.
     def embX10(spark: SparkSession, dir: String) = {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/embeddings.parquet")

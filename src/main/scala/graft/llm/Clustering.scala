@@ -202,7 +202,11 @@ object Clustering {
     val cents = st.map { case (c, (sv, n)) =>
       c -> sv.map(_.toDouble / (n.toDouble * scale))
     }
-    q.unpersist()
+    // q stays persisted: the returned `assign` frame is LAZY and
+    // rooted at q — unpersisting here would force every downstream
+    // action to re-read and re-quantize the corpus from scratch.
+    // Release is the harness/ContextCleaner's job (the repo's
+    // persist-at-fork convention), or the caller's after materializing.
     LloydResult(out, cents, rounds, converged)
   }
 }

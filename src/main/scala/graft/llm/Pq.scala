@@ -38,6 +38,9 @@ object Pq {
   /** Trained model: `codebooks(s)(c)` is centroid c of subspace s
     * (subDim doubles). Missing/empty clusters hold zero vectors. */
   case class Model(dim: Int, m: Int, k: Int, codebooks: Seq[Seq[Array[Double]]]) {
+    require(m >= 1 && dim % m == 0,
+      s"Pq.Model: m=$m must divide dim=$dim - a non-divisor would silently " +
+        "drop the trailing dimensions from every code")
     val subDim: Int = dim / m
     require(codebooks.size == m && codebooks.forall(_.size == k),
       s"Pq.Model: need $m x $k codebooks")
@@ -69,20 +72,86 @@ object Pq {
     }), lit(0.0), (acc, v) => acc + v)
   }
 
+  /** Length guard shared by every full-vector entry point. */
+  private def dimGuard(vecCol: String, dim: Int, who: String): Column =
+    when(size(col(vecCol)) === dim, col(vecCol))
+      .otherwise(raise_error(concat(
+        lit(s"$who: embedding length "), size(col(vecCol)).cast("string"),
+        lit(s" != expected dim $dim"))))
+
+  /** Argmin code of a subvector against one subspace codebook — ties
+    * to the lowest code (the least(struct(d, c)) rule). Shared by
+    * [[encode]] and the residual encode inside [[ivfAdcTopK]]. */
+  private def argminCode(sub: Column, book: Seq[Array[Double]]): Column = {
+    val cand = book.zipWithIndex.map { case (cent, c) =>
+      struct(sqDist(sub, cent).as("d"), lit(c).as("c"))
+    }
+    (if (cand.size == 1) cand.head else least(cand: _*)).getField("c")
+  }
+
+  /** Collect the query vectors driver-side (|queryIds| rows), loudly:
+    * empty query sets and unknown ids are caller errors, not an
+    * `empty.reduce` crash three operators later. */
+  private def collectQueries(emb: DataFrame, idCol: String, vecCol: String,
+                             queryIds: Seq[Long], who: String): Map[Long, Array[Double]] = {
+    require(queryIds.nonEmpty, s"$who: queryIds is empty")
+    val spark = emb.sparkSession
+    import spark.implicits._
+    val qs = emb.where(col(idCol).isin(queryIds: _*))
+      .select(col(idCol), col(vecCol).cast("array<double>"))
+      .as[(Long, Seq[Double])].collect().toMap.view.mapValues(_.toArray).toMap
+    val missing = queryIds.filterNot(qs.contains)
+    require(missing.isEmpty, s"$who: query ids not found: ${missing.mkString(", ")}")
+    qs
+  }
+
+  /** The per-query m×k ADC lookup table: squared distance of the
+    * (optionally `shift`-centered) query subvector to each codebook
+    * centroid, in the fixed subspace-element summation order.
+    * `shift = null` means no centering — IEEE `x - 0.0 == x`, so one
+    * loop serves both the raw-vector and residual (IVF) forms
+    * bit-exactly. */
+  private def lutFor(qv: Array[Double], shift: Array[Double],
+                     model: Model): Seq[Seq[Double]] =
+    (0 until model.m).map { s =>
+      model.codebooks(s).map { cb =>
+        var acc = 0.0; var i = 0
+        while (i < model.subDim) {
+          val idx = s * model.subDim + i
+          val centered = if (shift == null) qv(idx) else qv(idx) - shift(idx)
+          val d = centered - cb(i)
+          acc += d * d; i += 1
+        }
+        acc
+      }
+    }
+
+  /** Approximate distance of a `codes` row under a LUT: sum of m
+    * literal table lookups in subspace order. */
+  private def adcDist(lut: Seq[Seq[Double]], model: Model): Column =
+    (0 until model.m).map { s =>
+      val table = array(lut(s).toIndexedSeq.map(lit): _*)
+      element_at(table, element_at(col("codes"), s + 1) + 1)
+    }.reduce(_ + _)
+
+  /** Shared rank tail: per-query ascending approximate distance,
+    * ties to the lower vec_id, top-k, distances rounded. */
+  private def rankTail(all: DataFrame, topK: Int): DataFrame = {
+    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
+    all.withColumn("rank", row_number().over(w))
+      .where(col("rank") <= topK)
+      .select(col("qid"), col("vec_id"), col("rank"), round(col("adist"), 6).as("adist"))
+      .orderBy(col("qid"), col("rank"))
+  }
+
   /** Encode: (idCol, codes) with `codes` an array<int> of length m;
     * codes(s) = argmin over the subspace-s codebook, ties to the
     * lowest code. Map-only — the codebooks ride as plan literals. */
   def encode(emb: DataFrame, idCol: String, vecCol: String, model: Model): DataFrame = {
-    val guarded = when(size(col(vecCol)) === model.dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit("Pq.encode: embedding length "), size(col(vecCol)).cast("string"),
-        lit(s" != expected dim ${model.dim}"))))
+    val guarded = dimGuard(vecCol, model.dim, "Pq.encode")
     val codes = (0 until model.m).map { s =>
-      val sub = slice(guarded, s * model.subDim + 1, model.subDim)
-      val cand = model.codebooks(s).zipWithIndex.map { case (cent, c) =>
-        struct(sqDist(sub, cent).as("d"), lit(c).as("c"))
-      }
-      (if (cand.size == 1) cand.head else least(cand: _*)).getField("c")
+      argminCode(slice(guarded, s * model.subDim + 1, model.subDim),
+        model.codebooks(s))
     }
     emb.select(col(idCol), array(codes: _*).as("codes"))
   }
@@ -110,6 +179,10 @@ object Pq {
     * (driver-side) and the k+m·k centroid literals in the plan.
     * Residual encoding matters vs raw-vector PQ: residuals are
     * centered near zero, so one shared codebook serves every cell.
+    * The encoded corpus PERSISTS at the fork: every (query, cell)
+    * probe branch filters the same code table, so without the persist
+    * Spark would replay the full assign+encode scan once per branch
+    * (|queries|·nProbe corpus passes instead of one).
     *
     * All math is fixed-order double arithmetic (assignment argmin via
     * `least(struct(dist, cell))`, LUT sums in subspace order), so the
@@ -127,12 +200,7 @@ object Pq {
       s"Pq.ivfAdcTopK: coarse centroids must be dim-${model.dim}")
     require(nProbe >= 1 && nProbe <= coarse.size,
       s"Pq.ivfAdcTopK: nProbe=$nProbe out of range for ${coarse.size} cells")
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val guarded = when(size(col(vecCol)) === model.dim, col(vecCol))
-      .otherwise(raise_error(concat(
-        lit("Pq.ivfAdcTopK: embedding length "), size(col(vecCol)).cast("string"),
-        lit(s" != expected dim ${model.dim}"))))
+    val guarded = dimGuard(vecCol, model.dim, "Pq.ivfAdcTopK")
     // Coarse assignment: argmin cell by full-dim squared L2, ties to
     // the lower cell — one map-only pass, centroids ride as literals.
     val cellCol = least(coarse.zipWithIndex.map { case (cent, c) =>
@@ -148,20 +216,13 @@ object Pq {
       .withColumn("res", resCol)
     // PQ-encode the residuals (same argmin/tie rule as encode()).
     val codeCols = (0 until model.m).map { s =>
-      val sub = slice(col("res"), s * model.subDim + 1, model.subDim)
-      val cand = model.codebooks(s).zipWithIndex.map { case (cent, c) =>
-        struct(sqDist(sub, cent).as("d"), lit(c).as("c"))
-      }
-      (if (cand.size == 1) cand.head else least(cand: _*)).getField("c")
+      argminCode(slice(col("res"), s * model.subDim + 1, model.subDim),
+        model.codebooks(s))
     }
     val codes = withRes.select(col(idCol), col("cl"), array(codeCols: _*).as("codes"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Query batch driver-side: coarse distances + probe list + LUTs.
-    val qs: Map[Long, Array[Double]] = emb
-      .where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().toMap.view.mapValues(_.toArray).toMap
-    val missing = queryIds.filterNot(qs.contains)
-    require(missing.isEmpty, s"Pq.ivfAdcTopK: query ids not found: ${missing.mkString(", ")}")
+    val qs = collectQueries(emb, idCol, vecCol, queryIds, "Pq.ivfAdcTopK")
     val perBranch = for {
       qid <- queryIds
       qv = qs(qid)
@@ -172,32 +233,14 @@ object Pq {
       }
       (_, cell) <- cellDists.sorted.take(nProbe)
     } yield {
-      val cent = coarse(cell)
       // lut(s)(c): residual-space squared distance, (qv - coarse) - cb
       // per element, subspace-order summation.
-      val lut = (0 until model.m).map { s =>
-        model.codebooks(s).map { cb =>
-          var acc = 0.0; var i = 0
-          while (i < model.subDim) {
-            val d = (qv(s * model.subDim + i) - cent(s * model.subDim + i)) - cb(i)
-            acc += d * d; i += 1
-          }
-          acc
-        }
-      }
-      val dist = (0 until model.m).map { s =>
-        val table = array(lut(s).toIndexedSeq.map(lit): _*)
-        element_at(table, element_at(col("codes"), s + 1) + 1)
-      }.reduce(_ + _)
+      val lut = lutFor(qv, coarse(cell), model)
       codes.where(col("cl") === cell)
-        .select(lit(qid).as("qid"), col(idCol).as("vec_id"), dist.as("adist"))
+        .select(lit(qid).as("qid"), col(idCol).as("vec_id"),
+          adcDist(lut, model).as("adist"))
     }
-    val all = perBranch.reduce(_.unionByName(_))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    all.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("adist"), 6).as("adist"))
-      .orderBy(col("qid"), col("rank"))
+    rankTail(perBranch.reduce(_.unionByName(_)), topK)
   }
 
   /** ADC top-k for a small query set: collects the query vectors
@@ -209,38 +252,12 @@ object Pq {
     * (a query's own code row is its quantized self). */
   def adcTopK(codes: DataFrame, emb: DataFrame, idCol: String, vecCol: String,
               queryIds: Seq[Long], topK: Int, model: Model): DataFrame = {
-    val spark = emb.sparkSession
-    import spark.implicits._
-    val qs: Map[Long, Array[Double]] = emb
-      .where(col(idCol).isin(queryIds: _*))
-      .select(col(idCol), col(vecCol).cast("array<double>"))
-      .as[(Long, Seq[Double])].collect().toMap.view.mapValues(_.toArray).toMap
-    val missing = queryIds.filterNot(qs.contains)
-    require(missing.isEmpty, s"Pq.adcTopK: query ids not found: ${missing.mkString(", ")}")
+    val qs = collectQueries(emb, idCol, vecCol, queryIds, "Pq.adcTopK")
     val perQuery = queryIds.map { qid =>
-      val qv = qs(qid)
-      // lut(s)(c): fixed summation order matches sqDist
-      val lut = (0 until model.m).map { s =>
-        model.codebooks(s).map { cent =>
-          var acc = 0.0
-          var i = 0
-          while (i < model.subDim) {
-            val d = qv(s * model.subDim + i) - cent(i); acc += d * d; i += 1
-          }
-          acc
-        }
-      }
-      val dist = (0 until model.m).map { s =>
-        val table = array(lut(s).toIndexedSeq.map(lit): _*)
-        element_at(table, element_at(col("codes"), s + 1) + 1)
-      }.reduce(_ + _)
-      codes.select(lit(qid).as("qid"), col(idCol).as("vec_id"), dist.as("adist"))
+      val lut = lutFor(qs(qid), null, model)
+      codes.select(lit(qid).as("qid"), col(idCol).as("vec_id"),
+        adcDist(lut, model).as("adist"))
     }
-    val all = perQuery.reduce(_.unionByName(_))
-    val w = Window.partitionBy(col("qid")).orderBy(col("adist"), col("vec_id"))
-    all.withColumn("rank", row_number().over(w))
-      .where(col("rank") <= topK)
-      .select(col("qid"), col("vec_id"), col("rank"), round(col("adist"), 6).as("adist"))
-      .orderBy(col("qid"), col("rank"))
+    rankTail(perQuery.reduce(_.unionByName(_)), topK)
   }
 }

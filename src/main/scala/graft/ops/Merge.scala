@@ -94,8 +94,17 @@ object Merge {
       .withColumn("__ord", lit(Long.MinValue))
 
   /** One micro-batch step: stored rows and the compacted batch meet in
-    * one max_by-per-key aggregate; the incoming side wins `__ord` ties
-    * (re-delivery of the applied change, idempotent by content). */
+    * one max_by-per-key aggregate. A re-delivery of the ALREADY APPLIED
+    * change (same `__ord`, same content) is absorbed idempotently; a
+    * same-`__ord` arrival with DIFFERENT content raises loudly — the
+    * cross-batch twin of [[compactLatest]]'s duplicate-ordCol guard,
+    * without which the stream would silently pick a side where the
+    * batch path errors (the documented parity would break exactly when
+    * the upstream log is buggy). Detection: the per-key winner
+    * preferring the incoming side vs preferring the stored side — if
+    * both hold the same `__ord` but differ in content, the order is
+    * nondeterministic. The guard rides inside the kept `__op` column
+    * (the compactLatest pruning lesson). */
   private def applyOnce(prevInternal: DataFrame, batch: DataFrame,
                         keyCols: Seq[String], opCol: String, ordCol: String,
                         dataCols: Seq[String]): DataFrame = {
@@ -107,19 +116,35 @@ object Merge {
     val merged = prevInternal.withColumn("__src", lit(0))
       .unionByName(incoming)
     val row = struct((keyCols ++ dataCols ++ Seq("__op", "__ord")).map(col): _*)
+    def content(r: String) =
+      struct(dataCols.map(c => col(s"$r.$c")) :+ col(s"$r.__op"): _*)
+    val conflict = col("__r.__ord") === col("__r2.__ord") &&
+      !(content("__r") <=> content("__r2"))
     merged.groupBy(keyCols.map(col): _*)
-      .agg(max_by(row, struct(col("__ord"), col("__src"))).as("__r"))
-      .select((keyCols ++ dataCols ++ Seq("__op", "__ord"))
-        .map(c => col(s"__r.$c").as(c)): _*)
+      .agg(max_by(row, struct(col("__ord"), col("__src"))).as("__r"),
+        max_by(row, struct(col("__ord"), -col("__src"))).as("__r2"))
+      .select((keyCols ++ dataCols).map(c => col(s"__r.$c").as(c)) :+
+        when(conflict, raise_error(lit(
+          s"Merge: conflicting changes share one $ordCol across batches - " +
+            "apply order would be nondeterministic")))
+          .otherwise(col("__r.__op")).as("__op") :+
+        col("__r.__ord").as("__ord"): _*)
   }
 
+  /** Committed versions only: a directory counts once its `_SUCCESS`
+    * marker exists, so a reader never observes a version that a
+    * concurrent (or replayed) `mode("overwrite")` write has deleted
+    * but not finished rewriting — it falls back to the previous
+    * committed version instead. */
   private def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
     if (!fs.exists(p)) Seq.empty
     else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
       .flatMap { q =>
-        if (q.getName.startsWith("v")) q.getName.drop(1).toLongOption.map(_ -> q.toString)
+        if (q.getName.startsWith("v") &&
+            fs.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
+          q.getName.drop(1).toLongOption.map(_ -> q.toString)
         else None
       }.sortBy(_._1)
   }

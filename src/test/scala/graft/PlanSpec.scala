@@ -335,8 +335,6 @@ class PlanSpec extends SparkSpec {
 
   test("q217: exact-substring pipeline never goes quadratic and counts map-side") {
     val p = plan("q217_exact_substring_dups")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/q217plan.txt"), p)
     // no all-pairs anything: every join is a hash join on gh/doc keys
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // the corpus-wide gram occurrence count is partial+final — the
@@ -346,8 +344,6 @@ class PlanSpec extends SparkSpec {
 
   test("q218: scrub keeps per-doc removal ranges aggregated, no token-range row explosion") {
     val p = plan("q218_substring_scrub")
-    java.nio.file.Files.writeString(
-      java.nio.file.Paths.get("/tmp/q218plan.txt"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"), p)
     // removal spans reach tokens as one collected array per doc
     // (exists() over the array), never as an exploded range join

@@ -79,4 +79,38 @@ class StreamingMergeSpec extends SparkSpec {
       assert(live == Set((1L, 101L), (2L, 200L)))
     } finally q.stop()
   }
+
+  test("same-ord redelivery is idempotent; same-ord CONFLICT fails loudly") {
+    implicit val sqlCtx = spark.sqlContext
+    val base = Seq((1L, 100L)).toDF("id", "v")
+    val ms = MemoryStream[(Long, Long, String, Long)]
+    val snapDir = java.nio.file.Files.createTempDirectory("mrgsnap3").toString
+    val ckDir = java.nio.file.Files.createTempDirectory("mrgck3").toString
+    val q = Merge.applyChangesStream(ms.toDF().toDF("id", "v", "op", "ord"),
+      base, key, "op", "ord", snapDir, ckDir)
+    try {
+      ms.addData((2L, 200L, "I", 5L)); q.processAllAvailable()
+      // exact redelivery of the applied change in a LATER batch:
+      // absorbed, snapshot unchanged (the at-least-once contract)
+      ms.addData((2L, 200L, "I", 5L)); q.processAllAvailable()
+      val live = Merge.snapshot(spark, snapDir)
+        .as[(Long, Long)].collect().toSet
+      assert(live == Set((1L, 100L), (2L, 200L)))
+      // same ord, DIFFERENT content across batches: the stream must
+      // raise like the batch path's duplicate-ord guard, not silently
+      // pick a side (parity would otherwise break on buggy logs)
+      ms.addData((2L, 999L, "U", 5L))
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      def msgs(t: Throwable): Seq[String] =
+        if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+      assert(msgs(e).exists(_.contains("conflicting changes share")), msgs(e).toString)
+      // the committed snapshot is still readable and unchanged (the
+      // failed version never wrote _SUCCESS)
+      val after = Merge.snapshot(spark, snapDir)
+        .as[(Long, Long)].collect().toSet
+      assert(after == Set((1L, 100L), (2L, 200L)))
+    } finally q.stop()
+  }
 }
