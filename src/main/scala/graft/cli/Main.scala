@@ -272,6 +272,7 @@ object Main {
         val r = graft.llm.Clustering.lloyd(spark.read.parquet(in),
           idCol, vecCol, k.toInt, maxIter.toInt, dim.toInt)
         r.assign.write.mode("overwrite").parquet(out)
+        r.release()
         System.err.println(s"[kmeans] rounds=${r.rounds} converged=${r.converged}")
 
       // count-min sketch of a key column: d*w cells, mergeable across

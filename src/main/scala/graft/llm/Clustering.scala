@@ -43,9 +43,14 @@ object Clustering {
   /** Result of [[lloyd]]: the final per-vector assignment, the final
     * centroids as doubles (S/n — the form [[Ivf]] consumes), how many
     * rounds ran, and whether the state reached its fixed point before
-    * `maxIter`. */
+    * `maxIter`. `release()` unpersists the internal quantized-corpus
+    * cache `assign` is rooted at — call it once `assign` is
+    * materialized (or unused, e.g. a centroids-only [[Pq.train]]);
+    * before that, releasing would force downstream actions to re-read
+    * and re-quantize the corpus. */
   case class LloydResult(assign: DataFrame, centroids: Map[Long, Array[Double]],
-                         rounds: Int, converged: Boolean)
+                         rounds: Int, converged: Boolean,
+                         release: () => Unit = () => ())
 
   /** Run one assignment step: seed centroids from `labelCol` (the
     * previous iteration's assignment), return one row per vector with
@@ -205,8 +210,8 @@ object Clustering {
     // q stays persisted: the returned `assign` frame is LAZY and
     // rooted at q — unpersisting here would force every downstream
     // action to re-read and re-quantize the corpus from scratch.
-    // Release is the harness/ContextCleaner's job (the repo's
-    // persist-at-fork convention), or the caller's after materializing.
-    LloydResult(out, cents, rounds, converged)
+    // The caller releases via the handle once done (or the harness
+    // clearCache / ContextCleaner reclaims it).
+    LloydResult(out, cents, rounds, converged, () => { q.unpersist(); () })
   }
 }

@@ -79,6 +79,7 @@ object Ivf {
   def buildCentroidsLloyd(emb: DataFrame, k: Int, maxIter: Int,
                           dim: Int): Seq[Array[Double]] = {
     val r = Clustering.lloyd(emb, "vec_id", "embedding", k, maxIter, dim)
+    r.release() // centroids-only consumer
     (0L until k.toLong).map(c => r.centroids.getOrElse(c, Array.fill(dim)(0.0)))
   }
 

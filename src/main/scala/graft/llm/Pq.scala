@@ -56,6 +56,9 @@ object Pq {
       val sub = emb.select(col(idCol),
         slice(col(vecCol), s * subDim + 1, subDim).as(vecCol))
       val r = Clustering.lloyd(sub, idCol, vecCol, k, maxIter, subDim, scale)
+      // centroids-only consumer: the per-subspace quantized cache is
+      // dead weight the moment the driver map is extracted
+      r.release()
       (0L until k.toLong).map(c =>
         r.centroids.getOrElse(c, Array.fill(subDim)(0.0)))
     }
