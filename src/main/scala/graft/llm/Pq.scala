@@ -185,7 +185,11 @@ object Pq {
     * The encoded corpus PERSISTS at the fork: every (query, cell)
     * probe branch filters the same code table, so without the persist
     * Spark would replay the full assign+encode scan once per branch
-    * (|queries|·nProbe corpus passes instead of one).
+    * (|queries|·nProbe corpus passes instead of one). The cache lives
+    * until the harness clears it (the repo's persist-at-fork
+    * convention) — a long-lived service answering many batches should
+    * instead [[encode]] once, persist/release the codes on ITS
+    * lifecycle, and call [[adcTopK]] per batch.
     *
     * All math is fixed-order double arithmetic (assignment argmin via
     * `least(struct(dist, cell))`, LUT sums in subspace order), so the

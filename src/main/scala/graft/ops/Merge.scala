@@ -131,22 +131,29 @@ object Merge {
         col("__r.__ord").as("__ord"): _*)
   }
 
-  /** Committed versions only: a directory counts once its `_SUCCESS`
-    * marker exists, so a reader never observes a version that a
+  /** Committed versions preferred: a directory counts once its
+    * `_SUCCESS` marker exists, so a reader never observes a version a
     * concurrent (or replayed) `mode("overwrite")` write has deleted
     * but not finished rewriting — it falls back to the previous
-    * committed version instead. */
+    * committed version instead. Deployments that DISABLE success
+    * markers (`mapreduce.fileoutputcommitter.marksuccessfuljobs=
+    * false`, common with cloud committers) would see zero markers
+    * anywhere; in that case every version dir counts, preserving the
+    * pre-gating behavior rather than hiding all committed data. */
   private def versions(spark: SparkSession, dir: String): Seq[(Long, String)] = {
     val p = new org.apache.hadoop.fs.Path(dir)
     val fs = p.getFileSystem(spark.sparkContext.hadoopConfiguration)
-    if (!fs.exists(p)) Seq.empty
-    else fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
+    if (!fs.exists(p)) return Seq.empty
+    val all = fs.listStatus(p).filter(_.isDirectory).map(_.getPath).toSeq
       .flatMap { q =>
-        if (q.getName.startsWith("v") &&
-            fs.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS")))
-          q.getName.drop(1).toLongOption.map(_ -> q.toString)
+        if (q.getName.startsWith("v"))
+          q.getName.drop(1).toLongOption.map(v => (v, q.toString,
+            fs.exists(new org.apache.hadoop.fs.Path(q, "_SUCCESS"))))
         else None
-      }.sortBy(_._1)
+      }
+    val committed = all.filter(_._3)
+    (if (committed.nonEmpty) committed else all)
+      .map { case (v, path, _) => (v, path) }.sortBy(_._1)
   }
 
   /** Maintain a MERGE'd snapshot from a STREAM of change rows — the

@@ -21,9 +21,17 @@ import org.apache.spark.sql.functions._
   * histogram, never the data. */
 object QuantileSketch {
 
-  /** floor(log₂ x) of a positive integer column, exact. */
+  /** floor(log₂ x) of a positive integer column, exact. Loud on
+    * x ≤ 0: `bin()` of a negative is the 64-char two's-complement
+    * string (bin 63 — a garbage "quantile"), and 0 would conflate
+    * with 1; callers map their domain to positives first (e.g.
+    * `GREATEST(cents, 1)` when 0 means "below the first bin"). */
   def log2Bin(posInt: Column): Column =
-    (length(bin(posInt)) - 1).cast("long")
+    when(posInt <= 0, raise_error(concat(
+      lit("QuantileSketch.log2Bin: non-positive value "),
+      posInt.cast("string"),
+      lit(" - map the domain to positive integers first"))))
+      .otherwise((length(bin(posInt)) - 1).cast("long"))
 
   /** Per-`keyCol` histogram of floor-log₂ bins of `posIntValue`
     * (a positive integer column): (keyCol, b, c). Mergeable across

@@ -70,6 +70,21 @@ class SketchAggSpec extends SparkSpec {
   // (integer bins — no ulp), and hence identical quantile bounds.
   // That additivity is the sketch's 100 TB contract: per-shard state
   // is <=64 integer cells per group regardless of rows.
+  test("log2Bin is loud on non-positive input instead of emitting garbage bins") {
+    val df = Seq(4L, 0L).toDF("x")
+    val e = intercept[Exception] {
+      df.select(QuantileSketch.log2Bin(col("x"))).collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
+    assert(msgs(e).exists(_.contains("non-positive value")), msgs(e).toString)
+    // positives bin exactly: floor(log2)
+    val ok = Seq(1L, 2L, 3L, 4L, 1023L, 1024L).toDF("x")
+      .select(QuantileSketch.log2Bin(col("x")).as("b"))
+      .as[Long].collect().toSeq
+    assert(ok == Seq(0L, 1L, 1L, 2L, 9L, 10L))
+  }
+
   test("log2-binned quantile histogram merges exactly across shards") {
     val ev = graft.core.Tables.events(spark, sf)
     def hist(df: org.apache.spark.sql.DataFrame) = df
