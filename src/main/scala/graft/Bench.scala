@@ -125,21 +125,21 @@ object Bench {
         .repartition(32)
     }
 
-    // 10× embeddings: each replica applies a deterministic per-replica
-    // SIGN-FLIP pattern to the coordinates. Within a replica both
-    // vectors of a pair flip identically, so every cosine — and hence
-    // the near-dup pair structure — is preserved exactly; across
-    // replicas the products get independent pseudo-random signs, so
-    // cross-replica similarity collapses toward 0 IN EXPECTATION
-    // (variance Σx⁴/(Σx²)² — a statistical, not exact, guarantee:
-    // energy-concentrated vectors can leave some replica-twin pairs
-    // above threshold, unlike docsX10's exact word tagging). Good
-    // enough for a scale TREND; not a pair-count invariant.
+    // 10× embeddings: replicas carry their replica id as a SCOPE
+    // column (q37_x10 passes it as cosineNearDupsLsh's scopeCols), so
+    // cross-replica pairs are STRUCTURALLY impossible — the pair
+    // structure replicates exactly 10× (the embedding analogue of
+    // docsX10's word tagging; an earlier sign-flip-only construction
+    // was merely statistical). The per-replica sign flips remain so
+    // the ten replicas don't produce ten identical bucket histograms
+    // (same per-scope occupancy, more realistic key spread). Within a
+    // replica both vectors of a pair flip identically — every cosine
+    // is preserved exactly.
     def embX10(spark: SparkSession, dir: String) = {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/embeddings.parquet")
         .crossJoin(spark.range(10).select(col("id").as("rep")))
-        .select((col("vec_id") * 10 + col("rep")).as("vec_id"),
+        .select((col("vec_id") * 10 + col("rep")).as("vec_id"), col("rep"),
           transform(col("embedding"), (x, i) =>
             (x * (pmod(hash(col("rep"), i), lit(2)) * 2 - 1)).cast("float"))
             .as("embedding"))
@@ -220,7 +220,8 @@ object Bench {
       // the engine's actual 100 TB recipe: more planes, same math.
       "q37_x10" -> (() => noopRun {
         graft.llm.Similarity.cosineNearDupsLsh(
-          embX10(spark, sfDir), 64, 0.35, nPlanes = 12)
+          embX10(spark, sfDir), 64, 0.35, nPlanes = 12,
+          scopeCols = Seq("rep"))
       }),
       "terasort_1m" -> (() => graft.jobs.TeraSort.run(spark, 1000000L)),
       "terasort_10m" -> (() => graft.jobs.TeraSort.run(spark, 10000000L)),

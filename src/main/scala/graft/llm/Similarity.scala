@@ -158,9 +158,16 @@ object Similarity {
     * recall loss (rare at near-dup similarity: P(plane splits a pair)
     * = angle/π ≈ 0.14 at cos 0.9, so P(≥2 of 8 planes split) is
     * small). Candidate volume is (nPlanes+1)·Σ bucket², never
-    * corpus². Output: (id1, id2, sim), id1 < id2, sim ≥ threshold. */
+    * corpus². Output: (id1, id2, sim), id1 < id2, sim ≥ threshold.
+    *
+    * `scopeCols` (optional) join the bucket key: pairs form only
+    * WITHIN equal scope values — the language-/tenant-/shard-scoped
+    * dedup a multilingual corpus runs ("near-dups within each
+    * language, never across"), which also shrinks bucket occupancy by
+    * the scope's cardinality. Scope columns must exist in `emb`. */
   def cosineNearDupsLsh(emb: DataFrame, dim: Int, threshold: Double,
-                        nPlanes: Int = DefaultPlanes): DataFrame = {
+                        nPlanes: Int = DefaultPlanes,
+                        scopeCols: Seq[String] = Nil): DataFrame = {
     // The bucketed frame feeds BOTH sides of the pair self-join:
     // persist so the corpus is scanned and bucketed once. The cache is
     // released by Spark's ContextCleaner when the result frame is no
@@ -170,11 +177,13 @@ object Similarity {
     // explicitly.
     val b = emb.withColumn("blk", lshBucket(col("embedding"), dim, nPlanes))
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val left = b.select(col("vec_id").as("id1"), col("embedding").as("e1"), col("blk"))
-    val right = b.select(col("vec_id").as("id2"), col("embedding").as("e2"),
+    val left = b.select(col("vec_id").as("id1") +: col("embedding").as("e1") +:
+      col("blk") +: scopeCols.map(col): _*)
+    val right = b.select(col("vec_id").as("id2") +: col("embedding").as("e2") +:
       explode(array((col("blk") +: (0 until nPlanes).map(i =>
-        col("blk").bitwiseXOR(lit(1 << i)))): _*)).as("blk"))
-    left.join(right, Seq("blk"))
+        col("blk").bitwiseXOR(lit(1 << i)))): _*)).as("blk") +:
+      scopeCols.map(col): _*)
+    left.join(right, "blk" +: scopeCols)
       .where(col("id1") < col("id2"))
       // Cosine and threshold BEFORE the multi-probe dedup: a duplicate
       // (id1,id2) candidate has the identical similarity on every

@@ -82,4 +82,27 @@ class LshNearDupSpec extends SparkSpec {
     }
     assert(e.getMessage != null)
   }
+
+  test("scopeCols: pairs never cross scopes; constant scope equals unscoped") {
+    // two copies of the corpus under different scopes: every pair must
+    // stay inside its copy even though the vectors are IDENTICAL
+    // across scopes (the strongest possible cross-scope bait)
+    val scoped = emb.withColumn("lang", lit("en"))
+      .unionByName(emb.withColumn("vec_id", col("vec_id") + 10000)
+        .withColumn("lang", lit("de")))
+    val pairs = Similarity.cosineNearDupsLsh(scoped, dim, 0.9,
+        scopeCols = Seq("lang"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(pairs.nonEmpty)
+    pairs.foreach { case (a, b) =>
+      assert((a < 10000) == (b < 10000), s"cross-scope pair ($a, $b)")
+    }
+    // a constant scope changes nothing vs the unscoped path
+    val unscoped = Similarity.cosineNearDupsLsh(emb, dim, 0.9)
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    val constScope = Similarity.cosineNearDupsLsh(
+        emb.withColumn("lang", lit("xx")), dim, 0.9, scopeCols = Seq("lang"))
+      .select("id1", "id2").as[(Long, Long)].collect().toSet
+    assert(constScope == unscoped)
+  }
 }
