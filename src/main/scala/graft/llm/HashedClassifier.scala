@@ -38,10 +38,15 @@ object HashedClassifier {
     val hs = graft.functions.SketchExpressions
       .shingleHashes64(col(textCol), 1)
     df.select(col(idCol), hs.as("__hs"))
-      // null text → null hash array; coalesce to 0 features (scored
-      // null), matching a LEFT JOIN + COALESCE oracle shape
+      // null text → null hash array → 0 features (scored null),
+      // matching a LEFT JOIN + COALESCE oracle shape. Explicit isNull
+      // branch, NOT coalesce(size(..), 0): under
+      // spark.sql.legacy.sizeOfNull=true size(null) is -1 (not null),
+      // which coalesce would pass through as n_feat = -1 (ADVICE r9);
+      // this form is config-independent.
       .select(col(idCol),
-        coalesce(size(col("__hs")), lit(0)).cast("long").as("n_feat"),
+        when(col("__hs").isNull, lit(0L))
+          .otherwise(size(col("__hs")).cast("long")).as("n_feat"),
         aggregate(col("__hs"), lit(0L),
           (acc, h) => acc + weightOf(pmod(h, lit(buckets.toLong)))).as("__sw"))
       .select(col(idCol), col("n_feat"),

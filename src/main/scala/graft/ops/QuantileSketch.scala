@@ -22,14 +22,18 @@ import org.apache.spark.sql.functions._
 object QuantileSketch {
 
   /** floor(log₂ x) of a positive integer column, exact. Loud on
-    * x ≤ 0: `bin()` of a negative is the 64-char two's-complement
-    * string (bin 63 — a garbage "quantile"), and 0 would conflate
-    * with 1; callers map their domain to positives first (e.g.
-    * `GREATEST(cents, 1)` when 0 means "below the first bin"). */
+    * x ≤ 0 AND on NULL: `bin()` of a negative is the 64-char
+    * two's-complement string (bin 63 — a garbage "quantile"), 0 would
+    * conflate with 1, and a NULL would flow through as a null bin
+    * that sorts first in the cumulative window yet still counts in n
+    * — silently deflating every quantile bound (ADVICE r9). Callers
+    * map their domain to positives first (e.g. `GREATEST(cents, 1)`
+    * when 0 means "below the first bin", `COALESCE` or a filter for
+    * nullable inputs). */
   def log2Bin(posInt: Column): Column =
-    when(posInt <= 0, raise_error(concat(
-      lit("QuantileSketch.log2Bin: non-positive value "),
-      posInt.cast("string"),
+    when(posInt.isNull || posInt <= 0, raise_error(concat(
+      lit("QuantileSketch.log2Bin: non-positive or null value "),
+      coalesce(posInt.cast("string"), lit("NULL")),
       lit(" - map the domain to positive integers first"))))
       .otherwise((length(bin(posInt)) - 1).cast("long"))
 

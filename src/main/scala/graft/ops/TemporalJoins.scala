@@ -38,12 +38,27 @@ object TemporalJoins {
     * check is a map-side scalar afterwards, so the tolerance adds
     * zero exchanges. The expiry runs AFTER the carry, so it never
     * changes WHICH right row is carried — "latest at-or-before, then
-    * freshness-checked". */
+    * freshness-checked".
+    *
+    * Unlike plain [[asOf]] (any ordered type), BOTH timestamp columns
+    * must be TimestampType: the age check subtracts `unix_micros`,
+    * which has no meaning for ints/strings. Checked eagerly here with
+    * a caller-named error — without it the requirement only surfaced
+    * as an analysis error deep in the plan (ADVICE r9). */
   def asOfWithin(left: DataFrame, right: DataFrame, key: String,
                  leftTs: String, rightTs: String,
                  rightCols: Map[String, String],
                  toleranceSeconds: Long): DataFrame = {
     require(toleranceSeconds >= 0, s"negative tolerance: $toleranceSeconds")
+    Seq(("left", leftTs, left), ("right", rightTs, right)).foreach {
+      case (side, c, df) =>
+        val dt = df.schema(c).dataType
+        require(dt == org.apache.spark.sql.types.TimestampType,
+          s"asOfWithin: $side timestamp column '$c' is $dt but the " +
+            "tolerance check needs TimestampType (unix_micros age " +
+            "subtraction) - cast it, or use asOf for tolerance-free " +
+            "joins on any ordered type")
+    }
     asOfCore(left, right, key, leftTs, rightTs, rightCols,
       toleranceSeconds = Some(toleranceSeconds), caller = "asOfWithin")
   }

@@ -49,4 +49,58 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.cpuCorroborated(cur = 2.0, prev = -1.0))
     assert(Bench.cpuCorroborated(cur = -1.0, prev = 2.0))
   }
+
+  test("cpuCorroborated: speed-normalized CPU cancels whole-box contention (r9 q147)") {
+    // The r9 false positive verbatim: CPU 11.3 -> 25.5 s under load.
+    // Unnormalized, that reads as a confirmed regression…
+    assert(Bench.cpuCorroborated(cur = 25.5, prev = 11.3))
+    // …but the spin probe measured the box ~2.3x slower, and the
+    // deflated CPU (25.5/2.3 = 11.1) is flat -> contention.
+    assert(!Bench.cpuCorroborated(cur = 25.5, prev = 11.3, speedRatio = 2.3))
+    // A REAL regression survives normalization: CPU 11.3 -> 60 on a
+    // 1.5x-slower box still deflates to 40 s >> 11.3*1.3+0.5.
+    assert(Bench.cpuCorroborated(cur = 60.0, prev = 11.3, speedRatio = 1.5))
+    // speedRatio < 1 (faster box now) never inflates: clamped to 1.
+    assert(!Bench.cpuCorroborated(cur = 2.0, prev = 2.0, speedRatio = 0.5))
+  }
+
+  test("tripped: absolute +0.3s grace shields sub-second entries (r9 noise re-runs)") {
+    // 0.2 s -> 0.31 s is a 1.55x ratio but only 110 ms: no trip
+    assert(!Bench.tripped(v = 0.31, gate = 0.2))
+    // the r9 judge-run q37 case: 0.989 vs 0.657 (4 ms over 1.5x): no trip
+    assert(!Bench.tripped(v = 0.989, gate = 0.657))
+    // a real multi-second regression still trips: 2 s -> 3.6 s
+    assert(Bench.tripped(v = 3.6, gate = 2.0))
+    // boundary: needs BOTH 1.5x and +0.3 s past it
+    assert(!Bench.tripped(v = 3.2, gate = 2.0)) // 1.6x but only 3.0+0.2
+    assert(Bench.tripped(v = 3.31, gate = 2.0))
+    // no usable history -> no trip
+    assert(!Bench.tripped(v = 5.0, gate = -1.0))
+    assert(!Bench.tripped(v = -1.0, gate = 2.0))
+  }
+
+  test("classify: a loaded box can never confirm a regression (r9 rc=1 fix)") {
+    val wallBad = Seq("q147", "q10")
+    val cpuNow = Map("q147" -> 25.5, "q10" -> 15.0)
+    val cpuPrev = Map("q147" -> 11.3, "q10" -> 3.0)
+    // quiet box, no speed skew: both CPU-corroborated -> regressed
+    assert(Bench.classify(wallBad, cpuNow, cpuPrev, 1.0, loadHigh = false) ==
+      ((Seq("q147", "q10"), Seq())))
+    // loaded box: EVERYTHING lands contended regardless of CPU
+    assert(Bench.classify(wallBad, cpuNow, cpuPrev, 1.0, loadHigh = true) ==
+      ((Seq(), Seq("q147", "q10"))))
+    // quiet box but the probe saw a 2.3x-slower machine: q147's CPU
+    // normalizes flat (contended), q10's 3x CPU still confirms
+    val (reg, cont) = Bench.classify(wallBad, cpuNow, cpuPrev, 2.3, loadHigh = false)
+    assert(reg == Seq("q10") && cont == Seq("q147"))
+  }
+
+  test("spinProbe returns a positive, repeatable machine-speed sample") {
+    val a = Bench.spinProbe()
+    val b = Bench.spinProbe()
+    assert(a > 0 && b > 0)
+    // same box, seconds apart: within 3x of each other (wide band —
+    // this only guards against a broken probe, not a noisy one)
+    assert(math.max(a, b) / math.min(a, b) < 3.0)
+  }
 }

@@ -70,14 +70,23 @@ class SketchAggSpec extends SparkSpec {
   // (integer bins — no ulp), and hence identical quantile bounds.
   // That additivity is the sketch's 100 TB contract: per-shard state
   // is <=64 integer cells per group regardless of rows.
-  test("log2Bin is loud on non-positive input instead of emitting garbage bins") {
-    val df = Seq(4L, 0L).toDF("x")
-    val e = intercept[Exception] {
-      df.select(QuantileSketch.log2Bin(col("x"))).collect()
-    }
+  test("log2Bin is loud on non-positive AND null input instead of emitting garbage bins") {
     def msgs(t: Throwable): Seq[String] =
       if (t == null) Nil else Option(t.getMessage).toSeq ++ msgs(t.getCause)
-    assert(msgs(e).exists(_.contains("non-positive value")), msgs(e).toString)
+    val e = intercept[Exception] {
+      Seq(4L, 0L).toDF("x")
+        .select(QuantileSketch.log2Bin(col("x"))).collect()
+    }
+    assert(msgs(e).exists(_.contains("non-positive or null value")), msgs(e).toString)
+    // a NULL previously flowed through as a null bin that sorted first
+    // in the cumulative window yet counted in n, silently deflating
+    // every quantile bound (ADVICE r9) — now it raises like 0 does
+    val eNull = intercept[Exception] {
+      Seq(Some(4L), None).toDF("x")
+        .select(QuantileSketch.log2Bin(col("x"))).collect()
+    }
+    assert(msgs(eNull).exists(_.contains("non-positive or null value")),
+      msgs(eNull).toString)
     // positives bin exactly: floor(log2)
     val ok = Seq(1L, 2L, 3L, 4L, 1023L, 1024L).toDF("x")
       .select(QuantileSketch.log2Bin(col("x")).as("b"))

@@ -82,6 +82,23 @@ class TemporalJoinsSpec extends SparkSpec {
     }
   }
 
+  test("asOfWithin rejects non-timestamp ts columns eagerly with a named error") {
+    // plain asOf accepts any ordered type; the tolerance variant's
+    // unix_micros age check needs TimestampType — previously that
+    // surfaced only as an analysis error deep in the plan (ADVICE r9)
+    val l = Seq((1L, 5L, "t")).toDF("key", "ts", "trade")
+    val r = Seq((1L, 4L, 2.0)).toDF("key", "qts", "px")
+    val e = intercept[IllegalArgumentException] {
+      TemporalJoins.asOfWithin(l, r, "key", "ts", "qts",
+        Map("px" -> "px"), toleranceSeconds = 60)
+    }
+    assert(e.getMessage.contains("asOfWithin") &&
+      e.getMessage.contains("TimestampType"), e.getMessage)
+    // the long-keyed pair still works through tolerance-free asOf
+    assert(TemporalJoins.asOf(l, r, "key", "ts", "qts",
+      Map("px" -> "px")).select("px").head.getDouble(0) == 2.0)
+  }
+
   test("asOfWithin expires carried rows older than the tolerance") {
     val trades = Seq(
       (1L, ts(5), "fresh"),    // quote at 0:04, 60s old → within 120s
