@@ -3810,6 +3810,40 @@ object SparkEntry {
         ev(s, d), "event_type", cents)
       graft.ops.QuantileSketch.quantiles(hist, "event_type", Seq(50, 90, 99))
         .orderBy("event_type")
+    }),
+
+    // Q232 — curation v5: the Lee et al. exact-substring pipeline
+    // END-TO-END, composed from verified primitives the way a real
+    // corpus run ships it: scrub every duplicated ≥8-token extent
+    // except its canonical copy (q217/q218 machinery via
+    // [[graft.llm.ExactSubstring.scrubText]]), drop fully-scrubbed
+    // documents, then RE-chunk the scrubbed text into 32-token
+    // windows with 8-token overlap (q66) and RE-pack the scrubbed
+    // token counts into 256-token training batches (q65's two-phase
+    // prefix sum). The scrubbed corpus is the diamond fork — it feeds
+    // chunking, packing, and the audit column — so it persists once
+    // (SCALE.md diamond policy; spec-asserted in CurationV5Spec).
+    // Output: one row per chunk with its doc's pack assignment and
+    // scrub audit. The oracle re-derives the entire chain.
+    "q232_curation_v5" -> ((s, d) => {
+      val scrubbed = graft.llm.ExactSubstring
+        .scrubText(docs(s, d), "doc_id", "text", 8)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val alive = scrubbed.where(col("n_kept") > 0)
+      val chunks = graft.llm.Chunking.chunkTokens(alive, "doc_id", "text",
+        maxTokens = 32, overlap = 8)
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"),
+          md5(col("chunk").cast("binary")).as("chunk_md5"))
+      val packs = graft.llm.Packing.packSequences(
+        alive.select(col("doc_id"), col("n_kept").as("n_tok")),
+        "doc_id", "n_tok", budget = 256)
+        .select(col("doc_id"), col("pack_id"))
+      chunks
+        .join(packs, "doc_id")
+        .join(alive.select(col("doc_id"), col("n_removed")), "doc_id")
+        .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("chunk_md5"),
+          col("n_removed"), col("pack_id"))
+        .orderBy("doc_id", "chunk_id")
     })
   )
 
@@ -6505,7 +6539,73 @@ object SparkEntry {
         |SELECT event_type, n,
         |  (1::BIGINT << b50) AS p50_lb, (1::BIGINT << b90) AS p90_lb,
         |  (1::BIGINT << b99) AS p99_lb
-        |FROM g ORDER BY event_type""".stripMargin
+        |FROM g ORDER BY event_type""".stripMargin,
+
+    // The full v5 chain re-derived: the q218 scrub CTEs extended with
+    // kept-text reassembly, then the q66 chunk window and the q65
+    // running-sum packing over the SCRUBBED corpus.
+    "q232_curation_v5" ->
+      """WITH tok0 AS (
+        |  SELECT doc_id, i AS pos, ws[i] AS w
+        |  FROM (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |       generate_series(1, 2000) t(i)
+        |  WHERE i <= len(ws) AND ws[i] <> ''),
+        |tok AS (SELECT doc_id,
+        |          ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY pos) AS idx, w
+        |        FROM tok0),
+        |gw AS (SELECT doc_id, idx, w,
+        |         LEAD(w, 1) OVER (PARTITION BY doc_id ORDER BY idx) AS w1,
+        |         LEAD(w, 2) OVER (PARTITION BY doc_id ORDER BY idx) AS w2,
+        |         LEAD(w, 3) OVER (PARTITION BY doc_id ORDER BY idx) AS w3,
+        |         LEAD(w, 4) OVER (PARTITION BY doc_id ORDER BY idx) AS w4,
+        |         LEAD(w, 5) OVER (PARTITION BY doc_id ORDER BY idx) AS w5,
+        |         LEAD(w, 6) OVER (PARTITION BY doc_id ORDER BY idx) AS w6,
+        |         LEAD(w, 7) OVER (PARTITION BY doc_id ORDER BY idx) AS w7
+        |       FROM tok),
+        |g AS (SELECT doc_id, idx,
+        |        w || ' ' || w1 || ' ' || w2 || ' ' || w3 || ' ' || w4
+        |          || ' ' || w5 || ' ' || w6 || ' ' || w7 AS gram
+        |      FROM gw WHERE w7 IS NOT NULL),
+        |dup AS (SELECT gram FROM g GROUP BY gram HAVING COUNT(*) >= 2),
+        |m AS (SELECT doc_id, idx,
+        |        idx - ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY idx) AS island
+        |      FROM g WHERE gram IN (SELECT gram FROM dup)),
+        |ext AS (SELECT doc_id, MIN(idx) AS s, MAX(idx) + 7 AS e
+        |        FROM m GROUP BY doc_id, island),
+        |canon AS (SELECT gram, doc_id AS c_doc, idx AS c_idx FROM g
+        |          QUALIFY ROW_NUMBER() OVER (PARTITION BY gram
+        |            ORDER BY doc_id, idx) = 1),
+        |rem AS (SELECT a.doc_id, a.s, a.e
+        |        FROM (SELECT e.doc_id, e.s, e.e, g.gram FROM ext e
+        |              JOIN g ON g.doc_id = e.doc_id AND g.idx = e.s) a
+        |        JOIN canon c ON c.gram = a.gram
+        |        WHERE NOT (c.c_doc = a.doc_id AND c.c_idx = a.s)),
+        |kt AS (SELECT t.doc_id, t.idx, t.w,
+        |         EXISTS (SELECT 1 FROM rem r WHERE r.doc_id = t.doc_id
+        |                 AND t.idx BETWEEN r.s AND r.e) AS dropd
+        |       FROM tok t),
+        |sc AS (SELECT doc_id,
+        |         COALESCE(STRING_AGG(CASE WHEN NOT dropd THEN w END, ' '
+        |           ORDER BY idx), '') AS t,
+        |         CAST(SUM(CASE WHEN NOT dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_kept,
+        |         CAST(SUM(CASE WHEN dropd THEN 1 ELSE 0 END) AS BIGINT) AS n_removed
+        |       FROM kt GROUP BY doc_id),
+        |alive AS (SELECT * FROM sc WHERE n_kept > 0),
+        |pk AS (SELECT doc_id,
+        |         CAST((SUM(n_kept) OVER (ORDER BY doc_id ROWS UNBOUNDED PRECEDING)
+        |           - n_kept) // 256 AS BIGINT) AS pack_id
+        |       FROM alive),
+        |ctok AS (SELECT doc_id, STRING_SPLIT(t, ' ') AS ws, n_kept AS n FROM alive),
+        |ch AS (SELECT doc_id, ws, i AS chunk_id
+        |       FROM ctok, generate_series(0, 2000) ti(i)
+        |       WHERE i < GREATEST((n - 8 + 23) // 24, 1))
+        |SELECT c.doc_id, CAST(c.chunk_id AS BIGINT) AS chunk_id,
+        |  CAST(len(c.ws[c.chunk_id*24+1 : c.chunk_id*24+32]) AS BIGINT) AS n_tok,
+        |  MD5(array_to_string(c.ws[c.chunk_id*24+1 : c.chunk_id*24+32], ' ')) AS chunk_md5,
+        |  a.n_removed, p.pack_id
+        |FROM ch c JOIN pk p ON p.doc_id = c.doc_id
+        |JOIN alive a ON a.doc_id = c.doc_id
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin
   )
 
   /** Oracle for q230: per-token FNV-1a 64 in HUGEINT mod-2^64 (the

@@ -113,7 +113,35 @@ object ExactSubstring {
     * anchor gram, one per-doc range array (extents per doc, not
     * tokens), and one per-doc aggregate; tokens shuffle once. */
   def scrub(df: DataFrame, idCol: String, textCol: String,
-            minRun: Int): DataFrame = {
+            minRun: Int): DataFrame =
+    flaggedTokens(df, idCol, textCol, minRun).groupBy("doc_id")
+      .agg(count(lit(1)).as("n_words"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
+        md5(array_join(transform(
+          array_sort(collect_list(when(!col("drop"),
+            struct(col("idx"), col("w"))))),
+          x => x.getField("w")), " ").cast("binary")).as("text_md5"))
+
+  /** The scrubbed corpus itself — same removal rule as [[scrub]] but
+    * returning the kept text for downstream stages (re-chunk,
+    * re-pack: the curation-v5 composition): (doc_id, text, n_kept,
+    * n_removed). `text` re-joins the kept tokens with single spaces
+    * in idx order ('' for a fully-scrubbed document — callers decide
+    * whether an empty survivor stays in the corpus). */
+  def scrubText(df: DataFrame, idCol: String, textCol: String,
+                minRun: Int): DataFrame =
+    flaggedTokens(df, idCol, textCol, minRun).groupBy("doc_id")
+      .agg(array_join(transform(
+          array_sort(collect_list(when(!col("drop"),
+            struct(col("idx"), col("w"))))),
+          x => x.getField("w")), " ").as("text"),
+        sum(when(col("drop"), 0L).otherwise(1L)).as("n_kept"),
+        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"))
+
+  /** Shared body of [[scrub]]/[[scrubText]]: every token flagged with
+    * whether the removal rule drops it: (doc_id, idx, w, drop). */
+  private def flaggedTokens(df: DataFrame, idCol: String, textCol: String,
+                            minRun: Int): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
     val toks = tokens(df, idCol, textCol)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -134,15 +162,8 @@ object ExactSubstring {
       .where(col("c_doc") =!= col("doc_id") || col("c_idx") =!= col("start_idx"))
       .groupBy("doc_id")
       .agg(collect_list(struct(col("start_idx"), col("end_idx"))).as("rs"))
-    val kept = toks.join(removed, Seq("doc_id"), "left")
+    toks.join(removed, Seq("doc_id"), "left")
       .withColumn("drop", col("rs").isNotNull && exists(col("rs"),
         r => col("idx").between(r.getField("start_idx"), r.getField("end_idx"))))
-    kept.groupBy("doc_id")
-      .agg(count(lit(1)).as("n_words"),
-        sum(when(col("drop"), 1L).otherwise(0L)).as("n_removed"),
-        md5(array_join(transform(
-          array_sort(collect_list(when(!col("drop"),
-            struct(col("idx"), col("w"))))),
-          x => x.getField("w")), " ").cast("binary")).as("text_md5"))
   }
 }
