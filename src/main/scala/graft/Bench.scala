@@ -445,6 +445,79 @@ object Bench {
         }
       }
 
+    // === ANN quality: recall@10 beside the wall times ===
+    // Wall time alone would pass a silent nPlanes/probe regression
+    // (faster AND worse); recall vs the exact ground truth rides in
+    // the JSON like TeraValidate ships correctness beside the sort
+    // benchmark. Deterministic on fixed data (query set = the 16
+    // smallest vec_ids ≡ 0 mod 97; every stage is the deterministic
+    // path), so any drop on unchanged testdata is a CODE change —
+    // named in `recall_drift` below. Ground truth is metric-matched:
+    // exact cosine for the cosine-LSH index, exact squared-L2 for the
+    // L2 IVF-PQ index (different metrics rank different neighbors on
+    // unnormalized vectors — a cross-metric "recall" would measure
+    // the metric gap, not the index).
+    def annRecall(): Map[String, Long] = try {
+      import org.apache.spark.sql.functions._
+      import org.apache.spark.sql.expressions.Window
+      spark.catalog.clearCache()
+      val emb = graft.core.Tables.embeddings(spark, sfDir)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val qids = emb.select("vec_id").where(col("vec_id") % 97 === 0)
+        .orderBy("vec_id").limit(16)
+        .collect().map(_.getLong(0)).toSeq
+      val k10 = 10
+      def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
+        df.select("qid", "vec_id").collect()
+          .map(r => (r.getLong(0), r.getLong(1))).toSet
+      val truthCos = pairSet(graft.llm.Similarity.bruteTopK(emb, qids, k10))
+      val lsh = pairSet(graft.llm.Similarity.lshTopK(emb, qids, k10, 64))
+      // exact L2 ground truth for the IVF-PQ side
+      val qdf = emb.where(col("vec_id").isin(qids: _*))
+        .select(col("vec_id").as("qid"), col("embedding").as("qe"))
+      val l2 = aggregate(zip_with(col("qe"), col("embedding"),
+          (a, b) => (a - b) * (a - b)),
+        lit(0.0), (acc, x) => acc + x)
+      val wL2 = Window.partitionBy(col("qid")).orderBy(col("d"), col("vec_id"))
+      val truthL2 = pairSet(emb.crossJoin(broadcast(qdf))
+        .where(col("vec_id") =!= col("qid"))
+        .select(col("qid"), col("vec_id"), l2.as("d"))
+        .withColumn("r", row_number().over(wL2)).where(col("r") <= k10))
+      // trained index: Lloyd coarse cells + per-subspace codebooks —
+      // the real 100 TB path, deterministic by the lloydStep contract
+      val coarse = graft.llm.Ivf.buildCentroidsLloyd(emb, 16, 3, 64)
+      val model = graft.llm.Pq.train(emb, "vec_id", "embedding",
+        dim = 64, m = 4, k = 16, maxIter = 2)
+      val ivf = graft.llm.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
+          coarse, model, qids, nProbe = 4, topK = k10 + 1)
+        .where(col("vec_id") =!= col("qid")) // self-pair rides rank 1
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
+        .groupBy(_._1).toSeq.flatMap { case (_, rs) =>
+          rs.sortBy(_._3).take(k10).map(t => (t._1, t._2)).toSeq
+        }.toSet
+      emb.unpersist()
+      Map(
+        "lsh_top10" -> lsh.count(truthCos).toLong,
+        "ivfpq_top10" -> ivf.count(truthL2).toLong,
+        "denom" -> (qids.size * k10).toLong)
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] ANN recall block failed: ${e.getMessage}")
+      Map("lsh_top10" -> -1L, "ivfpq_top10" -> -1L, "denom" -> -1L)
+    }
+    val recall = annRecall()
+    val prevRecall = parseSection(prevTxt, "recall", sfDir)
+    // deterministic metric: ANY drop vs the previous round on the
+    // same sf dir is named (data regeneration between rounds can move
+    // it without a code change, so it is evidence, not an rc gate)
+    val recallDrift = Seq("lsh_top10", "ivfpq_top10").filter { m =>
+      recall.getOrElse(m, -1L) >= 0 && prevRecall.getOrElse(m, -1.0) > 0 &&
+        recall(m).toDouble < prevRecall(m)
+    }
+    if (recallDrift.nonEmpty)
+      System.err.println(s"[bench] ANN recall DROPPED vs previous run: " +
+        recallDrift.map(m => s"$m ${prevRecall(m).toLong} -> ${recall(m)}")
+          .mkString(", "))
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cur = results.toMap
@@ -510,9 +583,13 @@ object Bench {
       System.err.println(
         s"[bench] REGRESSED >1.5x wall AND >1.3x speed-normalized CPU on a quiet box " +
           s"(confirmed twice, speed_ratio=${r3(speedRatio)}): ${regressed.mkString(", ")}")
+    val recallJson = Seq("lsh_top10", "ivfpq_top10", "denom")
+      .map(m => "\"" + m + "\":" + recall.getOrElse(m, -1L)).mkString("{", ",", "}")
+    val recallDriftJson = recallDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpuJson,"gate_wall":$gateJson,"prev_ratio":$ratioJson,""" +
       s""""gate_ratio":$gateRatioJson,"entry_loadavg":$loadJson,"calib":$calibJson,""" +
+      s""""recall":$recallJson,"recall_drift":$recallDriftJson,""" +
       s""""regressed":$regJson,"contended":$contJson,"x10_scaleup":$scaleJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // The driver parses captured stdout, but sbt prefixes every line
