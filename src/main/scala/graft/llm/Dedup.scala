@@ -544,21 +544,39 @@ object Dedup {
                           n: Int = 3, threshold: Double = 0.5,
                           minEst: Double = 0.2,
                           maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
-    import graft.functions.{SketchExpressions => SE}
     val spark = newDocs.sparkSession
     // filters run over STORED/cached sketch bytes, nothing recomputed
     val idx0 = spark.read.parquet(indexPath)
-    // an index sketched with a different shingle size would band-join
-    // and intersect incomparable sketches — wrong pairs, no error.
-    // The check reads one row's metadata column, not the corpus.
+    validateSketchIndex(idx0, indexPath, n)
+    incrementalNearDupsFrame(newDocs, idx0, idCol, textCol, n, threshold,
+      minEst, maxBucketSize)
+  }
+
+  /** An index sketched with a different shingle size would band-join
+    * and intersect incomparable sketches — wrong pairs, no error.
+    * The check reads one row's metadata column, not the corpus. */
+  private def validateSketchIndex(idx0: DataFrame, what: String, n: Int): Unit = {
     require(idx0.columns.contains("shingle_n"),
-      s"incrementalNearDups: $indexPath is not a sketch index " +
+      s"incrementalNearDups: $what is not a sketch index " +
         "(no shingle_n column; write it with writeSketchIndex)")
     val idxN = idx0.select("shingle_n").head.getInt(0)
     require(idxN == n,
-      s"incrementalNearDups: index $indexPath was sketched with n=$idxN, " +
+      s"incrementalNearDups: index $what was sketched with n=$idxN, " +
         s"but n=$n was requested; re-sketch one side")
-    val idx = idx0.where(length(col("shhb")) > 0)
+  }
+
+  /** [[incrementalNearDups]] against an already-loaded sketch-index
+    * frame (doc_id, sigb, shhb[, shingle_n]) — the body both the
+    * path-based API and the streaming leg share. Callers are
+    * responsible for shingle-size agreement (the path/stream wrappers
+    * validate `shingle_n`). */
+  def incrementalNearDupsFrame(newDocs: DataFrame, idxSketch: DataFrame,
+                               idCol: String, textCol: String,
+                               n: Int = 3, threshold: Double = 0.5,
+                               minEst: Double = 0.2,
+                               maxBucketSize: Int = DefaultMaxBucketSize): DataFrame = {
+    import graft.functions.{SketchExpressions => SE}
+    val idx = idxSketch.where(length(col("shhb")) > 0)
     val inc0 = sketchFrame(newDocs, idCol, textCol, n)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     inc0.count() // materialize once: the plan fans out below
@@ -587,6 +605,86 @@ object Dedup {
         ((length(col("sh1")) + length(col("sh2"))) / 8 - col("inter")))
       .where(col("jaccard") >= threshold)
       .select(col("new_id"), col("hist_id"), round(col("jaccard"), 4).as("jaccard"))
+  }
+
+  /** Streaming ingest-time near-dup — the [[incrementalNearDups]]
+    * index pattern as a Structured Streaming leg, with the
+    * [[graft.ops.Merge.applyChangesStream]] idempotency discipline.
+    * Each micro-batch `b`:
+    *
+    *  1. finds its WITHIN-batch pairs ([[minHashVerifiedPairs]]),
+    *  2. LSH-joins its sketches against every strictly-earlier
+    *     index segment (seed segments + `b0 … b(b−1)`) for the
+    *     CROSS pairs — history text is never re-read,
+    *  3. writes both pair sets to `pairsDir/b<b>` and its own
+    *     sketches to `indexDir/b<b>`, each mode-overwrite — an
+    *     idempotent function of (earlier segments, replayed batch),
+    *     so foreachBatch's at-least-once replay rewrites the same
+    *     segment instead of double-appending; a replayed batch never
+    *     joins the sketches its failed attempt may have written
+    *     (only segments `< b` are read).
+    *
+    * Every unordered near-dup pair of the concatenated stream is
+    * found exactly once — in the batch where its later document
+    * arrives — so the union of `pairsDir/b*` equals the one-shot
+    * [[minHashVerifiedPairs]] of all batches concatenated
+    * (cross pairs are emitted as (id1, id2) = (min, max) to make the
+    * equality literal; parity is spec-pinned in StreamingDedupSpec).
+    * The one deliberate divergence at web scale: hot-bucket fencing
+    * sees per-segment bucket sizes, not the concatenated corpus's, so
+    * a bucket that only becomes hot across many batches is fenced
+    * later than a one-shot run would fence it.
+    *
+    * Seed history by [[writeSketchIndex]]-ing it to
+    * `indexDir/<anything not b<digits>>` before starting. Pass a
+    * fresh `checkpointDir` per lineage (batch ids must start at 0).
+    * Read results with `spark.read.parquet(pairsDir + "/b*")`. */
+  def incrementalNearDupsStream(newDocs: DataFrame, indexDir: String,
+                                pairsDir: String, checkpointDir: String,
+                                idCol: String, textCol: String,
+                                n: Int = 3, threshold: Double = 0.5,
+                                minEst: Double = 0.2,
+                                maxBucketSize: Int = DefaultMaxBucketSize)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    newDocs.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val b = batch.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val within = minHashVerifiedPairs(b, idCol, textCol, n, threshold, minEst)
+        // strictly-earlier segments only: bK with K < batchId, plus
+        // any non-batch-named seed segment
+        val batchSeg = "b(\\d+)".r
+        val fs = org.apache.hadoop.fs.FileSystem.get(
+          new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+        val dir = new org.apache.hadoop.fs.Path(indexDir)
+        val prior: Seq[String] =
+          if (!fs.exists(dir)) Nil
+          else fs.listStatus(dir).toSeq.filter(_.isDirectory).flatMap { st =>
+            st.getPath.getName match {
+              case batchSeg(k) if k.toLong >= batchId => None
+              case _ => Some(st.getPath.toString)
+            }
+          }
+        val pairs =
+          if (prior.isEmpty) within
+          else {
+            val idx = spark.read.parquet(prior: _*)
+            validateSketchIndex(idx, s"$indexDir (${prior.size} segments)", n)
+            val cross = incrementalNearDupsFrame(b, idx, idCol, textCol,
+                n, threshold, minEst, maxBucketSize)
+              .select(least(col("new_id"), col("hist_id")).as("id1"),
+                greatest(col("new_id"), col("hist_id")).as("id2"),
+                col("jaccard"))
+            within.unionByName(cross)
+          }
+        pairs.write.mode("overwrite").parquet(s"$pairsDir/b$batchId")
+        sketchFrame(b, idCol, textCol, n).withColumn("shingle_n", lit(n))
+          .write.mode("overwrite").parquet(s"$indexDir/b$batchId")
+        b.unpersist()
+        ()
+      }
+      .start()
   }
 
   // ---------------------------------------------------------------- SimHash
