@@ -175,6 +175,100 @@ object Multimodal {
     } else None
   }
 
+  /** Decoded-PCM facts: container header fields plus sample-level
+    * stats computed from the ACTUAL audio samples — peak and RMS over
+    * amplitudes normalized to [-1, 1], `nFrames` = sample frames
+    * (all channels together count one frame). */
+  final case class PcmStats(sampleRate: Int, channels: Int,
+                            bitsPerSample: Int, nFrames: Long,
+                            durationMs: Long, peak: Double, rms: Double)
+
+  /** REAL pure-JVM PCM decode — the audio tier that needs NO codec at
+    * all (WAV/PCM is raw samples behind the RIFF header), promoting
+    * one more documented stub boundary to real bytes: walks the RIFF
+    * chunks like [[parseAvHeader]], then decodes the `data` chunk's
+    * integer samples (unsigned 8-bit / signed little-endian
+    * 16/24/32-bit, the WAVE_FORMAT_PCM cases) and folds peak + RMS in
+    * one pass. Returns None for non-RIFF bytes, non-PCM format codes
+    * (float/extensible/compressed need a real codec), missing chunks,
+    * or unsupported bit widths. A `data` chunk whose declared size
+    * runs past the payload (truncated upload — common in crawled
+    * audio) is CLAMPED to the bytes present and stats cover what's
+    * there; `durationMs` is derived from the decoded frame count, so
+    * it reflects the truncation honestly. */
+  def parseWavPcm(bytes: Array[Byte]): Option[PcmStats] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(0) != "RIFF" || fourcc(8) != "WAVE") return None
+    // chunk walk (Long cursor: u32 sizes from untrusted bytes)
+    var i = 12L
+    var fmtCode = -1; var ch = 0; var rate = 0; var bits = 0
+    var dataOff = -1L; var dataLen = -1L
+    while (i + 8 <= bytes.length && (fmtCode < 0 || dataOff < 0)) {
+      val ii = i.toInt
+      val id = fourcc(ii); val sz = le32(ii + 4)
+      if (id == "fmt " && i + 24 <= bytes.length) {
+        fmtCode = le16(ii + 8); ch = le16(ii + 10)
+        rate = le32(ii + 12).toInt; bits = le16(ii + 22)
+      } else if (id == "data") { dataOff = i + 8; dataLen = sz }
+      i += 8L + sz + (sz & 1) // word-aligned
+    }
+    val bytesPer = bits / 8
+    if (fmtCode != 1 || ch <= 0 || rate <= 0 || dataOff < 0 ||
+        bytesPer < 1 || bytesPer > 4 || bits % 8 != 0) return None
+    val avail = math.max(0L, math.min(dataLen, bytes.length - dataOff))
+    val frameBytes = bytesPer.toLong * ch
+    val nFrames = if (frameBytes > 0) avail / frameBytes else 0L
+    val nSamples = nFrames * ch
+    // one fold over the samples: peak + sum of squares, normalized by
+    // the type's max magnitude (8-bit is unsigned, bias 128)
+    val full = (1L << (bits - 1)).toDouble
+    var peak = 0.0; var sumSq = 0.0
+    var s = 0L
+    while (s < nSamples) {
+      val o = (dataOff + s * bytesPer).toInt
+      val raw: Long = bytesPer match {
+        case 1 => (u8(o) - 128).toLong
+        case 2 => le16(o).toShort.toLong
+        case 3 => ((u8(o) | (u8(o + 1) << 8) | (u8(o + 2) << 16)) << 8) >> 8
+        case _ => le32(o).toInt.toLong
+      }
+      val x = raw / full
+      val ax = math.abs(x)
+      if (ax > peak) peak = ax
+      sumSq += x * x
+      s += 1
+    }
+    val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
+    Some(PcmStats(rate, ch, bits, nFrames, nFrames * 1000L / rate, peak, rms))
+  }
+
+  /** [[describeAv]]'s decoded sibling: per-payload PCM sample stats
+    * from [[parseWavPcm]] (null columns where the payload isn't
+    * decodable PCM). Same plumbing contract — per-partition kernel,
+    * no shuffle, payload bytes never leave the partition; `peak` and
+    * `rms` are rounded to 6 places so downstream comparisons are
+    * representation-stable. */
+  def describePcm(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseWavPcm(payload)
+        def r6(x: Double) = math.rint(x * 1e6) / 1e6
+        (id, st.map(_.sampleRate), st.map(_.channels), st.map(_.bitsPerSample),
+          st.map(_.nFrames), st.map(_.durationMs),
+          st.map(s => r6(s.peak)), st.map(s => r6(s.rms)))
+      }
+      .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
+        "n_frames", "duration_ms", "peak", "rms")
+  }
+
   /** [[describeMedia]]'s audio/video sibling: per-payload byte length
     * plus the header-parsed container facts. Same plumbing contract —
     * per-partition, no shuffle, payloads never leave the partition. */

@@ -196,6 +196,86 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(out(2) == ((3L, 9L, None, None, None, None)))
   }
 
+  // PCM WAV with explicit format fields and raw sample bytes; the
+  // declared data size can lie (truncated-upload fixture)
+  private def wavPcm(fmtCode: Int, ch: Int, rate: Int, bits: Int,
+                     data: Array[Byte], declaredLen: Int = -1): Array[Byte] = {
+    val blockAlign = bits / 8 * ch
+    val b = java.nio.ByteBuffer.allocate(44 + data.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put("RIFF".getBytes("US-ASCII")).putInt(36 + data.length)
+      .put("WAVE".getBytes("US-ASCII"))
+      .put("fmt ".getBytes("US-ASCII")).putInt(16)
+      .putShort(fmtCode.toShort).putShort(ch.toShort).putInt(rate)
+      .putInt(rate * blockAlign).putShort(blockAlign.toShort).putShort(bits.toShort)
+      .put("data".getBytes("US-ASCII"))
+      .putInt(if (declaredLen >= 0) declaredLen else data.length)
+      .put(data)
+    b.array()
+  }
+  private def le16bytes(ss: Seq[Int]): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(ss.length * 2)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    ss.foreach(s => b.putShort(s.toShort)); b.array()
+  }
+
+  test("parseWavPcm decodes 16-bit samples: exact peak/rms of a half-scale square wave") {
+    // 8 frames of ±16384 (= ±0.5 of full scale): peak and rms both 0.5
+    val data = le16bytes(Seq(16384, -16384, 16384, -16384, 16384, -16384, 16384, -16384))
+    val st = Multimodal.parseWavPcm(wavPcm(1, 1, 8000, 16, data)).get
+    assert(st == Multimodal.PcmStats(8000, 1, 16, 8L, 1L, 0.5, 0.5))
+  }
+
+  test("parseWavPcm decodes 8-bit (unsigned, bias 128) and 24-bit (signed LE) samples") {
+    // 8-bit samples {128, 0} → amplitudes {0, -1}: peak 1, rms √½
+    val st8 = Multimodal.parseWavPcm(
+      wavPcm(1, 1, 1000, 8, Array[Byte](128.toByte, 0))).get
+    assert(st8.bitsPerSample == 8 && st8.nFrames == 2 && st8.peak == 1.0)
+    assert(math.abs(st8.rms - math.sqrt(0.5)) < 1e-12)
+    // 24-bit: full-scale negative 0x800000 then silence
+    val st24 = Multimodal.parseWavPcm(wavPcm(1, 1, 1000, 24,
+      Array[Byte](0, 0, 0x80.toByte, 0, 0, 0))).get
+    assert(st24.bitsPerSample == 24 && st24.nFrames == 2 && st24.peak == 1.0)
+    assert(math.abs(st24.rms - math.sqrt(0.5)) < 1e-12)
+  }
+
+  test("parseWavPcm counts stereo FRAMES and clamps a lying data size to the bytes present") {
+    // 16-bit stereo, 4 frames (16 bytes), 1 kHz → 4 ms
+    val stereo = Multimodal.parseWavPcm(
+      wavPcm(1, 2, 1000, 16, le16bytes(Seq.fill(8)(0)))).get
+    assert(stereo.channels == 2 && stereo.nFrames == 4L && stereo.durationMs == 4L)
+    // declared 1000 data bytes, only 4 frames present: stats cover
+    // what's there, duration derives from DECODED frames
+    val trunc = Multimodal.parseWavPcm(
+      wavPcm(1, 1, 1000, 16, le16bytes(Seq.fill(4)(8192)), declaredLen = 1000)).get
+    assert(trunc.nFrames == 4L && trunc.durationMs == 4L && trunc.peak == 0.25)
+  }
+
+  test("parseWavPcm refuses what needs a real codec and survives hostile bytes") {
+    val d = le16bytes(Seq(1, 2))
+    assert(Multimodal.parseWavPcm(wavPcm(3, 1, 8000, 16, d)).isEmpty, "float fmt")
+    assert(Multimodal.parseWavPcm(wavPcm(0xFFFE, 1, 8000, 16, d)).isEmpty, "extensible")
+    assert(Multimodal.parseWavPcm(wavPcm(1, 1, 8000, 12, d)).isEmpty, "12-bit")
+    assert(Multimodal.parseWavPcm(wavPcm(1, 0, 8000, 16, d)).isEmpty, "0 channels")
+    assert(Multimodal.parseWavPcm("not audio".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseWavPcm(null).isEmpty)
+    assert(Multimodal.parseWavPcm(wavPcm(1, 1, 8000, 16, d).take(30)).isEmpty,
+      "truncated before the data chunk")
+  }
+
+  test("describePcm surfaces decoded stats per payload, nulls for non-PCM") {
+    val rows = Seq(
+      (1L, wavPcm(1, 1, 8000, 16, le16bytes(Seq.fill(8)(16384)))),
+      (2L, "not media".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "audio")
+    val out = Multimodal.describePcm(media).orderBy("media_id")
+      .as[(Long, Option[Int], Option[Int], Option[Int], Option[Long],
+           Option[Long], Option[Double], Option[Double])].collect().toSeq
+    assert(out(0) == ((1L, Some(8000), Some(1), Some(16), Some(8L), Some(1L),
+      Some(0.5), Some(0.5))))
+    assert(out(1) == ((2L, None, None, None, None, None, None, None)))
+  }
+
   test("extractFeaturesBatched preserves order and batches payloads") {
     val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
     val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
