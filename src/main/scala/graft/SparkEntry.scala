@@ -3736,21 +3736,17 @@ object SparkEntry {
     // DuckDB side unrolls the identical CTE three times, so THREE
     // rounds of argmin/centroid state match bit-for-bit across
     // engines, not just one. At 100 TB each round is one d·k-cell
-    // partial-agg shuffle + a broadcast of centroids; a production
-    // loop would checkpoint the assignment between rounds (the q49
-    // explicit-RDD lifecycle) — three rounds keeps the plan finite
-    // for the oracle while exercising the real chaining.
+    // partial-agg shuffle + a broadcast of centroids. Runs through
+    // [[graft.llm.Clustering.iterateSteps]] — the production chained
+    // loop: assignment checkpointed per round (q49 explicit-RDD
+    // lifecycle, bounded plan depth at any round count), vectors
+    // persisted once and released via the handle.
     "q226_kmeans_iter" -> ((s, d) => {
-      val vecs = emb(s, d).select(col("vec_id"), col("embedding"))
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val seed = emb(s, d).select(col("vec_id"), col("embedding"), col("label"))
-      val r3 = (1 to 3).foldLeft(seed) { (cur, _) =>
-        graft.llm.Clustering.lloydStep(cur, "vec_id", "embedding",
-            "label", dim = 64, scale = 1000)
-          .select(col("vec_id"), col("assigned").as("label"))
-          .join(vecs, "vec_id")
-      }
-      r3.groupBy(col("label").as("cluster"))
+      val r = graft.llm.Clustering.iterateSteps(
+        emb(s, d).select(col("vec_id"), col("embedding"), col("label")),
+        "vec_id", "embedding", "label", rounds = 3, dim = 64, scale = 1000)
+      r.release() // result is checkpoint-rooted; the vector cache can go
+      r.assign.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
         .orderBy("cluster")
     }),

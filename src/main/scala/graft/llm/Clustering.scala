@@ -107,6 +107,62 @@ object Clustering {
         col("__m.__c").as("assigned"))
   }
 
+  /** Result of [[iterateSteps]]: the final (idCol, labelCol)
+    * assignment — rooted at its own checkpoint, independent of the
+    * internal vector cache — and a `release()` that unpersists that
+    * cache (safe to call as soon as the result is the only thing
+    * needed; the final checkpoint blocks stay until the frame is
+    * unreferenced, the [[Dedup.components]] lifecycle). */
+  case class ChainedResult(assign: DataFrame, rounds: Int,
+                           release: () => Unit)
+
+  /** Iterated [[lloydStep]] rounds with the lineage discipline a
+    * production loop needs — the chained path for k beyond [[lloyd]]'s
+    * literal-inlining bound, packaged so callers stop hand-rolling the
+    * fold (q226 unrolled three rounds inline; its comment promised
+    * this helper). Per round: one lloydStep (one d·k-cell partial-agg
+    * shuffle + broadcast centroid join against the ONE persisted
+    * vector table), then the (id, label) assignment — and only it —
+    * is eagerly localCheckpoint'ed with an explicit RDD handle, so
+    * the next round's plan starts from a flat scan instead of
+    * compounding (an iterative join otherwise grows the plan
+    * per round), and each round frees the previous round's
+    * checkpoint blocks instead of leaking one per iteration for the
+    * session's life. Vectors never checkpoint — they're cached once
+    * and re-joined by id each round. localCheckpoint blocks live in
+    * executor storage: an executor loss fails the job rather than
+    * silently recomputing; on an unreliable cluster swap in
+    * `checkpoint()` here — one place.
+    *
+    * Runs a FIXED number of rounds (the caller owns convergence —
+    * chain-scale k makes the per-round collect [[lloyd]] uses for its
+    * fixed-point test the thing this path exists to avoid). Bounded
+    * plan depth across any round count is spec-pinned in
+    * ClusteringSpec. */
+  def iterateSteps(emb: DataFrame, idCol: String, vecCol: String,
+                   labelCol: String, rounds: Int, dim: Int,
+                   scale: Int = 1000): ChainedResult = {
+    require(rounds >= 1, s"iterateSteps: rounds must be >= 1, got $rounds")
+    val spark = emb.sparkSession
+    val vecs = emb.select(col(idCol), col(vecCol))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    var cur = emb.select(col(idCol), col(vecCol), col(labelCol))
+    var prevRdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.Row] = null
+    var labels: DataFrame = null
+    for (_ <- 1 to rounds) {
+      val stepped = lloydStep(cur, idCol, vecCol, labelCol, dim, scale)
+        .select(col(idCol), col("assigned").as(labelCol))
+      val rdd = stepped.rdd.localCheckpoint()
+      rdd.count() // eager: materialize before freeing the previous cut
+      if (prevRdd != null)
+        prevRdd.unpersist() // previous round's checkpoint blocks freed
+      prevRdd = rdd
+      labels = spark.createDataFrame(rdd, stepped.schema)
+      cur = labels.join(vecs, idCol)
+    }
+    ChainedResult(labels, rounds, () => { vecs.unpersist(); () })
+  }
+
   /** Iterated Lloyd to a fixed point — the full k-means driver over
     * the same determinism contract as [[lloydStep]] (integer-grid
     * vectors, exact integer (S, n) centroid state, fixed-order double

@@ -179,4 +179,56 @@ class ClusteringSpec extends SparkSpec {
     assert(e.getMessage.contains("lloydStep") ||
       e.getCause.getMessage.contains("lloydStep"))
   }
+
+  private def blobs(): org.apache.spark.sql.DataFrame = mk(
+    (0L until 40L).map { i =>
+      val c = (i % 4).toInt
+      val base = Array.fill(4)(c * 10.0f)
+      base((i % 4).toInt) += (i / 4 % 5) * 0.02f
+      // seed labels deliberately scrambled so every round does work
+      (i, base.toSeq, ((i * 7 + 3) % 4).toInt)
+    })
+
+  test("iterateSteps equals the hand-rolled lloydStep chain (differential)") {
+    val d = blobs()
+    val chained = Clustering.iterateSteps(d, "vec_id", "embedding", "label",
+      rounds = 3, dim = 4)
+    val inline = (1 to 3).foldLeft(d) { (cur, _) =>
+      Clustering.lloydStep(cur, "vec_id", "embedding", "label", dim = 4)
+        .select(col("vec_id"), col("assigned").as("label"))
+        .join(d.select("vec_id", "embedding"), "vec_id")
+    }.select(col("vec_id"), col("label").cast("long").as("label"))
+    val got = chained.assign.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    val exp = inline.collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    chained.release()
+    assert(got == exp)
+    spark.catalog.clearCache()
+  }
+
+  test("iterateSteps keeps plan depth BOUNDED across rounds (checkpoint lineage cut)") {
+    def planNodes(rounds: Int): Int = {
+      val r = Clustering.iterateSteps(blobs(), "vec_id", "embedding", "label",
+        rounds, dim = 4)
+      val n = r.assign.queryExecution.optimizedPlan.collect { case p => p }.size
+      r.release()
+      n
+    }
+    val n1 = planNodes(1)
+    val n5 = planNodes(5)
+    // the result is rooted at its own checkpoint: the plan is a flat
+    // scan regardless of round count — an uncut chain would compound
+    // (join + step subtree) per round
+    assert(n5 == n1, s"round-5 plan has $n5 nodes vs round-1 $n1 - lineage not cut")
+    assert(n1 <= 3, s"expected a flat checkpoint scan, got $n1 nodes")
+    spark.catalog.clearCache()
+  }
+
+  test("iterateSteps result survives release() (checkpoint-rooted, not cache-rooted)") {
+    val r = Clustering.iterateSteps(blobs(), "vec_id", "embedding", "label",
+      rounds = 2, dim = 4)
+    r.release() // BEFORE any action on the result
+    val rows = r.assign.collect()
+    assert(rows.length == 40 && rows.forall(x => x.getLong(1) >= 0 && x.getLong(1) < 4))
+    spark.catalog.clearCache()
+  }
 }
