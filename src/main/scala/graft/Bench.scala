@@ -188,7 +188,11 @@ object Bench {
       // round-9 session 3: the chained 3-round k-means (iterative-job
       // cost envelope) and the map-only hashed-feature classifier
       // (pure scan throughput indicator)
-      "q226_kmeans_iter", "q230_quality_classifier")
+      "q226_kmeans_iter", "q230_quality_classifier",
+      // round-10: the full curation v5 composition (scrub → re-chunk
+      // → re-pack) — the heaviest new end-to-end pipeline, tracked
+      // from its first round
+      "q232_curation_v5")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
@@ -303,6 +307,15 @@ object Bench {
         graft.llm.Similarity.cosineNearDupsLsh(
           embX10(spark, sfDir), 64, 0.35, nPlanes = 12,
           scopeCols = Seq("rep"))
+      }),
+      // Exact-substring extents at 10×: docsX10's replica-tagged words
+      // mean no gram crosses replicas, so the duplicated-extent
+      // structure replicates exactly 10× (structural, not
+      // statistical) — the claim under test is the 3-bounded-shuffle
+      // plan's linear growth in corpus positions.
+      "q217_x10" -> (() => noopRun {
+        graft.llm.ExactSubstring.duplicatedExtents(
+          docsX10(spark, sfDir), "doc_id", "text", 8)
       }),
       "terasort_1m" -> (() => graft.jobs.TeraSort.run(spark, 1000000L)),
       "terasort_10m" -> (() => graft.jobs.TeraSort.run(spark, 10000000L)),
@@ -537,7 +550,7 @@ object Bench {
       classify(wallRegressed, cpuMap, prevCpu, speedRatio, loadHigh)
     // x10 scale-trend entries, per-row-normalized: x10/base time ratio
     // (ideal ≤ 10 at full parallelism; >10 means superlinear = bad).
-    val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150").flatMap { p =>
+    val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150", "q217").flatMap { p =>
       val base = cur.collectFirst { case (k, v) if k.startsWith(p + "_") && !k.endsWith("_x10") && v > 0 => v }
       val x10 = cur.getOrElse(p + "_x10", -1.0)
       base.filter(_ => x10 > 0).map(b => p -> r3(x10 / b))
