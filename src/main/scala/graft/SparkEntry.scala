@@ -3840,6 +3840,46 @@ object SparkEntry {
         .select(col("doc_id"), col("chunk_id"), col("n_tok"), col("chunk_md5"),
           col("n_removed"), col("pack_id"))
         .orderBy("doc_id", "chunk_id")
+    }),
+
+    // Q233 — WAV/PCM sample-level decode ([[graft.sources.Multimodal
+    // .parseWavPcm]], the codec-free real tier of the audio path):
+    // each document synthesizes a WAV payload from a deterministic
+    // integer-sample formula (the q219 synthetic-model pattern — the
+    // FIXTURE is formulaic, the byte-level DECODE under test is
+    // real), the engine round-trips samples → RIFF bytes → chunk-walk
+    // decode → peak/RMS, and the oracle computes the same stats
+    // DIRECTLY from the formula — so the engines agree iff the byte
+    // encode/decode is exact. Samples are multiples of 4096 (⇒
+    // amplitudes multiples of ⅛, squares multiples of 1/64): every
+    // partial sum is an exact double, leaving one IEEE division and
+    // one sqrt — bit-identical cross-engine. Every 50th payload is
+    // deliberately not audio (the crawled-corpus reality) and must
+    // surface as nulls, not errors. Map-only; payload bytes never
+    // shuffle (the Multimodal plumbing contract).
+    "q233_pcm_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "not audio at all".getBytes("UTF-8"))
+        else {
+          val n = (8 + id % 32).toInt
+          val b = java.nio.ByteBuffer.allocate(44 + n * 2)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put("RIFF".getBytes("US-ASCII")).putInt(36 + n * 2)
+            .put("WAVE".getBytes("US-ASCII"))
+            .put("fmt ".getBytes("US-ASCII")).putInt(16)
+            .putShort(1).putShort(1).putInt(8000).putInt(16000)
+            .putShort(2).putShort(16)
+            .put("data".getBytes("US-ASCII")).putInt(n * 2)
+          (0 until n).foreach { i =>
+            b.putShort(((((id * 7 + i * 5) % 16) - 8) * 4096).toShort)
+          }
+          (id, b.array())
+        }
+      }.toDF("doc_id", "wav")
+      graft.sources.Multimodal.describePcm(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "wav", "audio"))
+        .orderBy("media_id")
     })
   )
 
@@ -6601,7 +6641,36 @@ object SparkEntry {
         |  a.n_removed, p.pack_id
         |FROM ch c JOIN pk p ON p.doc_id = c.doc_id
         |JOIN alive a ON a.doc_id = c.doc_id
-        |ORDER BY c.doc_id, c.chunk_id""".stripMargin
+        |ORDER BY c.doc_id, c.chunk_id""".stripMargin,
+
+    // Stats re-derived straight from the sample formula — the engine
+    // must reproduce them THROUGH its RIFF byte encode/decode.
+    "q233_pcm_decode" ->
+      """WITH f AS (SELECT doc_id, CAST(8 + doc_id % 32 AS BIGINT) AS n
+        |           FROM documents),
+        |s AS (SELECT doc_id, n,
+        |        (((doc_id * 7 + i * 5) % 16) - 8) * 4096 AS raw
+        |      FROM f, generate_series(0, 39) t(i) WHERE i < n),
+        |agg AS (SELECT doc_id, MAX(n) AS n,
+        |          MAX(ABS(raw / 32768.0)) AS peak,
+        |          SQRT(SUM((raw / 32768.0) * (raw / 32768.0)) / MAX(n)) AS rms
+        |        FROM s GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(8000 AS INTEGER) END AS sample_rate,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1 AS INTEGER) END AS channels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(16 AS INTEGER) END AS bits_per_sample,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.n END AS n_frames,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE a.n * 1000 // 8000 END AS duration_ms,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE ROUND(a.peak, 6) END AS peak,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE ROUND(a.rms, 6) END AS rms
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Oracle for q230: per-token FNV-1a 64 in HUGEINT mod-2^64 (the
