@@ -94,4 +94,13 @@ object BpeTrainer {
     * single-pass matcher. */
   def segment(word: Column, merges: Seq[Merge]): Column =
     merges.foldLeft(chars(word).as("syms")) { (acc, m) => fuse(acc, m.a, m.b) }
+
+  /** The production tokenize path: identical sequential-greedy
+    * semantics as [[segment]] (differential-spec-pinned), but the
+    * whole merge table lives inside ONE native expression — plan
+    * depth O(1) at any table size, merges that can't fire skip in
+    * O(1). Use this for real merge tables (thousands of rounds);
+    * `segment` stays as the column-tier executable specification. */
+  def segmentFast(word: Column, merges: Seq[Merge]): Column =
+    graft.functions.BpeSegment(word, merges.map(m => (m.a, m.b)))
 }

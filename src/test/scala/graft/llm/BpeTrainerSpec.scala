@@ -83,4 +83,49 @@ class BpeTrainerSpec extends SparkSpec {
     assert(seg.contains("est"), seg.toString)
     assert(seg.mkString == "lowest", seg.toString) // lossless segmentation
   }
+
+  test("segmentFast is byte-identical to segment on random corpora (differential)") {
+    // train on one random corpus, tokenize ANOTHER (unseen words,
+    // unseen symbols, overlap-heavy runs) through both paths
+    val rnd = new scala.util.Random(7)
+    val trainWords = (1 to 30).map { _ =>
+      val len = 1 + rnd.nextInt(8)
+      (1 to len).map(_ => ('a' + rnd.nextInt(4)).toChar).mkString ->
+        (1L + rnd.nextInt(9))
+    }.toMap
+    val merges = BpeTrainer.learnMerges(
+      trainWords.toSeq.toDF("w", "c"), "w", "c", 12)
+    assert(merges.nonEmpty)
+    val applyWords = ((1 to 60).map { _ =>
+      val len = 1 + rnd.nextInt(10)
+      (1 to len).map(_ => ('a' + rnd.nextInt(5)).toChar).mkString // adds 'e'
+    } ++ Seq("aaaa", "abababab", "", "zzz")).distinct
+    val both = applyWords.toDF("w").select(col("w"),
+      BpeTrainer.segment(col("w"), merges).as("slow"),
+      BpeTrainer.segmentFast(col("w"), merges).as("fast"))
+      .collect()
+    both.foreach { r =>
+      assert(r.getSeq[String](1) == r.getSeq[String](2),
+        s"word=${r.getString(0)}: slow=${r.getSeq[String](1)} fast=${r.getSeq[String](2)}")
+    }
+    // plan-depth claim: the fast path is ONE expression regardless of
+    // merge count — its expression tree doesn't grow with the table
+    // (analyzed plan: the optimizer constant-folds local fixtures)
+    val slowPlan = applyWords.toDF("w")
+      .select(BpeTrainer.segment(col("w"), merges).as("s"))
+      .queryExecution.analyzed.toString
+    val fastPlan = applyWords.toDF("w")
+      .select(BpeTrainer.segmentFast(col("w"), merges).as("s"))
+      .queryExecution.analyzed.toString
+    assert(fastPlan.length < slowPlan.length / 4,
+      s"fast plan ${fastPlan.length}B vs slow ${slowPlan.length}B")
+  }
+
+  test("segmentFast handles code points beyond the BMP as single symbols") {
+    val merges = Seq(BpeTrainer.Merge("😀", "x", 1L)) // 😀 + x
+    val seg = Seq("😀x😀").toDF("w")
+      .select(BpeTrainer.segmentFast(col("w"), merges).as("s"))
+      .head().getSeq[String](0)
+    assert(seg == Seq("😀x", "😀"), seg.toString)
+  }
 }
