@@ -3880,6 +3880,49 @@ object SparkEntry {
       graft.sources.Multimodal.describePcm(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "wav", "audio"))
         .orderBy("media_id")
+    }),
+
+    // Q234 — BMP pixel decode ([[graft.sources.Multimodal
+    // .parseBmpPixels]], the image sibling of q233's PCM tier:
+    // uncompressed 24bpp BMP is raw pixels behind two plain headers —
+    // no codec exists to stub): each document synthesizes a BMP from
+    // a per-pixel channel formula, the engine round-trips pixels →
+    // padded bottom-up BGR rows → header-walk decode → per-channel
+    // INTEGER sums, and the oracle computes the same sums directly
+    // from the formula. Integers end to end — the engines agree iff
+    // the byte layout (row padding, BGR order, bottom-up rows, data
+    // offset) is decoded exactly. Every 50th payload is non-image →
+    // nulls. Map-only; payloads never shuffle.
+    "q234_bmp_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "not an image".getBytes("UTF-8"))
+        else {
+          val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
+          val rowBytes = ((w * 3 + 3) / 4) * 4
+          val size = 54 + rowBytes * h
+          val b = java.nio.ByteBuffer.allocate(size)
+            .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+          b.put('B'.toByte).put('M'.toByte).putInt(size)
+            .putShort(0).putShort(0).putInt(54)
+          b.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+            .putInt(0).putInt(rowBytes * h)
+            .putInt(2835).putInt(2835).putInt(0).putInt(0)
+          (0 until h).foreach { row =>
+            val y = h - 1 - row // bottom-up row order
+            (0 until w).foreach { x =>
+              b.put(((id * 11 + x + y * 17) % 256).toByte)      // B
+              b.put(((id * 7 + x * 13 + y * 3) % 256).toByte)   // G
+              b.put(((id * 3 + x * 5 + y * 11) % 256).toByte)   // R
+            }
+            (w * 3 until rowBytes).foreach(_ => b.put(0.toByte))
+          }
+          (id, b.array())
+        }
+      }.toDF("doc_id", "bmp")
+      graft.sources.Multimodal.describeBmp(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "bmp", "image"))
+        .orderBy("media_id")
     })
   )
 
@@ -6669,6 +6712,32 @@ object SparkEntry {
         |       ELSE ROUND(a.peak, 6) END AS peak,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       ELSE ROUND(a.rms, 6) END AS rms
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Channel sums re-derived straight from the pixel formula — the
+    // engine must reproduce them THROUGH its BMP byte layout.
+    "q234_bmp_decode" ->
+      """WITH dims AS (SELECT doc_id, 2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, generate_series(0, 6) tx(x), generate_series(0, 3) ty(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM((doc_id * 3 + x * 5 + y * 11) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 7 + x * 13 + y * 3) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id * 11 + x + y * 17) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.n END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

@@ -65,6 +65,13 @@ object Multimodal {
     else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
              u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       Some(("gif", le16(6), le16(8)))
+    // BMP: "BM" + BITMAPINFOHEADER — width/height signed LE u32 at
+    // 18/22 (negative height = top-down row order; dimensions are the
+    // magnitudes).
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+      def le32s(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      Some(("bmp", math.abs(le32s(18)), math.abs(le32s(22))))
+    }
     // JPEG: FF D8, then walk marker segments to the first SOFn frame
     // header (C0–CF except C4/C8/CC); height/width big-endian u16 at
     // payload offsets 3/5 past the 2-byte segment length.
@@ -267,6 +274,72 @@ object Multimodal {
       }
       .toDF("media_id", "sample_rate", "channels", "bits_per_sample",
         "n_frames", "duration_ms", "peak", "rms")
+  }
+
+  /** Decoded-BMP facts: dimensions plus per-channel integer pixel
+    * sums — integers end to end, so a second engine replays them
+    * exactly (no float accumulation anywhere). */
+  final case class BmpStats(width: Int, height: Int, bitsPerPixel: Int,
+                            nPixels: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL pure-JVM BMP pixel decode — the image sibling of
+    * [[parseWavPcm]] (uncompressed BMP is raw pixels behind two plain
+    * headers; no codec exists to stub): "BM" magic, pixel-data offset
+    * from the file header, width/height/bpp from the
+    * BITMAPINFOHEADER, then one pass over the 24bpp BGR rows
+    * (4-byte-aligned, bottom-up — or top-down when height is
+    * negative, which changes nothing for channel sums) accumulating
+    * exact integer per-channel totals. Returns None for non-BMP
+    * bytes, compressed BMPs (BI_RGB only), or depths other than
+    * 24bpp (palette decoding is a different tier). Truncated pixel
+    * data is CLAMPED: only fully-present pixels count, and nPixels
+    * reports what was actually decoded. */
+  def parseBmpPixels(bytes: Array[Byte]): Option[BmpStats] = {
+    if (bytes == null || bytes.length < 54) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+    if (u8(0) != 'B' || u8(1) != 'M') return None
+    val dataOff = le32(10).toLong & 0xffffffffL
+    val w = le32(18)
+    val hRaw = le32(22)
+    val h = math.abs(hRaw)
+    val bpp = le16(28)
+    val compression = le32(30)
+    if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
+    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+    var row = 0
+    while (row < h) {
+      val base = dataOff + row.toLong * rowBytes
+      var x = 0
+      while (x < w && base + x * 3 + 3 <= bytes.length) {
+        val o = (base + x * 3).toInt
+        sb += u8(o); sg += u8(o + 1); sr += u8(o + 2) // BGR order
+        n += 1
+        x += 1
+      }
+      row += 1
+    }
+    Some(BmpStats(w, h, bpp, n, sr, sg, sb))
+  }
+
+  /** [[describePcm]]'s image sibling: per-payload decoded pixel sums
+    * (null columns where the payload isn't an uncompressed 24bpp
+    * BMP). Per-partition kernel, no shuffle, payloads never leave the
+    * partition; all outputs integer-exact. */
+  def describeBmp(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseBmpPixels(payload)
+        (id, st.map(_.width), st.map(_.height), st.map(_.nPixels),
+          st.map(_.sumR), st.map(_.sumG), st.map(_.sumB))
+      }
+      .toDF("media_id", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
   }
 
   /** [[describeMedia]]'s audio/video sibling: per-payload byte length

@@ -263,6 +263,57 @@ class MultimodalHeaderSpec extends SparkSpec {
       "truncated before the data chunk")
   }
 
+  // 24bpp BMP with explicit pixels: `rows` is top row first, each
+  // pixel (r, g, b); written bottom-up unless topDown
+  private def bmp(rows: Seq[Seq[(Int, Int, Int)]], topDown: Boolean = false): Array[Byte] = {
+    val h = rows.length; val w = rows.head.length
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val b = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putShort(0).putShort(0).putInt(54)
+    b.putInt(40).putInt(w).putInt(if (topDown) -h else h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835).putInt(0).putInt(0)
+    val fileRows = if (topDown) rows else rows.reverse
+    fileRows.foreach { r =>
+      r.foreach { case (red, g, blue) =>
+        b.put(blue.toByte).put(g.toByte).put(red.toByte)
+      }
+      (w * 3 until rowBytes).foreach(_ => b.put(0.toByte))
+    }
+    b.array()
+  }
+
+  test("parseBmpPixels sums channels exactly through padding and bottom-up rows") {
+    // 2x2: w*3 = 6 bytes/row pads to 8 — the padding bytes must NOT
+    // be counted as pixels
+    val img = Seq(
+      Seq((10, 20, 30), (40, 50, 60)),
+      Seq((1, 2, 3), (200, 100, 0)))
+    val st = Multimodal.parseBmpPixels(bmp(img)).get
+    assert(st == Multimodal.BmpStats(2, 2, 24, 4L, 251L, 172L, 93L))
+    // top-down (negative height): same sums, same reported dims
+    assert(Multimodal.parseBmpPixels(bmp(img, topDown = true)).get == st)
+  }
+
+  test("parseBmpPixels clamps truncated pixel data and refuses non-24bpp/compressed") {
+    val full = bmp(Seq(Seq((255, 255, 255), (255, 255, 255))))
+    // cut mid-second-pixel: only 1 fully-present pixel counts
+    val st = Multimodal.parseBmpPixels(full.take(54 + 4)).get
+    assert(st.nPixels == 1L && st.sumR == 255L)
+    // 8bpp (palette) and BI_RLE8 compression are a different tier
+    val pal = full.clone(); pal(28) = 8; assert(Multimodal.parseBmpPixels(pal).isEmpty)
+    val rle = full.clone(); rle(30) = 1; assert(Multimodal.parseBmpPixels(rle).isEmpty)
+    assert(Multimodal.parseBmpPixels("BMnot really".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseBmpPixels(null).isEmpty)
+  }
+
+  test("parseImageHeader recognizes BMP dimensions (incl. top-down)") {
+    val img = Seq(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)))
+    assert(Multimodal.parseImageHeader(bmp(img)) == Some(("bmp", 3, 1)))
+    assert(Multimodal.parseImageHeader(bmp(img, topDown = true)) == Some(("bmp", 3, 1)))
+  }
+
   test("describePcm surfaces decoded stats per payload, nulls for non-PCM") {
     val rows = Seq(
       (1L, wavPcm(1, 1, 8000, 16, le16bytes(Seq.fill(8)(16384)))),
