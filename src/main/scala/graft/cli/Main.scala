@@ -389,6 +389,65 @@ object Main {
               .otherwise(0).as("is_dup"))
           .write.mode("overwrite").parquet(out)
 
+      // tokenize with a trained merge table (bpe-train's output
+      // parquet: rank, a, b, freq) via the single-pass native matcher
+      case "bpe-tokenize" :: in :: idCol :: textCol :: mergesIn :: out :: Nil =>
+        val merges = spark.read.parquet(mergesIn)
+          .orderBy("rank").collect()
+          .map(r => graft.llm.BpeTrainer.Merge(
+            r.getAs[String]("a"), r.getAs[String]("b"), r.getAs[Long]("freq")))
+          .toIndexedSeq
+        spark.read.parquet(in).select(col(idCol),
+            explode(split(lower(col(textCol)), " ")).as("w"))
+          .where(col("w") =!= "")
+          .select(col(idCol), col("w"),
+            graft.llm.BpeTrainer.segmentFast(col("w"), merges).as("tokens"))
+          .write.mode("overwrite").parquet(out)
+
+      // exact duplicated-substring extents / surgical scrub (Lee et
+      // al. 2022 — the q217/q218 primitives)
+      case "substring-dups" :: in :: idCol :: textCol :: minRun :: out :: Nil =>
+        graft.llm.ExactSubstring.duplicatedExtents(
+            spark.read.parquet(in), idCol, textCol, minRun.toInt)
+          .write.mode("overwrite").parquet(out)
+      case "substring-scrub" :: in :: idCol :: textCol :: minRun :: out :: Nil =>
+        graft.llm.ExactSubstring.scrubText(
+            spark.read.parquet(in), idCol, textCol, minRun.toInt)
+          .write.mode("overwrite").parquet(out)
+
+      // curation v5: substring-scrub -> drop empty -> chunk -> pack,
+      // one run (the q232 composition); out gets chunks/ and packs/
+      case "curate-v5" :: in :: idCol :: textCol :: minRun :: chunkSpec :: budget :: out :: Nil =>
+        val (maxTok, overlap) = chunkSpec.split('+') match {
+          case Array(m) => (m.toInt, 0)
+          case Array(m, o) => (m.toInt, o.toInt)
+          case _ => usage(); (0, 0)
+        }
+        val scrubbed = graft.llm.ExactSubstring.scrubText(
+            spark.read.parquet(in), idCol, textCol, minRun.toInt)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val alive = scrubbed.where(col("n_kept") > 0)
+        graft.llm.Chunking.chunkTokens(alive, "doc_id", "text", maxTok, overlap)
+          .write.mode("overwrite").parquet(s"$out/chunks")
+        graft.llm.Packing.packSequences(
+            alive.select(col("doc_id"), col("n_kept").as("n_tok")),
+            "doc_id", "n_tok", budget.toLong)
+          .write.mode("overwrite").parquet(s"$out/packs")
+        scrubbed.unpersist()
+
+      // decoded media stats over (idCol, payloadCol) binary tables —
+      // the codec-free real tiers (WAV/PCM audio, 24bpp BMP images)
+      case "pcm-stats" :: in :: idCol :: payloadCol :: out :: Nil =>
+        graft.sources.Multimodal.describePcm(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "audio"))
+          .write.mode("overwrite").parquet(out)
+      case "bmp-stats" :: in :: idCol :: payloadCol :: out :: Nil =>
+        graft.sources.Multimodal.describeBmp(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "image"))
+          .write.mode("overwrite").parquet(out)
+
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -445,6 +504,12 @@ object Main {
         |  cmsketch <in.parquet> <keyCol> <d> <w> <out>   (mergeable count-min cells)
         |  quality <in.parquet> <idCol> <textCol> <out>   (hashed-feature linear score)
         |  quantiles <in.parquet> <keyCol> "<posIntExpr>" <q,q,...> <out>   (log2-binned bounds)
+        |  bpe-tokenize <in.parquet> <idCol> <textCol> <merges.parquet> <out>
+        |  substring-dups <in.parquet> <idCol> <textCol> <minRun> <out>   (exact dup extents)
+        |  substring-scrub <in.parquet> <idCol> <textCol> <minRun> <out>   (canonical-keeper scrub)
+        |  curate-v5 <in.parquet> <idCol> <textCol> <minRun> <max[+overlap]> <budget> <out>
+        |  pcm-stats <in.parquet> <idCol> <payloadCol> <out>   (WAV decode: peak/rms/frames)
+        |  bmp-stats <in.parquet> <idCol> <payloadCol> <out>   (BMP decode: channel sums)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

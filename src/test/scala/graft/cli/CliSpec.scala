@@ -248,4 +248,80 @@ class CliSpec extends SparkSpec {
       spark.read.parquet(s"$sf/documents.parquet").count())
     assert(keep.where(col("rep_id") > col("doc_id")).count() == 0) // rep is min
   }
+
+  test("bpe-train then bpe-tokenize compose into the tokenizer walk") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("bpe-train", s"$sf/documents.parquet", "text", "5", s"$tmp/merges")
+    val merges = spark.read.parquet(s"$tmp/merges")
+    assert(merges.columns.toSeq == Seq("rank", "a", "b", "freq"))
+    assert(merges.count() == 5)
+    runVerb("bpe-tokenize", s"$sf/documents.parquet", "doc_id", "text",
+      s"$tmp/merges", s"$tmp/toks")
+    val toks = spark.read.parquet(s"$tmp/toks")
+    assert(toks.columns.toSeq == Seq("doc_id", "w", "tokens"))
+    import org.apache.spark.sql.functions.{col, concat_ws, size, length}
+    // lossless: token concatenation reproduces every word
+    assert(toks.where(concat_ws("", col("tokens")) =!= col("w")).count() == 0)
+    // the learned merges actually fused something somewhere
+    assert(toks.where(size(col("tokens")) < length(col("w"))).count() > 0)
+  }
+
+  test("substring-dups/scrub and curate-v5 verbs run the Lee-et-al pipeline end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    runVerb("substring-dups", s"$sf/documents.parquet", "doc_id", "text",
+      "8", s"$tmp/dups")
+    val dups = spark.read.parquet(s"$tmp/dups")
+    assert(dups.columns.toSeq ==
+      Seq("doc_id", "start_idx", "end_idx", "n_words"))
+    runVerb("substring-scrub", s"$sf/documents.parquet", "doc_id", "text",
+      "8", s"$tmp/scrubbed")
+    val sc = spark.read.parquet(s"$tmp/scrubbed")
+    assert(sc.columns.toSeq == Seq("doc_id", "text", "n_kept", "n_removed"))
+    runVerb("curate-v5", s"$sf/documents.parquet", "doc_id", "text",
+      "8", "32+8", "256", s"$tmp/v5")
+    assert(spark.read.parquet(s"$tmp/v5/chunks").count() > 0)
+    val packs = spark.read.parquet(s"$tmp/v5/packs")
+    assert(packs.columns.contains("pack_id") && packs.count() > 0)
+  }
+
+  test("pcm-stats and bmp-stats verbs decode binary payload tables") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // one valid WAV (half-scale square), one valid 1x1 BMP, one junk
+    val wav = {
+      val b = java.nio.ByteBuffer.allocate(44 + 8)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(44).put("WAVE".getBytes)
+        .put("fmt ".getBytes).putInt(16).putShort(1).putShort(1)
+        .putInt(8000).putInt(16000).putShort(2).putShort(16)
+        .put("data".getBytes).putInt(8)
+      Seq(16384, -16384, 16384, -16384).foreach(s => b.putShort(s.toShort))
+      b.array()
+    }
+    val bmp1 = {
+      val b = java.nio.ByteBuffer.allocate(54 + 4)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(58).putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(1).putInt(1).putShort(1).putShort(24)
+        .putInt(0).putInt(4).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.put(10.toByte).put(20.toByte).put(30.toByte).put(0.toByte)
+      b.array()
+    }
+    Seq((1L, wav), (2L, bmp1), (3L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload").write.mode("overwrite").parquet(s"$tmp/media")
+    runVerb("pcm-stats", s"$tmp/media", "id", "payload", s"$tmp/pcm")
+    val pcm = spark.read.parquet(s"$tmp/pcm")
+      .where(col("media_id") === 1L).head()
+    assert(pcm.getAs[Double]("peak") == 0.5 && pcm.getAs[Long]("n_frames") == 4L)
+    runVerb("bmp-stats", s"$tmp/media", "id", "payload", s"$tmp/bmp")
+    val bm = spark.read.parquet(s"$tmp/bmp")
+      .where(col("media_id") === 2L).head()
+    assert(bm.getAs[Long]("sum_r") == 30L && bm.getAs[Long]("sum_b") == 10L)
+    // junk payloads surface as nulls through both verbs
+    assert(spark.read.parquet(s"$tmp/pcm")
+      .where(col("media_id") === 3L).head().isNullAt(1))
+    assert(spark.read.parquet(s"$tmp/bmp")
+      .where(col("media_id") === 3L).head().isNullAt(1))
+  }
 }
