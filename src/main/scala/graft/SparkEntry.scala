@@ -3923,6 +3923,48 @@ object SparkEntry {
       graft.sources.Multimodal.describeBmp(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "bmp", "image"))
         .orderBy("media_id")
+    }),
+
+    // Q235 — animated-GIF frame walk ([[graft.sources.Multimodal
+    // .parseGifFrames]]): frame count + total animation duration
+    // parsed from the real block stream (Graphic Control Extension
+    // delays, length-prefixed sub-block skips) WITHOUT decoding LZW
+    // pixel data — the container-walk skeleton under the frame-sample
+    // story. Synthesis/oracle contract as q233/q234: each document
+    // builds a GIF whose frame count and per-frame delays follow a
+    // formula, the engine walks the bytes, the oracle re-derives the
+    // numbers directly. The LZW payload bytes are arbitrary garbage
+    // the walker must SKIP via sub-block lengths — decoding them is
+    // exactly what this tier doesn't need. Map-only, no shuffle.
+    "q235_gif_frames" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "definitely not a gif".getBytes("UTF-8"))
+        else {
+          val w = (2 + id % 7).toInt; val h = (1 + id % 3).toInt
+          val nf = (1 + id % 5).toInt
+          val bb = new java.io.ByteArrayOutputStream()
+          def b(x: Int): Unit = bb.write(x & 0xff)
+          "GIF89a".getBytes("US-ASCII").foreach(x => bb.write(x))
+          b(w); b(w >> 8); b(h); b(h >> 8) // logical screen w, h (LE)
+          b(0); b(0); b(0)                 // no GCT, bg, aspect
+          (0 until nf).foreach { f =>
+            val delay = (10 + (id + f) % 20).toInt // hundredths of a second
+            b(0x21); b(0xf9); b(4); b(0)          // GCE: ext, label, size, flags
+            b(delay); b(delay >> 8); b(0); b(0)   // delay LE, transparent, term
+            b(0x2c); b(0); b(0); b(0); b(0)       // image descriptor at (0,0)
+            b(w); b(w >> 8); b(h); b(h >> 8); b(0) // frame w/h, no LCT
+            b(2)                                   // LZW min code size
+            b(3); b((id + f).toInt & 0xff); b(0x55); b(0xaa) // garbage data block
+            b(0)                                   // sub-block terminator
+          }
+          b(0x3b) // trailer
+          (id, bb.toByteArray)
+        }
+      }.toDF("doc_id", "gif")
+      graft.sources.Multimodal.describeGif(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "gif", "video"))
+        .orderBy("media_id")
     })
   )
 
@@ -6739,6 +6781,27 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Frame count + summed GCE delays re-derived from the formula —
+    // the engine must reproduce them through the real block walk.
+    "q235_gif_frames" ->
+      """WITH f AS (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 3 AS h,
+        |             1 + doc_id % 5 AS nf FROM documents),
+        |fr AS (SELECT doc_id, nf, (10 + (doc_id + i) % 20) * 10 AS delay_ms
+        |       FROM f, generate_series(0, 5) t(i) WHERE i < nf),
+        |agg AS (SELECT doc_id, CAST(SUM(delay_ms) AS BIGINT) AS dur
+        |        FROM fr GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(f.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(f.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(f.nf AS INTEGER) END AS n_frames,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.dur END AS duration_ms
+        |FROM documents d JOIN f ON f.doc_id = d.doc_id
+        |JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )
 

@@ -314,6 +314,60 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(Multimodal.parseImageHeader(bmp(img, topDown = true)) == Some(("bmp", 3, 1)))
   }
 
+  // minimal animated GIF: `delays` in 1/100 s, one 1x1 frame each,
+  // optional global color table, garbage LZW data the walker must skip
+  private def gif(delays: Seq[Int], gct: Boolean = false,
+                  localCt: Boolean = false): Array[Byte] = {
+    val bb = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = bb.write(x & 0xff)
+    "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+    b(1); b(0); b(1); b(0)
+    b(if (gct) 0x80 else 0) // GCT flag, size bits 0 -> 2 entries
+    b(0); b(0)
+    if (gct) (0 until 6).foreach(_ => b(0x11)) // 3 * 2^1 bytes
+    delays.foreach { d =>
+      b(0x21); b(0xf9); b(4); b(0); b(d); b(d >> 8); b(0); b(0)
+      b(0x2c); b(0); b(0); b(0); b(0); b(1); b(0); b(1); b(0)
+      b(if (localCt) 0x80 else 0)
+      if (localCt) (0 until 6).foreach(_ => b(0x22))
+      b(2); b(2); b(0xde); b(0xad); b(0) // LZW min + garbage + term
+    }
+    b(0x3b)
+    bb.toByteArray
+  }
+
+  test("parseGifFrames counts frames and sums GCE delays through color tables") {
+    assert(Multimodal.parseGifFrames(gif(Seq(10, 25, 7))) ==
+      Some(Multimodal.GifFrames(1, 1, 3, 420L)))
+    // global AND local color tables must be skipped, not misread as blocks
+    assert(Multimodal.parseGifFrames(gif(Seq(50), gct = true, localCt = true)) ==
+      Some(Multimodal.GifFrames(1, 1, 1, 500L)))
+    // a comment extension between frames is skipped via sub-blocks
+    val withComment = {
+      val base = gif(Seq(10, 10))
+      val out = new java.io.ByteArrayOutputStream()
+      out.write(base, 0, 13) // header + LSD
+      out.write(Array[Byte](0x21, 0xfe.toByte, 3, 'h', 'i', '!', 0)) // comment
+      out.write(base, 13, base.length - 13)
+      out.toByteArray
+    }
+    assert(Multimodal.parseGifFrames(withComment).get.nFrames == 2)
+  }
+
+  test("parseGifFrames clamps truncation to fully-present frames and rejects non-GIF") {
+    val full = gif(Seq(10, 10, 10))
+    // cut inside the third frame's data: two complete frames remain
+    val cut = full.take(full.length - 4)
+    val st = Multimodal.parseGifFrames(cut).get
+    assert(st.nFrames == 2 && st.durationMs == 200L, st.toString)
+    assert(Multimodal.parseGifFrames("GIF9".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseGifFrames(null).isEmpty)
+    // corrupt block tag: stop cleanly, keep frames parsed so far
+    val corrupt = full.clone()
+    corrupt(13) = 0x7f // first block tag -> garbage
+    assert(Multimodal.parseGifFrames(corrupt).get.nFrames == 0)
+  }
+
   test("describePcm surfaces decoded stats per payload, nulls for non-PCM") {
     val rows = Seq(
       (1L, wavPcm(1, 1, 8000, 16, le16bytes(Seq.fill(8)(16384)))),
