@@ -3965,6 +3965,27 @@ object SparkEntry {
       graft.sources.Multimodal.describeGif(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "gif", "video"))
         .orderBy("media_id")
+    }),
+
+    // Q236 — DSIR importance scoring ([[graft.llm.Dsir]], Xie et al.
+    // 2023): every document scored by the smoothed log-likelihood
+    // ratio of its hashed token features under a TARGET domain
+    // (doc_id ≡ 0 mod 7 — a deterministic domain stand-in, the q219
+    // fixture pattern) vs the raw corpus — the distribution-matching
+    // alternative to q230's binary classifier. One ROUND per bucket
+    // turns the 1024 log-ratios into integer 1e-4 weights; from there
+    // every per-document sum is exact integer arithmetic, replayed
+    // verbatim by the oracle through the shared FNV token-hash CTEs.
+    // Plan: two (bucket)-keyed partial-agg shuffles for the counts, a
+    // 1024-row broadcast to the scoring join, one per-doc aggregate.
+    "q236_dsir_importance" -> ((s, d) => {
+      val raw = docs(s, d)
+      val w = graft.llm.Dsir.weights(
+        raw, raw.where(col("doc_id") % 7 === 0), "doc_id", "text", 1024)
+      graft.llm.Dsir.score(raw, w, "doc_id", "text", 1024)
+        .withColumn("selected",
+          coalesce(col("score_e4") > 0, lit(false)))
+        .orderBy("doc_id")
     })
   )
 
@@ -6802,14 +6823,46 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.dur END AS duration_ms
         |FROM documents d JOIN f ON f.doc_id = d.doc_id
         |JOIN agg a ON a.doc_id = d.doc_id
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    "q236_dsir_importance" -> dsirOracleSql
   )
 
-  /** Oracle for q230: per-token FNV-1a 64 in HUGEINT mod-2^64 (the
-    * simHashOracleSql byte-fold) with [[graft.functions.ShingleHashes]]'s
-    * trailing NUL-separator multiply, hash-set dedup per doc, then the
-    * same synthetic bucket-weight formula and sigmoid. */
-  private lazy val qualityClassifierOracleSql: String = {
+  /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts
+    * for target (doc_id ≡ 0 mod 7) and raw, the same smoothed
+    * log-ratio → integer-1e4 weight per bucket, exact integer doc
+    * sums. */
+  private lazy val dsirOracleSql: String =
+    s"""WITH $fnvTokenHashCtes,
+       |fb AS (SELECT doc_id, CAST(h % 1024 AS BIGINT) AS b FROM dh),
+       |tcounts AS (SELECT b, COUNT(*) AS c FROM fb WHERE doc_id % 7 = 0 GROUP BY 1),
+       |rcounts AS (SELECT b, COUNT(*) AS c FROM fb GROUP BY 1),
+       |tot AS (SELECT (SELECT COUNT(*) FROM fb WHERE doc_id % 7 = 0) AS tt,
+       |               (SELECT COUNT(*) FROM fb) AS rt),
+       |w AS (SELECT s.b,
+       |        CAST(ROUND((LN(CAST(COALESCE(t.c, 0) + 1 AS DOUBLE)
+       |                       / CAST(tt + 1024 AS DOUBLE))
+       |                  - LN(CAST(COALESCE(r.c, 0) + 1 AS DOUBLE)
+       |                       / CAST(rt + 1024 AS DOUBLE))) * 10000)
+       |          AS BIGINT) AS w_e4
+       |      FROM (SELECT i AS b FROM generate_series(0, 1023) t(i)) s
+       |      CROSS JOIN tot
+       |      LEFT JOIN tcounts t ON t.b = s.b
+       |      LEFT JOIN rcounts r ON r.b = s.b),
+       |sc AS (SELECT fb.doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
+       |         CAST(SUM(w.w_e4) AS BIGINT) AS score_e4
+       |       FROM fb JOIN w ON w.b = fb.b GROUP BY 1)
+       |SELECT d.doc_id, COALESCE(sc.n_feat, 0) AS n_feat, sc.score_e4,
+       |  COALESCE(sc.score_e4 > 0, FALSE) AS selected
+       |FROM documents d LEFT JOIN sc USING (doc_id)
+       |ORDER BY d.doc_id""".stripMargin
+
+  /** Shared oracle CTE text (tok, th, dh): per-token FNV-1a 64 in
+    * HUGEINT mod-2^64 (the simHashOracleSql byte-fold) with
+    * [[graft.functions.ShingleHashes]]'s trailing NUL-separator
+    * multiply, hash-set dedup per doc — the replay of
+    * `shingleHashes64(text, 1)` that q230 and q236 both build on. */
+  private lazy val fnvTokenHashCtes: String = {
     val fold = """list_reduce(
       |    list_prepend(14695981039346656037::HUGEINT,
       |      flatten(list_transform(list_transform(string_split(t, ''), c -> unicode(c)),
@@ -6821,11 +6874,17 @@ object SparkEntry {
       |        END))),
       |    (h, b) -> ((h - (h % 256) + xor(CAST(h % 256 AS BIGINT), CAST(b AS BIGINT))) * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT
       |  )""".stripMargin
-    s"""WITH tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
+    s"""tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS t FROM documents),
        |th AS (SELECT doc_id,
        |  ($fold * 1099511628211::HUGEINT) % 18446744073709551616::HUGEINT AS h
        |  FROM tok),
-       |dh AS (SELECT DISTINCT doc_id, h FROM th),
+       |dh AS (SELECT DISTINCT doc_id, h FROM th)""".stripMargin
+  }
+
+  /** Oracle for q230: the shared FNV token-hash CTEs, then the same
+    * synthetic bucket-weight formula and sigmoid. */
+  private lazy val qualityClassifierOracleSql: String = {
+    s"""WITH $fnvTokenHashCtes,
        |sc AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_feat,
        |         CAST(SUM((CAST(h % 4096 AS BIGINT) * 31 + 7) % 201 - 100) AS BIGINT) AS sw
        |       FROM dh GROUP BY 1)
