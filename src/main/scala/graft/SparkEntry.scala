@@ -3986,6 +3986,24 @@ object SparkEntry {
         .withColumn("selected",
           coalesce(col("score_e4") > 0, lit(false)))
         .orderBy("doc_id")
+    }),
+
+    // Q237 — SEMANTIC decontamination ([[graft.llm.Decontamination
+    // .semanticFlags]]): the embedding-space leg beside the exact
+    // n-gram (q69) and bloom-prefiltered (q93) paths — a paraphrased
+    // benchmark answer shares no n-gram but sits next to its eval
+    // item in embedding space. Eval set = vec_id ≡ 0 mod 101 (the
+    // deterministic stand-in), broadcast against the corpus scan; the
+    // flag compares the ROUNDED max cosine so both engines make the
+    // identical boundary decision. Map-only over the corpus + one
+    // per-id partial max — vectors never shuffle.
+    "q237_semantic_decon" -> ((s, d) => {
+      val e = emb(s, d)
+      graft.llm.Decontamination.semanticFlags(
+        e.where(col("vec_id") % 101 =!= 0),
+        e.where(col("vec_id") % 101 === 0),
+        "vec_id", "embedding", threshold = 0.25)
+        .orderBy("vec_id")
     })
   )
 
@@ -6825,7 +6843,18 @@ object SparkEntry {
         |JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
 
-    "q236_dsir_importance" -> dsirOracleSql
+    "q236_dsir_importance" -> dsirOracleSql,
+
+    "q237_semantic_decon" ->
+      """WITH ev AS (SELECT embedding FROM embeddings WHERE vec_id % 101 = 0),
+        |c AS (SELECT a.vec_id,
+        |        MAX(list_cosine_similarity(CAST(a.embedding AS DOUBLE[]),
+        |                                   CAST(e.embedding AS DOUBLE[]))) AS ms
+        |      FROM embeddings a CROSS JOIN ev e
+        |      WHERE a.vec_id % 101 <> 0 GROUP BY 1)
+        |SELECT vec_id, ROUND(ms, 4) + 0.0 AS max_sim,
+        |  ROUND(ms, 4) >= 0.25 AS contaminated
+        |FROM c ORDER BY vec_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts

@@ -45,6 +45,36 @@ object Decontamination {
     flagsFromOverlaps(train, overlaps, idCol, "Decontamination.overlapFlags")
   }
 
+  /** SEMANTIC decontamination — the embedding-space sibling of the
+    * n-gram paths: flag every corpus vector whose cosine similarity
+    * to ANY eval-set vector reaches `threshold` (paraphrased benchmark
+    * answers share no n-gram but sit next to the eval item in
+    * embedding space). The comparison runs on the ROUNDED (4-place)
+    * max similarity so a replaying engine makes the identical
+    * keep/flag decision at the threshold boundary.
+    *
+    * Scale shape: the eval side BROADCASTS (benchmarks are thousands
+    * of vectors against a corpus of billions) and the corpus scans
+    * once — per task a map-only max over the broadcast set, then one
+    * per-id partial-agg max; no shuffle carries vectors. An eval set
+    * too big to broadcast should be pre-bucketed with the ANN tier
+    * ([[Ivf]]/[[Similarity.lshBucket]]) and this run per probe
+    * bucket. Output: (idCol, max_sim, contaminated) — one row per
+    * corpus vector, clean rows kept (the [[overlapFlags]] posture). */
+  def semanticFlags(corpus: DataFrame, evalSet: DataFrame,
+                    idCol: String, vecCol: String,
+                    threshold: Double): DataFrame = {
+    require(threshold > 0 && threshold <= 1,
+      s"Decontamination.semanticFlags: threshold must be in (0, 1]: $threshold")
+    val q = broadcast(evalSet.select(col(vecCol).as("__qe")))
+    corpus.crossJoin(q)
+      .select(col(idCol),
+        graft.functions.VectorFunctions.cosine(col(vecCol), col("__qe")).as("__s"))
+      .groupBy(idCol)
+      .agg(round(max("__s"), 4).as("max_sim"))
+      .withColumn("contaminated", col("max_sim") >= threshold)
+  }
+
   /** Shared result shaping for both decontamination paths: unique-id
     * guard ([[Guards.uniqueIdBase]]), left join so CLEAN documents
     * keep their row, counts coalesced to 0. */
