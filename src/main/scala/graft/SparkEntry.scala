@@ -4004,8 +4004,59 @@ object SparkEntry {
         e.where(col("vec_id") % 101 === 0),
         "vec_id", "embedding", threshold = 0.25)
         .orderBy("vec_id")
+    }),
+
+    // Q238 — Unicode text folding ([[graft.functions.FoldText]]):
+    // NFC-compose, strip diacritics, casefold — the normalization a
+    // multilingual pipeline runs before hashing/dedup so visually
+    // identical strings hash identically. The corpus is ASCII word
+    // soup, so each document gains a deterministic multilingual tail
+    // (including a DECOMPOSED accent sequence — the case where
+    // skipping NFC silently splits dedup groups); the oracle replays
+    // the fold as DuckDB's lower(strip_accents(nfc_normalize(…))) —
+    // both sides implement the Unicode standard algorithms, so they
+    // agree by spec. Map-only (one native expression), no shuffle.
+    "q238_text_fold" -> ((s, d) => {
+      val tail = element_at(
+        array(q238Tails.map(lit): _*),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      docs(s, d)
+        .select(col("doc_id"), concat(col("text"), lit("  "), tail).as("t"))
+        .select(col("doc_id"),
+          trim(regexp_replace(graft.functions.FoldText(col("t")),
+            "\\s+", " ")).as("folded"))
+        .select(col("doc_id"), col("folded"),
+          length(col("folded")).cast("long").as("n_chars"))
+        .orderBy("doc_id")
     })
   )
+
+  /** q238's multilingual tails, shared verbatim with the generated
+    * oracle. Entry 2 is a raw DECOMPOSED sequence — base letters +
+    * COMBINING ACUTE (U+0301), byte-different from the precomposed
+    * forms in the other entries, identical after folding. */
+  private val q238Tails: Seq[String] = Seq(
+    "Café au lait",
+    "naïve façade",
+    "éclair résumé",
+    "Zürich STRASSE",
+    "señor São Paulo",
+    "ÀÉÎÕÜ noël")
+
+  /** Generated oracle for q238: the same tails interpolated into a
+    * CASE, folded by DuckDB's own Unicode stack. */
+  private lazy val q238OracleSql: String = {
+    val cases = q238Tails.zipWithIndex
+      .map { case (t, i) => s"WHEN $i THEN '$t'" }.mkString(" ")
+    s"""WITH t AS (SELECT doc_id,
+       |  text || '  ' || CASE doc_id % 6 $cases END AS t2 FROM documents),
+       |f AS (SELECT doc_id,
+       |  TRIM(REGEXP_REPLACE(LOWER(strip_accents(nfc_normalize(t2))),
+       |                      '\\s+', ' ', 'g')) AS folded
+       |  FROM t)
+       |SELECT doc_id, folded, CAST(LENGTH(folded) AS BIGINT) AS n_chars
+       |FROM f ORDER BY doc_id""".stripMargin
+  }
 
   /** q221's SQL — shared verbatim with the oracle (DuckDB parses the
     * same text), so the engines differ only in decorrelation strategy. */
@@ -6854,7 +6905,9 @@ object SparkEntry {
         |      WHERE a.vec_id % 101 <> 0 GROUP BY 1)
         |SELECT vec_id, ROUND(ms, 4) + 0.0 AS max_sim,
         |  ROUND(ms, 4) >= 0.25 AS contaminated
-        |FROM c ORDER BY vec_id""".stripMargin
+        |FROM c ORDER BY vec_id""".stripMargin,
+
+    "q238_text_fold" -> q238OracleSql
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts
