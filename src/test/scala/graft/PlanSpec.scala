@@ -407,6 +407,33 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("Join"), p)
   }
 
+  test("q237: eval set broadcasts; the corpus max combines map-side (scale plan)") {
+    val p = plan("q237_semantic_decon")
+    // the eval side rides a BroadcastExchange into the cross join —
+    // the corpus never shuffles vectors
+    assert(p.contains("BroadcastNestedLoopJoin") && p.contains("BroadcastExchange"), p)
+    // partial max before the one id-keyed exchange
+    assert(p.contains("partial_max"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 2, p)
+  }
+
+  test("q236: bucket counts partial-agg; the weight table broadcasts to scoring") {
+    val p = plan("q236_dsir_importance")
+    assert(p.contains("partial_count"), p)
+    assert(p.contains("BroadcastExchange"), p)
+    assert(!p.contains("CartesianProduct"), p)
+  }
+
+  test("q238: text folding is map-only up to the presentation sort") {
+    val p = plan("q238_text_fold")
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    // ONE exchange total: the final ORDER BY range partitioning —
+    // no aggregation/join shuffles in a per-row fold
+    assert(p.linesIterator.count(l => l.trim.startsWith("+- Exchange") ||
+      l.trim.startsWith(":- Exchange")) <= 1, p)
+    assert(!p.contains("Join"), p)
+  }
+
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {
     // Round 10: q226 runs through Clustering.iterateSteps, which
     // EXECUTES each lloydStep round eagerly and localCheckpoints the
