@@ -4016,6 +4016,33 @@ object SparkEntry {
     // the fold as DuckDB's lower(strip_accents(nfc_normalize(…))) —
     // both sides implement the Unicode standard algorithms, so they
     // agree by spec. Map-only (one native expression), no shuffle.
+    // Q239 — per-domain quota capping: the web-corpus curation rule
+    // that no single host dominates the training mix (Common Crawl
+    // pipelines cap documents per registered host before mixing).
+    // The corpus has no URLs, so each document synthesizes a
+    // deterministic one (the q219 fixture pattern); host/path extract
+    // via a shared RE2-safe regex (DuckDB is RE2 — no lookaround),
+    // then each host keeps its `cap` best documents (n_chars desc,
+    // doc_id tiebreak) through the grouped-top-k rank plan (q89's
+    // WindowGroupLimit shape — per-partition rank, no global sort).
+    "q239_domain_quota" -> ((s, d) => {
+      val url = concat(lit("https://site"), (col("doc_id") % 37).cast("string"),
+        lit("."), element_at(array(lit("com"), lit("org"), lit("net")),
+          (pmod(col("doc_id"), lit(3)) + 1).cast("int")),
+        lit("/p/"), col("doc_id").cast("string"),
+        lit("?ref="), (col("doc_id") % 5).cast("string"))
+      val tagged = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .withColumn("url", url)
+        .withColumn("host", regexp_extract(col("url"), "^https?://([^/?#]+)", 1))
+        .withColumn("path", regexp_extract(col("url"), "^https?://[^/?#]+([^?#]*)", 1))
+      graft.ops.TopK.perGroup(tagged, Seq("host"), 3,
+          col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("host"), col("path"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("rank").cast("long").as("kept_rank"))
+        .orderBy("doc_id")
+    }),
+
     "q238_text_fold" -> ((s, d) => {
       val tail = element_at(
         array(q238Tails.map(lit): _*),
@@ -6907,7 +6934,22 @@ object SparkEntry {
         |  ROUND(ms, 4) >= 0.25 AS contaminated
         |FROM c ORDER BY vec_id""".stripMargin,
 
-    "q238_text_fold" -> q238OracleSql
+    "q238_text_fold" -> q238OracleSql,
+
+    "q239_domain_quota" ->
+      """WITH u AS (SELECT doc_id, n_chars,
+        |  'https://site' || (doc_id % 37) || '.' ||
+        |    CASE doc_id % 3 WHEN 0 THEN 'com' WHEN 1 THEN 'org' ELSE 'net' END ||
+        |    '/p/' || doc_id || '?ref=' || (doc_id % 5) AS url FROM documents),
+        |p AS (SELECT doc_id, n_chars, url,
+        |  regexp_extract(url, '^https?://([^/?#]+)', 1) AS host,
+        |  regexp_extract(url, '^https?://[^/?#]+([^?#]*)', 1) AS path FROM u),
+        |r AS (SELECT doc_id, host, path, n_chars,
+        |  ROW_NUMBER() OVER (PARTITION BY host
+        |    ORDER BY n_chars DESC, doc_id) AS rnk FROM p)
+        |SELECT doc_id, host, path, CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(rnk AS BIGINT) AS kept_rank
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts
