@@ -4016,6 +4016,22 @@ object SparkEntry {
     // the fold as DuckDB's lower(strip_accents(nfc_normalize(…))) —
     // both sides implement the Unicode standard algorithms, so they
     // agree by spec. Map-only (one native expression), no shuffle.
+    // Q240 — contamination REPORT per eval item ([[graft.llm
+    // .Decontamination.evalReport]]): q69 answers "which training
+    // docs must go"; this answers the model-card question — which
+    // benchmark items are compromised, by how many training docs,
+    // over how many of their own grams, with the smallest offending
+    // train id as a deterministic witness. Eval grams broadcast WITH
+    // ids; one aggregate over the matched pairs.
+    "q240_contamination_report" -> ((s, d) => {
+      val all = docs(s, d)
+      graft.llm.Decontamination.evalReport(
+        all.where(col("doc_id") % 10 =!= 0),
+        all.where(col("doc_id") % 10 === 0),
+        "doc_id", "text", n = 3)
+        .orderBy("doc_id")
+    }),
+
     // Q239 — per-domain quota capping: the web-corpus curation rule
     // that no single host dominates the training mix (Common Crawl
     // pipelines cap documents per registered host before mixing).
@@ -6949,7 +6965,24 @@ object SparkEntry {
         |    ORDER BY n_chars DESC, doc_id) AS rnk FROM p)
         |SELECT doc_id, host, path, CAST(n_chars AS BIGINT) AS n_chars,
         |  CAST(rnk AS BIGINT) AS kept_rank
-        |FROM r WHERE rnk <= 3 ORDER BY doc_id""".stripMargin
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id""".stripMargin,
+
+    "q240_contamination_report" ->
+      """WITH tok AS (SELECT doc_id, STRING_SPLIT(text, ' ') AS ws FROM documents),
+        |g AS (SELECT DISTINCT doc_id, ws[i] || ' ' || ws[i+1] || ' ' || ws[i+2] AS g
+        |      FROM tok, generate_series(1, 2000) t(i) WHERE i <= len(ws) - 2),
+        |ev AS (SELECT doc_id, g FROM g WHERE doc_id % 10 = 0),
+        |tr AS (SELECT doc_id AS tid, g FROM g WHERE doc_id % 10 <> 0),
+        |j AS (SELECT ev.doc_id, tr.tid, ev.g FROM ev JOIN tr USING (g)),
+        |r AS (SELECT doc_id, COUNT(DISTINCT tid) AS nh,
+        |        COUNT(DISTINCT g) AS ng, MIN(tid) AS fh
+        |      FROM j GROUP BY 1)
+        |SELECT e.doc_id, CAST(COALESCE(r.nh, 0) AS BIGINT) AS n_train_hits,
+        |  CAST(COALESCE(r.ng, 0) AS BIGINT) AS n_shared_grams,
+        |  r.fh AS first_hit, COALESCE(r.nh, 0) > 0 AS leaked
+        |FROM (SELECT DISTINCT doc_id FROM tok WHERE doc_id % 10 = 0) e
+        |LEFT JOIN r USING (doc_id)
+        |ORDER BY e.doc_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts

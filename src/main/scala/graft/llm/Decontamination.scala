@@ -45,6 +45,40 @@ object Decontamination {
     flagsFromOverlaps(train, overlaps, idCol, "Decontamination.overlapFlags")
   }
 
+  /** The auditor's view of [[overlapFlags]]: one row per EVAL item —
+    * how many distinct train documents share at least one n-gram
+    * with it, how many of ITS grams leak, and the smallest offending
+    * train id as a deterministic witness. `overlapFlags` answers
+    * "which training docs must go"; this answers "which benchmark
+    * items are compromised and how badly" — the report a model card
+    * cites. Clean eval items keep their row (all-zero / null
+    * witness).
+    *
+    * Scale shape: the eval grams broadcast WITH their ids (still
+    * benchmark-tiny); the train scan probes them map-side, and the
+    * only shuffle is the per-eval-item aggregate of (train id, gram)
+    * pairs — bounded by matches, not corpus size. */
+  def evalReport(train: DataFrame, eval0: DataFrame,
+                 idCol: String, textCol: String, n: Int): DataFrame = {
+    require(n >= 1, s"n-gram size must be >= 1: $n")
+    val evalGrams = broadcast(eval0.select(col(idCol).as("__eid"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("__g")))
+    val trainGrams = train.select(col(idCol).as("__tid"),
+      explode(TextFunctions.wordShingles(col(textCol), n)).as("__g"))
+    val hits = trainGrams.join(evalGrams, "__g")
+      .groupBy("__eid")
+      .agg(countDistinct(col("__tid")).as("n_train_hits"),
+        countDistinct(col("__g")).as("n_shared_grams"),
+        min(col("__tid")).as("first_hit"))
+    eval0.select(col(idCol).as("__eid")).distinct()
+      .join(hits, Seq("__eid"), "left")
+      .select(col("__eid").as(idCol),
+        coalesce(col("n_train_hits"), lit(0L)).as("n_train_hits"),
+        coalesce(col("n_shared_grams"), lit(0L)).as("n_shared_grams"),
+        col("first_hit"),
+        (coalesce(col("n_train_hits"), lit(0L)) > 0).as("leaked"))
+  }
+
   /** SEMANTIC decontamination — the embedding-space sibling of the
     * n-gram paths: flag every corpus vector whose cosine similarity
     * to ANY eval-set vector reaches `threshold` (paraphrased benchmark
