@@ -190,9 +190,11 @@ object Bench {
       // (pure scan throughput indicator)
       "q226_kmeans_iter", "q230_quality_classifier",
       // round-10: the full curation v5 composition (scrub → re-chunk
-      // → re-pack) — the heaviest new end-to-end pipeline, tracked
-      // from its first round
-      "q232_curation_v5")
+      // → re-pack) — the heaviest new end-to-end pipeline — and the
+      // DSIR importance scorer (two feature-count aggregates + a
+      // broadcast-weight scoring pass), both tracked from their
+      // first round
+      "q232_curation_v5", "q236_dsir_importance")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
