@@ -844,6 +844,43 @@ object Dedup {
     labels.select(col("id"), col("comp").as("comp_id"))
   }
 
+  /** INCREMENTAL connected components — the group-maintenance
+    * consumer of [[incrementalNearDupsStream]]'s pair segments: fold
+    * a batch of NEW pairs into an existing (id, comp_id) assignment
+    * without replaying history pairs. The existing assignment
+    * re-enters as star edges (each id — its component minimum: the
+    * transitively-sufficient summary of everything resolved so far),
+    * the new pairs add their edges, and one [[components]] run over
+    * that union resolves the merged groups — so the per-batch cost
+    * tracks |existing ids| + |new pairs|, never the full pair
+    * history. Singleton ids (assigned to themselves, touched by no
+    * new pair) keep their row. Component ids stay the component-min
+    * id, so a batch that BRIDGES two groups relabels both to the
+    * smaller minimum — ids are stable except across genuine merges
+    * (exactly the batch semantics; parity spec-pinned: folding
+    * batches equals one-shot components of all pairs ever seen).
+    *
+    * Scale: the star summary is one row per known id regardless of
+    * how many pairs built it; label propagation over stars + a batch
+    * converges in few rounds (stars have diameter 2). */
+  def incrementalComponents(assign: DataFrame, newPairs: DataFrame,
+                            id1: String = "id1", id2: String = "id2",
+                            maxIter: Int = 25): DataFrame = {
+    val starEdges = assign
+      .select(col("id").as(id1), col("comp_id").as(id2))
+      .where(col(id1) =!= col(id2))
+    val merged = components(
+      starEdges.unionByName(newPairs.select(col(id1), col(id2))),
+      id1, id2, maxIter)
+    // singletons (self-assigned, untouched by any edge) keep rows
+    val allIds = assign.select(col("id"))
+      .unionByName(newPairs.select(col(id1).as("id")))
+      .unionByName(newPairs.select(col(id2).as("id")))
+      .distinct()
+    allIds.join(merged, Seq("id"), "left")
+      .select(col("id"), coalesce(col("comp_id"), col("id")).as("comp_id"))
+  }
+
   /** Connected components by large-star/small-star alternation
     * (Kiveris, Lattanzi, Mirrokni, Rastogi, Vassilvitskii,
     * "Connected Components in MapReduce and Beyond", SoCC 2014) —

@@ -79,6 +79,37 @@ class ComponentsSpec extends SparkSpec {
     }
   }
 
+  test("incrementalComponents folded over batches equals one-shot components (random splits)") {
+    for (seed <- 1 to 5) {
+      val rnd = new scala.util.Random(100 + seed)
+      val n = 30
+      val pairs = Seq.fill(30)((rnd.nextInt(n).toLong, rnd.nextInt(n).toLong))
+        .filter { case (a, b) => a != b }
+      val nBatches = 2 + rnd.nextInt(3)
+      val batches = pairs.grouped((pairs.size + nBatches - 1) / nBatches).toSeq
+      // seed assignment: batch 0 one-shot; fold the rest incrementally
+      var assign = Dedup.components(batches.head.toDF("id1", "id2"))
+      batches.tail.foreach { b =>
+        assign = Dedup.incrementalComponents(assign, b.toDF("id1", "id2"))
+      }
+      val inc = assign.as[(Long, Long)].collect().toMap
+      val full = Dedup.components(pairs.toDF("id1", "id2"))
+        .as[(Long, Long)].collect().toMap
+      assert(inc == full, s"seed=$seed batches=${batches.map(_.size)}")
+      spark.catalog.clearCache()
+    }
+  }
+
+  test("incrementalComponents bridges two existing groups and keeps singletons") {
+    // existing: {1,2} (comp 1), {10,11} (comp 10), singleton 99
+    val assign = Seq((1L, 1L), (2L, 1L), (10L, 10L), (11L, 10L), (99L, 99L))
+      .toDF("id", "comp_id")
+    // the new pair bridges the two groups through their members
+    val out = Dedup.incrementalComponents(assign, Seq((2L, 11L)).toDF("id1", "id2"))
+      .as[(Long, Long)].collect().toMap
+    assert(out == Map(1L -> 1L, 2L -> 1L, 10L -> 1L, 11L -> 1L, 99L -> 99L), out)
+  }
+
   private def starComps(pairs: Seq[(Long, Long)], maxIter: Int = 50): Map[Long, Long] =
     Dedup.componentsStar(pairs.toDF("id1", "id2"), maxIter = maxIter)
       .as[(Long, Long)].collect().toMap
