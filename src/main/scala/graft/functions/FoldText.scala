@@ -31,11 +31,14 @@ case class FoldText(child: Expression) extends UnaryExpression with CodegenFallb
     val nfc = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFC)
     val nfd = java.text.Normalizer.normalize(nfc, java.text.Normalizer.Form.NFD)
     val sb = new java.lang.StringBuilder(nfd.length)
+    // walk CODE POINTS: a per-char walk would classify the surrogate
+    // halves of a non-BMP combining mark (e.g. U+1D165) as SURROGATE
+    // and let the mark through un-stripped
     var i = 0
     while (i < nfd.length) {
-      val c = nfd.charAt(i)
-      if (Character.getType(c) != Character.NON_SPACING_MARK) sb.append(c)
-      i += 1
+      val cp = nfd.codePointAt(i)
+      if (Character.getType(cp) != Character.NON_SPACING_MARK) sb.appendCodePoint(cp)
+      i += Character.charCount(cp)
     }
     // re-compose what survives (base letters unaffected; kept
     // composed forms like Hangul stay canonical)

@@ -391,13 +391,19 @@ object Multimodal {
     val bpp = le16(28)
     val compression = le32(30)
     if (w <= 0 || h == 0 || bpp != 24 || compression != 0) return None
-    val rowBytes = ((w * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
+    // row stride in LONG: a hostile width near 2^31 overflows Int
+    // ((w*3+3) wraps negative), walking the row base backwards into
+    // an ArrayIndexOutOfBounds instead of the clean clamp
+    val rowBytes = ((w.toLong * 3 + 3) / 4) * 4 // rows pad to 4-byte boundaries
     var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
     var row = 0
-    while (row < h) {
+    // rows are sequential: once a row's base passes the payload end,
+    // every later row does too — stop instead of spinning through a
+    // hostile 2^31-row height
+    while (row < h && dataOff + row.toLong * rowBytes < bytes.length) {
       val base = dataOff + row.toLong * rowBytes
       var x = 0
-      while (x < w && base + x * 3 + 3 <= bytes.length) {
+      while (x < w && base >= 0 && base + x * 3 + 3 <= bytes.length) {
         val o = (base + x * 3).toInt
         sb += u8(o); sg += u8(o + 1); sr += u8(o + 2) // BGR order
         n += 1

@@ -38,6 +38,14 @@ class FoldTextSpec extends SparkSpec {
     assert(out("ascii") == "ascii only 123")
   }
 
+  test("non-BMP combining marks (surrogate pairs) strip like BMP ones") {
+    // U+1D167 MUSICAL SYMBOL COMBINING TREMOLO-1 is category Mn and
+    // lives outside the BMP: a per-char walk would see two surrogate
+    // halves (category SURROGATE) and let it through
+    val in = "do" + new String(Character.toChars(0x1D167)) + "re"
+    assert(fold(in -> "x")("x") == "dore")
+  }
+
   test("idempotent and null-propagating") {
     val once = fold("Créème BRÛLÉE" -> "x")("x")
     assert(fold(once -> "y")("y") == once)

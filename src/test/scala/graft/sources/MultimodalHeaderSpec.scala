@@ -306,6 +306,19 @@ class MultimodalHeaderSpec extends SparkSpec {
     val rle = full.clone(); rle(30) = 1; assert(Multimodal.parseBmpPixels(rle).isEmpty)
     assert(Multimodal.parseBmpPixels("BMnot really".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseBmpPixels(null).isEmpty)
+    // hostile width near 2^31: Int row-stride math would overflow
+    // negative and crash on a negative array index; must clamp clean.
+    // Hostile height likewise must not spin 2^31 empty rows.
+    val evil = bmp(Seq(Seq((1, 2, 3)))).clone()
+    val bb = java.nio.ByteBuffer.wrap(evil).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putInt(18, 0x7ffffff0)                       // width
+    val stEvil = Multimodal.parseBmpPixels(evil).get
+    assert(stEvil.width == 0x7ffffff0 && stEvil.nPixels <= 2)
+    val tall = bmp(Seq(Seq((1, 2, 3)))).clone()
+    java.nio.ByteBuffer.wrap(tall).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      .putInt(22, Int.MaxValue)                     // height
+    val stTall = Multimodal.parseBmpPixels(tall).get // returns promptly
+    assert(stTall.nPixels == 1L)
   }
 
   test("parseImageHeader recognizes BMP dimensions (incl. top-down)") {
