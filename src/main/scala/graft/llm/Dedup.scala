@@ -554,15 +554,21 @@ object Dedup {
 
   /** An index sketched with a different shingle size would band-join
     * and intersect incomparable sketches — wrong pairs, no error.
-    * The check reads one row's metadata column, not the corpus. */
+    * The check reads one row's metadata column, not the corpus. An
+    * EMPTY index (a no-doc micro-batch's schema-only segment) passes
+    * on the column check alone — there is nothing to mis-join, and a
+    * bare `.head` here would throw inside foreachBatch and kill the
+    * stream. */
   private def validateSketchIndex(idx0: DataFrame, what: String, n: Int): Unit = {
     require(idx0.columns.contains("shingle_n"),
       s"incrementalNearDups: $what is not a sketch index " +
         "(no shingle_n column; write it with writeSketchIndex)")
-    val idxN = idx0.select("shingle_n").head.getInt(0)
-    require(idxN == n,
-      s"incrementalNearDups: index $what was sketched with n=$idxN, " +
-        s"but n=$n was requested; re-sketch one side")
+    idx0.select("shingle_n").head(1).foreach { r =>
+      val idxN = r.getInt(0)
+      require(idxN == n,
+        s"incrementalNearDups: index $what was sketched with n=$idxN, " +
+          s"but n=$n was requested; re-sketch one side")
+    }
   }
 
   /** [[incrementalNearDups]] against an already-loaded sketch-index
