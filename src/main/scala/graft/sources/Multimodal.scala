@@ -65,10 +65,14 @@ object Multimodal {
     else if (bytes.length >= 10 && u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' &&
              u8(3) == '8' && (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')
       Some(("gif", le16(6), le16(8)))
-    // BMP: "BM" + BITMAPINFOHEADER — width/height signed LE u32 at
-    // 18/22 (negative height = top-down row order; dimensions are the
-    // magnitudes).
-    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M') {
+    // BMP: "BM" + a known DIB header size at offset 14 (the two magic
+    // bytes alone would false-positive on any text starting "BM…") —
+    // width/height signed LE u32 at 18/22 (negative height = top-down
+    // row order; dimensions are the magnitudes).
+    else if (bytes.length >= 26 && u8(0) == 'B' && u8(1) == 'M' && {
+      val dib = u8(14) | (u8(15) << 8) | (u8(16) << 16) | (u8(17) << 24)
+      Set(12, 40, 52, 56, 64, 108, 124).contains(dib)
+    }) {
       def le32s(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
       Some(("bmp", math.abs(le32s(18)), math.abs(le32s(22))))
     }
@@ -384,6 +388,10 @@ object Multimodal {
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
     if (u8(0) != 'B' || u8(1) != 'M') return None
+    // INFOHEADER family only: these share the first-40-byte field
+    // layout the offsets below assume (a CORE header's 12-byte layout
+    // would make width/bpp reads garbage that could still "pass")
+    if (!Set(40, 52, 56, 64, 108, 124).contains(le32(14).toInt)) return None
     val dataOff = le32(10).toLong & 0xffffffffL
     val w = le32(18)
     val hRaw = le32(22)
