@@ -4016,6 +4016,35 @@ object SparkEntry {
     // the fold as DuckDB's lower(strip_accents(nfc_normalize(…))) —
     // both sides implement the Unicode standard algorithms, so they
     // agree by spec. Map-only (one native expression), no shuffle.
+    // Q241 — corpus snapshot diff: the dataset-ops answer to "what
+    // changed between corpus v1 and v2" (the table twin of the
+    // `copy -diff` file-tree sync, and the audit a curation rerun
+    // ships with): full outer join on doc_id comparing content
+    // hashes → added / removed / changed / same, one row per id in
+    // either version. Version 2 is simulated deterministically from
+    // the same table (drop ids ≡ 0 mod 11, add shifted ids, rewrite
+    // text for ids ≡ 3 mod 7) — the q219 fixture pattern. One
+    // id-keyed shuffle; hashes computed map-side, text never carried
+    // past the scan.
+    "q241_corpus_diff" -> ((s, d) => {
+      val v1 = docs(s, d).select(col("doc_id"), md5(col("text")).as("h1"))
+      val v2base = docs(s, d)
+        .where(col("doc_id") % 11 =!= 0)
+        .select(col("doc_id"),
+          when(col("doc_id") % 7 === 3, md5(concat(col("text"), lit(" v2"))))
+            .otherwise(md5(col("text"))).as("h2"))
+      val v2new = docs(s, d).where(col("doc_id") % 13 === 0)
+        .select((col("doc_id") + 100000L).as("doc_id"), md5(col("text")).as("h2"))
+      val v2 = v2base.unionByName(v2new)
+      v1.join(v2, Seq("doc_id"), "full_outer")
+        .select(col("doc_id"),
+          when(col("h1").isNull, lit("added"))
+            .when(col("h2").isNull, lit("removed"))
+            .when(col("h1") === col("h2"), lit("same"))
+            .otherwise(lit("changed")).as("status"))
+        .orderBy("doc_id")
+    }),
+
     // Q240 — contamination REPORT per eval item ([[graft.llm
     // .Decontamination.evalReport]]): q69 answers "which training
     // docs must go"; this answers the model-card question — which
@@ -6982,7 +7011,24 @@ object SparkEntry {
         |  r.fh AS first_hit, COALESCE(r.nh, 0) > 0 AS leaked
         |FROM (SELECT DISTINCT doc_id FROM tok WHERE doc_id % 10 = 0) e
         |LEFT JOIN r USING (doc_id)
-        |ORDER BY e.doc_id""".stripMargin
+        |ORDER BY e.doc_id""".stripMargin,
+
+    "q241_corpus_diff" ->
+      """WITH v1 AS (SELECT doc_id, MD5(text) AS h1 FROM documents),
+        |v2 AS (SELECT doc_id,
+        |         CASE WHEN doc_id % 7 = 3 THEN MD5(text || ' v2')
+        |              ELSE MD5(text) END AS h2
+        |       FROM documents WHERE doc_id % 11 <> 0
+        |       UNION ALL
+        |       SELECT doc_id + 100000 AS doc_id, MD5(text) AS h2
+        |       FROM documents WHERE doc_id % 13 = 0)
+        |SELECT COALESCE(v1.doc_id, v2.doc_id) AS doc_id,
+        |  CASE WHEN v1.h1 IS NULL THEN 'added'
+        |       WHEN v2.h2 IS NULL THEN 'removed'
+        |       WHEN v1.h1 = v2.h2 THEN 'same'
+        |       ELSE 'changed' END AS status
+        |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
+        |ORDER BY doc_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts
