@@ -88,7 +88,11 @@ object GraftExtensions {
     ("jaro_winkler",
       info("jaro_winkler",
         "jaro_winkler(a, b) - Jaro-Winkler similarity (p=0.1, prefix<=4, boost threshold 0.7)"),
-      (es: Seq[Expression]) => graft.functions.JaroWinkler(es.head, es(1))))
+      (es: Seq[Expression]) => graft.functions.JaroWinkler(es.head, es(1))),
+    ("fold_text",
+      info("fold_text",
+        "fold_text(s) - Unicode fold: NFC + strip diacritic marks + root-locale lower"),
+      (es: Seq[Expression]) => graft.functions.FoldText(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -46,6 +46,14 @@ class FoldTextSpec extends SparkSpec {
     assert(fold(in -> "x")("x") == "dore")
   }
 
+  test("SQL surface (fold_text) agrees with the column function") {
+    graft.core.GraftExtensions.register(spark)
+    Seq("Café", "Zürich STRASSE").toDF("t").createOrReplaceTempView("ftx")
+    val viaSql = spark.sql("SELECT fold_text(t) FROM ftx")
+      .as[String].collect().toSeq
+    assert(viaSql == Seq("cafe", "zurich strasse"))
+  }
+
   test("idempotent and null-propagating") {
     val once = fold("Créème BRÛLÉE" -> "x")("x")
     assert(fold(once -> "y")("y") == once)
