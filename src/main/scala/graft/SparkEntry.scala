@@ -4016,6 +4016,61 @@ object SparkEntry {
     // the fold as DuckDB's lower(strip_accents(nfc_normalize(…))) —
     // both sides implement the Unicode standard algorithms, so they
     // agree by spec. Map-only (one native expression), no shuffle.
+    // Q242 — PNG pixel decode ([[graft.sources.Multimodal
+    // .parsePngPixels]]): the COMPRESSED-image tier that needs no
+    // external codec after all — PNG's codec is zlib
+    // (java.util.zip.Inflater) plus the spec's five scanline filters,
+    // both implemented from the specification. Same
+    // synthesize-and-replay contract as q234: each document builds a
+    // real zlib-deflated 8-bit truecolor PNG from a pixel formula
+    // (CRC32-correct chunks — javax.imageio accepts these fixtures,
+    // differential-spec-pinned), the engine inflates + unfilters +
+    // sums, the oracle computes the sums directly. Every 50th payload
+    // is non-PNG → nulls. Map-only; payloads never shuffle. The
+    // ImageIO-encoded differential covers filters 1-4 on bytes a
+    // THIRD party chose; this fixture uses filter 0 so the formula
+    // stays SQL-replayable.
+    "q242_png_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "png? hardly".getBytes("UTF-8"))
+        else {
+          val w = (2 + id % 5).toInt; val h = (1 + id % 3).toInt
+          val stride = 3 * w
+          val raw = new Array[Byte](h * (1 + stride))
+          (0 until h).foreach { y =>
+            val base = y * (1 + stride)
+            raw(base) = 0 // filter None
+            (0 until w).foreach { x =>
+              raw(base + 1 + x * 3) = ((id * 5 + x * 7 + y * 13) % 256).toByte
+              raw(base + 2 + x * 3) = ((id * 3 + x * 11 + y) % 256).toByte
+              raw(base + 3 + x * 3) = ((id + x + y * 19) % 256).toByte
+            }
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val n = defl.deflate(buf); defl.end()
+          def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+            val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+            out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+            val crc = new java.util.zip.CRC32()
+            crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+            out.putInt(crc.getValue.toInt).array()
+          }
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          (id, sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
+            chunk("IEND", Array.emptyByteArray))
+        }
+      }.toDF("doc_id", "png")
+      graft.sources.Multimodal.describePng(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "png", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q241 — corpus snapshot diff: the dataset-ops answer to "what
     // changed between corpus v1 and v2" (the table twin of the
     // `copy -diff` file-tree sync, and the audit a curation rerun
@@ -7028,7 +7083,33 @@ object SparkEntry {
         |       WHEN v1.h1 = v2.h2 THEN 'same'
         |       ELSE 'changed' END AS status
         |FROM v1 FULL OUTER JOIN v2 ON v1.doc_id = v2.doc_id
-        |ORDER BY doc_id""".stripMargin
+        |ORDER BY doc_id""".stripMargin,
+
+    // Channel sums re-derived from the pixel formula — the engine
+    // must reproduce them THROUGH zlib deflate/inflate + unfiltering.
+    "q242_png_decode" ->
+      """WITH dims AS (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, generate_series(0, 6) tx(x), generate_series(0, 2) ty(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS n,
+        |          CAST(SUM((doc_id * 5 + x * 7 + y * 13) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 3 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 19) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.n END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts

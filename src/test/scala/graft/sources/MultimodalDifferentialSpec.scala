@@ -104,6 +104,125 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- PNG vs javax.imageio --------------------------------------
+
+  test("parsePngPixels agrees with javax.imageio on ImageIO-ENCODED PNGs") {
+    // ImageIO's own PNG encoder picks real per-row prediction filters
+    // — decoding its output exercises zlib + unfiltering on bytes we
+    // did not craft ourselves
+    (1 to 15).foreach { _ =>
+      val w = 1 + rnd.nextInt(12); val h = 1 + rnd.nextInt(9)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val (r, g, b) = (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+          img.setRGB(x, y, (r << 16) | (g << 8) | b)
+          sr += r; sg += g; sb += b
+        }
+      }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      val got = Multimodal.parsePngPixels(baos.toByteArray).get
+      assert(got.width == w && got.height == h && got.nPixels == w.toLong * h)
+      assert(got.sumR == sr && got.sumG == sg && got.sumB == sb,
+        s"${w}x$h: (${got.sumR},${got.sumG},${got.sumB}) vs ($sr,$sg,$sb)")
+    }
+  }
+
+  /** Hand-built PNG with ONE chosen filter tag on every scanline. */
+  private def pngWithFilter(filter: Int, px: Seq[Seq[(Int, Int, Int)]]): Array[Byte] = {
+    val h = px.length; val w = px.head.length
+    // raw filtered scanlines per the spec (inverse of the decoder)
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    val prev = new Array[Int](stride)
+    def paeth(a: Int, b: Int, c: Int): Int = {
+      val p = a + b - c
+      val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+      if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+    }
+    (0 until h).foreach { y =>
+      val base = y * (1 + stride)
+      raw(base) = filter.toByte
+      val cur = new Array[Int](stride)
+      (0 until stride).foreach { x =>
+        val (r, g, b) = px(y)(x / 3)
+        cur(x) = Seq(r, g, b)(x % 3)
+        val a = if (x >= 3) cur(x - 3) else 0
+        val up = prev(x)
+        val c = if (x >= 3) prev(x - 3) else 0
+        val pred = filter match {
+          case 0 => 0
+          case 1 => a
+          case 2 => up
+          case 3 => (a + up) / 2
+          case 4 => paeth(a, up, c)
+        }
+        raw(base + 1 + x) = ((cur(x) - pred) & 0xff).toByte
+      }
+      System.arraycopy(cur, 0, prev, 0, stride)
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+      chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("parsePngPixels unfilters every PNG filter type exactly") {
+    val px = Seq(
+      Seq((10, 200, 30), (250, 1, 99), (128, 128, 128)),
+      Seq((0, 255, 7), (77, 60, 200), (5, 250, 250)))
+    val want = (px.flatten.map(_._1).sum.toLong,
+      px.flatten.map(_._2).sum.toLong, px.flatten.map(_._3).sum.toLong)
+    (0 to 4).foreach { f =>
+      val st = Multimodal.parsePngPixels(pngWithFilter(f, px)).get
+      assert((st.sumR, st.sumG, st.sumB) == want, s"filter $f")
+      assert(st.width == 3 && st.height == 2)
+      // cross-check the fixture itself with ImageIO
+      val img = javax.imageio.ImageIO.read(
+        new java.io.ByteArrayInputStream(pngWithFilter(f, px)))
+      assert(img != null && img.getWidth == 3, s"ImageIO rejected filter-$f fixture")
+    }
+  }
+
+  test("parsePngPixels refuses other shapes and survives hostile bytes") {
+    val ok = pngWithFilter(0, Seq(Seq((1, 2, 3))))
+    assert(Multimodal.parsePngPixels(ok).isDefined)
+    // palette / 16-bit / interlaced: different tier, None
+    val pal = ok.clone(); pal(25) = 3; assert(Multimodal.parsePngPixels(pal).isEmpty)
+    val b16 = ok.clone(); b16(24) = 16; assert(Multimodal.parsePngPixels(b16).isEmpty)
+    val il = ok.clone(); il(28) = 1; assert(Multimodal.parsePngPixels(il).isEmpty)
+    // truncated deflate stream: clean None, not an exception. (Cut
+    // INTO the IDAT payload — snipping only the trailing CRC/IEND
+    // leaves a complete deflate stream, which decodes, correctly.)
+    val big = pngWithFilter(4,
+      Seq.tabulate(6, 6)((y, x) => (x * 40, y * 40, (x + y) * 20)))
+    assert(Multimodal.parsePngPixels(big).isDefined)
+    assert(Multimodal.parsePngPixels(big.take(big.length * 6 / 10)).isEmpty)
+    // corrupt filter tag inside a VALID deflate stream
+    assert(Multimodal.parsePngPixels("not a png at all".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parsePngPixels(null).isEmpty)
+  }
+
   // ---- GIF frame count vs javax.imageio --------------------------
 
   private def randomGif(nFrames: Int): Array[Byte] = {
