@@ -447,6 +447,11 @@ object Main {
             graft.sources.Multimodal.asMedia(
               spark.read.parquet(in), idCol, payloadCol, "image"))
           .write.mode("overwrite").parquet(out)
+      case "png-stats" :: in :: idCol :: payloadCol :: out :: Nil =>
+        graft.sources.Multimodal.describePng(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "image"))
+          .write.mode("overwrite").parquet(out)
 
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
@@ -510,6 +515,7 @@ object Main {
         |  curate-v5 <in.parquet> <idCol> <textCol> <minRun> <max[+overlap]> <budget> <out>
         |  pcm-stats <in.parquet> <idCol> <payloadCol> <out>   (WAV decode: peak/rms/frames)
         |  bmp-stats <in.parquet> <idCol> <payloadCol> <out>   (BMP decode: channel sums)
+        |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }
