@@ -39,7 +39,8 @@ class GraftExtensionsSpec extends SparkSpec {
     // the real withExtensions path needs a fresh JVM-level session
     assert(graft.core.GraftExtensions.definitions.map(_._1).toSet ==
       Set("cosine_similarity", "simhash64", "shingle_hashes", "minhash_signature",
-        "repetition_stats", "rolling_winnow", "cdc_cuts", "jaro_winkler"))
+        "repetition_stats", "rolling_winnow", "cdc_cuts", "jaro_winkler",
+        "fold_text"))
   }
 }
 
