@@ -101,11 +101,16 @@ object Decontamination {
     require(threshold > 0 && threshold <= 1,
       s"Decontamination.semanticFlags: threshold must be in (0, 1]: $threshold")
     val q = broadcast(evalSet.select(col(vecCol).as("__qe")))
-    corpus.crossJoin(q)
+    // LEFT outer against the broadcast eval side (condition `true`):
+    // row-identical to a crossJoin for any non-empty eval set, but an
+    // EMPTY eval set keeps every corpus row once with a null sim —
+    // reported clean (max_sim 0.0) instead of silently erasing the
+    // corpus. Same plan: one corpus scan, eval rides the broadcast.
+    corpus.join(q, lit(true), "left")
       .select(col(idCol),
         graft.functions.VectorFunctions.cosine(col(vecCol), col("__qe")).as("__s"))
       .groupBy(idCol)
-      .agg(round(max("__s"), 4).as("max_sim"))
+      .agg(coalesce(round(max("__s"), 4), lit(0.0)).as("max_sim"))
       .withColumn("contaminated", col("max_sim") >= threshold)
   }
 

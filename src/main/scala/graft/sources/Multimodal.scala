@@ -74,7 +74,11 @@ object Multimodal {
       Set(12, 40, 52, 56, 64, 108, 124).contains(dib)
     }) {
       def le32s(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
-      Some(("bmp", math.abs(le32s(18)), math.abs(le32s(22))))
+      val dib = u8(14) | (u8(15) << 8) | (u8(16) << 16) | (u8(17) << 24)
+      // BITMAPCOREHEADER (dib==12) stores width/height as LE u16 at
+      // 18/20; every later header uses signed LE u32 at 18/22.
+      if (dib == 12) Some(("bmp", le16(18), le16(20)))
+      else Some(("bmp", math.abs(le32s(18)), math.abs(le32s(22))))
     }
     // JPEG: FF D8, then walk marker segments to the first SOFn frame
     // header (C0–CF except C4/C8/CC); height/width big-endian u16 at
@@ -271,7 +275,10 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, payload) =>
         val st = parseWavPcm(payload)
-        def r6(x: Double) = math.rint(x * 1e6) / 1e6
+        // HALF_UP, not rint (half-even): matches the repo-wide rounding
+        // convention (Spark round / DuckDB ROUND) so 16-bit PCM peaks
+        // landing exactly on a 1e-6 midpoint replay identically.
+        def r6(x: Double) = BigDecimal(x).setScale(6, BigDecimal.RoundingMode.HALF_UP).toDouble
         (id, st.map(_.sampleRate), st.map(_.channels), st.map(_.bitsPerSample),
           st.map(_.nFrames), st.map(_.durationMs),
           st.map(s => r6(s.peak)), st.map(s => r6(s.rms)))
@@ -417,7 +424,10 @@ object Multimodal {
       var off = 0
       while (off < raw.length && !inf.finished()) {
         val n = inf.inflate(raw, off, raw.length - off)
-        if (n == 0 && inf.needsInput()) return None // truncated stream
+        // off < raw.length guarantees buffer space, so n == 0 means the
+        // stream is truncated (needsInput) or demands a preset dictionary
+        // (FDICT bit, needsDictionary) — either way hostile: bail, never spin
+        if (n == 0) return None
         off += n
       }
       off

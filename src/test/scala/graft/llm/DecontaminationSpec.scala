@@ -27,6 +27,22 @@ class DecontaminationSpec extends SparkSpec {
     assert(got(3L) == ((1L, true)), "repeated shared gram counts once")
   }
 
+  test("semanticFlags with an empty eval set keeps every corpus row clean") {
+    // The crossJoin against zero eval rows must NOT erase the corpus:
+    // the left-join posture reports every id with max_sim 0.0 / clean.
+    val corpus = Seq((1L, Array(1.0, 0.0)), (2L, Array(0.0, 1.0)))
+      .toDF("id", "vec")
+    val emptyEval = Seq.empty[(Long, Array[Double])].toDF("id", "vec")
+    val got = Decontamination.semanticFlags(corpus, emptyEval, "id", "vec", 0.9)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(got == Seq((1L, 0.0, false), (2L, 0.0, false)))
+    // and a NON-empty eval still flags the matching vector
+    val hit = Decontamination.semanticFlags(corpus,
+        Seq((9L, Array(1.0, 0.0))).toDF("id", "vec"), "id", "vec", 0.9)
+      .as[(Long, Double, Boolean)].collect().sortBy(_._1).toSeq
+    assert(hit == Seq((1L, 1.0, true), (2L, 0.0, false)))
+  }
+
   test("empty eval corpus marks every train doc clean") {
     val got = Decontamination.overlapFlags(train,
       eval0.where($"id" < 0), "id", "text", 3)

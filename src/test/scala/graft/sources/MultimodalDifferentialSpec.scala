@@ -223,6 +223,32 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     assert(Multimodal.parsePngPixels(null).isEmpty)
   }
 
+  test("parsePngPixels bails (no busy-loop) on an FDICT zlib stream") {
+    // A zlib header with the FDICT bit set makes Inflater.inflate()
+    // return 0 with needsInput()=false and finished()=false forever —
+    // the decoder must return None, not spin in the executor task.
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(2).putInt(2).put(8.toByte).put(2.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    // CMF=0x78, FLG=0x20: FDICT set AND (0x7820 % 31 == 0) so the
+    // header itself is VALID zlib — followed by a DICTID + junk.
+    val fdictIdat = Array[Byte](0x78, 0x20, 1, 2, 3, 4, 0x5a, 0x5a, 0x5a, 0x5a)
+    val evil = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", fdictIdat) ++
+      chunk("IEND", Array.emptyByteArray)
+    val t0 = System.nanoTime()
+    assert(Multimodal.parsePngPixels(evil).isEmpty)
+    assert(System.nanoTime() - t0 < 5e9, "FDICT stream must fail fast, not spin")
+  }
+
   // ---- GIF frame count vs javax.imageio --------------------------
 
   private def randomGif(nFrames: Int): Array[Byte] = {

@@ -321,6 +321,29 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(stTall.nPixels == 1L)
   }
 
+  test("parseImageHeader reads BITMAPCOREHEADER (dib=12) u16 dims") {
+    // The v2 core header stores width/height as LE u16 at 18/20 (not
+    // the s32@18/22 of every later header) — a 640x480 core-header BMP
+    // must not report garbage packed dims.
+    val b = java.nio.ByteBuffer.allocate(26).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    b.put('B'.toByte).put('M'.toByte).putInt(26).putInt(0).putInt(26)
+    b.putInt(12) // DIB size: BITMAPCOREHEADER
+    b.putShort(640.toShort).putShort(480.toShort) // u16 width/height
+    b.putShort(1.toShort).putShort(24.toShort)    // planes, bpp
+    assert(Multimodal.parseImageHeader(b.array()) == Some(("bmp", 640, 480)))
+  }
+
+  test("describePcm rounds half-away-from-zero (repo ROUND convention)") {
+    // 256/32768 = 0.0078125 sits exactly on the 1e-6 midpoint:
+    // HALF_UP gives 0.007813 (matching Spark round / DuckDB ROUND);
+    // rint's half-even would give 0.007812.
+    val rows = Seq((1L, wavPcm(1, 1, 8000, 16, le16bytes(Seq.fill(4)(256)))))
+    val out = Multimodal.describePcm(
+        Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "audio"))
+      .select("peak", "rms").as[(Option[Double], Option[Double])].collect()
+    assert(out.head == ((Some(0.007813), Some(0.007813))))
+  }
+
   test("parseImageHeader recognizes BMP dimensions (incl. top-down)") {
     val img = Seq(Seq((1, 2, 3), (4, 5, 6), (7, 8, 9)))
     assert(Multimodal.parseImageHeader(bmp(img)) == Some(("bmp", 3, 1)))
