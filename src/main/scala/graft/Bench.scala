@@ -21,10 +21,17 @@ import org.apache.spark.sql.SparkSession
   * fixed single-thread [[spinProbe]] (ALU + memory walk) timed at
   * run start normalizes CPU comparisons by machine speed — SMT /
   * memory-bandwidth contention that inflates entry CPU inflates the
-  * probe equally and cancels; (d) `regressed` (→ nonzero exit)
-  * requires ALL of: wall-slow in both passes, speed-normalized CPU
-  * corroboration, and a quiet box (loadavg below cpus/4 at start and
-  * retry time) — anything less lands in `contended`, NAMED with its
+  * probe equally and cancels — and (round 11) re-timed NEXT TO each
+  * tripped entry's confirming retry, because a start-time probe
+  * predates a loaded tail (r10's q217_x10 false rc=1: probe ratio
+  * 1.28 at a quiet start vs 5.3× CPU inflation at loadavg 25); (d)
+  * `regressed` (→ nonzero exit) requires ALL of: wall-slow in both
+  * passes, speed-normalized CPU corroboration, a quiet box (loadavg
+  * below cpus/4 at start and retry time), AND (round 11) at least
+  * one of the ENTRY's own measurement windows quiet — loadavg is
+  * sampled before/after every entry and before/after every retry, so
+  * a loaded tail the global samples never saw still disqualifies
+  * itself — anything less lands in `contended`, NAMED with its
   * gate ratio and load evidence, never dropped; `gate_wall` carries
   * the clean reference forward so contended entries re-trip every
   * round until a human reads them. Known blind spot, accepted: a
@@ -91,18 +98,29 @@ object Bench {
     * 1-min loadavg at run start or at confirm-retry time exceeds
     * cpus/4 the box is measurably busy, and NO per-entry evidence
     * gathered under that load can confirm a regression — the r9
-    * false-rc=1 (q147) happened exactly this way. Otherwise each
-    * entry needs speed-normalized CPU corroboration to be called a
-    * regression; the rest are contended (named, never dropped). */
+    * false-rc=1 (q147) happened exactly this way.
+    *
+    * Round 11 closes the PER-ENTRY blind spot (r10's q217_x10 false
+    * rc=1: run start at loadavg 3.44, the entry itself measured at
+    * 25.21 — a loaded TAIL the start/retry-time global samples never
+    * saw): `entryLoadHigh` says whether BOTH of an entry's own
+    * measurement windows (first pass and confirming retry) were
+    * loaded past threshold — such an entry has no trustworthy
+    * measurement at all and can only be `contended`. `speedRatio` is
+    * now per-entry too: a tripped entry's CPU deflates by the probe
+    * re-run next to its RETRY (where the contention actually is),
+    * not the start-of-run probe that predates the load. */
   private[graft] def classify(wallRegressed: Seq[String],
                               cpuNow: Map[String, Double],
                               cpuPrev: Map[String, Double],
-                              speedRatio: Double,
-                              loadHigh: Boolean): (Seq[String], Seq[String]) =
+                              speedRatio: String => Double,
+                              loadHigh: Boolean,
+                              entryLoadHigh: String => Boolean): (Seq[String], Seq[String]) =
     if (loadHigh) (Nil, wallRegressed)
     else wallRegressed.partition { k =>
-      cpuCorroborated(cpuNow.getOrElse(k, -1.0), cpuPrev.getOrElse(k, -1.0),
-        speedRatio)
+      !entryLoadHigh(k) &&
+        cpuCorroborated(cpuNow.getOrElse(k, -1.0), cpuPrev.getOrElse(k, -1.0),
+          speedRatio(k))
     }
 
   /** Fixed single-thread machine-speed probe: an ALU spin interleaved
@@ -372,17 +390,29 @@ object Bench {
     // the steady-state number. (min-of-2 applies uniformly — terasort
     // single runs swung ±50% round-over-round with no code change.)
     // The kept entry's CPU seconds travel with its wall time.
-    // 1-min loadavg sampled right after each entry's runs — the JSON
-    // carries per-entry contention evidence, so a future judge can
-    // adjudicate a slow entry from the artifact alone (r9 required a
-    // manual re-run to prove q147's 2.54 s was load, not code).
+    // 1-min loadavg sampled BEFORE and after each entry's runs — the
+    // JSON carries per-entry contention evidence, so a future judge
+    // can adjudicate a slow entry from the artifact alone (r9
+    // required a manual re-run to prove q147's 2.54 s was load, not
+    // code). The before-sample exists because the after-sample is
+    // confounded by the entry's own 32-thread work; an entry's
+    // first-pass window counts as LOADED only when both samples
+    // exceed threshold (r10: q217_x10's own samples read 25+ while
+    // the run-start sample read 3.44 — the gate never saw it).
+    var entryLoadPre: Map[String, Double] = Map.empty
     var entryLoad: Map[String, Double] = Map.empty
     val firstPassFull: Seq[(String, (Double, Double))] =
       runners.map { case (name, run) =>
+        entryLoadPre += name -> load1()
         val a = attempt(run); val b = attempt(run)
         entryLoad += name -> load1()
         name -> (if (b._1 >= 0 && (a._1 < 0 || b._1 < a._1)) b else a)
       }
+    // materialized BEFORE any retry can overwrite the after-samples
+    val firstPassLoaded: Map[String, Boolean] = firstPassFull.map { case (n, _) =>
+      n -> (entryLoadPre.getOrElse(n, -1.0) > loadThreshold &&
+        entryLoad.getOrElse(n, -1.0) > loadThreshold)
+    }.toMap
     val firstPass = firstPassFull.map { case (n, (w, _)) => n -> w }
     var cpuMap: Map[String, Double] =
       firstPassFull.map { case (n, (_, c)) => n -> c }.toMap
@@ -431,6 +461,12 @@ object Bench {
     // classification below — if the box never settles, nothing can
     // be called a regression this run.
     var loadAtRetry = -1.0
+    // Per-entry retry evidence (round 11): the probe re-run NEXT TO
+    // each confirming retry (start-of-run speed_ratio 1.28 could not
+    // cancel the 5.3× CPU inflation a loaded TAIL caused — r10's
+    // q217_x10), and the retry window's own load samples.
+    var retryProbe: Map[String, Double] = Map.empty
+    var retryLoaded: Map[String, Boolean] = Map.empty
     val results: Seq[(String, Double)] =
       if (trippedFirst.isEmpty) firstPass
       else {
@@ -447,13 +483,20 @@ object Bench {
         }
         loadAtRetry = load1()
         val retried = trippedFirst.flatMap { name =>
-          runnerMap.get(name).map(run => name -> attempt(run))
+          runnerMap.get(name).map { run =>
+            val preLoad = load1()
+            retryProbe += name -> (try spinProbe() catch { case _: Throwable => -1.0 })
+            val r = attempt(run)
+            val postLoad = load1()
+            retryLoaded += name -> (preLoad > loadThreshold && postLoad > loadThreshold)
+            name -> ((r, postLoad))
+          }
         }.toMap
         firstPass.map { case (name, v) =>
           retried.get(name) match {
-            case Some((rw, rc)) if rw > 0 && v > 0 && rw < v =>
+            case Some(((rw, rc), postLoad)) if rw > 0 && v > 0 && rw < v =>
               cpuMap += name -> rc // the retry won: its CPU rides along
-              entryLoad += name -> load1()
+              entryLoad += name -> postLoad
               name -> rw
             case _ => name -> v
           }
@@ -548,8 +591,24 @@ object Bench {
     val wallRegressed = trippedOf(results) // survived the recovery re-run
     val loadHigh = load1Start > loadThreshold ||
       (loadAtRetry > 0 && loadAtRetry > loadThreshold)
+    // Per-entry speed ratio: a tripped entry's CPU deflates by the
+    // probe run NEXT TO its retry when that probe is the slower
+    // witness — the start-of-run probe predates a loaded tail.
+    val entrySpeedRatio: String => Double = { k =>
+      val rp = retryProbe.getOrElse(k, -1.0)
+      val rr = if (rp > 0 && prevProbe > 0) math.max(1.0, rp / prevProbe) else 1.0
+      math.max(speedRatio, rr)
+    }
+    // Entry-level load verdict: both of the entry's own windows
+    // (first pass, retry) measured loaded → nothing trustworthy was
+    // recorded for it. Missing retry evidence counts as loaded —
+    // conservative toward contended, never toward a false rc=1.
+    val entryLoadHigh: String => Boolean = { k =>
+      firstPassLoaded.getOrElse(k, false) && retryLoaded.getOrElse(k, true)
+    }
     val (regressed, contended) =
-      classify(wallRegressed, cpuMap, prevCpu, speedRatio, loadHigh)
+      classify(wallRegressed, cpuMap, prevCpu, entrySpeedRatio, loadHigh,
+        entryLoadHigh)
     // x10 scale-trend entries, per-row-normalized: x10/base time ratio
     // (ideal ≤ 10 at full parallelism; >10 means superlinear = bad).
     val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150", "q217").flatMap { p =>
@@ -581,6 +640,10 @@ object Bench {
     val scaleJson = scaleup.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val loadJson = results.map { case (k, _) =>
       "\"" + k + "\":" + r3(entryLoad.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
+    val loadPreJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + r3(entryLoadPre.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
+    val retryProbeJson = retryProbe.toSeq.sortBy(_._1).map { case (k, v) =>
+      "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
     val calibJson = s"""{"probe_sec":${r3(probeSec)},"speed_ratio":${r3(speedRatio)},""" +
       s""""load_threshold":$loadThreshold,"load_at_retry":${r3(loadAtRetry)}}"""
     if (contended.nonEmpty) {
@@ -588,7 +651,9 @@ object Bench {
         val v = cur.getOrElse(k, -1.0)
         val vsPrev = prev.get(k).filter(_ > 0).map(p => r3(v / p)).getOrElse(-1.0)
         val vsGate = prevGate.get(k).filter(_ > 0).map(p => r3(v / p)).getOrElse(-1.0)
-        s"$k(vs_prev=$vsPrev, vs_gate=$vsGate, load=${r3(entryLoad.getOrElse(k, -1.0))})"
+        s"$k(vs_prev=$vsPrev, vs_gate=$vsGate, " +
+          s"load=${r3(entryLoadPre.getOrElse(k, -1.0))}->${r3(entryLoad.getOrElse(k, -1.0))}, " +
+          s"entry_loaded=${entryLoadHigh(k)})"
       }
       System.err.println(
         s"[bench] wall-slow but not CPU/load-confirmed (likely external contention; " +
@@ -603,7 +668,9 @@ object Bench {
     val recallDriftJson = recallDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
       s""""cpu_sec":$cpuJson,"gate_wall":$gateJson,"prev_ratio":$ratioJson,""" +
-      s""""gate_ratio":$gateRatioJson,"entry_loadavg":$loadJson,"calib":$calibJson,""" +
+      s""""gate_ratio":$gateRatioJson,"entry_loadavg":$loadJson,""" +
+      s""""entry_loadavg_pre":$loadPreJson,"retry_probe":$retryProbeJson,""" +
+      s""""calib":$calibJson,""" +
       s""""recall":$recallJson,"recall_drift":$recallDriftJson,""" +
       s""""regressed":$regJson,"contended":$contJson,"x10_scaleup":$scaleJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""

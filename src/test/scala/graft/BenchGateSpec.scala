@@ -79,20 +79,66 @@ class BenchGateSpec extends AnyFunSuite {
     assert(!Bench.tripped(v = -1.0, gate = 2.0))
   }
 
+  private val quiet: String => Boolean = _ => false
+  private def ratio(r: Double): String => Double = _ => r
+
   test("classify: a loaded box can never confirm a regression (r9 rc=1 fix)") {
     val wallBad = Seq("q147", "q10")
     val cpuNow = Map("q147" -> 25.5, "q10" -> 15.0)
     val cpuPrev = Map("q147" -> 11.3, "q10" -> 3.0)
     // quiet box, no speed skew: both CPU-corroborated -> regressed
-    assert(Bench.classify(wallBad, cpuNow, cpuPrev, 1.0, loadHigh = false) ==
-      ((Seq("q147", "q10"), Seq())))
+    assert(Bench.classify(wallBad, cpuNow, cpuPrev, ratio(1.0),
+      loadHigh = false, quiet) == ((Seq("q147", "q10"), Seq())))
     // loaded box: EVERYTHING lands contended regardless of CPU
-    assert(Bench.classify(wallBad, cpuNow, cpuPrev, 1.0, loadHigh = true) ==
-      ((Seq(), Seq("q147", "q10"))))
+    assert(Bench.classify(wallBad, cpuNow, cpuPrev, ratio(1.0),
+      loadHigh = true, quiet) == ((Seq(), Seq("q147", "q10"))))
     // quiet box but the probe saw a 2.3x-slower machine: q147's CPU
     // normalizes flat (contended), q10's 3x CPU still confirms
-    val (reg, cont) = Bench.classify(wallBad, cpuNow, cpuPrev, 2.3, loadHigh = false)
+    val (reg, cont) = Bench.classify(wallBad, cpuNow, cpuPrev, ratio(2.3),
+      loadHigh = false, quiet)
     assert(reg == Seq("q10") && cont == Seq("q147"))
+  }
+
+  test("classify: a loaded TAIL entry can never be regressed (r10 q217_x10 fix)") {
+    // Quiet run start (global loadHigh=false), but the entry's OWN
+    // windows — first pass and retry — measured loaded: no
+    // trustworthy measurement exists for it, so even a 4x CPU blow-up
+    // recorded under that load cannot confirm a regression.
+    val cpuNow = Map("q217_x10" -> 173.7, "q03" -> 15.0)
+    val cpuPrev = Map("q217_x10" -> 40.3, "q03" -> 3.0)
+    val loadedTail: String => Boolean = _ == "q217_x10"
+    val (reg, cont) = Bench.classify(Seq("q217_x10", "q03"), cpuNow, cpuPrev,
+      ratio(1.0), loadHigh = false, loadedTail)
+    // q217_x10 -> contended despite corroborating CPU; the genuinely
+    // quiet q03 regression is still caught
+    assert(reg == Seq("q03") && cont == Seq("q217_x10"))
+  }
+
+  test("classify replaying BENCH_r10's recorded numbers lands q217_x10 contended") {
+    // The artifact's own fields, verbatim: wall 9.80 s vs gate 4.22
+    // (tripped), CPU 173.7 vs 40.3, start loadavg 3.44 (global gate
+    // quiet), entry_loadavg 25.21 on a 32-core box (threshold 8).
+    val entryLoadavg = Map("q217_x10" -> 25.21)
+    val entryLoadHigh: String => Boolean =
+      k => entryLoadavg.getOrElse(k, 0.0) > 32.0 / 4.0
+    val (reg, cont) = Bench.classify(Seq("q217_x10"),
+      Map("q217_x10" -> 173.7), Map("q217_x10" -> 40.3),
+      ratio(1.281), loadHigh = false, entryLoadHigh)
+    assert(reg.isEmpty && cont == Seq("q217_x10"))
+  }
+
+  test("classify: retry-time probe deflates a tail-contention CPU blow-up") {
+    // Same r10 shape but suppose only the FIRST pass was loaded (the
+    // retry ran quiet, so entryLoadHigh=false): the probe re-run next
+    // to the retry measured the box ~5x slower, and 173.7/5.3 = 32.8
+    // deflates BELOW the 40.3 baseline — not corroborated, contended.
+    // The start-time ratio (1.281) alone would have called it
+    // regressed; this is exactly the r10 false rc=1.
+    val cpu = Map("q217_x10" -> 173.7); val prev = Map("q217_x10" -> 40.3)
+    assert(Bench.classify(Seq("q217_x10"), cpu, prev, ratio(1.281),
+      loadHigh = false, quiet) == ((Seq("q217_x10"), Seq())))
+    assert(Bench.classify(Seq("q217_x10"), cpu, prev, ratio(5.3),
+      loadHigh = false, quiet) == ((Seq(), Seq("q217_x10"))))
   }
 
   test("spinProbe returns a positive, repeatable machine-speed sample") {
