@@ -4071,6 +4071,55 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q243 — baseline JPEG pixel decode ([[graft.sources.Multimodal
+    // .parseJpegPixels]]): the LOSSY-image tier, implemented from the
+    // T.81 spec (Huffman entropy decode, dequant, 8×8 IDCT, chroma
+    // upsample, YCbCr→RGB) with no external codec. Lossy decode is
+    // made SQL-replayable the way the differential spec proves: each
+    // fixture is flat 16×16 MCU tiles of gray, ENCODED BY A REAL
+    // THIRD-PARTY ENCODER (javax.imageio) at quality 1.0 — all-ones
+    // quant tables make a flat MCU's lone DC coefficient quantize
+    // losslessly, so any conformant decoder returns the tile bytes
+    // exactly (verified for all 256 gray levels); the oracle computes
+    // the sums straight from the tile formula. Every 50th payload is
+    // non-JPEG → nulls. The ImageIO differential + hand-rolled
+    // restart-interval fixtures cover the lossy general case the
+    // formula can't. Map-only; payloads never shuffle.
+    "q243_jpeg_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "jpeg? hardly".getBytes("UTF-8"))
+        else {
+          val tw = (1 + id % 3).toInt; val th = (1 + id % 2).toInt
+          val w = 16 * tw; val h = 16 * th
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 7 + (x / 16) * 13 + (y / 16) * 29) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val p = wr.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+          val bos = new java.io.ByteArrayOutputStream()
+          wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          wr.dispose()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "jpg")
+      graft.sources.Multimodal.describeJpeg(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "jpg", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q241 — corpus snapshot diff: the dataset-ops answer to "what
     // changed between corpus v1 and v2" (the table twin of the
     // `copy -diff` file-tree sync, and the audit a curation rerun
@@ -7108,6 +7157,34 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Flat-tile channel sums re-derived from the tile formula — the
+    // engine must reproduce them THROUGH a real third-party JPEG
+    // encoding (Huffman decode + dequant + IDCT + color convert);
+    // quality-1.0 all-ones quant tables make the round trip exact.
+    "q243_jpeg_decode" ->
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+        |              FROM documents),
+        |t AS (SELECT doc_id, tw, th, tx, ty
+        |      FROM dims, generate_series(0, 2) a(tx), generate_series(0, 1) b(ty)
+        |      WHERE tx < tw AND ty < th),
+        |agg AS (SELECT doc_id, MAX(tw) AS tw, MAX(th) AS th,
+        |          CAST(SUM(((doc_id * 7 + tx * 13 + ty * 29) % 256) * 256) AS BIGINT) AS s
+        |        FROM t GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.tw * 16 AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.th * 16 AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(3 AS INTEGER) END AS n_components,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.tw * a.th * 256 AS BIGINT) END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

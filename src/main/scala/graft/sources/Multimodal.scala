@@ -493,6 +493,358 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b")
   }
 
+  /** Decoded-JPEG facts: dimensions plus per-channel integer pixel
+    * sums, the same integer-exact contract as [[PngStats]]. */
+  final case class JpegStats(width: Int, height: Int, nComponents: Int,
+                             nPixels: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL pure-JVM baseline JPEG pixel decode — the last common
+    * crawled-image format to shed its stub: like PNG's zlib+filters,
+    * baseline JPEG is fully specified (ITU-T T.81) and needs no
+    * external codec — Huffman entropy decode, dequantization, 8×8
+    * inverse DCT, chroma upsampling and YCbCr→RGB are all implemented
+    * here from the specification. Scope: baseline/extended sequential
+    * Huffman (SOF0/SOF1), 8-bit precision, 1 (grayscale) or 3 (YCbCr)
+    * components, any sampling factors up to 4×4, restart intervals
+    * honored; progressive (SOF2), arithmetic coding and CMYK return
+    * None (a different tier, not a crash). Hostile/truncated bytes
+    * return None via bounds checks and a bit reader that refuses to
+    * run past a marker — never a spin or a throw. The per-channel sums
+    * are checked two independent ways: q243's oracle replays the
+    * flat-tile fixture formula (quality-1.0 all-ones quant tables make
+    * flat 16×16 MCUs decode bit-exactly — verified for all 256 gray
+    * levels), and the differential spec compares against
+    * javax.imageio's own decoder on the same bytes.
+    *
+    * Reference anchor: the reference ships no media decoders; this
+    * extends SURVEY §2's multimodal tier the same way the PNG/BMP/GIF/
+    * WAV kernels did. */
+  def parseJpegPixels(bytes: Array[Byte]): Option[JpegStats] = {
+    if (bytes == null || bytes.length < 16) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    if (u8(0) != 0xff || u8(1) != 0xd8) return None
+    // zigzag scan order → natural (row-major) block index
+    val zigzag = Array(
+      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    // ---- marker walk: tables + frame + scan header ----------------
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val qtSeen = new Array[Boolean](4)
+    // Huffman decode tables per (class 0=DC/1=AC, id): spec F.2.2.3
+    // MINCODE/MAXCODE/VALPTR form — maxcode -1 marks an empty length.
+    final case class Huff(minCode: Array[Int], maxCode: Array[Int],
+                          valPtr: Array[Int], vals: Array[Int])
+    val huff = Array.ofDim[Option[Huff]](2, 4).map(_.map(_ => Option.empty[Huff]))
+    var w = 0; var h = 0; var nc = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var dri = 0
+    var scanStart = -1
+    var scanDc: Array[Int] = null; var scanAc: Array[Int] = null
+    var i = 2
+    while (scanStart < 0 && i + 4 <= bytes.length) {
+      if (u8(i) != 0xff) return None
+      val m = u8(i + 1)
+      if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+      else if (m == 0xd9) return None // EOI before any scan data
+      else {
+        val segLen = be16(i + 2)
+        if (segLen < 2 || i + 2 + segLen > bytes.length) return None
+        val segEnd = i + 2 + segLen
+        m match {
+          case 0xdb => // DQT: one or more (precision|id, 64 entries)
+            var o = i + 4
+            while (o < segEnd) {
+              val pq = (u8(o) >> 4) & 0xf; val tq = u8(o) & 0xf
+              val n = if (pq == 0) 64 else 128
+              if (tq > 3 || pq > 1 || o + 1 + n > segEnd) return None
+              var k = 0
+              while (k < 64) {
+                qt(tq)(k) = if (pq == 0) u8(o + 1 + k)
+                            else be16(o + 1 + 2 * k)
+                k += 1
+              }
+              qtSeen(tq) = true
+              o += 1 + n
+            }
+          case 0xc4 => // DHT: one or more (class|id, 16 counts, vals)
+            var o = i + 4
+            while (o < segEnd) {
+              val tc = (u8(o) >> 4) & 0xf; val th = u8(o) & 0xf
+              if (tc > 1 || th > 3 || o + 17 > segEnd) return None
+              val counts = Array.tabulate(17)(l => if (l == 0) 0 else u8(o + l))
+              val total = counts.sum
+              if (total > 256 || o + 17 + total > segEnd) return None
+              val vals = Array.tabulate(total)(k => u8(o + 17 + k))
+              // canonical code assignment (spec C.2)
+              val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+              val valPtr = new Array[Int](17)
+              var code = 0; var ptr = 0
+              var l = 1
+              while (l <= 16) {
+                if (counts(l) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+                else {
+                  valPtr(l) = ptr; minCode(l) = code
+                  code += counts(l); ptr += counts(l)
+                  maxCode(l) = code - 1
+                }
+                code <<= 1
+                l += 1
+              }
+              huff(tc)(th) = Some(Huff(minCode, maxCode, valPtr, vals))
+              o += 17 + total
+            }
+          case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
+            if (w != 0) return None // two frames: malformed
+            if (u8(i + 4) != 8) return None // 8-bit precision only
+            h = be16(i + 5); w = be16(i + 7); nc = u8(i + 9)
+            if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
+            if (w.toLong * h > (1L << 26)) return None // 64M-pixel fence
+            if (i + 10 + 3 * nc > segEnd) return None
+            compId = new Array[Int](nc); compH = new Array[Int](nc)
+            compV = new Array[Int](nc); compQ = new Array[Int](nc)
+            var c = 0
+            while (c < nc) {
+              compId(c) = u8(i + 10 + 3 * c)
+              val hv = u8(i + 11 + 3 * c)
+              compH(c) = (hv >> 4) & 0xf; compV(c) = hv & 0xf
+              compQ(c) = u8(i + 12 + 3 * c)
+              if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 || compV(c) > 4 ||
+                  compQ(c) > 3) return None
+              c += 1
+            }
+          case 0xc2 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca | 0xcb |
+               0xcd | 0xce | 0xcf => return None // progressive/arith/lossless tiers
+          case 0xdd => // DRI
+            if (segLen != 4) return None
+            dri = be16(i + 4)
+          case 0xda => // SOS: component → table ids, then entropy data
+            if (w == 0) return None // scan before frame
+            val ns = u8(i + 4)
+            if (ns != nc || i + 5 + 2 * ns + 3 > segEnd) return None
+            scanDc = new Array[Int](nc); scanAc = new Array[Int](nc)
+            var c = 0
+            while (c < ns) {
+              val cs = u8(i + 5 + 2 * c)
+              val ci = compId.indexOf(cs)
+              if (ci < 0) return None
+              scanDc(ci) = (u8(i + 6 + 2 * c) >> 4) & 0xf
+              scanAc(ci) = u8(i + 6 + 2 * c) & 0xf
+              c += 1
+            }
+            scanStart = segEnd
+          case _ => () // APPn / COM / others: skip
+        }
+        if (scanStart < 0) i = segEnd
+      }
+    }
+    if (scanStart < 0) return None
+    var c = 0
+    while (c < nc) {
+      if (!qtSeen(compQ(c)) || huff(0)(scanDc(c)).isEmpty ||
+          huff(1)(scanAc(c)).isEmpty) return None
+      c += 1
+    }
+    // ---- entropy-coded scan: bit reader with byte stuffing --------
+    val hMax = compH.max; val vMax = compV.max
+    val mcuW = 8 * hMax; val mcuH = 8 * vMax
+    val mcusX = (w + mcuW - 1) / mcuW; val mcusY = (h + mcuH - 1) / mcuH
+    // per-component sample planes, padded to whole MCUs
+    val planeW = Array.tabulate(nc)(c => mcusX * compH(c) * 8)
+    val planeH = Array.tabulate(nc)(c => mcusY * compV(c) * 8)
+    if (planeW.zip(planeH).exists { case (pw, ph) => pw.toLong * ph > (1L << 27) })
+      return None
+    val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
+    var pos = scanStart
+    var bitBuf = 0; var bitCnt = 0
+    // next bit, MSB first; FF00 unstuffs to a data FF; any real marker
+    // (incl. RSTn out of place and EOI) stops the stream — the MCU
+    // loop then fails cleanly instead of reading past it
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) return -1
+        var b = u8(pos); pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          val b2 = u8(pos)
+          if (b2 == 0x00) pos += 1
+          else { pos -= 1; return -1 } // a real marker: refuse to cross
+          b = 0xff
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: Huff): Int = {
+      var code = nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        val b = nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      if (l > 16) return -1
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var k = 0
+      while (k < s) {
+        val b = nextBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        k += 1
+      }
+      v
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+    // separable float IDCT; idctC(u)(x) = c(u)/2 · cos((2x+1)uπ/16)
+    val idctC = Array.tabulate(8, 8) { (u, x) =>
+      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+      cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+    }
+    val coef = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    val dcPred = new Array[Int](nc)
+    def decodeBlock(c: Int, px: Int, py: Int): Boolean = {
+      val dcT = huff(0)(scanDc(c)).get; val acT = huff(1)(scanAc(c)).get
+      val q = qt(compQ(c))
+      java.util.Arrays.fill(coef, 0)
+      val t = decodeHuff(dcT)
+      if (t < 0 || t > 15) return false
+      val diffBits = receive(t)
+      if (diffBits == Int.MinValue) return false
+      dcPred(c) += extend(diffBits, t)
+      coef(0) = dcPred(c) * q(0)
+      var k = 1
+      var eob = false
+      while (k < 64 && !eob) {
+        val rs = decodeHuff(acT)
+        if (rs < 0) return false
+        val r = (rs >> 4) & 0xf; val s = rs & 0xf
+        if (s == 0) {
+          if (r == 15) k += 16 else eob = true
+        } else {
+          k += r
+          if (k > 63) return false
+          val vb = receive(s)
+          if (vb == Int.MinValue) return false
+          coef(zigzag(k)) = extend(vb, s) * q(k)
+          k += 1
+        }
+      }
+      // rows then columns
+      var y = 0
+      while (y < 8) {
+        var x = 0
+        while (x < 8) {
+          var acc = 0.0
+          var u = 0
+          while (u < 8) { acc += idctC(u)(x) * coef(y * 8 + u); u += 1 }
+          tmp(y * 8 + x) = acc
+          x += 1
+        }
+        y += 1
+      }
+      val pw = planeW(c); val plane = planes(c)
+      var x = 0
+      while (x < 8) {
+        var yy = 0
+        while (yy < 8) {
+          var acc = 0.0
+          var v = 0
+          while (v < 8) { acc += idctC(v)(yy) * tmp(v * 8 + x); v += 1 }
+          val s = math.round(acc).toInt + 128
+          plane((py + yy) * pw + (px + x)) =
+            (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+          yy += 1
+        }
+        x += 1
+      }
+      true
+    }
+    var mcu = 0
+    val nMcus = mcusX * mcusY
+    var rstExpect = 0
+    while (mcu < nMcus) {
+      if (dri > 0 && mcu > 0 && mcu % dri == 0) {
+        // byte-align and consume the expected RSTn; reset predictors
+        bitCnt = 0
+        if (pos + 2 > bytes.length || u8(pos) != 0xff ||
+            u8(pos + 1) != 0xd0 + rstExpect) return None
+        pos += 2
+        rstExpect = (rstExpect + 1) % 8
+        java.util.Arrays.fill(dcPred, 0)
+      }
+      val mx = mcu % mcusX; val my = mcu / mcusX
+      var c = 0
+      while (c < nc) {
+        var by = 0
+        while (by < compV(c)) {
+          var bx = 0
+          while (bx < compH(c)) {
+            if (!decodeBlock(c, (mx * compH(c) + bx) * 8, (my * compV(c) + by) * 8))
+              return None
+            bx += 1
+          }
+          by += 1
+        }
+        c += 1
+      }
+      mcu += 1
+    }
+    // ---- upsample + color convert + integer channel sums ----------
+    var sr = 0L; var sg = 0L; var sb = 0L
+    def clamp(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nc == 1) {
+          val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          sr += v; sg += v; sb += v
+        } else {
+          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
+          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
+          sr += clamp(yy + 1.402 * cr)
+          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          sb += clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(JpegStats(w, h, nc, w.toLong * h, sr, sg, sb))
+  }
+
+  /** [[describePng]]'s JPEG sibling: per-payload decoded pixel sums
+    * (null columns for anything but baseline Huffman JPEG). Same
+    * plumbing contract — per-partition kernel, no shuffle, payload
+    * bytes never leave the partition; integer outputs. */
+  def describeJpeg(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseJpegPixels(payload)
+        (id, st.map(_.width), st.map(_.height), st.map(_.nComponents),
+          st.map(_.nPixels), st.map(_.sumR), st.map(_.sumG), st.map(_.sumB))
+      }
+      .toDF("media_id", "width", "height", "n_components", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   /** Decoded-BMP facts: dimensions plus per-channel integer pixel
     * sums — integers end to end, so a second engine replays them
     * exactly (no float accumulation anywhere). */

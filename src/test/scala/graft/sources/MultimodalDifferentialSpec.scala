@@ -249,6 +249,202 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     assert(System.nanoTime() - t0 < 5e9, "FDICT stream must fail fast, not spin")
   }
 
+  // ---- JPEG vs javax.imageio -------------------------------------
+
+  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(quality)
+    val bos = new java.io.ByteArrayOutputStream()
+    wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    bos.toByteArray
+  }
+
+  test("parseJpegPixels decodes flat-tile quality-1.0 JPEGs bit-exactly (vs formula AND ImageIO)") {
+    // quality 1.0 → all-ones quant tables; a flat 16×16 MCU has only a
+    // DC coefficient, which quantizes losslessly — so decode is EXACT
+    // for any spec-conformant decoder (verified for all 256 gray
+    // levels by construction here: tiles cycle the full byte range)
+    (0 until 4).foreach { trial =>
+      val tw = 2 + trial; val th = 2 + (trial % 2)
+      val w = 16 * tw; val h = 16 * th
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var want = 0L
+      (0 until h).foreach { y =>
+        (0 until w).foreach { x =>
+          val g = (trial * 61 + (x / 16) * 67 + (y / 16) * 73) % 256
+          img.setRGB(x, y, (g << 16) | (g << 8) | g)
+        }
+      }
+      (0 until th).foreach { ty => (0 until tw).foreach { tx =>
+        want += ((trial * 61 + tx * 67 + ty * 73) % 256).toLong * 256 } }
+      val bytes = encodeJpeg(img, 1.0f)
+      val got = Multimodal.parseJpegPixels(bytes).get
+      assert(got.width == w && got.height == h && got.nComponents == 3)
+      assert(got.nPixels == w.toLong * h)
+      assert(got.sumR == want && got.sumG == want && got.sumB == want,
+        s"${w}x$h: (${got.sumR},${got.sumG},${got.sumB}) vs formula $want")
+      // and the independent decoder agrees on the same bytes
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var ir = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        ir += (dec.getRGB(x, y) >> 16) & 0xff } }
+      assert(ir == want, "ImageIO disagrees with the flat-tile formula")
+    }
+  }
+
+  test("parseJpegPixels tracks ImageIO within IDCT tolerance on grayscale noise") {
+    // 1-component JPEG: no chroma upsampling in play, so the only
+    // decoder freedom is the IDCT approximation — per-sample error is
+    // bounded by ~1 level, so channel sums track within nPixels
+    Seq(0.95f, 0.75f, 0.5f).foreach { q =>
+      val w = 40 + rnd.nextInt(30); val h = 24 + rnd.nextInt(20)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val g = rnd.nextInt(256)
+        img.getRaster.setSample(x, y, 0, g) } }
+      val bytes = encodeJpeg(img, q)
+      val got = Multimodal.parseJpegPixels(bytes).get
+      assert(got.width == w && got.height == h && got.nComponents == 1)
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        sum += dec.getRaster.getSample(x, y, 0) } }
+      val n = w.toLong * h
+      assert(math.abs(got.sumR - sum) <= n,
+        s"q=$q ${w}x$h: ${got.sumR} vs ImageIO $sum (tolerance $n)")
+      assert(got.sumG == got.sumR && got.sumB == got.sumR)
+    }
+  }
+
+  test("parseJpegPixels tracks ImageIO on smooth color images (chroma subsampled)") {
+    // smooth gradients keep nearest-vs-interpolated chroma upsampling
+    // differences small; bounds are per-channel mean within 2 levels
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val r = (x * 255) / (w - 1); val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b) } }
+    val bytes = encodeJpeg(img, 0.85f)
+    val got = Multimodal.parseJpegPixels(bytes).get
+    assert(got.width == w && got.height == h && got.nComponents == 3)
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val p = dec.getRGB(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff } }
+    val tol = 2L * w * h
+    assert(math.abs(got.sumR - sr) <= tol, s"R ${got.sumR} vs $sr")
+    assert(math.abs(got.sumG - sg) <= tol, s"G ${got.sumG} vs $sg")
+    assert(math.abs(got.sumB - sb) <= tol, s"B ${got.sumB} vs $sb")
+  }
+
+  /** Hand-rolled baseline grayscale JPEG encoder for flat 8×8 tiles
+    * with CUSTOM Huffman tables and a restart interval — exercises the
+    * DHT canonical-code builder, DC prediction reset and RSTn
+    * consumption on bytes no JDK encoder would emit. */
+  private def handJpeg(tiles: Seq[Int], tilesPerRow: Int, dri: Int): Array[Byte] = {
+    val w = tilesPerRow * 8; val h = (tiles.length / tilesPerRow) * 8
+    val out = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = out.write(x & 0xff)
+    def b16(x: Int): Unit = { b(x >> 8); b(x) }
+    b(0xff); b(0xd8) // SOI
+    b(0xff); b(0xdb); b16(2 + 1 + 64); b(0x00) // DQT id 0, 8-bit
+    (0 until 64).foreach(_ => b(1)) // all-ones → lossless DC
+    // DHT: DC table 0 = symbols 0..11, all 4-bit codes (canonical
+    // 0000…1011, none all-ones); AC table 0 = single EOB at 1 bit
+    b(0xff); b(0xc4); b16(2 + 17 + 12 + 17 + 1)
+    b(0x00); (1 to 16).foreach(l => b(if (l == 4) 12 else 0)); (0 to 11).foreach(b)
+    b(0x10); (1 to 16).foreach(l => b(if (l == 1) 1 else 0)); b(0x00)
+    b(0xff); b(0xc0); b16(2 + 6 + 3) // SOF0: 1 component, 1x1
+    b(8); b16(h); b16(w); b(1); b(1); b(0x11); b(0)
+    if (dri > 0) { b(0xff); b(0xdd); b16(4); b16(dri) }
+    b(0xff); b(0xda); b16(2 + 1 + 2 + 3) // SOS
+    b(1); b(1); b(0x00); b(0); b(63); b(0)
+    // bit writer with FF-stuffing
+    var acc = 0; var nb = 0
+    def putBits(v: Int, n: Int): Unit = {
+      var k = n - 1
+      while (k >= 0) {
+        acc = (acc << 1) | ((v >> k) & 1); nb += 1
+        if (nb == 8) { b(acc); if (acc == 0xff) b(0x00); acc = 0; nb = 0 }
+        k -= 1
+      }
+    }
+    def flushAlign(): Unit = if (nb > 0) { putBits((1 << (8 - nb)) - 1, 8 - nb) }
+    var pred = 0; var rst = 0
+    tiles.zipWithIndex.foreach { case (g, idx) =>
+      if (dri > 0 && idx > 0 && idx % dri == 0) {
+        flushAlign(); b(0xff); b(0xd0 + rst); rst = (rst + 1) % 8; pred = 0
+      }
+      val dc = 8 * (g - 128)
+      val diff = dc - pred; pred = dc
+      val t = 32 - Integer.numberOfLeadingZeros(math.abs(diff)) // category
+      putBits(t, 4) // DC symbol t = canonical code t at 4 bits
+      if (t > 0) putBits(if (diff >= 0) diff else diff + (1 << t) - 1, t)
+      putBits(0, 1) // AC EOB (code 0, length 1)
+    }
+    flushAlign()
+    b(0xff); b(0xd9) // EOI
+    out.toByteArray
+  }
+
+  test("parseJpegPixels honors restart intervals and custom Huffman tables (vs ImageIO)") {
+    val tiles = Seq(0, 255, 17, 200, 128, 33, 99, 250) // 4x2 MCUs of 8x8
+    Seq(0, 2, 3).foreach { dri =>
+      val bytes = handJpeg(tiles, tilesPerRow = 4, dri = dri)
+      val got = Multimodal.parseJpegPixels(bytes).get
+      val want = tiles.map(_.toLong * 64).sum
+      assert(got.width == 32 && got.height == 16 && got.nComponents == 1)
+      assert(got.sumR == want, s"dri=$dri: ${got.sumR} vs $want")
+      // the JDK decoder accepts the same hand-rolled stream and agrees
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(dec != null, s"ImageIO rejected the dri=$dri fixture")
+      var sum = 0L
+      (0 until 16).foreach { y => (0 until 32).foreach { x =>
+        sum += dec.getRaster.getSample(x, y, 0) } }
+      assert(sum == want, s"ImageIO dri=$dri: $sum vs $want")
+    }
+  }
+
+  test("parseJpegPixels refuses other tiers and survives hostile bytes") {
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach { y => (0 until 24).foreach { x =>
+      img.setRGB(x, y, rnd.nextInt(1 << 24)) } }
+    val ok = encodeJpeg(img, 0.9f)
+    assert(Multimodal.parseJpegPixels(ok).isDefined)
+    // progressive: different tier → None (flip SOF0 marker to SOF2)
+    val prog = ok.clone()
+    val sofAt = (0 until prog.length - 1).find(i =>
+      (prog(i) & 0xff) == 0xff && (prog(i + 1) & 0xff) == 0xc0).get
+    prog(sofAt + 1) = 0xc2.toByte
+    assert(Multimodal.parseJpegPixels(prog).isEmpty)
+    // truncations at every byte boundary: clean None or a clean Some,
+    // never a throw or a spin
+    val t0 = System.nanoTime()
+    (2 until ok.length by 7).foreach { cut =>
+      Multimodal.parseJpegPixels(ok.take(cut)) // must not throw
+    }
+    assert(System.nanoTime() - t0 < 30e9, "truncation sweep must not spin")
+    // random byte corruption: never a throw
+    (1 to 50).foreach { _ =>
+      val c = ok.clone()
+      c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte
+      Multimodal.parseJpegPixels(c)
+    }
+    assert(Multimodal.parseJpegPixels("not a jpeg".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseJpegPixels(null).isEmpty)
+    assert(Multimodal.parseJpegPixels(Array[Byte](0xff.toByte, 0xd8.toByte)).isEmpty)
+  }
+
   // ---- GIF frame count vs javax.imageio --------------------------
 
   private def randomGif(nFrames: Int): Array[Byte] = {
