@@ -4071,6 +4071,69 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q244 — palette PNG decode ([[graft.sources.Multimodal
+    // .parsePngPixels]], color type 3): the web-graphics shape — a
+    // PLTE lookup table with indices packed at 1/2/4/8 bits per
+    // pixel, cycling all four depths across the corpus. Same
+    // synthesize-and-replay contract as q242: palette entries and
+    // index grid come from integer formulas, the engine re-derives
+    // the channel sums THROUGH deflate → inflate → unfilter → unpack
+    // → palette lookup, the oracle computes them directly. Every
+    // 50th payload is non-PNG → nulls. Map-only; payloads never
+    // shuffle.
+    "q244_png_palette" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "png? still not".getBytes("UTF-8"))
+        else {
+          val depth = Seq(1, 2, 4, 8)((id % 4).toInt)
+          val n = 1 << depth
+          val w = (3 + id % 6).toInt; val h = (1 + id % 4).toInt
+          val stride = (w * depth + 7) / 8
+          val raw = new Array[Byte](h * (1 + stride))
+          val perByte = 8 / depth
+          (0 until h).foreach { y =>
+            val base = y * (1 + stride)
+            raw(base) = 0 // filter None
+            (0 until w).foreach { x =>
+              val idx = ((id + x * 3 + y * 5) % n).toInt
+              val shift = 8 - depth - (x % perByte) * depth
+              raw(base + 1 + x / perByte) =
+                (raw(base + 1 + x / perByte) | (idx << shift)).toByte
+            }
+          }
+          val defl = new java.util.zip.Deflater()
+          defl.setInput(raw); defl.finish()
+          val buf = new Array[Byte](raw.length + 64)
+          val m = defl.deflate(buf); defl.end()
+          def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+            val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+            out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+            val crc = new java.util.zip.CRC32()
+            crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+            out.putInt(crc.getValue.toInt).array()
+          }
+          val ihdr = java.nio.ByteBuffer.allocate(13)
+            .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
+            .put(0.toByte).put(0.toByte).put(0.toByte).array()
+          val plte = Array.tabulate(n * 3) { k =>
+            val i = k / 3
+            (k % 3 match {
+              case 0 => (i * 37) % 256
+              case 1 => (i * 59) % 256
+              case _ => (i * 83) % 256
+            }).toByte
+          }
+          val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+          (id, sig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+            chunk("IDAT", buf.take(m)) ++ chunk("IEND", Array.emptyByteArray))
+        }
+      }.toDF("doc_id", "png")
+      graft.sources.Multimodal.describePng(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "png", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q243 — baseline JPEG pixel decode ([[graft.sources.Multimodal
     // .parseJpegPixels]]): the LOSSY-image tier, implemented from the
     // T.81 spec (Huffman entropy decode, dequant, 8×8 IDCT, chroma
@@ -7185,6 +7248,36 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Palette-PNG channel sums re-derived from the palette + index
+    // formulas — the engine must reproduce them THROUGH zlib
+    // round-trip, unfiltering, sub-byte unpacking and PLTE lookup.
+    "q244_png_palette" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CASE doc_id % 4 WHEN 0 THEN 2 WHEN 1 THEN 4
+        |         WHEN 2 THEN 16 ELSE 256 END AS n,
+        |    3 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, n, w, h, x, y
+        |       FROM dims, generate_series(0, 7) a(x), generate_series(0, 3) b(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((((doc_id + x * 3 + y * 5) % n) * 37) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((((doc_id + x * 3 + y * 5) % n) * 59) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((((doc_id + x * 3 + y * 5) % n) * 83) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.np END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

@@ -381,13 +381,16 @@ object Multimodal {
     * (`java.util.zip.Inflater`, in every JDK) plus the five
     * per-scanline prediction filters of the PNG spec (None/Sub/Up/
     * Average/Paeth), both implemented here from the specification.
-    * Scope: 8-bit truecolor (color type 2), non-interlaced — the
-    * common photographic export shape; palette/alpha/16-bit/Adam7
+    * Scope: 8-bit truecolor (color type 2) AND palette-indexed
+    * (color type 3, bit depths 1/2/4/8 with a PLTE lookup — the
+    * common web-graphics shape), non-interlaced; alpha/16-bit/Adam7
     * return None (a different tier, not a crash). Chunk walk: IHDR
-    * first, IDAT payloads concatenated in order, stop at IEND;
-    * hostile/truncated streams return None from the Inflater's own
-    * bounds instead of throwing. Output sums are integer-exact —
-    * replayed by q242's oracle from the pixel formula, and checked
+    * first, PLTE captured for the palette tier, IDAT payloads
+    * concatenated in order, stop at IEND; hostile/truncated streams
+    * return None from the Inflater's own bounds instead of throwing,
+    * and an index past the palette end is malformed → None. Output
+    * sums are integer-exact — replayed by q242's (truecolor) and
+    * q244's (palette) oracles from the pixel formulas, and checked
     * against javax.imageio (a second decoder + its own ENCODER's
     * filter choices) in the differential spec. */
   def parsePngPixels(bytes: Array[Byte]): Option[PngStats] = {
@@ -400,10 +403,14 @@ object Multimodal {
     if (be32(12) != 0x49484452) return None // "IHDR"
     val w = be32(16); val h = be32(20)
     val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
-    if (w <= 0 || h <= 0 || bitDepth != 8 || colorType != 2 || interlace != 0)
+    if (w <= 0 || h <= 0 || interlace != 0) return None
+    val paletted = colorType == 3
+    if (!paletted && !(colorType == 2 && bitDepth == 8)) return None
+    if (paletted && !(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8))
       return None
     if (w.toLong * h > (1L << 26)) return None // 64M-pixel sanity fence
     val idat = new java.io.ByteArrayOutputStream()
+    var palette: Array[Int] = null // packed 0xRRGGBB, from PLTE
     var i = 8L
     var sawEnd = false
     while (!sawEnd && i + 8 <= bytes.length) {
@@ -411,12 +418,20 @@ object Multimodal {
       val typ = be32(i.toInt + 4)
       if (typ == 0x49444154 && i + 8 + len <= bytes.length) // "IDAT"
         idat.write(bytes, (i + 8).toInt, len.toInt)
+      if (typ == 0x504c5445 && i + 8 + len <= bytes.length) { // "PLTE"
+        if (palette != null || len == 0 || len % 3 != 0 || len > 768) return None
+        val o = (i + 8).toInt
+        palette = Array.tabulate((len / 3).toInt)(k =>
+          (u8(o + 3 * k) << 16) | (u8(o + 3 * k + 1) << 8) | u8(o + 3 * k + 2))
+      }
       if (typ == 0x49454e44) sawEnd = true // "IEND"
       i += 8 + len + 4 // length + type + payload + CRC
     }
     if (idat.size == 0) return None
-    // zlib inflate to h scanlines of (1 filter byte + 3w samples)
-    val stride = 3 * w
+    if (paletted && palette == null) return None
+    // zlib inflate to h scanlines of (1 filter byte + stride bytes):
+    // 3 samples/pixel for truecolor, packed sub-byte indices for palette
+    val stride = if (paletted) ((w.toLong * bitDepth + 7) / 8).toInt else 3 * w
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -441,20 +456,23 @@ object Multimodal {
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
+    // filter "left" distance is one PIXEL for truecolor (3 bytes) and
+    // one BYTE for sub-byte/8-bit palette rows, per the spec's bpp
+    val bpp = if (paletted) 1 else 3
     val prev = new Array[Int](stride)
+    val cur = new Array[Int](stride)
     var sr = 0L; var sg = 0L; var sb = 0L
     var y = 0
     while (y < h) {
       val base = y * (1 + stride)
       val filter = raw(base) & 0xff
       if (filter > 4) return None // corrupt filter tag
-      val cur = new Array[Int](stride)
       var x = 0
       while (x < stride) {
         val rawv = raw(base + 1 + x) & 0xff
-        val a = if (x >= 3) cur(x - 3) else 0
+        val a = if (x >= bpp) cur(x - bpp) else 0
         val b = prev(x)
-        val c = if (x >= 3) prev(x - 3) else 0
+        val c = if (x >= bpp) prev(x - bpp) else 0
         val v = filter match {
           case 0 => rawv
           case 1 => (rawv + a) & 0xff
@@ -463,12 +481,26 @@ object Multimodal {
           case 4 => (rawv + paeth(a, b, c)) & 0xff
         }
         cur(x) = v
-        (x % 3) match {
+        if (!paletted) (x % 3) match {
           case 0 => sr += v
           case 1 => sg += v
           case _ => sb += v
         }
         x += 1
+      }
+      if (paletted) {
+        // unpack MSB-first indices at bitDepth bits, look up PLTE
+        val perByte = 8 / bitDepth
+        val mask = (1 << bitDepth) - 1
+        var px = 0
+        while (px < w) {
+          val idx = (cur(px / perByte) >>
+            (8 - bitDepth - (px % perByte) * bitDepth)) & mask
+          if (idx >= palette.length) return None // malformed index
+          val rgb = palette(idx)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          px += 1
+        }
       }
       System.arraycopy(cur, 0, prev, 0, stride)
       y += 1
@@ -477,8 +509,9 @@ object Multimodal {
   }
 
   /** [[describeBmp]]'s PNG sibling: per-payload decoded pixel sums
-    * (null columns for anything but 8-bit truecolor non-interlaced
-    * PNG). Per-partition kernel, no shuffle, integer outputs. */
+    * (null columns for anything but 8-bit truecolor or palette-indexed
+    * non-interlaced PNG). Per-partition kernel, no shuffle, integer
+    * outputs. */
   def describePng(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
@@ -599,6 +632,7 @@ object Multimodal {
             }
           case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
             if (w != 0) return None // two frames: malformed
+            if (i + 10 > segEnd) return None // short frame header
             if (u8(i + 4) != 8) return None // 8-bit precision only
             h = be16(i + 5); w = be16(i + 7); nc = u8(i + 9)
             if (w <= 0 || h <= 0 || (nc != 1 && nc != 3)) return None
@@ -623,6 +657,7 @@ object Multimodal {
             dri = be16(i + 4)
           case 0xda => // SOS: component → table ids, then entropy data
             if (w == 0) return None // scan before frame
+            if (i + 5 > segEnd) return None // short scan header
             val ns = u8(i + 4)
             if (ns != nc || i + 5 + 2 * ns + 3 > segEnd) return None
             scanDc = new Array[Int](nc); scanAc = new Array[Int](nc)
@@ -633,6 +668,7 @@ object Multimodal {
               if (ci < 0) return None
               scanDc(ci) = (u8(i + 6 + 2 * c) >> 4) & 0xf
               scanAc(ci) = u8(i + 6 + 2 * c) & 0xf
+              if (scanDc(ci) > 3 || scanAc(ci) > 3) return None // 4 tables max
               c += 1
             }
             scanStart = segEnd

@@ -204,11 +204,117 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  /** Hand-built palette PNG: PLTE of `palette` RGB triples, indices
+    * packed MSB-first at `depth` bits, filter-0 rows. */
+  private def pngPaletted(depth: Int, palette: Seq[(Int, Int, Int)],
+                          idx: Seq[Seq[Int]]): Array[Byte] = {
+    val h = idx.length; val w = idx.head.length
+    val stride = (w * depth + 7) / 8
+    val raw = new Array[Byte](h * (1 + stride))
+    val perByte = 8 / depth
+    (0 until h).foreach { y =>
+      val base = y * (1 + stride)
+      raw(base) = 0
+      (0 until w).foreach { x =>
+        val shift = 8 - depth - (x % perByte) * depth
+        raw(base + 1 + x / perByte) =
+          (raw(base + 1 + x / perByte) | (idx(y)(x) << shift)).toByte
+      }
+    }
+    val deflated = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(raw); d.finish()
+      val buf = new Array[Byte](raw.length + 64)
+      val n = d.deflate(buf); d.end()
+      buf.take(n)
+    }
+    def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+      val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+      out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+      val crc = new java.util.zip.CRC32()
+      crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+      out.putInt(crc.getValue.toInt)
+      out.array()
+    }
+    val ihdr = java.nio.ByteBuffer.allocate(13)
+      .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+    val plte = palette.flatMap { case (r, g, b) =>
+      Seq(r.toByte, g.toByte, b.toByte) }.toArray
+    val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+    sig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
+      chunk("IDAT", deflated) ++ chunk("IEND", Array.emptyByteArray)
+  }
+
+  test("parsePngPixels decodes palette PNGs at every depth exactly (vs ImageIO)") {
+    Seq(1, 2, 4, 8).foreach { depth =>
+      val n = 1 << depth
+      val palette = Seq.tabulate(n)(i => ((i * 37) % 256, (i * 59) % 256, (i * 83) % 256))
+      val w = 9; val h = 5 // odd width: sub-byte rows have slack bits
+      val idx = Seq.tabulate(h, w)((y, x) => (x * 3 + y * 5) % n)
+      val bytes = pngPaletted(depth, palette, idx)
+      val got = Multimodal.parsePngPixels(bytes).get
+      assert(got.width == w && got.height == h && got.bitDepth == depth)
+      val want = idx.flatten.map(palette)
+      assert(got.sumR == want.map(_._1.toLong).sum, s"depth $depth R")
+      assert(got.sumG == want.map(_._2.toLong).sum, s"depth $depth G")
+      assert(got.sumB == want.map(_._3.toLong).sum, s"depth $depth B")
+      // the JDK decoder accepts the same bytes and agrees per pixel
+      val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(img != null, s"ImageIO rejected depth-$depth palette fixture")
+      var sr = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        sr += (img.getRGB(x, y) >> 16) & 0xff } }
+      assert(sr == got.sumR, s"depth $depth vs ImageIO")
+    }
+  }
+
+  test("parsePngPixels decodes ImageIO-ENCODED indexed PNGs (third-party palette bytes)") {
+    (1 to 10).foreach { _ =>
+      val w = 1 + rnd.nextInt(14); val h = 1 + rnd.nextInt(9)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        img.setRGB(x, y, rnd.nextInt(1 << 24)) } }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "png", baos))
+      val bytes = baos.toByteArray
+      val got = Multimodal.parsePngPixels(bytes).get
+      // ImageIO quantized to ITS palette on write; compare against its
+      // own read-back of the same bytes
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val p = dec.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff } }
+      assert(got.width == w && got.height == h)
+      assert(got.sumR == sr && got.sumG == sg && got.sumB == sb,
+        s"${w}x$h depth ${got.bitDepth}: (${got.sumR},${got.sumG},${got.sumB}) vs ($sr,$sg,$sb)")
+    }
+  }
+
+  test("palette PNGs with malformed PLTE or out-of-range indices return None") {
+    val palette = Seq((10, 20, 30), (40, 50, 60))
+    val ok = pngPaletted(1, palette, Seq(Seq(0, 1, 1, 0)))
+    assert(Multimodal.parsePngPixels(ok).isDefined)
+    // index 3 at depth 2 with a 2-entry palette: malformed
+    val short = pngPaletted(2, palette, Seq(Seq(0, 3, 1, 0)))
+    assert(Multimodal.parsePngPixels(short).isEmpty)
+    // depth-8 palette image with NO PLTE chunk at all
+    val noPlte = {
+      val withPlte = pngPaletted(8, palette, Seq(Seq(0, 1)))
+      // splice the PLTE chunk out (12 bytes header/CRC + 6 payload)
+      val plteAt = 8 + 25 // sig + IHDR chunk
+      withPlte.take(plteAt) ++ withPlte.drop(plteAt + 12 + 6)
+    }
+    assert(Multimodal.parsePngPixels(noPlte).isEmpty)
+  }
+
   test("parsePngPixels refuses other shapes and survives hostile bytes") {
     val ok = pngWithFilter(0, Seq(Seq((1, 2, 3))))
     assert(Multimodal.parsePngPixels(ok).isDefined)
-    // palette / 16-bit / interlaced: different tier, None
-    val pal = ok.clone(); pal(25) = 3; assert(Multimodal.parsePngPixels(pal).isEmpty)
+    // grayscale / 16-bit / interlaced: different tier, None
+    val gray = ok.clone(); gray(25) = 0; assert(Multimodal.parsePngPixels(gray).isEmpty)
     val b16 = ok.clone(); b16(24) = 16; assert(Multimodal.parsePngPixels(b16).isEmpty)
     val il = ok.clone(); il(28) = 1; assert(Multimodal.parsePngPixels(il).isEmpty)
     // truncated deflate stream: clean None, not an exception. (Cut
@@ -434,10 +540,12 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
       Multimodal.parseJpegPixels(ok.take(cut)) // must not throw
     }
     assert(System.nanoTime() - t0 < 30e9, "truncation sweep must not spin")
-    // random byte corruption: never a throw
-    (1 to 50).foreach { _ =>
+    // random byte corruption (single and multi-byte): never a throw —
+    // this fuzz caught the unvalidated SOS table ids on first run
+    (1 to 300).foreach { k =>
       val c = ok.clone()
-      c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte
+      (0 to k % 4).foreach { _ =>
+        c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte }
       Multimodal.parseJpegPixels(c)
     }
     assert(Multimodal.parseJpegPixels("not a jpeg".getBytes("UTF-8")).isEmpty)
