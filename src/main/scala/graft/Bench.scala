@@ -515,15 +515,42 @@ object Bench {
     // L2 IVF-PQ index (different metrics rank different neighbors on
     // unnormalized vectors — a cross-metric "recall" would measure
     // the metric gap, not the index).
+    //
+    // PLANTED NEIGHBORS (r10 VERDICT task 4): on uniform random
+    // embeddings true top-10 structure is near-chance, so recall sat
+    // at noise (11-12/160) and only a catastrophic regression could
+    // move it. Each query now gets 12 deterministic near-duplicates
+    // (per-element relative perturbation ±5%, scale-free for both
+    // cosine and L2) unioned in at fresh vec_ids — true neighbors are
+    // unambiguous, recall sits far above chance, and a real
+    // nPlanes/nProbe mistuning shows as a measurable drop. The
+    // fixture files stay untouched; planting is an O(16·12·64)
+    // driver-side union at bench time.
+    var annCacheStatus = "off" // "hit"/"miss" once the recall block runs
     def annRecall(): Map[String, Long] = try {
       import org.apache.spark.sql.functions._
       import org.apache.spark.sql.expressions.Window
       spark.catalog.clearCache()
-      val emb = graft.core.Tables.embeddings(spark, sfDir)
-        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-      val qids = emb.select("vec_id").where(col("vec_id") % 97 === 0)
+      val base = graft.core.Tables.embeddings(spark, sfDir)
+      val qids = base.select("vec_id").where(col("vec_id") % 97 === 0)
         .orderBy("vec_id").limit(16)
         .collect().map(_.getLong(0)).toSeq
+      val qvecs = base.where(col("vec_id").isin(qids: _*))
+        .select("vec_id", "embedding").collect()
+        .map(r => (r.getLong(0), r.getSeq[Float](1).toArray))
+      val plantBase = 50000000L // past any fixture vec_id at any sf
+      val planted = qvecs.zipWithIndex.flatMap { case ((_, qv), qi) =>
+        (0 until 12).map { j =>
+          val e = qv.zipWithIndex.map { case (v, kk) =>
+            (v * (1.0 + 0.05 * (((qi * 131 + j * 31 + kk * 17) % 7) - 3) / 3.0)).toFloat
+          }
+          (plantBase + qi * 100L + j, e, 0)
+        }
+      }.toSeq
+      val emb = base.select(col("vec_id"), col("embedding"), col("label"))
+        .unionByName(spark.createDataFrame(planted)
+          .toDF("vec_id", "embedding", "label"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
       val k10 = 10
       def pairSet(df: org.apache.spark.sql.DataFrame): Set[(Long, Long)] =
         df.select("qid", "vec_id").collect()
@@ -542,10 +569,59 @@ object Bench {
         .select(col("qid"), col("vec_id"), l2.as("d"))
         .withColumn("r", row_number().over(wL2)).where(col("r") <= k10))
       // trained index: Lloyd coarse cells + per-subspace codebooks —
-      // the real 100 TB path, deterministic by the lloydStep contract
-      val coarse = graft.llm.Ivf.buildCentroidsLloyd(emb, 16, 3, 64)
-      val model = graft.llm.Pq.train(emb, "vec_id", "embedding",
-        dim = 64, m = 4, k = 16, maxIter = 2)
+      // the real 100 TB path, deterministic by the lloydStep contract.
+      // Training is ~1 min of the bench wall, and deterministic on a
+      // fixed fixture — so the trained model is CACHED by (sf dir,
+      // params, fixture fingerprint); the driver regenerating
+      // testdata changes the fingerprint and invalidates. Doubles are
+      // stored as raw bits, so a cache hit replays the exact model
+      // and recall values are bit-identical to a fresh train.
+      val params = "coarse16x3x64|pq64x4x16x2|plant12"
+      val cacheFile = {
+        val fpMd = java.security.MessageDigest.getInstance("MD5")
+        def walk(f: java.io.File): Unit =
+          if (f.isDirectory) f.listFiles().sortBy(_.getName).foreach(walk)
+          else fpMd.update(
+            s"${f.getName}:${f.length}:${f.lastModified}|".getBytes("UTF-8"))
+        walk(new java.io.File(sfDir, "embeddings.parquet"))
+        fpMd.update(s"$sfDir|$params".getBytes("UTF-8"))
+        val key = fpMd.digest().map(b => f"$b%02x").mkString
+        val dir = new java.io.File("target/bench-ann-cache")
+        dir.mkdirs()
+        new java.io.File(dir, s"ivfpq_$key.txt")
+      }
+      def hex(a: Array[Double]): String =
+        a.map(d => java.lang.Double.doubleToRawLongBits(d).toHexString).mkString(",")
+      def unhex(s: String): Array[Double] =
+        s.split(',').map(t => java.lang.Double.longBitsToDouble(
+          java.lang.Long.parseUnsignedLong(t, 16)))
+      val cached: Option[(Seq[Array[Double]], graft.llm.Pq.Model)] =
+        if (!cacheFile.exists) None
+        else try {
+          val lines = java.nio.file.Files.readAllLines(cacheFile.toPath)
+          val it = lines.iterator()
+          require(it.next() == s"params $params")
+          val coarseN = it.next().stripPrefix("coarse ").toInt
+          val cs = (0 until coarseN).map(_ => unhex(it.next()))
+          val pqHdr = it.next().stripPrefix("pq ").split(' ').map(_.toInt)
+          val pm = pqHdr(0); val pk = pqHdr(1)
+          val books = (0 until pm).map(_ => (0 until pk).map(_ => unhex(it.next())))
+          Some((cs, graft.llm.Pq.Model(64, pm, pk, books)))
+        } catch { case _: Exception => None } // stale/corrupt: retrain
+      annCacheStatus = if (cached.isDefined) "hit" else "miss"
+      val (coarse, model) = cached.getOrElse {
+        val cs = graft.llm.Ivf.buildCentroidsLloyd(emb, 16, 3, 64)
+        val md = graft.llm.Pq.train(emb, "vec_id", "embedding",
+          dim = 64, m = 4, k = 16, maxIter = 2)
+        val out = new StringBuilder()
+        out ++= s"params $params\n"
+        out ++= s"coarse ${cs.length}\n"
+        cs.foreach(c => out ++= hex(c) + "\n")
+        out ++= s"pq ${md.m} ${md.k}\n"
+        md.codebooks.foreach(_.foreach(c => out ++= hex(c) + "\n"))
+        java.nio.file.Files.write(cacheFile.toPath, out.toString.getBytes("UTF-8"))
+        (cs, md)
+      }
       val ivf = graft.llm.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
           coarse, model, qids, nProbe = 4, topK = k10 + 1)
         .where(col("vec_id") =!= col("qid")) // self-pair rides rank 1
@@ -672,6 +748,7 @@ object Bench {
       s""""entry_loadavg_pre":$loadPreJson,"retry_probe":$retryProbeJson,""" +
       s""""calib":$calibJson,""" +
       s""""recall":$recallJson,"recall_drift":$recallDriftJson,""" +
+      s""""ann_cache":"$annCacheStatus",""" +
       s""""regressed":$regJson,"contended":$contJson,"x10_scaleup":$scaleJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // The driver parses captured stdout, but sbt prefixes every line
