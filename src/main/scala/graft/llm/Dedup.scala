@@ -1,6 +1,6 @@
 package graft.llm
 
-import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import graft.functions.TextFunctions
 
@@ -691,6 +691,66 @@ object Dedup {
         ()
       }
       .start()
+  }
+
+  /** Compact an [[incrementalNearDupsStream]] index directory:
+    * coalesce the seed segments plus the batch segments `bK` with
+    * `K < upToBatch` into ONE new seed segment (`seed_c<n>`), leaving
+    * later batch segments in place. At 100 TB the per-batch layout is
+    * the WRITE path, not the steady state — thousands of micro-batch
+    * segments mean thousands of child dirs listed and small parquet
+    * files opened per ingest join; compaction restores O(1) segments.
+    * It changes no answer: prior segments were already read as one
+    * union at ingest time, so the hot-bucket fence was already
+    * computed over their concatenated occupancy (spec-pinned below —
+    * SCALE.md's earlier per-segment-fence note described the
+    * within-batch leg, not this join), and `doc_id` dedup only
+    * collapses rows a double-written seed would have duplicated.
+    *
+    * Replay safety: foreachBatch is at-least-once — a replayed batch
+    * `K` must see exactly the segments `< K`, so only compact batches
+    * the checkpoint has committed past (`upToBatch` ≤ the stream's
+    * next batch id), or compact a STOPPED stream with the default
+    * (fold everything). Write order is tmp (outside the index dir) →
+    * rename into place under a fresh name → delete the folded
+    * segments; a crash between the last two steps leaves duplicate
+    * sketches, which the next compaction's dedup heals. */
+  def compactSketchIndex(spark: SparkSession, indexDir: String,
+                         upToBatch: Long = Long.MaxValue,
+                         targetPartitions: Int = 1): Unit = {
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
+    val dir = new org.apache.hadoop.fs.Path(indexDir)
+    if (!fs.exists(dir)) return
+    val batchSeg = "b(\\d+)".r
+    val all = fs.listStatus(dir).toSeq.filter(_.isDirectory)
+    val (later, compactable) = all.partition { st =>
+      st.getPath.getName match {
+        case batchSeg(k) => k.toLong >= upToBatch
+        case _ => false
+      }
+    }
+    if (compactable.size <= 1) return // already compact
+    val maxBatch = compactable.map(_.getPath.getName).collect {
+      case batchSeg(k) => k.toLong
+    }.foldLeft(-1L)(math.max)
+    val merged = spark.read.parquet(compactable.map(_.getPath.toString): _*)
+      .dropDuplicates("doc_id")
+    val out = if (targetPartitions > 0) merged.coalesce(targetPartitions) else merged
+    val tmp = new org.apache.hadoop.fs.Path(
+      indexDir.stripSuffix("/") + ".compacting")
+    fs.delete(tmp, true)
+    out.write.mode("overwrite").parquet(tmp.toString)
+    // fresh destination name (never one of the sources), then swap
+    var ci = maxBatch + 1
+    var dest = new org.apache.hadoop.fs.Path(dir, s"seed_c$ci")
+    while (fs.exists(dest)) {
+      ci += 1; dest = new org.apache.hadoop.fs.Path(dir, s"seed_c$ci")
+    }
+    require(fs.rename(tmp, dest),
+      s"compactSketchIndex: rename $tmp -> $dest failed")
+    compactable.foreach(st => fs.delete(st.getPath, true))
+    val _ = later // later batch segments stay untouched by design
   }
 
   // ---------------------------------------------------------------- SimHash

@@ -83,6 +83,93 @@ class StreamingDedupSpec extends SparkSpec {
       Set("b0", "b1", "b2"))
   }
 
+  test("compaction folds segments into one seed and ingest parity holds") {
+    implicit val sqlCtx = spark.sqlContext
+    val (idxDir, pairsDir) = (tmp("nds-idx4"), tmp("nds-pairs4"))
+    runStream(idxDir, pairsDir) // b0, b1, b2
+    Dedup.compactSketchIndex(spark, idxDir)
+    val segs = new java.io.File(idxDir).listFiles().map(_.getName).toSet
+    assert(segs == Set("seed_c3"), segs.toString)
+    // a SECOND lineage over the compacted index (fresh checkpoint,
+    // fresh pairs dir): its pairs must be exactly the concatenated
+    // one-shot answer minus the pairs internal to the compacted
+    // history — same as an uncompacted b0..b2 index would give
+    val ms = MemoryStream[(Long, String)]
+    val pairs2 = tmp("nds-pairs4b")
+    val q = Dedup.incrementalNearDupsStream(
+      ms.toDF().toDF("doc_id", "text"), idxDir, pairs2, tmp("nds-ck4"),
+      "doc_id", "text", n = 3, threshold = 0.5)
+    try {
+      ms.addData(9L -> variant(words(200), 9), 10L -> doc(words(600)))
+      q.processAllAvailable()
+    } finally q.stop()
+    spark.catalog.clearCache()
+    val got = pairSet(pairs2).map(p => (p._1, p._2))
+    // 9 is a variant of 5 (history, batch 1) and of 6 (history, batch
+    // 2, itself a variant of 5); 10 matches nothing
+    assert(got == Set((5L, 9L), (6L, 9L)), got.toString)
+    // compacting an already-compact index is a no-op
+    Dedup.compactSketchIndex(spark, idxDir, upToBatch = 0)
+    assert(new java.io.File(idxDir).listFiles().map(_.getName).toSet
+      .contains("seed_c3"))
+  }
+
+  test("upToBatch leaves later segments in place for replay safety") {
+    val (idxDir, pairsDir) = (tmp("nds-idx5"), tmp("nds-pairs5"))
+    runStream(idxDir, pairsDir) // b0, b1, b2
+    Dedup.compactSketchIndex(spark, idxDir, upToBatch = 2)
+    val segs = new java.io.File(idxDir).listFiles().map(_.getName).toSet
+    assert(segs == Set("seed_c2", "b2"), segs.toString)
+    // folded content = b0 ∪ b1: ids 1-5; b2 keeps 6-8
+    val seed = spark.read.parquet(s"$idxDir/seed_c2")
+      .select("doc_id").as[Long].collect().toSet
+    assert(seed == Set(1L, 2L, 3L, 4L, 5L))
+  }
+
+  test("hot-bucket fence sees the same occupancy before and after compaction") {
+    implicit val sqlCtx = spark.sqlContext
+    // two seed segments, each with 3 IDENTICAL-text docs (identical
+    // sketches → every band bucket holds all six): per-segment
+    // occupancy 3, union occupancy 6. With maxBucketSize=4 the bucket
+    // is hot ONLY in the union — the ingest fence must behave
+    // identically against the split and the compacted index (prior
+    // segments are read as one union either way; this is the case
+    // SCALE.md once mis-described as per-segment fencing).
+    def seedDocs(from: Long, n: Int): Seq[(Long, String)] =
+      (0 until n).map(i => (from + i) -> doc(words(800)))
+    def freshIndex(): String = {
+      val idxDir = tmp("nds-idx6")
+      Dedup.writeSketchIndex(seedDocs(301L, 3).toDF("doc_id", "text"),
+        "doc_id", "text", 3, s"$idxDir/seedA")
+      Dedup.writeSketchIndex(seedDocs(304L, 3).toDF("doc_id", "text"),
+        "doc_id", "text", 3, s"$idxDir/seedB")
+      idxDir
+    }
+    def ingest(idxDir: String, cap: Int): Set[(Long, Long)] =
+      Dedup.incrementalNearDups(
+          Seq(401L -> variant(words(800), 99)).toDF("doc_id", "text"),
+          s"$idxDir/*", "doc_id", "text", n = 3, threshold = 0.3,
+          maxBucketSize = cap)
+        .select("new_id", "hist_id").as[(Long, Long)].collect().toSet
+    val split = freshIndex()
+    val compacted = freshIndex()
+    Dedup.compactSketchIndex(spark, compacted)
+    assert(new java.io.File(compacted).listFiles().map(_.getName).toSet
+      == Set("seed_c0"))
+    // capped at 4: union-hot bucket is fenced the same both ways
+    val fencedSplit = ingest(split, cap = 4)
+    val fencedCompact = ingest(compacted, cap = 4)
+    assert(fencedSplit == fencedCompact,
+      s"fence divergence: split=$fencedSplit compacted=$fencedCompact")
+    // capped at 10: the same pairs come back both ways, and they exist
+    val openSplit = ingest(split, cap = 10)
+    val openCompact = ingest(compacted, cap = 10)
+    assert(openSplit == openCompact && openSplit.nonEmpty)
+    assert(openSplit.map(_._2) == Set(301L, 302L, 303L, 304L, 305L, 306L))
+    // and the fence actually bit at cap=4 (otherwise this test is vacuous)
+    assert(fencedSplit != openSplit)
+  }
+
   test("seed history contributes cross pairs but history-internal pairs stay out") {
     implicit val sqlCtx = spark.sqlContext
     val (idxDir, pairsDir) = (tmp("nds-idx3"), tmp("nds-pairs3"))
