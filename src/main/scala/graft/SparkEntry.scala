@@ -4134,6 +4134,61 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q245 — GIF LZW pixel decode ([[graft.sources.Multimodal
+    // .parseGifPixels]]): GIF's pixel data is LZW — variable-width
+    // LSB-first codes, clear/EOI, 4096-entry dictionary — implemented
+    // from the GIF89a spec appendix, no codec library. Same
+    // synthesize-and-replay contract as q244: each document builds a
+    // real GIF (global color table + a clear-per-pixel LZW stream —
+    // valid, maximally naive, and decodable by javax.imageio, which
+    // the differential spec pins along with REAL dictionary streams
+    // from ImageIO's own encoder); palette entries and the index grid
+    // come from integer formulas, so the oracle computes the channel
+    // sums directly. Every 50th payload is non-GIF → nulls. Map-only;
+    // payloads never shuffle.
+    "q245_gif_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "gif? afraid not".getBytes("UTF-8"))
+        else {
+          val k = (1 + id % 3).toInt // palette 2^k entries: 2, 4, 8
+          val palSize = 1 << k
+          val minCode = math.max(2, k)
+          val clear = 1 << minCode; val eoi = clear + 1
+          val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
+          val bb = new java.io.ByteArrayOutputStream()
+          def b(x: Int): Unit = bb.write(x & 0xff)
+          "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+          b(w); b(w >> 8); b(h); b(h >> 8)
+          b(0x80 | (minCode - 1)); b(0); b(0) // GCT of 2^minCode entries
+          (0 until (1 << minCode)).foreach { i =>
+            if (i < palSize) { b((i * 41) % 256); b((i * 73) % 256); b((i * 101) % 256) }
+            else { b(0); b(0); b(0) }
+          }
+          b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
+          b(minCode)
+          val codes = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+            Seq(clear, ((id * 3 + x * 7 + y * 11) % palSize).toInt)
+          }) :+ eoi
+          var acc = 0L; var nb = 0
+          val payload = new java.io.ByteArrayOutputStream()
+          codes.foreach { c =>
+            acc |= c.toLong << nb; nb += minCode + 1
+            while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+          }
+          if (nb > 0) payload.write((acc & 0xff).toInt)
+          payload.toByteArray.grouped(255).foreach { chunk =>
+            b(chunk.length); bb.write(chunk)
+          }
+          b(0); b(0x3b)
+          (id, bb.toByteArray)
+        }
+      }.toDF("doc_id", "gif")
+      graft.sources.Multimodal.describeGifPixels(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "gif", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q243 — baseline JPEG pixel decode ([[graft.sources.Multimodal
     // .parseJpegPixels]]): the LOSSY-image tier, implemented from the
     // T.81 spec (Huffman entropy decode, dequant, 8×8 IDCT, chroma
@@ -7274,6 +7329,39 @@ object SparkEntry {
         |       ELSE CAST(a.w AS INTEGER) END AS width,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.np END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // GIF channel sums re-derived from the palette + index formulas —
+    // the engine must reproduce them THROUGH LZW decode (LSB-first
+    // variable-width codes) and the color-table lookup.
+    "q245_gif_decode" ->
+      """WITH dims AS (SELECT doc_id,
+        |    CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END AS n,
+        |    2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+        |  FROM documents),
+        |px AS (SELECT doc_id, n, w, h, x, y
+        |       FROM dims, generate_series(0, 6) a(x), generate_series(0, 3) b(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 41) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 73) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 101) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS frame_w,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS frame_h,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.np END AS n_pixels,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,

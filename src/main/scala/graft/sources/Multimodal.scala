@@ -355,6 +355,199 @@ object Multimodal {
     Some(GifFrames(w, h, frames, durationMs))
   }
 
+  /** Decoded-GIF first-frame facts: logical screen + frame geometry
+    * plus per-channel integer pixel sums through the color table —
+    * the same integer-exact contract as [[PngStats]]. */
+  final case class GifPixelStats(width: Int, height: Int,
+                                 frameW: Int, frameH: Int, nPixels: Long,
+                                 sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL pure-JVM GIF pixel decode — LZW from the GIF89a
+    * specification, the last piece of GIF that looked codec-bound:
+    * variable-width LSB-first codes in length-prefixed sub-blocks,
+    * clear/EOI handling, the dictionary capped at 4096 entries with
+    * width growth to 12 bits, the `code == dictSize` (KwKwK) case,
+    * and deferred-clear streams. Decodes the FIRST image descriptor's
+    * data through its active color table (local over global):
+    * interlace doesn't matter to channel sums (order-free), and a
+    * truncated stream is CLAMPED to the fully-decoded pixels
+    * (crawled-corpus posture, like [[parseBmpPixels]]); an index past
+    * the palette or a malformed code returns None. Transparency is
+    * deliberately ignored — indices map through the palette as
+    * stored, which is what corpus statistics want and what the q245
+    * oracle replays. Cross-checked against javax.imageio's own GIF
+    * decoder (real dictionary-using LZW from ImageIO's encoder) in
+    * the differential spec. */
+  def parseGifPixels(bytes: Array[Byte]): Option[GifPixelStats] = {
+    if (bytes == null || bytes.length < 14) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    if (!(u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == '8' &&
+          (u8(4) == '7' || u8(4) == '9') && u8(5) == 'a')) return None
+    val w = le16(6); val h = le16(8)
+    val packed = u8(10)
+    var i: Long = 13L
+    var gct: Array[Int] = null // packed 0xRRGGBB
+    if ((packed & 0x80) != 0) {
+      val n = 1 << ((packed & 0x07) + 1)
+      if (i + 3L * n > bytes.length) return None
+      gct = Array.tabulate(n)(k =>
+        (u8((i + 3 * k).toInt) << 16) | (u8((i + 3 * k + 1).toInt) << 8) |
+          u8((i + 3 * k + 2).toInt))
+      i += 3L * n
+    }
+    def skipSubBlocks(o: Long): Long = {
+      var p = o
+      while (p < bytes.length && u8(p.toInt) != 0) p += 1L + u8(p.toInt)
+      p + 1
+    }
+    // walk to the FIRST image descriptor
+    while (i < bytes.length) {
+      u8(i.toInt) match {
+        case 0x21 if i + 1 < bytes.length => i = skipSubBlocks(i + 2)
+        case 0x2c =>
+          if (i + 10 > bytes.length) return None
+          val fw = le16(i.toInt + 5); val fh = le16(i.toInt + 7)
+          val ipacked = u8(i.toInt + 9)
+          if (fw <= 0 || fh <= 0 || fw.toLong * fh > (1L << 26)) return None
+          var p = i + 10
+          val palette: Array[Int] =
+            if ((ipacked & 0x80) != 0) {
+              val n = 1 << ((ipacked & 0x07) + 1)
+              if (p + 3L * n > bytes.length) return None
+              val lct = Array.tabulate(n)(k =>
+                (u8((p + 3 * k).toInt) << 16) | (u8((p + 3 * k + 1).toInt) << 8) |
+                  u8((p + 3 * k + 2).toInt))
+              p += 3L * n
+              lct
+            } else gct
+          if (palette == null) return None // no color table at all
+          if (p >= bytes.length) return None
+          val minCode = u8(p.toInt)
+          if (minCode < 1 || minCode > 11) return None
+          p += 1
+          // concatenate the data sub-blocks (bounded by payload size)
+          val data = new java.io.ByteArrayOutputStream()
+          var q = p
+          var ok = true
+          while (ok && q < bytes.length && u8(q.toInt) != 0) {
+            val len = u8(q.toInt)
+            val take = math.min(len.toLong, bytes.length - q - 1).toInt
+            data.write(bytes, (q + 1).toInt, take)
+            if (take < len) ok = false // truncated: decode what arrived
+            q += 1L + len
+          }
+          val stream = data.toByteArray
+          // LZW decode, LSB-first variable-width codes (spec appendix F)
+          val clear = 1 << minCode
+          val eoi = clear + 1
+          val nPixTarget = fw.toLong * fh
+          // dictionary as prefix links: suffix byte + parent code
+          val suffix = new Array[Byte](4096)
+          val parent = new Array[Int](4096)
+          var dictSize = clear + 2
+          var codeBits = minCode + 1
+          var prev = -1
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var decoded = 0L
+          var bitPos = 0L
+          val totalBits = stream.length.toLong * 8
+          def emit(code: Int): Boolean = { // walk the chain, sum pixels
+            var c = code
+            var n = 0
+            while (c >= clear + 2) { // composite entry
+              val idx = suffix(c) & 0xff
+              if (idx >= palette.length) return false
+              val rgb = palette(idx)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              n += 1
+              c = parent(c)
+            }
+            if (c >= clear || c >= palette.length) return false // root must be a literal
+            val rgb = palette(c)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            decoded += n + 1
+            true
+          }
+          var done = false
+          var corrupt = false
+          while (!done && !corrupt && decoded < nPixTarget) {
+            if (bitPos + codeBits > totalBits) done = true // truncated
+            else {
+              // LSB-first read of codeBits bits at bitPos
+              var code = 0
+              var k = 0
+              while (k < codeBits) {
+                val bp = bitPos + k
+                if ((stream((bp >> 3).toInt) >> (bp & 7).toInt & 1) != 0)
+                  code |= 1 << k
+                k += 1
+              }
+              bitPos += codeBits
+              if (code == clear) {
+                dictSize = clear + 2; codeBits = minCode + 1; prev = -1
+              } else if (code == eoi) done = true
+              else if (prev < 0) { // first code after clear: a literal root
+                if (code >= clear || !emit(code)) corrupt = true
+                else prev = code
+              } else {
+                val known = code < dictSize && (code < clear || code >= clear + 2)
+                if (!known && code != dictSize) corrupt = true
+                else {
+                  // new entry BEFORE emitting: prev + first(cur) — for
+                  // the KwKwK case (code == dictSize) the entry being
+                  // defined IS the one emitted, so its first byte is
+                  // first(prev)
+                  if (dictSize < 4096) {
+                    suffix(dictSize) =
+                      if (known) firstOf(code, suffix, parent, clear)
+                      else firstOf(prev, suffix, parent, clear)
+                    parent(dictSize) = prev
+                    dictSize += 1
+                    if (dictSize == (1 << codeBits) && codeBits < 12) codeBits += 1
+                  } else if (!known) { corrupt = true } // KwKwK past a full dict
+                  if (!corrupt && !emit(code)) corrupt = true
+                  if (!corrupt) prev = code
+                }
+              }
+            }
+          }
+          if (corrupt) return None
+          return Some(GifPixelStats(w, h, fw, fh, decoded, sr, sg, sb))
+        case 0x3b => return None // trailer before any frame
+        case _ => return None
+      }
+    }
+    None
+  }
+
+  /** Root pixel of a code's expansion (first emitted byte). */
+  private def firstOf(code: Int, suffix: Array[Byte], parent: Array[Int],
+                      clear: Int): Byte = {
+    var c = code
+    while (c >= clear + 2) c = parent(c)
+    c.toByte
+  }
+
+  /** [[describePng]]'s GIF sibling: first-frame decoded pixel sums
+    * through the color table (null columns where the payload isn't a
+    * decodable GIF). Per-partition kernel, no shuffle, integer
+    * outputs. */
+  def describeGifPixels(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseGifPixels(payload)
+        (id, st.map(_.width), st.map(_.height), st.map(_.frameW),
+          st.map(_.frameH), st.map(_.nPixels),
+          st.map(_.sumR), st.map(_.sumG), st.map(_.sumB))
+      }
+      .toDF("media_id", "width", "height", "frame_w", "frame_h",
+        "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
   /** [[describeBmp]]'s animation sibling: per-payload GIF frame walk
     * (null columns where the payload isn't a GIF). Per-partition
     * kernel, no shuffle; integer outputs. */

@@ -574,6 +574,136 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     bb.toByteArray
   }
 
+  // ---- GIF LZW pixel decode vs javax.imageio ---------------------
+
+  test("parseGifPixels decodes ImageIO-ENCODED GIFs exactly (real LZW dictionaries)") {
+    (1 to 10).foreach { _ =>
+      val w = 3 + rnd.nextInt(40); val h = 2 + rnd.nextInt(30)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_INDEXED)
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        // runs of repeated colors force real dictionary growth
+        img.setRGB(x, y, if ((x / 5 + y / 3) % 2 == 0) 0x333333
+                         else rnd.nextInt(1 << 24)) } }
+      val baos = new java.io.ByteArrayOutputStream()
+      assert(javax.imageio.ImageIO.write(img, "gif", baos))
+      val bytes = baos.toByteArray
+      val got = Multimodal.parseGifPixels(bytes).get
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val p = dec.getRGB(x, y)
+        sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff } }
+      assert(got.frameW == w && got.frameH == h && got.nPixels == w.toLong * h)
+      assert(got.sumR == sr && got.sumG == sg && got.sumB == sb,
+        s"${w}x$h: (${got.sumR},${got.sumG},${got.sumB}) vs ($sr,$sg,$sb)")
+    }
+  }
+
+  /** Hand-rolled GIF with a CLEAR-per-pixel LZW stream: every pixel a
+    * fresh literal code — dictionary never grows, width stays fixed. */
+  private def gifClearPerPixel(palette: Seq[(Int, Int, Int)],
+                               idx: Seq[Seq[Int]]): Array[Byte] = {
+    val h = idx.length; val w = idx.head.length
+    val bits = math.max(1, 32 - Integer.numberOfLeadingZeros(palette.length - 1))
+    val minCode = math.max(2, bits)
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bb = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = bb.write(x & 0xff)
+    "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+    b(w); b(w >> 8); b(h); b(h >> 8)
+    b(0x80 | (minCode - 1)); b(0); b(0) // GCT of 2^minCode entries
+    (0 until (1 << minCode)).foreach { i =>
+      val (r, g, bl) = if (i < palette.length) palette(i) else (0, 0, 0)
+      b(r); b(g); b(bl)
+    }
+    b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
+    b(minCode)
+    // LSB-first bit writer into sub-blocks
+    val codes = idx.flatten.flatMap(i => Seq(clear, i)) :+ eoi
+    val width = minCode + 1
+    var acc = 0L; var nb = 0
+    val payload = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc |= c.toLong << nb; nb += width
+      while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) payload.write((acc & 0xff).toInt)
+    val data = payload.toByteArray
+    data.grouped(255).foreach { chunk => b(chunk.length); bb.write(chunk) }
+    b(0) // block terminator
+    b(0x3b)
+    bb.toByteArray
+  }
+
+  test("parseGifPixels handles clear-per-pixel streams and the KwKwK case (vs ImageIO)") {
+    val palette = Seq((10, 20, 30), (200, 100, 50), (0, 255, 7), (99, 98, 97))
+    val idx = Seq(Seq(0, 1, 2, 3, 0), Seq(3, 2, 1, 0, 1), Seq(1, 1, 0, 2, 3))
+    val bytes = gifClearPerPixel(palette, idx)
+    val got = Multimodal.parseGifPixels(bytes).get
+    val want = idx.flatten.map(palette)
+    assert(got.frameW == 5 && got.frameH == 3 && got.nPixels == 15)
+    assert(got.sumR == want.map(_._1.toLong).sum)
+    assert(got.sumG == want.map(_._2.toLong).sum)
+    assert(got.sumB == want.map(_._3.toLong).sum)
+    // the JDK decoder accepts the same hand-rolled stream and agrees
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    assert(dec != null, "ImageIO rejected the clear-per-pixel fixture")
+    var sr = 0L
+    (0 until 3).foreach { y => (0 until 5).foreach { x =>
+      sr += (dec.getRGB(x, y) >> 16) & 0xff } }
+    assert(sr == got.sumR, "ImageIO disagrees on the hand-rolled stream")
+    // KwKwK: "aaaa" compresses to [CLEAR, a, dictSize] — the code
+    // references the entry being defined
+    val kw = {
+      val minCode = 2; val clear = 4
+      val codes = Seq(clear, 0, 6, 5) // a, aa(KwKwK), eoi... 5 IS eoi
+      val bb = new java.io.ByteArrayOutputStream()
+      def b(x: Int): Unit = bb.write(x & 0xff)
+      "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+      b(3); b(0); b(1); b(0); b(0x81); b(0); b(0)
+      Seq((5, 6, 7), (50, 60, 70), (0, 0, 0), (0, 0, 0)).foreach {
+        case (r, g, bl) => b(r); b(g); b(bl) }
+      b(0x2c); b(0); b(0); b(0); b(0); b(3); b(0); b(1); b(0); b(0)
+      b(minCode)
+      var acc = 0L; var nb = 0
+      val payload = new java.io.ByteArrayOutputStream()
+      codes.foreach { c =>
+        acc |= c.toLong << nb; nb += 3
+        while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+      }
+      if (nb > 0) payload.write((acc & 0xff).toInt)
+      val data = payload.toByteArray
+      b(data.length); bb.write(data); b(0); b(0x3b)
+      bb.toByteArray
+    }
+    val kwGot = Multimodal.parseGifPixels(kw).get
+    // pixels: a, a, a (3x1 of palette 0)
+    assert(kwGot.nPixels == 3 && kwGot.sumR == 15 && kwGot.sumG == 18 &&
+      kwGot.sumB == 21, kwGot.toString)
+  }
+
+  test("parseGifPixels clamps truncation and survives hostile bytes") {
+    val palette = Seq((1, 2, 3), (40, 50, 60), (70, 80, 90), (11, 12, 13))
+    val idx = Seq.tabulate(6, 9)((y, x) => (x + y) % 4)
+    val ok = gifClearPerPixel(palette, idx)
+    assert(Multimodal.parseGifPixels(ok).isDefined)
+    // cut INSIDE the LZW data: fully-decoded pixels only, no throw
+    val cut = Multimodal.parseGifPixels(ok.take(ok.length - 12))
+    assert(cut.isDefined && cut.get.nPixels < 54 && cut.get.nPixels >= 0)
+    // random corruption: never a throw, never a spin
+    val t0 = System.nanoTime()
+    (1 to 200).foreach { k =>
+      val c = ok.clone()
+      (0 to k % 3).foreach { _ =>
+        c(6 + rnd.nextInt(c.length - 6)) = rnd.nextInt(256).toByte }
+      Multimodal.parseGifPixels(c)
+    }
+    assert(System.nanoTime() - t0 < 30e9)
+    assert(Multimodal.parseGifPixels("GIF89a but not really".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseGifPixels(null).isEmpty)
+  }
+
   test("parseGifFrames agrees with javax.imageio on frame counts") {
     (1 to 10).foreach { _ =>
       val nf = 1 + rnd.nextInt(6)
