@@ -574,10 +574,14 @@ object Multimodal {
     * (`java.util.zip.Inflater`, in every JDK) plus the five
     * per-scanline prediction filters of the PNG spec (None/Sub/Up/
     * Average/Paeth), both implemented here from the specification.
-    * Scope: 8-bit truecolor (color type 2) AND palette-indexed
-    * (color type 3, bit depths 1/2/4/8 with a PLTE lookup — the
-    * common web-graphics shape), non-interlaced; alpha/16-bit/Adam7
-    * return None (a different tier, not a crash). Chunk walk: IHDR
+    * Scope — every non-interlaced PNG color type: truecolor and
+    * truecolor+alpha at 8/16 bits, grayscale (±alpha) at every legal
+    * depth (sub-byte gray scales exactly: 255/(2^d−1) is an integer),
+    * and palette-indexed at 1/2/4/8 bits through the PLTE lookup.
+    * Alpha samples are skipped and 16-bit samples report their top
+    * byte (the corpus-stats contract, differential-pinned against
+    * ImageIO's raster); only Adam7 interlacing returns None (a
+    * different tier, not a crash). Chunk walk: IHDR
     * first, PLTE captured for the palette tier, IDAT payloads
     * concatenated in order, stop at IEND; hostile/truncated streams
     * return None from the Inflater's own bounds instead of throwing,
@@ -598,9 +602,18 @@ object Multimodal {
     val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
     if (w <= 0 || h <= 0 || interlace != 0) return None
     val paletted = colorType == 3
-    if (!paletted && !(colorType == 2 && bitDepth == 8)) return None
-    if (paletted && !(bitDepth == 1 || bitDepth == 2 || bitDepth == 4 || bitDepth == 8))
-      return None
+    // samples per pixel by color type: gray / rgb / palette-index /
+    // gray+alpha / rgba; anything else is not a PNG color type
+    val nSamples = colorType match {
+      case 0 => 1; case 2 => 3; case 3 => 1; case 4 => 2; case 6 => 4
+      case _ => return None
+    }
+    val depthOk = colorType match {
+      case 0 => Set(1, 2, 4, 8, 16)(bitDepth) // sub-byte gray scales exactly
+      case 3 => Set(1, 2, 4, 8)(bitDepth)
+      case _ => bitDepth == 8 || bitDepth == 16
+    }
+    if (!depthOk) return None
     if (w.toLong * h > (1L << 26)) return None // 64M-pixel sanity fence
     val idat = new java.io.ByteArrayOutputStream()
     var palette: Array[Int] = null // packed 0xRRGGBB, from PLTE
@@ -623,8 +636,14 @@ object Multimodal {
     if (idat.size == 0) return None
     if (paletted && palette == null) return None
     // zlib inflate to h scanlines of (1 filter byte + stride bytes):
-    // 3 samples/pixel for truecolor, packed sub-byte indices for palette
-    val stride = if (paletted) ((w.toLong * bitDepth + 7) / 8).toInt else 3 * w
+    // whole bytes per sample at depth 8/16, packed sub-byte samples
+    // (gray or palette indices) below
+    val bytesPerSample = if (bitDepth == 16) 2 else 1
+    val subByte = bitDepth < 8
+    val stride =
+      if (subByte) ((w.toLong * bitDepth + 7) / 8).toInt
+      else w * nSamples * bytesPerSample
+    if (h.toLong * (1L + stride) > (1L << 28)) return None // 256 MB raw fence
     val raw = new Array[Byte](h * (1 + stride))
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
@@ -649,9 +668,9 @@ object Multimodal {
       val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
       if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
     }
-    // filter "left" distance is one PIXEL for truecolor (3 bytes) and
-    // one BYTE for sub-byte/8-bit palette rows, per the spec's bpp
-    val bpp = if (paletted) 1 else 3
+    // filter "left" distance is one PIXEL's bytes (floored to 1 for
+    // sub-byte rows), per the spec's bpp definition
+    val bpp = if (subByte) 1 else nSamples * bytesPerSample
     val prev = new Array[Int](stride)
     val cur = new Array[Int](stride)
     var sr = 0L; var sg = 0L; var sb = 0L
@@ -666,33 +685,65 @@ object Multimodal {
         val a = if (x >= bpp) cur(x - bpp) else 0
         val b = prev(x)
         val c = if (x >= bpp) prev(x - bpp) else 0
-        val v = filter match {
+        cur(x) = filter match {
           case 0 => rawv
           case 1 => (rawv + a) & 0xff
           case 2 => (rawv + b) & 0xff
           case 3 => (rawv + (a + b) / 2) & 0xff
           case 4 => (rawv + paeth(a, b, c)) & 0xff
         }
-        cur(x) = v
-        if (!paletted) (x % 3) match {
-          case 0 => sr += v
-          case 1 => sg += v
-          case _ => sb += v
-        }
         x += 1
       }
-      if (paletted) {
-        // unpack MSB-first indices at bitDepth bits, look up PLTE
+      if (subByte) {
+        // unpack MSB-first samples at bitDepth bits: palette indices
+        // look up PLTE; gray scales exactly to 8 bits (255/(2^d−1) is
+        // an integer for d ∈ {1,2,4})
         val perByte = 8 / bitDepth
         val mask = (1 << bitDepth) - 1
+        val grayScale = 255 / mask
         var px = 0
         while (px < w) {
-          val idx = (cur(px / perByte) >>
+          val v = (cur(px / perByte) >>
             (8 - bitDepth - (px % perByte) * bitDepth)) & mask
-          if (idx >= palette.length) return None // malformed index
+          if (paletted) {
+            if (v >= palette.length) return None // malformed index
+            val rgb = palette(v)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          } else {
+            val g8 = v * grayScale
+            sr += g8; sg += g8; sb += g8
+          }
+          px += 1
+        }
+      } else if (paletted) { // 8-bit palette indices
+        var px = 0
+        while (px < w) {
+          val idx = cur(px)
+          if (idx >= palette.length) return None
           val rgb = palette(idx)
           sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
           px += 1
+        }
+      } else {
+        // gray / gray+alpha / rgb / rgba at 8 or 16 bits: sum the
+        // high byte of each color sample, skip alpha (16-bit samples
+        // report their top byte — the corpus-stats contract)
+        var x = 0
+        while (x < stride) {
+          val pos = x % bpp
+          if (pos % bytesPerSample == 0) {
+            val si = pos / bytesPerSample
+            val v = cur(x)
+            if (nSamples <= 2) {
+              if (si == 0) { sr += v; sg += v; sb += v }
+            } else si match {
+              case 0 => sr += v
+              case 1 => sg += v
+              case 2 => sb += v
+              case _ => () // alpha
+            }
+          }
+          x += 1
         }
       }
       System.arraycopy(cur, 0, prev, 0, stride)
