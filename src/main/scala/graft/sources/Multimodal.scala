@@ -580,8 +580,10 @@ object Multimodal {
     * and palette-indexed at 1/2/4/8 bits through the PLTE lookup.
     * Alpha samples are skipped and 16-bit samples report their top
     * byte (the corpus-stats contract, differential-pinned against
-    * ImageIO's raster); only Adam7 interlacing returns None (a
-    * different tier, not a crash). Chunk walk: IHDR
+    * ImageIO's raster). Adam7 interlacing decodes too: the seven
+    * passes are independent sub-images with their own scanline filter
+    * context, and channel sums are position-free, so no
+    * de-permutation pass is needed. Chunk walk: IHDR
     * first, PLTE captured for the palette tier, IDAT payloads
     * concatenated in order, stop at IEND; hostile/truncated streams
     * return None from the Inflater's own bounds instead of throwing,
@@ -600,7 +602,7 @@ object Multimodal {
     if (be32(12) != 0x49484452) return None // "IHDR"
     val w = be32(16); val h = be32(20)
     val bitDepth = u8(24); val colorType = u8(25); val interlace = u8(28)
-    if (w <= 0 || h <= 0 || interlace != 0) return None
+    if (w <= 0 || h <= 0 || (interlace != 0 && interlace != 1)) return None
     val paletted = colorType == 3
     // samples per pixel by color type: gray / rgb / palette-index /
     // gray+alpha / rgba; anything else is not a PNG color type
@@ -635,16 +637,28 @@ object Multimodal {
     }
     if (idat.size == 0) return None
     if (paletted && palette == null) return None
-    // zlib inflate to h scanlines of (1 filter byte + stride bytes):
+    // zlib inflate to scanlines of (1 filter byte + stride bytes):
     // whole bytes per sample at depth 8/16, packed sub-byte samples
-    // (gray or palette indices) below
+    // (gray or palette indices) below. Adam7 interlace is seven
+    // sequential sub-images, each with its own scanlines and filter
+    // context — channel sums are position-free, so the passes decode
+    // as independent little images and no de-permutation is needed.
     val bytesPerSample = if (bitDepth == 16) 2 else 1
     val subByte = bitDepth < 8
-    val stride =
-      if (subByte) ((w.toLong * bitDepth + 7) / 8).toInt
-      else w * nSamples * bytesPerSample
-    if (h.toLong * (1L + stride) > (1L << 28)) return None // 256 MB raw fence
-    val raw = new Array[Byte](h * (1 + stride))
+    def strideOf(pw: Int): Int =
+      if (subByte) ((pw.toLong * bitDepth + 7) / 8).toInt
+      else pw * nSamples * bytesPerSample
+    val passes: Seq[(Int, Int)] = // (passW, passH), empty passes dropped
+      if (interlace == 0) Seq((w, h))
+      else Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+               (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+        .map { case (sx, sy, dx, dy) =>
+          (if (w > sx) (w - sx + dx - 1) / dx else 0,
+           if (h > sy) (h - sy + dy - 1) / dy else 0)
+        }.filter(p => p._1 > 0 && p._2 > 0)
+    val totalRaw = passes.map { case (pw, ph) => ph.toLong * (1 + strideOf(pw)) }.sum
+    if (totalRaw > (1L << 28)) return None // 256 MB raw fence
+    val raw = new Array[Byte](totalRaw.toInt)
     val inf = new java.util.zip.Inflater()
     inf.setInput(idat.toByteArray)
     val got = try {
@@ -671,91 +685,98 @@ object Multimodal {
     // filter "left" distance is one PIXEL's bytes (floored to 1 for
     // sub-byte rows), per the spec's bpp definition
     val bpp = if (subByte) 1 else nSamples * bytesPerSample
-    val prev = new Array[Int](stride)
-    val cur = new Array[Int](stride)
     var sr = 0L; var sg = 0L; var sb = 0L
-    var y = 0
-    while (y < h) {
-      val base = y * (1 + stride)
-      val filter = raw(base) & 0xff
-      if (filter > 4) return None // corrupt filter tag
-      var x = 0
-      while (x < stride) {
-        val rawv = raw(base + 1 + x) & 0xff
-        val a = if (x >= bpp) cur(x - bpp) else 0
-        val b = prev(x)
-        val c = if (x >= bpp) prev(x - bpp) else 0
-        cur(x) = filter match {
-          case 0 => rawv
-          case 1 => (rawv + a) & 0xff
-          case 2 => (rawv + b) & 0xff
-          case 3 => (rawv + (a + b) / 2) & 0xff
-          case 4 => (rawv + paeth(a, b, c)) & 0xff
-        }
-        x += 1
-      }
-      if (subByte) {
-        // unpack MSB-first samples at bitDepth bits: palette indices
-        // look up PLTE; gray scales exactly to 8 bits (255/(2^d−1) is
-        // an integer for d ∈ {1,2,4})
-        val perByte = 8 / bitDepth
-        val mask = (1 << bitDepth) - 1
-        val grayScale = 255 / mask
-        var px = 0
-        while (px < w) {
-          val v = (cur(px / perByte) >>
-            (8 - bitDepth - (px % perByte) * bitDepth)) & mask
-          if (paletted) {
-            if (v >= palette.length) return None // malformed index
-            val rgb = palette(v)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-          } else {
-            val g8 = v * grayScale
-            sr += g8; sg += g8; sb += g8
-          }
-          px += 1
-        }
-      } else if (paletted) { // 8-bit palette indices
-        var px = 0
-        while (px < w) {
-          val idx = cur(px)
-          if (idx >= palette.length) return None
-          val rgb = palette(idx)
-          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-          px += 1
-        }
-      } else {
-        // gray / gray+alpha / rgb / rgba at 8 or 16 bits: sum the
-        // high byte of each color sample, skip alpha (16-bit samples
-        // report their top byte — the corpus-stats contract)
+    var passOff = 0
+    var pi = 0
+    while (pi < passes.length) {
+      val (pw, ph) = passes(pi)
+      val stride = strideOf(pw)
+      val prev = new Array[Int](stride) // filter context resets per pass
+      val cur = new Array[Int](stride)
+      var y = 0
+      while (y < ph) {
+        val base = passOff + y * (1 + stride)
+        val filter = raw(base) & 0xff
+        if (filter > 4) return None // corrupt filter tag
         var x = 0
         while (x < stride) {
-          val pos = x % bpp
-          if (pos % bytesPerSample == 0) {
-            val si = pos / bytesPerSample
-            val v = cur(x)
-            if (nSamples <= 2) {
-              if (si == 0) { sr += v; sg += v; sb += v }
-            } else si match {
-              case 0 => sr += v
-              case 1 => sg += v
-              case 2 => sb += v
-              case _ => () // alpha
-            }
+          val rawv = raw(base + 1 + x) & 0xff
+          val a = if (x >= bpp) cur(x - bpp) else 0
+          val b = prev(x)
+          val c = if (x >= bpp) prev(x - bpp) else 0
+          cur(x) = filter match {
+            case 0 => rawv
+            case 1 => (rawv + a) & 0xff
+            case 2 => (rawv + b) & 0xff
+            case 3 => (rawv + (a + b) / 2) & 0xff
+            case 4 => (rawv + paeth(a, b, c)) & 0xff
           }
           x += 1
         }
+        if (subByte) {
+          // unpack MSB-first samples at bitDepth bits: palette indices
+          // look up PLTE; gray scales exactly to 8 bits (255/(2^d−1) is
+          // an integer for d ∈ {1,2,4})
+          val perByte = 8 / bitDepth
+          val mask = (1 << bitDepth) - 1
+          val grayScale = 255 / mask
+          var px = 0
+          while (px < pw) {
+            val v = (cur(px / perByte) >>
+              (8 - bitDepth - (px % perByte) * bitDepth)) & mask
+            if (paletted) {
+              if (v >= palette.length) return None // malformed index
+              val rgb = palette(v)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            } else {
+              val g8 = v * grayScale
+              sr += g8; sg += g8; sb += g8
+            }
+            px += 1
+          }
+        } else if (paletted) { // 8-bit palette indices
+          var px = 0
+          while (px < pw) {
+            val idx = cur(px)
+            if (idx >= palette.length) return None
+            val rgb = palette(idx)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+            px += 1
+          }
+        } else {
+          // gray / gray+alpha / rgb / rgba at 8 or 16 bits: sum the
+          // high byte of each color sample, skip alpha (16-bit samples
+          // report their top byte — the corpus-stats contract)
+          var x = 0
+          while (x < stride) {
+            val pos = x % bpp
+            if (pos % bytesPerSample == 0) {
+              val si = pos / bytesPerSample
+              val v = cur(x)
+              if (nSamples <= 2) {
+                if (si == 0) { sr += v; sg += v; sb += v }
+              } else si match {
+                case 0 => sr += v
+                case 1 => sg += v
+                case 2 => sb += v
+                case _ => () // alpha
+              }
+            }
+            x += 1
+          }
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
       }
-      System.arraycopy(cur, 0, prev, 0, stride)
-      y += 1
+      passOff += ph * (1 + stride)
+      pi += 1
     }
     Some(PngStats(w, h, bitDepth, w.toLong * h, sr, sg, sb))
   }
 
   /** [[describeBmp]]'s PNG sibling: per-payload decoded pixel sums
-    * (null columns for anything but 8-bit truecolor or palette-indexed
-    * non-interlaced PNG). Per-partition kernel, no shuffle, integer
-    * outputs. */
+    * (null columns where the payload isn't a decodable PNG).
+    * Per-partition kernel, no shuffle, integer outputs. */
   def describePng(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -450,6 +450,62 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("parsePngPixels decodes Adam7 interlaced PNGs exactly (vs ImageIO)") {
+    // hand-build the seven-pass layout per the spec: each pass is a
+    // sub-image of every (8/4/2)-th pixel with its own filter bytes
+    val adam = Seq((0, 0, 8, 8), (4, 0, 8, 8), (0, 4, 4, 8), (2, 0, 4, 4),
+                   (0, 2, 2, 4), (1, 0, 2, 2), (0, 1, 1, 2))
+    Seq((3, 2), (8, 8), (13, 11), (1, 1), (16, 4)).foreach { case (w, h) =>
+      val px = Seq.tabulate(h, w)((y, x) =>
+        ((x * 37 + y * 11) % 256, (x * 5 + y * 73) % 256, (x + y * 29) % 256))
+      val raw = new java.io.ByteArrayOutputStream()
+      adam.foreach { case (sx, sy, dx, dy) =>
+        val xs = (sx until w by dx).toSeq; val ys = (sy until h by dy).toSeq
+        if (xs.nonEmpty && ys.nonEmpty) ys.foreach { y =>
+          raw.write(0) // filter None
+          xs.foreach { x =>
+            val (r, g, b) = px(y)(x)
+            raw.write(r); raw.write(g); raw.write(b)
+          }
+        }
+      }
+      val deflated = {
+        val d = new java.util.zip.Deflater()
+        d.setInput(raw.toByteArray); d.finish()
+        val buf = new Array[Byte](raw.size + 64)
+        val n = d.deflate(buf); d.end()
+        buf.take(n)
+      }
+      def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+        val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+        out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+        val crc = new java.util.zip.CRC32()
+        crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+        out.putInt(crc.getValue.toInt)
+        out.array()
+      }
+      val ihdr = java.nio.ByteBuffer.allocate(13)
+        .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+        .put(0.toByte).put(0.toByte).put(1.toByte).array() // interlace=1
+      val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+      val bytes = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", deflated) ++
+        chunk("IEND", Array.emptyByteArray)
+      val got = Multimodal.parsePngPixels(bytes).get
+      assert(got.width == w && got.height == h && got.nPixels == w.toLong * h)
+      assert(got.sumR == px.flatten.map(_._1.toLong).sum, s"${w}x$h R")
+      assert(got.sumG == px.flatten.map(_._2.toLong).sum, s"${w}x$h G")
+      assert(got.sumB == px.flatten.map(_._3.toLong).sum, s"${w}x$h B")
+      // the JDK decoder de-interlaces the same bytes to the same image
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      assert(dec != null, s"ImageIO rejected the ${w}x$h Adam7 fixture")
+      var bad = 0
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val (r, g, b) = px(y)(x)
+        if ((dec.getRGB(x, y) & 0xffffff) != ((r << 16) | (g << 8) | b)) bad += 1 } }
+      assert(bad == 0, s"ImageIO sees $bad differing pixels — fixture layout wrong")
+    }
+  }
+
   test("palette PNGs with malformed PLTE or out-of-range indices return None") {
     val palette = Seq((10, 20, 30), (40, 50, 60))
     val ok = pngPaletted(1, palette, Seq(Seq(0, 1, 1, 0)))
@@ -473,7 +529,13 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     // invalid color type / depth / interlaced: None
     val ct5 = ok.clone(); ct5(25) = 5; assert(Multimodal.parsePngPixels(ct5).isEmpty)
     val b3 = ok.clone(); b3(24) = 3; assert(Multimodal.parsePngPixels(b3).isEmpty)
-    val il = ok.clone(); il(28) = 1; assert(Multimodal.parsePngPixels(il).isEmpty)
+    // interlace FLAG flipped on non-interlaced data: the Adam7 pass
+    // layout needs more bytes than the stream holds → clean None.
+    // (On a 1x1 image the layouts coincide and decoding is correct —
+    // so the flip is exercised on a 6x6 fixture below instead.)
+    val il1 = ok.clone(); il1(28) = 1
+    assert(Multimodal.parsePngPixels(il1).contains(
+      Multimodal.parsePngPixels(ok).get), "1x1 Adam7 == 1x1 sequential")
     // truncated deflate stream: clean None, not an exception. (Cut
     // INTO the IDAT payload — snipping only the trailing CRC/IEND
     // leaves a complete deflate stream, which decodes, correctly.)
@@ -481,6 +543,8 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
       Seq.tabulate(6, 6)((y, x) => (x * 40, y * 40, (x + y) * 20)))
     assert(Multimodal.parsePngPixels(big).isDefined)
     assert(Multimodal.parsePngPixels(big.take(big.length * 6 / 10)).isEmpty)
+    val il6 = big.clone(); il6(28) = 1
+    assert(Multimodal.parsePngPixels(il6).isEmpty, "6x6 Adam7 needs more bytes")
     // corrupt filter tag inside a VALID deflate stream
     assert(Multimodal.parsePngPixels("not a png at all".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parsePngPixels(null).isEmpty)
