@@ -4134,6 +4134,56 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q246 — PROGRESSIVE JPEG pixel decode ([[graft.sources
+    // .Multimodal.parseJpegProgressive]], reached through the same
+    // parseJpegPixels entry): the multi-scan tier (spectral selection
+    // + successive approximation, spec annex G) that most large web
+    // JPEGs actually use — coefficients accumulate across DC/AC
+    // first-pass and refinement scans before one dequant+IDCT. The
+    // q243 flat-tile argument survives the scan structure untouched:
+    // however many scans and approximation bits deliver the lone DC
+    // coefficient, quality-1.0 all-ones quant tables keep it
+    // lossless, so the oracle replays the tile formula. Fixtures are
+    // ENCODED BY javax.imageio in MODE_DEFAULT progressive (a 10-scan
+    // script with Al up to 2 and AC refinement — the differential
+    // spec pins SOF2 emission). Every 50th payload is non-JPEG →
+    // nulls. Map-only; payloads never shuffle.
+    "q246_jpeg_progressive" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "jpeg? progressively not".getBytes("UTF-8"))
+        else {
+          val tw = (1 + id % 4).toInt; val th = (1 + (id / 2) % 2).toInt
+          val w = 16 * tw; val h = 16 * th
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              val g = ((id * 11 + (x / 16) * 23 + (y / 16) * 31) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g)
+              x += 1
+            }
+            y += 1
+          }
+          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+          val p = wr.getDefaultWriteParam
+          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+          p.setCompressionQuality(1.0f)
+          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+          val bos = new java.io.ByteArrayOutputStream()
+          wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+          wr.dispose()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "jpg")
+      graft.sources.Multimodal.describeJpeg(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "jpg", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q245 — GIF LZW pixel decode ([[graft.sources.Multimodal
     // .parseGifPixels]]): GIF's pixel data is LZW — variable-width
     // LSB-first codes, clear/EOI, 4096-entry dictionary — implemented
@@ -7366,6 +7416,35 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Flat-tile channel sums re-derived from the tile formula — the
+    // engine must reproduce them THROUGH a real multi-scan
+    // progressive encoding (DC/AC first passes, successive
+    // approximation, AC refinement) at quality 1.0.
+    "q246_jpeg_progressive" ->
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 4 AS tw,
+        |                1 + (doc_id // 2) % 2 AS th
+        |              FROM documents),
+        |t AS (SELECT doc_id, tw, th, tx, ty
+        |      FROM dims, generate_series(0, 3) a(tx), generate_series(0, 1) b(ty)
+        |      WHERE tx < tw AND ty < th),
+        |agg AS (SELECT doc_id, MAX(tw) AS tw, MAX(th) AS th,
+        |          CAST(SUM(((doc_id * 11 + tx * 23 + ty * 31) % 256) * 256) AS BIGINT) AS s
+        |        FROM t GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.tw * 16 AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.th * 16 AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(3 AS INTEGER) END AS n_components,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.tw * a.th * 256 AS BIGINT) END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

@@ -796,6 +796,530 @@ object Multimodal {
   final case class JpegStats(width: Int, height: Int, nComponents: Int,
                              nPixels: Long, sumR: Long, sumG: Long, sumB: Long)
 
+  // ---- shared JPEG machinery (baseline + progressive paths) -------
+
+  /** Zigzag scan order → natural (row-major) block index. */
+  private val JpegZigzag: Array[Int] = Array(
+    0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
+    12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
+    35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
+    58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+
+  /** Huffman decode table (spec F.2.2.3 MINCODE/MAXCODE/VALPTR form;
+    * maxcode −1 marks an empty length). */
+  private final case class JHuff(minCode: Array[Int], maxCode: Array[Int],
+                                 valPtr: Array[Int], vals: Array[Int])
+
+  /** Canonical code assignment (spec C.2). */
+  private def buildJHuff(counts: Array[Int], vals: Array[Int]): JHuff = {
+    val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
+    val valPtr = new Array[Int](17)
+    var code = 0; var ptr = 0
+    var l = 1
+    while (l <= 16) {
+      if (counts(l) == 0) { minCode(l) = 0; maxCode(l) = -1 }
+      else {
+        valPtr(l) = ptr; minCode(l) = code
+        code += counts(l); ptr += counts(l)
+        maxCode(l) = code - 1
+      }
+      code <<= 1
+      l += 1
+    }
+    JHuff(minCode, maxCode, valPtr, vals)
+  }
+
+  /** Separable float IDCT basis: C(u)(x) = c(u)/2 · cos((2x+1)uπ/16). */
+  private val JpegIdctC: Array[Array[Double]] = Array.tabulate(8, 8) { (u, x) =>
+    val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
+    cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
+  }
+
+  /** Progressive (SOF2) JPEG pixel decode — spec annex G: DC and AC
+    * coefficients arrive over MULTIPLE scans (spectral selection
+    * Ss..Se, successive approximation Ah/Al), so unlike the baseline
+    * path this decoder accumulates full coefficient planes across
+    * scans — first-pass DC/AC codes, DC refinement bits, and the AC
+    * refinement correction-bit algorithm with EOB runs — then runs
+    * dequantization + IDCT once at EOI. Restart intervals reset DC
+    * predictors AND the EOB run inside every scan. Strictness: the
+    * stream must reach EOI with every scan decoding cleanly; hostile
+    * or truncated bytes return None (no partial render — a
+    * lower-tier contract than the baseline path's, documented
+    * because progressive partial renders are decoder-specific). The
+    * coefficient-plane memory cost is why the pixel fence here is
+    * 16M (vs baseline's 64M). Reached via [[parseJpegPixels]], which
+    * dispatches on the SOF marker. */
+  private def parseJpegProgressive(bytes: Array[Byte]): Option[JpegStats] = {
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    val zigzag = JpegZigzag
+    val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
+    val qtSeen = new Array[Boolean](4)
+    val huff = Array.ofDim[Option[JHuff]](2, 4).map(_.map(_ => Option.empty[JHuff]))
+    var w = 0; var h = 0; var nc = 0
+    var compH: Array[Int] = null; var compV: Array[Int] = null
+    var compQ: Array[Int] = null; var compId: Array[Int] = null
+    var dri = 0
+    var hMax = 0; var vMax = 0; var mcusX = 0; var mcusY = 0
+    // per component: MCU-padded block grid (storage) and the REAL
+    // block grid (what non-interleaved scans iterate, spec A.2.2)
+    var blocksW: Array[Int] = null; var blocksH: Array[Int] = null
+    var realBW: Array[Int] = null; var realBH: Array[Int] = null
+    var coefs: Array[Array[Int]] = null
+    var anyScan = false
+    var sawEoi = false
+
+    // entropy reader over one scan's data; refuses to cross markers
+    final class Reader(var pos: Int) {
+      private var bitBuf = 0
+      private var bitCnt = 0
+      def align(): Unit = bitCnt = 0
+      def nextBit(): Int = {
+        if (bitCnt == 0) {
+          if (pos >= bytes.length) return -1
+          var b = u8(pos); pos += 1
+          if (b == 0xff) {
+            if (pos >= bytes.length) return -1
+            if (u8(pos) == 0x00) pos += 1
+            else { pos -= 1; return -1 } // a real marker
+            b = 0xff
+          }
+          bitBuf = b; bitCnt = 8
+        }
+        bitCnt -= 1
+        (bitBuf >> bitCnt) & 1
+      }
+      def decodeHuff(t: JHuff): Int = {
+        var code = nextBit()
+        if (code < 0) return -1
+        var l = 1
+        while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+          val b = nextBit()
+          if (b < 0) return -1
+          code = (code << 1) | b
+          l += 1
+        }
+        if (l > 16) return -1
+        t.vals(t.valPtr(l) + code - t.minCode(l))
+      }
+      def receive(s: Int): Int = {
+        var v = 0; var k = 0
+        while (k < s) {
+          val b = nextBit()
+          if (b < 0) return Int.MinValue
+          v = (v << 1) | b
+          k += 1
+        }
+        v
+      }
+    }
+    def extend(v: Int, s: Int): Int =
+      if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
+
+    /** Decode one scan's entropy data; returns the position of the
+      * next marker, or −1 on malformed/truncated data. */
+    def decodeScan(start: Int, scomp: Array[Int], sdc: Array[Int],
+                   sac: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
+      val r = new Reader(start)
+      val dcPred = new Array[Int](nc)
+      var eobrun = 0
+      val p1 = 1 << al; val m1 = -1 << al
+
+      def dcFirst(sci: Int, c: Int, off: Int): Boolean = {
+        val dcT = huff(0)(sdc(sci)).orNull
+        if (dcT == null) return false
+        val t = r.decodeHuff(dcT)
+        if (t < 0 || t > 15) return false
+        val d = r.receive(t)
+        if (d == Int.MinValue) return false
+        dcPred(c) += extend(d, t)
+        coefs(c)(off) = dcPred(c) << al
+        true
+      }
+      def dcRefine(c: Int, off: Int): Boolean = {
+        val b = r.nextBit()
+        if (b < 0) return false
+        if (b == 1) coefs(c)(off) |= p1
+        true
+      }
+      def acFirst(c: Int, off: Int, acT: JHuff): Boolean = {
+        if (eobrun > 0) { eobrun -= 1; return true }
+        var k = ss
+        while (k <= se) {
+          val rs = r.decodeHuff(acT)
+          if (rs < 0) return false
+          val rr = (rs >> 4) & 0xf; val s = rs & 15
+          if (s == 0) {
+            if (rr == 15) k += 16 // ZRL
+            else {
+              eobrun = (1 << rr) - 1
+              if (rr > 0) {
+                val e = r.receive(rr)
+                if (e == Int.MinValue) return false
+                eobrun += e
+              }
+              return true
+            }
+          } else {
+            k += rr
+            if (k > se) return false
+            val vb = r.receive(s)
+            if (vb == Int.MinValue) return false
+            coefs(c)(off + zigzag(k)) = extend(vb, s) << al
+            k += 1
+          }
+        }
+        true
+      }
+      // AC refinement (spec G.1.2.3): run-of-zero-HISTORY positions,
+      // correction bits for every nonzero-history coefficient passed
+      def acRefine(c: Int, off: Int, acT: JHuff): Boolean = {
+        var k = ss
+        if (eobrun == 0) {
+          var inBand = true
+          while (inBand && k <= se) {
+            val rs = r.decodeHuff(acT)
+            if (rs < 0) return false
+            var rr = (rs >> 4) & 0xf; val s = rs & 15
+            var newval = 0
+            if (s == 0) {
+              if (rr < 15) {
+                // EOB run COUNTS the current block: its remaining
+                // nonzero-history coefficients still take correction
+                // bits in the tail pass below, then eobrun decrements
+                eobrun = 1 << rr
+                if (rr > 0) {
+                  val e = r.receive(rr)
+                  if (e == Int.MinValue) return false
+                  eobrun += e
+                }
+                inBand = false
+              }
+              // rr == 15: pass 16 zero-history positions, newval 0
+            } else {
+              if (s != 1) return false
+              val b = r.nextBit()
+              if (b < 0) return false
+              newval = if (b == 1) p1 else m1
+            }
+            if (inBand) {
+              var placed = false
+              while (!placed && k <= se) {
+                val z = off + zigzag(k)
+                val cv = coefs(c)(z)
+                if (cv != 0) {
+                  val b = r.nextBit()
+                  if (b < 0) return false
+                  if (b == 1 && (cv & p1) == 0)
+                    coefs(c)(z) = if (cv >= 0) cv + p1 else cv + m1
+                } else {
+                  if (rr == 0) {
+                    if (newval != 0) coefs(c)(z) = newval
+                    placed = true
+                  } else rr -= 1
+                }
+                k += 1
+              }
+              if (!placed && newval != 0) return false // run past Se
+            }
+          }
+        }
+        if (eobrun > 0) {
+          // inside an EOB band: only correction bits for nonzero history
+          while (k <= se) {
+            val z = off + zigzag(k)
+            val cv = coefs(c)(z)
+            if (cv != 0) {
+              val b = r.nextBit()
+              if (b < 0) return false
+              if (b == 1 && (cv & p1) == 0)
+                coefs(c)(z) = if (cv >= 0) cv + p1 else cv + m1
+            }
+            k += 1
+          }
+          eobrun -= 1
+        }
+        true
+      }
+
+      var rstExpect = 0
+      val nUnits =
+        if (scomp.length > 1) mcusX * mcusY
+        else realBW(scomp(0)) * realBH(scomp(0))
+      val acT = if (ss > 0) huff(1)(sac(0)).orNull else null
+      if (ss > 0 && acT == null) return -1
+      var unit = 0
+      while (unit < nUnits) {
+        if (dri > 0 && unit > 0 && unit % dri == 0) {
+          r.align()
+          if (r.pos + 2 > bytes.length || u8(r.pos) != 0xff ||
+              u8(r.pos + 1) != 0xd0 + rstExpect) return -1
+          r.pos += 2
+          rstExpect = (rstExpect + 1) % 8
+          java.util.Arrays.fill(dcPred, 0)
+          eobrun = 0
+        }
+        if (scomp.length > 1) { // interleaved DC scan over MCUs
+          val mx = unit % mcusX; val my = unit / mcusX
+          var sci = 0
+          while (sci < scomp.length) {
+            val c = scomp(sci)
+            var by = 0
+            while (by < compV(c)) {
+              var bx = 0
+              while (bx < compH(c)) {
+                val off = ((my * compV(c) + by) * blocksW(c) +
+                  (mx * compH(c) + bx)) * 64
+                val okb = if (ah == 0) dcFirst(sci, c, off) else dcRefine(c, off)
+                if (!okb) return -1
+                bx += 1
+              }
+              by += 1
+            }
+            sci += 1
+          }
+        } else { // single-component scan over the REAL block grid
+          val c = scomp(0)
+          val bx = unit % realBW(c); val by = unit / realBW(c)
+          val off = (by * blocksW(c) + bx) * 64
+          val okb =
+            if (ss == 0) { if (ah == 0) dcFirst(0, c, off) else dcRefine(c, off) }
+            else if (ah == 0) acFirst(c, off, acT)
+            else acRefine(c, off, acT)
+          if (!okb) return -1
+        }
+        unit += 1
+      }
+      // find the next true marker (skip pad bits, stuffing, FF fills)
+      r.align()
+      var p = r.pos
+      while (p + 1 < bytes.length &&
+             !(u8(p) == 0xff && u8(p + 1) != 0x00 && u8(p + 1) != 0xff))
+        p += 1
+      if (p + 1 >= bytes.length) -1 else p
+    }
+
+    // ---- marker walk over the whole stream ------------------------
+    var i = 2
+    var fail = false
+    while (!sawEoi && !fail && i + 2 <= bytes.length) {
+      if (u8(i) != 0xff) fail = true
+      else {
+        val m = u8(i + 1)
+        if (m == 0xd8 || m == 0x01 || (m >= 0xd0 && m <= 0xd7)) i += 2
+        else if (m == 0xd9) sawEoi = true
+        else if (i + 4 > bytes.length) fail = true
+        else {
+          val segLen = be16(i + 2)
+          if (segLen < 2 || i + 2 + segLen > bytes.length) fail = true
+          else {
+            val segEnd = i + 2 + segLen
+            m match {
+              case 0xdb =>
+                var o = i + 4
+                while (!fail && o < segEnd) {
+                  val pq = (u8(o) >> 4) & 0xf; val tq = u8(o) & 0xf
+                  val n = if (pq == 0) 64 else 128
+                  if (tq > 3 || pq > 1 || o + 1 + n > segEnd) fail = true
+                  else {
+                    var k = 0
+                    while (k < 64) {
+                      qt(tq)(k) = if (pq == 0) u8(o + 1 + k) else be16(o + 1 + 2 * k)
+                      k += 1
+                    }
+                    qtSeen(tq) = true
+                    o += 1 + n
+                  }
+                }
+              case 0xc4 =>
+                var o = i + 4
+                while (!fail && o < segEnd) {
+                  val tc = (u8(o) >> 4) & 0xf; val th = u8(o) & 0xf
+                  if (tc > 1 || th > 3 || o + 17 > segEnd) fail = true
+                  else {
+                    val counts = Array.tabulate(17)(l => if (l == 0) 0 else u8(o + l))
+                    val total = counts.sum
+                    if (total > 256 || o + 17 + total > segEnd) fail = true
+                    else {
+                      huff(tc)(th) =
+                        Some(buildJHuff(counts, Array.tabulate(total)(k => u8(o + 17 + k))))
+                      o += 17 + total
+                    }
+                  }
+                }
+              case 0xc2 =>
+                if (w != 0 || i + 10 > segEnd || u8(i + 4) != 8) fail = true
+                else {
+                  h = be16(i + 5); w = be16(i + 7); nc = u8(i + 9)
+                  if (w <= 0 || h <= 0 || (nc != 1 && nc != 3) ||
+                      w.toLong * h > (1L << 24) || // coef planes: tighter fence
+                      i + 10 + 3 * nc > segEnd) fail = true
+                  else {
+                    compId = new Array[Int](nc); compH = new Array[Int](nc)
+                    compV = new Array[Int](nc); compQ = new Array[Int](nc)
+                    var c = 0
+                    while (!fail && c < nc) {
+                      compId(c) = u8(i + 10 + 3 * c)
+                      val hv = u8(i + 11 + 3 * c)
+                      compH(c) = (hv >> 4) & 0xf; compV(c) = hv & 0xf
+                      compQ(c) = u8(i + 12 + 3 * c)
+                      if (compH(c) < 1 || compH(c) > 4 || compV(c) < 1 ||
+                          compV(c) > 4 || compQ(c) > 3) fail = true
+                      c += 1
+                    }
+                    if (!fail) {
+                      hMax = compH.max; vMax = compV.max
+                      mcusX = (w + 8 * hMax - 1) / (8 * hMax)
+                      mcusY = (h + 8 * vMax - 1) / (8 * vMax)
+                      blocksW = Array.tabulate(nc)(c => mcusX * compH(c))
+                      blocksH = Array.tabulate(nc)(c => mcusY * compV(c))
+                      realBW = Array.tabulate(nc) { c =>
+                        val cw = (w * compH(c) + hMax - 1) / hMax
+                        (cw + 7) / 8
+                      }
+                      realBH = Array.tabulate(nc) { c =>
+                        val ch = (h * compV(c) + vMax - 1) / vMax
+                        (ch + 7) / 8
+                      }
+                      if (blocksW.zip(blocksH).exists { case (bw, bh) =>
+                            bw.toLong * bh * 64 > (1L << 26) }) fail = true
+                      else coefs = Array.tabulate(nc)(c =>
+                        new Array[Int](blocksW(c) * blocksH(c) * 64))
+                    }
+                  }
+                }
+              case 0xc0 | 0xc1 | 0xc3 | 0xc5 | 0xc6 | 0xc7 | 0xc9 | 0xca |
+                   0xcb | 0xcd | 0xce | 0xcf => fail = true
+              case 0xdd =>
+                if (segLen != 4) fail = true else dri = be16(i + 4)
+              case 0xda =>
+                if (w == 0 || i + 5 > segEnd) fail = true
+                else {
+                  val ns = u8(i + 4)
+                  if (ns < 1 || ns > nc || i + 5 + 2 * ns + 3 > segEnd) fail = true
+                  else {
+                    val scomp = new Array[Int](ns)
+                    val sdc = new Array[Int](ns); val sac = new Array[Int](ns)
+                    var c = 0
+                    while (!fail && c < ns) {
+                      val ci = compId.indexOf(u8(i + 5 + 2 * c))
+                      if (ci < 0) fail = true
+                      else {
+                        scomp(c) = ci
+                        sdc(c) = (u8(i + 6 + 2 * c) >> 4) & 0xf
+                        sac(c) = u8(i + 6 + 2 * c) & 0xf
+                        if (sdc(c) > 3 || sac(c) > 3) fail = true
+                      }
+                      c += 1
+                    }
+                    val ss = u8(i + 5 + 2 * ns); val se = u8(i + 6 + 2 * ns)
+                    val ahal = u8(i + 7 + 2 * ns)
+                    val ah = (ahal >> 4) & 0xf; val al = ahal & 0xf
+                    // progressive scan-shape rules (spec G.1.1.1)
+                    if (!fail &&
+                        ((ss == 0 && se == 0) ||
+                          (ss >= 1 && ss <= se && se <= 63 && ns == 1)) &&
+                        al <= 13 && ah <= 14) {
+                      val next = decodeScan(segEnd, scomp, sdc, sac, ss, se, ah, al)
+                      if (next < 0) fail = true
+                      else { anyScan = true; i = next }
+                    } else fail = true
+                  }
+                }
+              case _ => () // APPn / COM: skip
+            }
+            if (!fail && m != 0xda) i = segEnd
+          }
+        }
+      }
+    }
+    if (fail || !sawEoi || !anyScan || coefs == null) return None
+    var c = 0
+    while (c < nc) {
+      if (!qtSeen(compQ(c))) return None
+      c += 1
+    }
+    // ---- dequantize + IDCT every real block into sample planes ----
+    val planeW = Array.tabulate(nc)(c => blocksW(c) * 8)
+    val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * blocksH(c) * 8))
+    val idctC = JpegIdctC
+    val blk = new Array[Int](64)
+    val tmp = new Array[Double](64)
+    c = 0
+    while (c < nc) {
+      // quant table to natural order once per component
+      val qn = new Array[Int](64)
+      var k = 0
+      while (k < 64) { qn(zigzag(k)) = qt(compQ(c))(k); k += 1 }
+      val pw = planeW(c); val plane = planes(c)
+      var by = 0
+      while (by < realBH(c)) {
+        var bx = 0
+        while (bx < realBW(c)) {
+          val off = (by * blocksW(c) + bx) * 64
+          var p = 0
+          while (p < 64) { blk(p) = coefs(c)(off + p) * qn(p); p += 1 }
+          var y = 0
+          while (y < 8) {
+            var x = 0
+            while (x < 8) {
+              var acc = 0.0
+              var u = 0
+              while (u < 8) { acc += idctC(u)(x) * blk(y * 8 + u); u += 1 }
+              tmp(y * 8 + x) = acc
+              x += 1
+            }
+            y += 1
+          }
+          var x = 0
+          while (x < 8) {
+            var yy = 0
+            while (yy < 8) {
+              var acc = 0.0
+              var v = 0
+              while (v < 8) { acc += idctC(v)(yy) * tmp(v * 8 + x); v += 1 }
+              val s = math.round(acc).toInt + 128
+              plane((by * 8 + yy) * pw + (bx * 8 + x)) =
+                (if (s < 0) 0 else if (s > 255) 255 else s).toByte
+              yy += 1
+            }
+            x += 1
+          }
+          bx += 1
+        }
+        by += 1
+      }
+      c += 1
+    }
+    // ---- upsample + color convert + integer channel sums ----------
+    var sr = 0L; var sg = 0L; var sb = 0L
+    def clamp(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nc == 1) {
+          val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          sr += v; sg += v; sb += v
+        } else {
+          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
+          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
+          sr += clamp(yy + 1.402 * cr)
+          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          sb += clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    Some(JpegStats(w, h, nc, w.toLong * h, sr, sg, sb))
+  }
+
   /** REAL pure-JVM baseline JPEG pixel decode — the last common
     * crawled-image format to shed its stub: like PNG's zlib+filters,
     * baseline JPEG is fully specified (ITU-T T.81) and needs no
@@ -822,19 +1346,11 @@ object Multimodal {
     def u8(i: Int) = bytes(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
     if (u8(0) != 0xff || u8(1) != 0xd8) return None
-    // zigzag scan order → natural (row-major) block index
-    val zigzag = Array(
-      0, 1, 8, 16, 9, 2, 3, 10, 17, 24, 32, 25, 18, 11, 4, 5,
-      12, 19, 26, 33, 40, 48, 41, 34, 27, 20, 13, 6, 7, 14, 21, 28,
-      35, 42, 49, 56, 57, 50, 43, 36, 29, 22, 15, 23, 30, 37, 44, 51,
-      58, 59, 52, 45, 38, 31, 39, 46, 53, 60, 61, 54, 47, 55, 62, 63)
+    val zigzag = JpegZigzag
+    type Huff = JHuff
     // ---- marker walk: tables + frame + scan header ----------------
     val qt = Array.ofDim[Int](4, 64) // zigzag order, as stored
     val qtSeen = new Array[Boolean](4)
-    // Huffman decode tables per (class 0=DC/1=AC, id): spec F.2.2.3
-    // MINCODE/MAXCODE/VALPTR form — maxcode -1 marks an empty length.
-    final case class Huff(minCode: Array[Int], maxCode: Array[Int],
-                          valPtr: Array[Int], vals: Array[Int])
     val huff = Array.ofDim[Option[Huff]](2, 4).map(_.map(_ => Option.empty[Huff]))
     var w = 0; var h = 0; var nc = 0
     var compH: Array[Int] = null; var compV: Array[Int] = null
@@ -877,24 +1393,13 @@ object Multimodal {
               val total = counts.sum
               if (total > 256 || o + 17 + total > segEnd) return None
               val vals = Array.tabulate(total)(k => u8(o + 17 + k))
-              // canonical code assignment (spec C.2)
-              val minCode = new Array[Int](17); val maxCode = new Array[Int](17)
-              val valPtr = new Array[Int](17)
-              var code = 0; var ptr = 0
-              var l = 1
-              while (l <= 16) {
-                if (counts(l) == 0) { minCode(l) = 0; maxCode(l) = -1 }
-                else {
-                  valPtr(l) = ptr; minCode(l) = code
-                  code += counts(l); ptr += counts(l)
-                  maxCode(l) = code - 1
-                }
-                code <<= 1
-                l += 1
-              }
-              huff(tc)(th) = Some(Huff(minCode, maxCode, valPtr, vals))
+              huff(tc)(th) = Some(buildJHuff(counts, vals))
               o += 17 + total
             }
+          case 0xc2 if segLen >= 3 && u8(i + 4) == 8 =>
+            // progressive: a different decode structure (coefficient
+            // accumulation across scans) — dedicated path
+            return parseJpegProgressive(bytes)
           case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
             if (w != 0) return None // two frames: malformed
             if (i + 10 > segEnd) return None // short frame header
@@ -1005,11 +1510,7 @@ object Multimodal {
     }
     def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
-    // separable float IDCT; idctC(u)(x) = c(u)/2 · cos((2x+1)uπ/16)
-    val idctC = Array.tabulate(8, 8) { (u, x) =>
-      val cu = if (u == 0) 1.0 / math.sqrt(2.0) else 1.0
-      cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
-    }
+    val idctC = JpegIdctC
     val coef = new Array[Int](64)
     val tmp = new Array[Double](64)
     val dcPred = new Array[Int](nc)

@@ -578,16 +578,32 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
 
   // ---- JPEG vs javax.imageio -------------------------------------
 
-  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float): Array[Byte] = {
+  private def encodeJpeg(img: java.awt.image.BufferedImage, quality: Float,
+                         progressive: Boolean = false): Array[Byte] = {
     val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
     val p = wr.getDefaultWriteParam
     p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
     p.setCompressionQuality(quality)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
     val bos = new java.io.ByteArrayOutputStream()
     wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
     wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
     wr.dispose()
     bos.toByteArray
+  }
+
+  /** True iff the stream's frame marker is SOF2 (progressive). */
+  private def isProgressive(b: Array[Byte]): Boolean = {
+    var i = 2
+    while (i + 3 < b.length) {
+      if ((b(i) & 0xff) != 0xff) return false
+      val m = b(i + 1) & 0xff
+      if (m == 0xc2) return true
+      if (m >= 0xc0 && m <= 0xcf && m != 0xc4 && m != 0xc8 && m != 0xcc) return false
+      i += 2 + (((b(i + 2) & 0xff) << 8) | (b(i + 3) & 0xff))
+    }
+    false
   }
 
   test("parseJpegPixels decodes flat-tile quality-1.0 JPEGs bit-exactly (vs formula AND ImageIO)") {
@@ -739,6 +755,92 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
         sum += dec.getRaster.getSample(x, y, 0) } }
       assert(sum == want, s"ImageIO dri=$dri: $sum vs $want")
     }
+  }
+
+  test("parseJpegPixels decodes PROGRESSIVE flat-tile quality-1.0 JPEGs bit-exactly") {
+    // the q243 argument carries over: all-ones quant tables make a
+    // flat MCU's lone DC coefficient lossless, no matter how many
+    // scans and successive-approximation bits deliver it
+    (0 until 3).foreach { trial =>
+      val tw = 2 + trial; val th = 2
+      val w = 16 * tw; val h = 16 * th
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var want = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val g = (trial * 77 + (x / 16) * 59 + (y / 16) * 43) % 256
+        img.setRGB(x, y, (g << 16) | (g << 8) | g) } }
+      (0 until th).foreach { ty => (0 until tw).foreach { tx =>
+        want += ((trial * 77 + tx * 59 + ty * 43) % 256).toLong * 256 } }
+      val bytes = encodeJpeg(img, 1.0f, progressive = true)
+      assert(isProgressive(bytes), "ImageIO did not emit SOF2")
+      val got = Multimodal.parseJpegPixels(bytes).get
+      assert(got.width == w && got.height == h && got.nComponents == 3)
+      assert(got.sumR == want && got.sumG == want && got.sumB == want,
+        s"${w}x$h: (${got.sumR},${got.sumG},${got.sumB}) vs formula $want")
+    }
+  }
+
+  test("progressive decode tracks ImageIO within IDCT tolerance (gray noise + color)") {
+    Seq(0.9f, 0.6f).foreach { q =>
+      val w = 40 + rnd.nextInt(25); val h = 24 + rnd.nextInt(17)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        img.getRaster.setSample(x, y, 0, rnd.nextInt(256)) } }
+      val bytes = encodeJpeg(img, q, progressive = true)
+      assert(isProgressive(bytes))
+      val got = Multimodal.parseJpegPixels(bytes).get
+      assert(got.width == w && got.height == h && got.nComponents == 1)
+      val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+      var sum = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        sum += dec.getRaster.getSample(x, y, 0) } }
+      assert(math.abs(got.sumR - sum) <= w.toLong * h,
+        s"prog q=$q ${w}x$h: ${got.sumR} vs ImageIO $sum")
+    }
+    // smooth color, 4:2:0 subsampled, multi-scan
+    val w = 64; val h = 48
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val r = (x * 255) / (w - 1); val g = (y * 255) / (h - 1)
+      val b = ((x + y) * 255) / (w + h - 2)
+      img.setRGB(x, y, (r << 16) | (g << 8) | b) } }
+    val bytes = encodeJpeg(img, 0.8f, progressive = true)
+    assert(isProgressive(bytes))
+    val got = Multimodal.parseJpegPixels(bytes).get
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    var sr = 0L; var sg = 0L; var sb = 0L
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val p = dec.getRGB(x, y)
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff } }
+    val tol = 2L * w * h
+    assert(math.abs(got.sumR - sr) <= tol, s"R ${got.sumR} vs $sr")
+    assert(math.abs(got.sumG - sg) <= tol, s"G ${got.sumG} vs $sg")
+    assert(math.abs(got.sumB - sb) <= tol, s"B ${got.sumB} vs $sb")
+  }
+
+  test("progressive decode survives truncation and corruption (strict None, no throw)") {
+    val img = new java.awt.image.BufferedImage(
+      32, 32, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 32).foreach { y => (0 until 32).foreach { x =>
+      img.setRGB(x, y, rnd.nextInt(1 << 24)) } }
+    val ok = encodeJpeg(img, 0.85f, progressive = true)
+    assert(isProgressive(ok) && Multimodal.parseJpegPixels(ok).isDefined)
+    // truncation at many cut points: strict None (no partial render)
+    (2 until ok.length by 11).foreach { cut =>
+      assert(Multimodal.parseJpegPixels(ok.take(cut)).isEmpty, s"cut=$cut")
+    }
+    // corruption: never a throw, never a spin
+    val t0 = System.nanoTime()
+    (1 to 300).foreach { k =>
+      val c = ok.clone()
+      (0 to k % 4).foreach { _ =>
+        c(2 + rnd.nextInt(c.length - 2)) = rnd.nextInt(256).toByte }
+      Multimodal.parseJpegPixels(c)
+    }
+    assert(System.nanoTime() - t0 < 30e9)
   }
 
   test("parseJpegPixels refuses other tiers and survives hostile bytes") {
