@@ -4134,6 +4134,69 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q247 — TIFF pixel decode ([[graft.sources.Multimodal
+    // .parseTiffPixels]]): the document-scan tier — II/MM byte
+    // orders, strip organization, gray (incl. WhiteIsZero), RGB(A),
+    // palette ColorMap, and none/PackBits/TIFF-LZW compression (LZW
+    // here is MSB-first with the spec's EARLY width change — the
+    // GIF-variant dual), all from the TIFF 6 specification. Fixtures
+    // alternate uncompressed and hand-PackBits little-endian strips
+    // over formula pixels (both lossless → identical sums); the
+    // differential spec additionally decodes ImageIO's own TIFF
+    // plugin output under none/LZW/PackBits. Every 50th payload is
+    // non-TIFF → nulls. Map-only; payloads never shuffle.
+    "q247_tiff_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "tiff? nope".getBytes("UTF-8"))
+        else {
+          val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
+          val samples = new Array[Byte](w * h * 3)
+          (0 until h).foreach { y =>
+            (0 until w).foreach { x =>
+              val o = (y * w + x) * 3
+              samples(o) = ((id * 3 + x * 5 + y * 7) % 256).toByte
+              samples(o + 1) = ((id * 7 + x * 11 + y) % 256).toByte
+              samples(o + 2) = ((id + x + y * 13) % 256).toByte
+            }
+          }
+          val packBits = id % 2 == 1
+          val data =
+            if (!packBits) samples
+            else {
+              val out = new java.io.ByteArrayOutputStream()
+              samples.grouped(128).foreach { chunk =>
+                out.write(chunk.length - 1); out.write(chunk, 0, chunk.length)
+              }
+              out.toByteArray
+            }
+          val bb = new java.io.ByteArrayOutputStream()
+          def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+          def w32(v: Long): Unit = {
+            w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
+          }
+          bb.write('I'); bb.write('I'); w16(42)
+          val nTags = 10
+          val dataOff = 8L + 2 + 12 * nTags + 4
+          w32(8); w16(nTags)
+          def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
+            w16(t); w16(typ); w32(cnt); w32(v)
+          }
+          tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 8)
+          tag(259, 3, 1, if (packBits) 32773 else 1)
+          tag(262, 3, 1, 2) // RGB
+          tag(273, 4, 1, dataOff); tag(277, 3, 1, 3); tag(278, 3, 1, h)
+          tag(279, 4, 1, data.length); tag(284, 3, 1, 1)
+          w32(0)
+          bb.write(data)
+          (id, bb.toByteArray)
+        }
+      }.toDF("doc_id", "tif")
+      graft.sources.Multimodal.describeTiff(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "tif", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q246 — PROGRESSIVE JPEG pixel decode ([[graft.sources
     // .Multimodal.parseJpegProgressive]], reached through the same
     // parseJpegPixels entry): the multi-scan tier (spectral selection
@@ -7445,6 +7508,36 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // TIFF channel sums re-derived from the pixel formulas — the
+    // engine must reproduce them THROUGH the IFD walk, strip
+    // decompression (none / PackBits by doc parity) and sample walk.
+    "q247_tiff_decode" ->
+      """WITH dims AS (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, generate_series(0, 8) a(x), generate_series(0, 4) b(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id * 3 + x * 5 + y * 7) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 7 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 13) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(CASE d.doc_id % 2 WHEN 1 THEN 32773 ELSE 1 END
+        |            AS INTEGER) END AS compression,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.np END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

@@ -1647,6 +1647,283 @@ object Multimodal {
         "sum_r", "sum_g", "sum_b")
   }
 
+  /** Decoded-TIFF facts: dimensions plus per-channel integer pixel
+    * sums, the same integer-exact contract as [[PngStats]]. */
+  final case class TiffStats(width: Int, height: Int, compression: Int,
+                             nPixels: Long, sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL pure-JVM TIFF pixel decode — the document-scan tier: both
+    * byte orders (II/MM), baseline strip organization, 8-bit
+    * grayscale (BlackIsZero AND the inverted WhiteIsZero), RGB(A —
+    * alpha skipped), and palette-color through the 16-bit ColorMap
+    * (top byte), under THREE compressions implemented from the TIFF 6
+    * specification: none, PackBits (run-length), and TIFF-LZW —
+    * MSB-first codes with the spec's EARLY code-width change (one
+    * code before the table fills, unlike GIF's late change) and
+    * horizontal-differencing predictor 2. Tiled TIFFs, 16-bit
+    * samples and JPEG-in-TIFF return None (different tiers, not
+    * crashes); truncated strips clamp to fully-present rows and
+    * hostile IFDs fail cleanly via bounds checks. Differential-pinned
+    * against the JDK's own TIFF plugin (ImageIO encodes LZW and
+    * PackBits on request). */
+  def parseTiffPixels(bytes: Array[Byte]): Option[TiffStats] = {
+    if (bytes == null || bytes.length < 16) return None
+    val le = bytes(0) == 'I' && bytes(1) == 'I'
+    val be = bytes(0) == 'M' && bytes(1) == 'M'
+    if (!le && !be) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def u16(i: Int): Int =
+      if (i < 0 || i + 2 > bytes.length) -1
+      else if (le) u8(i) | (u8(i + 1) << 8) else (u8(i) << 8) | u8(i + 1)
+    def u32(i: Int): Long =
+      if (i < 0 || i + 4 > bytes.length) -1L
+      else if (le) u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+      else (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (u16(2) != 42) return None
+    val ifdOff = u32(4)
+    if (ifdOff < 8 || ifdOff + 2 > bytes.length) return None
+    val nEntries = u16(ifdOff.toInt)
+    if (nEntries <= 0 || ifdOff + 2 + 12L * nEntries > bytes.length) return None
+    // IFD field reader: SHORT/LONG scalars inline or offset arrays
+    var w = 0; var h = 0; var spp = 1; var photometric = -1
+    var compression = 1; var rowsPerStrip = Int.MaxValue; var predictor = 1
+    var bitsOk = true // every BitsPerSample entry must be 8
+    var stripOffsets: Array[Long] = null; var stripCounts: Array[Long] = null
+    var colorMapOff = -1L; var colorMapCount = 0L
+    var tiled = false
+    var e = 0
+    while (e < nEntries) {
+      val o = (ifdOff + 2 + 12 * e).toInt
+      val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4)
+      // scalar value (first element), honoring type size + inlining
+      def elemSize = typ match {
+        case 1 | 2 | 6 | 7 => 1L
+        case 3 | 8 => 2L
+        case 4 | 9 | 11 => 4L
+        case _ => 8L
+      }
+      def arrOff: Long =
+        if (elemSize * cnt <= 4) o + 8L else u32(o + 8)
+      def elem(k: Long): Long = {
+        val base = arrOff + k * elemSize
+        if (base < 0 || base + elemSize > bytes.length) -1L
+        else if (elemSize == 2) u16(base.toInt).toLong
+        else if (elemSize == 4) u32(base.toInt)
+        else u8(base.toInt).toLong
+      }
+      tag match {
+        case 256 => w = elem(0).toInt
+        case 257 => h = elem(0).toInt
+        case 258 =>
+          var k = 0L
+          while (k < cnt) { if (elem(k) != 8) bitsOk = false; k += 1 }
+        case 259 => compression = elem(0).toInt
+        case 262 => photometric = elem(0).toInt
+        case 273 =>
+          stripOffsets = Array.tabulate(math.min(cnt, 65536L).toInt)(k => elem(k))
+        case 277 => spp = elem(0).toInt
+        case 278 => rowsPerStrip = math.min(elem(0), Int.MaxValue.toLong).toInt
+        case 279 =>
+          stripCounts = Array.tabulate(math.min(cnt, 65536L).toInt)(k => elem(k))
+        case 317 => predictor = elem(0).toInt
+        case 320 => colorMapOff = arrOff; colorMapCount = cnt
+        case 322 | 323 | 324 | 325 => tiled = true
+        case _ => ()
+      }
+      e += 1
+    }
+    if (tiled || !bitsOk || w <= 0 || h <= 0) return None
+    if (w.toLong * h > (1L << 26)) return None // 64M-pixel fence
+    if (stripOffsets == null || stripCounts == null ||
+        stripOffsets.length != stripCounts.length) return None
+    if (compression != 1 && compression != 5 && compression != 32773) return None
+    if (predictor != 1 && predictor != 2) return None
+    if (rowsPerStrip <= 0) return None
+    val paletted = photometric == 3
+    if (photometric < 0 || photometric > 3) return None
+    if (paletted && (spp != 1 || colorMapOff < 0)) return None
+    if (!paletted && photometric <= 1 && spp != 1) return None
+    if (photometric == 2 && spp != 3 && spp != 4) return None
+    // palette: 2^8 entries × 3 planes of 16-bit values (R plane, G
+    // plane, B plane); report the top byte
+    val palette: Array[Int] =
+      if (!paletted) null
+      else {
+        if (colorMapCount < 3 * 256) return None
+        Array.tabulate(256) { k =>
+          def top(plane: Int): Int = {
+            val off = colorMapOff + 2L * (plane * 256 + k)
+            if (off + 2 > bytes.length) return -1
+            u16(off.toInt) >> 8
+          }
+          val r = top(0); val g = top(1); val b = top(2)
+          if (r < 0 || g < 0 || b < 0) return None
+          (r << 16) | (g << 8) | b
+        }
+      }
+    val rowBytes = w * spp
+    // ---- per-strip decompression ----------------------------------
+    def unpackBits(src: Array[Byte], from: Int, len: Int, out: Array[Byte]): Int = {
+      var i = from; var o = 0
+      val end = math.min(from + len, src.length)
+      while (i < end && o < out.length) {
+        val n = src(i); i += 1
+        if (n >= 0) { // literal run of n+1
+          val take = math.min(math.min(n + 1, end - i), out.length - o)
+          if (take > 0) { System.arraycopy(src, i, out, o, take); i += take; o += take }
+          if (take < n + 1) return o // truncated
+        } else if (n != -128) { // replicate next byte 1-n times
+          if (i >= end) return o
+          val v = src(i); i += 1
+          val take = math.min(1 - n, out.length - o)
+          java.util.Arrays.fill(out, o, o + take, v)
+          o += take
+        }
+      }
+      o
+    }
+    // TIFF-LZW: MSB-first, clear=256, eoi=257, EARLY width change
+    // (width bumps when the NEXT entry would need it: at 511/1023/2047)
+    def lzw(src: Array[Byte], from: Int, len: Int, out: Array[Byte]): Int = {
+      val end = math.min(from + len, src.length)
+      val totalBits = (end - from).toLong * 8
+      var bitPos = 0L
+      val suffix = new Array[Byte](4096); val parent = new Array[Int](4096)
+      val length = new Array[Int](4096)
+      var dictSize = 258; var codeBits = 9; var prev = -1
+      var o = 0
+      def firstOf(code: Int): Int = {
+        var c = code
+        while (c >= 258) c = parent(c)
+        c
+      }
+      def emit(code: Int): Boolean = {
+        val l = if (code < 258) 1 else length(code)
+        if (o + l > out.length) { // clamp: fill what fits, stop
+          return false
+        }
+        var c = code; var p = o + l - 1
+        while (c >= 258) { out(p) = suffix(c); p -= 1; c = parent(c) }
+        out(p) = c.toByte
+        o += l
+        true
+      }
+      var done = false
+      while (!done && o < out.length) {
+        if (bitPos + codeBits > totalBits) done = true
+        else {
+          var code = 0; var k = 0
+          while (k < codeBits) {
+            val bp = bitPos + k
+            code = (code << 1) |
+              ((src(from + (bp >> 3).toInt) >> (7 - (bp & 7).toInt)) & 1)
+            k += 1
+          }
+          bitPos += codeBits
+          if (code == 256) { dictSize = 258; codeBits = 9; prev = -1 }
+          else if (code == 257) done = true
+          else if (prev < 0) {
+            if (code >= 256 || !emit(code)) done = true else prev = code
+          } else {
+            val known = code < dictSize && code != 256 && code != 257
+            if (!known && code != dictSize) done = true // corrupt: stop
+            else {
+              if (dictSize < 4096) {
+                suffix(dictSize) =
+                  (if (known) firstOf(code) else firstOf(prev)).toByte
+                parent(dictSize) = prev
+                length(dictSize) = (if (prev < 258) 1 else length(prev)) + 1
+                dictSize += 1
+                // EARLY change: the encoder widens one code sooner
+                if (dictSize == 511 || dictSize == 1023 || dictSize == 2047)
+                  codeBits += 1
+              } else if (!known) done = true
+              if (!done) { if (!emit(code)) done = true else prev = code }
+            }
+          }
+        }
+      }
+      o
+    }
+    // ---- walk strips, accumulate sums -----------------------------
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var decoded = 0L
+    var strip = 0
+    var rowBase = 0
+    val maxStripRows = rowsPerStrip
+    while (strip < stripOffsets.length && rowBase < h) {
+      val sOff = stripOffsets(strip); val sLen = stripCounts(strip)
+      if (sOff < 0 || sLen < 0 || sOff > bytes.length) return None
+      val rowsHere = math.min(maxStripRows, h - rowBase)
+      val out = new Array[Byte](rowsHere * rowBytes)
+      val got = compression match {
+        case 1 =>
+          val take = math.min(math.min(sLen, bytes.length - sOff), out.length.toLong).toInt
+          if (take > 0) System.arraycopy(bytes, sOff.toInt, out, 0, take)
+          math.max(0, take)
+        case 32773 => unpackBits(bytes, sOff.toInt, sLen.toInt, out)
+        case _ => lzw(bytes, sOff.toInt, sLen.toInt, out)
+      }
+      // predictor 2: horizontal differencing per sample channel
+      if (predictor == 2) {
+        var r = 0
+        while (r < rowsHere) {
+          val base = r * rowBytes
+          var x = spp
+          while (x < rowBytes && base + x < got) {
+            out(base + x) = ((out(base + x) + out(base + x - spp)) & 0xff).toByte
+            x += 1
+          }
+          r += 1
+        }
+      }
+      // sums over fully-present rows only (truncation clamp)
+      val fullRows = got / rowBytes
+      var r = 0
+      while (r < fullRows) {
+        val base = r * rowBytes
+        var x = 0
+        while (x < w) {
+          if (paletted) {
+            val rgb = palette(out(base + x) & 0xff)
+            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+          } else if (spp < 3) {
+            val v0 = out(base + x) & 0xff
+            val v = if (photometric == 0) 255 - v0 else v0 // WhiteIsZero inverts
+            sr += v; sg += v; sb += v
+          } else {
+            sr += out(base + x * spp) & 0xff
+            sg += out(base + x * spp + 1) & 0xff
+            sb += out(base + x * spp + 2) & 0xff
+          }
+          x += 1
+        }
+        decoded += 1
+        r += 1
+      }
+      rowBase += rowsHere
+      strip += 1
+    }
+    Some(TiffStats(w, h, compression, decoded * w, sr, sg, sb))
+  }
+
+  /** [[describePng]]'s TIFF sibling: per-payload decoded pixel sums
+    * (null columns where the payload isn't a decodable TIFF).
+    * Per-partition kernel, no shuffle, integer outputs. */
+  def describeTiff(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseTiffPixels(payload)
+        (id, st.map(_.width), st.map(_.height), st.map(_.compression),
+          st.map(_.nPixels), st.map(_.sumR), st.map(_.sumG), st.map(_.sumB))
+      }
+      .toDF("media_id", "width", "height", "compression", "n_pixels",
+        "sum_r", "sum_g", "sum_b")
+  }
+
   /** Decoded-BMP facts: dimensions plus per-channel integer pixel
     * sums — integers end to end, so a second engine replays them
     * exactly (no float accumulation anywhere). */

@@ -897,6 +897,172 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     bb.toByteArray
   }
 
+  // ---- TIFF vs javax.imageio (JDK 9+ ships a TIFF plugin) --------
+
+  private def encodeTiff(img: java.awt.image.BufferedImage,
+                         compression: Option[String]): Array[Byte] = {
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("tiff").next()
+    val p = wr.getDefaultWriteParam
+    compression match {
+      case Some(c) =>
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+        p.setCompressionType(c)
+      case None =>
+        p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_DISABLED)
+    }
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    ios.close() // TIFF writer does not flush the cache on its own
+    bos.toByteArray
+  }
+
+  test("parseTiffPixels decodes ImageIO TIFFs exactly: none/LZW/PackBits, RGB and gray") {
+    Seq(None, Some("LZW"), Some("PackBits")).foreach { comp =>
+      // RGB with structured runs (exercises LZW dictionaries + RLE)
+      val w = 21 + rnd.nextInt(30); val h = 9 + rnd.nextInt(20)
+      val img = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+      var sr = 0L; var sg = 0L; var sb = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val (r, g, b) =
+          if ((x / 4 + y / 2) % 2 == 0) (10, 200, 30)
+          else (rnd.nextInt(256), rnd.nextInt(256), rnd.nextInt(256))
+        img.setRGB(x, y, (r << 16) | (g << 8) | b)
+        sr += r; sg += g; sb += b } }
+      val bytes = encodeTiff(img, comp)
+      val got = Multimodal.parseTiffPixels(bytes)
+        .getOrElse(fail(s"rejected ImageIO TIFF comp=$comp"))
+      assert(got.width == w && got.height == h && got.nPixels == w.toLong * h,
+        s"comp=$comp geom")
+      assert(got.sumR == sr && got.sumG == sg && got.sumB == sb,
+        s"comp=$comp: (${got.sumR},${got.sumG},${got.sumB}) vs ($sr,$sg,$sb)")
+      // grayscale leg
+      val gi = new java.awt.image.BufferedImage(
+        w, h, java.awt.image.BufferedImage.TYPE_BYTE_GRAY)
+      var s = 0L
+      (0 until h).foreach { y => (0 until w).foreach { x =>
+        val g = if (x % 3 == 0) 77 else rnd.nextInt(256)
+        gi.getRaster.setSample(x, y, 0, g); s += g } }
+      val gotG = Multimodal.parseTiffPixels(encodeTiff(gi, comp))
+        .getOrElse(fail(s"rejected gray TIFF comp=$comp"))
+      assert(gotG.sumR == s && gotG.sumG == s && gotG.sumB == s, s"gray comp=$comp")
+    }
+  }
+
+  /** Hand-built little-endian TIFF: one strip, chosen photometric /
+    * compression (1 or 32773) over raw sample bytes. */
+  private def tiffRaw(w: Int, h: Int, spp: Int, photometric: Int,
+                      samples: Array[Byte], packBits: Boolean = false,
+                      colorMap: Option[Array[Int]] = None): Array[Byte] = {
+    val data =
+      if (!packBits) samples
+      else { // naive PackBits: literal runs of <=128
+        val out = new java.io.ByteArrayOutputStream()
+        samples.grouped(128).foreach { chunk =>
+          out.write(chunk.length - 1); out.write(chunk, 0, chunk.length)
+        }
+        out.toByteArray
+      }
+    val bb = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = { w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt) }
+    bb.write('I'); bb.write('I'); w16(42)
+    val nTags = 10 + (if (colorMap.isDefined) 1 else 0)
+    val dataOff = 8L + 2 + 12 * nTags + 4
+    val mapOff = dataOff + data.length
+    w32(8) // IFD at 8
+    w16(nTags)
+    def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
+      w16(t); w16(typ); w32(cnt); w32(v)
+    }
+    tag(256, 3, 1, w); tag(257, 3, 1, h)
+    tag(258, 3, 1, 8) // BitsPerSample: one SHORT (applies to all here)
+    tag(259, 3, 1, if (packBits) 32773 else 1)
+    tag(262, 3, 1, photometric)
+    tag(273, 4, 1, dataOff) // StripOffsets
+    tag(277, 3, 1, spp)
+    tag(278, 3, 1, h) // one strip
+    tag(279, 4, 1, data.length)
+    tag(284, 3, 1, 1) // PlanarConfiguration chunky
+    colorMap.foreach(_ => tag(320, 3, 3 * 256, mapOff))
+    w32(0) // next IFD
+    bb.write(data)
+    colorMap.foreach(cm => cm.foreach(w16))
+    bb.toByteArray
+  }
+
+  test("parseTiffPixels: hand-built little-endian, WhiteIsZero, palette, PackBits (vs ImageIO)") {
+    // gray WhiteIsZero: values invert
+    val w = 7; val h = 3
+    val gray = Array.tabulate(w * h)(i => ((i * 19) % 256).toByte)
+    val wiz = tiffRaw(w, h, 1, 0, gray)
+    val got = Multimodal.parseTiffPixels(wiz).get
+    val want = gray.map(b => 255L - (b & 0xff)).sum
+    assert(got.sumR == want && got.sumG == want && got.sumB == want)
+    // raw raster samples (getRGB would run gray through a linear→sRGB
+    // colorspace conversion); the reader keeps WhiteIsZero samples
+    // as stored, so invert like the photometric says
+    val dec = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(wiz))
+    assert(dec != null, "ImageIO rejected WhiteIsZero fixture")
+    var s = 0L
+    // (the JDK reader already normalizes WhiteIsZero in the raster)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      s += dec.getRaster.getSample(x, y, 0) } }
+    assert(s == want, "ImageIO disagrees on WhiteIsZero")
+    // palette: ColorMap 16-bit planes in the canonical replicated
+    // form c*257 (= c<<8|c, how 8-bit palettes are widened) — there
+    // the top-byte contract and ImageIO's 255/65535 scaling agree
+    // exactly; non-replicated maps may differ by one level
+    val cm = new Array[Int](3 * 256)
+    (0 until 256).foreach { k =>
+      cm(k) = ((k * 31) % 256) * 257; cm(256 + k) = ((k * 47) % 256) * 257
+      cm(512 + k) = ((k * 61) % 256) * 257 }
+    val idx = Array.tabulate(w * h)(i => ((i * 7) % 256).toByte)
+    val pal = tiffRaw(w, h, 1, 3, idx, colorMap = Some(cm))
+    val gotP = Multimodal.parseTiffPixels(pal).get
+    assert(gotP.sumR == idx.map(i => ((i & 0xff) * 31 % 256).toLong).sum)
+    assert(gotP.sumG == idx.map(i => ((i & 0xff) * 47 % 256).toLong).sum)
+    assert(gotP.sumB == idx.map(i => ((i & 0xff) * 61 % 256).toLong).sum)
+    val decP = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(pal))
+    assert(decP != null, "ImageIO rejected palette fixture")
+    var sp = 0L
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      sp += (decP.getRGB(x, y) >> 16) & 0xff } }
+    assert(sp == gotP.sumR, "ImageIO disagrees on palette")
+    // RGB via hand PackBits
+    val rgb = Array.tabulate(w * h * 3)(i => ((i * 13) % 256).toByte)
+    val pb = tiffRaw(w, h, 3, 2, rgb, packBits = true)
+    val gotB = Multimodal.parseTiffPixels(pb).get
+    assert(gotB.compression == 32773)
+    assert(gotB.sumR == (0 until w * h).map(i => (rgb(3 * i) & 0xff).toLong).sum)
+  }
+
+  test("parseTiffPixels clamps truncation and survives hostile bytes") {
+    val img = new java.awt.image.BufferedImage(
+      24, 16, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16).foreach { y => (0 until 24).foreach { x =>
+      img.setRGB(x, y, rnd.nextInt(1 << 24)) } }
+    val ok = encodeTiff(img, Some("LZW"))
+    assert(Multimodal.parseTiffPixels(ok).isDefined)
+    val t0 = System.nanoTime()
+    (1 to 300).foreach { k =>
+      val c = ok.clone()
+      (0 to k % 4).foreach { _ =>
+        c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+      Multimodal.parseTiffPixels(c) // never a throw
+    }
+    // truncations
+    (8 until ok.length by 13).foreach { cut =>
+      Multimodal.parseTiffPixels(ok.take(cut))
+    }
+    assert(System.nanoTime() - t0 < 30e9)
+    assert(Multimodal.parseTiffPixels("II*but not a tiff".getBytes("UTF-8")).isEmpty)
+    assert(Multimodal.parseTiffPixels(null).isEmpty)
+  }
+
   // ---- GIF LZW pixel decode vs javax.imageio ---------------------
 
   test("parseGifPixels decodes ImageIO-ENCODED GIFs exactly (real LZW dictionaries)") {
