@@ -4134,6 +4134,61 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q248 — AU / AIFF / G.711 audio decode ([[graft.sources
+    // .Multimodal.parseAu]]/[[graft.sources.Multimodal.parseAiff]]):
+    // the telephony + studio tiers beside q233's WAV — Sun/NeXT AU
+    // with G.711 μ-law and A-law companding (both implemented from
+    // the spec, byte-identical to javax.sound's tables on all 256
+    // codes) plus big-endian PCM, and AIFF with its 80-bit
+    // extended-float sample rate. Stats are INTEGER 16-bit units
+    // (peak_raw, sum_sq) so the oracle replays the G.711 expansion
+    // formulas in SQL integer arithmetic exactly — no float
+    // accumulation anywhere. Fixtures cycle μ-law / A-law / AU-PCM16
+    // / AIFF-PCM16 by id. Every 50th payload is non-audio → nulls.
+    // Map-only; payloads never shuffle.
+    "q248_audio_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "audio? silence".getBytes("UTF-8"))
+        else {
+          val n = (40 + id % 30).toInt
+          val variant = (id % 4).toInt
+          val bos = new java.io.ByteArrayOutputStream()
+          val dd = new java.io.DataOutputStream(bos)
+          if (variant <= 2) { // AU
+            val enc = variant match { case 0 => 1; case 1 => 27; case _ => 3 }
+            val bytesPer = if (variant == 2) 2 else 1
+            dd.writeBytes(".snd"); dd.writeInt(24); dd.writeInt(n * bytesPer)
+            dd.writeInt(enc); dd.writeInt(8000); dd.writeInt(1)
+            (0 until n).foreach { i =>
+              if (variant == 2) dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
+              else dd.writeByte(((id * 7 + i * 13) % 256).toInt)
+            }
+          } else { // AIFF PCM16 mono at 22050 Hz
+            val dataLen = 8 + 2 * n
+            dd.writeBytes("FORM"); dd.writeInt(4 + 8 + 18 + 8 + dataLen)
+            dd.writeBytes("AIFF")
+            dd.writeBytes("COMM"); dd.writeInt(18)
+            dd.writeShort(1); dd.writeInt(n); dd.writeShort(16)
+            // 80-bit extended float for an integer rate
+            val rate = 22050
+            val bitlen = 31 - Integer.numberOfLeadingZeros(rate)
+            dd.writeShort(16383 + bitlen)
+            dd.writeLong(rate.toLong << (63 - bitlen))
+            dd.writeBytes("SSND"); dd.writeInt(dataLen)
+            dd.writeInt(0); dd.writeInt(0)
+            (0 until n).foreach { i =>
+              dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
+            }
+          }
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "snd")
+      graft.sources.Multimodal.describeAudio(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "snd", "audio"))
+        .orderBy("media_id")
+    }),
+
     // Q247 — TIFF pixel decode ([[graft.sources.Multimodal
     // .parseTiffPixels]]): the document-scan tier — II/MM byte
     // orders, strip organization, gray (incl. WhiteIsZero), RGB(A),
@@ -7538,6 +7593,57 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Audio stats re-derived in pure integer SQL — the G.711 μ-law /
+    // A-law expansion formulas replay per sample byte, PCM samples
+    // replay from their formula; peak/sum-of-squares in 16-bit units.
+    "q248_audio_decode" ->
+      """WITH dims AS (SELECT doc_id, 40 + doc_id % 30 AS n, doc_id % 4 AS variant
+        |              FROM documents),
+        |smp AS (SELECT doc_id, n, variant, i
+        |        FROM dims, generate_series(0, 69) t(i) WHERE i < n),
+        |v AS (SELECT doc_id, n, variant,
+        |        CASE
+        |          WHEN variant = 0 THEN (
+        |            CASE WHEN (255 - ((doc_id * 7 + i * 13) % 256)) >= 128
+        |                 THEN -1 ELSE 1 END *
+        |            (((2 * ((255 - ((doc_id * 7 + i * 13) % 256)) % 16) + 33)
+        |              * (1 << (((255 - ((doc_id * 7 + i * 13) % 256)) // 16) % 8))
+        |              - 33) * 4))
+        |          WHEN variant = 1 THEN (
+        |            CASE WHEN xor((doc_id * 7 + i * 13) % 256, 85) >= 128
+        |                 THEN 1 ELSE -1 END *
+        |            (CASE WHEN ((xor((doc_id * 7 + i * 13) % 256, 85) // 16) % 8) = 0
+        |                  THEN 2 * (xor((doc_id * 7 + i * 13) % 256, 85) % 16) + 1
+        |                  ELSE (2 * (xor((doc_id * 7 + i * 13) % 256, 85) % 16) + 33)
+        |                       * (1 << (((xor((doc_id * 7 + i * 13) % 256, 85) // 16) % 8) - 1))
+        |             END) * 8)
+        |          ELSE ((doc_id * 11 + i * 17) % 65536) - 32768
+        |        END AS s
+        |      FROM smp),
+        |agg AS (SELECT doc_id, MAX(n) AS n, MAX(variant) AS variant,
+        |          CAST(MAX(ABS(s)) AS BIGINT) AS pk,
+        |          CAST(SUM(s * s) AS BIGINT) AS sq
+        |        FROM v GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CASE a.variant WHEN 0 THEN 'au_ulaw' WHEN 1 THEN 'au_alaw'
+        |            WHEN 2 THEN 'au_pcm16' ELSE 'aiff_pcm16' END END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CASE WHEN a.variant = 3 THEN 22050 ELSE 8000 END
+        |       END AS sample_rate,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 1 END AS channels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CASE WHEN a.variant >= 2 THEN 16 ELSE 8 END END AS bits,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.n AS BIGINT) END AS n_frames,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.n * 1000 // (CASE WHEN a.variant = 3 THEN 22050
+        |            ELSE 8000 END) AS BIGINT) END AS duration_ms,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.pk END AS peak_raw,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sq END AS sum_sq
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

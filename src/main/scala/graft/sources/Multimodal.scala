@@ -287,6 +287,178 @@ object Multimodal {
         "n_frames", "duration_ms", "peak", "rms")
   }
 
+  /** Decoded audio facts in INTEGER 16-bit units: `peakRaw` = max
+    * |sample|, `sumSq` = Σ sample² — integer-exact end to end, so a
+    * second engine replays them with no float accumulation (RMS is a
+    * downstream `sqrt(sumSq/n)` whenever a consumer wants it).
+    * Samples of other depths normalize to 16-bit (8-bit << 8, 24/32
+    * take the top 16), which also bounds `sumSq`: 2^30 per frame,
+    * overflow-free past 2^33 frames. */
+  final case class AudioStats(format: String, sampleRate: Int, channels: Int,
+                              bitsPerSample: Int, nFrames: Long,
+                              durationMs: Long, peakRaw: Long, sumSq: Long)
+
+  /** G.711 μ-law byte → linear 16-bit sample. Matches javax.sound's
+    * own conversion on all 256 codes (differential-pinned). */
+  def ulawToLinear16(b: Int): Int = {
+    val c = (~b) & 0xff
+    val e = (c >> 4) & 7; val m = c & 0xf
+    val mag = ((((m << 1) + 33) << e) - 33) << 2
+    if ((c & 0x80) != 0) -mag else mag
+  }
+
+  /** G.711 A-law byte → linear 16-bit sample (same pinning). */
+  def alawToLinear16(b: Int): Int = {
+    val x = b ^ 0x55
+    val e = (x >> 4) & 7; val m = x & 0xf
+    val mag = (if (e == 0) (m << 1) + 1 else ((m << 1) + 33) << (e - 1)) << 3
+    if ((x & 0x80) == 0) -mag else mag
+  }
+
+  /** REAL pure-JVM Sun/NeXT AU decode — the telephony-audio tier:
+    * big-endian header (magic/offset/size/encoding/rate/channels),
+    * then G.711 μ-law or A-law (both implemented from the spec and
+    * byte-for-byte identical to javax.sound's tables) or signed PCM
+    * at 8/16/24/32 bits. A declared size of 0xFFFFFFFF (unknown,
+    * common in streamed .au) and truncated payloads clamp to the
+    * frames present. Float encodings return None. */
+  def parseAu(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null || bytes.length < 24) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (!(u8(0) == '.' && u8(1) == 's' && u8(2) == 'n' && u8(3) == 'd')) return None
+    val off = be32(4); val size = be32(8); val enc = be32(12).toInt
+    val rate = be32(16).toInt; val ch = be32(20).toInt
+    if (off < 24 || off > bytes.length || rate <= 0 || ch <= 0 || ch > 64) return None
+    val (bytesPer, bits, fmt) = enc match {
+      case 1 => (1, 8, "au_ulaw")
+      case 2 => (1, 8, "au_pcm8")
+      case 3 => (2, 16, "au_pcm16")
+      case 4 => (3, 24, "au_pcm24")
+      case 5 => (4, 32, "au_pcm32")
+      case 27 => (1, 8, "au_alaw")
+      case _ => return None // float/ADPCM tiers
+    }
+    val declared = if (size == 0xffffffffL) Long.MaxValue else size
+    val avail = math.max(0L, math.min(declared, bytes.length - off))
+    val frames = avail / (bytesPer.toLong * ch)
+    if (frames > (1L << 26)) return None // sanity fence
+    var peak = 0L; var sumSq = 0L
+    var s = 0L
+    val nSamples = frames * ch
+    while (s < nSamples) {
+      val o = (off + s * bytesPer).toInt
+      val v: Int = enc match {
+        case 1 => ulawToLinear16(u8(o))
+        case 27 => alawToLinear16(u8(o))
+        case 2 => bytes(o).toInt << 8 // AU PCM8 is SIGNED
+        case 3 => ((u8(o) << 8) | u8(o + 1)).toShort.toInt
+        case 4 => ((u8(o) << 8) | u8(o + 1)).toShort.toInt // top 16 of 24
+        case _ => ((u8(o) << 8) | u8(o + 1)).toShort.toInt // top 16 of 32
+      }
+      val a = math.abs(v.toLong)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      s += 1
+    }
+    Some(AudioStats(fmt, rate, ch, bits, frames, frames * 1000L / rate, peak, sumSq))
+  }
+
+  /** REAL pure-JVM AIFF decode — the big-endian studio sibling of
+    * [[parseWavPcm]]: FORM/AIFF chunk walk, COMM (channels, frame
+    * count, bits, sample rate as an 80-bit extended float — parsed
+    * from sign/exponent/mantissa, no float library), SSND offset +
+    * signed big-endian PCM at 8/16/24/32 bits (AIFF 8-bit is SIGNED,
+    * unlike WAV). AIFC (compressed) returns None; truncation clamps
+    * to the frames present. Same integer 16-bit-units stats. */
+  def parseAiff(bytes: Array[Byte]): Option[AudioStats] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(0) != "FORM" || fourcc(8) != "AIFF") return None
+    var i = 12L
+    var ch = 0; var numFrames = -1L; var bits = 0; var rate = 0
+    var dataOff = -1L; var dataLen = -1L
+    while (i + 8 <= bytes.length) {
+      val id = fourcc(i.toInt); val sz = be32(i.toInt + 4)
+      if (id == "COMM" && i + 8 + 18 <= bytes.length) {
+        ch = be16(i.toInt + 8)
+        numFrames = be32(i.toInt + 10)
+        bits = be16(i.toInt + 14)
+        // 80-bit extended float at +16: 15-bit exponent, 64-bit
+        // mantissa with explicit integer bit; rate = m · 2^(e−16383−63)
+        val o = i.toInt + 16
+        val e = be16(o) & 0x7fff
+        val mHi = be32(o + 2); val mLo = be32(o + 6)
+        val m = (mHi << 32) | mLo
+        val shift = e - 16383 - 63
+        rate =
+          if (m == 0 || e == 0) 0
+          else if (shift >= 0 && shift < 32) (m << shift).toInt
+          else if (shift < 0 && shift > -64) {
+            // round-to-nearest on the dropped bits (rates are integers
+            // in practice; this keeps 44100.0 exact)
+            val dropped = -shift
+            ((m >>> dropped) + ((m >>> (dropped - 1)) & 1L)).toInt
+          } else 0
+      } else if (id == "SSND" && i + 16 <= bytes.length) {
+        val pad = be32(i.toInt + 8) // offset into the sound data
+        dataOff = i + 16 + pad
+        dataLen = sz - 8 - pad
+      }
+      i += 8L + sz + (sz & 1) // IFF chunks are word-aligned
+    }
+    val bytesPer = bits / 8
+    if (ch <= 0 || ch > 64 || rate <= 0 || dataOff < 0 || dataLen < 0 ||
+        bytesPer < 1 || bytesPer > 4 || bits % 8 != 0) return None
+    val avail = math.max(0L, math.min(dataLen, bytes.length - dataOff))
+    var frames = avail / (bytesPer.toLong * ch)
+    if (numFrames >= 0) frames = math.min(frames, numFrames)
+    if (frames > (1L << 26)) return None
+    var peak = 0L; var sumSq = 0L
+    var s = 0L
+    val nSamples = frames * ch
+    while (s < nSamples) {
+      val o = (dataOff + s * bytesPer).toInt
+      val v: Int = bytesPer match {
+        case 1 => bytes(o).toInt << 8 // signed
+        case _ => ((u8(o) << 8) | u8(o + 1)).toShort.toInt // top 16 bits
+      }
+      val a = math.abs(v.toLong)
+      if (a > peak) peak = a
+      sumSq += v.toLong * v
+      s += 1
+    }
+    Some(AudioStats("aiff_pcm" + bits, rate, ch, bits, frames,
+      frames * 1000L / rate, peak, sumSq))
+  }
+
+  /** [[describePcm]]'s multi-container sibling: AU (μ-law / A-law /
+    * PCM) and AIFF payloads dispatch on their magic to the real
+    * decoders above; integer 16-bit-unit stats, null columns for
+    * anything else. Per-partition kernel, no shuffle. */
+  def describeAudio(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st =
+          if (payload != null && payload.length >= 4 &&
+              payload(0) == '.' && payload(1) == 's') parseAu(payload)
+          else parseAiff(payload)
+        (id, st.map(_.format), st.map(_.sampleRate), st.map(_.channels),
+          st.map(_.bitsPerSample), st.map(_.nFrames), st.map(_.durationMs),
+          st.map(_.peakRaw), st.map(_.sumSq))
+      }
+      .toDF("media_id", "format", "sample_rate", "channels", "bits",
+        "n_frames", "duration_ms", "peak_raw", "sum_sq")
+  }
+
   /** Frame-walk facts of an animated GIF: frame count and total
     * animation duration from the Graphic Control Extension delays —
     * integers straight from the container bytes. */

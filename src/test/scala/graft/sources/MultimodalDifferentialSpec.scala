@@ -65,6 +65,94 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- AU / AIFF / G.711 vs javax.sound --------------------------
+
+  test("ulaw/alaw decode matches javax.sound on ALL 256 codes") {
+    Seq((javax.sound.sampled.AudioFormat.Encoding.ULAW, 1),
+        (javax.sound.sampled.AudioFormat.Encoding.ALAW, 27)).foreach {
+      case (enc, code) =>
+        // AU file holding every byte value once
+        val bos = new java.io.ByteArrayOutputStream()
+        val d = new java.io.DataOutputStream(bos)
+        d.writeBytes(".snd"); d.writeInt(24); d.writeInt(256)
+        d.writeInt(code); d.writeInt(8000); d.writeInt(1)
+        (0 until 256).foreach(d.writeByte)
+        val bytes = bos.toByteArray
+        val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+          new java.io.ByteArrayInputStream(bytes))
+        val pcm = new javax.sound.sampled.AudioFormat(
+          javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+          8000, 16, 1, 2, 8000, true)
+        val conv = javax.sound.sampled.AudioSystem.getAudioInputStream(pcm, ais)
+        val out = conv.readAllBytes()
+        val javaVals = Array.tabulate(256)(i =>
+          (((out(2 * i) & 0xff) << 8) | (out(2 * i + 1) & 0xff)).toShort.toInt)
+        val mine = Array.tabulate(256)(b =>
+          if (code == 1) Multimodal.ulawToLinear16(b) else Multimodal.alawToLinear16(b))
+        assert(mine.sameElements(javaVals),
+          s"$enc: first diff at ${mine.zip(javaVals).indexWhere(p => p._1 != p._2)}")
+        // and the container stats agree with a direct fold
+        val st = Multimodal.parseAu(bytes).get
+        assert(st.format == (if (code == 1) "au_ulaw" else "au_alaw"))
+        assert(st.nFrames == 256 && st.sampleRate == 8000)
+        assert(st.peakRaw == javaVals.map(v => math.abs(v.toLong)).max)
+        assert(st.sumSq == javaVals.map(v => v.toLong * v).sum)
+    }
+  }
+
+  test("parseAu/parseAiff decode javax.sound-WRITTEN files exactly (incl. 80-bit rate)") {
+    Seq(8000f, 22050f, 44100f).foreach { rate =>
+      val n = 50 + rnd.nextInt(200)
+      val ch = 1 + rnd.nextInt(2)
+      val samples = Array.fill(n * ch)(rnd.nextInt(65536) - 32768)
+      val pcmBytes = new Array[Byte](samples.length * 2)
+      samples.zipWithIndex.foreach { case (v, i) =>
+        pcmBytes(2 * i) = (v >> 8).toByte; pcmBytes(2 * i + 1) = v.toByte }
+      val fmt = new javax.sound.sampled.AudioFormat(
+        javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+        rate, 16, ch, 2 * ch, rate, true)
+      def write(t: javax.sound.sampled.AudioFileFormat.Type): Array[Byte] = {
+        val ais = new javax.sound.sampled.AudioInputStream(
+          new java.io.ByteArrayInputStream(pcmBytes), fmt, n)
+        val bos = new java.io.ByteArrayOutputStream()
+        javax.sound.sampled.AudioSystem.write(ais, t, bos)
+        bos.toByteArray
+      }
+      val wantPeak = samples.map(v => math.abs(v.toLong)).max
+      val wantSq = samples.map(v => v.toLong * v).sum
+      val au = Multimodal.parseAu(
+        write(javax.sound.sampled.AudioFileFormat.Type.AU)).get
+      assert(au.format == "au_pcm16" && au.sampleRate == rate.toInt &&
+        au.channels == ch && au.nFrames == n)
+      assert(au.peakRaw == wantPeak && au.sumSq == wantSq, s"AU rate=$rate")
+      val aiff = Multimodal.parseAiff(
+        write(javax.sound.sampled.AudioFileFormat.Type.AIFF)).get
+      assert(aiff.format == "aiff_pcm16" && aiff.sampleRate == rate.toInt,
+        s"AIFF 80-bit rate parse: got ${aiff.sampleRate} want ${rate.toInt}")
+      assert(aiff.channels == ch && aiff.nFrames == n)
+      assert(aiff.peakRaw == wantPeak && aiff.sumSq == wantSq, s"AIFF rate=$rate")
+    }
+  }
+
+  test("parseAu/parseAiff clamp truncation and survive hostile bytes") {
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(0xffffffff) // unknown size
+    d.writeInt(3); d.writeInt(8000); d.writeInt(1)
+    (0 until 100).foreach(i => d.writeShort(i * 321 - 16000))
+    val au = bos.toByteArray
+    assert(Multimodal.parseAu(au).get.nFrames == 100) // unknown size clamps to bytes
+    assert(Multimodal.parseAu(au.take(24 + 41)).get.nFrames == 20) // partial frame drops
+    (1 to 200).foreach { k =>
+      val c = au.clone()
+      (0 to k % 3).foreach { _ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte }
+      Multimodal.parseAu(c); Multimodal.parseAiff(c) // never a throw
+    }
+    assert(Multimodal.parseAu("not audio".getBytes).isEmpty)
+    assert(Multimodal.parseAiff("FORMxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseAu(null).isEmpty && Multimodal.parseAiff(null).isEmpty)
+  }
+
   // ---- BMP vs javax.imageio --------------------------------------
 
   private def randomBmp(): Array[Byte] = {
