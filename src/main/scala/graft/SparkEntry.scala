@@ -4134,6 +4134,88 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q249 — ICO (favicon) decode ([[graft.sources.Multimodal
+    // .parseIcoPixels]]): directory walk + largest-entry decode, the
+    // browser rule — either the modern PNG-embedded form (delegated
+    // to the pinned PNG decoder) or the classic DIB with doubled
+    // height and bottom-up padded rows (32bpp BGRA here; palette
+    // depths spec-pinned). The SAME pixel formulas feed both
+    // containers (both lossless), so the oracle's sums are
+    // parity-independent and only `inner`/`bpp` switch. Every 50th
+    // payload is non-ICO → nulls. Map-only; payloads never shuffle.
+    "q249_ico_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "ico? no".getBytes("UTF-8"))
+        else {
+          val w = (3 + id % 5).toInt; val h = (2 + id % 3).toInt
+          def r(x: Int, y: Int) = ((id * 5 + x * 7 + y * 13) % 256).toInt
+          def g(x: Int, y: Int) = ((id * 3 + x * 11 + y) % 256).toInt
+          def b(x: Int, y: Int) = ((id + x + y * 19) % 256).toInt
+          if (id % 2 == 0) { // classic 32bpp DIB
+            val rowBytes = ((w * 32 + 31) / 32) * 4
+            val maskRow = ((w + 31) / 32) * 4
+            val imgSize = 40 + rowBytes * h + maskRow * h
+            val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putShort(0).putShort(1).putShort(1)
+            bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+              .putShort(1).putShort(32).putInt(imgSize).putInt(6 + 16)
+            bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(32)
+              .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+            (0 until h).foreach { rowFromBottom =>
+              val y = h - 1 - rowFromBottom
+              (0 until w).foreach { x =>
+                bb.put(b(x, y).toByte).put(g(x, y).toByte)
+                  .put(r(x, y).toByte).put(((x + y) % 256).toByte)
+              }
+            }
+            (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow)))
+            (id, bb.array())
+          } else { // PNG-embedded (modern favicon)
+            val stride = 3 * w
+            val raw = new Array[Byte](h * (1 + stride))
+            (0 until h).foreach { y =>
+              val base = y * (1 + stride)
+              raw(base) = 0
+              (0 until w).foreach { x =>
+                raw(base + 1 + x * 3) = r(x, y).toByte
+                raw(base + 2 + x * 3) = g(x, y).toByte
+                raw(base + 3 + x * 3) = b(x, y).toByte
+              }
+            }
+            val defl = new java.util.zip.Deflater()
+            defl.setInput(raw); defl.finish()
+            val buf = new Array[Byte](raw.length + 64)
+            val m = defl.deflate(buf); defl.end()
+            def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+              val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+              out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+              val crc = new java.util.zip.CRC32()
+              crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+              out.putInt(crc.getValue.toInt).array()
+            }
+            val ihdr = java.nio.ByteBuffer.allocate(13)
+              .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
+              .put(0.toByte).put(0.toByte).put(0.toByte).array()
+            val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+            val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(m)) ++
+              chunk("IEND", Array.emptyByteArray)
+            val bb = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putShort(0).putShort(1).putShort(1)
+            bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+              .putShort(1).putShort(32).putInt(png.length).putInt(6 + 16)
+            bb.put(png)
+            (id, bb.array())
+          }
+        }
+      }.toDF("doc_id", "ico")
+      graft.sources.Multimodal.describeIco(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "ico", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q248 — AU / AIFF / G.711 audio decode ([[graft.sources
     // .Multimodal.parseAu]]/[[graft.sources.Multimodal.parseAiff]]):
     // the telephony + studio tiers beside q233's WAV — Sun/NeXT AU
@@ -7644,6 +7726,39 @@ object SparkEntry {
         |            ELSE 8000 END) AS BIGINT) END AS duration_ms,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.pk END AS peak_raw,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sq END AS sum_sq
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // ICO channel sums re-derived from the shared pixel formulas —
+    // parity only switches which container carried them (32bpp DIB vs
+    // embedded PNG), so sums are parity-independent.
+    "q249_ico_decode" ->
+      """WITH dims AS (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |              FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y
+        |       FROM dims, generate_series(0, 7) a(x), generate_series(0, 4) b(y)
+        |       WHERE x < w AND y < h),
+        |agg AS (SELECT doc_id, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id * 5 + x * 7 + y * 13) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 3 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 19) % 256) AS BIGINT) AS sb
+        |        FROM px GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 1 END AS n_images,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.w AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.h AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CASE WHEN d.doc_id % 2 = 0 THEN 32 ELSE 8 END END AS bpp,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CASE WHEN d.doc_id % 2 = 0 THEN 'dib' ELSE 'png' END
+        |       END AS inner,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.np END AS n_pixels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sr END AS sum_r,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )

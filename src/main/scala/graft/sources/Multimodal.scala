@@ -46,10 +46,11 @@ object Multimodal {
 
   /** REAL pure-JVM image header parse (no codecs needed — container
     * headers are plain bytes): returns (format, width, height) for
-    * PNG (IHDR chunk), JPEG (SOF0/1/2… frame marker scan) and GIF
-    * (logical screen descriptor), None for anything else. This is the
-    * non-stub tier of the decode path: dimensions come from the actual
-    * bytes, not a hash. */
+    * PNG (IHDR chunk), JPEG (SOF0/1/2… frame marker scan), GIF
+    * (logical screen descriptor), BMP and WebP (VP8 lossy sync /
+    * VP8L lossless packed fields / VP8X extended canvas), None for
+    * anything else. This is the non-stub tier of the decode path:
+    * dimensions come from the actual bytes, not a hash. */
   def parseImageHeader(bytes: Array[Byte]): Option[(String, Int, Int)] = {
     def u8(i: Int) = bytes(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -79,6 +80,27 @@ object Multimodal {
       // 18/20; every later header uses signed LE u32 at 18/22.
       if (dib == 12) Some(("bmp", le16(18), le16(20)))
       else Some(("bmp", math.abs(le32s(18)), math.abs(le32s(22))))
+    }
+    // WebP: RIFF/WEBP container; dims live in the first VP8 (lossy:
+    // 14-bit LE fields past the 9d 01 2a sync), VP8L (lossless:
+    // 14-bit fields packed after the 0x2f tag) or VP8X (extended:
+    // 24-bit canvas minus one) chunk.
+    else if (bytes.length >= 25 && u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' &&
+             u8(3) == 'F' && u8(8) == 'W' && u8(9) == 'E' && u8(10) == 'B' &&
+             u8(11) == 'P') {
+      val tag = new String(bytes, 12, 4, "US-ASCII")
+      if (tag == "VP8 " && bytes.length >= 30 && u8(23) == 0x9d &&
+          u8(24) == 0x01 && u8(25) == 0x2a)
+        Some(("webp", le16(26) & 0x3fff, le16(28) & 0x3fff))
+      else if (tag == "VP8L" && bytes.length >= 25 && u8(20) == 0x2f) {
+        val b32 = u8(21).toLong | (u8(22).toLong << 8) |
+          (u8(23).toLong << 16) | (u8(24).toLong << 24)
+        Some(("webp", (1 + (b32 & 0x3fff)).toInt, (1 + ((b32 >> 14) & 0x3fff)).toInt))
+      } else if (tag == "VP8X" && bytes.length >= 30) {
+        val w = 1 + (u8(24) | (u8(25) << 8) | (u8(26) << 16))
+        val h = 1 + (u8(27) | (u8(28) << 8) | (u8(29) << 16))
+        Some(("webp", w, h))
+      } else None
     }
     // JPEG: FF D8, then walk marker segments to the first SOFn frame
     // header (C0–CF except C4/C8/CC); height/width big-endian u16 at
@@ -2152,6 +2174,126 @@ object Multimodal {
       row += 1
     }
     Some(BmpStats(w, h, bpp, n, sr, sg, sb))
+  }
+
+  /** Decoded-ICO facts: directory size, the DECODED entry's geometry
+    * and inner container ("png" or "dib"), and integer channel sums —
+    * same contract as [[PngStats]]. */
+  final case class IcoStats(nImages: Int, width: Int, height: Int, bpp: Int,
+                            inner: String, nPixels: Long,
+                            sumR: Long, sumG: Long, sumB: Long)
+
+  /** REAL pure-JVM ICO (favicon) decode: directory walk, then the
+    * LARGEST entry (the browser rule) decodes — either an embedded
+    * PNG (delegated to [[parsePngPixels]], the modern high-res form)
+    * or an ICO DIB: BITMAPINFOHEADER with its DOUBLED height (XOR
+    * image + AND mask), bottom-up 32-bit-padded rows, at 32bpp BGRA /
+    * 24bpp BGR / 1-4-8 bpp through the BGRA palette. The AND
+    * transparency mask is deliberately ignored (indices/channels sum
+    * as stored — the corpus-stats contract, like GIF transparency).
+    * Truncated pixel data clamps to fully-present rows; compressed or
+    * malformed DIBs return None. No JDK differential exists (ImageIO
+    * cannot read ICO); correctness rests on the q249
+    * synthesize-and-replay oracle plus the delegated, heavily-pinned
+    * PNG path. */
+  def parseIcoPixels(bytes: Array[Byte]): Option[IcoStats] = {
+    if (bytes == null || bytes.length < 22) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    if (le16(0) != 0 || le16(2) != 1) return None // icons only (type 2 = cursor)
+    val count = le16(4)
+    if (count < 1 || count > 1024 || 6 + 16 * count > bytes.length) return None
+    // largest entry by declared pixel area (0 in the byte fields = 256)
+    var best = -1; var bestArea = -1L
+    var e = 0
+    while (e < count) {
+      val o = 6 + 16 * e
+      val w = if (u8(o) == 0) 256 else u8(o)
+      val h = if (u8(o + 1) == 0) 256 else u8(o + 1)
+      if (w.toLong * h > bestArea) { bestArea = w.toLong * h; best = o }
+      e += 1
+    }
+    val off = le32(best + 12)
+    if (off < 0 || off + 8 > bytes.length) return None
+    val oi = off.toInt
+    // embedded PNG?
+    if (u8(oi) == 0x89 && u8(oi + 1) == 'P' && u8(oi + 2) == 'N' && u8(oi + 3) == 'G') {
+      val size = math.min(le32(best + 8), bytes.length - off)
+      val slice = java.util.Arrays.copyOfRange(bytes, oi, (off + math.max(0L, size)).toInt)
+      return parsePngPixels(slice).map(st =>
+        IcoStats(count, st.width, st.height, st.bitDepth, "png",
+          st.nPixels, st.sumR, st.sumG, st.sumB))
+    }
+    // ICO DIB: INFOHEADER with doubled height, no compression
+    if (off + 40 > bytes.length || le32(oi) != 40) return None
+    val w = le32(oi + 4).toInt
+    val h2 = le32(oi + 8).toInt
+    val bpp = le16(oi + 14)
+    if (le32(oi + 16) != 0) return None // BI_RGB only
+    if (w <= 0 || h2 <= 0 || h2 % 2 != 0) return None
+    val h = h2 / 2
+    if (w.toLong * h > (1L << 26)) return None
+    if (!Set(1, 4, 8, 24, 32).contains(bpp)) return None
+    val nPal = if (bpp > 8) 0 else {
+      val cu = le32(oi + 32).toInt
+      if (cu == 0) 1 << bpp else cu
+    }
+    if (nPal > 256) return None
+    val palBase = off + 40
+    if (palBase + 4L * nPal > bytes.length) return None
+    val palette = Array.tabulate(nPal) { k =>
+      val p = (palBase + 4 * k).toInt
+      (u8(p + 2) << 16) | (u8(p + 1) << 8) | u8(p) // stored BGRA
+    }
+    val pixBase = palBase + 4L * nPal
+    val rowBytes = ((w.toLong * bpp + 31) / 32) * 4
+    var sr = 0L; var sg = 0L; var sb = 0L; var n = 0L
+    var row = 0
+    while (row < h && pixBase + (row + 1L) * rowBytes <= bytes.length) {
+      val base = pixBase + row * rowBytes // bottom-up; order-free for sums
+      var x = 0
+      while (x < w) {
+        if (bpp == 32) {
+          val o = (base + x * 4).toInt
+          sb += u8(o); sg += u8(o + 1); sr += u8(o + 2) // BGRA, alpha skipped
+        } else if (bpp == 24) {
+          val o = (base + x * 3).toInt
+          sb += u8(o); sg += u8(o + 1); sr += u8(o + 2)
+        } else {
+          val perByte = 8 / bpp
+          val mask = (1 << bpp) - 1
+          val idx = (u8((base + x / perByte).toInt) >>
+            (8 - bpp - (x % perByte) * bpp)) & mask
+          if (idx >= palette.length) return None
+          val rgb = palette(idx)
+          sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+        }
+        x += 1
+      }
+      n += w
+      row += 1
+    }
+    Some(IcoStats(count, w, h, bpp, "dib", n, sr, sg, sb))
+  }
+
+  /** [[describePng]]'s favicon sibling: per-payload ICO decode (null
+    * columns where the payload isn't a decodable ICO). Per-partition
+    * kernel, no shuffle, integer outputs. */
+  def describeIco(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val st = parseIcoPixels(payload)
+        (id, st.map(_.nImages), st.map(_.width), st.map(_.height),
+          st.map(_.bpp), st.map(_.inner), st.map(_.nPixels),
+          st.map(_.sumR), st.map(_.sumG), st.map(_.sumB))
+      }
+      .toDF("media_id", "n_images", "width", "height", "bpp", "inner",
+        "n_pixels", "sum_r", "sum_g", "sum_b")
   }
 
   /** [[describePcm]]'s image sibling: per-payload decoded pixel sums

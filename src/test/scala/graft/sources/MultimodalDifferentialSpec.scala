@@ -65,6 +65,115 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- WebP header + ICO decode ----------------------------------
+
+  test("parseImageHeader reads WebP dims from VP8, VP8L and VP8X chunks") {
+    def riff(tag: String, payload: Array[Byte]): Array[Byte] = {
+      val bb = java.nio.ByteBuffer.allocate(20 + payload.length)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put("RIFF".getBytes).putInt(12 + payload.length).put("WEBP".getBytes)
+        .put(tag.getBytes).putInt(payload.length).put(payload).array()
+    }
+    // VP8 lossy: 3-byte frame tag, 9d 01 2a sync, 14-bit LE dims
+    val vp8 = riff("VP8 ", Array[Byte](0, 0, 0, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, (320 >> 8).toByte, (240 & 0xff).toByte, (240 >> 8).toByte))
+    assert(Multimodal.parseImageHeader(vp8).contains(("webp", 320, 240)))
+    // VP8L lossless: 0x2f then packed (w-1):14 | (h-1):14
+    val dims = (99L) | (49L << 14) // 100x50
+    val vp8l = riff("VP8L", Array[Byte](0x2f,
+      (dims & 0xff).toByte, ((dims >> 8) & 0xff).toByte,
+      ((dims >> 16) & 0xff).toByte, ((dims >> 24) & 0xff).toByte))
+    assert(Multimodal.parseImageHeader(vp8l).contains(("webp", 100, 50)))
+    // VP8X extended: flags(4) then 24-bit canvas minus one
+    val vp8x = riff("VP8X", Array[Byte](0, 0, 0, 0,
+      (799 & 0xff).toByte, (799 >> 8).toByte, 0, (599 & 0xff).toByte,
+      (599 >> 8).toByte, 0))
+    assert(Multimodal.parseImageHeader(vp8x).contains(("webp", 800, 600)))
+    assert(Multimodal.parseImageHeader(
+      "RIFF0000WAVEfmt ".getBytes("US-ASCII")).isEmpty)
+  }
+
+  /** Hand-built ICO with one DIB entry (bottom-up, padded rows). */
+  private def icoDib(w: Int, h: Int, bpp: Int,
+                     palette: Seq[(Int, Int, Int)],
+                     pix: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = ((w * bpp + 31) / 32) * 4
+    val maskRow = ((w + 31) / 32) * 4
+    val imgSize = 40 + 4 * palette.length + rowBytes * h + maskRow * h
+    val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(0).putShort(1).putShort(1) // icon, 1 entry
+    bb.put(w.toByte).put(h.toByte).put(palette.length.toByte).put(0.toByte)
+      .putShort(1).putShort(bpp.toShort).putInt(imgSize).putInt(6 + 16)
+    bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(bpp.toShort)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(palette.length).putInt(0)
+    palette.foreach { case (r, g, b) =>
+      bb.put(b.toByte).put(g.toByte).put(r.toByte).put(0.toByte) }
+    (0 until h).foreach { rowFromBottom =>
+      val y = h - 1 - rowFromBottom
+      val row = new Array[Byte](rowBytes)
+      (0 until w).foreach { x =>
+        val v = pix(x, y)
+        bpp match {
+          case 32 =>
+            row(4 * x) = v.toByte; row(4 * x + 1) = (v >> 8).toByte
+            row(4 * x + 2) = (v >> 16).toByte; row(4 * x + 3) = (v >>> 24).toByte
+          case 24 =>
+            row(3 * x) = v.toByte; row(3 * x + 1) = (v >> 8).toByte
+            row(3 * x + 2) = (v >> 16).toByte
+          case _ =>
+            val perByte = 8 / bpp
+            val shift = 8 - bpp - (x % perByte) * bpp
+            row(x / perByte) = (row(x / perByte) | (v << shift)).toByte
+        }
+      }
+      bb.put(row)
+    }
+    (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow))) // AND mask
+    bb.array()
+  }
+
+  test("parseIcoPixels decodes 32bpp, palette-4bpp and PNG-embedded icons") {
+    // 32bpp BGRA with varying alpha (skipped)
+    val got32 = Multimodal.parseIcoPixels(icoDib(5, 4, 32, Nil, (x, y) =>
+      ((x * 50 + y) << 24) | ((x * 7 + y * 3) << 16) | ((x + y * 11) << 8) | (x * 13))).get
+    assert(got32.inner == "dib" && got32.width == 5 && got32.height == 4 &&
+      got32.bpp == 32 && got32.nPixels == 20)
+    var wr = 0L; var wg = 0L; var wb = 0L
+    (0 until 4).foreach { y => (0 until 5).foreach { x =>
+      wr += x * 7 + y * 3; wg += x + y * 11; wb += x * 13 } }
+    assert((got32.sumR, got32.sumG, got32.sumB) == ((wr, wg, wb)))
+    // 4bpp through palette, odd width (slack bits)
+    val pal = Seq((10, 20, 30), (200, 100, 50), (1, 2, 3), (250, 251, 252))
+    val got4 = Multimodal.parseIcoPixels(icoDib(7, 3, 4, pal ++ Seq.fill(12)((0, 0, 0)),
+      (x, y) => (x + y) % 4)).get
+    assert(got4.bpp == 4 && got4.nPixels == 21)
+    var pr = 0L
+    (0 until 3).foreach { y => (0 until 7).foreach { x => pr += pal((x + y) % 4)._1 } }
+    assert(got4.sumR == pr)
+    // PNG-embedded: delegates to the pinned PNG decoder
+    val png = pngWithFilter(2, Seq.tabulate(3, 4)((y, x) => (x * 60, y * 90, x + y)))
+    val bb = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(0).putShort(1).putShort(1)
+    bb.put(4.toByte).put(3.toByte).put(0.toByte).put(0.toByte)
+      .putShort(1).putShort(32).putInt(png.length).putInt(6 + 16)
+    bb.put(png)
+    val gotP = Multimodal.parseIcoPixels(bb.array()).get
+    val direct = Multimodal.parsePngPixels(png).get
+    assert(gotP.inner == "png" && gotP.width == 4 && gotP.height == 3)
+    assert((gotP.sumR, gotP.sumG, gotP.sumB) ==
+      ((direct.sumR, direct.sumG, direct.sumB)))
+    // hostile: cursor type, truncation, garbage — None / clamp, no throw
+    val cur = icoDib(5, 4, 32, Nil, (_, _) => 0)
+    cur(2) = 2 // type = cursor
+    assert(Multimodal.parseIcoPixels(cur).isEmpty)
+    (6 until 60 by 7).foreach(cut =>
+      Multimodal.parseIcoPixels(icoDib(5, 4, 32, Nil, (_, _) => 7).take(cut)))
+    assert(Multimodal.parseIcoPixels("not an icon".getBytes).isEmpty)
+    assert(Multimodal.parseIcoPixels(null).isEmpty)
+  }
+
   // ---- AU / AIFF / G.711 vs javax.sound --------------------------
 
   test("ulaw/alaw decode matches javax.sound on ALL 256 codes") {
