@@ -542,7 +542,9 @@ object Bench {
       val planted = qvecs.zipWithIndex.flatMap { case ((_, qv), qi) =>
         (0 until 12).map { j =>
           val e = qv.zipWithIndex.map { case (v, kk) =>
-            (v * (1.0 + 0.05 * (((qi * 131 + j * 31 + kk * 17) % 7) - 3) / 3.0)).toFloat
+            // modulus 13 > 12 keeps all twelve j-patterns distinct
+            // (a 7-modulus made j and j+7 bit-identical)
+            (v * (1.0 + 0.05 * (((qi * 131 + j * 31 + kk * 17) % 13) - 6) / 6.0)).toFloat
           }
           (plantBase + qi * 100L + j, e, 0)
         }
@@ -576,7 +578,7 @@ object Bench {
       // testdata changes the fingerprint and invalidates. Doubles are
       // stored as raw bits, so a cache hit replays the exact model
       // and recall values are bit-identical to a fresh train.
-      val params = "coarse16x3x64|pq64x4x16x2|plant12"
+      val params = "coarse16x3x64|pq64x4x16x2|plant12v2"
       val cacheFile = {
         val fpMd = java.security.MessageDigest.getInstance("MD5")
         def walk(f: java.io.File): Unit =
@@ -585,6 +587,15 @@ object Bench {
             s"${f.getName}:${f.length}:${f.lastModified}|".getBytes("UTF-8"))
         walk(new java.io.File(sfDir, "embeddings.parquet"))
         fpMd.update(s"$sfDir|$params".getBytes("UTF-8"))
+        // the TRAINING CODE is part of the key: a warm cache must not
+        // mask a regression in Lloyd/PQ training, so hash the compiled
+        // classes implementing it into the fingerprint
+        Seq(graft.llm.Pq.getClass, graft.llm.Ivf.getClass,
+            graft.llm.Clustering.getClass).foreach { c =>
+          val res = "/" + c.getName.replace('.', '/') + ".class"
+          val in = c.getResourceAsStream(res)
+          if (in != null) try fpMd.update(in.readAllBytes()) finally in.close()
+        }
         val key = fpMd.digest().map(b => f"$b%02x").mkString
         val dir = new java.io.File("target/bench-ann-cache")
         dir.mkdirs()

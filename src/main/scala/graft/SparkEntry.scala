@@ -68,6 +68,32 @@ object SparkEntry {
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  // PNG fixture plumbing shared by q242/q244/q249 (executor-side:
+  // static object methods serialize as calls, not captured state)
+  private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
+  /** Chunk framing: length + type + payload + CRC32 over type+payload. */
+  private def pngChunk(typ: String, payload: Array[Byte]): Array[Byte] = {
+    val out = java.nio.ByteBuffer.allocate(12 + payload.length)
+    out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
+    val crc = new java.util.zip.CRC32()
+    crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
+    out.putInt(crc.getValue.toInt).array()
+  }
+  private def pngIhdr(w: Int, h: Int, depth: Int, colorType: Int): Array[Byte] =
+    java.nio.ByteBuffer.allocate(13).putInt(w).putInt(h)
+      .put(depth.toByte).put(colorType.toByte)
+      .put(0.toByte).put(0.toByte).put(0.toByte).array()
+  /** Full zlib deflate (loops until drained — no single-call cap). */
+  private def deflateFully(raw: Array[Byte]): Array[Byte] = {
+    val d = new java.util.zip.Deflater()
+    d.setInput(raw); d.finish()
+    val out = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](8192)
+    while (!d.finished()) { val n = d.deflate(buf); out.write(buf, 0, n) }
+    d.end()
+    out.toByteArray
+  }
+
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
     // Q1 — scan + filter + project (§2.1, §2.3). Predicate and column
@@ -4047,23 +4073,9 @@ object SparkEntry {
               raw(base + 3 + x * 3) = ((id + x + y * 19) % 256).toByte
             }
           }
-          val defl = new java.util.zip.Deflater()
-          defl.setInput(raw); defl.finish()
-          val buf = new Array[Byte](raw.length + 64)
-          val n = defl.deflate(buf); defl.end()
-          def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
-            val out = java.nio.ByteBuffer.allocate(12 + payload.length)
-            out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
-            val crc = new java.util.zip.CRC32()
-            crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
-            out.putInt(crc.getValue.toInt).array()
-          }
-          val ihdr = java.nio.ByteBuffer.allocate(13)
-            .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
-            .put(0.toByte).put(0.toByte).put(0.toByte).array()
-          val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-          (id, sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(n)) ++
-            chunk("IEND", Array.emptyByteArray))
+          (id, pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
+            pngChunk("IDAT", deflateFully(raw)) ++
+            pngChunk("IEND", Array.emptyByteArray))
         }
       }.toDF("doc_id", "png")
       graft.sources.Multimodal.describePng(
@@ -4102,20 +4114,6 @@ object SparkEntry {
                 (raw(base + 1 + x / perByte) | (idx << shift)).toByte
             }
           }
-          val defl = new java.util.zip.Deflater()
-          defl.setInput(raw); defl.finish()
-          val buf = new Array[Byte](raw.length + 64)
-          val m = defl.deflate(buf); defl.end()
-          def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
-            val out = java.nio.ByteBuffer.allocate(12 + payload.length)
-            out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
-            val crc = new java.util.zip.CRC32()
-            crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
-            out.putInt(crc.getValue.toInt).array()
-          }
-          val ihdr = java.nio.ByteBuffer.allocate(13)
-            .putInt(w).putInt(h).put(depth.toByte).put(3.toByte)
-            .put(0.toByte).put(0.toByte).put(0.toByte).array()
           val plte = Array.tabulate(n * 3) { k =>
             val i = k / 3
             (k % 3 match {
@@ -4124,9 +4122,9 @@ object SparkEntry {
               case _ => (i * 83) % 256
             }).toByte
           }
-          val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-          (id, sig ++ chunk("IHDR", ihdr) ++ chunk("PLTE", plte) ++
-            chunk("IDAT", buf.take(m)) ++ chunk("IEND", Array.emptyByteArray))
+          (id, pngSig ++ pngChunk("IHDR", pngIhdr(w, h, depth, 3)) ++
+            pngChunk("PLTE", plte) ++ pngChunk("IDAT", deflateFully(raw)) ++
+            pngChunk("IEND", Array.emptyByteArray))
         }
       }.toDF("doc_id", "png")
       graft.sources.Multimodal.describePng(
@@ -4184,23 +4182,9 @@ object SparkEntry {
                 raw(base + 3 + x * 3) = b(x, y).toByte
               }
             }
-            val defl = new java.util.zip.Deflater()
-            defl.setInput(raw); defl.finish()
-            val buf = new Array[Byte](raw.length + 64)
-            val m = defl.deflate(buf); defl.end()
-            def chunk(typ: String, payload: Array[Byte]): Array[Byte] = {
-              val out = java.nio.ByteBuffer.allocate(12 + payload.length)
-              out.putInt(payload.length).put(typ.getBytes("US-ASCII")).put(payload)
-              val crc = new java.util.zip.CRC32()
-              crc.update(typ.getBytes("US-ASCII")); crc.update(payload)
-              out.putInt(crc.getValue.toInt).array()
-            }
-            val ihdr = java.nio.ByteBuffer.allocate(13)
-              .putInt(w).putInt(h).put(8.toByte).put(2.toByte)
-              .put(0.toByte).put(0.toByte).put(0.toByte).array()
-            val sig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
-            val png = sig ++ chunk("IHDR", ihdr) ++ chunk("IDAT", buf.take(m)) ++
-              chunk("IEND", Array.emptyByteArray)
+            val png = pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
+              pngChunk("IDAT", deflateFully(raw)) ++
+              pngChunk("IEND", Array.emptyByteArray)
             val bb = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             bb.putShort(0).putShort(1).putShort(1)

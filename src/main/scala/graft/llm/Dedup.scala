@@ -704,20 +704,28 @@ object Dedup {
     * union at ingest time, so the hot-bucket fence was already
     * computed over their concatenated occupancy (spec-pinned below —
     * SCALE.md's earlier per-segment-fence note described the
-    * within-batch leg, not this join), and `doc_id` dedup only
-    * collapses rows a double-written seed would have duplicated.
+    * within-batch leg, not this join). Dedup is over WHOLE ROWS, so
+    * only byte-identical duplicates collapse (the crash-heal case
+    * below); a doc re-ingested with different text keeps both its
+    * sketch rows, exactly as the uncompacted union would.
     *
-    * Replay safety: foreachBatch is at-least-once — a replayed batch
-    * `K` must see exactly the segments `< K`, so only compact batches
-    * the checkpoint has committed past (`upToBatch` ≤ the stream's
-    * next batch id), or compact a STOPPED stream with the default
-    * (fold everything). Write order is tmp (outside the index dir) →
-    * rename into place under a fresh name → delete the folded
-    * segments; a crash between the last two steps leaves duplicate
-    * sketches, which the next compaction's dedup heals. */
+    * Safety: foreachBatch is at-least-once — a replayed batch `K`
+    * must see exactly the segments `< K`, so only compact batches the
+    * checkpoint has committed past (`upToBatch` ≤ the stream's next
+    * batch id). That bound covers REPLAY, not the listing race: a
+    * micro-batch in flight during the rename→delete window could
+    * list history twice or hit deleted files — run compaction while
+    * the stream is STOPPED or between triggers, like any other
+    * table-maintenance operation. Write order is tmp (outside the
+    * index dir) → rename into place under a fresh name → delete the
+    * folded segments; a crash between the last two steps leaves
+    * byte-identical duplicate sketches, which the next compaction's
+    * whole-row dedup heals. `targetPartitions` 0 keeps the shuffle's
+    * natural partitioning (the at-scale default); pass 1 only for
+    * small indexes where one output file is worth a single writer. */
   def compactSketchIndex(spark: SparkSession, indexDir: String,
                          upToBatch: Long = Long.MaxValue,
-                         targetPartitions: Int = 1): Unit = {
+                         targetPartitions: Int = 0): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
     val dir = new org.apache.hadoop.fs.Path(indexDir)
@@ -735,7 +743,7 @@ object Dedup {
       case batchSeg(k) => k.toLong
     }.foldLeft(-1L)(math.max)
     val merged = spark.read.parquet(compactable.map(_.getPath.toString): _*)
-      .dropDuplicates("doc_id")
+      .dropDuplicates() // whole-row: heals crash copies, keeps re-ingests
     val out = if (targetPartitions > 0) merged.coalesce(targetPartitions) else merged
     val tmp = new org.apache.hadoop.fs.Path(
       indexDir.stripSuffix("/") + ".compacting")

@@ -646,21 +646,30 @@ object Multimodal {
           var decoded = 0L
           var bitPos = 0L
           val totalBits = stream.length.toLong * 8
-          def emit(code: Int): Boolean = { // walk the chain, sum pixels
+          val chain = new Array[Int](4096) // reused expansion buffer
+          def emit(code: Int): Boolean = {
+            // walk the chain (reverse order), then sum the in-frame
+            // prefix only — a final code expanding past frameW*frameH
+            // is clamped so nPixels never exceeds the declared frame
             var c = code
             var n = 0
             while (c >= clear + 2) { // composite entry
-              val idx = suffix(c) & 0xff
-              if (idx >= palette.length) return false
-              val rgb = palette(idx)
-              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              chain(n) = suffix(c) & 0xff
               n += 1
               c = parent(c)
             }
             if (c >= clear || c >= palette.length) return false // root must be a literal
-            val rgb = palette(c)
-            sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
-            decoded += n + 1
+            chain(n) = c
+            n += 1
+            var k = n - 1 // chain is reversed: emit root-first
+            while (k >= 0 && decoded < nPixTarget) {
+              val idx = chain(k)
+              if (idx >= palette.length) return false
+              val rgb = palette(idx)
+              sr += (rgb >> 16) & 0xff; sg += (rgb >> 8) & 0xff; sb += rgb & 0xff
+              decoded += 1
+              k -= 1
+            }
             true
           }
           var done = false
@@ -1029,6 +1038,87 @@ object Multimodal {
     cu / 2.0 * math.cos((2 * x + 1) * u * math.Pi / 16.0)
   }
 
+  /** Entropy-coded-segment reader shared by the baseline and
+    * progressive paths: MSB-first bits with FF00 unstuffing; any real
+    * marker stops the stream (−1 / MinValue sentinels) so decode
+    * loops fail cleanly instead of reading past it. */
+  private final class JBitReader(bytes: Array[Byte], var pos: Int) {
+    private var bitBuf = 0
+    private var bitCnt = 0
+    def align(): Unit = bitCnt = 0
+    def nextBit(): Int = {
+      if (bitCnt == 0) {
+        if (pos >= bytes.length) return -1
+        var b = bytes(pos) & 0xff; pos += 1
+        if (b == 0xff) {
+          if (pos >= bytes.length) return -1
+          if ((bytes(pos) & 0xff) == 0x00) pos += 1
+          else { pos -= 1; return -1 } // a real marker: refuse to cross
+          b = 0xff
+        }
+        bitBuf = b; bitCnt = 8
+      }
+      bitCnt -= 1
+      (bitBuf >> bitCnt) & 1
+    }
+    def decodeHuff(t: JHuff): Int = {
+      var code = nextBit()
+      if (code < 0) return -1
+      var l = 1
+      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
+        val b = nextBit()
+        if (b < 0) return -1
+        code = (code << 1) | b
+        l += 1
+      }
+      if (l > 16) return -1
+      t.vals(t.valPtr(l) + code - t.minCode(l))
+    }
+    def receive(s: Int): Int = {
+      var v = 0; var k = 0
+      while (k < s) {
+        val b = nextBit()
+        if (b < 0) return Int.MinValue
+        v = (v << 1) | b
+        k += 1
+      }
+      v
+    }
+  }
+
+  /** Shared JPEG epilogue: nearest-neighbor chroma upsample +
+    * YCbCr→RGB (or grayscale passthrough) with integer channel sums
+    * over the visible w×h region. */
+  private def jpegSumRgb(planes: Array[Array[Byte]], planeW: Array[Int],
+                         nc: Int, compH: Array[Int], compV: Array[Int],
+                         hMax: Int, vMax: Int, w: Int, h: Int): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    def clamp(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        if (nc == 1) {
+          val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          sr += v; sg += v; sb += v
+        } else {
+          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
+          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
+          sr += clamp(yy + 1.402 * cr)
+          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr)
+          sb += clamp(yy + 1.772 * cb)
+        }
+        x += 1
+      }
+      y += 1
+    }
+    (sr, sg, sb)
+  }
+
   /** Progressive (SOF2) JPEG pixel decode — spec annex G: DC and AC
     * coefficients arrive over MULTIPLE scans (spectral selection
     * Ss..Se, successive approximation Ah/Al), so unlike the baseline
@@ -1064,50 +1154,6 @@ object Multimodal {
     var anyScan = false
     var sawEoi = false
 
-    // entropy reader over one scan's data; refuses to cross markers
-    final class Reader(var pos: Int) {
-      private var bitBuf = 0
-      private var bitCnt = 0
-      def align(): Unit = bitCnt = 0
-      def nextBit(): Int = {
-        if (bitCnt == 0) {
-          if (pos >= bytes.length) return -1
-          var b = u8(pos); pos += 1
-          if (b == 0xff) {
-            if (pos >= bytes.length) return -1
-            if (u8(pos) == 0x00) pos += 1
-            else { pos -= 1; return -1 } // a real marker
-            b = 0xff
-          }
-          bitBuf = b; bitCnt = 8
-        }
-        bitCnt -= 1
-        (bitBuf >> bitCnt) & 1
-      }
-      def decodeHuff(t: JHuff): Int = {
-        var code = nextBit()
-        if (code < 0) return -1
-        var l = 1
-        while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
-          val b = nextBit()
-          if (b < 0) return -1
-          code = (code << 1) | b
-          l += 1
-        }
-        if (l > 16) return -1
-        t.vals(t.valPtr(l) + code - t.minCode(l))
-      }
-      def receive(s: Int): Int = {
-        var v = 0; var k = 0
-        while (k < s) {
-          val b = nextBit()
-          if (b < 0) return Int.MinValue
-          v = (v << 1) | b
-          k += 1
-        }
-        v
-      }
-    }
     def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
 
@@ -1115,7 +1161,7 @@ object Multimodal {
       * next marker, or −1 on malformed/truncated data. */
     def decodeScan(start: Int, scomp: Array[Int], sdc: Array[Int],
                    sac: Array[Int], ss: Int, se: Int, ah: Int, al: Int): Int = {
-      val r = new Reader(start)
+      val r = new JBitReader(bytes, start)
       val dcPred = new Array[Int](nc)
       var eobrun = 0
       val p1 = 1 << al; val m1 = -1 << al
@@ -1486,31 +1532,7 @@ object Multimodal {
       }
       c += 1
     }
-    // ---- upsample + color convert + integer channel sums ----------
-    var sr = 0L; var sg = 0L; var sb = 0L
-    def clamp(v: Double): Int = {
-      val r = math.round(v).toInt
-      if (r < 0) 0 else if (r > 255) 255 else r
-    }
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (nc == 1) {
-          val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
-          sr += v; sg += v; sb += v
-        } else {
-          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
-          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
-          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
-          sr += clamp(yy + 1.402 * cr)
-          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr)
-          sb += clamp(yy + 1.772 * cb)
-        }
-        x += 1
-      }
-      y += 1
-    }
+    val (sr, sg, sb) = jpegSumRgb(planes, planeW, nc, compH, compV, hMax, vMax, w, h)
     Some(JpegStats(w, h, nc, w.toLong * h, sr, sg, sb))
   }
 
@@ -1658,50 +1680,13 @@ object Multimodal {
     if (planeW.zip(planeH).exists { case (pw, ph) => pw.toLong * ph > (1L << 27) })
       return None
     val planes = Array.tabulate(nc)(c => new Array[Byte](planeW(c) * planeH(c)))
-    var pos = scanStart
-    var bitBuf = 0; var bitCnt = 0
-    // next bit, MSB first; FF00 unstuffs to a data FF; any real marker
-    // (incl. RSTn out of place and EOI) stops the stream — the MCU
-    // loop then fails cleanly instead of reading past it
-    def nextBit(): Int = {
-      if (bitCnt == 0) {
-        if (pos >= bytes.length) return -1
-        var b = u8(pos); pos += 1
-        if (b == 0xff) {
-          if (pos >= bytes.length) return -1
-          val b2 = u8(pos)
-          if (b2 == 0x00) pos += 1
-          else { pos -= 1; return -1 } // a real marker: refuse to cross
-          b = 0xff
-        }
-        bitBuf = b; bitCnt = 8
-      }
-      bitCnt -= 1
-      (bitBuf >> bitCnt) & 1
-    }
-    def decodeHuff(t: Huff): Int = {
-      var code = nextBit()
-      if (code < 0) return -1
-      var l = 1
-      while (l <= 16 && (t.maxCode(l) < 0 || code > t.maxCode(l))) {
-        val b = nextBit()
-        if (b < 0) return -1
-        code = (code << 1) | b
-        l += 1
-      }
-      if (l > 16) return -1
-      t.vals(t.valPtr(l) + code - t.minCode(l))
-    }
-    def receive(s: Int): Int = {
-      var v = 0; var k = 0
-      while (k < s) {
-        val b = nextBit()
-        if (b < 0) return Int.MinValue
-        v = (v << 1) | b
-        k += 1
-      }
-      v
-    }
+    // shared entropy reader ([[JBitReader]]): MSB-first with FF00
+    // unstuffing; any real marker (incl. RSTn out of place and EOI)
+    // stops the stream — the MCU loop then fails cleanly
+    val reader = new JBitReader(bytes, scanStart)
+    def nextBit(): Int = reader.nextBit()
+    def decodeHuff(t: Huff): Int = reader.decodeHuff(t)
+    def receive(s: Int): Int = reader.receive(s)
     def extend(v: Int, s: Int): Int =
       if (s == 0) 0 else if (v < (1 << (s - 1))) v - (1 << s) + 1 else v
     val idctC = JpegIdctC
@@ -1771,10 +1756,10 @@ object Multimodal {
     while (mcu < nMcus) {
       if (dri > 0 && mcu > 0 && mcu % dri == 0) {
         // byte-align and consume the expected RSTn; reset predictors
-        bitCnt = 0
-        if (pos + 2 > bytes.length || u8(pos) != 0xff ||
-            u8(pos + 1) != 0xd0 + rstExpect) return None
-        pos += 2
+        reader.align()
+        if (reader.pos + 2 > bytes.length || u8(reader.pos) != 0xff ||
+            u8(reader.pos + 1) != 0xd0 + rstExpect) return None
+        reader.pos += 2
         rstExpect = (rstExpect + 1) % 8
         java.util.Arrays.fill(dcPred, 0)
       }
@@ -1795,31 +1780,7 @@ object Multimodal {
       }
       mcu += 1
     }
-    // ---- upsample + color convert + integer channel sums ----------
-    var sr = 0L; var sg = 0L; var sb = 0L
-    def clamp(v: Double): Int = {
-      val r = math.round(v).toInt
-      if (r < 0) 0 else if (r > 255) 255 else r
-    }
-    var y = 0
-    while (y < h) {
-      var x = 0
-      while (x < w) {
-        if (nc == 1) {
-          val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
-          sr += v; sg += v; sb += v
-        } else {
-          val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
-          val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
-          val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
-          sr += clamp(yy + 1.402 * cr)
-          sg += clamp(yy - 0.344136 * cb - 0.714136 * cr)
-          sb += clamp(yy + 1.772 * cb)
-        }
-        x += 1
-      }
-      y += 1
-    }
+    val (sr, sg, sb) = jpegSumRgb(planes, planeW, nc, compH, compV, hMax, vMax, w, h)
     Some(JpegStats(w, h, nc, w.toLong * h, sr, sg, sb))
   }
 

@@ -1394,6 +1394,31 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     assert(System.nanoTime() - t0 < 30e9)
     assert(Multimodal.parseGifPixels("GIF89a but not really".getBytes("UTF-8")).isEmpty)
     assert(Multimodal.parseGifPixels(null).isEmpty)
+    // a final code expanding PAST the declared frame clamps: 2x1
+    // frame, stream [CLEAR, a, KwKwK("aa")] would emit 3 pixels
+    val over = {
+      val bb = new java.io.ByteArrayOutputStream()
+      def b(x: Int): Unit = bb.write(x & 0xff)
+      "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+      b(2); b(0); b(1); b(0); b(0x81); b(0); b(0)
+      Seq((9, 11, 13), (0, 0, 0), (0, 0, 0), (0, 0, 0)).foreach {
+        case (r, g, bl) => b(r); b(g); b(bl) }
+      b(0x2c); b(0); b(0); b(0); b(0); b(2); b(0); b(1); b(0); b(0)
+      b(2) // minCode; codes 3-bit: 4=clear, 0, 6=KwKwK
+      var acc = 0L; var nb = 0
+      val payload = new java.io.ByteArrayOutputStream()
+      Seq(4, 0, 6, 5).foreach { c =>
+        acc |= c.toLong << nb; nb += 3
+        while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+      }
+      if (nb > 0) payload.write((acc & 0xff).toInt)
+      val data = payload.toByteArray
+      b(data.length); bb.write(data); b(0); b(0x3b)
+      bb.toByteArray
+    }
+    val ov = Multimodal.parseGifPixels(over).get
+    assert(ov.nPixels == 2 && ov.sumR == 18 && ov.sumG == 22 && ov.sumB == 26,
+      s"overrun must clamp to the declared frame: $ov")
   }
 
   test("parseGifFrames agrees with javax.imageio on frame counts") {

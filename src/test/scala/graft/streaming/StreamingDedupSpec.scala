@@ -114,6 +114,26 @@ class StreamingDedupSpec extends SparkSpec {
       .contains("seed_c3"))
   }
 
+  test("compaction keeps a re-ingested doc's differing sketches, collapses crash copies") {
+    val idxDir = tmp("nds-idx7")
+    // doc 42 ingested twice with DIFFERENT text (both sketches must
+    // survive), plus a byte-identical crash copy of the first (must
+    // collapse — the rename-before-delete heal case)
+    Dedup.writeSketchIndex(Seq(42L -> doc(words(700))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$idxDir/seedA")
+    Dedup.writeSketchIndex(Seq(42L -> variant(words(700), 9)).toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$idxDir/seedB")
+    Dedup.writeSketchIndex(Seq(42L -> doc(words(700))).toDF("doc_id", "text"),
+      "doc_id", "text", 3, s"$idxDir/seedCrashCopy")
+    Dedup.compactSketchIndex(spark, idxDir)
+    val rows = spark.read.parquet(s"$idxDir/seed_c0")
+      .select("doc_id", "sigb").collect()
+    assert(rows.length == 2, s"want both sketch variants, got ${rows.length}")
+    assert(rows.forall(_.getLong(0) == 42L))
+    val sigs = rows.map(_.getAs[Array[Byte]]("sigb").toSeq).toSet
+    assert(sigs.size == 2, "the two differing sketches must both survive")
+  }
+
   test("upToBatch leaves later segments in place for replay safety") {
     val (idxDir, pairsDir) = (tmp("nds-idx5"), tmp("nds-pairs5"))
     runStream(idxDir, pairsDir) // b0, b1, b2
