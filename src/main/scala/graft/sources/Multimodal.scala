@@ -8,12 +8,17 @@ import org.apache.spark.sql.types._
   * `binary` columns with typed metadata, plus decode / feature-extract
   * / frame-sample operators.
   *
-  * The actual media codecs are NOT available in this environment, so
-  * the decode kernels are deterministic STUBS (clearly marked below):
-  * they derive fake-but-stable "features" from the bytes. Everything
-  * around them — schema, batch shape, partitioning, null handling — is
-  * real, so swapping in a JNI/ffmpeg-backed kernel is a drop-in change
-  * inside `mapPartitions` and nothing upstream or downstream moves.
+  * Every common crawled-media format decodes FOR REAL here, pure-JVM
+  * from its specification — PNG (all color types/depths, Adam7), JPEG
+  * (baseline AND progressive), GIF (LZW pixels), BMP, TIFF
+  * (none/PackBits/LZW), ICO, WAV/PCM, AU/AIFF with G.711 μ-law/A-law
+  * — each differential-pinned against the JDK's own decoders where
+  * one exists and oracle-replayed at the query level. Only what
+  * genuinely needs an external codec stays a deterministic STUB
+  * (video frame decode, JPEG arithmetic-coded/12-bit, model-based
+  * feature extraction), clearly marked, behind the same
+  * `mapPartitions` boundary — swapping in a JNI/ffmpeg-backed kernel
+  * is a drop-in change and nothing upstream or downstream moves.
   *
   * Scale posture: decode runs per-partition with no shuffle; feature
   * columns are pruned like any other; payload bytes never pass through
