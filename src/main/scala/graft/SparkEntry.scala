@@ -4132,6 +4132,188 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q250 — mixed-media inspection ([[graft.sources.Multimodal
+    // .inspectMedia]]): the capstone over every decode tier — ONE
+    // operator sniffs each payload's magic and routes to the matching
+    // real decoder, returning a unified image-or-audio stats row. The
+    // corpus cycles all eight containers by id (PNG, baseline JPEG,
+    // GIF, BMP, TIFF, ICO, AU μ-law, AIFF), each built with its own
+    // tier's exact fixture formulas, so the oracle is the union of
+    // the per-tier replays. Every 50th payload is junk → null format.
+    // Map-only; payloads never shuffle.
+    "q250_media_inspect" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "multimodal? not today".getBytes("UTF-8"))
+        else (id % 8).toInt match {
+          case 0 => // PNG (q242 formulas)
+            val w = (2 + id % 5).toInt; val h = (1 + id % 3).toInt
+            val stride = 3 * w
+            val raw = new Array[Byte](h * (1 + stride))
+            (0 until h).foreach { y =>
+              val base = y * (1 + stride)
+              (0 until w).foreach { x =>
+                raw(base + 1 + x * 3) = ((id * 5 + x * 7 + y * 13) % 256).toByte
+                raw(base + 2 + x * 3) = ((id * 3 + x * 11 + y) % 256).toByte
+                raw(base + 3 + x * 3) = ((id + x + y * 19) % 256).toByte
+              }
+            }
+            (id, pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
+              pngChunk("IDAT", deflateFully(raw)) ++
+              pngChunk("IEND", Array.emptyByteArray))
+          case 1 => // baseline JPEG (q243 flat tiles at quality 1.0)
+            val tw = (1 + id % 3).toInt; val th = (1 + id % 2).toInt
+            val w = 16 * tw; val h = 16 * th
+            val img = new java.awt.image.BufferedImage(
+              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+            (0 until h).foreach { y => (0 until w).foreach { x =>
+              val g = ((id * 7 + (x / 16) * 13 + (y / 16) * 29) % 256).toInt
+              img.setRGB(x, y, (g << 16) | (g << 8) | g) } }
+            val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+            val p = wr.getDefaultWriteParam
+            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+            p.setCompressionQuality(1.0f)
+            val bos = new java.io.ByteArrayOutputStream()
+            wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
+            wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+            wr.dispose()
+            (id, bos.toByteArray)
+          case 2 => // GIF (q245 clear-per-pixel)
+            val k = (1 + id % 3).toInt
+            val palSize = 1 << k
+            val minCode = math.max(2, k)
+            val clear = 1 << minCode; val eoi = clear + 1
+            val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
+            val bb = new java.io.ByteArrayOutputStream()
+            def b(x: Int): Unit = bb.write(x & 0xff)
+            "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+            b(w); b(w >> 8); b(h); b(h >> 8)
+            b(0x80 | (minCode - 1)); b(0); b(0)
+            (0 until (1 << minCode)).foreach { i =>
+              if (i < palSize) { b((i * 41) % 256); b((i * 73) % 256); b((i * 101) % 256) }
+              else { b(0); b(0); b(0) }
+            }
+            b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
+            b(minCode)
+            val codes = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+              Seq(clear, ((id * 3 + x * 7 + y * 11) % palSize).toInt)
+            }) :+ eoi
+            var acc = 0L; var nb = 0
+            val payload = new java.io.ByteArrayOutputStream()
+            codes.foreach { c =>
+              acc |= c.toLong << nb; nb += minCode + 1
+              while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+            }
+            if (nb > 0) payload.write((acc & 0xff).toInt)
+            payload.toByteArray.grouped(255).foreach { chunk =>
+              b(chunk.length); bb.write(chunk)
+            }
+            b(0); b(0x3b)
+            (id, bb.toByteArray)
+          case 3 => // BMP 24bpp bottom-up
+            val w = (2 + id % 5).toInt; val h = (1 + id % 4).toInt
+            val rowBytes = ((w * 3 + 3) / 4) * 4
+            val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+              .putShort(0).putShort(0).putInt(54)
+            bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+              .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+              .putInt(0).putInt(0)
+            (0 until h).foreach { rowFromBottom =>
+              val y = h - 1 - rowFromBottom
+              (0 until w).foreach { x =>
+                bb.put(((id * 9 + x + y * 11) % 256).toByte)   // B
+                bb.put(((id * 5 + x * 7 + y) % 256).toByte)    // G
+                bb.put(((id + x * 3 + y * 5) % 256).toByte)    // R
+              }
+              (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
+            }
+            (id, bb.array())
+          case 4 => // TIFF uncompressed (q247 formulas)
+            val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
+            val samples = new Array[Byte](w * h * 3)
+            (0 until h).foreach { y => (0 until w).foreach { x =>
+              val o = (y * w + x) * 3
+              samples(o) = ((id * 3 + x * 5 + y * 7) % 256).toByte
+              samples(o + 1) = ((id * 7 + x * 11 + y) % 256).toByte
+              samples(o + 2) = ((id + x + y * 13) % 256).toByte
+            } }
+            val bb = new java.io.ByteArrayOutputStream()
+            def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+            def w32(v: Long): Unit = {
+              w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
+            }
+            bb.write('I'); bb.write('I'); w16(42)
+            val nTags = 10
+            val dataOff = 8L + 2 + 12 * nTags + 4
+            w32(8); w16(nTags)
+            def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
+              w16(t); w16(typ); w32(cnt); w32(v)
+            }
+            tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 8)
+            tag(259, 3, 1, 1); tag(262, 3, 1, 2); tag(273, 4, 1, dataOff)
+            tag(277, 3, 1, 3); tag(278, 3, 1, h); tag(279, 4, 1, samples.length)
+            tag(284, 3, 1, 1)
+            w32(0)
+            bb.write(samples)
+            (id, bb.toByteArray)
+          case 5 => // ICO 32bpp DIB (q249 formulas)
+            val w = (3 + id % 5).toInt; val h = (2 + id % 3).toInt
+            val rowBytes = w * 4
+            val maskRow = ((w + 31) / 32) * 4
+            val imgSize = 40 + rowBytes * h + maskRow * h
+            val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
+              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+            bb.putShort(0).putShort(1).putShort(1)
+            bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+              .putShort(1).putShort(32).putInt(imgSize).putInt(6 + 16)
+            bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(32)
+              .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+            (0 until h).foreach { rowFromBottom =>
+              val y = h - 1 - rowFromBottom
+              (0 until w).foreach { x =>
+                bb.put(((id + x + y * 19) % 256).toByte)        // B
+                  .put(((id * 3 + x * 11 + y) % 256).toByte)    // G
+                  .put(((id * 5 + x * 7 + y * 13) % 256).toByte) // R
+                  .put(0.toByte)
+              }
+            }
+            (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow)))
+            (id, bb.array())
+          case 6 => // AU μ-law (q248 formulas)
+            val n = (40 + id % 30).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val dd = new java.io.DataOutputStream(bos)
+            dd.writeBytes(".snd"); dd.writeInt(24); dd.writeInt(n)
+            dd.writeInt(1); dd.writeInt(8000); dd.writeInt(1)
+            (0 until n).foreach(i => dd.writeByte(((id * 7 + i * 13) % 256).toInt))
+            (id, bos.toByteArray)
+          case _ => // AIFF PCM16 (q248 formulas)
+            val n = (40 + id % 30).toInt
+            val bos = new java.io.ByteArrayOutputStream()
+            val dd = new java.io.DataOutputStream(bos)
+            val dataLen = 8 + 2 * n
+            dd.writeBytes("FORM"); dd.writeInt(4 + 8 + 18 + 8 + dataLen)
+            dd.writeBytes("AIFF")
+            dd.writeBytes("COMM"); dd.writeInt(18)
+            dd.writeShort(1); dd.writeInt(n); dd.writeShort(16)
+            val rate = 22050
+            val bitlen = 31 - Integer.numberOfLeadingZeros(rate)
+            dd.writeShort(16383 + bitlen)
+            dd.writeLong(rate.toLong << (63 - bitlen))
+            dd.writeBytes("SSND"); dd.writeInt(dataLen); dd.writeInt(0); dd.writeInt(0)
+            (0 until n).foreach { i =>
+              dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
+            }
+            (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "payload")
+      graft.sources.Multimodal.inspectMedia(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "payload", "mixed"))
+        .orderBy("media_id")
+    }),
+
     // Q249 — ICO (favicon) decode ([[graft.sources.Multimodal
     // .parseIcoPixels]]): directory walk + largest-entry decode, the
     // browser rule — either the modern PNG-embedded form (delegated
@@ -7744,6 +7926,110 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sg END AS sum_g,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.sb END AS sum_b
         |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // The union of every decode tier's replay — one leg per container
+    // format, joined back to the corpus; junk ids (≡0 mod 50) appear
+    // in no leg and surface as all-null rows, exactly like the engine.
+    "q250_media_inspect" ->
+      """WITH ids AS (SELECT doc_id FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |png AS (SELECT doc_id, 'png' AS fmt, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id * 5 + x * 7 + y * 13) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 3 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 19) % 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 3 AS h
+        |              FROM ids WHERE doc_id % 8 = 0) d,
+        |             generate_series(0, 6) a(x), generate_series(0, 2) b(y)
+        |        WHERE x < w AND y < h GROUP BY doc_id),
+        |jpg AS (SELECT doc_id, 'jpeg' AS fmt,
+        |          CAST(MAX(tw) * 16 AS BIGINT) AS w,
+        |          CAST(MAX(th) * 16 AS BIGINT) AS h,
+        |          CAST(MAX(tw) * MAX(th) * 256 AS BIGINT) AS np,
+        |          CAST(SUM(((doc_id * 7 + tx * 13 + ty * 29) % 256) * 256) AS BIGINT) AS sr,
+        |          CAST(SUM(((doc_id * 7 + tx * 13 + ty * 29) % 256) * 256) AS BIGINT) AS sg,
+        |          CAST(SUM(((doc_id * 7 + tx * 13 + ty * 29) % 256) * 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id, 1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+        |              FROM ids WHERE doc_id % 8 = 1) d,
+        |             generate_series(0, 2) a(tx), generate_series(0, 1) b(ty)
+        |        WHERE tx < tw AND ty < th GROUP BY doc_id),
+        |gif AS (SELECT doc_id, 'gif' AS fmt, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 41) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 73) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((((doc_id * 3 + x * 7 + y * 11) % n) * 101) % 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id,
+        |                CASE doc_id % 3 WHEN 0 THEN 2 WHEN 1 THEN 4 ELSE 8 END AS n,
+        |                2 + doc_id % 6 AS w, 1 + doc_id % 4 AS h
+        |              FROM ids WHERE doc_id % 8 = 2) d,
+        |             generate_series(0, 6) a(x), generate_series(0, 3) b(y)
+        |        WHERE x < w AND y < h GROUP BY doc_id),
+        |bmp AS (SELECT doc_id, 'bmp' AS fmt, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id + x * 3 + y * 5) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 5 + x * 7 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id * 9 + x + y * 11) % 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id, 2 + doc_id % 5 AS w, 1 + doc_id % 4 AS h
+        |              FROM ids WHERE doc_id % 8 = 3) d,
+        |             generate_series(0, 6) a(x), generate_series(0, 3) b(y)
+        |        WHERE x < w AND y < h GROUP BY doc_id),
+        |tif AS (SELECT doc_id, 'tiff' AS fmt, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id * 3 + x * 5 + y * 7) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 7 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 13) % 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id, 2 + doc_id % 7 AS w, 1 + doc_id % 5 AS h
+        |              FROM ids WHERE doc_id % 8 = 4) d,
+        |             generate_series(0, 8) a(x), generate_series(0, 4) b(y)
+        |        WHERE x < w AND y < h GROUP BY doc_id),
+        |ico AS (SELECT doc_id, 'ico' AS fmt, MAX(w) AS w, MAX(h) AS h,
+        |          CAST(COUNT(*) AS BIGINT) AS np,
+        |          CAST(SUM((doc_id * 5 + x * 7 + y * 13) % 256) AS BIGINT) AS sr,
+        |          CAST(SUM((doc_id * 3 + x * 11 + y) % 256) AS BIGINT) AS sg,
+        |          CAST(SUM((doc_id + x + y * 19) % 256) AS BIGINT) AS sb
+        |        FROM (SELECT doc_id, 3 + doc_id % 5 AS w, 2 + doc_id % 3 AS h
+        |              FROM ids WHERE doc_id % 8 = 5) d,
+        |             generate_series(0, 7) a(x), generate_series(0, 4) b(y)
+        |        WHERE x < w AND y < h GROUP BY doc_id),
+        |img AS (SELECT * FROM png UNION ALL SELECT * FROM jpg
+        |        UNION ALL SELECT * FROM gif UNION ALL SELECT * FROM bmp
+        |        UNION ALL SELECT * FROM tif UNION ALL SELECT * FROM ico),
+        |auv AS (SELECT doc_id, n,
+        |          CASE WHEN (255 - ((doc_id * 7 + i * 13) % 256)) >= 128
+        |               THEN -1 ELSE 1 END *
+        |          (((2 * ((255 - ((doc_id * 7 + i * 13) % 256)) % 16) + 33)
+        |            * (1 << (((255 - ((doc_id * 7 + i * 13) % 256)) // 16) % 8))
+        |            - 33) * 4) AS s
+        |        FROM (SELECT doc_id, 40 + doc_id % 30 AS n
+        |              FROM ids WHERE doc_id % 8 = 6) d,
+        |             generate_series(0, 69) t(i) WHERE i < n),
+        |aifv AS (SELECT doc_id, n,
+        |           ((doc_id * 11 + i * 17) % 65536) - 32768 AS s
+        |         FROM (SELECT doc_id, 40 + doc_id % 30 AS n
+        |               FROM ids WHERE doc_id % 8 = 7) d,
+        |              generate_series(0, 69) t(i) WHERE i < n),
+        |aud AS (SELECT doc_id, 'au_ulaw' AS fmt, 8000 AS rate,
+        |          CAST(MAX(n) AS BIGINT) AS nf,
+        |          CAST(MAX(ABS(s)) AS BIGINT) AS pk,
+        |          CAST(SUM(s * s) AS BIGINT) AS sq
+        |        FROM auv GROUP BY doc_id
+        |        UNION ALL
+        |        SELECT doc_id, 'aiff_pcm16' AS fmt, 22050 AS rate,
+        |          CAST(MAX(n) AS BIGINT) AS nf,
+        |          CAST(MAX(ABS(s)) AS BIGINT) AS pk,
+        |          CAST(SUM(s * s) AS BIGINT) AS sq
+        |        FROM aifv GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  COALESCE(img.fmt, aud.fmt) AS format,
+        |  CAST(img.w AS INTEGER) AS width,
+        |  CAST(img.h AS INTEGER) AS height,
+        |  img.np AS n_pixels, img.sr AS sum_r, img.sg AS sum_g, img.sb AS sum_b,
+        |  CAST(aud.rate AS INTEGER) AS sample_rate, aud.nf AS n_frames,
+        |  aud.pk AS peak_raw, aud.sq AS sum_sq
+        |FROM documents d
+        |LEFT JOIN img ON img.doc_id = d.doc_id
+        |LEFT JOIN aud ON aud.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin
   )
 

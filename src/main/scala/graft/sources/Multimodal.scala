@@ -2322,6 +2322,80 @@ object Multimodal {
       .toDF("media_id", "n_bytes", "payload_md5", "format", "width", "height")
   }
 
+  /** One entry point for a MIXED media column — the API a corpus
+    * pipeline actually wants: sniff each payload's magic and route to
+    * the matching REAL decoder (PNG / JPEG baseline+progressive / GIF
+    * / BMP / TIFF / ICO / WAV / AU / AIFF), returning one unified row
+    * of image fields (dims + channel sums) or audio fields (rate,
+    * frames, integer 16-bit-unit peak/sum-of-squares; WAV reports
+    * container fields, its normalized stats stay with
+    * [[describePcm]]). Unrecognized or undecodable payloads yield a
+    * null `format`. Per-partition kernel, no shuffle — payload bytes
+    * never leave their partition at any corpus size. */
+  def inspectMedia(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    def none(id: Long): MediaInspectRow = MediaInspectRow(id,
+      None, None, None, None, None, None, None, None, None, None, None)
+    def img(id: Long, fmt: String, w: Int, h: Int, np: Long,
+            sr: Long, sg: Long, sb: Long): MediaInspectRow =
+      MediaInspectRow(id, Some(fmt), Some(w), Some(h), Some(np),
+        Some(sr), Some(sg), Some(sb), None, None, None, None)
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        if (p == null || p.length < 12) none(id)
+        else {
+          def u8(i: Int) = p(i) & 0xff
+          if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G')
+            parsePngPixels(p).fold(none(id))(s =>
+              img(id, "png", s.width, s.height, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if (u8(0) == 0xff && u8(1) == 0xd8)
+            parseJpegPixels(p).fold(none(id))(s =>
+              img(id, "jpeg", s.width, s.height, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if (u8(0) == 'G' && u8(1) == 'I' && u8(2) == 'F')
+            parseGifPixels(p).fold(none(id))(s =>
+              img(id, "gif", s.frameW, s.frameH, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if (u8(0) == 'B' && u8(1) == 'M')
+            parseBmpPixels(p).fold(none(id))(s =>
+              img(id, "bmp", s.width, s.height, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if ((u8(0) == 'I' && u8(1) == 'I') || (u8(0) == 'M' && u8(1) == 'M'))
+            parseTiffPixels(p).fold(none(id))(s =>
+              img(id, "tiff", s.width, s.height, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if (u8(0) == 0 && u8(1) == 0 && u8(2) == 1 && u8(3) == 0)
+            parseIcoPixels(p).fold(none(id))(s =>
+              img(id, "ico", s.width, s.height, s.nPixels, s.sumR, s.sumG, s.sumB))
+          else if (u8(0) == '.' && u8(1) == 's' && u8(2) == 'n' && u8(3) == 'd')
+            parseAu(p).fold(none(id))(s =>
+              MediaInspectRow(id, Some(s.format), None, None, None, None, None,
+                None, Some(s.sampleRate), Some(s.nFrames), Some(s.peakRaw),
+                Some(s.sumSq)))
+          else if (u8(0) == 'F' && u8(1) == 'O' && u8(2) == 'R' && u8(3) == 'M')
+            parseAiff(p).fold(none(id))(s =>
+              MediaInspectRow(id, Some(s.format), None, None, None, None, None,
+                None, Some(s.sampleRate), Some(s.nFrames), Some(s.peakRaw),
+                Some(s.sumSq)))
+          else if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
+                   p.length >= 12 && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V')
+            parseWavPcm(p).fold(none(id))(s =>
+              MediaInspectRow(id, Some("wav"), None, None, None, None, None,
+                None, Some(s.sampleRate), Some(s.nFrames), None, None))
+          else none(id)
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "n_pixels",
+        "sum_r", "sum_g", "sum_b", "sample_rate", "n_frames",
+        "peak_raw", "sum_sq")
+  }
+
+  /** Unified [[inspectMedia]] row: image fields or audio fields set,
+    * the rest None; `format` None for unrecognized payloads. */
+  final case class MediaInspectRow(
+      mediaId: Long, format: Option[String], width: Option[Int],
+      height: Option[Int], nPixels: Option[Long], sumR: Option[Long],
+      sumG: Option[Long], sumB: Option[Long], sampleRate: Option[Int],
+      nFrames: Option[Long], peakRaw: Option[Long], sumSq: Option[Long])
+
   /** STUB decode: deterministic fake image decode. A real kernel
     * would parse the codec header; the stub derives stable pseudo
     * dimensions from a payload hash so plumbing (schema, nulls,

@@ -458,6 +458,18 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("md5"), p)
   }
 
+  test("media decode queries are map-only: one scan, no join, one presentation exchange") {
+    Seq("q243_jpeg_decode", "q245_gif_decode", "q247_tiff_decode",
+        "q248_audio_decode", "q249_ico_decode", "q250_media_inspect").foreach { q =>
+      val p = plan(q)
+      // payload bytes never cross a shuffle: the ONLY exchange is the
+      // final ORDER BY's range partitioning, after stats are integers
+      assert(p.linesIterator.count(_.contains("Exchange")) == 1, s"$q:\n$p")
+      assert(!p.contains("Join") && !p.contains("CartesianProduct"), q)
+      assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, q)
+    }
+  }
+
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {
     // Round 10: q226 runs through Clustering.iterateSteps, which
     // EXECUTES each lloydStep round eagerly and localCheckpoints the
