@@ -452,6 +452,13 @@ object Main {
             graft.sources.Multimodal.asMedia(
               spark.read.parquet(in), idCol, payloadCol, "image"))
           .write.mode("overwrite").parquet(out)
+      case "media-inspect" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // the mixed-column entry point: sniff + route to every real
+        // decoder (PNG/JPEG/GIF/BMP/TIFF/ICO/WAV/AU/AIFF)
+        graft.sources.Multimodal.inspectMedia(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "mixed"))
+          .write.mode("overwrite").parquet(out)
 
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
@@ -516,6 +523,7 @@ object Main {
         |  pcm-stats <in.parquet> <idCol> <payloadCol> <out>   (WAV decode: peak/rms/frames)
         |  bmp-stats <in.parquet> <idCol> <payloadCol> <out>   (BMP decode: channel sums)
         |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
+        |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }
