@@ -93,6 +93,183 @@ object SparkEntry {
     d.end()
     out.toByteArray
   }
+  /** Filter-0 truecolor PNG over formula pixels (q242/q249/q250). */
+  private def pngRgbFixture(w: Int, h: Int,
+                            rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val stride = 3 * w
+    val raw = new Array[Byte](h * (1 + stride))
+    (0 until h).foreach { y =>
+      val base = y * (1 + stride)
+      (0 until w).foreach { x =>
+        val (r, g, b) = rgb(x, y)
+        raw(base + 1 + x * 3) = r.toByte
+        raw(base + 2 + x * 3) = g.toByte
+        raw(base + 3 + x * 3) = b.toByte
+      }
+    }
+    pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
+      pngChunk("IDAT", deflateFully(raw)) ++
+      pngChunk("IEND", Array.emptyByteArray)
+  }
+  /** Flat-tile gray JPEG via javax.imageio at quality 1.0 — the
+    * lossless-by-construction fixture (q243/q246/q250). */
+  private def jpegFlatTileFixture(tw: Int, th: Int, g: (Int, Int) => Int,
+                                  progressive: Boolean): Array[Byte] = {
+    val w = 16 * tw; val h = 16 * th
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        val v = g(x / 16, y / 16)
+        img.setRGB(x, y, (v << 16) | (v << 8) | v)
+        x += 1
+      }
+      y += 1
+    }
+    val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
+    val p = wr.getDefaultWriteParam
+    p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
+    p.setCompressionQuality(1.0f)
+    if (progressive)
+      p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
+    val bos = new java.io.ByteArrayOutputStream()
+    val ios = new javax.imageio.stream.MemoryCacheImageOutputStream(bos)
+    wr.setOutput(ios)
+    wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
+    wr.dispose()
+    ios.close() // never rely on writer-internal flushing (TIFF lesson)
+    bos.toByteArray
+  }
+  /** Clear-per-pixel GIF over a formula index grid with the formula
+    * palette (i*41, i*73, i*101) (q245/q250). */
+  private def gifFixture(palK: Int, w: Int, h: Int,
+                         idx: (Int, Int) => Int): Array[Byte] = {
+    val palSize = 1 << palK
+    val minCode = math.max(2, palK)
+    val clear = 1 << minCode; val eoi = clear + 1
+    val bb = new java.io.ByteArrayOutputStream()
+    def b(x: Int): Unit = bb.write(x & 0xff)
+    "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
+    b(w); b(w >> 8); b(h); b(h >> 8)
+    b(0x80 | (minCode - 1)); b(0); b(0)
+    (0 until (1 << minCode)).foreach { i =>
+      if (i < palSize) { b((i * 41) % 256); b((i * 73) % 256); b((i * 101) % 256) }
+      else { b(0); b(0); b(0) }
+    }
+    b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
+    b(minCode)
+    val codes = (0 until h).flatMap(y => (0 until w).flatMap { x =>
+      Seq(clear, idx(x, y))
+    }) :+ eoi
+    var acc = 0L; var nb = 0
+    val payload = new java.io.ByteArrayOutputStream()
+    codes.foreach { c =>
+      acc |= c.toLong << nb; nb += minCode + 1
+      while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
+    }
+    if (nb > 0) payload.write((acc & 0xff).toInt)
+    payload.toByteArray.grouped(255).foreach { chunk =>
+      b(chunk.length); bb.write(chunk)
+    }
+    b(0); b(0x3b)
+    bb.toByteArray
+  }
+  /** Little-endian RGB strip TIFF, uncompressed or naive PackBits
+    * (q247/q250). */
+  private def tiffRgbFixture(w: Int, h: Int, packBits: Boolean,
+                             rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val samples = new Array[Byte](w * h * 3)
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val o = (y * w + x) * 3
+      val (r, g, b) = rgb(x, y)
+      samples(o) = r.toByte; samples(o + 1) = g.toByte; samples(o + 2) = b.toByte
+    } }
+    val data =
+      if (!packBits) samples
+      else {
+        val out = new java.io.ByteArrayOutputStream()
+        samples.grouped(128).foreach { chunk =>
+          out.write(chunk.length - 1); out.write(chunk, 0, chunk.length)
+        }
+        out.toByteArray
+      }
+    val bb = new java.io.ByteArrayOutputStream()
+    def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
+    def w32(v: Long): Unit = {
+      w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
+    }
+    bb.write('I'); bb.write('I'); w16(42)
+    val nTags = 10
+    val dataOff = 8L + 2 + 12 * nTags + 4
+    w32(8); w16(nTags)
+    def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
+      w16(t); w16(typ); w32(cnt); w32(v)
+    }
+    tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 8)
+    tag(259, 3, 1, if (packBits) 32773 else 1)
+    tag(262, 3, 1, 2); tag(273, 4, 1, dataOff); tag(277, 3, 1, 3)
+    tag(278, 3, 1, h); tag(279, 4, 1, data.length); tag(284, 3, 1, 1)
+    w32(0)
+    bb.write(data)
+    bb.toByteArray
+  }
+  /** One-entry 32bpp-DIB ICO, bottom-up with empty AND mask
+    * (q249/q250). `rgba` returns packed 0xAARRGGBB. */
+  private def icoDib32Fixture(w: Int, h: Int,
+                              rgba: (Int, Int) => Int): Array[Byte] = {
+    val rowBytes = w * 4
+    val maskRow = ((w + 31) / 32) * 4
+    val imgSize = 40 + rowBytes * h + maskRow * h
+    val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.putShort(0).putShort(1).putShort(1)
+    bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
+      .putShort(1).putShort(32).putInt(imgSize).putInt(6 + 16)
+    bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(32)
+      .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
+    (0 until h).foreach { rowFromBottom =>
+      val y = h - 1 - rowFromBottom
+      (0 until w).foreach { x =>
+        val v = rgba(x, y)
+        bb.put((v & 0xff).toByte).put(((v >> 8) & 0xff).toByte)
+          .put(((v >> 16) & 0xff).toByte).put(((v >>> 24) & 0xff).toByte)
+      }
+    }
+    (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow)))
+    bb.array()
+  }
+  /** Mono AU at 8 kHz: G.711 (enc 1 μ-law / 27 A-law, byte samples)
+    * or big-endian PCM16 (enc 3, short samples) (q248/q250). */
+  private def auFixture(enc: Int, n: Int, sample: Int => Int): Array[Byte] = {
+    val bytesPer = if (enc == 3) 2 else 1
+    val bos = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(bos)
+    dd.writeBytes(".snd"); dd.writeInt(24); dd.writeInt(n * bytesPer)
+    dd.writeInt(enc); dd.writeInt(8000); dd.writeInt(1)
+    (0 until n).foreach { i =>
+      if (enc == 3) dd.writeShort(sample(i)) else dd.writeByte(sample(i))
+    }
+    bos.toByteArray
+  }
+  /** Mono PCM16 AIFF with an 80-bit extended-float integer rate
+    * (q248/q250). */
+  private def aiffFixture(n: Int, rate: Int, sample: Int => Int): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(bos)
+    val dataLen = 8 + 2 * n
+    dd.writeBytes("FORM"); dd.writeInt(4 + 8 + 18 + 8 + dataLen)
+    dd.writeBytes("AIFF")
+    dd.writeBytes("COMM"); dd.writeInt(18)
+    dd.writeShort(1); dd.writeInt(n); dd.writeShort(16)
+    val bitlen = 31 - Integer.numberOfLeadingZeros(rate)
+    dd.writeShort(16383 + bitlen)
+    dd.writeLong(rate.toLong << (63 - bitlen))
+    dd.writeBytes("SSND"); dd.writeInt(dataLen); dd.writeInt(0); dd.writeInt(0)
+    (0 until n).foreach(i => dd.writeShort(sample(i)))
+    bos.toByteArray
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -4062,20 +4239,10 @@ object SparkEntry {
         if (id % 50 == 0) (id, "png? hardly".getBytes("UTF-8"))
         else {
           val w = (2 + id % 5).toInt; val h = (1 + id % 3).toInt
-          val stride = 3 * w
-          val raw = new Array[Byte](h * (1 + stride))
-          (0 until h).foreach { y =>
-            val base = y * (1 + stride)
-            raw(base) = 0 // filter None
-            (0 until w).foreach { x =>
-              raw(base + 1 + x * 3) = ((id * 5 + x * 7 + y * 13) % 256).toByte
-              raw(base + 2 + x * 3) = ((id * 3 + x * 11 + y) % 256).toByte
-              raw(base + 3 + x * 3) = ((id + x + y * 19) % 256).toByte
-            }
-          }
-          (id, pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
-            pngChunk("IDAT", deflateFully(raw)) ++
-            pngChunk("IEND", Array.emptyByteArray))
+          (id, pngRgbFixture(w, h, (x, y) => (
+            ((id * 5 + x * 7 + y * 13) % 256).toInt,
+            ((id * 3 + x * 11 + y) % 256).toInt,
+            ((id + x + y * 19) % 256).toInt)))
         }
       }.toDF("doc_id", "png")
       graft.sources.Multimodal.describePng(
@@ -4146,70 +4313,19 @@ object SparkEntry {
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         if (id % 50 == 0) (id, "multimodal? not today".getBytes("UTF-8"))
         else (id % 8).toInt match {
-          case 0 => // PNG (q242 formulas)
-            val w = (2 + id % 5).toInt; val h = (1 + id % 3).toInt
-            val stride = 3 * w
-            val raw = new Array[Byte](h * (1 + stride))
-            (0 until h).foreach { y =>
-              val base = y * (1 + stride)
-              (0 until w).foreach { x =>
-                raw(base + 1 + x * 3) = ((id * 5 + x * 7 + y * 13) % 256).toByte
-                raw(base + 2 + x * 3) = ((id * 3 + x * 11 + y) % 256).toByte
-                raw(base + 3 + x * 3) = ((id + x + y * 19) % 256).toByte
-              }
-            }
-            (id, pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
-              pngChunk("IDAT", deflateFully(raw)) ++
-              pngChunk("IEND", Array.emptyByteArray))
-          case 1 => // baseline JPEG (q243 flat tiles at quality 1.0)
-            val tw = (1 + id % 3).toInt; val th = (1 + id % 2).toInt
-            val w = 16 * tw; val h = 16 * th
-            val img = new java.awt.image.BufferedImage(
-              w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-            (0 until h).foreach { y => (0 until w).foreach { x =>
-              val g = ((id * 7 + (x / 16) * 13 + (y / 16) * 29) % 256).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g) } }
-            val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-            val p = wr.getDefaultWriteParam
-            p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-            p.setCompressionQuality(1.0f)
-            val bos = new java.io.ByteArrayOutputStream()
-            wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
-            wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-            wr.dispose()
-            (id, bos.toByteArray)
-          case 2 => // GIF (q245 clear-per-pixel)
+          case 0 => // PNG (q242 formulas, same builder)
+            (id, pngRgbFixture((2 + id % 5).toInt, (1 + id % 3).toInt, (x, y) => (
+              ((id * 5 + x * 7 + y * 13) % 256).toInt,
+              ((id * 3 + x * 11 + y) % 256).toInt,
+              ((id + x + y * 19) % 256).toInt)))
+          case 1 => // baseline JPEG (q243 formulas, same builder)
+            (id, jpegFlatTileFixture((1 + id % 3).toInt, (1 + id % 2).toInt,
+              (tx, ty) => ((id * 7 + tx * 13 + ty * 29) % 256).toInt,
+              progressive = false))
+          case 2 => // GIF (q245 formulas, same builder)
             val k = (1 + id % 3).toInt
-            val palSize = 1 << k
-            val minCode = math.max(2, k)
-            val clear = 1 << minCode; val eoi = clear + 1
-            val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
-            val bb = new java.io.ByteArrayOutputStream()
-            def b(x: Int): Unit = bb.write(x & 0xff)
-            "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
-            b(w); b(w >> 8); b(h); b(h >> 8)
-            b(0x80 | (minCode - 1)); b(0); b(0)
-            (0 until (1 << minCode)).foreach { i =>
-              if (i < palSize) { b((i * 41) % 256); b((i * 73) % 256); b((i * 101) % 256) }
-              else { b(0); b(0); b(0) }
-            }
-            b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
-            b(minCode)
-            val codes = (0 until h).flatMap(y => (0 until w).flatMap { x =>
-              Seq(clear, ((id * 3 + x * 7 + y * 11) % palSize).toInt)
-            }) :+ eoi
-            var acc = 0L; var nb = 0
-            val payload = new java.io.ByteArrayOutputStream()
-            codes.foreach { c =>
-              acc |= c.toLong << nb; nb += minCode + 1
-              while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
-            }
-            if (nb > 0) payload.write((acc & 0xff).toInt)
-            payload.toByteArray.grouped(255).foreach { chunk =>
-              b(chunk.length); bb.write(chunk)
-            }
-            b(0); b(0x3b)
-            (id, bb.toByteArray)
+            (id, gifFixture(k, (2 + id % 6).toInt, (1 + id % 4).toInt,
+              (x, y) => ((id * 3 + x * 7 + y * 11) % (1 << k)).toInt))
           case 3 => // BMP 24bpp bottom-up
             val w = (2 + id % 5).toInt; val h = (1 + id % 4).toInt
             val rowBytes = ((w * 3 + 3) / 4) * 4
@@ -4230,83 +4346,23 @@ object SparkEntry {
               (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
             }
             (id, bb.array())
-          case 4 => // TIFF uncompressed (q247 formulas)
-            val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
-            val samples = new Array[Byte](w * h * 3)
-            (0 until h).foreach { y => (0 until w).foreach { x =>
-              val o = (y * w + x) * 3
-              samples(o) = ((id * 3 + x * 5 + y * 7) % 256).toByte
-              samples(o + 1) = ((id * 7 + x * 11 + y) % 256).toByte
-              samples(o + 2) = ((id + x + y * 13) % 256).toByte
-            } }
-            val bb = new java.io.ByteArrayOutputStream()
-            def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
-            def w32(v: Long): Unit = {
-              w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
-            }
-            bb.write('I'); bb.write('I'); w16(42)
-            val nTags = 10
-            val dataOff = 8L + 2 + 12 * nTags + 4
-            w32(8); w16(nTags)
-            def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
-              w16(t); w16(typ); w32(cnt); w32(v)
-            }
-            tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 8)
-            tag(259, 3, 1, 1); tag(262, 3, 1, 2); tag(273, 4, 1, dataOff)
-            tag(277, 3, 1, 3); tag(278, 3, 1, h); tag(279, 4, 1, samples.length)
-            tag(284, 3, 1, 1)
-            w32(0)
-            bb.write(samples)
-            (id, bb.toByteArray)
-          case 5 => // ICO 32bpp DIB (q249 formulas)
-            val w = (3 + id % 5).toInt; val h = (2 + id % 3).toInt
-            val rowBytes = w * 4
-            val maskRow = ((w + 31) / 32) * 4
-            val imgSize = 40 + rowBytes * h + maskRow * h
-            val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            bb.putShort(0).putShort(1).putShort(1)
-            bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
-              .putShort(1).putShort(32).putInt(imgSize).putInt(6 + 16)
-            bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(32)
-              .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
-            (0 until h).foreach { rowFromBottom =>
-              val y = h - 1 - rowFromBottom
-              (0 until w).foreach { x =>
-                bb.put(((id + x + y * 19) % 256).toByte)        // B
-                  .put(((id * 3 + x * 11 + y) % 256).toByte)    // G
-                  .put(((id * 5 + x * 7 + y * 13) % 256).toByte) // R
-                  .put(0.toByte)
-              }
-            }
-            (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow)))
-            (id, bb.array())
-          case 6 => // AU μ-law (q248 formulas)
-            val n = (40 + id % 30).toInt
-            val bos = new java.io.ByteArrayOutputStream()
-            val dd = new java.io.DataOutputStream(bos)
-            dd.writeBytes(".snd"); dd.writeInt(24); dd.writeInt(n)
-            dd.writeInt(1); dd.writeInt(8000); dd.writeInt(1)
-            (0 until n).foreach(i => dd.writeByte(((id * 7 + i * 13) % 256).toInt))
-            (id, bos.toByteArray)
-          case _ => // AIFF PCM16 (q248 formulas)
-            val n = (40 + id % 30).toInt
-            val bos = new java.io.ByteArrayOutputStream()
-            val dd = new java.io.DataOutputStream(bos)
-            val dataLen = 8 + 2 * n
-            dd.writeBytes("FORM"); dd.writeInt(4 + 8 + 18 + 8 + dataLen)
-            dd.writeBytes("AIFF")
-            dd.writeBytes("COMM"); dd.writeInt(18)
-            dd.writeShort(1); dd.writeInt(n); dd.writeShort(16)
-            val rate = 22050
-            val bitlen = 31 - Integer.numberOfLeadingZeros(rate)
-            dd.writeShort(16383 + bitlen)
-            dd.writeLong(rate.toLong << (63 - bitlen))
-            dd.writeBytes("SSND"); dd.writeInt(dataLen); dd.writeInt(0); dd.writeInt(0)
-            (0 until n).foreach { i =>
-              dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
-            }
-            (id, bos.toByteArray)
+          case 4 => // TIFF uncompressed (q247 formulas, same builder)
+            (id, tiffRgbFixture((2 + id % 7).toInt, (1 + id % 5).toInt,
+              packBits = false,
+              (x, y) => (((id * 3 + x * 5 + y * 7) % 256).toInt,
+                ((id * 7 + x * 11 + y) % 256).toInt,
+                ((id + x + y * 13) % 256).toInt)))
+          case 5 => // ICO 32bpp DIB (q249 formulas, same builder)
+            (id, icoDib32Fixture((3 + id % 5).toInt, (2 + id % 3).toInt,
+              (x, y) => (((id * 5 + x * 7 + y * 13) % 256).toInt << 16) |
+                (((id * 3 + x * 11 + y) % 256).toInt << 8) |
+                ((id + x + y * 19) % 256).toInt))
+          case 6 => // AU mu-law (q248 formulas, same builder)
+            (id, auFixture(1, (40 + id % 30).toInt,
+              i => ((id * 7 + i * 13) % 256).toInt))
+          case _ => // AIFF PCM16 (q248 formulas, same builder)
+            (id, aiffFixture((40 + id % 30).toInt, 22050,
+              i => (((id * 11 + i * 17) % 65536) - 32768).toInt))
         }
       }.toDF("doc_id", "payload")
       graft.sources.Multimodal.inspectMedia(
@@ -4332,41 +4388,11 @@ object SparkEntry {
           def r(x: Int, y: Int) = ((id * 5 + x * 7 + y * 13) % 256).toInt
           def g(x: Int, y: Int) = ((id * 3 + x * 11 + y) % 256).toInt
           def b(x: Int, y: Int) = ((id + x + y * 19) % 256).toInt
-          if (id % 2 == 0) { // classic 32bpp DIB
-            val rowBytes = ((w * 32 + 31) / 32) * 4
-            val maskRow = ((w + 31) / 32) * 4
-            val imgSize = 40 + rowBytes * h + maskRow * h
-            val bb = java.nio.ByteBuffer.allocate(6 + 16 + imgSize)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            bb.putShort(0).putShort(1).putShort(1)
-            bb.put(w.toByte).put(h.toByte).put(0.toByte).put(0.toByte)
-              .putShort(1).putShort(32).putInt(imgSize).putInt(6 + 16)
-            bb.putInt(40).putInt(w).putInt(2 * h).putShort(1).putShort(32)
-              .putInt(0).putInt(0).putInt(0).putInt(0).putInt(0).putInt(0)
-            (0 until h).foreach { rowFromBottom =>
-              val y = h - 1 - rowFromBottom
-              (0 until w).foreach { x =>
-                bb.put(b(x, y).toByte).put(g(x, y).toByte)
-                  .put(r(x, y).toByte).put(((x + y) % 256).toByte)
-              }
-            }
-            (0 until h).foreach(_ => bb.put(new Array[Byte](maskRow)))
-            (id, bb.array())
-          } else { // PNG-embedded (modern favicon)
-            val stride = 3 * w
-            val raw = new Array[Byte](h * (1 + stride))
-            (0 until h).foreach { y =>
-              val base = y * (1 + stride)
-              raw(base) = 0
-              (0 until w).foreach { x =>
-                raw(base + 1 + x * 3) = r(x, y).toByte
-                raw(base + 2 + x * 3) = g(x, y).toByte
-                raw(base + 3 + x * 3) = b(x, y).toByte
-              }
-            }
-            val png = pngSig ++ pngChunk("IHDR", pngIhdr(w, h, 8, 2)) ++
-              pngChunk("IDAT", deflateFully(raw)) ++
-              pngChunk("IEND", Array.emptyByteArray)
+          if (id % 2 == 0) // classic 32bpp DIB
+            (id, icoDib32Fixture(w, h, (x, y) =>
+              (((x + y) % 256) << 24) | (r(x, y) << 16) | (g(x, y) << 8) | b(x, y)))
+          else { // PNG-embedded (modern favicon)
+            val png = pngRgbFixture(w, h, (x, y) => (r(x, y), g(x, y), b(x, y)))
             val bb = java.nio.ByteBuffer.allocate(6 + 16 + png.length)
               .order(java.nio.ByteOrder.LITTLE_ENDIAN)
             bb.putShort(0).putShort(1).putShort(1)
@@ -4400,36 +4426,14 @@ object SparkEntry {
         if (id % 50 == 0) (id, "audio? silence".getBytes("UTF-8"))
         else {
           val n = (40 + id % 30).toInt
-          val variant = (id % 4).toInt
-          val bos = new java.io.ByteArrayOutputStream()
-          val dd = new java.io.DataOutputStream(bos)
-          if (variant <= 2) { // AU
-            val enc = variant match { case 0 => 1; case 1 => 27; case _ => 3 }
-            val bytesPer = if (variant == 2) 2 else 1
-            dd.writeBytes(".snd"); dd.writeInt(24); dd.writeInt(n * bytesPer)
-            dd.writeInt(enc); dd.writeInt(8000); dd.writeInt(1)
-            (0 until n).foreach { i =>
-              if (variant == 2) dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
-              else dd.writeByte(((id * 7 + i * 13) % 256).toInt)
-            }
-          } else { // AIFF PCM16 mono at 22050 Hz
-            val dataLen = 8 + 2 * n
-            dd.writeBytes("FORM"); dd.writeInt(4 + 8 + 18 + 8 + dataLen)
-            dd.writeBytes("AIFF")
-            dd.writeBytes("COMM"); dd.writeInt(18)
-            dd.writeShort(1); dd.writeInt(n); dd.writeShort(16)
-            // 80-bit extended float for an integer rate
-            val rate = 22050
-            val bitlen = 31 - Integer.numberOfLeadingZeros(rate)
-            dd.writeShort(16383 + bitlen)
-            dd.writeLong(rate.toLong << (63 - bitlen))
-            dd.writeBytes("SSND"); dd.writeInt(dataLen)
-            dd.writeInt(0); dd.writeInt(0)
-            (0 until n).foreach { i =>
-              dd.writeShort((((id * 11 + i * 17) % 65536) - 32768).toInt)
-            }
-          }
-          (id, bos.toByteArray)
+          def pcm16(i: Int) = (((id * 11 + i * 17) % 65536) - 32768).toInt
+          def g711(i: Int) = ((id * 7 + i * 13) % 256).toInt
+          (id, (id % 4).toInt match {
+            case 0 => auFixture(1, n, g711)
+            case 1 => auFixture(27, n, g711)
+            case 2 => auFixture(3, n, pcm16)
+            case _ => aiffFixture(n, 22050, pcm16)
+          })
         }
       }.toDF("doc_id", "snd")
       graft.sources.Multimodal.describeAudio(
@@ -4452,48 +4456,11 @@ object SparkEntry {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         if (id % 50 == 0) (id, "tiff? nope".getBytes("UTF-8"))
-        else {
-          val w = (2 + id % 7).toInt; val h = (1 + id % 5).toInt
-          val samples = new Array[Byte](w * h * 3)
-          (0 until h).foreach { y =>
-            (0 until w).foreach { x =>
-              val o = (y * w + x) * 3
-              samples(o) = ((id * 3 + x * 5 + y * 7) % 256).toByte
-              samples(o + 1) = ((id * 7 + x * 11 + y) % 256).toByte
-              samples(o + 2) = ((id + x + y * 13) % 256).toByte
-            }
-          }
-          val packBits = id % 2 == 1
-          val data =
-            if (!packBits) samples
-            else {
-              val out = new java.io.ByteArrayOutputStream()
-              samples.grouped(128).foreach { chunk =>
-                out.write(chunk.length - 1); out.write(chunk, 0, chunk.length)
-              }
-              out.toByteArray
-            }
-          val bb = new java.io.ByteArrayOutputStream()
-          def w16(v: Int): Unit = { bb.write(v & 0xff); bb.write((v >> 8) & 0xff) }
-          def w32(v: Long): Unit = {
-            w16((v & 0xffff).toInt); w16(((v >> 16) & 0xffff).toInt)
-          }
-          bb.write('I'); bb.write('I'); w16(42)
-          val nTags = 10
-          val dataOff = 8L + 2 + 12 * nTags + 4
-          w32(8); w16(nTags)
-          def tag(t: Int, typ: Int, cnt: Long, v: Long): Unit = {
-            w16(t); w16(typ); w32(cnt); w32(v)
-          }
-          tag(256, 3, 1, w); tag(257, 3, 1, h); tag(258, 3, 1, 8)
-          tag(259, 3, 1, if (packBits) 32773 else 1)
-          tag(262, 3, 1, 2) // RGB
-          tag(273, 4, 1, dataOff); tag(277, 3, 1, 3); tag(278, 3, 1, h)
-          tag(279, 4, 1, data.length); tag(284, 3, 1, 1)
-          w32(0)
-          bb.write(data)
-          (id, bb.toByteArray)
-        }
+        else (id, tiffRgbFixture((2 + id % 7).toInt, (1 + id % 5).toInt,
+          packBits = id % 2 == 1,
+          (x, y) => (((id * 3 + x * 5 + y * 7) % 256).toInt,
+            ((id * 7 + x * 11 + y) % 256).toInt,
+            ((id + x + y * 13) % 256).toInt)))
       }.toDF("doc_id", "tif")
       graft.sources.Multimodal.describeTiff(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "tif", "image"))
@@ -4518,32 +4485,9 @@ object SparkEntry {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         if (id % 50 == 0) (id, "jpeg? progressively not".getBytes("UTF-8"))
-        else {
-          val tw = (1 + id % 4).toInt; val th = (1 + (id / 2) % 2).toInt
-          val w = 16 * tw; val h = 16 * th
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val g = ((id * 11 + (x / 16) * 23 + (y / 16) * 31) % 256).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
-          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-          val p = wr.getDefaultWriteParam
-          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          p.setCompressionQuality(1.0f)
-          p.setProgressiveMode(javax.imageio.ImageWriteParam.MODE_DEFAULT)
-          val bos = new java.io.ByteArrayOutputStream()
-          wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
-          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-          wr.dispose()
-          (id, bos.toByteArray)
-        }
+        else (id, jpegFlatTileFixture((1 + id % 4).toInt, (1 + (id / 2) % 2).toInt,
+          (tx, ty) => ((id * 11 + tx * 23 + ty * 31) % 256).toInt,
+          progressive = true))
       }.toDF("doc_id", "jpg")
       graft.sources.Multimodal.describeJpeg(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "jpg", "image"))
@@ -4568,36 +4512,8 @@ object SparkEntry {
         if (id % 50 == 0) (id, "gif? afraid not".getBytes("UTF-8"))
         else {
           val k = (1 + id % 3).toInt // palette 2^k entries: 2, 4, 8
-          val palSize = 1 << k
-          val minCode = math.max(2, k)
-          val clear = 1 << minCode; val eoi = clear + 1
-          val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
-          val bb = new java.io.ByteArrayOutputStream()
-          def b(x: Int): Unit = bb.write(x & 0xff)
-          "GIF89a".getBytes("US-ASCII").foreach(bb.write(_))
-          b(w); b(w >> 8); b(h); b(h >> 8)
-          b(0x80 | (minCode - 1)); b(0); b(0) // GCT of 2^minCode entries
-          (0 until (1 << minCode)).foreach { i =>
-            if (i < palSize) { b((i * 41) % 256); b((i * 73) % 256); b((i * 101) % 256) }
-            else { b(0); b(0); b(0) }
-          }
-          b(0x2c); b(0); b(0); b(0); b(0); b(w); b(w >> 8); b(h); b(h >> 8); b(0)
-          b(minCode)
-          val codes = (0 until h).flatMap(y => (0 until w).flatMap { x =>
-            Seq(clear, ((id * 3 + x * 7 + y * 11) % palSize).toInt)
-          }) :+ eoi
-          var acc = 0L; var nb = 0
-          val payload = new java.io.ByteArrayOutputStream()
-          codes.foreach { c =>
-            acc |= c.toLong << nb; nb += minCode + 1
-            while (nb >= 8) { payload.write((acc & 0xff).toInt); acc >>= 8; nb -= 8 }
-          }
-          if (nb > 0) payload.write((acc & 0xff).toInt)
-          payload.toByteArray.grouped(255).foreach { chunk =>
-            b(chunk.length); bb.write(chunk)
-          }
-          b(0); b(0x3b)
-          (id, bb.toByteArray)
+          (id, gifFixture(k, (2 + id % 6).toInt, (1 + id % 4).toInt,
+            (x, y) => ((id * 3 + x * 7 + y * 11) % (1 << k)).toInt))
         }
       }.toDF("doc_id", "gif")
       graft.sources.Multimodal.describeGifPixels(
@@ -4623,31 +4539,9 @@ object SparkEntry {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         if (id % 50 == 0) (id, "jpeg? hardly".getBytes("UTF-8"))
-        else {
-          val tw = (1 + id % 3).toInt; val th = (1 + id % 2).toInt
-          val w = 16 * tw; val h = 16 * th
-          val img = new java.awt.image.BufferedImage(
-            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
-          var y = 0
-          while (y < h) {
-            var x = 0
-            while (x < w) {
-              val g = ((id * 7 + (x / 16) * 13 + (y / 16) * 29) % 256).toInt
-              img.setRGB(x, y, (g << 16) | (g << 8) | g)
-              x += 1
-            }
-            y += 1
-          }
-          val wr = javax.imageio.ImageIO.getImageWritersByFormatName("jpeg").next()
-          val p = wr.getDefaultWriteParam
-          p.setCompressionMode(javax.imageio.ImageWriteParam.MODE_EXPLICIT)
-          p.setCompressionQuality(1.0f)
-          val bos = new java.io.ByteArrayOutputStream()
-          wr.setOutput(new javax.imageio.stream.MemoryCacheImageOutputStream(bos))
-          wr.write(null, new javax.imageio.IIOImage(img, null, null), p)
-          wr.dispose()
-          (id, bos.toByteArray)
-        }
+        else (id, jpegFlatTileFixture((1 + id % 3).toInt, (1 + id % 2).toInt,
+          (tx, ty) => ((id * 7 + tx * 13 + ty * 29) % 256).toInt,
+          progressive = false))
       }.toDF("doc_id", "jpg")
       graft.sources.Multimodal.describeJpeg(
         graft.sources.Multimodal.asMedia(pay, "doc_id", "jpg", "image"))

@@ -223,7 +223,8 @@ object Multimodal {
     * (all channels together count one frame). */
   final case class PcmStats(sampleRate: Int, channels: Int,
                             bitsPerSample: Int, nFrames: Long,
-                            durationMs: Long, peak: Double, rms: Double)
+                            durationMs: Long, peak: Double, rms: Double,
+                            peakRaw: Long = 0L, sumSq: Long = 0L)
 
   /** REAL pure-JVM PCM decode — the audio tier that needs NO codec at
     * all (WAV/PCM is raw samples behind the RIFF header), promoting
@@ -270,6 +271,7 @@ object Multimodal {
     // the type's max magnitude (8-bit is unsigned, bias 128)
     val full = (1L << (bits - 1)).toDouble
     var peak = 0.0; var sumSq = 0.0
+    var peakRaw = 0L; var sumSqRaw = 0L // integer 16-bit units (AudioStats contract)
     var s = 0L
     while (s < nSamples) {
       val o = (dataOff + s * bytesPer).toInt
@@ -283,10 +285,15 @@ object Multimodal {
       val ax = math.abs(x)
       if (ax > peak) peak = ax
       sumSq += x * x
+      val r16 = if (bits <= 16) raw << (16 - bits) else raw >> (bits - 16)
+      val a16 = math.abs(r16)
+      if (a16 > peakRaw) peakRaw = a16
+      sumSqRaw += r16 * r16
       s += 1
     }
     val rms = if (nSamples > 0) math.sqrt(sumSq / nSamples) else 0.0
-    Some(PcmStats(rate, ch, bits, nFrames, nFrames * 1000L / rate, peak, rms))
+    Some(PcmStats(rate, ch, bits, nFrames, nFrames * 1000L / rate, peak, rms,
+      peakRaw, sumSqRaw))
   }
 
   /** [[describeAv]]'s decoded sibling: per-payload PCM sample stats
@@ -2327,9 +2334,9 @@ object Multimodal {
     * the matching REAL decoder (PNG / JPEG baseline+progressive / GIF
     * / BMP / TIFF / ICO / WAV / AU / AIFF), returning one unified row
     * of image fields (dims + channel sums) or audio fields (rate,
-    * frames, integer 16-bit-unit peak/sum-of-squares; WAV reports
-    * container fields, its normalized stats stay with
-    * [[describePcm]]). Unrecognized or undecodable payloads yield a
+    * frames, integer 16-bit-unit peak/sum-of-squares — WAV included;
+    * its normalized double stats remain with [[describePcm]]).
+    * Unrecognized or undecodable payloads yield a
     * null `format`. Per-partition kernel, no shuffle — payload bytes
     * never leave their partition at any corpus size. */
   def inspectMedia(media: DataFrame): DataFrame = {
@@ -2379,7 +2386,8 @@ object Multimodal {
                    p.length >= 12 && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V')
             parseWavPcm(p).fold(none(id))(s =>
               MediaInspectRow(id, Some("wav"), None, None, None, None, None,
-                None, Some(s.sampleRate), Some(s.nFrames), None, None))
+                None, Some(s.sampleRate), Some(s.nFrames),
+                Some(s.peakRaw), Some(s.sumSq)))
           else none(id)
         }
       }

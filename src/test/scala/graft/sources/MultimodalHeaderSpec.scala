@@ -223,7 +223,9 @@ class MultimodalHeaderSpec extends SparkSpec {
     // 8 frames of ±16384 (= ±0.5 of full scale): peak and rms both 0.5
     val data = le16bytes(Seq(16384, -16384, 16384, -16384, 16384, -16384, 16384, -16384))
     val st = Multimodal.parseWavPcm(wavPcm(1, 1, 8000, 16, data)).get
-    assert(st == Multimodal.PcmStats(8000, 1, 16, 8L, 1L, 0.5, 0.5))
+    // raw 16-bit-unit stats ride along: peak 16384, Σs² = 8·16384²
+    assert(st == Multimodal.PcmStats(8000, 1, 16, 8L, 1L, 0.5, 0.5,
+      16384L, 8L * 16384 * 16384))
   }
 
   test("parseWavPcm decodes 8-bit (unsigned, bias 128) and 24-bit (signed LE) samples") {
