@@ -270,6 +270,27 @@ object SparkEntry {
     (0 until n).foreach(i => dd.writeShort(sample(i)))
     bos.toByteArray
   }
+  /** 24bpp bottom-up BMP over formula pixels (q250/q251/q252). */
+  private def bmp24Fixture(w: Int, h: Int,
+                           rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+      .putShort(0).putShort(0).putInt(54)
+    bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+      .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+      .putInt(0).putInt(0)
+    (0 until h).foreach { rowFromBottom =>
+      val y = h - 1 - rowFromBottom
+      (0 until w).foreach { x =>
+        val (r, g, b) = rgb(x, y)
+        bb.put(b.toByte).put(g.toByte).put(r.toByte)
+      }
+      (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
+    }
+    bb.array()
+  }
 
   lazy val queries: Map[String, (SparkSession, String) => DataFrame] = Map(
 
@@ -4299,6 +4320,63 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q251 — perceptual image hash ([[graft.sources.Multimodal
+    // .imageDHash]]): the image-dedup analog of SimHash, now that
+    // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
+    // horizontal mean comparison as an integer sum·area cross
+    // product, so the oracle replays the ENTIRE hash (luma → block
+    // sums → comparisons → bit pack) in SQL integer arithmetic. The
+    // 64-bit hash ships as two 32-bit halves (a 1<<63 bit would
+    // overflow a signed BIGINT literal in the oracle). Fixtures are
+    // 18×16 BMPs (exact 2×2 blocks). Map-only.
+    "q251_image_dhash" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "image? unlikely".getBytes("UTF-8"))
+        else (id, bmp24Fixture(18, 16, (x, y) => (
+          ((id * 7 + x * 13 + y * 29) % 256).toInt,
+          ((id * 5 + x * 3 + y * 11) % 256).toInt,
+          ((id * 3 + x + y * 7) % 256).toInt)))
+      }.toDF("doc_id", "img")
+      graft.sources.Multimodal.describeImageHash(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "img", "image"))
+        .select(col("media_id"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          (col("dhash").bitwiseAND(lit(0xffffffffL))).as("dhash_lo"))
+        .orderBy("media_id")
+    }),
+
+    // Q252 — image near-dup pairs ([[graft.sources.Multimodal
+    // .hammingPairs64]]): banded 4×16-bit chunk join over the
+    // perceptual hashes — any pair within Hamming 3 shares an exact
+    // chunk (pigeonhole), so candidates come from a hash join, never
+    // an all-pairs scan (plan-pinned). The corpus plants near-dup
+    // septets: members share a base image (id/7) and perturb one
+    // pixel, so hashes collide or nearly collide within a septet.
+    // The oracle computes every hash exactly as q251 and takes
+    // pairwise XOR bit counts — equality pins both the hash AND the
+    // pigeonhole completeness.
+    "q252_image_neardup" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "image? unlikely".getBytes("UTF-8"))
+        else {
+          val g = id / 7 // septet base
+          (id, bmp24Fixture(18, 16, (x, y) => {
+            val bump = if (x == (id % 7) * 2 && y == 3) 40 else 0
+            (math.min(255, ((g * 11 + x * 17 + y * 23) % 200) + bump).toInt,
+              ((g * 13 + x * 5 + y * 19) % 256).toInt,
+              ((g * 17 + x * 7 + y * 3) % 256).toInt)
+          }))
+        }
+      }.toDF("doc_id", "img")
+      val hashes = graft.sources.Multimodal.describeImageHash(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "img", "image"))
+      graft.sources.Multimodal.hammingPairs64(hashes, "media_id", "dhash", 3)
+        .select(col("id1"), col("id2"), col("hamming").cast("long").as("hamming"))
+        .orderBy("id1", "id2")
+    }),
+
     // Q250 — mixed-media inspection ([[graft.sources.Multimodal
     // .inspectMedia]]): the capstone over every decode tier — ONE
     // operator sniffs each payload's magic and routes to the matching
@@ -4326,26 +4404,11 @@ object SparkEntry {
             val k = (1 + id % 3).toInt
             (id, gifFixture(k, (2 + id % 6).toInt, (1 + id % 4).toInt,
               (x, y) => ((id * 3 + x * 7 + y * 11) % (1 << k)).toInt))
-          case 3 => // BMP 24bpp bottom-up
-            val w = (2 + id % 5).toInt; val h = (1 + id % 4).toInt
-            val rowBytes = ((w * 3 + 3) / 4) * 4
-            val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
-              .order(java.nio.ByteOrder.LITTLE_ENDIAN)
-            bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
-              .putShort(0).putShort(0).putInt(54)
-            bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
-              .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
-              .putInt(0).putInt(0)
-            (0 until h).foreach { rowFromBottom =>
-              val y = h - 1 - rowFromBottom
-              (0 until w).foreach { x =>
-                bb.put(((id * 9 + x + y * 11) % 256).toByte)   // B
-                bb.put(((id * 5 + x * 7 + y) % 256).toByte)    // G
-                bb.put(((id + x * 3 + y * 5) % 256).toByte)    // R
-              }
-              (w * 3 until rowBytes).foreach(_ => bb.put(0.toByte))
-            }
-            (id, bb.array())
+          case 3 => // BMP 24bpp (same builder as q251/q252)
+            (id, bmp24Fixture((2 + id % 5).toInt, (1 + id % 4).toInt,
+              (x, y) => (((id + x * 3 + y * 5) % 256).toInt,
+                ((id * 5 + x * 7 + y) % 256).toInt,
+                ((id * 9 + x + y * 11) % 256).toInt)))
           case 4 => // TIFF uncompressed (q247 formulas, same builder)
             (id, tiffRgbFixture((2 + id % 7).toInt, (1 + id % 5).toInt,
               packBits = false,
@@ -7924,7 +7987,69 @@ object SparkEntry {
         |FROM documents d
         |LEFT JOIN img ON img.doc_id = d.doc_id
         |LEFT JOIN aud ON aud.doc_id = d.doc_id
-        |ORDER BY media_id""".stripMargin
+        |ORDER BY media_id""".stripMargin,
+
+    // The dHash replayed end-to-end in integer SQL: luma-1000 per
+    // pixel, 2×2 block sums, horizontal comparisons, bit pack into
+    // 32-bit halves.
+    "q251_image_dhash" ->
+      """WITH px AS (SELECT doc_id, x, y,
+        |    299 * ((doc_id * 7 + x * 13 + y * 29) % 256)
+        |  + 587 * ((doc_id * 5 + x * 3 + y * 11) % 256)
+        |  + 114 * ((doc_id * 3 + x + y * 7) % 256) AS l
+        |  FROM documents, generate_series(0, 17) a(x), generate_series(0, 15) b(y)
+        |  WHERE doc_id % 50 <> 0),
+        |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s
+        |        FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s > b.s),
+        |hi AS (SELECT doc_id, CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT) AS v
+        |       FROM bits WHERE k >= 32 GROUP BY 1),
+        |lo AS (SELECT doc_id, CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT) AS v
+        |       FROM bits WHERE k < 32 GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE COALESCE(hi.v, 0) END AS dhash_hi,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE COALESCE(lo.v, 0) END AS dhash_lo
+        |FROM documents d
+        |LEFT JOIN hi ON hi.doc_id = d.doc_id
+        |LEFT JOIN lo ON lo.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Hashes recomputed exactly as q251 (with the septet/bump pixel
+    // formulas), then ALL pairwise XOR bit counts — pinning both the
+    // hash arithmetic and the banded join's pigeonhole completeness.
+    "q252_image_neardup" ->
+      """WITH px AS (SELECT doc_id, x, y,
+        |    299 * (((doc_id // 7) * 11 + x * 17 + y * 23) % 200
+        |           + CASE WHEN x = (doc_id % 7) * 2 AND y = 3 THEN 40 ELSE 0 END)
+        |  + 587 * (((doc_id // 7) * 13 + x * 5 + y * 19) % 256)
+        |  + 114 * (((doc_id // 7) * 17 + x * 7 + y * 3) % 256) AS l
+        |  FROM documents, generate_series(0, 17) a(x), generate_series(0, 15) b(y)
+        |  WHERE doc_id % 50 <> 0),
+        |blk AS (SELECT doc_id, x // 2 AS bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s
+        |        FROM px GROUP BY 1, 2, 3),
+        |bits AS (SELECT a.doc_id, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s > b.s),
+        |hv AS (SELECT p.doc_id,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = p.doc_id AND k >= 32), 0) AS hi,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = p.doc_id AND k < 32), 0) AS lo
+        |       FROM (SELECT DISTINCT doc_id FROM px) p)
+        |SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |  CAST(bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) AS BIGINT)
+        |    AS hamming
+        |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
+        |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
+        |ORDER BY id1, id2""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts

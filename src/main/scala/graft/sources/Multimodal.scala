@@ -2329,6 +2329,214 @@ object Multimodal {
       .toDF("media_id", "n_bytes", "payload_md5", "format", "width", "height")
   }
 
+  /** Small-image RGB grid decode (packed 0xRRGGBB, row-major) for the
+    * perceptual-hash tier: unlike the sum-only describe* kernels this
+    * MATERIALIZES pixels, so it is deliberately fenced to
+    * `maxPixels` (hashing wants thumbnails, not posters). Formats:
+    * 24bpp BMP and 8-bit truecolor non-interlaced PNG — the two
+    * raw-pixel containers; transcode upstream for others. */
+  def decodeRgbGrid(bytes: Array[Byte],
+                    maxPixels: Int = 1 << 20): Option[(Int, Int, Array[Int])] = {
+    if (bytes == null || bytes.length < 26) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    if (u8(0) == 'B' && u8(1) == 'M') {
+      // reuse the pinned BMP geometry rules; decode only full images
+      val st = parseBmpPixels(bytes).getOrElse(return None)
+      if (st.nPixels != st.width.toLong * st.height ||
+          st.nPixels > maxPixels) return None
+      def le32(i: Int) = u8(i) | (u8(i + 1) << 8) | (u8(i + 2) << 16) | (u8(i + 3) << 24)
+      val dataOff = le32(10).toLong & 0xffffffffL
+      val w = st.width; val hRaw = le32(22); val h = st.height
+      val topDown = hRaw < 0
+      val rowBytes = ((w.toLong * 3 + 3) / 4) * 4
+      val grid = new Array[Int](w * h)
+      var row = 0
+      while (row < h) {
+        val y = if (topDown) row else h - 1 - row // normalize to top-down
+        val base = dataOff + row.toLong * rowBytes
+        var x = 0
+        while (x < w) {
+          val o = (base + x * 3).toInt
+          grid(y * w + x) = (u8(o + 2) << 16) | (u8(o + 1) << 8) | u8(o)
+          x += 1
+        }
+        row += 1
+      }
+      Some((w, h, grid))
+    } else if (u8(0) == 0x89 && u8(1) == 'P' && u8(2) == 'N' && u8(3) == 'G') {
+      def be32(i: Int) = (u8(i) << 24) | (u8(i + 1) << 16) | (u8(i + 2) << 8) | u8(i + 3)
+      if (bytes.length < 45 || be32(12) != 0x49484452) return None
+      val w = be32(16); val h = be32(20)
+      if (w <= 0 || h <= 0 || w.toLong * h > maxPixels) return None
+      if (u8(24) != 8 || u8(25) != 2 || u8(28) != 0) return None // ct2/8, sequential
+      val idat = new java.io.ByteArrayOutputStream()
+      var i = 8L
+      var sawEnd = false
+      while (!sawEnd && i + 8 <= bytes.length) {
+        val len = be32(i.toInt).toLong & 0xffffffffL
+        val typ = be32(i.toInt + 4)
+        if (typ == 0x49444154 && i + 8 + len <= bytes.length)
+          idat.write(bytes, (i + 8).toInt, len.toInt)
+        if (typ == 0x49454e44) sawEnd = true
+        i += 8 + len + 4
+      }
+      if (idat.size == 0) return None
+      val stride = 3 * w
+      val raw = new Array[Byte](h * (1 + stride))
+      val inf = new java.util.zip.Inflater()
+      inf.setInput(idat.toByteArray)
+      try {
+        var off = 0
+        while (off < raw.length && !inf.finished()) {
+          val n = inf.inflate(raw, off, raw.length - off)
+          if (n == 0) return None
+          off += n
+        }
+        if (off < raw.length) return None
+      } catch { case _: java.util.zip.DataFormatException => return None }
+      finally inf.end()
+      def paeth(a: Int, b: Int, c: Int): Int = {
+        val p = a + b - c
+        val pa = math.abs(p - a); val pb = math.abs(p - b); val pc = math.abs(p - c)
+        if (pa <= pb && pa <= pc) a else if (pb <= pc) b else c
+      }
+      val prev = new Array[Int](stride)
+      val cur = new Array[Int](stride)
+      val grid = new Array[Int](w * h)
+      var y = 0
+      while (y < h) {
+        val base = y * (1 + stride)
+        val filter = raw(base) & 0xff
+        if (filter > 4) return None
+        var x = 0
+        while (x < stride) {
+          val rawv = raw(base + 1 + x) & 0xff
+          val a = if (x >= 3) cur(x - 3) else 0
+          val b = prev(x)
+          val c = if (x >= 3) prev(x - 3) else 0
+          cur(x) = filter match {
+            case 0 => rawv
+            case 1 => (rawv + a) & 0xff
+            case 2 => (rawv + b) & 0xff
+            case 3 => (rawv + (a + b) / 2) & 0xff
+            case 4 => (rawv + paeth(a, b, c)) & 0xff
+          }
+          x += 1
+        }
+        var px = 0
+        while (px < w) {
+          grid(y * w + px) =
+            (cur(px * 3) << 16) | (cur(px * 3 + 1) << 8) | cur(px * 3 + 2)
+          px += 1
+        }
+        System.arraycopy(cur, 0, prev, 0, stride)
+        y += 1
+      }
+      Some((w, h, grid))
+    } else None
+  }
+
+  /** Perceptual difference hash (dHash) over a decoded RGB grid —
+    * the image-dedup analog of SimHash: partition into a 9×8 grid of
+    * floor-boundary blocks and compare integer luma-1000 block MEANS
+    * as sum·area cross products (adjacent blocks can differ in size
+    * by the floor remainder, so raw sums would bias — the cross
+    * product keeps it fully integer, division-free, and replayable
+    * in SQL), bit k = y·8+x
+    * set iff block (x,y) outweighs block (x+1,y). Stable under
+    * brightness scaling and JPEG-grade noise; Hamming distance ≤ 3
+    * is the near-dup gate ([[hammingPairs64]] finds candidates by
+    * the 4×16-bit pigeonhole, never all pairs). Images narrower than
+    * 9 or shorter than 8 return None. */
+  def imageDHash(w: Int, h: Int, grid: Array[Int]): Option[Long] = {
+    if (w < 9 || h < 8 || grid.length < w * h) return None
+    // block sums of luma-1000 = 299 r + 587 g + 114 b
+    val sums = Array.ofDim[Long](8, 9)
+    val area = Array.ofDim[Long](8, 9)
+    var by = 0
+    while (by < 8) {
+      val y0 = by * h / 8; val y1 = (by + 1) * h / 8
+      var bx = 0
+      while (bx < 9) {
+        val x0 = bx * w / 9; val x1 = (bx + 1) * w / 9
+        var s = 0L
+        var y = y0
+        while (y < y1) {
+          var x = x0
+          while (x < x1) {
+            val p = grid(y * w + x)
+            s += 299L * ((p >> 16) & 0xff) + 587L * ((p >> 8) & 0xff) +
+              114L * (p & 0xff)
+            x += 1
+          }
+          y += 1
+        }
+        sums(by)(bx) = s
+        area(by)(bx) = (y1 - y0).toLong * (x1 - x0)
+        bx += 1
+      }
+      by += 1
+    }
+    var hash = 0L
+    var k = 0
+    by = 0
+    while (by < 8) {
+      var bx = 0
+      while (bx < 8) {
+        // mean(bx) > mean(bx+1) as an integer cross product
+        if (sums(by)(bx) * area(by)(bx + 1) > sums(by)(bx + 1) * area(by)(bx))
+          hash |= 1L << k
+        k += 1
+        bx += 1
+      }
+      by += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-payload perceptual hash over a media frame (null where the
+    * payload isn't a decodable small raster). Map-only. */
+  def describeImageHash(media: DataFrame, maxPixels: Int = 1 << 20): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        val hash = decodeRgbGrid(payload, maxPixels)
+          .flatMap { case (w, h, g) => imageDHash(w, h, g) }
+        (id, hash)
+      }
+      .toDF("media_id", "dhash")
+  }
+
+  /** Near-dup pairs among 64-bit perceptual hashes by banded chunk
+    * join — the [[graft.llm.Dedup.simHashPairs]] plan for images: any
+    * pair within Hamming distance 3 shares one exact 16-bit chunk
+    * (pigeonhole), so candidates come from a hash join on (chunk
+    * index, chunk value), never an all-pairs scan; `bit_count` of the
+    * XOR then filters exactly. Output (id1, id2, hamming), id1 < id2.
+    * Scale: candidate volume tracks chunk-bucket occupancy — the
+    * 100 TB posture of every banded join in this engine. */
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3): DataFrame = {
+    val hashed = df.where(col(hashCol).isNotNull)
+      .select(col(idCol).cast("long").as("hp_id"), col(hashCol).as("hp_hash"))
+    val chunks = hashed.select(col("hp_id"), col("hp_hash"),
+      explode(expr(
+        "array(" + (0 until 4).map(i =>
+          s"struct($i as ci, shiftright(hp_hash, ${16 * i}) & 65535 as cv)").mkString(",") + ")"))
+        .as("c"))
+      .select(col("hp_id"), col("hp_hash"), col("c.ci"), col("c.cv"))
+    chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
+          col("a.hp_id") < col("b.hp_id"))
+      .select(col("a.hp_id").as("id1"), col("b.hp_id").as("id2"),
+        bit_count(col("a.hp_hash").bitwiseXOR(col("b.hp_hash"))).as("hamming"))
+      .dropDuplicates("id1", "id2")
+      .where(col("hamming") <= maxHamming)
+  }
+
   /** One entry point for a MIXED media column — the API a corpus
     * pipeline actually wants: sniff each payload's magic and route to
     * the matching REAL decoder (PNG / JPEG baseline+progressive / GIF

@@ -460,7 +460,8 @@ class PlanSpec extends SparkSpec {
 
   test("media decode queries are map-only: one scan, no join, one presentation exchange") {
     Seq("q243_jpeg_decode", "q245_gif_decode", "q247_tiff_decode",
-        "q248_audio_decode", "q249_ico_decode", "q250_media_inspect").foreach { q =>
+        "q248_audio_decode", "q249_ico_decode", "q250_media_inspect",
+        "q251_image_dhash").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers
@@ -468,6 +469,12 @@ class PlanSpec extends SparkSpec {
       assert(!p.contains("Join") && !p.contains("CartesianProduct"), q)
       assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, q)
     }
+  }
+
+  test("q252: image near-dup candidates come from the chunk hash join, never all pairs") {
+    val p = plan("q252_image_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Join"), p) // the banded chunk self-join IS a hash/merge join
   }
 
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {

@@ -65,6 +65,37 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  // ---- perceptual dHash ------------------------------------------
+
+  test("imageDHash is brightness-invariant and locally sensitive") {
+    val w = 27; val h = 24 // non-multiple dims: floor-boundary blocks differ in size
+    def grid(f: (Int, Int) => Int): Array[Int] =
+      Array.tabulate(h * w) { i =>
+        val v = f(i % w, i / w) & 0xff
+        (v << 16) | (v << 8) | v
+      }
+    val base = grid((x, y) => (x * 31 + y * 47) % 200)
+    val hash = Multimodal.imageDHash(w, h, base).get
+    // uniform brightness scaling preserves every mean comparison
+    val brighter = base.map { p =>
+      val v = math.min(255, ((p & 0xff) * 5) / 4)
+      (v << 16) | (v << 8) | v
+    }
+    assert(Multimodal.imageDHash(w, h, brighter).get == hash,
+      "brightness scaling must not move the hash")
+    // flipping one block's content flips at most its two comparisons
+    val tweaked = base.clone()
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      if (x >= 9 && x < 12 && y >= 6 && y < 9)
+        tweaked(y * w + x) = 0xffffff } }
+    val ht = Multimodal.imageDHash(w, h, tweaked).get
+    val hamming = java.lang.Long.bitCount(hash ^ ht)
+    assert(hamming >= 1 && hamming <= 4, s"local edit moved $hamming bits")
+    // tiny images and short grids refuse
+    assert(Multimodal.imageDHash(8, 8, new Array[Int](64)).isEmpty)
+    assert(Multimodal.imageDHash(9, 8, new Array[Int](10)).isEmpty)
+  }
+
   // ---- WebP header + ICO decode ----------------------------------
 
   test("parseImageHeader reads WebP dims from VP8, VP8L and VP8X chunks") {
