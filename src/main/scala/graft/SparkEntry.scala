@@ -4320,6 +4320,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q253 — audio fingerprint ([[graft.sources.Multimodal
+    // .audioEnergyHash]]): dedup's third modality — 65 equal energy
+    // windows over the decoded G.711 samples, bit = adjacent-window
+    // energy comparison; integer end to end, so the oracle replays
+    // μ-law expansion → Σs² windows → comparisons → bit pack in SQL
+    // (halves, like q251). Frame counts are exact multiples of 65 so
+    // the window math is remainder-free on both sides. Near-dup
+    // pairs share [[graft.sources.Multimodal.hammingPairs64]]
+    // (q252-pinned). Map-only.
+    "q253_audio_fingerprint" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "audio? inaudible".getBytes("UTF-8"))
+        else (id, auFixture(1, 65 * (2 + id % 3).toInt,
+          i => ((id * 7 + i * 13) % 256).toInt))
+      }.toDF("doc_id", "snd")
+      graft.sources.Multimodal.describeAudioHash(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "snd", "audio"))
+        .select(col("media_id"),
+          shiftrightunsigned(col("ahash"), 32).as("ahash_hi"),
+          (col("ahash").bitwiseAND(lit(0xffffffffL))).as("ahash_lo"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8049,7 +8073,41 @@ object SparkEntry {
         |    AS hamming
         |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
-        |ORDER BY id1, id2""".stripMargin
+        |ORDER BY id1, id2""".stripMargin,
+
+    // The audio fingerprint replayed in integer SQL: G.711 μ-law
+    // expansion per byte, per-window Σs², adjacent comparisons, bit
+    // pack into 32-bit halves.
+    "q253_audio_fingerprint" ->
+      """WITH dims AS (SELECT doc_id, 65 * (2 + doc_id % 3) AS n,
+        |                2 + doc_id % 3 AS win
+        |              FROM documents WHERE doc_id % 50 <> 0),
+        |smp AS (SELECT doc_id, win, i,
+        |         (CASE WHEN (255 - ((doc_id * 7 + i * 13) % 256)) >= 128
+        |               THEN -1 ELSE 1 END *
+        |          (((2 * ((255 - ((doc_id * 7 + i * 13) % 256)) % 16) + 33)
+        |            * (1 << (((255 - ((doc_id * 7 + i * 13) % 256)) // 16) % 8))
+        |            - 33) * 4)) AS v
+        |        FROM dims, generate_series(0, 259) t(i) WHERE i < n),
+        |en AS (SELECT doc_id, i // win AS k,
+        |         CAST(SUM(CAST(v AS BIGINT) * v) AS BIGINT) AS e
+        |       FROM smp GROUP BY 1, 2),
+        |bits AS (SELECT a.doc_id, a.k
+        |         FROM en a JOIN en b ON a.doc_id = b.doc_id AND b.k = a.k + 1
+        |         WHERE a.k < 64 AND a.e > b.e),
+        |hi AS (SELECT doc_id, CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT) AS v
+        |       FROM bits WHERE k >= 32 GROUP BY 1),
+        |lo AS (SELECT doc_id, CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT) AS v
+        |       FROM bits WHERE k < 32 GROUP BY 1)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE COALESCE(hi.v, 0) END AS ahash_hi,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE COALESCE(lo.v, 0) END AS ahash_lo
+        |FROM documents d
+        |LEFT JOIN hi ON hi.doc_id = d.doc_id
+        |LEFT JOIN lo ON lo.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin
   )
 
   /** Oracle for q236: the shared FNV token-hash CTEs, bucket counts

@@ -2537,6 +2537,258 @@ object Multimodal {
       .where(col("hamming") <= maxHamming)
   }
 
+  /** Channel-0 16-bit samples of an AU payload (μ-law / A-law /
+    * PCM16) — the audio sibling of [[decodeRgbGrid]]: fingerprinting
+    * needs the actual samples, so this materializes them, fenced to
+    * `maxFrames`. */
+  def decodeAuSamples(bytes: Array[Byte],
+                      maxFrames: Int = 1 << 20): Option[Array[Int]] = {
+    if (bytes == null || bytes.length < 24) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    if (!(u8(0) == '.' && u8(1) == 's' && u8(2) == 'n' && u8(3) == 'd')) return None
+    val off = be32(4); val size = be32(8); val enc = be32(12).toInt
+    val ch = be32(20).toInt
+    if (off < 24 || off > bytes.length || ch <= 0 || ch > 64) return None
+    val bytesPer = enc match {
+      case 1 | 27 => 1
+      case 3 => 2
+      case _ => return None
+    }
+    val declared = if (size == 0xffffffffL) Long.MaxValue else size
+    val avail = math.max(0L, math.min(declared, bytes.length - off))
+    val frames = math.min(avail / (bytesPer.toLong * ch), maxFrames.toLong).toInt
+    val out = new Array[Int](frames)
+    var f = 0
+    while (f < frames) {
+      val o = (off + f.toLong * bytesPer * ch).toInt // channel 0
+      out(f) = enc match {
+        case 1 => ulawToLinear16(u8(o))
+        case 27 => alawToLinear16(u8(o))
+        case _ => ((u8(o) << 8) | u8(o + 1)).toShort.toInt
+      }
+      f += 1
+    }
+    Some(out)
+  }
+
+  /** Audio fingerprint — the [[imageDHash]] of sound: split the
+    * samples into 65 EQUAL windows (the tail remainder is dropped so
+    * window energies compare directly, no cross products), integer
+    * energy Σs² per window, bit k set iff window k outweighs window
+    * k+1. Robust to uniform gain (energy scales uniformly) and to
+    * sample-level noise; fully integer so an oracle replays it in
+    * SQL; near-dup pairs go through the same [[hammingPairs64]]
+    * pigeonhole join. Needs ≥ 65 frames. */
+  def audioEnergyHash(samples: Array[Int]): Option[Long] = {
+    if (samples == null || samples.length < 65) return None
+    val win = samples.length / 65
+    val e = new Array[Long](65)
+    var k = 0
+    while (k < 65) {
+      var s = 0L
+      var i = k * win
+      val end = i + win
+      while (i < end) { s += samples(i).toLong * samples(i); i += 1 }
+      e(k) = s
+      k += 1
+    }
+    var hash = 0L
+    k = 0
+    while (k < 64) {
+      if (e(k) > e(k + 1)) hash |= 1L << k
+      k += 1
+    }
+    Some(hash)
+  }
+
+  /** Per-payload audio fingerprint over a media frame (null where
+    * the payload isn't decodable AU audio of ≥65 frames). Map-only;
+    * pairs via [[hammingPairs64]]. */
+  def describeAudioHash(media: DataFrame, maxFrames: Int = 1 << 20): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, payload) =>
+        (id, decodeAuSamples(payload, maxFrames).flatMap(audioEnergyHash))
+      }
+      .toDF("media_id", "ahash")
+  }
+
+  /** One parsed MP4 track — the per-track tier below
+    * [[parseAvHeader]]'s movie-level mvhd walk: trak/tkhd id +
+    * presentation dims (16.16 fixed → integer part), mdia/mdhd
+    * timescale+duration, hdlr handler class (`vide`/`soun`),
+    * stbl/stsd first-entry codec fourcc, stbl/stsz sample count.
+    * Container metadata is plain bytes — no codec library — exactly
+    * like the image-header tier. */
+  final case class Mp4Track(trackId: Long, handler: String,
+                            codec: String, width: Int, height: Int,
+                            nSamples: Long, durationMs: Long)
+
+  /** REAL pure-JVM ISO-BMFF per-track metadata walk
+    * (moov → trak → {tkhd, mdia → {mdhd, hdlr, minf → stbl →
+    * {stsd, stsz}}}). Same hostile-byte posture as [[parseAvHeader]]:
+    * Long cursors (u32 sizes from untrusted bytes), every box
+    * advances ≥ its header size, every field read bounds-checked;
+    * malformed sub-boxes degrade to empty/zero fields, a file with
+    * no parseable trak returns None. Reference surface:
+    * ISO/IEC 14496-12 box layouts. */
+  def parseMp4Tracks(bytes: Array[Byte]): Option[Seq[Mp4Track]] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) | (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(4) != "ftyp") return None
+    def boxBounds(o: Long): (Long, Long) = {
+      val sz = be32(o.toInt)
+      if (sz == 1 && o + 16 <= bytes.length)
+        (o + 16, o + math.max(16L, be64(o.toInt + 8)))
+      else if (sz == 0) (o + 8, bytes.length.toLong)
+      else (o + 8, o + math.max(8L, sz))
+    }
+    // walk the child boxes of [start, end) — bounds clamped to the
+    // payload so a lying parent size can't read past the buffer
+    def children(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var i = start
+      val e = math.min(end, bytes.length.toLong)
+      while (i + 8 <= e) {
+        val (c, b) = boxBounds(i)
+        f(fourcc(i.toInt + 4), c, math.min(b, e))
+        i = b
+      }
+    }
+    var out = List.empty[Mp4Track]
+    children(0, bytes.length.toLong) { (name, c, e) =>
+      if (name == "moov") children(c, e) { (n2, c2, e2) =>
+        if (n2 == "trak") {
+          var tid = -1L; var w = 0; var h = 0
+          var handler = ""; var codec = ""
+          var ts = 0L; var dur = 0L; var ns = 0L
+          children(c2, e2) { (n3, c3, e3) =>
+            if (n3 == "tkhd" && c3 + 4 <= bytes.length) {
+              val v1 = u8(c3.toInt) == 1 // v1: 64-bit ctime/mtime/duration
+              val tidOff = c3 + (if (v1) 20 else 12)
+              if (tidOff + 4 <= bytes.length) tid = be32(tidOff.toInt)
+              val wOff = c3 + (if (v1) 88 else 76)
+              if (wOff + 8 <= bytes.length) {
+                w = (be32(wOff.toInt) >> 16).toInt      // 16.16 fixed
+                h = (be32(wOff.toInt + 4) >> 16).toInt
+              }
+            } else if (n3 == "mdia") children(c3, e3) { (n4, c4, e4) =>
+              if (n4 == "mdhd") {
+                if (c4 + 4 <= bytes.length && u8(c4.toInt) == 1 && c4 + 32 <= bytes.length) {
+                  ts = be32(c4.toInt + 20); dur = be64(c4.toInt + 24)
+                } else if (c4 + 24 <= bytes.length && u8(c4.toInt) == 0) {
+                  ts = be32(c4.toInt + 12); dur = be32(c4.toInt + 16)
+                }
+              } else if (n4 == "hdlr" && c4 + 12 <= bytes.length) {
+                handler = fourcc(c4.toInt + 8)
+              } else if (n4 == "minf") children(c4, e4) { (n5, c5, e5) =>
+                if (n5 == "stbl") children(c5, e5) { (n6, c6, _) =>
+                  if (n6 == "stsd" && c6 + 16 <= bytes.length)
+                    codec = fourcc(c6.toInt + 12) // first sample entry's format
+                  else if (n6 == "stsz" && c6 + 12 <= bytes.length)
+                    ns = be32(c6.toInt + 8)       // sample_count
+                }
+              }
+            }
+          }
+          if (tid >= 0)
+            out ::= Mp4Track(tid, handler, codec, w, h, ns,
+              if (ts > 0) dur * 1000 / ts else 0L)
+        }
+      }
+    }
+    if (out.isEmpty) None else Some(out.reverse)
+  }
+
+  /** Parsed AVI main header (`avih` inside `LIST hdrl`): canvas dims,
+    * total frames, µs per frame, stream count. `durationMs` =
+    * frames · µsPerFrame / 1000, overflow-clamped to 0 for hostile
+    * u32 pairs whose product exceeds Long range. */
+  final case class AviHeader(width: Int, height: Int, nFrames: Long,
+                             usPerFrame: Long, streams: Int,
+                             durationMs: Long)
+
+  /** REAL pure-JVM AVI header parse — RIFF `AVI ` chunk walk to
+    * `LIST hdrl` → `avih` (MainAVIHeader layout: µsPerFrame @0,
+    * totalFrames @16, streams @24, width @32, height @36). Same
+    * Long-cursor / word-aligned-advance posture as the WAV walk in
+    * [[parseAvHeader]]. */
+  def parseAviHeader(bytes: Array[Byte]): Option[AviHeader] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) | (u8(i + 3).toLong << 24)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (!(fourcc(0) == "RIFF" && fourcc(8) == "AVI ")) return None
+    var i = 12L
+    while (i + 12 <= bytes.length) {
+      val id = fourcc(i.toInt); val sz = le32(i.toInt + 4)
+      if (id == "LIST" && fourcc(i.toInt + 8) == "hdrl") {
+        var j = i + 12
+        val end = math.min(i + 8 + sz, bytes.length.toLong)
+        while (j + 8 <= end) {
+          val id2 = fourcc(j.toInt); val sz2 = le32(j.toInt + 4)
+          if (id2 == "avih" && j + 8 + 40 <= bytes.length) {
+            val c = (j + 8).toInt
+            val usf = le32(c); val frames = le32(c + 16)
+            val durMs =
+              if (frames > 0 && usf > Long.MaxValue / frames) 0L
+              else frames * usf / 1000
+            return Some(AviHeader(le32(c + 32).toInt, le32(c + 36).toInt,
+              frames, usf, le32(c + 24).toInt, durMs))
+          }
+          j += 8L + sz2 + (sz2 & 1)
+        }
+        return None // hdrl without avih: malformed, not media
+      }
+      i += 8L + sz + (sz & 1)
+    }
+    None
+  }
+
+  /** Per-payload VIDEO container metadata over a media frame — the
+    * sniff-and-route entry for the video tier: MP4 reports its FIRST
+    * video track (handler `vide`, falling back to the first track)
+    * plus the container's track count; AVI reports the main header.
+    * Null fields where the payload is neither. Map-only, payload
+    * bytes never cross a shuffle — the [[inspectMedia]] contract. */
+  def describeVideo(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        val mp4 = parseMp4Tracks(p)
+        val avi = if (mp4.isEmpty) parseAviHeader(p) else None
+        mp4 match {
+          case Some(tracks) =>
+            val t = tracks.find(_.handler == "vide").getOrElse(tracks.head)
+            (id, Some("mp4"), Some(t.width), Some(t.height),
+              Some(t.nSamples), Some(t.durationMs),
+              Some(t.codec), Some(tracks.size))
+          case None => avi match {
+            case Some(a) =>
+              (id, Some("avi"), Some(a.width), Some(a.height),
+                Some(a.nFrames), Some(a.durationMs),
+                None: Option[String], Some(a.streams))
+            case None =>
+              (id, None: Option[String], None: Option[Int], None: Option[Int],
+                None: Option[Long], None: Option[Long],
+                None: Option[String], None: Option[Int])
+          }
+        }
+      }
+      .toDF("media_id", "format", "width", "height", "n_samples",
+        "duration_ms", "codec", "n_tracks")
+  }
+
   /** One entry point for a MIXED media column — the API a corpus
     * pipeline actually wants: sniff each payload's magic and route to
     * the matching REAL decoder (PNG / JPEG baseline+progressive / GIF

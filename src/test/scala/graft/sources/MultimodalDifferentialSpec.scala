@@ -1452,6 +1452,52 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
       s"overrun must clamp to the declared frame: $ov")
   }
 
+  test("decodeAuSamples matches javax.sound conversion; audioEnergyHash is gain-invariant") {
+    // μ-law AU: samples must equal javax.sound's own ULAW→PCM16 output
+    val n = 65 * 3
+    val bos = new java.io.ByteArrayOutputStream()
+    val d = new java.io.DataOutputStream(bos)
+    d.writeBytes(".snd"); d.writeInt(24); d.writeInt(n)
+    d.writeInt(1); d.writeInt(8000); d.writeInt(1)
+    (0 until n).foreach(i => d.writeByte((i * 37 + 11) % 256))
+    val bytes = bos.toByteArray
+    val got = Multimodal.decodeAuSamples(bytes).get
+    val ais = javax.sound.sampled.AudioSystem.getAudioInputStream(
+      new java.io.ByteArrayInputStream(bytes))
+    val pcm = new javax.sound.sampled.AudioFormat(
+      javax.sound.sampled.AudioFormat.Encoding.PCM_SIGNED,
+      8000, 16, 1, 2, 8000, true)
+    val out = javax.sound.sampled.AudioSystem
+      .getAudioInputStream(pcm, ais).readAllBytes()
+    val javaVals = Array.tabulate(n)(i =>
+      (((out(2 * i) & 0xff) << 8) | (out(2 * i + 1) & 0xff)).toShort.toInt)
+    assert(got.sameElements(javaVals), "decodeAuSamples vs javax.sound")
+    // multi-channel: only channel 0 is kept
+    val bos2 = new java.io.ByteArrayOutputStream()
+    val d2 = new java.io.DataOutputStream(bos2)
+    d2.writeBytes(".snd"); d2.writeInt(24); d2.writeInt(4 * n)
+    d2.writeInt(3); d2.writeInt(8000); d2.writeInt(2)
+    (0 until n).foreach { i => d2.writeShort(i * 17 - 500); d2.writeShort(9999) }
+    assert(Multimodal.decodeAuSamples(bos2.toByteArray).get
+      .sameElements(Array.tabulate(n)(i => i * 17 - 500)))
+    // maxFrames fence + refusals
+    assert(Multimodal.decodeAuSamples(bytes, maxFrames = 70).get.length == 70)
+    assert(Multimodal.decodeAuSamples("nope".getBytes).isEmpty)
+    assert(Multimodal.decodeAuSamples(null).isEmpty)
+    // hash: uniform gain preserves every adjacent-energy comparison
+    val h = Multimodal.audioEnergyHash(got).get
+    assert(Multimodal.audioEnergyHash(got.map(_ * 3)).get == h,
+      "uniform gain must not move the energy hash")
+    // silencing one window flips only comparisons touching it
+    val tweaked = got.clone()
+    (2 * 3 until 3 * 3).foreach(tweaked(_) = 0) // window 2 of 65 (win=3)
+    val ht = Multimodal.audioEnergyHash(tweaked).get
+    val hamming = java.lang.Long.bitCount(h ^ ht)
+    assert(hamming <= 2, s"local edit moved $hamming bits")
+    assert(Multimodal.audioEnergyHash(new Array[Int](64)).isEmpty)
+    assert(Multimodal.audioEnergyHash(null).isEmpty)
+  }
+
   test("parseGifFrames agrees with javax.imageio on frame counts") {
     (1 to 10).foreach { _ =>
       val nf = 1 + rnd.nextInt(6)
