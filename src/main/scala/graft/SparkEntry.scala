@@ -270,6 +270,59 @@ object SparkEntry {
     (0 until n).foreach(i => dd.writeShort(sample(i)))
     bos.toByteArray
   }
+  /** ISO-BMFF box: u32 size + fourcc + concatenated content parts
+    * (q254). */
+  private def mp4Box(name: String, parts: Array[Byte]*): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val dd = new java.io.DataOutputStream(bos)
+    dd.writeInt(8 + parts.map(_.length).sum); dd.writeBytes(name)
+    parts.foreach(dd.write)
+    bos.toByteArray
+  }
+  /** Minimal-but-well-formed MP4: ftyp + moov{mvhd, trak*} with one
+    * trak per tuple (trackId, handler, codec, w, h, nSamples,
+    * mdhd timescale, mdhd duration); tkhd/mdhd are v0 with identity
+    * matrix and 16.16 dims (q254). */
+  private def mp4Fixture(tracks: Seq[(Int, String, String, Int, Int, Int, Int, Int)]): Array[Byte] = {
+    def i32(vs: Int*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dd = new java.io.DataOutputStream(bos)
+      vs.foreach(dd.writeInt); bos.toByteArray
+    }
+    def cc(s: String) = s.getBytes("US-ASCII")
+    val matrix = i32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = mp4Box("ftyp", cc("isom"), i32(0))
+    val mvhd = mp4Box("mvhd", i32(0, 0, 0, 1000, 0, 0x10000), i32(0, 0, 0),
+      matrix, i32(0, 0, 0, 0, 0, 0), i32(99))
+    val traks = tracks.map { case (tid, handler, codec, w, h, ns, ts, dur) =>
+      val tkhd = mp4Box("tkhd", i32(0, 0, 0, tid, 0, 0), i32(0, 0),
+        i32(0, 0), matrix, i32(w << 16, h << 16))
+      val mdhd = mp4Box("mdhd", i32(0, 0, 0, ts, dur), i32(0))
+      val hdlr = mp4Box("hdlr", i32(0, 0), cc(handler), i32(0, 0, 0),
+        Array(0.toByte))
+      val stsd = mp4Box("stsd", i32(0, 1), i32(16), cc(codec), i32(0, 0))
+      val stsz = mp4Box("stsz", i32(0, 0, ns))
+      mp4Box("trak", tkhd,
+        mp4Box("mdia", mdhd, hdlr,
+          mp4Box("minf", mp4Box("stbl", stsd, stsz))))
+    }
+    ftyp ++ mp4Box("moov", (mvhd +: traks): _*)
+  }
+  /** Minimal AVI: RIFF`AVI ` → LIST hdrl → avih main header (q254). */
+  private def aviFixture(w: Int, h: Int, frames: Int, usf: Int,
+                         streams: Int): Array[Byte] = {
+    val bb = java.nio.ByteBuffer.allocate(88)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put("RIFF".getBytes("US-ASCII")).putInt(80)
+      .put("AVI ".getBytes("US-ASCII"))
+    bb.put("LIST".getBytes("US-ASCII")).putInt(68)
+      .put("hdrl".getBytes("US-ASCII"))
+    bb.put("avih".getBytes("US-ASCII")).putInt(56)
+    bb.putInt(usf).putInt(0).putInt(0).putInt(0)
+    bb.putInt(frames).putInt(0).putInt(streams).putInt(0)
+    bb.putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+    bb.array()
+  }
   /** 24bpp bottom-up BMP over formula pixels (q250/q251/q252). */
   private def bmp24Fixture(w: Int, h: Int,
                            rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
@@ -4344,6 +4397,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q254 — video container metadata ([[graft.sources.Multimodal
+    // .parseMp4Tracks]]/[[graft.sources.Multimodal.parseAviHeader]]):
+    // the video tier promoted past the movie-level mvhd walk — MP4
+    // per-track walk (tkhd 16.16 dims, hdlr class, stsd codec fourcc,
+    // stsz sample count, mdhd duration) reporting the first `vide`
+    // track, AVI avih main header. Synthesize-and-replay oracle: the
+    // fixtures write the boxes from doc_id-derived integers, the SQL
+    // replays the formulas; duration math is exact integer on both
+    // sides (mp4: 512·ns·1000/12800 = 40·ns; avi: frames·µsf//1000).
+    // Map-only — payload bytes never cross a shuffle.
+    "q254_video_metadata" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "video? nope".getBytes("UTF-8"))
+        else if (id % 7 == 3)
+          (id, aviFixture((320 + (id % 5) * 16).toInt,
+            (240 + (id % 4) * 16).toInt, (24 + id % 100).toInt,
+            (33000 + (id % 3) * 1000).toInt, (1 + id % 2).toInt))
+        else {
+          val ns = (24 + id % 96).toInt
+          val codec = (id % 3) match {
+            case 0 => "avc1"; case 1 => "hvc1"; case _ => "vp09" }
+          (id, mp4Fixture(Seq(
+            (1, "vide", codec, (16 * (2 + id % 20)).toInt,
+              (9 * (2 + id % 20)).toInt, ns, 12800, 512 * ns),
+            (2, "soun", "mp4a", 0, 0, 2 * ns, 48000, 1024 * ns))))
+        }
+      }.toDF("doc_id", "vid")
+      graft.sources.Multimodal.describeVideo(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8074,6 +8160,35 @@ object SparkEntry {
         |FROM hv a JOIN hv b ON a.doc_id < b.doc_id
         |WHERE bit_count(xor(a.hi, b.hi)) + bit_count(xor(a.lo, b.lo)) <= 3
         |ORDER BY id1, id2""".stripMargin,
+
+    // The video-metadata formulas replayed: per-id routing (junk /
+    // avi / mp4) and the integer duration math on each leg.
+    "q254_video_metadata" ->
+      """SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN 'avi' ELSE 'mp4' END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN CAST(320 + (d.doc_id % 5) * 16 AS INTEGER)
+        |       ELSE CAST(16 * (2 + d.doc_id % 20) AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN CAST(240 + (d.doc_id % 4) * 16 AS INTEGER)
+        |       ELSE CAST(9 * (2 + d.doc_id % 20) AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN CAST(24 + d.doc_id % 100 AS BIGINT)
+        |       ELSE CAST(24 + d.doc_id % 96 AS BIGINT) END AS n_samples,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN CAST((24 + d.doc_id % 100)
+        |            * (33000 + (d.doc_id % 3) * 1000) // 1000 AS BIGINT)
+        |       ELSE CAST(40 * (24 + d.doc_id % 96) AS BIGINT) END AS duration_ms,
+        |  CASE WHEN d.doc_id % 50 = 0 OR d.doc_id % 7 = 3 THEN NULL
+        |       WHEN d.doc_id % 3 = 0 THEN 'avc1'
+        |       WHEN d.doc_id % 3 = 1 THEN 'hvc1'
+        |       ELSE 'vp09' END AS codec,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 7 = 3 THEN CAST(1 + d.doc_id % 2 AS INTEGER)
+        |       ELSE 2 END AS n_tracks
+        |FROM documents d
+        |ORDER BY media_id""".stripMargin,
 
     // The audio fingerprint replayed in integer SQL: G.711 μ-law
     // expansion per byte, per-window Σs², adjacent comparisons, bit

@@ -419,6 +419,145 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(out(1) == ((2L, None, None, None, None, None, None, None)))
   }
 
+  // ---- MP4 per-track walk + AVI main header ----------------------
+
+  // independent box builder (big-endian size + fourcc + content)
+  private def box(name: String, parts: Array[Byte]*): Array[Byte] = {
+    val content = parts.flatten.toArray
+    val b = java.nio.ByteBuffer.allocate(8 + content.length)
+    b.putInt(8 + content.length).put(name.getBytes("US-ASCII")).put(content)
+    b.array()
+  }
+  private def ints(vs: Int*): Array[Byte] = {
+    val b = java.nio.ByteBuffer.allocate(4 * vs.length)
+    vs.foreach(b.putInt); b.array()
+  }
+  private def trak(tid: Int, v1: Boolean, handler: String, codec: String,
+                   w: Int, h: Int, ns: Int, ts: Int, dur: Int): Array[Byte] = {
+    val matrix = ints(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val tkhd =
+      if (v1) box("tkhd", ints(0x01000000, 0, 0, 0, 0, tid, 0, 0, 0, 0, 0),
+        ints(0, 0), matrix, ints(w << 16, h << 16))
+      else box("tkhd", ints(0, 0, 0, tid, 0, 0), ints(0, 0), ints(0, 0),
+        matrix, ints(w << 16, h << 16))
+    val mdhd =
+      if (v1) box("mdhd", ints(0x01000000, 0, 0, 0, 0, ts, 0, dur), ints(0))
+      else box("mdhd", ints(0, 0, 0, ts, dur), ints(0))
+    val hdlr = box("hdlr", ints(0, 0), handler.getBytes("US-ASCII"),
+      ints(0, 0, 0), Array(0.toByte))
+    val stsd = box("stsd", ints(0, 1), ints(16), codec.getBytes("US-ASCII"),
+      ints(0, 0))
+    val stsz = box("stsz", ints(0, 0, ns))
+    box("trak", tkhd, box("mdia", mdhd, hdlr, box("minf", box("stbl", stsd, stsz))))
+  }
+  private def mp4File(traks: Array[Byte]*): Array[Byte] =
+    box("ftyp", "isom".getBytes("US-ASCII"), ints(0)) ++
+      box("moov", traks.flatten.toArray)
+
+  test("parseMp4Tracks walks v0 AND v1 trak boxes to dims/codec/samples") {
+    val f = mp4File(
+      trak(1, v1 = false, "vide", "avc1", 640, 360, 240, 12800, 512 * 240),
+      trak(2, v1 = true, "soun", "mp4a", 0, 0, 480, 48000, 48000 * 10))
+    val got = Multimodal.parseMp4Tracks(f).get
+    assert(got == Seq(
+      Multimodal.Mp4Track(1, "vide", "avc1", 640, 360, 240, 240 * 40),
+      Multimodal.Mp4Track(2, "soun", "mp4a", 0, 0, 480, 10000)))
+    assert(Multimodal.parseMp4Tracks("no ftyp here!!!!".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Tracks(null).isEmpty)
+    // 64-bit largesize moov header: same tracks behind a 16-byte header
+    val inner = trak(7, v1 = false, "vide", "hvc1", 320, 240, 60, 1000, 2500)
+    val bb = java.nio.ByteBuffer.allocate(16 + inner.length)
+    bb.putInt(1).put("moov".getBytes("US-ASCII"))
+      .putLong(16L + inner.length).put(inner)
+    val f2 = box("ftyp", "isom".getBytes("US-ASCII"), ints(0)) ++ bb.array()
+    assert(Multimodal.parseMp4Tracks(f2).get ==
+      Seq(Multimodal.Mp4Track(7, "vide", "hvc1", 320, 240, 60, 2500)))
+  }
+
+  test("parseAviHeader reads avih through word-aligned chunk walks") {
+    def avi(w: Int, h: Int, frames: Int, usf: Int, streams: Int,
+            junkLen: Int): Array[Byte] = {
+      val junk = if (junkLen > 0) {
+        val b = java.nio.ByteBuffer.allocate(8 + junkLen + (junkLen & 1))
+          .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("JUNK".getBytes("US-ASCII")).putInt(junkLen)
+        b.array()
+      } else Array.empty[Byte]
+      val b = java.nio.ByteBuffer.allocate(12 + junk.length + 12 + 8 + 56)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes("US-ASCII")).putInt(4 + junk.length + 12 + 8 + 56)
+        .put("AVI ".getBytes("US-ASCII")).put(junk)
+      b.put("LIST".getBytes("US-ASCII")).putInt(68)
+        .put("hdrl".getBytes("US-ASCII"))
+      b.put("avih".getBytes("US-ASCII")).putInt(56)
+      b.putInt(usf).putInt(0).putInt(0).putInt(0)
+        .putInt(frames).putInt(0).putInt(streams).putInt(0)
+        .putInt(w).putInt(h).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    // odd-length leading chunk exercises the word-align advance
+    Seq(0, 7, 8).foreach { j =>
+      val got = Multimodal.parseAviHeader(avi(640, 480, 300, 33367, 2, j)).get
+      assert(got == Multimodal.AviHeader(640, 480, 300, 33367, 2,
+        300L * 33367 / 1000), s"junk=$j")
+    }
+    assert(Multimodal.parseAviHeader(avi(1, 1, 1, 1, 1, 0).take(30)).isEmpty)
+    assert(Multimodal.parseAviHeader("RIFFxxxxWAVE".getBytes).isEmpty)
+    assert(Multimodal.parseAviHeader(null).isEmpty)
+  }
+
+  test("parseMp4Tracks/parseAviHeader survive hostile and truncated bytes") {
+    val rnd = new scala.util.Random(77)
+    val seeds = Seq(
+      mp4File(trak(1, v1 = false, "vide", "avc1", 64, 64, 10, 1000, 1000)),
+      {
+        val b = java.nio.ByteBuffer.allocate(88).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+          .put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+          .put("avih".getBytes).putInt(56)
+        (0 until 14).foreach(_ => b.putInt(rnd.nextInt()))
+        b.array()
+      })
+    seeds.foreach { seed =>
+      (1 to 300).foreach { k =>
+        val c = seed.clone()
+        (0 to k % 4).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+        Multimodal.parseMp4Tracks(c); Multimodal.parseAviHeader(c) // never a throw
+      }
+      (1 until seed.length).foreach { n =>
+        Multimodal.parseMp4Tracks(seed.take(n))
+        Multimodal.parseAviHeader(seed.take(n))
+      }
+    }
+  }
+
+  test("describeVideo routes mp4's first vide track, avi, and junk rows") {
+    val rows = Seq(
+      (1L, mp4File(
+        trak(9, v1 = false, "soun", "mp4a", 0, 0, 100, 48000, 480000),
+        trak(3, v1 = false, "vide", "vp09", 320, 180, 50, 1000, 2000))),
+      (2L, {
+        val b = java.nio.ByteBuffer.allocate(88).order(java.nio.ByteOrder.LITTLE_ENDIAN)
+        b.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+          .put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+          .put("avih".getBytes).putInt(56)
+        b.putInt(40000).putInt(0).putInt(0).putInt(0)
+          .putInt(25).putInt(0).putInt(1).putInt(0)
+          .putInt(160).putInt(120).putInt(0).putInt(0).putInt(0).putInt(0)
+        b.array()
+      }),
+      (3L, "not a video".getBytes("UTF-8")))
+    val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "video")
+    val out = Multimodal.describeVideo(media).orderBy("media_id")
+      .as[(Long, Option[String], Option[Int], Option[Int], Option[Long],
+           Option[Long], Option[String], Option[Int])].collect().toSeq
+    assert(out(0) == ((1L, Some("mp4"), Some(320), Some(180), Some(50L),
+      Some(2000L), Some("vp09"), Some(2))))
+    assert(out(1) == ((2L, Some("avi"), Some(160), Some(120), Some(25L),
+      Some(1000L), None, Some(1))))
+    assert(out(2) == ((3L, None, None, None, None, None, None, None)))
+  }
+
   test("extractFeaturesBatched preserves order and batches payloads") {
     val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
     val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
