@@ -460,6 +460,14 @@ object Main {
               spark.read.parquet(in), idCol, payloadCol, "mixed"))
           .write.mode("overwrite").parquet(out)
 
+      case "video-inspect" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // the video sibling: MP4 per-track metadata (first vide
+        // track) / AVI main header, nulls for everything else
+        graft.sources.Multimodal.describeVideo(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "video"))
+          .write.mode("overwrite").parquet(out)
+
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -524,6 +532,7 @@ object Main {
         |  bmp-stats <in.parquet> <idCol> <payloadCol> <out>   (BMP decode: channel sums)
         |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
         |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
+        |  video-inspect <in.parquet> <idCol> <payloadCol> <out>  (MP4 track / AVI metadata)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -324,4 +324,29 @@ class CliSpec extends SparkSpec {
     assert(spark.read.parquet(s"$tmp/bmp")
       .where(col("media_id") === 3L).head().isNullAt(1))
   }
+
+  test("video-inspect verb reports AVI metadata and nulls for junk") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val avi = {
+      val b = java.nio.ByteBuffer.allocate(88)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put("RIFF".getBytes).putInt(80).put("AVI ".getBytes)
+        .put("LIST".getBytes).putInt(68).put("hdrl".getBytes)
+        .put("avih".getBytes).putInt(56)
+      b.putInt(40000).putInt(0).putInt(0).putInt(0)
+        .putInt(25).putInt(0).putInt(1).putInt(0)
+        .putInt(160).putInt(120).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.array()
+    }
+    Seq((1L, avi), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload").write.mode("overwrite").parquet(s"$tmp/vids")
+    runVerb("video-inspect", s"$tmp/vids", "id", "payload", s"$tmp/vi")
+    val out = spark.read.parquet(s"$tmp/vi")
+    val a = out.where(col("media_id") === 1L).head()
+    assert(a.getAs[String]("format") == "avi" && a.getAs[Int]("width") == 160 &&
+      a.getAs[Long]("duration_ms") == 1000L)
+    assert(out.where(col("media_id") === 2L).head().isNullAt(1))
+  }
 }
