@@ -308,6 +308,39 @@ object SparkEntry {
     }
     ftyp ++ mp4Box("moov", (mvhd +: traks): _*)
   }
+  /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
+    * {TimestampScale 1 ms, Duration float}, Tracks{TrackEntry*}};
+    * tracks are (num, type, codecId, w, h) with a Video element on
+    * type-1 entries (q255). */
+  private def mkvFixture(docType: String, durMs: Int,
+                         tracks: Seq[(Int, Int, String, Int, Int)]): Array[Byte] = {
+    def el(id: Array[Byte], content: Array[Byte]): Array[Byte] = {
+      val size =
+        if (content.length < 127) Array((0x80 | content.length).toByte)
+        else Array((0x40 | (content.length >> 8)).toByte,
+          (content.length & 0xff).toByte)
+      id ++ size ++ content
+    }
+    def eid(bs: Int*) = bs.map(_.toByte).toArray
+    def u(v: Long, n: Int): Array[Byte] =
+      ((n - 1) to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+    val header = el(eid(0x1a, 0x45, 0xdf, 0xa3),
+      el(eid(0x42, 0x82), docType.getBytes("US-ASCII")))
+    val info = el(eid(0x15, 0x49, 0xa9, 0x66),
+      el(eid(0x2a, 0xd7, 0xb1), u(1000000L, 3)) ++
+        el(eid(0x44, 0x89),
+          u(java.lang.Float.floatToIntBits(durMs.toFloat) & 0xffffffffL, 4)))
+    val trs = tracks.map { case (num, ttype, codec, w, h) =>
+      el(eid(0xae),
+        el(eid(0xd7), u(num, 1)) ++ el(eid(0x83), u(ttype, 1)) ++
+          el(eid(0x86), codec.getBytes("US-ASCII")) ++
+          (if (ttype == 1)
+            el(eid(0xe0), el(eid(0xb0), u(w, 2)) ++ el(eid(0xba), u(h, 2)))
+          else Array.empty[Byte]))
+    }.reduce(_ ++ _)
+    header ++ el(eid(0x18, 0x53, 0x80, 0x67),
+      info ++ el(eid(0x16, 0x54, 0xae, 0x6b), trs))
+  }
   /** Minimal AVI: RIFF`AVI ` → LIST hdrl → avih main header (q254). */
   private def aviFixture(w: Int, h: Int, frames: Int, usf: Int,
                          streams: Int): Array[Byte] = {
@@ -4430,6 +4463,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q255 — Matroska/WebM metadata ([[graft.sources.Multimodal
+    // .parseMkvTracks]]): the EBML leg of the video tier through the
+    // SAME describeVideo route — DocType picks the reported format,
+    // Info carries a 1 ms TimestampScale so the float Duration (an
+    // exact small integer in the fixture) replays as integer ms in
+    // SQL; EBML headers carry no per-track sample count, so
+    // n_samples is null BY CONTRACT on this leg. Map-only.
+    "q255_mkv_metadata" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "ebml? hardly".getBytes("UTF-8"))
+        else {
+          val codec = (id % 3) match {
+            case 0 => "V_VP9"; case 1 => "V_AV1"; case _ => "V_MPEG4/ISO/AVC" }
+          (id, mkvFixture(if (id % 2 == 0) "webm" else "matroska",
+            (1000 + id % 900).toInt, Seq(
+              (1, 1, codec, (16 * (2 + id % 30)).toInt, (9 * (2 + id % 30)).toInt),
+              (2, 2, "A_OPUS", 0, 0))))
+        }
+      }.toDF("doc_id", "vid")
+      graft.sources.Multimodal.describeVideo(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8187,6 +8245,27 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       WHEN d.doc_id % 7 = 3 THEN CAST(1 + d.doc_id % 2 AS INTEGER)
         |       ELSE 2 END AS n_tracks
+        |FROM documents d
+        |ORDER BY media_id""".stripMargin,
+
+    // The MKV/WebM formulas replayed; n_samples is null on the EBML
+    // leg by contract (headers carry no sample count).
+    "q255_mkv_metadata" ->
+      """SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 2 = 0 THEN 'webm' ELSE 'mkv' END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(16 * (2 + d.doc_id % 30) AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(9 * (2 + d.doc_id % 30) AS INTEGER) END AS height,
+        |  CAST(NULL AS BIGINT) AS n_samples,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1000 + d.doc_id % 900 AS BIGINT) END AS duration_ms,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 3 = 0 THEN 'V_VP9'
+        |       WHEN d.doc_id % 3 = 1 THEN 'V_AV1'
+        |       ELSE 'V_MPEG4/ISO/AVC' END AS codec,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 2 END AS n_tracks
         |FROM documents d
         |ORDER BY media_id""".stripMargin,
 

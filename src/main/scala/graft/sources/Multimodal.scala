@@ -2753,6 +2753,111 @@ object Multimodal {
     None
   }
 
+  /** REAL pure-JVM Matroska/WebM (EBML) metadata walk — EBML header
+    * DocType, Segment → Info {TimestampScale, Duration} and Segment →
+    * Tracks → TrackEntry {TrackNumber, TrackType, CodecID,
+    * Video{PixelWidth, PixelHeight}}. Returns the DocType plus tracks
+    * shaped as [[Mp4Track]] (handler `vide`/`soun` from TrackType,
+    * segment duration stamped on every track; EBML headers carry no
+    * per-track sample count → 0). Varint lengths and element sizes
+    * come from untrusted bytes: Long cursors, every element advances
+    * past its header, unknown-size (all-ones) elements extend to the
+    * enclosing end — same hostile posture as [[parseMp4Tracks]].
+    * Reference surface: RFC 8794 (EBML) + Matroska element IDs. */
+  def parseMkvTracks(bytes: Array[Byte]): Option[(String, Seq[Mp4Track])] = {
+    if (bytes == null || bytes.length < 8) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    // EBML varint at i → (value, byteLen); marker bit kept for IDs,
+    // stripped for sizes. Null on truncation or a zero lead byte.
+    def vint(i: Long, keepMarker: Boolean): Option[(Long, Int)] = {
+      if (i + 1 > bytes.length) return None
+      val b = u8(i.toInt)
+      if (b == 0) return None
+      val len = java.lang.Integer.numberOfLeadingZeros(b) - 23
+      if (i + len > bytes.length) return None
+      var v = if (keepMarker) b.toLong else (b & (0xff >>> len)).toLong
+      var k = 1
+      while (k < len) { v = (v << 8) | u8((i + k).toInt); k += 1 }
+      Some((v, len))
+    }
+    def uintAt(c: Long, e: Long): Long = {
+      var v = 0L; var i = c
+      val stop = math.min(e, math.min(c + 8, bytes.length.toLong))
+      while (i < stop) { v = (v << 8) | u8(i.toInt); i += 1 }
+      v
+    }
+    def floatAt(c: Long, e: Long): Double = (e - c) match {
+      case 4 if e <= bytes.length =>
+        java.lang.Float.intBitsToFloat(uintAt(c, e).toInt).toDouble
+      case 8 if e <= bytes.length =>
+        java.lang.Double.longBitsToDouble(uintAt(c, e))
+      case _ => 0.0
+    }
+    def strAt(c: Long, e: Long): String =
+      if (e <= bytes.length && e > c)
+        new String(bytes, c.toInt, (e - c).toInt, "US-ASCII").takeWhile(_ != 0)
+      else ""
+    // walk child elements of [start, end): f(id, contentStart, contentEnd)
+    def walk(start: Long, end: Long)(f: (Long, Long, Long) => Unit): Unit = {
+      var i = start
+      val e = math.min(end, bytes.length.toLong)
+      var ok = true
+      while (ok && i < e) {
+        (for { id <- vint(i, keepMarker = true)
+               sz <- vint(i + id._2, keepMarker = false) } yield (id, sz)) match {
+          case Some(((idv, idLen), (szv, szLen))) =>
+            val content = i + idLen + szLen
+            val unknown = szv == (1L << (7 * szLen)) - 1
+            val next = if (unknown) e else content + szv
+            f(idv, content, math.min(next, e))
+            i = math.max(next, content) // size 0: advance past the header
+            if (unknown) ok = false     // unknown-size child owns the rest
+          case None => ok = false
+        }
+      }
+    }
+    if (!(u8(0) == 0x1a && u8(1) == 0x45 && u8(2) == 0xdf && u8(3) == 0xa3))
+      return None
+    var docType = "matroska"
+    var scaleNs = 1000000L
+    var durTicks = 0.0
+    var tracks = List.empty[(Long, Long, String, Int, Int)] // num, type, codec, w, h
+    walk(0, bytes.length.toLong) { (id, c, e) =>
+      if (id == 0x1a45dfa3L) walk(c, e) { (id2, c2, e2) =>
+        if (id2 == 0x4282L) docType = strAt(c2, e2)
+      } else if (id == 0x18538067L) walk(c, e) { (id2, c2, e2) =>
+        if (id2 == 0x1549a966L) walk(c2, e2) { (id3, c3, e3) =>
+          if (id3 == 0x2ad7b1L) scaleNs = uintAt(c3, e3)
+          else if (id3 == 0x4489L) durTicks = floatAt(c3, e3)
+        } else if (id2 == 0x1654ae6bL) walk(c2, e2) { (id3, c3, e3) =>
+          if (id3 == 0xaeL) { // TrackEntry
+            var num = -1L; var ttype = 0L; var codec = ""
+            var w = 0; var h = 0
+            walk(c3, e3) { (id4, c4, e4) =>
+              if (id4 == 0xd7L) num = uintAt(c4, e4)
+              else if (id4 == 0x83L) ttype = uintAt(c4, e4)
+              else if (id4 == 0x86L) codec = strAt(c4, e4)
+              else if (id4 == 0xe0L) walk(c4, e4) { (id5, c5, e5) =>
+                if (id5 == 0xb0L) w = uintAt(c5, e5).toInt
+                else if (id5 == 0xbaL) h = uintAt(c5, e5).toInt
+              }
+            }
+            if (num >= 0) tracks ::= ((num, ttype, codec, w, h))
+          }
+        }
+      }
+    }
+    if (tracks.isEmpty) None
+    else {
+      val durMs = (durTicks * scaleNs / 1e6).toLong
+      Some((docType, tracks.reverse.map { case (num, t, codec, w, h) =>
+        Mp4Track(num,
+          if (t == 1) "vide" else if (t == 2) "soun" else "",
+          codec, w, h, 0L, durMs)
+      }))
+    }
+  }
+
   /** Per-payload VIDEO container metadata over a media frame — the
     * sniff-and-route entry for the video tier: MP4 reports its FIRST
     * video track (handler `vide`, falling back to the first track)
@@ -2766,23 +2871,28 @@ object Multimodal {
       .as[(Long, Array[Byte])]
       .map { case (id, p) =>
         val mp4 = parseMp4Tracks(p)
-        val avi = if (mp4.isEmpty) parseAviHeader(p) else None
-        mp4 match {
-          case Some(tracks) =>
+        val mkv = if (mp4.isEmpty) parseMkvTracks(p) else None
+        val avi = if (mp4.isEmpty && mkv.isEmpty) parseAviHeader(p) else None
+        (mp4, mkv, avi) match {
+          case (Some(tracks), _, _) =>
             val t = tracks.find(_.handler == "vide").getOrElse(tracks.head)
             (id, Some("mp4"), Some(t.width), Some(t.height),
               Some(t.nSamples), Some(t.durationMs),
               Some(t.codec), Some(tracks.size))
-          case None => avi match {
-            case Some(a) =>
-              (id, Some("avi"), Some(a.width), Some(a.height),
-                Some(a.nFrames), Some(a.durationMs),
-                None: Option[String], Some(a.streams))
-            case None =>
-              (id, None: Option[String], None: Option[Int], None: Option[Int],
-                None: Option[Long], None: Option[Long],
-                None: Option[String], None: Option[Int])
-          }
+          case (_, Some((doc, tracks)), _) =>
+            val t = tracks.find(_.handler == "vide").getOrElse(tracks.head)
+            // EBML headers carry no per-track sample count → null
+            (id, Some(if (doc == "webm") "webm" else "mkv"),
+              Some(t.width), Some(t.height), None: Option[Long],
+              Some(t.durationMs), Some(t.codec), Some(tracks.size))
+          case (_, _, Some(a)) =>
+            (id, Some("avi"), Some(a.width), Some(a.height),
+              Some(a.nFrames), Some(a.durationMs),
+              None: Option[String], Some(a.streams))
+          case _ =>
+            (id, None: Option[String], None: Option[Int], None: Option[Int],
+              None: Option[Long], None: Option[Long],
+              None: Option[String], None: Option[Int])
         }
       }
       .toDF("media_id", "format", "width", "height", "n_samples",

@@ -531,6 +531,71 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  // independent EBML builder (supports 1- and 2-byte sizes and the
+  // all-ones unknown size)
+  private def ebml(id: Array[Byte], content: Array[Byte],
+                   unknownSize: Boolean = false): Array[Byte] = {
+    val size =
+      if (unknownSize) Array(0xff.toByte)
+      else if (content.length < 127) Array((0x80 | content.length).toByte)
+      else Array((0x40 | (content.length >> 8)).toByte,
+        (content.length & 0xff).toByte)
+    id ++ size ++ content
+  }
+  private def eid(bs: Int*) = bs.map(_.toByte).toArray
+  private def ebmlU(v: Long, n: Int): Array[Byte] =
+    ((n - 1) to 0 by -1).map(k => ((v >> (8 * k)) & 0xff).toByte).toArray
+
+  test("parseMkvTracks walks EBML to doctype, duration, and track dims") {
+    def entry(num: Int, ttype: Int, codec: String, w: Int, h: Int) =
+      ebml(eid(0xae),
+        ebml(eid(0xd7), ebmlU(num, 1)) ++ ebml(eid(0x83), ebmlU(ttype, 1)) ++
+          ebml(eid(0x86), codec.getBytes("US-ASCII")) ++
+          (if (ttype == 1)
+            ebml(eid(0xe0), ebml(eid(0xb0), ebmlU(w, 2)) ++
+              ebml(eid(0xba), ebmlU(h, 2)))
+          else Array.empty[Byte]))
+    def file(doc: String, durMs: Int, unknownSeg: Boolean,
+             eightByteDur: Boolean = false) = {
+      val dur =
+        if (eightByteDur)
+          ebml(eid(0x44, 0x89),
+            ebmlU(java.lang.Double.doubleToLongBits(durMs.toDouble), 8))
+        else ebml(eid(0x44, 0x89),
+          ebmlU(java.lang.Float.floatToIntBits(durMs.toFloat) & 0xffffffffL, 4))
+      val info = ebml(eid(0x15, 0x49, 0xa9, 0x66),
+        ebml(eid(0x2a, 0xd7, 0xb1), ebmlU(1000000L, 3)) ++ dur)
+      val tracks = ebml(eid(0x16, 0x54, 0xae, 0x6b),
+        entry(1, 1, "V_VP9", 1920, 1080) ++ entry(2, 2, "A_OPUS", 0, 0))
+      ebml(eid(0x1a, 0x45, 0xdf, 0xa3),
+        ebml(eid(0x42, 0x82), doc.getBytes("US-ASCII"))) ++
+        ebml(eid(0x18, 0x53, 0x80, 0x67), info ++ tracks,
+          unknownSize = unknownSeg)
+    }
+    Seq((false, false), (true, false), (false, true)).foreach {
+      case (unk, dur8) =>
+        val (doc, tracks) = Multimodal.parseMkvTracks(
+          file("webm", 2500, unk, dur8)).get
+        assert(doc == "webm", s"unk=$unk dur8=$dur8")
+        assert(tracks == Seq(
+          Multimodal.Mp4Track(1, "vide", "V_VP9", 1920, 1080, 0, 2500),
+          Multimodal.Mp4Track(2, "soun", "A_OPUS", 0, 0, 0, 2500)))
+    }
+    assert(Multimodal.parseMkvTracks(
+      file("matroska", 10, unknownSeg = false)).get._1 == "matroska")
+    assert(Multimodal.parseMkvTracks("not ebml at all".getBytes).isEmpty)
+    assert(Multimodal.parseMkvTracks(null).isEmpty)
+    // hostile: truncation sweep + random corruption never throw
+    val seed = file("webm", 2500, unknownSeg = false)
+    (1 until seed.length).foreach(n => Multimodal.parseMkvTracks(seed.take(n)))
+    val rnd = new scala.util.Random(99)
+    (1 to 300).foreach { k =>
+      val c = seed.clone()
+      (0 to k % 4).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+      Multimodal.parseMkvTracks(c)
+    }
+  }
+
   test("describeVideo routes mp4's first vide track, avi, and junk rows") {
     val rows = Seq(
       (1L, mp4File(
