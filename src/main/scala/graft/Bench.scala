@@ -212,7 +212,12 @@ object Bench {
       // DSIR importance scorer (two feature-count aggregates + a
       // broadcast-weight scoring pass), both tracked from their
       // first round
-      "q232_curation_v5", "q236_dsir_importance")
+      "q232_curation_v5", "q236_dsir_importance",
+      // round-11: the mixed-media sniff-and-decode entry point — one
+      // pass over synthesized PNG/JPEG/GIF/BMP/TIFF/ICO/AU/AIFF/WAV
+      // payloads through every REAL decoder; tracks the byte-kernel
+      // throughput of the whole decode surface in one number
+      "q250_media_inspect")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
