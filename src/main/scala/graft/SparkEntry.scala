@@ -308,6 +308,45 @@ object SparkEntry {
     }
     ftyp ++ mp4Box("moov", (mvhd +: traks): _*)
   }
+  /** Little-endian EXIF TIFF stream: IFD0 {Orientation, Make, Model,
+    * DateTime, ExifIFD ptr} + Exif IFD {PixelXDimension,
+    * PixelYDimension}; ASCII values in a data area past both IFDs
+    * (q256). */
+  private def exifTiff(orientation: Int, make: String, model: String,
+                       dateTime: String, px: Int, py: Int): Array[Byte] = {
+    val mk = make + "\u0000"; val md = model + "\u0000"; val dt = dateTime + "\u0000"
+    val ifd0At = 8; val exifAt = ifd0At + 2 + 5 * 12 + 4
+    val dataAt = exifAt + 2 + 2 * 12 + 4
+    val mkAt = dataAt; val mdAt = mkAt + mk.length; val dtAt = mdAt + md.length
+    val bb = java.nio.ByteBuffer.allocate(dtAt + dt.length)
+      .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+    bb.put('I'.toByte).put('I'.toByte).putShort(42).putInt(ifd0At)
+    def entry(tag: Int, typ: Int, cnt: Int, v: Int): Unit =
+      { bb.putShort(tag.toShort).putShort(typ.toShort).putInt(cnt).putInt(v) }
+    bb.putShort(5)
+    entry(271, 2, mk.length, mkAt)          // Make (ASCII, offset)
+    entry(272, 2, md.length, mdAt)          // Model
+    entry(274, 3, 1, orientation)           // Orientation (SHORT inline)
+    entry(306, 2, dt.length, dtAt)          // DateTime
+    entry(0x8769, 4, 1, exifAt)             // Exif IFD pointer
+    bb.putInt(0)
+    bb.putShort(2)
+    entry(0xa002, 4, 1, px)                 // PixelXDimension
+    entry(0xa003, 4, 1, py)                 // PixelYDimension
+    bb.putInt(0)
+    bb.put(mk.getBytes("US-ASCII")).put(md.getBytes("US-ASCII"))
+      .put(dt.getBytes("US-ASCII"))
+    bb.array()
+  }
+  /** APP1-wrapped EXIF inserted right after a real ImageIO JPEG's SOI
+    * (q256). */
+  private def jpegWithExif(tiff: Array[Byte]): Array[Byte] = {
+    val base = jpegFlatTileFixture(1, 1, (_, _) => 128, progressive = false)
+    val app1 = java.nio.ByteBuffer.allocate(4 + 6 + tiff.length)
+    app1.putShort(0xffe1.toShort).putShort((2 + 6 + tiff.length).toShort)
+      .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte).put(tiff)
+    base.take(2) ++ app1.array() ++ base.drop(2)
+  }
   /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
     * {TimestampScale 1 ms, Duration float}, Tracks{TrackEntry*}};
     * tracks are (num, type, codecId, w, h) with a Video element on
@@ -4488,6 +4527,29 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q256 — EXIF metadata ([[graft.sources.Multimodal.parseExif]]):
+    // the curation facts riding inside crawled images — orientation
+    // (rotation normalization), camera make/model, capture timestamp,
+    // Exif-IFD pixel dims — parsed from a REAL ImageIO JPEG with the
+    // APP1 segment spliced after SOI (every 5th payload exercises the
+    // bare-TIFF entry instead). Synthesize-and-replay oracle: string
+    // and integer formulas replay directly. Map-only.
+    "q256_exif" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "exif? never".getBytes("UTF-8"))
+        else {
+          val tiff = exifTiff((1 + id % 8).toInt, s"Camera${id % 5}",
+            s"Model${id % 4}", f"2020:01:01 00:00:${id % 60}%02d",
+            (16 * (1 + id % 10)).toInt, (9 * (1 + id % 10)).toInt)
+          if (id % 5 == 1) (id, tiff) else (id, jpegWithExif(tiff))
+        }
+      }.toDF("doc_id", "img")
+      graft.sources.Multimodal.describeExif(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "img", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8245,6 +8307,27 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       WHEN d.doc_id % 7 = 3 THEN CAST(1 + d.doc_id % 2 AS INTEGER)
         |       ELSE 2 END AS n_tracks
+        |FROM documents d
+        |ORDER BY media_id""".stripMargin,
+
+    // The EXIF formulas replayed: per-id orientation/make/model/
+    // timestamp/dims; junk ids all-null.
+    "q256_exif" ->
+      """SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1 + d.doc_id % 8 AS INTEGER) END AS orientation,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE 'Camera' || CAST(d.doc_id % 5 AS VARCHAR) END AS make,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE 'Model' || CAST(d.doc_id % 4 AS VARCHAR) END AS model,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE '2020:01:01 00:00:' ||
+        |            LPAD(CAST(d.doc_id % 60 AS VARCHAR), 2, '0')
+        |       END AS date_time,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(16 * (1 + d.doc_id % 10) AS INTEGER) END AS pixel_x,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(9 * (1 + d.doc_id % 10) AS INTEGER) END AS pixel_y
         |FROM documents d
         |ORDER BY media_id""".stripMargin,
 

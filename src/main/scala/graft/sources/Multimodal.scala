@@ -2617,6 +2617,143 @@ object Multimodal {
       .toDF("media_id", "ahash")
   }
 
+  /** Parsed EXIF facts a curation pipeline acts on: orientation
+    * (1–8, the rotation-normalization input), camera make/model,
+    * original-capture timestamp string, and the Exif-IFD pixel dims.
+    * Fields the payload doesn't carry are None/0. */
+  final case class ExifInfo(orientation: Int, make: String,
+                            model: String, dateTime: String,
+                            pixelX: Int, pixelY: Int)
+
+  /** REAL pure-JVM EXIF parse — JPEG APP1 (`Exif\0\0` + embedded
+    * TIFF stream: IFD0 tags 274/271/272/306 and the 0x8769 Exif-IFD's
+    * 0x9003/0xA002/0xA003) or a bare TIFF payload's IFD0. The marker
+    * scan is the same walk [[parseImageHeader]] uses; the IFD reader
+    * is bounds-checked per field with both byte orders, so hostile
+    * offsets degrade to missing fields, never a throw. */
+  def parseExif(bytes: Array[Byte]): Option[ExifInfo] = {
+    if (bytes == null || bytes.length < 8) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    // locate the TIFF stream: bare TIFF at 0, or inside JPEG APP1
+    val tiffAt: Int =
+      if ((u8(0) == 'I' && u8(1) == 'I') || (u8(0) == 'M' && u8(1) == 'M')) 0
+      else if (u8(0) == 0xff && u8(1) == 0xd8) {
+        var i = 2
+        var found = -1
+        while (found < 0 && i + 4 <= bytes.length && u8(i) == 0xff) {
+          val marker = u8(i + 1)
+          if (marker == 0xd8 || (marker >= 0xd0 && marker <= 0xd7)) i += 2
+          else if (marker == 0xda || marker == 0xd9) i = bytes.length // scan data: stop
+          else {
+            val len = (u8(i + 2) << 8) | u8(i + 3)
+            if (len < 2) i = bytes.length
+            else {
+              if (marker == 0xe1 && i + 10 <= bytes.length &&
+                  new String(bytes, i + 4, math.min(4, bytes.length - i - 4),
+                    "US-ASCII") == "Exif" &&
+                  i + 10 + 8 <= bytes.length)
+                found = i + 10
+              i += 2 + len
+            }
+          }
+        }
+        found
+      } else -1
+    if (tiffAt < 0 || tiffAt + 8 > bytes.length) return None
+    val le = u8(tiffAt) == 'I' && u8(tiffAt + 1) == 'I'
+    val be = u8(tiffAt) == 'M' && u8(tiffAt + 1) == 'M'
+    if (!le && !be) return None
+    def u16(i: Long): Int =
+      if (i < 0 || i + 2 > bytes.length) -1
+      else if (le) u8(i.toInt) | (u8(i.toInt + 1) << 8)
+      else (u8(i.toInt) << 8) | u8(i.toInt + 1)
+    def u32(i: Long): Long =
+      if (i < 0 || i + 4 > bytes.length) -1L
+      else if (le) u8(i.toInt).toLong | (u8(i.toInt + 1).toLong << 8) |
+        (u8(i.toInt + 2).toLong << 16) | (u8(i.toInt + 3).toLong << 24)
+      else (u8(i.toInt).toLong << 24) | (u8(i.toInt + 1).toLong << 16) |
+        (u8(i.toInt + 2).toLong << 8) | u8(i.toInt + 3).toLong
+    if (u16(tiffAt + 2) != 42) return None
+    var orientation = 0; var make = ""; var model = ""; var dt = ""
+    var px = 0; var py = 0
+    // one IFD walk; tags are addressed relative to the TIFF stream
+    def readIfd(ifdRel: Long, isExifIfd: Boolean): Long = {
+      val ifd = tiffAt + ifdRel
+      val n = u16(ifd)
+      if (ifdRel < 8 || n <= 0 || n > 512 ||
+          ifd + 2 + 12L * n > bytes.length) return -1L
+      var exifPtr = -1L
+      var e = 0
+      while (e < n) {
+        val o = ifd + 2 + 12L * e
+        val tag = u16(o); val typ = u16(o + 2); val cnt = u32(o + 4)
+        val elemSize = typ match {
+          case 1 | 2 | 6 | 7 => 1L
+          case 3 | 8 => 2L
+          case 4 | 9 | 11 => 4L
+          case _ => 8L
+        }
+        val arrOff: Long =
+          if (cnt >= 0 && elemSize * cnt <= 4) o + 8 else tiffAt + u32(o + 8)
+        def scalar: Long =
+          if (elemSize == 2) u16(arrOff).toLong
+          else if (elemSize == 4) u32(arrOff)
+          else if (arrOff >= 0 && arrOff < bytes.length) u8(arrOff.toInt).toLong
+          else -1L
+        def ascii: String =
+          if (cnt > 0 && cnt <= 1024 && arrOff >= 0 && arrOff + cnt <= bytes.length)
+            new String(bytes, arrOff.toInt, cnt.toInt, "US-ASCII").takeWhile(_ != 0)
+          else ""
+        if (!isExifIfd) tag match {
+          case 274 => orientation = scalar.toInt
+          case 271 => make = ascii
+          case 272 => model = ascii
+          case 306 => dt = ascii
+          case 0x8769 => exifPtr = u32(o + 8)
+          case _ => ()
+        } else tag match {
+          case 0x9003 => if (dt.isEmpty) dt = ascii // DateTimeOriginal
+          case 0xa002 => px = scalar.toInt
+          case 0xa003 => py = scalar.toInt
+          case _ => ()
+        }
+        e += 1
+      }
+      exifPtr
+    }
+    val exifPtr = readIfd(u32(tiffAt + 4), isExifIfd = false)
+    if (exifPtr >= 8) readIfd(exifPtr, isExifIfd = true)
+    if (orientation == 0 && make.isEmpty && model.isEmpty && dt.isEmpty &&
+        px == 0 && py == 0) None
+    else Some(ExifInfo(orientation, make, model, dt, px, py))
+  }
+
+  /** Per-payload EXIF facts over a media frame (null row fields where
+    * the payload carries no EXIF). Map-only, same contract as the
+    * other describe* kernels. */
+  def describeExif(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        parseExif(p) match {
+          case Some(x) =>
+            (id, if (x.orientation > 0) Some(x.orientation) else None,
+              if (x.make.nonEmpty) Some(x.make) else None,
+              if (x.model.nonEmpty) Some(x.model) else None,
+              if (x.dateTime.nonEmpty) Some(x.dateTime) else None,
+              if (x.pixelX > 0) Some(x.pixelX) else None,
+              if (x.pixelY > 0) Some(x.pixelY) else None)
+          case None =>
+            (id, None: Option[Int], None: Option[String], None: Option[String],
+              None: Option[String], None: Option[Int], None: Option[Int])
+        }
+      }
+      .toDF("media_id", "orientation", "make", "model", "date_time",
+        "pixel_x", "pixel_y")
+  }
+
   /** One parsed MP4 track — the per-track tier below
     * [[parseAvHeader]]'s movie-level mvhd walk: trak/tkhd id +
     * presentation dims (16.16 fixed → integer part), mdia/mdhd

@@ -462,7 +462,8 @@ class PlanSpec extends SparkSpec {
     Seq("q243_jpeg_decode", "q245_gif_decode", "q247_tiff_decode",
         "q248_audio_decode", "q249_ico_decode", "q250_media_inspect",
         "q251_image_dhash", "q253_audio_fingerprint",
-        "q254_video_metadata", "q255_mkv_metadata").foreach { q =>
+        "q254_video_metadata", "q255_mkv_metadata",
+        "q256_exif").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers
