@@ -347,6 +347,29 @@ object SparkEntry {
       .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte).put(tiff)
     base.take(2) ++ app1.array() ++ base.drop(2)
   }
+  /** CBR MPEG-1 Layer III stream at 32 kHz (exact integer frame
+    * lengths: 4.5·kbps bytes), optional ID3v2 prefix with a syncsafe
+    * size (q257). */
+  private def mp3Fixture(kbps: Int, mono: Boolean, nFrames: Int,
+                         id3Len: Int): Array[Byte] = {
+    val brIdx = kbps match { case 64 => 5; case 128 => 9; case _ => 10 }
+    val frameLen = 144 * kbps * 1000 / 32000
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Len > 0) {
+      bos.write('I'); bos.write('D'); bos.write('3')
+      bos.write(3); bos.write(0); bos.write(0)
+      bos.write(0); bos.write(0)
+      bos.write((id3Len >> 7) & 0x7f); bos.write(id3Len & 0x7f)
+      (0 until id3Len).foreach(k => bos.write(k % 251))
+    }
+    (0 until nFrames).foreach { f =>
+      bos.write(0xff); bos.write(0xfb)       // MPEG1 Layer III, no CRC
+      bos.write((brIdx << 4) | 8)            // bitrate idx, 32 kHz, no pad
+      bos.write(if (mono) 0xc0 else 0)
+      (4 until frameLen).foreach(k => bos.write((f * 31 + k) % 256))
+    }
+    bos.toByteArray
+  }
   /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
     * {TimestampScale 1 ms, Duration float}, Tracks{TrackEntry*}};
     * tracks are (num, type, codecId, w, h) with a Video element on
@@ -4550,6 +4573,27 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q257 — MP3 stream facts ([[graft.sources.Multimodal
+    // .parseMp3]]): the frame WALK, not a CBR guess — every header's
+    // own computed length steps the cursor, an ID3v2 syncsafe prefix
+    // is skipped, and duration is exact integer math (the 32 kHz
+    // fixture makes frame length 4.5·kbps and duration 36 ms/frame
+    // on both engines). Map-only.
+    "q257_mp3_metadata" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "mp3? silence".getBytes("UTF-8"))
+        else {
+          val kbps = (id % 3) match { case 0 => 64; case 1 => 128; case _ => 160 }
+          (id, mp3Fixture(kbps, id % 2 == 0, (5 + id % 20).toInt,
+            if (id % 3 == 0) (17 + id % 40).toInt else 0))
+        }
+      }.toDF("doc_id", "snd")
+      graft.sources.Multimodal.describeMp3(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "snd", "audio"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8328,6 +8372,26 @@ object SparkEntry {
         |       ELSE CAST(16 * (1 + d.doc_id % 10) AS INTEGER) END AS pixel_x,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       ELSE CAST(9 * (1 + d.doc_id % 10) AS INTEGER) END AS pixel_y
+        |FROM documents d
+        |ORDER BY media_id""".stripMargin,
+
+    // The MP3 formulas replayed: per-id bitrate/channels/frame-count
+    // routing and the 36 ms/frame duration.
+    "q257_mp3_metadata" ->
+      """SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 1 END AS version,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 3 END AS layer,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 3 = 0 THEN 64
+        |       WHEN d.doc_id % 3 = 1 THEN 128
+        |       ELSE 160 END AS bitrate_kbps,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 32000 END AS sample_rate,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 2 = 0 THEN 1 ELSE 2 END AS channels,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(5 + d.doc_id % 20 AS BIGINT) END AS n_frames,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(36 * (5 + d.doc_id % 20) AS BIGINT) END AS duration_ms
         |FROM documents d
         |ORDER BY media_id""".stripMargin,
 

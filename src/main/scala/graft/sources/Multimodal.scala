@@ -2754,6 +2754,116 @@ object Multimodal {
         "pixel_x", "pixel_y")
   }
 
+  /** Parsed MPEG-audio (MP3) stream facts: version (1, 2, or 25 for
+    * MPEG-2.5), layer (1–3), first-frame bitrate kbps, sample rate,
+    * channels, frame count from the actual frame walk, and duration
+    * in integer ms (frames · samplesPerFrame · 1000 / rate). */
+  final case class Mp3Info(version: Int, layer: Int, bitrateKbps: Int,
+                           sampleRate: Int, channels: Int,
+                           nFrames: Long, durationMs: Long)
+
+  /** REAL pure-JVM MPEG-audio frame walk — skips a leading ID3v2 tag
+    * (syncsafe size), then steps frame to frame via each header's own
+    * computed length (bitrate/samplerate tables per ISO 11172-3 /
+    * 13818-3), so nFrames and duration come from the BYTES, not a
+    * CBR guess. Stops at the first non-sync position (trailing junk
+    * tolerated once past the first frame); reserved bitrate (15) or
+    * samplerate (3) indices and free-format (0) refuse the frame.
+    * Hostile posture: forward-only cursor, `maxFrames` fence. */
+  def parseMp3(bytes: Array[Byte], maxFrames: Int = 1 << 20): Option[Mp3Info] = {
+    if (bytes == null || bytes.length < 4) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    var i = 0L
+    // ID3v2: "ID3" ver(2) flags(1) syncsafe-size(4)
+    if (bytes.length >= 10 && u8(0) == 'I' && u8(1) == 'D' && u8(2) == '3') {
+      val sz = ((u8(6) & 0x7f) << 21) | ((u8(7) & 0x7f) << 14) |
+        ((u8(8) & 0x7f) << 7) | (u8(9) & 0x7f)
+      i = 10L + sz
+    }
+    // kbps tables, indexed [version-group][layer][idx]; 0 = free/bad
+    val v1 = Array(
+      Array(0, 32, 64, 96, 128, 160, 192, 224, 256, 288, 320, 352, 384, 416, 448, 0), // L1
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 384, 0),    // L2
+      Array(0, 32, 40, 48, 56, 64, 80, 96, 112, 128, 160, 192, 224, 256, 320, 0))     // L3
+    val v2 = Array(
+      Array(0, 32, 48, 56, 64, 80, 96, 112, 128, 144, 160, 176, 192, 224, 256, 0),    // L1
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0),         // L2
+      Array(0, 8, 16, 24, 32, 40, 48, 56, 64, 80, 96, 112, 128, 144, 160, 0))         // L3
+    val ratesV1 = Array(44100, 48000, 32000)
+    var info: Option[Mp3Info] = None
+    var samplesPerFrame = 0L
+    var frames = 0L
+    var done = false
+    while (!done && frames < maxFrames && i + 4 <= bytes.length) {
+      val h = i.toInt
+      if (!(u8(h) == 0xff && (u8(h + 1) & 0xe0) == 0xe0)) done = true
+      else {
+        val verBits = (u8(h + 1) >> 3) & 3   // 0=2.5, 2=MPEG2, 3=MPEG1
+        val layerBits = (u8(h + 1) >> 1) & 3 // 1=III, 2=II, 3=I
+        val brIdx = (u8(h + 2) >> 4) & 15
+        val srIdx = (u8(h + 2) >> 2) & 3
+        val padding = (u8(h + 2) >> 1) & 1
+        val chMode = (u8(h + 3) >> 6) & 3
+        if (verBits == 1 || layerBits == 0 || brIdx == 0 || brIdx == 15 ||
+            srIdx == 3) done = true
+        else {
+          val layer = 4 - layerBits            // 1, 2, 3
+          val mpeg1 = verBits == 3
+          val kbps = (if (mpeg1) v1 else v2)(layer - 1)(brIdx)
+          val rate = verBits match {
+            case 3 => ratesV1(srIdx)
+            case 2 => ratesV1(srIdx) / 2
+            case _ => ratesV1(srIdx) / 4
+          }
+          val frameLen =
+            if (layer == 1) (12 * kbps * 1000 / rate + padding) * 4
+            else if (layer == 3 && !mpeg1) 72 * kbps * 1000 / rate + padding
+            else 144 * kbps * 1000 / rate + padding
+          if (frameLen < 4 || i + frameLen > bytes.length) done = true
+          else {
+            if (info.isEmpty) {
+              samplesPerFrame =
+                if (layer == 1) 384
+                else if (layer == 2) 1152
+                else if (mpeg1) 1152 else 576
+              info = Some(Mp3Info(
+                if (verBits == 3) 1 else if (verBits == 2) 2 else 25,
+                layer, kbps, rate, if (chMode == 3) 1 else 2, 0L, 0L))
+            }
+            frames += 1
+            i += frameLen
+          }
+        }
+      }
+    }
+    info.map(x => x.copy(nFrames = frames,
+      durationMs = frames * samplesPerFrame * 1000 / x.sampleRate))
+  }
+
+  /** Per-payload MP3 stream facts over a media frame (null fields for
+    * non-MP3 payloads). Map-only, same contract as the other
+    * describe* kernels. */
+  def describeMp3(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        parseMp3(p) match {
+          case Some(x) =>
+            (id, Some(x.version), Some(x.layer), Some(x.bitrateKbps),
+              Some(x.sampleRate), Some(x.channels), Some(x.nFrames),
+              Some(x.durationMs))
+          case None =>
+            (id, None: Option[Int], None: Option[Int], None: Option[Int],
+              None: Option[Int], None: Option[Int], None: Option[Long],
+              None: Option[Long])
+        }
+      }
+      .toDF("media_id", "version", "layer", "bitrate_kbps", "sample_rate",
+        "channels", "n_frames", "duration_ms")
+  }
+
   /** One parsed MP4 track — the per-track tier below
     * [[parseAvHeader]]'s movie-level mvhd walk: trak/tkhd id +
     * presentation dims (16.16 fixed → integer part), mdia/mdhd

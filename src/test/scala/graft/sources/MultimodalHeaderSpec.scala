@@ -643,6 +643,62 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  // hand-built MPEG audio frames: header + computed-length body
+  private def mp3Frames(b1: Int, b2: Int, b3: Int, frameLen: Int,
+                        n: Int, id3Len: Int = 0): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    if (id3Len > 0) {
+      Seq('I'.toInt, 'D'.toInt, '3'.toInt, 4, 0, 0, 0, 0,
+        (id3Len >> 7) & 0x7f, id3Len & 0x7f).foreach(bos.write)
+      (0 until id3Len).foreach(_ => bos.write(0xab))
+    }
+    (0 until n).foreach { f =>
+      bos.write(0xff); bos.write(b1); bos.write(b2); bos.write(b3)
+      (4 until frameLen).foreach(k => bos.write((f + k) % 256))
+    }
+    bos.toByteArray
+  }
+
+  test("parseMp3 walks frames across versions, layers, padding, and ID3") {
+    // MPEG1 Layer III 128 kbps @ 44.1 kHz stereo: 417-byte frames (no
+    // pad) — duration floor(n*1152*1000/44100)
+    val l3 = Multimodal.parseMp3(mp3Frames(0xfb, (9 << 4) | 0, 0, 417, 7)).get
+    assert(l3 == Multimodal.Mp3Info(1, 3, 128, 44100, 2, 7,
+      7L * 1152 * 1000 / 44100))
+    // padding bit lengthens the frame by 1
+    val pad = Multimodal.parseMp3(mp3Frames(0xfb, (9 << 4) | 2, 0, 418, 3)).get
+    assert(pad.nFrames == 3)
+    // MPEG2 Layer III @ 16 kHz mono, 64 kbps: 72*64000/16000 = 288
+    val m2 = Multimodal.parseMp3(mp3Frames(0xf3, (8 << 4) | 8, 0xc0, 288, 5)).get
+    assert(m2 == Multimodal.Mp3Info(2, 3, 64, 16000, 1, 5,
+      5L * 576 * 1000 / 16000))
+    // MPEG1 Layer I 256 kbps @ 32 kHz: (12*256000/32000)*4 = 384, spf 384
+    val l1 = Multimodal.parseMp3(mp3Frames(0xff, (8 << 4) | 8, 0, 384, 4)).get
+    assert(l1 == Multimodal.Mp3Info(1, 1, 256, 32000, 2, 4, 4L * 384 * 1000 / 32000))
+    // ID3v2 prefix skipped; trailing junk after the last frame tolerated
+    val id3 = Multimodal.parseMp3(
+      mp3Frames(0xfb, (9 << 4) | 0, 0, 417, 2, id3Len = 99) ++
+        "trailing garbage".getBytes).get
+    assert(id3.nFrames == 2)
+    // refusals: free-format (brIdx 0), reserved rate, junk, null
+    assert(Multimodal.parseMp3(mp3Frames(0xfb, 0, 0, 417, 1)).isEmpty)
+    assert(Multimodal.parseMp3(mp3Frames(0xfb, (9 << 4) | 12, 0, 417, 1)).isEmpty)
+    assert(Multimodal.parseMp3("not mp3".getBytes).isEmpty)
+    assert(Multimodal.parseMp3(null).isEmpty)
+    // maxFrames fence
+    assert(Multimodal.parseMp3(mp3Frames(0xfb, (9 << 4) | 0, 0, 417, 10),
+      maxFrames = 4).get.nFrames == 4)
+    // truncation sweep + corruption never throw
+    val seed = mp3Frames(0xfb, (9 << 4) | 0, 0, 417, 3, id3Len = 20)
+    (1 until seed.length).foreach(n => Multimodal.parseMp3(seed.take(n)))
+    val rnd = new scala.util.Random(31)
+    (1 to 300).foreach { k =>
+      val c = seed.clone()
+      (0 to k % 4).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+      Multimodal.parseMp3(c)
+    }
+  }
+
   test("describeVideo routes mp4's first vide track, avi, and junk rows") {
     val rows = Seq(
       (1L, mp4File(
