@@ -370,6 +370,59 @@ object SparkEntry {
     }
     bos.toByteArray
   }
+  /** Minimal AVI for the frame-decode tier (q258): RIFF `AVI ` with
+    * `hdrl{avih, [auds strl,] vids strl{strh,strf}}` and a `movi`
+    * list of per-frame chunks. `audioFirst` puts a non-video stream
+    * ahead so the video chunk tag is `01dc`, exercising the stream
+    * index routing. */
+  private def aviFixture(mjpeg: Boolean, w: Int, h: Int,
+                         frames: Seq[Array[Byte]],
+                         audioFirst: Boolean): Array[Byte] = {
+    def le16(v: Int) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Long) = Array((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def chunk(id: String, payload: Array[Byte]): Array[Byte] =
+      id.getBytes("US-ASCII") ++ le32(payload.length) ++ payload ++
+        (if ((payload.length & 1) == 1) Array(0.toByte) else Array.emptyByteArray)
+    def list(kind: String, body: Array[Byte]): Array[Byte] =
+      chunk("LIST", kind.getBytes("US-ASCII") ++ body)
+    val avih = chunk("avih", le32(40000) ++ le32(0) ++ le32(0) ++ le32(0) ++
+      le32(frames.size) ++ le32(0) ++ le32(if (audioFirst) 2 else 1) ++
+      le32(0) ++ le32(w) ++ le32(h) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    def strh(fcc: String, handler: String) =
+      chunk("strh", fcc.getBytes("US-ASCII") ++ handler.getBytes("US-ASCII") ++
+        le32(0) ++ le16(0) ++ le16(0) ++ le32(0) ++ le32(1) ++ le32(25) ++
+        le32(0) ++ le32(frames.size) ++ le32(0) ++ le32(-1) ++ le32(0) ++
+        le16(0) ++ le16(0) ++ le16(w) ++ le16(h))
+    val strfV = chunk("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++
+      (if (mjpeg) "MJPG".getBytes("US-ASCII") else le32(0)) ++
+      le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
+    val strlV = list("strl", strh("vids", if (mjpeg) "MJPG" else "DIB ") ++ strfV)
+    val strlA = list("strl", strh("auds", "    ") ++
+      chunk("strf", le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
+        le16(2) ++ le16(16)))
+    val hdrl = list("hdrl",
+      avih ++ (if (audioFirst) strlA ++ strlV else strlV))
+    val tag = (if (audioFirst) "01" else "00") + (if (mjpeg) "dc" else "db")
+    val movi = list("movi", frames.flatMap(f => chunk(tag, f)).toArray)
+    chunk("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+  /** Bare 24bpp DIB pixel array (bottom-up 4-byte-padded rows) over a
+    * per-(x, storedRow) RGB formula (q258). */
+  private def dibFrameFixture(w: Int, h: Int,
+                              rgb: (Int, Int) => (Int, Int, Int)): Array[Byte] = {
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val out = new Array[Byte](rowBytes * h)
+    (0 until h).foreach { r =>
+      (0 until w).foreach { x =>
+        val (rr, gg, bb) = rgb(x, r)
+        val o = r * rowBytes + x * 3
+        out(o) = bb.toByte; out(o + 1) = gg.toByte; out(o + 2) = rr.toByte
+      }
+    }
+    out
+  }
   /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
     * {TimestampScale 1 ms, Duration float}, Tracks{TrackEntry*}};
     * tracks are (num, type, codecId, w, h) with a Video element on
@@ -4594,6 +4647,42 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q258 — VIDEO FRAME decode ([[graft.sources.Multimodal
+    // .parseAviFrames]]): the tier that retires the "video pixel
+    // decode is stubbed" boundary for the two JVM-decodable codecs —
+    // MJPEG (every movi chunk is a complete baseline JPEG, decoded by
+    // the proven T.81 machinery) and uncompressed 24bpp DIB. One row
+    // per decoded frame; the audioFirst leg routes chunks by stream
+    // index (01dc), and the quality-1.0 flat-tile trick makes the
+    // lossy codec SQL-replayable per frame. flatMap kernel — payload
+    // bytes never cross a shuffle at any corpus size.
+    "q258_video_frames" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "avi? no".getBytes("UTF-8"))
+        else if (id % 5 == 2) {
+          val w = (4 + id % 7).toInt; val h = (2 + id % 3).toInt
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map(f => dibFrameFixture(w, h, (x, r) => (
+            ((id + f * 17 + x * 3 + r * 7) % 256).toInt,
+            ((id * 2 + f * 5 + x * 11 + r) % 256).toInt,
+            ((id * 3 + f + x + r * 13) % 256).toInt)))
+          (id, aviFixture(mjpeg = false, w, h, frames, audioFirst = false))
+        } else {
+          val tw = (1 + id % 2).toInt
+          val n = (2 + id % 3).toInt
+          val frames = (0 until n).map(f => jpegFlatTileFixture(tw, 1,
+            (tx, _) => ((id * 7 + f * 11 + tx * 13) % 256).toInt,
+            progressive = false))
+          (id, aviFixture(mjpeg = true, 16 * tw, 16, frames,
+            audioFirst = id % 4 == 1))
+        }
+      }.toDF("doc_id", "vid")
+      graft.sources.Multimodal.describeVideoFrames(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8394,6 +8483,41 @@ object SparkEntry {
         |       ELSE CAST(36 * (5 + d.doc_id % 20) AS BIGINT) END AS duration_ms
         |FROM documents d
         |ORDER BY media_id""".stripMargin,
+
+    // Per-frame sums re-derived from the tile / pixel formulas — the
+    // engine must reproduce them THROUGH the AVI container walk plus
+    // a real third-party JPEG encoding (MJPEG leg) or the padded
+    // bottom-up DIB layout. Junk payloads contribute no rows.
+    "q258_video_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |mj AS (SELECT doc_id, f, 1 + doc_id % 2 AS tw
+        |       FROM ids, generate_series(0, 4) t(f)
+        |       WHERE doc_id % 5 <> 2 AND f < 2 + doc_id % 3),
+        |mjagg AS (SELECT doc_id, f, MAX(tw) AS tw,
+        |    CAST(SUM(((doc_id * 7 + f * 11 + tx * 13) % 256) * 256) AS BIGINT) AS s
+        |  FROM mj, generate_series(0, 1) a(tx) WHERE tx < tw
+        |  GROUP BY doc_id, f),
+        |dib AS (SELECT doc_id, f, 4 + doc_id % 7 AS w, 2 + doc_id % 3 AS h
+        |        FROM ids, generate_series(0, 5) t(f)
+        |        WHERE doc_id % 5 = 2 AND f < 2 + doc_id % 4),
+        |dibagg AS (SELECT doc_id, f, MAX(w) AS w, MAX(h) AS h,
+        |    CAST(COUNT(*) AS BIGINT) AS np,
+        |    CAST(SUM((doc_id + f * 17 + x * 3 + r * 7) % 256) AS BIGINT) AS sr,
+        |    CAST(SUM((doc_id * 2 + f * 5 + x * 11 + r) % 256) AS BIGINT) AS sg,
+        |    CAST(SUM((doc_id * 3 + f + x + r * 13) % 256) AS BIGINT) AS sb
+        |  FROM dib, generate_series(0, 10) a(x), generate_series(0, 4) b(r)
+        |  WHERE x < w AND r < h
+        |  GROUP BY doc_id, f)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  'mjpeg' AS codec, CAST(tw * 16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height, CAST(tw * 256 AS BIGINT) AS n_pixels,
+        |  s AS sum_r, s AS sum_g, s AS sum_b
+        |FROM mjagg
+        |UNION ALL
+        |SELECT doc_id, CAST(f AS INTEGER), 'dib', CAST(w AS INTEGER),
+        |  CAST(h AS INTEGER), np, sr, sg, sb
+        |FROM dibagg
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -463,7 +463,7 @@ class PlanSpec extends SparkSpec {
         "q248_audio_decode", "q249_ico_decode", "q250_media_inspect",
         "q251_image_dhash", "q253_audio_fingerprint",
         "q254_video_metadata", "q255_mkv_metadata",
-        "q256_exif", "q257_mp3_metadata").foreach { q =>
+        "q256_exif", "q257_mp3_metadata", "q258_video_frames").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers

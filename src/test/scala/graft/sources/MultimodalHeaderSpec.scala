@@ -699,6 +699,105 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  // hand-built RIFF AVI: avih + per-stream strl list + movi chunks
+  private def aviOf(vidsCompression: Array[Byte], w: Int, h: Int,
+                    chunks: Seq[(String, Array[Byte])],
+                    audioFirst: Boolean = false,
+                    recWrap: Boolean = false): Array[Byte] = {
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def ck(id: String, p: Array[Byte]) = id.getBytes("US-ASCII") ++
+      le32(p.length) ++ p ++ (if ((p.length & 1) == 1) Array[Byte](0) else Array[Byte]())
+    def li(kind: String, b: Array[Byte]) = ck("LIST", kind.getBytes("US-ASCII") ++ b)
+    val avih = ck("avih", le32(40000) ++ Array.fill(12)(0.toByte) ++
+      le32(chunks.size) ++ le32(0) ++ le32(if (audioFirst) 2 else 1) ++
+      le32(0) ++ le32(w) ++ le32(h) ++ Array.fill(16)(0.toByte))
+    def strh(t: String) = ck("strh",
+      t.getBytes("US-ASCII") ++ "xxxx".getBytes ++ Array.fill(48)(0.toByte))
+    val strfV = ck("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++
+      le16(24) ++ vidsCompression ++ Array.fill(16)(0.toByte))
+    val strlV = li("strl", strh("vids") ++ strfV)
+    val strlA = li("strl", strh("auds") ++ ck("strf", Array.fill(16)(0.toByte)))
+    val hdrl = li("hdrl", avih ++ (if (audioFirst) strlA ++ strlV else strlV))
+    val frames = chunks.flatMap { case (tag, b) => ck(tag, b) }.toArray
+    val movi = li("movi", if (recWrap) li("rec ", frames) else frames)
+    ck("RIFF", "AVI ".getBytes("US-ASCII") ++ hdrl ++ movi)
+  }
+
+  test("parseAviFrames decodes MJPEG and DIB streams, routes by stream index") {
+    // MJPEG: real ImageIO-encoded JPEG frames; the container walk must
+    // agree with direct parseJpegPixels on the same frame bytes
+    val jf = (0 until 3).map { f =>
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 32).foreach(x =>
+        img.setRGB(x, y, ((x * 8 + f * 40) % 256) * 0x010101)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val mj = Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16,
+        jf.map(("00dc", _)))).get
+    assert(mj.size == 3)
+    mj.zipWithIndex.foreach { case (fr, k) =>
+      val direct = Multimodal.parseJpegPixels(jf(k)).get
+      assert(fr == Multimodal.VideoFrame(k, "mjpeg", 32, 16, 512,
+        direct.sumR, direct.sumG, direct.sumB))
+    }
+    // audioFirst: video is stream 1 → 01dc; 00-tagged chunks ignored
+    val routed = Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16,
+        Seq(("00wb", Array.fill(10)(7.toByte)), ("01dc", jf(0)),
+            ("00wb", Array.fill(4)(9.toByte)), ("01dc", jf(1))),
+        audioFirst = true)).get
+    assert(routed.size == 2 && routed.map(_.frameIdx) == Seq(0, 1))
+    // rec -grouped chunks walk too
+    assert(Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _)),
+        recWrap = true)).get.size == 3)
+    // a corrupt middle frame is skipped, the rest still decode
+    val bad = jf.updated(1, jf(1).take(20))
+    val skipped = Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, bad.map(("00dc", _)))).get
+    assert(skipped.size == 2 && skipped.map(_.sumR) ==
+      Seq(mj(0).sumR, mj(2).sumR))
+    // DIB: 3×2 24bpp bottom-up rows padded to 4 bytes — exact sums
+    val w = 3; val h = 2
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dib = new Array[Byte](rowBytes * h)
+    (0 until h).foreach(r => (0 until w).foreach { x =>
+      val o = r * rowBytes + x * 3
+      dib(o) = (10 + x + r).toByte; dib(o + 1) = (20 + x).toByte
+      dib(o + 2) = (30 + r).toByte
+    })
+    val dr = Multimodal.parseAviFrames(
+      aviOf(Array[Byte](0, 0, 0, 0), w, h, Seq(("00db", dib)))).get
+    assert(dr == Seq(Multimodal.VideoFrame(0, "dib", 3, 2, 6,
+      6 * 30 + 3 * 1, 6 * 20 + 2 * 3, 6 * 10 + 2 * 3 + 3 * 1)))
+    // maxFrames fence
+    assert(Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _))),
+      maxFrames = 2).get.size == 2)
+    // refusals: unknown codec fourcc, no vids stream, junk, null
+    assert(Multimodal.parseAviFrames(
+      aviOf("H264".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _)))).isEmpty)
+    assert(Multimodal.parseAviFrames("RIFFxxxxAVI LISThdrl".getBytes).isEmpty)
+    assert(Multimodal.parseAviFrames("not avi".getBytes).isEmpty)
+    assert(Multimodal.parseAviFrames(null).isEmpty)
+    // truncation sweep + corruption never throw
+    val seed = aviOf("MJPG".getBytes("US-ASCII"), 32, 16,
+      Seq(("00dc", jf(0)), ("00dc", jf(1))))
+    (1 until seed.length).foreach(n => Multimodal.parseAviFrames(seed.take(n)))
+    val rnd = new scala.util.Random(58)
+    (1 to 300).foreach { k =>
+      val c = seed.clone()
+      (0 to k % 4).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+      Multimodal.parseAviFrames(c)
+    }
+  }
+
   test("describeVideo routes mp4's first vide track, avi, and junk rows") {
     val rows = Seq(
       (1L, mp4File(
