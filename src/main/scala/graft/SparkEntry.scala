@@ -4683,6 +4683,84 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Q259 — per-frame video perceptual hashes ([[graft.sources
+    // .Multimodal.describeVideoHashes]]): q251's dHash lifted through
+    // the AVI container walk — every decoded frame (MJPEG via the
+    // T.81 grid path, DIB via the padded bottom-up layout) gets the
+    // 9×8 floor-boundary luma hash. The oracle replays pixel →
+    // luma → block sum·count cross products → bit pack per FRAME in
+    // integer SQL; the MJPEG leg rides the flat-tile losslessness
+    // (quality-1.0 tiles decode bit-exactly, r=g=b=v ⇒ luma=1000·v).
+    // Hash ships as 32-bit halves (q251 contract). Map-only.
+    "q259_video_framehash" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
+        else if (id % 5 == 2) {
+          val tw = (1 + id % 2).toInt
+          val n = (2 + id % 3).toInt
+          val frames = (0 until n).map(f => jpegFlatTileFixture(tw, 1,
+            (tx, _) => ((id * 7 + f * 11 + tx * 13) % 256).toInt,
+            progressive = false))
+          (id, aviFixture(mjpeg = true, 16 * tw, 16, frames,
+            audioFirst = id % 4 == 1))
+        } else {
+          val n = (2 + id % 4).toInt
+          val frames = (0 until n).map(f => dibFrameFixture(18, 16, (x, r) => {
+            val y = 15 - r
+            (((id * 5 + f * 7 + x * 13 + y * 29) % 256).toInt,
+              ((id * 3 + f * 11 + x * 3 + y * 17) % 256).toInt,
+              ((id * 7 + f * 13 + x + y * 7) % 256).toInt)
+          }))
+          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
+        }
+      }.toDF("doc_id", "vid")
+      graft.sources.Multimodal.describeVideoHashes(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+        .select(col("media_id"), col("frame_idx"),
+          shiftrightunsigned(col("dhash"), 32).as("dhash_hi"),
+          (col("dhash").bitwiseAND(lit(0xffffffffL))).as("dhash_lo"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
+    // Q260 — video near-dup pairs ([[graft.sources.Multimodal
+    // .videoNearDupPairs]]): banded (frame_idx, 16-bit chunk) join
+    // over per-frame dHashes — only ALIGNED frames can meet, any
+    // aligned pair within Hamming 3 shares a chunk (pigeonhole), and
+    // a pair survives when 2·matched ≥ min frame count — all integer.
+    // The corpus plants sextets: members share a base video (id/6,
+    // same frame count) and perturb one pixel per member, so sextet
+    // frames collide or nearly collide while strangers sit ~32 bits
+    // apart. The oracle recomputes every frame hash and takes
+    // all-pairs aligned XOR bit counts — pinning the hash, the
+    // pigeonhole completeness AND the threshold arithmetic.
+    "q260_video_neardup" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
+        else {
+          val g = id / 6
+          val n = (3 + g % 2).toInt
+          val frames = (0 until n).map(f => dibFrameFixture(18, 16, (x, r) => {
+            val y = 15 - r
+            val bump = if (x == (id % 6) * 2 && y == 3) 40 else 0
+            (math.min(255, ((g * 11 + f * 19 + x * 17 + y * 23) % 200) + bump).toInt,
+              ((g * 13 + f * 7 + x * 5 + y * 19) % 256).toInt,
+              ((g * 17 + f * 3 + x * 7 + y * 3) % 256).toInt)
+          }))
+          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
+        }
+      }.toDF("doc_id", "vid")
+      val hashes = graft.sources.Multimodal.describeVideoHashes(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+      graft.sources.Multimodal.videoNearDupPairs(hashes, 3)
+        .select(col("id1"), col("id2"),
+          col("matched_frames").cast("long").as("matched_frames"),
+          col("n1").cast("long").as("n1"), col("n2").cast("long").as("n2"))
+        .orderBy("id1", "id2")
+    }),
+
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8518,6 +8596,94 @@ object SparkEntry {
         |  CAST(h AS INTEGER), np, sr, sg, sb
         |FROM dibagg
         |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Per-frame dHashes re-derived: pixel → luma → 9×8 floor-boundary
+    // block sum·count cross products → bit pack, per frame. The MJPEG
+    // leg rides flat-tile losslessness (pixel == tile formula value,
+    // luma = 1000·v); block x-extents use the exact floor boundaries
+    // bx·w//9, compared as s·cnt cross products since widths differ.
+    "q259_video_framehash" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |mj AS (SELECT doc_id, f, 16 * (1 + doc_id % 2) AS w
+        |       FROM ids, generate_series(0, 4) t(f)
+        |       WHERE doc_id % 5 = 2 AND f < 2 + doc_id % 3),
+        |mjpx AS (SELECT doc_id, f, w, x, y,
+        |           1000 * ((doc_id * 7 + f * 11 + (x // 16) * 13) % 256) AS l
+        |         FROM mj, generate_series(0, 31) a(x), generate_series(0, 15) b(y)
+        |         WHERE x < w),
+        |dib AS (SELECT doc_id, f FROM ids, generate_series(0, 5) t(f)
+        |        WHERE doc_id % 5 <> 2 AND f < 2 + doc_id % 4),
+        |dibpx AS (SELECT doc_id, f, 18 AS w, x, y,
+        |            299 * ((doc_id * 5 + f * 7 + x * 13 + y * 29) % 256)
+        |          + 587 * ((doc_id * 3 + f * 11 + x * 3 + y * 17) % 256)
+        |          + 114 * ((doc_id * 7 + f * 13 + x + y * 7) % 256) AS l
+        |          FROM dib, generate_series(0, 17) a(x), generate_series(0, 15) b(y)),
+        |px AS (SELECT * FROM mjpx UNION ALL SELECT * FROM dibpx),
+        |blk AS (SELECT doc_id, f, bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS cnt
+        |        FROM px, generate_series(0, 8) g(bx)
+        |        WHERE x >= bx * w // 9 AND x < (bx + 1) * w // 9
+        |        GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT a.doc_id, a.f, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.f = b.f
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s * b.cnt > b.s * a.cnt),
+        |frames AS (SELECT DISTINCT doc_id, f FROM px)
+        |SELECT fr.doc_id AS media_id, CAST(fr.f AS INTEGER) AS frame_idx,
+        |  COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT)
+        |            FROM bits WHERE bits.doc_id = fr.doc_id AND bits.f = fr.f
+        |              AND k >= 32), 0) AS dhash_hi,
+        |  COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT)
+        |            FROM bits WHERE bits.doc_id = fr.doc_id AND bits.f = fr.f
+        |              AND k < 32), 0) AS dhash_lo
+        |FROM frames fr
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // Frame hashes recomputed (sextet/bump formulas), then ALL
+    // aligned pairwise XOR bit counts and the integer threshold —
+    // pinning hash arithmetic, pigeonhole completeness, and the
+    // 2·matched ≥ min(n1,n2) gate.
+    "q260_video_neardup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |fr AS (SELECT doc_id, doc_id // 6 AS g, f
+        |       FROM ids, generate_series(0, 3) t(f)
+        |       WHERE f < 3 + (doc_id // 6) % 2),
+        |px AS (SELECT doc_id, f, x, y,
+        |    299 * LEAST(255, (g * 11 + f * 19 + x * 17 + y * 23) % 200
+        |          + CASE WHEN x = (doc_id % 6) * 2 AND y = 3 THEN 40 ELSE 0 END)
+        |  + 587 * ((g * 13 + f * 7 + x * 5 + y * 19) % 256)
+        |  + 114 * ((g * 17 + f * 3 + x * 7 + y * 3) % 256) AS l
+        |  FROM fr, generate_series(0, 17) a(x), generate_series(0, 15) b(y)),
+        |blk AS (SELECT doc_id, f, x // 2 AS bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s
+        |        FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT a.doc_id, a.f, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.f = b.f
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s > b.s),
+        |hv AS (SELECT fr.doc_id, fr.f,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k >= 32), 0) AS hi,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k < 32), 0) AS lo
+        |       FROM fr),
+        |pairs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |            CAST(COUNT(*) AS BIGINT) AS matched
+        |          FROM hv a JOIN hv b ON a.f = b.f AND a.doc_id < b.doc_id
+        |          WHERE bit_count(xor(a.hi, b.hi))
+        |              + bit_count(xor(a.lo, b.lo)) <= 3
+        |          GROUP BY 1, 2),
+        |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM hv GROUP BY 1)
+        |SELECT id1, id2, matched AS matched_frames,
+        |  c1.nf AS n1, c2.nf AS n2
+        |FROM pairs
+        |JOIN cnts c1 ON c1.doc_id = id1
+        |JOIN cnts c2 ON c2.doc_id = id2
+        |WHERE matched * 2 >= LEAST(c1.nf, c2.nf)
+        |ORDER BY id1, id2""".stripMargin,
+
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -1131,6 +1131,41 @@ object Multimodal {
     (sr, sg, sb)
   }
 
+  /** [[jpegSumRgb]]'s grid sibling: the SAME upsample + YCbCr→RGB
+    * arithmetic (any divergence would unpin the differential specs)
+    * but materializing packed 0xRRGGBB pixels for the perceptual
+    * tier instead of summing them. */
+  private def jpegRgbGridOf(planes: Array[Array[Byte]], planeW: Array[Int],
+                            nc: Int, compH: Array[Int], compV: Array[Int],
+                            hMax: Int, vMax: Int, w: Int, h: Int): Array[Int] = {
+    val grid = new Array[Int](w * h)
+    def clamp(v: Double): Int = {
+      val r = math.round(v).toInt
+      if (r < 0) 0 else if (r > 255) 255 else r
+    }
+    var y = 0
+    while (y < h) {
+      var x = 0
+      while (x < w) {
+        grid(y * w + x) =
+          if (nc == 1) {
+            val v = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+            (v << 16) | (v << 8) | v
+          } else {
+            val yy = planes(0)((y * compV(0) / vMax) * planeW(0) + (x * compH(0) / hMax)) & 0xff
+            val cb = (planes(1)((y * compV(1) / vMax) * planeW(1) + (x * compH(1) / hMax)) & 0xff) - 128
+            val cr = (planes(2)((y * compV(2) / vMax) * planeW(2) + (x * compH(2) / hMax)) & 0xff) - 128
+            (clamp(yy + 1.402 * cr) << 16) |
+              (clamp(yy - 0.344136 * cb - 0.714136 * cr) << 8) |
+              clamp(yy + 1.772 * cb)
+          }
+        x += 1
+      }
+      y += 1
+    }
+    grid
+  }
+
   /** Progressive (SOF2) JPEG pixel decode — spec annex G: DC and AC
     * coefficients arrive over MULTIPLE scans (spectral selection
     * Ss..Se, successive approximation Ah/Al), so unlike the baseline
@@ -1569,7 +1604,30 @@ object Multimodal {
     * Reference anchor: the reference ships no media decoders; this
     * extends SURVEY §2's multimodal tier the same way the PNG/BMP/GIF/
     * WAV kernels did. */
-  def parseJpegPixels(bytes: Array[Byte]): Option[JpegStats] = {
+  def parseJpegPixels(bytes: Array[Byte]): Option[JpegStats] =
+    jpegBaselineDecode(bytes, wantGrid = false).map(_._1)
+
+  /** Baseline-JPEG packed RGB grid (0xRRGGBB row-major) —
+    * [[decodeRgbGrid]]'s JPEG sibling and the per-frame pixel source
+    * for MJPEG video hashing: the same T.81 decode as
+    * [[parseJpegPixels]] but MATERIALIZING pixels, so it carries the
+    * perceptual tier's `maxPixels` fence (checked from the SOF header
+    * BEFORE the grid allocates). Progressive returns None — MJPEG
+    * frames are baseline by definition, and the hash tier wants a
+    * cheap refusal, not a coefficient-plane decode. */
+  def jpegRgbGrid(bytes: Array[Byte],
+                  maxPixels: Int = 1 << 20): Option[(Int, Int, Array[Int])] =
+    parseImageHeader(bytes) match {
+      case Some(("jpeg", w, h)) if w.toLong * h <= maxPixels =>
+        jpegBaselineDecode(bytes, wantGrid = true).flatMap { case (st, g) =>
+          if (g == null || st.nPixels > maxPixels) None
+          else Some((st.width, st.height, g))
+        }
+      case _ => None
+    }
+
+  private def jpegBaselineDecode(bytes: Array[Byte], wantGrid: Boolean)
+      : Option[(JpegStats, Array[Int])] = {
     if (bytes == null || bytes.length < 16) return None
     def u8(i: Int) = bytes(i) & 0xff
     def be16(i: Int) = (u8(i) << 8) | u8(i + 1)
@@ -1626,8 +1684,10 @@ object Multimodal {
             }
           case 0xc2 if segLen >= 3 && u8(i + 4) == 8 =>
             // progressive: a different decode structure (coefficient
-            // accumulation across scans) — dedicated path
-            return parseJpegProgressive(bytes)
+            // accumulation across scans) — dedicated path; the grid
+            // tier refuses it (see [[jpegRgbGrid]])
+            return (if (wantGrid) None
+                    else parseJpegProgressive(bytes).map((_, null)))
           case 0xc0 | 0xc1 => // baseline / extended sequential Huffman
             if (w != 0) return None // two frames: malformed
             if (i + 10 > segEnd) return None // short frame header
@@ -1793,7 +1853,9 @@ object Multimodal {
       mcu += 1
     }
     val (sr, sg, sb) = jpegSumRgb(planes, planeW, nc, compH, compV, hMax, vMax, w, h)
-    Some(JpegStats(w, h, nc, w.toLong * h, sr, sg, sb))
+    Some((JpegStats(w, h, nc, w.toLong * h, sr, sg, sb),
+      if (wantGrid) jpegRgbGridOf(planes, planeW, nc, compH, compV, hMax, vMax, w, h)
+      else null))
   }
 
   /** [[describePng]]'s JPEG sibling: per-payload decoded pixel sums
@@ -3173,6 +3235,89 @@ object Multimodal {
     * OpenDML/MSDN AVI spec, MJPEG per ISO/IEC 10918-1). */
   def parseAviFrames(bytes: Array[Byte],
                      maxFrames: Int = 1 << 12): Option[Seq[VideoFrame]] = {
+    val out = Seq.newBuilder[VideoFrame]
+    aviWalkFrames(bytes, maxFrames) { (idx, codec, body, dibW, dibH) =>
+      if (codec == "mjpeg") parseJpegPixels(body) match {
+        case Some(s) =>
+          out += VideoFrame(idx, codec, s.width, s.height, s.nPixels,
+            s.sumR, s.sumG, s.sumB)
+          true
+        case None => false
+      } else {
+        // bare DIB pixel array: strf dims, bottom-up padded rows
+        val rowBytes = ((dibW.toLong * 3 + 3) / 4) * 4
+        val h = math.abs(dibH)
+        if (dibW > 0 && h > 0 && rowBytes * h <= body.length) {
+          var sr = 0L; var sg = 0L; var sb = 0L
+          var row = 0
+          while (row < h) {
+            val base = (row.toLong * rowBytes).toInt
+            var x = 0
+            while (x < dibW) {
+              val o = base + x * 3
+              sb += body(o) & 0xff; sg += body(o + 1) & 0xff
+              sr += body(o + 2) & 0xff
+              x += 1
+            }
+            row += 1
+          }
+          out += VideoFrame(idx, codec, dibW, h, dibW.toLong * h, sr, sg, sb)
+          true
+        } else false
+      }
+    }.map(_ => out.result())
+  }
+
+  /** Per-frame packed RGB grids of an AVI's first video stream —
+    * the pixel-materializing sibling of [[parseAviFrames]] for the
+    * video perceptual tier: MJPEG frames through [[jpegRgbGrid]],
+    * DIB frames through the padded bottom-up row layout (negative
+    * strf height = top-down, normalized here). Frames above
+    * `maxPixels` are skipped, like any other undecodable frame. */
+  def aviFrameGrids(bytes: Array[Byte], maxFrames: Int = 1 << 12,
+                    maxPixels: Int = 1 << 20)
+      : Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    val out = Seq.newBuilder[(Int, Int, Int, Array[Int])]
+    aviWalkFrames(bytes, maxFrames) { (idx, codec, body, dibW, dibH) =>
+      if (codec == "mjpeg") jpegRgbGrid(body, maxPixels) match {
+        case Some((w, h, g)) => out += ((idx, w, h, g)); true
+        case None => false
+      } else {
+        val rowBytes = ((dibW.toLong * 3 + 3) / 4) * 4
+        val h = math.abs(dibH)
+        val topDown = dibH < 0
+        if (dibW > 0 && h > 0 && rowBytes * h <= body.length &&
+            dibW.toLong * h <= maxPixels) {
+          val grid = new Array[Int](dibW * h)
+          var row = 0
+          while (row < h) {
+            val y = if (topDown) row else h - 1 - row
+            val base = (row.toLong * rowBytes).toInt
+            var x = 0
+            while (x < dibW) {
+              val o = base + x * 3
+              grid(y * dibW + x) = ((body(o + 2) & 0xff) << 16) |
+                ((body(o + 1) & 0xff) << 8) | (body(o) & 0xff)
+              x += 1
+            }
+            row += 1
+          }
+          out += ((idx, dibW, h, grid))
+          true
+        } else false
+      }
+    }.map(_ => out.result())
+  }
+
+  /** The shared AVI container walk behind [[parseAviFrames]] /
+    * [[aviFrameGrids]]: hdrl scan for the first `vids` stream
+    * (stream index + strf codec/dims), then the movi chunk walk —
+    * one `rec ` grouping level included — handing each of that
+    * stream's frame chunk bodies to `decode(idx, codec, body, dibW,
+    * dibH)`; decode returns whether the frame counted (advancing
+    * idx). None = not an AVI with a decodable-codec video stream. */
+  private def aviWalkFrames(bytes: Array[Byte], maxFrames: Int)
+      (decode: (Int, String, Array[Byte], Int, Int) => Boolean): Option[Unit] = {
     if (bytes == null || bytes.length < 12) return None
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
@@ -3225,37 +3370,11 @@ object Multimodal {
     if (streamNo < 0 || codec == null) return None
     val tag = f"$streamNo%02d"
     // ---- movi walk: decode this stream's frame chunks -------------
-    val out = Seq.newBuilder[VideoFrame]
     var idx = 0
     def frameChunk(at: Long, sz: Long): Unit = {
       if (idx >= maxFrames || at + sz > bytes.length) return
       val body = java.util.Arrays.copyOfRange(bytes, at.toInt, (at + sz).toInt)
-      if (codec == "mjpeg") parseJpegPixels(body).foreach { s =>
-        out += VideoFrame(idx, codec, s.width, s.height, s.nPixels,
-          s.sumR, s.sumG, s.sumB)
-        idx += 1
-      } else {
-        // bare DIB pixel array: strf dims, bottom-up padded rows
-        val rowBytes = ((dibW.toLong * 3 + 3) / 4) * 4
-        val h = math.abs(dibH)
-        if (dibW > 0 && h > 0 && rowBytes * h <= body.length) {
-          var sr = 0L; var sg = 0L; var sb = 0L
-          var row = 0
-          while (row < h) {
-            val base = (row.toLong * rowBytes).toInt
-            var x = 0
-            while (x < dibW) {
-              val o = base + x * 3
-              sb += body(o) & 0xff; sg += body(o + 1) & 0xff
-              sr += body(o + 2) & 0xff
-              x += 1
-            }
-            row += 1
-          }
-          out += VideoFrame(idx, codec, dibW, h, dibW.toLong * h, sr, sg, sb)
-          idx += 1
-        }
-      }
+      if (decode(idx, codec, body, dibW, dibH)) idx += 1
     }
     def walkChunks(from: Long, to: Long, depth: Int): Unit = {
       var p = from
@@ -3276,7 +3395,7 @@ object Multimodal {
         walkChunks(i + 12, math.min(i + 8 + sz, bytes.length.toLong), 0)
       i += 8L + sz + (sz & 1)
     }
-    Some(out.result())
+    Some(())
   }
 
   private def le32Of(a: Char, b: Char, c: Char, d: Char): Long =
@@ -3301,6 +3420,95 @@ object Multimodal {
       }
       .toDF("media_id", "frame_idx", "codec", "width", "height",
         "n_pixels", "sum_r", "sum_g", "sum_b")
+  }
+
+  /** Per-FRAME perceptual hashes over a video media frame —
+    * [[describeImageHash]] lifted to video: one row per decoded frame
+    * ([[aviFrameGrids]]) carrying its [[imageDHash]]; frames too small
+    * to hash (w<9 or h<8) contribute a null hash but keep their row,
+    * so downstream frame counts still reflect the decoded stream.
+    * flatMap kernel — payload bytes never cross a shuffle; per-frame
+    * output is (id, idx, 64-bit hash). */
+  def describeVideoHashes(media: DataFrame, maxFrames: Int = 1 << 12,
+                          maxPixels: Int = 1 << 20): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        aviFrameGrids(p, maxFrames, maxPixels).getOrElse(Nil).map {
+          case (idx, w, h, g) => (id, idx, imageDHash(w, h, g))
+        }
+      }
+      .toDF("media_id", "frame_idx", "dhash")
+  }
+
+  /** Video near-dup pairs from per-frame perceptual hashes — the
+    * video analog of [[hammingPairs64]]: candidates come from the
+    * same 4×16-bit pigeonhole chunk join, but keyed by (frame_idx,
+    * chunk) so only ALIGNED frames of two videos can meet (any
+    * aligned frame pair within Hamming `maxHamming` ≤ 3 shares an
+    * exact chunk). Per video pair, count aligned frames within the
+    * Hamming gate; a pair is a near-dup when at least half the
+    * shorter video's hashed frames match — integer math
+    * (`2·matched ≥ min(n1,n2)`), no ratio column. Output (id1, id2,
+    * matched_frames, n1, n2), id1 < id2.
+    * Scale: candidate volume tracks per-(frame, chunk) bucket
+    * occupancy — never all video pairs; frame counts are one
+    * partial-agg shuffle over ids. */
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+    val hashed = frameHashes.where(col("dhash").isNotNull)
+      .select(col("media_id").cast("long").as("vid"),
+        col("frame_idx").cast("int").as("fi"), col("dhash").as("vh"))
+    val counts = hashed.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
+    val chunks = hashed.select(col("vid"), col("fi"), col("vh"),
+      explode(expr(
+        "array(" + (0 until 4).map(i =>
+          s"struct($i as ci, shiftright(vh, ${16 * i}) & 65535 as cv)").mkString(",") + ")"))
+        .as("c"))
+      .select(col("vid"), col("fi"), col("vh"), col("c.ci"), col("c.cv"))
+    val framePairs = chunks.alias("a")
+      .join(chunks.alias("b"),
+        col("a.fi") === col("b.fi") && col("a.ci") === col("b.ci") &&
+          col("a.cv") === col("b.cv") && col("a.vid") < col("b.vid"))
+      .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+        col("a.fi").as("fi"),
+        bit_count(col("a.vh").bitwiseXOR(col("b.vh"))).as("hamming"))
+      .dropDuplicates("id1", "id2", "fi")
+      .where(col("hamming") <= maxHamming)
+    framePairs.groupBy(col("id1"), col("id2"))
+      .agg(count(lit(1)).as("matched_frames"))
+      .join(counts.withColumnRenamed("vid", "id1").withColumnRenamed("nf", "n1"), "id1")
+      .join(counts.withColumnRenamed("vid", "id2").withColumnRenamed("nf", "n2"), "id2")
+      .where(col("matched_frames") * 2 >= least(col("n1"), col("n2")))
+      .select(col("id1"), col("id2"), col("matched_frames"),
+        col("n1"), col("n2"))
+  }
+
+  /** Scene segmentation from per-frame perceptual hashes — the
+    * keyframe-selection primitive a multimodal training pipeline
+    * needs (sample one frame per scene instead of every frame): a
+    * frame starts a new scene when its dHash sits more than
+    * `cutHamming` bits from the previous frame's. One row per scene
+    * with its first frame (the keyframe) and length. Frames whose
+    * hash is null (too small to hash) never cut — the XOR comparison
+    * is null and the cut flag defaults 0 — and a null-hash frame also
+    * shields the NEXT comparison (documented: hash gaps read as scene
+    * continuation, the conservative choice for sampling).
+    * Scale: ONE window shuffle keyed by video id (frames of a video
+    * are a bounded sequence), then a partial-agg scene rollup. */
+  def sceneCuts(frameHashes: DataFrame, cutHamming: Int = 10): DataFrame = {
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id")).orderBy(col("frame_idx"))
+    frameHashes
+      .withColumn("prev_hash", lag(col("dhash"), 1).over(w))
+      .withColumn("is_cut",
+        when(bit_count(col("dhash").bitwiseXOR(col("prev_hash"))) > cutHamming,
+          lit(1)).otherwise(lit(0)))
+      .withColumn("scene_idx", sum(col("is_cut")).over(w))
+      .groupBy(col("media_id"), col("scene_idx"))
+      .agg(min(col("frame_idx")).as("start_frame"),
+        count(lit(1)).as("n_frames"))
   }
 
   /** One entry point for a MIXED media column — the API a corpus

@@ -479,6 +479,15 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p) // the banded chunk self-join IS a hash/merge join
   }
 
+  test("q259/q260: frame hashes map-only; video near-dup joins keyed, never all pairs") {
+    val ph = plan("q259_video_framehash")
+    assert(ph.linesIterator.count(_.contains("Exchange")) == 1, ph)
+    assert(!ph.contains("Join") && !ph.contains("CartesianProduct"), ph)
+    val p = plan("q260_video_neardup")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Join"), p) // (frame_idx, chunk)-keyed hash/merge join
+  }
+
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {
     // Round 10: q226 runs through Clustering.iterateSteps, which
     // EXECUTES each lloydStep round eagerly and localCheckpoints the

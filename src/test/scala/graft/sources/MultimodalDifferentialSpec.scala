@@ -868,6 +868,45 @@ class MultimodalDifferentialSpec extends AnyFunSuite {
     }
   }
 
+  test("jpegRgbGrid: flat tiles exact, sums match parseJpegPixels, progressive refused, fences") {
+    // flat tiles: every materialized pixel equals the tile formula
+    val tw = 2; val th = 1
+    val img = new java.awt.image.BufferedImage(
+      16 * tw, 16 * th, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 16 * th).foreach { y => (0 until 16 * tw).foreach { x =>
+      val g = (37 + (x / 16) * 67) % 256
+      img.setRGB(x, y, (g << 16) | (g << 8) | g) } }
+    val flat = encodeJpeg(img, 1.0f)
+    val (fw, fh, fg) = Multimodal.jpegRgbGrid(flat).get
+    assert(fw == 32 && fh == 16)
+    (0 until fh).foreach { y => (0 until fw).foreach { x =>
+      val g = (37 + (x / 16) * 67) % 256
+      assert(fg(y * fw + x) == ((g << 16) | (g << 8) | g), s"($x,$y)") } }
+    // arbitrary color JPEG: grid channel sums == parseJpegPixels sums
+    // (same planes, same upsample/convert arithmetic — exact parity)
+    val noisy = new java.awt.image.BufferedImage(
+      37, 23, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    (0 until 23).foreach { y => (0 until 37).foreach { x =>
+      noisy.setRGB(x, y, rnd.nextInt(1 << 24)) } }
+    val nb = encodeJpeg(noisy, 0.8f)
+    val st = Multimodal.parseJpegPixels(nb).get
+    val (nw, nh, ng) = Multimodal.jpegRgbGrid(nb).get
+    assert(nw == st.width && nh == st.height)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    ng.foreach { p =>
+      sr += (p >> 16) & 0xff; sg += (p >> 8) & 0xff; sb += p & 0xff }
+    assert(sr == st.sumR && sg == st.sumG && sb == st.sumB)
+    // progressive refused by the grid tier (stats path still decodes it)
+    val prog = encodeJpeg(img, 1.0f, progressive = true)
+    assert(Multimodal.parseJpegPixels(prog).isDefined)
+    assert(Multimodal.jpegRgbGrid(prog).isEmpty)
+    // maxPixels fence from the header, junk and null refused
+    assert(Multimodal.jpegRgbGrid(nb, maxPixels = 100).isEmpty)
+    assert(Multimodal.jpegRgbGrid("not a jpeg".getBytes).isEmpty)
+    assert(Multimodal.jpegRgbGrid(null).isEmpty)
+    (1 until nb.length by 7).foreach(n => Multimodal.jpegRgbGrid(nb.take(n)))
+  }
+
   test("parseJpegPixels tracks ImageIO within IDCT tolerance on grayscale noise") {
     // 1-component JPEG: no chroma upsampling in play, so the only
     // decoder freedom is the IDCT approximation — per-sample error is

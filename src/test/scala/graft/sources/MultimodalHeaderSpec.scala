@@ -825,6 +825,140 @@ class MultimodalHeaderSpec extends SparkSpec {
     assert(out(2) == ((3L, None, None, None, None, None, None, None)))
   }
 
+  test("aviFrameGrids materializes exact pixels: DIB bottom-up, top-down, MJPEG parity") {
+    // DIB bottom-up: stored row r is image row h-1-r
+    val w = 10; val h = 9
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    def dibBody = {
+      val b = new Array[Byte](rowBytes * h)
+      (0 until h).foreach(r => (0 until w).foreach { x =>
+        val o = r * rowBytes + x * 3
+        b(o) = (x + r).toByte; b(o + 1) = (2 * x).toByte; b(o + 2) = (3 * r).toByte
+      })
+      b
+    }
+    val up = Multimodal.aviFrameGrids(
+      aviOf(Array[Byte](0, 0, 0, 0), w, h, Seq(("00db", dibBody)))).get
+    assert(up.size == 1)
+    val (idx, gw, gh, grid) = up.head
+    assert((idx, gw, gh) == ((0, w, h)))
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val r = h - 1 - y // stored row for this image row
+      val want = (((3 * r) & 0xff) << 16) | (((2 * x) & 0xff) << 8) | ((x + r) & 0xff)
+      assert(grid(y * w + x) == want, s"($x,$y)")
+    }}
+    // top-down DIB (negative strf height) must NOT flip
+    val down = Multimodal.aviFrameGrids(
+      aviOf(Array[Byte](0, 0, 0, 0), w, -h, Seq(("00db", dibBody)))).get
+    val gridD = down.head._4
+    (0 until h).foreach { y => (0 until w).foreach { x =>
+      val want = (((3 * y) & 0xff) << 16) | (((2 * x) & 0xff) << 8) | ((x + y) & 0xff)
+      assert(gridD(y * w + x) == want, s"topdown ($x,$y)")
+    }}
+    // MJPEG frames: container grid == direct jpegRgbGrid on the bytes
+    val jf = (0 until 2).map { f =>
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 32).foreach(x =>
+        img.setRGB(x, y, ((x * 8 + f * 40 + y) % 256) * 0x010101)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    val mj = Multimodal.aviFrameGrids(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _)))).get
+    assert(mj.size == 2)
+    mj.zipWithIndex.foreach { case ((fi, fw, fh, g), k) =>
+      val (dw, dh, dg) = Multimodal.jpegRgbGrid(jf(k)).get
+      assert((fi, fw, fh) == ((k, dw, dh)))
+      assert(g.sameElements(dg))
+    }
+    // maxPixels fence skips frames, container still recognized
+    assert(Multimodal.aviFrameGrids(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _))),
+      maxPixels = 100).get.isEmpty)
+  }
+
+  test("describeVideoHashes matches imageDHash over independently decoded grids") {
+    // same pixels through TWO paths: AVI/DIB → describeVideoHashes,
+    // and BMP → decodeRgbGrid → imageDHash
+    val w = 12; val h = 10
+    def rgb(f: Int)(x: Int, y: Int): (Int, Int, Int) =
+      ((x * 17 + y * 5 + f * 29) % 256, (x * 3 + y * 13 + f) % 256,
+        (x * 7 + y + f * 11) % 256)
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    def dibBody(f: Int) = {
+      val b = new Array[Byte](rowBytes * h)
+      (0 until h).foreach { r =>
+        val y = h - 1 - r
+        (0 until w).foreach { x =>
+          val (rr, gg, bb) = rgb(f)(x, y)
+          val o = r * rowBytes + x * 3
+          b(o) = bb.toByte; b(o + 1) = gg.toByte; b(o + 2) = rr.toByte
+        }
+      }
+      b
+    }
+    def bmp(f: Int) = {
+      val bb = java.nio.ByteBuffer.allocate(54 + rowBytes * h)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      bb.put('B'.toByte).put('M'.toByte).putInt(54 + rowBytes * h)
+        .putShort(0).putShort(0).putInt(54)
+      bb.putInt(40).putInt(w).putInt(h).putShort(1).putShort(24)
+        .putInt(0).putInt(rowBytes * h).putInt(2835).putInt(2835)
+        .putInt(0).putInt(0)
+      bb.put(dibBody(f))
+      bb.array()
+    }
+    val avi = aviOf(Array[Byte](0, 0, 0, 0), w, h,
+      (0 until 3).map(f => ("00db", dibBody(f))))
+    val media = Multimodal.asMedia(
+      Seq((7L, avi), (8L, "junk".getBytes("UTF-8"))).toDF("id", "bytes"),
+      "id", "bytes", "video")
+    val got = Multimodal.describeVideoHashes(media)
+      .orderBy("media_id", "frame_idx")
+      .as[(Long, Int, Option[Long])].collect().toSeq
+    val want = (0 until 3).map { f =>
+      val Some((bw, bh, g)) = Multimodal.decodeRgbGrid(bmp(f))
+      (7L, f, Multimodal.imageDHash(bw, bh, g))
+    }
+    assert(got == want)
+    assert(got.forall(_._3.isDefined))
+    // frames too small to hash keep their row with a null hash
+    val tiny = aviOf(Array[Byte](0, 0, 0, 0), 4, 3,
+      Seq(("00db", new Array[Byte](((4 * 3 + 3) / 4) * 4 * 3))))
+    val tinyRows = Multimodal.describeVideoHashes(Multimodal.asMedia(
+        Seq((9L, tiny)).toDF("id", "bytes"), "id", "bytes", "video"))
+      .as[(Long, Int, Option[Long])].collect().toSeq
+    assert(tinyRows == Seq((9L, 0, None)))
+  }
+
+  test("videoNearDupPairs: aligned-frame pigeonhole join and the half-frames gate") {
+    // hashes chosen directly (the hash tier is pinned above): videos
+    // 1/2 share all 4 aligned frames; 3 shares 2 of 4 with 1/2
+    // (exactly half — passes) and 3 of 4 with 4; 4 shares only 1 of 4
+    // with 1/2 (fails); 5 aligns nothing.
+    def fr(id: Long, hs: Seq[Long]) = hs.zipWithIndex.map { case (v, i) => (id, i, v) }
+    val far = 0xf0f0f0f0f0f0f0f0L // differs from 0 in 32 bits
+    val rows = fr(1L, Seq(10L, 20L, 30L, 40L)) ++
+      fr(2L, Seq(10L, 21L, 30L, 40L)) ++ // frame 1 hamming=1
+      fr(3L, Seq(10L, 20L, far, far)) ++
+      fr(4L, Seq(10L, far, far, far)) ++
+      fr(5L, Seq(0x00ff00ff00ff00ffL, 0xff00ff00ff00ff00L,
+        0x0f0f0f0f00000000L, 0x00000000f0f0f0f0L))
+    val df = rows.toDF("media_id", "frame_idx", "dhash")
+    val got = Multimodal.videoNearDupPairs(df, 3)
+      .orderBy("id1", "id2")
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    assert(got == Seq((1L, 2L, 4L, 4L, 4L), (1L, 3L, 2L, 4L, 4L),
+      (2L, 3L, 2L, 4L, 4L), (3L, 4L, 3L, 4L, 4L)))
+    // null hashes drop from counts: a video of only null hashes pairs nothing
+    val withNull = df.union(Seq((6L, 0, null.asInstanceOf[java.lang.Long]))
+      .toDF("media_id", "frame_idx", "dhash"))
+    assert(Multimodal.videoNearDupPairs(withNull, 3)
+      .where(col("id1") === 6L || col("id2") === 6L).count() == 0)
+  }
+
   test("extractFeaturesBatched preserves order and batches payloads") {
     val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
     val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")
