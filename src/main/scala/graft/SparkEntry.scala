@@ -423,6 +423,14 @@ object SparkEntry {
     }
     out
   }
+  /** `HH:MM:SS<sep>mmm` (or MM:SS<sep>mmm when `short` and under an
+    * hour — WebVTT's optional-hours form) subtitle stamp (q261). */
+  private def subStamp(ms: Long, sep: Char, short: Boolean): String = {
+    val h = ms / 3600000; val m = (ms / 60000) % 60
+    val s = (ms / 1000) % 60; val mmm = ms % 1000
+    if (short && h == 0) f"$m%02d:$s%02d$sep$mmm%03d"
+    else f"$h%02d:$m%02d:$s%02d$sep$mmm%03d"
+  }
   /** Minimal Matroska/WebM: EBML header (DocType) + Segment{Info
     * {TimestampScale 1 ms, Duration float}, Tracks{TrackEntry*}};
     * tracks are (num, type, codecId, w, h) with a Video element on
@@ -4760,6 +4768,83 @@ object SparkEntry {
         .orderBy("id1", "id2")
     }),
 
+    // Q261 — subtitle/caption extraction ([[graft.sources.Subtitles
+    // .describeSubtitles]]): SRT and WebVTT parsed to one row per cue
+    // with integer millisecond timings — the text half of video-text
+    // training pairs. The VTT leg exercises the header block, a NOTE
+    // comment, cue-id lines, optional hours and settings after the
+    // end stamp; the SRT leg exercises index lines, comma stamps and
+    // multi-line cue text. The oracle replays the integer timing
+    // formulas and the exact text (chr(10) for the SRT two-liners).
+    // flatMap kernel, payloads never shuffle.
+    "q261_subtitles" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 4).toInt
+          def startMs(k: Int) = (id % 900) * 1000 + k * 1500
+          val body = if (id % 3 == 0) {
+            val blocks = (0 until n).map { k =>
+              s"cue-$id-$k\n${subStamp(startMs(k), '.', short = true)} --> " +
+                s"${subStamp(startMs(k) + 1200, '.', short = true)} align:start\n" +
+                s"cue $id $k"
+            }
+            s"WEBVTT - fixture $id\nKind: captions\n\nNOTE generated fixture\n\n" +
+              blocks.mkString("\n\n") + "\n"
+          } else {
+            val blocks = (0 until n).map { k =>
+              val extra = if (k % 2 == 0) s"\nmore $k" else ""
+              s"${k + 1}\n${subStamp(startMs(k), ',', short = false)} --> " +
+                s"${subStamp(startMs(k) + 1200, ',', short = false)}\n" +
+                s"cue $id $k$extra"
+            }
+            blocks.mkString("\n\n") + "\n"
+          }
+          (id, body.getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "sub")
+      graft.sources.Subtitles.describeSubtitles(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "sub", "subtitle"))
+        .orderBy("media_id", "cue_idx")
+    }),
+
+    // Q262 — scene segmentation / keyframe selection ([[graft.sources
+    // .Multimodal.sceneCuts]]): a frame starts a new scene when its
+    // dHash moves > 10 bits from the previous frame's — the sampling
+    // primitive that picks one keyframe per scene instead of every
+    // frame. Fixture frames repeat a per-scene formula (f/3), so
+    // within-scene hamming is 0; the oracle replays hash → LAG →
+    // bit-count cut → running scene sum → rollup, pinning the whole
+    // chain whatever each boundary's actual distance is. One window
+    // shuffle keyed by video, then a partial-agg rollup.
+    "q262_scene_cuts" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
+        else {
+          val n = (5 + id % 4).toInt
+          val frames = (0 until n).map { f =>
+            val sc = f / 3
+            dibFrameFixture(18, 16, (x, r) => {
+              val y = 15 - r
+              (((id * 5 + sc * 97 + x * 13 + y * 29) % 256).toInt,
+                ((id * 3 + sc * 89 + x * 3 + y * 17) % 256).toInt,
+                ((id * 7 + sc * 83 + x + y * 7) % 256).toInt)
+            })
+          }
+          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
+        }
+      }.toDF("doc_id", "vid")
+      val hashes = graft.sources.Multimodal.describeVideoHashes(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+      graft.sources.Multimodal.sceneCuts(hashes, 10)
+        .select(col("media_id"),
+          col("scene_idx").cast("long").as("scene_idx"),
+          col("start_frame").cast("long").as("start_frame"),
+          col("n_frames").cast("long").as("n_frames"))
+        .orderBy("media_id", "scene_idx")
+    }),
 
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
@@ -8684,6 +8769,68 @@ object SparkEntry {
         |WHERE matched * 2 >= LEAST(c1.nf, c2.nf)
         |ORDER BY id1, id2""".stripMargin,
 
+    // Cue timings and text replayed from the integer formulas — the
+    // engine must reproduce them THROUGH the SRT/VTT text layouts
+    // (headers, NOTE blocks, cue ids, index lines, stamp formats).
+    "q261_subtitles" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |cues AS (SELECT doc_id, k FROM ids, generate_series(0, 3) t(k)
+        |         WHERE k < 1 + doc_id % 4)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN 'vtt' ELSE 'srt' END AS format,
+        |  CAST(k AS INTEGER) AS cue_idx,
+        |  CAST((doc_id % 900) * 1000 + k * 1500 AS BIGINT) AS start_ms,
+        |  CAST((doc_id % 900) * 1000 + k * 1500 + 1200 AS BIGINT) AS end_ms,
+        |  'cue ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR) ||
+        |    CASE WHEN doc_id % 3 <> 0 AND k % 2 = 0
+        |         THEN chr(10) || 'more ' || CAST(k AS VARCHAR) ELSE '' END AS text
+        |FROM cues
+        |ORDER BY media_id, cue_idx""".stripMargin,
+
+    // Frame hashes replayed with the per-scene formula (f//3), then
+    // the cut chain: LAG, XOR bit count > 10, running scene sum,
+    // scene rollup — pinning detection AND rollup arithmetic.
+    "q262_scene_cuts" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |fr AS (SELECT doc_id, f FROM ids, generate_series(0, 7) t(f)
+        |       WHERE f < 5 + doc_id % 4),
+        |px AS (SELECT doc_id, f, x, y,
+        |    299 * ((doc_id * 5 + (f // 3) * 97 + x * 13 + y * 29) % 256)
+        |  + 587 * ((doc_id * 3 + (f // 3) * 89 + x * 3 + y * 17) % 256)
+        |  + 114 * ((doc_id * 7 + (f // 3) * 83 + x + y * 7) % 256) AS l
+        |  FROM fr, generate_series(0, 17) a(x), generate_series(0, 15) b(y)),
+        |blk AS (SELECT doc_id, f, x // 2 AS bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s
+        |        FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT a.doc_id, a.f, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.f = b.f
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s > b.s),
+        |hv AS (SELECT fr.doc_id, fr.f,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k >= 32), 0) AS hi,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k < 32), 0) AS lo
+        |       FROM fr),
+        |lagd AS (SELECT doc_id, f, hi, lo,
+        |           LAG(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+        |           LAG(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+        |         FROM hv),
+        |cut AS (SELECT doc_id, f,
+        |          CASE WHEN phi IS NULL THEN 0
+        |               WHEN bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) > 10
+        |               THEN 1 ELSE 0 END AS c
+        |        FROM lagd),
+        |scn AS (SELECT doc_id, f,
+        |          SUM(c) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+        |        FROM cut)
+        |SELECT doc_id AS media_id, CAST(scene AS BIGINT) AS scene_idx,
+        |  CAST(MIN(f) AS BIGINT) AS start_frame,
+        |  CAST(COUNT(*) AS BIGINT) AS n_frames
+        |FROM scn GROUP BY 1, 2
+        |ORDER BY media_id, scene_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -463,7 +463,8 @@ class PlanSpec extends SparkSpec {
         "q248_audio_decode", "q249_ico_decode", "q250_media_inspect",
         "q251_image_dhash", "q253_audio_fingerprint",
         "q254_video_metadata", "q255_mkv_metadata",
-        "q256_exif", "q257_mp3_metadata", "q258_video_frames").foreach { q =>
+        "q256_exif", "q257_mp3_metadata", "q258_video_frames",
+        "q261_subtitles").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers
@@ -486,6 +487,14 @@ class PlanSpec extends SparkSpec {
     val p = plan("q260_video_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
     assert(p.contains("Join"), p) // (frame_idx, chunk)-keyed hash/merge join
+  }
+
+  test("q262: scene cuts are one keyed window + rollup, no join") {
+    val p = plan("q262_scene_cuts")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // window keyed by media_id — never a global (unpartitioned) sort
+    assert(p.contains("hashpartitioning(media_id"), p)
   }
 
   test("q226: rounds are checkpoint-cut; the result plan is agg over a flat RDD scan") {

@@ -959,6 +959,30 @@ class MultimodalHeaderSpec extends SparkSpec {
       .where(col("id1") === 6L || col("id2") === 6L).count() == 0)
   }
 
+  test("sceneCuts: cut threshold boundary, null-hash continuation, scene rollup") {
+    val A = 0L
+    val B = (1L << 11) - 1        // 11 bits from A: > 10 → cut
+    val C = B ^ (1L << 40)        // 12 bits from A, 1 bit from B: no cut vs B
+    val atEdge = (1L << 10) - 1   // exactly 10 bits from A: NOT a cut
+    val rows = Seq(
+      // video 1: A A | B C | A'  → scenes (0: f0-f1), (1: f2-f3), (2: f4)
+      (1L, 0, Some(A)), (1L, 1, Some(A)), (1L, 2, Some(B)),
+      (1L, 3, Some(C)), (1L, 4, Some(B ^ (1L << 20) ^ (1L << 21) ^
+        (1L << 22) ^ (1L << 23) ^ (1L << 24) ^ (1L << 25) ^ (1L << 26) ^
+        (1L << 27) ^ (1L << 28) ^ (1L << 29) ^ (1L << 30))),
+      // video 2: exactly-at-threshold stays one scene
+      (2L, 0, Some(A)), (2L, 1, Some(atEdge)),
+      // video 3: null hash mid-stream: no cut on it, and it shields
+      // the next comparison (null XOR) — one scene of 3 frames
+      (3L, 0, Some(A)), (3L, 1, None: Option[Long]), (3L, 2, Some(B)))
+    val df = rows.toDF("media_id", "frame_idx", "dhash")
+    val got = Multimodal.sceneCuts(df, 10)
+      .orderBy("media_id", "scene_idx")
+      .as[(Long, Long, Int, Long)].collect().toSeq
+    assert(got == Seq((1L, 0L, 0, 2L), (1L, 1L, 2, 2L), (1L, 2L, 4, 1L),
+      (2L, 0L, 0, 2L), (3L, 0L, 0, 3L)))
+  }
+
   test("extractFeaturesBatched preserves order and batches payloads") {
     val rows = (0L until 10L).map(i => (i, s"payload-$i".getBytes("UTF-8")))
     val media = Multimodal.asMedia(rows.toDF("id", "bytes"), "id", "bytes", "image")

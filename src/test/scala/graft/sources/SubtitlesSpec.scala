@@ -1,0 +1,85 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Subtitles]] — SRT/WebVTT cue extraction — on hand-built
+  * payloads covering the format corners the q261 fixtures don't
+  * (CRLF, BOM, dot-separator SRT, hour-less VTT, NOTE/STYLE blocks,
+  * malformed-block skipping) plus the hostile-bytes posture. */
+class SubtitlesSpec extends SparkSpec {
+  import spark.implicits._
+  import Subtitles._
+
+  test("SRT: index lines, comma stamps, multi-line text, CRLF, tolerances") {
+    val srt = "1\r\n00:00:01,500 --> 00:00:03,000\r\nhello\r\nworld\r\n\r\n" +
+      "2\r\n00:01:00,000 --> 00:01:02,250\r\nsecond cue\r\n"
+    val Some(("srt", cues)) = parseCues(srt.getBytes("UTF-8"))
+    assert(cues == Seq(Cue(0, 1500L, 3000L, "hello\nworld"),
+      Cue(1, 60000L, 62250L, "second cue")))
+    // missing index line tolerated; dot separators tolerated
+    val bare = "00:00:00.100 --> 00:00:00.900\nno index\n\n" +
+      "01:02:03,004 --> 01:02:04,005\nwith hours\n"
+    val Some(("srt", c2)) = parseCues(bare.getBytes("UTF-8"))
+    assert(c2 == Seq(Cue(0, 100L, 900L, "no index"),
+      Cue(1, 3723004L, 3724005L, "with hours")))
+    // a malformed timing block is skipped, later cues still parse
+    // (and keep DENSE ordinals)
+    val mixed = "1\n00:00:99,000 --> 00:00:01,000\nbad seconds\n\n" +
+      "2\nnot a timing\nline\n\n3\n00:00:05,000 --> 00:00:06,000\ngood\n"
+    val Some(("srt", c3)) = parseCues(mixed.getBytes("UTF-8"))
+    assert(c3 == Seq(Cue(0, 5000L, 6000L, "good")))
+  }
+
+  test("VTT: BOM+header, NOTE/STYLE skipped, cue ids, short stamps, settings") {
+    val vtt = "﻿WEBVTT - test file\nKind: captions\nLanguage: en\n\n" +
+      "NOTE\nthis comment spans\ntwo lines\n\n" +
+      "STYLE\n::cue { color: red }\n\n" +
+      "intro-cue\n00:05.000 --> 00:07.500 align:start position:10%\nshort stamps\n\n" +
+      "01:00:00.000 --> 01:00:01.000\nno cue id, with hours\n"
+    val Some(("vtt", cues)) = parseCues(vtt.getBytes("UTF-8"))
+    assert(cues == Seq(Cue(0, 5000L, 7500L, "short stamps"),
+      Cue(1, 3600000L, 3601000L, "no cue id, with hours")))
+    // an empty-cue VTT is still a VTT (format recognized, zero cues)
+    assert(parseCues("WEBVTT\n".getBytes("UTF-8")) == Some(("vtt", Seq())))
+  }
+
+  test("refusals, fences and hostile bytes") {
+    assert(parseCues(null).isEmpty)
+    assert(parseCues(Array.emptyByteArray).isEmpty)
+    assert(parseCues("just some text\nwith lines\n".getBytes("UTF-8")).isEmpty)
+    // an arrow without valid stamps is not a timing line
+    assert(parseCues("a --> b\ntext\n".getBytes("UTF-8")).isEmpty)
+    // maxCues fence
+    val many = (1 to 10).map(k =>
+      s"$k\n00:00:0${(k - 1) % 10},000 --> 00:00:0${k % 10},500\ncue $k")
+      .mkString("\n\n")
+    assert(parseCues(many.getBytes("UTF-8"), maxCues = 3).get._2.size == 3)
+    // truncation sweep + byte corruption never throw
+    val seed = ("WEBVTT\n\n1\n00:00:01.000 --> 00:00:02.000\nx\n\n" +
+      "2\n00:00:03.000 --> 00:00:04.000\ny\n").getBytes("UTF-8")
+    (1 until seed.length).foreach(n => parseCues(seed.take(n)))
+    val rnd = new scala.util.Random(61)
+    (1 to 200).foreach { k =>
+      val c = seed.clone()
+      (0 to k % 3).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+      parseCues(c)
+    }
+  }
+
+  test("describeSubtitles: one row per cue, junk contributes nothing") {
+    val srt = "1\n00:00:01,000 --> 00:00:02,000\na\n\n" +
+      "2\n00:00:03,000 --> 00:00:04,000\nb\n"
+    val vtt = "WEBVTT\n\n00:09.000 --> 00:10.000\nc\n"
+    val media = Multimodal.asMedia(
+      Seq((1L, srt.getBytes("UTF-8")), (2L, vtt.getBytes("UTF-8")),
+        (3L, "junk".getBytes("UTF-8"))).toDF("id", "bytes"),
+      "id", "bytes", "subtitle")
+    val got = Subtitles.describeSubtitles(media)
+      .orderBy("media_id", "cue_idx")
+      .as[(Long, String, Int, Long, Long, String)].collect().toSeq
+    assert(got == Seq((1L, "srt", 0, 1000L, 2000L, "a"),
+      (1L, "srt", 1, 3000L, 4000L, "b"),
+      (2L, "vtt", 0, 9000L, 10000L, "c")))
+  }
+}
