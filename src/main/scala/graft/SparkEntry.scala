@@ -4846,6 +4846,48 @@ object SparkEntry {
         .orderBy("media_id", "scene_idx")
     }),
 
+    // Q263 — video-text pair building ([[graft.sources.Subtitles
+    // .alignCuesToFrames]]): the capstone over BOTH new decode paths —
+    // cues from real SRT payloads, frames from real AVI decode, and
+    // each cue aligned to the in-range frame closest to its midpoint
+    // (integer |2t−(s+e)| distance, ties → lower frame). The join is
+    // media-id-keyed with the range as residual (plan-pinned: never a
+    // cross product). The oracle replays cue timings, frame grid
+    // (25 fps ⇒ 40 ms) and the argmin pick.
+    "q263_cue_frame_align" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id")).as[Long]
+      val subPay = base.map { id =>
+        if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 3).toInt
+          val blocks = (0 until n).map { k =>
+            val st = k * 90L + (id % 7) * 10
+            s"${k + 1}\n${subStamp(st, ',', short = false)} --> " +
+              s"${subStamp(st + 100, ',', short = false)}\ncue $id $k"
+          }
+          (id, (blocks.mkString("\n\n") + "\n").getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "sub")
+      val vidPay = base.map { id =>
+        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
+        else {
+          val n = (5 + id % 4).toInt
+          val frames = (0 until n).map(f => dibFrameFixture(18, 16, (x, r) => (
+            ((id + f * 17 + x * 3 + r * 7) % 256).toInt,
+            ((id * 2 + f * 5 + x * 11 + r) % 256).toInt,
+            ((id * 3 + f + x + r * 13) % 256).toInt)))
+          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
+        }
+      }.toDF("doc_id", "vid")
+      val cues = graft.sources.Subtitles.describeSubtitles(
+        graft.sources.Multimodal.asMedia(subPay, "doc_id", "sub", "subtitle"))
+      val frames = graft.sources.Multimodal.describeVideoFrames(
+        graft.sources.Multimodal.asMedia(vidPay, "doc_id", "vid", "video"))
+      graft.sources.Subtitles.alignCuesToFrames(cues, frames, 40)
+        .orderBy("media_id", "cue_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8831,6 +8873,27 @@ object SparkEntry {
         |  CAST(COUNT(*) AS BIGINT) AS n_frames
         |FROM scn GROUP BY 1, 2
         |ORDER BY media_id, scene_idx""".stripMargin,
+
+    // Cue timings, the 40 ms frame grid and the integer midpoint
+    // argmin replayed; the engine must reproduce them THROUGH real
+    // SRT parsing and real AVI frame decode.
+    "q263_cue_frame_align" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |cues AS (SELECT doc_id, k, k * 90 + (doc_id % 7) * 10 AS s
+        |         FROM ids, generate_series(0, 2) t(k) WHERE k < 1 + doc_id % 3),
+        |fr AS (SELECT doc_id, f, f * 40 AS t
+        |       FROM ids, generate_series(0, 7) g(f) WHERE f < 5 + doc_id % 4),
+        |j AS (SELECT c.doc_id, c.k, c.s, f.f, f.t,
+        |        ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.k
+        |          ORDER BY ABS(2 * f.t - (2 * c.s + 100)), f.f) AS rn
+        |      FROM cues c JOIN fr f ON f.doc_id = c.doc_id
+        |        AND f.t >= c.s AND f.t < c.s + 100)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS cue_idx,
+        |  CAST(s AS BIGINT) AS start_ms, CAST(s + 100 AS BIGINT) AS end_ms,
+        |  'cue ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR) AS text,
+        |  CAST(f AS BIGINT) AS key_frame, CAST(t AS BIGINT) AS frame_ms
+        |FROM j WHERE rn = 1
+        |ORDER BY media_id, cue_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -128,4 +128,32 @@ object Subtitles {
       }
       .toDF("media_id", "format", "cue_idx", "start_ms", "end_ms", "text")
   }
+
+  /** The video-text PAIR builder: align each cue to its single best
+    * frame — the frame whose timestamp (frame_idx · msPerFrame) falls
+    * inside [start_ms, end_ms) and sits closest to the cue midpoint
+    * (ties → lower frame index; distance kept integer as
+    * |2·t − (start+end)|). One row per aligned cue; cues no frame
+    * covers are dropped (an out-of-range caption has no image half).
+    * Plan: a media-id-keyed equi-join carrying the range predicate as
+    * its residual — NEVER a cross product — then one window rank per
+    * (video, cue). Both sides arrive as bounded per-video sequences,
+    * so at 100 TB the join and window shuffle on video id like every
+    * per-video op here. */
+  def alignCuesToFrames(cues: DataFrame, frames: DataFrame,
+                        msPerFrame: Int = 40): DataFrame = {
+    val f = frames.select(col("media_id").as("f_vid"),
+      col("frame_idx").cast("long").as("key_frame"),
+      (col("frame_idx").cast("long") * msPerFrame).as("frame_ms"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("media_id"), col("cue_idx"))
+      .orderBy(abs(col("frame_ms") * 2 - (col("start_ms") + col("end_ms"))),
+        col("key_frame"))
+    cues.join(f, col("media_id") === col("f_vid") &&
+        col("frame_ms") >= col("start_ms") && col("frame_ms") < col("end_ms"))
+      .withColumn("rn", row_number().over(w))
+      .where(col("rn") === 1)
+      .select(col("media_id"), col("cue_idx"), col("start_ms"),
+        col("end_ms"), col("text"), col("key_frame"), col("frame_ms"))
+  }
 }

@@ -489,6 +489,13 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Join"), p) // (frame_idx, chunk)-keyed hash/merge join
   }
 
+  test("q263: cue-frame align joins on media id, range as residual — never a cross product") {
+    val p = plan("q263_cue_frame_align")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+    assert(p.contains("Join"), p)
+    assert(p.contains("Window"), p) // the per-cue argmin rank
+  }
+
   test("q262: scene cuts are one keyed window + rollup, no join") {
     val p = plan("q262_scene_cuts")
     assert(p.contains("Window"), p)

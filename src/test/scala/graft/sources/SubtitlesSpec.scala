@@ -67,6 +67,31 @@ class SubtitlesSpec extends SparkSpec {
     }
   }
 
+  test("alignCuesToFrames: midpoint argmin, tie to lower frame, boundary and drop") {
+    val cues = Seq(
+      (1L, 0, 0L, 100L, "a"),    // frames at 0,40,80 in range; mid 50 → 40
+      (1L, 1, 40L, 120L, "b"),   // 40,80 in range; mid 80 → 80
+      (1L, 2, 30L, 90L, "c"),    // 40,80; |80-120|=40 vs |160-120|=40 tie → 40
+      (1L, 3, 300L, 400L, "d"),  // no frame in range → dropped
+      (2L, 0, 0L, 50L, "e"))     // other video: only ITS frames considered
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "text")
+    val frames = (Seq((1L, 0), (1L, 1), (1L, 2)) ++ Seq((2L, 0)))
+      .toDF("media_id", "frame_idx")
+    val got = Subtitles.alignCuesToFrames(cues, frames, 40)
+      .orderBy("media_id", "cue_idx")
+      .as[(Long, Int, Long, Long, String, Long, Long)].collect().toSeq
+    assert(got == Seq(
+      (1L, 0, 0L, 100L, "a", 1L, 40L),
+      (1L, 1, 40L, 120L, "b", 2L, 80L),
+      (1L, 2, 30L, 90L, "c", 1L, 40L),
+      (2L, 0, 0L, 50L, "e", 0L, 0L)))
+    // end is exclusive: a frame AT end_ms does not align
+    val edge = Seq((3L, 0, 0L, 40L, "x"))
+      .toDF("media_id", "cue_idx", "start_ms", "end_ms", "text")
+    val ef = Seq((3L, 1)).toDF("media_id", "frame_idx") // t = 40 == end
+    assert(Subtitles.alignCuesToFrames(edge, ef, 40).count() == 0)
+  }
+
   test("describeSubtitles: one row per cue, junk contributes nothing") {
     val srt = "1\n00:00:01,000 --> 00:00:02,000\na\n\n" +
       "2\n00:00:03,000 --> 00:00:04,000\nb\n"
