@@ -4888,6 +4888,66 @@ object SparkEntry {
         .orderBy("media_id", "cue_idx")
     }),
 
+    // Q264 — VTT cue-markup stripping ([[graft.sources.Subtitles
+    // .stripCueMarkup]]): real WebVTT cue text carries voice spans,
+    // styling tags, karaoke timestamps and character entities; the
+    // training-text form drops tags, keeps content, decodes
+    // &amp;/&lt;/&gt;/&nbsp;. Fixtures wrap every cue in
+    // <v Speaker>…</v> with nested <i>, an inline timestamp and
+    // &amp;; the oracle states the clean text directly. Map-only.
+    "q264_cue_markup" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 3).toInt
+          val blocks = (0 until n).map { k =>
+            val st = k * 2000L + id % 100
+            s"${subStamp(st, '.', short = true)} --> ${subStamp(st + 1500, '.', short = true)}\n" +
+              s"<v Speaker${id % 3}>cue <i>$id</i> <00:00:01.000>$k &amp; more</v>"
+          }
+          (id, (s"WEBVTT\n\n" + blocks.mkString("\n\n") + "\n").getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "sub")
+      graft.sources.Subtitles.describeSubtitles(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "sub", "subtitle"),
+          1 << 16, stripMarkup = true)
+        .orderBy("media_id", "cue_idx")
+    }),
+
+    // Q265 — cross-video boilerplate cues ([[graft.sources.Subtitles
+    // .boilerplateCues]]): the subtitle analog of cross-document line
+    // dedup — a cue whose case-folded text appears in ≥ 5 distinct
+    // videos is boilerplate (intros/outros/credits). Fixture plants
+    // one corpus-wide outro (case varying by id, exercising the
+    // fold) among unique cues; the oracle recomputes the distinct-
+    // video counts over the same folded key. One text-keyed
+    // partial-agg shuffle + a text-keyed join back.
+    "q265_cue_boilerplate" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
+        else {
+          val n = (2 + id % 2).toInt
+          val blocks = (0 until n).map { k =>
+            val st = k * 3000L
+            val text =
+              if (k == 0) { if (id % 2 == 0) "Thanks For Watching" else "thanks for watching" }
+              else s"unique cue $id $k"
+            s"${k + 1}\n${subStamp(st, ',', short = false)} --> " +
+              s"${subStamp(st + 2500, ',', short = false)}\n$text"
+          }
+          (id, (blocks.mkString("\n\n") + "\n").getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "sub")
+      val cues = graft.sources.Subtitles.describeSubtitles(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "sub", "subtitle"))
+      graft.sources.Subtitles.boilerplateCues(cues, 5)
+        .select(col("media_id"), col("cue_idx"), col("text"),
+          col("n_videos").cast("long").as("n_videos"), col("is_boilerplate"))
+        .orderBy("media_id", "cue_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8893,6 +8953,42 @@ object SparkEntry {
         |  'cue ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR) AS text,
         |  CAST(f AS BIGINT) AS key_frame, CAST(t AS BIGINT) AS frame_ms
         |FROM j WHERE rn = 1
+        |ORDER BY media_id, cue_idx""".stripMargin,
+
+    // The clean text stated directly — the engine must reproduce it
+    // THROUGH voice/styling tag spans, an inline karaoke timestamp
+    // and the &amp; entity.
+    "q264_cue_markup" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |cues AS (SELECT doc_id, k FROM ids, generate_series(0, 2) t(k)
+        |         WHERE k < 1 + doc_id % 3)
+        |SELECT doc_id AS media_id, 'vtt' AS format,
+        |  CAST(k AS INTEGER) AS cue_idx,
+        |  CAST(k * 2000 + doc_id % 100 AS BIGINT) AS start_ms,
+        |  CAST(k * 2000 + doc_id % 100 + 1500 AS BIGINT) AS end_ms,
+        |  'cue ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(k AS VARCHAR)
+        |    || ' & more' AS text
+        |FROM cues
+        |ORDER BY media_id, cue_idx""".stripMargin,
+
+    // Distinct-video counts over the folded text key recomputed: the
+    // planted outro (both case variants fold together) counts every
+    // non-junk video; unique cues count 1.
+    "q265_cue_boilerplate" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |tot AS (SELECT CAST(COUNT(*) AS BIGINT) AS nv FROM ids),
+        |cues AS (SELECT doc_id, k FROM ids, generate_series(0, 2) t(k)
+        |         WHERE k < 2 + doc_id % 2)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS cue_idx,
+        |  CASE WHEN k = 0 THEN
+        |         CASE WHEN doc_id % 2 = 0 THEN 'Thanks For Watching'
+        |              ELSE 'thanks for watching' END
+        |       ELSE 'unique cue ' || CAST(doc_id AS VARCHAR) || ' '
+        |            || CAST(k AS VARCHAR) END AS text,
+        |  CASE WHEN k = 0 THEN (SELECT nv FROM tot)
+        |       ELSE CAST(1 AS BIGINT) END AS n_videos,
+        |  k = 0 AS is_boilerplate
+        |FROM cues
         |ORDER BY media_id, cue_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML

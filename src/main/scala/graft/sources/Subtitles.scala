@@ -113,20 +113,80 @@ object Subtitles {
     else None
   }
 
+  /** Strip WebVTT cue-text markup for training text: tag spans
+    * (`<i>`, `<b>`, `<u>`, `<c.class>`, `<v Speaker>`, `<lang en>`,
+    * `<ruby>`, `<rt>`, their closers) and inline karaoke timestamps
+    * (`<00:01.000>`) drop; the VTT character entities `&amp;` `&lt;`
+    * `&gt;` `&nbsp;` `&lrm;` `&rlm;` decode (`&nbsp;` normalizes to a
+    * PLAIN space and directional marks to nothing — training text
+    * wants content, not layout). A `<` with no closing `>`
+    * is literal text — hostile markup never eats content. Linear
+    * single pass, no regex backtracking. */
+  def stripCueMarkup(s: String): String = {
+    if (s == null || (s.indexOf('<') < 0 && s.indexOf('&') < 0)) return s
+    val sb = new java.lang.StringBuilder(s.length)
+    var i = 0
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '<') {
+        val close = s.indexOf('>', i + 1)
+        if (close < 0) { sb.append(c); i += 1 } // unterminated: literal
+        else i = close + 1                      // tag/timestamp: dropped
+      } else if (c == '&') {
+        val semi = s.indexOf(';', i + 1)
+        val ent = if (semi > i && semi - i <= 6) s.substring(i + 1, semi) else null
+        ent match {
+          case "amp" => sb.append('&'); i = semi + 1
+          case "lt" => sb.append('<'); i = semi + 1
+          case "gt" => sb.append('>'); i = semi + 1
+          case "nbsp" => sb.append(' '); i = semi + 1
+          case "lrm" | "rlm" => i = semi + 1
+          case _ => sb.append(c); i += 1 // unknown entity: literal
+        }
+      } else { sb.append(c); i += 1 }
+    }
+    sb.toString
+  }
+
   /** One row per cue of each subtitle payload — media frame in, cue
     * frame out; payloads that parse as neither format contribute no
-    * rows. flatMap kernel: payload bytes never cross a shuffle. */
-  def describeSubtitles(media: DataFrame, maxCues: Int = 1 << 16): DataFrame = {
+    * rows. `stripMarkup` runs [[stripCueMarkup]] on each cue's text
+    * (the training-text form). flatMap kernel: payload bytes never
+    * cross a shuffle. */
+  def describeSubtitles(media: DataFrame, maxCues: Int = 1 << 16,
+                        stripMarkup: Boolean = false): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
         parseCues(p, maxCues).toSeq.flatMap { case (fmt, cues) =>
-          cues.map(c => (id, fmt, c.cueIdx, c.startMs, c.endMs, c.text))
+          cues.map { c =>
+            val t = if (stripMarkup) stripCueMarkup(c.text) else c.text
+            (id, fmt, c.cueIdx, c.startMs, c.endMs, t)
+          }
         }
       }
       .toDF("media_id", "format", "cue_idx", "start_ms", "end_ms", "text")
+  }
+
+  /** Cross-video boilerplate cue detection — the subtitle analog of
+    * cross-document line dedup (intros, "subscribe" outros, encoder
+    * credits repeat across a corpus): a cue is boilerplate when its
+    * case-folded trimmed text appears in at least `minVideos`
+    * DISTINCT videos. Output is every cue row with its corpus video
+    * count and flag, ready for a boilerplate-stripping filter.
+    * Scale: one text-keyed partial-agg shuffle (distinct video count
+    * per text), then a text-keyed join back — both bounded by
+    * distinct cue texts, never cue pairs. */
+  def boilerplateCues(cues: DataFrame, minVideos: Int = 5): DataFrame = {
+    val keyed = cues.withColumn("bp_key", lower(trim(col("text"))))
+    val counts = keyed.groupBy(col("bp_key"))
+      .agg(countDistinct(col("media_id")).as("n_videos"))
+    keyed.join(counts, "bp_key")
+      .select(col("media_id"), col("cue_idx"), col("text"),
+        col("n_videos"),
+        (col("n_videos") >= minVideos).as("is_boilerplate"))
   }
 
   /** The video-text PAIR builder: align each cue to its single best

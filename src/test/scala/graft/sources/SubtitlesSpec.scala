@@ -92,6 +92,42 @@ class SubtitlesSpec extends SparkSpec {
     assert(Subtitles.alignCuesToFrames(edge, ef, 40).count() == 0)
   }
 
+  test("stripCueMarkup: tags and timestamps drop, entities decode, hostile markup stays literal") {
+    assert(stripCueMarkup("<v Alice>hi <i>there</i></v>") == "hi there")
+    assert(stripCueMarkup("<c.yellow.bg_blue>styled</c>") == "styled")
+    assert(stripCueMarkup("word<00:00:01.500>karaoke") == "wordkaraoke")
+    assert(stripCueMarkup("a &amp; b &lt;tag&gt; c&nbsp;d") == "a & b <tag> c d")
+    assert(stripCueMarkup("rtl&rlm; ltr&lrm;!") == "rtl ltr!")
+    // unterminated '<' and unknown entities are literal text
+    assert(stripCueMarkup("3 < 5 and stuff") == "3 < 5 and stuff")
+    assert(stripCueMarkup("&unknown; &toolongentity;") == "&unknown; &toolongentity;")
+    assert(stripCueMarkup("") == "")
+    assert(stripCueMarkup(null) == null)
+    // plain text fast path returns the same instance
+    val plain = "no markup at all"
+    assert(stripCueMarkup(plain) eq plain)
+  }
+
+  test("boilerplateCues: folded-text distinct-video counts and threshold") {
+    val cues = Seq(
+      (1L, 0, "Thanks For Watching"), (1L, 1, "unique a"),
+      (2L, 0, "thanks for watching"), (2L, 1, "unique b"),
+      (3L, 0, "  thanks for watching  "), // trim folds too
+      (4L, 0, "thanks for watching"), (4L, 1, "thanks for watching"),
+      (5L, 0, "THANKS FOR WATCHING"))
+      .toDF("media_id", "cue_idx", "text")
+    val got = Subtitles.boilerplateCues(cues, 5)
+      .orderBy("media_id", "cue_idx")
+      .as[(Long, Int, String, Long, Boolean)].collect().toSeq
+    // 5 distinct videos carry the folded outro (video 4 twice counts once)
+    assert(got.filter(_._3.toLowerCase.contains("thanks")).forall(r =>
+      r._4 == 5L && r._5))
+    assert(got.find(_._3 == "unique a").get == ((1L, 1, "unique a", 1L, false)))
+    // below threshold: minVideos 6 flags nothing
+    assert(Subtitles.boilerplateCues(cues, 6)
+      .where(col("is_boilerplate")).count() == 0)
+  }
+
   test("describeSubtitles: one row per cue, junk contributes nothing") {
     val srt = "1\n00:00:01,000 --> 00:00:02,000\na\n\n" +
       "2\n00:00:03,000 --> 00:00:04,000\nb\n"
