@@ -4948,6 +4948,70 @@ object SparkEntry {
         .orderBy("media_id", "cue_idx")
     }),
 
+    // Q266 — curation v6: the VIDEO-TEXT pipeline end-to-end — decode
+    // frames to perceptual hashes (persisted once, the q232 diamond
+    // pattern), prune near-dup videos (keep the lower id of every
+    // gated pair), segment survivors into scenes, align real-SRT cues
+    // to their midpoint keyframes, and tag each pair with its scene.
+    // The oracle re-derives the WHOLE chain in one SQL: hash formulas
+    // → aligned-pair gate → drop set → LAG scene chain → argmin
+    // alignment → scene containment. Shuffle classes are exactly its
+    // parts': banded (frame, chunk) join, one window per video id,
+    // keyed joins — nothing new at 100 TB.
+    "q266_curation_v6" -> ((s, d) => {
+      import s.implicits._
+      val base = docs(s, d).select(col("doc_id")).as[Long]
+      val vidPay = base.map { id =>
+        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
+        else {
+          val g = id / 6; val m = (id % 6).toInt
+          val nf = (6 + (g % 2) * 3).toInt
+          val frames = (0 until nf).map { f =>
+            val sc = f / 3
+            dibFrameFixture(18, 16, (x, r) => {
+              val y = 15 - r
+              val bump = if (x == m * 2 && y == 3) 40 else 0
+              (math.min(255, ((g * 11 + sc * 97 + x * 17 + y * 23) % 200) + bump).toInt,
+                ((g * 13 + sc * 89 + x * 5 + y * 19) % 256).toInt,
+                ((g * 17 + sc * 83 + x * 7 + y * 3) % 256).toInt)
+            })
+          }
+          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
+        }
+      }.toDF("doc_id", "vid")
+      val subPay = base.map { id =>
+        if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
+        else {
+          val n = (2 + id % 2).toInt
+          val blocks = (0 until n).map { k =>
+            s"${k + 1}\n${subStamp(k * 110L, ',', short = false)} --> " +
+              s"${subStamp(k * 110L + 100, ',', short = false)}\ncue $id $k"
+          }
+          (id, (blocks.mkString("\n\n") + "\n").getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "sub")
+      val hashes = graft.sources.Multimodal.describeVideoHashes(
+          graft.sources.Multimodal.asMedia(vidPay, "doc_id", "vid", "video"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val dropped = graft.sources.Multimodal.videoNearDupPairs(hashes, 3)
+        .select(col("id2").as("media_id")).distinct()
+      val kept = hashes.join(dropped, Seq("media_id"), "left_anti")
+      val scenes = graft.sources.Multimodal.sceneCuts(kept, 10)
+        .select(col("media_id").as("s_vid"), col("scene_idx"),
+          col("start_frame"), col("n_frames"))
+      val cues = graft.sources.Subtitles.describeSubtitles(
+        graft.sources.Multimodal.asMedia(subPay, "doc_id", "sub", "subtitle"))
+      val aligned = graft.sources.Subtitles.alignCuesToFrames(
+        cues, kept.select(col("media_id"), col("frame_idx")), 40)
+      aligned.join(scenes,
+          aligned("media_id") === col("s_vid") &&
+            col("key_frame") >= col("start_frame") &&
+            col("key_frame") < col("start_frame") + col("n_frames"))
+        .select(aligned("media_id"), col("cue_idx"), col("text"),
+          col("key_frame"), col("scene_idx").cast("long").as("scene_idx"))
+        .orderBy("media_id", "cue_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -8989,6 +9053,78 @@ object SparkEntry {
         |       ELSE CAST(1 AS BIGINT) END AS n_videos,
         |  k = 0 AS is_boilerplate
         |FROM cues
+        |ORDER BY media_id, cue_idx""".stripMargin,
+
+    // The whole v6 chain re-derived: per-frame hashes from the sextet
+    // pixel formulas, the aligned-pair near-dup gate, keep-lower-id
+    // drop set, LAG scene chain over survivors, integer argmin cue
+    // alignment, scene containment.
+    "q266_curation_v6" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |fr AS (SELECT doc_id, doc_id // 6 AS g, doc_id % 6 AS m, f
+        |       FROM ids, generate_series(0, 8) t(f)
+        |       WHERE f < 6 + ((doc_id // 6) % 2) * 3),
+        |px AS (SELECT doc_id, f, x, y,
+        |    299 * LEAST(255, (g * 11 + (f // 3) * 97 + x * 17 + y * 23) % 200
+        |          + CASE WHEN x = m * 2 AND y = 3 THEN 40 ELSE 0 END)
+        |  + 587 * ((g * 13 + (f // 3) * 89 + x * 5 + y * 19) % 256)
+        |  + 114 * ((g * 17 + (f // 3) * 83 + x * 7 + y * 3) % 256) AS l
+        |  FROM fr, generate_series(0, 17) a(x), generate_series(0, 15) b(y)),
+        |blk AS (SELECT doc_id, f, x // 2 AS bx, y // 2 AS by,
+        |          CAST(SUM(l) AS BIGINT) AS s
+        |        FROM px GROUP BY 1, 2, 3, 4),
+        |bits AS (SELECT a.doc_id, a.f, a.by * 8 + a.bx AS k
+        |         FROM blk a JOIN blk b ON a.doc_id = b.doc_id AND a.f = b.f
+        |           AND a.by = b.by AND b.bx = a.bx + 1
+        |         WHERE a.bx < 8 AND a.s > b.s),
+        |hv AS (SELECT fr.doc_id, fr.f,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << (k - 32)) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k >= 32), 0) AS hi,
+        |         COALESCE((SELECT CAST(SUM(CAST(1 AS BIGINT) << k) AS BIGINT)
+        |                   FROM bits WHERE bits.doc_id = fr.doc_id
+        |                     AND bits.f = fr.f AND k < 32), 0) AS lo
+        |       FROM fr),
+        |prs AS (SELECT a.doc_id AS id1, b.doc_id AS id2,
+        |          CAST(COUNT(*) AS BIGINT) AS matched
+        |        FROM hv a JOIN hv b ON a.f = b.f AND a.doc_id < b.doc_id
+        |        WHERE bit_count(xor(a.hi, b.hi))
+        |            + bit_count(xor(a.lo, b.lo)) <= 3
+        |        GROUP BY 1, 2),
+        |cnts AS (SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS nf FROM hv GROUP BY 1),
+        |dropd AS (SELECT DISTINCT id2 FROM prs
+        |          JOIN cnts c1 ON c1.doc_id = id1
+        |          JOIN cnts c2 ON c2.doc_id = id2
+        |          WHERE matched * 2 >= LEAST(c1.nf, c2.nf)),
+        |khv AS (SELECT hv.* FROM hv
+        |        WHERE doc_id NOT IN (SELECT id2 FROM dropd)),
+        |lagd AS (SELECT doc_id, f, hi, lo,
+        |           LAG(hi) OVER (PARTITION BY doc_id ORDER BY f) AS phi,
+        |           LAG(lo) OVER (PARTITION BY doc_id ORDER BY f) AS plo
+        |         FROM khv),
+        |cut AS (SELECT doc_id, f,
+        |          CASE WHEN phi IS NULL THEN 0
+        |               WHEN bit_count(xor(hi, phi)) + bit_count(xor(lo, plo)) > 10
+        |               THEN 1 ELSE 0 END AS c
+        |        FROM lagd),
+        |scn AS (SELECT doc_id, f,
+        |          SUM(c) OVER (PARTITION BY doc_id ORDER BY f) AS scene
+        |        FROM cut),
+        |scenes AS (SELECT doc_id, scene, MIN(f) AS start_f, COUNT(*) AS n
+        |           FROM scn GROUP BY 1, 2),
+        |cues AS (SELECT doc_id, k, k * 110 AS s0
+        |         FROM ids, generate_series(0, 2) t(k) WHERE k < 2 + doc_id % 2),
+        |alg AS (SELECT c.doc_id, c.k, f2.f,
+        |          ROW_NUMBER() OVER (PARTITION BY c.doc_id, c.k
+        |            ORDER BY ABS(2 * (f2.f * 40) - (2 * c.s0 + 100)), f2.f) AS rn
+        |        FROM cues c JOIN khv f2 ON f2.doc_id = c.doc_id
+        |          AND f2.f * 40 >= c.s0 AND f2.f * 40 < c.s0 + 100)
+        |SELECT p.doc_id AS media_id, CAST(p.k AS INTEGER) AS cue_idx,
+        |  'cue ' || CAST(p.doc_id AS VARCHAR) || ' ' || CAST(p.k AS VARCHAR) AS text,
+        |  CAST(p.f AS BIGINT) AS key_frame, CAST(sc.scene AS BIGINT) AS scene_idx
+        |FROM alg p JOIN scenes sc ON sc.doc_id = p.doc_id
+        |  AND p.f >= sc.start_f AND p.f < sc.start_f + sc.n
+        |WHERE p.rn = 1
         |ORDER BY media_id, cue_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML

@@ -496,6 +496,14 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("Window"), p) // the per-cue argmin rank
   }
 
+  test("q266: v6 pipeline reuses the persisted hash fork, never a cross product") {
+    val p = plan("q266_curation_v6")
+    // decode runs ONCE: every downstream leg (near-dup pairs, scene
+    // cuts, frame alignment) reads the persisted hashes
+    assert(p.contains("InMemoryTableScan"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q262: scene cuts are one keyed window + rollup, no join") {
     val p = plan("q262_scene_cuts")
     assert(p.contains("Window"), p)
