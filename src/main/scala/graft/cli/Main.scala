@@ -468,6 +468,43 @@ object Main {
               spark.read.parquet(in), idCol, payloadCol, "video"))
           .write.mode("overwrite").parquet(out)
 
+      case "subtitles" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // SRT/WebVTT → one row per cue, markup stripped to training text
+        graft.sources.Subtitles.describeSubtitles(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "subtitle"),
+            stripMarkup = true)
+          .write.mode("overwrite").parquet(out)
+
+      case "video-text" :: vids :: subs :: idCol :: vidCol :: subCol :: msPerFrame :: out :: Nil =>
+        // the q266 pipeline as a verb: decode AVI frames → per-frame
+        // dHashes (persisted once) → drop near-dup videos (keep lower
+        // id) → scene-cut survivors → align stripped cues to midpoint
+        // keyframes → (video, cue, text, keyframe, scene) pairs
+        val hashes = graft.sources.Multimodal.describeVideoHashes(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(vids), idCol, vidCol, "video"))
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val dropped = graft.sources.Multimodal.videoNearDupPairs(hashes, 3)
+          .select(col("id2").as("media_id")).distinct()
+        val kept = hashes.join(dropped, Seq("media_id"), "left_anti")
+        val scenes = graft.sources.Multimodal.sceneCuts(kept, 10)
+          .select(col("media_id").as("s_vid"), col("scene_idx"),
+            col("start_frame"), col("n_frames"))
+        val cues = graft.sources.Subtitles.describeSubtitles(
+          graft.sources.Multimodal.asMedia(
+            spark.read.parquet(subs), idCol, subCol, "subtitle"),
+          stripMarkup = true)
+        val aligned = graft.sources.Subtitles.alignCuesToFrames(
+          cues, kept.select(col("media_id"), col("frame_idx")), msPerFrame.toInt)
+        aligned.join(scenes,
+            aligned("media_id") === col("s_vid") &&
+              col("key_frame") >= col("start_frame") &&
+              col("key_frame") < col("start_frame") + col("n_frames"))
+          .select(aligned("media_id"), col("cue_idx"), col("text"),
+            col("key_frame"), col("scene_idx"))
+          .write.mode("overwrite").parquet(out)
+
       case "stream-window" :: in :: keyCol :: size :: out :: Nil =>
         val schema = spark.read.parquet(in).schema
         val stream = spark.readStream.schema(schema).parquet(in)
@@ -533,6 +570,9 @@ object Main {
         |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
         |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
         |  video-inspect <in.parquet> <idCol> <payloadCol> <out>  (MP4 track / AVI metadata)
+        |  subtitles <in.parquet> <idCol> <payloadCol> <out>   (SRT/VTT cues, markup stripped)
+        |  video-text <vids.parquet> <subs.parquet> <idCol> <vidCol> <subCol> <msPerFrame> <out>
+        |                                      (dedup + scenes + cue-keyframe pairs)
         |  stream-window <in.parquet-dir> <keyCol> <size> <out>""".stripMargin)
     sys.exit(2)
   }

@@ -349,4 +349,57 @@ class CliSpec extends SparkSpec {
       a.getAs[Long]("duration_ms") == 1000L)
     assert(out.where(col("media_id") === 2L).head().isNullAt(1))
   }
+
+  test("subtitles and video-text verbs run the video-text walk end to end") {
+    val tmp = java.nio.file.Files.createTempDirectory("cli").toString
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    // subtitles verb: markup-stripped cues out
+    val vtt = "WEBVTT\n\n00:01.000 --> 00:02.000\n<v A>hi <i>x</i></v>\n"
+    Seq((1L, vtt.getBytes("UTF-8")), (2L, "junk".getBytes("UTF-8")))
+      .toDF("id", "payload").write.mode("overwrite").parquet(s"$tmp/subs")
+    runVerb("subtitles", s"$tmp/subs", "id", "payload", s"$tmp/cues")
+    val cues = spark.read.parquet(s"$tmp/cues")
+    assert(cues.count() == 1)
+    assert(cues.head().getAs[String]("text") == "hi x")
+    // video-text verb: two identical DIB videos (near-dups: one
+    // drops), one cue each → pairs only for the surviving video 1
+    val w = 12; val h = 10
+    val rowBytes = ((w * 3 + 3) / 4) * 4
+    val dib = new Array[Byte](rowBytes * h)
+    (0 until h).foreach(r => (0 until w).foreach { x =>
+      val o = r * rowBytes + x * 3
+      dib(o) = (x * 7 + r).toByte; dib(o + 1) = (x + r * 3).toByte
+      dib(o + 2) = (x * 2 + r * 5).toByte
+    })
+    def le32(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    def le16(v: Int) = Array[Byte]((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def ck(id: String, p: Array[Byte]) = id.getBytes("US-ASCII") ++
+      le32(p.length) ++ p ++ (if ((p.length & 1) == 1) Array[Byte](0) else Array[Byte]())
+    def li(kind: String, b: Array[Byte]) = ck("LIST", kind.getBytes("US-ASCII") ++ b)
+    val avi = ck("RIFF", "AVI ".getBytes("US-ASCII") ++
+      li("hdrl",
+        ck("avih", le32(40000) ++ Array.fill(12)(0.toByte) ++ le32(2) ++
+          le32(0) ++ le32(1) ++ le32(0) ++ le32(w) ++ le32(h) ++
+          Array.fill(16)(0.toByte)) ++
+        li("strl",
+          ck("strh", "vids".getBytes ++ "xxxx".getBytes ++
+            Array.fill(48)(0.toByte)) ++
+          ck("strf", le32(40) ++ le32(w) ++ le32(h) ++ le16(1) ++ le16(24) ++
+            le32(0) ++ Array.fill(16)(0.toByte)))) ++
+      li("movi", ck("00db", dib) ++ ck("00db", dib)))
+    Seq((1L, avi), (2L, avi)).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$tmp/vids")
+    val srt = "1\n00:00:00,000 --> 00:00:00,100\nhello world\n"
+    Seq((1L, srt.getBytes("UTF-8")), (2L, srt.getBytes("UTF-8")))
+      .toDF("id", "payload").write.mode("overwrite").parquet(s"$tmp/vsubs")
+    runVerb("video-text", s"$tmp/vids", s"$tmp/vsubs", "id", "payload",
+      "payload", "40", s"$tmp/pairs")
+    val pairs = spark.read.parquet(s"$tmp/pairs")
+      .select("media_id", "cue_idx", "text", "key_frame", "scene_idx")
+      .as[(Long, Int, String, Long, Long)].collect().toSeq
+    // frame 1 (t=40) sits closer to the cue midpoint (50) than frame 0
+    assert(pairs == Seq((1L, 0, "hello world", 1L, 0L)))
+  }
 }
