@@ -423,6 +423,51 @@ object SparkEntry {
     }
     out
   }
+  /** ZIP via the JDK's own encoder — the third-party-writer fixture
+    * (q268/q269): our central-directory walk must read back what
+    * ZipOutputStream wrote. */
+  private def zipFixture(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new java.util.zip.ZipOutputStream(bos)
+    entries.foreach { case (name, body) =>
+      z.putNextEntry(new java.util.zip.ZipEntry(name))
+      if (!name.endsWith("/")) z.write(body)
+      z.closeEntry()
+    }
+    z.close()
+    bos.toByteArray
+  }
+  /** Hand-built ustar TAR (proper checksums, 512-byte blocks) —
+    * q268's tar leg. */
+  private def tarFixture(entries: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    entries.foreach { case (name, body) =>
+      val h = new Array[Byte](512)
+      val nb = name.getBytes("UTF-8")
+      System.arraycopy(nb, 0, h, 0, math.min(nb.length, 100))
+      def oct(v: Long, off: Int, len: Int): Unit = {
+        val s = java.lang.Long.toOctalString(v)
+        System.arraycopy((("0" * (len - 1 - s.length)) + s).getBytes, 0, h, off, len - 1)
+      }
+      oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+      oct(if (name.endsWith("/")) 0 else body.length, 124, 12)
+      oct(0, 136, 12)
+      h(156) = if (name.endsWith("/")) '5'.toByte else '0'.toByte
+      System.arraycopy("ustar".getBytes, 0, h, 257, 5)
+      java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+      var sum = 0L; (0 until 512).foreach(i => sum += h(i) & 0xff)
+      val cs = java.lang.Long.toOctalString(sum)
+      System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, h, 148, 6)
+      h(154) = 0; h(155) = ' '.toByte
+      bos.write(h)
+      if (!name.endsWith("/")) {
+        bos.write(body)
+        bos.write(new Array[Byte]((512 - body.length % 512) % 512))
+      }
+    }
+    bos.write(new Array[Byte](1024))
+    bos.toByteArray
+  }
   /** `HH:MM:SS<sep>mmm` (or MM:SS<sep>mmm when `short` and under an
     * hour — WebVTT's optional-hours form) subtitle stamp (q261). */
   private def subStamp(ms: Long, sep: Char, short: Boolean): String = {
@@ -5012,6 +5057,88 @@ object SparkEntry {
         .orderBy("media_id", "cue_idx")
     }),
 
+    // Q267 — HTML → training text ([[graft.functions.HtmlToText]], SQL
+    // `html_to_text`): the web-crawl extraction pass — script/style
+    // elision WITH content, comments/doctype dropped, quote-aware tag
+    // scan (the fixture plants `href="a>b"`), entity decode, block
+    // tags to line breaks, whitespace normalized. The oracle states
+    // the clean text directly from the formulas; plain-text payloads
+    // pass through untouched. Native expression, map-only.
+    "q267_html_extract" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val html =
+          if (id % 50 == 0) s"plain, no markup $id"
+          else s"<!DOCTYPE html><html><head><title>T$id</title>" +
+            s"<style>p {color: red}</style><script>var x = '<p>$id</p>';</script></head>" +
+            s"<body><h1>Doc $id</h1><p>para one $id &amp; stuff</p>" +
+            s"<!-- hidden $id --><div>div <b>text</b> <a href=" + "\"a>b\"" +
+            s">$id</a></div></body></html>"
+        (id, html)
+      }.toDF("doc_id", "html")
+      pay.select(col("doc_id"),
+          graft.functions.HtmlToText(col("html")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Q268 — archive member listing ([[graft.sources.Archives
+    // .describeArchives]]): ZIP central-directory walk (written by the
+    // JDK's OWN ZipOutputStream — a true third-party encoder), ustar
+    // TAR with checksum-validated headers, GZIP header/trailer facts.
+    // The oracle replays names and LENGTH() of the content formulas.
+    // flatMap kernel, payloads never shuffle.
+    "q268_archive_entries" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
+        else if (id % 3 == 0) {
+          val n = (1 + (id / 3) % 3).toInt
+          (id, zipFixture((0 until n).map(k =>
+            (s"f$k.txt", s"content $id $k".getBytes("UTF-8")))))
+        } else if (id % 3 == 1) {
+          val n = (1 + id % 2).toInt
+          (id, tarFixture(Seq(("d/", Array.emptyByteArray)) ++
+            (0 until n).map(k => (s"d/file$k", s"tar data $id $k".getBytes("UTF-8")))))
+        } else {
+          val bos = new java.io.ByteArrayOutputStream()
+          val g = new java.util.zip.GZIPOutputStream(bos)
+          g.write(s"gz payload $id".getBytes("UTF-8")); g.close()
+          (id, bos.toByteArray)
+        }
+      }.toDF("doc_id", "arc")
+      graft.sources.Archives.describeArchives(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "arc", "archive"))
+        .orderBy("media_id", "entry_idx")
+    }),
+
+    // Q269 — archive → media composition ([[graft.sources.Archives
+    // .extractZipEntries]] into [[graft.sources.Multimodal
+    // .inspectMedia]]): bundled images ride the SAME decode pipeline
+    // as bare payloads — members inflate out of real deflate streams
+    // (JDK-encoded), get re-keyed (id·10 + entry) and BMP-decoded to
+    // channel sums the oracle replays. Two flatMap kernels, payloads
+    // never shuffle.
+    "q269_archive_media" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
+        else (id, zipFixture((0 until 2).map(k =>
+          (s"img$k.bmp", bmp24Fixture(10, 8, (x, y) => (
+            ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+            ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+            ((id * 3 + k * 7 + x + y * 7) % 256).toInt))))))
+      }.toDF("doc_id", "arc")
+      val members = graft.sources.Archives.extractZipEntries(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "arc", "archive"))
+      val inner = members.select(
+        (col("media_id") * 10 + col("entry_idx")).as("mid"), col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(inner, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9126,6 +9253,72 @@ object SparkEntry {
         |  AND p.f >= sc.start_f AND p.f < sc.start_f + sc.n
         |WHERE p.rn = 1
         |ORDER BY media_id, cue_idx""".stripMargin,
+
+    // The clean text stated directly — the engine must reproduce it
+    // THROUGH doctype/script/style/comment elision, a quoted '>'
+    // attribute, entity decode and block-tag line breaks.
+    "q267_html_extract" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0
+        |       THEN 'plain, no markup ' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'T' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |            'Doc ' || CAST(doc_id AS VARCHAR) || chr(10) ||
+        |            'para one ' || CAST(doc_id AS VARCHAR) || ' & stuff' || chr(10) ||
+        |            'div text ' || CAST(doc_id AS VARCHAR)
+        |  END AS text
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // Names and LENGTH() of the content formulas replayed per leg —
+    // the engine must reproduce them THROUGH a real ZipOutputStream
+    // archive, ustar headers, and a GZIPOutputStream stream.
+    "q268_archive_entries" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |zip AS (SELECT doc_id, k, 'f' || CAST(k AS VARCHAR) || '.txt' AS name,
+        |          CAST(LENGTH('content ' || CAST(doc_id AS VARCHAR) || ' '
+        |               || CAST(k AS VARCHAR)) AS BIGINT) AS nb
+        |        FROM ids, generate_series(0, 2) t(k)
+        |        WHERE doc_id % 3 = 0 AND k < 1 + (doc_id // 3) % 3),
+        |tard AS (SELECT doc_id, 0 AS k, 'd/' AS name, CAST(0 AS BIGINT) AS nb,
+        |           'dir' AS method, TRUE AS is_dir
+        |         FROM ids WHERE doc_id % 3 = 1),
+        |tarf AS (SELECT doc_id, k + 1 AS k,
+        |           'd/file' || CAST(k AS VARCHAR) AS name,
+        |           CAST(LENGTH('tar data ' || CAST(doc_id AS VARCHAR) || ' '
+        |                || CAST(k AS VARCHAR)) AS BIGINT) AS nb,
+        |           'tar' AS method, FALSE AS is_dir
+        |         FROM ids, generate_series(0, 1) t(k)
+        |         WHERE doc_id % 3 = 1 AND k < 1 + doc_id % 2),
+        |gz AS (SELECT doc_id, 0 AS k, CAST(NULL AS VARCHAR) AS name,
+        |         CAST(LENGTH('gz payload ' || CAST(doc_id AS VARCHAR)) AS BIGINT) AS nb
+        |       FROM ids WHERE doc_id % 3 = 2)
+        |SELECT doc_id AS media_id, fmt AS format, CAST(k AS INTEGER) AS entry_idx,
+        |  name, nb AS n_bytes, method, is_dir
+        |FROM (
+        |  SELECT doc_id, 'zip' AS fmt, k, name, nb, 'deflate' AS method,
+        |         FALSE AS is_dir FROM zip
+        |  UNION ALL
+        |  SELECT doc_id, 'tar', k, name, nb, method, is_dir FROM tard
+        |  UNION ALL
+        |  SELECT doc_id, 'tar', k, name, nb, method, is_dir FROM tarf
+        |  UNION ALL
+        |  SELECT doc_id, 'gzip', k, name, nb, 'deflate', FALSE FROM gz)
+        |ORDER BY media_id, entry_idx""".stripMargin,
+
+    // The BMP channel-sum formulas replayed per member — the engine
+    // must reproduce them THROUGH real deflate extraction and the
+    // re-keyed media walk.
+    "q269_archive_media" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'bmp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
+        |ORDER BY media_id""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

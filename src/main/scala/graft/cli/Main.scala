@@ -468,6 +468,20 @@ object Main {
               spark.read.parquet(in), idCol, payloadCol, "video"))
           .write.mode("overwrite").parquet(out)
 
+      case "archives" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // ZIP/TAR/GZIP member listing (central directory / ustar / header)
+        graft.sources.Archives.describeArchives(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "archive"))
+          .write.mode("overwrite").parquet(out)
+
+      case "unzip" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // ZIP members extracted to payload rows (stored + deflate)
+        graft.sources.Archives.extractZipEntries(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "archive"))
+          .write.mode("overwrite").parquet(out)
+
       case "subtitles" :: in :: idCol :: payloadCol :: out :: Nil =>
         // SRT/WebVTT → one row per cue, markup stripped to training text
         graft.sources.Subtitles.describeSubtitles(
@@ -570,6 +584,8 @@ object Main {
         |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
         |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
         |  video-inspect <in.parquet> <idCol> <payloadCol> <out>  (MP4 track / AVI metadata)
+        |  archives <in.parquet> <idCol> <payloadCol> <out>    (ZIP/TAR/GZIP member listing)
+        |  unzip <in.parquet> <idCol> <payloadCol> <out>       (ZIP members -> payload rows)
         |  subtitles <in.parquet> <idCol> <payloadCol> <out>   (SRT/VTT cues, markup stripped)
         |  video-text <vids.parquet> <subs.parquet> <idCol> <vidCol> <subCol> <msPerFrame> <out>
         |                                      (dedup + scenes + cue-keyframe pairs)

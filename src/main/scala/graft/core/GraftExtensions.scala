@@ -92,7 +92,11 @@ object GraftExtensions {
     ("fold_text",
       info("fold_text",
         "fold_text(s) - Unicode fold: NFC + strip diacritic marks + root-locale lower"),
-      (es: Seq[Expression]) => graft.functions.FoldText(es.head)))
+      (es: Seq[Expression]) => graft.functions.FoldText(es.head)),
+    ("html_to_text",
+      info("html_to_text",
+        "html_to_text(s) - HTML extraction: tags/script/style/comments drop, entities decode, block tags break lines"),
+      (es: Seq[Expression]) => graft.functions.HtmlToText(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,182 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML → training text — the extraction pass a web-crawl curation
+  * pipeline runs before every text-quality/dedup stage: drop markup,
+  * keep content. Native expression (map-only, fuses into the quality
+  * scan like [[FoldText]]); the heavy lifting is a single
+  * linear pass with no regex backtracking:
+  *
+  * - `<script>`/`<style>` elements drop WITH their content (to the
+  *   matching close tag, case-insensitive; unterminated → to EOF).
+  * - Comments `<!-- -->` and declarations/doctype `<!...>` drop.
+  * - Tags drop; the scan is QUOTE-AWARE (a `>` inside a quoted
+  *   attribute value — `href="a>b"` — does not end the tag, the
+  *   crawled-HTML reality naive `indexOf('>')` gets wrong).
+  * - Block-level tags (p, div, br, li, ul, ol, h1–h6, tr, table,
+  *   td, th, section, article, header, footer, blockquote, pre,
+  *   hr, dt, dd, figure, form) — opening OR closing — become line
+  *   breaks; inline tags (a, b, i, span, …) become nothing.
+  * - Character entities decode: the named set a crawl actually
+  *   carries (amp, lt, gt, quot, apos, nbsp → plain space) and
+  *   numeric `&#NNN;`/`&#xHH;` (code-point bounds checked).
+  *   Unknown/malformed entities stay literal.
+  * - Whitespace: source whitespace collapses to single spaces,
+  *   block breaks to single newlines (spaces around a break drop),
+  *   ends trimmed — deterministic, SQL-stateable output.
+  * - A `<` that opens no tag (no `>` ahead) is literal text: hostile
+  *   markup never eats content.
+  *
+  * Reference anchor: the reference ships no HTML extraction; this
+  * serves SURVEY §2's text-pipeline tier (element semantics per the
+  * WHATWG HTML living standard's flow-content list). */
+case class HtmlToText(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "html_to_text"
+
+  override def nullSafeEval(input: Any): Any =
+    UTF8String.fromString(HtmlToText.clean(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HtmlToText {
+  def apply(text: Column): Column =
+    ColumnBridge.column(HtmlToText(ColumnBridge.expression(text)))
+
+  private val BlockTags = Set("p", "div", "br", "li", "ul", "ol",
+    "h1", "h2", "h3", "h4", "h5", "h6", "tr", "table", "td", "th",
+    "section", "article", "header", "footer", "blockquote", "pre",
+    "hr", "dt", "dd", "figure", "form")
+
+  /** The extraction algorithm (see class doc). Deterministic and
+    * total: any byte soup in, clean text out, never a throw. */
+  def clean(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    val raw = new java.lang.StringBuilder(n)
+    var i = 0
+    while (i < n) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        if (html.startsWith("<!--", i)) {
+          val close = html.indexOf("-->", i + 4)
+          i = if (close < 0) n else close + 3
+        } else if (i + 1 < n && (html.charAt(i + 1) == '!')) {
+          val close = html.indexOf('>', i + 2) // doctype / declaration
+          i = if (close < 0) n else close + 1
+        } else {
+          // quote-aware tag scan
+          var j = i + 1
+          var q = 0.toChar // active quote char, or 0
+          var close = -1
+          while (close < 0 && j < n) {
+            val t = html.charAt(j)
+            if (q != 0) { if (t == q) q = 0.toChar }
+            else if (t == '"' || t == '\'') q = t
+            else if (t == '>') close = j
+            j += 1
+          }
+          if (close < 0) { raw.append(c); i += 1 } // literal '<'
+          else {
+            // tag name: [/]letters-digits up to space / '/' / '>'
+            var k = i + 1
+            val closing = k < close && html.charAt(k) == '/'
+            if (closing) k += 1
+            val nameStart = k
+            while (k < close && { val t = html.charAt(k)
+              (t >= 'a' && t <= 'z') || (t >= 'A' && t <= 'Z') ||
+                (t >= '0' && t <= '9') }) k += 1
+            val name = html.substring(nameStart, k).toLowerCase(java.util.Locale.ROOT)
+            i = close + 1
+            if (!closing && (name == "script" || name == "style") &&
+                html.charAt(close - 1) != '/') {
+              // element content drops: scan for the matching close tag
+              var p = i
+              var found = -1
+              while (found < 0 && p < n) {
+                p = html.indexOf("</", p)
+                if (p < 0) p = n
+                else if (p + 2 + name.length <= n &&
+                    html.regionMatches(true, p + 2, name, 0, name.length)) found = p
+                else p += 2
+              }
+              i = if (found < 0) n else {
+                val gt = html.indexOf('>', found)
+                if (gt < 0) n else gt + 1
+              }
+              if (BlockTags.contains(name)) raw.append('\n')
+            } else if (BlockTags.contains(name)) raw.append('\n')
+          }
+        }
+      } else if (c == '&') {
+        val (out, next) = decodeEntity(html, i)
+        if (out != null) { raw.append(out); i = next }
+        else { raw.append(c); i += 1 }
+      } else {
+        // source whitespace (incl. newlines) is a soft space
+        raw.append(if (c == '\t' || c == '\r' || c == '\n') ' ' else c)
+        i += 1
+      }
+    }
+    normalizeWs(raw)
+  }
+
+  /** Decoded entity text and the index after it, or (null, _) when
+    * the `&` is not a well-formed known entity. */
+  private def decodeEntity(s: String, at: Int): (String, Int) = {
+    val semi = s.indexOf(';', at + 1)
+    if (semi < 0 || semi - at > 10) return (null, 0)
+    val body = s.substring(at + 1, semi)
+    if (body.startsWith("#")) {
+      val num = body.substring(1)
+      val cp =
+        try {
+          if (num.length == 0 || num.length > 7) -1
+          else if (num.charAt(0) == 'x' || num.charAt(0) == 'X')
+            Integer.parseInt(num.substring(1), 16)
+          else Integer.parseInt(num, 10)
+        } catch { case _: NumberFormatException => -1 }
+      if (cp >= 0x20 && cp <= 0x10FFFF &&
+          !(cp >= 0xD800 && cp <= 0xDFFF))
+        (new String(Character.toChars(cp)), semi + 1)
+      else (null, 0)
+    } else body match {
+      case "amp" => ("&", semi + 1)
+      case "lt" => ("<", semi + 1)
+      case "gt" => (">", semi + 1)
+      case "quot" => ("\"", semi + 1)
+      case "apos" => ("'", semi + 1)
+      case "nbsp" => (" ", semi + 1)
+      case _ => (null, 0)
+    }
+  }
+
+  /** Space runs → one space, runs containing a break → one newline,
+    * ends trimmed. */
+  private def normalizeWs(raw: java.lang.StringBuilder): String = {
+    val out = new java.lang.StringBuilder(raw.length)
+    var pending = 0 // 0 none, 1 space, 2 newline
+    var i = 0
+    while (i < raw.length) {
+      val c = raw.charAt(i)
+      if (c == ' ') { if (pending < 1) pending = 1 }
+      else if (c == '\n') pending = 2
+      else {
+        if (out.length > 0 && pending > 0)
+          out.append(if (pending == 2) '\n' else ' ')
+        pending = 0
+        out.append(c)
+      }
+      i += 1
+    }
+    out.toString
+  }
+}

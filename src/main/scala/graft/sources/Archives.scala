@@ -1,0 +1,298 @@
+package graft.sources
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** Archive containers — ZIP, ustar TAR, GZIP — as byte-walk kernels:
+  * a crawled corpus carries attachments and bundles, and a curation
+  * pipeline needs to LIST them (what's inside, how big) and EXTRACT
+  * their members into the same media pipeline every other payload
+  * rides ([[Multimodal.inspectMedia]]). Same hostile posture as the
+  * media kernels: bounds-checked walks, entry-count and byte fences,
+  * truncated/hostile bytes return None or clamp, never a throw.
+  *
+  * Format scope, from the public specifications (PKWARE APPNOTE for
+  * ZIP, POSIX ustar for TAR, RFC 1952 for GZIP):
+  * - ZIP: the END-of-central-directory record is located by scanning
+  *   backwards (it floats behind a variable comment), then the
+  *   central directory is walked — the authoritative listing (local
+  *   headers lie under zip-spoofing; the CD is what extractors obey).
+  * - TAR: 512-byte headers, octal sizes, checksum-validated; content
+  *   blocks skipped by size. GNU long-name entries ('L') are applied
+  *   to the following member.
+  * - GZIP: fixed header + optional FEXTRA/FNAME/FCOMMENT/FHCRC
+  *   fields; ISIZE (uncompressed length mod 2³²) from the trailer.
+  *
+  * Reference anchor: the reference ships HadoopArchives (HAR) — see
+  * `ops/Har.scala` — but no ZIP/TAR/GZIP member listing; this extends
+  * the same "archive as a table" idea to the formats a crawl carries. */
+object Archives {
+
+  final case class ArchiveEntry(entryIdx: Int, name: String, nBytes: Long,
+                                method: String, isDir: Boolean)
+
+  /** ZIP central-directory listing. `method` is "stored"/"deflate"/
+    * "other-N"; `nBytes` is the UNCOMPRESSED size. */
+  def parseZipEntries(bytes: Array[Byte],
+                      maxEntries: Int = 1 << 16): Option[Seq[ArchiveEntry]] = {
+    if (bytes == null || bytes.length < 22) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    // EOCD scan: last 64 KiB + 22, backwards
+    var eocd = -1
+    var i = bytes.length - 22
+    val stop = math.max(0, bytes.length - (1 << 16) - 22)
+    while (eocd < 0 && i >= stop) {
+      if (u8(i) == 0x50 && u8(i + 1) == 0x4b && u8(i + 2) == 0x05 &&
+          u8(i + 3) == 0x06) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return None
+    val count = le16(eocd + 10)
+    val cdOff = le32(eocd + 16)
+    if (cdOff >= bytes.length) return None
+    val out = Seq.newBuilder[ArchiveEntry]
+    var p = cdOff
+    var k = 0
+    while (k < count && k < maxEntries) {
+      if (p + 46 > bytes.length || le32(p.toInt) != 0x02014b50L) return None
+      val pi = p.toInt
+      val method = le16(pi + 10) match {
+        case 0 => "stored"
+        case 8 => "deflate"
+        case m => s"other-$m"
+      }
+      val unSize = le32(pi + 24)
+      val nameLen = le16(pi + 28); val extraLen = le16(pi + 30)
+      val commentLen = le16(pi + 32)
+      if (pi + 46 + nameLen > bytes.length) return None
+      val name = new String(bytes, pi + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      out += ArchiveEntry(k, name, unSize, method, name.endsWith("/"))
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    Some(out.result())
+  }
+
+  /** ustar TAR listing: checksum-validated headers, sizes from octal,
+    * GNU 'L' long names applied to the next member. Truncation clamps
+    * (entries before the cut are kept). */
+  def parseTarEntries(bytes: Array[Byte],
+                      maxEntries: Int = 1 << 16): Option[Seq[ArchiveEntry]] = {
+    if (bytes == null || bytes.length < 512) return None
+    def octal(off: Int, len: Int): Long = {
+      var v = 0L; var i = off; val end = off + len
+      var seen = false
+      while (i < end) {
+        val c = bytes(i) & 0xff
+        if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+        else if (seen) i = end // stop at first non-digit after digits
+        i += 1
+      }
+      if (seen) v else -1L
+    }
+    def str(off: Int, len: Int): String = {
+      var end = off
+      while (end < off + len && bytes(end) != 0) end += 1
+      new String(bytes, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    def checksumOk(base: Int): Boolean = {
+      val stored = octal(base + 148, 8)
+      if (stored < 0) return false
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) 32 else bytes(base + i) & 0xff)
+        i += 1
+      }
+      sum == stored
+    }
+    val out = Seq.newBuilder[ArchiveEntry]
+    var p = 0L
+    var k = 0
+    var sawAny = false
+    var pendingLongName: String = null
+    while (k < maxEntries && p + 512 <= bytes.length) {
+      val base = p.toInt
+      if (bytes(base) == 0) { p = bytes.length.toLong } // end blocks
+      else if (!checksumOk(base)) return if (sawAny) Some(out.result()) else None
+      else {
+        sawAny = true
+        val size = math.max(0L, octal(base + 124, 12))
+        val tf = bytes(base + 156) & 0xff
+        val contentBlocks = (size + 511) / 512
+        if (tf == 'L') {
+          // GNU long name: content is the next member's name
+          val avail = math.min(size, math.max(0L, bytes.length - (p + 512)))
+          pendingLongName = new String(bytes, base + 512, avail.toInt,
+            java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0)
+        } else {
+          val rawName = str(base, 100)
+          val prefix = str(base + 345, 155)
+          val name =
+            if (pendingLongName != null) pendingLongName
+            else if (prefix.nonEmpty) prefix + "/" + rawName
+            else rawName
+          pendingLongName = null
+          val isDir = tf == '5' || name.endsWith("/")
+          out += ArchiveEntry(k, name, if (isDir) 0L else size,
+            if (isDir) "dir" else "tar", isDir)
+          k += 1
+        }
+        p += 512 + contentBlocks * 512
+      }
+    }
+    if (sawAny) Some(out.result()) else None
+  }
+
+  /** GZIP member facts: (name from FNAME or null, ISIZE). Multi-member
+    * gzip reports the FIRST member's name and the LAST trailer's
+    * ISIZE is unreachable without inflating — so isizeMod32 is the
+    * final 4 bytes, correct for the single-member files a crawl
+    * actually has. */
+  def parseGzipMeta(bytes: Array[Byte]): Option[(String, Long)] = {
+    if (bytes == null || bytes.length < 18) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    if (u8(0) != 0x1f || u8(1) != 0x8b || u8(2) != 8) return None
+    val flg = u8(3)
+    var i = 10
+    if ((flg & 4) != 0) { // FEXTRA
+      if (i + 2 > bytes.length) return None
+      val xlen = u8(i) | (u8(i + 1) << 8)
+      i += 2 + xlen
+      if (i > bytes.length) return None
+    }
+    var name: String = null
+    if ((flg & 8) != 0) { // FNAME, zero-terminated latin-1
+      val start = i
+      while (i < bytes.length && bytes(i) != 0) i += 1
+      if (i >= bytes.length) return None
+      name = new String(bytes, start, i - start,
+        java.nio.charset.StandardCharsets.ISO_8859_1)
+      i += 1
+    }
+    val n = bytes.length
+    val isize = (u8(n - 4).toLong) | (u8(n - 3).toLong << 8) |
+      (u8(n - 2).toLong << 16) | (u8(n - 1).toLong << 24)
+    Some((name, isize))
+  }
+
+  /** One row per archive member across a mixed payload column —
+    * sniffs ZIP (PK), TAR (checksum at 257 "ustar" or valid header),
+    * GZIP (1f 8b); anything else contributes no rows. flatMap
+    * kernel, payloads never shuffle. */
+  def describeArchives(media: DataFrame,
+                       maxEntries: Int = 1 << 16): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        if (p == null || p.length < 4) Nil
+        else if ((p(0) & 0xff) == 0x50 && (p(1) & 0xff) == 0x4b)
+          parseZipEntries(p, maxEntries).getOrElse(Nil).map(e =>
+            (id, "zip", e.entryIdx, e.name, e.nBytes, e.method, e.isDir))
+        else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
+          parseGzipMeta(p).toSeq.map { case (nm, isize) =>
+            (id, "gzip", 0, nm, isize, "deflate", false)
+          }
+        else
+          parseTarEntries(p, maxEntries).getOrElse(Nil).map(e =>
+            (id, "tar", e.entryIdx, e.name, e.nBytes, e.method, e.isDir))
+      }
+      .toDF("media_id", "format", "entry_idx", "name", "n_bytes",
+        "method", "is_dir")
+  }
+
+  /** EXTRACT zip members into payload rows — the bridge that feeds
+    * bundled files into the media pipeline: one (media_id, entry_idx,
+    * name, payload) row per non-directory member, stored copied out,
+    * deflate inflated (raw, nowrap), each member fenced to `maxBytes`
+    * (oversized or corrupt members are skipped, the walk continues).
+    * Uses the LOCAL headers for data offsets via the central
+    * directory's pointer — the extraction rule extractors follow. */
+  def extractZipEntries(media: DataFrame, maxBytes: Int = 1 << 24,
+                        maxEntries: Int = 1 << 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) => zipMembers(p, maxBytes, maxEntries).map {
+        case (idx, name, body) => (id, idx, name, body) } }
+      .toDF("media_id", "entry_idx", "name", "payload")
+  }
+
+  /** The extraction kernel behind [[extractZipEntries]]. */
+  def zipMembers(bytes: Array[Byte], maxBytes: Int = 1 << 24,
+                 maxEntries: Int = 1 << 12): Seq[(Int, String, Array[Byte])] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0x50 || (bytes(1) & 0xff) != 0x4b) return Nil
+    def u8(i: Int) = bytes(i) & 0xff
+    def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
+    def le32(i: Int): Long =
+      u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
+        (u8(i + 3).toLong << 24)
+    // reuse the CD walk for names/methods/sizes AND local offsets
+    var eocd = -1
+    var i = bytes.length - 22
+    val stop = math.max(0, bytes.length - (1 << 16) - 22)
+    while (eocd < 0 && i >= stop) {
+      if (u8(i) == 0x50 && u8(i + 1) == 0x4b && u8(i + 2) == 0x05 &&
+          u8(i + 3) == 0x06) eocd = i
+      i -= 1
+    }
+    if (eocd < 0) return Nil
+    val count = le16(eocd + 10)
+    var p = le32(eocd + 16)
+    val out = Seq.newBuilder[(Int, String, Array[Byte])]
+    var k = 0
+    var emitted = 0
+    while (k < count && k < maxEntries && p + 46 <= bytes.length &&
+        le32(p.toInt) == 0x02014b50L) {
+      val pi = p.toInt
+      val method = le16(pi + 10)
+      val cSize = le32(pi + 20); val unSize = le32(pi + 24)
+      val nameLen = le16(pi + 28); val extraLen = le16(pi + 30)
+      val commentLen = le16(pi + 32)
+      val localOff = le32(pi + 42)
+      if (pi + 46 + nameLen > bytes.length) return out.result()
+      val name = new String(bytes, pi + 46, nameLen,
+        java.nio.charset.StandardCharsets.UTF_8)
+      if (!name.endsWith("/") && unSize <= maxBytes &&
+          localOff + 30 <= bytes.length && le32(localOff.toInt) == 0x04034b50L) {
+        val li = localOff.toInt
+        val dataOff = localOff + 30 + le16(li + 26) + le16(li + 28)
+        if (dataOff + cSize <= bytes.length) {
+          val comp = java.util.Arrays.copyOfRange(
+            bytes, dataOff.toInt, (dataOff + cSize).toInt)
+          val body: Array[Byte] =
+            if (method == 0) comp
+            else if (method == 8) {
+              val inf = new java.util.zip.Inflater(true)
+              inf.setInput(comp)
+              val buf = new Array[Byte](unSize.toInt)
+              try {
+                var off = 0
+                var ok = true
+                while (ok && off < buf.length && !inf.finished()) {
+                  val m = inf.inflate(buf, off, buf.length - off)
+                  if (m == 0) ok = false else off += m
+                }
+                if (ok && off == buf.length) buf else null
+              } catch {
+                case _: java.util.zip.DataFormatException => null
+              } finally inf.end()
+            } else null
+          if (body != null) { out += ((emitted, name, body)); emitted += 1 }
+        }
+      }
+      p += 46 + nameLen + extraLen + commentLen
+      k += 1
+    }
+    out.result()
+  }
+}

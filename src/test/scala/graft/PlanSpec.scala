@@ -464,7 +464,8 @@ class PlanSpec extends SparkSpec {
         "q251_image_dhash", "q253_audio_fingerprint",
         "q254_video_metadata", "q255_mkv_metadata",
         "q256_exif", "q257_mp3_metadata", "q258_video_frames",
-        "q261_subtitles").foreach { q =>
+        "q261_subtitles", "q267_html_extract", "q268_archive_entries",
+        "q269_archive_media").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers
