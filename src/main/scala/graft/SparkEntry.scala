@@ -423,6 +423,41 @@ object SparkEntry {
     }
     out
   }
+  /** WARC fixture (q270/q271): warcinfo, then per page a request +
+    * response pair (text/html 200), then a 404 and an image/png
+    * response — both of which the text pass must exclude. Fixed-width
+    * HTTP preamble (44 bytes + body) keeps Content-Length
+    * SQL-replayable. */
+  private def warcFixture(id: Long): Array[Byte] = {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(status: Int, ctype: String, body: String): Array[Byte] =
+      (s"HTTP/1.1 $status OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
+    val np = (1 + id % 2).toInt
+    val pages = (0 until np).flatMap { j =>
+      val uri = s"http://ex.com/$id/$j"
+      rec("request", uri, "GET / HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")) ++
+        rec("response", uri, http(200, "text/html",
+          s"<h1>Page $id $j</h1><p>text $id &amp; $j</p>"))
+    }
+    rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+      pages.toArray ++
+      rec("response", s"http://ex.com/$id/gone",
+        http(404, "text/html", s"<p>gone $id</p>")) ++
+      rec("response", s"http://ex.com/$id/img",
+        http(200, "image/png", s"PNGDATA$id"))
+  }
+  private def gzipBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val g = new java.util.zip.GZIPOutputStream(bos)
+    g.write(b); g.close()
+    bos.toByteArray
+  }
   /** ZIP via the JDK's own encoder — the third-party-writer fixture
     * (q268/q269): our central-directory walk must read back what
     * ZipOutputStream wrote. */
@@ -5139,6 +5174,46 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q270 — WARC record listing ([[graft.sources.Warc.describeWarc]]):
+    // the crawl container walk — warcinfo / request / response records
+    // with HTTP status + Content-Type parsed out of response payloads;
+    // every 4th payload is whole-file gzip (auto-inflated, identical
+    // listing). The oracle replays record indices, URIs and the
+    // integer Content-Length arithmetic. flatMap kernel.
+    "q270_warc_records" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val b = warcFixture(id)
+          (id, if (id % 4 == 1) gzipBytes(b) else b)
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.describeWarc(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q271 — crawl → training text ([[graft.sources.Warc
+    // .warcHtmlText]]): the Common-Crawl pass end to end — WARC
+    // (gzipped every 4th), response records gated to 2xx text/html,
+    // bodies through the html_to_text kernel. The 404 and image/png
+    // records in every fixture MUST be excluded. The oracle states
+    // URL and clean text from the formulas.
+    "q271_warc_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val b = warcFixture(id)
+          (id, if (id % 4 == 1) gzipBytes(b) else b)
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9319,6 +9394,63 @@ object SparkEntry {
         |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
         |GROUP BY doc_id, k
         |ORDER BY media_id""".stripMargin,
+
+    // Record indices, URIs and the integer Content-Length arithmetic
+    // (fixed 44-byte HTTP preamble + LENGTH of each body formula)
+    // replayed — the engine must reproduce them THROUGH the WARC
+    // header walk and (every 4th id) a real gzip round-trip.
+    "q270_warc_records" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, np, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np),
+        |rws AS (
+        |  SELECT doc_id, 0 AS ri, 'warcinfo' AS wt,
+        |    CAST(NULL AS VARCHAR) AS uri, CAST(17 AS BIGINT) AS cl,
+        |    CAST(NULL AS INTEGER) AS st, CAST(NULL AS VARCHAR) AS ct
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 1 + 2 * j, 'request',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+        |    CAST(18 AS BIGINT), NULL, NULL FROM pg
+        |  UNION ALL
+        |  SELECT doc_id, 2 + 2 * j, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+        |    CAST(44 + LENGTH('<h1>Page ' || CAST(doc_id AS VARCHAR) || ' '
+        |      || CAST(j AS VARCHAR) || '</h1><p>text ' || CAST(doc_id AS VARCHAR)
+        |      || ' &amp; ' || CAST(j AS VARCHAR) || '</p>') AS BIGINT),
+        |    200, 'text/html' FROM pg
+        |  UNION ALL
+        |  SELECT doc_id, 1 + 2 * np, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/gone',
+        |    CAST(44 + LENGTH('<p>gone ' || CAST(doc_id AS VARCHAR) || '</p>') AS BIGINT),
+        |    404, 'text/html' FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 2 + 2 * np, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/img',
+        |    CAST(44 + LENGTH('PNGDATA' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |    200, 'image/png' FROM ids)
+        |SELECT doc_id AS media_id, CAST(ri AS INTEGER) AS record_idx,
+        |  wt AS warc_type, uri AS target_uri, cl AS content_length,
+        |  st AS http_status, ct AS content_type
+        |FROM rws
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // URL and clean text stated from the formulas; only the 2xx
+    // text/html records may appear.
+    "q271_warc_text" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np)
+        |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    AS url,
+        |  'Page ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR) ||
+        |    chr(10) || 'text ' || CAST(doc_id AS VARCHAR) || ' & '
+        |    || CAST(j AS VARCHAR) AS text
+        |FROM pg
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -468,6 +468,20 @@ object Main {
               spark.read.parquet(in), idCol, payloadCol, "video"))
           .write.mode("overwrite").parquet(out)
 
+      case "warc" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // WARC record listing (plain or gzipped, Common-Crawl style)
+        graft.sources.Warc.describeWarc(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "warc"))
+          .write.mode("overwrite").parquet(out)
+
+      case "warc-text" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // the Common-Crawl pass: 2xx text/html responses -> clean text
+        graft.sources.Warc.warcHtmlText(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "warc"))
+          .write.mode("overwrite").parquet(out)
+
       case "archives" :: in :: idCol :: payloadCol :: out :: Nil =>
         // ZIP/TAR/GZIP member listing (central directory / ustar / header)
         graft.sources.Archives.describeArchives(
@@ -584,6 +598,8 @@ object Main {
         |  png-stats <in.parquet> <idCol> <payloadCol> <out>   (PNG decode: zlib + unfilter)
         |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
         |  video-inspect <in.parquet> <idCol> <payloadCol> <out>  (MP4 track / AVI metadata)
+        |  warc <in.parquet> <idCol> <payloadCol> <out>        (WARC record listing)
+        |  warc-text <in.parquet> <idCol> <payloadCol> <out>   (crawl -> clean training text)
         |  archives <in.parquet> <idCol> <payloadCol> <out>    (ZIP/TAR/GZIP member listing)
         |  unzip <in.parquet> <idCol> <payloadCol> <out>       (ZIP members -> payload rows)
         |  subtitles <in.parquet> <idCol> <payloadCol> <out>   (SRT/VTT cues, markup stripped)

@@ -465,7 +465,8 @@ class PlanSpec extends SparkSpec {
         "q254_video_metadata", "q255_mkv_metadata",
         "q256_exif", "q257_mp3_metadata", "q258_video_frames",
         "q261_subtitles", "q267_html_extract", "q268_archive_entries",
-        "q269_archive_media").foreach { q =>
+        "q269_archive_media", "q270_warc_records",
+        "q271_warc_text").foreach { q =>
       val p = plan(q)
       // payload bytes never cross a shuffle: the ONLY exchange is the
       // final ORDER BY's range partitioning, after stats are integers
