@@ -217,7 +217,13 @@ object Bench {
       // pass over synthesized PNG/JPEG/GIF/BMP/TIFF/ICO/AU/AIFF/WAV
       // payloads through every REAL decoder; tracks the byte-kernel
       // throughput of the whole decode surface in one number
-      "q250_media_inspect")
+      "q250_media_inspect",
+      // round-11 session 2: the two new end-to-end pipelines —
+      // curation v6 (video decode → near-dup prune → scenes → cue
+      // alignment; the persisted-hash diamond) and the Common-Crawl
+      // pass (WARC walk → HTTP gate → html_to_text), tracked from
+      // their first round
+      "q266_curation_v6", "q271_warc_text")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -5214,6 +5214,35 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q272 — URL canonicalization + URL-keyed dup counts
+    // ([[graft.functions.CanonicalUrl]], SQL `canonical_url`): step
+    // zero of crawl dedup — quintets of messy aliases (case, default
+    // port, fragment, dot-segments, unreserved percent-escapes) must
+    // collapse to ONE canonical key; non-URLs pass through unchanged.
+    // The oracle states each id's canonical form and replays the
+    // per-key count. One window shuffle on the canonical key.
+    "q272_url_canon" -> ((s, d) => {
+      import s.implicits._
+      val urls = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val b = id / 5
+        val u =
+          if (id % 50 == 0) s"not a url $id"
+          else (id % 5) match {
+            case 0 => s"http://ex.com/p/$b"
+            case 1 => s"HTTP://EX.COM/p/$b#sec"
+            case 2 => s"http://ex.com:80/p/$b"
+            case 3 => s"http://ex.com/a/../p/$b"
+            case _ => s"http://ex.com/%70/$b"
+          }
+        (id, u)
+      }.toDF("doc_id", "url")
+      val w = org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))
+      urls.select(col("doc_id"),
+          graft.functions.CanonicalUrl(col("url")).as("canon"))
+        .withColumn("n_dups", count(lit(1)).over(w))
+        .orderBy("doc_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9451,6 +9480,21 @@ object SparkEntry {
         |    || CAST(j AS VARCHAR) AS text
         |FROM pg
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Each alias's canonical form stated; the per-key count replayed
+    // with a window — the engine must agree THROUGH the RFC 3986
+    // normalization rules.
+    "q272_url_canon" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0
+        |       THEN 'not a url ' || CAST(doc_id AS VARCHAR)
+        |       ELSE 'http://ex.com/p/' || CAST(doc_id // 5 AS VARCHAR)
+        |  END AS canon
+        |  FROM documents)
+        |SELECT doc_id, canon,
+        |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups
+        |FROM c
+        |ORDER BY doc_id""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

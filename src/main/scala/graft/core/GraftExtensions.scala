@@ -96,7 +96,11 @@ object GraftExtensions {
     ("html_to_text",
       info("html_to_text",
         "html_to_text(s) - HTML extraction: tags/script/style/comments drop, entities decode, block tags break lines"),
-      (es: Seq[Expression]) => graft.functions.HtmlToText(es.head)))
+      (es: Seq[Expression]) => graft.functions.HtmlToText(es.head)),
+    ("canonical_url",
+      info("canonical_url",
+        "canonical_url(s) - RFC 3986 normalization: case, default ports, dot-segments, percent-encoding; fragment dropped"),
+      (es: Seq[Expression]) => graft.functions.CanonicalUrl(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,71 @@
+package graft.functions
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[CanonicalUrl]] — RFC 3986 syntax-based normalization — on
+  * the messy forms a crawl's url column actually carries. */
+class CanonicalUrlSpec extends SparkSpec {
+  import spark.implicits._
+  import CanonicalUrl.canonicalize
+
+  test("case, default ports, fragments") {
+    assert(canonicalize("HTTP://Example.COM/path") == "http://example.com/path")
+    assert(canonicalize("http://ex.com:80/a") == "http://ex.com/a")
+    assert(canonicalize("https://ex.com:443/a") == "https://ex.com/a")
+    assert(canonicalize("http://ex.com:8080/a") == "http://ex.com:8080/a")
+    assert(canonicalize("https://ex.com:80/a") == "https://ex.com:80/a") // not https default
+    assert(canonicalize("http://ex.com/a#frag") == "http://ex.com/a")
+    assert(canonicalize("http://ex.com#only-frag") == "http://ex.com/")
+    assert(canonicalize("http://EX.com") == "http://ex.com/")
+    // path/query case is preserved — only scheme+host fold
+    assert(canonicalize("http://ex.com/CaseD?Q=V") == "http://ex.com/CaseD?Q=V")
+    // userinfo preserved
+    assert(canonicalize("ftp://User@EX.com/f") == "ftp://User@ex.com/f")
+  }
+
+  test("dot-segment resolution preserves directory form and double slashes") {
+    assert(canonicalize("http://ex.com/a/./b/../c") == "http://ex.com/a/c")
+    assert(canonicalize("http://ex.com/a/../../b") == "http://ex.com/b")
+    assert(canonicalize("http://ex.com/a/b/..") == "http://ex.com/a/")
+    assert(canonicalize("http://ex.com/a/.") == "http://ex.com/a/")
+    assert(canonicalize("http://ex.com/..") == "http://ex.com/")
+    assert(canonicalize("http://ex.com/a//b") == "http://ex.com/a//b")
+    assert(canonicalize("http://ex.com/a/../") == "http://ex.com/")
+  }
+
+  test("percent-encoding: unreserved decodes, the rest upper-cases, malformed literal") {
+    assert(canonicalize("http://ex.com/%41%42c") == "http://ex.com/ABc")
+    assert(canonicalize("http://ex.com/%7Euser") == "http://ex.com/~user")
+    assert(canonicalize("http://ex.com/a%2fb") == "http://ex.com/a%2Fb") // '/' stays encoded
+    assert(canonicalize("http://ex.com/a%20b?x=%3d") == "http://ex.com/a%20b?x=%3D")
+    assert(canonicalize("http://ex.com/100%") == "http://ex.com/100%")
+    assert(canonicalize("http://ex.com/a%zzb") == "http://ex.com/a%zzb")
+  }
+
+  test("non-URLs and odd shapes pass through unchanged; null propagates") {
+    assert(canonicalize("not a url") == "not a url")
+    assert(canonicalize("mailto:a@b.c") == "mailto:a@b.c") // no '://'
+    assert(canonicalize("://nohost") == "://nohost")
+    assert(canonicalize("1http://bad-scheme.com/") == "1http://bad-scheme.com/")
+    assert(canonicalize("http://") == "http://")
+    assert(canonicalize("") == "")
+    assert(canonicalize(null) == null)
+    // ipv6 hosts don't lose their port discrimination
+    assert(canonicalize("http://[2001:DB8::1]/a") == "http://[2001:db8::1]/a")
+  }
+
+  test("canonical_url is SQL-registered; equal keys group after normalization") {
+    graft.core.GraftExtensions.register(spark)
+    val urls = Seq(
+      "HTTP://Ex.COM:80/a/../b#x", "http://ex.com/b",
+      "http://ex.com/%62?q=1").toDF("u")
+    urls.createOrReplaceTempView("urls")
+    val keys = spark.sql("SELECT canonical_url(u) AS k FROM urls")
+      .as[String].collect().toSeq
+    assert(keys(0) == "http://ex.com/b" && keys(1) == "http://ex.com/b")
+    assert(keys(2) == "http://ex.com/b?q=1")
+    val viaCol = urls.select(CanonicalUrl(col("u")).as("k")).as[String].collect().toSeq
+    assert(viaCol == keys)
+  }
+}
