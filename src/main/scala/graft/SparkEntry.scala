@@ -458,6 +458,41 @@ object SparkEntry {
     g.write(b); g.close()
     bos.toByteArray
   }
+  /** WARC fixture for curation v7 (q273): quintets (id/5) publish the
+    * SAME pages under messy URL aliases, content repeats across
+    * quintets sharing b%7, and some second pages are too short to
+    * keep — so every pipeline stage (URL dedup, quality gate, content
+    * dedup) has planted work. */
+  private def warcV7Fixture(id: Long): Array[Byte] = {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(body: String): Array[Byte] =
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8")
+    val b = id / 5
+    val np = (1 + id % 2).toInt
+    val pages = (0 until np).flatMap { j =>
+      val canonical = s"/p/$b/$j"
+      val uri = (id % 5) match {
+        case 0 => s"http://ex.com$canonical"
+        case 1 => s"HTTP://EX.COM$canonical#frag"
+        case 2 => s"http://ex.com:80$canonical"
+        case 3 => s"http://ex.com/a/..$canonical"
+        case _ => s"http://ex.com/%70/$b/$j"
+      }
+      val body =
+        if (j == 1 && id % 3 == 0) "<p>x</p>" // too short: quality-gated
+        else s"<h1>S${b % 29} $j</h1><p>body ${b % 29} &amp; $j</p>"
+      rec("request", uri, "GET / HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")) ++
+        rec("response", uri, http(body))
+    }
+    rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+      pages.toArray
+  }
   /** ZIP via the JDK's own encoder — the third-party-writer fixture
     * (q268/q269): our central-directory walk must read back what
     * ZipOutputStream wrote. */
@@ -5243,6 +5278,39 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q273 — curation v7: the WEB pipeline end-to-end — WARC → HTTP
+    // gate → html_to_text → canonical-URL dedup (quintets publish the
+    // same pages under messy aliases; keep the first by (id, record))
+    // → quality gate (min text length) → exact content dedup across
+    // sites (b%29 content collisions; keep-first again). The oracle
+    // replays the whole chain over the derived page rows with the
+    // same two windows. Shuffle classes: two keyed windows (canonical
+    // url, content hash) — the web mirror of q266's video chain.
+    "q273_curation_v7" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else (id, warcV7Fixture(id))
+      }.toDF("doc_id", "warc")
+      val pages = graft.sources.Warc.warcHtmlText(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+      val canon = pages.withColumn("url_canon",
+        graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon")).orderBy(col("media_id"), col("record_idx"))
+      val urlKept = canon.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val quality = urlKept.where(length(col("text")) >= 10)
+      val hashW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("content_md5")).orderBy(col("media_id"), col("record_idx"))
+      quality.withColumn("content_md5", md5(col("text").cast("binary")))
+        .withColumn("rn", row_number().over(hashW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"),
+          col("url_canon").as("url"), col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9495,6 +9563,32 @@ object SparkEntry {
         |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups
         |FROM c
         |ORDER BY doc_id""".stripMargin,
+
+    // The whole v7 chain replayed over the derived page rows: same
+    // canonical forms, same two keep-first windows, same length gate —
+    // the engine must agree THROUGH real WARC bytes, HTTP parsing,
+    // HTML extraction and RFC 3986 normalization.
+    "q273_curation_v7" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, j, doc_id // 5 AS b,
+        |         'http://ex.com/p/' || CAST(doc_id // 5 AS VARCHAR) || '/'
+        |           || CAST(j AS VARCHAR) AS canon,
+        |         CASE WHEN j = 1 AND doc_id % 3 = 0 THEN 'x'
+        |              ELSE 'S' || CAST((doc_id // 5) % 29 AS VARCHAR) || ' '
+        |                || CAST(j AS VARCHAR) || chr(10) || 'body '
+        |                || CAST((doc_id // 5) % 29 AS VARCHAR) || ' & '
+        |                || CAST(j AS VARCHAR) END AS text
+        |       FROM ids, generate_series(0, 1) t(j) WHERE j < np),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY doc_id, j) AS rn FROM pg),
+        |q AS (SELECT * FROM u WHERE rn = 1 AND LENGTH(text) >= 10),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY doc_id, j) AS rn2 FROM q)
+        |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
+        |  canon AS url, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

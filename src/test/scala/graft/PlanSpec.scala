@@ -506,6 +506,15 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("q273: v7 web pipeline is two keyed windows, no join, no cross product") {
+    val p = plan("q273_curation_v7")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // both dedup windows key on their column — never a global window
+    assert(p.contains("hashpartitioning(url_canon") ||
+      p.contains("hashpartitioning(content_md5"), p)
+  }
+
   test("q262: scene cuts are one keyed window + rollup, no join") {
     val p = plan("q262_scene_cuts")
     assert(p.contains("Window"), p)
