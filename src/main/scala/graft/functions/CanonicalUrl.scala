@@ -75,11 +75,18 @@ object CanonicalUrl {
     if (host0.isEmpty) return url
     val schemeL = scheme.toLowerCase(java.util.Locale.ROOT)
     val host = host0.toLowerCase(java.util.Locale.ROOT)
-    val port =
-      if (port0 == null || port0.isEmpty) null
-      else if (schemeL == "http" && port0 == "80") null
-      else if (schemeL == "https" && port0 == "443") null
-      else port0
+    val port = {
+      // RFC: the port is a NUMBER — ':080' is the default port too,
+      // and a kept port drops leading zeros so aliases share one key
+      val num = if (port0 == null) null else {
+        val t = port0.dropWhile(_ == '0')
+        if (t.isEmpty && port0.nonEmpty) "0" else t
+      }
+      if (num == null || num.isEmpty) null
+      else if (schemeL == "http" && num == "80") null
+      else if (schemeL == "https" && num == "443") null
+      else num
+    }
     val path = resolveDots(pctNormalize(rawPath))
     val query = if (rawQuery == null) null else pctNormalize(rawQuery)
     val sb = new java.lang.StringBuilder(url.length)

@@ -72,6 +72,12 @@ object HtmlToText {
         } else if (i + 1 < n && (html.charAt(i + 1) == '!')) {
           val close = html.indexOf('>', i + 2) // doctype / declaration
           i = if (close < 0) n else close + 1
+        } else if (i + 1 >= n || !{ val t = html.charAt(i + 1)
+            (t >= 'a' && t <= 'z') || (t >= 'A' && t <= 'Z') ||
+              t == '/' || t == '?' }) {
+          // '<' followed by anything but a name/closer/PI is TEXT per
+          // the HTML spec — "5 < 6 and 9 > 7" must not lose ' 6 and 9 '
+          raw.append(c); i += 1
         } else {
           // quote-aware tag scan
           var j = i + 1
@@ -105,7 +111,13 @@ object HtmlToText {
                 p = html.indexOf("</", p)
                 if (p < 0) p = n
                 else if (p + 2 + name.length <= n &&
-                    html.regionMatches(true, p + 2, name, 0, name.length)) found = p
+                    html.regionMatches(true, p + 2, name, 0, name.length) && {
+                      // the close-tag NAME must end here — '</scriptz>'
+                      // inside the element must not end a <script>
+                      val after = p + 2 + name.length
+                      after >= n || { val t = html.charAt(after)
+                        t == '>' || t == '/' || Character.isWhitespace(t) }
+                    }) found = p
                 else p += 2
               }
               i = if (found < 0) n else {
@@ -144,7 +156,10 @@ object HtmlToText {
             Integer.parseInt(num.substring(1), 16)
           else Integer.parseInt(num, 10)
         } catch { case _: NumberFormatException => -1 }
-      if (cp >= 0x20 && cp <= 0x10FFFF &&
+      if (cp == 9 || cp == 10 || cp == 13 || cp == 32 || cp == 160)
+        (" ", semi + 1) // whitespace code points: one soft space, the
+                        // same text &nbsp; produces (consistency pin)
+      else if (cp > 0x20 && cp <= 0x10FFFF &&
           !(cp >= 0xD800 && cp <= 0xDFFF))
         (new String(Character.toChars(cp)), semi + 1)
       else (null, 0)

@@ -31,17 +31,22 @@ object Archives {
   final case class ArchiveEntry(entryIdx: Int, name: String, nBytes: Long,
                                 method: String, isDir: Boolean)
 
-  /** ZIP central-directory listing. `method` is "stored"/"deflate"/
-    * "other-N"; `nBytes` is the UNCOMPRESSED size. */
-  def parseZipEntries(bytes: Array[Byte],
-                      maxEntries: Int = 1 << 16): Option[Seq[ArchiveEntry]] = {
-    if (bytes == null || bytes.length < 22) return None
+  /** The central-directory walk shared by [[parseZipEntries]] and
+    * [[zipMembers]] (one copy of the EOCD back-scan and CD field
+    * offsets): calls `f(idx, name, method, cSize, unSize, localOff)`
+    * per record. Returns -1 when there is no EOCD at all, 0 when the
+    * whole directory walked cleanly, 1 when it stopped at a malformed
+    * record (entries already delivered stand). */
+  private def zipCdWalk(bytes: Array[Byte], maxEntries: Int)
+      (f: (Int, String, Int, Long, Long, Long) => Unit): Int = {
+    if (bytes == null || bytes.length < 22) return -1
     def u8(i: Int) = bytes(i) & 0xff
     def le16(i: Int) = u8(i) | (u8(i + 1) << 8)
     def le32(i: Int): Long =
       u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
         (u8(i + 3).toLong << 24)
-    // EOCD scan: last 64 KiB + 22, backwards
+    // EOCD scan: last 64 KiB + 22, backwards (it floats behind the
+    // variable-length archive comment)
     var eocd = -1
     var i = bytes.length - 22
     val stop = math.max(0, bytes.length - (1 << 16) - 22)
@@ -50,32 +55,44 @@ object Archives {
           u8(i + 3) == 0x06) eocd = i
       i -= 1
     }
-    if (eocd < 0) return None
+    if (eocd < 0) return -1
     val count = le16(eocd + 10)
-    val cdOff = le32(eocd + 16)
-    if (cdOff >= bytes.length) return None
-    val out = Seq.newBuilder[ArchiveEntry]
-    var p = cdOff
+    var p = le32(eocd + 16)
+    if (p >= bytes.length) return -1
     var k = 0
     while (k < count && k < maxEntries) {
-      if (p + 46 > bytes.length || le32(p.toInt) != 0x02014b50L) return None
+      if (p + 46 > bytes.length || le32(p.toInt) != 0x02014b50L) return 1
       val pi = p.toInt
-      val method = le16(pi + 10) match {
-        case 0 => "stored"
-        case 8 => "deflate"
-        case m => s"other-$m"
-      }
-      val unSize = le32(pi + 24)
       val nameLen = le16(pi + 28); val extraLen = le16(pi + 30)
       val commentLen = le16(pi + 32)
-      if (pi + 46 + nameLen > bytes.length) return None
+      if (pi + 46 + nameLen > bytes.length) return 1
       val name = new String(bytes, pi + 46, nameLen,
         java.nio.charset.StandardCharsets.UTF_8)
-      out += ArchiveEntry(k, name, unSize, method, name.endsWith("/"))
+      f(k, name, le16(pi + 10), le32(pi + 20), le32(pi + 24), le32(pi + 42))
       p += 46 + nameLen + extraLen + commentLen
       k += 1
     }
-    Some(out.result())
+    0
+  }
+
+  /** ZIP central-directory listing. `method` is "stored"/"deflate"/
+    * "other-N"; `nBytes` is the UNCOMPRESSED size. A malformed
+    * central directory rejects the whole listing (the strict read —
+    * a lying CD is zip-spoofing, not a partial file). */
+  def parseZipEntries(bytes: Array[Byte],
+                      maxEntries: Int = 1 << 16): Option[Seq[ArchiveEntry]] = {
+    val out = Seq.newBuilder[ArchiveEntry]
+    zipCdWalk(bytes, maxEntries) { (k, name, method, _, unSize, _) =>
+      val m = method match {
+        case 0 => "stored"
+        case 8 => "deflate"
+        case v => s"other-$v"
+      }
+      out += ArchiveEntry(k, name, unSize, m, name.endsWith("/"))
+    } match {
+      case 0 => Some(out.result())
+      case _ => None
+    }
   }
 
   /** ustar TAR listing: checksum-validated headers, sizes from octal,
@@ -226,7 +243,13 @@ object Archives {
       .toDF("media_id", "entry_idx", "name", "payload")
   }
 
-  /** The extraction kernel behind [[extractZipEntries]]. */
+  /** The extraction kernel behind [[extractZipEntries]] — the SAME
+    * [[zipCdWalk]] as the listing (extraction and listing can never
+    * disagree on the directory), plus the local-header hop to each
+    * member's data and the stored/deflate decode. A malformed tail
+    * keeps the members already extracted (partial archives are still
+    * worth their intact members — the listing's strictness guards
+    * spoofing, extraction is per-member-fenced anyway). */
   def zipMembers(bytes: Array[Byte], maxBytes: Int = 1 << 24,
                  maxEntries: Int = 1 << 12): Seq[(Int, String, Array[Byte])] = {
     if (bytes == null || bytes.length < 4 ||
@@ -236,32 +259,9 @@ object Archives {
     def le32(i: Int): Long =
       u8(i).toLong | (u8(i + 1).toLong << 8) | (u8(i + 2).toLong << 16) |
         (u8(i + 3).toLong << 24)
-    // reuse the CD walk for names/methods/sizes AND local offsets
-    var eocd = -1
-    var i = bytes.length - 22
-    val stop = math.max(0, bytes.length - (1 << 16) - 22)
-    while (eocd < 0 && i >= stop) {
-      if (u8(i) == 0x50 && u8(i + 1) == 0x4b && u8(i + 2) == 0x05 &&
-          u8(i + 3) == 0x06) eocd = i
-      i -= 1
-    }
-    if (eocd < 0) return Nil
-    val count = le16(eocd + 10)
-    var p = le32(eocd + 16)
     val out = Seq.newBuilder[(Int, String, Array[Byte])]
-    var k = 0
     var emitted = 0
-    while (k < count && k < maxEntries && p + 46 <= bytes.length &&
-        le32(p.toInt) == 0x02014b50L) {
-      val pi = p.toInt
-      val method = le16(pi + 10)
-      val cSize = le32(pi + 20); val unSize = le32(pi + 24)
-      val nameLen = le16(pi + 28); val extraLen = le16(pi + 30)
-      val commentLen = le16(pi + 32)
-      val localOff = le32(pi + 42)
-      if (pi + 46 + nameLen > bytes.length) return out.result()
-      val name = new String(bytes, pi + 46, nameLen,
-        java.nio.charset.StandardCharsets.UTF_8)
+    zipCdWalk(bytes, maxEntries) { (_, name, method, cSize, unSize, localOff) =>
       if (!name.endsWith("/") && unSize <= maxBytes &&
           localOff + 30 <= bytes.length && le32(localOff.toInt) == 0x04034b50L) {
         val li = localOff.toInt
@@ -290,8 +290,6 @@ object Archives {
           if (body != null) { out += ((emitted, name, body)); emitted += 1 }
         }
       }
-      p += 46 + nameLen + extraLen + commentLen
-      k += 1
     }
     out.result()
   }

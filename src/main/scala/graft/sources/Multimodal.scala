@@ -2579,15 +2579,23 @@ object Multimodal {
     * XOR then filters exactly. Output (id1, id2, hamming), id1 < id2.
     * Scale: candidate volume tracks chunk-bucket occupancy — the
     * 100 TB posture of every banded join in this engine. */
+  /** The 4×16-bit pigeonhole chunk exploder shared by
+    * [[hammingPairs64]] and [[videoNearDupPairs]] — ONE definition of
+    * the banding, so chunk count/width can never drift between the
+    * image and video joins. Any pair within Hamming ≤ 3 shares one
+    * exact chunk (4 chunks, ≤ 3 differing bits). */
+  private def chunk16Explode(hashCol: String) =
+    explode(expr(
+      "array(" + (0 until 4).map(i =>
+        s"struct($i as ci, shiftright($hashCol, ${16 * i}) & 65535 as cv)")
+        .mkString(",") + ")"))
+
   def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
                      maxHamming: Int = 3): DataFrame = {
     val hashed = df.where(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("hp_id"), col(hashCol).as("hp_hash"))
     val chunks = hashed.select(col("hp_id"), col("hp_hash"),
-      explode(expr(
-        "array(" + (0 until 4).map(i =>
-          s"struct($i as ci, shiftright(hp_hash, ${16 * i}) & 65535 as cv)").mkString(",") + ")"))
-        .as("c"))
+      chunk16Explode("hp_hash").as("c"))
       .select(col("hp_id"), col("hp_hash"), col("c.ci"), col("c.cv"))
     chunks.alias("a")
       .join(chunks.alias("b"),
@@ -3462,10 +3470,7 @@ object Multimodal {
         col("frame_idx").cast("int").as("fi"), col("dhash").as("vh"))
     val counts = hashed.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
     val chunks = hashed.select(col("vid"), col("fi"), col("vh"),
-      explode(expr(
-        "array(" + (0 until 4).map(i =>
-          s"struct($i as ci, shiftright(vh, ${16 * i}) & 65535 as cv)").mkString(",") + ")"))
-        .as("c"))
+      chunk16Explode("vh").as("c"))
       .select(col("vid"), col("fi"), col("vh"), col("c.ci"), col("c.cv"))
     val framePairs = chunks.alias("a")
       .join(chunks.alias("b"),

@@ -90,9 +90,12 @@ object Subtitles {
         while (end < lines.length && lines(end).trim.nonEmpty) end += 1
         val block = lines.slice(blockStart, end)
         val head = block(0).trim
-        if (isVtt && (head.startsWith("NOTE") || head == "STYLE" ||
-            head.startsWith("REGION"))) {
-          // comment/style block: skipped entirely
+        def isKeyword(k: String): Boolean = // per spec: the word alone
+          head == k || head.startsWith(k + " ") || head.startsWith(k + "\t")
+        if (isVtt && (isKeyword("NOTE") || head == "STYLE" ||
+            isKeyword("REGION"))) {
+          // comment/style block: skipped entirely ("NOTEBOOK cue-id"
+          // is NOT a comment — the keyword must end at a word break)
         } else {
           // timing line is the first line containing "-->"; anything
           // before it is the SRT index / VTT cue id
@@ -130,8 +133,15 @@ object Subtitles {
       val c = s.charAt(i)
       if (c == '<') {
         val close = s.indexOf('>', i + 1)
-        if (close < 0) { sb.append(c); i += 1 } // unterminated: literal
-        else i = close + 1                      // tag/timestamp: dropped
+        val body = if (close < 0) null else s.substring(i + 1, close)
+        val isTag = body != null && body.nonEmpty && {
+          val h = body.charAt(0)
+          // VTT tags open with a letter or '/'; timestamps are digits
+          // and ':' '.' only — "score <3 but > avg" keeps its text
+          h.isLetter || h == '/' || body.forall(t => t.isDigit || t == ':' || t == '.')
+        }
+        if (isTag) i = close + 1                // tag/timestamp: dropped
+        else { sb.append(c); i += 1 }           // literal '<'
       } else if (c == '&') {
         val semi = s.indexOf(';', i + 1)
         val ent = if (semi > i && semi - i <= 6) s.substring(i + 1, semi) else null

@@ -104,8 +104,11 @@ object Warc {
       }
       out += WarcRecord(k, wType, uri, clen, status, ctype, body)
       k += 1
-      // payload + the record-separating CRLFCRLF (tolerant at EOF)
-      var q = bodyStart + clen
+      // payload + the record-separating CRLFCRLF (tolerant at EOF).
+      // q is Long: a hostile multi-GB Content-Length must clamp here,
+      // not wrap negative through toInt (the never-throw contract).
+      var q = bodyStart.toLong + clen
+      if (q > data.length) return someIfAny(out, k) // truncated/lying length
       var sep = 0
       while (sep < 4 && q < data.length &&
           (data(q.toInt) == '\r' || data(q.toInt) == '\n')) { q += 1; sep += 1 }
