@@ -407,11 +407,36 @@ object Dedup {
       .select(col("doc_id"), col("bb.band").as("band"), col("bb.bkey").as("bkey"))
   }
 
+  /** Over-occupied buckets of `rows` keyed by `keys`: one row per
+    * bucket whose member count exceeds `maxBucketSize`, with the count
+    * as `bucket_size`. This is the hot-bucket side output every banded
+    * pair join in the engine exposes — at crawl scale a bucket this
+    * large is a boilerplate cluster (identical templates, flat
+    * thumbnails, black lead-in frames) whose right treatment is a
+    * per-bucket representative pass, not a pairwise join. The frame is
+    * tiny (usually empty) by construction: it is the tail of a
+    * partial-agg count above a large threshold. */
+  def hotBuckets(rows: DataFrame, keys: Seq[String],
+                 maxBucketSize: Int): DataFrame =
+    rows.groupBy(keys.map(col): _*).agg(count(lit(1)).as("bucket_size"))
+      .where(col("bucket_size") > maxBucketSize)
+
+  /** `rows` minus every member of an over-occupied bucket — the ONE
+    * hot-bucket fence shared by every banded candidate join (MinHash
+    * bands here; 16-bit pigeonhole chunks in
+    * [[graft.sources.Multimodal.hammingPairs64]] /
+    * `videoNearDupPairs`). The hot-bucket list is broadcast (tiny by
+    * construction) and removed with a left anti join, so the
+    * downstream self-join's candidate volume is bounded by
+    * buckets × maxBucketSize², never corpus². */
+  def fenceHotBuckets(rows: DataFrame, keys: Seq[String],
+                      maxBucketSize: Int): DataFrame =
+    rows.join(broadcast(hotBuckets(rows, keys, maxBucketSize).select(keys.map(col): _*)),
+      keys, "left_anti")
+
   /** Distinct (id1, id2) pairs sharing ≥1 (band, bkey) bucket. */
   private def pairsFromBandRows(banded: DataFrame, maxBucketSize: Int): DataFrame = {
-    val hot = banded.groupBy("band", "bkey").agg(count("*").as("c"))
-      .where(col("c") > maxBucketSize).select("band", "bkey")
-    val kept = banded.join(broadcast(hot), Seq("band", "bkey"), "left_anti")
+    val kept = fenceHotBuckets(banded, Seq("band", "bkey"), maxBucketSize)
     kept.alias("a").join(kept.alias("b"),
         col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
           col("a.doc_id") < col("b.doc_id"))
@@ -591,8 +616,8 @@ object Dedup {
       .select(col("doc_id"), posexplode(SE.bandKeys(col("sigb"), 32, 2)))
       .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
     val idxBands = bandsOf(idx)
-    val hot = idxBands.groupBy("band", "bkey").agg(count(lit(1)).as("c"))
-      .where(col("c") > maxBucketSize).select("band", "bkey")
+    val hot = hotBuckets(idxBands, Seq("band", "bkey"), maxBucketSize)
+      .select("band", "bkey")
     val cand = bandsOf(inc).join(broadcast(hot), Seq("band", "bkey"), "left_anti")
       .alias("a")
       .join(idxBands.alias("b"),

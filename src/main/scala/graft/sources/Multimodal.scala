@@ -2577,8 +2577,18 @@ object Multimodal {
     * (pigeonhole), so candidates come from a hash join on (chunk
     * index, chunk value), never an all-pairs scan; `bit_count` of the
     * XOR then filters exactly. Output (id1, id2, hamming), id1 < id2.
-    * Scale: candidate volume tracks chunk-bucket occupancy — the
-    * 100 TB posture of every banded join in this engine. */
+    * Scale: chunk buckets larger than `maxBucketSize` are excluded
+    * via [[graft.llm.Dedup.fenceHotBuckets]] (broadcast anti-join) —
+    * the same posture as every banded join in this engine — so the
+    * candidate volume is bounded by buckets × cap², never corpus².
+    * Degenerate hashes make this fence load-bearing at crawl scale:
+    * every flat/solid image dHashes to 0, so one bucket would
+    * otherwise hold a large corpus fraction and the join would emit
+    * O(bucket²) candidates before the Hamming filter. Fenced members
+    * lose ALL their chunks when every chunk bucket is hot (identical
+    * hashes hit all 4), so a fenced boilerplate cluster emits no
+    * pairs — inspect [[hammingHotBuckets]] and handle those clusters
+    * with a representative pass instead. */
   /** The 4×16-bit pigeonhole chunk exploder shared by
     * [[hammingPairs64]] and [[videoNearDupPairs]] — ONE definition of
     * the banding, so chunk count/width can never drift between the
@@ -2590,13 +2600,31 @@ object Multimodal {
         s"struct($i as ci, shiftright($hashCol, ${16 * i}) & 65535 as cv)")
         .mkString(",") + ")"))
 
-  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
-                     maxHamming: Int = 3): DataFrame = {
+  /** The (hp_id, hp_hash, ci, cv) chunk table behind
+    * [[hammingPairs64]] and [[hammingHotBuckets]] — one definition so
+    * the fence audits the exact rows the pair join consumes. */
+  private def chunkRows(df: DataFrame, idCol: String, hashCol: String): DataFrame = {
     val hashed = df.where(col(hashCol).isNotNull)
       .select(col(idCol).cast("long").as("hp_id"), col(hashCol).as("hp_hash"))
-    val chunks = hashed.select(col("hp_id"), col("hp_hash"),
+    hashed.select(col("hp_id"), col("hp_hash"),
       chunk16Explode("hp_hash").as("c"))
       .select(col("hp_id"), col("hp_hash"), col("c.ci"), col("c.cv"))
+  }
+
+  /** Over-occupied (ci, cv) chunk buckets that [[hammingPairs64]]
+    * fences out of its join, with member counts — the side output a
+    * curation run should log or persist: a hot dHash bucket IS a
+    * boilerplate cluster (flat/solid thumbnails all hash to 0), and
+    * its right treatment is a per-bucket representative pass. */
+  def hammingHotBuckets(df: DataFrame, idCol: String, hashCol: String,
+                        maxBucketSize: Int = graft.llm.Dedup.DefaultMaxBucketSize): DataFrame =
+    graft.llm.Dedup.hotBuckets(chunkRows(df, idCol, hashCol), Seq("ci", "cv"), maxBucketSize)
+
+  def hammingPairs64(df: DataFrame, idCol: String, hashCol: String,
+                     maxHamming: Int = 3,
+                     maxBucketSize: Int = graft.llm.Dedup.DefaultMaxBucketSize): DataFrame = {
+    val chunks = graft.llm.Dedup.fenceHotBuckets(
+      chunkRows(df, idCol, hashCol), Seq("ci", "cv"), maxBucketSize)
     chunks.alias("a")
       .join(chunks.alias("b"),
         col("a.ci") === col("b.ci") && col("a.cv") === col("b.cv") &&
@@ -3451,6 +3479,24 @@ object Multimodal {
       .toDF("media_id", "frame_idx", "dhash")
   }
 
+  /** The (vid, fi, vh, ci, cv) chunk table behind
+    * [[videoNearDupPairs]] and [[videoHotBuckets]]. */
+  private def videoChunkRows(hashed: DataFrame): DataFrame =
+    hashed.select(col("vid"), col("fi"), col("vh"),
+      chunk16Explode("vh").as("c"))
+      .select(col("vid"), col("fi"), col("vh"), col("c.ci"), col("c.cv"))
+
+  /** Over-occupied (frame_idx, chunk) buckets that
+    * [[videoNearDupPairs]] fences out, with member counts — black
+    * lead-in frames and title cards land here at crawl scale. */
+  def videoHotBuckets(frameHashes: DataFrame,
+                      maxBucketSize: Int = graft.llm.Dedup.DefaultMaxBucketSize): DataFrame = {
+    val hashed = frameHashes.where(col("dhash").isNotNull)
+      .select(col("media_id").cast("long").as("vid"),
+        col("frame_idx").cast("int").as("fi"), col("dhash").as("vh"))
+    graft.llm.Dedup.hotBuckets(videoChunkRows(hashed), Seq("fi", "ci", "cv"), maxBucketSize)
+  }
+
   /** Video near-dup pairs from per-frame perceptual hashes — the
     * video analog of [[hammingPairs64]]: candidates come from the
     * same 4×16-bit pigeonhole chunk join, but keyed by (frame_idx,
@@ -3461,17 +3507,25 @@ object Multimodal {
     * shorter video's hashed frames match — integer math
     * (`2·matched ≥ min(n1,n2)`), no ratio column. Output (id1, id2,
     * matched_frames, n1, n2), id1 < id2.
-    * Scale: candidate volume tracks per-(frame, chunk) bucket
-    * occupancy — never all video pairs; frame counts are one
+    * Scale: (frame_idx, chunk) buckets larger than `maxBucketSize`
+    * are excluded via [[graft.llm.Dedup.fenceHotBuckets]] — the fence
+    * matters MORE here than for stills, because black lead-in frames
+    * shared by every video in a crawl put the whole corpus into one
+    * (frame_idx=0, chunk=0) bucket; without the fence the join is
+    * corpus-quadratic on that bucket. A fenced frame can still match
+    * through its video's OTHER frames (the half-frames gate is per
+    * video pair, not per frame), so near-dup videos that share any
+    * non-degenerate footage still surface; inspect
+    * [[videoHotBuckets]] for what was fenced. Frame counts are one
     * partial-agg shuffle over ids. */
-  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3): DataFrame = {
+  def videoNearDupPairs(frameHashes: DataFrame, maxHamming: Int = 3,
+                        maxBucketSize: Int = graft.llm.Dedup.DefaultMaxBucketSize): DataFrame = {
     val hashed = frameHashes.where(col("dhash").isNotNull)
       .select(col("media_id").cast("long").as("vid"),
         col("frame_idx").cast("int").as("fi"), col("dhash").as("vh"))
     val counts = hashed.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
-    val chunks = hashed.select(col("vid"), col("fi"), col("vh"),
-      chunk16Explode("vh").as("c"))
-      .select(col("vid"), col("fi"), col("vh"), col("c.ci"), col("c.cv"))
+    val chunks = graft.llm.Dedup.fenceHotBuckets(
+      videoChunkRows(hashed), Seq("fi", "ci", "cv"), maxBucketSize)
     val framePairs = chunks.alias("a")
       .join(chunks.alias("b"),
         col("a.fi") === col("b.fi") && col("a.ci") === col("b.ci") &&

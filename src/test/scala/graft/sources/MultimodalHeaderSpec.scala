@@ -959,6 +959,44 @@ class MultimodalHeaderSpec extends SparkSpec {
       .where(col("id1") === 6L || col("id2") === 6L).count() == 0)
   }
 
+  test("hammingPairs64/videoNearDupPairs: hot-bucket fence bounds degenerate clusters") {
+    // N all-black images (dHash 0 — the crawl boilerplate case): with
+    // a bucket cap below N, all 4 chunk buckets go hot, the cluster is
+    // fenced, and the join emits ZERO candidates instead of O(N²).
+    val n = 12
+    val blacks = (0 until n).map(i => (i.toLong, 0L))
+    val live = Seq((100L, 0x1234567890abcdefL), (101L, 0x1234567890abcdecL)) // hamming 2
+    val df = (blacks ++ live).toDF("media_id", "dhash")
+    val fenced = Multimodal.hammingPairs64(df, "media_id", "dhash", 3, maxBucketSize = 4)
+      .as[(Long, Long, Long)].collect().toSeq
+    // the degenerate cluster contributes nothing; live pairs are untouched
+    assert(fenced == Seq((100L, 101L, 2L)))
+    val hot = Multimodal.hammingHotBuckets(df, "media_id", "dhash", 4)
+      .as[(Int, Long, Long)].collect().toSeq.sorted
+    assert(hot == (0 until 4).map(ci => (ci, 0L, n.toLong)))
+    // default cap (100k) leaves small corpora unfenced: all-pairs among blacks
+    assert(Multimodal.hammingPairs64(df, "media_id", "dhash", 3).count() ==
+      n.toLong * (n - 1) / 2 + 1)
+
+    // videos: a black lead-in frame shared by ALL videos is fenced per
+    // (frame_idx, chunk); pairs still surface through real footage.
+    def fr(id: Long, hs: Seq[Long]) = hs.zipWithIndex.map { case (v, i) => (id, i, v) }
+    val vids = (0 until 8).flatMap(v =>
+      fr(v.toLong, Seq(0L, 0x1111L * (v + 1), 0x20202L * (v + 1)))) ++
+      fr(50L, Seq(0L, 0x9999888877776666L, 0x5555444433332222L)) ++
+      fr(51L, Seq(0L, 0x9999888877776667L, 0x5555444433332222L))
+    val vdf = vids.toDF("media_id", "frame_idx", "dhash")
+    val vp = Multimodal.videoNearDupPairs(vdf, 3, maxBucketSize = 4)
+      .as[(Long, Long, Long, Long, Long)].collect().toSeq
+    // only 50/51 share non-degenerate frames: 2 of 3 match (frame 0 fenced)
+    assert(vp == Seq((50L, 51L, 2L, 3L, 3L)))
+    val vhot = Multimodal.videoHotBuckets(vdf, 4).as[(Int, Int, Long, Long)].collect().toSeq
+    // the black lead-in frame hits all 4 chunks with every video (10);
+    // small hash values also share zero HIGH chunks in frames 1-2 (8)
+    assert(vhot.filter(_._1 == 0).sorted == (0 until 4).map(ci => (0, ci, 0L, 10L)))
+    assert(vhot.forall { case (_, _, cv, _) => cv == 0L })
+  }
+
   test("sceneCuts: cut threshold boundary, null-hash continuation, scene rollup") {
     val A = 0L
     val B = (1L << 11) - 1        // 11 bits from A: > 10 → cut
