@@ -34,12 +34,41 @@ import org.apache.spark.sql.SparkSession
   * itself — anything less lands in `contended`, NAMED with its
   * gate ratio and load evidence, never dropped; `gate_wall` carries
   * the clean reference forward so contended entries re-trip every
-  * round until a human reads them. Known blind spot, accepted: a
-  * purely I/O-bound regression (e.g. a broadcast flipping to a
-  * spilling sort-merge) adds wall but little CPU and lands in
-  * `contended` — its twin ("CPU-dense entry lands in regressed under
-  * load", r9) is closed by (c)+(d). The JSON is printed and written
-  * BEFORE any nonzero exit.
+  * round until a human reads them.
+  *
+  * Round 12 closes the remaining DURING-run blind spot (r11's
+  * q150_x10 false rc=1: the entry started at loadavg 6.22 — under
+  * every between-runs threshold — and the retry-adjacent probe ran in
+  * a quiet GAP, yet the 18-core-wide entry itself then shared SMT
+  * siblings and memory bandwidth with the residual load and inflated
+  * both wall and CPU-seconds; no witness measured between runs can
+  * see that): (e) a [[ConcProbe]] sibling thread now runs
+  * CONCURRENTLY with every timed attempt, sampling a small fixed
+  * ALU+memory kernel; its median sample is the during-run
+  * machine-speed witness, recorded per entry (`conc_probe`) with a
+  * fastest-known clean reference carried forward (`gate_conc`). A
+  * wall regression can only be CONFIRMED when the kept window's
+  * concurrent witness reads quiet vs that reference (ratio ≤ 1.25);
+  * no reference yet (first round of the feature, or a too-short
+  * window) means no trustworthy during-run witness exists and the
+  * entry lands in `contended` — conservative toward contended, never
+  * toward a false rc=1. The conc ratio also deflates the entry's CPU
+  * before corroboration (the probe thread's own CPU is subtracted
+  * from the entry's delta via ThreadMXBean, so the witness never
+  * pollutes the measurement it guards); (f) the per-window load test
+  * is entry-width-aware: a window is also loaded when load1 + the
+  * entry's own baseline width (prevCpu/prevWall) oversubscribes the
+  * box — loadavg 6 is "quiet" for a 2-core entry and saturating for
+  * a 28-core one; (g) `gate_wall` is monotone under suspicion: a
+  * regressed- OR contended-classified entry carries its PRIOR clean
+  * gate forward (r11's recorded run had polluted q150_x10's gate to
+  * its inflated wall, masking real regressions up to ~22 s).
+  *
+  * Known blind spot, accepted: a purely I/O-bound regression (e.g. a
+  * broadcast flipping to a spilling sort-merge) adds wall but little
+  * CPU and lands in `contended` — its twin ("CPU-dense entry lands
+  * in regressed under load", r9) is closed by (c)+(d)+(e). The JSON
+  * is printed and written BEFORE any nonzero exit.
   */
 object Bench {
 
@@ -109,19 +138,49 @@ object Bench {
     * measurement at all and can only be `contended`. `speedRatio` is
     * now per-entry too: a tripped entry's CPU deflates by the probe
     * re-run next to its RETRY (where the contention actually is),
-    * not the start-of-run probe that predates the load. */
+    * not the start-of-run probe that predates the load.
+    *
+    * Round 12: `concQuiet` is the DURING-run witness (r11's q150_x10
+    * false rc=1: every between-runs sample read quiet while the run
+    * itself shared the box) — true only when the sibling [[ConcProbe]]
+    * that ran concurrently with the entry's kept window measured the
+    * box at its clean reference speed. An entry with no such positive
+    * witness (no reference yet, window too short) can only be
+    * `contended`: absence of evidence never confirms a regression. */
   private[graft] def classify(wallRegressed: Seq[String],
                               cpuNow: Map[String, Double],
                               cpuPrev: Map[String, Double],
                               speedRatio: String => Double,
                               loadHigh: Boolean,
-                              entryLoadHigh: String => Boolean): (Seq[String], Seq[String]) =
+                              entryLoadHigh: String => Boolean,
+                              concQuiet: String => Boolean): (Seq[String], Seq[String]) =
     if (loadHigh) (Nil, wallRegressed)
     else wallRegressed.partition { k =>
-      !entryLoadHigh(k) &&
+      !entryLoadHigh(k) && concQuiet(k) &&
         cpuCorroborated(cpuNow.getOrElse(k, -1.0), cpuPrev.getOrElse(k, -1.0),
           speedRatio(k))
     }
+
+  /** Is one measurement window loaded? Past the flat threshold
+    * (cpus/4), OR — round 12, width-aware — when the background load
+    * plus the ENTRY's own width (its baseline cpu/wall parallelism)
+    * oversubscribes the box: loadavg 6 is quiet for a 2-core entry
+    * and saturating for a 28-core one on 32 cpus. Width ≤ 0 (no
+    * baseline) falls back to the flat test alone. */
+  private[graft] def windowLoaded(load1: Double, threshold: Double,
+                                  width: Double, cpus: Double): Boolean =
+    load1 > threshold ||
+      (load1 >= 0 && width > 0 && cpus > 0 && load1 + width > cpus)
+
+  /** Next round's gate reference for one entry: its measurement —
+    * unless THIS round classified the entry regressed or contended,
+    * in which case the prior clean gate carries forward (never the
+    * suspect wall). r11's recorded run violated this for regressed
+    * entries and polluted q150_x10's gate from 7.11 to 14.58,
+    * which would have masked a real regression up to ~22 s. */
+  private[graft] def gateCarry(v: Double, prevGate: Double,
+                               suspect: Boolean): Double =
+    if (suspect && prevGate > 0) math.min(v, prevGate) else v
 
   /** Fixed single-thread machine-speed probe: an ALU spin interleaved
     * with a 64 MB strided memory walk, so BOTH contention channels
@@ -147,6 +206,64 @@ object Bench {
     }
     once(); // warm (page faults, JIT)
     math.min(once(), math.min(once(), once()))
+  }
+
+  /** The DURING-run machine-speed witness (round 12): one daemon
+    * thread sampling a small fixed ALU + 64 MB strided-walk kernel
+    * (1/20 of [[spinProbe]]'s work, ~15–30 ms clean) in a loop for as
+    * long as one timed attempt runs. SMT sharing and memory-bandwidth
+    * pressure from ANY source — the entry's own threads plus whatever
+    * else the box is running — slow every sample; comparing the
+    * median against the same entry's fastest-known clean-round median
+    * (`gate_conc`) isolates the EXTERNAL part, because the entry's
+    * own pressure is present in both. The median (not min) is the
+    * statistic: a scheduling gap at plan time would hand the min a
+    * quiet sample that misrepresents the run. The probe's own CPU is
+    * measured per-thread and returned so the caller can subtract it
+    * from the entry's process-CPU delta — the witness must not
+    * pollute the measurement it guards. */
+  private[graft] final class ConcProbe {
+    @volatile private var stopReq = false
+    @volatile private var cpuSec = 0.0
+    private val samples = new java.util.concurrent.ConcurrentLinkedQueue[java.lang.Double]()
+    private val thread = new Thread(() => {
+      val tmx = java.lang.management.ManagementFactory.getThreadMXBean
+      val mem = new Array[Long](1 << 23) // 64 MB, allocated once per window
+      var i = 0
+      while (i < mem.length) { mem(i) = (i * 2862933555777941757L) >>> 3; i += 1 }
+      var first = true
+      while (!stopReq) {
+        val t0 = System.nanoTime()
+        var x = 1469598103934665603L
+        var idx = 0
+        var n = 0
+        while (n < 2000000) {
+          x = x * 1099511628211L + mem(idx)
+          idx = (idx + 4099) & (mem.length - 1)
+          n += 1
+        }
+        if (x == 42) System.err.print("") // defeat dead-code elimination
+        if (first) first = false // warm sample (page faults, JIT): dropped
+        else samples.add((System.nanoTime() - t0) / 1e9)
+      }
+      cpuSec = try {
+        val t = tmx.getCurrentThreadCpuTime
+        if (t < 0) 0.0 else t / 1e9
+      } catch { case _: Throwable => 0.0 }
+    }, "bench-conc-probe")
+    thread.setDaemon(true)
+
+    def start(): this.type = { thread.start(); this }
+
+    /** (median sample sec or -1 when fewer than 3 samples landed,
+      * probe-thread CPU seconds to subtract from the entry's delta). */
+    def finish(): (Double, Double) = {
+      stopReq = true
+      thread.join(10000)
+      val arr = samples.toArray(Array.empty[java.lang.Double]).map(_.doubleValue).sorted
+      val med = if (arr.length < 3) -1.0 else arr(arr.length / 2)
+      (med, cpuSec)
+    }
   }
 
   def main(args: Array[String]): Unit = {
@@ -384,17 +501,24 @@ object Bench {
         case _ => -1.0
       }
     } catch { case _: Throwable => -1.0 }
-    // one timed attempt: (wall sec, cpu sec); either is -1 on failure.
-    // For entries whose runner returns an INTERNAL timing (terasort's
+    // one timed attempt: (wall sec, cpu sec, concurrent-probe median);
+    // wall/cpu are -1 on failure. A ConcProbe sibling thread runs for
+    // the whole attempt — the during-run contention witness (round
+    // 12) — and its own thread-CPU is subtracted from the delta. For
+    // entries whose runner returns an INTERNAL timing (terasort's
     // sort-only window, mrbench's 50-collect loop) the CPU delta spans
     // the whole runner call — a superset of the wall metric's work.
     // Still comparable run-over-run (same superset every time), which
     // is all the corroboration rule needs.
-    def attempt(run: () => Double): (Double, Double) = {
+    def attempt(run: () => Double): (Double, Double, Double) = {
+      val probe = new ConcProbe().start()
       val c0 = cpuNow()
       val w = try run() catch { case _: Throwable => -1.0 }
       val c1 = cpuNow()
-      (w, if (w < 0 || c0 < 0 || c1 < 0) -1.0 else c1 - c0)
+      val (concMed, probeCpu) = probe.finish()
+      (w,
+        if (w < 0 || c0 < 0 || c1 < 0) -1.0 else math.max(0.0, c1 - c0 - probeCpu),
+        concMed)
     }
 
     // best of 2: one run absorbs residual warmup/GC noise, the min is
@@ -412,21 +536,26 @@ object Bench {
     // the run-start sample read 3.44 — the gate never saw it).
     var entryLoadPre: Map[String, Double] = Map.empty
     var entryLoad: Map[String, Double] = Map.empty
-    val firstPassFull: Seq[(String, (Double, Double))] =
+    val firstPassFull: Seq[(String, (Double, Double, Double))] =
       runners.map { case (name, run) =>
         entryLoadPre += name -> load1()
         val a = attempt(run); val b = attempt(run)
         entryLoad += name -> load1()
         name -> (if (b._1 >= 0 && (a._1 < 0 || b._1 < a._1)) b else a)
       }
-    // materialized BEFORE any retry can overwrite the after-samples
-    val firstPassLoaded: Map[String, Boolean] = firstPassFull.map { case (n, _) =>
-      n -> (entryLoadPre.getOrElse(n, -1.0) > loadThreshold &&
-        entryLoad.getOrElse(n, -1.0) > loadThreshold)
-    }.toMap
-    val firstPass = firstPassFull.map { case (n, (w, _)) => n -> w }
+    val firstPass = firstPassFull.map { case (n, (w, _, _)) => n -> w }
     var cpuMap: Map[String, Double] =
-      firstPassFull.map { case (n, (_, c)) => n -> c }.toMap
+      firstPassFull.map { case (n, (_, c, _)) => n -> c }.toMap
+    // during-run witness of the KEPT window (retry overwrites on win)
+    var concMap: Map[String, Double] =
+      firstPassFull.map { case (n, (_, _, cc)) => n -> cc }.toMap
+    // first-pass window samples, snapshotted BEFORE any retry can
+    // overwrite the after-samples; the loaded verdict itself is
+    // computed below once the baseline widths are parsed.
+    val firstPassLoadSamples: Map[String, (Double, Double)] =
+      firstPassFull.map { case (n, _) =>
+        n -> ((entryLoadPre.getOrElse(n, -1.0), entryLoad.getOrElse(n, -1.0)))
+      }.toMap
 
     // Drift gate: compare against the PREVIOUS round's JSON (the same
     // file this run overwrites below) and flag any entry past 1.5× its
@@ -446,6 +575,24 @@ object Bench {
     // inflated baseline. Per-entry: gate_wall overrides queries.
     val prevGate: Map[String, Double] =
       prev ++ parseSection(prevTxt, "gate_wall", sfDir)
+    // fastest-known clean during-run probe median per entry (round 12)
+    val prevConcGate: Map[String, Double] = parseSection(prevTxt, "gate_conc", sfDir)
+    // The entry's own baseline parallelism (cpu/wall) — how many cores
+    // the entry itself occupies when healthy; feeds the width-aware
+    // window-load test.
+    def entryWidth(k: String): Double = {
+      val c = prevCpu.getOrElse(k, -1.0); val w = prevGate.getOrElse(k, -1.0)
+      if (c > 0 && w > 0) c / w else -1.0
+    }
+    // A first-pass window counts as LOADED only when BOTH its samples
+    // (before/after) fail the width-aware test — the after-sample is
+    // confounded by the entry's own 32-thread work, so one loaded
+    // sample alone is not evidence.
+    val firstPassLoaded: Map[String, Boolean] = firstPassLoadSamples.map {
+      case (n, (pre, post)) =>
+        n -> (windowLoaded(pre, loadThreshold, entryWidth(n), cpus.toDouble) &&
+          windowLoaded(post, loadThreshold, entryWidth(n), cpus.toDouble))
+    }
     def r3(x: Double) = math.round(x * 1000) / 1000.0
     def trippedOf(res: Seq[(String, Double)]): Seq[String] = res.collect {
       case (k, v) if tripped(v, prevGate.getOrElse(k, -1.0)) => k
@@ -499,14 +646,17 @@ object Bench {
             retryProbe += name -> (try spinProbe() catch { case _: Throwable => -1.0 })
             val r = attempt(run)
             val postLoad = load1()
-            retryLoaded += name -> (preLoad > loadThreshold && postLoad > loadThreshold)
+            retryLoaded += name ->
+              (windowLoaded(preLoad, loadThreshold, entryWidth(name), cpus.toDouble) &&
+                windowLoaded(postLoad, loadThreshold, entryWidth(name), cpus.toDouble))
             name -> ((r, postLoad))
           }
         }.toMap
         firstPass.map { case (name, v) =>
           retried.get(name) match {
-            case Some(((rw, rc), postLoad)) if rw > 0 && v > 0 && rw < v =>
+            case Some(((rw, rc, rcc), postLoad)) if rw > 0 && v > 0 && rw < v =>
               cpuMap += name -> rc // the retry won: its CPU rides along
+              concMap += name -> rcc // …and its during-run witness
               entryLoad += name -> postLoad
               name -> rw
             case _ => name -> v
@@ -689,13 +839,31 @@ object Bench {
     val wallRegressed = trippedOf(results) // survived the recovery re-run
     val loadHigh = load1Start > loadThreshold ||
       (loadAtRetry > 0 && loadAtRetry > loadThreshold)
+    // During-run witness ratio: the kept window's concurrent-probe
+    // median vs this entry's fastest-known clean reference. > 1 means
+    // the box was measurably slower WHILE this entry ran than during
+    // its clean baseline window — the external share, since the
+    // entry's own pressure is present in both.
+    val concRatio: String => Double = { k =>
+      val now = concMap.getOrElse(k, -1.0); val g = prevConcGate.getOrElse(k, -1.0)
+      if (now > 0 && g > 0) math.max(1.0, now / g) else 1.0
+    }
+    // Positive quiet witness: a usable during-run sample exists AND
+    // reads at the clean reference (≤1.25× + 5 ms sampling grace).
+    // No reference yet / too-short window → false → contended.
+    val concQuiet: String => Boolean = { k =>
+      val now = concMap.getOrElse(k, -1.0); val g = prevConcGate.getOrElse(k, -1.0)
+      now > 0 && g > 0 && now <= g * 1.25 + 0.005
+    }
     // Per-entry speed ratio: a tripped entry's CPU deflates by the
     // probe run NEXT TO its retry when that probe is the slower
-    // witness — the start-of-run probe predates a loaded tail.
+    // witness — the start-of-run probe predates a loaded tail — and
+    // (round 12) by the during-run concurrent ratio, the only witness
+    // that can see contention INSIDE the measurement window.
     val entrySpeedRatio: String => Double = { k =>
       val rp = retryProbe.getOrElse(k, -1.0)
       val rr = if (rp > 0 && prevProbe > 0) math.max(1.0, rp / prevProbe) else 1.0
-      math.max(speedRatio, rr)
+      math.max(math.max(speedRatio, rr), concRatio(k))
     }
     // Entry-level load verdict: both of the entry's own windows
     // (first pass, retry) measured loaded → nothing trustworthy was
@@ -706,7 +874,7 @@ object Bench {
     }
     val (regressed, contended) =
       classify(wallRegressed, cpuMap, prevCpu, entrySpeedRatio, loadHigh,
-        entryLoadHigh)
+        entryLoadHigh, concQuiet)
     // x10 scale-trend entries, per-row-normalized: x10/base time ratio
     // (ideal ≤ 10 at full parallelism; >10 means superlinear = bad).
     val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150", "q217").flatMap { p =>
@@ -716,11 +884,27 @@ object Bench {
     }
     val cpuJson = results.map { case (k, _) =>
       "\"" + k + "\":" + r3(cpuMap.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
-    // contended entries carry the clean reference forward; everything
-    // else's gate reference IS its measurement
+    // regressed AND contended entries carry the clean reference
+    // forward (monotone under suspicion — round 12; the r11 run let a
+    // regressed verdict write its inflated wall as the gate);
+    // everything else's gate reference IS its measurement
     val gateJson = results.map { case (k, v) =>
-      val g = if (contended.contains(k)) math.min(v, prevGate.getOrElse(k, v)) else v
+      val g = gateCarry(v, prevGate.getOrElse(k, -1.0),
+        contended.contains(k) || regressed.contains(k))
       "\"" + k + "\":" + r3(g)
+    }.mkString("{", ",", "}")
+    // during-run witness sections: the kept window's probe median and
+    // the fastest-known clean reference. gate_conc keeps the MIN of
+    // history and a usable current sample — the machine's best
+    // witnessed speed for this entry's window; a loaded round can
+    // therefore never weaken next round's contention detection.
+    val concJson = results.map { case (k, _) =>
+      "\"" + k + "\":" + r3(concMap.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
+    val gateConcJson = results.map { case (k, _) =>
+      val now = concMap.getOrElse(k, -1.0)
+      val g = prevConcGate.getOrElse(k, -1.0)
+      val kept = if (now > 0 && g > 0) math.min(now, g) else math.max(now, g)
+      "\"" + k + "\":" + r3(kept)
     }.mkString("{", ",", "}")
     val ratioJson = ratios.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     // Ratio against the gate reference that actually fires (prevGate,
@@ -751,7 +935,8 @@ object Bench {
         val vsGate = prevGate.get(k).filter(_ > 0).map(p => r3(v / p)).getOrElse(-1.0)
         s"$k(vs_prev=$vsPrev, vs_gate=$vsGate, " +
           s"load=${r3(entryLoadPre.getOrElse(k, -1.0))}->${r3(entryLoad.getOrElse(k, -1.0))}, " +
-          s"entry_loaded=${entryLoadHigh(k)})"
+          s"entry_loaded=${entryLoadHigh(k)}, conc_ratio=${r3(concRatio(k))}, " +
+          s"conc_witness=${concQuiet(k)})"
       }
       System.err.println(
         s"[bench] wall-slow but not CPU/load-confirmed (likely external contention; " +
@@ -765,7 +950,8 @@ object Bench {
       .map(m => "\"" + m + "\":" + recall.getOrElse(m, -1L)).mkString("{", ",", "}")
     val recallDriftJson = recallDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
     val json = s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,""" +
-      s""""cpu_sec":$cpuJson,"gate_wall":$gateJson,"prev_ratio":$ratioJson,""" +
+      s""""cpu_sec":$cpuJson,"gate_wall":$gateJson,""" +
+      s""""conc_probe":$concJson,"gate_conc":$gateConcJson,"prev_ratio":$ratioJson,""" +
       s""""gate_ratio":$gateRatioJson,"entry_loadavg":$loadJson,""" +
       s""""entry_loadavg_pre":$loadPreJson,"retry_probe":$retryProbeJson,""" +
       s""""calib":$calibJson,""" +

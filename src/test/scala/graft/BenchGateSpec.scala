@@ -80,6 +80,9 @@ class BenchGateSpec extends AnyFunSuite {
   }
 
   private val quiet: String => Boolean = _ => false
+  // positive during-run witness present and clean, for tests whose
+  // scenarios exercise the OTHER axes
+  private val witnessed: String => Boolean = _ => true
   private def ratio(r: Double): String => Double = _ => r
 
   test("classify: a loaded box can never confirm a regression (r9 rc=1 fix)") {
@@ -88,14 +91,14 @@ class BenchGateSpec extends AnyFunSuite {
     val cpuPrev = Map("q147" -> 11.3, "q10" -> 3.0)
     // quiet box, no speed skew: both CPU-corroborated -> regressed
     assert(Bench.classify(wallBad, cpuNow, cpuPrev, ratio(1.0),
-      loadHigh = false, quiet) == ((Seq("q147", "q10"), Seq())))
+      loadHigh = false, quiet, witnessed) == ((Seq("q147", "q10"), Seq())))
     // loaded box: EVERYTHING lands contended regardless of CPU
     assert(Bench.classify(wallBad, cpuNow, cpuPrev, ratio(1.0),
-      loadHigh = true, quiet) == ((Seq(), Seq("q147", "q10"))))
+      loadHigh = true, quiet, witnessed) == ((Seq(), Seq("q147", "q10"))))
     // quiet box but the probe saw a 2.3x-slower machine: q147's CPU
     // normalizes flat (contended), q10's 3x CPU still confirms
     val (reg, cont) = Bench.classify(wallBad, cpuNow, cpuPrev, ratio(2.3),
-      loadHigh = false, quiet)
+      loadHigh = false, quiet, witnessed)
     assert(reg == Seq("q10") && cont == Seq("q147"))
   }
 
@@ -108,7 +111,7 @@ class BenchGateSpec extends AnyFunSuite {
     val cpuPrev = Map("q217_x10" -> 40.3, "q03" -> 3.0)
     val loadedTail: String => Boolean = _ == "q217_x10"
     val (reg, cont) = Bench.classify(Seq("q217_x10", "q03"), cpuNow, cpuPrev,
-      ratio(1.0), loadHigh = false, loadedTail)
+      ratio(1.0), loadHigh = false, loadedTail, witnessed)
     // q217_x10 -> contended despite corroborating CPU; the genuinely
     // quiet q03 regression is still caught
     assert(reg == Seq("q03") && cont == Seq("q217_x10"))
@@ -123,7 +126,7 @@ class BenchGateSpec extends AnyFunSuite {
       k => entryLoadavg.getOrElse(k, 0.0) > 32.0 / 4.0
     val (reg, cont) = Bench.classify(Seq("q217_x10"),
       Map("q217_x10" -> 173.7), Map("q217_x10" -> 40.3),
-      ratio(1.281), loadHigh = false, entryLoadHigh)
+      ratio(1.281), loadHigh = false, entryLoadHigh, witnessed)
     assert(reg.isEmpty && cont == Seq("q217_x10"))
   }
 
@@ -136,9 +139,68 @@ class BenchGateSpec extends AnyFunSuite {
     // regressed; this is exactly the r10 false rc=1.
     val cpu = Map("q217_x10" -> 173.7); val prev = Map("q217_x10" -> 40.3)
     assert(Bench.classify(Seq("q217_x10"), cpu, prev, ratio(1.281),
-      loadHigh = false, quiet) == ((Seq("q217_x10"), Seq())))
+      loadHigh = false, quiet, witnessed) == ((Seq("q217_x10"), Seq())))
     assert(Bench.classify(Seq("q217_x10"), cpu, prev, ratio(5.3),
-      loadHigh = false, quiet) == ((Seq(), Seq("q217_x10"))))
+      loadHigh = false, quiet, witnessed) == ((Seq(), Seq("q217_x10"))))
+  }
+
+  test("classify replaying BENCH_r11's recorded numbers lands q150_x10 contended") {
+    // The fourth consecutive false rc=1, replayed from the artifact:
+    // wall 14.58 vs gate 7.11 (2.05x, tripped twice), CPU 293.51 vs
+    // baseline 127.2 (corroborates even at ratio 1.3), entry started
+    // at loadavg 6.22 (< 8 threshold -> entryLoadHigh false), retry
+    // probe 0.306 vs baseline 0.379 (a quiet GAP -> ratio clamps to
+    // 1.0). Every between-runs witness read quiet; only a DURING-run
+    // witness can see the SMT/bandwidth sharing that inflated both
+    // axes. r11's artifact has no conc_probe history -> no positive
+    // quiet witness -> contended, rc=0.
+    val noWitness: String => Boolean = _ => false
+    val (reg, cont) = Bench.classify(Seq("q150_x10"),
+      Map("q150_x10" -> 293.51), Map("q150_x10" -> 127.2),
+      ratio(1.0), loadHigh = false, quiet, noWitness)
+    assert(reg.isEmpty && cont == Seq("q150_x10"))
+    // With history, the same numbers under a VERIFIED-quiet during-run
+    // witness are a double-confirmed real regression: rc=1 is still
+    // reachable once the witness exists.
+    val (reg2, cont2) = Bench.classify(Seq("q150_x10"),
+      Map("q150_x10" -> 293.51), Map("q150_x10" -> 127.2),
+      ratio(1.0), loadHigh = false, quiet, witnessed)
+    assert(reg2 == Seq("q150_x10") && cont2.isEmpty)
+    // And a during-run witness reading 2.3x-slow deflates the CPU
+    // blow-up flat (293.51/2.3 = 127.6 ~ baseline) even if the quiet
+    // gate were (mis)judged true: belt and braces.
+    val (reg3, cont3) = Bench.classify(Seq("q150_x10"),
+      Map("q150_x10" -> 293.51), Map("q150_x10" -> 127.2),
+      ratio(2.3), loadHigh = false, quiet, witnessed)
+    assert(reg3.isEmpty && cont3 == Seq("q150_x10"))
+  }
+
+  test("windowLoaded: flat threshold plus entry-width oversubscription") {
+    val cpus = 32.0; val thr = cpus / 4
+    // flat test unchanged: load 9 > 8 is loaded even for a 1-wide entry
+    assert(Bench.windowLoaded(9.0, thr, 1.0, cpus))
+    assert(!Bench.windowLoaded(6.0, thr, 1.0, cpus))
+    // width-aware: loadavg 6 saturates a 28-core-wide entry (6+28>32)
+    assert(Bench.windowLoaded(6.0, thr, 28.0, cpus))
+    // …but not an 18-core one (6+18<32)
+    assert(!Bench.windowLoaded(6.0, thr, 18.0, cpus))
+    // no baseline width (-1): flat test alone
+    assert(!Bench.windowLoaded(6.0, thr, -1.0, cpus))
+    // unknown load (-1): not loaded (evidence absent, handled upstream)
+    assert(!Bench.windowLoaded(-1.0, thr, 28.0, cpus))
+  }
+
+  test("gateCarry: a regressed/contended verdict never raises the gate") {
+    // clean entry: its measurement becomes the gate (down or up)
+    assert(Bench.gateCarry(5.0, 7.11, suspect = false) == 5.0)
+    assert(Bench.gateCarry(9.0, 7.11, suspect = false) == 9.0)
+    // suspect entry: prior clean gate carries forward — the r11
+    // pollution (14.58 recorded over 7.11) is impossible
+    assert(Bench.gateCarry(14.58, 7.11, suspect = true) == 7.11)
+    // suspect but FASTER than the old gate: the better number wins
+    assert(Bench.gateCarry(6.0, 7.11, suspect = true) == 6.0)
+    // suspect with no history: the measurement is all there is
+    assert(Bench.gateCarry(14.58, -1.0, suspect = true) == 14.58)
   }
 
   test("spinProbe returns a positive, repeatable machine-speed sample") {
@@ -148,5 +210,19 @@ class BenchGateSpec extends AnyFunSuite {
     // same box, seconds apart: within 3x of each other (wide band —
     // this only guards against a broken probe, not a noisy one)
     assert(math.max(a, b) / math.min(a, b) < 3.0)
+  }
+
+  test("ConcProbe samples concurrently, reports a median, and meters its own CPU") {
+    val probe = new Bench.ConcProbe().start()
+    Thread.sleep(1500) // the "entry": long enough for >3 samples
+    val (med, cpu) = probe.finish()
+    assert(med > 0, s"expected >=3 samples in 1.5s, got median $med")
+    assert(med < 1.0) // one small kernel iteration is well under a second
+    assert(cpu > 0 && cpu < 5.0) // the probe's own CPU is metered
+    // a too-short window yields no median (-1) — upstream treats that
+    // as "no trustworthy witness", never as quiet
+    val short = new Bench.ConcProbe().start()
+    val (medShort, _) = short.finish()
+    assert(medShort == -1.0 || medShort > 0)
   }
 }
