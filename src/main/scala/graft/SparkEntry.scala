@@ -458,6 +458,55 @@ object SparkEntry {
     g.write(b); g.close()
     bos.toByteArray
   }
+  /** On-disk WARC fixture for the split-streaming reader (q275/q276):
+    * one file per document under java.io.tmpdir (`w<id>.warc`, q270's
+    * record formulas; gzipped every 4th id, junk bytes every 50th so
+    * the loud-drop path has work). Files are written in EXECUTORS (the
+    * fixture is data, the driver only collects the path strings —
+    * O(files) metadata, the same class as Spark's own file listings)
+    * and cached by existence across runs; tmp-write + rename keeps
+    * concurrent generations safe. */
+  private def warcStreamFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_stream_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else if (id % 4 == 1) gzipBytes(warcFixture(id))
+          else warcFixture(id)
+        val tmp = java.io.File.createTempFile("wtmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
+  /** Two-page WARC whose pages need NON-UTF-8 decodes (q277): page 0
+    * declares ISO-8859-1 in the HTTP header and carries byte
+    * 0xE0+id%5 (à..ä); page 1 declares windows-1251 only in a <meta
+    * charset> and carries byte 0xC0+id%5 (А..Д). */
+  private def charsetFixture(id: Long): Array[Byte] = {
+    def rec(uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val k = (id % 5).toInt
+    val latin = ("HTTP/1.1 200 OK\r\n" +
+      "Content-Type: text/html; charset=ISO-8859-1\r\n\r\n<p>")
+      .getBytes("ISO-8859-1") ++ Array((0xE0 + k).toByte) ++
+      " latin</p>".getBytes("ISO-8859-1")
+    val cyr = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<meta charset=\"windows-1251\"><p>").getBytes("ISO-8859-1") ++
+      Array((0xC0 + k).toByte) ++ " cyr</p>".getBytes("ISO-8859-1")
+    rec(s"http://ex.com/$id/latin", latin) ++ rec(s"http://ex.com/$id/cyr", cyr)
+  }
   /** WARC fixture for curation v7 (q273): quintets (id/5) publish the
     * SAME pages under messy URL aliases, content repeats across
     * quintets sharing b%7, and some second pages are too short to
@@ -5311,6 +5360,57 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q275 — split-streaming WARC records ([[graft.sources.Warc
+    // .describeWarcPaths]]): the 100 TB front door — containers live
+    // ON DISK as files (gzipped every 4th, junk every 50th) and
+    // records stream through one task per path with per-record
+    // bounded memory, never a whole-container cell. Same record
+    // formulas as q270, so the oracle is q270's with media_id
+    // recovered from the file name.
+    "q275_warc_stream" -> ((s, d) => {
+      import s.implicits._
+      val paths = warcStreamFixturePaths(s, d)
+      graft.sources.Warc.describeWarcPaths(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+        .select("media_id", "record_idx", "warc_type", "target_uri",
+          "content_length", "http_status", "content_type")
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q276 — split-streaming crawl→text ([[graft.sources.Warc
+    // .warcPathsHtmlText]]): q271's pass over on-disk files — 2xx
+    // text/html gate, charset-aware decode, html_to_text — with the
+    // same page formulas.
+    "q276_warc_stream_text" -> ((s, d) => {
+      import s.implicits._
+      val paths = warcStreamFixturePaths(s, d)
+      graft.sources.Warc.warcPathsHtmlText(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+        .select("media_id", "record_idx", "url", "charset", "text")
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q277 — charset-aware page decode ([[graft.sources.Warc
+    // .warcHtmlText]]'s decode leg): one page declares ISO-8859-1 in
+    // the HTTP Content-Type, one declares windows-1251 only in a
+    // <meta charset> — both carry single-byte national characters
+    // that mojibake under a blind UTF-8 decode. The oracle states the
+    // decoded char per formula, so the engine must agree THROUGH the
+    // charset negotiation (header first, bounded meta sniff second,
+    // utf-8 fallback).
+    "q277_warc_charset" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else (id, charsetFixture(id))
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9543,6 +9643,7 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
         |  'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
         |    AS url,
+        |  'utf-8' AS charset,
         |  'Page ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR) ||
         |    chr(10) || 'text ' || CAST(doc_id AS VARCHAR) || ' & '
         |    || CAST(j AS VARCHAR) AS text
@@ -9588,6 +9689,86 @@ object SparkEntry {
         |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
         |  canon AS url, text
         |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // The streaming reader must reproduce q270's record walk exactly —
+    // same formulas, media_id recovered from the file name.
+    "q275_warc_stream" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, np, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np),
+        |rws AS (
+        |  SELECT doc_id, 0 AS ri, 'warcinfo' AS wt,
+        |    CAST(NULL AS VARCHAR) AS uri, CAST(17 AS BIGINT) AS cl,
+        |    CAST(NULL AS INTEGER) AS st, CAST(NULL AS VARCHAR) AS ct
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 1 + 2 * j, 'request',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+        |    CAST(18 AS BIGINT), NULL, NULL FROM pg
+        |  UNION ALL
+        |  SELECT doc_id, 2 + 2 * j, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR),
+        |    CAST(44 + LENGTH('<h1>Page ' || CAST(doc_id AS VARCHAR) || ' '
+        |      || CAST(j AS VARCHAR) || '</h1><p>text ' || CAST(doc_id AS VARCHAR)
+        |      || ' &amp; ' || CAST(j AS VARCHAR) || '</p>') AS BIGINT),
+        |    200, 'text/html' FROM pg
+        |  UNION ALL
+        |  SELECT doc_id, 1 + 2 * np, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/gone',
+        |    CAST(44 + LENGTH('<p>gone ' || CAST(doc_id AS VARCHAR) || '</p>') AS BIGINT),
+        |    404, 'text/html' FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 2 + 2 * np, 'response',
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/img',
+        |    CAST(44 + LENGTH('PNGDATA' || CAST(doc_id AS VARCHAR)) AS BIGINT),
+        |    200, 'image/png' FROM ids)
+        |SELECT doc_id AS media_id, CAST(ri AS INTEGER) AS record_idx,
+        |  wt AS warc_type, uri AS target_uri, cl AS content_length,
+        |  st AS http_status, ct AS content_type
+        |FROM rws
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // The streaming text pass: q271's pages, plus the charset column.
+    "q276_warc_stream_text" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np)
+        |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    AS url,
+        |  'utf-8' AS charset,
+        |  'Page ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR) ||
+        |    chr(10) || 'text ' || CAST(doc_id AS VARCHAR) || ' & '
+        |    || CAST(j AS VARCHAR) AS text
+        |FROM pg
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // The decoded national characters stated per formula: the engine
+    // must agree through the HTTP-header charset, the bounded meta
+    // sniff, and the windows-1251 table.
+    "q277_warc_charset" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 5 AS k FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pgs AS (
+        |  SELECT doc_id, 0 AS ri,
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/latin' AS url,
+        |    'iso-8859-1' AS charset,
+        |    CASE k WHEN 0 THEN 'à' WHEN 1 THEN 'á' WHEN 2 THEN 'â'
+        |           WHEN 3 THEN 'ã' ELSE 'ä' END || ' latin' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 1,
+        |    'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/cyr',
+        |    'windows-1251',
+        |    CASE k WHEN 0 THEN 'А' WHEN 1 THEN 'Б' WHEN 2 THEN 'В'
+        |           WHEN 3 THEN 'Г' ELSE 'Д' END || ' cyr'
+        |  FROM ids)
+        |SELECT doc_id AS media_id, CAST(ri AS INTEGER) AS record_idx,
+        |  url, charset, text
+        |FROM pgs
         |ORDER BY media_id, record_idx""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML

@@ -476,10 +476,29 @@ object Main {
           .write.mode("overwrite").parquet(out)
 
       case "warc-text" :: in :: idCol :: payloadCol :: out :: Nil =>
-        // the Common-Crawl pass: 2xx text/html responses -> clean text
-        graft.sources.Warc.warcHtmlText(
-            graft.sources.Multimodal.asMedia(
-              spark.read.parquet(in), idCol, payloadCol, "warc"))
+        // the Common-Crawl pass: 2xx text/html responses -> clean
+        // text; fence drops print LOUD (an over-fence gzip container
+        // must never vanish silently)
+        val (df, obs) = graft.sources.Warc.warcHtmlTextObserved(
+          graft.sources.Multimodal.asMedia(
+            spark.read.parquet(in), idCol, payloadCol, "warc"))
+        df.write.mode("overwrite").parquet(out)
+        val m = obs.get
+        println(s"[warc-text] containers=${m("containers")} " +
+          s"rows_out=${m("rows_out")} dropped=${m("containers_dropped")} " +
+          s"truncated=${m("containers_truncated")} " +
+          s"record_capped=${m("records_capped")} " +
+          s"bodies_truncated=${m("bodies_truncated")}")
+
+      case "warc-paths" :: in :: out :: Nil =>
+        // split-streaming record listing over FILES (one task per
+        // path, per-record bounded memory — the multi-GB-WARC door);
+        // <in> is a text file or directory of *.warc / *.warc.gz
+        graft.sources.Warc.describeWarcPaths(spark, warcPathList(in))
+          .write.mode("overwrite").parquet(out)
+
+      case "warc-paths-text" :: in :: out :: Nil =>
+        graft.sources.Warc.warcPathsHtmlText(spark, warcPathList(in))
           .write.mode("overwrite").parquet(out)
 
       case "archives" :: in :: idCol :: payloadCol :: out :: Nil =>
@@ -549,6 +568,17 @@ object Main {
       case _ => usage()
     }
 
+  /** Paths for the split-streaming WARC commands: a directory (its
+    * *.warc / *.warc.gz members) or a single file. */
+  private def warcPathList(in: String): Seq[String] = {
+    val f = new java.io.File(in)
+    if (f.isDirectory)
+      f.listFiles().toSeq
+        .filter(x => x.getName.endsWith(".warc") || x.getName.endsWith(".warc.gz"))
+        .map(_.getAbsolutePath).sorted
+    else Seq(in)
+  }
+
   private def usage(): Unit = {
     System.err.println(
       """usage: graft <job> [-Dk=v ...] <args>
@@ -599,7 +629,9 @@ object Main {
         |  media-inspect <in.parquet> <idCol> <payloadCol> <out>  (sniff + decode ALL formats)
         |  video-inspect <in.parquet> <idCol> <payloadCol> <out>  (MP4 track / AVI metadata)
         |  warc <in.parquet> <idCol> <payloadCol> <out>        (WARC record listing)
-        |  warc-text <in.parquet> <idCol> <payloadCol> <out>   (crawl -> clean training text)
+        |  warc-text <in.parquet> <idCol> <payloadCol> <out>   (crawl -> clean training text; prints fence counters)
+        |  warc-paths <fileOrDir> <out>        (split-streaming record listing over *.warc[.gz] files)
+        |  warc-paths-text <fileOrDir> <out>   (split-streaming crawl -> clean training text)
         |  archives <in.parquet> <idCol> <payloadCol> <out>    (ZIP/TAR/GZIP member listing)
         |  unzip <in.parquet> <idCol> <payloadCol> <out>       (ZIP members -> payload rows)
         |  subtitles <in.parquet> <idCol> <payloadCol> <out>   (SRT/VTT cues, markup stripped)

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** WARC (ISO 28500) — the web-crawl container an LLM corpus actually
@@ -35,7 +35,24 @@ object Warc {
                               targetUri: String, contentLength: Long,
                               httpStatus: Option[Int],
                               contentType: Option[String],
-                              body: Array[Byte])
+                              body: Array[Byte],
+                              bodyTruncated: Boolean = false)
+
+  /** One container's full parse result: the records that decoded plus
+    * WHY the walk stopped — fences must be loud (r11 verdict: an
+    * over-fence gzip silently contributed zero rows). `endReason`:
+    * - `ok`            — clean walk to end of data
+    * - `record_cap`    — stopped at `maxRecords` (more data remained)
+    * - `truncated`     — a Content-Length ran past the container end
+    * - `corrupt`       — header block never closed / no forward progress
+    * - `not_warc`      — data present but no WARC/ magic
+    * - `inflate_over_fence` — gzip inflates past the cell fence; the
+    *   container is NOT parseable in cell form and belongs on the
+    *   [[describeWarcPaths]] streaming path
+    * - `empty`         — fewer than 9 bytes of input */
+  final case class WarcParse(records: Seq[WarcRecord], endReason: String) {
+    def truncatedBodies: Int = records.count(_.bodyTruncated)
+  }
 
   /** Inflate a (possibly multi-member) gzip stream, fenced. Returns
     * null when not gzip or on corrupt/oversized data. */
@@ -57,35 +74,56 @@ object Warc {
   }
 
   /** Parse WARC records (auto-gunzips). None = not a WARC at all;
-    * truncation keeps the records before the cut. */
+    * truncation keeps the records before the cut. Thin compatibility
+    * wrapper over [[parseWarcOutcome]], which additionally names WHY
+    * a walk ended — callers that can surface counters should prefer
+    * it (this wrapper is where fence drops used to go silent). */
   def parseWarcRecords(bytes: Array[Byte], maxRecords: Int = 1 << 12,
                        maxBody: Int = 1 << 24): Option[Seq[WarcRecord]] = {
-    if (bytes == null || bytes.length < 9) return None
+    val p = parseWarcOutcome(bytes, maxRecords, maxBody)
+    if (p.records.nonEmpty) Some(p.records) else None
+  }
+
+  /** The cell-form walk with a loud outcome (see [[WarcParse]]). */
+  def parseWarcOutcome(bytes: Array[Byte], maxRecords: Int = 1 << 12,
+                       maxBody: Int = 1 << 24): WarcParse = {
+    if (bytes == null || bytes.length < 9) return WarcParse(Nil, "empty")
+    val gzipped = bytes.length >= 2 && (bytes(0) & 0xff) == 0x1f &&
+      (bytes(1) & 0xff) == 0x8b
     val data = {
       val g = gunzipAll(bytes, 1 << 26)
       if (g != null) g else bytes
     }
-    if (data.length < 9 || !startsWith(data, 0, "WARC/")) return None
+    // a gzip container that would not inflate within the cell fence is
+    // a DISTINCT loud outcome: the data may be a perfectly good WARC
+    // that simply cannot enter in cell form (route it to the
+    // streaming path), not "not a WARC"
+    if (gzipped && (data eq bytes))
+      return WarcParse(Nil, "inflate_over_fence")
+    if (data.length < 9 || !startsWith(data, 0, "WARC/"))
+      return WarcParse(Nil, "not_warc")
     val out = Seq.newBuilder[WarcRecord]
     var p = 0
     var k = 0
-    while (k < maxRecords && p + 9 <= data.length && startsWith(data, p, "WARC/")) {
+    while (p + 9 <= data.length && startsWith(data, p, "WARC/")) {
+      if (k >= maxRecords) return WarcParse(out.result(), "record_cap")
       // ---- WARC header block ----------------------------------------
       val headerEnd = findBlank(data, p)
-      if (headerEnd < 0) return someIfAny(out, k)
+      if (headerEnd < 0) return WarcParse(out.result(), "corrupt")
       val headers = parseHeaders(data, nextLine(data, p), headerEnd)
       val wType = headers.getOrElse("warc-type", "")
       val uri = headers.getOrElse("warc-target-uri", null)
       val clen =
         try headers.getOrElse("content-length", "-1").trim.toLong
         catch { case _: NumberFormatException => -1L }
-      if (clen < 0) return someIfAny(out, k)
+      if (clen < 0) return WarcParse(out.result(), "corrupt")
       val bodyStart = headerEnd
       val bodyEnd = bodyStart + math.min(clen, data.length.toLong - bodyStart)
       // ---- response records: HTTP status + headers + body -----------
       var status: Option[Int] = None
       var ctype: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
+      var bodyCut = false
       if (wType.equalsIgnoreCase("response") &&
           startsWith(data, bodyStart, "HTTP/")) {
         val httpHeaderEnd = findBlank(data, bodyStart)
@@ -100,27 +138,27 @@ object Warc {
           val bl = (bodyEnd - httpHeaderEnd).toInt
           if (bl > 0 && bl <= maxBody)
             body = java.util.Arrays.copyOfRange(data, httpHeaderEnd, bodyEnd.toInt)
+          // maxBody == 0 is the deliberate listing projection, not a
+          // fence: only a POSITIVE cap that cut a body counts as loud
+          else if (bl > 0 && maxBody > 0) bodyCut = true
         }
       }
-      out += WarcRecord(k, wType, uri, clen, status, ctype, body)
+      out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut)
       k += 1
       // payload + the record-separating CRLFCRLF (tolerant at EOF).
       // q is Long: a hostile multi-GB Content-Length must clamp here,
       // not wrap negative through toInt (the never-throw contract).
       var q = bodyStart.toLong + clen
-      if (q > data.length) return someIfAny(out, k) // truncated/lying length
+      if (q > data.length)
+        return WarcParse(out.result(), "truncated") // truncated/lying length
       var sep = 0
       while (sep < 4 && q < data.length &&
           (data(q.toInt) == '\r' || data(q.toInt) == '\n')) { q += 1; sep += 1 }
-      if (q <= p) return someIfAny(out, k) // no forward progress: corrupt
+      if (q <= p) return WarcParse(out.result(), "corrupt") // no forward progress
       p = q.toInt
     }
-    someIfAny(out, k)
+    WarcParse(out.result(), if (p + 9 <= data.length) "corrupt" else "ok")
   }
-
-  private def someIfAny(b: scala.collection.mutable.Builder[WarcRecord, Seq[WarcRecord]],
-                        k: Int): Option[Seq[WarcRecord]] =
-    if (k > 0) Some(b.result()) else None
 
   private def startsWith(d: Array[Byte], at: Int, s: String): Boolean = {
     if (at + s.length > d.length) return false
@@ -174,42 +212,381 @@ object Warc {
     m.result()
   }
 
-  /** One row per WARC record (no body bytes — the listing). */
-  def describeWarc(media: DataFrame, maxRecords: Int = 1 << 12): DataFrame = {
+  // ==== charset-aware HTML decode ====================================
+
+  /** The charset a response body should decode with: the `charset=`
+    * parameter of the HTTP Content-Type when present, else a bounded
+    * `<meta charset=…>` / `<meta http-equiv … content="…charset=…">`
+    * sniff over the first 1 KiB (HTML5 prescan discipline — the meta
+    * must be ASCII-visible early to count), else the UTF-8 default.
+    * Legacy-charset pages are a large fraction of real crawls
+    * (ISO-8859-1, windows-125x, GBK, Shift_JIS); decoding them as
+    * UTF-8 silently mojibakes the training text. Returns the
+    * lower-case canonical-input name; unknown/unsupported names fall
+    * back to utf-8 so the decode can never throw. */
+  private[sources] def htmlCharset(contentType: Option[String],
+                                   body: Array[Byte]): String = {
+    def fromParams(s: String): Option[String] = {
+      val low = s.toLowerCase(java.util.Locale.ROOT)
+      val at = low.indexOf("charset=")
+      if (at < 0) None
+      else {
+        val v = low.substring(at + 8).takeWhile(c => c != ';' && c != ' ')
+          .stripPrefix("\"").takeWhile(c => c != '"' && c != '\'')
+        if (v.isEmpty) None else Some(v)
+      }
+    }
+    val declared = contentType.flatMap(fromParams).orElse {
+      // bounded meta prescan: ASCII window, quote-tolerant
+      val n = math.min(body.length, 1024)
+      val head = new String(body, 0, n, java.nio.charset.StandardCharsets.ISO_8859_1)
+        .toLowerCase(java.util.Locale.ROOT)
+      val mc = "<meta\\s+charset\\s*=\\s*[\"']?([a-z0-9_\\-]+)".r
+      mc.findFirstMatchIn(head).map(_.group(1)).orElse(fromParams(head))
+    }
+    declared.filter(c => try java.nio.charset.Charset.isSupported(c)
+      catch { case _: Exception => false }).getOrElse("utf-8")
+  }
+
+  /** Decode an HTML body with its declared charset (never throws). */
+  private[sources] def decodeHtml(body: Array[Byte],
+                                  contentType: Option[String]): (String, String) = {
+    val cs = htmlCharset(contentType, body)
+    val s = try new String(body, cs)
+      catch { case _: Exception =>
+        new String(body, java.nio.charset.StandardCharsets.UTF_8) }
+    (s, cs)
+  }
+
+  // ==== cell-form DataFrame surface ==================================
+
+  /** The fence counters every WARC pass exposes, aggregated inside the
+    * existing plan via `observe` (retry-safe, no extra pass — the
+    * [[graft.core.Counters]] machinery). Read the Observation after an
+    * action: containers_dropped > 0 means whole files contributed ZERO
+    * rows (over-fence gzip, not-WARC bytes), records_capped /
+    * bodies_truncated name per-record fence cuts. */
+  private def withFenceCounters(rows: DataFrame, name: String): (DataFrame, Observation) =
+    graft.core.Counters.observed(
+      rows.withColumn("__is_sentinel", col("record_idx") < 0),
+      name,
+      "containers" -> sum(when(col("__is_sentinel"), 1L).otherwise(0L)),
+      "rows_out" -> sum(when(!col("__is_sentinel"), 1L).otherwise(0L)),
+      "containers_dropped" -> sum(when(col("__is_sentinel") &&
+        col("__end_reason").isin("not_warc", "inflate_over_fence", "empty"),
+        1L).otherwise(0L)),
+      "containers_truncated" -> sum(when(col("__is_sentinel") &&
+        col("__end_reason").isin("truncated", "corrupt"), 1L).otherwise(0L)),
+      "records_capped" -> sum(when(col("__is_sentinel") &&
+        (col("__end_reason") === "record_cap"), 1L).otherwise(0L)),
+      "bodies_truncated" -> sum(coalesce(col("__truncated_n"), lit(0)).cast("long")))
+
+  /** One row per WARC record (no body bytes — the listing). Fence
+    * drops are loud: see [[describeWarcObserved]]; this wrapper keeps
+    * the public schema and discards the counter handle. */
+  def describeWarc(media: DataFrame, maxRecords: Int = 1 << 12): DataFrame =
+    describeWarcObserved(media, maxRecords)._1
+
+  /** [[describeWarc]] plus the fence-counter Observation (read it
+    * after an action completes). */
+  def describeWarcObserved(media: DataFrame,
+                           maxRecords: Int = 1 << 12): (DataFrame, Observation) = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
+    val raw = media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
-        parseWarcRecords(p, maxRecords, maxBody = 0).getOrElse(Nil).map(r =>
+        val parse = parseWarcOutcome(p, maxRecords, maxBody = 0)
+        val recs = parse.records.map(r =>
           (id, r.recordIdx, r.warcType, Option(r.targetUri), r.contentLength,
-            r.httpStatus, r.contentType))
+            r.httpStatus, r.contentType, null.asInstanceOf[String], 0))
+        // one sentinel per container carries the walk outcome — the
+        // loudness channel for files that yield zero records
+        recs :+ ((id, -1, null.asInstanceOf[String], None: Option[String], -1L,
+          None: Option[Int], None: Option[String], parse.endReason,
+          parse.truncatedBodies))
       }
       .toDF("media_id", "record_idx", "warc_type", "target_uri",
-        "content_length", "http_status", "content_type")
+        "content_length", "http_status", "content_type",
+        "__end_reason", "__truncated_n")
+    val (observed, obs) = withFenceCounters(raw, "warc_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
 
   /** The crawl-to-text pass: HTML response bodies (2xx, text/html)
     * through [[graft.functions.HtmlToText]]'s kernel — one row per
-    * page with its URL and training text. flatMap kernel; bodies
-    * never shuffle, only the extracted text does. */
+    * page with its URL, the charset it decoded with (HTTP header,
+    * bounded meta sniff, utf-8 fallback — see [[htmlCharset]]) and
+    * training text. flatMap kernel; bodies never shuffle, only the
+    * extracted text does. Fence drops are loud: [[warcHtmlTextObserved]]. */
   def warcHtmlText(media: DataFrame, maxRecords: Int = 1 << 12,
-                   maxBody: Int = 1 << 24): DataFrame = {
+                   maxBody: Int = 1 << 24): DataFrame =
+    warcHtmlTextObserved(media, maxRecords, maxBody)._1
+
+  /** [[warcHtmlText]] plus the fence-counter Observation. */
+  def warcHtmlTextObserved(media: DataFrame, maxRecords: Int = 1 << 12,
+                           maxBody: Int = 1 << 24): (DataFrame, Observation) = {
     val spark = media.sparkSession
     import spark.implicits._
-    media.select(col("media_id"), col("payload"))
+    val raw = media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
-        parseWarcRecords(p, maxRecords, maxBody).getOrElse(Nil).collect {
+        val parse = parseWarcOutcome(p, maxRecords, maxBody)
+        val pages = parse.records.collect {
           case r if r.warcType.equalsIgnoreCase("response") &&
               r.httpStatus.exists(s => s >= 200 && s < 300) &&
               r.contentType.exists(_.toLowerCase(java.util.Locale.ROOT)
                 .startsWith("text/html")) && r.body.nonEmpty =>
-            val html = new String(r.body, java.nio.charset.StandardCharsets.UTF_8)
-            (id, r.recordIdx, Option(r.targetUri),
-              graft.functions.HtmlToText.clean(html))
+            val (html, cs) = decodeHtml(r.body, r.contentType)
+            (id, r.recordIdx, Option(r.targetUri), cs,
+              graft.functions.HtmlToText.clean(html),
+              null.asInstanceOf[String], 0)
+        }
+        pages :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], parse.endReason,
+          parse.truncatedBodies))
+      }
+      .toDF("media_id", "record_idx", "url", "charset", "text",
+        "__end_reason", "__truncated_n")
+    val (observed, obs) = withFenceCounters(raw, "warc_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+  }
+
+  // ==== split-streaming path reader (the 100 TB front door) ==========
+  //
+  // A real Common Crawl WARC is ~1 GB gzipped / several GB inflated —
+  // it cannot be a row cell (the 64 MB inflate fence above, and the
+  // JVM's 2 GB array bound). These functions take FILE PATHS and
+  // stream records one at a time with bounded memory: per record, at
+  // most the header block (64 KiB cap) plus min(Content-Length,
+  // max(maxBody, 8 KiB)) body bytes are ever resident; everything
+  // else is skipped on the wire. Gzip is decoded member-by-member as
+  // it streams (GZIPInputStream concatenates Common Crawl's
+  // member-per-record form natively), so total container size never
+  // matters. This is the split-discipline analog of the reference's
+  // LineRecordReader (hadoop: LIB/input/LineRecordReader.java:55) —
+  // one task owns one file, records stream through it.
+
+  /** Bounded streaming record walk over one (possibly gzipped) WARC
+    * stream. `next()` returns null at end of walk; `endReason` then
+    * says why (same vocabulary as [[WarcParse]], plus `io_error`). */
+  private[sources] final class WarcStream(raw: java.io.InputStream,
+                                          maxBody: Int,
+                                          maxRecords: Int = 1 << 20) {
+    var endReason: String = null
+    var truncatedBodies: Int = 0
+    private var idx = 0
+    private val in: java.io.InputStream = {
+      val pb = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(raw, 1 << 16), 2)
+      val b0 = pb.read(); val b1 = if (b0 < 0) -1 else pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+      else pb
+    }
+    private val maxHeaderBlock = 1 << 16
+
+    /** Fill exactly n bytes unless EOF; returns bytes read. */
+    private def readFully(buf: Array[Byte], n: Int): Int = {
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return off
+        off += r
+      }
+      off
+    }
+    private def skipFully(n: Long): Long = {
+      var left = n
+      val buf = new Array[Byte](1 << 16)
+      while (left > 0) {
+        val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r < 0) return n - left
+        left -= r
+      }
+      n
+    }
+
+    def next(): WarcRecord = {
+      if (endReason != null) return null
+      try nextInner()
+      catch { case _: java.io.IOException => endReason = "io_error"; null }
+    }
+
+    private def nextInner(): WarcRecord = {
+      if (idx >= maxRecords) { endReason = "record_cap"; return null }
+      // skip inter-record CR/LF separators, find the header block
+      var b = in.read()
+      while (b == '\r' || b == '\n') b = in.read()
+      if (b < 0) { endReason = if (idx == 0) "empty" else "ok"; return null }
+      val hdr = new java.io.ByteArrayOutputStream(512)
+      hdr.write(b)
+      // read to the blank line (\n\n or \r\n\r\n), bounded
+      var tail = b & 0xff // rolling window of the last bytes, packed
+      var done = false
+      while (!done && hdr.size < maxHeaderBlock) {
+        val c = in.read()
+        if (c < 0) { endReason = if (idx == 0) "not_warc" else "corrupt"; return null }
+        hdr.write(c)
+        tail = (tail << 8) | (c & 0xff)
+        // \n\n, \n\r\n (the cell path's findBlank forms) or \r\n\r\n
+        if ((tail & 0xffff) == 0x0a0a || (tail & 0xffffff) == 0x0a0d0a ||
+            tail == 0x0d0a0d0a) done = true
+      }
+      if (!done) { endReason = "corrupt"; return null }
+      val block = hdr.toByteArray
+      if (!startsWith(block, 0, "WARC/")) {
+        endReason = if (idx == 0) "not_warc" else "corrupt"; return null
+      }
+      val headers = parseHeaders(block, nextLine(block, 0), block.length)
+      val wType = headers.getOrElse("warc-type", "")
+      val uri = headers.getOrElse("warc-target-uri", null)
+      val clen =
+        try headers.getOrElse("content-length", "-1").trim.toLong
+        catch { case _: NumberFormatException => -1L }
+      if (clen < 0) { endReason = "corrupt"; return null }
+      // buffer the bounded payload prefix: enough for the HTTP header
+      // parse even in listing mode (maxBody = 0), never more than the
+      // fence; skip the rest on the wire
+      val keepN = math.min(clen, math.max(maxBody, 8192).toLong).toInt
+      val payload = new Array[Byte](keepN)
+      val got = readFully(payload, keepN)
+      val skipped = if (got == keepN) skipFully(clen - keepN) else 0L
+      val shortRead = got < keepN || skipped < clen - keepN
+      // ---- response records: HTTP status + headers + body -----------
+      var status: Option[Int] = None
+      var ctype: Option[String] = None
+      var body: Array[Byte] = Array.emptyByteArray
+      var bodyCut = false
+      if (wType.equalsIgnoreCase("response") && startsWith(payload, 0, "HTTP/")) {
+        val httpHeaderEnd = findBlank(payload, 0)
+        if (httpHeaderEnd > 0 && httpHeaderEnd <= got) {
+          val parts = lineAt(payload, 0).split(" ", 3)
+          if (parts.length >= 2 && parts(1).forall(_.isDigit) &&
+              parts(1).nonEmpty && parts(1).length <= 3)
+            status = Some(parts(1).toInt)
+          val hh = parseHeaders(payload, nextLine(payload, 0), httpHeaderEnd)
+          ctype = hh.get("content-type")
+          val bl = clen - httpHeaderEnd // true HTTP body length
+          if (bl > 0 && bl <= maxBody && httpHeaderEnd + bl <= got)
+            body = java.util.Arrays.copyOfRange(payload, httpHeaderEnd,
+              (httpHeaderEnd + bl).toInt)
+          else if (bl > 0 && maxBody > 0) {
+            bodyCut = true
+            truncatedBodies += 1
+          }
         }
       }
-      .toDF("media_id", "record_idx", "url", "text")
+      val rec = WarcRecord(idx, wType, uri, clen, status, ctype, body, bodyCut)
+      idx += 1
+      if (shortRead) endReason = "truncated" // emit this record, then stop
+      rec
+    }
+  }
+
+  /** Rows from one path: each record mapped through `mk` (None rows
+    * skipped), then ONE sentinel row carrying the walk outcome; the
+    * stream closes when the iterator drains. Lazy — at no point is
+    * more than one record resident. */
+  private def streamRows[T](path: String, maxBody: Int, maxRecords: Int,
+                            mk: WarcRecord => Option[T],
+                            sentinel: (String, Int) => T): Iterator[T] = {
+    var stream: java.io.InputStream = null
+    val ws =
+      try {
+        val p = new org.apache.hadoop.fs.Path(path)
+        // executor-side Configuration: loads core-site.xml from the
+        // classpath, so hdfs://, s3a:// and file:// all resolve the
+        // same way they do for Spark's own readers
+        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        stream = fs.open(p)
+        new WarcStream(stream, maxBody, maxRecords)
+      } catch {
+        case _: Exception =>
+          if (stream != null) { try stream.close() catch { case _: Exception => () } }
+          return Iterator.single(sentinel("io_error", 0))
+      }
+    new Iterator[T] {
+      private var pending: Option[T] = None
+      private var sentinelSent = false
+      private def advance(): Unit = {
+        while (pending.isEmpty && !sentinelSent) {
+          val r = ws.next()
+          if (r == null) {
+            try stream.close() catch { case _: Exception => () }
+            pending = Some(sentinel(ws.endReason, ws.truncatedBodies))
+            sentinelSent = true
+          } else pending = mk(r)
+        }
+      }
+      def hasNext: Boolean = { advance(); pending.nonEmpty }
+      def next(): T = { advance(); val v = pending.get; pending = None; v }
+    }
+  }
+
+  /** The record listing over FILE PATHS — [[describeWarc]]'s streaming
+    * sibling for containers too large to be row cells. One task per
+    * path; memory is bounded per record, never per file. Schema:
+    * (path, record_idx, warc_type, target_uri, content_length,
+    * http_status, content_type). Fence drops are loud via the same
+    * `warc_fences` counters. */
+  def describeWarcPaths(spark: SparkSession, paths: Seq[String],
+                        maxRecords: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val raw = spark.createDataset(paths).repartition(n)
+      .flatMap { path =>
+        streamRows[(String, Int, String, Option[String], Long, Option[Int],
+            Option[String], String, Int)](path, maxBody = 0, maxRecords,
+          r => Some((path, r.recordIdx, r.warcType, Option(r.targetUri),
+            r.contentLength, r.httpStatus, r.contentType,
+            null.asInstanceOf[String], 0)),
+          (reason, tb) => (path, -1, null.asInstanceOf[String],
+            None: Option[String], -1L, None: Option[Int],
+            None: Option[String], reason, tb))
+      }
+      .toDF("path", "record_idx", "warc_type", "target_uri",
+        "content_length", "http_status", "content_type",
+        "__end_reason", "__truncated_n")
+    val (observed, _) = withFenceCounters(raw, "warc_paths_fences")
+    observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel")
+  }
+
+  /** The crawl-to-text pass over FILE PATHS — [[warcHtmlText]]'s
+    * streaming sibling: 2xx text/html bodies, charset-aware decode,
+    * [[graft.functions.HtmlToText]]. Schema: (path, record_idx, url,
+    * charset, text). */
+  def warcPathsHtmlText(spark: SparkSession, paths: Seq[String],
+                        maxBody: Int = 1 << 24,
+                        maxRecords: Int = 1 << 20): DataFrame = {
+    import spark.implicits._
+    val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val raw = spark.createDataset(paths).repartition(n)
+      .flatMap { path =>
+        streamRows[(String, Int, Option[String], String, String, String, Int)](
+          path, maxBody, maxRecords,
+          r => if (r.warcType.equalsIgnoreCase("response") &&
+              r.httpStatus.exists(s => s >= 200 && s < 300) &&
+              r.contentType.exists(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("text/html")) && r.body.nonEmpty) {
+            val (html, cs) = decodeHtml(r.body, r.contentType)
+            Some((path, r.recordIdx, Option(r.targetUri), cs,
+              graft.functions.HtmlToText.clean(html),
+              null.asInstanceOf[String], 0))
+          } else None,
+          (reason, tb) => (path, -1, None: Option[String],
+            null.asInstanceOf[String], null.asInstanceOf[String], reason, tb))
+      }
+      .toDF("path", "record_idx", "url", "charset", "text",
+        "__end_reason", "__truncated_n")
+    val (observed, _) = withFenceCounters(raw, "warc_paths_fences")
+    observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel")
   }
 }

@@ -98,7 +98,171 @@ class WarcSpec extends SparkSpec {
     assert(listing.size == 4 && listing.map(_._3) ==
       Seq("response", "response", "response", "request"))
     val text = Warc.warcHtmlText(media)
-      .as[(Long, Int, Option[String], String)].collect().toSeq
-    assert(text == Seq((1L, 0, Some("http://ex.com/good"), "Title\nbody & text")))
+      .as[(Long, Int, Option[String], String, String)].collect().toSeq
+    assert(text == Seq((1L, 0, Some("http://ex.com/good"), "utf-8",
+      "Title\nbody & text")))
+  }
+
+  test("parseWarcOutcome names why every walk ends — fences are loud") {
+    val good = record("response", "http://x/",
+      httpResponse(200, "text/html", "<p>t</p>")) ++
+      record("metadata", "http://x/", "k: v\r\n".getBytes)
+    assert(parseWarcOutcome(good).endReason == "ok")
+    assert(parseWarcOutcome(good).records.size == 2)
+    assert(parseWarcOutcome(null).endReason == "empty")
+    assert(parseWarcOutcome("not a warc at all".getBytes).endReason == "not_warc")
+    // record cap: stopped WITH data remaining -> record_cap, not ok
+    val capped = parseWarcOutcome(good, maxRecords = 1)
+    assert(capped.records.size == 1 && capped.endReason == "record_cap")
+    // lying Content-Length -> truncated (record kept, walk named)
+    val lying = ("WARC/1.0\r\nWARC-Type: metadata\r\n" +
+      "Content-Length: 99999\r\n\r\nshort").getBytes
+    assert(parseWarcOutcome(lying).endReason == "truncated")
+    assert(parseWarcOutcome(lying).records.size == 1)
+    // per-record body fence -> bodyTruncated flag + count
+    val cut = parseWarcOutcome(good, maxBody = 4)
+    assert(cut.records.head.bodyTruncated && cut.truncatedBodies == 1)
+    assert(cut.endReason == "ok")
+    // an over-fence gzip is DISTINGUISHED from not-a-WARC: the r11
+    // silent-drop class. 70 MB of zeros inflates past the 64 MB cell
+    // fence but gzips tiny.
+    val big = record("metadata", "http://big/", new Array[Byte](70 << 20))
+    val bigGz = gzip(big)
+    assert(bigGz.length < (1 << 20))
+    assert(parseWarcOutcome(bigGz).endReason == "inflate_over_fence")
+    assert(parseWarcOutcome(bigGz).records.isEmpty)
+  }
+
+  test("over-fence gzip WARC increments a named counter instead of vanishing") {
+    val good = record("response", "http://ex.com/a",
+      httpResponse(200, "text/html", "<p>ok</p>"))
+    val bigGz = gzip(record("metadata", "http://big/", new Array[Byte](70 << 20)))
+    val media = Multimodal.asMedia(
+      Seq((1L, good), (2L, bigGz), (3L, "junk".getBytes))
+        .toDF("id", "bytes"), "id", "bytes", "warc")
+    val (df, obs) = Warc.warcHtmlTextObserved(media)
+    val rows = df.collect()
+    assert(rows.length == 1) // only the good page
+    val m = obs.get
+    assert(m("containers") == 3L)
+    assert(m("containers_dropped") == 2L) // the over-fence gzip AND the junk
+    assert(m("rows_out") == 1L)
+    assert(m("bodies_truncated") == 0L)
+    // body fence cuts are counted too
+    val (df2, obs2) = Warc.warcHtmlTextObserved(media, maxBody = 4)
+    assert(df2.collect().length == 0)
+    assert(obs2.get("bodies_truncated") == 1L)
+  }
+
+  test("charset-aware decode: HTTP header, meta sniff, fallback") {
+    // ISO-8859-1 declared in the HTTP header: 0xE9 is é
+    val latin = record("response", "http://x/latin",
+      (s"HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=ISO-8859-1\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ Array(0xE9.toByte) ++ "<p>fin</p>".getBytes)
+    // windows-1251 declared only in a <meta charset>: 0xFF is я
+    val metaBody = "<meta charset=\"windows-1251\"><p>".getBytes("ISO-8859-1") ++
+      Array(0xFF.toByte) ++ "</p>".getBytes
+    val meta = record("response", "http://x/meta",
+      "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n".getBytes("ISO-8859-1") ++
+        metaBody)
+    // bogus charset name: falls back to utf-8, never throws
+    val bogus = record("response", "http://x/bogus",
+      ("HTTP/1.1 200 OK\r\nContent-Type: text/html; charset=no-such-cs\r\n\r\n" +
+        "<p>ok</p>").getBytes("ISO-8859-1"))
+    val media = Multimodal.asMedia(
+      Seq((1L, latin), (2L, meta), (3L, bogus)).toDF("id", "bytes"),
+      "id", "bytes", "warc")
+    val out = Warc.warcHtmlText(media).orderBy("media_id")
+      .as[(Long, Int, Option[String], String, String)].collect().toSeq
+    assert(out(0)._4 == "iso-8859-1" && out(0)._5 == "é\nfin")
+    assert(out(1)._4 == "windows-1251" && out(1)._5 == "я")
+    assert(out(2)._4 == "utf-8" && out(2)._5 == "ok")
+  }
+
+  test("streaming path reader: record parity with the cell path, no total-size fence") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec").toFile
+    try {
+      val warc =
+        record("warcinfo", null, "software: test\r\n".getBytes) ++
+        record("request", "http://ex.com/a", "GET /a HTTP/1.1\r\n\r\n".getBytes) ++
+        record("response", "http://ex.com/a",
+          httpResponse(200, "text/html; charset=utf-8", "<p>hello</p>")) ++
+        record("response", "http://ex.com/b",
+          httpResponse(404, "text/html", "<p>nope</p>"))
+      // member-per-record gzip, the Common Crawl form
+      val f1 = new java.io.File(dir, "a.warc.gz")
+      val memberGz = gzip(record("warcinfo", null, "software: cc\r\n".getBytes)) ++
+        gzip(record("response", "http://ex.com/c",
+          httpResponse(200, "text/html", "<p>cc &amp; co</p>")))
+      java.nio.file.Files.write(f1.toPath, memberGz)
+      val f2 = new java.io.File(dir, "b.warc")
+      java.nio.file.Files.write(f2.toPath, warc)
+      val f3 = new java.io.File(dir, "c.txt")
+      java.nio.file.Files.write(f3.toPath, "not a warc".getBytes)
+      val paths = Seq(f1, f2, f3).map(_.getAbsolutePath)
+      val listed = Warc.describeWarcPaths(spark, paths)
+        .orderBy("path", "record_idx")
+        .select("record_idx", "warc_type", "target_uri", "http_status")
+        .as[(Int, String, Option[String], Option[Int])].collect().toSeq
+      assert(listed == Seq(
+        (0, "warcinfo", None, None),
+        (1, "response", Some("http://ex.com/c"), Some(200)),
+        (0, "warcinfo", None, None),
+        (1, "request", Some("http://ex.com/a"), None),
+        (2, "response", Some("http://ex.com/a"), Some(200)),
+        (3, "response", Some("http://ex.com/b"), Some(404))))
+      val text = Warc.warcPathsHtmlText(spark, paths)
+        .orderBy("path", "record_idx")
+        .select("record_idx", "url", "charset", "text")
+        .as[(Int, Option[String], String, String)].collect().toSeq
+      assert(text == Seq(
+        (1, Some("http://ex.com/c"), "utf-8", "cc & co"),
+        (2, Some("http://ex.com/a"), "utf-8", "hello")))
+      // the cell fence does NOT apply: a container inflating past
+      // 64 MB streams fully (memory stays bounded per record — only
+      // min(clen, max(maxBody, 8K)) payload bytes are ever resident)
+      val f4 = new java.io.File(dir, "big.warc.gz")
+      val bigGz = gzip(record("metadata", "http://big/",
+        new Array[Byte](70 << 20)) ++
+        record("response", "http://ex.com/after",
+          httpResponse(200, "text/html", "<p>after the big one</p>")))
+      java.nio.file.Files.write(f4.toPath, bigGz)
+      val bigListing = Warc.describeWarcPaths(spark, Seq(f4.getAbsolutePath))
+        .orderBy("record_idx")
+        .select("record_idx", "warc_type", "content_length")
+        .as[(Int, String, Long)].collect().toSeq
+      assert(bigListing == Seq(
+        (0, "metadata", (70L << 20)),
+        (1, "response", 44L + 4 + 16 + "<p>after the big one</p>".length)))
+      val bigText = Warc.warcPathsHtmlText(spark, Seq(f4.getAbsolutePath))
+        .select("text").as[String].collect().toSeq
+      assert(bigText == Seq("after the big one"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("streaming reader: per-record body fence and record cap are loud, not silent") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
+    try {
+      val warc =
+        record("response", "http://ex.com/big",
+          httpResponse(200, "text/html", "x" * 10000)) ++
+        record("response", "http://ex.com/small",
+          httpResponse(200, "text/html", "<p>small</p>"))
+      val f = new java.io.File(dir, "t.warc")
+      java.nio.file.Files.write(f.toPath, warc)
+      // body fence: the big page is dropped from text (its body never
+      // buffers), the small one survives
+      val cut = Warc.warcPathsHtmlText(spark, Seq(f.getAbsolutePath), maxBody = 256)
+        .select("url", "text").as[(Option[String], String)].collect().toSeq
+      assert(cut == Seq((Some("http://ex.com/small"), "small")))
+      // record cap stops the walk at N records
+      val capped = Warc.describeWarcPaths(spark, Seq(f.getAbsolutePath), maxRecords = 1)
+        .select("record_idx").as[Int].collect().toSeq
+      assert(capped == Seq(0))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
   }
 }
