@@ -23,6 +23,13 @@ import org.apache.spark.unsafe.types.UTF8String
   *   td, th, section, article, header, footer, blockquote, pre,
   *   hr, dt, dd, figure, form) — opening OR closing — become line
   *   breaks; inline tags (a, b, i, span, …) become nothing.
+  * - `<pre>` elements keep their RAW whitespace (indentation and
+  *   line structure — code blocks are high-value training text on a
+  *   web crawl; collapsing them destroys the code): the element is
+  *   scanned to its matching close tag and its content processed
+  *   verbatim — tags inside still drop (`<code>`/highlight spans),
+  *   entities still decode, but every whitespace char passes through
+  *   literally instead of soft-collapsing.
   * - Character entities decode: the named set a crawl actually
   *   carries (amp, lt, gt, quot, apos, nbsp → plain space) and
   *   numeric `&#NNN;`/`&#xHH;` (code-point bounds checked).
@@ -105,26 +112,17 @@ object HtmlToText {
             if (!closing && (name == "script" || name == "style") &&
                 html.charAt(close - 1) != '/') {
               // element content drops: scan for the matching close tag
-              var p = i
-              var found = -1
-              while (found < 0 && p < n) {
-                p = html.indexOf("</", p)
-                if (p < 0) p = n
-                else if (p + 2 + name.length <= n &&
-                    html.regionMatches(true, p + 2, name, 0, name.length) && {
-                      // the close-tag NAME must end here — '</scriptz>'
-                      // inside the element must not end a <script>
-                      val after = p + 2 + name.length
-                      after >= n || { val t = html.charAt(after)
-                        t == '>' || t == '/' || Character.isWhitespace(t) }
-                    }) found = p
-                else p += 2
-              }
-              i = if (found < 0) n else {
-                val gt = html.indexOf('>', found)
-                if (gt < 0) n else gt + 1
-              }
+              val (_, after) = elementEnd(html, i, name)
+              i = after
               if (BlockTags.contains(name)) raw.append('\n')
+            } else if (!closing && name == "pre" &&
+                html.charAt(close - 1) != '/') {
+              // element content keeps its raw whitespace (verbatim)
+              raw.append('\n')
+              val (contentEnd, after) = elementEnd(html, i, name)
+              verbatim(html, i, contentEnd, raw)
+              i = after
+              raw.append('\n')
             } else if (BlockTags.contains(name)) raw.append('\n')
           }
         }
@@ -133,12 +131,99 @@ object HtmlToText {
         if (out != null) { raw.append(out); i = next }
         else { raw.append(c); i += 1 }
       } else {
-        // source whitespace (incl. newlines) is a soft space
-        raw.append(if (c == '\t' || c == '\r' || c == '\n') ' ' else c)
+        // source whitespace (incl. newlines) is a soft space; the
+        // verbatim escape char can never enter from input (hostile
+        // bytes must not forge hard whitespace)
+        raw.append(if (c == '\t' || c == '\r' || c == '\n' || c == Esc) ' ' else c)
         i += 1
       }
     }
     normalizeWs(raw)
+  }
+
+  /** The escape marking the NEXT char in `raw` as literal (verbatim
+    * pre whitespace) — a C0 control HTML text can't legally carry;
+    * input occurrences are mapped to plain space before this layer. */
+  private val Esc = '\u0001'
+
+  /** (content end, index after the matching close tag) of an element
+    * whose content is scanned as a unit (script/style/pre);
+    * unterminated → (n, n). */
+  private def elementEnd(html: String, from: Int, name: String): (Int, Int) = {
+    val n = html.length
+    var p = from
+    var found = -1
+    while (found < 0 && p < n) {
+      p = html.indexOf("</", p)
+      if (p < 0) p = n
+      else if (p + 2 + name.length <= n &&
+          html.regionMatches(true, p + 2, name, 0, name.length) && {
+            // the close-tag NAME must end here — '</scriptz>'
+            // inside the element must not end a <script>
+            val after = p + 2 + name.length
+            after >= n || { val t = html.charAt(after)
+              t == '>' || t == '/' || Character.isWhitespace(t) }
+          }) found = p
+      else p += 2
+    }
+    if (found < 0) (n, n)
+    else {
+      val gt = html.indexOf('>', found)
+      (found, if (gt < 0) n else gt + 1)
+    }
+  }
+
+  /** `<pre>` content: tags drop (quote-aware — `<code>`, highlight
+    * spans; a block tag inside, e.g. `<br>`, is a literal newline),
+    * entities decode, and EVERY whitespace char is appended behind
+    * [[Esc]] so [[normalizeWs]] passes it through untouched. `\r\n`
+    * folds to one literal newline. */
+  private def verbatim(html: String, from: Int, to: Int,
+                       raw: java.lang.StringBuilder): Unit = {
+    def literal(c: Char): Unit = { raw.append(Esc); raw.append(c) }
+    var i = from
+    while (i < to) {
+      val c = html.charAt(i)
+      if (c == '<') {
+        var j = i + 1
+        var q = 0.toChar
+        var close = -1
+        while (close < 0 && j < to) {
+          val t = html.charAt(j)
+          if (q != 0) { if (t == q) q = 0.toChar }
+          else if (t == '"' || t == '\'') q = t
+          else if (t == '>') close = j
+          j += 1
+        }
+        if (close < 0) { raw.append(c); i += 1 }
+        else {
+          var k = i + 1
+          if (k < close && html.charAt(k) == '/') k += 1
+          val nameStart = k
+          while (k < close && { val t = html.charAt(k)
+            (t >= 'a' && t <= 'z') || (t >= 'A' && t <= 'Z') ||
+              (t >= '0' && t <= '9') }) k += 1
+          val nm = html.substring(nameStart, k).toLowerCase(java.util.Locale.ROOT)
+          if (BlockTags.contains(nm)) literal('\n')
+          i = close + 1
+        }
+      } else if (c == '&') {
+        val (out, next) = decodeEntity(html, i)
+        if (out != null) {
+          out.foreach(ch => if (ch == ' ' || ch == '\t' || ch == '\n') literal(ch)
+            else raw.append(ch))
+          i = next
+        } else { raw.append(c); i += 1 }
+      } else if (c == '\r') {
+        literal('\n')
+        i += (if (i + 1 < to && html.charAt(i + 1) == '\n') 2 else 1)
+      } else if (c == ' ' || c == '\t' || c == '\n') {
+        literal(c); i += 1
+      } else {
+        raw.append(if (c == Esc) ' ' else c)
+        i += 1
+      }
+    }
   }
 
   /** Decoded entity text and the index after it, or (null, _) when
@@ -175,14 +260,23 @@ object HtmlToText {
   }
 
   /** Space runs → one space, runs containing a break → one newline,
-    * ends trimmed. */
+    * ends trimmed. An [[Esc]]-prefixed char is LITERAL (verbatim pre
+    * whitespace): it flushes any pending soft break and passes
+    * through untouched — soft whitespace around it still collapses,
+    * whitespace inside a pre run does not. */
   private def normalizeWs(raw: java.lang.StringBuilder): String = {
     val out = new java.lang.StringBuilder(raw.length)
     var pending = 0 // 0 none, 1 space, 2 newline
     var i = 0
     while (i < raw.length) {
       val c = raw.charAt(i)
-      if (c == ' ') { if (pending < 1) pending = 1 }
+      if (c == Esc && i + 1 < raw.length) {
+        if (out.length > 0 && pending > 0)
+          out.append(if (pending == 2) '\n' else ' ')
+        pending = 0
+        out.append(raw.charAt(i + 1))
+        i += 1
+      } else if (c == ' ') { if (pending < 1) pending = 1 }
       else if (c == '\n') pending = 2
       else {
         if (out.length > 0 && pending > 0)
@@ -192,6 +286,14 @@ object HtmlToText {
       }
       i += 1
     }
-    out.toString
+    // a verbatim block's literal whitespace can sit at the ends —
+    // keep the "ends trimmed" contract without touching other chars
+    var s = 0
+    var e = out.length
+    while (s < e && { val t = out.charAt(s)
+      t == ' ' || t == '\n' || t == '\t' || t == '\r' }) s += 1
+    while (e > s && { val t = out.charAt(e - 1)
+      t == ' ' || t == '\n' || t == '\t' || t == '\r' }) e -= 1
+    out.substring(s, e)
   }
 }

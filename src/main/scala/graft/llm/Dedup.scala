@@ -736,8 +736,14 @@ object Dedup {
     *
     * Safety: foreachBatch is at-least-once — a replayed batch `K`
     * must see exactly the segments `< K`, so only compact batches the
-    * checkpoint has committed past (`upToBatch` ≤ the stream's next
-    * batch id). That bound covers REPLAY, not the listing race: a
+    * checkpoint has committed past. `upToBatch` is REQUIRED (an
+    * earlier default of Long.MaxValue was the unsafe choice: it would
+    * fold a not-yet-committed batch's segment into the seed, and its
+    * replay would then join against its own prior sketches, emitting
+    * self/duplicate pairs); derive it from the stream's checkpoint
+    * with [[committedBatchBound]] — the last committed batch id + 1 —
+    * or pass the stream's known next batch id. That bound covers
+    * REPLAY, not the listing race: a
     * micro-batch in flight during the rename→delete window could
     * list history twice or hit deleted files — run compaction while
     * the stream is STOPPED or between triggers, like any other
@@ -749,7 +755,7 @@ object Dedup {
     * natural partitioning (the at-scale default); pass 1 only for
     * small indexes where one output file is worth a single writer. */
   def compactSketchIndex(spark: SparkSession, indexDir: String,
-                         upToBatch: Long = Long.MaxValue,
+                         upToBatch: Long,
                          targetPartitions: Int = 0): Unit = {
     val fs = org.apache.hadoop.fs.FileSystem.get(
       new java.net.URI(indexDir), spark.sparkContext.hadoopConfiguration)
@@ -785,6 +791,33 @@ object Dedup {
     compactable.foreach(st => fs.delete(st.getPath, true))
     val _ = later // later batch segments stay untouched by design
   }
+
+  /** The replay-safe `upToBatch` bound for [[compactSketchIndex]],
+    * derived from the stream's own checkpoint: Structured Streaming
+    * writes one `commits/<batchId>` file per COMMITTED micro-batch,
+    * so (max committed id + 1) is exactly the first batch id that
+    * could still replay — every segment below it is final. No
+    * commits yet (fresh/missing checkpoint) → 0: nothing batch-named
+    * compacts, only seed segments. */
+  def committedBatchBound(spark: SparkSession, checkpointDir: String): Long = {
+    val commits = new org.apache.hadoop.fs.Path(
+      checkpointDir.stripSuffix("/") + "/commits")
+    val fs = org.apache.hadoop.fs.FileSystem.get(
+      new java.net.URI(checkpointDir), spark.sparkContext.hadoopConfiguration)
+    if (!fs.exists(commits)) return 0L
+    fs.listStatus(commits).toSeq
+      .flatMap(st => st.getPath.getName.toLongOption)
+      .foldLeft(-1L)(math.max) + 1L
+  }
+
+  /** [[compactSketchIndex]] with the bound read from `checkpointDir`
+    * via [[committedBatchBound]] — the one-call maintenance entry
+    * point for a stopped [[incrementalNearDupsStream]]. */
+  def compactSketchIndexCommitted(spark: SparkSession, indexDir: String,
+                                  checkpointDir: String,
+                                  targetPartitions: Int = 0): Unit =
+    compactSketchIndex(spark, indexDir,
+      committedBatchBound(spark, checkpointDir), targetPartitions)
 
   // ---------------------------------------------------------------- SimHash
 

@@ -166,11 +166,13 @@ object Archives {
     if (sawAny) Some(out.result()) else None
   }
 
-  /** GZIP member facts: (name from FNAME or null, ISIZE). Multi-member
-    * gzip reports the FIRST member's name and the LAST trailer's
-    * ISIZE is unreachable without inflating — so isizeMod32 is the
-    * final 4 bytes, correct for the single-member files a crawl
-    * actually has. */
+  /** GZIP member facts: (name from FNAME or null, ISIZE). The final 4
+    * bytes are the LAST member's trailer — the whole-stream inflated
+    * size ONLY for single-member files. Multi-member streams (Common
+    * Crawl's .warc.gz is member-per-record) make that value
+    * meaningless for the file as a whole: [[describeArchives]] pairs
+    * this with [[gzipLooksMultiMember]] and reports n_bytes as NULL
+    * for such streams instead of a wrong number. */
   def parseGzipMeta(bytes: Array[Byte]): Option[(String, Long)] = {
     if (bytes == null || bytes.length < 18) return None
     def u8(i: Int) = bytes(i) & 0xff
@@ -198,6 +200,29 @@ object Archives {
     Some((name, isize))
   }
 
+  /** Does a gzip stream look multi-member? Header-only heuristic (the
+    * exact answer needs a full inflate): scan past the first member's
+    * fixed header for a byte run that passes ALL of a gzip member
+    * header's checks — magic `1f 8b`, method 8, no reserved FLG bits,
+    * XFL ∈ {0, 2, 4}, a defined OS byte. Compressed payloads can
+    * contain `1f 8b 08` by chance (~len/2²⁴ candidates), but the
+    * extra field checks push a false positive below ~10⁻⁹ per MB —
+    * and a false positive only NULLs a size, never invents one. */
+  private[sources] def gzipLooksMultiMember(bytes: Array[Byte]): Boolean = {
+    if (bytes == null || bytes.length < 30) return false
+    def u8(i: Int) = bytes(i) & 0xff
+    var i = 10 // past the first member's fixed header
+    val n = bytes.length
+    while (i + 10 <= n) {
+      if (u8(i) == 0x1f && u8(i + 1) == 0x8b && u8(i + 2) == 8 &&
+          (u8(i + 3) & 0xe0) == 0 &&
+          (u8(i + 8) == 0 || u8(i + 8) == 2 || u8(i + 8) == 4) &&
+          (u8(i + 9) <= 13 || u8(i + 9) == 255)) return true
+      i += 1
+    }
+    false
+  }
+
   /** One row per archive member across a mixed payload column —
     * sniffs ZIP (PK), TAR (checksum at 257 "ustar" or valid header),
     * GZIP (1f 8b); anything else contributes no rows. flatMap
@@ -212,14 +237,17 @@ object Archives {
         if (p == null || p.length < 4) Nil
         else if ((p(0) & 0xff) == 0x50 && (p(1) & 0xff) == 0x4b)
           parseZipEntries(p, maxEntries).getOrElse(Nil).map(e =>
-            (id, "zip", e.entryIdx, e.name, e.nBytes, e.method, e.isDir))
+            (id, "zip", e.entryIdx, e.name, Option(e.nBytes), e.method, e.isDir))
         else if ((p(0) & 0xff) == 0x1f && (p(1) & 0xff) == 0x8b)
           parseGzipMeta(p).toSeq.map { case (nm, isize) =>
-            (id, "gzip", 0, nm, isize, "deflate", false)
+            // a multi-member stream's trailer ISIZE covers only the
+            // LAST member: report NULL, never a wrong size
+            val sz = if (gzipLooksMultiMember(p)) None else Some(isize)
+            (id, "gzip", 0, nm, sz, "deflate", false)
           }
         else
           parseTarEntries(p, maxEntries).getOrElse(Nil).map(e =>
-            (id, "tar", e.entryIdx, e.name, e.nBytes, e.method, e.isDir))
+            (id, "tar", e.entryIdx, e.name, Option(e.nBytes), e.method, e.isDir))
       }
       .toDF("media_id", "format", "entry_idx", "name", "n_bytes",
         "method", "is_dir")

@@ -34,6 +34,25 @@ class HtmlTextSpec extends SparkSpec {
     assert(clean("a<script src=\"x.js\"/>b") == "ab")
   }
 
+  test("pre keeps raw whitespace: indentation, blank lines, tags drop, entities decode") {
+    // the code-block case: indentation and line structure survive
+    assert(clean("<p>intro</p><pre>def f(x):\n    return x\n\n  # done</pre><p>out</p>")
+      == "intro\ndef f(x):\n    return x\n\n  # done\nout")
+    // tags inside pre drop but their text stays; entities decode
+    assert(clean("<pre><code>if a &lt; b:\n\treturn</code></pre>")
+      == "if a < b:\n\treturn")
+    // <br> inside pre is a literal newline; \r\n folds to \n
+    assert(clean("<pre>one<br>two\r\nthree</pre>") == "one\ntwo\nthree")
+    // soft whitespace OUTSIDE pre still collapses around the block
+    assert(clean("a   \n  <pre>  x  </pre>   b") == "a\n  x  \nb")
+    // unterminated pre runs verbatim to EOF; case-insensitive close
+    assert(clean("<pre>a  b") == "a  b")
+    assert(clean("<PRE>a  b</PrE>c") == "a  b\nc")
+    // self-closed pre has no content; ends still trimmed
+    assert(clean("a<pre/>b") == "a\nb")
+    assert(clean("<pre>\n\n  x  \n\n</pre>") == "x")
+  }
+
   test("entities decode; unknown and malformed stay literal") {
     assert(clean("a &amp; b &lt;tag&gt; &quot;q&quot; it&apos;s") ==
       "a & b <tag> \"q\" it's")

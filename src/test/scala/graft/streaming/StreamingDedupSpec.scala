@@ -30,15 +30,19 @@ class StreamingDedupSpec extends SparkSpec {
 
   private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
 
-  private def runStream(idxDir: String, pairsDir: String): Unit = {
+  /** Runs the three fixture batches; returns the checkpoint dir (the
+    * compaction tests derive their replay-safe bound from it). */
+  private def runStream(idxDir: String, pairsDir: String): String = {
     implicit val sqlCtx = spark.sqlContext
+    val ck = tmp("nds-ck")
     val ms = MemoryStream[(Long, String)]
     val q = Dedup.incrementalNearDupsStream(
-      ms.toDF().toDF("doc_id", "text"), idxDir, pairsDir, tmp("nds-ck"),
+      ms.toDF().toDF("doc_id", "text"), idxDir, pairsDir, ck,
       "doc_id", "text", n = 3, threshold = 0.5)
     try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
     finally q.stop()
     spark.catalog.clearCache()
+    ck
   }
 
   private def pairSet(pairsDir: String): Set[(Long, Long, Double)] =
@@ -86,8 +90,11 @@ class StreamingDedupSpec extends SparkSpec {
   test("compaction folds segments into one seed and ingest parity holds") {
     implicit val sqlCtx = spark.sqlContext
     val (idxDir, pairsDir) = (tmp("nds-idx4"), tmp("nds-pairs4"))
-    runStream(idxDir, pairsDir) // b0, b1, b2
-    Dedup.compactSketchIndex(spark, idxDir)
+    val ck = runStream(idxDir, pairsDir) // b0, b1, b2
+    // the replay-safe bound comes from the stream's OWN checkpoint:
+    // three committed batches -> bound 3 -> all segments compactable
+    assert(Dedup.committedBatchBound(spark, ck) == 3L)
+    Dedup.compactSketchIndexCommitted(spark, idxDir, ck)
     val segs = new java.io.File(idxDir).listFiles().map(_.getName).toSet
     assert(segs == Set("seed_c3"), segs.toString)
     // a SECOND lineage over the compacted index (fresh checkpoint,
@@ -125,7 +132,10 @@ class StreamingDedupSpec extends SparkSpec {
       "doc_id", "text", 3, s"$idxDir/seedB")
     Dedup.writeSketchIndex(Seq(42L -> doc(words(700))).toDF("doc_id", "text"),
       "doc_id", "text", 3, s"$idxDir/seedCrashCopy")
-    Dedup.compactSketchIndex(spark, idxDir)
+    // no stream ever ran here: a fresh/missing checkpoint bounds to 0,
+    // which still compacts seed segments (only bK wait for commits)
+    assert(Dedup.committedBatchBound(spark, tmp("nds-ck-none")) == 0L)
+    Dedup.compactSketchIndex(spark, idxDir, upToBatch = 0)
     val rows = spark.read.parquet(s"$idxDir/seed_c0")
       .select("doc_id", "sigb").collect()
     assert(rows.length == 2, s"want both sketch variants, got ${rows.length}")
@@ -173,7 +183,7 @@ class StreamingDedupSpec extends SparkSpec {
         .select("new_id", "hist_id").as[(Long, Long)].collect().toSet
     val split = freshIndex()
     val compacted = freshIndex()
-    Dedup.compactSketchIndex(spark, compacted)
+    Dedup.compactSketchIndex(spark, compacted, upToBatch = 0)
     assert(new java.io.File(compacted).listFiles().map(_.getName).toSet
       == Set("seed_c0"))
     // capped at 4: union-hot bucket is fenced the same both ways
