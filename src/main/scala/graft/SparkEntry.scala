@@ -308,6 +308,55 @@ object SparkEntry {
     }
     ftyp ++ mp4Box("moov", (mvhd +: traks): _*)
   }
+  /** Playable MP4: ftyp + mdat (the JPEG samples back to back) +
+    * moov{mvhd, one vide trak with REAL sample tables} — stsd `jpeg`
+    * (QuickTime photo-JPEG), stsz per-sample sizes, stsc/stco
+    * chunking (one chunk, or 2-sample chunks when `multiChunk` — the
+    * sample-to-chunk run logic needs both shapes exercised). The
+    * sample-table sibling of aviFixture for q274. */
+  private def mp4MjpegFixture(w: Int, h: Int, frames: Seq[Array[Byte]],
+                              multiChunk: Boolean): Array[Byte] = {
+    def i32(vs: Int*): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val dd = new java.io.DataOutputStream(bos)
+      vs.foreach(dd.writeInt); bos.toByteArray
+    }
+    def cc(s: String) = s.getBytes("US-ASCII")
+    val matrix = i32(0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000)
+    val ftyp = mp4Box("ftyp", cc("isom"), i32(0))
+    val mdat = mp4Box("mdat", frames.flatMap(_.toSeq).toArray)
+    val mdatStart = ftyp.length + 8
+    val sizes = frames.map(_.length)
+    val sampleOffs = sizes.scanLeft(mdatStart)(_ + _).init
+    // chunk layout: all samples in one chunk, or runs of 2
+    val chunkSizes: Seq[Int] =
+      if (!multiChunk) Seq(frames.size)
+      else Seq.fill(frames.size / 2)(2) ++
+        (if (frames.size % 2 == 1) Seq(1) else Nil)
+    val chunkFirstSample = chunkSizes.scanLeft(0)(_ + _).init
+    val chunkOffs = chunkFirstSample.map(sampleOffs)
+    // stsc runs: (first_chunk, samples_per_chunk, desc 1), 1-based,
+    // one entry per change of samples_per_chunk
+    val stscRuns = chunkSizes.zipWithIndex
+      .filter { case (n, i) => i == 0 || chunkSizes(i - 1) != n }
+      .map { case (n, i) => (i + 1, n) }
+    val mvhd = mp4Box("mvhd", i32(0, 0, 0, 1000, 0, 0x10000), i32(0, 0, 0),
+      matrix, i32(0, 0, 0, 0, 0, 0), i32(99))
+    val tkhd = mp4Box("tkhd", i32(0, 0, 0, 1, 0, 0), i32(0, 0),
+      i32(0, 0), matrix, i32(w << 16, h << 16))
+    val mdhd = mp4Box("mdhd", i32(0, 0, 0, 1000, 100 * frames.size), i32(0))
+    val hdlr = mp4Box("hdlr", i32(0, 0), cc("vide"), i32(0, 0, 0),
+      Array(0.toByte))
+    val stsd = mp4Box("stsd", i32(0, 1), i32(16), cc("jpeg"), i32(0, 0))
+    val stsz = mp4Box("stsz", i32(0, 0, frames.size), i32(sizes: _*))
+    val stsc = mp4Box("stsc", i32(0, stscRuns.size),
+      i32(stscRuns.flatMap { case (fc, n) => Seq(fc, n, 1) }: _*))
+    val stco = mp4Box("stco", i32(0, chunkOffs.size), i32(chunkOffs: _*))
+    ftyp ++ mdat ++ mp4Box("moov", mvhd,
+      mp4Box("trak", tkhd,
+        mp4Box("mdia", mdhd, hdlr,
+          mp4Box("minf", mp4Box("stbl", stsd, stsz, stsc, stco)))))
+  }
   /** Little-endian EXIF TIFF stream: IFD0 {Orientation, Make, Model,
     * DateTime, ExifIFD ptr} + Exif IFD {PixelXDimension,
     * PixelYDimension}; ASCII values in a data area past both IFDs
@@ -4855,6 +4904,32 @@ object SparkEntry {
         .orderBy("media_id", "frame_idx")
     }),
 
+    // Q274 — MP4 sample-table frame decode ([[graft.sources
+    // .Multimodal.parseMp4Frames]]): q258's MJPEG leg through the
+    // DOMINANT container — samples located via the ISO-BMFF
+    // stsc×stco×stsz walk (single-chunk AND 2-sample-chunk layouts by
+    // id parity, so the sample-to-chunk run logic is exercised) and
+    // decoded by the same T.81 path. Same flat-tile frame formulas as
+    // q258's mjpeg leg, so the oracle replays them; the container
+    // routing is what's under test. flatMap kernel.
+    "q274_mp4_frames" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "mp4? no".getBytes("UTF-8"))
+        else {
+          val tw = (1 + id % 2).toInt
+          val n = (2 + id % 3).toInt
+          val frames = (0 until n).map(f => jpegFlatTileFixture(tw, 1,
+            (tx, _) => ((id * 7 + f * 11 + tx * 13) % 256).toInt,
+            progressive = false))
+          (id, mp4MjpegFixture(16 * tw, 16, frames, multiChunk = id % 2 == 1))
+        }
+      }.toDF("doc_id", "vid")
+      graft.sources.Multimodal.describeVideoFrames(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "vid", "video"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Q259 — per-frame video perceptual hashes ([[graft.sources
     // .Multimodal.describeVideoHashes]]): q251's dHash lifted through
     // the AVI container walk — every decoded frame (MJPEG via the
@@ -9245,6 +9320,24 @@ object SparkEntry {
         |SELECT doc_id, CAST(f AS INTEGER), 'dib', CAST(w AS INTEGER),
         |  CAST(h AS INTEGER), np, sr, sg, sb
         |FROM dibagg
+        |ORDER BY media_id, frame_idx""".stripMargin,
+
+    // q258's MJPEG frame formulas, reached through the ISO-BMFF
+    // sample tables instead of the RIFF chunk walk.
+    "q274_mp4_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |mj AS (SELECT doc_id, f, 1 + doc_id % 2 AS tw
+        |       FROM ids, generate_series(0, 4) t(f)
+        |       WHERE f < 2 + doc_id % 3),
+        |mjagg AS (SELECT doc_id, f, MAX(tw) AS tw,
+        |    CAST(SUM(((doc_id * 7 + f * 11 + tx * 13) % 256) * 256) AS BIGINT) AS s
+        |  FROM mj, generate_series(0, 1) a(tx) WHERE tx < tw
+        |  GROUP BY doc_id, f)
+        |SELECT doc_id AS media_id, CAST(f AS INTEGER) AS frame_idx,
+        |  'mjpeg' AS codec, CAST(tw * 16 AS INTEGER) AS width,
+        |  CAST(16 AS INTEGER) AS height, CAST(tw * 256 AS BIGINT) AS n_pixels,
+        |  s AS sum_r, s AS sum_g, s AS sum_b
+        |FROM mjagg
         |ORDER BY media_id, frame_idx""".stripMargin,
 
     // Per-frame dHashes re-derived: pixel → luma → 9×8 floor-boundary

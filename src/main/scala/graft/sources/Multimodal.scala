@@ -3345,6 +3345,178 @@ object Multimodal {
     }.map(_ => out.result())
   }
 
+  /** REAL pure-JVM MP4/MOV video FRAME decode — the sample-table
+    * sibling of [[parseAviFrames]], covering the dominant container:
+    * the first `vide` track whose sample description is the
+    * JVM-decodable MJPEG family (`jpeg`/`mjpa` QuickTime photo-JPEG —
+    * every sample is a complete baseline JPEG) has its samples
+    * located through the ISO/IEC 14496-12 sample tables (stsc
+    * sample-to-chunk runs × stco/co64 chunk offsets × stsz sizes) and
+    * decoded by [[parseJpegPixels]]'s T.81 machinery. Inter-frame
+    * codecs (avc1/vp09/av01) stay metadata-only by contract — they
+    * need a codec library. Undecodable samples are skipped (the walk
+    * continues); not an MP4 with a decodable video track → None. */
+  def parseMp4Frames(bytes: Array[Byte],
+                     maxFrames: Int = 1 << 12): Option[Seq[VideoFrame]] = {
+    val out = Seq.newBuilder[VideoFrame]
+    mp4WalkSamples(bytes, maxFrames) { (idx, body) =>
+      parseJpegPixels(body) match {
+        case Some(s) =>
+          out += VideoFrame(idx, "mjpeg", s.width, s.height, s.nPixels,
+            s.sumR, s.sumG, s.sumB)
+          true
+        case None => false
+      }
+    }.map(_ => out.result())
+  }
+
+  /** Per-frame packed RGB grids of an MP4's first MJPEG video track —
+    * [[aviFrameGrids]]'s sample-table sibling, feeding the same
+    * perceptual tier (dHash, near-dup, scene cuts). */
+  def mp4FrameGrids(bytes: Array[Byte], maxFrames: Int = 1 << 12,
+                    maxPixels: Int = 1 << 20)
+      : Option[Seq[(Int, Int, Int, Array[Int])]] = {
+    val out = Seq.newBuilder[(Int, Int, Int, Array[Int])]
+    mp4WalkSamples(bytes, maxFrames) { (idx, body) =>
+      jpegRgbGrid(body, maxPixels) match {
+        case Some((w, h, g)) => out += ((idx, w, h, g)); true
+        case None => false
+      }
+    }.map(_ => out.result())
+  }
+
+  /** The ISO-BMFF sample walk behind [[parseMp4Frames]] /
+    * [[mp4FrameGrids]]: moov → first trak with hdlr `vide` and an
+    * MJPEG-family stsd entry → its stsz/stsc/stco (or co64) tables →
+    * each sample's absolute file extent, handed to `decode(idx,
+    * body)` in sample order (decode returns whether the frame
+    * counted). Table entry counts are clamped to what the payload
+    * can physically hold (a lying count cannot allocate), cursors
+    * are Long, every read is bounds-checked — the hostile posture of
+    * every walker in this file. None = no decodable video track. */
+  private def mp4WalkSamples(bytes: Array[Byte], maxFrames: Int)
+      (decode: (Int, Array[Byte]) => Boolean): Option[Unit] = {
+    if (bytes == null || bytes.length < 12) return None
+    def u8(i: Int) = bytes(i) & 0xff
+    def be32(i: Int): Long =
+      (u8(i).toLong << 24) | (u8(i + 1).toLong << 16) |
+        (u8(i + 2).toLong << 8) | u8(i + 3).toLong
+    def be64(i: Int): Long = (be32(i) << 32) | be32(i + 4)
+    def fourcc(i: Int) = new String(bytes, i, 4, "US-ASCII")
+    if (fourcc(4) != "ftyp") return None
+    def boxBounds(o: Long): (Long, Long) = {
+      val sz = be32(o.toInt)
+      if (sz == 1 && o + 16 <= bytes.length)
+        (o + 16, o + math.max(16L, be64(o.toInt + 8)))
+      else if (sz == 0) (o + 8, bytes.length.toLong)
+      else (o + 8, o + math.max(8L, sz))
+    }
+    def children(start: Long, end: Long)(f: (String, Long, Long) => Unit): Unit = {
+      var i = start
+      val e = math.min(end, bytes.length.toLong)
+      while (i + 8 <= e) {
+        val (c, b) = boxBounds(i)
+        f(fourcc(i.toInt + 4), c, math.min(b, e))
+        i = b
+      }
+    }
+    // entry-count clamp: a table can't hold more entries than its
+    // box (or the file) has bytes for
+    def clampN(n: Long, at: Long, bytesPer: Int): Int =
+      math.min(n, math.max(0L, (bytes.length - at) / bytesPer)).toInt
+
+    // first vide trak with an MJPEG-family sample description
+    var found = false
+    var uniformSize = 0L
+    var sizes: Array[Long] = null
+    var chunkOffs: Array[Long] = null
+    var stscFirst: Array[Long] = null
+    var stscSpc: Array[Long] = null
+    var nSamples = 0L
+    children(0, bytes.length.toLong) { (name, c, e) =>
+      if (name == "moov" && !found) children(c, e) { (n2, c2, e2) =>
+        if (n2 == "trak" && !found) {
+          var isVide = false
+          var codecOk = false
+          var tUniform = 0L
+          var tSizes: Array[Long] = null
+          var tChunks: Array[Long] = null
+          var tFirst: Array[Long] = null
+          var tSpc: Array[Long] = null
+          var tN = 0L
+          children(c2, e2) { (n3, c3, e3) =>
+            if (n3 == "mdia") children(c3, e3) { (n4, c4, e4) =>
+              if (n4 == "hdlr" && c4 + 12 <= bytes.length)
+                isVide = fourcc(c4.toInt + 8) == "vide"
+              else if (n4 == "minf") children(c4, e4) { (n5, c5, e5) =>
+                if (n5 == "stbl") children(c5, e5) { (n6, c6, e6) =>
+                  if (n6 == "stsd" && c6 + 16 <= bytes.length) {
+                    val fc = fourcc(c6.toInt + 12).toLowerCase(java.util.Locale.ROOT)
+                    codecOk = fc == "jpeg" || fc == "mjpa"
+                  } else if (n6 == "stsz" && c6 + 12 <= bytes.length) {
+                    tUniform = be32(c6.toInt + 4)
+                    tN = be32(c6.toInt + 8)
+                    if (tUniform == 0) {
+                      val k = clampN(tN, c6 + 12, 4)
+                      tSizes = Array.tabulate(k)(i => be32(c6.toInt + 12 + 4 * i))
+                    }
+                  } else if (n6 == "stsc" && c6 + 8 <= bytes.length) {
+                    val k = clampN(be32(c6.toInt + 4), c6 + 8, 12)
+                    tFirst = Array.tabulate(k)(i => be32(c6.toInt + 8 + 12 * i))
+                    tSpc = Array.tabulate(k)(i => be32(c6.toInt + 12 + 12 * i))
+                  } else if (n6 == "stco" && c6 + 8 <= bytes.length) {
+                    val k = clampN(be32(c6.toInt + 4), c6 + 8, 4)
+                    tChunks = Array.tabulate(k)(i => be32(c6.toInt + 8 + 4 * i))
+                  } else if (n6 == "co64" && c6 + 8 <= bytes.length) {
+                    val k = clampN(be32(c6.toInt + 4), c6 + 8, 8)
+                    tChunks = Array.tabulate(k)(i => be64(c6.toInt + 8 + 8 * i))
+                  }
+                }
+              }
+            }
+          }
+          if (isVide && codecOk && tChunks != null && tFirst != null &&
+              tN > 0 && (tUniform > 0 || tSizes != null)) {
+            found = true
+            uniformSize = tUniform; sizes = tSizes; chunkOffs = tChunks
+            stscFirst = tFirst; stscSpc = tSpc
+            // a lying sample_count can't make the walk spin: samples
+            // are at least a byte each, and a non-uniform table can't
+            // name more samples than it has size entries
+            nSamples = math.min(tN, bytes.length.toLong)
+            if (tUniform == 0) nSamples = math.min(nSamples, tSizes.length.toLong)
+          }
+        }
+      }
+    }
+    if (!found) return None
+    // chunk-by-chunk sample walk: per chunk c (1-based), the
+    // applicable stsc run is the last entry with first_chunk <= c
+    var idx = 0
+    var sample = 0L
+    var ci = 0
+    var run = 0
+    while (ci < chunkOffs.length && sample < nSamples && idx < maxFrames) {
+      while (run + 1 < stscFirst.length && stscFirst(run + 1) <= ci + 1) run += 1
+      val spc = if (stscFirst(run) <= ci + 1) stscSpc(run) else 0L
+      var off = chunkOffs(ci)
+      var s = 0L
+      while (s < spc && sample < nSamples && idx < maxFrames) {
+        val sz = if (uniformSize > 0) uniformSize
+          else if (sample < sizes.length) sizes(sample.toInt) else 0L
+        if (sz > 0 && off >= 0 && off + sz <= bytes.length) {
+          val body = java.util.Arrays.copyOfRange(bytes, off.toInt, (off + sz).toInt)
+          if (decode(idx, body)) idx += 1
+        }
+        off += sz
+        sample += 1
+        s += 1
+      }
+      ci += 1
+    }
+    Some(())
+  }
+
   /** The shared AVI container walk behind [[parseAviFrames]] /
     * [[aviFrameGrids]]: hdrl scan for the first `vids` stream
     * (stream index + strf codec/dims), then the movi chunk walk —
@@ -3438,11 +3610,12 @@ object Multimodal {
     a.toLong | (b.toLong << 8) | (c.toLong << 16) | (d.toLong << 24)
 
   /** Per-FRAME decoded video stats over a media frame: one row per
-    * decoded frame of each AVI payload's first video stream
-    * ([[parseAviFrames]] — real MJPEG / raw-DIB decode); payloads
-    * that are not decodable AVIs contribute no rows. flatMap kernel,
-    * payload bytes never cross a shuffle; per-frame output is a
-    * handful of integers. */
+    * decoded frame of each payload's first video stream — AVI
+    * ([[parseAviFrames]] — real MJPEG / raw-DIB decode) or MP4/MOV
+    * ([[parseMp4Frames]] — MJPEG samples through the ISO-BMFF sample
+    * tables), container-sniffed per payload; payloads that are
+    * neither contribute no rows. flatMap kernel, payload bytes never
+    * cross a shuffle; per-frame output is a handful of integers. */
   def describeVideoFrames(media: DataFrame,
                           maxFrames: Int = 1 << 12): DataFrame = {
     val spark = media.sparkSession
@@ -3450,9 +3623,11 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
-        parseAviFrames(p, maxFrames).getOrElse(Nil).map(f =>
-          (id, f.frameIdx, f.codec, f.width, f.height, f.nPixels,
-            f.sumR, f.sumG, f.sumB))
+        parseAviFrames(p, maxFrames)
+          .orElse(parseMp4Frames(p, maxFrames)) // container-sniffed
+          .getOrElse(Nil).map(f =>
+            (id, f.frameIdx, f.codec, f.width, f.height, f.nPixels,
+              f.sumR, f.sumG, f.sumB))
       }
       .toDF("media_id", "frame_idx", "codec", "width", "height",
         "n_pixels", "sum_r", "sum_g", "sum_b")
@@ -3460,7 +3635,9 @@ object Multimodal {
 
   /** Per-FRAME perceptual hashes over a video media frame —
     * [[describeImageHash]] lifted to video: one row per decoded frame
-    * ([[aviFrameGrids]]) carrying its [[imageDHash]]; frames too small
+    * ([[aviFrameGrids]], or [[mp4FrameGrids]] for MP4/MOV payloads —
+    * the whole perceptual tier covers both containers) carrying its
+    * [[imageDHash]]; frames too small
     * to hash (w<9 or h<8) contribute a null hash but keep their row,
     * so downstream frame counts still reflect the decoded stream.
     * flatMap kernel — payload bytes never cross a shuffle; per-frame
@@ -3472,9 +3649,11 @@ object Multimodal {
     media.select(col("media_id"), col("payload"))
       .as[(Long, Array[Byte])]
       .flatMap { case (id, p) =>
-        aviFrameGrids(p, maxFrames, maxPixels).getOrElse(Nil).map {
-          case (idx, w, h, g) => (id, idx, imageDHash(w, h, g))
-        }
+        aviFrameGrids(p, maxFrames, maxPixels)
+          .orElse(mp4FrameGrids(p, maxFrames, maxPixels)) // container-sniffed
+          .getOrElse(Nil).map {
+            case (idx, w, h, g) => (id, idx, imageDHash(w, h, g))
+          }
       }
       .toDF("media_id", "frame_idx", "dhash")
   }

@@ -798,6 +798,90 @@ class MultimodalHeaderSpec extends SparkSpec {
     }
   }
 
+  /** Playable MP4 with REAL sample tables: ftyp + mdat(samples) +
+    * moov{vide trak with stsd(codec) + stsz/stsc/stco}; chunking as
+    * given (sample counts per chunk). */
+  private def mp4Samples(codec: String, w: Int, h: Int,
+                         frames: Seq[Array[Byte]],
+                         chunkSizes: Seq[Int]): Array[Byte] = {
+    val ftyp = box("ftyp", "isom".getBytes("US-ASCII"), ints(0))
+    val mdat = box("mdat", frames.flatMap(_.toSeq).toArray)
+    val mdatStart = ftyp.length + 8
+    val sampleOffs = frames.map(_.length).scanLeft(mdatStart)(_ + _).init
+    val chunkFirst = chunkSizes.scanLeft(0)(_ + _).init
+    val chunkOffs = chunkFirst.map(sampleOffs)
+    val stscRuns = chunkSizes.zipWithIndex
+      .filter { case (n, i) => i == 0 || chunkSizes(i - 1) != n }
+      .map { case (n, i) => (i + 1, n) }
+    val tkhd = box("tkhd", ints(0, 0, 0, 1, 0, 0, 0, 0, 0, 0,
+      0x10000, 0, 0, 0, 0x10000, 0, 0, 0, 0x40000000, w << 16, h << 16))
+    val mdhd = box("mdhd", ints(0, 0, 0, 1000, 100 * frames.size, 0))
+    val hdlr = box("hdlr", ints(0, 0), "vide".getBytes("US-ASCII"),
+      ints(0, 0, 0), Array(0.toByte))
+    val stsd = box("stsd", ints(0, 1, 16), codec.getBytes("US-ASCII"), ints(0, 0))
+    val stsz = box("stsz", ints((Seq(0, 0, frames.size) ++ frames.map(_.length)): _*))
+    val stsc = box("stsc", ints((Seq(0, stscRuns.size) ++
+      stscRuns.flatMap { case (fc, n) => Seq(fc, n, 1) }): _*))
+    val stco = box("stco", ints((Seq(0, chunkOffs.size) ++ chunkOffs): _*))
+    ftyp ++ mdat ++ box("moov",
+      box("trak", tkhd, box("mdia", mdhd, hdlr,
+        box("minf", box("stbl", stsd, stsz, stsc, stco)))))
+  }
+
+  test("parseMp4Frames: sample-table walk matches the AVI path on identical frames") {
+    val jf = (0 until 5).map { f =>
+      val img = new java.awt.image.BufferedImage(32, 16,
+        java.awt.image.BufferedImage.TYPE_INT_RGB)
+      (0 until 16).foreach(y => (0 until 32).foreach(x =>
+        img.setRGB(x, y, ((x * 8 + f * 40 + y) % 256) * 0x010101)))
+      val bos = new java.io.ByteArrayOutputStream()
+      javax.imageio.ImageIO.write(img, "jpeg", bos)
+      bos.toByteArray
+    }
+    // DIFFERENTIAL vs the AVI path: the same frame bytes through both
+    // containers must decode to the same per-frame rows
+    val viaAvi = Multimodal.parseAviFrames(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _)))).get
+    val single = Multimodal.parseMp4Frames(
+      mp4Samples("jpeg", 32, 16, jf, Seq(jf.size))).get
+    assert(single == viaAvi)
+    // multi-chunk layout (2+2+1) walks the stsc runs to the same rows
+    val multi = Multimodal.parseMp4Frames(
+      mp4Samples("jpeg", 32, 16, jf, Seq(2, 2, 1))).get
+    assert(multi == viaAvi)
+    // grids agree with the AVI grid path frame by frame
+    val gAvi = Multimodal.aviFrameGrids(
+      aviOf("MJPG".getBytes("US-ASCII"), 32, 16, jf.map(("00dc", _)))).get
+    val gMp4 = Multimodal.mp4FrameGrids(
+      mp4Samples("jpeg", 32, 16, jf, Seq(2, 2, 1))).get
+    assert(gMp4.size == gAvi.size &&
+      gMp4.zip(gAvi).forall { case ((i1, w1, h1, p1), (i2, w2, h2, p2)) =>
+        i1 == i2 && w1 == w2 && h1 == h2 && p1.sameElements(p2) })
+    // maxFrames fence
+    assert(Multimodal.parseMp4Frames(
+      mp4Samples("jpeg", 32, 16, jf, Seq(5)), maxFrames = 3).get.size == 3)
+    // a corrupt middle sample is skipped, the rest decode
+    val bad = jf.updated(2, jf(2).take(25))
+    val skipped = Multimodal.parseMp4Frames(
+      mp4Samples("jpeg", 32, 16, bad, Seq(5))).get
+    assert(skipped.size == 4 && skipped.map(_.sumR) ==
+      (viaAvi.take(2) ++ viaAvi.drop(3)).map(_.sumR))
+    // refusals: inter-frame codec stays metadata-only; junk; null
+    assert(Multimodal.parseMp4Frames(
+      mp4Samples("avc1", 32, 16, jf, Seq(5))).isEmpty)
+    assert(Multimodal.parseMp4Frames("no ftyp here!!!!".getBytes).isEmpty)
+    assert(Multimodal.parseMp4Frames(null).isEmpty)
+    // truncation sweep + corruption never throw
+    val seed = mp4Samples("jpeg", 32, 16, jf.take(2), Seq(2))
+    (1 until seed.length by 3).foreach(n => Multimodal.parseMp4Frames(seed.take(n)))
+    val rnd = new scala.util.Random(59)
+    (1 to 300).foreach { k =>
+      val c = seed.clone()
+      (0 to k % 4).foreach(_ => c(rnd.nextInt(c.length)) = rnd.nextInt(256).toByte)
+      Multimodal.parseMp4Frames(c)
+    }
+  }
+
   test("describeVideo routes mp4's first vide track, avi, and junk rows") {
     val rows = Seq(
       (1L, mp4File(
