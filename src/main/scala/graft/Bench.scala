@@ -794,8 +794,13 @@ object Bench {
         java.nio.file.Files.write(cacheFile.toPath, out.toString.getBytes("UTF-8"))
         (cs, md)
       }
+      // refine=4: the IVFADC+R exact re-rank of the ADC shortlist —
+      // r11 measured pure-ADC recall at 132/160 with the planted
+      // neighbors IN the shortlist but ADC-tied (16-bit codes can't
+      // order 12 near-duplicates); the re-rank reads 44 full vectors
+      // per query and fixes the order
       val ivf = graft.llm.Pq.ivfAdcTopK(emb, "vec_id", "embedding",
-          coarse, model, qids, nProbe = 4, topK = k10 + 1)
+          coarse, model, qids, nProbe = 4, topK = k10 + 1, refine = 4)
         .where(col("vec_id") =!= col("qid")) // self-pair rides rank 1
         .collect().map(r => (r.getLong(0), r.getLong(1), r.getInt(2)))
         .groupBy(_._1).toSeq.flatMap { case (_, rs) =>

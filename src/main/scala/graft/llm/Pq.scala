@@ -199,10 +199,24 @@ object Pq {
     * Output: (qid, vec_id, rank, adist) ascending approximate
     * distance, ties to the lower vec_id; self-pairs kept (a query's
     * own code row is its quantized self).
-    */
+    *
+    * `refine` > 1 adds the exact re-rank stage (Jégou et al. 2011
+    * §V, IVFADC+R): the ADC pass shortlists `refine·topK` candidates
+    * per query, then the shortlist joins back to the full-precision
+    * vectors and re-ranks by EXACT squared L2. m·k ADC codes carry
+    * only m·log₂k bits per vector — near-duplicate neighbors are
+    * ADC-tied and their relative order is quantization noise, so
+    * pure-ADC recall caps well below 1 even when every true neighbor
+    * is IN the shortlist; the refinement fixes the ORDER at the cost
+    * of reading refine·topK·|queries| full vectors (a broadcast-join
+    * sliver of the corpus — the shortlist is tiny by construction,
+    * so at 100 TB this stage touches kilobytes per query where the
+    * ADC scan touched the posting lists). `refine = 1` (default) is
+    * the pure-ADC path, bit-identical to before. */
   def ivfAdcTopK(emb: DataFrame, idCol: String, vecCol: String,
                  coarse: Seq[Array[Double]], model: Model,
-                 queryIds: Seq[Long], nProbe: Int, topK: Int): DataFrame = {
+                 queryIds: Seq[Long], nProbe: Int, topK: Int,
+                 refine: Int = 1): DataFrame = {
     require(coarse.nonEmpty && coarse.forall(_.length == model.dim),
       s"Pq.ivfAdcTopK: coarse centroids must be dim-${model.dim}")
     require(nProbe >= 1 && nProbe <= coarse.size,
@@ -247,7 +261,24 @@ object Pq {
         .select(lit(qid).as("qid"), col(idCol).as("vec_id"),
           adcDist(lut, model).as("adist"))
     }
-    rankTail(perBranch.reduce(_.unionByName(_)), topK)
+    val all = perBranch.reduce(_.unionByName(_))
+    if (refine <= 1) rankTail(all, topK)
+    else {
+      // exact re-rank of the ADC shortlist: refine·topK ids per query
+      // broadcast back against the full-precision vectors; the query
+      // vectors are already driver-side, so the exact distance is a
+      // per-query literal sqDist CASE over a tiny joined frame.
+      val short = rankTail(all, topK * refine).select("qid", "vec_id")
+      val joined = emb.select(col(idCol).as("vec_id"), dimGuard(vecCol,
+          model.dim, "Pq.ivfAdcTopK.refine").as("__v"))
+        .join(broadcast(short), Seq("vec_id"))
+      val exact = queryIds.tail
+        .foldLeft(when(col("qid") === queryIds.head,
+          sqDist(col("__v"), qs(queryIds.head)))) { (acc, qid) =>
+          acc.when(col("qid") === qid, sqDist(col("__v"), qs(qid)))
+        }
+      rankTail(joined.select(col("qid"), col("vec_id"), exact.as("adist")), topK)
+    }
   }
 
   /** ADC top-k for a small query set: collects the query vectors

@@ -107,6 +107,33 @@ class IvfPqSpec extends SparkSpec {
     }
   }
 
+  test("refine: exact re-rank orders the ADC shortlist by true distance") {
+    // planted near-duplicates: 6 vectors within a whisker of query 0,
+    // far closer than the jittered corpus — exact L2 orders them by
+    // construction, while 2-bit-per-subspace ADC codes tie them
+    val qv = vecs.find(_._1 == 0L).get._2.map(_.toDouble).toArray
+    val planted = (0 until 6).map { j =>
+      (500L + j, qv.zipWithIndex.map { case (v, i) =>
+        (v + 0.001 * (j + 1) * (if (i % 2 == 0) 1 else -1)).toFloat }.toSeq)
+    }
+    val emb2 = (vecs ++ planted).toDF("vec_id", "embedding")
+    val refined = Pq.ivfAdcTopK(emb2, "vec_id", "embedding", coarse, model,
+        Seq(0L), nProbe, topK = 7, refine = 4)
+      .as[(Long, Long, Int, Double)].collect().toSeq
+    // exact order: self (d=0), then planted by ascending perturbation
+    assert(refined.map(_._2) == Seq(0L, 500L, 501L, 502L, 503L, 504L, 505L),
+      refined.toString)
+    // adist is now the EXACT squared distance: strictly increasing
+    assert(refined.map(_._4) == refined.map(_._4).sorted)
+    assert(refined.head._4 == 0.0)
+    // refine=1 (default) is bit-identical to the pure-ADC path
+    val pure = Pq.ivfAdcTopK(emb2, "vec_id", "embedding", coarse, model,
+      Seq(0L), nProbe, topK = 7)
+    val explicit = Pq.ivfAdcTopK(emb2, "vec_id", "embedding", coarse, model,
+      Seq(0L), nProbe, topK = 7, refine = 1)
+    assert(pure.collect().toSeq == explicit.collect().toSeq)
+  }
+
   test("wrong-dimension vectors raise in-plan") {
     val bad = Seq((99L, Seq.fill(dim + 1)(0.1f))).toDF("vec_id", "embedding")
     val ex = intercept[Exception] {
