@@ -5486,6 +5486,60 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q278 — HTML block segmentation with link accounting
+    // ([[graft.functions.HtmlBlocks]], SQL `html_blocks`): the input
+    // a main-content extractor consumes — one row per block with its
+    // normalized text and anchor-text length. The fixture plants the
+    // three block classes a real page has (link-dominated nav,
+    // prose body, link-dominated footer); the oracle states every
+    // block and its link count from the formulas. Map-only explode.
+    "q278_html_blocks" -> ((s, d) => {
+      import s.implicits._
+      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val html =
+          s"""<ul><li><a href="/">Home $id</a></li><li><a href="/m">More</a></li></ul>""" +
+            s"<p>Body text $id tells a longer story &amp; then continues on.</p>" +
+            s"""<div>Footer <a href="/t">terms</a> <a href="/p">privacy</a></div>"""
+        (id, html)
+      }.toDF("doc_id", "html")
+      pages.select(col("doc_id"),
+          posexplode(graft.functions.HtmlBlocks(col("html"))))
+        .select(col("doc_id"), col("pos").as("block_idx"),
+          col("col.text").as("text"), col("col.link_chars").as("link_chars"))
+        .orderBy("doc_id", "block_idx")
+    }),
+
+    // Q279 — main-content extraction (jusText/Boilerpipe-class keep
+    // rule over [[graft.functions.HtmlBlocks]]): keep blocks that are
+    // long enough AND not link-dominated (integer rule — 25-char
+    // floor, link chars ≤ ⅓ of text), reassemble in document order.
+    // On the q278 fixture exactly the prose body survives; the
+    // oracle states it. One explode + filter + grouped ordered
+    // reassembly — the whole extractor is declarative, so Catalyst
+    // fuses it into the page scan.
+    "q279_main_content" -> ((s, d) => {
+      import s.implicits._
+      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val html =
+          s"""<ul><li><a href="/">Home $id</a></li><li><a href="/m">More</a></li></ul>""" +
+            s"<p>Body text $id tells a longer story &amp; then continues on.</p>" +
+            s"""<div>Footer <a href="/t">terms</a> <a href="/p">privacy</a></div>"""
+        (id, html)
+      }.toDF("doc_id", "html")
+      val kept = pages.select(col("doc_id"),
+          posexplode(graft.functions.HtmlBlocks(col("html"))))
+        .select(col("doc_id"), col("pos").as("block_idx"),
+          col("col.text").as("text"), col("col.link_chars").as("link_chars"))
+        .where(length(col("text")) >= 25 &&
+          col("link_chars") * 3 <= length(col("text")))
+      kept.groupBy(col("doc_id"))
+        .agg(array_join(transform(array_sort(
+            collect_list(struct(col("block_idx"), col("text")))),
+          b => b.getField("text")), "\n").as("main_text"),
+          count(lit(1)).as("n_blocks"))
+        .orderBy("doc_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9863,6 +9917,38 @@ object SparkEntry {
         |  url, charset, text
         |FROM pgs
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Every block and its anchor-text length stated from the fixture
+    // formulas — the engine must agree through tag segmentation,
+    // entity decode and per-anchor normalization.
+    "q278_html_blocks" ->
+      """WITH b AS (
+        |  SELECT doc_id, 0 AS bi, 'Home ' || CAST(doc_id AS VARCHAR) AS text,
+        |    CAST(5 + LENGTH(CAST(doc_id AS VARCHAR)) AS INTEGER) AS lc
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'More', CAST(4 AS INTEGER) FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'Body text ' || CAST(doc_id AS VARCHAR) ||
+        |    ' tells a longer story & then continues on.', CAST(0 AS INTEGER)
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'Footer terms privacy', CAST(12 AS INTEGER)
+        |  FROM documents)
+        |SELECT doc_id, CAST(bi AS INTEGER) AS block_idx, text,
+        |  lc AS link_chars
+        |FROM b
+        |ORDER BY doc_id, block_idx""".stripMargin,
+
+    // The keep rule replayed: on the planted page exactly the prose
+    // body survives (nav/footer are link-dominated or short).
+    "q279_main_content" ->
+      """SELECT doc_id,
+        |  'Body text ' || CAST(doc_id AS VARCHAR) ||
+        |    ' tells a longer story & then continues on.' AS main_text,
+        |  CAST(1 AS BIGINT) AS n_blocks
+        |FROM documents
+        |ORDER BY doc_id""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
     // leg by contract (headers carry no sample count).

@@ -97,6 +97,10 @@ object GraftExtensions {
       info("html_to_text",
         "html_to_text(s) - HTML extraction: tags/script/style/comments drop, entities decode, block tags break lines"),
       (es: Seq[Expression]) => graft.functions.HtmlToText(es.head)),
+    ("html_blocks",
+      info("html_blocks",
+        "html_blocks(s) - array<struct<text, link_chars>>: block-level segments with anchor-text accounting (main-content extraction input)"),
+      (es: Seq[Expression]) => graft.functions.HtmlBlocks(es.head)),
     ("canonical_url",
       info("canonical_url",
         "canonical_url(s) - RFC 3986 normalization: case, default ports, dot-segments, percent-encoding; fragment dropped"),

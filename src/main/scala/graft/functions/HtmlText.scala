@@ -54,6 +54,40 @@ case class HtmlToText(child: Expression) extends UnaryExpression with CodegenFal
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** HTML → block-level segments with link accounting — the input a
+  * main-content extractor (jusText / Boilerpipe class) consumes:
+  * one array element per non-empty block (same tag/entity/verbatim
+  * semantics as [[HtmlToText]] — `html_to_text` IS this scan joined
+  * with newlines), each carrying its normalized text and the length
+  * of its anchor-contained (`<a>…</a>`) text. Boilerplate blocks
+  * (navigation, footers, tag clouds) are link-dominated; body prose
+  * is not — so the keep rule downstream is integer arithmetic over
+  * these two numbers, declarative and oracle-replayable. Map-only. */
+case class HtmlBlocks(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = HtmlBlocks.Shape
+  override def prettyName: String = "html_blocks"
+
+  override def nullSafeEval(input: Any): Any = {
+    val bs = HtmlToText.blocks(input.asInstanceOf[UTF8String].toString)
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      bs.map(b => org.apache.spark.sql.catalyst.InternalRow(
+        UTF8String.fromString(b.text), b.linkChars)).toArray[Any])
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HtmlBlocks {
+  val Shape: DataType = ArrayType(StructType(Seq(
+    StructField("text", StringType, nullable = false),
+    StructField("link_chars", IntegerType, nullable = false))),
+    containsNull = false)
+
+  def apply(text: Column): Column =
+    ColumnBridge.column(HtmlBlocks(ColumnBridge.expression(text)))
+}
+
 object HtmlToText {
   def apply(text: Column): Column =
     ColumnBridge.column(HtmlToText(ColumnBridge.expression(text)))
@@ -64,11 +98,50 @@ object HtmlToText {
     "hr", "dt", "dd", "figure", "form")
 
   /** The extraction algorithm (see class doc). Deterministic and
-    * total: any byte soup in, clean text out, never a throw. */
+    * total: any byte soup in, clean text out, never a throw. Defined
+    * as the block scan joined: non-empty [[blocks]] texts with one
+    * newline between, document ends trimmed — ONE scanner serves both
+    * the flat-text and the per-block (main-content) surfaces. */
   def clean(html: String): String = {
     if (html == null) return null
+    edgeTrim(blocks(html).iterator.map(_.text).filter(_.nonEmpty)
+      .mkString("\n"))
+  }
+
+  /** One block-level text segment: the normalized text between
+    * block-tag boundaries and the length of its normalized
+    * ANCHOR-contained text (`<a>…</a>`) — the integer a main-content
+    * keep rule (jusText/Boilerpipe class) needs: navigation and
+    * boilerplate blocks are link-dominated, body prose is not. */
+  final case class Block(text: String, linkChars: Int)
+
+  /** HTML split into block-level segments (see class doc for the tag
+    * semantics — same elision/entity/verbatim rules as [[clean]],
+    * which is this scan joined). Empty blocks are NOT emitted; anchor
+    * depth carries across block boundaries; anchors inside `<pre>`
+    * are not link-attributed (code blocks are content by contract). */
+  def blocks(html: String): Seq[Block] = {
+    if (html == null) return Nil
     val n = html.length
-    val raw = new java.lang.StringBuilder(n)
+    val out = Seq.newBuilder[Block]
+    var rawAll = new java.lang.StringBuilder(64)
+    var rawAnchor = new java.lang.StringBuilder(16)
+    var anchorDepth = 0
+    def emit(c: Char): Unit = {
+      rawAll.append(c)
+      if (anchorDepth > 0) rawAnchor.append(c)
+    }
+    def emitStr(s: String): Unit = {
+      rawAll.append(s)
+      if (anchorDepth > 0) rawAnchor.append(s)
+    }
+    def flush(): Unit = {
+      val text = normalizeWs(rawAll)
+      if (text.nonEmpty)
+        out += Block(text, normalizeWs(rawAnchor).length)
+      rawAll = new java.lang.StringBuilder(64)
+      rawAnchor = new java.lang.StringBuilder(16)
+    }
     var i = 0
     while (i < n) {
       val c = html.charAt(i)
@@ -84,7 +157,7 @@ object HtmlToText {
               t == '/' || t == '?' }) {
           // '<' followed by anything but a name/closer/PI is TEXT per
           // the HTML spec — "5 < 6 and 9 > 7" must not lose ' 6 and 9 '
-          raw.append(c); i += 1
+          emit(c); i += 1
         } else {
           // quote-aware tag scan
           var j = i + 1
@@ -97,7 +170,7 @@ object HtmlToText {
             else if (t == '>') close = j
             j += 1
           }
-          if (close < 0) { raw.append(c); i += 1 } // literal '<'
+          if (close < 0) { emit(c); i += 1 } // literal '<'
           else {
             // tag name: [/]letters-digits up to space / '/' / '>'
             var k = i + 1
@@ -108,37 +181,42 @@ object HtmlToText {
               (t >= 'a' && t <= 'z') || (t >= 'A' && t <= 'Z') ||
                 (t >= '0' && t <= '9') }) k += 1
             val name = html.substring(nameStart, k).toLowerCase(java.util.Locale.ROOT)
+            val selfClosed = html.charAt(close - 1) == '/'
             i = close + 1
-            if (!closing && (name == "script" || name == "style") &&
-                html.charAt(close - 1) != '/') {
+            if (name == "a" && !selfClosed) {
+              if (closing) anchorDepth = math.max(0, anchorDepth - 1)
+              else anchorDepth += 1
+            } else if (!closing && (name == "script" || name == "style") &&
+                !selfClosed) {
               // element content drops: scan for the matching close tag
               val (_, after) = elementEnd(html, i, name)
               i = after
-              if (BlockTags.contains(name)) raw.append('\n')
-            } else if (!closing && name == "pre" &&
-                html.charAt(close - 1) != '/') {
-              // element content keeps its raw whitespace (verbatim)
-              raw.append('\n')
+              if (BlockTags.contains(name)) flush()
+            } else if (!closing && name == "pre" && !selfClosed) {
+              // element content keeps its raw whitespace (verbatim),
+              // as its own block; anchors inside are content
+              flush()
               val (contentEnd, after) = elementEnd(html, i, name)
-              verbatim(html, i, contentEnd, raw)
+              verbatim(html, i, contentEnd, rawAll)
               i = after
-              raw.append('\n')
-            } else if (BlockTags.contains(name)) raw.append('\n')
+              flush()
+            } else if (BlockTags.contains(name)) flush()
           }
         }
       } else if (c == '&') {
-        val (out, next) = decodeEntity(html, i)
-        if (out != null) { raw.append(out); i = next }
-        else { raw.append(c); i += 1 }
+        val (dec, next) = decodeEntity(html, i)
+        if (dec != null) { emitStr(dec); i = next }
+        else { emit(c); i += 1 }
       } else {
         // source whitespace (incl. newlines) is a soft space; the
         // verbatim escape char can never enter from input (hostile
         // bytes must not forge hard whitespace)
-        raw.append(if (c == '\t' || c == '\r' || c == '\n' || c == Esc) ' ' else c)
+        emit(if (c == '\t' || c == '\r' || c == '\n' || c == Esc) ' ' else c)
         i += 1
       }
     }
-    normalizeWs(raw)
+    flush()
+    out.result()
   }
 
   /** The escape marking the NEXT char in `raw` as literal (verbatim
@@ -260,10 +338,12 @@ object HtmlToText {
   }
 
   /** Space runs → one space, runs containing a break → one newline,
-    * ends trimmed. An [[Esc]]-prefixed char is LITERAL (verbatim pre
-    * whitespace): it flushes any pending soft break and passes
-    * through untouched — soft whitespace around it still collapses,
-    * whitespace inside a pre run does not. */
+    * soft whitespace at the ends dropped. An [[Esc]]-prefixed char is
+    * LITERAL (verbatim pre whitespace): it flushes any pending soft
+    * break and passes through untouched — soft whitespace around it
+    * still collapses, whitespace inside a pre run does not (so a pre
+    * block's literal edges survive here; [[edgeTrim]] bounds the
+    * DOCUMENT ends). */
   private def normalizeWs(raw: java.lang.StringBuilder): String = {
     val out = new java.lang.StringBuilder(raw.length)
     var pending = 0 // 0 none, 1 space, 2 newline
@@ -286,14 +366,19 @@ object HtmlToText {
       }
       i += 1
     }
-    // a verbatim block's literal whitespace can sit at the ends —
-    // keep the "ends trimmed" contract without touching other chars
+    out.toString
+  }
+
+  /** The "ends trimmed" document contract: strip whitespace (incl. a
+    * verbatim block's literal edges) from both ends, other chars
+    * untouched. */
+  private def edgeTrim(text: String): String = {
     var s = 0
-    var e = out.length
-    while (s < e && { val t = out.charAt(s)
+    var e = text.length
+    while (s < e && { val t = text.charAt(s)
       t == ' ' || t == '\n' || t == '\t' || t == '\r' }) s += 1
-    while (e > s && { val t = out.charAt(e - 1)
+    while (e > s && { val t = text.charAt(e - 1)
       t == ' ' || t == '\n' || t == '\t' || t == '\r' }) e -= 1
-    out.substring(s, e)
+    text.substring(s, e)
   }
 }

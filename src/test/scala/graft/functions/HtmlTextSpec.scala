@@ -53,6 +53,39 @@ class HtmlTextSpec extends SparkSpec {
     assert(clean("<pre>\n\n  x  \n\n</pre>") == "x")
   }
 
+  test("blocks: segmentation with anchor-text accounting; clean is the join") {
+    import graft.functions.HtmlToText.{blocks, Block}
+    assert(blocks("""<p>intro</p><div>Read <a href="/x">more here</a> now</div>""") ==
+      Seq(Block("intro", 0), Block("Read more here now", 9)))
+    // the three block classes of a real page: link-dominated nav,
+    // prose body, link-dominated footer — the main-content keep rule
+    // (len >= 25, 3*link <= len) keeps exactly the body
+    val page = """<ul><li><a href="/">Home</a></li><li><a href="/m">More</a></li></ul>""" +
+      "<p>Body text tells a longer story &amp; then continues on.</p>" +
+      """<div>Footer <a href="/t">terms</a> <a href="/p">privacy</a></div>"""
+    val bs = blocks(page)
+    assert(bs == Seq(Block("Home", 4), Block("More", 4),
+      Block("Body text tells a longer story & then continues on.", 0),
+      Block("Footer terms privacy", 12)))
+    assert(bs.filter(b => b.text.length >= 25 && 3 * b.linkChars <= b.text.length)
+      .map(_.text) ==
+      Seq("Body text tells a longer story & then continues on."))
+    // anchor depth carries across block boundaries; nested close floors at 0
+    assert(blocks("<a>x<p>y</p>z</a>w</a>") ==
+      Seq(Block("x", 1), Block("y", 1), Block("zw", 1)))
+    // pre is its own block; anchors inside are content, not links
+    assert(blocks("<p>a</p><pre>if (x) <a>go</a>\n  y</pre>") ==
+      Seq(Block("a", 0), Block("if (x) go\n  y", 0)))
+    // entities inside anchors count decoded
+    assert(blocks("<p><a>&amp;&lt;</a>ok</p>") == Seq(Block("&<ok", 2)))
+    // clean IS the block join (the definitional identity)
+    val html = "<h1>T</h1><p>x <a>l</a></p>  tail  "
+    assert(clean(html) == "T\nx l\ntail")
+    assert(clean(html) ==
+      blocks(html).map(_.text).filter(_.nonEmpty).mkString("\n"))
+    assert(blocks(null) == Nil && clean(null) == null)
+  }
+
   test("entities decode; unknown and malformed stay literal") {
     assert(clean("a &amp; b &lt;tag&gt; &quot;q&quot; it&apos;s") ==
       "a & b <tag> \"q\" it's")
