@@ -5540,6 +5540,41 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q280 — C4-style line-level cleaning (Raffel et al. 2020 §2.2):
+    // the page-text scrub every web corpus runs after extraction —
+    // doc gates (lorem-ipsum placeholder, curly brace = code page)
+    // drop whole documents; line gates keep only lines with ≥5
+    // space-words ending in terminal punctuation and not mentioning
+    // javascript; kept lines reassemble in order. Fully declarative
+    // (filters + one explode + grouped ordered reassembly — fuses
+    // into the text scan); the oracle states the surviving text.
+    "q280_c4_lines" -> ((s, d) => {
+      import s.implicits._
+      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val lines = Seq(
+          s"This is a good sentence number $id with many words.",
+          s"short $id",
+          "Please enable JavaScript to continue viewing.",
+          s"Another complete sentence follows right here with id $id.") ++
+          (if (id % 7 == 0) Seq("lorem ipsum dolor sit amet.") else Nil) ++
+          (if (id % 11 == 0) Seq("function f() { return 1; }") else Nil)
+        (id, lines.mkString("\n"))
+      }.toDF("doc_id", "text")
+      val gated = pages.where(!lower(col("text")).contains("lorem ipsum") &&
+        !col("text").contains("{"))
+      val kept = gated
+        .select(col("doc_id"), posexplode(split(col("text"), "\n")))
+        .where(col("col").rlike("[.!?\"]$") &&
+          size(split(col("col"), " ")) >= 5 &&
+          !lower(col("col")).contains("javascript"))
+      kept.groupBy(col("doc_id"))
+        .agg(array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")), "\n").as("text"),
+          count(lit(1)).as("n_lines"))
+        .orderBy("doc_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9948,6 +9983,20 @@ object SparkEntry {
         |    ' tells a longer story & then continues on.' AS main_text,
         |  CAST(1 AS BIGINT) AS n_blocks
         |FROM documents
+        |ORDER BY doc_id""".stripMargin,
+
+    // The C4 gates replayed: %7 docs die to the lorem-ipsum gate, %11
+    // to the brace gate; exactly the two long terminal-punctuation
+    // lines survive everywhere else.
+    "q280_c4_lines" ->
+      """SELECT doc_id,
+        |  'This is a good sentence number ' || CAST(doc_id AS VARCHAR) ||
+        |    ' with many words.' || chr(10) ||
+        |    'Another complete sentence follows right here with id ' ||
+        |    CAST(doc_id AS VARCHAR) || '.' AS text,
+        |  CAST(2 AS BIGINT) AS n_lines
+        |FROM documents
+        |WHERE doc_id % 7 <> 0 AND doc_id % 11 <> 0
         |ORDER BY doc_id""".stripMargin,
 
     // The MKV/WebM formulas replayed; n_samples is null on the EBML
