@@ -591,6 +591,38 @@ object SparkEntry {
     rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
       pages.toArray
   }
+  /** WARC fixture for curation v8 (q281): quintets (id/5) publish ONE
+    * page under the same messy URL aliases as v7, but the page now has
+    * the full block anatomy a main-content extractor faces — link nav,
+    * prose body, C4-droppable noise lines (too short / javascript),
+    * link footer — and body content repeats across buckets sharing
+    * b%23, so every stage of the v8 chain has planted work. */
+  private def warcV8Fixture(id: Long): Array[Byte] = {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val b = id / 5
+    val uri = (id % 5) match {
+      case 0 => s"http://ex.com/p/$b"
+      case 1 => s"HTTP://EX.COM/p/$b#frag"
+      case 2 => s"http://ex.com:80/p/$b"
+      case 3 => s"http://ex.com/a/../p/$b"
+      case _ => s"http://ex.com/%70/$b"
+    }
+    val html =
+      """<ul><li><a href="/home">Home</a></li><li><a href="/about">About</a></li></ul>""" +
+        s"<p>Good body sentence one for bucket ${b % 23} carries enough words.</p>" +
+        "<p>short bit</p>" +
+        "<p>Please enable JavaScript to continue viewing.</p>" +
+        s"<p>Good body sentence two for bucket ${b % 23} closes the page.</p>" +
+        """<div>Footer <a href="/t">terms</a> <a href="/p">privacy</a></div>"""
+    val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+      .getBytes("ISO-8859-1") ++ html.getBytes("UTF-8")
+    rec("response", uri, http)
+  }
   /** ZIP via the JDK's own encoder — the third-party-writer fixture
     * (q268/q269): our central-directory walk must read back what
     * ZipOutputStream wrote. */
@@ -5575,6 +5607,62 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q281 — curation v8: the MODERN web pipeline end-to-end — WARC →
+    // HTTP gate → charset-decoded raw pages ([[graft.sources.Warc
+    // .warcHtmlPages]]) → block-structured main-content extraction
+    // (`html_blocks` + the q279 keep rule: navs and footers are
+    // link-dominated, prose is not) → C4 line cleaning (q280's gates)
+    // → canonical-URL keep-first → exact content keep-first. The v7
+    // chain upgraded with the two extraction stages a real corpus
+    // (C4, RefinedWeb) actually runs between crawl and dedup. The
+    // oracle replays the whole chain over the derived page rows.
+    // Shuffle classes: two grouped reassemblies keyed by page + two
+    // keyed windows — everything else is map-side.
+    "q281_curation_v8" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else (id, warcV8Fixture(id))
+      }.toDF("doc_id", "warc")
+      val pages = graft.sources.Warc.warcHtmlPages(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+      val blocks = pages.select(col("media_id"), col("record_idx"), col("url"),
+          posexplode(graft.functions.HtmlBlocks(col("html"))))
+        .select(col("media_id"), col("record_idx"), col("url"),
+          col("pos").as("block_idx"), col("col.text").as("btext"),
+          col("col.link_chars").as("link_chars"))
+      val mainText = blocks
+        .where(length(col("btext")) >= 25 &&
+          col("link_chars") * 3 <= length(col("btext")))
+        .groupBy(col("media_id"), col("record_idx"), col("url"))
+        .agg(array_join(transform(array_sort(
+            collect_list(struct(col("block_idx"), col("btext")))),
+          x => x.getField("btext")), "\n").as("main_text"))
+      val cleaned = mainText
+        .select(col("media_id"), col("record_idx"), col("url"),
+          posexplode(split(col("main_text"), "\n")))
+        .where(col("col").rlike("[.!?\"]$") &&
+          size(split(col("col"), " ")) >= 5 &&
+          !lower(col("col")).contains("javascript"))
+        .groupBy(col("media_id"), col("record_idx"), col("url"))
+        .agg(array_join(transform(array_sort(
+            collect_list(struct(col("pos"), col("col")))),
+          x => x.getField("col")), "\n").as("text"))
+      val canon = cleaned.withColumn("url_canon",
+        graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon")).orderBy(col("media_id"), col("record_idx"))
+      val urlKept = canon.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val hashW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(hashW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"),
+          col("url_canon").as("url"), col("text"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -9984,6 +10072,29 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_blocks
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // The whole v8 chain replayed over the derived page rows: the two
+    // extraction stages reduce every page to the same two-sentence
+    // text, then the same two keep-first windows as v7.
+    "q281_curation_v8" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, b,
+        |  'http://ex.com/p/' || CAST(b AS VARCHAR) AS canon,
+        |  'Good body sentence one for bucket ' || CAST(b % 23 AS VARCHAR) ||
+        |    ' carries enough words.' || chr(10) ||
+        |    'Good body sentence two for bucket ' || CAST(b % 23 AS VARCHAR) ||
+        |    ' closes the page.' AS text
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY doc_id) AS rn FROM pg),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY doc_id) AS rn2 FROM q)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  canon AS url, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id""".stripMargin,
 
     // The C4 gates replayed: %7 docs die to the lorem-ipsum gate, %11
     // to the brace gate; exactly the two long terminal-punctuation

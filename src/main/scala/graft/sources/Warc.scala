@@ -354,6 +354,45 @@ object Warc {
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
 
+  /** The RAW decoded page surface: like [[warcHtmlText]] but emitting
+    * the charset-decoded HTML string itself instead of extracted
+    * text — the input for block-structured consumers
+    * ([[graft.functions.HtmlBlocks]] main-content extraction), which
+    * need tag structure the flat text pass has already discarded.
+    * Same gates (2xx, text/html, non-empty body), same fence
+    * counters. */
+  def warcHtmlPages(media: DataFrame, maxRecords: Int = 1 << 12,
+                    maxBody: Int = 1 << 24): DataFrame =
+    warcHtmlPagesObserved(media, maxRecords, maxBody)._1
+
+  /** [[warcHtmlPages]] plus the fence-counter Observation. */
+  def warcHtmlPagesObserved(media: DataFrame, maxRecords: Int = 1 << 12,
+                            maxBody: Int = 1 << 24): (DataFrame, Observation) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val raw = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val parse = parseWarcOutcome(p, maxRecords, maxBody)
+        val pages = parse.records.collect {
+          case r if r.warcType.equalsIgnoreCase("response") &&
+              r.httpStatus.exists(s => s >= 200 && s < 300) &&
+              r.contentType.exists(_.toLowerCase(java.util.Locale.ROOT)
+                .startsWith("text/html")) && r.body.nonEmpty =>
+            val (html, cs) = decodeHtml(r.body, r.contentType)
+            (id, r.recordIdx, Option(r.targetUri), cs, html,
+              null.asInstanceOf[String], 0)
+        }
+        pages :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], parse.endReason, parse.truncatedBodies))
+      }
+      .toDF("media_id", "record_idx", "url", "charset", "html",
+        "__end_reason", "__truncated_n")
+    val (observed, obs) = withFenceCounters(raw, "warc_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+  }
+
   // ==== split-streaming path reader (the 100 TB front door) ==========
   //
   // A real Common Crawl WARC is ~1 GB gzipped / several GB inflated —

@@ -515,6 +515,18 @@ class PlanSpec extends SparkSpec {
       p.contains("hashpartitioning(content_md5"), p)
   }
 
+  test("q281: v8 web pipeline is keyed reassemblies + two keyed windows, no join") {
+    val p = plan("q281_curation_v8")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // the two extraction stages reassemble per page (keyed partial
+    // agg), the two dedup windows key on their columns — never a
+    // global (unpartitioned) window or sort before the final ORDER BY
+    assert(p.contains("hashpartitioning(url_canon") ||
+      p.contains("hashpartitioning(text"), p)
+    assert(p.contains("HashAggregate"), p) // grouped ordered reassembly
+  }
+
   test("q262: scene cuts are one keyed window + rollup, no join") {
     val p = plan("q262_scene_cuts")
     assert(p.contains("Window"), p)
