@@ -340,7 +340,10 @@ object Bench {
       // alignment; the persisted-hash diamond) and the Common-Crawl
       // pass (WARC walk → HTTP gate → html_to_text), tracked from
       // their first round
-      "q266_curation_v6", "q271_warc_text")
+      "q266_curation_v6", "q271_warc_text",
+      // round-12: curation v8 — the modern web chain (raw pages →
+      // main-content blocks → C4 lines → URL + content dedup)
+      "q281_curation_v8")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

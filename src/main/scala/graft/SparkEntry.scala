@@ -5663,6 +5663,30 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q282 — robots.txt crawl gate ([[graft.functions.RobotsAllowed]],
+    // SQL `robots_allowed`): the RFC 9309 decision over a (policy,
+    // agent, path) frontier — group selection (exact token beats *,
+    // same-token groups merge), longest-pattern precedence, `*`
+    // wildcard and `$` anchor, tie → allow. The fixture plants every
+    // rule class; the oracle states each decision. Map-only.
+    "q282_robots_gate" -> ((s, d) => {
+      import s.implicits._
+      val rows = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        val k = (id % 3).toInt
+        val robots = s"# policy $id\nUser-agent: graftbot\n" +
+          s"Disallow: /blocked$k/\nAllow: /blocked$k/open/\n" +
+          "Disallow: /*.zip$\n\nUser-agent: *\nDisallow: /\nAllow: /public/\n"
+        val paths = Seq("/", "/blocked0/x", "/blocked1/x", "/blocked2/x",
+          s"/blocked$k/open/y", "/public/p", "/files/a.zip", "/files/a.zipx")
+        for (agent <- Seq("graftbot", "otherbot"); p <- paths)
+          yield (id, agent, p, robots)
+      }.toDF("doc_id", "agent", "path", "robots")
+      rows.select(col("doc_id"), col("agent"), col("path"),
+          graft.functions.RobotsAllowed(col("robots"), col("agent"),
+            col("path")).as("allowed"))
+        .orderBy("doc_id", "agent", "path")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -10095,6 +10119,32 @@ object SparkEntry {
         |  canon AS url, text
         |FROM c WHERE rn2 = 1
         |ORDER BY media_id""".stripMargin,
+
+    // Every robots decision stated: graftbot's group blocks only its
+    // own /blocked<k>/ (with the /open/ carve-out and the *.zip$
+    // anchor), otherbot falls to * (all blocked except /public/).
+    "q282_robots_gate" ->
+      """WITH ids AS (SELECT doc_id, doc_id % 3 AS k FROM documents),
+        |ap AS (SELECT * FROM (VALUES ('graftbot'), ('otherbot')) a(agent)
+        |       CROSS JOIN (VALUES ('root'), ('b0'), ('b1'), ('b2'),
+        |         ('open'), ('pub'), ('zip'), ('zipx')) p(tag)),
+        |rws AS (
+        |  SELECT doc_id, k, agent, tag,
+        |    CASE tag WHEN 'root' THEN '/'
+        |      WHEN 'b0' THEN '/blocked0/x' WHEN 'b1' THEN '/blocked1/x'
+        |      WHEN 'b2' THEN '/blocked2/x'
+        |      WHEN 'open' THEN '/blocked' || CAST(k AS VARCHAR) || '/open/y'
+        |      WHEN 'pub' THEN '/public/p'
+        |      WHEN 'zip' THEN '/files/a.zip' ELSE '/files/a.zipx' END AS path
+        |  FROM ids CROSS JOIN ap)
+        |SELECT doc_id, agent, path,
+        |  CASE WHEN agent = 'graftbot' THEN
+        |    CASE tag WHEN 'b0' THEN k <> 0 WHEN 'b1' THEN k <> 1
+        |      WHEN 'b2' THEN k <> 2 WHEN 'zip' THEN FALSE ELSE TRUE END
+        |  ELSE CASE tag WHEN 'pub' THEN TRUE ELSE FALSE END
+        |  END AS allowed
+        |FROM rws
+        |ORDER BY doc_id, agent, path""".stripMargin,
 
     // The C4 gates replayed: %7 docs die to the lorem-ipsum gate, %11
     // to the brace gate; exactly the two long terminal-punctuation

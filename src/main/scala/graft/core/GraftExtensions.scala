@@ -97,6 +97,10 @@ object GraftExtensions {
       info("html_to_text",
         "html_to_text(s) - HTML extraction: tags/script/style/comments drop, entities decode, block tags break lines"),
       (es: Seq[Expression]) => graft.functions.HtmlToText(es.head)),
+    ("robots_allowed",
+      info("robots_allowed",
+        "robots_allowed(rules, agent, path) - RFC 9309 decision: group selection, longest-pattern match, * wildcard and $ anchor, tie -> allow"),
+      (es: Seq[Expression]) => graft.functions.RobotsAllowed(es(0), es(1), es(2))),
     ("html_blocks",
       info("html_blocks",
         "html_blocks(s) - array<struct<text, link_chars>>: block-level segments with anchor-text accounting (main-content extraction input)"),

@@ -1,0 +1,153 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Robots Exclusion Protocol (RFC 9309) evaluation — the crawl-tier
+  * gate between a URL frontier and a fetch: given a robots.txt body,
+  * a crawler product token and a URL path, is fetching allowed?
+  * A curation pipeline replaying crawl archives needs the SAME
+  * decision to audit what was (or should have been) fetched, and a
+  * recrawl planner runs it over millions of (host, path) rows — so
+  * it is a native expression (map-only, fuses into the frontier
+  * scan), not a driver-side library call.
+  *
+  * Semantics per RFC 9309:
+  * - Groups: runs of `User-agent:` lines followed by `Allow:` /
+  *   `Disallow:` rules; keys case-insensitive, `#` comments drop.
+  * - Group selection: all groups whose user-agent token equals the
+  *   crawler's token (case-insensitive) MERGE; if none match, the
+  *   `*` groups apply; if neither exists, everything is allowed.
+  * - Rule match: path patterns are prefix matches with `*` (any
+  *   sequence) and a final `$` (end anchor). The rule with the
+  *   LONGEST pattern wins; on a tie, Allow wins. Empty patterns are
+  *   ignored; no matching rule → allowed.
+  *
+  * Hostile posture as everywhere: any byte soup parses to some rule
+  * set, never a throw; null inputs → null out.
+  *
+  * Reference anchor: the reference ships no robots evaluation; this
+  * extends SURVEY §2's crawl tier (semantics per RFC 9309 §2). */
+case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
+    extends TernaryExpression with CodegenFallback {
+
+  override def dataType: DataType = BooleanType
+  override def prettyName: String = "robots_allowed"
+
+  override def nullSafeEval(rules: Any, agent: Any, path: Any): Any =
+    Robots.allowed(rules.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString,
+      path.asInstanceOf[UTF8String].toString)
+
+  override protected def withNewChildrenInternal(
+      f: Expression, s: Expression, t: Expression): Expression =
+    copy(first = f, second = s, third = t)
+}
+
+object RobotsAllowed {
+  def apply(rules: Column, agent: Column, path: Column): Column =
+    ColumnBridge.column(RobotsAllowed(ColumnBridge.expression(rules),
+      ColumnBridge.expression(agent), ColumnBridge.expression(path)))
+}
+
+object Robots {
+
+  /** One parsed group: lower-cased agent tokens and (pattern,
+    * isAllow) rules in file order. */
+  final case class Group(agents: Seq[String], rules: Seq[(String, Boolean)])
+
+  /** Parse a robots.txt body into groups (see [[RobotsAllowed]] doc).
+    * Unknown directives (crawl-delay, sitemap, …) are skipped but DO
+    * close an agent-collection run, like any non-user-agent line. */
+  def parse(txt: String): Seq[Group] = {
+    if (txt == null) return Nil
+    val out = Seq.newBuilder[Group]
+    var agents = List.empty[String]
+    var rules = List.empty[(String, Boolean)]
+    var collectingAgents = false
+    def flush(): Unit = {
+      if (agents.nonEmpty) out += Group(agents.reverse, rules.reverse)
+      agents = Nil; rules = Nil
+    }
+    txt.split("\n", -1).foreach { rawLine =>
+      val noComment = {
+        val h = rawLine.indexOf('#')
+        if (h < 0) rawLine else rawLine.substring(0, h)
+      }
+      val line = noComment.trim
+      if (line.nonEmpty) {
+        val c = line.indexOf(':')
+        if (c > 0) {
+          val key = line.substring(0, c).trim.toLowerCase(java.util.Locale.ROOT)
+          val value = line.substring(c + 1).trim
+          key match {
+            case "user-agent" =>
+              if (!collectingAgents) { flush(); collectingAgents = true }
+              if (value.nonEmpty)
+                agents ::= value.toLowerCase(java.util.Locale.ROOT)
+            case "allow" =>
+              collectingAgents = false
+              if (value.nonEmpty) rules ::= (value, true)
+            case "disallow" =>
+              collectingAgents = false
+              // empty Disallow = "allow all" by spec: no rule
+              if (value.nonEmpty) rules ::= (value, false)
+            case _ =>
+              collectingAgents = false // crawl-delay, sitemap, junk
+          }
+        }
+      }
+    }
+    flush()
+    out.result()
+  }
+
+  /** Does a rule pattern (prefix semantics, `*` wildcard, final-`$`
+    * end anchor) match a path? */
+  private[functions] def patternMatches(pattern: String, path: String): Boolean = {
+    if (pattern.isEmpty) return false
+    val endAnchor = pattern.charAt(pattern.length - 1) == '$'
+    val pat = if (endAnchor) pattern.substring(0, pattern.length - 1) else pattern
+    val parts = pat.split("\\*", -1).toIndexedSeq
+    if (!path.startsWith(parts.head)) return false
+    var pos = parts.head.length
+    val lastIdx = parts.length - 1
+    var i = 1
+    val midEnd = if (endAnchor) lastIdx else parts.length
+    while (i < midEnd) {
+      val at = path.indexOf(parts(i), pos)
+      if (at < 0) return false
+      pos = at + parts(i).length
+      i += 1
+    }
+    if (!endAnchor) true
+    else if (parts.length == 1) pos == path.length
+    else {
+      val last = parts(lastIdx)
+      path.length - last.length >= pos && path.endsWith(last)
+    }
+  }
+
+  /** The RFC 9309 decision (see [[RobotsAllowed]] doc). */
+  def allowed(rulesTxt: String, agent: String, path: String): Boolean = {
+    val groups = parse(rulesTxt)
+    if (groups.isEmpty) return true
+    val tok = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = groups.filter(g => g.agents.exists(a => a != "*" && a == tok))
+    val sel = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    if (sel.isEmpty) return true
+    var bestLen = -1
+    var bestAllow = true
+    sel.foreach(_.rules.foreach { case (pat, isAllow) =>
+      if (patternMatches(pat, path)) {
+        if (pat.length > bestLen) { bestLen = pat.length; bestAllow = isAllow }
+        else if (pat.length == bestLen && isAllow) bestAllow = true // tie → allow
+      }
+    })
+    if (bestLen < 0) true else bestAllow
+  }
+}

@@ -1,0 +1,85 @@
+package graft.functions
+
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Pins [[Robots]] — RFC 9309 parsing and the allow/deny decision:
+  * group selection and merging, longest-pattern precedence, the
+  * allow-wins tie rule, `*`/`$` pattern matching, and the hostile
+  * posture (any byte soup decides, never a throw). */
+class RobotsSpec extends AnyFunSuite {
+  import Robots._
+
+  private val txt =
+    """# policy
+      |User-agent: graftbot
+      |Disallow: /blocked/
+      |Allow: /blocked/open/
+      |Disallow: /*.zip$
+      |
+      |User-agent: a
+      |User-agent: b
+      |Crawl-delay: 2
+      |
+      |User-agent: *
+      |Disallow: /
+      |Allow: /public/
+      |""".stripMargin
+
+  test("parse: groups, multi-agent runs, comments, unknown directives") {
+    val gs = parse(txt)
+    assert(gs.map(_.agents) == Seq(Seq("graftbot"), Seq("a", "b"), Seq("*")))
+    assert(gs.head.rules == Seq(("/blocked/", false), ("/blocked/open/", true),
+      ("/*.zip$", false)))
+    assert(gs(1).rules.isEmpty) // crawl-delay is skipped but closes the run
+    assert(gs(2).rules == Seq(("/", false), ("/public/", true)))
+    assert(parse(null) == Nil && parse("") == Nil)
+    assert(parse("junk with no colons\nmore junk") == Nil)
+  }
+
+  test("decision: group selection, longest match, tie -> allow") {
+    // exact group selected; * group NOT consulted for graftbot
+    assert(allowed(txt, "graftbot", "/anything"))
+    assert(!allowed(txt, "graftbot", "/blocked/x"))
+    // longer Allow overrides the shorter Disallow
+    assert(allowed(txt, "GraftBot", "/blocked/open/y")) // agent case-folds
+    // unknown agent falls to *: / disallows, /public/ allows (longer)
+    assert(!allowed(txt, "otherbot", "/x"))
+    assert(allowed(txt, "otherbot", "/public/p"))
+    // agent with a group but no rules: everything allowed
+    assert(allowed(txt, "a", "/blocked/x"))
+    // no robots at all / no matching rule -> allowed
+    assert(allowed("", "anybot", "/x"))
+    assert(allowed(txt, "graftbot", "/"))
+    // tie at equal length: allow wins (both patterns are 4 chars)
+    val tie = "User-agent: *\nDisallow: /pq/\nAllow: /p*/\n"
+    assert(allowed(tie, "x", "/pq/z"))
+  }
+
+  test("patterns: * wildcard, $ anchor, prefix semantics") {
+    assert(!allowed(txt, "graftbot", "/files/a.zip")) // /*.zip$
+    assert(allowed(txt, "graftbot", "/files/a.zipx")) // anchor fails
+    val wild = "User-agent: *\nDisallow: /a*b/c$\n"
+    assert(!allowed(wild, "x", "/aXXb/c"))
+    assert(allowed(wild, "x", "/aXXb/cd")) // anchored: no suffix
+    assert(allowed(wild, "x", "/ab/x")) // missing /c tail
+    val prefix = "User-agent: *\nDisallow: /priv\n"
+    assert(!allowed(prefix, "x", "/private/page")) // prefix semantics
+    // merged groups for the same token combine rules
+    val merged = "User-agent: x\nDisallow: /a/\n\nUser-agent: x\nDisallow: /b/\n"
+    assert(!allowed(merged, "x", "/a/1") && !allowed(merged, "x", "/b/1"))
+    assert(allowed(merged, "x", "/c/1"))
+  }
+
+  test("hostile bytes never throw; empty Disallow allows all") {
+    val rnd = new scala.util.Random(77)
+    (1 to 200).foreach { _ =>
+      val junk = new String(Array.fill(rnd.nextInt(200))(
+        (rnd.nextInt(96) + 32).toChar))
+      allowed(junk, "bot", "/p")
+    }
+    assert(allowed("User-agent: *\nDisallow:\n", "bot", "/anything"))
+    // null path/agent handled at the expression layer; direct calls
+    // with empty agent fall through to *
+    assert(!allowed("User-agent: *\nDisallow: /\n", "", "/x"))
+  }
+}
