@@ -5687,6 +5687,44 @@ object SparkEntry {
         .orderBy("doc_id", "agent", "path")
     }),
 
+    // Q283 — sitemap → crawl frontier: the step BEFORE the WARC even
+    // exists — XML sitemaps parsed (url/loc/lastmod), locs through
+    // `canonical_url` (quintets publish the same page under messy
+    // aliases with different lastmod stamps), the robots gate drops
+    // disallowed paths, and the frontier dedups per canonical URL
+    // keeping the NEWEST lastmod with a source count. Three round-12
+    // ops composed declaratively; one grouped shuffle on the URL key.
+    "q283_sitemap_frontier" -> ((s, d) => {
+      import s.implicits._
+      val policy = "User-agent: *\nDisallow: /blocked\n"
+      val sm = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val b = id / 5
+        val xml = "<?xml version=\"1.0\"?><urlset>" +
+          s"<url><loc>HTTP://EX.COM/p/$b#f</loc>" +
+          s"<lastmod>2024-01-0${1 + id % 5}</lastmod></url>" +
+          s"<url><loc>http://ex.com/blocked${id % 3}/page</loc>" +
+          "<lastmod>2024-02-01</lastmod></url>" +
+          s"<url><loc>http://ex.com/public/$id</loc>" +
+          "<lastmod>2024-03-01</lastmod></url></urlset>"
+        (id, xml)
+      }.toDF("doc_id", "xml")
+      val urls = sm.select(col("doc_id"),
+          explode(expr("regexp_extract_all(xml, '<url>(.*?)</url>', 1)")).as("u"))
+        .select(col("doc_id"),
+          regexp_extract(col("u"), "<loc>(.*?)</loc>", 1).as("loc"),
+          regexp_extract(col("u"), "<lastmod>(.*?)</lastmod>", 1).as("lastmod"))
+      val canon = urls
+        .withColumn("url", graft.functions.CanonicalUrl(col("loc")))
+        .withColumn("path",
+          regexp_extract(col("url"), "^[a-z]+://[^/]+(/.*)$", 1))
+      canon.where(graft.functions.RobotsAllowed(lit(policy),
+          lit("graftbot"), col("path")))
+        .groupBy(col("url"))
+        .agg(max(col("lastmod")).as("lastmod"),
+          count(lit(1)).as("n_sources"))
+        .orderBy("url")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -10119,6 +10157,24 @@ object SparkEntry {
         |  canon AS url, text
         |FROM c WHERE rn2 = 1
         |ORDER BY media_id""".stripMargin,
+
+    // The frontier stated: quintets collapse to one /p/<b> row with
+    // the max lastmod and their member count, /blocked is
+    // robots-dropped, /public survives per document.
+    "q283_sitemap_frontier" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents),
+        |pb AS (SELECT b, MAX(1 + doc_id % 5) AS md, COUNT(*) AS n
+        |       FROM ids GROUP BY b)
+        |SELECT url, lastmod, n_sources FROM (
+        |  SELECT 'http://ex.com/p/' || CAST(b AS VARCHAR) AS url,
+        |    '2024-01-0' || CAST(md AS VARCHAR) AS lastmod,
+        |    CAST(n AS BIGINT) AS n_sources
+        |  FROM pb
+        |  UNION ALL
+        |  SELECT 'http://ex.com/public/' || CAST(doc_id AS VARCHAR),
+        |    '2024-03-01', CAST(1 AS BIGINT)
+        |  FROM ids)
+        |ORDER BY url""".stripMargin,
 
     // Every robots decision stated: graftbot's group blocks only its
     // own /blocked<k>/ (with the /open/ carve-out and the *.zip$
