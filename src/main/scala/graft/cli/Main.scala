@@ -483,23 +483,22 @@ object Main {
           graft.sources.Multimodal.asMedia(
             spark.read.parquet(in), idCol, payloadCol, "warc"))
         df.write.mode("overwrite").parquet(out)
-        val m = obs.get
-        println(s"[warc-text] containers=${m("containers")} " +
-          s"rows_out=${m("rows_out")} dropped=${m("containers_dropped")} " +
-          s"truncated=${m("containers_truncated")} " +
-          s"record_capped=${m("records_capped")} " +
-          s"bodies_truncated=${m("bodies_truncated")}")
+        printWarcFences("warc-text", obs)
 
       case "warc-paths" :: in :: out :: Nil =>
         // split-streaming record listing over FILES (one task per
         // path, per-record bounded memory — the multi-GB-WARC door);
-        // <in> is a text file or directory of *.warc / *.warc.gz
-        graft.sources.Warc.describeWarcPaths(spark, warcPathList(in))
-          .write.mode("overwrite").parquet(out)
+        // <in> is a single file or a directory of *.warc / *.warc.gz
+        val (ldf, lobs) =
+          graft.sources.Warc.describeWarcPathsObserved(spark, warcPathList(in))
+        ldf.write.mode("overwrite").parquet(out)
+        printWarcFences("warc-paths", lobs)
 
       case "warc-paths-text" :: in :: out :: Nil =>
-        graft.sources.Warc.warcPathsHtmlText(spark, warcPathList(in))
-          .write.mode("overwrite").parquet(out)
+        val (tdf, tobs) =
+          graft.sources.Warc.warcPathsHtmlTextObserved(spark, warcPathList(in))
+        tdf.write.mode("overwrite").parquet(out)
+        printWarcFences("warc-paths-text", tobs)
 
       case "archives" :: in :: idCol :: payloadCol :: out :: Nil =>
         // ZIP/TAR/GZIP member listing (central directory / ustar / header)
@@ -567,6 +566,19 @@ object Main {
 
       case _ => usage()
     }
+
+  /** Fence-drop loudness shared by every WARC command: a container
+    * that contributed zero rows must be a printed number, never a
+    * silent absence. */
+  private def printWarcFences(cmd: String,
+                              obs: org.apache.spark.sql.Observation): Unit = {
+    val m = obs.get
+    println(s"[$cmd] containers=${m("containers")} " +
+      s"rows_out=${m("rows_out")} dropped=${m("containers_dropped")} " +
+      s"truncated=${m("containers_truncated")} " +
+      s"record_capped=${m("records_capped")} " +
+      s"bodies_truncated=${m("bodies_truncated")}")
+  }
 
   /** Paths for the split-streaming WARC commands: a directory (its
     * *.warc / *.warc.gz members) or a single file. */

@@ -575,7 +575,12 @@ object Warc {
     * http_status, content_type). Fence drops are loud via the same
     * `warc_fences` counters. */
   def describeWarcPaths(spark: SparkSession, paths: Seq[String],
-                        maxRecords: Int = 1 << 20): DataFrame = {
+                        maxRecords: Int = 1 << 20): DataFrame =
+    describeWarcPathsObserved(spark, paths, maxRecords)._1
+
+  /** [[describeWarcPaths]] plus the fence-counter Observation. */
+  def describeWarcPathsObserved(spark: SparkSession, paths: Seq[String],
+                                maxRecords: Int = 1 << 20): (DataFrame, Observation) = {
     import spark.implicits._
     val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     val raw = spark.createDataset(paths).repartition(n)
@@ -592,9 +597,9 @@ object Warc {
       .toDF("path", "record_idx", "warc_type", "target_uri",
         "content_length", "http_status", "content_type",
         "__end_reason", "__truncated_n")
-    val (observed, _) = withFenceCounters(raw, "warc_paths_fences")
-    observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel")
+    val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
 
   /** The crawl-to-text pass over FILE PATHS — [[warcHtmlText]]'s
@@ -603,7 +608,13 @@ object Warc {
     * charset, text). */
   def warcPathsHtmlText(spark: SparkSession, paths: Seq[String],
                         maxBody: Int = 1 << 24,
-                        maxRecords: Int = 1 << 20): DataFrame = {
+                        maxRecords: Int = 1 << 20): DataFrame =
+    warcPathsHtmlTextObserved(spark, paths, maxBody, maxRecords)._1
+
+  /** [[warcPathsHtmlText]] plus the fence-counter Observation. */
+  def warcPathsHtmlTextObserved(spark: SparkSession, paths: Seq[String],
+                                maxBody: Int = 1 << 24,
+                                maxRecords: Int = 1 << 20): (DataFrame, Observation) = {
     import spark.implicits._
     val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     val raw = spark.createDataset(paths).repartition(n)
@@ -624,8 +635,8 @@ object Warc {
       }
       .toDF("path", "record_idx", "url", "charset", "text",
         "__end_reason", "__truncated_n")
-    val (observed, _) = withFenceCounters(raw, "warc_paths_fences")
-    observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel")
+    val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
 }

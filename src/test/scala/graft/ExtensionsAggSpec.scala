@@ -40,7 +40,8 @@ class GraftExtensionsSpec extends SparkSpec {
     assert(graft.core.GraftExtensions.definitions.map(_._1).toSet ==
       Set("cosine_similarity", "simhash64", "shingle_hashes", "minhash_signature",
         "repetition_stats", "rolling_winnow", "cdc_cuts", "jaro_winkler",
-        "fold_text", "html_to_text", "canonical_url"))
+        "fold_text", "html_to_text", "html_blocks", "canonical_url",
+        "robots_allowed"))
   }
 }
 

@@ -242,6 +242,26 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("streaming reader: a zero-record FILE increments the paths counters") {
+    val dir = java.nio.file.Files.createTempDirectory("warcspec3").toFile
+    try {
+      val good = record("response", "http://ex.com/a",
+        httpResponse(200, "text/html", "<p>ok</p>"))
+      val fg = new java.io.File(dir, "good.warc")
+      java.nio.file.Files.write(fg.toPath, good)
+      val fj = new java.io.File(dir, "junk.warc")
+      java.nio.file.Files.write(fj.toPath, "definitely not a warc".getBytes)
+      val (df, obs) = Warc.warcPathsHtmlTextObserved(spark,
+        Seq(fg, fj).map(_.getAbsolutePath))
+      assert(df.collect().length == 1)
+      val m = obs.get
+      assert(m("containers") == 2L && m("containers_dropped") == 1L &&
+        m("rows_out") == 1L)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming reader: per-record body fence and record cap are loud, not silent") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec2").toFile
     try {
