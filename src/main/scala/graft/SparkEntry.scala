@@ -535,6 +535,40 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** On-disk TAR fixture for the split-streaming archive reader
+    * (q284): one file per document (`t<id>.tar`; gzipped every 3rd id,
+    * junk bytes every 50th), carrying q269's two BMP members plus a
+    * directory and a text member the media pass must route around.
+    * Same executor-side generation discipline as
+    * [[warcStreamFixturePaths]]. */
+  private def tarStreamFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tar_stream_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"t$id%08d.tar")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "tar? no".getBytes("UTF-8")
+          else {
+            val t = tarFixture((0 until 2).map(k =>
+              (s"img$k.bmp", bmp24Fixture(10, 8, (x, y) => (
+                ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+                ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+                ((id * 3 + k * 7 + x + y * 7) % 256).toInt)))) ++
+              Seq("notes/" -> Array.empty[Byte],
+                "note.txt" -> s"doc $id".getBytes("UTF-8")))
+            if (id % 3 == 1) gzipBytes(t) else t
+          }
+        val tmp = java.io.File.createTempFile("ttmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** Two-page WARC whose pages need NON-UTF-8 decodes (q277): page 0
     * declares ISO-8859-1 in the HTTP header and carries byte
     * 0xE0+id%5 (à..ä); page 1 declares windows-1251 only in a <meta
@@ -5725,6 +5759,29 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Q284 — split-streaming TAR → media ([[graft.sources.Archives
+    // .tarPathMembers]]): the archive tier's multi-GB door — members
+    // stream out of on-disk .tar(.gz) files (one task per path,
+    // per-member bounded memory) and the extracted BMPs decode
+    // through the same media pipeline as q269's cell-form zip. Same
+    // pixel formulas as q269, so the oracle is identical; the
+    // container routing is what's under test.
+    "q284_tar_stream_media" -> ((s, d) => {
+      import s.implicits._
+      val paths = tarStreamFixturePaths(s, d)
+      val members = graft.sources.Archives.tarPathMembers(s, paths)
+        .where(col("name").endsWith(".bmp"))
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "t(\\d+)\\.tar$", 1).cast("long"))
+        .select((col("doc_id") * 10 + col("entry_idx")).as("mid"),
+          col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(members, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -10134,6 +10191,20 @@ object SparkEntry {
         |  CAST(1 AS BIGINT) AS n_blocks
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // q269's pixel formulas, reached through streamed tar members
+    // instead of a zip cell.
+    "q284_tar_stream_media" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'bmp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
+        |ORDER BY media_id""".stripMargin,
 
     // The whole v8 chain replayed over the derived page rows: the two
     // extraction stages reduce every page to the same two-sentence

@@ -11,6 +11,13 @@ import org.apache.spark.sql.functions._
   * existing plan (no extra pass, streaming-safe) rather than
   * accumulators (which double-count on task retry — wrong at scale,
   * where retries and speculation are routine).
+  *
+  * Caveat when ASSERTING counter values: do not put a global sort
+  * (`orderBy`) above an observe whose counts you read — range
+  * partitioning SAMPLES its child in a separate job first, so the
+  * observed node executes twice and every counter doubles. Read
+  * counters from plans that act on the observed frame directly
+  * (write, collect, agg), or sort after a materialization boundary.
   */
 object Counters {
 

@@ -1,6 +1,6 @@
 package graft.sources
 
-import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.{DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Archive containers — ZIP, ustar TAR, GZIP — as byte-walk kernels:
@@ -320,5 +320,225 @@ object Archives {
       }
     }
     out.result()
+  }
+
+  // ==== split-streaming TAR over file paths ==========================
+  //
+  // The archive tier's analog of Warc.describeWarcPaths: a multi-GB
+  // .tar(.gz) cannot be a row cell (the whole-container bound SCALE.md
+  // documents), so these take FILE PATHS and stream members one at a
+  // time — per member, at most the 512-byte header plus min(size,
+  // maxBytes) payload bytes are resident; oversized members skip on
+  // the wire with a LOUD per-row truncated flag, and files that yield
+  // zero members are counted, never silently absent.
+
+  /** One streamed TAR member row (sentinel rows carry entryIdx -1 and
+    * the walk's end reason — the loudness channel). */
+  private final case class TarRow(path: String, entryIdx: Int, name: String,
+                                  nBytes: Long, isDir: Boolean,
+                                  truncated: Boolean, payload: Array[Byte],
+                                  endReason: String)
+
+  /** Bounded streaming member walk over one (possibly gzipped) TAR
+    * stream. `next()` returns null at end; `endReason` then says why:
+    * ok | empty | not_tar | corrupt | entry_cap | io_error. */
+  private final class TarStream(raw: java.io.InputStream, maxBytes: Int,
+                                maxEntries: Int) {
+    var endReason: String = null
+    private var idx = 0
+    private var pendingLongName: String = null
+    private val hdr = new Array[Byte](512)
+    private val in: java.io.InputStream = {
+      val pb = new java.io.PushbackInputStream(
+        new java.io.BufferedInputStream(raw, 1 << 16), 2)
+      val b0 = pb.read(); val b1 = if (b0 < 0) -1 else pb.read()
+      if (b1 >= 0) pb.unread(b1)
+      if (b0 >= 0) pb.unread(b0)
+      if (b0 == 0x1f && b1 == 0x8b)
+        new java.io.BufferedInputStream(
+          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+      else pb
+    }
+    private def readFully(buf: Array[Byte], n: Int): Int = {
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return off
+        off += r
+      }
+      off
+    }
+    private def skipFully(n: Long): Long = {
+      var left = n
+      val buf = new Array[Byte](1 << 16)
+      while (left > 0) {
+        val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r < 0) return n - left
+        left -= r
+      }
+      n
+    }
+    private def octal(off: Int, len: Int): Long = {
+      var v = 0L; var i = off; val end = off + len
+      var seen = false
+      while (i < end) {
+        val c = hdr(i) & 0xff
+        if (c >= '0' && c <= '7') { v = v * 8 + (c - '0'); seen = true }
+        else if (seen) i = end
+        i += 1
+      }
+      if (seen) v else -1L
+    }
+    private def str(off: Int, len: Int): String = {
+      var end = off
+      while (end < off + len && hdr(end) != 0) end += 1
+      new String(hdr, off, end - off, java.nio.charset.StandardCharsets.UTF_8)
+    }
+    private def checksumOk(): Boolean = {
+      val stored = octal(148, 8)
+      if (stored < 0) return false
+      var sum = 0L
+      var i = 0
+      while (i < 512) {
+        sum += (if (i >= 148 && i < 156) 32 else hdr(i) & 0xff)
+        i += 1
+      }
+      sum == stored
+    }
+
+    /** (name, trueSize, isDir, truncated, payload) or null at end. */
+    def next(): (String, Long, Boolean, Boolean, Array[Byte]) = {
+      if (endReason != null) return null
+      try nextInner()
+      catch { case _: java.io.IOException => endReason = "io_error"; null }
+    }
+    @scala.annotation.tailrec
+    private def nextInner(): (String, Long, Boolean, Boolean, Array[Byte]) = {
+      if (idx >= maxEntries) { endReason = "entry_cap"; return null }
+      val got = readFully(hdr, 512)
+      if (got == 0) { endReason = if (idx == 0) "empty" else "ok"; return null }
+      if (got < 512) {
+        endReason = if (idx == 0) "not_tar" else "corrupt"; return null
+      }
+      if (hdr(0) == 0) { endReason = if (idx == 0) "empty" else "ok"; return null }
+      if (!checksumOk()) {
+        endReason = if (idx == 0) "not_tar" else "corrupt"; return null
+      }
+      val size = math.max(0L, octal(124, 12))
+      val tf = hdr(156) & 0xff
+      val pad = (512 - size % 512) % 512
+      if (tf == 'L') {
+        // GNU long name: bounded read, then the member it names
+        val keep = math.min(size, 4096L).toInt
+        val nameBuf = new Array[Byte](keep)
+        val n = readFully(nameBuf, keep)
+        if (skipFully(size - n + pad) < size - n + pad) {
+          endReason = "corrupt"; return null
+        }
+        pendingLongName = new String(nameBuf, 0, n,
+          java.nio.charset.StandardCharsets.UTF_8).takeWhile(_ != 0.toChar)
+        nextInner()
+      } else {
+        val rawName = str(0, 100)
+        val prefix = str(345, 155)
+        val name =
+          if (pendingLongName != null) pendingLongName
+          else if (prefix.nonEmpty) prefix + "/" + rawName
+          else rawName
+        pendingLongName = null
+        val isDir = tf == '5' || name.endsWith("/")
+        val truncated = !isDir && size > maxBytes
+        // oversized members never buffer: content skips on the wire
+        val keep = if (isDir || truncated) 0 else size.toInt
+        val payload = new Array[Byte](keep)
+        val n = readFully(payload, keep)
+        val rest = size - n + pad
+        val short = n < keep || skipFully(rest) < rest
+        idx += 1
+        if (short) endReason = "corrupt" // emit this member, then stop
+        (name, size, isDir, truncated, payload)
+      }
+    }
+  }
+
+  /** Streaming member extraction over TAR FILES (plain or .tar.gz) —
+    * one task per path, per-member bounded memory. Schema: (path,
+    * entry_idx, name, n_bytes, is_dir, truncated, payload). A member
+    * larger than `maxBytes` keeps its ROW — true n_bytes, LOUD
+    * truncated flag, empty payload, content skipped on the wire —
+    * so an oversized member is a visible fact, never a silent
+    * absence. Fence drops are counted: [[tarPathMembersObserved]]. */
+  def tarPathMembers(spark: SparkSession, paths: Seq[String],
+                     maxBytes: Int = 1 << 24,
+                     maxEntries: Int = 1 << 16): DataFrame =
+    tarPathMembersObserved(spark, paths, maxBytes, maxEntries)._1
+
+  /** [[tarPathMembers]] plus the fence counters (`tar_paths_fences`:
+    * files, members_out, files_dropped, files_corrupt, entry_capped,
+    * members_truncated). */
+  def tarPathMembersObserved(spark: SparkSession, paths: Seq[String],
+                             maxBytes: Int = 1 << 24,
+                             maxEntries: Int = 1 << 16): (DataFrame, Observation) = {
+    import spark.implicits._
+    val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val raw = spark.createDataset(paths).repartition(n)
+      .flatMap { path =>
+        var stream: java.io.InputStream = null
+        val ts =
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            stream = fs.open(p)
+            new TarStream(stream, maxBytes, maxEntries)
+          } catch {
+            case _: Exception =>
+              if (stream != null) { try stream.close() catch { case _: Exception => () } }
+              null
+          }
+        if (ts == null)
+          Iterator.single(TarRow(path, -1, null, -1L, isDir = false,
+            truncated = false, Array.emptyByteArray, "io_error"))
+        else new Iterator[TarRow] {
+          private var idx = 0
+          private var pending: Option[TarRow] = None
+          private var sentinelSent = false
+          private val st = stream
+          private def advance(): Unit = {
+            while (pending.isEmpty && !sentinelSent) {
+              val m = ts.next()
+              if (m == null) {
+                try st.close() catch { case _: Exception => () }
+                pending = Some(TarRow(path, -1, null, -1L, isDir = false,
+                  truncated = false, Array.emptyByteArray, ts.endReason))
+                sentinelSent = true
+              } else {
+                val (name, size, isDir, trunc, payload) = m
+                pending = Some(TarRow(path, idx, name, size, isDir, trunc,
+                  payload, null))
+                idx += 1
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): TarRow = { advance(); val v = pending.get; pending = None; v }
+        }
+      }
+      .toDF("path", "entry_idx", "name", "n_bytes", "is_dir", "truncated",
+        "payload", "__end_reason")
+    val (observed, obs) = graft.core.Counters.observed(
+      raw.withColumn("__is_sentinel", col("entry_idx") < 0),
+      "tar_paths_fences",
+      "files" -> sum(when(col("__is_sentinel"), 1L).otherwise(0L)),
+      "members_out" -> sum(when(!col("__is_sentinel"), 1L).otherwise(0L)),
+      "files_dropped" -> sum(when(col("__is_sentinel") &&
+        col("__end_reason").isin("not_tar", "empty", "io_error"), 1L).otherwise(0L)),
+      "files_corrupt" -> sum(when(col("__is_sentinel") &&
+        (col("__end_reason") === "corrupt"), 1L).otherwise(0L)),
+      "entry_capped" -> sum(when(col("__is_sentinel") &&
+        (col("__end_reason") === "entry_cap"), 1L).otherwise(0L)),
+      "members_truncated" -> sum(when(!col("__is_sentinel") &&
+        col("truncated"), 1L).otherwise(0L)))
+    (observed.where(col("entry_idx") >= 0)
+      .drop("__end_reason", "__is_sentinel"), obs)
   }
 }
