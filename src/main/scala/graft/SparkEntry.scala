@@ -514,7 +514,12 @@ object SparkEntry {
     * fixture is data, the driver only collects the path strings —
     * O(files) metadata, the same class as Spark's own file listings)
     * and cached by existence across runs; tmp-write + rename keeps
-    * concurrent generations safe. */
+    * concurrent generations safe. ASSUMPTION: executors and the
+    * reader tasks share one filesystem (true for local[N], the only
+    * harness this fixture serves). On a multi-node cluster point the
+    * generation at a shared directory (HDFS/NFS) instead — the reader
+    * itself ([[graft.sources.Warc.warcPathsHtmlText]]) is
+    * location-agnostic. */
   private def warcStreamFixturePaths(s: SparkSession, d: String): Seq[String] = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -3476,6 +3476,7 @@ object Multimodal {
             }
           }
           if (isVide && codecOk && tChunks != null && tFirst != null &&
+              tFirst.nonEmpty && tSpc != null && tSpc.nonEmpty &&
               tN > 0 && (tUniform > 0 || tSizes != null)) {
             found = true
             uniformSize = tUniform; sizes = tSizes; chunkOffs = tChunks

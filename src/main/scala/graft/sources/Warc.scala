@@ -232,7 +232,8 @@ object Warc {
       if (at < 0) None
       else {
         val v = low.substring(at + 8).takeWhile(c => c != ';' && c != ' ')
-          .stripPrefix("\"").takeWhile(c => c != '"' && c != '\'')
+          .dropWhile(c => c == '"' || c == '\'')
+          .takeWhile(c => c != '"' && c != '\'')
         if (v.isEmpty) None else Some(v)
       }
     }
@@ -273,7 +274,8 @@ object Warc {
       "containers" -> sum(when(col("__is_sentinel"), 1L).otherwise(0L)),
       "rows_out" -> sum(when(!col("__is_sentinel"), 1L).otherwise(0L)),
       "containers_dropped" -> sum(when(col("__is_sentinel") &&
-        col("__end_reason").isin("not_warc", "inflate_over_fence", "empty"),
+        col("__end_reason").isin("not_warc", "inflate_over_fence", "empty",
+          "io_error"),
         1L).otherwise(0L)),
       "containers_truncated" -> sum(when(col("__is_sentinel") &&
         col("__end_reason").isin("truncated", "corrupt"), 1L).otherwise(0L)),
