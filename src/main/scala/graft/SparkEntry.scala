@@ -501,6 +501,36 @@ object SparkEntry {
       rec("response", s"http://ex.com/$id/img",
         http(200, "image/png", s"PNGDATA$id"))
   }
+  /** Mixed-carrier WARC fixture (q289): per document an HTML response
+    * AND an application/pdf response (a real PDF from the engine's
+    * deterministic writer — Flate-compressed content every 2nd id),
+    * plus a 404 and an image/png response the router must exclude.
+    * Record indexes: warcinfo 0, request 1, html 2, pdf 3, 404 4,
+    * png 5. */
+  private def warcMixedFixture(id: Long): Array[Byte] = {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(status: Int, ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 $status OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val pdf = graft.sources.Pdf.buildSimplePdf(
+      Seq(Seq(s"pdf doc $id", s"second line $id")), flate = id % 2 == 1)
+    rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+      rec("request", s"http://ex.com/$id/h",
+        "GET / HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")) ++
+      rec("response", s"http://ex.com/$id/h",
+        http(200, "text/html", s"<p>html $id</p>".getBytes("UTF-8"))) ++
+      rec("response", s"http://ex.com/$id/doc.pdf",
+        http(200, "application/pdf", pdf)) ++
+      rec("response", s"http://ex.com/$id/gone",
+        http(404, "text/html", s"<p>gone $id</p>".getBytes("UTF-8"))) ++
+      rec("response", s"http://ex.com/$id/img",
+        http(200, "image/png", s"PNGDATA$id".getBytes("UTF-8")))
+  }
   private def gzipBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)
@@ -5787,6 +5817,69 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q285 — PDF text extraction ([[graft.sources.Pdf
+    // .extractPdfText]]): the biggest text carrier in a web crawl
+    // after HTML finally has a path into the training-text pipeline.
+    // Synthesis/oracle contract as q233/q242: each document writes a
+    // deterministic PDF whose page/line text follows a formula, the
+    // engine walks the REAL container (xref table or PDF 1.5 xref
+    // STREAM with ObjStm + PNG-Up predictor, by id: raw / Flate /
+    // xref-stream thirds), runs the content-stream text operators
+    // through WinAnsi decoding, and the oracle replays the formula
+    // with string_agg. 'café' pins the 0xE9 WinAnsi byte; parens and
+    // backslashes in the writer's escaper are pinned by PdfSpec's
+    // independent hand fixture. Every 50th payload is junk → nulls.
+    // Map-only: payload bytes never shuffle at any corpus size.
+    "q285_pdf_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "portable document? no".getBytes("UTF-8"))
+        else {
+          val pages = (0 until (1 + (id % 3)).toInt).map { p =>
+            (0 until (1 + ((id + p) % 3)).toInt).map { l =>
+              s"doc $id pg $p ln $l tok${(id * 7 + p * 3 + l) % 97}" +
+                (if (l % 2 == 0) " café" else "")
+            }
+          }
+          val bytes = (id % 3) match {
+            case 0 => graft.sources.Pdf.buildSimplePdf(pages, flate = false)
+            case 1 => graft.sources.Pdf.buildSimplePdf(pages, flate = true)
+            case _ => graft.sources.Pdf.buildXrefStreamPdf(pages)
+          }
+          (id, bytes)
+        }
+      }.toDF("doc_id", "pdf")
+      graft.sources.Pdf.describePdf(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "pdf", "doc"))
+        .select(col("media_id"), col("pdf_version"), col("n_pages"),
+          col("n_chars"), col("text"))
+        .orderBy("media_id")
+    }),
+
+    // Q289 — multi-carrier crawl text ([[graft.sources.Warc
+    // .warcDocText]]): the curation front door routes each 2xx
+    // response body by content type in ONE pass — text/html through
+    // the HtmlToText kernel, application/pdf through the REAL PDF
+    // extractor (q285's machinery) — so the PDF fraction of a crawl
+    // lands in the same (url, text) frame as the HTML fraction
+    // instead of being silently dropped. The fixture plants both
+    // carriers plus a 404 and an image that must route nowhere;
+    // every 50th container is junk (loud fence, zero rows). flatMap
+    // kernel; bodies never shuffle.
+    "q289_warc_doc_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val b = warcMixedFixture(id)
+          (id, if (id % 4 == 1) gzipBytes(b) else b)
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q251 — perceptual image hash ([[graft.sources.Multimodal
     // .imageDHash]]): the image-dedup analog of SimHash, now that
     // pixels actually decode — 9×8 floor-boundary luma blocks, bit =
@@ -10210,6 +10303,54 @@ object SparkEntry {
         |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
         |GROUP BY doc_id, k
         |ORDER BY media_id""".stripMargin,
+
+    // Page/line text replayed straight from the formula — the engine
+    // must reproduce it THROUGH the real PDF container: xref walk
+    // (classic and stream), Flate, content-stream operators, WinAnsi.
+    "q285_pdf_text" ->
+      """WITH pg AS (SELECT doc_id, p FROM documents,
+        |              generate_series(0, 2) t(p)
+        |            WHERE p < 1 + doc_id % 3),
+        |ln AS (SELECT doc_id, p, l FROM pg, generate_series(0, 2) t2(l)
+        |       WHERE l < 1 + (doc_id + p) % 3),
+        |lt AS (SELECT doc_id, p, l,
+        |         'doc ' || doc_id || ' pg ' || p || ' ln ' || l ||
+        |         ' tok' || ((doc_id * 7 + p * 3 + l) % 97) ||
+        |         CASE WHEN l % 2 = 0 THEN ' caf' || chr(233) ELSE '' END AS line
+        |       FROM ln),
+        |pt AS (SELECT doc_id, p, string_agg(line, chr(10) ORDER BY l) AS ptext
+        |       FROM lt GROUP BY doc_id, p),
+        |dt AS (SELECT doc_id, COUNT(*) AS n_pages,
+        |         string_agg(ptext, chr(10) ORDER BY p) AS text
+        |       FROM pt GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 3 = 2 THEN '1.5' ELSE '1.4' END AS pdf_version,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(t.n_pages AS INTEGER) END AS n_pages,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
+        |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Both carriers' texts replayed from their formulas — the engine
+    // must agree THROUGH the WARC walk, the HTTP parse, the
+    // content-type routing, the HTML cleaner, and the PDF container.
+    "q289_warc_doc_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/h' AS url,
+        |  'html' AS carrier,
+        |  'html ' || doc_id AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(3 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/doc.pdf' AS url,
+        |  'pdf' AS carrier,
+        |  'pdf doc ' || doc_id || chr(10) || 'second line ' || doc_id AS text
+        |FROM ids
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The whole v8 chain replayed over the derived page rows: the two
     // extraction stages reduce every page to the same two-sentence

@@ -3809,6 +3809,12 @@ object Multimodal {
               MediaInspectRow(id, Some("wav"), None, None, None, None, None,
                 None, Some(s.sampleRate), Some(s.nFrames),
                 Some(s.peakRaw), Some(s.sumSq)))
+          else if (Pdf.looksLikePdf(p))
+            // document carrier: name it so curation can route the
+            // payload to [[Pdf.describePdf]]; stats stay None (text
+            // extraction is that tier's job, not this sniffer's)
+            MediaInspectRow(id, Some("pdf"), None, None, None, None, None,
+              None, None, None, None, None)
           else none(id)
         }
       }

@@ -356,6 +356,56 @@ object Warc {
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
 
+  /** Multi-carrier crawl-to-text: ONE pass that routes each 2xx
+    * response body by its content type — text/html through the
+    * [[graft.functions.HtmlToText]] kernel, application/pdf through
+    * [[Pdf.extractPdfText]] — and emits a unified (url, carrier,
+    * text) row per extractable document. This is the curation front
+    * door for real corpora, where the second-biggest text carrier
+    * after HTML is PDF; unroutable or undecodable bodies simply
+    * contribute no row (the fence counters stay loud for container-
+    * level failures). Same flatMap-kernel scale posture as
+    * [[warcHtmlText]]: bodies never shuffle, only extracted text. */
+  def warcDocText(media: DataFrame, maxRecords: Int = 1 << 12,
+                  maxBody: Int = 1 << 24): DataFrame =
+    warcDocTextObserved(media, maxRecords, maxBody)._1
+
+  /** [[warcDocText]] plus the fence-counter Observation. */
+  def warcDocTextObserved(media: DataFrame, maxRecords: Int = 1 << 12,
+                          maxBody: Int = 1 << 24): (DataFrame, Observation) = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    val raw = media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        val parse = parseWarcOutcome(p, maxRecords, maxBody)
+        val rows = parse.records.flatMap { r =>
+          val ok = r.warcType.equalsIgnoreCase("response") &&
+            r.httpStatus.exists(s => s >= 200 && s < 300) && r.body.nonEmpty
+          val ct = r.contentType.map(_.toLowerCase(java.util.Locale.ROOT))
+          if (!ok) None
+          else if (ct.exists(_.startsWith("text/html"))) {
+            val (html, _) = decodeHtml(r.body, r.contentType)
+            Some((id, r.recordIdx, Option(r.targetUri), "html",
+              graft.functions.HtmlToText.clean(html),
+              null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith("application/pdf"))) {
+            Pdf.extractPdfText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "pdf", t.text,
+                null.asInstanceOf[String], 0))
+          } else None
+        }
+        rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
+          null.asInstanceOf[String], parse.endReason,
+          parse.truncatedBodies))
+      }
+      .toDF("media_id", "record_idx", "url", "carrier", "text",
+        "__end_reason", "__truncated_n")
+    val (observed, obs) = withFenceCounters(raw, "warc_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+  }
+
   /** The RAW decoded page surface: like [[warcHtmlText]] but emitting
     * the charset-decoded HTML string itself instead of extracted
     * text — the input for block-structured consumers
