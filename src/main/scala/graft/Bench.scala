@@ -16,17 +16,18 @@ import org.apache.spark.sql.SparkSession
   * start/end AND per entry so a judge can adjudicate from the
   * artifact alone; (b) any entry the drift gate flags (>1.5× its
   * gate reference + 0.3 s absolute grace) is automatically RE-RUN
-  * once after the full pass, behind a GC pause and a load-gated
-  * settle wait (sleep until loadavg < cpus/4, up to 2 min); (c) a
-  * fixed single-thread [[spinProbe]] (ALU + memory walk) timed at
-  * run start normalizes CPU comparisons by machine speed — SMT /
-  * memory-bandwidth contention that inflates entry CPU inflates the
-  * probe equally and cancels — and (round 11) re-timed NEXT TO each
-  * tripped entry's confirming retry, because a start-time probe
-  * predates a loaded tail (r10's q217_x10 false rc=1: probe ratio
-  * 1.28 at a quiet start vs 5.3× CPU inflation at loadavg 25); (d)
+  * once, DEFERRED to the very end of the round (round 14 — after the
+  * ANN-recall block, behind a GC pause and a settle wait down to the
+  * width margin, up to 4 min), so the 1-min loadavg EMA has drained
+  * the bench's own work plus the transient that tripped it; (c)
+  * machine speed is witnessed by ONE mechanism (round 14): the
+  * [[ConcProbe]] thread that samples DURING every timed attempt —
+  * SMT / memory-bandwidth contention that inflates entry CPU
+  * inflates the witness equally, and the entry's CPU is deflated by
+  * conc_probe/gate_conc before corroboration (the start-of-run and
+  * retry-adjacent spinProbe runs this superseded are retired); (d)
   * `regressed` (→ nonzero exit) requires ALL of: wall-slow in both
-  * passes, speed-normalized CPU corroboration, a quiet box (loadavg
+  * passes, witness-normalized CPU corroboration, a quiet box (loadavg
   * below cpus/4 at start and retry time), AND (round 11) at least
   * one of the ENTRY's own measurement windows quiet — loadavg is
   * sampled before/after every entry and before/after every retry, so
@@ -63,6 +64,19 @@ import org.apache.spark.sql.SparkSession
   * regressed- OR contended-classified entry carries its PRIOR clean
   * gate forward (r11's recorded run had polluted q150_x10's gate to
   * its inflated wall, masking real regressions up to ~22 s).
+  *
+  * Round 14 closes the r12 false rc=1 (q266: wall 1.62× / CPU 1.91×
+  * at entry loadavg 12.0→6.2 with a quiet one-thread probe — the
+  * probe found an idle core while the 32-thread entry fought for the
+  * rest): (h) the window-load width is PEAK-aware ([[peakWidth]]:
+  * baseline cpu/wall > 2 counts as full-width — load competes with
+  * the burst, not the average), with a busy MARGIN (max(1, cpus/16))
+  * under which any width reads quiet, so a settled retry can still
+  * confirm a full-width regression (ADVICE r13); (i) the
+  * [[smtCoupled]] signature — CPU-seconds inflating ≥1.3× more than
+  * wall — classifies as contended even under a quiet witness: more
+  * work inflates wall at least proportionally to CPU, only slower
+  * cycles can inflate CPU disproportionately (r10's q217_x10 shape).
   *
   * Known blind spot, accepted: a purely I/O-bound regression (e.g. a
   * broadcast flipping to a spilling sort-merge) adds wall but little
@@ -103,10 +117,10 @@ object Bench {
     * whole-box SMT/memory contention CPU-seconds inflate too (q147's
     * CPU went 11.3 → 25.5 s with zero code change under loadavg 3.8),
     * violating the r9 assumption that "contention inflates wall but
-    * not this JVM's CPU". The ratio is probeNow/probePrev from the
-    * fixed single-thread [[spinProbe]] — a machine-speed witness
-    * measured at each run's start — and the current CPU is DEFLATED
-    * by it before comparing, so a slower box can't manufacture a CPU
+    * not this JVM's CPU". Since round 14 the ratio is the during-run
+    * [[ConcProbe]] witness (conc_probe / gate_conc) — the one
+    * machine-speed mechanism — and the current CPU is DEFLATED by it
+    * before comparing, so a slower box can't manufacture a CPU
     * confirmation. Clamped ≥ 1: a faster box never inflates. */
   private[graft] def cpuCorroborated(cur: Double, prev: Double,
                                      speedRatio: Double = 1.0): Boolean = {
@@ -153,10 +167,12 @@ object Bench {
                               speedRatio: String => Double,
                               loadHigh: Boolean,
                               entryLoadHigh: String => Boolean,
-                              concQuiet: String => Boolean): (Seq[String], Seq[String]) =
+                              concQuiet: String => Boolean,
+                              smtSignature: String => Boolean = _ => false)
+      : (Seq[String], Seq[String]) =
     if (loadHigh) (Nil, wallRegressed)
     else wallRegressed.partition { k =>
-      !entryLoadHigh(k) && concQuiet(k) &&
+      !entryLoadHigh(k) && concQuiet(k) && !smtSignature(k) &&
         cpuCorroborated(cpuNow.getOrElse(k, -1.0), cpuPrev.getOrElse(k, -1.0),
           speedRatio(k))
     }
@@ -166,11 +182,51 @@ object Bench {
     * plus the ENTRY's own width (its baseline cpu/wall parallelism)
     * oversubscribes the box: loadavg 6 is quiet for a 2-core entry
     * and saturating for a 28-core one on 32 cpus. Width ≤ 0 (no
-    * baseline) falls back to the flat test alone. */
+    * baseline) falls back to the flat test alone.
+    *
+    * Round 14 (ADVICE r12/r13): the width leg requires load1 past a
+    * BUSY margin (max(1, cpus/16) — 2.0 on 32 cpus). Without it a
+    * full-width entry read "loaded" at ANY load1 > 0, which made a
+    * regression on the widest entries unconfirmable forever; with it
+    * a genuinely settled box (load1 under the margin) counts as
+    * quiet for every width, so the deferred confirm retry can still
+    * confirm a real full-width regression. */
   private[graft] def windowLoaded(load1: Double, threshold: Double,
                                   width: Double, cpus: Double): Boolean =
     load1 > threshold ||
-      (load1 >= 0 && width > 0 && cpus > 0 && load1 + width > cpus)
+      (width > 0 && cpus > 0 && load1 > math.max(1.0, cpus / 16.0) &&
+        load1 + width > cpus)
+
+  /** An entry's parallel width for the window-load test, PEAK-aware
+    * (round 14, r12 verdict task): the baseline average cpu/wall
+    * understates bursty plans — a 32-thread scan stage behind a
+    * single-threaded tail averages ~4 but competes for all 32 cpus
+    * during the scan. Any average above 2 therefore counts as
+    * full-width: background load competes with the BURST, not the
+    * average. (r12's q266 false rc=1: avg width 3.94 read the loaded
+    * 6.2–12.0 windows as quiet; full-width reads them loaded →
+    * contended.) No baseline → -1 (flat threshold test alone). */
+  private[graft] def peakWidth(baselineCpu: Double, baselineWall: Double,
+                               cpus: Double): Double =
+    if (baselineCpu <= 0 || baselineWall <= 0) -1.0
+    else { val avg = baselineCpu / baselineWall; if (avg > 2.0) cpus else avg }
+
+  /** SMT-sibling signature (round 14, r12 verdict task): CPU-seconds
+    * inflated ≥1.3× MORE than wall did (+0.1 absolute slack on the
+    * ratio-of-ratios). More work at unchanged machine speed inflates
+    * wall at least proportionally to CPU (the entry's parallelism
+    * doesn't grow because the plan got slower); cycles-getting-slower
+    * (SMT core sharing, memory bandwidth) inflates every worker
+    * thread's CPU-seconds while wall partially hides behind scheduler
+    * slack. The during-run probe can MISS that sharing when its one
+    * thread lands on an idle physical core — r10's q217_x10 false
+    * rc=1 had exactly this shape: CPU 4.3× vs wall 2.3× with quiet
+    * probes. A genuine 2× regression (wall 2×, CPU 2×) stays below
+    * the coupling bound and still trips. */
+  private[graft] def smtCoupled(wallNow: Double, wallRef: Double,
+                                cpuNow: Double, cpuRef: Double): Boolean =
+    wallNow > 0 && wallRef > 0 && cpuNow > 0 && cpuRef > 0 &&
+      (cpuNow / cpuRef) > (wallNow / wallRef) * 1.3 + 0.1
 
   /** Next round's gate reference for one entry: its measurement —
     * unless THIS round classified the entry regressed or contended,
@@ -182,35 +238,11 @@ object Bench {
                                suspect: Boolean): Double =
     if (suspect && prevGate > 0) math.min(v, prevGate) else v
 
-  /** Fixed single-thread machine-speed probe: an ALU spin interleaved
-    * with a 64 MB strided memory walk, so BOTH contention channels
-    * that inflate CPU-seconds (SMT core sharing, memory bandwidth)
-    * slow it proportionally. Deterministic work, min of 3 timings
-    * (the min is the least-contended sample). ~0.2–0.5 s/run clean. */
-  private[graft] def spinProbe(): Double = {
-    val mem = new Array[Long](1 << 23) // 64 MB
-    var i = 0
-    while (i < mem.length) { mem(i) = (i * 2862933555777941757L) >>> 3; i += 1 }
-    def once(): Double = {
-      val t0 = System.nanoTime()
-      var x = 1469598103934665603L
-      var idx = 0
-      var n = 0
-      while (n < 40000000) {
-        x = x * 1099511628211L + mem(idx)
-        idx = (idx + 4099) & (mem.length - 1)
-        n += 1
-      }
-      if (x == 42) System.err.print("") // defeat dead-code elimination
-      (System.nanoTime() - t0) / 1e9
-    }
-    once(); // warm (page faults, JIT)
-    math.min(once(), math.min(once(), once()))
-  }
-
-  /** The DURING-run machine-speed witness (round 12): one daemon
-    * thread sampling a small fixed ALU + 64 MB strided-walk kernel
-    * (1/20 of [[spinProbe]]'s work, ~15–30 ms clean) in a loop for as
+  /** The DURING-run machine-speed witness (round 12; since round 14
+    * the ONLY machine-speed probe — the start-of-run and
+    * retry-adjacent spinProbe runs it superseded are retired): one
+    * daemon thread sampling a small fixed ALU + 64 MB strided-walk
+    * kernel (~15–30 ms clean) in a loop for as
     * long as one timed attempt runs. SMT sharing and memory-bandwidth
     * pressure from ANY source — the entry's own threads plus whatever
     * else the box is running — slow every sample; comparing the
@@ -296,9 +328,6 @@ object Bench {
     // it can confirm a regression.
     val loadThreshold = cpus.toDouble / 4.0
 
-    // Machine-speed witness (see spinProbe): measured before any
-    // Spark work so it sees the same box the entries will.
-    val probeSec = try spinProbe() catch { case _: Throwable => -1.0 }
 
     // q37 (LSH-blocked embedding near-dup) and q49 (pair→group
     // connected components) track the LLM-pipeline ops a training
@@ -638,10 +667,9 @@ object Bench {
     // The entry's own baseline parallelism (cpu/wall) — how many cores
     // the entry itself occupies when healthy; feeds the width-aware
     // window-load test.
-    def entryWidth(k: String): Double = {
-      val c = prevCpu.getOrElse(k, -1.0); val w = prevGate.getOrElse(k, -1.0)
-      if (c > 0 && w > 0) c / w else -1.0
-    }
+    def entryWidth(k: String): Double =
+      peakWidth(prevCpu.getOrElse(k, -1.0), prevGate.getOrElse(k, -1.0),
+        cpus.toDouble)
     // A first-pass window counts as LOADED only when BOTH its samples
     // (before/after) fail the width-aware test — the after-sample is
     // confounded by the entry's own 32-thread work, so one loaded
@@ -655,35 +683,22 @@ object Bench {
     def trippedOf(res: Seq[(String, Double)]): Seq[String] = res.collect {
       case (k, v) if tripped(v, prevGate.getOrElse(k, -1.0)) => k
     }
-    // Machine-speed ratio vs the previous run's recorded probe: > 1
-    // means this box is measurably slower NOW (contention or weaker
-    // hardware); CPU comparisons deflate by it. No history → 1.
-    val prevProbe = parseSection(prevTxt, "calib", sfDir).getOrElse("probe_sec", -1.0)
-    val speedRatio =
-      if (probeSec > 0 && prevProbe > 0) math.max(1.0, probeSec / prevProbe) else 1.0
-
     // Contention recovery (r8 lesson: the recorded run shipped q37 at
     // 11.8× with zero plan change — machine contention, flagged by the
-    // gate but still recorded). Tripped entries get ONE more run after
-    // the full pass, behind a GC + settle pause so a transient noisy
-    // neighbor has passed; keep the min. An entry still >1.5× after
-    // that is a double-confirmed regression → nonzero exit below.
+    // gate but still recorded). Tripped entries get ONE more run
+    // each, DEFERRED to the very end of the round (round 14: the
+    // retry used to run straight after the first pass, when the
+    // 1-min loadavg EMA still carried the bench's own drain plus
+    // whatever external load caused the trip — r12's q266 confirm
+    // retry ran at loadavg 6.9 and just re-measured the contention).
+    // Running the retries after the ANN-recall block behind a
+    // margin-gated settle wait gives the EMA minutes to drain; keep
+    // the min. An entry still >1.5× after that is a double-confirmed
+    // regression → nonzero exit below.
     val trippedFirst = trippedOf(firstPass)
-    // The confirming re-run is only meaningful on a settled box: a
-    // retry under the same load that inflated the first pass just
-    // double-confirms the contention (r9's q147 rc=1 did exactly
-    // that). Sleep-retry up to ~2 min for loadavg to drop under
-    // cpus/4; the load observed at retry time feeds the
-    // classification below — if the box never settles, nothing can
-    // be called a regression this run.
     var loadAtRetry = -1.0
-    // Per-entry retry evidence (round 11): the probe re-run NEXT TO
-    // each confirming retry (start-of-run speed_ratio 1.28 could not
-    // cancel the 5.3× CPU inflation a loaded TAIL caused — r10's
-    // q217_x10), and the retry window's own load samples.
-    var retryProbe: Map[String, Double] = Map.empty
     var retryLoaded: Map[String, Boolean] = Map.empty
-    val results: Seq[(String, Double)] =
+    def confirmRetries(): Seq[(String, Double)] =
       if (trippedFirst.isEmpty) firstPass
       else {
         System.err.println(
@@ -691,17 +706,22 @@ object Bench {
             "re-running after settle, keeping min")
         System.gc()
         Thread.sleep(3000)
+        // settle to the WIDTH margin (max(1, cpus/16)), not just the
+        // flat cpus/4 threshold: the retry's loaded verdict for a
+        // full-width entry uses the margin, so waiting only to cpus/4
+        // would hand every wide entry a pre-loaded retry window and
+        // park it in contended forever.
+        val settleTarget = math.max(1.0, cpus.toDouble / 16.0)
         var waited = 0
-        while (load1() > loadThreshold && waited < 120) {
+        while (load1() > settleTarget && waited < 240) {
           System.err.println(
-            s"[bench] box busy (loadavg ${load1()} > $loadThreshold); waiting for settle")
+            s"[bench] box busy (loadavg ${load1()} > $settleTarget); waiting for settle")
           Thread.sleep(15000); waited += 15
         }
         loadAtRetry = load1()
         val retried = trippedFirst.flatMap { name =>
           runnerMap.get(name).map { run =>
             val preLoad = load1()
-            retryProbe += name -> (try spinProbe() catch { case _: Throwable => -1.0 })
             val r = attempt(run)
             val postLoad = load1()
             retryLoaded += name ->
@@ -887,6 +907,10 @@ object Bench {
         recallDrift.map(m => s"$m ${prevRecall(m).toLong} -> ${recall(m)}")
           .mkString(", "))
 
+    // deferred confirm retries run HERE — after the recall block, as
+    // far from the first pass's loadavg drain as the round gets
+    val results: Seq[(String, Double)] = confirmRetries()
+
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }.mkString("{", ",", "}")
     val total = results.map(_._2).filter(_ >= 0).sum
     val cur = results.toMap
@@ -918,16 +942,14 @@ object Bench {
       val now = concMap.getOrElse(k, -1.0); val g = prevConcGate.getOrElse(k, -1.0)
       now > 0 && g > 0 && now <= g * 1.25 + 0.005
     }
-    // Per-entry speed ratio: a tripped entry's CPU deflates by the
-    // probe run NEXT TO its retry when that probe is the slower
-    // witness — the start-of-run probe predates a loaded tail — and
-    // (round 12) by the during-run concurrent ratio, the only witness
-    // that can see contention INSIDE the measurement window.
-    val entrySpeedRatio: String => Double = { k =>
-      val rp = retryProbe.getOrElse(k, -1.0)
-      val rr = if (rp > 0 && prevProbe > 0) math.max(1.0, rp / prevProbe) else 1.0
-      math.max(math.max(speedRatio, rr), concRatio(k))
-    }
+    // Per-entry CPU deflator (round 14: ONE mechanism): the during-run
+    // concurrent ratio — the only witness that can see contention
+    // INSIDE the measurement window. The start-of-run/retry-adjacent
+    // spinProbe runs it used to max with are retired: every case they
+    // caught (r9 whole-box slowness, r10 loaded tail) is covered by
+    // concRatio when a gate_conc reference exists, and by concQuiet's
+    // no-positive-witness → contended rule when it doesn't.
+    val entrySpeedRatio: String => Double = concRatio
     // Entry-level load verdict: both of the entry's own windows
     // (first pass, retry) measured loaded → nothing trustworthy was
     // recorded for it. Missing retry evidence counts as loaded —
@@ -935,9 +957,17 @@ object Bench {
     val entryLoadHigh: String => Boolean = { k =>
       firstPassLoaded.getOrElse(k, false) && retryLoaded.getOrElse(k, true)
     }
+    // SMT-sibling signature (round 14): CPU-seconds inflating ≥1.3×
+    // MORE than wall is cycles-getting-slower, not more work — the
+    // shape of r10's q217_x10 (CPU 4.3× vs wall 2.3×), which a
+    // one-thread probe on an idle physical core cannot see.
+    val smtSignature: String => Boolean = { k =>
+      smtCoupled(cur.getOrElse(k, -1.0), prevGate.getOrElse(k, -1.0),
+        cpuMap.getOrElse(k, -1.0), prevCpu.getOrElse(k, -1.0))
+    }
     val (regressed, contended) =
       classify(wallRegressed, cpuMap, prevCpu, entrySpeedRatio, loadHigh,
-        entryLoadHigh, concQuiet)
+        entryLoadHigh, concQuiet, smtSignature)
     // x10 scale-trend entries, per-row-normalized: x10/base time ratio
     // (ideal ≤ 10 at full parallelism; >10 means superlinear = bad).
     val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150", "q217").flatMap { p =>
@@ -987,10 +1017,12 @@ object Bench {
       "\"" + k + "\":" + r3(entryLoad.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
     val loadPreJson = results.map { case (k, _) =>
       "\"" + k + "\":" + r3(entryLoadPre.getOrElse(k, -1.0)) }.mkString("{", ",", "}")
-    val retryProbeJson = retryProbe.toSeq.sortBy(_._1).map { case (k, v) =>
-      "\"" + k + "\":" + r3(v) }.mkString("{", ",", "}")
-    val calibJson = s"""{"probe_sec":${r3(probeSec)},"speed_ratio":${r3(speedRatio)},""" +
-      s""""load_threshold":$loadThreshold,"load_at_retry":${r3(loadAtRetry)}}"""
+    // round 14: the retry_probe / calib (probe_sec, speed_ratio)
+    // sections are retired with the spinProbe machinery they recorded
+    // — the during-run ConcProbe witness (conc_probe/gate_conc) is
+    // the one speed mechanism. The settle evidence stays:
+    val retryJson = s"""{"load_threshold":$loadThreshold,""" +
+      s""""load_at_retry":${r3(loadAtRetry)}}"""
     if (contended.nonEmpty) {
       val ev = contended.map { k =>
         val v = cur.getOrElse(k, -1.0)
@@ -1007,8 +1039,8 @@ object Bench {
     }
     if (regressed.nonEmpty)
       System.err.println(
-        s"[bench] REGRESSED >1.5x wall AND >1.3x speed-normalized CPU on a quiet box " +
-          s"(confirmed twice, speed_ratio=${r3(speedRatio)}): ${regressed.mkString(", ")}")
+        s"[bench] REGRESSED >1.5x wall AND >1.3x witness-normalized CPU on a " +
+          s"quiet box (confirmed twice, settled retry): ${regressed.mkString(", ")}")
     val recallJson = Seq("lsh_top10", "ivfpq_top10", "denom")
       .map(m => "\"" + m + "\":" + recall.getOrElse(m, -1L)).mkString("{", ",", "}")
     val recallDriftJson = recallDrift.map("\"" + _ + "\"").mkString("[", ",", "]")
@@ -1016,8 +1048,7 @@ object Bench {
       s""""cpu_sec":$cpuJson,"gate_wall":$gateJson,""" +
       s""""conc_probe":$concJson,"gate_conc":$gateConcJson,"prev_ratio":$ratioJson,""" +
       s""""gate_ratio":$gateRatioJson,"entry_loadavg":$loadJson,""" +
-      s""""entry_loadavg_pre":$loadPreJson,"retry_probe":$retryProbeJson,""" +
-      s""""calib":$calibJson,""" +
+      s""""entry_loadavg_pre":$loadPreJson,"retry":$retryJson,""" +
       s""""recall":$recallJson,"recall_drift":$recallDriftJson,""" +
       s""""ann_cache":"$annCacheStatus",""" +
       s""""regressed":$regJson,"contended":$contJson,"x10_scaleup":$scaleJson,""" +

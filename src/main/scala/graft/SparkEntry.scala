@@ -5856,6 +5856,41 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q286 — Office/eBook containers → training text ([[graft.sources
+    // .OfficeText]]): docx and epub are both ZIP-of-XML, so the tier
+    // composes the trusted ZIP extraction kernel (q268/q269) with a
+    // WordprocessingML paragraph walk (ECMA-376) and the OCF→OPF→
+    // spine resolution chain feeding the crawl tier's html_to_text.
+    // Synthesis/oracle contract as q285: even ids write a real docx
+    // (3 parts, w:p/w:r/w:t with entity-escaped '&'), odd ids a real
+    // epub (stored-first mimetype, container.xml, OPF manifest+spine,
+    // chapter XHTML), every 50th is junk → nulls. The oracle replays
+    // paragraph/chapter text with string_agg; n_members pins the
+    // container structure. Map-only; containers never shuffle.
+    "q286_office_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "office doc? no".getBytes("UTF-8"))
+        else if (id % 2 == 0) {
+          val paras = (0 until (1 + (id % 4)).toInt).map { p =>
+            s"docx $id para $p word${(id * 3 + p) % 31} & more"
+          }
+          (id, graft.sources.OfficeText.buildDocx(paras))
+        } else {
+          val chapters = (0 until (1 + (id % 3)).toInt).map { c =>
+            (s"Chapter $c of $id",
+              (0 until (1 + ((id + c) % 2)).toInt).map { p =>
+                s"epub $id ch $c para $p"
+              })
+          }
+          (id, graft.sources.OfficeText.buildEpub(chapters))
+        }
+      }.toDF("doc_id", "office")
+      graft.sources.OfficeText.describeOfficeText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "office", "doc"))
+        .orderBy("media_id")
+    }),
+
     // Q289 — multi-carrier crawl text ([[graft.sources.Warc
     // .warcDocText]]): the curation front door routes each 2xx
     // response body by content type in ONE pass — text/html through
@@ -10332,6 +10367,48 @@ object SparkEntry {
         |       ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
         |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Paragraph/chapter text replayed from the formulas — the engine
+    // must agree THROUGH the real ZIP containers, the
+    // WordprocessingML walk, and the OCF→OPF→spine→html_to_text
+    // chain. n_members pins container structure.
+    "q286_office_text" ->
+      """WITH dx AS (
+        |  SELECT doc_id,
+        |    string_agg('docx ' || doc_id || ' para ' || p ||
+        |      ' word' || ((doc_id * 3 + p) % 31) || ' & more',
+        |      chr(10) ORDER BY p) AS text,
+        |    CAST(3 AS INTEGER) AS n_members
+        |  FROM documents, generate_series(0, 3) t(p)
+        |  WHERE doc_id % 2 = 0 AND p < 1 + doc_id % 4
+        |  GROUP BY doc_id),
+        |epp AS (
+        |  SELECT doc_id, c, p FROM documents,
+        |    generate_series(0, 2) tc(c), generate_series(0, 1) tp(p)
+        |  WHERE doc_id % 2 = 1 AND c < 1 + doc_id % 3
+        |    AND p < 1 + (doc_id + c) % 2),
+        |epc AS (
+        |  SELECT doc_id, c,
+        |    'Chapter ' || c || ' of ' || doc_id || chr(10) ||
+        |    string_agg('epub ' || doc_id || ' ch ' || c || ' para ' || p,
+        |      chr(10) ORDER BY p) AS ctext
+        |  FROM epp GROUP BY doc_id, c),
+        |ep AS (
+        |  SELECT doc_id, string_agg(ctext, chr(10) ORDER BY c) AS text,
+        |    CAST(3 + COUNT(*) AS INTEGER) AS n_members
+        |  FROM epc GROUP BY doc_id),
+        |u AS (
+        |  SELECT doc_id, 'docx' AS format, n_members, text FROM dx
+        |  UNION ALL
+        |  SELECT doc_id, 'epub' AS format, n_members, text FROM ep)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.format END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.n_members END AS n_members,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
+        |FROM documents d JOIN u ON u.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
 
     // Both carriers' texts replayed from their formulas — the engine

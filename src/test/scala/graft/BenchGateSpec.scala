@@ -203,13 +203,87 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.gateCarry(14.58, -1.0, suspect = true) == 14.58)
   }
 
-  test("spinProbe returns a positive, repeatable machine-speed sample") {
-    val a = Bench.spinProbe()
-    val b = Bench.spinProbe()
-    assert(a > 0 && b > 0)
-    // same box, seconds apart: within 3x of each other (wide band —
-    // this only guards against a broken probe, not a noisy one)
-    assert(math.max(a, b) / math.min(a, b) < 3.0)
+  test("windowLoaded: busy margin — a settled box is quiet at EVERY width (ADVICE r13)") {
+    val cpus = 32.0; val thr = cpus / 4
+    // pre-r14 hole: a full-width (32) entry read "loaded" at ANY
+    // load1 > 0, so its regressions were unconfirmable forever. With
+    // the max(1, cpus/16)=2.0 margin a settled box reads quiet…
+    assert(!Bench.windowLoaded(0.4, thr, 32.0, cpus))
+    assert(!Bench.windowLoaded(1.9, thr, 32.0, cpus))
+    // …while real residual load still reads loaded for a wide entry
+    assert(Bench.windowLoaded(2.5, thr, 32.0, cpus))
+    assert(Bench.windowLoaded(6.22, thr, 32.0, cpus))
+  }
+
+  test("peakWidth: bursty plans count as full-width, narrow ones as themselves") {
+    // r12 q266 baseline: cpu 14.81 / wall 3.758 = 3.94 average — but
+    // the plan bursts all 32 threads during its scan stages, so load
+    // competes with 32, not 4
+    assert(Bench.peakWidth(14.81, 3.758, 32.0) == 32.0)
+    // genuinely narrow entry (cpu/wall 1.5): its own width
+    assert(Bench.peakWidth(3.0, 2.0, 32.0) == 1.5)
+    // no baseline: -1 (flat threshold test alone)
+    assert(Bench.peakWidth(-1.0, 2.0, 32.0) == -1.0)
+    assert(Bench.peakWidth(3.0, -1.0, 32.0) == -1.0)
+  }
+
+  test("smtCoupled: CPU inflating disproportionately more than wall is contention") {
+    // r10 q217_x10 verbatim: wall 9.80 vs 4.22 (2.32x), CPU 173.7 vs
+    // 40.3 (4.31x) — CPU inflated 1.86x MORE than wall: only slower
+    // cycles do that; more work inflates both together
+    assert(Bench.smtCoupled(9.80, 4.22, 173.7, 40.3))
+    // a genuine 2x regression: both axes together -> NOT the signature
+    assert(!Bench.smtCoupled(4.0, 2.0, 20.0, 10.0))
+    // r12 q266 (wall 1.62x, cpu 1.91x): coupled within the bound ->
+    // not this signature (that case is caught by peak-width loading)
+    assert(!Bench.smtCoupled(6.09, 3.758, 28.255, 14.81))
+    // missing evidence on any axis -> false (other rules decide)
+    assert(!Bench.smtCoupled(-1.0, 4.22, 173.7, 40.3))
+    assert(!Bench.smtCoupled(9.8, 4.22, 173.7, -1.0))
+  }
+
+  test("classify replaying BENCH_r12's recorded numbers lands q266 contended") {
+    // The fifth false rc=1, replayed from the artifact verbatim: wall
+    // 6.09 vs gate 3.758 (1.62x, tripped), CPU 28.255 vs 14.81
+    // (corroborates), entry_loadavg_pre 12.03 / post 6.22, retry at
+    // loadavg ~6.89, conc witness 0.021 vs gate 0.02 (read quiet —
+    // the one-thread probe found an idle core). Peak width: baseline
+    // cpu/wall 3.94 > 2 -> full-width 32 -> every window (12.03,
+    // 6.22, 6.89) is past the 2.0 margin and oversubscribes -> the
+    // entry has no trustworthy measurement -> contended, rc=0.
+    val w = Bench.peakWidth(14.81, 3.758, 32.0)
+    val thr = 8.0
+    val firstPassLoaded = Bench.windowLoaded(12.03, thr, w, 32.0) &&
+      Bench.windowLoaded(6.22, thr, w, 32.0)
+    val retryLoaded = Bench.windowLoaded(6.89, thr, w, 32.0) &&
+      Bench.windowLoaded(6.89, thr, w, 32.0)
+    assert(firstPassLoaded && retryLoaded)
+    val entryLoadHigh: String => Boolean = _ => firstPassLoaded && retryLoaded
+    val (reg, cont) = Bench.classify(Seq("q266_curation_v6"),
+      Map("q266_curation_v6" -> 28.255), Map("q266_curation_v6" -> 14.81),
+      ratio(1.05), loadHigh = false, entryLoadHigh, witnessed,
+      smtSignature = k => Bench.smtCoupled(6.09, 3.758, 28.255, 14.81))
+    assert(reg.isEmpty && cont == Seq("q266_curation_v6"))
+  }
+
+  test("a genuine 2x regression on a settled box still trips rc=1 after round 14") {
+    // Synthetic full-width entry, genuinely regressed: wall 3.0 vs
+    // gate 1.5 (2x), CPU 40 vs 20 (2x — coupled, NOT the SMT shape),
+    // first pass under the bench's own drain (load 5) but the
+    // DEFERRED retry on a settled box (load 0.6 < margin 2.0): the
+    // retry window is quiet at full width, the during-run witness is
+    // quiet, no signature fires -> regressed.
+    val w = Bench.peakWidth(40.0, 2.0, 32.0) // full-width plan
+    assert(w == 32.0)
+    val firstPassLoaded = Bench.windowLoaded(5.0, 8.0, w, 32.0)
+    val retryLoaded = Bench.windowLoaded(0.6, 8.0, w, 32.0)
+    assert(firstPassLoaded && !retryLoaded)
+    val entryLoadHigh: String => Boolean = _ => firstPassLoaded && retryLoaded
+    val (reg, cont) = Bench.classify(Seq("qX"),
+      Map("qX" -> 40.0), Map("qX" -> 20.0),
+      ratio(1.0), loadHigh = false, entryLoadHigh, witnessed,
+      smtSignature = _ => Bench.smtCoupled(3.0, 1.5, 40.0, 20.0))
+    assert(reg == Seq("qX") && cont.isEmpty)
   }
 
   test("ConcProbe samples concurrently, reports a median, and meters its own CPU") {

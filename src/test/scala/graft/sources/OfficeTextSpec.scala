@@ -1,0 +1,69 @@
+package graft.sources
+
+import graft.SparkSpec
+
+/** Pins [[OfficeText]]: docx WordprocessingML text walk, epub OCF →
+  * OPF → spine resolution, writer round-trips, entity handling,
+  * hostile containers, and the DataFrame router. */
+class OfficeTextSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("buildDocx round-trips: paragraphs, entities, tabs/breaks") {
+    val paras = Seq("first paragraph", "second & <escaped>", "third \"quoted\"")
+    val r = OfficeText.docxText(OfficeText.buildDocx(paras))
+    assert(r.contains(paras.mkString("\n")))
+  }
+
+  test("wordMlText handles inline w:tab / w:br and skips non-text runs") {
+    val xml =
+      """<w:document xmlns:w="x"><w:body>""" +
+        """<w:p><w:pPr><w:jc w:val="left"/></w:pPr>""" +
+        """<w:r><w:t>a</w:t></w:r><w:r><w:tab/><w:t>b</w:t></w:r></w:p>""" +
+        """<w:p><w:r><w:t xml:space="preserve"> kept </w:t></w:r>""" +
+        """<w:r><w:br/></w:r><w:r><w:t>next</w:t></w:r></w:p>""" +
+        """</w:body></w:document>"""
+    assert(OfficeText.wordMlText(xml, 1 << 20) == "a\tb\n kept \nnext")
+  }
+
+  test("buildEpub round-trips: spine order, chapter structure") {
+    val chapters = Seq(
+      ("Intro", Seq("first para", "second para")),
+      ("Body & More", Seq("third para")))
+    val r = OfficeText.epubText(OfficeText.buildEpub(chapters))
+    // per chapter: h1 title then body paragraphs (the <head>'s
+    // <title> is stripped, never duplicated); chapters in spine order
+    assert(r.contains(
+      "Intro\nfirst para\nsecond para\nBody & More\nthird para"))
+  }
+
+  test("hostile containers never throw and yield None") {
+    val cases = Seq(
+      Array.empty[Byte],
+      "not a zip".getBytes("UTF-8"),
+      OfficeText.buildDocx(Seq("x")).take(20).toArray, // truncated
+      null)
+    cases.foreach { b =>
+      assert(OfficeText.docxText(b).isEmpty)
+      assert(OfficeText.epubText(b).isEmpty)
+    }
+    // a plain zip with neither part: both None
+    val plain = Archives.zipMembers(OfficeText.buildDocx(Seq("x")))
+    assert(plain.nonEmpty) // sanity: the builder produced a walkable zip
+  }
+
+  test("describeOfficeText routes docx / epub / other") {
+    val pay = Seq(
+      (1L, OfficeText.buildDocx(Seq("alpha", "beta"))),
+      (2L, OfficeText.buildEpub(Seq(("T", Seq("p"))))),
+      (3L, "neither".getBytes("UTF-8"))).toDF("doc_id", "payload")
+    val rows = OfficeText.describeOfficeText(
+      Multimodal.asMedia(pay, "doc_id", "payload", "doc"))
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[String]("format") == "docx")
+    assert(rows(0).getAs[String]("text") == "alpha\nbeta")
+    assert(rows(0).getAs[Int]("n_members") == 3)
+    assert(rows(1).getAs[String]("format") == "epub")
+    assert(rows(1).getAs[Int]("n_members") == 4) // mimetype+container+opf+1
+    assert(rows(2).isNullAt(rows(2).fieldIndex("format")))
+  }
+}
