@@ -604,6 +604,62 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** On-disk ZIP fixture for the split-streaming ZIP reader (q287):
+    * one file per document (`z<id>.zip`), q284's member composition —
+    * two formula BMPs, a directory, a text note — written with
+    * java.util.zip.ZipOutputStream (DEFLATED + data descriptors, the
+    * layout streaming extractors must self-terminate through the
+    * Inflater on); every 3rd id leads with a STORED member (the
+    * sizes-in-local-header layout); junk bytes every 50th so the
+    * loud-drop path has work. Same executor-side generation +
+    * tmp-write-rename + same-filesystem assumption as
+    * [[tarStreamFixturePaths]]. */
+  private def zipStreamFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_zip_stream_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"z$id%08d.zip")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "zip? no".getBytes("UTF-8")
+          else {
+            val bos = new java.io.ByteArrayOutputStream()
+            val zo = new java.util.zip.ZipOutputStream(bos)
+            if (id % 3 == 1) { // stored lead member (no descriptor)
+              val body = s"stored $id".getBytes("UTF-8")
+              val e = new java.util.zip.ZipEntry("lead.txt")
+              e.setMethod(java.util.zip.ZipEntry.STORED)
+              e.setSize(body.length)
+              val crc = new java.util.zip.CRC32(); crc.update(body)
+              e.setCrc(crc.getValue)
+              zo.putNextEntry(e); zo.write(body); zo.closeEntry()
+            }
+            (0 until 2).foreach { k =>
+              zo.putNextEntry(new java.util.zip.ZipEntry(s"img$k.bmp"))
+              zo.write(bmp24Fixture(10, 8, (x, y) => (
+                ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+                ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+                ((id * 3 + k * 7 + x + y * 7) % 256).toInt)))
+              zo.closeEntry()
+            }
+            zo.putNextEntry(new java.util.zip.ZipEntry("notes/"))
+            zo.closeEntry()
+            zo.putNextEntry(new java.util.zip.ZipEntry("note.txt"))
+            zo.write(s"doc $id".getBytes("UTF-8"))
+            zo.closeEntry()
+            zo.close()
+            bos.toByteArray
+          }
+        val tmp = java.io.File.createTempFile("ztmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** Two-page WARC whose pages need NON-UTF-8 decodes (q277): page 0
     * declares ISO-8859-1 in the HTTP header and carries byte
     * 0xE0+id%5 (à..ä); page 1 declares windows-1251 only in a <meta
@@ -5856,6 +5912,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q287 — split-streaming ZIP → media pipeline ([[graft.sources
+    // .Archives.zipPathEntries]]): q284's composition replayed over
+    // on-disk ZIPs — the local-file-header streaming walk (data
+    // descriptors self-terminated through the Inflater, stored lead
+    // members every 3rd file, per-member bounded memory) feeds the
+    // same inspectMedia decode; the oracle replays the BMP channel
+    // sums from the pixel formulas. One task per path; member bytes
+    // never shuffle before decode.
+    "q287_zip_stream_media" -> ((s, d) => {
+      import s.implicits._
+      val paths = zipStreamFixturePaths(s, d)
+      val members = graft.sources.Archives.zipPathEntries(s, paths)
+        .where(col("name").endsWith(".bmp"))
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "z(\\d+)\\.zip$", 1).cast("long"))
+        .select((col("doc_id") * 10 +
+          when(col("name") === "img0.bmp", 0).otherwise(1)).as("mid"),
+          col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(members, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q286 — Office/eBook containers → training text ([[graft.sources
     // .OfficeText]]): docx and epub are both ZIP-of-XML, so the tier
     // composes the trusted ZIP extraction kernel (q268/q269) with a
@@ -10367,6 +10448,21 @@ object SparkEntry {
         |       ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
         |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // q284's oracle over the ZIP fixture: the same BMP channel sums
+    // replayed from the pixel formulas — the engine must agree
+    // THROUGH the streaming local-header walk and the BMP decode.
+    "q287_zip_stream_media" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'bmp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
         |ORDER BY media_id""".stripMargin,
 
     // Paragraph/chapter text replayed from the formulas — the engine

@@ -500,6 +500,56 @@ object Main {
         tdf.write.mode("overwrite").parquet(out)
         printWarcFences("warc-paths-text", tobs)
 
+      case "warc-doc-text" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // multi-carrier crawl text: html AND application/pdf bodies
+        // route to extractors in one pass; fences print LOUD
+        val (ddf, dobs) = graft.sources.Warc.warcDocTextObserved(
+          graft.sources.Multimodal.asMedia(
+            spark.read.parquet(in), idCol, payloadCol, "warc"))
+        ddf.write.mode("overwrite").parquet(out)
+        printWarcFences("warc-doc-text", dobs)
+
+      case "pdf-text" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // PDF payloads -> extracted text (xref walk, Flate, WinAnsi)
+        graft.sources.Pdf.describePdf(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "doc"))
+          .write.mode("overwrite").parquet(out)
+
+      case "office-text" :: in :: idCol :: payloadCol :: out :: Nil =>
+        // docx/epub containers -> training text
+        graft.sources.OfficeText.describeOfficeText(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "doc"))
+          .write.mode("overwrite").parquet(out)
+
+      case "tar-media" :: in :: out :: Nil =>
+        // split-streaming TAR members -> sniff-and-decode media stats;
+        // the tar_paths_fences counters print after every run, so an
+        // over-fence or corrupt file is a visible count, not silence
+        val (mdf, mobs) = graft.sources.Archives.tarPathMembersObserved(
+          spark, archivePathList(in, ".tar", ".tar.gz", ".tgz"))
+        graft.sources.Multimodal.inspectMedia(
+            mdf.where(!col("is_dir") && !col("truncated"))
+              .withColumn("media_id",
+                xxhash64(col("path"), col("entry_idx")))
+              .select(col("media_id"), col("payload")))
+          .write.mode("overwrite").parquet(out)
+        printArchiveFences("tar-media", mobs)
+
+      case "zip-media" :: in :: out :: Nil =>
+        // split-streaming ZIP members -> the same media pipeline;
+        // zip_paths_fences print after every run
+        val (zdf, zobs) = graft.sources.Archives.zipPathEntriesObserved(
+          spark, archivePathList(in, ".zip"))
+        graft.sources.Multimodal.inspectMedia(
+            zdf.where(!col("is_dir") && !col("truncated"))
+              .withColumn("media_id",
+                xxhash64(col("path"), col("entry_idx")))
+              .select(col("media_id"), col("payload")))
+          .write.mode("overwrite").parquet(out)
+        printArchiveFences("zip-media", zobs)
+
       case "archives" :: in :: idCol :: payloadCol :: out :: Nil =>
         // ZIP/TAR/GZIP member listing (central directory / ustar / header)
         graft.sources.Archives.describeArchives(
@@ -580,6 +630,26 @@ object Main {
       s"bodies_truncated=${m("bodies_truncated")}")
   }
 
+  private def printArchiveFences(cmd: String,
+                                 obs: org.apache.spark.sql.Observation): Unit = {
+    val m = obs.get
+    println(s"[$cmd] files=${m("files")} members_out=${m("members_out")} " +
+      s"dropped=${m("files_dropped")} corrupt=${m("files_corrupt")} " +
+      s"entry_capped=${m("entry_capped")} " +
+      s"members_truncated=${m("members_truncated")}")
+  }
+
+  /** Paths for the split-streaming archive commands: a directory
+    * (members matching the given suffixes) or a single file. */
+  private def archivePathList(in: String, suffixes: String*): Seq[String] = {
+    val f = new java.io.File(in)
+    if (f.isDirectory)
+      f.listFiles().toSeq
+        .filter(x => suffixes.exists(x.getName.endsWith))
+        .map(_.getAbsolutePath).sorted
+    else Seq(f.getAbsolutePath)
+  }
+
   /** Paths for the split-streaming WARC commands: a directory (its
     * *.warc / *.warc.gz members) or a single file. */
   private def warcPathList(in: String): Seq[String] = {
@@ -644,6 +714,11 @@ object Main {
         |  warc-text <in.parquet> <idCol> <payloadCol> <out>   (crawl -> clean training text; prints fence counters)
         |  warc-paths <fileOrDir> <out>        (split-streaming record listing over *.warc[.gz] files)
         |  warc-paths-text <fileOrDir> <out>   (split-streaming crawl -> clean training text)
+        |  warc-doc-text <in.parquet> <idCol> <payloadCol> <out>  (html + pdf carriers in one pass; prints fences)
+        |  pdf-text <in.parquet> <idCol> <payloadCol> <out>     (PDF -> extracted text)
+        |  office-text <in.parquet> <idCol> <payloadCol> <out>  (docx/epub -> training text)
+        |  tar-media <fileOrDir> <out>   (streamed *.tar[.gz] members -> media stats; prints tar_paths_fences)
+        |  zip-media <fileOrDir> <out>   (streamed *.zip members -> media stats; prints zip_paths_fences)
         |  archives <in.parquet> <idCol> <payloadCol> <out>    (ZIP/TAR/GZIP member listing)
         |  unzip <in.parquet> <idCol> <payloadCol> <out>       (ZIP members -> payload rows)
         |  subtitles <in.parquet> <idCol> <payloadCol> <out>   (SRT/VTT cues, markup stripped)

@@ -541,4 +541,276 @@ object Archives {
     (observed.where(col("entry_idx") >= 0)
       .drop("__end_reason", "__is_sentinel"), obs)
   }
+
+  // ==== split-streaming ZIP over file paths ==========================
+  //
+  // The ZIP sibling of [[tarPathMembers]]: a multi-GB .zip cannot be a
+  // row cell, so this walks the LOCAL file headers sequentially over
+  // FileSystem.open — the streaming rule real extractors follow when
+  // they cannot seek to the central directory first. Per member, at
+  // most the 30-byte header + name + min(usize, maxBytes) inflated
+  // bytes are resident; data-descriptor members (GP bit 3 — what
+  // java.util.zip.ZipOutputStream itself writes) stream through the
+  // Inflater until the deflate stream self-terminates, with the
+  // over-read tail pushed back for the next header. Oversized members
+  // skip on the wire with a LOUD truncated flag; zero-member files
+  // are counted, never silently absent.
+
+  /** One streamed ZIP member row (sentinels carry entryIdx -1). */
+  private final case class ZipRow(path: String, entryIdx: Int, name: String,
+                                  nBytes: Long, isDir: Boolean,
+                                  truncated: Boolean, payload: Array[Byte],
+                                  endReason: String)
+
+  /** Bounded streaming local-header walk over one ZIP stream.
+    * `next()` returns null at end; `endReason` then says why:
+    * ok | empty | not_zip | corrupt | entry_cap | io_error. */
+  private final class ZipStream(raw: java.io.InputStream, maxBytes: Int,
+                                maxEntries: Int) {
+    var endReason: String = null
+    private var idx = 0
+    // pushback must hold an Inflater over-read: one input chunk
+    private val in = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 1 << 13)
+    private def readFully(buf: Array[Byte], n: Int): Int = {
+      var off = 0
+      while (off < n) {
+        val r = in.read(buf, off, n - off)
+        if (r < 0) return off
+        off += r
+      }
+      off
+    }
+    private def skipFully(n: Long): Long = {
+      var left = n
+      val buf = new Array[Byte](1 << 16)
+      while (left > 0) {
+        val r = in.read(buf, 0, math.min(left, buf.length.toLong).toInt)
+        if (r < 0) return n - left
+        left -= r
+      }
+      n
+    }
+    private def le16(b: Array[Byte], i: Int): Int =
+      (b(i) & 0xff) | ((b(i + 1) & 0xff) << 8)
+    private def le32(b: Array[Byte], i: Int): Long =
+      (b(i) & 0xff).toLong | ((b(i + 1) & 0xff).toLong << 8) |
+        ((b(i + 2) & 0xff).toLong << 16) | ((b(i + 3) & 0xff).toLong << 24)
+
+    def next(): (String, Long, Boolean, Boolean, Array[Byte]) = {
+      if (endReason != null) return null
+      try nextInner()
+      catch { case _: java.io.IOException => endReason = "io_error"; null }
+    }
+    private def nextInner(): (String, Long, Boolean, Boolean, Array[Byte]) = {
+      if (idx >= maxEntries) { endReason = "entry_cap"; return null }
+      val sig = new Array[Byte](4)
+      val got = readFully(sig, 4)
+      if (got == 0) { endReason = if (idx == 0) "empty" else "ok"; return null }
+      if (got < 4) {
+        endReason = if (idx == 0) "not_zip" else "corrupt"; return null
+      }
+      le32(sig, 0) match {
+        case 0x04034b50L => // local file header
+        case 0x02014b50L | 0x06054b50L | 0x06064b50L | 0x08064b50L =>
+          // central directory / EOCD / zip64 EOCD / archive-extra:
+          // the member stream is over (an empty zip STARTS with EOCD)
+          endReason = if (idx == 0) "empty" else "ok"; return null
+        case _ =>
+          endReason = if (idx == 0) "not_zip" else "corrupt"; return null
+      }
+      val h = new Array[Byte](26)
+      if (readFully(h, 26) < 26) { endReason = "corrupt"; return null }
+      val flags = le16(h, 2)
+      val method = le16(h, 4)
+      val csize = le32(h, 14)
+      val usize = le32(h, 18)
+      val nameLen = le16(h, 22)
+      val extraLen = le16(h, 24)
+      if (nameLen > 4096) { endReason = "corrupt"; return null }
+      val nameBuf = new Array[Byte](nameLen)
+      if (readFully(nameBuf, nameLen) < nameLen ||
+          skipFully(extraLen) < extraLen) {
+        endReason = "corrupt"; return null
+      }
+      val name = new String(nameBuf, java.nio.charset.StandardCharsets.UTF_8)
+      val isDir = name.endsWith("/")
+      val descriptor = (flags & 0x8) != 0
+
+      if (!descriptor) {
+        // sizes known up front — the seekable-writer layout
+        val truncated = !isDir && usize > maxBytes
+        if (method == 0) {
+          if (truncated) {
+            if (skipFully(csize) < csize) { endReason = "corrupt"; return null }
+            idx += 1
+            (name, usize, isDir, truncated, Array.emptyByteArray)
+          } else {
+            val payload = new Array[Byte](usize.toInt)
+            if (readFully(payload, usize.toInt) < usize) {
+              endReason = "corrupt"; return null
+            }
+            idx += 1
+            (name, usize, isDir, false, payload)
+          }
+        } else if (method == 8) {
+          if (truncated) {
+            if (skipFully(csize) < csize) { endReason = "corrupt"; return null }
+            idx += 1
+            (name, usize, isDir, truncated, Array.emptyByteArray)
+          } else {
+            val comp = new Array[Byte](csize.toInt)
+            if (readFully(comp, csize.toInt) < csize) {
+              endReason = "corrupt"; return null
+            }
+            val out = new Array[Byte](usize.toInt)
+            val inf = new java.util.zip.Inflater(true)
+            inf.setInput(comp)
+            try {
+              var off = 0
+              while (off < out.length && !inf.finished()) {
+                val m = inf.inflate(out, off, out.length - off)
+                if (m == 0 && !inf.finished()) {
+                  endReason = "corrupt"; return null
+                }
+                off += m
+              }
+              if (off < out.length) { endReason = "corrupt"; return null }
+            } catch {
+              case _: java.util.zip.DataFormatException =>
+                endReason = "corrupt"; return null
+            } finally inf.end()
+            idx += 1
+            (name, usize, isDir, false, out)
+          }
+        } else { endReason = "corrupt"; null }
+      } else if (method == 8) {
+        // GP bit 3: sizes live in a trailing data descriptor — stream
+        // through the Inflater until the deflate stream self-ends,
+        // counting output; discard (but keep counting) past maxBytes
+        val inf = new java.util.zip.Inflater(true)
+        val chunk = new Array[Byte](1 << 13)
+        val outBuf = new java.io.ByteArrayOutputStream(1 << 12)
+        val scratch = new Array[Byte](1 << 13)
+        var total = 0L
+        var lastRead = 0 // length of the chunk currently set as input
+        try {
+          while (!inf.finished()) {
+            if (inf.needsInput()) {
+              val r = in.read(chunk, 0, chunk.length)
+              if (r < 0) { endReason = "corrupt"; return null }
+              lastRead = r
+              inf.setInput(chunk, 0, r)
+            }
+            val m = inf.inflate(scratch, 0, scratch.length)
+            if (m > 0) {
+              if (total < maxBytes)
+                outBuf.write(scratch, 0,
+                  math.min(m.toLong, maxBytes - total).toInt)
+              total += m
+            } else if (!inf.finished() && inf.needsDictionary()) {
+              endReason = "corrupt"; return null
+            }
+          }
+          // push the over-read tail back for the next header: the
+          // unconsumed bytes are the LAST `rem` of the current input
+          // window [0, lastRead)
+          val rem = inf.getRemaining
+          if (rem > 0) in.unread(chunk, lastRead - rem, rem)
+        } catch {
+          case _: java.util.zip.DataFormatException =>
+            endReason = "corrupt"; return null
+        } finally inf.end()
+        // data descriptor: optional signature, then crc/csize/usize
+        val dd = new Array[Byte](4)
+        if (readFully(dd, 4) < 4) { endReason = "corrupt"; return null }
+        val rest = if (le32(dd, 0) == 0x08074b50L) 12 else 8
+        if (skipFully(rest) < rest) { endReason = "corrupt"; return null }
+        val truncated = !isDir && total > maxBytes
+        idx += 1
+        (name, total, isDir,
+          truncated, if (truncated) Array.emptyByteArray else outBuf.toByteArray)
+      } else { endReason = "corrupt"; null }
+    }
+  }
+
+  /** Streaming member extraction over ZIP FILES — one task per path,
+    * per-member bounded memory; the schema and loudness contract of
+    * [[tarPathMembers]]: (path, entry_idx, name, n_bytes, is_dir,
+    * truncated, payload); oversized members keep their row with a
+    * LOUD truncated flag and an empty payload. Fence drops are
+    * counted: [[zipPathEntriesObserved]]. */
+  def zipPathEntries(spark: SparkSession, paths: Seq[String],
+                     maxBytes: Int = 1 << 24,
+                     maxEntries: Int = 1 << 16): DataFrame =
+    zipPathEntriesObserved(spark, paths, maxBytes, maxEntries)._1
+
+  /** [[zipPathEntries]] plus the fence counters (`zip_paths_fences`:
+    * files, members_out, files_dropped, files_corrupt, entry_capped,
+    * members_truncated — the [[tarPathMembersObserved]] contract). */
+  def zipPathEntriesObserved(spark: SparkSession, paths: Seq[String],
+                             maxBytes: Int = 1 << 24,
+                             maxEntries: Int = 1 << 16): (DataFrame, Observation) = {
+    import spark.implicits._
+    val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val raw = spark.createDataset(paths).repartition(n)
+      .flatMap { path =>
+        var stream: java.io.InputStream = null
+        val zs =
+          try {
+            val p = new org.apache.hadoop.fs.Path(path)
+            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            stream = fs.open(p)
+            new ZipStream(stream, maxBytes, maxEntries)
+          } catch {
+            case _: Exception =>
+              if (stream != null) { try stream.close() catch { case _: Exception => () } }
+              null
+          }
+        if (zs == null)
+          Iterator.single(ZipRow(path, -1, null, -1L, isDir = false,
+            truncated = false, Array.emptyByteArray, "io_error"))
+        else new Iterator[ZipRow] {
+          private var idx = 0
+          private var pending: Option[ZipRow] = None
+          private var sentinelSent = false
+          private val st = stream
+          private def advance(): Unit = {
+            while (pending.isEmpty && !sentinelSent) {
+              val m = zs.next()
+              if (m == null) {
+                try st.close() catch { case _: Exception => () }
+                pending = Some(ZipRow(path, -1, null, -1L, isDir = false,
+                  truncated = false, Array.emptyByteArray, zs.endReason))
+                sentinelSent = true
+              } else {
+                val (name, size, isDir, trunc, payload) = m
+                pending = Some(ZipRow(path, idx, name, size, isDir, trunc,
+                  payload, null))
+                idx += 1
+              }
+            }
+          }
+          def hasNext: Boolean = { advance(); pending.nonEmpty }
+          def next(): ZipRow = { advance(); val v = pending.get; pending = None; v }
+        }
+      }
+      .toDF("path", "entry_idx", "name", "n_bytes", "is_dir", "truncated",
+        "payload", "__end_reason")
+    val (observed, obs) = graft.core.Counters.observed(
+      raw.withColumn("__is_sentinel", col("entry_idx") < 0),
+      "zip_paths_fences",
+      "files" -> sum(when(col("__is_sentinel"), 1L).otherwise(0L)),
+      "members_out" -> sum(when(!col("__is_sentinel"), 1L).otherwise(0L)),
+      "files_dropped" -> sum(when(col("__is_sentinel") &&
+        col("__end_reason").isin("not_zip", "empty", "io_error"), 1L).otherwise(0L)),
+      "files_corrupt" -> sum(when(col("__is_sentinel") &&
+        (col("__end_reason") === "corrupt"), 1L).otherwise(0L)),
+      "entry_capped" -> sum(when(col("__is_sentinel") &&
+        (col("__end_reason") === "entry_cap"), 1L).otherwise(0L)),
+      "members_truncated" -> sum(when(!col("__is_sentinel") &&
+        col("truncated"), 1L).otherwise(0L)))
+    (observed.where(col("entry_idx") >= 0)
+      .drop("__end_reason", "__is_sentinel"), obs)
+  }
 }

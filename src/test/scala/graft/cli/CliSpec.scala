@@ -402,4 +402,75 @@ class CliSpec extends SparkSpec {
     // frame 1 (t=40) sits closer to the cue midpoint (50) than frame 0
     assert(pairs == Seq((1L, 0, "hello world", 1L, 0L)))
   }
+
+  test("tar-media / zip-media verbs stream archives and PRINT fence counters") {
+    val dir = java.nio.file.Files.createTempDirectory("cliarch").toFile
+    import org.apache.spark.sql.functions.col
+    // minimal valid 1x1 24bpp BMP (pixel B=10 G=20 R=30)
+    val bmp = {
+      val b = java.nio.ByteBuffer.allocate(58)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('B'.toByte).put('M'.toByte).putInt(58).putShort(0).putShort(0).putInt(54)
+      b.putInt(40).putInt(1).putInt(1).putShort(1).putShort(24)
+        .putInt(0).putInt(4).putInt(0).putInt(0).putInt(0).putInt(0)
+      b.put(10.toByte).put(20.toByte).put(30.toByte).put(0.toByte)
+      b.array()
+    }
+    // a zip (img + junk-text member), plus a junk "zip" for the fence
+    val zipBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("a.bmp")); z.write(bmp); z.closeEntry()
+      z.putNextEntry(new java.util.zip.ZipEntry("n.txt")); z.write("x".getBytes); z.closeEntry()
+      z.close(); bos.toByteArray
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "a.zip").toPath, zipBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "junk.zip").toPath,
+      "not a zip".getBytes)
+    // a tar with the same members, plus a junk "tar"
+    val tarBytes = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Seq("a.bmp" -> bmp, "n.txt" -> "x".getBytes).foreach { case (name, body) =>
+        val h = new Array[Byte](512)
+        System.arraycopy(name.getBytes, 0, h, 0, name.length)
+        def oct(v: Long, off: Int, len: Int): Unit = {
+          val s = java.lang.Long.toOctalString(v)
+          val p = ("0" * (len - 1 - s.length)) + s
+          System.arraycopy(p.getBytes, 0, h, off, len - 1)
+        }
+        oct(420, 100, 8); oct(0, 108, 8); oct(0, 116, 8)
+        oct(body.length, 124, 12); oct(0, 136, 12)
+        h(156) = '0'.toByte
+        java.util.Arrays.fill(h, 148, 156, ' '.toByte)
+        var sum = 0L; (0 until 512).foreach(i => sum += h(i) & 0xff)
+        val cs = java.lang.Long.toOctalString(sum)
+        System.arraycopy((("0" * (6 - cs.length)) + cs).getBytes, 0, h, 148, 6)
+        h(154) = 0; h(155) = ' '.toByte
+        bos.write(h); bos.write(body)
+        bos.write(new Array[Byte]((512 - body.length % 512) % 512))
+      }
+      bos.write(new Array[Byte](1024)); bos.toByteArray
+    }
+    java.nio.file.Files.write(new java.io.File(dir, "a.tar").toPath, tarBytes)
+    java.nio.file.Files.write(new java.io.File(dir, "junk.tar").toPath,
+      "definitely not tar headers".getBytes)
+    // capture stdout: the fence line must PRINT after every run
+    def captured(f: => Unit): String = {
+      val bos = new java.io.ByteArrayOutputStream()
+      Console.withOut(new java.io.PrintStream(bos)) {
+        scala.util.Try(f)
+      }
+      bos.toString("UTF-8")
+    }
+    val zOut = captured(runVerb("zip-media", dir.getAbsolutePath, s"$dir/zm"))
+    assert(zOut.contains("[zip-media] files=2 members_out=2 dropped=1 " +
+      "corrupt=0 entry_capped=0 members_truncated=0"), zOut)
+    val zm = spark.read.parquet(s"$dir/zm")
+    assert(zm.where(col("format") === "bmp").count() == 1)
+    val tOut = captured(runVerb("tar-media", dir.getAbsolutePath, s"$dir/tm"))
+    assert(tOut.contains("[tar-media] files=2 members_out=2 dropped=1 " +
+      "corrupt=0 entry_capped=0 members_truncated=0"), tOut)
+    val tm = spark.read.parquet(s"$dir/tm")
+    assert(tm.where(col("format") === "bmp").count() == 1)
+  }
 }
