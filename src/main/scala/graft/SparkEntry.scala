@@ -604,6 +604,52 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
+    * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
+    * every language's score (LIST_FILTER function-word hits + weighted
+    * script-range character counts via REGEXP_REPLACE), the argmax
+    * CASE chain with the alphabetical-first tie rule, and the integer
+    * basis-point confidence (`//` — DuckDB's integer division, the
+    * exact-integer twin of Spark's DIV; no ROUND semantics anywhere).
+    * Generating both engines' formulas from ONE profile table is the
+    * only way a 31-language × 30-comparison chain stays in lockstep. */
+  private lazy val q288OracleSql: String = {
+    val profiles = graft.llm.LangId.CrawlProfiles
+    val langs = profiles.keys.toSeq.sorted
+    val samples = graft.llm.LangId.CrawlSamples
+    def sqlLit(s: String) = "'" + s.replace("'", "''") + "'"
+    val textCase = langs.indices.map(i =>
+      s"WHEN $i THEN ${sqlLit(samples(langs(i)))}").mkString(" ")
+    val scoreExprs = langs.map { l =>
+      val p = profiles(l)
+      val wordPart =
+        if (p.words.isEmpty) "CAST(0 AS BIGINT)"
+        else "CAST(LEN(LIST_FILTER(ws, w -> w IN (" +
+          p.words.map(sqlLit).mkString(",") + "))) AS BIGINT)"
+      val scriptParts = p.scripts.map { case (from, to, wt) =>
+        s" + $wt * (LENGTH(text) - LENGTH(REGEXP_REPLACE(text, '[$from-$to]', '', 'g')))"
+      }.mkString
+      s"$wordPart$scriptParts AS s_$l"
+    }
+    val caseChain = langs.map { l =>
+      val conds = langs.filter(_ != l).map(o => s"s_$l >= s_$o").mkString(" AND ")
+      s"WHEN $conds THEN '$l'"
+    }.mkString(" ")
+    val totalExpr = langs.map(l => s"s_$l").mkString(" + ")
+    val greatestExpr = "GREATEST(" + langs.map(l => s"s_$l").mkString(", ") + ")"
+    s"WITH t AS (SELECT doc_id, " +
+      s"LTRIM(REPEAT(' ' || CASE CAST(doc_id % ${langs.size} AS INTEGER) " +
+      s"$textCase END, CAST(1 + doc_id % 3 AS INTEGER))) AS text " +
+      s"FROM documents), " +
+      s"tok AS (SELECT doc_id, text, STRING_SPLIT(LOWER(text), ' ') AS ws FROM t), " +
+      s"s AS (SELECT doc_id, ${scoreExprs.mkString(", ")} FROM tok), " +
+      s"p AS (SELECT doc_id, CASE $caseChain END AS pred_lang, " +
+      s"$greatestExpr AS score, $totalExpr AS total FROM s) " +
+      s"SELECT doc_id, pred_lang, score, total, " +
+      s"CASE WHEN total > 0 THEN score * 10000 // total END AS conf_bp " +
+      s"FROM p ORDER BY doc_id"
+  }
+
   /** On-disk ZIP fixture for the split-streaming ZIP reader (q287):
     * one file per document (`z<id>.zip`), q284's member composition —
     * two formula BMPs, a directory, a text note — written with
@@ -5937,6 +5983,31 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q288 — crawl-breadth language ID with confidences ([[graft.llm
+    // .LangId.predictCrawl]]): 31 languages — 20 Latin-script plus
+    // Cyrillic (ru/uk/bg), Greek, Arabic-script (ar/fa), Hebrew,
+    // Devanagari, Thai, Hangul, kana, Han — scored as function-word
+    // hits + weighted script-block character counts (the signal for
+    // languages without word boundaries), argmax with the
+    // alphabetical-first tie rule, confidence in integer basis
+    // points. The fixture assigns each doc a language by id and
+    // repeats that language's deterministic sample 1–3×; the oracle
+    // is GENERATED from the same profile table (q288OracleSql), so
+    // the two engines replay the identical scoring formula over the
+    // identical text. Map-only, no shuffle.
+    "q288_crawl_lang_id" -> ((s, d) => {
+      import s.implicits._
+      val langs = graft.llm.LangId.CrawlProfiles.keys.toSeq.sorted
+      val samples = graft.llm.LangId.CrawlSamples
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val lang = langs((id % langs.size).toInt)
+        val r = (1 + id % 3).toInt
+        (id, Seq.fill(r)(samples(lang)).mkString(" "))
+      }.toDF("doc_id", "text")
+      graft.llm.LangId.predictCrawl(pay, "doc_id", "text")
+        .orderBy("doc_id")
+    }),
+
     // Q286 — Office/eBook containers → training text ([[graft.sources
     // .OfficeText]]): docx and epub are both ZIP-of-XML, so the tier
     // composes the trusted ZIP extraction kernel (q268/q269) with a
@@ -10449,6 +10520,11 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
         |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // GENERATED from LangId.CrawlProfiles/CrawlSamples (the literal
+    // constants), so the SQL scoring formula and argmax chain can
+    // never drift from the Scala ones — see q288OracleSql below.
+    "q288_crawl_lang_id" -> q288OracleSql,
 
     // q284's oracle over the ZIP fixture: the same BMP channel sums
     // replayed from the pixel formulas — the engine must agree

@@ -41,4 +41,43 @@ class LangIdSpec extends SparkSpec {
       .collect().head
     assert(row.getString(1) == "xx" && row.getLong(2) == 2L)
   }
+
+  test("crawl tier: every language's sample identifies as itself, with confidence") {
+    // the discriminative check across all ~30 profiles: each sample
+    // must out-score every OTHER profile (shared-script siblings and
+    // stopword collisions included), and score a positive confidence
+    val docs = LangId.CrawlSamples.toSeq.sortBy(_._1).zipWithIndex
+      .map { case ((lang, sample), i) => (i.toLong, lang, sample) }
+      .toDF("doc_id", "lang", "text")
+    val got = LangId.predictCrawl(docs, "doc_id", "text")
+      .join(docs.select("doc_id", "lang"), "doc_id")
+      .select("lang", "pred_lang", "score", "total", "conf_bp")
+      .as[(String, String, Long, Long, Long)].collect()
+    got.foreach { case (lang, pred, score, total, conf) =>
+      assert(pred == lang, s"$lang predicted as $pred")
+      assert(score > 0 && total >= score, s"$lang score=$score total=$total")
+      assert(conf == score * 10000 / total && conf > 0, s"$lang conf=$conf")
+    }
+    assert(got.length == LangId.CrawlProfiles.size && got.length >= 30)
+  }
+
+  test("crawl tier: script discrimination — kana beats Han for Japanese, " +
+       "Cyrillic siblings split on function words") {
+    val docs = Seq(
+      (1L, "吾輩は猫である名前はまだ無い"), // ja: Han + kana mixed
+      (2L, "软件工程需要大量的测试"), // zh: Han only
+      (3L, "это не так как в прошлом году но что же"), // ru
+      (4L, "це не так як у минулому році що й до того"), // uk
+      (5L, "mixed latin text with the and of plus ไทยนิดหน่อย")) // en words dominate
+      .toDF("doc_id", "text")
+    val got = LangId.predictCrawl(docs, "doc_id", "text")
+      .select("doc_id", "pred_lang").as[(Long, String)].collect().toMap
+    assert(got(1L) == "ja", got.toString) // は/で/あ kana ×3 outweighs Han
+    assert(got(2L) == "zh", got.toString)
+    assert(got(3L) == "ru" && got(4L) == "uk", got.toString)
+    // doc 5: 4 English function words (the/and/of/with) vs 11 Thai
+    // chars — Thai script wins on raw chars; pin whichever the rule
+    // says so drift is loud: th = 11 > en = 4
+    assert(got(5L) == "th", got.toString)
+  }
 }
