@@ -372,7 +372,12 @@ object Bench {
       "q266_curation_v6", "q271_warc_text",
       // round-12: curation v8 — the modern web chain (raw pages →
       // main-content blocks → C4 lines → URL + content dedup)
-      "q281_curation_v8")
+      "q281_curation_v8",
+      // round-14: the document-carrier tier — PDF container decode
+      // (xref/Flate/content-stream interpretation; byte-kernel
+      // throughput like q250) and the multi-carrier WARC router
+      // (html + pdf in one record-stream pass)
+      "q285_pdf_text", "q289_warc_doc_text")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -3475,9 +3475,12 @@ object Multimodal {
               }
             }
           }
+          // tFirst/tSpc are always assigned together from the same
+          // stsc branch, so tFirst alone carries the null check; the
+          // nonEmpty is the guard that keeps a zero-entry stsc box
+          // from indexing stscFirst(0) in the chunk walk below
           if (isVide && codecOk && tChunks != null && tFirst != null &&
-              tFirst.nonEmpty && tSpc != null && tSpc.nonEmpty &&
-              tN > 0 && (tUniform > 0 || tSizes != null)) {
+              tFirst.nonEmpty && tN > 0 && (tUniform > 0 || tSizes != null)) {
             found = true
             uniformSize = tUniform; sizes = tSizes; chunkOffs = tChunks
             stscFirst = tFirst; stscSpc = tSpc
@@ -3815,7 +3818,19 @@ object Multimodal {
             // extraction is that tier's job, not this sniffer's)
             MediaInspectRow(id, Some("pdf"), None, None, None, None, None,
               None, None, None, None, None)
-          else none(id)
+          else if (u8(0) == 'P' && u8(1) == 'K' &&
+                   (u8(2) == 3 || u8(2) == 5 || u8(2) == 7)) {
+            // ZIP family: name the document containers so curation can
+            // route them to [[OfficeText.describeOfficeText]]
+            val names = Archives.parseZipEntries(p).map(_.map(_.name).toSet)
+              .getOrElse(Set.empty[String])
+            val fmt =
+              if (names.contains("word/document.xml")) "docx"
+              else if (names.contains("META-INF/container.xml")) "epub"
+              else "zip"
+            MediaInspectRow(id, Some(fmt), None, None, None, None, None,
+              None, None, None, None, None)
+          } else none(id)
         }
       }
       .toDF("media_id", "format", "width", "height", "n_pixels",

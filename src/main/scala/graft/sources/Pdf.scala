@@ -339,6 +339,116 @@ object Pdf {
     Some(out)
   }
 
+  /** PDF LZWDecode (ISO 32000-1 §7.4.4.2): TIFF-style LZW — MSB-first
+    * bit packing (GIF's mirror image), 9→12-bit codes, 256=clear,
+    * 257=EOD, and the EarlyChange quirk (default 1: the code width
+    * grows one entry EARLY). Output fenced to `maxOut`. */
+  private[sources] def lzwDecode(data: Array[Byte], earlyChange: Int,
+                                 maxOut: Int): Option[Array[Byte]] = {
+    if (data == null || data.isEmpty) return Some(Array.emptyByteArray)
+    val out = new java.io.ByteArrayOutputStream(math.min(maxOut, 1 << 12))
+    val dict = new Array[Array[Byte]](4096)
+    var i = 0
+    while (i < 256) { dict(i) = Array(i.toByte); i += 1 }
+    var dictSize = 258
+    var codeLen = 9
+    var prev: Array[Byte] = null
+    var bitBuf = 0L
+    var bitCnt = 0
+    var pos = 0
+    def nextCode(): Int = {
+      while (bitCnt < codeLen) {
+        if (pos >= data.length) return -1
+        bitBuf = (bitBuf << 8) | (data(pos) & 0xff); pos += 1; bitCnt += 8
+      }
+      val c = ((bitBuf >> (bitCnt - codeLen)) & ((1L << codeLen) - 1)).toInt
+      bitCnt -= codeLen
+      c
+    }
+    var going = true
+    while (going) {
+      val c = nextCode()
+      if (c == -1 || c == 257) going = false // EOD (or data exhausted)
+      else if (c == 256) { // clear table
+        dictSize = 258; codeLen = 9; prev = null
+      } else {
+        val entry =
+          if (c < dictSize && dict(c) != null) dict(c)
+          else if (c == dictSize && prev != null) prev :+ prev(0)
+          else return None // code past the table: corrupt
+        if (out.size + entry.length > maxOut) return None // fence
+        out.write(entry, 0, entry.length)
+        if (prev != null && dictSize < 4096) {
+          dict(dictSize) = prev :+ entry(0); dictSize += 1
+        }
+        prev = entry
+        if (codeLen < 12 && dictSize + earlyChange >= (1 << codeLen))
+          codeLen += 1
+      }
+    }
+    Some(out.toByteArray)
+  }
+
+  /** ASCII85Decode (ISO 32000-1 §7.4.3): 5 chars (−33) base-85 → 4
+    * bytes, `z` = four zero bytes, `~>` ends, partial final group of
+    * n chars yields n−1 bytes (pad with 'u'). Whitespace skipped. */
+  private[sources] def ascii85Decode(data: Array[Byte]): Option[Array[Byte]] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    val grp = new Array[Int](5)
+    var n = 0
+    var i = 0
+    var done = false
+    def flush(chars: Int): Boolean = {
+      if (chars == 0) return true
+      if (chars == 1) return false // a 1-char final group is corrupt
+      var v = 0L
+      var k = 0
+      while (k < 5) { v = v * 85 + (if (k < chars) grp(k) else 84); k += 1 }
+      if (v > 0xffffffffL) return false
+      var b = 0
+      while (b < chars - 1) { // full group emits 4, partial chars−1
+        out.write(((v >> ((3 - b) * 8)) & 0xff).toInt); b += 1
+      }
+      true
+    }
+    while (i < data.length && !done) {
+      val c = data(i) & 0xff
+      if (c == '~') done = true
+      else if (c == 'z' && n == 0) { out.write(0); out.write(0); out.write(0); out.write(0) }
+      else if (isWs(c)) ()
+      else if (c >= '!' && c <= 'u') {
+        grp(n) = c - '!'; n += 1
+        if (n == 5) { if (!flush(5)) return None; n = 0 }
+      } else return None
+      i += 1
+    }
+    if (n > 0 && !flush(n)) return None
+    Some(out.toByteArray)
+  }
+
+  /** RunLengthDecode (ISO 32000-1 §7.4.5): length byte 0–127 copies
+    * L+1 literals, 129–255 repeats the next byte 257−L times, 128
+    * ends. */
+  private[sources] def runLengthDecode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(data.length)
+    var i = 0
+    var done = false
+    while (i < data.length && !done) {
+      val l = data(i) & 0xff
+      i += 1
+      if (l == 128) done = true
+      else if (l < 128) {
+        val take = math.min(l + 1, data.length - i)
+        out.write(data, i, take); i += take
+      } else if (i < data.length) {
+        val b = data(i); i += 1
+        var k = 257 - l
+        while (k > 0) { out.write(b); k -= 1 }
+      }
+    }
+    out.toByteArray
+  }
+
   private def asciiHexDecode(data: Array[Byte]): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream()
     var hi = -1
@@ -642,7 +752,14 @@ object Pdf {
               unpredict(inf, pInt("Predictor", 1), pInt("Columns", 1),
                 pInt("Colors", 1), pInt("BitsPerComponent", 8))
             }
+          case "LZWDecode" | "LZW" =>
+            lzwDecode(acc, pInt("EarlyChange", 1), maxOut).flatMap { dec =>
+              unpredict(dec, pInt("Predictor", 1), pInt("Columns", 1),
+                pInt("Colors", 1), pInt("BitsPerComponent", 8))
+            }
           case "ASCIIHexDecode" | "AHx" => Some(asciiHexDecode(acc))
+          case "ASCII85Decode" | "A85" => ascii85Decode(acc)
+          case "RunLengthDecode" | "RL" => Some(runLengthDecode(acc))
           case _ => None
         }
       }
@@ -930,6 +1047,10 @@ object Pdf {
       }
       val doc = new Doc(bytes, maxObjects)
       if (!doc.load()) return None
+      // encrypted documents bail EXPLICITLY (strings and streams are
+      // RC4/AES-enciphered; decryption keys are out of scope) — the
+      // alternative is garbage text that LOOKS extracted
+      if (doc.trailer.get("Encrypt").isDefined) return None
       val root = doc.resolve(doc.trailer.get("Root").getOrElse(PNull)) match {
         case d: PDict => d
         case _ => return None

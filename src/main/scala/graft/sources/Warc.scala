@@ -265,8 +265,11 @@ object Warc {
     * existing plan via `observe` (retry-safe, no extra pass — the
     * [[graft.core.Counters]] machinery). Read the Observation after an
     * action: containers_dropped > 0 means whole files contributed ZERO
-    * rows (over-fence gzip, not-WARC bytes), records_capped /
-    * bodies_truncated name per-record fence cuts. */
+    * rows (over-fence gzip, not-WARC bytes, I/O failure before the
+    * first record); a mid-stream I/O death AFTER records were emitted
+    * counts `io_error_partial` under containers_truncated (ADVICE
+    * r13 — such a container is cut short, not absent); records_capped
+    * / bodies_truncated name per-record fence cuts. */
   private def withFenceCounters(rows: DataFrame, name: String): (DataFrame, Observation) =
     graft.core.Counters.observed(
       rows.withColumn("__is_sentinel", col("record_idx") < 0),
@@ -278,7 +281,8 @@ object Warc {
           "io_error"),
         1L).otherwise(0L)),
       "containers_truncated" -> sum(when(col("__is_sentinel") &&
-        col("__end_reason").isin("truncated", "corrupt"), 1L).otherwise(0L)),
+        col("__end_reason").isin("truncated", "corrupt", "io_error_partial"),
+        1L).otherwise(0L)),
       "records_capped" -> sum(when(col("__is_sentinel") &&
         (col("__end_reason") === "record_cap"), 1L).otherwise(0L)),
       "bodies_truncated" -> sum(coalesce(col("__truncated_n"), lit(0)).cast("long")))
@@ -462,7 +466,9 @@ object Warc {
 
   /** Bounded streaming record walk over one (possibly gzipped) WARC
     * stream. `next()` returns null at end of walk; `endReason` then
-    * says why (same vocabulary as [[WarcParse]], plus `io_error`). */
+    * says why (same vocabulary as [[WarcParse]], plus `io_error` for
+    * a stream dead before its first record and `io_error_partial`
+    * for one dying after records were already emitted). */
   private[sources] final class WarcStream(raw: java.io.InputStream,
                                           maxBody: Int,
                                           maxRecords: Int = 1 << 20) {
@@ -506,7 +512,14 @@ object Warc {
     def next(): WarcRecord = {
       if (endReason != null) return null
       try nextInner()
-      catch { case _: java.io.IOException => endReason = "io_error"; null }
+      catch {
+        case _: java.io.IOException =>
+          // records may already have been emitted — a mid-stream I/O
+          // death is a TRUNCATED container (ADVICE r13); only a file
+          // that dies before its first record is a zero-row drop
+          endReason = if (idx == 0) "io_error" else "io_error_partial"
+          null
+      }
     }
 
     private def nextInner(): WarcRecord = {

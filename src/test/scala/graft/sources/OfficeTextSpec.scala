@@ -51,6 +51,39 @@ class OfficeTextSpec extends SparkSpec {
     assert(plain.nonEmpty) // sanity: the builder produced a walkable zip
   }
 
+  test("bit-flip fuzz across both containers: any outcome but a throw") {
+    val docx = OfficeText.buildDocx(Seq("alpha", "beta & gamma"))
+    val epub = OfficeText.buildEpub(Seq(("T", Seq("p1", "p2"))))
+    for (base <- Seq(docx, epub); i <- 0 until base.length by 11) {
+      val mut = base.clone()
+      mut(i) = (mut(i) ^ 0x5a).toByte
+      OfficeText.docxText(mut); OfficeText.epubText(mut) // must not throw
+    }
+    (1 until docx.length by 37).foreach { n =>
+      OfficeText.docxText(docx.take(n)); OfficeText.epubText(epub.take(n))
+    }
+  }
+
+  test("inspectMedia names document containers: docx / epub / plain zip") {
+    val zipOther = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new java.util.zip.ZipOutputStream(bos)
+      z.putNextEntry(new java.util.zip.ZipEntry("data.txt"))
+      z.write("x".getBytes); z.closeEntry(); z.close()
+      bos.toByteArray
+    }
+    val pay = Seq(
+      (1L, OfficeText.buildDocx(Seq("d"))),
+      (2L, OfficeText.buildEpub(Seq(("t", Seq("p"))))),
+      (3L, zipOther)).toDF("doc_id", "payload")
+    val rows = Multimodal.inspectMedia(
+        Multimodal.asMedia(pay, "doc_id", "payload", "doc"))
+      .orderBy("media_id").collect()
+    assert(rows(0).getAs[String]("format") == "docx")
+    assert(rows(1).getAs[String]("format") == "epub")
+    assert(rows(2).getAs[String]("format") == "zip")
+  }
+
   test("describeOfficeText routes docx / epub / other") {
     val pay = Seq(
       (1L, OfficeText.buildDocx(Seq("alpha", "beta"))),

@@ -113,6 +113,17 @@ class PdfSpec extends SparkSpec {
       "World now\ncafé (ok)\nHello\néB\ncd")
   }
 
+  test("an /Encrypt trailer bails explicitly (None, not garbage text)") {
+    val plain = Pdf.buildSimplePdf(Seq(Seq("secret")), flate = false)
+    assert(Pdf.extractPdfText(plain).isDefined)
+    // patch the trailer to declare encryption — extraction must bail
+    // rather than emit RC4/AES ciphertext as "text"
+    val s = new String(plain, "ISO-8859-1")
+    val enc = s.replace("/Root 1 0 R", "/Root 1 0 R /Encrypt 99 0 R")
+      .getBytes("ISO-8859-1")
+    assert(Pdf.extractPdfText(enc).isEmpty)
+  }
+
   test("hostile inputs never throw and yield None") {
     val good = Pdf.buildSimplePdf(Seq(Seq("x")), flate = true)
     val cases: Seq[Array[Byte]] = Seq(
@@ -202,6 +213,136 @@ class PdfSpec extends SparkSpec {
     assert(rows(1).getAs[String]("carrier") == "pdf")
     assert(rows(1).getAs[String]("text") == "pdf body")
     assert(rows(1).getAs[String]("url") == "http://x/d.pdf")
+  }
+
+  // --- filter tier: LZW / ASCII85 / RunLength ----------------------
+
+  /** Spec-side TIFF-LZW encoder (MSB-first, EarlyChange=1) mirroring
+    * the decoder's width schedule from the DECODER's dictionary size
+    * — the roundtrip fails loudly if either side's 9→12-bit
+    * transitions drift. */
+  private def lzwEncode(data: Array[Byte]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    var bitBuf = 0L; var bitCnt = 0; var codeLen = 9
+    def put(code: Int): Unit = {
+      bitBuf = (bitBuf << codeLen) | code; bitCnt += codeLen
+      while (bitCnt >= 8) {
+        out.write(((bitBuf >> (bitCnt - 8)) & 0xff).toInt); bitCnt -= 8
+      }
+    }
+    val dict = scala.collection.mutable.HashMap.empty[String, Int]
+    def key(bs: Seq[Byte]) = bs.map(b => (b & 0xff).toChar).mkString
+    (0 until 256).foreach(i => dict(key(Seq(i.toByte))) = i)
+    put(256)
+    var nextCode = 258
+    var emitted = 0
+    var decSize = 258 // the DECODER's table size after reading emit #k
+    def emit(code: Int): Unit = {
+      put(code); emitted += 1
+      if (emitted >= 2) decSize += 1 // decoder adds from its 2nd code on
+      if (codeLen < 12 && decSize + 1 >= (1 << codeLen)) codeLen += 1
+    }
+    var cur = Vector.empty[Byte]
+    data.foreach { b =>
+      val next = cur :+ b
+      if (dict.contains(key(next))) cur = next
+      else {
+        emit(dict(key(cur)))
+        if (nextCode < 4096) { dict(key(next)) = nextCode; nextCode += 1 }
+        cur = Vector(b)
+      }
+    }
+    if (cur.nonEmpty) emit(dict(key(cur)))
+    put(257)
+    if (bitCnt > 0) out.write(((bitBuf << (8 - bitCnt)) & 0xff).toInt)
+    out.toByteArray
+  }
+
+  private def ascii85Encode(data: Array[Byte]): Array[Byte] = {
+    val sb = new StringBuilder
+    var i = 0
+    while (i < data.length) {
+      val n = math.min(4, data.length - i)
+      var v = 0L
+      (0 until 4).foreach { k =>
+        v = (v << 8) | (if (k < n) data(i + k) & 0xff else 0)
+      }
+      if (n == 4 && v == 0) sb.append('z')
+      else {
+        val cs = new Array[Char](5)
+        var vv = v
+        (4 to 0 by -1).foreach { k => cs(k) = ('!' + (vv % 85)).toChar; vv /= 85 }
+        sb.appendAll(cs, 0, n + 1)
+      }
+      i += n
+    }
+    sb.append("~>")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  test("lzwDecode: hand-computed TIFF-LZW vector and width-crossing roundtrip") {
+    // "AAAA" = codes 256,65,258,65,257 at 9 bits, MSB-first
+    val vec = Array(0x80, 0x10, 0x60, 0x44, 0x18, 0x08).map(_.toByte)
+    assert(Pdf.lzwDecode(vec, 1, 1 << 20).map(new String(_, "US-ASCII"))
+      .contains("AAAA"))
+    // long compressible input crosses the 9->10->11-bit boundaries
+    val rnd = new scala.util.Random(14)
+    val body = ("the quick brown fox jumps over the lazy dog " * 400).getBytes ++
+      Array.fill(2000)(rnd.nextInt(256).toByte)
+    val round = Pdf.lzwDecode(lzwEncode(body), 1, 1 << 22)
+    assert(round.exists(java.util.Arrays.equals(_, body)))
+    // fence: output cap makes oversized streams None, not OOM
+    assert(Pdf.lzwDecode(lzwEncode(body), 1, 100).isEmpty)
+    // hostile: a code past the table is corrupt, never a throw
+    // (bits: 256 clear, then 511 — far beyond the 258-entry table)
+    assert(Pdf.lzwDecode(Array(0x80.toByte, 0x7F.toByte, 0xC0.toByte), 1, 100).isEmpty)
+  }
+
+  test("ascii85Decode: the classic vector, z-groups, partial tails, roundtrip") {
+    def dec(s: String) = Pdf.ascii85Decode(s.getBytes("US-ASCII"))
+      .map(new String(_, "ISO-8859-1"))
+    assert(dec("9jqo^~>").contains("Man "))
+    assert(dec("z~>").contains("    "))
+    val rnd = new scala.util.Random(85)
+    (0 until 20).foreach { n =>
+      val body = Array.fill(n)(rnd.nextInt(256).toByte)
+      val round = Pdf.ascii85Decode(ascii85Encode(body))
+      assert(round.exists(java.util.Arrays.equals(_, body)), s"len $n")
+    }
+    assert(dec("v~>").isEmpty) // char past 'u' is corrupt
+  }
+
+  test("runLengthDecode: literals, runs, EOD") {
+    val enc = Array[Byte](2, 'a', 'b', 'c', (257 - 4).toByte, 'x',
+      0, 'q', 128.toByte, 9, 'z')
+    assert(new String(Pdf.runLengthDecode(enc), "US-ASCII") == "abcxxxxq")
+  }
+
+  test("a PDF with an [ASCII85 -> LZW] filter chain extracts end to end") {
+    val content = "BT /F1 12 Tf 72 720 Td (chained filters) Tj ET"
+    val enc = ascii85Encode(lzwEncode(content.getBytes("ISO-8859-1")))
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def obj(num: Int, body: String): Unit = {
+      offsets += out.size; w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R /Contents 4 0 R >>")
+    offsets += out.size
+    w(s"4 0 obj\n<< /Length ${enc.length} " +
+      "/Filter [/ASCII85Decode /LZWDecode] >>\nstream\n")
+    out.write(enc)
+    w("\nendstream\nendobj\n")
+    val xrefAt = out.size
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    val r = Pdf.extractPdfText(out.toByteArray)
+    assert(r.map(_.text).contains("chained filters"))
   }
 
   test("maxPages and maxChars fences bound hostile-size documents") {

@@ -285,4 +285,27 @@ class WarcSpec extends SparkSpec {
       dir.listFiles().foreach(_.delete()); dir.delete()
     }
   }
+
+  test("mid-stream I/O death is io_error_partial (truncated), not a silent drop") {
+    val rec = record("response", "http://x/",
+      httpResponse(200, "text/html", "<p>alpha</p>"))
+    val bytes = rec ++ rec
+    // serves the first record plus a sliver of the second, then dies
+    def failingAfter(n: Int): java.io.InputStream = new java.io.InputStream {
+      private var i = 0
+      override def read(): Int =
+        if (i < n) { val b = bytes(i); i += 1; b & 0xff }
+        else throw new java.io.IOException("disk died")
+    }
+    val ws = new WarcStream(failingAfter(rec.length + 10), 1 << 20)
+    assert(ws.next() != null) // record 0 emitted before the death
+    assert(ws.next() == null)
+    assert(ws.endReason == "io_error_partial")
+    // a stream dead INSIDE its first record stays a zero-row drop
+    // (death before any byte throws in the constructor's gzip sniff,
+    // which the path reader's open-catch already maps to io_error)
+    val ws0 = new WarcStream(failingAfter(10), 1 << 20)
+    assert(ws0.next() == null)
+    assert(ws0.endReason == "io_error")
+  }
 }
