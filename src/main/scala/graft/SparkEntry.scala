@@ -5983,6 +5983,62 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q290 — Markdown → training text ([[graft.functions
+    // .MarkdownToText]], SQL `markdown_to_text`): the code-adjacent
+    // crawl's carrier (READMEs, docs sites, wiki dumps). The fixture
+    // exercises every declared transform — ATX heading, link, bold,
+    // bullet list, fenced code (DROPPED with its content), quote,
+    // numbered list — and the oracle replays the cleaned text as a
+    // string formula. Map-only native expression; one scan.
+    "q290_markdown_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val md = new StringBuilder
+        md.append(s"# Doc $id\n\n")
+        md.append(s"intro $id with [a link](http://x/$id) and **bold ${id % 7}**\n\n")
+        (0 until (1 + (id % 3)).toInt).foreach { i =>
+          md.append(s"- item $i of $id\n")
+        }
+        md.append("\n```scala\n")
+        md.append(s"val secret = $id // must never reach the text\n")
+        md.append("```\n\n")
+        md.append(s"> quote ${id % 5}\n\n")
+        md.append(s"${1 + id % 4}. numbered ${id % 2}\n")
+        (id, md.toString)
+      }.toDF("doc_id", "md")
+      pay.select(col("doc_id"),
+          graft.functions.MarkdownToText(col("md")).as("text"))
+        .orderBy("doc_id")
+    }),
+
+    // Q291 — Jupyter notebooks → training text ([[graft.sources
+    // .Notebooks.notebookText]]): nbformat-4 JSON through pure
+    // built-ins (from_json → transform/filter → array_join), markdown
+    // cells cleaned by q290's expression, code cells verbatim, raw
+    // cells dropped; junk payloads yield nulls through from_json's
+    // contract. Every 50th document is junk. Codegen'd end to end
+    // except the markdown expression; no shuffle.
+    "q291_notebook_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "not a notebook at all")
+        else {
+          val extra =
+            if (id % 2 == 0)
+              s""",{"cell_type":"code","source":["y = ${id % 5}"]}"""
+            else ""
+          (id,
+            s"""{"cells":[""" +
+              s"""{"cell_type":"markdown","source":["# Note $id\\n","cell ${id % 7} **bold**\\n"]},""" +
+              s"""{"cell_type":"code","source":["x = $id\\n","print(x)"]},""" +
+              s"""{"cell_type":"raw","source":["ignored $id"]}""" +
+              extra + "]}")
+        }
+      }.toDF("doc_id", "nb")
+      graft.sources.Notebooks.notebookText(pay, "doc_id", "nb")
+        .orderBy("doc_id")
+    }),
+
     // Q288 — crawl-breadth language ID with confidences ([[graft.llm
     // .LangId.predictCrawl]]): 31 languages — 20 Latin-script plus
     // Cyrillic (ru/uk/bg), Greek, Arabic-script (ar/fa), Hebrew,
@@ -10525,6 +10581,46 @@ object SparkEntry {
     // constants), so the SQL scoring formula and argmax chain can
     // never drift from the Scala ones — see q288OracleSql below.
     "q288_crawl_lang_id" -> q288OracleSql,
+
+    // The cleaned text replayed as a pure string formula — heading
+    // text kept, link text kept (URL dropped), bold markers stripped,
+    // list/quote markers stripped, the fenced code block GONE.
+    "q290_markdown_text" ->
+      """WITH it AS (SELECT doc_id,
+        |    string_agg('item ' || i || ' of ' || doc_id,
+        |               chr(10) ORDER BY i) AS items
+        |  FROM documents, generate_series(0, 2) t(i)
+        |  WHERE i < 1 + doc_id % 3 GROUP BY doc_id)
+        |SELECT d.doc_id,
+        |  'Doc ' || d.doc_id || chr(10) ||
+        |  'intro ' || d.doc_id || ' with a link and bold ' ||
+        |    (d.doc_id % 7) || chr(10) ||
+        |  it.items || chr(10) ||
+        |  'quote ' || (d.doc_id % 5) || chr(10) ||
+        |  'numbered ' || (d.doc_id % 2) AS text
+        |FROM documents d JOIN it ON it.doc_id = d.doc_id
+        |ORDER BY d.doc_id""".stripMargin,
+
+    // Cell counts and the joined text replayed from the formula —
+    // the engine must agree THROUGH from_json and the markdown clean.
+    "q291_notebook_text" ->
+      """SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN CAST(4 AS INTEGER)
+        |       ELSE CAST(3 AS INTEGER) END AS n_cells,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1 AS INTEGER) END AS n_markdown,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN CAST(2 AS INTEGER)
+        |       ELSE CAST(1 AS INTEGER) END AS n_code,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE
+        |    'Note ' || doc_id || chr(10) ||
+        |    'cell ' || (doc_id % 7) || ' bold' || chr(10) ||
+        |    'x = ' || doc_id || chr(10) || 'print(x)' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN chr(10) || 'y = ' || (doc_id % 5) ELSE '' END
+        |  END AS text
+        |FROM documents ORDER BY doc_id""".stripMargin,
 
     // q284's oracle over the ZIP fixture: the same BMP channel sums
     // replayed from the pixel formulas — the engine must agree
