@@ -375,9 +375,10 @@ object Bench {
       "q281_curation_v8",
       // round-14: the document-carrier tier — PDF container decode
       // (xref/Flate/content-stream interpretation; byte-kernel
-      // throughput like q250) and the multi-carrier WARC router
-      // (html + pdf in one record-stream pass)
-      "q285_pdf_text", "q289_warc_doc_text")
+      // throughput like q250), the multi-carrier WARC router
+      // (html + pdf in one record-stream pass), and curation v9
+      // (the router feeding the URL + content dedup chain)
+      "q285_pdf_text", "q289_warc_doc_text", "q292_curation_v9")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -531,6 +531,46 @@ object SparkEntry {
       rec("response", s"http://ex.com/$id/img",
         http(200, "image/png", s"PNGDATA$id".getBytes("UTF-8")))
   }
+  /** Multi-carrier curation fixture (q292): quintets (b = id/5)
+    * publish the SAME html page under messy URL aliases (case /
+    * default port / fragment — all canonicalize together), a REAL
+    * per-id PDF whose text repeats across quintets sharing b%7
+    * (cross-quintet content dups), a unique markdown note, and a
+    * too-short page the length gate must drop. Record indexes:
+    * warcinfo 0, request 1, html 2, pdf 3, markdown 4, short 5. */
+  private def warcV9Fixture(id: Long): Array[Byte] = {
+    def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def http(ctype: String, body: Array[Byte]): Array[Byte] =
+      (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+    val b = id / 5
+    val htmlUrl = (id % 3) match {
+      case 0 => s"http://EX.com/h/$b"
+      case 1 => s"http://ex.com:80/h/$b"
+      case _ => s"http://ex.com/h/$b#frag$id"
+    }
+    val pdf = graft.sources.Pdf.buildSimplePdf(
+      Seq(Seq(s"pdf doc ${b % 7} line one keeps",
+        s"pdf doc ${b % 7} line two")), flate = id % 2 == 1)
+    val md = s"# Doc $id\n\nmarkdown note $id with [a link](http://x/$id) kept.\n"
+    rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+      rec("request", htmlUrl,
+        "GET / HTTP/1.1\r\n\r\n".getBytes("ISO-8859-1")) ++
+      rec("response", htmlUrl, http("text/html",
+        (s"<p>html body for bucket $b carries enough words to keep.</p>")
+          .getBytes("UTF-8"))) ++
+      rec("response", s"http://ex.com/d/$id.pdf",
+        http("application/pdf", pdf)) ++
+      rec("response", s"http://ex.com/m/$id", http("text/markdown",
+        md.getBytes("UTF-8"))) ++
+      rec("response", s"http://ex.com/s/$id",
+        http("text/html", "<p>tiny</p>".getBytes("UTF-8")))
+  }
   private def gzipBytes(b: Array[Byte]): Array[Byte] = {
     val bos = new java.io.ByteArrayOutputStream()
     val g = new java.util.zip.GZIPOutputStream(bos)
@@ -5983,6 +6023,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q292 — curation v9: the MULTI-CARRIER capstone. One
+    // [[graft.sources.Warc.warcDocText]] pass routes html AND pdf AND
+    // markdown bodies to their extractors, then the same dedup chain
+    // as v8: length gate → canonical-URL keep-first → content
+    // keep-first. The fixture plants URL-alias dups (within
+    // quintets), cross-quintet PDF content dups (b%7 classes), unique
+    // markdown notes, and a too-short page; the oracle replays all
+    // three carriers' texts and both windows. Plan shape: one flatMap
+    // kernel + two keyed windows — no join, nothing global.
+    "q292_curation_v9" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else (id, warcV9Fixture(id))
+      }.toDF("doc_id", "warc")
+      val pages = graft.sources.Warc.warcDocText(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+      val kept = pages.where(length(col("text")) >= 20)
+        .withColumn("url_canon", graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+        .orderBy(col("media_id"), col("record_idx"))
+      val urlKept = kept.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val textW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(textW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("url_canon").as("url"), col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q290 — Markdown → training text ([[graft.functions
     // .MarkdownToText]], SQL `markdown_to_text`): the code-adjacent
     // crawl's carrier (READMEs, docs sites, wiki dumps). The fixture
@@ -10581,6 +10654,40 @@ object SparkEntry {
     // constants), so the SQL scoring formula and argmax chain can
     // never drift from the Scala ones — see q288OracleSql below.
     "q288_crawl_lang_id" -> q288OracleSql,
+
+    // All three carriers' texts replayed, then both keep-first
+    // windows — the engine must agree THROUGH the WARC walk, the
+    // three extractors, the canonicalizer, and the window order.
+    "q292_curation_v9" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf',
+        |    'http://ex.com/d/' || doc_id || '.pdf',
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown',
+        |    'http://ex.com/m/' || doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The cleaned text replayed as a pure string formula — heading
     // text kept, link text kept (URL dropped), bold markers stripped,

@@ -397,6 +397,12 @@ object Warc {
             Pdf.extractPdfText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "pdf", t.text,
                 null.asInstanceOf[String], 0))
+          } else if (ct.exists(c => c.startsWith("text/markdown") ||
+              c.startsWith("text/x-markdown"))) {
+            val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
+            Some((id, r.recordIdx, Option(r.targetUri), "markdown",
+              graft.functions.MarkdownToText.clean(md),
+              null.asInstanceOf[String], 0))
           } else None
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],

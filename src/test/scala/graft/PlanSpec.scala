@@ -527,6 +527,25 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("HashAggregate"), p) // grouped ordered reassembly
   }
 
+  test("q292: v9 multi-carrier pipeline is one kernel + two keyed windows, no join") {
+    val p = plan("q292_curation_v9")
+    assert(p.contains("Window"), p)
+    assert(!p.contains("Join") && !p.contains("CartesianProduct"), p)
+    // both dedup windows key on their column — never a global window
+    assert(p.contains("hashpartitioning(url_canon") ||
+      p.contains("hashpartitioning(text"), p)
+  }
+
+  test("q291: notebook extraction is one codegen'd projection, no shuffle before the sort") {
+    val p = plan("q291_notebook_text")
+    assert(!p.contains("Join") && !p.contains("Window"), p)
+    // from_json -> transform -> array_join all fuse into the scan's
+    // projection; the only exchange is the final ORDER BY's range
+    assert(p.contains("from_json"), p)
+    val exchanges = p.split("\n").count(_.contains("Exchange"))
+    assert(exchanges <= 1, p)
+  }
+
   test("q262: scene cuts are one keyed window + rollup, no join") {
     val p = plan("q262_scene_cuts")
     assert(p.contains("Window"), p)
