@@ -636,6 +636,17 @@ object Archives {
       val name = new String(nameBuf, java.nio.charset.StandardCharsets.UTF_8)
       val isDir = name.endsWith("/")
       val descriptor = (flags & 0x8) != 0
+      // zip64 markers / lying headers: a csize past the member fence
+      // (plus deflate-overhead slack) must never size a buffer — a
+      // 0xFFFFFFFF marker would wrap to a negative array length and
+      // throw through the never-throw walk. Oversize-csize members
+      // with an in-fence usize are treated as corrupt (the pair is
+      // self-contradictory); the honest-oversize case (usize >
+      // maxBytes) skips on the wire below.
+      if (!descriptor && usize <= maxBytes && !isDir &&
+          csize > maxBytes.toLong + (1 << 16)) {
+        endReason = "corrupt"; return null
+      }
 
       if (!descriptor) {
         // sizes known up front — the seekable-writer layout
