@@ -403,6 +403,15 @@ object Warc {
             Some((id, r.recordIdx, Option(r.targetUri), "markdown",
               graft.functions.MarkdownToText.clean(md),
               null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith(
+              "application/vnd.openxmlformats-officedocument.wordprocessingml"))) {
+            OfficeText.docxText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "docx", t,
+                null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith("application/epub+zip"))) {
+            OfficeText.epubText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "epub", t,
+                null.asInstanceOf[String], 0))
           } else None
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],

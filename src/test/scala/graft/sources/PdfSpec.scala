@@ -184,6 +184,38 @@ class PdfSpec extends SparkSpec {
     assert(rows(1).isNullAt(rows(1).fieldIndex("format")))
   }
 
+  test("warcDocText routes all five carriers: html, pdf, markdown, docx, epub") {
+    def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+        .getBytes("ISO-8859-1") ++ body
+      val hdr = (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+        s"WARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val warc =
+      rec("http://x/h", "text/html", "<p>page text</p>".getBytes("UTF-8")) ++
+      rec("http://x/d.pdf", "application/pdf",
+        Pdf.buildSimplePdf(Seq(Seq("pdf text")), flate = false)) ++
+      rec("http://x/r.md", "text/markdown",
+        "# Head\n\n- md item\n".getBytes("UTF-8")) ++
+      rec("http://x/w.docx",
+        "application/vnd.openxmlformats-officedocument.wordprocessingml.document",
+        OfficeText.buildDocx(Seq("docx para"))) ++
+      rec("http://x/b.epub", "application/epub+zip",
+        OfficeText.buildEpub(Seq(("Ch", Seq("epub para")))))
+    val media = Multimodal.asMedia(
+      Seq((5L, warc)).toDF("id", "w"), "id", "w", "warc")
+    val rows = Warc.warcDocText(media).orderBy("record_idx")
+      .select("carrier", "text").as[(String, String)].collect().toSeq
+    assert(rows == Seq(
+      ("html", "page text"),
+      ("pdf", "pdf text"),
+      ("markdown", "Head\nmd item"),
+      ("docx", "docx para"),
+      ("epub", "Ch\nepub para")), rows.toString)
+  }
+
   test("warcDocText routes html AND pdf carriers, excludes the rest") {
     def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
       val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
