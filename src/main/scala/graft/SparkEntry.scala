@@ -6023,6 +6023,48 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q293 — photo-PII scrub ([[graft.sources.Multimodal
+    // .stripJpegMetadata]]): the image-side privacy pass — APP1
+    // (EXIF incl. GPS), APP13 (IPTC) and COM segments drop from the
+    // marker stream while the entropy-coded image bytes pass through
+    // verbatim. The fixture wraps q243's formula JPEG with a real
+    // EXIF APP1 and a COM comment; the oracle states the AFTER world:
+    // every EXIF field NULL and the q243 pixel sums INTACT — scrub
+    // without survival (or survival without scrub) fails the row.
+    // The before/after differential lives in the unit spec. Map-only.
+    "q293_exif_scrub" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "photo? no".getBytes("UTF-8"))
+        else {
+          val tiff = exifTiff((1 + id % 8).toInt, s"Camera${id % 5}",
+            s"Model${id % 4}", f"2020:01:01 00:00:${id % 60}%02d", 16, 9)
+          val base = jpegFlatTileFixture((1 + id % 3).toInt, (1 + id % 2).toInt,
+            (tx, ty) => ((id * 7 + tx * 13 + ty * 29) % 256).toInt,
+            progressive = false)
+          val app1 = java.nio.ByteBuffer.allocate(4 + 6 + tiff.length)
+          app1.putShort(0xffe1.toShort).putShort((2 + 6 + tiff.length).toShort)
+            .put("Exif".getBytes("US-ASCII")).put(0.toByte).put(0.toByte)
+            .put(tiff)
+          val comBody = s"secret note $id".getBytes("US-ASCII")
+          val com = java.nio.ByteBuffer.allocate(4 + comBody.length)
+          com.putShort(0xfffe.toShort)
+            .putShort((2 + comBody.length).toShort).put(comBody)
+          (id, base.take(2) ++ app1.array() ++ com.array() ++ base.drop(2))
+        }
+      }.toDF("doc_id", "img")
+      val scrubbed = graft.sources.Multimodal.scrubJpegMetadata(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "img", "image"))
+      val ex = graft.sources.Multimodal.describeExif(
+        scrubbed.select(col("media_id"), col("payload")))
+      val px = graft.sources.Multimodal.inspectMedia(
+        scrubbed.select(col("media_id"), col("payload")))
+      px.join(ex, "media_id")
+        .select(col("media_id"), col("orientation"), col("make"),
+          col("date_time"), col("width"), col("height"), col("sum_r"))
+        .orderBy("media_id")
+    }),
+
     // Q292 — curation v9: the MULTI-CARRIER capstone. One
     // [[graft.sources.Warc.warcDocText]] pass routes html AND pdf AND
     // markdown bodies to their extractors, then the same dedup chain
@@ -10654,6 +10696,29 @@ object SparkEntry {
     // constants), so the SQL scoring formula and argmax chain can
     // never drift from the Scala ones — see q288OracleSql below.
     "q288_crawl_lang_id" -> q288OracleSql,
+
+    // The AFTER world stated: EXIF fields all NULL (scrubbed), the
+    // q243 pixel sums intact (survived) — both claims in one row.
+    "q293_exif_scrub" ->
+      """WITH dims AS (SELECT doc_id, 1 + doc_id % 3 AS tw, 1 + doc_id % 2 AS th
+        |              FROM documents),
+        |t AS (SELECT doc_id, tw, th, tx, ty
+        |      FROM dims, generate_series(0, 2) a(tx), generate_series(0, 1) b(ty)
+        |      WHERE tx < tw AND ty < th),
+        |agg AS (SELECT doc_id, MAX(tw) AS tw, MAX(th) AS th,
+        |          CAST(SUM(((doc_id * 7 + tx * 13 + ty * 29) % 256) * 256) AS BIGINT) AS s
+        |        FROM t GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CAST(NULL AS INTEGER) AS orientation,
+        |  CAST(NULL AS VARCHAR) AS make,
+        |  CAST(NULL AS VARCHAR) AS date_time,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.tw * 16 AS INTEGER) END AS width,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(a.th * 16 AS INTEGER) END AS height,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE a.s END AS sum_r
+        |FROM documents d JOIN agg a ON a.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // All three carriers' texts replayed, then both keep-first
     // windows — the engine must agree THROUGH the WARC walk, the

@@ -2829,6 +2829,65 @@ object Multimodal {
   /** Per-payload EXIF facts over a media frame (null row fields where
     * the payload carries no EXIF). Map-only, same contract as the
     * other describe* kernels. */
+  /** JPEG metadata scrub — the photo-PII pass a training corpus runs
+    * before shipping images: drops APP1 (EXIF incl. GPS, XMP), APP13
+    * (IPTC) and COM segments from the marker stream while the
+    * compressed image data passes through BYTE-IDENTICAL (from SOS
+    * onward everything copies verbatim — no re-encode, no quality
+    * loss). Standalone markers and unknown-but-well-formed segments
+    * keep; a desynced or hostile tail copies verbatim (scrubbing must
+    * never corrupt what it didn't understand). None for non-JPEG. */
+  def stripJpegMetadata(bytes: Array[Byte]): Option[Array[Byte]] = {
+    if (bytes == null || bytes.length < 4 ||
+        (bytes(0) & 0xff) != 0xff || (bytes(1) & 0xff) != 0xd8) return None
+    try {
+      val out = new java.io.ByteArrayOutputStream(bytes.length)
+      out.write(0xff); out.write(0xd8)
+      var i = 2
+      while (i < bytes.length) {
+        if (i + 4 > bytes.length || (bytes(i) & 0xff) != 0xff) {
+          out.write(bytes, i, bytes.length - i); i = bytes.length
+        } else {
+          val m = bytes(i + 1) & 0xff
+          if (m == 0xd8 || (m >= 0xd0 && m <= 0xd7) || m == 0x01) {
+            out.write(bytes, i, 2); i += 2 // standalone markers
+          } else if (m == 0xda) { // SOS: entropy data + EOI, verbatim
+            out.write(bytes, i, bytes.length - i); i = bytes.length
+          } else {
+            val len = ((bytes(i + 2) & 0xff) << 8) | (bytes(i + 3) & 0xff)
+            val segEnd = i + 2 + len
+            if (len < 2 || segEnd > bytes.length) { // hostile length
+              out.write(bytes, i, bytes.length - i); i = bytes.length
+            } else {
+              val drop = m == 0xe1 || m == 0xed || m == 0xfe
+              if (!drop) out.write(bytes, i, 2 + len)
+              i = segEnd
+            }
+          }
+        }
+      }
+      Some(out.toByteArray)
+    } catch { case _: Throwable => None }
+  }
+
+  /** DataFrame form of [[stripJpegMetadata]]: JPEG payloads come back
+    * scrubbed with the removed byte count; everything else passes
+    * through untouched (`scrubbed` false, removal null) — the shape a
+    * corpus-wide pass wants. Map-only; payloads never shuffle. */
+  def scrubJpegMetadata(media: DataFrame): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .map { case (id, p) =>
+        stripJpegMetadata(p) match {
+          case Some(s) => (id, s, true, Some(p.length.toLong - s.length))
+          case None => (id, p, false, None: Option[Long])
+        }
+      }
+      .toDF("media_id", "payload", "scrubbed", "n_bytes_removed")
+  }
+
   def describeExif(media: DataFrame): DataFrame = {
     val spark = media.sparkSession
     import spark.implicits._

@@ -1117,4 +1117,60 @@ class MultimodalHeaderSpec extends SparkSpec {
       assert(r.getSeq[Double](1) == e.toSeq)
     }
   }
+
+  test("stripJpegMetadata: EXIF/COM drop, image segments byte-identical, " +
+       "pass-through and fuzz") {
+    // minimal TIFF: II, magic 42, IFD at 8 with one entry (tag 274
+    // orientation = 6), next-IFD 0
+    val tiff = {
+      val b = java.nio.ByteBuffer.allocate(26)
+        .order(java.nio.ByteOrder.LITTLE_ENDIAN)
+      b.put('I'.toByte).put('I'.toByte).putShort(42).putInt(8)
+      b.putShort(1) // one IFD entry
+      b.putShort(274).putShort(3).putInt(1).putShort(6).putShort(0)
+      b.putInt(0)
+      b.array()
+    }
+    def seg(marker: Int, body: Array[Byte]): Array[Byte] = {
+      val b = java.nio.ByteBuffer.allocate(4 + body.length)
+      b.putShort(marker.toShort).putShort((2 + body.length).toShort).put(body)
+      b.array()
+    }
+    val app1 = seg(0xffe1, "Exif  ".getBytes("ISO-8859-1") ++ tiff)
+    val com = seg(0xfffe, "gps secret".getBytes("US-ASCII"))
+    val dqt = seg(0xffdb, Array.fill(65)(3.toByte)) // image segment: KEEP
+    val sos = Array(0xff, 0xda, 0x00, 0x02).map(_.toByte) ++
+      Array.fill(16)(0x55.toByte) ++ Array(0xff, 0xd9).map(_.toByte)
+    val soi = Array(0xff, 0xd8).map(_.toByte)
+    val before = soi ++ app1 ++ dqt ++ com ++ sos
+    // before: EXIF readable; after: gone, image segments verbatim
+    assert(Multimodal.parseExif(before).exists(_.orientation == 6))
+    val after = Multimodal.stripJpegMetadata(before).get
+    assert(Multimodal.parseExif(after).isEmpty)
+    assert(java.util.Arrays.equals(after, soi ++ dqt ++ sos))
+    assert(!new String(after, "ISO-8859-1").contains("gps secret"))
+    // idempotent; non-JPEG passes None; fuzz never throws
+    assert(java.util.Arrays.equals(
+      Multimodal.stripJpegMetadata(after).get, after))
+    assert(Multimodal.stripJpegMetadata("png bytes".getBytes).isEmpty)
+    assert(Multimodal.stripJpegMetadata(null).isEmpty)
+    val rnd = new scala.util.Random(93)
+    (0 until 200).foreach { _ =>
+      val mut = before.clone()
+      mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte
+      Multimodal.stripJpegMetadata(mut) // any outcome but a throw
+    }
+    // DataFrame form: scrubbed flag + removal accounting; non-JPEG
+    // rows pass through untouched
+    val media = Multimodal.asMedia(
+      Seq((1L, before), (2L, "text".getBytes("UTF-8"))).toDF("id", "b"),
+      "id", "b", "image")
+    val rows = Multimodal.scrubJpegMetadata(media).orderBy("media_id").collect()
+    assert(rows(0).getAs[Boolean]("scrubbed"))
+    assert(rows(0).getAs[Long]("n_bytes_removed") ==
+      (app1.length + com.length).toLong)
+    assert(!rows(1).getAs[Boolean]("scrubbed"))
+    assert(rows(1).isNullAt(rows(1).fieldIndex("n_bytes_removed")))
+    assert(new String(rows(1).getAs[Array[Byte]]("payload"), "UTF-8") == "text")
+  }
 }
