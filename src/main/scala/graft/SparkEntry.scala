@@ -6023,6 +6023,49 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q294 — page-level noindex gate ([[graft.functions.MetaRobots]]):
+    // the robots.txt gate's in-document sibling — pages carrying
+    // `<meta name="robots" content="…noindex…">` opt out of the
+    // corpus. The fixture plants the tag in BOTH attribute orders and
+    // mixed case (the wild's two shapes) on two of three id classes;
+    // the oracle states which pages survive. Declarative regex gate —
+    // fuses into the extraction scan, no UDF, no shuffle.
+    "q294_noindex_gate" -> ((s, d) => {
+      import s.implicits._
+      def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+        val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+          (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      def page(body: String): Array[Byte] =
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
+          .getBytes("UTF-8")
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val p1 = (id % 3) match {
+            case 0 => "<meta name=\"robots\" content=\"noindex,follow\">" +
+              s"<p>keep page $id one</p>"
+            case 1 => "<META CONTENT='NOINDEX' NAME='ROBOTS'>" +
+              s"<p>keep page $id one</p>"
+            case _ => s"<p>keep page $id one</p>"
+          }
+          (id,
+            rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+              rec("response", s"http://ex.com/$id/0",
+                page(s"<p>keep page $id zero</p>")) ++
+              rec("response", s"http://ex.com/$id/1", page(p1)))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlPages(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .where(graft.functions.MetaRobots.indexable(col("html")))
+        .select(col("media_id"), col("record_idx"), col("url"),
+          graft.functions.HtmlToText(col("html")).as("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q293 — photo-PII scrub ([[graft.sources.Multimodal
     // .stripJpegMetadata]]): the image-side privacy pass — APP1
     // (EXIF incl. GPS), APP13 (IPTC) and COM segments drop from the
@@ -10696,6 +10739,21 @@ object SparkEntry {
     // constants), so the SQL scoring formula and argmax chain can
     // never drift from the Scala ones — see q288OracleSql below.
     "q288_crawl_lang_id" -> q288OracleSql,
+
+    // Which pages survive the noindex gate, stated: page 0 always,
+    // page 1 only for the id class whose fixture carries no meta tag.
+    "q294_noindex_gate" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/0' AS url,
+        |  'keep page ' || doc_id || ' zero' AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INTEGER),
+        |  'http://ex.com/' || doc_id || '/1',
+        |  'keep page ' || doc_id || ' one'
+        |FROM ids WHERE doc_id % 3 = 2
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The AFTER world stated: EXIF fields all NULL (scrubbed), the
     // q243 pixel sums intact (survived) — both claims in one row.

@@ -151,3 +151,31 @@ object Robots {
     if (bestLen < 0) true else bestAllow
   }
 }
+
+/** Page-level indexability — the robots.txt gate's in-document
+  * sibling (Google/Bing robots-meta spec): a page carrying
+  * `<meta name="robots" content="…noindex…">` asks to be excluded,
+  * and a curation pipeline that honors robots.txt but ignores
+  * noindex still ships pages the publisher opted out. Declarative:
+  * two case-insensitive regexes over the raw HTML (attribute order
+  * varies in the wild — name-then-content and content-then-name both
+  * match), so the gate fuses into the same scan as extraction;
+  * no UDF, no shuffle. */
+object MetaRobots {
+  // (?is): case-insensitive, dot-all — the meta tag may wrap lines
+  private val NameFirst =
+    "(?is).*<meta[^>]*\\bname\\s*=\\s*[\"']?robots\\b[^>]*" +
+      "\\bcontent\\s*=\\s*[\"']?[^\"'>]*\\bnoindex.*"
+  private val ContentFirst =
+    "(?is).*<meta[^>]*\\bcontent\\s*=\\s*[\"']?[^\"'>]*\\bnoindex[^>]*" +
+      "\\bname\\s*=\\s*[\"']?robots\\b.*"
+
+  /** True when the page may be kept (no robots-meta noindex). */
+  def indexable(html: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    !(html.rlike(NameFirst) || html.rlike(ContentFirst))
+
+  /** Driver/test-side form of the same rule. */
+  def indexable(html: String): Boolean =
+    html == null ||
+      !(html.matches(NameFirst) || html.matches(ContentFirst))
+}

@@ -82,4 +82,17 @@ class RobotsSpec extends AnyFunSuite {
     // with empty agent fall through to *
     assert(!allowed("User-agent: *\nDisallow: /\n", "", "/x"))
   }
+
+  test("MetaRobots.indexable: both attribute orders, case, and non-matches") {
+    import MetaRobots.indexable
+    assert(!indexable("""<meta name="robots" content="noindex,follow"><p>x</p>"""))
+    assert(!indexable("""<META CONTENT='NOINDEX,NOFOLLOW' NAME='ROBOTS'>"""))
+    assert(!indexable("<meta name=robots content=noindex>")) // unquoted
+    assert(indexable("""<meta name="robots" content="index,follow">"""))
+    // scope is name=robots: agent-specific metas and unrelated tags pass
+    assert(indexable("""<meta name="googlebot" content="noindex">"""))
+    assert(indexable("""<meta name="description" content="noindex talk">"""))
+    assert(indexable("<p>the word noindex in prose</p>"))
+    assert(indexable(null))
+  }
 }
