@@ -974,6 +974,24 @@ object Bench {
     val (regressed, contended) =
       classify(wallRegressed, cpuMap, prevCpu, entrySpeedRatio, loadHigh,
         entryLoadHigh, concQuiet, smtSignature)
+    // ADVICE r14: the smt veto is unconditional by design (the
+    // one-thread witness cannot see SMT core sharing, so its quiet
+    // reading is not exculpatory for this shape) — but a PERSISTENT
+    // CPU-dominant regression would hide behind it forever. Surface
+    // the entries that would have confirmed but for the veto in a
+    // dedicated artifact field, so the same name recurring across
+    // rounds is visible to the round-over-round reader.
+    val smtVetoed = wallRegressed.filter { k =>
+      !loadHigh && !entryLoadHigh(k) && concQuiet(k) && smtSignature(k) &&
+        cpuCorroborated(cpuMap.getOrElse(k, -1.0), prevCpu.getOrElse(k, -1.0),
+          entrySpeedRatio(k))
+    }
+    if (smtVetoed.nonEmpty)
+      System.err.println(
+        s"[bench] wall+CPU slow but CPU inflated >=1.3x MORE than wall " +
+          s"(SMT-coupled shape, classified contended; recurring across " +
+          s"rounds would mean a real CPU-dominant regression): " +
+          smtVetoed.mkString(", "))
     // x10 scale-trend entries, per-row-normalized: x10/base time ratio
     // (ideal ≤ 10 at full parallelism; >10 means superlinear = bad).
     val scaleup = Seq("q02", "q27", "q37", "q49", "q64", "q150", "q217").flatMap { p =>
@@ -1057,7 +1075,9 @@ object Bench {
       s""""entry_loadavg_pre":$loadPreJson,"retry":$retryJson,""" +
       s""""recall":$recallJson,"recall_drift":$recallDriftJson,""" +
       s""""ann_cache":"$annCacheStatus",""" +
-      s""""regressed":$regJson,"contended":$contJson,"x10_scaleup":$scaleJson,""" +
+      s""""regressed":$regJson,"contended":$contJson,""" +
+      s""""smt_vetoed":${smtVetoed.map("\"" + _ + "\"").mkString("[", ",", "]")},""" +
+      s""""x10_scaleup":$scaleJson,""" +
       s""""loadavg_start":"$loadStart","loadavg_end":"${loadavg()}","sf":"$sfDir"}"""
     // The driver parses captured stdout, but sbt prefixes every line
     // with [info]/[error] noise (BENCH_r01.json came back parsed:null).

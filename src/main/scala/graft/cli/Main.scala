@@ -644,22 +644,22 @@ object Main {
   private def archivePathList(in: String, suffixes: String*): Seq[String] = {
     val f = new java.io.File(in)
     if (f.isDirectory)
-      f.listFiles().toSeq
+      // listFiles() is null on an unreadable directory — fail with a
+      // usage error naming the path instead of an NPE (ADVICE r14)
+      Option(f.listFiles())
+        .getOrElse(sys.error(s"cannot list directory '$in' (unreadable)"))
+        .toSeq
         .filter(x => suffixes.exists(x.getName.endsWith))
         .map(_.getAbsolutePath).sorted
+    else if (!f.exists())
+      sys.error(s"no such file or directory: '$in'")
     else Seq(f.getAbsolutePath)
   }
 
   /** Paths for the split-streaming WARC commands: a directory (its
     * *.warc / *.warc.gz members) or a single file. */
-  private def warcPathList(in: String): Seq[String] = {
-    val f = new java.io.File(in)
-    if (f.isDirectory)
-      f.listFiles().toSeq
-        .filter(x => x.getName.endsWith(".warc") || x.getName.endsWith(".warc.gz"))
-        .map(_.getAbsolutePath).sorted
-    else Seq(in)
-  }
+  private def warcPathList(in: String): Seq[String] =
+    archivePathList(in, ".warc", ".warc.gz")
 
   private def usage(): Unit = {
     System.err.println(

@@ -636,6 +636,18 @@ object Archives {
       val name = new String(nameBuf, java.nio.charset.StandardCharsets.UTF_8)
       val isDir = name.endsWith("/")
       val descriptor = (flags & 0x8) != 0
+      // Directory entries carry no payload; like the tar walk, never
+      // allocate from a directory header's declared sizes (a hostile
+      // header flagged '/' with usize >= 2^31 would otherwise reach a
+      // negative-length allocation). Skip any declared csize on the
+      // wire and emit the row with an empty payload; descriptor-mode
+      // directories fall through to the self-terminating stream walk,
+      // which is already bounded.
+      if (isDir && !descriptor) {
+        if (skipFully(csize) < csize) { endReason = "corrupt"; return null }
+        idx += 1
+        return (name, 0L, true, false, Array.emptyByteArray)
+      }
       // zip64 markers / lying headers: a csize past the member fence
       // (plus deflate-overhead slack) must never size a buffer — a
       // 0xFFFFFFFF marker would wrap to a negative array length and
@@ -643,14 +655,15 @@ object Archives {
       // with an in-fence usize are treated as corrupt (the pair is
       // self-contradictory); the honest-oversize case (usize >
       // maxBytes) skips on the wire below.
-      if (!descriptor && usize <= maxBytes && !isDir &&
+      if (!descriptor && usize <= maxBytes &&
           csize > maxBytes.toLong + (1 << 16)) {
         endReason = "corrupt"; return null
       }
 
       if (!descriptor) {
         // sizes known up front — the seekable-writer layout
-        val truncated = !isDir && usize > maxBytes
+        // (directories returned above, so every row here is a file)
+        val truncated = usize > maxBytes
         if (method == 0) {
           if (truncated) {
             if (skipFully(csize) < csize) { endReason = "corrupt"; return null }
@@ -694,7 +707,16 @@ object Archives {
             idx += 1
             (name, usize, isDir, false, out)
           }
-        } else { endReason = "corrupt"; null }
+        } else {
+          // unsupported compression method, but csize is known: skip
+          // the member on the wire and keep walking — one odd member
+          // must not drop the rest of the archive. The row is emitted
+          // with a LOUD truncated flag and an empty payload (counted
+          // in members_truncated), mirroring the oversize path.
+          if (skipFully(csize) < csize) { endReason = "corrupt"; return null }
+          idx += 1
+          (name, usize, isDir, true, Array.emptyByteArray)
+        }
       } else if (method == 8) {
         // GP bit 3: sizes live in a trailing data descriptor — stream
         // through the Inflater until the deflate stream self-ends,
@@ -739,8 +761,8 @@ object Archives {
         if (skipFully(rest) < rest) { endReason = "corrupt"; return null }
         val truncated = !isDir && total > maxBytes
         idx += 1
-        (name, total, isDir,
-          truncated, if (truncated) Array.emptyByteArray else outBuf.toByteArray)
+        (name, total, isDir, truncated,
+          if (truncated || isDir) Array.emptyByteArray else outBuf.toByteArray)
       } else { endReason = "corrupt"; null }
     }
   }
