@@ -6066,6 +6066,40 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q295 — Type0/Identity-H PDF text ([[graft.sources.Pdf
+    // .buildType0Pdf]] → [[graft.sources.Pdf.extractPdfText]]): the
+    // font model modern generators (Chrome print-to-PDF, LibreOffice,
+    // Word, pdfTeX) actually emit — a /Type0 composite font with
+    // 2-byte CID strings, /Encoding /Identity-H, a /CIDFontType2
+    // descendant, and a /ToUnicode CMap. The writer's CID scheme is
+    // SHIFTED (codepoint + 0x100), so the replayed text is correct
+    // only if the engine really decodes through the CMap's
+    // bfchar/bfrange entries — an Identity shortcut mojibakes every
+    // character and fails the hash. Same synthesize-and-replay
+    // contract and text formula as q285; odd ids exercise the
+    // PDF 1.5 xref-stream generation, even ids the classic table.
+    // Map-only: payload bytes never shuffle at any corpus size.
+    "q295_pdf_type0" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "composite font? no".getBytes("UTF-8"))
+        else {
+          val pages = (0 until (1 + (id % 3)).toInt).map { p =>
+            (0 until (1 + ((id + p) % 3)).toInt).map { l =>
+              s"doc $id pg $p ln $l tok${(id * 7 + p * 3 + l) % 97}" +
+                (if (l % 2 == 0) " café" else "")
+            }
+          }
+          (id, graft.sources.Pdf.buildType0Pdf(pages, xrefStream = id % 2 == 1))
+        }
+      }.toDF("doc_id", "pdf")
+      graft.sources.Pdf.describePdf(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "pdf", "doc"))
+        .select(col("media_id"), col("pdf_version"), col("n_pages"),
+          col("n_chars"), col("text"))
+        .orderBy("media_id")
+    }),
+
     // Q293 — photo-PII scrub ([[graft.sources.Multimodal
     // .stripJpegMetadata]]): the image-side privacy pass — APP1
     // (EXIF incl. GPS), APP13 (IPTC) and COM segments drop from the
@@ -10727,6 +10761,38 @@ object SparkEntry {
         |SELECT d.doc_id AS media_id,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       WHEN d.doc_id % 3 = 2 THEN '1.5' ELSE '1.4' END AS pdf_version,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(t.n_pages AS INTEGER) END AS n_pages,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
+        |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // Same replayed formula as q285, THROUGH the Type0 container:
+    // 2-byte CID strings must decode via the /ToUnicode CMap
+    // (bfchar + bfrange) — the writer's shifted CID scheme makes any
+    // Identity shortcut fail the hash. Odd ids are the PDF 1.5
+    // xref-stream generation, even the classic table.
+    "q295_pdf_type0" ->
+      """WITH pg AS (SELECT doc_id, p FROM documents,
+        |              generate_series(0, 2) t(p)
+        |            WHERE p < 1 + doc_id % 3),
+        |ln AS (SELECT doc_id, p, l FROM pg, generate_series(0, 2) t2(l)
+        |       WHERE l < 1 + (doc_id + p) % 3),
+        |lt AS (SELECT doc_id, p, l,
+        |         'doc ' || doc_id || ' pg ' || p || ' ln ' || l ||
+        |         ' tok' || ((doc_id * 7 + p * 3 + l) % 97) ||
+        |         CASE WHEN l % 2 = 0 THEN ' caf' || chr(233) ELSE '' END AS line
+        |       FROM ln),
+        |pt AS (SELECT doc_id, p, string_agg(line, chr(10) ORDER BY l) AS ptext
+        |       FROM lt GROUP BY doc_id, p),
+        |dt AS (SELECT doc_id, COUNT(*) AS n_pages,
+        |         string_agg(ptext, chr(10) ORDER BY p) AS text
+        |       FROM pt GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       WHEN d.doc_id % 2 = 1 THEN '1.5' ELSE '1.4' END AS pdf_version,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
         |       ELSE CAST(t.n_pages AS INTEGER) END AS n_pages,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL

@@ -839,9 +839,17 @@ object Pdf {
         catch { case _: RuntimeException => "" }
       } else "")
 
+  /** String-show decoder for one font: bytes of a shown PDF string →
+    * text. Two shapes: [[SimpleEncoding]] (1-byte simple fonts) and
+    * [[Type0Decoder]] (2-byte composite fonts). */
+  private sealed trait FontDecoder {
+    def decode(bytes: Array[Byte]): String
+  }
+
   /** Byte → text decoder for a simple font. `base` is the named base
     * encoding; `diffs` the /Differences overrides. */
-  private final class SimpleEncoding(base: String, diffs: Map[Int, String]) {
+  private final class SimpleEncoding(base: String, diffs: Map[Int, String])
+      extends FontDecoder {
     def decode(bytes: Array[Byte]): String = {
       val sb = new StringBuilder(bytes.length)
       var i = 0
@@ -875,8 +883,131 @@ object Pdf {
 
   private val defaultEncoding = new SimpleEncoding("WinAnsiEncoding", Map.empty)
 
-  /** Builds the decoder for one font dict (resolved through `doc`):
-    * /Encoding may be a name or a dict with /BaseEncoding and
+  /** 2-byte-code decoder for a /Type0 composite font (ISO 32000-1
+    * §9.7): each shown string is a sequence of big-endian 2-byte
+    * codes — the layout of Identity-H and of every predefined 2-byte
+    * CMap modern generators emit. `toUni` is the parsed /ToUnicode
+    * CMap (code → text); a code the CMap misses falls back to the
+    * Identity heuristic (treat the code as a BMP codepoint), which is
+    * exact for the common Identity-H-with-CID=codepoint writers and
+    * never throws for the rest. */
+  private final class Type0Decoder(toUni: java.util.HashMap[Int, String])
+      extends FontDecoder {
+    def decode(bytes: Array[Byte]): String = {
+      val sb = new StringBuilder(bytes.length / 2)
+      var i = 0
+      while (i + 1 < bytes.length) {
+        val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
+        val mapped = toUni.get(code)
+        if (mapped != null) sb.append(mapped)
+        else if (code >= 0x20 && (code < 0xd800 || code > 0xdfff))
+          sb.append(code.toChar)
+        i += 2
+      }
+      sb.toString
+    }
+  }
+
+  /** Parses a /ToUnicode CMap stream (Adobe CMap syntax, the
+    * bfchar/bfrange subset every generator emits) into a code → text
+    * map. `beginbfchar` pairs are (srcHex, dstHex-UTF16BE);
+    * `beginbfrange` triples are (loHex, hiHex, dstStartHex) — the
+    * LAST UTF-16 code unit increments across the range — or (lo, hi,
+    * [dst dst …]) with one explicit dst per code. Bounded: at most
+    * 2^16 mappings, ranges clamped to 2^16 codes; hostile input can
+    * only produce fewer mappings, never a throw that escapes. */
+  private def parseToUnicodeCMap(bytes: Array[Byte]): java.util.HashMap[Int, String] = {
+    val out = new java.util.HashMap[Int, String]()
+    val lx = new Lexer(bytes, 0)
+    val stack = scala.collection.mutable.ArrayBuffer.empty[PObj]
+    def srcCode(s: PStr): Int = {
+      var v = 0
+      val n = math.min(s.bytes.length, 4)
+      var i = 0
+      while (i < n) { v = (v << 8) | (s.bytes(i) & 0xff); i += 1 }
+      v
+    }
+    def dstText(s: PStr): String =
+      new String(s.bytes, java.nio.charset.StandardCharsets.UTF_16BE)
+    def put(code: Int, text: String): Unit =
+      if (out.size < (1 << 16)) out.put(code, text)
+    var guard = 0
+    while (lx.pos < bytes.length && guard < (1 << 20)) {
+      guard += 1
+      lx.skipWs()
+      if (lx.pos >= bytes.length) return out
+      val c = lx.peek
+      val isOperand = c == '(' || c == '<' || c == '[' || c == '/' ||
+        c == '+' || c == '-' || c == '.' || (c >= '0' && c <= '9')
+      if (isOperand) {
+        try stack += lx.parseObject(0)
+        catch { case _: RuntimeException => return out }
+      } else {
+        val op = lx.token()
+        if (op.isEmpty) return out
+        op match {
+          case "endbfchar" =>
+            stack.grouped(2).foreach {
+              case scala.collection.mutable.ArrayBuffer(src: PStr, dst: PStr) =>
+                put(srcCode(src), dstText(dst))
+              case _ =>
+            }
+          case "endbfrange" =>
+            stack.grouped(3).foreach {
+              case scala.collection.mutable.ArrayBuffer(
+                  lo: PStr, hi: PStr, dst) =>
+                val l = srcCode(lo)
+                val h = math.min(srcCode(hi), l + (1 << 16) - 1)
+                dst match {
+                  case d: PStr =>
+                    val base = dstText(d)
+                    if (base.nonEmpty) {
+                      var code = l
+                      while (code <= h) {
+                        val off = code - l
+                        val lastUnit = (base.last + off).toChar
+                        put(code, base.substring(0, base.length - 1) + lastUnit)
+                        code += 1
+                      }
+                    }
+                  case PArr(items) =>
+                    items.zipWithIndex.foreach {
+                      case (d: PStr, i) if l + i <= h => put(l + i, dstText(d))
+                      case _ =>
+                    }
+                  case _ =>
+                }
+              case _ =>
+            }
+          case _ => // begin… markers, counts, dict plumbing: drop operands
+        }
+        stack.clear()
+      }
+    }
+    out
+  }
+
+  /** Builds the decoder for one font dict (resolved through `doc`).
+    * /Subtype /Type0 composite fonts decode 2-byte codes through
+    * their /ToUnicode CMap (Identity fallback when absent); simple
+    * fonts go through [[SimpleEncoding]], whose /Encoding may be a
+    * name or a dict with /BaseEncoding and /Differences
+    * ([code /name /name… code /name…]). */
+  private def fontDecoder(font: PObj, doc: Doc): FontDecoder =
+    doc.resolve(font) match {
+      case fd: PDict if fd.get("Subtype").contains(PName("Type0")) =>
+        val toUni = doc.resolve(fd.get("ToUnicode").getOrElse(PNull)) match {
+          case st: PStream =>
+            decodeStream(st, doc, 1 << 22).map(parseToUnicodeCMap)
+              .getOrElse(new java.util.HashMap[Int, String]())
+          case _ => new java.util.HashMap[Int, String]()
+        }
+        new Type0Decoder(toUni)
+      case other => fontEncoding(other, doc)
+    }
+
+  /** Builds the decoder for one SIMPLE font dict (resolved through
+    * `doc`): /Encoding may be a name or a dict with /BaseEncoding and
     * /Differences ([code /name /name… code /name…]). */
   private def fontEncoding(font: PObj, doc: Doc): SimpleEncoding =
     doc.resolve(font) match {
@@ -922,7 +1053,10 @@ object Pdf {
                          doc: Doc, out: StringBuilder, maxChars: Int): Unit = {
     val lx = new Lexer(content, 0)
     val stack = scala.collection.mutable.ArrayBuffer.empty[PObj]
-    var enc: SimpleEncoding = defaultEncoding
+    var enc: FontDecoder = defaultEncoding
+    // one decoder build per font NAME per page — a Type0 font's
+    // /ToUnicode CMap parse must not repeat on every Tf switch
+    val decoderCache = scala.collection.mutable.HashMap.empty[String, FontDecoder]
     var curY = Double.NaN
     var emittedInBT = false
 
@@ -957,7 +1091,8 @@ object Pdf {
           case "Tf" =>
             if (stack.length >= 2) stack(stack.length - 2) match {
               case PName(f) =>
-                enc = fonts.get(f).map(fontEncoding(_, doc)).getOrElse(defaultEncoding)
+                enc = decoderCache.getOrElseUpdate(f,
+                  fonts.get(f).map(fontDecoder(_, doc)).getOrElse(defaultEncoding))
               case _ =>
             }
           case "Td" | "TD" =>
@@ -1343,5 +1478,243 @@ object Pdf {
     w("\nendstream\nendobj\n")
     w(s"startxref\n$xrefAt\n%%EOF\n")
     out.toByteArray
+  }
+
+  // ---------------------------------------------------------------
+  // Type0/Identity-H writer (fixture + oracle synthesis)
+  // ---------------------------------------------------------------
+
+  /** CID assignment of the deterministic Type0 writer: codepoint +
+    * 0x0100 — deliberately NOT the identity, so extraction is only
+    * correct through the /ToUnicode CMap (the Identity fallback
+    * would emit visibly shifted characters). */
+  private def type0Cid(cp: Int): Int = cp + 0x0100
+
+  private def hex4(v: Int): String = f"$v%04X"
+
+  /** The /ToUnicode CMap for one document's character set: maximal
+    * consecutive-codepoint runs become `bfrange` entries (split where
+    * the CID high byte changes — ranges may not cross a 256-code
+    * boundary), singleton runs become `bfchar` entries, so both CMap
+    * operators are exercised by every generated document. */
+  private def toUnicodeCMapFor(text: String): Array[Byte] = {
+    val cps = text.toCharArray.map(_.toInt).distinct.sorted.toSeq
+    val runs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int)]
+    cps.foreach { cp =>
+      runs.lastOption match {
+        case Some((lo, hi)) if cp == hi + 1 &&
+            (type0Cid(cp) >> 8) == (type0Cid(lo) >> 8) =>
+          runs(runs.length - 1) = (lo, cp)
+        case _ => runs += ((cp, cp))
+      }
+    }
+    val (singles, ranges) = runs.partition { case (lo, hi) => lo == hi }
+    val sb = new StringBuilder
+    sb.append("/CIDInit /ProcSet findresource begin\n")
+    sb.append("12 dict begin\nbegincmap\n")
+    sb.append("/CIDSystemInfo << /Registry (Adobe) /Ordering (UCS) ")
+    sb.append("/Supplement 0 >> def\n")
+    sb.append("/CMapName /Adobe-Identity-UCS def\n/CMapType 2 def\n")
+    sb.append("1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n")
+    if (singles.nonEmpty) {
+      sb.append(singles.length).append(" beginbfchar\n")
+      singles.foreach { case (cp, _) =>
+        sb.append('<').append(hex4(type0Cid(cp))).append("> <")
+          .append(hex4(cp)).append(">\n")
+      }
+      sb.append("endbfchar\n")
+    }
+    if (ranges.nonEmpty) {
+      sb.append(ranges.length).append(" beginbfrange\n")
+      ranges.foreach { case (lo, hi) =>
+        sb.append('<').append(hex4(type0Cid(lo))).append("> <")
+          .append(hex4(type0Cid(hi))).append("> <")
+          .append(hex4(lo)).append(">\n")
+      }
+      sb.append("endbfrange\n")
+    }
+    sb.append("endcmap\nCMapName currentdict /CMap defineresource pop\n")
+    sb.append("end\nend\n")
+    sb.toString.getBytes("US-ASCII")
+  }
+
+  /** Content stream showing `lines` as 2-byte-CID hex strings — the
+    * Type0 sibling of [[contentFor]]; same Tj + T* line policy, so
+    * the extracted-text formula is identical. */
+  private def contentForType0(lines: Seq[String]): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream()
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    w("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+    lines.zipWithIndex.foreach { case (ln, i) =>
+      if (i > 0) w("T*\n")
+      w("<")
+      ln.foreach(ch => w(hex4(type0Cid(ch.toInt))))
+      w("> Tj\n")
+    }
+    w("ET\n")
+    out.toByteArray
+  }
+
+  /** Writes a deterministic PDF whose one font is a /Type0
+    * composite — /Encoding /Identity-H, a /CIDFontType2 descendant,
+    * and a /ToUnicode CMap built by [[toUnicodeCMapFor]] — the font
+    * model Chrome print-to-PDF, LibreOffice, Word, and pdfTeX emit.
+    * The CID scheme is shifted (codepoint + 0x100), so extracted
+    * text is correct ONLY through the CMap. `xrefStream = false`
+    * writes a classic xref table (PDF 1.4 layout); `true` writes the
+    * PDF 1.5 layout (dicts in an ObjStm, /Type /XRef stream with
+    * PNG-Up predictor). Text formula identical to
+    * [[buildSimplePdf]]: `pages.map(_.mkString("\n")).mkString("\n")`. */
+  def buildType0Pdf(pages: Seq[Seq[String]], xrefStream: Boolean): Array[Byte] = {
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val touNum = fontNum + 2
+    val cmap = toUnicodeCMapFor(pages.flatten.mkString)
+    val fontBody = s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftSans " +
+      s"/Encoding /Identity-H /DescendantFonts [$descNum 0 R] " +
+      s"/ToUnicode $touNum 0 R >>"
+    val descBody = "<< /Type /Font /Subtype /CIDFontType2 " +
+      "/BaseFont /GraftSans /CIDSystemInfo << /Registry (Adobe) " +
+      "/Ordering (Identity) /Supplement 0 >> >>"
+    def deflate(b: Array[Byte]): Array[Byte] = {
+      val d = new java.util.zip.Deflater()
+      d.setInput(b); d.finish()
+      val buf = new Array[Byte](b.length + 64)
+      val n = d.deflate(buf); d.end()
+      java.util.Arrays.copyOf(buf, n)
+    }
+
+    if (!xrefStream) {
+      val out = new java.io.ByteArrayOutputStream()
+      val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+      def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      def beginObj(): Unit = offsets += out.size
+      w("%PDF-1.4\n%")
+      out.write(Array(0xe2, 0xe3, 0xcf, 0xd3).map(_.toByte))
+      w("\n")
+      beginObj(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+      beginObj()
+      w("2 0 obj\n<< /Type /Pages /Count " + nPages + " /Kids [" +
+        (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+        "] >>\nendobj\n")
+      pages.zipWithIndex.foreach { case (lines, i) =>
+        val pageNum = 3 + 2 * i
+        val contNum = 4 + 2 * i
+        beginObj()
+        w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R " +
+          s"/MediaBox [0 0 612 792] " +
+          s"/Resources << /Font << /F1 $fontNum 0 R >> >> " +
+          s"/Contents $contNum 0 R >>\nendobj\n")
+        val data = deflate(contentForType0(lines))
+        beginObj()
+        w(s"$contNum 0 obj\n<< /Length ${data.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+      beginObj(); w(s"$fontNum 0 obj\n$fontBody\nendobj\n")
+      beginObj(); w(s"$descNum 0 obj\n$descBody\nendobj\n")
+      beginObj()
+      w(s"$touNum 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+      out.write(cmap)
+      w("\nendstream\nendobj\n")
+      val xrefAt = out.size
+      val n = offsets.length + 1
+      w(s"xref\n0 $n\n0000000000 65535 f \n")
+      offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+      w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    } else {
+      val out = new java.io.ByteArrayOutputStream()
+      def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+      w("%PDF-1.5\n")
+      // numbering: 1 catalog, 2 pages, 3..2+n page dicts, 3+n..2+2n
+      // content streams, then font/descendant/ToUnicode/ObjStm/XRef
+      val fNum = 3 + 2 * nPages
+      val dNum = fNum + 1
+      val tNum = fNum + 2
+      val objStmNum = fNum + 3
+      val xrefNum = fNum + 4
+      val streamOffsets = scala.collection.mutable.HashMap.empty[Int, Int]
+      pages.zipWithIndex.foreach { case (lines, i) =>
+        val contNum = 3 + nPages + i
+        val data = deflate(contentForType0(lines))
+        streamOffsets(contNum) = out.size
+        w(s"$contNum 0 obj\n<< /Length ${data.length} " +
+          "/Filter /FlateDecode >>\nstream\n")
+        out.write(data)
+        w("\nendstream\nendobj\n")
+      }
+      streamOffsets(tNum) = out.size
+      w(s"$tNum 0 obj\n<< /Length ${cmap.length} >>\nstream\n")
+      out.write(cmap)
+      w("\nendstream\nendobj\n")
+      val fontBodyX = s"<< /Type /Font /Subtype /Type0 /BaseFont /GraftSans " +
+        s"/Encoding /Identity-H /DescendantFonts [$dNum 0 R] " +
+        s"/ToUnicode $tNum 0 R >>"
+      val dictBodies: Seq[(Int, String)] =
+        Seq(1 -> "<< /Type /Catalog /Pages 2 0 R >>",
+          2 -> ("<< /Type /Pages /Count " + nPages + " /Kids [" +
+            (0 until nPages).map(i => s"${3 + i} 0 R").mkString(" ") + "] >>")) ++
+          (0 until nPages).map { i =>
+            (3 + i) -> (s"<< /Type /Page /Parent 2 0 R /MediaBox [0 0 612 792] " +
+              s"/Resources << /Font << /F1 $fNum 0 R >> >> " +
+              s"/Contents ${3 + nPages + i} 0 R >>")
+          } ++
+          Seq(fNum -> fontBodyX, dNum -> descBody)
+      val bodyBuf = new java.io.ByteArrayOutputStream()
+      val headBuf = new StringBuilder
+      dictBodies.foreach { case (num, s) =>
+        headBuf.append(num).append(' ').append(bodyBuf.size).append(' ')
+        bodyBuf.write(s.getBytes("US-ASCII")); bodyBuf.write('\n')
+      }
+      val head = headBuf.toString.trim + "\n"
+      val stmPlain = head.getBytes("US-ASCII") ++ bodyBuf.toByteArray
+      val comp = deflate(stmPlain)
+      val objStmAt = out.size
+      w(s"$objStmNum 0 obj\n<< /Type /ObjStm /N ${dictBodies.length} " +
+        s"/First ${head.getBytes("US-ASCII").length} /Length ${comp.length} " +
+        "/Filter /FlateDecode >>\nstream\n")
+      out.write(comp)
+      w("\nendstream\nendobj\n")
+      val xrefAt = out.size
+      val size = xrefNum + 1
+      val rows = new Array[Array[Int]](size)
+      rows(0) = Array(0, 0, 255)
+      dictBodies.zipWithIndex.foreach { case ((num, _), idx) =>
+        rows(num) = Array(2, objStmNum, idx)
+      }
+      streamOffsets.foreach { case (num, off) => rows(num) = Array(1, off, 0) }
+      rows(objStmNum) = Array(1, objStmAt, 0)
+      rows(xrefNum) = Array(1, xrefAt, 0)
+      val rowLen = 1 + 3 + 1
+      val table = new Array[Byte](size * (rowLen + 1))
+      val prevRow = new Array[Byte](rowLen)
+      for (r <- 0 until size) {
+        val cur = new Array[Byte](rowLen)
+        val Array(t, f2, f3) = rows(r)
+        cur(0) = t.toByte
+        cur(1) = ((f2 >> 16) & 0xff).toByte
+        cur(2) = ((f2 >> 8) & 0xff).toByte
+        cur(3) = (f2 & 0xff).toByte
+        cur(4) = (f3 & 0xff).toByte
+        table(r * (rowLen + 1)) = 2
+        for (i <- 0 until rowLen) {
+          table(r * (rowLen + 1) + 1 + i) =
+            ((cur(i) - prevRow(i)) & 0xff).toByte
+          prevRow(i) = cur(i)
+        }
+      }
+      val xcomp = deflate(table)
+      w(s"$xrefNum 0 obj\n<< /Type /XRef /Size $size /Root 1 0 R " +
+        s"/W [1 3 1] /Index [0 $size] /Length ${xcomp.length} " +
+        "/Filter /FlateDecode " +
+        s"/DecodeParms << /Predictor 12 /Columns $rowLen >> >>\nstream\n")
+      out.write(xcomp)
+      w("\nendstream\nendobj\n")
+      w(s"startxref\n$xrefAt\n%%EOF\n")
+      out.toByteArray
+    }
   }
 }

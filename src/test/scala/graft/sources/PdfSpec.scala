@@ -113,6 +113,119 @@ class PdfSpec extends SparkSpec {
       "World now\ncafé (ok)\nHello\néB\ncd")
   }
 
+  test("buildType0Pdf round-trips through the /ToUnicode CMap: both " +
+       "xref generations, shifted CIDs") {
+    val pages = Seq(
+      Seq("hello café Type0", "line (two) \\ ok"),
+      Seq("page 2 solo"))
+    for (xs <- Seq(false, true)) {
+      val bytes = Pdf.buildType0Pdf(pages, xs)
+      val r = Pdf.extractPdfText(bytes)
+      assert(r.isDefined, s"xrefStream=$xs")
+      assert(r.get.nPages == 2, s"xrefStream=$xs")
+      assert(r.get.version == (if (xs) "1.5" else "1.4"))
+      // the writer's CID scheme is codepoint + 0x100: getting THIS
+      // string back proves the CMap was applied (the Identity
+      // fallback would shift every character by 0x100)
+      assert(r.get.text == pageText(pages), s"xrefStream=$xs")
+    }
+  }
+
+  /** Hand-assembled Type0 fixture sharing no code with
+    * [[Pdf.buildType0Pdf]]: a bfrange spanning a surrogate-free BMP
+    * run (<0041>..<0043> → Greek Α Β Γ — dst last-unit increments), a
+    * bfchar whose destination is TWO UTF-16 code units (the fi
+    * expansion), an ARRAY-form bfrange, and one unmapped code that
+    * must fall back to Identity. */
+  private def type0HandFixture(): Array[Byte] = {
+    val cmap =
+      """/CIDInit /ProcSet findresource begin
+        |12 dict begin
+        |begincmap
+        |/CIDSystemInfo << /Registry (T) /Ordering (T) /Supplement 0 >> def
+        |/CMapName /T-UCS def
+        |/CMapType 2 def
+        |1 begincodespacerange
+        |<0000> <FFFF>
+        |endcodespacerange
+        |1 beginbfchar
+        |<00D0> <00660069>
+        |endbfchar
+        |2 beginbfrange
+        |<0041> <0043> <0391>
+        |<0050> <0051> [<0058> <0059>]
+        |endbfrange
+        |endcmap
+        |CMapName currentdict /CMap defineresource pop
+        |end
+        |end
+        |""".stripMargin
+    // codes: 0041 0042 0043 (bfrange -> ΑΒΓ), 00D0 (bfchar -> fi),
+    // 0050 0051 (array bfrange -> XY), 007A (unmapped -> Identity 'z')
+    val c1 = "BT /F1 12 Tf 50 700 Td <004100420043> Tj " +
+      "<00D0> Tj T* <00500051007A> Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def obj(num: Int, body: String): Unit = {
+      offsets += out.size
+      w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Any " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] /ToUnicode 7 0 R >>")
+    obj(6, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Any >>")
+    obj(7, s"<< /Length ${cmap.length} >>\nstream\n$cmap\nendstream")
+    val xrefAt = out.size
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
+  test("independent Type0 hand fixture: bfrange over a BMP run, " +
+       "two-unit bfchar, array bfrange, Identity fallback") {
+    val r = Pdf.extractPdfText(type0HandFixture())
+    assert(r.isDefined)
+    assert(r.get.nPages == 1)
+    assert(r.get.text == "ΑΒΓfi\nXYz")
+  }
+
+  test("a Type0 font with NO /ToUnicode decodes via Identity (never " +
+       "throws, never mojibakes low codes)") {
+    val c1 = "BT /F1 12 Tf 50 700 Td <00680069> Tj ET"
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("ISO-8859-1"))
+    def obj(num: Int, body: String): Unit = {
+      offsets += out.size
+      w(s"$num 0 obj\n$body\nendobj\n")
+    }
+    w("%PDF-1.4\n")
+    obj(1, "<< /Type /Catalog /Pages 2 0 R >>")
+    obj(2, "<< /Type /Pages /Count 1 /Kids [3 0 R] >>")
+    obj(3, "<< /Type /Page /Parent 2 0 R " +
+      "/Resources << /Font << /F1 5 0 R >> >> /Contents 4 0 R >>")
+    obj(4, s"<< /Length ${c1.length} >>\nstream\n$c1\nendstream")
+    obj(5, "<< /Type /Font /Subtype /Type0 /BaseFont /Any " +
+      "/Encoding /Identity-H /DescendantFonts [6 0 R] >>")
+    obj(6, "<< /Type /Font /Subtype /CIDFontType2 /BaseFont /Any >>")
+    val xrefAt = out.size
+    w(s"xref\n0 ${offsets.length + 1}\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size ${offsets.length + 1} /Root 1 0 R >>\n" +
+      s"startxref\n$xrefAt\n%%EOF\n")
+    val r = Pdf.extractPdfText(out.toByteArray)
+    assert(r.isDefined)
+    assert(r.get.text == "hi")
+  }
+
   test("an /Encrypt trailer bails explicitly (None, not garbage text)") {
     val plain = Pdf.buildSimplePdf(Seq(Seq("secret")), flate = false)
     assert(Pdf.extractPdfText(plain).isDefined)
