@@ -6066,6 +6066,60 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q296 — X-Robots-Tag header gate ([[graft.functions.XRobotsTag]]
+    // + [[graft.functions.MetaRobots.indexablePage]]): q294's
+    // in-document noindex has an HTTP-header sibling — a page served
+    // with `X-Robots-Tag: noindex` opts out without any meta tag, and
+    // a gate that reads only the HTML ships it anyway. The fixture
+    // plants all three wild header shapes (bare `noindex`, the
+    // agent-scoped `googlebot: noindex`, `NONE` with a trailing
+    // directive) on page 1, a BENIGN header (`nofollow, noarchive`)
+    // on page 0 that must NOT trip, and the meta tag on page 2 for
+    // even ids — so the oracle pins header-only, meta-only, and
+    // both-clean outcomes. The composed verdict (header OR meta ⇒
+    // drop) is one declarative filter over the page scan: no UDF, no
+    // shuffle, no second pass over the records.
+    "q296_xrobots_gate" -> ((s, d) => {
+      import s.implicits._
+      def rec(wtype: String, uri: String, payload: Array[Byte]): Array[Byte] = {
+        val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+          (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      def page(body: String, xRobots: String): Array[Byte] =
+        ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+          (if (xRobots != null) s"X-Robots-Tag: $xRobots\r\n" else "") +
+          "\r\n" + body).getBytes("UTF-8")
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val headerNoindex = (id % 3) match {
+            case 0 => "noindex"
+            case 1 => "googlebot: noindex"
+            case _ => "NONE, nosnippet"
+          }
+          val p2 = (if (id % 2 == 0)
+            "<meta name=\"robots\" content=\"noindex\">" else "") +
+            s"<p>keep page $id two</p>"
+          (id,
+            rec("warcinfo", null, "software: graft\r\n".getBytes("ISO-8859-1")) ++
+              rec("response", s"http://ex.com/$id/0",
+                page(s"<p>keep page $id zero</p>", "nofollow, noarchive")) ++
+              rec("response", s"http://ex.com/$id/1",
+                page(s"<p>keep page $id one</p>", headerNoindex)) ++
+              rec("response", s"http://ex.com/$id/2", page(p2, null)))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlPages(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .where(graft.functions.MetaRobots.indexablePage(
+          col("html"), col("x_robots")))
+        .select(col("media_id"), col("record_idx"), col("url"),
+          graft.functions.HtmlToText(col("html")).as("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q295 — Type0/Identity-H PDF text ([[graft.sources.Pdf
     // .buildType0Pdf]] → [[graft.sources.Pdf.extractPdfText]]): the
     // font model modern generators (Chrome print-to-PDF, LibreOffice,
@@ -10768,6 +10822,23 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
         |FROM documents d JOIN dt t ON t.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Which pages survive the COMPOSED header+meta gate, stated:
+    // page 0 always (its benign nofollow header must not trip), page
+    // 1 never (all three header shapes opt out), page 2 only for odd
+    // ids (even ids carry the meta tag).
+    "q296_xrobots_gate" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/0' AS url,
+        |  'keep page ' || doc_id || ' zero' AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, CAST(3 AS INTEGER),
+        |  'http://ex.com/' || doc_id || '/2',
+        |  'keep page ' || doc_id || ' two'
+        |FROM ids WHERE doc_id % 2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // Same replayed formula as q285, THROUGH the Type0 container:
     // 2-byte CID strings must decode via the /ToUnicode CMap

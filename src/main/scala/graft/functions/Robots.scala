@@ -178,4 +178,41 @@ object MetaRobots {
   def indexable(html: String): Boolean =
     html == null ||
       !(html.matches(NameFirst) || html.matches(ContentFirst))
+
+  /** The COMPOSED page-level verdict — header OR meta ⇒ noindex:
+    * true only when neither the `X-Robots-Tag` response header
+    * ([[XRobotsTag.noindex]]) nor the robots-meta tag opts the page
+    * out. `xRobots` null (header absent) gates on the meta tag
+    * alone. */
+  def indexablePage(html: org.apache.spark.sql.Column,
+                    xRobots: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    indexable(html) && !XRobotsTag.noindex(xRobots)
+}
+
+/** HTTP-header-level indexability — `X-Robots-Tag` is the response
+  * header equivalent of the robots meta tag (same Google/Bing spec)
+  * and the only channel for non-HTML carriers (a PDF can't carry a
+  * meta tag). Directive grammar: comma-separated tokens, each
+  * optionally prefixed by a user-agent name and colon
+  * (`googlebot: noindex`); `noindex` and `none` (= noindex,nofollow)
+  * both opt out. Declarative regex over the header value — fuses
+  * into the extraction scan, no UDF, no shuffle. */
+object XRobotsTag {
+  // token-boundary match: 'noindex' or 'none' as a whole directive
+  // (after start/comma/colon/space, before end/comma/space) — never
+  // inside another token like 'nonessential'. Both alternates of the
+  // prefix/suffix are anchored, so rlike (find) and matches (full)
+  // agree on every input.
+  private val Noindex =
+    "(?i)(^|.*[,:\\s])(noindex|none)($|[,\\s].*)"
+
+  /** True when the header value asks the page NOT to be indexed.
+    * A null column (header absent) is false — absent never blocks. */
+  def noindex(value: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.functions.coalesce(
+      value.rlike(Noindex), org.apache.spark.sql.functions.lit(false))
+
+  /** Driver/test-side form of the same rule. */
+  def noindex(value: String): Boolean =
+    value != null && value.matches(Noindex)
 }

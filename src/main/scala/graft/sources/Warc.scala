@@ -36,7 +36,8 @@ object Warc {
                               httpStatus: Option[Int],
                               contentType: Option[String],
                               body: Array[Byte],
-                              bodyTruncated: Boolean = false)
+                              bodyTruncated: Boolean = false,
+                              xRobotsTag: Option[String] = None)
 
   /** One container's full parse result: the records that decoded plus
     * WHY the walk stopped — fences must be loud (r11 verdict: an
@@ -122,6 +123,7 @@ object Warc {
       // ---- response records: HTTP status + headers + body -----------
       var status: Option[Int] = None
       var ctype: Option[String] = None
+      var xRobots: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
       if (wType.equalsIgnoreCase("response") &&
@@ -135,6 +137,7 @@ object Warc {
             status = Some(parts(1).toInt)
           val hh = parseHeaders(data, nextLine(data, bodyStart), httpHeaderEnd)
           ctype = hh.get("content-type")
+          xRobots = hh.get("x-robots-tag")
           val bl = (bodyEnd - httpHeaderEnd).toInt
           if (bl > 0 && bl <= maxBody)
             body = java.util.Arrays.copyOfRange(data, httpHeaderEnd, bodyEnd.toInt)
@@ -143,7 +146,8 @@ object Warc {
           else if (bl > 0 && maxBody > 0) bodyCut = true
         }
       }
-      out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut)
+      out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut,
+        xRobots)
       k += 1
       // payload + the record-separating CRLFCRLF (tolerant at EOF).
       // q is Long: a hostile multi-GB Content-Length must clamp here,
@@ -451,13 +455,14 @@ object Warc {
               r.contentType.exists(_.toLowerCase(java.util.Locale.ROOT)
                 .startsWith("text/html")) && r.body.nonEmpty =>
             val (html, cs) = decodeHtml(r.body, r.contentType)
-            (id, r.recordIdx, Option(r.targetUri), cs, html,
+            (id, r.recordIdx, Option(r.targetUri), cs, r.xRobotsTag, html,
               null.asInstanceOf[String], 0)
         }
         pages :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
+          None: Option[String],
           null.asInstanceOf[String], parse.endReason, parse.truncatedBodies))
       }
-      .toDF("media_id", "record_idx", "url", "charset", "html",
+      .toDF("media_id", "record_idx", "url", "charset", "x_robots", "html",
         "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
@@ -580,6 +585,7 @@ object Warc {
       // ---- response records: HTTP status + headers + body -----------
       var status: Option[Int] = None
       var ctype: Option[String] = None
+      var xRobots: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
       if (wType.equalsIgnoreCase("response") && startsWith(payload, 0, "HTTP/")) {
@@ -591,6 +597,7 @@ object Warc {
             status = Some(parts(1).toInt)
           val hh = parseHeaders(payload, nextLine(payload, 0), httpHeaderEnd)
           ctype = hh.get("content-type")
+          xRobots = hh.get("x-robots-tag")
           val bl = clen - httpHeaderEnd // true HTTP body length
           if (bl > 0 && bl <= maxBody && httpHeaderEnd + bl <= got)
             body = java.util.Arrays.copyOfRange(payload, httpHeaderEnd,
@@ -601,7 +608,8 @@ object Warc {
           }
         }
       }
-      val rec = WarcRecord(idx, wType, uri, clen, status, ctype, body, bodyCut)
+      val rec = WarcRecord(idx, wType, uri, clen, status, ctype, body,
+        bodyCut, xRobots)
       idx += 1
       if (shortRead) endReason = "truncated" // emit this record, then stop
       rec

@@ -95,4 +95,27 @@ class RobotsSpec extends AnyFunSuite {
     assert(indexable("<p>the word noindex in prose</p>"))
     assert(indexable(null))
   }
+
+  test("XRobotsTag.noindex: directive boundaries, agent scope, none, " +
+       "benign values") {
+    import XRobotsTag.noindex
+    assert(noindex("noindex"))
+    assert(noindex("NOINDEX"))
+    assert(noindex("noindex, nofollow"))
+    assert(noindex("nofollow, noindex"))
+    assert(noindex("googlebot: noindex"))
+    assert(noindex("none"))
+    assert(noindex("NONE, nosnippet"))
+    assert(noindex("otherbot: none"))
+    // token boundaries: never inside another word
+    assert(!noindex("noindexfoo"))
+    assert(!noindex("nonessential"))
+    assert(!noindex("by_none_token"))
+    // benign directives never trip
+    assert(!noindex("nofollow, noarchive"))
+    assert(!noindex("unavailable_after: 25 Jun 2026 15:00:00 PST"))
+    assert(!noindex("index, follow"))
+    assert(!noindex(null: String))
+    assert(!noindex(""))
+  }
 }
