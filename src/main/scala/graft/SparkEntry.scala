@@ -6120,6 +6120,62 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q297 — LaTeX → text carrier ([[graft.functions.LatexToText]]
+    // routed by [[graft.sources.Warc.warcDocText]]): the arXiv-class
+    // scientific corpus door. The fixture's .tex body exercises every
+    // declared transform — preamble/comment drops, \section/\emph
+    // brace-keeps, reference-class argument drops (\cite, \href url
+    // leg), inline + environment math drops, \item line breaks,
+    // escape unescapes (\&, \%), ~ gluing, \\ breaks — and the
+    // cleaned form is a stated line formula the oracle replays. Each
+    // WARC carries an html record AND a tex record, so the row also
+    // pins the router: same single record walk, no second pass.
+    // Map-only; the cleaner is one linear char walk per document.
+    "q297_latex_text" -> ((s, d) => {
+      import s.implicits._
+      def rec(wtype: String, uri: String, ctype: String,
+              body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+          (if (uri != null) s"WARC-Target-URI: $uri\r\n" else "") +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val tex =
+            s"""\\documentclass[11pt]{article}
+               |% preamble comment $id drops
+               |\\usepackage{amsmath}
+               |\\begin{document}
+               |\\section{Head $id}
+               |Body $id with \\emph{emph $id} \\& 100\\% real.
+               |Inline $$x_{$id}^2$$ math drops but tail $id stays.
+               |\\begin{equation}
+               |e = mc^2 + $id
+               |\\end{equation}
+               |\\begin{itemize}
+               |\\item alpha $id
+               |\\item beta $id
+               |\\end{itemize}
+               |See \\cite{ref$id} and \\href{http://x/$id}{link $id} now.
+               |Tilde~joined and a break\\\\here $id.""".stripMargin +
+              (if (id % 2 == 0) s"\nExtra tok${(id * 13) % 89} prose."
+               else "") + "\n\\end{document}\n"
+          (id,
+            rec("response", s"http://ex.com/$id/page", "text/html",
+              s"<p>html page $id</p>".getBytes("UTF-8")) ++
+              rec("response", s"http://ex.com/$id/paper.tex",
+                "application/x-tex", tex.getBytes("UTF-8")))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q295 — Type0/Identity-H PDF text ([[graft.sources.Pdf
     // .buildType0Pdf]] → [[graft.sources.Pdf.extractPdfText]]): the
     // font model modern generators (Chrome print-to-PDF, LibreOffice,
@@ -10838,6 +10894,34 @@ object SparkEntry {
         |  'http://ex.com/' || doc_id || '/2',
         |  'keep page ' || doc_id || ' two'
         |FROM ids WHERE doc_id % 2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // The cleaned LaTeX stated line by line (the declared-transform
+    // formula), plus the html row from the same record walk.
+    "q297_latex_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/page' AS url,
+        |  'html' AS carrier,
+        |  'html page ' || doc_id AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER),
+        |  'http://ex.com/' || doc_id || '/paper.tex', 'latex',
+        |  'Head ' || doc_id || chr(10) ||
+        |  'Body ' || doc_id || ' with emph ' || doc_id ||
+        |    ' & 100% real.' || chr(10) ||
+        |  'Inline math drops but tail ' || doc_id || ' stays.' || chr(10) ||
+        |  'alpha ' || doc_id || chr(10) ||
+        |  'beta ' || doc_id || chr(10) ||
+        |  'See and link ' || doc_id || ' now.' || chr(10) ||
+        |  'Tilde joined and a break' || chr(10) ||
+        |  'here ' || doc_id || '.' ||
+        |  CASE WHEN doc_id % 2 = 0
+        |       THEN chr(10) || 'Extra tok' || ((doc_id * 13) % 89) ||
+        |            ' prose.'
+        |       ELSE '' END
+        |FROM ids
         |ORDER BY media_id, record_idx""".stripMargin,
 
     // Same replayed formula as q285, THROUGH the Type0 container:

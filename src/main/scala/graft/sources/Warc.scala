@@ -407,6 +407,13 @@ object Warc {
             Some((id, r.recordIdx, Option(r.targetUri), "markdown",
               graft.functions.MarkdownToText.clean(md),
               null.asInstanceOf[String], 0))
+          } else if (ct.exists(c => c.startsWith("application/x-tex") ||
+              c.startsWith("application/x-latex") ||
+              c.startsWith("text/x-tex"))) {
+            val (tex, _) = decodeHtml(r.body, r.contentType) // charset negotiation
+            Some((id, r.recordIdx, Option(r.targetUri), "latex",
+              graft.functions.LatexToText.clean(tex),
+              null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith(
               "application/vnd.openxmlformats-officedocument.wordprocessingml"))) {
             OfficeText.docxText(r.body).map(t =>
