@@ -644,6 +644,71 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  private def zstBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+    z.write(b); z.close()
+    bos.toByteArray
+  }
+  /** On-disk .warc.zst fixture (q298): q276's record formulas behind
+    * the zstd door — whole-file single frame normally, TWO
+    * concatenated frames every 4th id (the frame-concatenation form;
+    * the split point is deliberately mid-record — frames are a
+    * transport layer, not a record layer), junk bytes every 50th.
+    * Same executor-side generation discipline as
+    * [[warcStreamFixturePaths]]. */
+  private def warcZstFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_zst_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc.zst")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            val w = warcFixture(id)
+            if (id % 4 == 1)
+              zstBytes(w.take(w.length / 2)) ++ zstBytes(w.drop(w.length / 2))
+            else zstBytes(w)
+          }
+        val tmp = java.io.File.createTempFile("wztmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
+  /** On-disk .tar.zst fixture (q300): q284's member composition
+    * behind the zstd door (every file zstd-compressed; junk every
+    * 50th). */
+  private def tarZstFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tar_zst_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"t$id%08d.tar.zst")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "tar? no".getBytes("UTF-8")
+          else zstBytes(tarFixture((0 until 2).map(k =>
+            (s"img$k.bmp", bmp24Fixture(10, 8, (x, y) => (
+              ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+              ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+              ((id * 3 + k * 7 + x + y * 7) % 256).toInt)))) ++
+            Seq("notes/" -> Array.empty[Byte],
+              "note.txt" -> s"doc $id".getBytes("UTF-8"))))
+        val tmp = java.io.File.createTempFile("tztmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6120,6 +6185,47 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q298 — zstd WARC door ([[graft.sources.Archives
+    // .sniffDecompress]] behind [[graft.sources.Warc
+    // .warcPathsHtmlText]]): Common Crawl distributes .warc.zst
+    // alongside .warc.gz — the streaming record walk must not care
+    // which compressor wrapped the container. q276's composition
+    // replayed over zstd forms: whole-file frames, TWO concatenated
+    // frames every 4th id (split mid-record — frames are transport,
+    // not records), junk every 50th. Identical oracle to q276: the
+    // compressor is what's under test, the record semantics must not
+    // move. One task per path; per-record bounded memory (zstd-jni
+    // streams, never materializes the inflated container).
+    "q298_warc_zst" -> ((s, d) => {
+      import s.implicits._
+      val paths = warcZstFixturePaths(s, d)
+      graft.sources.Warc.warcPathsHtmlText(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc\\.zst$", 1).cast("long"))
+        .select("media_id", "record_idx", "url", "charset", "text")
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q300 — zstd TAR door: q284's composition replayed over
+    // .tar.zst files through the same sniff — members stream out and
+    // the extracted BMPs decode through the same media pipeline; the
+    // oracle replays the pixel-formula channel sums unchanged.
+    "q300_tar_zst" -> ((s, d) => {
+      import s.implicits._
+      val paths = tarZstFixturePaths(s, d)
+      val members = graft.sources.Archives.tarPathMembers(s, paths)
+        .where(col("name").endsWith(".bmp"))
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "t(\\d+)\\.tar\\.zst$", 1).cast("long"))
+        .select((col("doc_id") * 10 + col("entry_idx")).as("mid"),
+          col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(members, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q297 — LaTeX → text carrier ([[graft.functions.LatexToText]]
     // routed by [[graft.sources.Warc.warcDocText]]): the arXiv-class
     // scientific corpus door. The fixture's .tex body exercises every
@@ -10895,6 +11001,36 @@ object SparkEntry {
         |  'keep page ' || doc_id || ' two'
         |FROM ids WHERE doc_id % 2 = 1
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // q276's oracle verbatim: the zstd compressor is what's under
+    // test; the record semantics must not move.
+    "q298_warc_zst" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np)
+        |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    AS url,
+        |  'utf-8' AS charset,
+        |  'Page ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR) ||
+        |    chr(10) || 'text ' || CAST(doc_id AS VARCHAR) || ' & '
+        |    || CAST(j AS VARCHAR) AS text
+        |FROM pg
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // q284's oracle verbatim over the zstd forms.
+    "q300_tar_zst" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'bmp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
+        |ORDER BY media_id""".stripMargin,
 
     // The cleaned LaTeX stated line by line (the declared-transform
     // formula), plus the html row from the same record walk.

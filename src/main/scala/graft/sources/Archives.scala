@@ -339,8 +339,36 @@ object Archives {
                                   truncated: Boolean, payload: Array[Byte],
                                   endReason: String)
 
-  /** Bounded streaming member walk over one (possibly gzipped) TAR
-    * stream. `next()` returns null at end; `endReason` then says why:
+  /** Wraps a raw stream with the decompressor its magic names —
+    * gzip (1F 8B) or zstd (28 B5 2F FD, RFC 8878; the compression
+    * Common Crawl distributes alongside gzip, read through the
+    * zstd-jni already on Spark's classpath) — else passes the bytes
+    * through untouched. Shared by the TAR and WARC streaming walks. */
+  private[sources] def sniffDecompress(
+      raw: java.io.InputStream): java.io.InputStream = {
+    val pb = new java.io.PushbackInputStream(
+      new java.io.BufferedInputStream(raw, 1 << 16), 4)
+    val b = new Array[Int](4)
+    var n = 0
+    while (n < 4 && { b(n) = pb.read(); b(n) >= 0 }) n += 1
+    var i = n - 1
+    while (i >= 0) { pb.unread(b(i)); i -= 1 }
+    if (n >= 2 && b(0) == 0x1f && b(1) == 0x8b)
+      new java.io.BufferedInputStream(
+        new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+    else if (n >= 4 && b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f &&
+        b(3) == 0xfd)
+      // concatenated frames (the frame-per-record form) read as one
+      // stream; a truncated frame throws IOException, which the
+      // walks' never-throw catch turns into a LOUD io_error outcome
+      new java.io.BufferedInputStream(
+        new com.github.luben.zstd.ZstdInputStream(pb), 1 << 16)
+    else pb
+  }
+
+  /** Bounded streaming member walk over one (possibly gzipped or
+    * zstd-compressed) TAR stream. `next()` returns null at end;
+    * `endReason` then says why:
     * ok | empty | not_tar | corrupt | entry_cap | io_error. */
   private final class TarStream(raw: java.io.InputStream, maxBytes: Int,
                                 maxEntries: Int) {
@@ -348,17 +376,7 @@ object Archives {
     private var idx = 0
     private var pendingLongName: String = null
     private val hdr = new Array[Byte](512)
-    private val in: java.io.InputStream = {
-      val pb = new java.io.PushbackInputStream(
-        new java.io.BufferedInputStream(raw, 1 << 16), 2)
-      val b0 = pb.read(); val b1 = if (b0 < 0) -1 else pb.read()
-      if (b1 >= 0) pb.unread(b1)
-      if (b0 >= 0) pb.unread(b0)
-      if (b0 == 0x1f && b1 == 0x8b)
-        new java.io.BufferedInputStream(
-          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
-      else pb
-    }
+    private val in: java.io.InputStream = sniffDecompress(raw)
     private def readFully(buf: Array[Byte], n: Int): Int = {
       var off = 0
       while (off < n) {

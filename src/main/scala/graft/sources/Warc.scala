@@ -491,8 +491,9 @@ object Warc {
   // LineRecordReader (hadoop: LIB/input/LineRecordReader.java:55) —
   // one task owns one file, records stream through it.
 
-  /** Bounded streaming record walk over one (possibly gzipped) WARC
-    * stream. `next()` returns null at end of walk; `endReason` then
+  /** Bounded streaming record walk over one (possibly gzipped or
+    * zstd-compressed) WARC stream. `next()` returns null at end of
+    * walk; `endReason` then
     * says why (same vocabulary as [[WarcParse]], plus `io_error` for
     * a stream dead before its first record and `io_error_partial`
     * for one dying after records were already emitted). */
@@ -502,17 +503,9 @@ object Warc {
     var endReason: String = null
     var truncatedBodies: Int = 0
     private var idx = 0
-    private val in: java.io.InputStream = {
-      val pb = new java.io.PushbackInputStream(
-        new java.io.BufferedInputStream(raw, 1 << 16), 2)
-      val b0 = pb.read(); val b1 = if (b0 < 0) -1 else pb.read()
-      if (b1 >= 0) pb.unread(b1)
-      if (b0 >= 0) pb.unread(b0)
-      if (b0 == 0x1f && b1 == 0x8b)
-        new java.io.BufferedInputStream(
-          new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
-      else pb
-    }
+    // gzip / zstd / passthrough by magic — the shared archive-door
+    // sniff (Common Crawl distributes .warc.gz AND .warc.zst)
+    private val in: java.io.InputStream = Archives.sniffDecompress(raw)
     private val maxHeaderBlock = 1 << 16
 
     /** Fill exactly n bytes unless EOF; returns bytes read. */

@@ -242,6 +242,50 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("zstd door: .warc.zst streams through the same walk — whole-file " +
+       "AND concatenated frame-per-record forms") {
+    val dir = java.nio.file.Files.createTempDirectory("warczst").toFile
+    try {
+      def zst(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new com.github.luben.zstd.ZstdOutputStream(bos)
+        z.write(b); z.close(); bos.toByteArray
+      }
+      val r1 = record("warcinfo", null, "software: zs\r\n".getBytes)
+      val r2 = record("response", "http://ex.com/z",
+        httpResponse(200, "text/html; charset=utf-8", "<p>zstd page</p>"))
+      val fWhole = new java.io.File(dir, "a.warc.zst")
+      java.nio.file.Files.write(fWhole.toPath, zst(r1 ++ r2))
+      // frame-per-record — the zstd analog of Common Crawl's
+      // member-per-record gzip
+      val fFrames = new java.io.File(dir, "b.warc.zst")
+      java.nio.file.Files.write(fFrames.toPath, zst(r1) ++ zst(r2))
+      val text = Warc.warcPathsHtmlText(spark,
+          Seq(fWhole, fFrames).map(_.getAbsolutePath))
+        .orderBy("path", "record_idx")
+        .select("record_idx", "url", "text")
+        .as[(Int, Option[String], String)].collect().toSeq
+      assert(text == Seq(
+        (1, Some("http://ex.com/z"), "zstd page"),
+        (1, Some("http://ex.com/z"), "zstd page")))
+      // a truncated zstd frame is a LOUD outcome, not a hang or a
+      // silent drop
+      val whole = zst(r1 ++ r2)
+      val fCut = new java.io.File(dir, "c.warc.zst")
+      java.nio.file.Files.write(fCut.toPath, whole.take(whole.length / 2))
+      val (cutDf, obs) = Warc.warcPathsHtmlTextObserved(spark,
+        Seq(fCut.getAbsolutePath))
+      cutDf.collect() // force the walk; must not throw or hang
+      val m = obs.get
+      assert(m("containers") == 1L)
+      val loud = m("containers_dropped").asInstanceOf[Long] +
+        m("containers_truncated").asInstanceOf[Long]
+      assert(loud == 1L)
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming reader: a zero-record FILE increments the paths counters") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec3").toFile
     try {
