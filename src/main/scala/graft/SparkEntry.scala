@@ -6185,6 +6185,41 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q299 — pptx/xlsx → text ([[graft.sources.OfficeText.pptxText]]
+    // / [[graft.sources.OfficeText.xlsxText]]): the remaining two
+    // OOXML carriers over the same trusted ZIP kernel — slides walk
+    // ppt/slides/slideN.xml in order (a:p paragraphs, a:t runs);
+    // sheets resolve t="s" cells through xl/sharedStrings.xml and
+    // emit numeric <v> verbatim (the writer makes all-digit cells
+    // native numbers BY CONSTRUCTION, so both resolution paths are
+    // always exercised). Same synthesize-and-replay contract as
+    // q286: the extracted text is a stated formula. Map-only.
+    "q299_pptx_xlsx_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "office deck? no".getBytes("UTF-8"))
+        else if (id % 2 == 0) {
+          val slides = (0 until (1 + (id % 3)).toInt).map { sl =>
+            (0 until (1 + ((id + sl) % 2)).toInt).map { p =>
+              s"pptx $id sl $sl p $p tok${(id * 5 + sl * 3 + p) % 43} & co"
+            }
+          }
+          (id, graft.sources.OfficeText.buildPptx(slides))
+        } else {
+          val rows = (0 until (1 + (id % 3)).toInt).map { r =>
+            Seq(s"${(id * 7 + r) % 1000}") ++
+              (1 until (1 + ((id + r) % 3)).toInt).map { cc =>
+                s"cell $id r$r c$cc"
+              }
+          }
+          (id, graft.sources.OfficeText.buildXlsx(rows))
+        }
+      }.toDF("doc_id", "office")
+      graft.sources.OfficeText.describeOfficeText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "office", "doc"))
+        .orderBy("media_id")
+    }),
+
     // Q298 — zstd WARC door ([[graft.sources.Archives
     // .sniffDecompress]] behind [[graft.sources.Warc
     // .warcPathsHtmlText]]): Common Crawl distributes .warc.zst
@@ -11001,6 +11036,53 @@ object SparkEntry {
         |  'keep page ' || doc_id || ' two'
         |FROM ids WHERE doc_id % 2 = 1
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Both OOXML carriers' texts replayed from their formulas — the
+    // slide walk and the shared-string/number cell resolution must
+    // reproduce them THROUGH the real ZIP containers.
+    "q299_pptx_xlsx_text" ->
+      """WITH pp AS (
+        |  SELECT doc_id, sl, p FROM documents,
+        |    generate_series(0, 2) ts(sl), generate_series(0, 1) tp(p)
+        |  WHERE doc_id % 2 = 0 AND sl < 1 + doc_id % 3
+        |    AND p < 1 + (doc_id + sl) % 2),
+        |ps AS (
+        |  SELECT doc_id, sl,
+        |    string_agg('pptx ' || doc_id || ' sl ' || sl || ' p ' || p ||
+        |      ' tok' || ((doc_id * 5 + sl * 3 + p) % 43) || ' & co',
+        |      chr(10) ORDER BY p) AS stext
+        |  FROM pp GROUP BY doc_id, sl),
+        |pt AS (
+        |  SELECT doc_id, string_agg(stext, chr(10) ORDER BY sl) AS text,
+        |    CAST(2 + COUNT(*) AS INTEGER) AS n_members
+        |  FROM ps GROUP BY doc_id),
+        |xc AS (
+        |  SELECT doc_id, r, c,
+        |    CASE WHEN c = 0 THEN CAST((doc_id * 7 + r) % 1000 AS VARCHAR)
+        |         ELSE 'cell ' || doc_id || ' r' || r || ' c' || c END AS val
+        |  FROM documents,
+        |    generate_series(0, 2) tr(r), generate_series(0, 2) tc(c)
+        |  WHERE doc_id % 2 = 1 AND r < 1 + doc_id % 3
+        |    AND c < 1 + (doc_id + r) % 3),
+        |xr AS (
+        |  SELECT doc_id, r, string_agg(val, chr(9) ORDER BY c) AS rtext
+        |  FROM xc GROUP BY doc_id, r),
+        |xt AS (
+        |  SELECT doc_id, string_agg(rtext, chr(10) ORDER BY r) AS text,
+        |    CAST(4 AS INTEGER) AS n_members
+        |  FROM xr GROUP BY doc_id),
+        |u AS (
+        |  SELECT doc_id, 'pptx' AS format, n_members, text FROM pt
+        |  UNION ALL
+        |  SELECT doc_id, 'xlsx' AS format, n_members, text FROM xt)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.format END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.n_members END AS n_members,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
+        |FROM documents d JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
 
     // q276's oracle verbatim: the zstd compressor is what's under
     // test; the record semantics must not move.

@@ -150,6 +150,213 @@ object OfficeText {
     } catch { case _: Throwable => None }
 
   // ---------------------------------------------------------------
+  // pptx: PresentationML slides → text
+  // ---------------------------------------------------------------
+
+  /** One slide's DrawingML → text: `<a:p>` paragraphs become lines,
+    * `<a:t>` run content concatenates verbatim (DrawingML text is
+    * always space-preserving), `<a:br/>` is an in-paragraph newline.
+    * The [[wordMlText]] walk with the a: vocabulary. */
+  private[sources] def drawingMlText(xml: String, maxChars: Int): String = {
+    val out = new StringBuilder
+    var i = 0
+    var inT = false
+    var emittedPara = false
+    def cap = out.length >= maxChars
+    while (i < xml.length && !cap) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { i = xml.length }
+      else {
+        if (inT && lt > i) out.append(xmlUnescape(xml.substring(i, lt)))
+        val gt = xml.indexOf('>', lt + 1)
+        if (gt < 0) { i = xml.length }
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          val close = tag.startsWith("/")
+          val core = (if (close) tag.substring(1) else tag)
+            .takeWhile(c => !Character.isWhitespace(c) && c != '/')
+          val name = if (close) "/" + core else core
+          name match {
+            case "a:p" =>
+              if (emittedPara) out.append('\n')
+              emittedPara = true
+            case "a:t" => inT = true
+            case "/a:t" => inT = false
+            case "a:br" => if (!inT) out.append('\n')
+            case _ =>
+          }
+          i = gt + 1
+        }
+      }
+    }
+    if (out.length > maxChars) out.setLength(maxChars)
+    out.toString
+  }
+
+  private val SlidePath = "ppt/slides/slide(\\d+)\\.xml".r
+
+  /** Full pptx decode: ZIP walk → ppt/slides/slideN.xml in slide
+    * order → DrawingML text per slide; slides join with one `\n`. */
+  def pptxText(bytes: Array[Byte], maxChars: Int = 1 << 22): Option[String] =
+    try {
+      val members = Archives.zipMembers(bytes)
+      val slides = members.flatMap { case (_, n, b) =>
+        n match {
+          case SlidePath(num) => Some((num.toInt, b))
+          case _ => None
+        }
+      }.sortBy(_._1)
+      if (slides.isEmpty) return None
+      val out = new StringBuilder
+      slides.foreach { case (_, b) =>
+        if (out.length < maxChars) {
+          val t = drawingMlText(new String(b, "UTF-8"), maxChars)
+          if (out.nonEmpty) out.append('\n')
+          out.append(t)
+        }
+      }
+      if (out.length > maxChars) out.setLength(maxChars)
+      Some(out.toString)
+    } catch { case _: Throwable => None }
+
+  // ---------------------------------------------------------------
+  // xlsx: SpreadsheetML sheets + sharedStrings → text
+  // ---------------------------------------------------------------
+
+  /** xl/sharedStrings.xml → the string table: one entry per `<si>`,
+    * concatenating every `<t>` inside it (plain and rich-run forms). */
+  private[sources] def sharedStringTable(xml: String): IndexedSeq[String] = {
+    val out = scala.collection.immutable.IndexedSeq.newBuilder[String]
+    var i = 0
+    var cur: StringBuilder = null
+    var inT = false
+    while (i < xml.length) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { i = xml.length }
+      else {
+        if (inT && cur != null && lt > i)
+          cur.append(xmlUnescape(xml.substring(i, lt)))
+        val gt = xml.indexOf('>', lt + 1)
+        if (gt < 0) { i = xml.length }
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          val close = tag.startsWith("/")
+          val core = (if (close) tag.substring(1) else tag)
+            .takeWhile(c => !Character.isWhitespace(c) && c != '/')
+          val name = if (close) "/" + core else core
+          name match {
+            case "si" => cur = new StringBuilder
+            case "/si" => if (cur != null) { out += cur.toString; cur = null }
+            case "t" => inT = true
+            case "/t" => inT = false
+            case _ =>
+          }
+          i = gt + 1
+        }
+      }
+    }
+    out.result()
+  }
+
+  /** One worksheet's SpreadsheetML → text: `<row>` elements become
+    * lines; within a row, cells WITH a value join with one tab in
+    * document order (grid position is not reconstructed — a text
+    * corpus wants the values, not the layout). Cell types: `t="s"`
+    * resolves through the shared-string table, `t="inlineStr"` reads
+    * its `<is><t>`, everything else (numbers, `t="str"` formula
+    * results, booleans) emits the `<v>` text verbatim. */
+  private[sources] def sheetMlText(xml: String, shared: IndexedSeq[String],
+                                   maxChars: Int): String = {
+    val out = new StringBuilder
+    var i = 0
+    var cellType: String = null
+    var inV = false
+    var inIsT = false
+    var rowHasCells = false
+    var emittedRow = false
+    val cell = new StringBuilder
+    def cap = out.length >= maxChars
+    def flushCell(): Unit = {
+      val v =
+        if (cellType == "s")
+          cell.toString.trim.toIntOption
+            .flatMap(k => shared.lift(k)).getOrElse("")
+        else cell.toString
+      if (v.nonEmpty) {
+        if (rowHasCells) out.append('\t')
+        out.append(v)
+        rowHasCells = true
+      }
+      cell.setLength(0)
+    }
+    while (i < xml.length && !cap) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { i = xml.length }
+      else {
+        if ((inV || inIsT) && lt > i)
+          cell.append(xmlUnescape(xml.substring(i, lt)))
+        val gt = xml.indexOf('>', lt + 1)
+        if (gt < 0) { i = xml.length }
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          val close = tag.startsWith("/")
+          val core = (if (close) tag.substring(1) else tag)
+            .takeWhile(c => !Character.isWhitespace(c) && c != '/')
+          val name = if (close) "/" + core else core
+          name match {
+            case "row" =>
+              if (emittedRow) out.append('\n')
+              emittedRow = true
+              rowHasCells = false
+            case "c" =>
+              cellType = attr(tag, "t").orNull
+              cell.setLength(0)
+            case "/c" => flushCell()
+            case "v" => inV = true
+            case "/v" => inV = false
+            case "t" => if (cellType == "inlineStr") inIsT = true
+            case "/t" => inIsT = false
+            case _ =>
+          }
+          i = gt + 1
+        }
+      }
+    }
+    if (out.length > maxChars) out.setLength(maxChars)
+    out.toString
+  }
+
+  private val SheetPath = "xl/worksheets/sheet(\\d+)\\.xml".r
+
+  /** Full xlsx decode: ZIP walk → sharedStrings table → sheets in
+    * sheet-number order → [[sheetMlText]]; sheets join with `\n`. */
+  def xlsxText(bytes: Array[Byte], maxChars: Int = 1 << 22): Option[String] =
+    try {
+      val members = Archives.zipMembers(bytes)
+      val shared = members.collectFirst {
+        case (_, "xl/sharedStrings.xml", b) =>
+          sharedStringTable(new String(b, "UTF-8"))
+      }.getOrElse(IndexedSeq.empty)
+      val sheets = members.flatMap { case (_, n, b) =>
+        n match {
+          case SheetPath(num) => Some((num.toInt, b))
+          case _ => None
+        }
+      }.sortBy(_._1)
+      if (sheets.isEmpty) return None
+      val out = new StringBuilder
+      sheets.foreach { case (_, b) =>
+        if (out.length < maxChars) {
+          val t = sheetMlText(new String(b, "UTF-8"), shared, maxChars)
+          if (out.nonEmpty) out.append('\n')
+          out.append(t)
+        }
+      }
+      if (out.length > maxChars) out.setLength(maxChars)
+      Some(out.toString)
+    } catch { case _: Throwable => None }
+
+  // ---------------------------------------------------------------
   // epub: OCF container → OPF spine → XHTML chapters → text
   // ---------------------------------------------------------------
 
@@ -248,6 +455,10 @@ object OfficeText {
         val (fmt, text) =
           if (names.contains("word/document.xml"))
             ("docx", docxText(p, maxChars))
+          else if (names.exists(_.startsWith("ppt/slides/")))
+            ("pptx", pptxText(p, maxChars))
+          else if (names.contains("xl/workbook.xml"))
+            ("xlsx", xlsxText(p, maxChars))
           else if (names.contains("META-INF/container.xml"))
             ("epub", epubText(p, maxChars))
           else (null, None)
@@ -287,6 +498,80 @@ object OfficeText {
           ".org/officeDocument/2006/relationships/officeDocument\" " +
           "Target=\"word/document.xml\"/></Relationships>"),
       "word/document.xml" -> doc.toString))
+  }
+
+  /** Deterministic pptx writer (q299): [Content_Types].xml +
+    * ppt/presentation.xml + one slide part per slide, each paragraph
+    * a p:sp/p:txBody/a:p/a:r/a:t chain. Extracted text is exactly
+    * `slides.map(_.mkString("\n")).mkString("\n")`. */
+  def buildPptx(slides: Seq[Seq[String]]): Array[Byte] = {
+    val slideFiles = slides.zipWithIndex.map { case (paras, i) =>
+      s"ppt/slides/slide${i + 1}.xml" ->
+        ("<?xml version=\"1.0\" encoding=\"UTF-8\" standalone=\"yes\"?>" +
+          "<p:sld xmlns:a=\"http://schemas.openxmlformats.org/drawingml/" +
+          "2006/main\" xmlns:p=\"http://schemas.openxmlformats.org/" +
+          "presentationml/2006/main\"><p:cSld><p:spTree>" +
+          paras.map(p => "<p:sp><p:txBody><a:p><a:r><a:t>" +
+            xmlEscape(p) + "</a:t></a:r></a:p></p:txBody></p:sp>").mkString +
+          "</p:spTree></p:cSld></p:sld>")
+    }
+    zip(Seq(
+      "[Content_Types].xml" ->
+        ("<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+          "openxmlformats.org/package/2006/content-types\">" +
+          "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+          "<Override PartName=\"/ppt/presentation.xml\" ContentType=" +
+          "\"application/vnd.openxmlformats-officedocument." +
+          "presentationml.presentation.main+xml\"/></Types>"),
+      "ppt/presentation.xml" ->
+        ("<?xml version=\"1.0\"?><p:presentation xmlns:p=\"http://" +
+          "schemas.openxmlformats.org/presentationml/2006/main\"/>"))
+      ++ slideFiles)
+  }
+
+  /** Deterministic xlsx writer (q299): one sheet; all-digit cells
+    * write as native NUMBER cells (`<v>` verbatim), everything else
+    * through the shared-string table — so both resolution paths are
+    * exercised by construction. Extracted text is exactly
+    * `rows.map(_.mkString("\t")).mkString("\n")`. */
+  def buildXlsx(rows: Seq[Seq[String]]): Array[Byte] = {
+    def colName(c: Int): String = {
+      var n = c; val sb = new StringBuilder
+      while ({ sb.insert(0, ('A' + n % 26).toChar); n = n / 26 - 1; n >= 0 }) ()
+      sb.toString
+    }
+    val strings = rows.flatten.filterNot(_.forall(_.isDigit)).distinct
+    val idx = strings.zipWithIndex.toMap
+    val ss = "<?xml version=\"1.0\"?><sst xmlns=\"http://schemas." +
+      "openxmlformats.org/spreadsheetml/2006/main\" count=\"" +
+      strings.length + "\" uniqueCount=\"" + strings.length + "\">" +
+      strings.map(s => "<si><t>" + xmlEscape(s) + "</t></si>").mkString +
+      "</sst>"
+    val sheet = "<?xml version=\"1.0\"?><worksheet xmlns=\"http://schemas." +
+      "openxmlformats.org/spreadsheetml/2006/main\"><sheetData>" +
+      rows.zipWithIndex.map { case (r, ri) =>
+        s"""<row r="${ri + 1}">""" + r.zipWithIndex.map { case (v, ci) =>
+          val ref = colName(ci) + (ri + 1)
+          if (v.nonEmpty && v.forall(_.isDigit))
+            s"""<c r="$ref"><v>$v</v></c>"""
+          else
+            s"""<c r="$ref" t="s"><v>${idx(v)}</v></c>"""
+        }.mkString + "</row>"
+      }.mkString + "</sheetData></worksheet>"
+    zip(Seq(
+      "[Content_Types].xml" ->
+        ("<?xml version=\"1.0\"?><Types xmlns=\"http://schemas." +
+          "openxmlformats.org/package/2006/content-types\">" +
+          "<Default Extension=\"xml\" ContentType=\"application/xml\"/>" +
+          "<Override PartName=\"/xl/workbook.xml\" ContentType=" +
+          "\"application/vnd.openxmlformats-officedocument." +
+          "spreadsheetml.sheet.main+xml\"/></Types>"),
+      "xl/workbook.xml" ->
+        ("<?xml version=\"1.0\"?><workbook xmlns=\"http://schemas." +
+          "openxmlformats.org/spreadsheetml/2006/main\"><sheets>" +
+          "<sheet name=\"Sheet1\" sheetId=\"1\"/></sheets></workbook>"),
+      "xl/sharedStrings.xml" -> ss,
+      "xl/worksheets/sheet1.xml" -> sheet))
   }
 
   /** Deterministic epub writer (q286): stored `mimetype` first (the

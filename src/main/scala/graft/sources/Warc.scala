@@ -419,6 +419,16 @@ object Warc {
             OfficeText.docxText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "docx", t,
                 null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith(
+              "application/vnd.openxmlformats-officedocument.presentationml"))) {
+            OfficeText.pptxText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "pptx", t,
+                null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith(
+              "application/vnd.openxmlformats-officedocument.spreadsheetml"))) {
+            OfficeText.xlsxText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "xlsx", t,
+                null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith("application/epub+zip"))) {
             OfficeText.epubText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "epub", t,

@@ -36,6 +36,49 @@ class OfficeTextSpec extends SparkSpec {
       "Intro\nfirst para\nsecond para\nBody & More\nthird para"))
   }
 
+  test("buildPptx round-trips: slide order, paragraphs, entities") {
+    val slides = Seq(
+      Seq("slide one title", "bullet & point"),
+      Seq("slide <two> text"),
+      Seq("third", "deck \"quoted\""))
+    val r = OfficeText.pptxText(OfficeText.buildPptx(slides))
+    assert(r.contains(slides.map(_.mkString("\n")).mkString("\n")))
+  }
+
+  test("drawingMlText: a:br inside a paragraph, multiple runs concatenate") {
+    val xml = "<p:sld xmlns:a=\"x\"><p:txBody>" +
+      "<a:p><a:r><a:t>run one</a:t></a:r><a:r><a:t> run two</a:t></a:r></a:p>" +
+      "<a:p><a:r><a:t>before</a:t></a:r><a:br/><a:r><a:t>after</a:t></a:r></a:p>" +
+      "</p:txBody></p:sld>"
+    assert(OfficeText.drawingMlText(xml, 1 << 20) ==
+      "run one run two\nbefore\nafter")
+  }
+
+  test("buildXlsx round-trips: shared strings AND native number cells") {
+    val rows = Seq(
+      Seq("700", "cell a", "cell b"),
+      Seq("42", "cell a"), // repeated string: one sst entry, two refs
+      Seq("name & co"))
+    val r = OfficeText.xlsxText(OfficeText.buildXlsx(rows))
+    assert(r.contains(rows.map(_.mkString("\t")).mkString("\n")))
+  }
+
+  test("sheetMlText: inlineStr cells, missing shared index, rich-run sst") {
+    val sst = OfficeText.sharedStringTable(
+      "<sst><si><t>plain</t></si>" +
+        "<si><r><t>rich </t></r><r><t>run</t></r></si></sst>")
+    assert(sst == IndexedSeq("plain", "rich run"))
+    val sheet = "<worksheet><sheetData>" +
+      "<row r=\"1\"><c r=\"A1\" t=\"s\"><v>1</v></c>" +
+      "<c r=\"B1\" t=\"inlineStr\"><is><t>inline text</t></is></c>" +
+      "<c r=\"C1\"><v>3.5</v></c></row>" +
+      "<row r=\"2\"><c r=\"A2\" t=\"s\"><v>99</v></c>" + // out of range: empty
+      "<c r=\"B2\" t=\"s\"><v>0</v></c></row>" +
+      "</sheetData></worksheet>"
+    assert(OfficeText.sheetMlText(sheet, sst, 1 << 20) ==
+      "rich run\tinline text\t3.5\nplain")
+  }
+
   test("hostile containers never throw and yield None") {
     val cases = Seq(
       Array.empty[Byte],
