@@ -160,6 +160,20 @@ object LangId {
     require(profiles.nonEmpty, "LangId.predictCrawl: need at least one profile")
     val langs = profiles.keys.toSeq.sorted
     val toks = split(lower(col(textCol)), "\\s+")
+    // ONE char walk computes every distinct script-block count
+    // ([[graft.functions.ScriptBlockCounts]] — the SCALE.md upgrade;
+    // previously each range cost its own regexp_replace pass); the
+    // counts land in one array column that the per-language scores
+    // index into. Differential-pinned against the regex formula in
+    // LangIdSpec.
+    val ranges: Seq[(Int, Int)] = langs.flatMap(l =>
+      profiles(l).scripts.map(s => (s._1.toInt, s._2.toInt))).distinct
+    val countsAt: Map[(Int, Int), Int] = ranges.zipWithIndex.toMap
+    val withCounts =
+      if (ranges.isEmpty) df.withColumn("__script_counts",
+        array().cast("array<bigint>"))
+      else df.withColumn("__script_counts",
+        graft.functions.ScriptBlockCounts(col(textCol), ranges))
     def score(l: String): Column = {
       val p = profiles(l)
       val wordPart: Column =
@@ -169,12 +183,11 @@ object LangId {
           size(filter(toks, t => array_contains(words, t))).cast("long")
         }
       p.scripts.foldLeft(wordPart) { case (acc, (from, to, wt)) =>
-        acc + (length(col(textCol)) -
-          length(regexp_replace(col(textCol), s"[$from-$to]", "")))
-          .cast("long") * wt
+        acc + element_at(col("__script_counts"),
+          countsAt((from.toInt, to.toInt)) + 1) * wt
       }
     }
-    val scored = df.select(
+    val scored = withCounts.select(
       (col(idCol) +: langs.map(l => score(l).as(s"s_$l"))): _*)
     val pred = langs.foldRight(lit(null).cast("string")) { (l, rest) =>
       val geAll = langs.filter(_ != l)

@@ -80,4 +80,36 @@ class LangIdSpec extends SparkSpec {
     // says so drift is loud: th = 11 > en = 4
     assert(got(5L) == "th", got.toString)
   }
+
+  test("single-pass ScriptBlockCounts agrees with the regexp_replace " +
+       "formula on every profile range (differential)") {
+    import org.apache.spark.sql.functions._
+    val ranges: Seq[(Int, Int)] = LangId.CrawlProfiles.values.toSeq
+      .flatMap(_.scripts.map(s => (s._1.toInt, s._2.toInt))).distinct.sorted
+    val texts = LangId.CrawlSamples.values.toSeq ++ Seq(
+      "plain ascii only",
+      "mixed это ไทย 한국어 かな 中文 ωμέγα עברית مرحبا हिन्दी",
+      "", "😀 emoji outside every block 🎉",
+      "edge chars: Ѐӿ฀๿぀ゟ")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+      graft.functions.ScriptBlockCounts(col("text"), ranges).as("c"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val viaRegex = df.select(
+      (col("id") +: ranges.zipWithIndex.map { case ((f, t), k) =>
+        (length(col("text")) - length(regexp_replace(col("text"),
+          s"[${f.toChar}-${t.toChar}]", ""))).cast("long").as(s"r$k")
+      }): _*).collect().map(r =>
+        r.getLong(0) -> ranges.indices.map(k => r.getLong(k + 1))).toMap
+    texts.indices.foreach { i =>
+      assert(viaExpr(i.toLong) == viaRegex(i.toLong),
+        s"text $i: ${texts(i)}")
+    }
+    // null text nulls out, and the expression survives a null column
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.ScriptBlockCounts(col("text"), ranges).as("c"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
 }
