@@ -709,6 +709,75 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  private def bz2Bytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.bzip2
+      .BZip2CompressorOutputStream(bos)
+    z.write(b); z.close()
+    bos.toByteArray
+  }
+  private def xzBytes(b: Array[Byte]): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    val z = new org.apache.commons.compress.compressors.xz
+      .XZCompressorOutputStream(bos)
+    z.write(b); z.close()
+    bos.toByteArray
+  }
+  /** On-disk .warc.bz2 fixture (q301): q276's record formulas behind
+    * the bzip2 door (the Wikipedia-dump compression) — whole-file
+    * normally, TWO concatenated bz2 members every 4th id, junk every
+    * 50th. */
+  private def warcBz2FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_bz2_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc.bz2")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            val w = warcFixture(id)
+            if (id % 4 == 1)
+              bz2Bytes(w.take(w.length / 2)) ++ bz2Bytes(w.drop(w.length / 2))
+            else bz2Bytes(w)
+          }
+        val tmp = java.io.File.createTempFile("wbtmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
+  /** On-disk .tar.xz fixture (q302): q284's member composition behind
+    * the xz door (junk every 50th). */
+  private def tarXzFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_tar_xz_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"t$id%08d.tar.xz")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "tar? no".getBytes("UTF-8")
+          else xzBytes(tarFixture((0 until 2).map(k =>
+            (s"img$k.bmp", bmp24Fixture(10, 8, (x, y) => (
+              ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+              ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+              ((id * 3 + k * 7 + x + y * 7) % 256).toInt)))) ++
+            Seq("notes/" -> Array.empty[Byte],
+              "note.txt" -> s"doc $id".getBytes("UTF-8"))))
+        val tmp = java.io.File.createTempFile("txtmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6185,6 +6254,61 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q303 — ODT → text ([[graft.sources.OfficeText.odtText]]): the
+    // OpenDocument carrier (LibreOffice's native format) over the
+    // same ZIP kernel — content.xml's text:p paragraphs become
+    // lines, inline spans contribute their text, entities decode.
+    // Same synthesize-and-replay contract as q286/q299. Map-only.
+    "q303_odt_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "odt? no".getBytes("UTF-8"))
+        else {
+          val paras = (0 until (1 + (id % 4)).toInt).map { p =>
+            s"odt $id para $p tok${(id * 11 + p) % 37} & täst"
+          }
+          (id, graft.sources.OfficeText.buildOdt(paras))
+        }
+      }.toDF("doc_id", "office")
+      graft.sources.OfficeText.describeOfficeText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "office", "doc"))
+        .orderBy("media_id")
+    }),
+
+    // Q301 — bzip2 WARC door: the Wikipedia-dump compression through
+    // the same magic sniff (commons-compress is already on Spark's
+    // classpath). q276's composition over .warc.bz2 — whole-file and
+    // two concatenated bz2 members (decompressConcatenated) — with
+    // the oracle unchanged.
+    "q301_warc_bz2" -> ((s, d) => {
+      import s.implicits._
+      val paths = warcBz2FixturePaths(s, d)
+      graft.sources.Warc.warcPathsHtmlText(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc\\.bz2$", 1).cast("long"))
+        .select("media_id", "record_idx", "url", "charset", "text")
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q302 — xz TAR door: q284's composition over .tar.xz through the
+    // same sniff (the xz library Spark ships for Avro); the oracle
+    // replays the pixel-formula channel sums unchanged.
+    "q302_tar_xz" -> ((s, d) => {
+      import s.implicits._
+      val paths = tarXzFixturePaths(s, d)
+      val members = graft.sources.Archives.tarPathMembers(s, paths)
+        .where(col("name").endsWith(".bmp"))
+        .withColumn("doc_id",
+          regexp_extract(col("path"), "t(\\d+)\\.tar\\.xz$", 1).cast("long"))
+        .select((col("doc_id") * 10 + col("entry_idx")).as("mid"),
+          col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(members, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q299 — pptx/xlsx → text ([[graft.sources.OfficeText.pptxText]]
     // / [[graft.sources.OfficeText.xlsxText]]): the remaining two
     // OOXML carriers over the same trusted ZIP kernel — slides walk
@@ -11082,6 +11206,56 @@ object SparkEntry {
         |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // The odt paragraphs replayed from the formula THROUGH the real
+    // ODF package (stored mimetype, manifest, content.xml).
+    "q303_odt_text" ->
+      """WITH pt AS (
+        |  SELECT doc_id,
+        |    string_agg('odt ' || doc_id || ' para ' || p ||
+        |      ' tok' || ((doc_id * 11 + p) % 37) || ' & t' || chr(228) || 'st',
+        |      chr(10) ORDER BY p) AS text
+        |  FROM documents, generate_series(0, 3) t(p)
+        |  WHERE p < 1 + doc_id % 4
+        |  GROUP BY doc_id)
+        |SELECT d.doc_id AS media_id,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE 'odt' END AS format,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(3 AS INTEGER) END AS n_members,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(length(t.text) AS BIGINT) END AS n_chars,
+        |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE t.text END AS text
+        |FROM documents d JOIN pt t ON t.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // q276's oracle verbatim over the bzip2 forms.
+    "q301_warc_bz2" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 2 AS np FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |pg AS (SELECT doc_id, j FROM ids, generate_series(0, 1) t(j)
+        |       WHERE j < np)
+        |SELECT doc_id AS media_id, CAST(2 + 2 * j AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || CAST(doc_id AS VARCHAR) || '/' || CAST(j AS VARCHAR)
+        |    AS url,
+        |  'utf-8' AS charset,
+        |  'Page ' || CAST(doc_id AS VARCHAR) || ' ' || CAST(j AS VARCHAR) ||
+        |    chr(10) || 'text ' || CAST(doc_id AS VARCHAR) || ' & '
+        |    || CAST(j AS VARCHAR) AS text
+        |FROM pg
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // q284's oracle verbatim over the xz forms.
+    "q302_tar_xz" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'bmp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
         |ORDER BY media_id""".stripMargin,
 
     // q276's oracle verbatim: the zstd compressor is what's under

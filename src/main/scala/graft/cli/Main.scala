@@ -528,7 +528,7 @@ object Main {
         // the tar_paths_fences counters print after every run, so an
         // over-fence or corrupt file is a visible count, not silence
         val (mdf, mobs) = graft.sources.Archives.tarPathMembersObserved(
-          spark, archivePathList(in, ".tar", ".tar.gz", ".tgz", ".tar.zst"))
+          spark, archivePathList(in, ".tar", ".tar.gz", ".tgz", ".tar.zst", ".tar.bz2", ".tar.xz"))
         graft.sources.Multimodal.inspectMedia(
             mdf.where(!col("is_dir") && !col("truncated"))
               .withColumn("media_id",
@@ -659,7 +659,7 @@ object Main {
   /** Paths for the split-streaming WARC commands: a directory (its
     * *.warc / *.warc.gz members) or a single file. */
   private def warcPathList(in: String): Seq[String] =
-    archivePathList(in, ".warc", ".warc.gz", ".warc.zst")
+    archivePathList(in, ".warc", ".warc.gz", ".warc.zst", ".warc.bz2", ".warc.xz")
 
   private def usage(): Unit = {
     System.err.println(

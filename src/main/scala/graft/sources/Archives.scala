@@ -340,29 +340,39 @@ object Archives {
                                   endReason: String)
 
   /** Wraps a raw stream with the decompressor its magic names —
-    * gzip (1F 8B) or zstd (28 B5 2F FD, RFC 8878; the compression
+    * gzip (1F 8B), zstd (28 B5 2F FD, RFC 8878 — the compression
     * Common Crawl distributes alongside gzip, read through the
-    * zstd-jni already on Spark's classpath) — else passes the bytes
-    * through untouched. Shared by the TAR and WARC streaming walks. */
+    * zstd-jni already on Spark's classpath), bzip2 (`BZh` — the
+    * Wikipedia-dump compression, via commons-compress), or xz
+    * (FD `7zXZ` 00, via the xz library Spark ships for Avro) — else
+    * passes the bytes through untouched. Every decoder reads
+    * concatenated members/frames as one stream, and a truncated
+    * member throws IOException into the walks' never-throw catch
+    * (a LOUD io_error outcome). Shared by the TAR and WARC
+    * streaming walks. */
   private[sources] def sniffDecompress(
       raw: java.io.InputStream): java.io.InputStream = {
     val pb = new java.io.PushbackInputStream(
-      new java.io.BufferedInputStream(raw, 1 << 16), 4)
-    val b = new Array[Int](4)
+      new java.io.BufferedInputStream(raw, 1 << 16), 6)
+    val b = new Array[Int](6)
     var n = 0
-    while (n < 4 && { b(n) = pb.read(); b(n) >= 0 }) n += 1
+    while (n < 6 && { b(n) = pb.read(); b(n) >= 0 }) n += 1
     var i = n - 1
     while (i >= 0) { pb.unread(b(i)); i -= 1 }
+    def wrap(s: java.io.InputStream): java.io.InputStream =
+      new java.io.BufferedInputStream(s, 1 << 16)
     if (n >= 2 && b(0) == 0x1f && b(1) == 0x8b)
-      new java.io.BufferedInputStream(
-        new java.util.zip.GZIPInputStream(pb, 1 << 16), 1 << 16)
+      wrap(new java.util.zip.GZIPInputStream(pb, 1 << 16))
     else if (n >= 4 && b(0) == 0x28 && b(1) == 0xb5 && b(2) == 0x2f &&
         b(3) == 0xfd)
-      // concatenated frames (the frame-per-record form) read as one
-      // stream; a truncated frame throws IOException, which the
-      // walks' never-throw catch turns into a LOUD io_error outcome
-      new java.io.BufferedInputStream(
-        new com.github.luben.zstd.ZstdInputStream(pb), 1 << 16)
+      wrap(new com.github.luben.zstd.ZstdInputStream(pb))
+    else if (n >= 3 && b(0) == 'B' && b(1) == 'Z' && b(2) == 'h')
+      wrap(new org.apache.commons.compress.compressors.bzip2
+        .BZip2CompressorInputStream(pb, true))
+    else if (n >= 6 && b(0) == 0xfd && b(1) == '7' && b(2) == 'z' &&
+        b(3) == 'X' && b(4) == 'Z' && b(5) == 0x00)
+      wrap(new org.apache.commons.compress.compressors.xz
+        .XZCompressorInputStream(pb, true))
     else pb
   }
 

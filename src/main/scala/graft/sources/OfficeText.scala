@@ -357,6 +357,81 @@ object OfficeText {
     } catch { case _: Throwable => None }
 
   // ---------------------------------------------------------------
+  // odt: OpenDocument text → text
+  // ---------------------------------------------------------------
+
+  /** content.xml → text (ODF 1.2 §5): `<text:p>` and `<text:h>`
+    * become lines; character data inside them concatenates (spans
+    * and other inline wrappers contribute their text, their tags
+    * drop); `<text:tab/>` is a tab, `<text:line-break/>` an
+    * in-paragraph newline, `<text:s text:c="n"/>` n spaces
+    * (default 1). */
+  private[sources] def odfText(xml: String, maxChars: Int): String = {
+    val out = new StringBuilder
+    var i = 0
+    var depth = 0 // inside a text:p/text:h when > 0
+    var emittedPara = false
+    def cap = out.length >= maxChars
+    while (i < xml.length && !cap) {
+      val lt = xml.indexOf('<', i)
+      if (lt < 0) { i = xml.length }
+      else {
+        if (depth > 0 && lt > i) out.append(xmlUnescape(xml.substring(i, lt)))
+        val gt = xml.indexOf('>', lt + 1)
+        if (gt < 0) { i = xml.length }
+        else {
+          val tag = xml.substring(lt + 1, gt)
+          val close = tag.startsWith("/")
+          val selfClose = tag.endsWith("/")
+          val core = (if (close) tag.substring(1) else tag)
+            .takeWhile(c => !Character.isWhitespace(c) && c != '/')
+          val name = if (close) "/" + core else core
+          name match {
+            case "text:p" | "text:h" =>
+              if (!selfClose) {
+                if (depth == 0) {
+                  if (emittedPara) out.append('\n')
+                  emittedPara = true
+                }
+                depth += 1
+              } else if (depth == 0) {
+                // empty self-closed paragraph: still a line boundary
+                if (emittedPara) out.append('\n')
+                emittedPara = true
+              }
+            case "/text:p" | "/text:h" => if (depth > 0) depth -= 1
+            case "text:tab" => if (depth > 0) out.append('\t')
+            case "text:line-break" => if (depth > 0) out.append('\n')
+            case "text:s" =>
+              if (depth > 0) {
+                val nSp = attr(tag, "text:c")
+                  .flatMap(_.toIntOption).getOrElse(1)
+                var k = 0
+                while (k < math.min(nSp, 1 << 12) && !cap) {
+                  out.append(' '); k += 1
+                }
+              }
+            case _ =>
+          }
+          i = gt + 1
+        }
+      }
+    }
+    if (out.length > maxChars) out.setLength(maxChars)
+    out.toString
+  }
+
+  /** Full odt decode: ZIP walk → content.xml → [[odfText]]. */
+  def odtText(bytes: Array[Byte], maxChars: Int = 1 << 22): Option[String] =
+    try {
+      val members = Archives.zipMembers(bytes)
+      members.collectFirst {
+        case (_, "content.xml", body) =>
+          odfText(new String(body, "UTF-8"), maxChars)
+      }
+    } catch { case _: Throwable => None }
+
+  // ---------------------------------------------------------------
   // epub: OCF container → OPF spine → XHTML chapters → text
   // ---------------------------------------------------------------
 
@@ -461,6 +536,9 @@ object OfficeText {
             ("xlsx", xlsxText(p, maxChars))
           else if (names.contains("META-INF/container.xml"))
             ("epub", epubText(p, maxChars))
+          else if (names.contains("content.xml") &&
+              names.contains("META-INF/manifest.xml"))
+            ("odt", odtText(p, maxChars))
           else (null, None)
         (id, Option(fmt).filter(_ => text.isDefined),
           if (text.isDefined) Some(members.length) else None,
@@ -498,6 +576,32 @@ object OfficeText {
           ".org/officeDocument/2006/relationships/officeDocument\" " +
           "Target=\"word/document.xml\"/></Relationships>"),
       "word/document.xml" -> doc.toString))
+  }
+
+  /** Deterministic odt writer (q303): stored `mimetype` first (the
+    * ODF package rule, same as OCF), META-INF/manifest.xml, and
+    * content.xml with one text:p per paragraph. Extracted text is
+    * exactly `paragraphs.mkString("\n")`. */
+  def buildOdt(paragraphs: Seq[String]): Array[Byte] = {
+    val content =
+      "<?xml version=\"1.0\" encoding=\"UTF-8\"?>" +
+        "<office:document-content xmlns:office=\"urn:oasis:names:tc:" +
+        "opendocument:xmlns:office:1.0\" xmlns:text=\"urn:oasis:names:" +
+        "tc:opendocument:xmlns:text:1.0\"><office:body><office:text>" +
+        paragraphs.map(p =>
+          "<text:p>" + xmlEscape(p) + "</text:p>").mkString +
+        "</office:text></office:body></office:document-content>"
+    zipWithStoredFirst(
+      "mimetype" -> "application/vnd.oasis.opendocument.text",
+      Seq(
+        "META-INF/manifest.xml" ->
+          ("<?xml version=\"1.0\"?><manifest:manifest xmlns:manifest=" +
+            "\"urn:oasis:names:tc:opendocument:xmlns:manifest:1.0\">" +
+            "<manifest:file-entry manifest:full-path=\"/\" manifest:" +
+            "media-type=\"application/vnd.oasis.opendocument.text\"/>" +
+            "<manifest:file-entry manifest:full-path=\"content.xml\" " +
+            "manifest:media-type=\"text/xml\"/></manifest:manifest>"),
+        "content.xml" -> content))
   }
 
   /** Deterministic pptx writer (q299): [Content_Types].xml +

@@ -429,6 +429,11 @@ object Warc {
             OfficeText.xlsxText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "xlsx", t,
                 null.asInstanceOf[String], 0))
+          } else if (ct.exists(_.startsWith(
+              "application/vnd.oasis.opendocument.text"))) {
+            OfficeText.odtText(r.body).map(t =>
+              (id, r.recordIdx, Option(r.targetUri), "odt", t,
+                null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith("application/epub+zip"))) {
             OfficeText.epubText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "epub", t,

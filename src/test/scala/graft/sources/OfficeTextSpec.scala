@@ -79,6 +79,23 @@ class OfficeTextSpec extends SparkSpec {
       "rich run\tinline text\t3.5\nplain")
   }
 
+  test("buildOdt round-trips; odfText handles tab/line-break/text:s " +
+       "and spans") {
+    val paras = Seq("first odt para", "second & <escaped>", "tästy \"quotes\"")
+    val r = OfficeText.odtText(OfficeText.buildOdt(paras))
+    assert(r.contains(paras.mkString("\n")))
+    val xml = "<office:document-content><office:body><office:text>" +
+      "<text:p>a<text:tab/>b</text:p>" +
+      "<text:p><text:span text:style-name=\"T1\">styled</text:span>" +
+      " run<text:line-break/>next</text:p>" +
+      "<text:p>one<text:s text:c=\"3\"/>gap</text:p>" +
+      "<text:p/>" +
+      "<text:h text:outline-level=\"1\">heading</text:h>" +
+      "</office:text></office:body></office:document-content>"
+    assert(OfficeText.odfText(xml, 1 << 20) ==
+      "a\tb\nstyled run\nnext\none   gap\n\nheading")
+  }
+
   test("hostile containers never throw and yield None") {
     val cases = Seq(
       Array.empty[Byte],

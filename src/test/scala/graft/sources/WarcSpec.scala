@@ -286,6 +286,55 @@ class WarcSpec extends SparkSpec {
     }
   }
 
+  test("bzip2 door: .warc.bz2 streams through the same walk, " +
+       "concatenated members included") {
+    val dir = java.nio.file.Files.createTempDirectory("warcbz2").toFile
+    try {
+      def bz2(b: Array[Byte]): Array[Byte] = {
+        val bos = new java.io.ByteArrayOutputStream()
+        val z = new org.apache.commons.compress.compressors.bzip2
+          .BZip2CompressorOutputStream(bos)
+        z.write(b); z.close(); bos.toByteArray
+      }
+      val r1 = record("warcinfo", null, "software: bz\r\n".getBytes)
+      val r2 = record("response", "http://ex.com/b",
+        httpResponse(200, "text/html; charset=utf-8", "<p>bzip2 page</p>"))
+      val fWhole = new java.io.File(dir, "a.warc.bz2")
+      java.nio.file.Files.write(fWhole.toPath, bz2(r1 ++ r2))
+      val fMembers = new java.io.File(dir, "b.warc.bz2")
+      java.nio.file.Files.write(fMembers.toPath, bz2(r1) ++ bz2(r2))
+      val text = Warc.warcPathsHtmlText(spark,
+          Seq(fWhole, fMembers).map(_.getAbsolutePath))
+        .orderBy("path", "record_idx")
+        .select("record_idx", "url", "text")
+        .as[(Int, Option[String], String)].collect().toSeq
+      assert(text == Seq(
+        (1, Some("http://ex.com/b"), "bzip2 page"),
+        (1, Some("http://ex.com/b"), "bzip2 page")))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
+  test("xz door: .warc.xz streams through the same walk") {
+    val dir = java.nio.file.Files.createTempDirectory("warcxz").toFile
+    try {
+      val bos = new java.io.ByteArrayOutputStream()
+      val z = new org.apache.commons.compress.compressors.xz
+        .XZCompressorOutputStream(bos)
+      z.write(record("response", "http://ex.com/x",
+        httpResponse(200, "text/html", "<p>xz page</p>")))
+      z.close()
+      val f = new java.io.File(dir, "a.warc.xz")
+      java.nio.file.Files.write(f.toPath, bos.toByteArray)
+      val text = Warc.warcPathsHtmlText(spark, Seq(f.getAbsolutePath))
+        .select("text").as[String].collect().toSeq
+      assert(text == Seq("xz page"))
+    } finally {
+      dir.listFiles().foreach(_.delete()); dir.delete()
+    }
+  }
+
   test("streaming reader: a zero-record FILE increments the paths counters") {
     val dir = java.nio.file.Files.createTempDirectory("warcspec3").toFile
     try {
