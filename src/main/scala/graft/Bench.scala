@@ -378,7 +378,14 @@ object Bench {
       // throughput like q250), the multi-carrier WARC router
       // (html + pdf in one record-stream pass), and curation v9
       // (the router feeding the URL + content dedup chain)
-      "q285_pdf_text", "q289_warc_doc_text", "q292_curation_v9")
+      "q285_pdf_text", "q289_warc_doc_text", "q292_curation_v9",
+      // round-15: the Type0/CMap PDF generation (the modern-font
+      // decode path — CMap parse + 2-byte decode on top of q285's
+      // container work), the LaTeX carrier's char-walk cleaner
+      // through the WARC router, and the zstd WARC door (the
+      // compression Common Crawl actually distributes; tracks
+      // decompressor-filter overhead against the gzip-door q271)
+      "q295_pdf_type0", "q297_latex_text", "q298_warc_zst")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -6254,6 +6254,48 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q304 — header noindex across NON-HTML carriers: a PDF cannot
+    // carry a robots meta tag — X-Robots-Tag is its only opt-out
+    // channel, and a pipeline that gates only HTML ships every
+    // noindex'd PDF. [[graft.sources.Warc.warcDocText]] now surfaces
+    // the header per record; the gate is one declarative filter over
+    // the routed frame. Fixture: a clean html page (kept), a PDF
+    // whose header opts out for even ids, and a markdown doc with a
+    // BENIGN header (nofollow — must not trip). Composes q296's
+    // grammar with q289's router; no second record walk.
+    "q304_xrobots_carriers" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, ctype: String, xRobots: String,
+              body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+          (if (xRobots != null) s"X-Robots-Tag: $xRobots\r\n" else "") +
+          "\r\n").getBytes("ISO-8859-1") ++ body
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else (id,
+          rec(s"http://ex.com/$id/h", "text/html", null,
+            s"<p>html keep $id</p>".getBytes("UTF-8")) ++
+            rec(s"http://ex.com/$id/p.pdf", "application/pdf",
+              if (id % 2 == 0) "noindex" else null,
+              graft.sources.Pdf.buildSimplePdf(
+                Seq(Seq(s"pdf body $id")), flate = false)) ++
+            rec(s"http://ex.com/$id/m.md", "text/markdown",
+              "nofollow, noarchive",
+              s"md **body** $id".getBytes("UTF-8")))
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q303 — ODT → text ([[graft.sources.OfficeText.odtText]]): the
     // OpenDocument carrier (LibreOffice's native format) over the
     // same ZIP kernel — content.xml's text:p paragraphs become
@@ -6438,6 +6480,7 @@ object SparkEntry {
       }.toDF("doc_id", "warc")
       graft.sources.Warc.warcDocText(
           graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "url", "carrier", "text")
         .orderBy("media_id", "record_idx")
     }),
 
@@ -6687,6 +6730,7 @@ object SparkEntry {
       }.toDF("doc_id", "warc")
       graft.sources.Warc.warcDocText(
           graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "url", "carrier", "text")
         .orderBy("media_id", "record_idx")
     }),
 
@@ -11207,6 +11251,22 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Which routed rows survive the header gate, stated: html always
+    // (no header), pdf only for odd ids (even ids opt out), markdown
+    // always (its benign header must not trip).
+    "q304_xrobots_carriers" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'html' AS carrier, 'html keep ' || doc_id AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id, CAST(1 AS INTEGER), 'pdf', 'pdf body ' || doc_id
+        |FROM ids WHERE doc_id % 2 = 1
+        |UNION ALL
+        |SELECT doc_id, CAST(2 AS INTEGER), 'markdown', 'md body ' || doc_id
+        |FROM ids
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The odt paragraphs replayed from the formula THROUGH the real
     // ODF package (stored mimetype, manifest, content.xml).

@@ -395,57 +395,57 @@ object Warc {
           else if (ct.exists(_.startsWith("text/html"))) {
             val (html, _) = decodeHtml(r.body, r.contentType)
             Some((id, r.recordIdx, Option(r.targetUri), "html",
-              graft.functions.HtmlToText.clean(html),
+              graft.functions.HtmlToText.clean(html), r.xRobotsTag,
               null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith("application/pdf"))) {
             Pdf.extractPdfText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "pdf", t.text,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else if (ct.exists(c => c.startsWith("text/markdown") ||
               c.startsWith("text/x-markdown"))) {
             val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
             Some((id, r.recordIdx, Option(r.targetUri), "markdown",
-              graft.functions.MarkdownToText.clean(md),
+              graft.functions.MarkdownToText.clean(md), r.xRobotsTag,
               null.asInstanceOf[String], 0))
           } else if (ct.exists(c => c.startsWith("application/x-tex") ||
               c.startsWith("application/x-latex") ||
               c.startsWith("text/x-tex"))) {
             val (tex, _) = decodeHtml(r.body, r.contentType) // charset negotiation
             Some((id, r.recordIdx, Option(r.targetUri), "latex",
-              graft.functions.LatexToText.clean(tex),
+              graft.functions.LatexToText.clean(tex), r.xRobotsTag,
               null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith(
               "application/vnd.openxmlformats-officedocument.wordprocessingml"))) {
             OfficeText.docxText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "docx", t,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith(
               "application/vnd.openxmlformats-officedocument.presentationml"))) {
             OfficeText.pptxText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "pptx", t,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith(
               "application/vnd.openxmlformats-officedocument.spreadsheetml"))) {
             OfficeText.xlsxText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "xlsx", t,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith(
               "application/vnd.oasis.opendocument.text"))) {
             OfficeText.odtText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "odt", t,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith("application/epub+zip"))) {
             OfficeText.epubText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "epub", t,
-                null.asInstanceOf[String], 0))
+                r.xRobotsTag, null.asInstanceOf[String], 0))
           } else None
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
-          null.asInstanceOf[String], parse.endReason,
+          null.asInstanceOf[String], None: Option[String], parse.endReason,
           parse.truncatedBodies))
       }
       .toDF("media_id", "record_idx", "url", "carrier", "text",
-        "__end_reason", "__truncated_n")
+        "x_robots", "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
