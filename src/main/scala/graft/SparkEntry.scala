@@ -6254,6 +6254,46 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q305 — RTF → text ([[graft.functions.RtfToText]] routed by
+    // [[graft.sources.Warc.warcDocText]]): the legacy office carrier
+    // (old corpora, email attachments). The fixture exercises every
+    // declared transform — destination drops (fonttbl/colortbl/info/
+    // starred generator/field instruction leg), formatting-word
+    // drops with the one-space delimiter rule, \'hh cp1252 escapes,
+    // \uN with fallback skip, \par/\tab — and the cleaned form is a
+    // stated line formula. One linear char walk per document,
+    // map-only.
+    "q305_rtf_text" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Times New Roman;}}" +
+            "{\\colortbl;\\red0\\green0\\blue0;}" +
+            "{\\info{\\author secret author}}" +
+            "{\\*\\generator Graft;}" +
+            s"\\pard Plain $id text with \\b bold $id\\b0  and caf\\'e9.\\par" +
+            s" Second\\tab line $id \\u8212?dash.\\par" +
+            "{\\field{\\*\\fldinst HYPERLINK \"http://x/" + id + "\"}" +
+            s"{\\fldrslt shown link $id}}\\par}"
+          (id, rec(s"http://ex.com/$id/doc.rtf", "application/rtf",
+            rtf.getBytes("UTF-8")))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "carrier", "text")
+        .orderBy("media_id")
+    }),
+
     // Q304 — header noindex across NON-HTML carriers: a PDF cannot
     // carry a robots meta tag — X-Robots-Tag is its only opt-out
     // channel, and a pipeline that gates only HTML ships every
@@ -11250,6 +11290,21 @@ object SparkEntry {
         |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // The cleaned RTF stated line by line: destinations and
+    // formatting words gone, escapes unescaped, delimiter-space rule
+    // applied.
+    "q305_rtf_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'rtf' AS carrier,
+        |  'Plain ' || doc_id || ' text with bold ' || doc_id ||
+        |    ' and caf' || chr(233) || '.' || chr(10) ||
+        |  'Second' || chr(9) || 'line ' || doc_id || ' ' || chr(8212) ||
+        |    'dash.' || chr(10) ||
+        |  'shown link ' || doc_id AS text
+        |FROM ids
         |ORDER BY media_id""".stripMargin,
 
     // Which routed rows survive the header gate, stated: html always

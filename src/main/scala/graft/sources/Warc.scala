@@ -434,6 +434,12 @@ object Warc {
             OfficeText.odtText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "odt", t,
                 r.xRobotsTag, null.asInstanceOf[String], 0))
+          } else if (ct.exists(c => c.startsWith("application/rtf") ||
+              c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
+            val (rtf, _) = decodeHtml(r.body, r.contentType) // charset negotiation
+            Some((id, r.recordIdx, Option(r.targetUri), "rtf",
+              graft.functions.RtfToText.clean(rtf), r.xRobotsTag,
+              null.asInstanceOf[String], 0))
           } else if (ct.exists(_.startsWith("application/epub+zip"))) {
             OfficeText.epubText(r.body).map(t =>
               (id, r.recordIdx, Option(r.targetUri), "epub", t,
