@@ -159,29 +159,32 @@ object LangId {
                    profiles: Map[String, CrawlProfile] = CrawlProfiles): DataFrame = {
     require(profiles.nonEmpty, "LangId.predictCrawl: need at least one profile")
     val langs = profiles.keys.toSeq.sorted
-    val toks = split(lower(col(textCol)), "\\s+")
-    // ONE char walk computes every distinct script-block count
-    // ([[graft.functions.ScriptBlockCounts]] — the SCALE.md upgrade;
-    // previously each range cost its own regexp_replace pass); the
-    // counts land in one array column that the per-language scores
-    // index into. Differential-pinned against the regex formula in
-    // LangIdSpec.
+    // TWO single-pass native expressions compute everything the 31
+    // scores need (the SCALE.md upgrades; previously each script
+    // range cost a regexp_replace pass and each worded language a
+    // higher-order filter over the token array):
+    // [[graft.functions.ScriptBlockCounts]] — one char walk, every
+    // distinct script-block count; [[graft.functions
+    // .ProfileWordHits]] — one tokenize+hash-probe pass, every
+    // language's function-word hit count. Both differential-pinned
+    // against the original formulas in LangIdSpec.
     val ranges: Seq[(Int, Int)] = langs.flatMap(l =>
       profiles(l).scripts.map(s => (s._1.toInt, s._2.toInt))).distinct
     val countsAt: Map[(Int, Int), Int] = ranges.zipWithIndex.toMap
-    val withCounts =
-      if (ranges.isEmpty) df.withColumn("__script_counts",
-        array().cast("array<bigint>"))
-      else df.withColumn("__script_counts",
-        graft.functions.ScriptBlockCounts(col(textCol), ranges))
+    val wordLists: Seq[Seq[String]] = langs.map(l => profiles(l).words)
+    val withCounts = {
+      val sc =
+        if (ranges.isEmpty) array().cast("array<bigint>")
+        else graft.functions.ScriptBlockCounts(col(textCol), ranges)
+      df.withColumn("__script_counts", sc)
+        .withColumn("__word_hits",
+          graft.functions.ProfileWordHits(col(textCol), wordLists))
+    }
     def score(l: String): Column = {
       val p = profiles(l)
       val wordPart: Column =
         if (p.words.isEmpty) lit(0L)
-        else {
-          val words = array(p.words.map(lit): _*)
-          size(filter(toks, t => array_contains(words, t))).cast("long")
-        }
+        else element_at(col("__word_hits"), langs.indexOf(l) + 1)
       p.scripts.foldLeft(wordPart) { case (acc, (from, to, wt)) =>
         acc + element_at(col("__script_counts"),
           countsAt((from.toInt, to.toInt)) + 1) * wt

@@ -112,4 +112,37 @@ class LangIdSpec extends SparkSpec {
       .collect()
     assert(n.head.isNullAt(0))
   }
+
+  test("single-pass ProfileWordHits agrees with the filter/" +
+       "array_contains formula on every profile (differential)") {
+    import org.apache.spark.sql.functions._
+    val langs = LangId.CrawlProfiles.keys.toSeq.sorted
+    val wordLists = langs.map(l => LangId.CrawlProfiles(l).words)
+    val texts = LangId.CrawlSamples.values.toSeq ++ Seq(
+      "the the THE tHe of and", // multiplicity + case folding
+      "  leading and trailing  ", // \s+ split's empty-token edge
+      "de het een the der die el que", // words shared across profiles
+      "tabs\tand\nnewlines the of", "", "no stopwords here xyzzy")
+    val df = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+      .toDF("id", "text")
+    val viaExpr = df.select(col("id"),
+      graft.functions.ProfileWordHits(col("text"), wordLists).as("h"))
+      .as[(Long, Seq[Long])].collect().toMap
+    val toks = split(lower(col("text")), "\\s+")
+    val viaHof = df.select(
+      (col("id") +: langs.zipWithIndex.map { case (l, k) =>
+        val words = array(LangId.CrawlProfiles(l).words.map(lit): _*)
+        (if (LangId.CrawlProfiles(l).words.isEmpty) lit(0L)
+         else size(filter(toks, t => array_contains(words, t))).cast("long"))
+          .as(s"w$k")
+      }): _*).collect().map(r =>
+        r.getLong(0) -> langs.indices.map(k => r.getLong(k + 1))).toMap
+    texts.indices.foreach { i =>
+      assert(viaExpr(i.toLong) == viaHof(i.toLong), s"text $i: ${texts(i)}")
+    }
+    val n = Seq((1L, null.asInstanceOf[String])).toDF("id", "text")
+      .select(graft.functions.ProfileWordHits(col("text"), wordLists).as("h"))
+      .collect()
+    assert(n.head.isNullAt(0))
+  }
 }
