@@ -778,6 +778,31 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** On-disk mixed-carrier WARC fixture (q306): q289's
+    * warcMixedFixture files (html + pdf + exclusions; gzipped every
+    * 4th id, junk every 50th) for the STREAMING doc router. */
+  private def warcDocsFixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_docs_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            val b = warcMixedFixture(id)
+            if (id % 4 == 1) gzipBytes(b) else b
+          }
+        val tmp = java.io.File.createTempFile("wdtmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6254,6 +6279,25 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q306 — STREAMING multi-carrier doc router ([[graft.sources
+    // .Warc.warcPathsDocText]]): the 100 TB front door finally routes
+    // every carrier, not just HTML — q289's mixed fixture replayed
+    // over on-disk .warc(.gz) FILES through the bounded streaming
+    // reader and the SAME routeDocRecord as the cell walk (shared by
+    // construction, so a carrier added to one door exists on both).
+    // Identical oracle to q289: the door is what's under test, the
+    // routing semantics must not move. One task per path; per-record
+    // bounded memory.
+    "q306_warc_stream_docs" -> ((s, d) => {
+      import s.implicits._
+      val paths = warcDocsFixturePaths(s, d)
+      graft.sources.Warc.warcPathsDocText(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+        .select("media_id", "record_idx", "url", "carrier", "text")
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q305 — RTF → text ([[graft.functions.RtfToText]] routed by
     // [[graft.sources.Warc.warcDocText]]): the legacy office carrier
     // (old corpora, email attachments). The fixture exercises every
@@ -11291,6 +11335,23 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // q289's oracle verbatim: the streaming door is what's under
+    // test; the routing semantics must not move.
+    "q306_warc_stream_docs" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(2 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/h' AS url,
+        |  'html' AS carrier,
+        |  'html ' || doc_id AS text
+        |FROM ids
+        |UNION ALL
+        |SELECT doc_id AS media_id, CAST(3 AS INTEGER) AS record_idx,
+        |  'http://ex.com/' || doc_id || '/doc.pdf' AS url,
+        |  'pdf' AS carrier,
+        |  'pdf doc ' || doc_id || chr(10) || 'second line ' || doc_id AS text
+        |FROM ids
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The cleaned RTF stated line by line: destinations and
     // formatting words gone, escapes unescaped, delimiter-space rule

@@ -378,6 +378,52 @@ object Warc {
                   maxBody: Int = 1 << 24): DataFrame =
     warcDocTextObserved(media, maxRecords, maxBody)._1
 
+  /** The ONE content-type router shared by the cell walk
+    * ([[warcDocTextObserved]]) and the streaming path
+    * ([[warcPathsDocTextObserved]]): a 2xx response record with a
+    * routable content type yields (carrier, text); everything else
+    * yields None. New carriers are added HERE and exist on both
+    * doors at once. */
+  private def routeDocRecord(r: WarcRecord): Option[(String, String)] = {
+    val ok = r.warcType.equalsIgnoreCase("response") &&
+      r.httpStatus.exists(s => s >= 200 && s < 300) && r.body.nonEmpty
+    val ct = r.contentType.map(_.toLowerCase(java.util.Locale.ROOT))
+    if (!ok) None
+    else if (ct.exists(_.startsWith("text/html"))) {
+      val (html, _) = decodeHtml(r.body, r.contentType)
+      Some(("html", graft.functions.HtmlToText.clean(html)))
+    } else if (ct.exists(_.startsWith("application/pdf"))) {
+      Pdf.extractPdfText(r.body).map(t => ("pdf", t.text))
+    } else if (ct.exists(c => c.startsWith("text/markdown") ||
+        c.startsWith("text/x-markdown"))) {
+      val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
+      Some(("markdown", graft.functions.MarkdownToText.clean(md)))
+    } else if (ct.exists(c => c.startsWith("application/x-tex") ||
+        c.startsWith("application/x-latex") ||
+        c.startsWith("text/x-tex"))) {
+      val (tex, _) = decodeHtml(r.body, r.contentType)
+      Some(("latex", graft.functions.LatexToText.clean(tex)))
+    } else if (ct.exists(_.startsWith(
+        "application/vnd.openxmlformats-officedocument.wordprocessingml"))) {
+      OfficeText.docxText(r.body).map(("docx", _))
+    } else if (ct.exists(_.startsWith(
+        "application/vnd.openxmlformats-officedocument.presentationml"))) {
+      OfficeText.pptxText(r.body).map(("pptx", _))
+    } else if (ct.exists(_.startsWith(
+        "application/vnd.openxmlformats-officedocument.spreadsheetml"))) {
+      OfficeText.xlsxText(r.body).map(("xlsx", _))
+    } else if (ct.exists(_.startsWith(
+        "application/vnd.oasis.opendocument.text"))) {
+      OfficeText.odtText(r.body).map(("odt", _))
+    } else if (ct.exists(c => c.startsWith("application/rtf") ||
+        c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
+      val (rtf, _) = decodeHtml(r.body, r.contentType)
+      Some(("rtf", graft.functions.RtfToText.clean(rtf)))
+    } else if (ct.exists(_.startsWith("application/epub+zip"))) {
+      OfficeText.epubText(r.body).map(("epub", _))
+    } else None
+  }
+
   /** [[warcDocText]] plus the fence-counter Observation. */
   def warcDocTextObserved(media: DataFrame, maxRecords: Int = 1 << 12,
                           maxBody: Int = 1 << 24): (DataFrame, Observation) = {
@@ -388,63 +434,10 @@ object Warc {
       .flatMap { case (id, p) =>
         val parse = parseWarcOutcome(p, maxRecords, maxBody)
         val rows = parse.records.flatMap { r =>
-          val ok = r.warcType.equalsIgnoreCase("response") &&
-            r.httpStatus.exists(s => s >= 200 && s < 300) && r.body.nonEmpty
-          val ct = r.contentType.map(_.toLowerCase(java.util.Locale.ROOT))
-          if (!ok) None
-          else if (ct.exists(_.startsWith("text/html"))) {
-            val (html, _) = decodeHtml(r.body, r.contentType)
-            Some((id, r.recordIdx, Option(r.targetUri), "html",
-              graft.functions.HtmlToText.clean(html), r.xRobotsTag,
-              null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith("application/pdf"))) {
-            Pdf.extractPdfText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "pdf", t.text,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else if (ct.exists(c => c.startsWith("text/markdown") ||
-              c.startsWith("text/x-markdown"))) {
-            val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
-            Some((id, r.recordIdx, Option(r.targetUri), "markdown",
-              graft.functions.MarkdownToText.clean(md), r.xRobotsTag,
-              null.asInstanceOf[String], 0))
-          } else if (ct.exists(c => c.startsWith("application/x-tex") ||
-              c.startsWith("application/x-latex") ||
-              c.startsWith("text/x-tex"))) {
-            val (tex, _) = decodeHtml(r.body, r.contentType) // charset negotiation
-            Some((id, r.recordIdx, Option(r.targetUri), "latex",
-              graft.functions.LatexToText.clean(tex), r.xRobotsTag,
-              null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith(
-              "application/vnd.openxmlformats-officedocument.wordprocessingml"))) {
-            OfficeText.docxText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "docx", t,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith(
-              "application/vnd.openxmlformats-officedocument.presentationml"))) {
-            OfficeText.pptxText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "pptx", t,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith(
-              "application/vnd.openxmlformats-officedocument.spreadsheetml"))) {
-            OfficeText.xlsxText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "xlsx", t,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith(
-              "application/vnd.oasis.opendocument.text"))) {
-            OfficeText.odtText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "odt", t,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else if (ct.exists(c => c.startsWith("application/rtf") ||
-              c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
-            val (rtf, _) = decodeHtml(r.body, r.contentType) // charset negotiation
-            Some((id, r.recordIdx, Option(r.targetUri), "rtf",
-              graft.functions.RtfToText.clean(rtf), r.xRobotsTag,
-              null.asInstanceOf[String], 0))
-          } else if (ct.exists(_.startsWith("application/epub+zip"))) {
-            OfficeText.epubText(r.body).map(t =>
-              (id, r.recordIdx, Option(r.targetUri), "epub", t,
-                r.xRobotsTag, null.asInstanceOf[String], 0))
-          } else None
+          routeDocRecord(r).map { case (carrier, text) =>
+            (id, r.recordIdx, Option(r.targetUri), carrier, text,
+              r.xRobotsTag, null.asInstanceOf[String], 0)
+          }
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
           null.asInstanceOf[String], None: Option[String], parse.endReason,
@@ -453,6 +446,43 @@ object Warc {
       .toDF("media_id", "record_idx", "url", "carrier", "text",
         "x_robots", "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
+    (observed.where(col("record_idx") >= 0)
+      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+  }
+
+  /** The streaming-path multi-carrier router — [[warcDocText]] over
+    * FILE PATHS (the 100 TB front door): one task per path, records
+    * stream one at a time through the bounded reader and route
+    * through the SAME [[routeDocRecord]] as the cell walk, so every
+    * carrier exists on both doors by construction. Schema and fence
+    * contract of [[warcPathsHtmlText]] plus carrier and x_robots. */
+  def warcPathsDocText(spark: SparkSession, paths: Seq[String],
+                       maxBody: Int = 1 << 24,
+                       maxRecords: Int = 1 << 20): DataFrame =
+    warcPathsDocTextObserved(spark, paths, maxBody, maxRecords)._1
+
+  /** [[warcPathsDocText]] plus the fence-counter Observation. */
+  def warcPathsDocTextObserved(spark: SparkSession, paths: Seq[String],
+                               maxBody: Int = 1 << 24,
+                               maxRecords: Int = 1 << 20): (DataFrame, Observation) = {
+    import spark.implicits._
+    val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
+    val raw = spark.createDataset(paths).repartition(n)
+      .flatMap { path =>
+        streamRows[(String, Int, Option[String], String, String,
+            Option[String], String, Int)](
+          path, maxBody, maxRecords,
+          r => routeDocRecord(r).map { case (carrier, text) =>
+            (path, r.recordIdx, Option(r.targetUri), carrier, text,
+              r.xRobotsTag, null.asInstanceOf[String], 0)
+          },
+          (reason, tb) => (path, -1, None: Option[String],
+            null.asInstanceOf[String], null.asInstanceOf[String],
+            None: Option[String], reason, tb))
+      }
+      .toDF("path", "record_idx", "url", "carrier", "text", "x_robots",
+        "__end_reason", "__truncated_n")
+    val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
   }
