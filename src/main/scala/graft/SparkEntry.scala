@@ -6279,6 +6279,48 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q307 — WebP lossless decode ([[graft.sources.Webp]]): the
+    // second-most-common crawled image format decodes to PIXELS pure
+    // JVM from the public VP8L spec — canonical prefix codes (both
+    // forms), inverse transforms, color cache, LZ77. Four writer
+    // variants by id%4 (plain / SUBTRACT_GREEN / PREDICTOR /
+    // 19-color COLOR_INDEXING) encode the SAME pixel formulas, so
+    // one oracle covers all: a decoder that shortcuts any transform
+    // fails that id class's hash. LZ77/cache paths are pinned by
+    // WebpSpec's independent hand-assembled bitstreams (no JDK
+    // differential exists — ImageIO cannot read WebP; the ICO
+    // precedent). Map-only flatMap kernel; pixels never shuffle.
+    "q307_webp_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
+        else {
+          val w = (19 + id % 4).toInt
+          val h = (9 + id % 5).toInt
+          val variant = (id % 4) match {
+            case 0 => "plain"
+            case 1 => "subgreen"
+            case 2 => "predictor"
+            case _ => "palette"
+          }
+          val px: (Int, Int) => (Int, Int, Int) =
+            if (id % 4 == 3) { (x, y) =>
+              val idx = if (y == 0) x % 19 else ((x * 7 + y * 3 + id) % 19).toInt
+              (((id * 3 + idx) % 256).toInt, ((id * 5 + idx * 29) % 256).toInt,
+                ((id * 7 + idx * 41) % 256).toInt)
+            } else { (x, y) =>
+              (((id * 7 + x * 13 + y * 29) % 256).toInt,
+                ((id * 5 + x * 3 + y * 11) % 256).toInt,
+                ((id * 3 + x + y * 7) % 256).toInt)
+            }
+          (id, graft.sources.Webp.buildLosslessWebp(w, h, px, variant))
+        }
+      }.toDF("doc_id", "webp")
+      graft.sources.Webp.describeWebp(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q306 — STREAMING multi-carrier doc router ([[graft.sources
     // .Warc.warcPathsDocText]]): the 100 TB front door finally routes
     // every carrier, not just HTML — q289's mixed fixture replayed
@@ -11334,6 +11376,40 @@ object SparkEntry {
         |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // The pixel formulas replayed through the real VP8L containers:
+    // whatever the id class's transform chain, decoded pixels must
+    // equal the formula — channel sums pin every inverse transform.
+    "q307_webp_decode" ->
+      """WITH d AS (SELECT doc_id, CAST(19 + doc_id % 4 AS INTEGER) AS w,
+        |             CAST(9 + doc_id % 5 AS INTEGER) AS h FROM documents),
+        |px AS (SELECT doc_id, w, h, x, y,
+        |         CASE WHEN y = 0 THEN x % 19
+        |              ELSE (x*7 + y*3 + doc_id) % 19 END AS idx
+        |       FROM d, generate_series(0, 22) gx(x),
+        |            generate_series(0, 13) gy(y)
+        |       WHERE x < w AND y < h),
+        |s AS (SELECT doc_id, w, h,
+        |  CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN (doc_id*3 + idx) % 256
+        |       ELSE (doc_id*7 + x*13 + y*29) % 256 END) AS BIGINT) AS sr,
+        |  CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN (doc_id*5 + idx*29) % 256
+        |       ELSE (doc_id*5 + x*3 + y*11) % 256 END) AS BIGINT) AS sg,
+        |  CAST(SUM(CASE WHEN doc_id % 4 = 3 THEN (doc_id*7 + idx*41) % 256
+        |       ELSE (doc_id*3 + x + y*7) % 256 END) AS BIGINT) AS sb,
+        |  CAST(COUNT(*) AS BIGINT) AS np
+        |  FROM px GROUP BY doc_id, w, h)
+        |SELECT s.doc_id AS media_id,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE 'lossless' END AS variant,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.w END AS width,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.h END AS height,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.np END AS n_pixels,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.sr END AS sum_r,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.sg END AS sum_g,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL ELSE s.sb END AS sum_b,
+        |  CASE WHEN s.doc_id % 50 = 0 THEN NULL
+        |       ELSE 255 * s.np END AS sum_a
+        |FROM s
         |ORDER BY media_id""".stripMargin,
 
     // q289's oracle verbatim: the streaming door is what's under

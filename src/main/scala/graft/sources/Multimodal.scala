@@ -3865,6 +3865,17 @@ object Multimodal {
               MediaInspectRow(id, Some(s.format), None, None, None, None, None,
                 None, Some(s.sampleRate), Some(s.nFrames), Some(s.peakRaw),
                 Some(s.sumSq)))
+          else if (Webp.looksLikeWebp(p))
+            // lossless decodes to pixels; lossy yields dims only
+            // (sums None — the video-codec intra frame is the same
+            // declared non-goal boundary as the video tier)
+            Webp.parseWebp(p).fold(none(id))(s =>
+              if (s.variant == "lossless")
+                img(id, "webp", s.width, s.height, s.nPixels,
+                  s.sumR, s.sumG, s.sumB)
+              else MediaInspectRow(id, Some("webp"), Some(s.width),
+                Some(s.height), None, None, None, None, None, None,
+                None, None))
           else if (u8(0) == 'R' && u8(1) == 'I' && u8(2) == 'F' && u8(3) == 'F' &&
                    p.length >= 12 && u8(8) == 'W' && u8(9) == 'A' && u8(10) == 'V')
             parseWavPcm(p).fold(none(id))(s =>

@@ -1,0 +1,248 @@
+package graft.sources
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions.col
+
+/** Pins [[Webp]] three ways (the PdfSpec discipline):
+  *
+  *  1. round-trips of the deterministic writer's four variants —
+  *     plain literals, SUBTRACT_GREEN, PREDICTOR (mode 1), and
+  *     COLOR_INDEXING with a 19-color palette — which by
+  *     construction exercise both prefix-code forms, the
+  *     code-length coding, and three inverse transforms;
+  *  2. INDEPENDENTLY hand-assembled bitstreams sharing no code with
+  *     the writer, pinning what the writer never emits: LZ77
+  *     backward references through the 2D distance map, the color
+  *     cache, simple two-symbol codes, the 17/18 zero-repeat codes,
+  *     and the max_symbol short form;
+  *  3. hostile bytes (truncation, bit flips, lying sizes) — the
+  *     never-throw fence.
+  */
+class WebpSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def formulaPx(seed: Int)(x: Int, y: Int): (Int, Int, Int) =
+    (((seed * 7 + x * 13 + y * 29) % 256),
+      ((seed * 5 + x * 3 + y * 11) % 256),
+      ((seed * 3 + x + y * 7) % 256))
+
+  private def expectedSums(w: Int, h: Int,
+                           px: (Int, Int) => (Int, Int, Int)): (Long, Long, Long) = {
+    var sr = 0L; var sg = 0L; var sb = 0L
+    for (y <- 0 until h; x <- 0 until w) {
+      val (r, g, b) = px(x, y)
+      sr += r; sg += g; sb += b
+    }
+    (sr, sg, sb)
+  }
+
+  test("writer round-trips: plain, subtract-green, predictor, palette") {
+    val (w, h) = (21, 13)
+    for (variant <- Seq("plain", "subgreen", "predictor")) {
+      val bytes = Webp.buildLosslessWebp(w, h, formulaPx(5), variant)
+      val s = Webp.parseWebp(bytes).getOrElse(fail(s"$variant: no parse"))
+      assert(s.variant == "lossless" && s.width == w && s.height == h)
+      assert(s.nPixels == w.toLong * h)
+      val (er, eg, eb) = expectedSums(w, h, formulaPx(5))
+      assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)), variant)
+      assert(s.sumA == 255L * w * h, variant)
+    }
+    // palette: 19 distinct colors, first row covers every index
+    def palPx(x: Int, y: Int): (Int, Int, Int) = {
+      val idx = if (y == 0) x % 19 else (x * 7 + y * 3 + 5) % 19
+      ((15 + idx) % 256, (25 + idx * 29) % 256, (35 + idx * 41) % 256)
+    }
+    val bytes = Webp.buildLosslessWebp(w, h, palPx, "palette")
+    val s = Webp.parseWebp(bytes).getOrElse(fail("palette: no parse"))
+    val (er, eg, eb) = expectedSums(w, h, palPx)
+    assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)))
+    // 1×1 and wide-thin edges round-trip too
+    for ((ww, hh) <- Seq((1, 1), (37, 1), (1, 29))) {
+      val b2 = Webp.buildLosslessWebp(ww, hh, formulaPx(9), "plain")
+      val s2 = Webp.parseWebp(b2).get
+      val (r2, g2, b2s) = expectedSums(ww, hh, formulaPx(9))
+      assert((s2.width, s2.height, s2.sumR, s2.sumG, s2.sumB) ==
+        ((ww, hh, r2, g2, b2s)))
+    }
+  }
+
+  // ---- hand-assembled bitstreams (no writer code) -----------------
+
+  private final class HandBits {
+    private val out = scala.collection.mutable.ArrayBuffer.empty[Byte]
+    private var cur = 0
+    private var n = 0
+    def b(v: Int): this.type = {
+      cur |= (v & 1) << n; n += 1
+      if (n == 8) { out += cur.toByte; cur = 0; n = 0 }
+      this
+    }
+    def i(v: Int, bits: Int): this.type = { // LSB-first integer
+      (0 until bits).foreach(k => b((v >> k) & 1)); this
+    }
+    def c(v: Int, bits: Int): this.type = { // MSB-first prefix code
+      (bits - 1 to 0 by -1).foreach(k => b((v >> k) & 1)); this
+    }
+    def riff: Array[Byte] = {
+      if (n > 0) { out += cur.toByte; cur = 0; n = 0 }
+      val payload = out.toArray
+      val bos = new java.io.ByteArrayOutputStream()
+      def w32(v: Int): Unit =
+        (0 until 4).foreach(k => bos.write((v >> (8 * k)) & 0xff))
+      bos.write("RIFF".getBytes); w32(4 + 8 + payload.length + (payload.length & 1))
+      bos.write("WEBP".getBytes); bos.write("VP8L".getBytes)
+      w32(payload.length); bos.write(payload)
+      if ((payload.length & 1) == 1) bos.write(0)
+      bos.toByteArray
+    }
+  }
+
+  test("hand fixture: LZ77 copies through the 2D distance map, " +
+       "normal code via 18-repeats and max_symbol") {
+    // 4×2, one literal + seven copy-of-previous. Green code: normal,
+    // nonzero lengths only at {50 (literal), 256 (length code 0)},
+    // both 1 bit -> canonical 50->0, 256->1. Lengths are coded with
+    // cl symbols {1, 18}: 18 skips the zero runs, max_symbol stops
+    // after symbol 256.
+    val hb = new HandBits
+    hb.i(0x2f, 8).i(3, 14).i(1, 14).b(0).i(0, 3) // header: 4×2
+    hb.b(0) // no transforms
+    hb.b(0) // no color cache
+    hb.b(0) // no meta
+    // green: not simple; numCodeLengths=4 (order: 17,18,0,1)
+    hb.b(0).i(0, 4)
+    hb.i(0, 3) // cl[17] = 0
+    hb.i(1, 3) // cl[18] = 1
+    hb.i(0, 3) // cl[0]  = 0
+    hb.i(1, 3) // cl[1]  = 1   -> canonical: 1->0, 18->1
+    // max_symbol short form: it caps the number of CODE-LENGTH
+    // SYMBOL READS (not the filled-symbol index) — this fixture
+    // makes exactly 5 reads (18, 1, 18, 18, 1), so
+    // max_symbol = 5 = 2 + ReadBits(2 + 2*0 = 2 bits -> 3)
+    hb.b(1).i(0, 3).i(3, 2)
+    // lengths: 18(repeat 50 zeros: 11+39) sym->0..49; 1 at sym 50;
+    // 18(138 zeros: 11+127) sym 51..188; 18(67 zeros: 11+56) 189..255;
+    // 1 at sym 256; max_symbol stops the rest
+    hb.c(1, 1).i(39, 7)  // code 18, 50 zeros
+    hb.c(0, 1)           // code 1 -> length 1 at symbol 50
+    hb.c(1, 1).i(127, 7) // code 18, 138 zeros
+    hb.c(1, 1).i(56, 7)  // code 18, 67 zeros
+    hb.c(0, 1)           // code 1 -> length 1 at symbol 256
+    // red: simple-1(7); blue: simple-1(9); alpha: simple-1(255)
+    hb.b(1).b(0).b(1).i(7, 8)
+    hb.b(1).b(0).b(1).i(9, 8)
+    hb.b(1).b(0).b(1).i(255, 8)
+    // distance: simple-1(1) -> distCode = lz77Value(1) = 2 ->
+    // map[1] = (1, 0) -> previous pixel
+    hb.b(1).b(0).b(1).i(1, 8)
+    // data: literal green 50 (code 0), then 7× {length symbol 256
+    // (code 1) -> length = lz77Value(0) = 1; distance 0 bits}
+    hb.c(0, 1)
+    (1 to 7).foreach(_ => hb.c(1, 1))
+    val s = Webp.parseWebp(hb.riff).getOrElse(fail("no parse"))
+    assert((s.width, s.height, s.nPixels) == ((4, 2, 8L)))
+    assert((s.sumR, s.sumG, s.sumB, s.sumA) ==
+      ((7L * 8, 50L * 8, 9L * 8, 255L * 8)))
+  }
+
+  test("hand fixture: color cache hits reproduce the cached pixel, " +
+       "with 0/17/18 zero-run coding") {
+    // 2×2: one literal (a=255, r=7, g=100, b=9), three cache hits.
+    val argb = 0xff076409
+    val cacheBits = 4
+    val idx = (0x1e35a7bd * argb) >>> (32 - cacheBits) // 0..15
+    val cacheSym = 256 + 24 + idx
+    val alphabet = 256 + 24 + (1 << cacheBits) // 296
+    // green: normal code, nonzero lengths only at {100, cacheSym}.
+    // cl code over {0, 1, 17, 18}, all 2 bits -> canonical codes
+    // 0->00, 1->01, 17->10, 18->11.
+    val hb = new HandBits
+    hb.i(0x2f, 8).i(1, 14).i(1, 14).b(0).i(0, 3) // 2×2
+    hb.b(0) // no transforms
+    hb.b(1).i(cacheBits, 4) // color cache on
+    hb.b(0) // no meta
+    hb.b(0).i(0, 4) // not simple; numCodeLengths = 4 (17,18,0,1)
+    hb.i(2, 3) // cl[17] = 2
+    hb.i(2, 3) // cl[18] = 2
+    hb.i(2, 3) // cl[0]  = 2
+    hb.i(2, 3) // cl[1]  = 2
+    hb.b(0) // no max_symbol: code all 296 lengths
+    def zeros(n0: Int): Unit = {
+      var n = n0
+      while (n >= 11) {
+        val take = math.min(n, 138)
+        hb.c(3, 2).i(take - 11, 7) // code 18
+        n -= take
+      }
+      if (n >= 3) { hb.c(2, 2).i(n - 3, 3); n = 0 } // code 17
+      while (n > 0) { hb.c(0, 2); n -= 1 } // plain zero lengths
+    }
+    zeros(100)
+    hb.c(1, 2) // symbol 100 -> length 1
+    zeros(cacheSym - 101)
+    hb.c(1, 2) // cacheSym -> length 1
+    zeros(alphabet - cacheSym - 1)
+    // red/blue/alpha simple-1; distance simple-1 (unused)
+    hb.b(1).b(0).b(1).i(7, 8)
+    hb.b(1).b(0).b(1).i(9, 8)
+    hb.b(1).b(0).b(1).i(255, 8)
+    hb.b(1).b(0).b(1).i(0, 8)
+    // greens {100, cacheSym} both length 1: canonical 100->0,
+    // cacheSym->1. Data: literal, then three cache hits.
+    hb.c(0, 1)
+    (1 to 3).foreach(_ => hb.c(1, 1))
+    val s = Webp.parseWebp(hb.riff).getOrElse(fail("no parse"))
+    assert((s.width, s.height) == ((2, 2)))
+    assert((s.sumR, s.sumG, s.sumB) == ((7L * 4, 100L * 4, 9L * 4)))
+  }
+
+  test("lossy VP8 parses dimensions only") {
+    val hdr = new java.io.ByteArrayOutputStream()
+    hdr.write("RIFF".getBytes); hdr.write(Array[Byte](30, 0, 0, 0))
+    hdr.write("WEBP".getBytes); hdr.write("VP8 ".getBytes)
+    hdr.write(Array[Byte](10, 0, 0, 0))
+    // frame tag (keyframe: bit0 = 0), start code, 14-bit w=320 h=240
+    hdr.write(Array[Byte](0x00, 0x00, 0x00, 0x9d.toByte, 0x01, 0x2a,
+      (320 & 0xff).toByte, (320 >> 8).toByte,
+      (240 & 0xff).toByte, (240 >> 8).toByte))
+    val s = Webp.parseWebp(hdr.toByteArray)
+    assert(s.exists(v => v.variant == "lossy" && v.width == 320 &&
+      v.height == 240 && v.nPixels == 0L))
+  }
+
+  test("hostile inputs never throw and yield None") {
+    assert(Webp.parseWebp(null).isEmpty)
+    assert(Webp.parseWebp("RIFFxxxxWEBP".getBytes).isEmpty)
+    assert(Webp.parseWebp("not webp at all".getBytes).isEmpty)
+    val good = Webp.buildLosslessWebp(9, 7, formulaPx(3), "plain")
+    (1 until good.length by 3).foreach { n =>
+      Webp.parseWebp(good.take(n)) // truncations
+    }
+    val rnd = new scala.util.Random(71)
+    (1 to 400).foreach { k =>
+      val mut = good.clone()
+      (0 to k % 4).foreach(_ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+      Webp.parseWebp(mut) // must not throw
+    }
+  }
+
+  test("describeWebp and inspectMedia route the format") {
+    val pay = Seq(
+      (1L, Webp.buildLosslessWebp(8, 5, formulaPx(2), "plain")),
+      (2L, "junk".getBytes)).toDF("id", "bytes")
+    val rows = Webp.describeWebp(
+        Multimodal.asMedia(pay, "id", "bytes", "image"))
+      .orderBy("media_id")
+      .select("media_id", "variant", "width", "height")
+      .as[(Long, Option[String], Option[Int], Option[Int])].collect().toSeq
+    assert(rows == Seq((1L, Some("lossless"), Some(8), Some(5)),
+      (2L, None, None, None)))
+    val insp = Multimodal.inspectMedia(
+        Multimodal.asMedia(pay, "id", "bytes", "image"))
+      .where(col("media_id") === 1L)
+      .select("format", "width", "n_pixels")
+      .as[(Option[String], Option[Int], Option[Long])].head()
+    assert(insp == ((Some("webp"), Some(8), Some(40L))))
+  }
+}
