@@ -385,7 +385,11 @@ object Bench {
       // through the WARC router, and the zstd WARC door (the
       // compression Common Crawl actually distributes; tracks
       // decompressor-filter overhead against the gzip-door q271)
-      "q295_pdf_type0", "q297_latex_text", "q298_warc_zst")
+      "q295_pdf_type0", "q297_latex_text", "q298_warc_zst",
+      // round-15 session 2: the WebP decode kernel (all four VP8L
+      // variants per id class — tracks the newest byte-kernel like
+      // q250/q285 did at their introduction)
+      "q307_webp_decode")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
