@@ -803,6 +803,43 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** On-disk fixture for curation v10 (q308): the v9 container PLUS
+    * one header-noindex'd html record (idx 6) whose long UNIQUE text
+    * would survive every other stage — so the X-Robots-Tag gate is
+    * load-bearing in the oracle. Gzipped every 4th id, junk every
+    * 50th. */
+  private def warcV10FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_v10_v1_${Integer.toHexString(d.hashCode)}")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            val noindexed = {
+              val body = (s"<p>secret page $id would pass every gate " +
+                "but the publisher opted out.</p>").getBytes("UTF-8")
+              val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                "X-Robots-Tag: noindex\r\n\r\n").getBytes("ISO-8859-1") ++ body
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: http://ex.com/n/$id\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+                http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+            }
+            val b = warcV9Fixture(id) ++ noindexed
+            if (id % 4 == 1) gzipBytes(b) else b
+          }
+        val tmp = java.io.File.createTempFile("w10tmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6279,6 +6316,39 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q308 — curation v10: the WHOLE modern chain through the
+    // STREAMING door — warcPathsDocText (q306's router over on-disk
+    // files) → the X-Robots-Tag gate (record 6's long unique text
+    // would survive every later stage, so the gate is load-bearing)
+    // → length gate → canonical-URL keep-first → content keep-first.
+    // Same join-free posture as v9: one path-streaming kernel, one
+    // declarative gate, two keyed windows. At 100 TB this IS the
+    // pipeline: multi-GB WARC files in, deduplicated multi-carrier
+    // training text out.
+    "q308_curation_v10" -> ((s, d) => {
+      import s.implicits._
+      val pages = graft.sources.Warc.warcPathsDocText(
+          s, warcV10FixturePaths(s, d))
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+      val kept = pages
+        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
+        .where(length(col("text")) >= 20)
+        .withColumn("url_canon", graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+        .orderBy(col("media_id"), col("record_idx"))
+      val urlKept = kept.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val textW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(textW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("url_canon").as("url"), col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q307 — WebP lossless decode ([[graft.sources.Webp]]): the
     // second-most-common crawled image format decodes to PIXELS pure
     // JVM from the public VP8L spec — canonical prefix codes (both
@@ -11377,6 +11447,40 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // v9's survivor set exactly — the noindex'd record must leave no
+    // trace (it would otherwise add one unique-canon unique-text row
+    // per document and fail the hash).
+    "q308_curation_v10" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf',
+        |    'http://ex.com/d/' || doc_id || '.pdf',
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown',
+        |    'http://ex.com/m/' || doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // The pixel formulas replayed through the real VP8L containers:
     // whatever the id class's transform chain, decoded pixels must
