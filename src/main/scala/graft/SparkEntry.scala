@@ -6316,6 +6316,35 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q309 — animated WebP frames ([[graft.sources.Webp
+    // .describeWebpFrames]]): the VP8X(ANIM) → ANMF chunk walk with
+    // every frame's VP8L payload FULLY decoded — the animated-sticker
+    // analog of the GIF frame walk (q235), one row per frame. Frame
+    // count, geometry, duration, and per-frame pixel-formula channel
+    // sums all replay in the oracle. Map-only flatMap kernel.
+    "q309_webp_frames" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "anim? no".getBytes("UTF-8"))
+        else {
+          val nFrames = (1 + id % 3).toInt
+          val frames = (0 until nFrames).map { k =>
+            val fw = (7 + (id + k) % 4).toInt
+            val fh = (5 + (id + 2 * k) % 3).toInt
+            (fw, fh, k,
+              (x: Int, y: Int) =>
+                (((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+                  ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+                  ((id * 3 + k * 7 + x + y * 7) % 256).toInt))
+          }
+          (id, graft.sources.Webp.buildAnimatedWebp(30, 20, frames, 40))
+        }
+      }.toDF("doc_id", "webp")
+      graft.sources.Webp.describeWebpFrames(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .orderBy("media_id", "frame_idx")
+    }),
+
     // Q308 — curation v10: the WHOLE modern chain through the
     // STREAMING door — warcPathsDocText (q306's router over on-disk
     // files) → the X-Robots-Tag gate (record 6's long unique text
@@ -11447,6 +11476,32 @@ object SparkEntry {
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
         |ORDER BY media_id""".stripMargin,
+
+    // Per-frame geometry, duration, and channel sums replayed from
+    // the formulas — THROUGH the VP8X/ANIM/ANMF walk and a full VP8L
+    // decode of every frame.
+    "q309_webp_frames" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |fr AS (SELECT doc_id, k,
+        |         CAST(7 + (doc_id + k) % 4 AS INTEGER) AS fw,
+        |         CAST(5 + (doc_id + 2*k) % 3 AS INTEGER) AS fh
+        |       FROM ids, generate_series(0, 2) t(k)
+        |       WHERE k < 1 + doc_id % 3),
+        |s AS (SELECT doc_id, k, fw, fh,
+        |  CAST(SUM((doc_id*7 + k*31 + x*13 + y*29) % 256) AS BIGINT) AS sr,
+        |  CAST(SUM((doc_id*5 + k*17 + x*3 + y*11) % 256) AS BIGINT) AS sg,
+        |  CAST(SUM((doc_id*3 + k*7 + x + y*7) % 256) AS BIGINT) AS sb
+        |  FROM fr, generate_series(0, 10) gx(x), generate_series(0, 7) gy(y)
+        |  WHERE x < fw AND y < fh
+        |  GROUP BY doc_id, k, fw, fh)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  CAST(30 AS INTEGER) AS canvas_w, CAST(20 AS INTEGER) AS canvas_h,
+        |  fw AS width, fh AS height,
+        |  CAST(40 + k % 7 AS INTEGER) AS duration_ms,
+        |  CAST(fw * fh AS BIGINT) AS n_pixels, sr AS sum_r, sg AS sum_g,
+        |  sb AS sum_b
+        |FROM s
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // v9's survivor set exactly — the noindex'd record must leave no
     // trace (it would otherwise add one unique-canon unique-text row

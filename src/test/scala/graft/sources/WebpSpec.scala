@@ -196,6 +196,35 @@ class WebpSpec extends SparkSpec {
     assert((s.sumR, s.sumG, s.sumB) == ((7L * 4, 100L * 4, 9L * 4)))
   }
 
+  test("animated WebP: VP8X/ANIM/ANMF walk, every frame fully decoded") {
+    val frames = Seq(
+      (8, 5, 0, formulaPx(10) _),
+      (9, 6, 1, formulaPx(20) _),
+      (7, 7, 2, formulaPx(30) _))
+    val bytes = Webp.buildAnimatedWebp(32, 24, frames, 50)
+    val (cw, chh, fs) = Webp.parseWebpFrames(bytes)
+      .getOrElse(fail("no frames"))
+    assert((cw, chh, fs.length) == ((32, 24, 3)))
+    frames.zip(fs).foreach { case ((fw, fh, seed, px), f) =>
+      assert((f.width, f.height) == ((fw, fh)))
+      assert(f.durationMs == 50 + seed % 7)
+      val (er, eg, eb) = expectedSums(fw, fh, px)
+      assert((f.sumR, f.sumG, f.sumB) == ((er, eg, eb)), s"frame $seed")
+    }
+    // a still lossless image is NOT an animation
+    assert(Webp.parseWebpFrames(
+      Webp.buildLosslessWebp(4, 4, formulaPx(1), "plain")).isEmpty)
+    // truncation/bit flips never throw
+    val rnd = new scala.util.Random(83)
+    (1 to 200).foreach { k =>
+      val mut = bytes.clone()
+      (0 to k % 3).foreach(_ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+      Webp.parseWebpFrames(mut)
+    }
+    (1 until bytes.length by 7).foreach(n => Webp.parseWebpFrames(bytes.take(n)))
+  }
+
   test("lossy VP8 parses dimensions only") {
     val hdr = new java.io.ByteArrayOutputStream()
     hdr.write("RIFF".getBytes); hdr.write(Array[Byte](30, 0, 0, 0))
