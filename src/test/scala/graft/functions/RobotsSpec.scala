@@ -118,4 +118,17 @@ class RobotsSpec extends AnyFunSuite {
     assert(!noindex(null: String))
     assert(!noindex(""))
   }
+
+  test("the composed header-OR-meta verdict: absent header never " +
+       "blocks, either channel drops") {
+    // the driver-side twin of MetaRobots.indexablePage (whose Column
+    // form is oracle-pinned by q296/q304)
+    def page(html: String, x: String): Boolean =
+      MetaRobots.indexable(html) && !XRobotsTag.noindex(x)
+    assert(page("<p>clean</p>", null))
+    assert(!page("<meta name=robots content=noindex><p>x</p>", null))
+    assert(!page("<p>clean</p>", "noindex"))
+    assert(page("<p>clean</p>", "nofollow"))
+    assert(!page("<meta name=robots content=noindex>", "noindex"))
+  }
 }

@@ -47,6 +47,15 @@ class WebpSpec extends SparkSpec {
       assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)), variant)
       assert(s.sumA == 255L * w * h, variant)
     }
+    // every predictor mode round-trips, including the TR modes whose
+    // right-edge rule wraps to the current row's first pixel
+    for (mode <- 0 to 13) {
+      val bytes = Webp.buildLosslessWebp(w, h, formulaPx(mode + 40),
+        s"predictor:$mode")
+      val s = Webp.parseWebp(bytes).getOrElse(fail(s"mode $mode: no parse"))
+      val (er, eg, eb) = expectedSums(w, h, formulaPx(mode + 40))
+      assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)), s"mode $mode")
+    }
     // palette: 19 distinct colors, first row covers every index
     def palPx(x: Int, y: Int): (Int, Int, Int) = {
       val idx = if (y == 0) x % 19 else (x * 7 + y * 3 + 5) % 19
@@ -223,6 +232,25 @@ class WebpSpec extends SparkSpec {
       Webp.parseWebpFrames(mut)
     }
     (1 until bytes.length by 7).foreach(n => Webp.parseWebpFrames(bytes.take(n)))
+  }
+
+  test("a VP8X-wrapped STILL lossless image decodes through the " +
+       "chunk walk") {
+    val plain = Webp.buildLosslessWebp(6, 4, formulaPx(8), "plain")
+    val vp8lChunk = java.util.Arrays.copyOfRange(plain, 12, plain.length)
+    val bos = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit =
+      (0 until 4).foreach(k => bos.write((v >> (8 * k)) & 0xff))
+    val vp8x = Array[Byte](0, 0, 0, 0, 5, 0, 0, 3, 0, 0) // canvas 6×4
+    bos.write("RIFF".getBytes)
+    w32(4 + 8 + vp8x.length + vp8lChunk.length)
+    bos.write("WEBP".getBytes)
+    bos.write("VP8X".getBytes); w32(vp8x.length); bos.write(vp8x)
+    bos.write(vp8lChunk)
+    val s = Webp.parseWebp(bos.toByteArray).getOrElse(fail("no parse"))
+    val (er, eg, eb) = expectedSums(6, 4, formulaPx(8))
+    assert((s.width, s.height, s.sumR, s.sumG, s.sumB) ==
+      ((6, 4, er, eg, eb)))
   }
 
   test("lossy VP8 parses dimensions only") {
