@@ -154,6 +154,54 @@ class WebpSpec extends SparkSpec {
       ((7L * 8, 50L * 8, 9L * 8, 255L * 8)))
   }
 
+  test("hand fixture: a LINEAR distance code (> 120) copies from " +
+       "dist = code - 120") {
+    // 5×1: literal, then a 4-pixel copy at distance 4 wrapping the
+    // single literal... no — length 4 copy from dist 4 needs 4 prior
+    // pixels; use 4 literals then ONE copy of the first pixel:
+    // distCode 124 -> dist 4. distSym 13 (offset 96, 5 extra bits,
+    // value 27 -> 96 + 27 + 1 = 124).
+    // green lengths {60:2, 61:2, 256:1} (kraft 1/4+1/4+1/2 = 1) via
+    // cl symbols {1:2, 2:2, 18:1}; order idx: 17@0, 18@1, 0@2, 1@3,
+    // 2@4 -> numCodeLengths = 5
+    val hb2 = new HandBits
+    hb2.i(0x2f, 8).i(4, 14).i(0, 14).b(0).i(0, 3)
+    hb2.b(0); hb2.b(0); hb2.b(0)
+    hb2.b(0).i(1, 4) // numCodeLengths = 5
+    hb2.i(0, 3) // cl[17] = 0
+    hb2.i(1, 3) // cl[18] = 1
+    hb2.i(0, 3) // cl[0]  = 0
+    hb2.i(2, 3) // cl[1]  = 2
+    hb2.i(2, 3) // cl[2]  = 2   -> canonical: 18->0, 1->10, 2->11
+    hb2.b(0) // no max_symbol
+    // lengths over 280 symbols: 60 zeros, 2 at 60, 2 at 61,
+    // 194 zeros (62..255), 1 at 256, 23 zeros (257..279)
+    hb2.c(0, 1).i(60 - 11, 7)  // 18: 60 zeros
+    hb2.c(3, 2)                // 2 -> length 2 at sym 60
+    hb2.c(3, 2)                // 2 -> length 2 at sym 61
+    hb2.c(0, 1).i(138 - 11, 7) // 18: 138 zeros
+    hb2.c(0, 1).i(56 - 11, 7)  // 18: 56 zeros (194 total)
+    hb2.c(2, 2)                // 1 -> length 1 at sym 256
+    hb2.c(0, 1).i(23 - 11, 7)  // 18: trailing 23 zeros
+    // canonical green codes: len1 {256} -> 0; len2 {60, 61} -> 10, 11
+    // red simple-1(3); blue simple-1(4); alpha simple-1(255)
+    hb2.b(1).b(0).b(1).i(3, 8)
+    hb2.b(1).b(0).b(1).i(4, 8)
+    hb2.b(1).b(0).b(1).i(255, 8)
+    // distance: simple-1(13); its 5 extra bits follow each use
+    hb2.b(1).b(0).b(1).i(13, 8)
+    // data: literals g=60,61,60,61 then length sym 256
+    // (lz77Value(0) = 1) + distance extra bits 27 -> dist 124-120=4
+    hb2.c(2, 2).c(3, 2).c(2, 2).c(3, 2)
+    hb2.c(0, 1) // length symbol 256 -> length 1
+    hb2.i(27, 5) // distance extra bits
+    val s = Webp.parseWebp(hb2.riff).getOrElse(fail("no parse"))
+    assert((s.width, s.height, s.nPixels) == ((5, 1, 5L)))
+    // pixels: 60, 61, 60, 61, then a copy of pixel 0 (green 60)
+    assert(s.sumG == 60L * 3 + 61L * 2)
+    assert((s.sumR, s.sumB) == ((3L * 5, 4L * 5)))
+  }
+
   test("hand fixture: color cache hits reproduce the cached pixel, " +
        "with 0/17/18 zero-run coding") {
     // 2×2: one literal (a=255, r=7, g=100, b=9), three cache hits.
