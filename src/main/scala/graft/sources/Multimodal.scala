@@ -3896,7 +3896,11 @@ object Multimodal {
               .getOrElse(Set.empty[String])
             val fmt =
               if (names.contains("word/document.xml")) "docx"
+              else if (names.exists(_.startsWith("ppt/slides/"))) "pptx"
+              else if (names.contains("xl/workbook.xml")) "xlsx"
               else if (names.contains("META-INF/container.xml")) "epub"
+              else if (names.contains("content.xml") &&
+                names.contains("META-INF/manifest.xml")) "odt"
               else "zip"
             MediaInspectRow(id, Some(fmt), None, None, None, None, None,
               None, None, None, None, None)
