@@ -6316,6 +6316,37 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q310 — WebP members through the archive door: q269's
+    // composition with VP8L payloads — ZIP members extract and
+    // decode through the SAME inspectMedia sniff the BMP members
+    // use, with the encoding variant alternating by member (plain /
+    // subtract-green), so the archive tier and the new decoder
+    // compose without a dedicated path. The oracle replays the pixel
+    // formulas; nothing about the container routing may move.
+    "q310_archive_webp" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
+        else (id, zipFixture((0 until 2).map { k =>
+          (s"img$k.webp", graft.sources.Webp.buildLosslessWebp(10, 8,
+            (x, y) => (
+              ((id * 7 + k * 31 + x * 13 + y * 29) % 256).toInt,
+              ((id * 5 + k * 17 + x * 3 + y * 11) % 256).toInt,
+              ((id * 3 + k * 7 + x + y * 7) % 256).toInt),
+            if (k == 0) "plain" else "subgreen"))
+        }))
+      }.toDF("doc_id", "arc")
+      val members = graft.sources.Archives.extractZipEntries(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "arc", "archive"))
+      val inner = members.select(
+        (col("media_id") * 10 + col("entry_idx")).as("mid"), col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(inner, "mid", "payload", "image"))
+        .select(col("media_id"), col("format"), col("width"), col("height"),
+          col("n_pixels"), col("sum_r"), col("sum_g"), col("sum_b"))
+        .orderBy("media_id")
+    }),
+
     // Q309 — animated WebP frames ([[graft.sources.Webp
     // .describeWebpFrames]]): the VP8X(ANIM) → ANMF chunk walk with
     // every frame's VP8L payload FULLY decoded — the animated-sticker
@@ -11475,6 +11506,21 @@ object SparkEntry {
         |       ELSE CAST(length(u.text) AS BIGINT) END AS n_chars,
         |  CASE WHEN d.doc_id % 50 = 0 THEN NULL ELSE u.text END AS text
         |FROM documents d JOIN u ON u.doc_id = d.doc_id
+        |ORDER BY media_id""".stripMargin,
+
+    // q269's sums formula with the webp format name — the container
+    // extraction and the VP8L decode must compose exactly.
+    "q310_archive_webp" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m AS (SELECT doc_id, k FROM ids, generate_series(0, 1) t(k))
+        |SELECT doc_id * 10 + k AS media_id, 'webp' AS format,
+        |  CAST(10 AS INTEGER) AS width, CAST(8 AS INTEGER) AS height,
+        |  CAST(80 AS BIGINT) AS n_pixels,
+        |  CAST(SUM((doc_id * 7 + k * 31 + x * 13 + y * 29) % 256) AS BIGINT) AS sum_r,
+        |  CAST(SUM((doc_id * 5 + k * 17 + x * 3 + y * 11) % 256) AS BIGINT) AS sum_g,
+        |  CAST(SUM((doc_id * 3 + k * 7 + x + y * 7) % 256) AS BIGINT) AS sum_b
+        |FROM m, generate_series(0, 9) a(x), generate_series(0, 7) b(y)
+        |GROUP BY doc_id, k
         |ORDER BY media_id""".stripMargin,
 
     // Per-frame geometry, duration, and channel sums replayed from
