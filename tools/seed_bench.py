@@ -38,9 +38,20 @@ def main() -> None:
                 if r.get("conc_probe", {}).get(k, -1) > 0]
         if vals:
             gate_conc[k] = round(min(vals), 3)
+    # cpu_sec is the gate's CPU-corroboration reference (prevCpu):
+    # median it too — a single low-CPU draw as the reference makes
+    # CPU-noisy entries (JIT/GC-dependent shuffles like terasort)
+    # "CPU-confirm" pure wall noise
+    cpu_sec = {}
+    for k in last.get("cpu_sec", {}):
+        vals = [r["cpu_sec"][k] for r in runs
+                if r.get("cpu_sec", {}).get(k, -1) > 0]
+        if vals:
+            cpu_sec[k] = round(statistics.median(vals), 3)
     out = dict(last)
     out["gate_wall"] = gate_wall
     out["gate_conc"] = gate_conc
+    out["cpu_sec"] = cpu_sec
     out["gate_seed"] = {"policy": "median-of-%d" % len(runs),
                         "runs": run_paths}
     with open(out_path, "w") as f:
