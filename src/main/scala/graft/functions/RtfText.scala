@@ -78,11 +78,17 @@ object RtfToText {
     var pendingUnicodeSkip = 0
     def uc: Int = ucStack.last
     def emitting: Boolean = depth < skipFrom
+    // literal text (and \'hh bytes): these are the \uN fallback
+    // characters the spec says to skip
     def emit(c: Char): Unit =
       if (emitting) {
         if (pendingUnicodeSkip > 0) pendingUnicodeSkip -= 1
         else sb.append(c)
       }
+    // control-word-generated output (\par, \tab, \emdash…): never a
+    // \uN fallback, so it must not consume the skip counter
+    def emitSym(c: Char): Unit =
+      if (emitting) sb.append(c)
     def emitStr(t: String): Unit = t.foreach(emit)
     var i = 0
     while (i < s.length) {
@@ -95,6 +101,8 @@ object RtfToText {
         if (depth > 0) depth -= 1
         if (ucStack.length > 1) ucStack.remove(ucStack.length - 1)
         if (depth < skipFrom) skipFrom = Int.MaxValue
+        // a \uN fallback cannot cross its group's closing brace
+        pendingUnicodeSkip = 0
         i += 1
       } else if (c == '\\') {
         if (i + 1 >= s.length) { i += 1 }
@@ -118,15 +126,15 @@ object RtfToText {
             // not text
             if (k < s.length && s.charAt(k) == ' ') k += 1
             word match {
-              case "par" | "line" | "sect" | "page" => emit('\n')
-              case "tab" | "cell" => emit('\t')
-              case "emdash" => emit('—')
-              case "endash" => emit('–')
-              case "bullet" => emit('•')
-              case "lquote" => emit('‘')
-              case "rquote" => emit('’')
-              case "ldblquote" => emit('“')
-              case "rdblquote" => emit('”')
+              case "par" | "line" | "sect" | "page" => emitSym('\n')
+              case "tab" | "cell" => emitSym('\t')
+              case "emdash" => emitSym('—')
+              case "endash" => emitSym('–')
+              case "bullet" => emitSym('•')
+              case "lquote" => emitSym('‘')
+              case "rquote" => emitSym('’')
+              case "ldblquote" => emitSym('“')
+              case "rdblquote" => emitSym('”')
               case "uc" =>
                 if (hasNum && ucStack.nonEmpty)
                   ucStack(ucStack.length - 1) = math.max(0,
@@ -161,9 +169,9 @@ object RtfToText {
           } else if (n == '\\' || n == '{' || n == '}') {
             emit(n); i += 2
           } else if (n == '~') {
-            emit(' '); i += 2
+            emitSym(' '); i += 2
           } else if (n == '\n' || n == '\r') {
-            emit('\n'); i += 2 // \<newline> is \par per spec
+            emitSym('\n'); i += 2 // \<newline> is \par per spec
           } else {
             i += 2 // other control symbols drop
           }

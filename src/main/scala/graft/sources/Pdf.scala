@@ -916,7 +916,7 @@ object Pdf {
     * [dst dst …]) with one explicit dst per code. Bounded: at most
     * 2^16 mappings, ranges clamped to 2^16 codes; hostile input can
     * only produce fewer mappings, never a throw that escapes. */
-  private def parseToUnicodeCMap(bytes: Array[Byte]): java.util.HashMap[Int, String] = {
+  private[sources] def parseToUnicodeCMap(bytes: Array[Byte]): java.util.HashMap[Int, String] = {
     val out = new java.util.HashMap[Int, String]()
     val lx = new Lexer(bytes, 0)
     val stack = scala.collection.mutable.ArrayBuffer.empty[PObj]
@@ -962,12 +962,21 @@ object Pdf {
                   case d: PStr =>
                     val base = dstText(d)
                     if (base.nonEmpty) {
+                      // spec: a bfrange may not overflow its last unit —
+                      // stop before wrapping past 0xFFFF or walking into
+                      // the surrogate block (hostile/oversized ranges)
                       var code = l
-                      while (code <= h) {
+                      var ok = true
+                      while (ok && code <= h) {
                         val off = code - l
-                        val lastUnit = (base.last + off).toChar
-                        put(code, base.substring(0, base.length - 1) + lastUnit)
-                        code += 1
+                        val unit = base.last + off
+                        if (unit > 0xffff ||
+                            (unit >= 0xd800 && unit <= 0xdfff)) ok = false
+                        else {
+                          put(code,
+                            base.substring(0, base.length - 1) + unit.toChar)
+                          code += 1
+                        }
                       }
                     }
                   case PArr(items) =>

@@ -36,6 +36,23 @@ class RtfTextSpec extends SparkSpec {
     assert(c("{\\rtf1 \\u-10179?x}") == "x")
   }
 
+  test("\\uN fallback skip is group-scoped and only consumes literal " +
+       "text, never control-word output") {
+    // a \uN at the end of a group: the pending skip dies at the
+    // closing brace — the char after the group is real text
+    assert(c("{\\rtf1 {\\u228}x}") == "äx")
+    assert(c("{\\rtf1 {\\uc2 \\u1055}xy}") == "Пxy")
+    // fallback inside the group still skips; text after it emits
+    assert(c("{\\rtf1 {\\u228 f}x}") == "äx")
+    // \par's synthetic newline is NOT a fallback char: the skip
+    // survives it and consumes the next literal instead
+    assert(c("{\\rtf1 \\u228\\par xy}") == "ä\ny")
+    // \tab and \emdash likewise pass through un-consumed
+    assert(c("{\\rtf1 a\\u228\\tab xy}") == "aä\ty")
+    // \'hh IS a fallback character (the spec's canonical form)
+    assert(c("{\\rtf1 \\u228\\'61x}") == "äx")
+  }
+
   test("destination groups drop: fonttbl, colortbl, info, pict, " +
        "starred, field instruction leg") {
     val rtf = "{\\rtf1{\\fonttbl{\\f0 Times;}}{\\colortbl;\\red0;}" +

@@ -197,6 +197,25 @@ class PdfSpec extends SparkSpec {
     assert(r.get.text == "ΑΒΓfi\nXYz")
   }
 
+  test("hostile bfrange: the last destination unit never wraps past " +
+       "0xFFFF or walks into the surrogate block") {
+    def cmap(body: String): java.util.HashMap[Int, String] =
+      Pdf.parseToUnicodeCMap(
+        (s"1 begincodespacerange\n<0000> <FFFF>\nendcodespacerange\n" +
+          body).getBytes("ISO-8859-1"))
+    // dst base <FFFE> over 256 codes: only the first two units exist
+    val wrap = cmap("1 beginbfrange\n<0000> <00FF> <FFFE>\nendbfrange\n")
+    assert(wrap.get(0) == "\ufffe" && wrap.get(1) == "\uffff")
+    assert(wrap.get(2) == null && wrap.get(0xff) == null)
+    // dst base <D7FE>: stops before U+D800 (never a lone surrogate)
+    val sur = cmap("1 beginbfrange\n<0010> <0020> <D7FE>\nendbfrange\n")
+    assert(sur.get(0x10) == "\ud7fe" && sur.get(0x11) == "\ud7ff")
+    assert(sur.get(0x12) == null && sur.get(0x20) == null)
+    // a well-formed range is untouched by the clamp
+    val ok = cmap("1 beginbfrange\n<0041> <0043> <0391>\nendbfrange\n")
+    assert(ok.get(0x41) == "Α" && ok.get(0x43) == "Γ")
+  }
+
   test("a Type0 font with NO /ToUnicode decodes via Identity (never " +
        "throws, never mojibakes low codes)") {
     val c1 = "BT /F1 12 Tf 50 700 Td <00680069> Tj ET"

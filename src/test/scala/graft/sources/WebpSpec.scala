@@ -253,6 +253,43 @@ class WebpSpec extends SparkSpec {
     assert((s.sumR, s.sumG, s.sumB) == ((7L * 4, 100L * 4, 9L * 4)))
   }
 
+  test("hand fixture: Select (mode 11) tie returns T, not L " +
+       "(RFC 9649 §4.2.2 — pL < pT picks L, a tie picks T)") {
+    // 2×2 with a whole-image PREDICTOR transform, mode 11. At (1,1):
+    // L green 0, T green 2, TL green 1 → pred 1, pL = pT = 1 (tie).
+    // Residual green 1 stored → decoded G(1,1) = T.g + 1 = 3 when the
+    // tie returns T; the inverted (≤) form returns L → G = 1. The
+    // writer round-trip cannot pin this: it predicts with the same
+    // function it decodes with.
+    val hb = new HandBits
+    hb.i(0x2f, 8).i(1, 14).i(1, 14).b(0).i(0, 3) // 2×2
+    hb.b(1)      // a transform follows
+    hb.i(0, 2)   // PREDICTOR
+    hb.i(7, 3)   // size_bits raw 7 -> 512-px blocks -> 1×1 subimage
+    // subimage (no meta read for non-main): mode pixel green = 11
+    hb.b(0)                    // no color cache
+    hb.b(1).b(0).b(1).i(11, 8) // green simple-1(11)
+    hb.b(1).b(0).b(1).i(0, 8)  // red simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // blue simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // alpha simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // distance simple-1(0)
+    hb.b(0)      // no more transforms
+    // main image: residuals A=R=B=0; greens 1, 1, 255, 1
+    hb.b(0)      // no color cache
+    hb.b(0)      // no meta
+    hb.b(1).b(1).b(1).i(1, 8).i(255, 8) // green simple-2 {1, 255}
+    hb.b(1).b(0).b(1).i(0, 8)  // red simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // blue simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // alpha simple-1(0)
+    hb.b(1).b(0).b(1).i(0, 8)  // distance simple-1(0)
+    hb.c(0, 1).c(0, 1).c(1, 1).c(0, 1)
+    val s = Webp.parseWebp(hb.riff).getOrElse(fail("no parse"))
+    assert((s.width, s.height) == ((2, 2)))
+    // decoded greens: (0,0)=1, (1,0)=2, (0,1)=0, (1,1)=T.g+1=3
+    assert(s.sumG == 6L, "Select tie must return T (sumG 6), not L (4)")
+    assert((s.sumR, s.sumB, s.sumA) == ((0L, 0L, 255L * 4)))
+  }
+
   test("animated WebP: VP8X/ANIM/ANMF walk, every frame fully decoded") {
     val frames = Seq(
       (8, 5, 0, formulaPx(10) _),
