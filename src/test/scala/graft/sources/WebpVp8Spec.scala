@@ -1,0 +1,75 @@
+package graft.sources
+
+/** Differential pins for the VP8 (lossy WebP) keyframe decoder:
+  * every fixture under src/test/resources/vp8 was produced by the
+  * system reference encoder (libwebp, filter_strength = 0 so the
+  * unapplied in-loop filter is a no-op) and decoded by the reference
+  * decoder; [[Vp8.decode]] must reproduce the exact Y/U/V planes
+  * (CRC32 over y ++ u ++ v, plus per-plane sums). The fixture set
+  * covers flat / formula / random / gradient content, qualities
+  * 20-95, odd dimensions, 4 segments, 4 token partitions,
+  * sns_strength 0, and method 0 (i4x4-heavy) — exercising every
+  * intra predictor, token category, segment quantizer, and partition
+  * interleave. Regenerate with tools/gen_vp8_fixtures.py. */
+class WebpVp8Spec extends graft.SparkSpec {
+
+  private def resource(name: String): Array[Byte] = {
+    val in = getClass.getResourceAsStream(s"/vp8/$name")
+    require(in != null, s"missing resource $name")
+    try in.readAllBytes() finally in.close()
+  }
+
+  private case class Fx(name: String, width: Int, height: Int,
+                        ySum: Long, uSum: Long, vSum: Long, crc: Long)
+
+  private def manifest: Seq[Fx] = {
+    val txt = new String(resource("manifest.json"), "UTF-8")
+    // tiny flat-JSON pull: the manifest is a list of flat objects
+    val obj = "\\{[^}]*\\}".r
+    obj.findAllIn(txt).map { o =>
+      def s(k: String) =
+        s""""$k":\\s*"([^"]*)"""".r.findFirstMatchIn(o).get.group(1)
+      def n(k: String) =
+        s""""$k":\\s*(\\d+)""".r.findFirstMatchIn(o).get.group(1).toLong
+      Fx(s("name"), n("width").toInt, n("height").toInt,
+        n("y_sum"), n("u_sum"), n("v_sum"), n("crc32"))
+    }.toSeq
+  }
+
+  test("reference-encoded VP8 streams decode to the reference " +
+       "decoder's exact YUV planes (sums + CRC32)") {
+    val fxs = manifest
+    assert(fxs.size >= 12)
+    fxs.foreach { fx =>
+      val bytes = resource(fx.name + ".webp")
+      // container: RIFF WEBP 'VP8 ' chunk at 12
+      assert(new String(bytes.slice(12, 16), "ISO-8859-1") == "VP8 ", fx.name)
+      val end = 20 + ((bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
+        ((bytes(18) & 0xff) << 16))
+      val f = Vp8.decode(bytes, 20, math.min(end, bytes.length))
+        .getOrElse(fail(s"${fx.name}: decode failed"))
+      assert((f.width, f.height) == ((fx.width, fx.height)), fx.name)
+      def sum(a: Array[Byte]): Long = { var s = 0L; a.foreach(b => s += b & 0xff); s }
+      assert(sum(f.y) == fx.ySum, s"${fx.name}: y sum")
+      assert(sum(f.u) == fx.uSum, s"${fx.name}: u sum")
+      assert(sum(f.v) == fx.vSum, s"${fx.name}: v sum")
+      val crc = new java.util.zip.CRC32()
+      crc.update(f.y); crc.update(f.u); crc.update(f.v)
+      assert(crc.getValue == fx.crc, s"${fx.name}: plane crc")
+    }
+  }
+
+  test("hostile VP8 payloads never throw: truncations and bit flips") {
+    val bytes = resource("random_64x48_q85.webp")
+    (1 until bytes.length by 3).foreach { n =>
+      Vp8.decode(bytes.take(n), 20, n)
+    }
+    val rnd = new scala.util.Random(97)
+    (1 to 300).foreach { k =>
+      val mut = bytes.clone()
+      (0 to k % 4).foreach(_ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+      Vp8.decode(mut, 20, mut.length)
+    }
+  }
+}
