@@ -389,7 +389,11 @@ object Bench {
       // round-15 session 2: the WebP decode kernel (all four VP8L
       // variants per id class — tracks the newest byte-kernel like
       // q250/q285 did at their introduction)
-      "q307_webp_decode")
+      "q307_webp_decode",
+      // round-16: the lossy VP8 keyframe decoder (bool-coded tokens +
+      // intra prediction + IDCT + loop filter — the heaviest
+      // per-byte decode kernel in the media tier)
+      "q311_webp_lossy")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

@@ -6420,6 +6420,44 @@ object SparkEntry {
     // WebpSpec's independent hand-assembled bitstreams (no JDK
     // differential exists — ImageIO cannot read WebP; the ICO
     // precedent). Map-only flatMap kernel; pixels never shuffle.
+    // Q311 — LOSSY WebP (VP8 keyframe) pixel decode
+    // ([[graft.sources.Vp8]] via [[graft.sources.Webp
+    // .describeWebpLossy]]): the dominant still-WebP form on the real
+    // web, previously dimensions-only. The full RFC 6386 keyframe
+    // path (bool coder, mode trees, token decode, dequant, IWHT/IDCT,
+    // all intra predictors, in-loop filter) is pinned bit-exactly
+    // against the system reference codec in WebpVp8Spec; THIS row
+    // replays the deterministic MB-flat writer whose DC-only
+    // residuals quantize exactly, across all five intra-mode
+    // variants, so DuckDB can state the decoded plane sums. Stats in
+    // the bitstream's own YUV space (no conversion in the contract).
+    // flatMap byte kernel; pixels never shuffle.
+    "q311_webp_lossy" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
+        else {
+          val mw = (2 + id % 3).toInt
+          val mh = (1 + id % 2).toInt
+          val variant = (id % 5) match {
+            case 0 => "dc"
+            case 1 => "v"
+            case 2 => "h"
+            case 3 => "tm"
+            case _ => "bpred"
+          }
+          def yuv(mx: Int, my: Int) = (
+            ((id * 7 + mx * 31 + my * 17) % 256).toInt,
+            ((id * 5 + mx * 11 + my * 23) % 256).toInt,
+            ((id * 3 + mx * 13 + my * 29) % 256).toInt)
+          (id, graft.sources.Webp.buildLossyWebp(mw, mh, yuv, variant))
+        }
+      }.toDF("doc_id", "webp")
+      graft.sources.Webp.describeWebpLossy(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .orderBy("media_id")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -6468,6 +6506,42 @@ object SparkEntry {
           regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
         .select("media_id", "record_idx", "url", "carrier", "text")
         .orderBy("media_id", "record_idx")
+    }),
+
+    // Q312 — legacy binary Word (.doc, OLE2/CFB) → text
+    // ([[graft.sources.Ole2]] routed by [[graft.sources.Warc
+    // .warcDocText]]): the pre-2007 office carrier — a large share of
+    // old crawls and e-mail attachments — previously dropped by the
+    // router. The fixture exercises the real machinery end to end:
+    // a v3 compound file whose 1Table stream rides the MINI stream
+    // (miniFAT path), a piece table with MIXED cp1252/UTF-16 pieces
+    // at non-monotonic fc offsets behind a Prc entry, a field whose
+    // instruction leg must drop, and paragraph marks. Per-record
+    // bounded walk, map-only.
+    "q312_doc_text" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val doc = graft.sources.Ole2.buildDoc(
+            Seq(s"Doc $id legacy café body.", s"Unicode — tail $id."),
+            field = Some((s"HYPERLINK \"http://x/$id\"",
+              s"shown $id")))
+          (id, rec(s"http://ex.com/$id/old.doc", "application/msword", doc))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "carrier", "text")
+        .orderBy("media_id")
     }),
 
     // Q305 — RTF → text ([[graft.functions.RtfToText]] routed by
@@ -11586,6 +11660,34 @@ object SparkEntry {
     // The pixel formulas replayed through the real VP8L containers:
     // whatever the id class's transform chain, decoded pixels must
     // equal the formula — channel sums pin every inverse transform.
+    // The MB-flat targets replayed arithmetically: every MB
+    // contributes 256 luma and 64 chroma pixels of its constant.
+    "q311_webp_lossy" ->
+      """WITH d AS (SELECT doc_id, CAST(2 + doc_id % 3 AS INTEGER) AS mw,
+        |             CAST(1 + doc_id % 2 AS INTEGER) AS mh FROM documents),
+        |mb AS (SELECT doc_id, mw, mh,
+        |         (doc_id*7 + mx*31 + my*17) % 256 AS ty,
+        |         (doc_id*5 + mx*11 + my*23) % 256 AS tu,
+        |         (doc_id*3 + mx*13 + my*29) % 256 AS tv
+        |       FROM d, generate_series(0, 3) gx(mx),
+        |            generate_series(0, 1) gy(my)
+        |       WHERE mx < mw AND my < mh),
+        |s AS (SELECT doc_id, mw, mh,
+        |        CAST(SUM(ty) * 256 AS BIGINT) AS ys,
+        |        CAST(SUM(tu) * 64 AS BIGINT) AS us,
+        |        CAST(SUM(tv) * 64 AS BIGINT) AS vs
+        |      FROM mb GROUP BY doc_id, mw, mh)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE mw * 16 END AS width,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE mh * 16 END AS height,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(mw * 16 AS BIGINT) * (mh * 16) END AS n_pixels,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE ys END AS y_sum,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE us END AS u_sum,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE vs END AS v_sum
+        |FROM s
+        |ORDER BY media_id""".stripMargin,
+
     "q307_webp_decode" ->
       """WITH d AS (SELECT doc_id, CAST(19 + doc_id % 4 AS INTEGER) AS w,
         |             CAST(9 + doc_id % 5 AS INTEGER) AS h FROM documents),
@@ -11633,6 +11735,19 @@ object SparkEntry {
         |  'pdf doc ' || doc_id || chr(10) || 'second line ' || doc_id AS text
         |FROM ids
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // The .doc text stated: paragraph marks break lines, the field
+    // instruction leg is gone, the result leg shows.
+    "q312_doc_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'doc' AS carrier,
+        |  'Doc ' || doc_id || ' legacy caf' || chr(233) || ' body.' ||
+        |    chr(10) ||
+        |  'Unicode ' || chr(8212) || ' tail ' || doc_id || '.' ||
+        |    chr(10) || 'shown ' || doc_id AS text
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
 
     // The cleaned RTF stated line by line: destinations and
     // formatting words gone, escapes unescaped, delimiter-space rule

@@ -3866,11 +3866,11 @@ object Multimodal {
                 None, Some(s.sampleRate), Some(s.nFrames), Some(s.peakRaw),
                 Some(s.sumSq)))
           else if (Webp.looksLikeWebp(p))
-            // lossless decodes to pixels; lossy yields dims only
-            // (sums None — the video-codec intra frame is the same
-            // declared non-goal boundary as the video tier)
+            // both forms decode to pixels: VP8L losslessly, VP8
+            // through the full keyframe decoder (non-keyframe or
+            // corrupt VP8 payloads degrade to header geometry)
             Webp.parseWebp(p).fold(none(id))(s =>
-              if (s.variant == "lossless")
+              if (s.nPixels > 0)
                 img(id, "webp", s.width, s.height, s.nPixels,
                   s.sumR, s.sumG, s.sumB)
               else MediaInspectRow(id, Some("webp"), Some(s.width),

@@ -1035,4 +1035,301 @@ private[sources] object Vp8 {
   def decode(bytes: Array[Byte], off: Int, end: Int): Option[Frame] =
     try Some(decodeFrame(bytes, off, end))
     catch { case _: Throwable => None }
+
+  // ---------------------------------------------------------------
+  // Deterministic lossy writer (fixture + oracle synthesis)
+  // ---------------------------------------------------------------
+
+  /** Builds a RIFF-wrapped VP8 keyframe whose image is MB-flat:
+    * `yuv(mbx, mby)` gives each 16x16 macroblock's constant (Y, U, V).
+    * Residuals are DC-only at quantizer index 4 (y1dc = 8, y2dc = 16,
+    * uvdc = 8), where every needed step divides exactly — so
+    * decode(build(f)) == f bit-exactly and a SQL oracle can replay
+    * the formula. Variants pick the intra mode used by EVERY MB:
+    * "dc" | "v" | "h" | "tm" (16x16 + matching chroma mode) or
+    * "bpred" (all-B_DC 4x4, exercising the no-Y2 token type and the
+    * keyframe bmode coding). The writer mirrors the decoder's
+    * context/prediction bookkeeping but shares no decode-side state.
+    */
+  def buildLossyWebp(mbW: Int, mbH: Int,
+                     yuv: (Int, Int) => (Int, Int, Int),
+                     variant: String): Array[Byte] = {
+    require(mbW >= 1 && mbH >= 1 && mbW * mbH <= (1 << 12), "fixture size")
+    val w = mbW * 16
+    val h = mbH * 16
+    val mode = variant match {
+      case "dc" => 0
+      case "v" => 1
+      case "h" => 2
+      case "tm" => 3
+      case "bpred" => BPred
+      case other => throw new IllegalArgumentException(other)
+    }
+    val probs = Vp8Tables.CoeffProbs
+    def p(tpe: Int, band: Int, ctx: Int, node: Int): Int =
+      probs(tpe * 264 + band * 33 + ctx * 11 + node) & 0xff
+
+    // magnitude layout shared with the decoder's token tree
+    def emitMagnitude(e: BoolEnc, tpe: Int, band: Int, ctx: Int,
+                      v: Int): Unit = {
+      def pp(node: Int) = p(tpe, band, ctx, node)
+      if (v == 1) e.bit(pp(2), 0)
+      else {
+        e.bit(pp(2), 1)
+        if (v <= 4) {
+          e.bit(pp(3), 0)
+          if (v == 2) e.bit(pp(4), 0)
+          else { e.bit(pp(4), 1); e.bit(pp(5), v - 3) }
+        } else if (v <= 10) {
+          e.bit(pp(3), 1); e.bit(pp(6), 0)
+          if (v <= 6) { e.bit(pp(7), 0); e.bit(159, v - 5) }
+          else { e.bit(pp(7), 1)
+            e.bit(165, (v - 7) >> 1); e.bit(145, (v - 7) & 1) }
+        } else {
+          e.bit(pp(3), 1); e.bit(pp(6), 1)
+          val cat = if (v <= 18) 0 else if (v <= 34) 1
+                    else if (v <= 66) 2 else 3
+          require(v <= 66 + 2048, s"magnitude $v")
+          e.bit(pp(8), cat >> 1)
+          e.bit(pp(9 + (cat >> 1)), cat & 1)
+          val tab = kCat(cat)
+          val rem = v - (3 + (8 << cat))
+          var k = 0
+          while (k < tab.length) {
+            e.bit(tab(k), (rem >> (tab.length - 1 - k)) & 1)
+            k += 1
+          }
+        }
+      }
+    }
+
+    /** one DC-only block: token at `first`, EOB after. Returns nz. */
+    def emitBlock(e: BoolEnc, tpe: Int, ctx: Int, first: Int,
+                  level: Int): Boolean = {
+      val b0 = kBands(first)
+      if (level == 0) { e.bit(p(tpe, b0, ctx, 0), 0); false }
+      else {
+        e.bit(p(tpe, b0, ctx, 0), 1) // not EOB
+        e.bit(p(tpe, b0, ctx, 1), 1) // not zero
+        val v = math.abs(level)
+        emitMagnitude(e, tpe, b0, ctx, v)
+        e.bit(128, if (level < 0) 1 else 0)
+        val nctx = if (v > 1) 2 else 1
+        e.bit(p(tpe, kBands(first + 1), nctx, 0), 0) // EOB
+        true
+      }
+    }
+
+    def clamp8(v: Int): Int = if (v < 0) 0 else if (v > 255) 255 else v
+    // MB-flat predictions with the decoder's virtual borders
+    def predFlat(m: Int, a: Int, l: Int, tl: Int,
+                 hasA: Boolean, hasL: Boolean): Int = m match {
+      case 0 =>
+        if (hasA && hasL) (a + l + 1) >> 1
+        else if (hasA) a else if (hasL) l else 128
+      case 1 => if (hasA) a else 127
+      case 2 => if (hasL) l else 129
+      case _ =>
+        val aa = if (hasA) a else 127
+        val ll = if (hasL) l else 129
+        val tt = if (!hasA) 127 else if (!hasL) 129 else tl
+        clamp8(ll + aa - tt)
+    }
+
+    val skipProb = 128
+    val head = new BoolEnc // part0: header + modes + skip flags
+    val tok = new BoolEnc // the single token partition
+
+    // frame header (§9), all features off, quantizer index 4
+    head.bit(128, 0) // color space
+    head.bit(128, 0) // clamping
+    head.bit(128, 0) // segmentation off
+    head.bit(128, 0) // filter type
+    head.literal(6, 0) // filter level 0
+    head.literal(3, 0) // sharpness
+    head.bit(128, 0) // lf deltas off
+    head.literal(2, 0) // one token partition
+    head.literal(7, 4) // yac qindex = 4
+    (0 until 5).foreach(_ => head.bit(128, 0)) // no quant deltas
+    head.bit(128, 1) // refresh entropy
+    var i = 0
+    while (i < 1056) { // keep every default token probability
+      head.bit(Vp8Tables.CoeffUpdateProbs(i) & 0xff, 0)
+      i += 1
+    }
+    head.bit(128, 1) // mb_no_coeff_skip
+    head.literal(8, skipProb)
+
+    // per-MB residual levels (from targets + exact predictions), then
+    // modes+skips into part0 and tokens into the token partition —
+    // tracking the decoder's nonzero contexts
+    val aboveNzY2 = new Array[Boolean](mbW)
+    val aboveNzU = new Array[Boolean](mbW * 2)
+    val aboveNzV = new Array[Boolean](mbW * 2)
+    // Y blocks are always zero in i16 variants; in bpred their nz
+    // matters per subblock column
+    val aboveNzY = new Array[Boolean](mbW * 4)
+    val leftNzY = new Array[Boolean](4)
+    val leftNzU = new Array[Boolean](2)
+    val leftNzV = new Array[Boolean](2)
+    var leftNzY2 = false
+
+    def emitChroma(rU: Int, rV: Int, mx: Int): Unit = {
+      // the chroma plane is MB-flat, so all four 4x4 blocks of each
+      // plane carry the same DC residual
+      var pl = 0
+      while (pl < 2) {
+        val r = if (pl == 0) rU else rV
+        val aboveNzC = if (pl == 0) aboveNzU else aboveNzV
+        val leftNzC = if (pl == 0) leftNzU else leftNzV
+        var cy = 0
+        while (cy < 2) {
+          var cx = 0
+          while (cx < 2) {
+            val ctx = (if (aboveNzC(mx * 2 + cx)) 1 else 0) +
+              (if (leftNzC(cy)) 1 else 0)
+            val nz = emitBlock(tok, 2, ctx, 0, r)
+            aboveNzC(mx * 2 + cx) = nz
+            leftNzC(cy) = nz
+            cx += 1
+          }
+          cy += 1
+        }
+        pl += 1
+      }
+    }
+    def clearCtx(mx: Int, clearY2: Boolean): Unit = {
+      var k = 0
+      while (k < 4) { aboveNzY(mx * 4 + k) = false; leftNzY(k) = false; k += 1 }
+      k = 0
+      while (k < 2) {
+        aboveNzU(mx * 2 + k) = false; leftNzU(k) = false
+        aboveNzV(mx * 2 + k) = false; leftNzV(k) = false
+        k += 1
+      }
+      if (clearY2) { aboveNzY2(mx) = false; leftNzY2 = false }
+    }
+
+    var my = 0
+    while (my < mbH) {
+      leftNzY2 = false
+      java.util.Arrays.fill(leftNzY, false)
+      java.util.Arrays.fill(leftNzU, false)
+      java.util.Arrays.fill(leftNzV, false)
+      var mx = 0
+      while (mx < mbW) {
+        val (ty, tu, tv) = yuv(mx, my)
+        val hasA = my > 0
+        val hasL = mx > 0
+        val (ay, au, av) = if (hasA) yuv(mx, my - 1) else (0, 0, 0)
+        val (ly, lu, lv) = if (hasL) yuv(mx - 1, my) else (0, 0, 0)
+        val (tly, tlu, tlv) =
+          if (hasA && hasL) yuv(mx - 1, my - 1) else (0, 0, 0)
+        val cm = if (mode == BPred) 0 else mode
+        val rU = tu - predFlat(cm, au, lu, tlu, hasA, hasL)
+        val rV = tv - predFlat(cm, av, lv, tlv, hasA, hasL)
+
+        if (mode != BPred) {
+          val rY = ty - predFlat(mode, ay, ly, tly, hasA, hasL)
+          val l2 = 4 * rY
+          val allZero = l2 == 0 && rU == 0 && rV == 0
+          head.bit(skipProb, if (allZero) 1 else 0)
+          head.bit(145, 1) // not B_PRED
+          mode match {
+            case 0 => head.bit(156, 0); head.bit(163, 0)
+            case 1 => head.bit(156, 0); head.bit(163, 1)
+            case 2 => head.bit(156, 1); head.bit(128, 0)
+            case _ => head.bit(156, 1); head.bit(128, 1)
+          }
+          mode match {
+            case 0 => head.bit(142, 0)
+            case 1 => head.bit(142, 1); head.bit(114, 0)
+            case 2 => head.bit(142, 1); head.bit(114, 1); head.bit(183, 0)
+            case _ => head.bit(142, 1); head.bit(114, 1); head.bit(183, 1)
+          }
+          if (allZero) clearCtx(mx, clearY2 = true)
+          else {
+            val ctx2 = (if (aboveNzY2(mx)) 1 else 0) + (if (leftNzY2) 1 else 0)
+            val nz2 = emitBlock(tok, 1, ctx2, 0, l2)
+            aboveNzY2(mx) = nz2
+            leftNzY2 = nz2
+            // 16 all-zero Y blocks (type 0, first 1): EOB each, and
+            // their nz contexts stay false
+            var b = 0
+            while (b < 16) { emitBlock(tok, 0, 0, 1, 0); b += 1 }
+            emitChroma(rU, rV, mx)
+          }
+        } else {
+          // B_PRED: per-subblock B_DC residuals (flat targets, so
+          // each subblock's prediction is (above + left + 1) >> 1)
+          val rSub = new Array[Int](16)
+          var allZero = rU == 0 && rV == 0
+          var sb = 0
+          while (sb < 16) {
+            val bx = sb & 3
+            val by = sb >> 2
+            val a = if (by > 0) ty else if (hasA) ay else 127
+            val l = if (bx > 0) ty else if (hasL) ly else 129
+            rSub(sb) = ty - ((a + l + 1) >> 1)
+            if (rSub(sb) != 0) allZero = false
+            sb += 1
+          }
+          head.bit(skipProb, if (allZero) 1 else 0)
+          head.bit(145, 0) // B_PRED
+          // all 16 submodes are B_DC; every neighbor context is B_DC
+          // (implied by non-coded edges and by construction inside)
+          var k = 0
+          while (k < 16) { head.bit(bmP(0) & 0xff, 0); k += 1 }
+          head.bit(142, 0) // uv DC
+          if (allZero) clearCtx(mx, clearY2 = false)
+          else {
+            var by = 0
+            while (by < 4) {
+              var bx = 0
+              while (bx < 4) {
+                val ctx = (if (aboveNzY(mx * 4 + bx)) 1 else 0) +
+                  (if (leftNzY(by)) 1 else 0)
+                val nz = emitBlock(tok, 3, ctx, 0, rSub(by * 4 + bx))
+                aboveNzY(mx * 4 + bx) = nz
+                leftNzY(by) = nz
+                bx += 1
+              }
+              by += 1
+            }
+            emitChroma(rU, rV, mx)
+          }
+        }
+        mx += 1
+      }
+      my += 1
+    }
+
+    // assemble: frame tag + start code + dims, part0, token partition
+    val part0 = head.flush()
+    val tokens = tok.flush()
+    val tag = part0.length << 5 | (1 << 4) // keyframe, version 0, show
+    val vp8 = new java.io.ByteArrayOutputStream()
+    vp8.write(tag & 0xff); vp8.write((tag >> 8) & 0xff)
+    vp8.write((tag >> 16) & 0xff)
+    vp8.write(0x9d); vp8.write(0x01); vp8.write(0x2a)
+    vp8.write(w & 0xff); vp8.write((w >> 8) & 0x3f)
+    vp8.write(h & 0xff); vp8.write((h >> 8) & 0x3f)
+    vp8.write(part0, 0, part0.length)
+    vp8.write(tokens, 0, tokens.length)
+    val payload = vp8.toByteArray
+    val out = new java.io.ByteArrayOutputStream()
+    def w32(v: Int): Unit =
+      (0 until 4).foreach(k => out.write((v >> (8 * k)) & 0xff))
+    out.write("RIFF".getBytes("ISO-8859-1"))
+    w32(4 + 8 + payload.length + (payload.length & 1))
+    out.write("WEBP".getBytes("ISO-8859-1"))
+    out.write("VP8 ".getBytes("ISO-8859-1"))
+    w32(payload.length)
+    out.write(payload, 0, payload.length)
+    if ((payload.length & 1) == 1) out.write(0)
+    out.toByteArray
+  }
+
+  /** mirrors the decoder's bmode probability table for the writer */
+  private def bmP = Vp8Tables.KfBModeProbs
 }

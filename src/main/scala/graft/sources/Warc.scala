@@ -415,6 +415,9 @@ object Warc {
     } else if (ct.exists(_.startsWith(
         "application/vnd.oasis.opendocument.text"))) {
       OfficeText.odtText(r.body).map(("odt", _))
+    } else if (ct.exists(c => c.startsWith("application/msword") ||
+        c.startsWith("application/vnd.ms-word"))) {
+      Ole2.docToText(r.body).map(("doc", _))
     } else if (ct.exists(c => c.startsWith("application/rtf") ||
         c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
       val (rtf, _) = decodeHtml(r.body, r.contentType)

@@ -338,7 +338,8 @@ class WebpSpec extends SparkSpec {
       ((6, 4, er, eg, eb)))
   }
 
-  test("lossy VP8 parses dimensions only") {
+  test("a lossy VP8 header with no coded partition degrades to " +
+       "dimensions-only (full decode lives in WebpVp8Spec)") {
     val hdr = new java.io.ByteArrayOutputStream()
     hdr.write("RIFF".getBytes); hdr.write(Array[Byte](30, 0, 0, 0))
     hdr.write("WEBP".getBytes); hdr.write("VP8 ".getBytes)

@@ -59,6 +59,64 @@ class WebpVp8Spec extends graft.SparkSpec {
     }
   }
 
+  test("buildLossyWebp round-trips every variant exactly (MB-flat " +
+       "DC-only residuals at a dividing quantizer)") {
+    for (variant <- Seq("dc", "v", "h", "tm", "bpred");
+         (mw, mh) <- Seq((1, 1), (3, 2), (4, 3))) {
+      def yuv(mx: Int, my: Int) =
+        ((7 * mx * 31 + my * 17 + 11) % 256, (5 + mx * 11 + my * 23) % 256,
+          (3 + mx * 13 + my * 29) % 256)
+      val bytes = Vp8.buildLossyWebp(mw, mh, yuv, variant)
+      val end = 20 + ((bytes(16) & 0xff) | ((bytes(17) & 0xff) << 8) |
+        ((bytes(18) & 0xff) << 16))
+      val f = Vp8.decode(bytes, 20, math.min(end, bytes.length))
+        .getOrElse(fail(s"$variant-${mw}x$mh: no decode"))
+      assert((f.width, f.height) == ((mw * 16, mh * 16)))
+      var bad = 0
+      for (py <- 0 until f.height; px <- 0 until f.width)
+        if ((f.y(py * f.width + px) & 0xff) != yuv(px / 16, py / 16)._1) bad += 1
+      val cw = (f.width + 1) / 2
+      for (py <- 0 until (f.height + 1) / 2; px <- 0 until cw) {
+        if ((f.u(py * cw + px) & 0xff) != yuv(px / 8, py / 8)._2) bad += 1
+        if ((f.v(py * cw + px) & 0xff) != yuv(px / 8, py / 8)._3) bad += 1
+      }
+      assert(bad == 0, s"$variant-${mw}x$mh: $bad wrong pixels")
+    }
+  }
+
+  test("parseWebp decodes lossy stills to pixel stats; describeWebpLossy " +
+       "exposes the YUV plane sums") {
+    import spark.implicits._
+    def yuv(mx: Int, my: Int) = ((40 + mx * 9 + my * 5) % 256,
+      (100 + mx * 3) % 256, (90 + my * 7) % 256)
+    val bytes = Vp8.buildLossyWebp(3, 2, yuv, "dc")
+    val s = Webp.parseWebp(bytes).getOrElse(fail("no parse"))
+    assert(s.variant == "lossy" && s.width == 48 && s.height == 32)
+    assert(s.nPixels == 48L * 32 && s.sumA == 255L * 48 * 32)
+    // RGB sums replay the documented integer BT.601 conversion
+    def cl(v: Int) = math.max(0, math.min(255, v))
+    var er = 0L; var eg = 0L; var eb = 0L
+    for (py <- 0 until 32; px <- 0 until 48) {
+      val (y0, u0, v0) = yuv(px / 16, py / 16)
+      val c = y0 - 16; val d = u0 - 128; val e = v0 - 128
+      er += cl((298 * c + 409 * e + 128) >> 8)
+      eg += cl((298 * c - 100 * d - 208 * e + 128) >> 8)
+      eb += cl((298 * c + 516 * d + 128) >> 8)
+    }
+    assert((s.sumR, s.sumG, s.sumB) == ((er, eg, eb)))
+    // the YUV-contract frame surface
+    val rows = Webp.describeWebpLossy(
+        Multimodal.asMedia(Seq((1L, bytes), (2L, "junk".getBytes))
+          .toDF("id", "b"), "id", "b", "image"))
+      .orderBy("media_id")
+      .select("media_id", "width", "n_pixels", "y_sum")
+      .as[(Long, Option[Int], Option[Long], Option[Long])].collect().toSeq
+    var ey = 0L
+    for (py <- 0 until 32; px <- 0 until 48) ey += yuv(px / 16, py / 16)._1
+    assert(rows == Seq((1L, Some(48), Some(48L * 32), Some(ey)),
+      (2L, None, None, None)))
+  }
+
   test("hostile VP8 payloads never throw: truncations and bit flips") {
     val bytes = resource("random_64x48_q85.webp")
     (1 until bytes.length by 3).foreach { n =>
