@@ -6508,6 +6508,62 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q313 — email/MIME carrier ([[graft.sources.Mime]]): mailing
+    // lists and mail archives are a standard pretraining source. One
+    // mbox per document (postmark split), each message a REAL MIME
+    // tree: B-encoded RFC 2047 subject, multipart/alternative whose
+    // text/plain leg (quoted-printable utf-8) must win over the html
+    // leg, odd messages wrapped in multipart/mixed with a base64 PDF
+    // attachment that is COUNTED, never decoded. Map-only flatMap
+    // per mailbox; one linear pass per message.
+    "q313_mbox_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "mbox? no".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 3).toInt
+          val sb = new StringBuilder
+          (0 until n).foreach { m =>
+            val subj = "=?UTF-8?B?" + java.util.Base64.getEncoder
+              .encodeToString(s"Msg $id-$m résumé".getBytes("UTF-8")) + "?="
+            val alt =
+              s"Content-Type: multipart/alternative; boundary=alt$m\r\n" +
+              "\r\n" +
+              s"--alt$m\r\n" +
+              "Content-Type: text/plain; charset=utf-8\r\n" +
+              "Content-Transfer-Encoding: quoted-printable\r\n\r\n" +
+              s"Plain caf=C3=A9 body $id msg $m =\r\ncontinued.\r\n" +
+              s"--alt$m\r\n" +
+              "Content-Type: text/html; charset=utf-8\r\n\r\n" +
+              s"<p>html leg $id must not appear</p>\r\n" +
+              s"--alt$m--\r\n"
+            val body =
+              if (m % 2 == 1)
+                s"Content-Type: multipart/mixed; boundary=mix$m\r\n" +
+                s"\r\n--mix$m\r\n" + alt +
+                s"--mix$m\r\n" +
+                "Content-Type: application/pdf\r\n" +
+                "Content-Disposition: attachment; filename=\"a.pdf\"\r\n" +
+                "Content-Transfer-Encoding: base64\r\n\r\nJVBERi0=\r\n" +
+                s"--mix$m--\r\n"
+              else alt
+            sb.append(s"From sender$m@ex.com Thu Jan  1 00:00:0$m 2026\n")
+            sb.append(s"Subject: $subj\r\n")
+            sb.append(s"From: Sender $m <sender$m@ex.com>\r\n")
+            sb.append("MIME-Version: 1.0\r\n")
+            sb.append(body)
+            sb.append("\n")
+          }
+          (id, sb.toString.getBytes("UTF-8"))
+        }
+      }.toDF("doc_id", "mbox")
+      graft.sources.Mime.mboxDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "mbox", "mbox"))
+        .select("media_id", "msg_idx", "subject", "n_parts",
+          "n_attachments", "text")
+        .orderBy("media_id", "msg_idx")
+    }),
+
     // Q312 — legacy binary Word (.doc, OLE2/CFB) → text
     // ([[graft.sources.Ole2]] routed by [[graft.sources.Warc
     // .warcDocText]]): the pre-2007 office carrier — a large share of
@@ -11735,6 +11791,23 @@ object SparkEntry {
         |  'pdf doc ' || doc_id || chr(10) || 'second line ' || doc_id AS text
         |FROM ids
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Stated message facts: decoded 2047 subject, the alternative's
+    // plain leg with the QP soft break joined, part/attachment counts.
+    "q313_mbox_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |msgs AS (SELECT doc_id, m FROM ids, generate_series(0, 2) g(m)
+        |         WHERE m < 1 + doc_id % 3)
+        |SELECT doc_id AS media_id, CAST(m AS INTEGER) AS msg_idx,
+        |  'Msg ' || doc_id || '-' || m || ' r' || chr(233) || 'sum' ||
+        |    chr(233) AS subject,
+        |  CAST(CASE WHEN m % 2 = 1 THEN 5 ELSE 3 END AS INTEGER) AS n_parts,
+        |  CAST(CASE WHEN m % 2 = 1 THEN 1 ELSE 0 END
+        |    AS INTEGER) AS n_attachments,
+        |  'Plain caf' || chr(233) || ' body ' || doc_id || ' msg ' || m ||
+        |    ' continued.' AS text
+        |FROM msgs
+        |ORDER BY media_id, msg_idx""".stripMargin,
 
     // The .doc text stated: paragraph marks break lines, the field
     // instruction leg is gone, the result leg shows.

@@ -418,6 +418,8 @@ object Warc {
     } else if (ct.exists(c => c.startsWith("application/msword") ||
         c.startsWith("application/vnd.ms-word"))) {
       Ole2.docToText(r.body).map(("doc", _))
+    } else if (ct.exists(_.startsWith("message/rfc822"))) {
+      Mime.parseEml(r.body).filter(_.text.nonEmpty).map(d => ("eml", d.text))
     } else if (ct.exists(c => c.startsWith("application/rtf") ||
         c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
       val (rtf, _) = decodeHtml(r.body, r.contentType)
