@@ -6508,6 +6508,38 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q314 — PDF extraction-confidence ([[graft.sources.Pdf]]
+    // type0_codes / type0_unmapped): a Type0 font WITHOUT /ToUnicode
+    // decodes through the Identity fallback — exact for CID ==
+    // codepoint writers, MOJIBAKE for real subset fonts whose CIDs
+    // are glyph ids. The decode can't be fixed without font-program
+    // parsing, but the fraction is now SURFACED so curation can gate
+    // garbage text instead of ingesting it. Fixture: a simple-font
+    // doc (no composite codes), a clean Type0 doc (CMap maps every
+    // code), and a no-ToUnicode subset doc (every code unmapped);
+    // the integer gate unmapped*5 <= codes keeps the first two.
+    "q314_pdf_confidence" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "pdf? no".getBytes("UTF-8"))
+        else (id % 3) match {
+          case 0 => (id, graft.sources.Pdf.buildSimplePdf(
+            Seq(Seq(s"Simple $id page.")), flate = false))
+          case 1 => (id, graft.sources.Pdf.buildType0Pdf(
+            Seq(Seq(s"Type0 $id clean line.")), xrefStream = false))
+          case _ => (id, graft.sources.Pdf.buildType0PdfNoToUnicode(
+            Seq(Seq(s"Subset $id mojibake line."))))
+        }
+      }.toDF("doc_id", "pdf")
+      graft.sources.Pdf.describePdf(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "pdf", "doc"))
+        .withColumn("kept",
+          col("type0_unmapped") * lit(5) <= col("type0_codes"))
+        .select("media_id", "n_pages", "type0_codes", "type0_unmapped",
+          "kept", "text")
+        .orderBy("media_id")
+    }),
+
     // Q313 — email/MIME carrier ([[graft.sources.Mime]]): mailing
     // lists and mail archives are a standard pretraining source. One
     // mbox per document (postmark split), each message a REAL MIME
@@ -11791,6 +11823,30 @@ object SparkEntry {
         |  'pdf doc ' || doc_id || chr(10) || 'second line ' || doc_id AS text
         |FROM ids
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Confidence facts stated: simple docs have zero composite
+    // codes; the clean Type0 doc maps all of them; the subset doc
+    // maps none and the integer gate drops it.
+    "q314_pdf_confidence" ->
+      """WITH r AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN 'Simple ' || doc_id || ' page.'
+        |       WHEN doc_id % 3 = 1 THEN 'Type0 ' || doc_id || ' clean line.'
+        |       ELSE 'Subset ' || doc_id || ' mojibake line.' END AS text
+        |  FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN text IS NULL THEN NULL ELSE 1 END AS n_pages,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN doc_id % 3 = 0 THEN CAST(0 AS BIGINT)
+        |       ELSE CAST(LENGTH(text) AS BIGINT) END AS type0_codes,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       WHEN doc_id % 3 = 2 THEN CAST(LENGTH(text) AS BIGINT)
+        |       ELSE CAST(0 AS BIGINT) END AS type0_unmapped,
+        |  CASE WHEN text IS NULL THEN NULL
+        |       ELSE doc_id % 3 <> 2 END AS kept,
+        |  text
+        |FROM r
+        |ORDER BY media_id""".stripMargin,
 
     // Stated message facts: decoded 2047 subject, the alternative's
     // plain leg with the QP soft break joined, part/attachment counts.

@@ -891,7 +891,8 @@ object Pdf {
     * Identity heuristic (treat the code as a BMP codepoint), which is
     * exact for the common Identity-H-with-CID=codepoint writers and
     * never throws for the rest. */
-  private final class Type0Decoder(toUni: java.util.HashMap[Int, String])
+  private final class Type0Decoder(toUni: java.util.HashMap[Int, String],
+                                   tally: Array[Long])
       extends FontDecoder {
     def decode(bytes: Array[Byte]): String = {
       val sb = new StringBuilder(bytes.length / 2)
@@ -899,9 +900,16 @@ object Pdf {
       while (i + 1 < bytes.length) {
         val code = ((bytes(i) & 0xff) << 8) | (bytes(i + 1) & 0xff)
         val mapped = toUni.get(code)
+        tally(0) += 1
         if (mapped != null) sb.append(mapped)
-        else if (code >= 0x20 && (code < 0xd800 || code > 0xdfff))
-          sb.append(code.toChar)
+        else {
+          // Identity fallback: exact for CID==codepoint writers,
+          // mojibake for real subset fonts — COUNTED so curation can
+          // gate on the fraction instead of ingesting garbage
+          tally(1) += 1
+          if (code >= 0x20 && (code < 0xd800 || code > 0xdfff))
+            sb.append(code.toChar)
+        }
         i += 2
       }
       sb.toString
@@ -1002,7 +1010,8 @@ object Pdf {
     * fonts go through [[SimpleEncoding]], whose /Encoding may be a
     * name or a dict with /BaseEncoding and /Differences
     * ([code /name /name… code /name…]). */
-  private def fontDecoder(font: PObj, doc: Doc): FontDecoder =
+  private def fontDecoder(font: PObj, doc: Doc,
+                          tally: Array[Long]): FontDecoder =
     doc.resolve(font) match {
       case fd: PDict if fd.get("Subtype").contains(PName("Type0")) =>
         val toUni = doc.resolve(fd.get("ToUnicode").getOrElse(PNull)) match {
@@ -1011,7 +1020,7 @@ object Pdf {
               .getOrElse(new java.util.HashMap[Int, String]())
           case _ => new java.util.HashMap[Int, String]()
         }
-        new Type0Decoder(toUni)
+        new Type0Decoder(toUni, tally)
       case other => fontEncoding(other, doc)
     }
 
@@ -1059,7 +1068,8 @@ object Pdf {
     * half an em at common sizes) become a single space — the common
     * extractor heuristic for inter-word gaps encoded as kerning. */
   private def runContent(content: Array[Byte], fonts: Map[String, PObj],
-                         doc: Doc, out: StringBuilder, maxChars: Int): Unit = {
+                         doc: Doc, out: StringBuilder, maxChars: Int,
+                         tally: Array[Long]): Unit = {
     val lx = new Lexer(content, 0)
     val stack = scala.collection.mutable.ArrayBuffer.empty[PObj]
     var enc: FontDecoder = defaultEncoding
@@ -1101,7 +1111,8 @@ object Pdf {
             if (stack.length >= 2) stack(stack.length - 2) match {
               case PName(f) =>
                 enc = decoderCache.getOrElseUpdate(f,
-                  fonts.get(f).map(fontDecoder(_, doc)).getOrElse(defaultEncoding))
+                  fonts.get(f).map(fontDecoder(_, doc, tally))
+                    .getOrElse(defaultEncoding))
               case _ =>
             }
           case "Td" | "TD" =>
@@ -1158,7 +1169,13 @@ object Pdf {
   // ---------------------------------------------------------------
 
   /** Extracted text + document facts for one PDF payload. */
-  final case class PdfText(version: String, nPages: Int, text: String)
+  /** `type0Codes` / `type0Unmapped`: how many 2-byte composite-font
+    * codes were decoded and how many of those fell through to the
+    * Identity fallback (no /ToUnicode mapping) — the extraction-
+    * confidence signal curation gates on (a high unmapped fraction
+    * on a real subset font is mojibake, not text). */
+  final case class PdfText(version: String, nPages: Int, text: String,
+                           type0Codes: Long = 0L, type0Unmapped: Long = 0L)
 
   /** Sniff: does this payload start with a `%PDF-` header (allowing
     * the spec's up-to-1024-byte junk prefix, bounded to 64 here)? */
@@ -1191,6 +1208,8 @@ object Pdf {
       }
       val doc = new Doc(bytes, maxObjects)
       if (!doc.load()) return None
+      // (codes decoded, codes unmapped) across every Type0 decoder
+      val tally = new Array[Long](2)
       // encrypted documents bail EXPLICITLY (strings and streams are
       // RC4/AES-enciphered; decryption keys are out of scope) — the
       // alternative is garbage text that LOOKS extracted
@@ -1268,12 +1287,12 @@ object Pdf {
               }
               buf
             }
-          runContent(joined, fonts, doc, out, maxChars)
+          runContent(joined, fonts, doc, out, maxChars, tally)
         }
       }
       // trim the trailing newline a page-final T*/BT may have left
       while (out.nonEmpty && out.last == '\n') out.setLength(out.length - 1)
-      Some(PdfText(version, pages.length, out.toString))
+      Some(PdfText(version, pages.length, out.toString, tally(0), tally(1)))
     } catch { case _: Throwable => None }
 
   /** DataFrame kernel over the canonical media frame (media_id,
@@ -1292,9 +1311,11 @@ object Pdf {
       .map { case (id, p) =>
         val r = extractPdfText(p, maxPages, maxChars)
         (id, Option(p).fold(0L)(_.length.toLong), r.map(_.version),
-          r.map(_.nPages), r.map(_.text.length.toLong), r.map(_.text))
+          r.map(_.nPages), r.map(_.text.length.toLong), r.map(_.text),
+          r.map(_.type0Codes), r.map(_.type0Unmapped))
       }
-      .toDF("media_id", "n_bytes", "pdf_version", "n_pages", "n_chars", "text")
+      .toDF("media_id", "n_bytes", "pdf_version", "n_pages", "n_chars",
+        "text", "type0_codes", "type0_unmapped")
   }
 
   // ---------------------------------------------------------------
@@ -1574,6 +1595,66 @@ object Pdf {
     * PDF 1.5 layout (dicts in an ObjStm, /Type /XRef stream with
     * PNG-Up predictor). Text formula identical to
     * [[buildSimplePdf]]: `pages.map(_.mkString("\n")).mkString("\n")`. */
+  /** A Type0 document with NO /ToUnicode CMap whose CIDs are raw
+    * codepoints: the Identity fallback reproduces the text exactly,
+    * but EVERY code counts as unmapped — the extraction-confidence
+    * fixture ([[PdfText.type0Unmapped]] == [[PdfText.type0Codes]]),
+    * modelling the real-world subset-font case where the fallback is
+    * mojibake the gate must catch. Classic-xref layout. */
+  def buildType0PdfNoToUnicode(pages: Seq[Seq[String]]): Array[Byte] = {
+    val nPages = pages.length
+    val fontNum = 3 + 2 * nPages
+    val descNum = fontNum + 1
+    val out = new java.io.ByteArrayOutputStream()
+    val offsets = scala.collection.mutable.ArrayBuffer.empty[Int]
+    def w(s: String): Unit = out.write(s.getBytes("US-ASCII"))
+    def beginObj(): Unit = offsets += out.size
+    w("%PDF-1.4\n")
+    beginObj(); w("1 0 obj\n<< /Type /Catalog /Pages 2 0 R >>\nendobj\n")
+    beginObj()
+    w("2 0 obj\n<< /Type /Pages /Count " + nPages + " /Kids [" +
+      (0 until nPages).map(i => s"${3 + 2 * i} 0 R").mkString(" ") +
+      "] >>\nendobj\n")
+    pages.zipWithIndex.foreach { case (lines, i) =>
+      val pageNum = 3 + 2 * i
+      val contNum = 4 + 2 * i
+      beginObj()
+      w(s"$pageNum 0 obj\n<< /Type /Page /Parent 2 0 R " +
+        s"/MediaBox [0 0 612 792] " +
+        s"/Resources << /Font << /F1 $fontNum 0 R >> >> " +
+        s"/Contents $contNum 0 R >>\nendobj\n")
+      // CIDs are the RAW codepoints (no shift, no CMap)
+      val content = new java.io.ByteArrayOutputStream()
+      def cw(s: String): Unit = content.write(s.getBytes("US-ASCII"))
+      cw("BT\n/F1 12 Tf\n14 TL\n72 720 Td\n")
+      lines.zipWithIndex.foreach { case (ln, k) =>
+        if (k > 0) cw("T*\n")
+        cw("<")
+        ln.foreach(ch => cw(hex4(ch.toInt)))
+        cw("> Tj\n")
+      }
+      cw("ET\n")
+      val data = content.toByteArray
+      beginObj()
+      w(s"$contNum 0 obj\n<< /Length ${data.length} >>\nstream\n")
+      out.write(data)
+      w("\nendstream\nendobj\n")
+    }
+    beginObj()
+    w(s"$fontNum 0 obj\n<< /Type /Font /Subtype /Type0 " +
+      s"/BaseFont /GraftSubset /Encoding /Identity-H " +
+      s"/DescendantFonts [$descNum 0 R] >>\nendobj\n")
+    beginObj()
+    w(s"$descNum 0 obj\n<< /Type /Font /Subtype /CIDFontType2 " +
+      "/BaseFont /GraftSubset >>\nendobj\n")
+    val xrefAt = out.size
+    val n = offsets.length + 1
+    w(s"xref\n0 $n\n0000000000 65535 f \n")
+    offsets.foreach(o => w(f"$o%010d 00000 n \n"))
+    w(s"trailer\n<< /Size $n /Root 1 0 R >>\nstartxref\n$xrefAt\n%%EOF\n")
+    out.toByteArray
+  }
+
   def buildType0Pdf(pages: Seq[Seq[String]], xrefStream: Boolean): Array[Byte] = {
     val nPages = pages.length
     val fontNum = 3 + 2 * nPages

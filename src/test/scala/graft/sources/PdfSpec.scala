@@ -245,6 +245,30 @@ class PdfSpec extends SparkSpec {
     assert(r.get.text == "hi")
   }
 
+  test("extraction confidence: type0_codes/type0_unmapped count the " +
+       "Identity-fallback fraction") {
+    // simple font: no composite codes at all
+    val simple = Pdf.extractPdfText(
+      Pdf.buildSimplePdf(Seq(Seq("plain")), flate = false)).get
+    assert((simple.type0Codes, simple.type0Unmapped) == ((0L, 0L)))
+    // clean Type0: every code goes through the CMap
+    val clean = Pdf.extractPdfText(
+      Pdf.buildType0Pdf(Seq(Seq("clean type0 line")), xrefStream = false)).get
+    assert(clean.type0Codes == "clean type0 line".length.toLong)
+    assert(clean.type0Unmapped == 0L)
+    // no /ToUnicode: the text still replays (CID == codepoint) but
+    // EVERY code is flagged unmapped — the gate's signal
+    val subset = Pdf.extractPdfText(
+      Pdf.buildType0PdfNoToUnicode(Seq(Seq("subset moji line")))).get
+    assert(subset.text == "subset moji line")
+    assert(subset.type0Codes == "subset moji line".length.toLong)
+    assert(subset.type0Unmapped == subset.type0Codes)
+    // the independent hand fixture: exactly ONE unmapped code (007A)
+    val hand = Pdf.extractPdfText(type0HandFixture()).get
+    assert(hand.type0Unmapped == 1L)
+    assert(hand.type0Codes == 7L) // 3 + 1 + 3 shown codes
+  }
+
   test("an /Encrypt trailer bails explicitly (None, not garbage text)") {
     val plain = Pdf.buildSimplePdf(Seq(Seq("secret")), flate = false)
     assert(Pdf.extractPdfText(plain).isDefined)
