@@ -840,6 +840,52 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** v11 fixture: the v10 fixture VERBATIM (so survivor parity is by
+    * construction) plus two planted records the new single-pass
+    * signal gates must drop — a confidently-Russian page (the q288
+    * sample text: high lang_total, pred_lang 'ru') and a gibberish
+    * page (low quality score but too weak a language signal to trip
+    * the confident-foreign gate — only the quality gate can drop
+    * it). Same executor-side tmp-write-rename discipline. */
+  private def warcV11FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_v11_v1_${Integer.toHexString(d.hashCode)}")
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            def rec(uri: String, body: String, extra: String = ""): Array[Byte] = {
+              val payload = body.getBytes("UTF-8")
+              val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+                extra + "\r\n").getBytes("ISO-8859-1") ++ payload
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: $uri\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n")
+                .getBytes("ISO-8859-1") ++
+                http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+            }
+            val noindexed = rec(s"http://ex.com/n/$id",
+              s"<p>secret page $id would pass every gate " +
+                "but the publisher opted out.</p>", "X-Robots-Tag: noindex\r\n")
+            val foreign = rec(s"http://ex.com/ru/$id", s"<p>$ruSample</p>")
+            val gibberish = rec(s"http://ex.com/g/$id",
+              "<p>zzz 0101 #### @@@@ !!!! 0101 zzz qqq 0101 xxxx</p>")
+            val b = warcV9Fixture(id) ++ noindexed ++ foreign ++ gibberish
+            if (id % 4 == 1) gzipBytes(b) else b
+          }
+        val tmp = java.io.File.createTempFile("w11tmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6385,6 +6431,50 @@ object SparkEntry {
     // declarative gate, two keyed windows. At 100 TB this IS the
     // pipeline: multi-GB WARC files in, deduplicated multi-carrier
     // training text out.
+    // Q315 — curation v11, the FULL-SIGNAL streaming capstone: one
+    // pass over on-disk WARCs through the streaming multi-carrier
+    // router now yields the final keep-set with EVERY single-pass
+    // signal composed — X-Robots gate, length gate, the two-expression
+    // LangId ([[graft.llm.LangId.withCrawlLang]], gating only on a
+    // CONFIDENT foreign verdict: lang_total >= 8 AND pred_lang <> 'en'
+    // — a two-word function-word tie is no reason to drop a short
+    // English doc), the composite quality score (>= 0.3 drops
+    // gibberish the language gate can't see), canonical-URL
+    // keep-first, text keep-first. Fixture = v10's records verbatim
+    // (survivor parity by construction) + a planted confident-Russian
+    // page and a planted gibberish page, each dropped by exactly one
+    // new gate. Plan: join-free; both keep-firsts are WindowGroupLimit
+    // partial top-1; the signal columns are map-only expressions
+    // fused into the scan.
+    "q315_curation_v11" -> ((s, d) => {
+      import s.implicits._
+      val pages = graft.sources.Warc.warcPathsDocText(
+          s, warcV11FixturePaths(s, d))
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+      val gated = pages
+        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
+        .where(length(col("text")) >= 20)
+      val signed = graft.llm.LangId.withCrawlLang(gated, "text")
+        .where(!(col("lang_total") >= 8 && col("pred_lang") =!= "en"))
+        .where(graft.functions.TextFunctions.qualityScore(col("text"))
+          >= 0.3)
+        .withColumn("url_canon", graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+        .orderBy(col("media_id"), col("record_idx"))
+      val urlKept = signed.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val textW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(textW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("url_canon").as("url"), col("pred_lang"), col("lang_total"),
+          col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     "q308_curation_v10" -> ((s, d) => {
       import s.implicits._
       val pages = graft.sources.Warc.warcPathsDocText(
@@ -11714,6 +11804,43 @@ object SparkEntry {
     // v9's survivor set exactly — the noindex'd record must leave no
     // trace (it would otherwise add one unique-canon unique-text row
     // per document and fail the hash).
+    // v10's survivor set verbatim (parity by construction) plus the
+    // per-carrier language verdicts: the wordy html row scores 'en';
+    // pdf/markdown rows carry too weak a signal to gate (total 0 / 2,
+    // preds 'ar'/'ca' by the alphabetical tie rule) and pass through;
+    // the planted Russian and gibberish rows are absent.
+    "q315_curation_v11" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon, 'en' AS pred_lang,
+        |    CAST(2 AS BIGINT) AS lang_total,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf',
+        |    'http://ex.com/d/' || doc_id || '.pdf', 'ar', CAST(0 AS BIGINT),
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown',
+        |    'http://ex.com/m/' || doc_id, 'ca', CAST(2 AS BIGINT),
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, pred_lang, lang_total, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
     "q308_curation_v10" ->
       """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
         |             WHERE doc_id % 50 <> 0),

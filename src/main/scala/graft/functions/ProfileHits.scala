@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -20,9 +20,14 @@ import org.apache.spark.unsafe.types.UTF8String
   * each — ru/uk/bg share Cyrillic stopwords the same way they share
   * the script range). The word → profile-indexes table is instance
   * state, shipped once per executor inside the serialized
-  * expression. Null in → null out; map-only, total, never throws. */
+  * expression. Null in → null out; map-only, total, never throws.
+  *
+  * Real codegen (not CodegenFallback): generated code calls
+  * [[hitsOf]] through a reference object — subexpression-elimination
+  * eligible, one tokenize pass per row however many scorer columns
+  * reference it. */
 case class ProfileWordHits(child: Expression, profiles: Seq[Seq[String]])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "profile_word_hits"
@@ -52,8 +57,8 @@ case class ProfileWordHits(child: Expression, profiles: Seq[Seq[String]])
     c == ' ' || c == '\t' || c == '\n' || c == '\u000B' ||
       c == '\f' || c == '\r'
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def hitsOf(input: UTF8String): GenericArrayData = {
+    val s = input.toString
       .toLowerCase(java.util.Locale.ROOT)
     val counts = new Array[Long](profiles.length)
     var i = 0
@@ -71,6 +76,16 @@ case class ProfileWordHits(child: Expression, profiles: Seq[Seq[String]])
       }
     }
     new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    hitsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("profileWordHits", this,
+      classOf[ProfileWordHits].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.hitsOf($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

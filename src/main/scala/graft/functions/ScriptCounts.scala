@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types.{ArrayType, DataType, LongType}
 import org.apache.spark.unsafe.types.UTF8String
@@ -18,9 +18,15 @@ import org.apache.spark.unsafe.types.UTF8String
   * inclusive, BMP-only by construction (profile blocks are all BMP;
   * surrogate halves can never fall inside one, so UTF-16 unit
   * counting equals codepoint counting for these ranges). Null in →
-  * null out; map-only, total, never throws. */
+  * null out; map-only, total, never throws.
+  *
+  * Real codegen (not CodegenFallback): the generated code calls
+  * [[countsOf]] through a reference object — no InternalRow boxing,
+  * and the expression is eligible for whole-stage subexpression
+  * elimination, so the 31-language scorer that references it dozens
+  * of times still runs ONE char walk per row. */
 case class ScriptBlockCounts(child: Expression, ranges: Seq[(Int, Int)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "script_block_counts"
@@ -28,8 +34,8 @@ case class ScriptBlockCounts(child: Expression, ranges: Seq[(Int, Int)])
   private lazy val los: Array[Int] = ranges.map(_._1).toArray
   private lazy val his: Array[Int] = ranges.map(_._2).toArray
 
-  override def nullSafeEval(input: Any): Any = {
-    val s = input.asInstanceOf[UTF8String].toString
+  def countsOf(input: UTF8String): GenericArrayData = {
+    val s = input.toString
     val counts = new Array[Long](los.length)
     var i = 0
     while (i < s.length) {
@@ -42,6 +48,16 @@ case class ScriptBlockCounts(child: Expression, ranges: Seq[(Int, Int)])
       i += 1
     }
     new GenericArrayData(counts)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    countsOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("scriptBlockCounts", this,
+      classOf[ScriptBlockCounts].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.countsOf($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression =

@@ -156,8 +156,19 @@ object LangId {
     * NULL when nothing scored), integer end-to-end so the oracle
     * replays it without ROUND semantics. Map-only, no shuffle. */
   def predictCrawl(df: DataFrame, idCol: String, textCol: String,
-                   profiles: Map[String, CrawlProfile] = CrawlProfiles): DataFrame = {
-    require(profiles.nonEmpty, "LangId.predictCrawl: need at least one profile")
+                   profiles: Map[String, CrawlProfile] = CrawlProfiles): DataFrame =
+    withCrawlLang(df.select(col(idCol), col(textCol)), textCol, profiles)
+      .select(col(idCol), col("pred_lang"), col("lang_score").as("score"),
+        col("lang_total").as("total"), col("lang_conf_bp").as("conf_bp"))
+
+  /** The composable form of [[predictCrawl]]: appends `pred_lang`,
+    * `lang_score`, `lang_total`, `lang_conf_bp` while PRESERVING
+    * every existing column — the shape a curation chain needs to
+    * gate rows keyed by more than one column without a join. Same
+    * two single-pass native expressions; map-only, no shuffle. */
+  def withCrawlLang(df: DataFrame, textCol: String,
+                    profiles: Map[String, CrawlProfile] = CrawlProfiles): DataFrame = {
+    require(profiles.nonEmpty, "LangId.withCrawlLang: need at least one profile")
     val langs = profiles.keys.toSeq.sorted
     // TWO single-pass native expressions compute everything the 31
     // scores need (the SCALE.md upgrades; previously each script
@@ -190,23 +201,27 @@ object LangId {
           countsAt((from.toInt, to.toInt)) + 1) * wt
       }
     }
-    val scored = withCounts.select(
-      (col(idCol) +: langs.map(l => score(l).as(s"s_$l"))): _*)
-    val pred = langs.foldRight(lit(null).cast("string")) { (l, rest) =>
-      val geAll = langs.filter(_ != l)
-        .map(o => col(s"s_$l") >= col(s"s_$o"))
-        .reduceOption(_ && _).getOrElse(lit(true))
-      when(geAll, lit(l)).otherwise(rest)
-    }
-    val best: Column =
-      if (langs.size == 1) col(s"s_${langs.head}")
-      else greatest(langs.map(l => col(s"s_$l")): _*)
-    val total = langs.map(l => col(s"s_$l")).reduce(_ + _)
-    scored.select(col(idCol), pred.as("pred_lang"), best.as("score"),
-      total.as("total"))
+    // ONE array column carries all 31 scores: the argmax over the
+    // (alphabetically sorted) array IS the alphabetical-first tie
+    // rule, and — critically — every derived column is a SMALL
+    // expression over this single alias, so a predicate pushed down
+    // through the projection substitutes one bounded tree instead of
+    // a 31-branch x 30-comparison WHEN chain (which made downstream
+    // filters explode the analyzed plan).
+    val scored = withCounts.withColumn("__scores",
+      array(langs.map(score): _*))
+    val langLits = array(langs.map(lit): _*)
+    scored
+      .withColumn("lang_score", array_max(col("__scores")))
+      .withColumn("pred_lang", element_at(langLits,
+        array_position(col("__scores"), array_max(col("__scores")))
+          .cast("int")))
+      .withColumn("lang_total", aggregate(col("__scores"),
+        lit(0L), (acc, v) => acc + v))
       // integer basis points via SQL DIV — exact integer semantics in
       // both engines, no ROUND half-even/half-up drift
-      .withColumn("conf_bp",
-        expr("CASE WHEN total > 0 THEN score * 10000 DIV total END"))
+      .withColumn("lang_conf_bp", expr(
+        "CASE WHEN lang_total > 0 THEN lang_score * 10000 DIV lang_total END"))
+      .drop("__script_counts", "__word_hits", "__scores")
   }
 }
