@@ -5760,6 +5760,36 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q316 — 7z cell door ([[graft.sources.Archives.sevenZMembers]]):
+    // common in scraped software/document dumps. The classpath
+    // SevenZFile (commons-compress + xz, LZMA2) over in-memory bytes
+    // in the zip-cell pattern — the END-of-file header makes a
+    // streaming door impossible by format design, so 7z is cell-only
+    // (documented boundary). Fixture: a third-party-encoded archive
+    // per id (a directory member that must skip + 1-3 text members);
+    // every 7th id truncated — a cut .7z loses its end header, so
+    // the walk is LOUDLY corrupt with zero members, never silently
+    // empty. flatMap kernel; members never shuffle.
+    "q316_sevenz_members" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "7z? no".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 3).toInt
+          val members = Seq(("d/", Array.emptyByteArray)) ++
+            (0 until n).map(k =>
+              (s"m$k.txt", s"7z member $id $k".getBytes("UTF-8")))
+          val bytes = graft.sources.Archives.sevenZFixture(members)
+          (id, if (id % 7 == 3) bytes.dropRight(40) else bytes)
+        }
+      }.toDF("doc_id", "sz")
+      graft.sources.Archives.extractSevenZEntries(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "sz", "archive"))
+        .select(col("media_id"), col("entry_idx"), col("name"),
+          col("outcome"), col("payload").cast("string").as("text"))
+        .orderBy("media_id", "entry_idx")
+    }),
+
     // Q268 — archive member listing ([[graft.sources.Archives
     // .describeArchives]]): ZIP central-directory walk (written by the
     // JDK's OWN ZipOutputStream — a true third-party encoder), ustar
@@ -11389,6 +11419,21 @@ object SparkEntry {
         |  END AS text
         |FROM documents
         |ORDER BY doc_id""".stripMargin,
+
+    // Member names/texts replayed through the real LZMA2 archives;
+    // truncated ids are exactly one corrupt sentinel each.
+    "q316_sevenz_members" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |ok AS (SELECT doc_id, k FROM ids, generate_series(0, 2) g(k)
+        |       WHERE k < 1 + doc_id % 3 AND doc_id % 7 <> 3)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS entry_idx,
+        |  'm' || k || '.txt' AS name, 'ok' AS outcome,
+        |  '7z member ' || doc_id || ' ' || k AS text
+        |FROM ok
+        |UNION ALL
+        |SELECT doc_id, CAST(-1 AS INTEGER), NULL, 'corrupt', NULL
+        |FROM ids WHERE doc_id % 7 = 3
+        |ORDER BY media_id, entry_idx""".stripMargin,
 
     // Names and LENGTH() of the content formulas replayed per leg —
     // the engine must reproduce them THROUGH a real ZipOutputStream

@@ -253,6 +253,101 @@ object Archives {
         "method", "is_dir")
   }
 
+  /** 7z cell door: members of an in-memory .7z through the classpath
+    * SevenZFile (LZMA2 and friends via commons-compress + xz) — the
+    * zip-cell pattern: a row cell IS seekable for free, which is why
+    * 7z lives on the CELL door only (its end-of-file header makes a
+    * one-pass streaming door impossible by format design — documented
+    * boundary, not a gap). Per-member rows carry an outcome:
+    * "ok" (body extracted), "too_big" (fence-skipped ON THE WIRE —
+    * SevenZFile seeks past unread entries, null body). A walk that
+    * dies (truncated tail kills the END header, so a cut .7z loses
+    * everything; bit flips throw mid-stream) keeps the members read
+    * so far and appends ONE loud sentinel row (entry_idx -1, outcome
+    * "corrupt"). Never throws. */
+  def sevenZMembers(bytes: Array[Byte], maxBytes: Int = 1 << 24,
+                    maxEntries: Int = 1 << 12):
+      Seq[(Int, String, Option[Array[Byte]], String)] = {
+    val out =
+      scala.collection.mutable.ArrayBuffer.empty[(Int, String, Option[Array[Byte]], String)]
+    if (bytes == null || bytes.length < 32 ||
+        (bytes(0) & 0xff) != 0x37 || (bytes(1) & 0xff) != 0x7a ||
+        (bytes(2) & 0xff) != 0xbc || (bytes(3) & 0xff) != 0xaf ||
+        (bytes(4) & 0xff) != 0x27 || (bytes(5) & 0xff) != 0x1c) return Nil
+    try {
+      val ch = new org.apache.commons.compress.utils
+        .SeekableInMemoryByteChannel(bytes)
+      val sz = org.apache.commons.compress.archivers.sevenz.SevenZFile
+        .builder().setSeekableByteChannel(ch).get()
+      try {
+        var e = sz.getNextEntry
+        var n = 0
+        while (e != null && n < maxEntries) {
+          if (!e.isDirectory) {
+            val size = e.getSize
+            if (size >= 0 && size <= maxBytes) {
+              val buf = new Array[Byte](size.toInt)
+              var off = 0
+              while (off < buf.length) {
+                val m = sz.read(buf, off, buf.length - off)
+                if (m < 0) throw new java.io.IOException("short member")
+                off += m
+              }
+              out += ((n, e.getName, Some(buf), "ok"))
+            } else {
+              // not read: getNextEntry seeks past the unread body
+              out += ((n, e.getName, None, "too_big"))
+            }
+            n += 1
+          }
+          e = sz.getNextEntry
+        }
+      } finally sz.close()
+      out.toSeq
+    } catch {
+      case _: Throwable =>
+        (out += ((-1, null, None, "corrupt"))).toSeq
+    }
+  }
+
+  /** Frame surface of [[sevenZMembers]]: (media_id, entry_idx, name,
+    * outcome, payload). flatMap kernel; payloads never shuffle. */
+  def extractSevenZEntries(media: DataFrame, maxBytes: Int = 1 << 24,
+                           maxEntries: Int = 1 << 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        sevenZMembers(p, maxBytes, maxEntries).map {
+          case (idx, name, body, outcome) =>
+            (id, idx, Option(name), outcome, body)
+        }
+      }
+      .toDF("media_id", "entry_idx", "name", "outcome", "payload")
+  }
+
+  /** Deterministic .7z writer (LZMA2) for fixtures/oracles — the
+    * classpath encoder, so the reader faces a true third-party
+    * compressor, like the JDK-ZIP fixtures. */
+  def sevenZFixture(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+    val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
+    val out = new org.apache.commons.compress.archivers.sevenz
+      .SevenZOutputFile(ch)
+    members.foreach { case (name, body) =>
+      val e = new org.apache.commons.compress.archivers.sevenz
+        .SevenZArchiveEntry()
+      e.setName(name)
+      e.setDirectory(name.endsWith("/"))
+      out.putArchiveEntry(e)
+      if (!name.endsWith("/")) out.write(body)
+      out.closeArchiveEntry()
+    }
+    out.finish()
+    out.close()
+    java.util.Arrays.copyOf(ch.array(), ch.size().toInt)
+  }
+
   /** EXTRACT zip members into payload rows — the bridge that feeds
     * bundled files into the media pipeline: one (media_id, entry_idx,
     * name, payload) row per non-directory member, stored copied out,
