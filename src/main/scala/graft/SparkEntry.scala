@@ -6716,6 +6716,80 @@ object SparkEntry {
         .orderBy("media_id", "msg_idx")
     }),
 
+    // Q317 — legacy binary Excel (.xls, BIFF8) → text
+    // ([[graft.sources.Ole2.xlsToText]] routed by [[graft.sources
+    // .Warc.warcDocText]]): the Workbook stream's SST feeds LABELSST
+    // cells; the fixture's deterministic builder exercises EVERY
+    // cell record the reader handles — inline LABEL, LABELSST,
+    // NUMBER, RK, a 3-cell MULRK run — plus, on even ids, an SST
+    // whose last (UTF-16) string splits across a CONTINUE record
+    // with the re-stated grbit byte: the output must be identical
+    // either way, which pins the continue path against the plain
+    // one. Text contract matches xlsxText (cells tab-joined, rows
+    // and sheets newline-joined). Per-record bounded walk, map-only.
+    "q317_xls_text" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val xls = graft.sources.Ole2.buildXls(
+            Seq(
+              Seq(s"Alpha $id", s"café $id", s"Ω tail $id"),
+              Seq(s"$id", "42", "7"),
+              Seq("", s"tail — $id", s"${id * 3}")),
+            continueSplit = id % 2 == 0)
+          (id, rec(s"http://ex.com/$id/sheet.xls",
+            "application/vnd.ms-excel", xls))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "carrier", "text")
+        .orderBy("media_id")
+    }),
+
+    // Q318 — legacy binary PowerPoint (.ppt) → text
+    // ([[graft.sources.Ole2.pptToText]] routed by [[graft.sources
+    // .Warc.warcDocText]]): recursive record walk of the "PowerPoint
+    // Document" stream harvesting TextCharsAtom/TextBytesAtom under
+    // their containers. The fixture exercises both atom forms (by
+    // (slide+para) parity), an in-atom CR paragraph mark and a VT
+    // soft break (both must become line breaks), and the docToText
+    // whitespace contract. Per-record bounded walk, map-only.
+    "q318_ppt_text" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, ctype: String, body: Array[Byte]): Array[Byte] = {
+        val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+          .getBytes("ISO-8859-1") ++ body
+        val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+          s"WARC-Target-URI: $uri\r\n" +
+          s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val ppt = graft.sources.Ole2.buildPpt(Seq(
+            Seq(s"Title $id", s"Bullet café $id\rMore $id"),
+            Seq(s"Second — slide $id", s"Note $id" + "\u000B" + "wrap")))
+          (id, rec(s"http://ex.com/$id/deck.ppt",
+            "application/vnd.ms-powerpoint", ppt))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "carrier", "text")
+        .orderBy("media_id")
+    }),
+
     // Q312 — legacy binary Word (.doc, OLE2/CFB) → text
     // ([[graft.sources.Ole2]] routed by [[graft.sources.Warc
     // .warcDocText]]): the pre-2007 office carrier — a large share of
@@ -12039,6 +12113,36 @@ object SparkEntry {
 
     // The .doc text stated: paragraph marks break lines, the field
     // instruction leg is gone, the result leg shows.
+    // The BIFF8 sheet stated: LABEL/LABELSST/SST strings and
+    // NUMBER/RK/MULRK numerics, cells tab-joined, rows newline-
+    // joined. The CONTINUE-split SST on even ids must not change it.
+    "q317_xls_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'xls' AS carrier,
+        |  'Alpha ' || doc_id || chr(9) || 'caf' || chr(233) || ' ' ||
+        |    doc_id || chr(9) || chr(937) || ' tail ' || doc_id ||
+        |    chr(10) ||
+        |  doc_id || chr(9) || '42' || chr(9) || '7' || chr(10) ||
+        |  'tail ' || chr(8212) || ' ' || doc_id || chr(9) ||
+        |    (doc_id * 3) AS text
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // The deck stated: both atom forms, the in-atom CR paragraph
+    // mark and the VT soft break each a line of their own.
+    "q318_ppt_text" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'ppt' AS carrier,
+        |  'Title ' || doc_id || chr(10) ||
+        |  'Bullet caf' || chr(233) || ' ' || doc_id || chr(10) ||
+        |  'More ' || doc_id || chr(10) ||
+        |  'Second ' || chr(8212) || ' slide ' || doc_id || chr(10) ||
+        |  'Note ' || doc_id || chr(10) || 'wrap' AS text
+        |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
     "q312_doc_text" ->
       """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0)
         |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,

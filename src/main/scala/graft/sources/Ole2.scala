@@ -260,6 +260,280 @@ object Ole2 {
   }
 
   // ---------------------------------------------------------------
+  // .xls: BIFF8 Workbook stream → text (MS-XLS §2.1.7)
+  // ---------------------------------------------------------------
+
+  /** Record-boundary-aware cursor over a BIFF8 stream: SST character
+    * data may split across CONTINUE (0x003C) records, and a split
+    * inside a string's characters re-states the high-byte flag as a
+    * fresh grbit byte at the continuation start (MS-XLS §2.5.293).
+    * Fixed fields read across boundaries transparently. */
+  private final class BiffCursor(b: Array[Byte],
+                                 recs: IndexedSeq[(Int, Int, Int)],
+                                 var ri: Int) {
+    var pos: Int = recs(ri)._2
+    private def recEnd: Int = recs(ri)._2 + recs(ri)._3
+    def remaining: Int = recEnd - pos
+    private def nextContinue(): Unit = {
+      if (ri + 1 >= recs.length || recs(ri + 1)._1 != 0x003c)
+        throw new RuntimeException("biff: truncated")
+      ri += 1
+      pos = recs(ri)._2
+    }
+    def u8(): Int = {
+      if (remaining == 0) nextContinue()
+      val v = b(pos) & 0xff; pos += 1; v
+    }
+    def u16(): Int = u8() | (u8() << 8)
+    def i32(): Int = u16() | (u16() << 16)
+    def skip(n: Int): Unit = {
+      var left = n
+      while (left > 0) {
+        if (remaining == 0) nextContinue()
+        val t = math.min(left, remaining)
+        pos += t; left -= t
+      }
+    }
+    /** cch characters, starting single/double per `high0`; each
+      * CONTINUE boundary inside the character run carries a fresh
+      * grbit byte whose bit 0 re-declares the width. */
+    def chars(cch: Int, high0: Boolean): String = {
+      val sb = new StringBuilder
+      var left = cch
+      var high = high0
+      while (left > 0) {
+        if (remaining == 0) {
+          nextContinue()
+          high = (u8() & 1) != 0
+        }
+        val w = if (high) 2 else 1
+        val take = math.min(left, remaining / w)
+        if (take <= 0) throw new RuntimeException("biff: split mid-char")
+        if (high) sb.append(new String(b, pos, 2 * take, "UTF-16LE"))
+        else sb.append(new String(b, pos, take, "windows-1252"))
+        pos += take * w
+        left -= take
+      }
+      sb.toString
+    }
+  }
+
+  /** Renders a BIFF numeric cell the way a text extractor states it:
+    * integral doubles print without a decimal point. */
+  private def fmtXlsNum(d: Double): String =
+    if (!d.isInfinite && !d.isNaN && d == math.rint(d) &&
+        math.abs(d) < 1e15) d.toLong.toString
+    else d.toString
+
+  /** RK-encoded number (MS-XLS §2.5.276): bit 0 = ÷100, bit 1 =
+    * integer (30-bit signed) vs truncated-IEEE mantissa. */
+  private def rkToDouble(rk: Int): Double = {
+    val v =
+      if ((rk & 2) != 0) (rk >> 2).toDouble
+      else java.lang.Double.longBitsToDouble((rk.toLong & 0xfffffffcL) << 32)
+    if ((rk & 1) != 0) v / 100 else v
+  }
+
+  /** MS-XLS (binary Excel, BIFF8) → text: the Workbook stream's
+    * globals substream feeds the SST (CONTINUE-aware); each
+    * worksheet substream's cell records (LABELSST, LABEL, NUMBER,
+    * RK, MULRK, BOOLERR, FORMULA+STRING) flush at its EOF as rows
+    * of tab-joined non-empty cells, rows newline-joined, sheets
+    * newline-joined — the same text contract as
+    * [[OfficeText.xlsxText]]. None for anything unreadable. */
+  def xlsToText(bytes: Array[Byte], maxChars: Int = 1 << 22): Option[String] = {
+    try {
+      val streams = readCfb(bytes).getOrElse(return None)
+      val wb = streams.find(s => s.name == "Workbook" || s.name == "Book")
+        .map(_.bytes).getOrElse(return None)
+      // record index: (type, payloadStart, payloadLen)
+      val recs = scala.collection.mutable.ArrayBuffer.empty[(Int, Int, Int)]
+      var o = 0
+      while (o + 4 <= wb.length && recs.length < (1 << 20)) {
+        val t = u16(wb, o)
+        val len = u16(wb, o + 2)
+        if (o + 4 + len > wb.length) return None
+        recs += ((t, o + 4, len))
+        o += 4 + len
+      }
+      if (recs.isEmpty || recs(0)._1 != 0x0809) return None
+
+      val sst = scala.collection.mutable.ArrayBuffer.empty[String]
+      val cells =
+        scala.collection.mutable.ArrayBuffer.empty[(Int, Int, String)]
+      val out = new StringBuilder
+      var emittedSheet = false
+      var inSheet = false
+      // a string FORMULA's value arrives in the NEXT STRING record
+      var wantFormulaString = false
+      def flushSheet(): Unit = {
+        if (emittedSheet) out.append('\n')
+        emittedSheet = true
+        var lastRow = Int.MinValue
+        var rowHas = false
+        cells.sortBy(c => (c._1, c._2)).foreach { case (r, _, v) =>
+          if (v.nonEmpty) {
+            if (r != lastRow && lastRow != Int.MinValue && rowHas)
+              out.append('\n')
+            if (r == lastRow && rowHas) out.append('\t')
+            out.append(v)
+            rowHas = true
+            lastRow = r
+          }
+        }
+        cells.clear()
+      }
+      var k = 0
+      while (k < recs.length && out.length < maxChars) {
+        val (t, ps, len) = recs(k)
+        t match {
+          case 0x0809 => // BOF: dt at +2 — 0x0005 globals, 0x0010 sheet
+            inSheet = len >= 4 && u16(wb, ps + 2) == 0x0010
+          case 0x000a => // EOF
+            if (inSheet) flushSheet()
+            inSheet = false
+          case 0x00fc => // SST: cstTotal, cstUnique, strings (CONTINUE-aware)
+            val cur = new BiffCursor(wb, recs.toIndexedSeq, k)
+            cur.i32()
+            val unique = cur.i32()
+            var s = 0
+            while (s < math.min(unique, 1 << 20) && sst.length < (1 << 20)) {
+              val cch = cur.u16()
+              val flags = cur.u8()
+              val cRun = if ((flags & 0x08) != 0) cur.u16() else 0
+              val cbExt = if ((flags & 0x04) != 0) cur.i32() else 0
+              sst += cur.chars(cch, (flags & 0x01) != 0)
+              cur.skip(4 * cRun + math.max(0, cbExt))
+              s += 1
+            }
+            k = cur.ri // consumed CONTINUEs
+          case 0x00fd if inSheet && len >= 10 => // LABELSST
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            val isst = i32(wb, ps + 6)
+            sst.lift(isst).foreach(v => cells += ((row, col, v)))
+          case 0x0204 if inSheet && len >= 9 => // LABEL (inline string)
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            val cur = new BiffCursor(wb, recs.toIndexedSeq, k)
+            cur.skip(6)
+            val cch = cur.u16()
+            val flags = cur.u8()
+            cells += ((row, col, cur.chars(cch, (flags & 0x01) != 0)))
+            k = cur.ri
+          case 0x0203 if inSheet && len >= 14 => // NUMBER
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            var bits = 0L
+            var i = 0
+            while (i < 8) { bits |= (wb(ps + 6 + i) & 0xffL) << (8 * i); i += 1 }
+            cells += ((row, col,
+              fmtXlsNum(java.lang.Double.longBitsToDouble(bits))))
+          case 0x027e if inSheet && len >= 10 => // RK
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            cells += ((row, col, fmtXlsNum(rkToDouble(i32(wb, ps + 6)))))
+          case 0x00bd if inSheet && len >= 12 => // MULRK
+            val row = u16(wb, ps); val colFirst = u16(wb, ps + 2)
+            val n = (len - 6) / 6
+            var i = 0
+            while (i < n) {
+              cells += ((row, colFirst + i,
+                fmtXlsNum(rkToDouble(i32(wb, ps + 4 + 6 * i + 2)))))
+              i += 1
+            }
+          case 0x0205 if inSheet && len >= 8 => // BOOLERR
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            if ((wb(ps + 7) & 0xff) == 0) // fError=0: a boolean
+              cells += ((row, col,
+                if ((wb(ps + 6) & 0xff) != 0) "TRUE" else "FALSE"))
+          case 0x0006 if inSheet && len >= 14 => // FORMULA: cached value
+            val row = u16(wb, ps); val col = u16(wb, ps + 2)
+            if (u16(wb, ps + 12) == 0xffff) {
+              // non-numeric cache: byte 6 tags it; 0 = string follows
+              if ((wb(ps + 6) & 0xff) == 0) wantFormulaString = true
+            } else {
+              var bits = 0L
+              var i = 0
+              while (i < 8) {
+                bits |= (wb(ps + 6 + i) & 0xffL) << (8 * i); i += 1
+              }
+              cells += ((row, col,
+                fmtXlsNum(java.lang.Double.longBitsToDouble(bits))))
+            }
+            // the STRING record has no (row, col): remember the cell
+            if (wantFormulaString) cells += ((row, col, ""))
+          case 0x0207 if inSheet && wantFormulaString && len >= 3 => // STRING
+            wantFormulaString = false
+            val cur = new BiffCursor(wb, recs.toIndexedSeq, k)
+            val cch = cur.u16()
+            val flags = cur.u8()
+            val v = cur.chars(cch, (flags & 0x01) != 0)
+            k = cur.ri
+            // fill the placeholder planted by the FORMULA record
+            val at = cells.lastIndexWhere(_._3.isEmpty)
+            if (at >= 0) cells(at) = (cells(at)._1, cells(at)._2, v)
+          case _ =>
+        }
+        k += 1
+      }
+      if (inSheet) flushSheet() // truncated file: flush what we have
+      if (out.length > maxChars) out.setLength(maxChars)
+      Some(out.toString)
+    } catch { case _: Throwable => None }
+  }
+
+  // ---------------------------------------------------------------
+  // .ppt: PowerPoint Document stream → text (MS-PPT §2.3)
+  // ---------------------------------------------------------------
+
+  /** MS-PPT (binary PowerPoint) → text: recursive record walk of the
+    * "PowerPoint Document" stream (containers are recVer 0xF),
+    * harvesting TextCharsAtom (0x0FA0, UTF-16LE) and TextBytesAtom
+    * (0x0FA8, cp1252) in stream order — the catppt posture: text
+    * lives in SlideListWithText and client textboxes, and both are
+    * containers above these two atom types. PPT's in-atom paragraph
+    * mark is CR (and VT for soft breaks): both become newlines; the
+    * whitespace contract (trim, drop empties, join) matches
+    * [[docToText]]. None for anything unreadable. */
+  def pptToText(bytes: Array[Byte], maxChars: Int = 1 << 22): Option[String] = {
+    try {
+      val streams = readCfb(bytes).getOrElse(return None)
+      val pd = streams.find(_.name == "PowerPoint Document").map(_.bytes)
+        .getOrElse(return None)
+      val raw = new StringBuilder
+      def walk(lo: Int, hi: Int, depth: Int): Unit = {
+        var o = lo
+        while (o + 8 <= hi && raw.length < maxChars) {
+          val verInst = u16(pd, o)
+          val recType = u16(pd, o + 2)
+          val len = i32(pd, o + 4)
+          if (len < 0 || o + 8 + len > hi) return // malformed: stop loudly
+          if ((verInst & 0x0f) == 0x0f && depth < 16) {
+            walk(o + 8, o + 8 + len, depth + 1)
+          } else recType match {
+            case 0x0fa0 => // TextCharsAtom
+              raw.append(new String(pd, o + 8, len & ~1, "UTF-16LE"))
+              raw.append('\r')
+            case 0x0fa8 => // TextBytesAtom
+              raw.append(new String(pd, o + 8, len, "windows-1252"))
+              raw.append('\r')
+            case _ =>
+          }
+          o += 8 + len
+        }
+      }
+      walk(0, pd.length, 0)
+      val cleaned = new StringBuilder(raw.length)
+      raw.toString.replace('\u000B', '\r').split("\r", -1).foreach { ln =>
+        val t = ln.trim
+        if (t.nonEmpty) {
+          if (cleaned.nonEmpty) cleaned.append('\n')
+          cleaned.append(t)
+        }
+      }
+      if (cleaned.length > maxChars) cleaned.setLength(maxChars)
+      Some(cleaned.toString)
+    } catch { case _: Throwable => None }
+  }
+
+  // ---------------------------------------------------------------
   // Deterministic writer (fixture + oracle synthesis)
   // ---------------------------------------------------------------
 
@@ -342,6 +616,226 @@ object Ole2 {
     val table = tbl.toByteArray
 
     buildCfb(Seq(("WordDocument", wd), ("1Table", table)))
+  }
+
+  /** Builds a real BIFF8 .xls: Workbook globals substream (BOF,
+    * BOUNDSHEET, SST, EOF) + one worksheet substream. Cell encoding
+    * is deterministic by position — all-digit values become native
+    * numbers (runs of ≥2 adjacent → one MULRK, singles alternate
+    * NUMBER/RK by (row+col) parity), strings route through the SST
+    * as LABELSST except every (row+col)%3==0 cell, which is an
+    * inline LABEL — so one fixture exercises every cell record the
+    * reader handles. `continueSplit` breaks the SST's LAST string's
+    * character data across a CONTINUE record with the re-stated
+    * grbit byte (MS-XLS §2.5.293). */
+  def buildXls(rows: Seq[Seq[String]],
+               continueSplit: Boolean = false): Array[Byte] = {
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def w32b(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      w16(o, v & 0xffff); w16(o, (v >> 16) & 0xffff)
+    }
+    def rec(o: java.io.ByteArrayOutputStream, t: Int,
+            payload: Array[Byte]): Unit = {
+      w16(o, t); w16(o, payload.length); o.write(payload, 0, payload.length)
+    }
+    def cp1252able(s: String): Boolean = {
+      val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+      s.forall(enc.canEncode) &&
+        new String(s.getBytes("windows-1252"), "windows-1252") == s
+    }
+    def isNum(s: String): Boolean = s.nonEmpty && s.forall(_.isDigit) &&
+      s.length <= 15
+    // XLUnicodeString bytes: cch(u16) flags(u8) chars
+    def xlStr(s: String): Array[Byte] = {
+      val o = new java.io.ByteArrayOutputStream()
+      val comp = cp1252able(s)
+      w16(o, s.length); o.write(if (comp) 0 else 1)
+      val b = if (comp) s.getBytes("windows-1252") else s.getBytes("UTF-16LE")
+      o.write(b, 0, b.length)
+      o.toByteArray
+    }
+
+    // SST membership: string cells NOT chosen as inline LABEL
+    val sstStrings = scala.collection.mutable.LinkedHashSet.empty[String]
+    var sstRefs = 0
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      r.zipWithIndex.foreach { case (v, ci) =>
+        if (v.nonEmpty && !isNum(v) && (ri + ci) % 3 != 0) {
+          sstStrings += v; sstRefs += 1
+        }
+      }
+    }
+    val sstIdx = sstStrings.zipWithIndex.toMap
+
+    // sheet substream
+    val sh = new java.io.ByteArrayOutputStream()
+    val bofSheet = new java.io.ByteArrayOutputStream()
+    w16(bofSheet, 0x0600); w16(bofSheet, 0x0010)
+    bofSheet.write(new Array[Byte](12), 0, 12)
+    rec(sh, 0x0809, bofSheet.toByteArray)
+    rows.zipWithIndex.foreach { case (r, ri) =>
+      var ci = 0
+      while (ci < r.length) {
+        val v = r(ci)
+        if (v.isEmpty) { ci += 1 }
+        else if (isNum(v)) {
+          // extend the run of adjacent numeric cells
+          var cj = ci
+          while (cj + 1 < r.length && isNum(r(cj + 1))) cj += 1
+          val runFits = (ci to cj).forall { k =>
+            val n = r(k).toLong; n >= -(1L << 29) && n < (1L << 29)
+          }
+          if (cj > ci && runFits) { // MULRK
+            val p = new java.io.ByteArrayOutputStream()
+            w16(p, ri); w16(p, ci)
+            (ci to cj).foreach { k =>
+              w16(p, 0) // ixfe
+              w32b(p, (r(k).toInt << 2) | 2)
+            }
+            w16(p, cj)
+            rec(sh, 0x00bd, p.toByteArray)
+            ci = cj + 1
+          } else {
+            val n = v.toLong
+            val p = new java.io.ByteArrayOutputStream()
+            w16(p, ri); w16(p, ci); w16(p, 0)
+            if ((ri + ci) % 2 == 0 || n < -(1L << 29) || n >= (1L << 29)) {
+              // NUMBER: IEEE double
+              val bits = java.lang.Double.doubleToLongBits(n.toDouble)
+              (0 until 8).foreach(k => p.write(((bits >> (8 * k)) & 0xff).toInt))
+              rec(sh, 0x0203, p.toByteArray)
+            } else { // RK integer
+              w32b(p, (n.toInt << 2) | 2)
+              rec(sh, 0x027e, p.toByteArray)
+            }
+            ci += 1
+          }
+        } else if ((ri + ci) % 3 == 0) { // inline LABEL
+          val p = new java.io.ByteArrayOutputStream()
+          w16(p, ri); w16(p, ci); w16(p, 0)
+          val xs = xlStr(v); p.write(xs, 0, xs.length)
+          rec(sh, 0x0204, p.toByteArray)
+          ci += 1
+        } else { // LABELSST
+          val p = new java.io.ByteArrayOutputStream()
+          w16(p, ri); w16(p, ci); w16(p, 0)
+          w32b(p, sstIdx(v))
+          rec(sh, 0x00fd, p.toByteArray)
+          ci += 1
+        }
+      }
+    }
+    rec(sh, 0x000a, Array.emptyByteArray)
+    val sheetBytes = sh.toByteArray
+
+    // globals substream (BOUNDSHEET.lbPlyPos patched afterward)
+    val g = new java.io.ByteArrayOutputStream()
+    val bofG = new java.io.ByteArrayOutputStream()
+    w16(bofG, 0x0600); w16(bofG, 0x0005)
+    bofG.write(new Array[Byte](12), 0, 12)
+    rec(g, 0x0809, bofG.toByteArray)
+    val bsPos = g.size() + 4 // offset of lbPlyPos inside the stream
+    val bs = new java.io.ByteArrayOutputStream()
+    w32b(bs, 0) // placeholder lbPlyPos
+    w16(bs, 0) // visible worksheet
+    // ShortXLUnicodeString name
+    bs.write(6); bs.write(0)
+    bs.write("Sheet1".getBytes("windows-1252"), 0, 6)
+    rec(g, 0x0085, bs.toByteArray)
+    // SST (+ optional CONTINUE split inside the last string's chars)
+    val sstBody = new java.io.ByteArrayOutputStream()
+    w32b(sstBody, sstRefs); w32b(sstBody, sstStrings.size)
+    val strs = sstStrings.toSeq
+    strs.dropRight(1).foreach { s =>
+      val xs = xlStr(s); sstBody.write(xs, 0, xs.length)
+    }
+    if (strs.isEmpty) rec(g, 0x00fc, sstBody.toByteArray)
+    else {
+      val last = strs.last
+      val comp = cp1252able(last)
+      if (!continueSplit || last.length < 2) {
+        val xs = xlStr(last); sstBody.write(xs, 0, xs.length)
+        rec(g, 0x00fc, sstBody.toByteArray)
+      } else {
+        // first half of the chars in the SST record, rest in a
+        // CONTINUE that re-states the width flag
+        val cut = last.length / 2
+        w16(sstBody, last.length); sstBody.write(if (comp) 0 else 1)
+        val head = last.substring(0, cut)
+        val hb = if (comp) head.getBytes("windows-1252")
+          else head.getBytes("UTF-16LE")
+        sstBody.write(hb, 0, hb.length)
+        rec(g, 0x00fc, sstBody.toByteArray)
+        val cont = new java.io.ByteArrayOutputStream()
+        cont.write(if (comp) 0 else 1) // fresh grbit
+        val tail = last.substring(cut)
+        val tb = if (comp) tail.getBytes("windows-1252")
+          else tail.getBytes("UTF-16LE")
+        cont.write(tb, 0, tb.length)
+        rec(g, 0x003c, cont.toByteArray)
+      }
+    }
+    rec(g, 0x000a, Array.emptyByteArray)
+    val globals = g.toByteArray
+    // patch lbPlyPos: sheet BOF offset = globals length
+    val wb = new java.io.ByteArrayOutputStream()
+    wb.write(globals, 0, globals.length)
+    wb.write(sheetBytes, 0, sheetBytes.length)
+    val all = wb.toByteArray
+    val sheetOff = globals.length
+    all(bsPos) = (sheetOff & 0xff).toByte
+    all(bsPos + 1) = ((sheetOff >> 8) & 0xff).toByte
+    all(bsPos + 2) = ((sheetOff >> 16) & 0xff).toByte
+    all(bsPos + 3) = ((sheetOff >> 24) & 0xff).toByte
+
+    buildCfb(Seq(("Workbook", all)))
+  }
+
+  /** Builds a real binary .ppt: a CFB with a "PowerPoint Document"
+    * stream — DocumentContainer > SlideListWithText > per slide a
+    * SlidePersistAtom then per paragraph TextHeaderAtom + the text
+    * atom (cp1252-able paragraphs on even (slide+para) parity become
+    * TextBytesAtom, everything else TextCharsAtom, so every fixture
+    * exercises both). */
+  def buildPpt(slides: Seq[Seq[String]]): Array[Byte] = {
+    def w16(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      o.write(v & 0xff); o.write((v >> 8) & 0xff)
+    }
+    def w32(o: java.io.ByteArrayOutputStream, v: Int): Unit = {
+      w16(o, v & 0xffff); w16(o, (v >> 16) & 0xffff)
+    }
+    def rec(o: java.io.ByteArrayOutputStream, verInst: Int, t: Int,
+            payload: Array[Byte]): Unit = {
+      w16(o, verInst); w16(o, t); w32(o, payload.length)
+      o.write(payload, 0, payload.length)
+    }
+    def cp1252able(s: String): Boolean = {
+      val enc = java.nio.charset.Charset.forName("windows-1252").newEncoder()
+      s.forall(enc.canEncode) &&
+        new String(s.getBytes("windows-1252"), "windows-1252") == s
+    }
+    val slwt = new java.io.ByteArrayOutputStream()
+    slides.zipWithIndex.foreach { case (paras, si) =>
+      rec(slwt, 0x0000, 0x03f3, new Array[Byte](20)) // SlidePersistAtom
+      paras.zipWithIndex.foreach { case (p, pi) =>
+        val th = new java.io.ByteArrayOutputStream()
+        w32(th, 0) // txType: title — irrelevant to extraction
+        rec(slwt, 0x0000, 0x0f9f, th.toByteArray) // TextHeaderAtom
+        if (cp1252able(p) && (si + pi) % 2 == 0)
+          rec(slwt, 0x0000, 0x0fa8, p.getBytes("windows-1252"))
+        else
+          rec(slwt, 0x0000, 0x0fa0, p.getBytes("UTF-16LE"))
+      }
+    }
+    val doc = new java.io.ByteArrayOutputStream()
+    rec(doc, 0x000f, 0x0ff0, slwt.toByteArray) // SlideListWithText
+    val pd = new java.io.ByteArrayOutputStream()
+    rec(pd, 0x000f, 0x03e8, doc.toByteArray) // DocumentContainer
+    buildCfb(Seq(
+      ("Current User", new Array[Byte](24)),
+      ("PowerPoint Document", pd.toByteArray)))
   }
 
   /** Minimal v3 CFB writer: header-embedded DIFAT, one FAT sector,

@@ -418,6 +418,14 @@ object Warc {
     } else if (ct.exists(c => c.startsWith("application/msword") ||
         c.startsWith("application/vnd.ms-word"))) {
       Ole2.docToText(r.body).map(("doc", _))
+    } else if (ct.exists(c => c.startsWith("application/vnd.ms-excel") ||
+        c.startsWith("application/x-msexcel") ||
+        c.startsWith("application/excel"))) {
+      Ole2.xlsToText(r.body).filter(_.nonEmpty).map(("xls", _))
+    } else if (ct.exists(c => c.startsWith("application/vnd.ms-powerpoint") ||
+        c.startsWith("application/mspowerpoint") ||
+        c.startsWith("application/powerpoint"))) {
+      Ole2.pptToText(r.body).filter(_.nonEmpty).map(("ppt", _))
     } else if (ct.exists(_.startsWith("message/rfc822"))) {
       Mime.parseEml(r.body).filter(_.text.nonEmpty).map(d => ("eml", d.text))
     } else if (ct.exists(c => c.startsWith("application/rtf") ||

@@ -80,4 +80,133 @@ class Ole2Spec extends graft.SparkSpec {
     assert(Ole2.docToText(cfbNoDoc) == None)
     assert(Ole2.readCfb(cfbNoDoc).exists(_.exists(_.name == "SomethingElse")))
   }
+
+  // ------------------------------------------------------------- xls
+
+  test("buildXls round-trips every cell record: LABEL, LABELSST, " +
+       "NUMBER, RK, MULRK") {
+    val rows = Seq(
+      Seq("Alpha 7", "café 7", "Ω tail 7"),
+      Seq("7", "42", "7"),
+      Seq("", "tail — 7", "21"))
+    val r = Ole2.xlsToText(Ole2.buildXls(rows)).getOrElse(fail("no text"))
+    assert(r == "Alpha 7\tcafé 7\tΩ tail 7\n7\t42\t7\ntail — 7\t21")
+  }
+
+  test("an SST string split across a CONTINUE record (re-stated " +
+       "grbit) reads identically to the unsplit form") {
+    val rows = Seq(Seq("head str", "Ω unicode body tail", "1234"))
+    val plain = Ole2.xlsToText(Ole2.buildXls(rows))
+    val split = Ole2.xlsToText(Ole2.buildXls(rows, continueSplit = true))
+    assert(plain.nonEmpty && plain == split)
+    // the split fixture really does carry a CONTINUE record
+    val streams = Ole2.readCfb(Ole2.buildXls(rows, continueSplit = true)).get
+    val wb = streams.find(_.name == "Workbook").get.bytes
+    var o = 0
+    var sawContinue = false
+    while (o + 4 <= wb.length) {
+      val t = (wb(o) & 0xff) | ((wb(o + 1) & 0xff) << 8)
+      val len = (wb(o + 2) & 0xff) | ((wb(o + 3) & 0xff) << 8)
+      if (t == 0x003c) sawContinue = true
+      o += 4 + len
+    }
+    assert(sawContinue)
+  }
+
+  test("hand-built BOOLERR and FORMULA(+STRING) cells decode") {
+    // take a built workbook and splice extra records before the
+    // sheet's EOF: a TRUE BOOLERR, a numeric FORMULA cache, and a
+    // string FORMULA followed by its STRING record
+    val rows = Seq(Seq("base cell"))
+    val cfb = Ole2.buildXls(rows)
+    val streams = Ole2.readCfb(cfb).get
+    val wb = streams.find(_.name == "Workbook").get.bytes
+    def rec(t: Int, p: Array[Byte]): Array[Byte] =
+      Array((t & 0xff).toByte, ((t >> 8) & 0xff).toByte,
+        (p.length & 0xff).toByte, ((p.length >> 8) & 0xff).toByte) ++ p
+    def cellHdr(row: Int, colv: Int): Array[Byte] =
+      Array((row & 0xff).toByte, ((row >> 8) & 0xff).toByte,
+        (colv & 0xff).toByte, ((colv >> 8) & 0xff).toByte, 0, 0)
+    val boolErr = rec(0x0205, cellHdr(1, 0) ++ Array[Byte](1, 0))
+    val numBits = java.lang.Double.doubleToLongBits(2.5)
+    val numFormula = rec(0x0006,
+      cellHdr(1, 1) ++ (0 until 8).map(k =>
+        ((numBits >> (8 * k)) & 0xff).toByte).toArray ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+    val strFormula = rec(0x0006,
+      cellHdr(1, 2) ++ Array[Byte](0, 0, 0, 0, 0, 0, -1, -1) ++
+        Array[Byte](0, 0, 0, 0, 0, 0))
+    val strBytes = "fx".getBytes("windows-1252")
+    val strRec = rec(0x0207,
+      Array[Byte](2, 0, 0) ++ strBytes)
+    // find the LAST EOF record (the sheet's) and splice before it
+    var o = 0
+    var lastEof = -1
+    while (o + 4 <= wb.length) {
+      val t = (wb(o) & 0xff) | ((wb(o + 1) & 0xff) << 8)
+      val len = (wb(o + 2) & 0xff) | ((wb(o + 3) & 0xff) << 8)
+      if (t == 0x000a) lastEof = o
+      o += 4 + len
+    }
+    assert(lastEof > 0)
+    val spliced = wb.take(lastEof) ++ boolErr ++ numFormula ++
+      strFormula ++ strRec ++ wb.drop(lastEof)
+    val cfb2 = Ole2.buildCfb(Seq(("Workbook", spliced)))
+    val r = Ole2.xlsToText(cfb2).getOrElse(fail("no text"))
+    assert(r == "base cell\nTRUE\t2.5\tfx")
+  }
+
+  test("xls hostile bytes never throw; non-xls CFB yields None") {
+    val good = Ole2.buildXls(Seq(Seq("fuzz target", "123", "x — y")))
+    (1 until good.length by 11).foreach { n =>
+      Ole2.xlsToText(good.take(n))
+    }
+    val rnd = new scala.util.Random(977)
+    (1 to 300).foreach { k =>
+      val mut = good.clone()
+      (0 to k % 4).foreach(_ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+      Ole2.xlsToText(mut)
+    }
+    assert(Ole2.xlsToText("not xls".getBytes) == None)
+    assert(Ole2.xlsToText(Ole2.buildDoc(Seq("a doc, not a sheet"))) == None)
+  }
+
+  // ------------------------------------------------------------- ppt
+
+  test("buildPpt round-trips both atom forms, CR paragraph marks " +
+       "and VT soft breaks") {
+    val ppt = Ole2.buildPpt(Seq(
+      Seq("Title 9", "Bullet café 9\rMore 9"),
+      Seq("Second — slide 9", "Note 9" + "\u000B" + "wrap")))
+    val r = Ole2.pptToText(ppt).getOrElse(fail("no text"))
+    assert(r == "Title 9\nBullet café 9\nMore 9\n" +
+      "Second — slide 9\nNote 9\nwrap")
+  }
+
+  test("ppt container recursion is bounded and malformed lengths " +
+       "stop the walk loudly rather than overrun") {
+    val ppt = Ole2.buildPpt(Seq(Seq("safe text")))
+    val streams = Ole2.readCfb(ppt).get
+    val pd = streams.find(_.name == "PowerPoint Document").get.bytes
+    // lie about the outer container length: walk must stop, not throw
+    val mut = pd.clone()
+    mut(4) = -1; mut(5) = -1; mut(6) = -1; mut(7) = 0x7f
+    val cfb2 = Ole2.buildCfb(Seq(("PowerPoint Document", mut)))
+    Ole2.pptToText(cfb2) // terminates without throwing
+    assert(Ole2.pptToText("bytes".getBytes) == None)
+    assert(Ole2.pptToText(Ole2.buildDoc(Seq("a doc"))) == None)
+  }
+
+  test("ppt hostile fuzz never throws") {
+    val good = Ole2.buildPpt(Seq(Seq("fuzz — target", "two")))
+    (1 until good.length by 11).foreach(n => Ole2.pptToText(good.take(n)))
+    val rnd = new scala.util.Random(1231)
+    (1 to 300).foreach { k =>
+      val mut = good.clone()
+      (0 to k % 4).foreach(_ =>
+        mut(rnd.nextInt(mut.length)) = rnd.nextInt(256).toByte)
+      Ole2.pptToText(mut)
+    }
+  }
 }
