@@ -6790,6 +6790,61 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q319 — HTML structured metadata ([[graft.functions.HtmlMeta]]):
+    // the page-level signals curation keys on besides body text —
+    // title, meta description, link rel=canonical, html lang, the
+    // OpenGraph/Twitter meta pairs in order, and raw JSON-LD blocks.
+    // The fixture exercises first-wins, comments/script immunity,
+    // entity decode (&amp;, &#8212;), unquoted/single-quoted attrs,
+    // the rel token list, and case-folded names; the canonical href
+    // is deliberately denormalized so the query COMPOSES
+    // canonical_url over it (upper scheme+host, default port,
+    // dot-segments), and the JSON-LD @type is pulled with Spark's
+    // own get_json_object over the raw block — the expression hands
+    // back verbatim JSON instead of growing a parser. Map-only: one
+    // linear walk per page, fused into the scan.
+    "q319_html_meta" -> ((s, d) => {
+      import s.implicits._
+      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val html =
+          if (id % 50 == 0) s"no head here, just text $id"
+          else if (id % 2 == 0)
+            s"""<html lang="en-US"><head>
+               |<title>Doc $id &amp; more</title>
+               |<meta name="description" content="Desc &#8212; $id">
+               |<link rel="canonical" href="HTTP://Ex.COM:80/a/../p/$id">
+               |<meta property="og:title" content="OG $id">
+               |<meta property="og:type" content="article">
+               |<script type="application/ld+json">{"@type":"Article","position":$id}</script>
+               |</head><body><p>body $id</p></body></html>""".stripMargin
+          else
+            s"""<HTML LANG=pt-BR><HEAD>
+               |<!-- <title>no</title> <meta name="description" content="no"> -->
+               |<TITLE>Pg   $id</TITLE>
+               |<META NAME='description' CONTENT='d $id'>
+               |<link REL="alternate canonical" HREF=/rel/$id>
+               |<meta name="twitter:card" content="summary">
+               |<script>var x = "<meta property='og:no' content='x'>";</script>
+               |</HEAD><body>b</body>""".stripMargin
+        (id, html)
+      }.toDF("doc_id", "html")
+      pages
+        .select(col("doc_id").as("media_id"),
+          graft.functions.HtmlMeta(col("html")).as("m"))
+        .select(
+          col("media_id"),
+          col("m.title").as("title"),
+          col("m.description").as("description"),
+          graft.functions.CanonicalUrl(col("m.canonical")).as("canonical"),
+          col("m.lang").as("lang"),
+          expr("size(m.og)").as("og_n"),
+          expr("get(filter(m.og, x -> x.property = 'og:title'), 0).content")
+            .as("og_title"),
+          expr("get_json_object(get(m.jsonld, 0), \"$['@type']\")")
+            .as("ld_type"))
+        .orderBy("media_id")
+    }),
+
     // Q312 — legacy binary Word (.doc, OLE2/CFB) → text
     // ([[graft.sources.Ole2]] routed by [[graft.sources.Warc
     // .warcDocText]]): the pre-2007 office carrier — a large share of
@@ -12141,6 +12196,32 @@ object SparkEntry {
         |  'Second ' || chr(8212) || ' slide ' || doc_id || chr(10) ||
         |  'Note ' || doc_id || chr(10) || 'wrap' AS text
         |FROM ids
+        |ORDER BY media_id""".stripMargin,
+
+    // The page-metadata struct stated per fixture arm: first-wins
+    // scalars, entity decode, the canonical href normalized by
+    // canonical_url on the even arm, the comment/script-immune odd
+    // arm collecting only twitter:card, nulls on the headless arm.
+    "q319_html_meta" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'Doc ' || doc_id || ' & more'
+        |       ELSE 'Pg ' || doc_id END AS title,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'Desc ' || chr(8212) || ' ' || doc_id
+        |       ELSE 'd ' || doc_id END AS description,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'http://ex.com/p/' || doc_id
+        |       ELSE '/rel/' || doc_id END AS canonical,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'en-US' ELSE 'pt-BR' END AS lang,
+        |  CASE WHEN doc_id % 50 = 0 THEN 0
+        |       WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS og_n,
+        |  CASE WHEN doc_id % 50 <> 0 AND doc_id % 2 = 0
+        |       THEN 'OG ' || doc_id END AS og_title,
+        |  CASE WHEN doc_id % 50 <> 0 AND doc_id % 2 = 0
+        |       THEN 'Article' END AS ld_type
+        |FROM documents
         |ORDER BY media_id""".stripMargin,
 
     "q312_doc_text" ->

@@ -108,7 +108,11 @@ object GraftExtensions {
     ("canonical_url",
       info("canonical_url",
         "canonical_url(s) - RFC 3986 normalization: case, default ports, dot-segments, percent-encoding; fragment dropped"),
-      (es: Seq[Expression]) => graft.functions.CanonicalUrl(es.head)))
+      (es: Seq[Expression]) => graft.functions.CanonicalUrl(es.head)),
+    ("html_meta",
+      info("html_meta",
+        "html_meta(s) - struct<title, description, canonical, lang, og array<struct<property,content>>, jsonld array<string>>: page-level metadata (first-wins scalars, OpenGraph/Twitter pairs in order, raw JSON-LD blocks)"),
+      (es: Seq[Expression]) => graft.functions.HtmlMeta(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -1,0 +1,284 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** HTML structured-metadata extraction — the page-level signals a
+  * crawl-curation pipeline keys on besides the body text: the
+  * `<title>`, `meta[name=description]`, `link[rel=canonical]`,
+  * `html[lang]`, every OpenGraph / Twitter-card `<meta>` pair in
+  * document order, and the raw `<script type="application/ld+json">`
+  * bodies (handed back verbatim so the QUERY parses them with
+  * Spark's own JSON machinery — `get_json_object` / `parse_json` —
+  * instead of this expression growing a JSON parser).
+  *
+  * One linear walk, the same tag/attribute discipline as
+  * [[HtmlToText]] (comments skipped, `script`/`style` bodies never
+  * scanned for tags, quoted/unquoted attributes, entities decoded in
+  * text and attribute values, ASCII-case-insensitive names).
+  * First-wins for the scalar fields (title/description/canonical/
+  * lang — the browser rule); `og` keeps every pair in order, capped
+  * at [[HtmlMeta.MaxOg]] entries and `jsonld` at
+  * [[HtmlMeta.MaxJsonLd]] blocks so hostile pages bound memory.
+  * Total: any byte soup in, a (possibly all-null) struct out, never
+  * a throw. Null → null. Map-only native expression, SQL name
+  * `html_meta`. */
+case class HtmlMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = HtmlMeta.Shape
+  override def prettyName: String = "html_meta"
+
+  override def nullSafeEval(input: Any): Any =
+    HtmlMeta.toRow(HtmlMeta.extract(input.asInstanceOf[UTF8String].toString))
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+object HtmlMeta {
+
+  /** Bound on collected og/twitter pairs (hostile meta-stuffing). */
+  val MaxOg = 64
+  /** Bound on collected JSON-LD blocks. */
+  val MaxJsonLd = 16
+
+  val Shape: DataType = StructType(Seq(
+    StructField("title", StringType, nullable = true),
+    StructField("description", StringType, nullable = true),
+    StructField("canonical", StringType, nullable = true),
+    StructField("lang", StringType, nullable = true),
+    StructField("og", ArrayType(StructType(Seq(
+      StructField("property", StringType, nullable = false),
+      StructField("content", StringType, nullable = false))),
+      containsNull = false), nullable = false),
+    StructField("jsonld", ArrayType(StringType, containsNull = false),
+      nullable = false)))
+
+  def apply(html: Column): Column =
+    ColumnBridge.column(HtmlMeta(ColumnBridge.expression(html)))
+
+  final case class Meta(
+      title: Option[String],
+      description: Option[String],
+      canonical: Option[String],
+      lang: Option[String],
+      og: Seq[(String, String)],
+      jsonld: Seq[String])
+
+  private[functions] def toRow(m: Meta): InternalRow = InternalRow(
+    m.title.map(UTF8String.fromString).orNull,
+    m.description.map(UTF8String.fromString).orNull,
+    m.canonical.map(UTF8String.fromString).orNull,
+    m.lang.map(UTF8String.fromString).orNull,
+    new GenericArrayData(m.og.map { case (p, c) =>
+      InternalRow(UTF8String.fromString(p), UTF8String.fromString(c))
+    }.toArray[Any]),
+    new GenericArrayData(m.jsonld.map(UTF8String.fromString).toArray[Any]))
+
+  private def lowerAscii(s: String): String = {
+    var i = 0
+    var needs = false
+    while (i < s.length && !needs) { needs = s.charAt(i) >= 'A' && s.charAt(i) <= 'Z'; i += 1 }
+    if (!needs) s
+    else {
+      val b = new java.lang.StringBuilder(s.length)
+      i = 0
+      while (i < s.length) {
+        val c = s.charAt(i)
+        b.append(if (c >= 'A' && c <= 'Z') (c + 32).toChar else c)
+        i += 1
+      }
+      b.toString
+    }
+  }
+
+  /** Entity-decode + whitespace-normalize an attribute value or
+    * title text (runs of whitespace → one space, ends trimmed). */
+  private def cleanText(s: String): String = {
+    val b = new java.lang.StringBuilder(s.length)
+    var i = 0
+    var pendingSpace = false
+    while (i < s.length) {
+      val c = s.charAt(i)
+      if (c == '&') {
+        val (dec, next) = HtmlToText.decodeEntity(s, i)
+        if (dec == null) {
+          if (pendingSpace && b.length > 0) b.append(' ')
+          pendingSpace = false
+          b.append('&'); i += 1
+        } else {
+          var j = 0
+          var allWs = true
+          while (j < dec.length && allWs) { allWs = dec.charAt(j).isWhitespace; j += 1 }
+          if (allWs) pendingSpace = true
+          else {
+            if (pendingSpace && b.length > 0) b.append(' ')
+            pendingSpace = false
+            b.append(dec)
+          }
+          i = next
+        }
+      } else if (c.isWhitespace) { pendingSpace = true; i += 1 }
+      else {
+        if (pendingSpace && b.length > 0) b.append(' ')
+        pendingSpace = false
+        b.append(c); i += 1
+      }
+    }
+    b.toString
+  }
+
+  /** Attribute list of one tag (between the tag name and `>`),
+    * ASCII-lower-cased names, entity-decoded values. Unquoted,
+    * single- and double-quoted values; a bare name maps to "". */
+  private[functions] def parseAttrs(s: String, from: Int, to: Int): Seq[(String, String)] = {
+    val out = Seq.newBuilder[(String, String)]
+    var i = from
+    while (i < to) {
+      while (i < to && (s.charAt(i).isWhitespace || s.charAt(i) == '/')) i += 1
+      if (i < to) {
+        val ns = i
+        while (i < to && !s.charAt(i).isWhitespace && s.charAt(i) != '=' &&
+            s.charAt(i) != '/' && s.charAt(i) != '>') i += 1
+        val name = lowerAscii(s.substring(ns, i))
+        while (i < to && s.charAt(i).isWhitespace) i += 1
+        if (i < to && s.charAt(i) == '=') {
+          i += 1
+          while (i < to && s.charAt(i).isWhitespace) i += 1
+          if (i < to && (s.charAt(i) == '"' || s.charAt(i) == '\'')) {
+            val q = s.charAt(i)
+            val vs = i + 1
+            i += 1
+            while (i < to && s.charAt(i) != q) i += 1
+            if (name.nonEmpty) out += ((name, cleanText(s.substring(vs, math.min(i, to)))))
+            if (i < to) i += 1 // closing quote
+          } else {
+            val vs = i
+            while (i < to && !s.charAt(i).isWhitespace && s.charAt(i) != '>') i += 1
+            if (name.nonEmpty) out += ((name, cleanText(s.substring(vs, i))))
+          }
+        } else if (name.nonEmpty) out += ((name, ""))
+      }
+    }
+    out.result()
+  }
+
+  /** The extraction walk (see class doc). */
+  def extract(html: String): Meta = {
+    if (html == null) return Meta(None, None, None, None, Nil, Nil)
+    val n = html.length
+    var title: Option[String] = None
+    var desc: Option[String] = None
+    var canonical: Option[String] = None
+    var lang: Option[String] = None
+    val og = Seq.newBuilder[(String, String)]
+    var ogN = 0
+    val jsonld = Seq.newBuilder[String]
+    var jsonldN = 0
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) { i = n }
+      else if (lt + 3 < n && html.charAt(lt + 1) == '!' &&
+          html.charAt(lt + 2) == '-' && html.charAt(lt + 3) == '-') {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        // tag name
+        var j = lt + 1
+        if (j < n && html.charAt(j) == '/') j += 1
+        val ns = j
+        while (j < n && (html.charAt(j).isLetterOrDigit)) j += 1
+        val name = lowerAscii(html.substring(ns, j))
+        val closing = lt + 1 < n && html.charAt(lt + 1) == '/'
+        var gt = html.indexOf('>', j)
+        if (gt < 0) gt = n
+        def attrs = parseAttrs(html, j, gt)
+        def attr(attrsSeq: Seq[(String, String)], key: String): Option[String] =
+          attrsSeq.collectFirst { case (k, v) if k == key => v }
+        if (!closing) name match {
+          case "title" =>
+            val close = indexOfIgnoreCase(html, "</title", gt + 1)
+            val end = if (close < 0) n else close
+            if (title.isEmpty && gt < n)
+              title = Some(cleanText(html.substring(math.min(gt + 1, n), end)))
+            gt = if (close < 0) n - 1 else html.indexOf('>', close) match {
+              case -1 => n - 1
+              case g => g
+            }
+          case "script" =>
+            val as = attrs
+            val close = indexOfIgnoreCase(html, "</script", gt + 1)
+            val end = if (close < 0) n else close
+            val typ = attr(as, "type").map(t => lowerAscii(t.trim)).getOrElse("")
+            if (typ == "application/ld+json" && jsonldN < MaxJsonLd && gt < n) {
+              val body = html.substring(math.min(gt + 1, n), end).trim
+              if (body.nonEmpty) { jsonld += body; jsonldN += 1 }
+            }
+            gt = if (close < 0) n - 1 else html.indexOf('>', close) match {
+              case -1 => n - 1
+              case g => g
+            }
+          case "style" =>
+            val close = indexOfIgnoreCase(html, "</style", gt + 1)
+            gt = if (close < 0) n - 1 else html.indexOf('>', close) match {
+              case -1 => n - 1
+              case g => g
+            }
+          case "meta" =>
+            val as = attrs
+            val nameAttr = attr(as, "name").map(lowerAscii)
+            val propAttr = attr(as, "property").map(lowerAscii)
+            val content = attr(as, "content")
+            val key = propAttr.orElse(nameAttr)
+            (key, content) match {
+              case (Some(k), Some(c)) =>
+                if (k == "description" && desc.isEmpty) desc = Some(c)
+                else if ((k.startsWith("og:") || k.startsWith("twitter:")) &&
+                    ogN < MaxOg) { og += ((k, c)); ogN += 1 }
+              case _ =>
+            }
+          case "link" =>
+            val as = attrs
+            val rel = attr(as, "rel").map(lowerAscii).getOrElse("")
+            // rel is a space-separated token list
+            if (canonical.isEmpty &&
+                rel.split("\\s+").contains("canonical"))
+              attr(as, "href").filter(_.nonEmpty).foreach(h => canonical = Some(h))
+          case "html" =>
+            if (lang.isEmpty)
+              attr(attrs, "lang").map(_.trim).filter(_.nonEmpty)
+                .foreach(l => lang = Some(l))
+          case _ =>
+        }
+        i = gt + 1
+      }
+    }
+    Meta(title, desc, canonical, lang, og.result(), jsonld.result())
+  }
+
+  private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
+    val n = s.length
+    val m = needle.length
+    var i = math.max(from, 0)
+    while (i + m <= n) {
+      var k = 0
+      var ok = true
+      while (k < m && ok) {
+        val a = s.charAt(i + k)
+        val b = needle.charAt(k)
+        val al = if (a >= 'A' && a <= 'Z') (a + 32).toChar else a
+        ok = al == b
+        k += 1
+      }
+      if (ok) return i
+      i += 1
+    }
+    -1
+  }
+}

@@ -306,7 +306,7 @@ object HtmlToText {
 
   /** Decoded entity text and the index after it, or (null, _) when
     * the `&` is not a well-formed known entity. */
-  private def decodeEntity(s: String, at: Int): (String, Int) = {
+  private[functions] def decodeEntity(s: String, at: Int): (String, Int) = {
     val semi = s.indexOf(';', at + 1)
     if (semi < 0 || semi - at > 10) return (null, 0)
     val body = s.substring(at + 1, semi)
