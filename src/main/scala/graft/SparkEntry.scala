@@ -886,6 +886,65 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** v12 fixture: the v11 fixture VERBATIM plus the two records the
+    * extraction-confidence gate adjudicates — a CLEAN Type0 PDF
+    * (every CID mapped by its /ToUnicode CMap; must SURVIVE, proving
+    * the gate is a ratio, not a carrier filter) and a no-ToUnicode
+    * SUBSET PDF whose Identity-decoded text reads as perfectly
+    * plausible English (passes length, language, and quality gates —
+    * ONLY the unmapped-code ratio can drop it, which is exactly the
+    * real-web mojibake failure: subset-font CIDs are glyph ids, not
+    * codepoints, and no text-level signal sees it). */
+  private def warcV12FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_v12_v1_${Integer.toHexString(d.hashCode)}")
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            def rec(uri: String, ctype: String, body: Array[Byte],
+                    extra: String = ""): Array[Byte] = {
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+                extra + "\r\n").getBytes("ISO-8859-1") ++ body
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: $uri\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n")
+                .getBytes("ISO-8859-1") ++
+                http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+            }
+            val noindexed = rec(s"http://ex.com/n/$id", "text/html",
+              (s"<p>secret page $id would pass every gate " +
+                "but the publisher opted out.</p>").getBytes("UTF-8"),
+              "X-Robots-Tag: noindex\r\n")
+            val foreign = rec(s"http://ex.com/ru/$id", "text/html",
+              s"<p>$ruSample</p>".getBytes("UTF-8"))
+            val gibberish = rec(s"http://ex.com/g/$id", "text/html",
+              "<p>zzz 0101 #### @@@@ !!!! 0101 zzz qqq 0101 xxxx</p>"
+                .getBytes("UTF-8"))
+            val cleanPdf = rec(s"http://ex.com/t0/$id", "application/pdf",
+              graft.sources.Pdf.buildType0Pdf(Seq(Seq(
+                s"Clean type0 page $id keeps the words that the gate needs.")),
+                xrefStream = id % 2 == 0))
+            val subsetPdf = rec(s"http://ex.com/sub/$id", "application/pdf",
+              graft.sources.Pdf.buildType0PdfNoToUnicode(Seq(Seq(
+                s"Subset font page $id would pass the other gates easily."))))
+            val b = warcV9Fixture(id) ++ noindexed ++ foreign ++ gibberish ++
+              cleanPdf ++ subsetPdf
+            if (id % 4 == 1) gzipBytes(b) else b
+          }
+        val tmp = java.io.File.createTempFile("w12tmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6505,6 +6564,46 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q320 — curation v12: v11 plus the EXTRACTION-CONFIDENCE gate.
+    // The router now surfaces type0_codes/type0_unmapped (q314's
+    // mojibake signal) on every routed record, so the streaming
+    // capstone gates subset-font PDFs whose Identity-decoded text is
+    // indistinguishable from clean text at the text level — the
+    // planted no-ToUnicode record reads as plain English and passes
+    // EVERY other gate; only `unmapped * 5 <= codes` can drop it.
+    // The planted clean Type0 record must SURVIVE (the gate is a
+    // ratio, not a carrier filter). Still join-free: one streaming
+    // pass, declarative gates, two WindowGroupLimit keep-firsts.
+    "q320_curation_v12" -> ((s, d) => {
+      import s.implicits._
+      val pages = graft.sources.Warc.warcPathsDocText(
+          s, warcV12FixturePaths(s, d))
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+      val gated = pages
+        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
+        .where(length(col("text")) >= 20)
+        .where(col("type0_unmapped") * 5 <= col("type0_codes"))
+      val signed = graft.llm.LangId.withCrawlLang(gated, "text")
+        .where(!(col("lang_total") >= 8 && col("pred_lang") =!= "en"))
+        .where(graft.functions.TextFunctions.qualityScore(col("text"))
+          >= 0.3)
+        .withColumn("url_canon", graft.functions.CanonicalUrl(col("url")))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+        .orderBy(col("media_id"), col("record_idx"))
+      val urlKept = signed.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val textW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(textW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("url_canon").as("url"), col("pred_lang"), col("lang_total"),
+          col("type0_codes"), col("type0_unmapped"), col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
     "q308_curation_v10" -> ((s, d) => {
       import s.implicits._
       val pages = graft.sources.Warc.warcPathsDocText(
@@ -12012,6 +12111,57 @@ object SparkEntry {
         |        ORDER BY media_id, record_idx) AS rn2 FROM q)
         |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
         |  carrier, canon AS url, pred_lang, lang_total, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // v12 = v11's survivor set (each row now carrying 0/0 confidence
+    // counters) + the planted clean Type0 PDF (codes = its line
+    // length, 0 unmapped — survives) — the no-ToUnicode subset plant
+    // is GONE even though its text is clean English: only the
+    // unmapped-ratio gate can see it.
+    "q320_curation_v12" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon, 'en' AS pred_lang,
+        |    CAST(2 AS BIGINT) AS lang_total,
+        |    CAST(0 AS BIGINT) AS type0_codes,
+        |    CAST(0 AS BIGINT) AS type0_unmapped,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf',
+        |    'http://ex.com/d/' || doc_id || '.pdf', 'ar', CAST(0 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown',
+        |    'http://ex.com/m/' || doc_id, 'ca', CAST(2 AS BIGINT),
+        |    CAST(0 AS BIGINT), CAST(0 AS BIGINT),
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 9, 'pdf',
+        |    'http://ex.com/t0/' || doc_id, 'en', CAST(3 AS BIGINT),
+        |    CAST(LENGTH('Clean type0 page ' || doc_id ||
+        |      ' keeps the words that the gate needs.') AS BIGINT),
+        |    CAST(0 AS BIGINT),
+        |    'Clean type0 page ' || doc_id ||
+        |      ' keeps the words that the gate needs.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, pred_lang, lang_total,
+        |  type0_codes, type0_unmapped, text
         |FROM c WHERE rn2 = 1
         |ORDER BY media_id, record_idx""".stripMargin,
 

@@ -383,17 +383,26 @@ object Warc {
     * ([[warcPathsDocTextObserved]]): a 2xx response record with a
     * routable content type yields (carrier, text); everything else
     * yields None. New carriers are added HERE and exist on both
-    * doors at once. */
-  private def routeDocRecord(r: WarcRecord): Option[(String, String)] = {
+    * doors at once.
+    *
+    * Besides (carrier, text) every routed record carries its
+    * extraction-confidence counters — today only the PDF Type0 path
+    * has one (codes decoded vs codes the /ToUnicode CMap left to the
+    * Identity fallback, the q314 mojibake signal); every other
+    * carrier reports (0, 0), which the curation gate
+    * `unmapped * 5 <= codes` passes vacuously. */
+  private def routeDocRecord(r: WarcRecord): Option[(String, String, Long, Long)] = {
     val ok = r.warcType.equalsIgnoreCase("response") &&
       r.httpStatus.exists(s => s >= 200 && s < 300) && r.body.nonEmpty
     val ct = r.contentType.map(_.toLowerCase(java.util.Locale.ROOT))
-    if (!ok) None
-    else if (ct.exists(_.startsWith("text/html"))) {
+    if (!ok) return None
+    if (ct.exists(_.startsWith("application/pdf")))
+      return Pdf.extractPdfText(r.body)
+        .map(t => ("pdf", t.text, t.type0Codes, t.type0Unmapped))
+    val routed: Option[(String, String)] =
+    if (ct.exists(_.startsWith("text/html"))) {
       val (html, _) = decodeHtml(r.body, r.contentType)
       Some(("html", graft.functions.HtmlToText.clean(html)))
-    } else if (ct.exists(_.startsWith("application/pdf"))) {
-      Pdf.extractPdfText(r.body).map(t => ("pdf", t.text))
     } else if (ct.exists(c => c.startsWith("text/markdown") ||
         c.startsWith("text/x-markdown"))) {
       val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
@@ -435,6 +444,7 @@ object Warc {
     } else if (ct.exists(_.startsWith("application/epub+zip"))) {
       OfficeText.epubText(r.body).map(("epub", _))
     } else None
+    routed.map { case (c, t) => (c, t, 0L, 0L) }
   }
 
   /** [[warcDocText]] plus the fence-counter Observation. */
@@ -447,17 +457,18 @@ object Warc {
       .flatMap { case (id, p) =>
         val parse = parseWarcOutcome(p, maxRecords, maxBody)
         val rows = parse.records.flatMap { r =>
-          routeDocRecord(r).map { case (carrier, text) =>
+          routeDocRecord(r).map { case (carrier, text, codes, unmapped) =>
             (id, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, null.asInstanceOf[String], 0)
           }
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
-          null.asInstanceOf[String], None: Option[String], parse.endReason,
-          parse.truncatedBodies))
+          null.asInstanceOf[String], None: Option[String], 0L, 0L,
+          parse.endReason, parse.truncatedBodies))
       }
       .toDF("media_id", "record_idx", "url", "carrier", "text",
-        "x_robots", "__end_reason", "__truncated_n")
+        "x_robots", "type0_codes", "type0_unmapped",
+        "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
@@ -483,18 +494,18 @@ object Warc {
     val raw = spark.createDataset(paths).repartition(n)
       .flatMap { path =>
         streamRows[(String, Int, Option[String], String, String,
-            Option[String], String, Int)](
+            Option[String], Long, Long, String, Int)](
           path, maxBody, maxRecords,
-          r => routeDocRecord(r).map { case (carrier, text) =>
+          r => routeDocRecord(r).map { case (carrier, text, codes, unmapped) =>
             (path, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, null.asInstanceOf[String], 0)
           },
           (reason, tb) => (path, -1, None: Option[String],
             null.asInstanceOf[String], null.asInstanceOf[String],
-            None: Option[String], reason, tb))
+            None: Option[String], 0L, 0L, reason, tb))
       }
       .toDF("path", "record_idx", "url", "carrier", "text", "x_robots",
-        "__end_reason", "__truncated_n")
+        "type0_codes", "type0_unmapped", "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
