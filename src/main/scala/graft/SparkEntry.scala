@@ -6677,6 +6677,42 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q321 — FLAC lossless audio decode ([[graft.sources.Flac]]):
+    // the audio tier's VP8L — full sample reconstruction pure JVM
+    // from RFC 9639 (frame walk with CRC-8/16, CONSTANT / VERBATIM /
+    // FIXED / quantized-LPC subframes, Rice residuals with
+    // partitions, mid/side stereo decorrelation). Five writer
+    // variants by id%5 encode the SAME deterministic sample
+    // formulas, so one oracle covers every subframe type and the
+    // stereo path: a decoder that shortcuts any of them fails that
+    // id class's sums. Escape/wasted-bits forms are pinned by
+    // FlacSpec's independent hand-assembled bitstreams. Map-only
+    // flatMap byte kernel; samples never shuffle.
+    "q321_flac_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "flac? no".getBytes("UTF-8"))
+        else {
+          val n = (48 + (id % 3) * 16).toInt
+          def mono(f: Int => Int) = Seq(Array.tabulate(n)(f))
+          val (chans, variant) = (id % 5) match {
+            case 0 => (mono(i => ((id * 7 + i * 13) % 401 - 200).toInt), "verbatim")
+            case 1 => (mono(_ => ((id * 11) % 300 - 150).toInt), "constant")
+            case 2 => (mono(i => ((id * 7 + i * 13) % 401 - 200).toInt), "fixed2")
+            case 3 => (mono(i => ((id * 7 + i * 13) % 401 - 200).toInt), "lpc2")
+            case _ => (Seq(
+              Array.tabulate(n)(i => ((id * 5 + i * 11) % 401 - 200).toInt),
+              Array.tabulate(n)(i => ((id * 3 + i * 17) % 401 - 200).toInt)),
+              "midside")
+          }
+          (id, graft.sources.Flac.buildFlac(chans, 44100, 16, 16, variant))
+        }
+      }.toDF("doc_id", "flac")
+      graft.sources.Flac.describeFlac(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "flac", "audio"))
+        .orderBy("media_id")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -12224,6 +12260,40 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE ys END AS y_sum,
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE us END AS u_sum,
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE vs END AS v_sum
+        |FROM s
+        |ORDER BY media_id""".stripMargin,
+
+    // The lossless-audio decode stated: each id class's sample
+    // formulas summed exactly (FLAC is lossless, the writer replays
+    // the same integers), peak = max |sample| over all channels,
+    // stereo only on the mid/side arm.
+    "q321_flac_decode" ->
+      """WITH d AS (SELECT doc_id, 48 + (doc_id % 3) * 16 AS n,
+        |             doc_id % 5 AS v FROM documents),
+        |px AS (SELECT doc_id, n, v,
+        |         CASE WHEN v = 1 THEN (doc_id*11) % 300 - 150
+        |              WHEN v = 4 THEN (doc_id*5 + i*11) % 401 - 200
+        |              ELSE (doc_id*7 + i*13) % 401 - 200 END AS c0,
+        |         CASE WHEN v = 4 THEN (doc_id*3 + i*17) % 401 - 200 END AS c1
+        |       FROM d, generate_series(0, 79) g(i) WHERE i < n),
+        |s AS (SELECT doc_id, n, v,
+        |        CAST(SUM(c0) AS BIGINT) AS s0,
+        |        CAST(SUM(c1) AS BIGINT) AS s1,
+        |        CAST(MAX(GREATEST(ABS(c0), COALESCE(ABS(c1), 0))) AS BIGINT)
+        |          AS pk
+        |      FROM px GROUP BY doc_id, n, v)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 'flac' END AS format,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 44100 END AS sample_rate,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN v = 4 THEN 2 ELSE 1 END AS channels,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 16 END AS bits,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(n AS BIGINT) END AS n_samples,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE s0 END AS sum_ch0,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE s1 END AS sum_ch1,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE pk END AS peak_abs
         |FROM s
         |ORDER BY media_id""".stripMargin,
 

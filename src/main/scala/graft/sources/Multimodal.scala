@@ -3882,6 +3882,23 @@ object Multimodal {
               MediaInspectRow(id, Some("wav"), None, None, None, None, None,
                 None, Some(s.sampleRate), Some(s.nFrames),
                 Some(s.peakRaw), Some(s.sumSq)))
+          else if (Flac.looksLikeFlac(p))
+            // lossless audio: full sample decode ([[Flac]]); stats in
+            // the stream's native bit depth
+            Flac.decodeFlac(p).fold(none(id)) { d =>
+              val n = if (d.samples.isEmpty) 0L else d.samples(0).length.toLong
+              var peak = 0L; var sq = 0L
+              d.samples.foreach { a =>
+                var i = 0
+                while (i < a.length) {
+                  val v = a(i).toLong
+                  if (math.abs(v) > peak) peak = math.abs(v)
+                  sq += v * v; i += 1
+                }
+              }
+              MediaInspectRow(id, Some("flac"), None, None, None, None, None,
+                None, Some(d.sampleRate), Some(n), Some(peak), Some(sq))
+            }
           else if (Pdf.looksLikePdf(p))
             // document carrier: name it so curation can route the
             // payload to [[Pdf.describePdf]]; stats stay None (text
