@@ -6713,6 +6713,36 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q322 — Ogg container walk ([[graft.sources.Ogg]]): page-level
+    // facts of the web's streaming-audio container — CRC-verified
+    // pages, packet accounting from lacing (incl. a 255-spanning
+    // packet on every 7th id), Vorbis/Opus ID headers, duration from
+    // the last granule (Opus subtracts the 312-sample pre-skip at
+    // 48 kHz). Codec-payload decode is the MP3-class non-goal; these
+    // are the container facts curation filters on. Map-only flatMap.
+    "q322_ogg_info" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "ogg? no".getBytes("UTF-8"))
+        else {
+          val vorbis = id % 2 == 0
+          val rate = if (vorbis) (8000 * (1 + id % 4)).toInt else 16000
+          val granule =
+            if (vorbis) rate.toLong * (3 + id % 5)
+            else 48000L * (2 + id % 4) + 312
+          (id, graft.sources.Ogg.buildOgg(
+            serial = id, codec = if (vorbis) "vorbis" else "opus",
+            channels = (1 + id % 3).toInt, rate = rate,
+            nDataPages = (1 + id % 3).toInt,
+            packetsPerPage = (2 + id % 2).toInt,
+            lastGranule = granule, spanPacket = id % 7 == 0))
+        }
+      }.toDF("doc_id", "ogg")
+      graft.sources.Ogg.describeOgg(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "ogg", "audio"))
+        .orderBy("media_id", "stream_idx")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -12295,6 +12325,41 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE s1 END AS sum_ch1,
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE pk END AS peak_abs
         |FROM s
+        |ORDER BY media_id""".stripMargin,
+
+    // The container walk stated: page and packet counts from the
+    // writer's shape, duration by integer division (Opus minus the
+    // 312 pre-skip at 48 kHz), the spanning packet counted once.
+    "q322_ogg_info" ->
+      """WITH d AS (SELECT doc_id,
+        |    doc_id % 2 = 0 AS vorbis,
+        |    CASE WHEN doc_id % 2 = 0 THEN 8000 * (1 + doc_id % 4)
+        |         ELSE 16000 END AS rate,
+        |    1 + doc_id % 3 AS pages,
+        |    2 + doc_id % 2 AS ppp,
+        |    CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END AS span
+        |  FROM documents),
+        |g AS (SELECT *, CASE WHEN vorbis THEN rate * (3 + doc_id % 5)
+        |                     ELSE 48000 * (2 + doc_id % 4) + 312
+        |                END AS granule FROM d)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS stream_idx,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE doc_id END AS serial,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN vorbis THEN 'vorbis' ELSE 'opus' END AS codec,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1 + doc_id % 3 AS INTEGER) END AS channels,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(rate AS INTEGER) END AS sample_rate,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(pages + 1 AS INTEGER) END AS n_pages,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1 + pages * ppp + span AS BIGINT) END AS n_packets,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE granule END
+        |    AS last_granule,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN vorbis THEN granule * 1000 // rate
+        |       ELSE (granule - 312) * 1000 // 48000 END AS duration_ms
+        |FROM g
         |ORDER BY media_id""".stripMargin,
 
     "q307_webp_decode" ->

@@ -3899,6 +3899,12 @@ object Multimodal {
               MediaInspectRow(id, Some("flac"), None, None, None, None, None,
                 None, Some(d.sampleRate), Some(n), Some(peak), Some(sq))
             }
+          else if (Ogg.looksLikeOgg(p))
+            // streaming-audio container: name it so curation routes
+            // the payload to [[Ogg.describeOgg]] (codec payloads are
+            // the MP3-class non-goal; container facts live there)
+            MediaInspectRow(id, Some("ogg"), None, None, None, None, None,
+              None, None, None, None, None)
           else if (Pdf.looksLikePdf(p))
             // document carrier: name it so curation can route the
             // payload to [[Pdf.describePdf]]; stats stay None (text
