@@ -2574,6 +2574,32 @@ object SparkEntry {
         .orderBy(desc("freq"), col("pair"))
         .limit(20)),
 
+    // Q323 — unigram-LM tokenizer training round ([[graft.llm
+    // .Unigram]]): the SentencePiece-family sibling of q108's BPE —
+    // seed a candidate vocabulary from substring statistics (every
+    // char + top-200 substrings of length 2–4 by count-weighted
+    // frequency), then run one hard-EM round: the Viterbi E-step
+    // segments every distinct word with the ORACLE-EXACT integer
+    // objective (fewest pieces, then largest total piece frequency,
+    // then lexicographically smallest sequence — the integer skeleton
+    // of max-Σlog p; differential-pinned against brute-force
+    // enumeration in UnigramSpec) and the M-step re-counts usage.
+    // Scale: everything over the DISTINCT-WORD table weighted by
+    // count (q108's lesson — vocabulary-sized, never corpus-token-
+    // sized); the vocab is bounded (chars + 200) so it bakes into ONE
+    // native expression — map-only E-step, one M-step shuffle.
+    "q323_unigram_train" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "" && length(col("w")).between(2, 12))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val vocab = graft.llm.Unigram.seedVocab(words, "w", "c",
+          maxPieceLen = 4, topK = 200, minFreq = 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      graft.llm.Unigram.usageCounts(words, "w", "c", vocab)
+        .orderBy(desc("usage"), col("piece")).limit(100)
+    }),
+
     // Q113 — TF-IDF top-5 terms per document. One big shuffle (the
     // (doc, term) count); the document-frequency side is
     // vocabulary-sized and joins back on the term key; the corpus size
@@ -9014,6 +9040,55 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // The full trainer replayed: seed (chars + top-200 substrings),
+    // Viterbi by exhaustive enumeration (the corpus vocabulary is
+    // small enough to enumerate; the engine's DP is additionally
+    // differential-pinned in UnigramSpec), hard-EM usage counts.
+    // Every join is an equi-join on precomputed columns.
+    "q323_unigram_train" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w
+        |         FROM documents),
+        |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |          WHERE w <> '' AND LENGTH(w) BETWEEN 2 AND 12 GROUP BY w),
+        |subs AS (SELECT piece, freq FROM (
+        |    SELECT SUBSTRING(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS freq
+        |    FROM words, generate_series(2, 4) gl(l), generate_series(1, 12) gi(i)
+        |    WHERE i <= LENGTH(w) - l + 1
+        |    GROUP BY 1 HAVING SUM(c) >= 2)
+        |  ORDER BY freq DESC, piece LIMIT 200),
+        |chars AS (SELECT SUBSTRING(w, i, 1) AS piece,
+        |            CAST(SUM(c) AS BIGINT) AS freq
+        |          FROM words, generate_series(1, 12) gi(i)
+        |          WHERE i <= LENGTH(w) GROUP BY 1),
+        |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM subs),
+        |hits AS (SELECT c.w, c.pos, c.l, v.piece, v.freq
+        |         FROM (SELECT w.w, gi.i AS pos,
+        |                 SUBSTRING(w.w, gi.i + 1, gl.l) AS sub, gl.l
+        |               FROM words w, generate_series(0, 11) gi(i),
+        |                    generate_series(1, 4) gl(l)
+        |               WHERE gi.i + gl.l <= LENGTH(w.w)) c
+        |         JOIN vocab v ON v.piece = c.sub),
+        |p AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST(0 AS BIGINT) AS fs,
+        |    '' AS joined FROM words
+        |  UNION ALL
+        |  SELECT p.w, p.pos + h.l, p.np + 1, p.fs + h.freq,
+        |    CASE WHEN p.joined = '' THEN h.piece
+        |         ELSE p.joined || ' ' || h.piece END
+        |  FROM p JOIN hits h ON h.w = p.w AND h.pos = p.pos),
+        |best AS (SELECT w, joined, ROW_NUMBER() OVER (PARTITION BY w
+        |           ORDER BY np, fs DESC, joined) AS rk
+        |         FROM p WHERE pos = LENGTH(w)),
+        |segs AS (SELECT b.w, UNNEST(STRING_SPLIT(b.joined, ' ')) AS piece
+        |         FROM best b WHERE rk = 1),
+        |usage AS (SELECT s.piece, CAST(SUM(words.c) AS BIGINT) AS usage,
+        |            CAST(COUNT(DISTINCT s.w) AS BIGINT) AS n_words
+        |          FROM segs s JOIN words ON words.w = s.w
+        |          GROUP BY s.piece)
+        |SELECT piece, usage, n_words FROM usage
+        |ORDER BY usage DESC, piece LIMIT 100""".stripMargin,
 
     "q113_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents),

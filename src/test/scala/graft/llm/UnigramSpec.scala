@@ -1,0 +1,96 @@
+package graft.llm
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Unigram]] + [[graft.functions.UnigramSegment]]: the DP
+  * against brute-force enumeration of every segmentation, the tie
+  * cascade, unknown-char fallback, and the seed/usage surfaces. */
+class UnigramSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def table(v: (String, Long)*): java.util.HashMap[String, java.lang.Long] = {
+    val m = new java.util.HashMap[String, java.lang.Long]()
+    v.foreach { case (p, f) => m.put(p, java.lang.Long.valueOf(f)) }
+    m
+  }
+
+  private def dp(w: String, v: Seq[(String, Long)]): Seq[String] =
+    graft.functions.UnigramSegment.segment(w, table(v: _*),
+      math.max(1, v.map(_._1.length).maxOption.getOrElse(1))).toSeq
+
+  /** Brute force: enumerate EVERY segmentation (vocab pieces +
+    * freq-0 single-char fallback), pick by the documented triple. */
+  private def brute(w: String, v: Seq[(String, Long)]): Seq[String] = {
+    val m = v.toMap
+    def all(s: String): Seq[Seq[String]] =
+      if (s.isEmpty) Seq(Seq.empty)
+      else (1 to s.length).flatMap { l =>
+        val p = s.take(l)
+        if (m.contains(p) || l == 1) all(s.drop(l)).map(p +: _) else Seq.empty
+      }
+    all(w).minBy(seq =>
+      (seq.length, -seq.map(p => m.getOrElse(p, 0L)).sum, seq.mkString(" ")))
+  }
+
+  test("differential: DP == brute force over random words and vocabs") {
+    val rnd = new scala.util.Random(42)
+    val alphabet = "abcde"
+    (0 until 300).foreach { _ =>
+      val w = (0 until (2 + rnd.nextInt(9)))
+        .map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+      val nPieces = 1 + rnd.nextInt(8)
+      val vocab = ((0 until nPieces).map { _ =>
+        val l = 1 + rnd.nextInt(3)
+        val p = (0 until l).map(_ => alphabet(rnd.nextInt(alphabet.length))).mkString
+        p -> (rnd.nextInt(20).toLong)
+      } ++ alphabet.map(c => c.toString -> 1L)).distinct
+        .groupBy(_._1).map { case (p, fs) => p -> fs.map(_._2).max }.toSeq
+      assert(dp(w, vocab) == brute(w, vocab), s"word=$w vocab=$vocab")
+    }
+  }
+
+  test("tie cascade: fewest pieces beats frequency; frequency beats " +
+       "lexicographic; lexicographic breaks the rest") {
+    // "abab": ("abab",1) wins over ("ab",100)+("ab",100): 1 piece < 2
+    assert(dp("abab", Seq("abab" -> 1L, "ab" -> 100L)) == Seq("abab"))
+    // equal count: ("ab","cd") sum 10 beats ("abc","d"... ) no —
+    // construct: "abcd" as ab+cd (5+5=10) vs abc+d (6+3=9)
+    assert(dp("abcd", Seq("ab" -> 5L, "cd" -> 5L, "abc" -> 6L, "d" -> 3L,
+      "a" -> 1L, "b" -> 1L, "c" -> 1L)) == Seq("ab", "cd"))
+    // equal count AND freq: lexicographically smaller sequence wins:
+    // "aa" + "b" vs "a" + "ab": ["a","ab"] < ["aa","b"]
+    assert(dp("aab", Seq("aa" -> 3L, "b" -> 2L, "a" -> 2L, "ab" -> 3L))
+      == Seq("a", "ab"))
+  }
+
+  test("unknown single chars fall back at frequency 0 (total coverage)") {
+    assert(dp("xq", Seq("a" -> 5L)) == Seq("x", "q"))
+    assert(dp("axa", Seq("a" -> 5L)) == Seq("a", "x", "a"))
+    assert(dp("", Seq("a" -> 1L)) == Seq.empty)
+  }
+
+  test("seedVocab: every char covered, topK substrings by (freq desc, " +
+       "piece asc), overlapping occurrences counted, count-weighted") {
+    val words = Seq(("aaab", 2L), ("ab", 3L)).toDF("w", "c")
+    val v = Unigram.seedVocab(words, "w", "c", maxPieceLen = 2,
+      topK = 3, minFreq = 2L).collect()
+      .map(r => (r.getString(0), r.getLong(1))).toMap
+    // chars: a freq 2*3+3 = 9, b freq 2+3 = 5
+    assert(v("a") == 9L && v("b") == 5L)
+    // substrings len 2: "aa" occurs 2x in aaab (overlap) -> 4;
+    // "ab" once in each word -> 2+3 = 5
+    assert(v("aa") == 4L && v("ab") == 5L)
+  }
+
+  test("usageCounts runs one exact hard-EM round") {
+    val words = Seq(("abab", 2L), ("abc", 1L)).toDF("w", "c")
+    val vocab = Seq("ab" -> 10L, "a" -> 1L, "b" -> 1L, "c" -> 1L)
+    val u = Unigram.usageCounts(words, "w", "c", vocab).collect()
+      .map(r => (r.getString(0), (r.getLong(1), r.getLong(2)))).toMap
+    // abab -> [ab, ab] (weight 2); abc -> [ab, c]
+    assert(u("ab") == ((2L * 2 + 1, 2L)))
+    assert(u("c") == ((1L, 1L)))
+    assert(!u.contains("a"))
+  }
+}
