@@ -3911,6 +3911,21 @@ object Multimodal {
             // extraction is that tier's job, not this sniffer's)
             MediaInspectRow(id, Some("pdf"), None, None, None, None, None,
               None, None, None, None, None)
+          else if (u8(0) == 0xd0 && u8(1) == 0xcf && u8(2) == 0x11 &&
+                   u8(3) == 0xe0) {
+            // OLE2/CFB compound file: name the legacy Office carrier
+            // by its directory streams so curation can route it to
+            // [[Ole2.docToText]]/xlsToText/pptToText
+            val names = Ole2.readCfb(p).map(_.map(_.name).toSet)
+              .getOrElse(Set.empty[String])
+            val fmt =
+              if (names.contains("WordDocument")) "doc"
+              else if (names.contains("Workbook") || names.contains("Book")) "xls"
+              else if (names.contains("PowerPoint Document")) "ppt"
+              else "cfb"
+            MediaInspectRow(id, Some(fmt), None, None, None, None, None,
+              None, None, None, None, None)
+          }
           else if (u8(0) == 'P' && u8(1) == 'K' &&
                    (u8(2) == 3 || u8(2) == 5 || u8(2) == 7)) {
             // ZIP family: name the document containers so curation can

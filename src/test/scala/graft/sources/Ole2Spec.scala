@@ -209,4 +209,20 @@ class Ole2Spec extends graft.SparkSpec {
       Ole2.pptToText(mut)
     }
   }
+
+  test("inspectMedia names OLE2 carriers: doc / xls / ppt / bare cfb") {
+    import org.apache.spark.sql.functions.col
+    import spark.implicits._
+    val pay = Seq(
+      (1L, Ole2.buildDoc(Seq("legacy word text"))),
+      (2L, Ole2.buildXls(Seq(Seq("cell")))),
+      (3L, Ole2.buildPpt(Seq(Seq("slide")))),
+      (4L, Ole2.buildCfb(Seq(("SomethingElse", "x".getBytes("UTF-8")))))
+    ).toDF("doc_id", "payload")
+    val rows = Multimodal.inspectMedia(
+        Multimodal.asMedia(pay, "doc_id", "payload", "doc"))
+      .orderBy("media_id").collect()
+    assert(rows.map(_.getAs[String]("format")).toSeq ==
+      Seq("doc", "xls", "ppt", "cfb"))
+  }
 }
