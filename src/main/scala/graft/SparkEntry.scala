@@ -6769,6 +6769,34 @@ object SparkEntry {
         .orderBy("media_id", "stream_idx")
     }),
 
+    // Q324 — ID3 tag walk ([[graft.sources.Id3]]): the metadata the
+    // MP3 frame walk (q251 family) skips — v2.2/v2.3/v2.4 by id%3
+    // (3-byte, plain-32-bit, and syncsafe frame sizes respectively),
+    // all four text encodings across the fixture (latin1 title,
+    // BOM'd UTF-16 artist, UTF-8 album + TDRC on v2.4, UTF-16BE
+    // genre on v2.4), and every 4th id drops the v2 album so the
+    // ID3v1 trailer fallback is load-bearing. Map-only flatMap.
+    "q324_id3_tags" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "id3? no".getBytes("UTF-8"))
+        else {
+          val major = (2 + id % 3).toInt
+          val album = if (id % 4 == 0) None else Some(s"Album $id")
+          (id, graft.sources.Id3.buildId3(major,
+            title = s"Song $id café",
+            artist = s"Artist — $id",
+            album = album,
+            year = s"${1960 + id % 60}",
+            genre = if (major == 4) s"Жанр $id" else s"Genre ${id % 7}",
+            v1Album = if (id % 4 == 0) Some(s"V1 $id") else None))
+        }
+      }.toDF("doc_id", "mp3")
+      graft.sources.Id3.describeId3(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "mp3", "audio"))
+        .orderBy("media_id")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -12435,6 +12463,32 @@ object SparkEntry {
         |       WHEN vorbis THEN granule * 1000 // rate
         |       ELSE (granule - 312) * 1000 // 48000 END AS duration_ms
         |FROM g
+        |ORDER BY media_id""".stripMargin,
+
+    // The tag walk stated: per-arm field strings (é = chr(233), the
+    // em-dash = chr(8212)), the v1-trailer album on every 4th id,
+    // frame count 4 when the v2 album frame is absent.
+    "q324_id3_tags" ->
+      """WITH d AS (SELECT doc_id, 2 + doc_id % 3 AS major FROM documents)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE '2.' || major END AS version,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 'Song ' || doc_id || ' caf' || chr(233) END AS title,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 'Artist ' || chr(8212) || ' ' || doc_id END AS artist,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 'V1 ' || doc_id
+        |       ELSE 'Album ' || doc_id END AS album,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(1960 + doc_id % 60 AS VARCHAR) END AS year,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN major = 4 THEN chr(1046) || chr(1072) || chr(1085) ||
+        |         chr(1088) || ' ' || doc_id
+        |       ELSE 'Genre ' || (doc_id % 7) END AS genre,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 4 = 0 THEN 4 ELSE 5 END AS n_frames
+        |FROM d
         |ORDER BY media_id""".stripMargin,
 
     "q307_webp_decode" ->
