@@ -2600,6 +2600,31 @@ object SparkEntry {
         .orderBy(desc("usage"), col("piece")).limit(100)
     }),
 
+    // Q325 — Z-order layout key ([[graft.functions.ZValue]]): the
+    // multi-dimensional clustering primitive behind z-ordered table
+    // layout — interleave the (bucketed) dimension bits so ONE sort
+    // gives min/max data-skipping locality on EVERY dimension, where
+    // a lexicographic sort bounds only its first column. At 100 TB
+    // the layout move is `repartitionByRange(z) +
+    // sortWithinPartitions(z)` at write time; this row proves the
+    // key: grouped by the top 4 z bits, every bucket's min/max
+    // RECTANGLE bounds both dimensions to a quarter of their range
+    // (the data-skipping property), all in exact bit arithmetic the
+    // oracle replays. Map-only key + one partial-agg rollup.
+    "q325_zorder_layout" -> ((s, d) =>
+      li(s, d)
+        .select(pmod(col("l_partkey"), lit(32)).cast("long").as("p"),
+          pmod(col("l_suppkey"), lit(32)).cast("long").as("sp"))
+        .select(col("p"), col("sp"),
+          graft.functions.ZValue(array(col("p"), col("sp")), 5).as("z"))
+        .withColumn("zbucket", (col("z") / 64).cast("long"))
+        .groupBy("zbucket")
+        .agg(count(lit(1)).as("n"),
+          min(col("p")).as("min_p"), max(col("p")).as("max_p"),
+          min(col("sp")).as("min_sp"), max(col("sp")).as("max_sp"),
+          min(col("z")).as("min_z"), max(col("z")).as("max_z"))
+        .orderBy("zbucket")),
+
     // Q113 — TF-IDF top-5 terms per document. One big shuffle (the
     // (doc, term) count); the document-frequency side is
     // vocabulary-sized and joins back on the term key; the corpus size
@@ -9068,6 +9093,22 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // The interleave replayed bit-by-bit: z = Σ_b ((p>>b)&1)·4^b·1 +
+    // ((sp>>b)&1)·4^b·2 over the 10 bucketed bits.
+    "q325_zorder_layout" ->
+      """WITH k AS (SELECT l_partkey % 32 AS p, l_suppkey % 32 AS sp
+        |           FROM lineitem),
+        |z AS (SELECT p, sp,
+        |        (SELECT CAST(SUM((((p >> b) & 1) << (2*b)) +
+        |                        (((sp >> b) & 1) << (2*b + 1))) AS BIGINT)
+        |         FROM generate_series(0, 4) g(b)) AS z
+        |      FROM k)
+        |SELECT z // 64 AS zbucket, COUNT(*) AS n,
+        |  MIN(p) AS min_p, MAX(p) AS max_p,
+        |  MIN(sp) AS min_sp, MAX(sp) AS max_sp,
+        |  MIN(z) AS min_z, MAX(z) AS max_z
+        |FROM z GROUP BY 1 ORDER BY zbucket""".stripMargin,
 
     // The full trainer replayed: seed (chars + top-200 substrings),
     // Viterbi by exhaustive enumeration (the corpus vocabulary is
