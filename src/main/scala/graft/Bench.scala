@@ -393,7 +393,13 @@ object Bench {
       // round-16: the lossy VP8 keyframe decoder (bool-coded tokens +
       // intra prediction + IDCT + loop filter — the heaviest
       // per-byte decode kernel in the media tier)
-      "q311_webp_lossy")
+      "q311_webp_lossy",
+      // round-16 session 2: the FLAC decode kernel (the audio tier's
+      // newest byte kernel — Rice + LPC + stereo decorrelation per
+      // sample) and curation v12, the full-signal streaming capstone
+      // now carrying the extraction-confidence gate (supersedes v11
+      // as the tracked end-to-end pipeline)
+      "q321_flac_decode", "q320_curation_v12")
 
     def time(f: => Unit): Double = {
       val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9

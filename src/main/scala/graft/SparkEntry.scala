@@ -6822,6 +6822,43 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q327 — robots.txt scheduler directives ([[graft.functions
+    // .RobotsCrawlDelay]] / [[RobotsSitemaps]]): the fetch-rate and
+    // frontier-seed outputs a crawl scheduler reads from the SAME
+    // robots.txt the allow/deny gate (q282 family) parses — group-
+    // scoped Crawl-delay with RFC 9309 agent selection (an exact
+    // group WITHOUT a delay does NOT fall back to *, every 3rd id
+    // pins that), fractional delays rounding up, and group-
+    // independent Sitemap lines in document order. Map-only
+    // declarative columns over the robots fixture.
+    "q327_robots_directives" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val sb = new StringBuilder
+        sb.append("User-agent: graftbot\n")
+        if (id % 3 != 0) sb.append(s"Crawl-delay: ${1 + id % 5}.5\n")
+        sb.append(s"Disallow: /private/$id\n\n")
+        sb.append("User-agent: *\n")
+        sb.append(s"Crawl-delay: ${10 + id % 7}\n")
+        sb.append("Allow: /\n\n")
+        sb.append(s"Sitemap: https://ex.com/$id/s1.xml\n")
+        if (id % 2 == 0) sb.append(s"Sitemap: https://ex.com/$id/s2.xml\n")
+        (id, sb.toString)
+      }.toDF("media_id", "rules")
+      pay.withColumn("sm", graft.functions.RobotsSitemaps(col("rules")))
+        .select(col("media_id"),
+          graft.functions.RobotsCrawlDelay(col("rules"), lit("graftbot"))
+            .as("delay_graft"),
+          graft.functions.RobotsCrawlDelay(col("rules"), lit("otherbot"))
+            .as("delay_other"),
+          graft.functions.RobotsAllowed(col("rules"), lit("graftbot"),
+            concat(lit("/private/"), col("media_id"), lit("/x")))
+            .as("allowed_private"),
+          size(col("sm")).as("n_sitemaps"),
+          array_join(col("sm"), ",").as("sitemaps"))
+        .orderBy("media_id")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -9093,6 +9130,23 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // The directives restated: ceil(x.5) = x+1 on the graftbot arm,
+    // no *-fallback when the exact group lacks a delay, sitemap list
+    // in document order.
+    "q327_robots_directives" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 3 = 0 THEN NULL
+        |       ELSE 2 + doc_id % 5 END AS delay_graft,
+        |  10 + doc_id % 7 AS delay_other,
+        |  FALSE AS allowed_private,
+        |  CASE WHEN doc_id % 2 = 0 THEN 2 ELSE 1 END AS n_sitemaps,
+        |  'https://ex.com/' || doc_id || '/s1.xml' ||
+        |    CASE WHEN doc_id % 2 = 0
+        |         THEN ',https://ex.com/' || doc_id || '/s2.xml'
+        |         ELSE '' END AS sitemaps
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
 
     // The interleave replayed bit-by-bit: z = Σ_b ((p>>b)&1)·4^b·1 +
     // ((sp>>b)&1)·4^b·2 over the 10 bucketed bits.

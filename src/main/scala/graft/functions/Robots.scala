@@ -1,7 +1,7 @@
 package graft.functions
 
 import org.apache.spark.sql.Column
-import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression}
+import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
 import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -54,11 +54,60 @@ object RobotsAllowed {
       ColumnBridge.expression(agent), ColumnBridge.expression(path)))
 }
 
+/** The selected group's `Crawl-delay` in whole seconds (fractional
+  * values round UP — the polite direction), or null when no selected
+  * group declares one — the fetch-scheduler input next to
+  * [[RobotsAllowed]]'s yes/no. Same RFC 9309 group selection. */
+case class RobotsCrawlDelay(left: Expression, right: Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with CodegenFallback {
+
+  override def dataType: DataType = LongType
+  override def prettyName: String = "robots_crawl_delay"
+
+  override def nullSafeEval(rules: Any, agent: Any): Any =
+    Robots.crawlDelay(rules.asInstanceOf[UTF8String].toString,
+      agent.asInstanceOf[UTF8String].toString).orNull
+
+  override protected def withNewChildrenInternal(
+      l: Expression, r: Expression): Expression = copy(left = l, right = r)
+}
+
+object RobotsCrawlDelay {
+  def apply(rules: Column, agent: Column): Column =
+    ColumnBridge.column(RobotsCrawlDelay(ColumnBridge.expression(rules),
+      ColumnBridge.expression(agent)))
+}
+
+/** `Sitemap:` URLs in document order (group-independent per RFC
+  * 9309) — the crawl-frontier seed a robots fetch yields besides its
+  * rules. */
+case class RobotsSitemaps(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+  override def prettyName: String = "robots_sitemaps"
+
+  override def nullSafeEval(rules: Any): Any =
+    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+      Robots.sitemapUrls(rules.asInstanceOf[UTF8String].toString)
+        .map(UTF8String.fromString).toArray[Any])
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RobotsSitemaps {
+  def apply(rules: Column): Column =
+    ColumnBridge.column(RobotsSitemaps(ColumnBridge.expression(rules)))
+}
+
 object Robots {
 
   /** One parsed group: lower-cased agent tokens and (pattern,
     * isAllow) rules in file order. */
-  final case class Group(agents: Seq[String], rules: Seq[(String, Boolean)])
+  final case class Group(agents: Seq[String], rules: Seq[(String, Boolean)],
+                         crawlDelay: Option[Long] = None)
 
   /** Parse a robots.txt body into groups (see [[RobotsAllowed]] doc).
     * Unknown directives (crawl-delay, sitemap, …) are skipped but DO
@@ -68,10 +117,11 @@ object Robots {
     val out = Seq.newBuilder[Group]
     var agents = List.empty[String]
     var rules = List.empty[(String, Boolean)]
+    var delay: Option[Long] = None
     var collectingAgents = false
     def flush(): Unit = {
-      if (agents.nonEmpty) out += Group(agents.reverse, rules.reverse)
-      agents = Nil; rules = Nil
+      if (agents.nonEmpty) out += Group(agents.reverse, rules.reverse, delay)
+      agents = Nil; rules = Nil; delay = None
     }
     txt.split("\n", -1).foreach { rawLine =>
       val noComment = {
@@ -96,14 +146,52 @@ object Robots {
               collectingAgents = false
               // empty Disallow = "allow all" by spec: no rule
               if (value.nonEmpty) rules ::= (value, false)
+            case "crawl-delay" =>
+              collectingAgents = false
+              // integer seconds, or a fractional value rounded UP
+              // (the polite direction); junk values are no delay
+              if (delay.isEmpty) delay = value.toDoubleOption
+                .filter(d => d >= 0 && d <= 1e7)
+                .map(d => math.ceil(d).toLong)
             case _ =>
-              collectingAgents = false // crawl-delay, sitemap, junk
+              collectingAgents = false // sitemap, junk
           }
         }
       }
     }
     flush()
     out.result()
+  }
+
+  /** `Sitemap:` URLs in document order. Per RFC 9309 the directive
+    * is group-independent — collected across the whole file. */
+  def sitemapUrls(txt: String): Seq[String] = {
+    if (txt == null) return Nil
+    val out = Seq.newBuilder[String]
+    txt.split("\n", -1).foreach { rawLine =>
+      val line = {
+        val h = rawLine.indexOf('#')
+        (if (h < 0) rawLine else rawLine.substring(0, h)).trim
+      }
+      val c = line.indexOf(':')
+      if (c > 0 &&
+          line.substring(0, c).trim.equalsIgnoreCase("sitemap")) {
+        val v = line.substring(c + 1).trim
+        if (v.nonEmpty) out += v
+      }
+    }
+    out.result()
+  }
+
+  /** The selected group's crawl-delay — RFC 9309 group selection
+    * (exact agent match wins over `*`; see [[allowed]]), first
+    * defined delay among the selected groups in document order. */
+  def crawlDelay(rulesTxt: String, agent: String): Option[Long] = {
+    val groups = parse(rulesTxt)
+    val tok = if (agent == null) "" else agent.toLowerCase(java.util.Locale.ROOT)
+    val exact = groups.filter(g => g.agents.exists(a => a != "*" && a == tok))
+    val sel = if (exact.nonEmpty) exact else groups.filter(_.agents.contains("*"))
+    sel.flatMap(_.crawlDelay).headOption
   }
 
   /** Does a rule pattern (prefix semantics, `*` wildcard, final-`$`

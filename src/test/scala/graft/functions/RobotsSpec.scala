@@ -131,4 +131,53 @@ class RobotsSpec extends AnyFunSuite {
     assert(page("<p>clean</p>", "nofollow"))
     assert(!page("<meta name=robots content=noindex>", "noindex"))
   }
+
+  test("crawl-delay: group-scoped, agent selection as allowed(), " +
+       "fractional rounds up, junk ignored, first defined wins") {
+    val txt =
+      """User-agent: graftbot
+        |Crawl-delay: 2.5
+        |Disallow: /tmp
+        |
+        |User-agent: *
+        |Crawl-delay: 10
+        |Allow: /
+        |
+        |User-agent: slowbot
+        |Crawl-delay: junk
+        |""".stripMargin
+    assert(Robots.crawlDelay(txt, "graftbot").contains(3L)) // ceil(2.5)
+    assert(Robots.crawlDelay(txt, "unknown").contains(10L)) // * group
+    assert(Robots.crawlDelay(txt, "slowbot").isEmpty)       // junk value
+    assert(Robots.crawlDelay("User-agent: *\nDisallow:", "x").isEmpty)
+    assert(Robots.crawlDelay(null, "x").isEmpty)
+    // allowed() semantics unchanged with the directive present
+    assert(!Robots.allowed(txt, "graftbot", "/tmp/x"))
+    assert(Robots.allowed(txt, "anyone", "/page"))
+  }
+
+  test("sitemap URLs: group-independent, document order, comments " +
+       "stripped, the URL's own colon survives") {
+    val txt =
+      """User-agent: *
+        |Disallow: /private
+        |Sitemap: https://ex.com/sitemap1.xml
+        |# Sitemap: https://ex.com/commented.xml
+        |User-agent: bot
+        |sitemap: https://ex.com/sitemap2.xml  # trailing comment
+        |""".stripMargin
+    assert(Robots.sitemapUrls(txt) ==
+      Seq("https://ex.com/sitemap1.xml", "https://ex.com/sitemap2.xml"))
+    assert(Robots.sitemapUrls(null).isEmpty)
+    assert(Robots.sitemapUrls("no directives at all").isEmpty)
+  }
+
+  test("exact-group selection for crawl-delay does not fall back to " +
+       "* when the exact group exists but lacks the directive") {
+    // the q327 fixture's load-bearing arm (the Column surfaces are
+    // oracle-pinned end-to-end by q327)
+    val t = "User-agent: a\nDisallow: /x\nUser-agent: *\nCrawl-delay: 7\n"
+    assert(Robots.crawlDelay(t, "a").isEmpty)
+    assert(Robots.crawlDelay(t, "b").contains(7L))
+  }
 }
