@@ -390,20 +390,26 @@ object Warc {
     * has one (codes decoded vs codes the /ToUnicode CMap left to the
     * Identity fallback, the q314 mojibake signal); every other
     * carrier reports (0, 0), which the curation gate
-    * `unmapped * 5 <= codes` passes vacuously. */
-  private def routeDocRecord(r: WarcRecord): Option[(String, String, Long, Long)] = {
+    * `unmapped * 5 <= codes` passes vacuously — and its declared
+    * canonical URL (the html `link rel=canonical`, null elsewhere),
+    * so URL-keyed dedup can consolidate syndicated fetch URLs onto
+    * the publisher's one canonical (curation v13). */
+  private def routeDocRecord(r: WarcRecord): Option[(String, String, Long, Long, String)] = {
     val ok = r.warcType.equalsIgnoreCase("response") &&
       r.httpStatus.exists(s => s >= 200 && s < 300) && r.body.nonEmpty
     val ct = r.contentType.map(_.toLowerCase(java.util.Locale.ROOT))
     if (!ok) return None
     if (ct.exists(_.startsWith("application/pdf")))
       return Pdf.extractPdfText(r.body)
-        .map(t => ("pdf", t.text, t.type0Codes, t.type0Unmapped))
-    val routed: Option[(String, String)] =
+        .map(t => ("pdf", t.text, t.type0Codes, t.type0Unmapped,
+          null.asInstanceOf[String]))
     if (ct.exists(_.startsWith("text/html"))) {
       val (html, _) = decodeHtml(r.body, r.contentType)
-      Some(("html", graft.functions.HtmlToText.clean(html)))
-    } else if (ct.exists(c => c.startsWith("text/markdown") ||
+      return Some(("html", graft.functions.HtmlToText.clean(html), 0L, 0L,
+        graft.functions.HtmlMeta.extract(html).canonical.orNull))
+    }
+    val routed: Option[(String, String)] =
+    if (ct.exists(c => c.startsWith("text/markdown") ||
         c.startsWith("text/x-markdown"))) {
       val (md, _) = decodeHtml(r.body, r.contentType) // charset negotiation
       Some(("markdown", graft.functions.MarkdownToText.clean(md)))
@@ -444,7 +450,7 @@ object Warc {
     } else if (ct.exists(_.startsWith("application/epub+zip"))) {
       OfficeText.epubText(r.body).map(("epub", _))
     } else None
-    routed.map { case (c, t) => (c, t, 0L, 0L) }
+    routed.map { case (c, t) => (c, t, 0L, 0L, null.asInstanceOf[String]) }
   }
 
   /** [[warcDocText]] plus the fence-counter Observation. */
@@ -457,17 +463,18 @@ object Warc {
       .flatMap { case (id, p) =>
         val parse = parseWarcOutcome(p, maxRecords, maxBody)
         val rows = parse.records.flatMap { r =>
-          routeDocRecord(r).map { case (carrier, text, codes, unmapped) =>
+          routeDocRecord(r).map { case (carrier, text, codes, unmapped, canon) =>
             (id, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, codes, unmapped, null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, Option(canon),
+              null.asInstanceOf[String], 0)
           }
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
           null.asInstanceOf[String], None: Option[String], 0L, 0L,
-          parse.endReason, parse.truncatedBodies))
+          None: Option[String], parse.endReason, parse.truncatedBodies))
       }
       .toDF("media_id", "record_idx", "url", "carrier", "text",
-        "x_robots", "type0_codes", "type0_unmapped",
+        "x_robots", "type0_codes", "type0_unmapped", "canonical",
         "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
@@ -494,18 +501,20 @@ object Warc {
     val raw = spark.createDataset(paths).repartition(n)
       .flatMap { path =>
         streamRows[(String, Int, Option[String], String, String,
-            Option[String], Long, Long, String, Int)](
+            Option[String], Long, Long, Option[String], String, Int)](
           path, maxBody, maxRecords,
-          r => routeDocRecord(r).map { case (carrier, text, codes, unmapped) =>
+          r => routeDocRecord(r).map { case (carrier, text, codes, unmapped, canon) =>
             (path, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, codes, unmapped, null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, Option(canon),
+              null.asInstanceOf[String], 0)
           },
           (reason, tb) => (path, -1, None: Option[String],
             null.asInstanceOf[String], null.asInstanceOf[String],
-            None: Option[String], 0L, 0L, reason, tb))
+            None: Option[String], 0L, 0L, None: Option[String], reason, tb))
       }
       .toDF("path", "record_idx", "url", "carrier", "text", "x_robots",
-        "type0_codes", "type0_unmapped", "__end_reason", "__truncated_n")
+        "type0_codes", "type0_unmapped", "canonical",
+        "__end_reason", "__truncated_n")
     val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
