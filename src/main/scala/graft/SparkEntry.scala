@@ -6870,6 +6870,39 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q328 — archive × FLAC composition (the q310 contract for the
+    // audio tier): ZIP members named `*.flac` extract through
+    // [[graft.sources.Archives.extractZipEntries]] and decode through
+    // the SAME [[graft.sources.Multimodal.inspectMedia]] sniff as
+    // every other format — member 0 a mono VERBATIM stream, member 1
+    // a mid/side stereo stream, so the sniff path exercises both the
+    // trivial and the decorrelated decode. The oracle replays the
+    // sample formulas (n, peak, sum of squares over ALL channels);
+    // nothing about the container routing may move.
+    "q328_archive_flac" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
+        else (id, zipFixture(Seq(
+          ("a0.flac", graft.sources.Flac.buildFlac(
+            Seq(Array.tabulate(32)(i => ((id * 7 + i * 13) % 401 - 200).toInt)),
+            8000, 16, 16, "verbatim")),
+          ("a1.flac", graft.sources.Flac.buildFlac(Seq(
+            Array.tabulate(24)(i => ((id * 5 + i * 11) % 401 - 200).toInt),
+            Array.tabulate(24)(i => ((id * 3 + i * 17) % 401 - 200).toInt)),
+            16000, 16, 12, "midside")))))
+      }.toDF("doc_id", "arc")
+      val members = graft.sources.Archives.extractZipEntries(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "arc", "archive"))
+      val inner = members.select(
+        (col("media_id") * 10 + col("entry_idx")).as("mid"), col("payload"))
+      graft.sources.Multimodal.inspectMedia(
+          graft.sources.Multimodal.asMedia(inner, "mid", "payload", "audio"))
+        .select(col("media_id"), col("format"), col("sample_rate"),
+          col("n_frames"), col("peak_raw"), col("sum_sq"))
+        .orderBy("media_id")
+    }),
+
     // Q322 — Ogg container walk ([[graft.sources.Ogg]]): page-level
     // facts of the web's streaming-audio container — CRC-verified
     // pages, packet accounting from lacing (incl. a 255-spanning
@@ -12672,6 +12705,29 @@ object SparkEntry {
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE s1 END AS sum_ch1,
         |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE pk END AS peak_abs
         |FROM s
+        |ORDER BY media_id""".stripMargin,
+
+    // Both members' sample formulas replayed: mono stats and the
+    // stereo pair's combined peak / sum of squares.
+    "q328_archive_flac" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |m0 AS (SELECT doc_id*10 AS media_id, 'flac' AS format,
+        |         8000 AS sample_rate, CAST(32 AS BIGINT) AS n_frames,
+        |         CAST(MAX(ABS((doc_id*7 + i*13) % 401 - 200)) AS BIGINT)
+        |           AS peak_raw,
+        |         CAST(SUM(((doc_id*7 + i*13) % 401 - 200) *
+        |                  ((doc_id*7 + i*13) % 401 - 200)) AS BIGINT)
+        |           AS sum_sq
+        |       FROM ids, generate_series(0, 31) g(i) GROUP BY doc_id),
+        |m1 AS (SELECT doc_id*10 + 1 AS media_id, 'flac' AS format,
+        |         16000 AS sample_rate, CAST(24 AS BIGINT) AS n_frames,
+        |         CAST(MAX(GREATEST(ABS(c0), ABS(c1))) AS BIGINT) AS peak_raw,
+        |         CAST(SUM(c0*c0 + c1*c1) AS BIGINT) AS sum_sq
+        |       FROM (SELECT doc_id, (doc_id*5 + i*11) % 401 - 200 AS c0,
+        |                    (doc_id*3 + i*17) % 401 - 200 AS c1
+        |             FROM ids, generate_series(0, 23) g(i))
+        |       GROUP BY doc_id)
+        |SELECT * FROM m0 UNION ALL SELECT * FROM m1
         |ORDER BY media_id""".stripMargin,
 
     // The container walk stated: page and packet counts from the
