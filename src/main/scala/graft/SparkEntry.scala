@@ -6382,6 +6382,55 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Q329 — sitemap INDEX resolution (sitemaps.org index files —
+    // the layer q283 stops under): a `<sitemapindex>` lists child
+    // sitemap locs (published in messy case/port/dot-segment
+    // variants — `canonical_url` is what makes the fetch-join key
+    // work); the children equi-join to their fetched bodies, the
+    // bodies' urlsets parse, and the frontier dedups per canonical
+    // URL keeping the newest lastmod with a source count. The
+    // protocol caps nesting at one level (an index may not list
+    // another index), so this IS the full recursion — one keyed
+    // fetch-join plus one grouped shuffle.
+    "q329_sitemap_index" -> ((s, d) => {
+      import s.implicits._
+      val idx = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val xml = "<?xml version=\"1.0\"?><sitemapindex>" +
+          s"<sitemap><loc>HTTP://EX.COM:80/sm/$id/a.xml</loc></sitemap>" +
+          s"<sitemap><loc>http://ex.com/sm/./$id/b.xml</loc></sitemap>" +
+          "</sitemapindex>"
+        (id, xml)
+      }.toDF("doc_id", "idx_xml")
+      val bodies = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        Seq("a", "b").map { c =>
+          val month = if (c == "a") "02" else "03"
+          val xml = "<?xml version=\"1.0\"?><urlset>" +
+            s"<url><loc>http://ex.com/p/${id / 5}</loc>" +
+            s"<lastmod>2024-01-0${1 + id % 5}</lastmod></url>" +
+            s"<url><loc>http://ex.com/$c/$id</loc>" +
+            s"<lastmod>2024-$month-01</lastmod></url></urlset>"
+          (s"http://ex.com/sm/$id/$c.xml", xml)
+        }
+      }.toDF("sm_url", "sm_xml")
+      val children = idx.select(col("doc_id"),
+          explode(expr(
+            "regexp_extract_all(idx_xml, '<sitemap>(.*?)</sitemap>', 1)"))
+            .as("e"))
+        .select(col("doc_id"), graft.functions.CanonicalUrl(
+          regexp_extract(col("e"), "<loc>(.*?)</loc>", 1)).as("sm_url"))
+      val urls = children.join(bodies, "sm_url") // the "fetch"
+        .select(col("doc_id"), explode(expr(
+          "regexp_extract_all(sm_xml, '<url>(.*?)</url>', 1)")).as("u"))
+        .select(graft.functions.CanonicalUrl(
+            regexp_extract(col("u"), "<loc>(.*?)</loc>", 1)).as("url"),
+          regexp_extract(col("u"), "<lastmod>(.*?)</lastmod>", 1)
+            .as("lastmod"))
+      urls.groupBy("url")
+        .agg(max(col("lastmod")).as("lastmod"),
+          count(lit(1)).as("n_sources"))
+        .orderBy("url")
+    }),
+
     // Q284 — split-streaming TAR → media ([[graft.sources.Archives
     // .tarPathMembers]]): the archive tier's multi-GB door — members
     // stream out of on-disk .tar(.gz) files (one task per path,
@@ -9269,6 +9318,24 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // Index resolution restated: each id's two child sitemaps both
+    // carry the shared bucket page (newest lastmod wins, 2 sources
+    // per id) plus one child-specific page each.
+    "q329_sitemap_index" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents),
+        |u AS (
+        |  SELECT 'http://ex.com/p/' || b AS url,
+        |    '2024-01-0' || (1 + doc_id % 5) AS lastmod FROM ids
+        |  UNION ALL
+        |  SELECT 'http://ex.com/p/' || b,
+        |    '2024-01-0' || (1 + doc_id % 5) FROM ids
+        |  UNION ALL
+        |  SELECT 'http://ex.com/a/' || doc_id, '2024-02-01' FROM ids
+        |  UNION ALL
+        |  SELECT 'http://ex.com/b/' || doc_id, '2024-03-01' FROM ids)
+        |SELECT url, MAX(lastmod) AS lastmod, COUNT(*) AS n_sources
+        |FROM u GROUP BY url ORDER BY url""".stripMargin,
 
     // The directives restated: ceil(x.5) = x+1 on the graftbot arm,
     // no *-fallback when the exact group lacks a delay, sitemap list
