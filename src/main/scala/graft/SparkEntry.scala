@@ -2664,6 +2664,35 @@ object SparkEntry {
         .orderBy(desc("usage"), col("piece")).limit(100)
     }),
 
+    // Q330 — unigram hard-EM round 2 with PRUNING (the loop q323
+    // opens, closed): round 1's usage counts become the new piece
+    // weights (the M-step re-estimation), the multi-char vocabulary
+    // shrinks to the top-20 survivors by usage (SentencePiece's
+    // prune step, made deterministic), single chars stay for
+    // coverage at their re-estimated usage (0 when round 1 absorbed
+    // them into bigger pieces), and the E-step re-segments under the
+    // new weights. Both usage collections are vocabulary-bounded
+    // (O(chars + topK) driver traffic — the broadcast class); each
+    // round is one map-only E-step + one aggregation shuffle.
+    "q330_unigram_em2" -> ((s, d) => {
+      val words = docs(s, d)
+        .select(explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "" && length(col("w")).between(2, 12))
+        .groupBy("w").agg(count(lit(1)).as("c"))
+      val vocab1 = graft.llm.Unigram.seedVocab(words, "w", "c",
+          maxPieceLen = 4, topK = 200, minFreq = 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val usage1 = graft.llm.Unigram.usageCounts(words, "w", "c", vocab1)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val chars2 = vocab1.filter(_._1.length == 1)
+        .map { case (p, _) => (p, usage1.getOrElse(p, 0L)) }
+      val multi2 = vocab1.filter(_._1.length >= 2)
+        .flatMap { case (p, _) => usage1.get(p).map(u => (p, u)) }
+        .sortBy { case (p, u) => (-u, p) }.take(20)
+      graft.llm.Unigram.usageCounts(words, "w", "c", chars2 ++ multi2)
+        .orderBy(desc("usage"), col("piece")).limit(100)
+    }),
+
     // Q325 — Z-order layout key ([[graft.functions.ZValue]]): the
     // multi-dimensional clustering primitive behind z-ordered table
     // layout — interleave the (bucketed) dimension bits so ONE sort
@@ -9417,6 +9446,74 @@ object SparkEntry {
         |          FROM segs s JOIN words ON words.w = s.w
         |          GROUP BY s.piece)
         |SELECT piece, usage, n_words FROM usage
+        |ORDER BY usage DESC, piece LIMIT 100""".stripMargin,
+
+    // Round 2 replayed end to end: round-1 Viterbi → usage →
+    // re-weighted pruned vocabulary → round-2 Viterbi → usage.
+    "q330_unigram_em2" ->
+      """WITH RECURSIVE
+        |toks AS (SELECT UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w
+        |         FROM documents),
+        |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks
+        |          WHERE w <> '' AND LENGTH(w) BETWEEN 2 AND 12 GROUP BY w),
+        |subs AS (SELECT piece, freq FROM (
+        |    SELECT SUBSTRING(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS freq
+        |    FROM words, generate_series(2, 4) gl(l), generate_series(1, 12) gi(i)
+        |    WHERE i <= LENGTH(w) - l + 1
+        |    GROUP BY 1 HAVING SUM(c) >= 2)
+        |  ORDER BY freq DESC, piece LIMIT 200),
+        |chars AS (SELECT SUBSTRING(w, i, 1) AS piece,
+        |            CAST(SUM(c) AS BIGINT) AS freq
+        |          FROM words, generate_series(1, 12) gi(i)
+        |          WHERE i <= LENGTH(w) GROUP BY 1),
+        |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM subs),
+        |cand AS (SELECT w.w, gi.i AS pos, SUBSTRING(w.w, gi.i + 1, gl.l) AS sub,
+        |           gl.l
+        |         FROM words w, generate_series(0, 11) gi(i),
+        |              generate_series(1, 4) gl(l)
+        |         WHERE gi.i + gl.l <= LENGTH(w.w)),
+        |hits AS (SELECT c.w, c.pos, c.l, v.piece, v.freq
+        |         FROM cand c JOIN vocab v ON v.piece = c.sub),
+        |p AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST(0 AS BIGINT) AS fs,
+        |    '' AS joined FROM words
+        |  UNION ALL
+        |  SELECT p.w, p.pos + h.l, p.np + 1, p.fs + h.freq,
+        |    CASE WHEN p.joined = '' THEN h.piece
+        |         ELSE p.joined || ' ' || h.piece END
+        |  FROM p JOIN hits h ON h.w = p.w AND h.pos = p.pos),
+        |best AS (SELECT w, joined, ROW_NUMBER() OVER (PARTITION BY w
+        |           ORDER BY np, fs DESC, joined) AS rk
+        |         FROM p WHERE pos = LENGTH(w)),
+        |segs AS (SELECT b.w, UNNEST(STRING_SPLIT(b.joined, ' ')) AS piece
+        |         FROM best b WHERE rk = 1),
+        |usage1 AS (SELECT s.piece, CAST(SUM(words.c) AS BIGINT) AS usage
+        |           FROM segs s JOIN words ON words.w = s.w GROUP BY s.piece),
+        |chars2 AS (SELECT c.piece, COALESCE(u.usage, 0) AS freq
+        |           FROM chars c LEFT JOIN usage1 u ON u.piece = c.piece),
+        |multi2 AS (SELECT piece, usage AS freq FROM usage1
+        |           WHERE LENGTH(piece) >= 2
+        |           ORDER BY usage DESC, piece LIMIT 20),
+        |vocab2 AS (SELECT * FROM chars2 UNION ALL SELECT * FROM multi2),
+        |hits2 AS (SELECT c.w, c.pos, c.l, v.piece, v.freq
+        |          FROM cand c JOIN vocab2 v ON v.piece = c.sub),
+        |p2 AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST(0 AS BIGINT) AS fs,
+        |    '' AS joined FROM words
+        |  UNION ALL
+        |  SELECT p2.w, p2.pos + h.l, p2.np + 1, p2.fs + h.freq,
+        |    CASE WHEN p2.joined = '' THEN h.piece
+        |         ELSE p2.joined || ' ' || h.piece END
+        |  FROM p2 JOIN hits2 h ON h.w = p2.w AND h.pos = p2.pos),
+        |best2 AS (SELECT w, joined, ROW_NUMBER() OVER (PARTITION BY w
+        |            ORDER BY np, fs DESC, joined) AS rk
+        |          FROM p2 WHERE pos = LENGTH(w)),
+        |segs2 AS (SELECT b.w, UNNEST(STRING_SPLIT(b.joined, ' ')) AS piece
+        |          FROM best2 b WHERE rk = 1),
+        |usage2 AS (SELECT s.piece, CAST(SUM(words.c) AS BIGINT) AS usage,
+        |             CAST(COUNT(DISTINCT s.w) AS BIGINT) AS n_words
+        |           FROM segs2 s JOIN words ON words.w = s.w GROUP BY s.piece)
+        |SELECT piece, usage, n_words FROM usage2
         |ORDER BY usage DESC, piece LIMIT 100""".stripMargin,
 
     "q113_tfidf" ->
