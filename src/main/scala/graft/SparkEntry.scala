@@ -2693,6 +2693,35 @@ object SparkEntry {
         .orderBy(desc("usage"), col("piece")).limit(100)
     }),
 
+    // Q331 — subword-compression quality signal: the trained
+    // tokenizer (q323) turned into a DOCUMENT filter — text that
+    // segments into few pieces per character is built from corpus-
+    // frequent subwords (natural language); gibberish resists
+    // compression and lands near one piece per character. The
+    // pieces/chars ratio in integer basis points is the exact-
+    // arithmetic cousin of subword perplexity. Scale: segmentation
+    // runs once per DISTINCT word; the corpus tokens join to that
+    // vocabulary-sized table on the word key (broadcastable at any
+    // corpus size) — never a per-token DP.
+    "q331_subword_quality" -> ((s, d) => {
+      val toks = docs(s, d)
+        .select(col("doc_id"), explode(split(lower(col("text")), " ")).as("w"))
+        .where(col("w") =!= "" && length(col("w")).between(2, 12))
+      val words = toks.groupBy("w").agg(count(lit(1)).as("c"))
+      val vocab = graft.llm.Unigram.seedVocab(words, "w", "c",
+          maxPieceLen = 4, topK = 200, minFreq = 2L)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+      val np = words.select(col("w"),
+        size(graft.llm.Unigram.segment(col("w"), vocab)).cast("long").as("np"),
+        length(col("w")).cast("long").as("len"))
+      toks.join(broadcast(np), "w")
+        .groupBy("doc_id")
+        .agg(sum(col("np")).as("pieces"), sum(col("len")).as("chars"))
+        .withColumn("compression_bp",
+          expr("pieces * 10000 DIV chars"))
+        .orderBy("doc_id")
+    }),
+
     // Q325 — Z-order layout key ([[graft.functions.ZValue]]): the
     // multi-dimensional clustering primitive behind z-ordered table
     // layout — interleave the (bucketed) dimension bits so ONE sort
@@ -9515,6 +9544,54 @@ object SparkEntry {
         |           FROM segs2 s JOIN words ON words.w = s.w GROUP BY s.piece)
         |SELECT piece, usage, n_words FROM usage2
         |ORDER BY usage DESC, piece LIMIT 100""".stripMargin,
+
+    // The round-1 DP's piece counts per word, joined back to the
+    // corpus tokens, rolled up per document in integer basis points.
+    "q331_subword_quality" ->
+      """WITH RECURSIVE
+        |dtoks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w
+        |          FROM documents),
+        |toks AS (SELECT doc_id, w FROM dtoks
+        |         WHERE w <> '' AND LENGTH(w) BETWEEN 2 AND 12),
+        |words AS (SELECT w, CAST(COUNT(*) AS BIGINT) AS c FROM toks GROUP BY w),
+        |subs AS (SELECT piece, freq FROM (
+        |    SELECT SUBSTRING(w, i, l) AS piece, CAST(SUM(c) AS BIGINT) AS freq
+        |    FROM words, generate_series(2, 4) gl(l), generate_series(1, 12) gi(i)
+        |    WHERE i <= LENGTH(w) - l + 1
+        |    GROUP BY 1 HAVING SUM(c) >= 2)
+        |  ORDER BY freq DESC, piece LIMIT 200),
+        |chars AS (SELECT SUBSTRING(w, i, 1) AS piece,
+        |            CAST(SUM(c) AS BIGINT) AS freq
+        |          FROM words, generate_series(1, 12) gi(i)
+        |          WHERE i <= LENGTH(w) GROUP BY 1),
+        |vocab AS (SELECT * FROM chars UNION ALL SELECT * FROM subs),
+        |cand AS (SELECT w.w, gi.i AS pos, SUBSTRING(w.w, gi.i + 1, gl.l) AS sub,
+        |           gl.l
+        |         FROM words w, generate_series(0, 11) gi(i),
+        |              generate_series(1, 4) gl(l)
+        |         WHERE gi.i + gl.l <= LENGTH(w.w)),
+        |hits AS (SELECT c.w, c.pos, c.l, v.piece, v.freq
+        |         FROM cand c JOIN vocab v ON v.piece = c.sub),
+        |p AS (
+        |  SELECT w, 0 AS pos, 0 AS np, CAST(0 AS BIGINT) AS fs,
+        |    '' AS joined FROM words
+        |  UNION ALL
+        |  SELECT p.w, p.pos + h.l, p.np + 1, p.fs + h.freq,
+        |    CASE WHEN p.joined = '' THEN h.piece
+        |         ELSE p.joined || ' ' || h.piece END
+        |  FROM p JOIN hits h ON h.w = p.w AND h.pos = p.pos),
+        |bestn AS (SELECT w, np FROM (
+        |    SELECT w, np, ROW_NUMBER() OVER (PARTITION BY w
+        |      ORDER BY np, fs DESC, joined) AS rk
+        |    FROM p WHERE pos = LENGTH(w)) WHERE rk = 1)
+        |SELECT t.doc_id,
+        |  CAST(SUM(b.np) AS BIGINT) AS pieces,
+        |  CAST(SUM(LENGTH(t.w)) AS BIGINT) AS chars,
+        |  CAST(SUM(b.np) * 10000 // SUM(LENGTH(t.w)) AS BIGINT)
+        |    AS compression_bp
+        |FROM toks t JOIN bestn b ON b.w = t.w
+        |GROUP BY t.doc_id
+        |ORDER BY t.doc_id""".stripMargin,
 
     "q113_tfidf" ->
       """WITH toks AS (SELECT doc_id, UNNEST(STRING_SPLIT(LOWER(text),' ')) AS w FROM documents),
