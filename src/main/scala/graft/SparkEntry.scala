@@ -7372,6 +7372,51 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q332 — hreflang locale-cluster consolidation ([[graft.functions
+    // .HtmlMeta]] alternates): multilingual sites publish every page
+    // in N language variants that each list the whole cluster via
+    // `link rel=alternate hreflang` — a training corpus wants ONE
+    // variant per cluster, not N near-translations. The cluster key
+    // is the declared x-default href (fallback: the lexicographically
+    // first alternate href; standalone pages key on themselves), and
+    // keep-first prefers the English variant. Map-only extraction +
+    // one keyed window; the planted standalone page (no alternates,
+    // every 5th id's 'de' variant) must survive on its own key.
+    "q332_hreflang_cluster" -> ((s, d) => {
+      import s.implicits._
+      val pages = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        Seq("de", "en", "fr").map { l =>
+          val standalone = l == "de" && id % 5 == 0
+          val alts =
+            if (standalone) ""
+            else Seq("en", "fr", "de").map(a =>
+              s"""<link rel="alternate" hreflang="$a" """ +
+                s"""href="http://ex.com/$a/$id">""").mkString +
+              s"""<link rel="alternate" hreflang="x-default" """ +
+              s"""href="http://ex.com/en/$id">"""
+          (id, s"http://ex.com/$l/$id",
+            s"""<html lang="$l"><head>$alts</head>""" +
+              s"<body><p>page $l $id</p></body></html>")
+        }
+      }.toDF("doc_id", "url", "html")
+      val m = pages.select(col("doc_id"), col("url"),
+        graft.functions.HtmlMeta(col("html")).as("m"))
+      val keyed = m.select(col("doc_id"), col("url"),
+          col("m.lang").as("lang"),
+          expr("size(m.alternates)").as("n_alt"),
+          coalesce(
+            expr("get(filter(m.alternates, a -> a.hreflang = 'x-default'), 0).href"),
+            expr("array_min(transform(m.alternates, a -> a.href))"),
+            col("url")).as("cluster"))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("cluster"))
+        .orderBy(when(col("lang") === "en", 0).otherwise(1), col("url"))
+      keyed.withColumn("rn", row_number().over(w))
+        .where(col("rn") === 1)
+        .select(col("cluster"), col("url"), col("lang"), col("n_alt"))
+        .orderBy("cluster", "url")
+    }),
+
     // Q312 — legacy binary Word (.doc, OLE2/CFB) → text
     // ([[graft.sources.Ole2]] routed by [[graft.sources.Warc
     // .warcDocText]]): the pre-2007 office carrier — a large share of
@@ -13152,6 +13197,22 @@ object SparkEntry {
         |  'Note ' || doc_id || chr(10) || 'wrap' AS text
         |FROM ids
         |ORDER BY media_id""".stripMargin,
+
+    // Consolidation stated: per id the x-default-keyed cluster keeps
+    // its English variant (4 alternates incl. x-default); every 5th
+    // id's alternate-less 'de' page survives on its own URL key.
+    "q332_hreflang_cluster" ->
+      """WITH s AS (
+        |  SELECT 'http://ex.com/en/' || doc_id AS cluster,
+        |    'http://ex.com/en/' || doc_id AS url, 'en' AS lang,
+        |    4 AS n_alt
+        |  FROM documents
+        |  UNION ALL
+        |  SELECT 'http://ex.com/de/' || doc_id,
+        |    'http://ex.com/de/' || doc_id, 'de', 0
+        |  FROM documents WHERE doc_id % 5 = 0)
+        |SELECT cluster, url, lang, CAST(n_alt AS INTEGER) AS n_alt
+        |FROM s ORDER BY cluster, url""".stripMargin,
 
     // The page-metadata struct stated per fixture arm: first-wins
     // scalars, entity decode, the canonical href normalized by

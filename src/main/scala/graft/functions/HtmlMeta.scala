@@ -46,6 +46,8 @@ object HtmlMeta {
   val MaxOg = 64
   /** Bound on collected JSON-LD blocks. */
   val MaxJsonLd = 16
+  /** Bound on collected hreflang alternates. */
+  val MaxAlternates = 32
 
   val Shape: DataType = StructType(Seq(
     StructField("title", StringType, nullable = true),
@@ -57,7 +59,11 @@ object HtmlMeta {
       StructField("content", StringType, nullable = false))),
       containsNull = false), nullable = false),
     StructField("jsonld", ArrayType(StringType, containsNull = false),
-      nullable = false)))
+      nullable = false),
+    StructField("alternates", ArrayType(StructType(Seq(
+      StructField("hreflang", StringType, nullable = false),
+      StructField("href", StringType, nullable = false))),
+      containsNull = false), nullable = false)))
 
   def apply(html: Column): Column =
     ColumnBridge.column(HtmlMeta(ColumnBridge.expression(html)))
@@ -68,7 +74,8 @@ object HtmlMeta {
       canonical: Option[String],
       lang: Option[String],
       og: Seq[(String, String)],
-      jsonld: Seq[String])
+      jsonld: Seq[String],
+      alternates: Seq[(String, String)] = Nil)
 
   private[functions] def toRow(m: Meta): InternalRow = InternalRow(
     m.title.map(UTF8String.fromString).orNull,
@@ -78,7 +85,10 @@ object HtmlMeta {
     new GenericArrayData(m.og.map { case (p, c) =>
       InternalRow(UTF8String.fromString(p), UTF8String.fromString(c))
     }.toArray[Any]),
-    new GenericArrayData(m.jsonld.map(UTF8String.fromString).toArray[Any]))
+    new GenericArrayData(m.jsonld.map(UTF8String.fromString).toArray[Any]),
+    new GenericArrayData(m.alternates.map { case (l, h) =>
+      InternalRow(UTF8String.fromString(l), UTF8String.fromString(h))
+    }.toArray[Any]))
 
   private def lowerAscii(s: String): String = {
     var i = 0
@@ -170,7 +180,7 @@ object HtmlMeta {
 
   /** The extraction walk (see class doc). */
   def extract(html: String): Meta = {
-    if (html == null) return Meta(None, None, None, None, Nil, Nil)
+    if (html == null) return Meta(None, None, None, None, Nil, Nil, Nil)
     val n = html.length
     var title: Option[String] = None
     var desc: Option[String] = None
@@ -180,6 +190,8 @@ object HtmlMeta {
     var ogN = 0
     val jsonld = Seq.newBuilder[String]
     var jsonldN = 0
+    val alternates = Seq.newBuilder[(String, String)]
+    var altN = 0
     var i = 0
     while (i < n) {
       val lt = html.indexOf('<', i)
@@ -247,9 +259,16 @@ object HtmlMeta {
             val as = attrs
             val rel = attr(as, "rel").map(lowerAscii).getOrElse("")
             // rel is a space-separated token list
-            if (canonical.isEmpty &&
-                rel.split("\\s+").contains("canonical"))
+            val tokens = rel.split("\\s+")
+            if (canonical.isEmpty && tokens.contains("canonical"))
               attr(as, "href").filter(_.nonEmpty).foreach(h => canonical = Some(h))
+            if (tokens.contains("alternate") && altN < MaxAlternates) {
+              (attr(as, "hreflang").map(_.trim).filter(_.nonEmpty),
+                attr(as, "href").filter(_.nonEmpty)) match {
+                case (Some(hl), Some(h)) => alternates += ((hl, h)); altN += 1
+                case _ =>
+              }
+            }
           case "html" =>
             if (lang.isEmpty)
               attr(attrs, "lang").map(_.trim).filter(_.nonEmpty)
@@ -259,7 +278,8 @@ object HtmlMeta {
         i = gt + 1
       }
     }
-    Meta(title, desc, canonical, lang, og.result(), jsonld.result())
+    Meta(title, desc, canonical, lang, og.result(), jsonld.result(),
+      alternates.result())
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
