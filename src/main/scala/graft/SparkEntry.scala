@@ -7010,6 +7010,34 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q333 — AVIF/HEIC geometry ([[graft.sources.Heif]]): the modern
+    // web's newest still-image container through the ISOBMFF walk —
+    // ftyp brand, meta→iinf item count, meta→iprp→ipco→ispe extents
+    // with the PRIMARY reported as the largest (thumbnails and alpha
+    // auxiliaries are smaller by construction); every 4th id's meta
+    // box uses the size==1 / 64-bit largesize form. AV1/HEVC pixel
+    // decode is the declared codec-class non-goal (the posture VP8
+    // lossy had before q311); geometry is what curation filters on.
+    // Map-only flatMap kernel.
+    "q333_heif_dims" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "heif? no".getBytes("UTF-8"))
+        else {
+          val w = 320L + (id % 10) * 16
+          val h = 240L + (id % 7) * 16
+          (id, graft.sources.Heif.buildHeif(
+            if (id % 2 == 0) "avif" else "heic",
+            Seq((w, h), (32L + id % 16, 32L)),
+            nItems = (1 + id % 4).toInt,
+            largesize = id % 4 == 0))
+        }
+      }.toDF("doc_id", "heif")
+      graft.sources.Heif.describeHeif(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "heif", "image"))
+        .orderBy("media_id")
+    }),
+
     // Q322 — Ogg container walk ([[graft.sources.Ogg]]): page-level
     // facts of the web's streaming-audio container — CRC-verified
     // pages, packet accounting from lacing (incl. a 255-spanning
@@ -13014,6 +13042,22 @@ object SparkEntry {
         |             FROM ids, generate_series(0, 23) g(i))
         |       GROUP BY doc_id)
         |SELECT * FROM m0 UNION ALL SELECT * FROM m1
+        |ORDER BY media_id""".stripMargin,
+
+    // Geometry restated: the larger extent wins, brand by parity.
+    "q333_heif_dims" ->
+      """SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       WHEN doc_id % 2 = 0 THEN 'avif' ELSE 'heic' END AS brand,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 320 + (doc_id % 10) * 16 END AS width,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 240 + (doc_id % 7) * 16 END AS height,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 1 + doc_id % 4 END AS n_items,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE 2 END AS n_ispe
+        |FROM documents
         |ORDER BY media_id""".stripMargin,
 
     // The container walk stated: page and packet counts from the

@@ -3899,6 +3899,18 @@ object Multimodal {
               MediaInspectRow(id, Some("flac"), None, None, None, None, None,
                 None, Some(d.sampleRate), Some(n), Some(peak), Some(sq))
             }
+          else if (Heif.looksLikeHeif(p))
+            // modern still-image container: brand + primary extents
+            // (AV1/HEVC pixel decode is the inter-frame-codec-class
+            // non-goal; geometry is what curation filters on)
+            Heif.parseHeif(p).fold(none(id)) { h =>
+              MediaInspectRow(id,
+                Some(if (h.brand == "heix" || h.brand == "hevc") "heic"
+                  else h.brand),
+                if (h.width > 0) Some(h.width.toInt) else None,
+                if (h.height > 0) Some(h.height.toInt) else None,
+                None, None, None, None, None, None, None, None)
+            }
           else if (Ogg.looksLikeOgg(p))
             // streaming-audio container: name it so curation routes
             // the payload to [[Ogg.describeOgg]] (codec payloads are
