@@ -7010,6 +7010,60 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q334 — WARC revisit resolution ([[graft.sources.Warc
+    // .warcCaptures]]): crawlers emit `WARC-Type: revisit` records
+    // (identical-payload-digest profile) instead of re-storing an
+    // unchanged body — a corpus pipeline must RESOLVE them back to
+    // the stored capture or silently lose every recrawl. One record
+    // walk yields responses (routed text + payload digest) and
+    // revisits (refers-to URI + digest); one equi-join on the
+    // CANONICALIZED refers-to URI (the fixture denormalizes it —
+    // upper host, default port) resolves each revisit, and the
+    // digest comparison flags content drift (every 3rd id's digest
+    // deliberately mismatches: the revisit claims identity the
+    // stored capture contradicts). Map-only walk + one keyed join.
+    "q334_warc_revisit" -> ((s, d) => {
+      import s.implicits._
+      def rec(uri: String, wtype: String, extra: String,
+              payload: Array[Byte]): Array[Byte] = {
+        val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+          s"WARC-Target-URI: $uri\r\n" + extra +
+          s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+        hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+      }
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+            s"<p>original page $id stays stored.</p>").getBytes("UTF-8")
+          val resp = rec(s"http://ex.com/orig/$id", "response",
+            s"WARC-Payload-Digest: sha1:D$id\r\n", body)
+          val revDigest = if (id % 3 == 0) s"sha1:X$id" else s"sha1:D$id"
+          val rev = rec(s"http://ex.com/again/$id", "revisit",
+            s"WARC-Refers-To-Target-URI: HTTP://EX.COM:80/orig/$id\r\n" +
+              s"WARC-Payload-Digest: $revDigest\r\n" +
+              "WARC-Profile: http://netpreserve.org/warc/1.1/revisit/identical-payload-digest\r\n",
+            "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1"))
+          (id, resp ++ rev)
+        }
+      }.toDF("doc_id", "warc")
+      val caps = graft.sources.Warc.warcCaptures(
+        graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+      val responses = caps.where(col("kind") === "response")
+        .select(graft.functions.CanonicalUrl(col("url")).as("k"),
+          col("digest").as("stored_digest"), col("text").as("stored_text"))
+      val revisits = caps.where(col("kind") === "revisit")
+        .select(col("media_id"), col("record_idx"), col("url"),
+          graft.functions.CanonicalUrl(col("refers_to")).as("k"),
+          col("digest"))
+      revisits.join(responses, Seq("k"), "left")
+        .select(col("media_id"), col("record_idx"), col("url"),
+          col("k").as("refers_to"),
+          (col("digest") === col("stored_digest")).as("digest_match"),
+          col("stored_text"))
+        .orderBy("media_id")
+    }),
+
     // Q333 — AVIF/HEIC geometry ([[graft.sources.Heif]]): the modern
     // web's newest still-image container through the ISOBMFF walk —
     // ftyp brand, meta→iinf item count, meta→iprp→ipco→ispe extents
@@ -13042,6 +13096,18 @@ object SparkEntry {
         |             FROM ids, generate_series(0, 23) g(i))
         |       GROUP BY doc_id)
         |SELECT * FROM m0 UNION ALL SELECT * FROM m1
+        |ORDER BY media_id""".stripMargin,
+
+    // Resolution restated: every revisit finds its stored capture
+    // through the canonicalized refers-to key; every 3rd id's digest
+    // contradicts the identity claim.
+    "q334_warc_revisit" ->
+      """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS record_idx,
+        |  'http://ex.com/again/' || doc_id AS url,
+        |  'http://ex.com/orig/' || doc_id AS refers_to,
+        |  doc_id % 3 <> 0 AS digest_match,
+        |  'original page ' || doc_id || ' stays stored.' AS stored_text
+        |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
 
     // Geometry restated: the larger extent wins, brand by parity.

@@ -37,7 +37,9 @@ object Warc {
                               contentType: Option[String],
                               body: Array[Byte],
                               bodyTruncated: Boolean = false,
-                              xRobotsTag: Option[String] = None)
+                              xRobotsTag: Option[String] = None,
+                              refersTo: Option[String] = None,
+                              payloadDigest: Option[String] = None)
 
   /** One container's full parse result: the records that decoded plus
     * WHY the walk stopped — fences must be loud (r11 verdict: an
@@ -147,7 +149,8 @@ object Warc {
         }
       }
       out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut,
-        xRobots)
+        xRobots, headers.get("warc-refers-to-target-uri"),
+        headers.get("warc-payload-digest"))
       k += 1
       // payload + the record-separating CRLFCRLF (tolerant at EOF).
       // q is Long: a hostile multi-GB Content-Length must clamp here,
@@ -322,6 +325,37 @@ object Warc {
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
       .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+  }
+
+  /** Revisit-resolution input — one row per RESPONSE (with its
+    * routed carrier text and payload digest) or REVISIT record (with
+    * the capture it refers to: `WARC-Refers-To-Target-URI` +
+    * `WARC-Payload-Digest`, the identical-payload-digest dedup form
+    * crawlers like Common Crawl emit instead of re-storing unchanged
+    * bodies). A downstream equi-join on the canonicalized URL
+    * resolves each revisit to the stored capture — crawl-side dedup
+    * made queryable. Map-only flatMap; bodies never shuffle. */
+  def warcCaptures(media: DataFrame, maxRecords: Int = 1 << 12,
+                   maxBody: Int = 1 << 24): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        parseWarcOutcome(p, maxRecords, maxBody).records.flatMap { r =>
+          if (r.warcType.equalsIgnoreCase("revisit"))
+            Seq((id, r.recordIdx, "revisit", Option(r.targetUri),
+              r.refersTo, r.payloadDigest, None: Option[String],
+              None: Option[String]))
+          else routeDocRecord(r).map { case (carrier, text, _, _, _) =>
+            (id, r.recordIdx, "response", Option(r.targetUri),
+              None: Option[String], r.payloadDigest, Some(carrier),
+              Some(text))
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "kind", "url", "refers_to",
+        "digest", "carrier", "text")
   }
 
   /** The crawl-to-text pass: HTML response bodies (2xx, text/html)
