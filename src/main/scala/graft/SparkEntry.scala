@@ -7187,6 +7187,35 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q335 — lossy WebP WITH ALPHA ([[graft.sources.Webp
+    // .decodeAlph]]): the real web's transparent-lossy form — a VP8X
+    // container's ALPH chunk carries the alpha plane the VP8 frame
+    // can't, in BOTH compressions (raw bytes; the headerless-VP8L-
+    // in-green form reusing the full q307 lossless machinery) under
+    // ALL four prediction filters (none/horizontal/vertical/
+    // gradient, libwebp border rules), varied by id so every
+    // (compression, filter) pair lands in the oracle. Corrupt alpha
+    // is a loud zero, never silently opaque. Map-only flatMap;
+    // planes never shuffle.
+    "q335_webp_alpha" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
+        else {
+          val mw = (1 + id % 2).toInt
+          (id, graft.sources.Webp.buildLossyWebpAlpha(mw, 1,
+            (_, _) => (90, 120, 130), "dc",
+            (x, y) => ((id * 3 + x * 5 + y * 11) % 256).toInt,
+            compression = (id % 2).toInt, filter = (id % 4).toInt))
+        }
+      }.toDF("doc_id", "webp")
+      graft.sources.Webp.describeWebp(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .select("media_id", "variant", "width", "height", "n_pixels",
+          "sum_a")
+        .orderBy("media_id")
+    }),
+
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
@@ -13096,6 +13125,26 @@ object SparkEntry {
         |             FROM ids, generate_series(0, 23) g(i))
         |       GROUP BY doc_id)
         |SELECT * FROM m0 UNION ALL SELECT * FROM m1
+        |ORDER BY media_id""".stripMargin,
+
+    // The alpha-plane formula summed exactly — filters and both
+    // compressions are lossless round-trips by construction.
+    "q335_webp_alpha" ->
+      """WITH d AS (SELECT doc_id, CAST((1 + doc_id % 2) * 16 AS INTEGER)
+        |             AS w FROM documents),
+        |a AS (SELECT doc_id, w,
+        |        CAST(SUM((doc_id*3 + x*5 + y*11) % 256) AS BIGINT) AS sa
+        |      FROM d, generate_series(0, 31) gx(x),
+        |           generate_series(0, 15) gy(y)
+        |      WHERE x < w GROUP BY doc_id, w)
+        |SELECT doc_id AS media_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 'lossy' END AS variant,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE w END AS width,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE 16 END AS height,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL
+        |       ELSE CAST(w * 16 AS BIGINT) END AS n_pixels,
+        |  CASE WHEN doc_id % 50 = 0 THEN NULL ELSE sa END AS sum_a
+        |FROM a
         |ORDER BY media_id""".stripMargin,
 
     // Resolution restated: every revisit finds its stored capture
