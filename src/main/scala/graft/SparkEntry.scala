@@ -6440,6 +6440,49 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Q336 — URL-level corpus gate (the FineWeb/CCNet front filter —
+    // the cheapest drop in the whole pipeline runs BEFORE any byte
+    // of content is fetched or parsed): a domain blocklist applied
+    // on LABEL BOUNDARIES via bounded suffix-explode + broadcast
+    // semi-join (host a.b.c yields suffixes {a.b.c, b.c, c} — so
+    // sub.bad.example is blocked by bad.example while
+    // goodbad.example is NOT: substring matching over hosts is the
+    // classic false-positive bug), plus a term gate on the URL
+    // itself (codegen'd rlike). Both reasons surfaced per row.
+    "q336_url_filter" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("bad.example", "spam.test").toDF("bdomain")
+      val urls = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val host = (id % 5) match {
+          case 1 => "bad.example"
+          case 2 => "sub.bad.example"
+          case 3 => "goodbad.example" // suffix match must NOT block
+          case 4 => "cdn.spam.test"
+          case _ => "ok.site"
+        }
+        val path = if (id % 7 == 0) s"/xxx-casino/$id" else s"/article/$id"
+        (id, s"http://$host$path")
+      }.toDF("media_id", "url")
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1))
+      val suffixes = urls.select(col("media_id"),
+        explode(expr(
+          "transform(sequence(1, size(split(host, '\\\\.'))), " +
+            "i -> array_join(slice(split(host, '\\\\.'), i, 100), '.'))"))
+          .as("suffix"))
+      val blockedIds = suffixes
+        .join(broadcast(blocklist), col("suffix") === col("bdomain"),
+          "left_semi")
+        .select(col("media_id")).distinct()
+        .withColumn("domain_blocked", lit(true))
+      urls.join(blockedIds, Seq("media_id"), "left")
+        .select(col("media_id"), col("host"),
+          coalesce(col("domain_blocked"), lit(false)).as("domain_blocked"),
+          lower(col("url")).rlike("(xxx|casino|viagra)").as("term_blocked"))
+        .withColumn("kept", !col("domain_blocked") && !col("term_blocked"))
+        .orderBy("media_id")
+    }),
+
     // Q329 — sitemap INDEX resolution (sitemaps.org index files —
     // the layer q283 stops under): a `<sitemapindex>` lists child
     // sitemap locs (published in messy case/port/dot-segment
@@ -9532,6 +9575,20 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // The gate restated by arm: label-boundary domain blocks on
+    // id%5 in {1,2,4} (the goodbad.example arm stays clean), term
+    // blocks on id%7=0.
+    "q336_url_filter" ->
+      """SELECT doc_id AS media_id,
+        |  CASE doc_id % 5 WHEN 1 THEN 'bad.example'
+        |    WHEN 2 THEN 'sub.bad.example' WHEN 3 THEN 'goodbad.example'
+        |    WHEN 4 THEN 'cdn.spam.test' ELSE 'ok.site' END AS host,
+        |  doc_id % 5 IN (1, 2, 4) AS domain_blocked,
+        |  doc_id % 7 = 0 AS term_blocked,
+        |  NOT (doc_id % 5 IN (1, 2, 4)) AND NOT (doc_id % 7 = 0) AS kept
+        |FROM documents
+        |ORDER BY media_id""".stripMargin,
 
     // Index resolution restated: each id's two child sitemaps both
     // carry the shared bucket page (newest lastmod wins, 2 sources
