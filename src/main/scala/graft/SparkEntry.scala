@@ -1009,6 +1009,75 @@ object SparkEntry {
       f.getAbsolutePath
     }.collect().toSeq.sorted
   }
+  /** v14 fixture: v13 VERBATIM plus the two records only the URL
+    * gate can drop — a blocked-domain fetch and a term-flagged URL,
+    * each carrying long unique clean English text. */
+  private def warcV14FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_warc_v14_v1_${Integer.toHexString(d.hashCode)}")
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val f = new java.io.File(dir, f"w$id%08d.warc")
+      if (!f.exists) {
+        dir.mkdirs()
+        val bytes =
+          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+          else {
+            def rec(uri: String, ctype: String, body: Array[Byte],
+                    extra: String = ""): Array[Byte] = {
+              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+                extra + "\r\n").getBytes("ISO-8859-1") ++ body
+              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+                s"WARC-Target-URI: $uri\r\n" +
+                s"Content-Length: ${http.length}\r\n\r\n")
+                .getBytes("ISO-8859-1") ++
+                http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+            }
+            val noindexed = rec(s"http://ex.com/n/$id", "text/html",
+              (s"<p>secret page $id would pass every gate " +
+                "but the publisher opted out.</p>").getBytes("UTF-8"),
+              "X-Robots-Tag: noindex\r\n")
+            val foreign = rec(s"http://ex.com/ru/$id", "text/html",
+              s"<p>$ruSample</p>".getBytes("UTF-8"))
+            val gibberish = rec(s"http://ex.com/g/$id", "text/html",
+              "<p>zzz 0101 #### @@@@ !!!! 0101 zzz qqq 0101 xxxx</p>"
+                .getBytes("UTF-8"))
+            val cleanPdf = rec(s"http://ex.com/t0/$id", "application/pdf",
+              graft.sources.Pdf.buildType0Pdf(Seq(Seq(
+                s"Clean type0 page $id keeps the words that the gate needs.")),
+                xrefStream = id % 2 == 0))
+            val subsetPdf = rec(s"http://ex.com/sub/$id", "application/pdf",
+              graft.sources.Pdf.buildType0PdfNoToUnicode(Seq(Seq(
+                s"Subset font page $id would pass the other gates easily."))))
+            def dupPage(which: String): Array[Byte] =
+              rec(s"http://ex.com/dup-$which/$id", "text/html",
+                (s"""<html><head><link rel="canonical" """ +
+                  s"""href="HTTP://Ex.COM:80/canon/./$id"></head>""" +
+                  s"<body><p>dup page $which for $id with enough " +
+                  "plain english words to keep.</p></body></html>")
+                  .getBytes("UTF-8"))
+            val blockedDomain = rec(s"http://sub.bad.example/p/$id",
+              "text/html",
+              (s"<p>blocked domain page $id reads perfectly clean " +
+                "and would pass every text gate.</p>").getBytes("UTF-8"))
+            val termUrl = rec(s"http://ok.site/xxx-casino/$id",
+              "text/html",
+              (s"<p>term flagged page $id also reads clean and " +
+                "would pass every text gate.</p>").getBytes("UTF-8"))
+            val b = warcV9Fixture(id) ++ noindexed ++ foreign ++ gibberish ++
+              cleanPdf ++ subsetPdf ++ dupPage("one") ++ dupPage("two") ++
+              blockedDomain ++ termUrl
+            if (id % 4 == 1) gzipBytes(b) else b
+          }
+        val tmp = java.io.File.createTempFile("w14tmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(bytes) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
     * every language's score (LIST_FILTER function-word hits + weighted
@@ -6888,6 +6957,62 @@ object SparkEntry {
         .withColumn("media_id",
           regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
       val gated = pages
+        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
+        .where(length(col("text")) >= 20)
+        .where(col("type0_unmapped") * 5 <= col("type0_codes"))
+      val signed = graft.llm.LangId.withCrawlLang(gated, "text")
+        .where(!(col("lang_total") >= 8 && col("pred_lang") =!= "en"))
+        .where(graft.functions.TextFunctions.qualityScore(col("text"))
+          >= 0.3)
+        .withColumn("url_canon", graft.functions.CanonicalUrl(
+          coalesce(col("canonical"), col("url"))))
+      val urlW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("url_canon"))
+        .orderBy(col("media_id"), col("record_idx"))
+      val urlKept = signed.withColumn("rn", row_number().over(urlW))
+        .where(col("rn") === 1).drop("rn")
+      val textW = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
+      urlKept.withColumn("rn", row_number().over(textW))
+        .where(col("rn") === 1)
+        .select(col("media_id"), col("record_idx"), col("carrier"),
+          col("url_canon").as("url"), col("text"))
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q337 — curation v14: the URL gate IN FRONT. q336's pre-fetch
+    // filter composes as the capstone's first stage — the domain
+    // blocklist (label-boundary suffix semi-join) and URL term gate
+    // run on the router's url column BEFORE any text-level work, so
+    // at 100 TB the blocked records' LangId/quality expressions are
+    // never evaluated (Catalyst orders the cheap URL predicates
+    // first). Fixture: v13's records + a planted record from a
+    // blocked domain and one with a term-flagged URL, each carrying
+    // long unique CLEAN text that would survive every other gate.
+    // Still join-free on the text path: the one new join is the
+    // broadcast semi-join against the O(list)-sized blocklist.
+    "q337_curation_v14" -> ((s, d) => {
+      import s.implicits._
+      val blocklist = Seq("bad.example", "spam.test").toDF("bdomain")
+      val pages = graft.sources.Warc.warcPathsDocText(
+          s, warcV14FixturePaths(s, d))
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+        .withColumn("host",
+          regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1))
+      val blockedIds = pages.select(col("media_id"), col("record_idx"),
+          explode(expr(
+            "transform(sequence(1, size(split(host, '\\\\.'))), " +
+              "i -> array_join(slice(split(host, '\\\\.'), i, 100), '.'))"))
+            .as("suffix"))
+        .join(broadcast(blocklist), col("suffix") === col("bdomain"),
+          "left_semi")
+        .select(col("media_id"), col("record_idx")).distinct()
+        .withColumn("domain_blocked", lit(true))
+      val gated = pages
+        .join(blockedIds, Seq("media_id", "record_idx"), "left")
+        .where(coalesce(col("domain_blocked"), lit(false)) === false)
+        .where(!lower(col("url")).rlike("(xxx|casino|viagra)"))
         .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
         .where(length(col("text")) >= 20)
         .where(col("type0_unmapped") * 5 <= col("type0_codes"))
@@ -12968,6 +13093,48 @@ object SparkEntry {
         |        ORDER BY media_id, record_idx) AS rn2 FROM q)
         |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
         |  carrier, canon AS url, pred_lang, lang_total, text
+        |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // v14's survivor set IS v13's: the blocked-domain and term-URL
+    // plants (records 13/14, clean text that passes every text gate)
+    // leave no trace — only the URL gate can drop them.
+    "q337_curation_v14" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf', 'http://ex.com/d/' || doc_id || '.pdf',
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown', 'http://ex.com/m/' || doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 9, 'pdf', 'http://ex.com/t0/' || doc_id,
+        |    'Clean type0 page ' || doc_id ||
+        |      ' keeps the words that the gate needs.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 11, 'html', 'http://ex.com/canon/' || doc_id,
+        |    'dup page one for ' || doc_id ||
+        |      ' with enough plain english words to keep.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, text
         |FROM c WHERE rn2 = 1
         |ORDER BY media_id, record_idx""".stripMargin,
 
