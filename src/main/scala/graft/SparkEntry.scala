@@ -6842,6 +6842,8 @@ object SparkEntry {
       }.toDF("doc_id", "webp")
       graft.sources.Webp.describeWebpFrames(
           graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .select("media_id", "frame_idx", "canvas_w", "canvas_h", "width",
+          "height", "duration_ms", "n_pixels", "sum_r", "sum_g", "sum_b")
         .orderBy("media_id", "frame_idx")
     }),
 
@@ -7353,6 +7355,35 @@ object SparkEntry {
           size(col("sm")).as("n_sitemaps"),
           array_join(col("sm"), ",").as("sitemaps"))
         .orderBy("media_id")
+    }),
+
+    // Q338 — animated WebP with TRANSPARENT LOSSY frames: q309's
+    // ANMF walk now carries each frame's ALPH sub-chunk through the
+    // q335 alpha machinery — per-frame alpha sums under per-frame
+    // (compression, filter) choices. The lossy planes' RGB sums stay
+    // out of the contract (the YUV surface is q311's); geometry,
+    // duration and the alpha formula replay exactly. Map-only.
+    "q338_webp_anim_alpha" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "anim? no".getBytes("UTF-8"))
+        else {
+          val nFrames = (1 + id % 3).toInt
+          val frames = (0 until nFrames).map { k =>
+            (1 + (id.toInt + k) % 2, 1,
+              (_: Int, _: Int) => (90, 120, 130),
+              (x: Int, y: Int) =>
+                ((id * 3 + k * 17 + x * 5 + y * 11) % 256).toInt,
+              ((id + k) % 2).toInt, ((id + k) % 4).toInt)
+          }
+          (id, graft.sources.Webp.buildAnimatedWebpAlpha(48, 16, frames, 25))
+        }
+      }.toDF("doc_id", "webp")
+      graft.sources.Webp.describeWebpFrames(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "webp", "image"))
+        .select("media_id", "frame_idx", "canvas_w", "canvas_h", "width",
+          "height", "duration_ms", "n_pixels", "sum_a")
+        .orderBy("media_id", "frame_idx")
     }),
 
     // Q335 — lossy WebP WITH ALPHA ([[graft.sources.Webp
@@ -13350,6 +13381,26 @@ object SparkEntry {
         |       GROUP BY doc_id)
         |SELECT * FROM m0 UNION ALL SELECT * FROM m1
         |ORDER BY media_id""".stripMargin,
+
+    // Per-frame geometry/duration and the per-frame alpha formula.
+    "q338_webp_anim_alpha" ->
+      """WITH d AS (SELECT doc_id, CAST(1 + doc_id % 3 AS INTEGER) AS nf
+        |           FROM documents WHERE doc_id % 50 <> 0),
+        |f AS (SELECT doc_id, nf, k,
+        |        CAST((1 + (doc_id + k) % 2) * 16 AS INTEGER) AS w
+        |      FROM d, generate_series(0, 2) g(k) WHERE k < nf),
+        |a AS (SELECT doc_id, k, w,
+        |        CAST(SUM((doc_id*3 + k*17 + x*5 + y*11) % 256) AS BIGINT)
+        |          AS sa
+        |      FROM f, generate_series(0, 31) gx(x),
+        |           generate_series(0, 15) gy(y)
+        |      WHERE x < w GROUP BY doc_id, k, w)
+        |SELECT doc_id AS media_id, CAST(k AS INTEGER) AS frame_idx,
+        |  48 AS canvas_w, 16 AS canvas_h, w AS width, 16 AS height,
+        |  CAST(25 + k AS INTEGER) AS duration_ms,
+        |  CAST(w * 16 AS BIGINT) AS n_pixels, sa AS sum_a
+        |FROM a
+        |ORDER BY media_id, frame_idx""".stripMargin,
 
     // The alpha-plane formula summed exactly — filters and both
     // compressions are lossless round-trips by construction.

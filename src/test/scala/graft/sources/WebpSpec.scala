@@ -450,4 +450,27 @@ class WebpSpec extends SparkSpec {
     val plain = Webp.buildLossyWebp(1, 1, (_, _) => (90, 120, 130), "dc")
     assert(Webp.parseWebp(plain).get.sumA == 255L * 16 * 16)
   }
+
+  test("animated frames carry per-frame ALPH alpha: each frame's " +
+       "(compression, filter) pair round-trips its sum; VP8L frames " +
+       "report their own alpha; alpha-less lossy frames are opaque") {
+    def alpha(k: Int)(x: Int, y: Int): Int = (k * 31 + x * 3 + y * 7) % 256
+    val frames = (0 until 4).map(k =>
+      (1, 1, (_: Int, _: Int) => (90, 120, 130),
+        alpha(k) _, k % 2, k % 4))
+    val b = Webp.buildAnimatedWebpAlpha(16, 16, frames, 10)
+    val (cw, ch, fs) = Webp.parseWebpFrames(b).get
+    assert(cw == 16 && ch == 16 && fs.length == 4)
+    fs.zipWithIndex.foreach { case (f, k) =>
+      val expected = (0 until 16).flatMap(y => (0 until 16).map(x =>
+        alpha(k)(x, y).toLong)).sum
+      assert(f.sumA == expected, s"frame $k")
+      assert(f.durationMs == 10 + k)
+    }
+    // the plain animated writer (VP8L frames, opaque by construction)
+    val plain = Webp.buildAnimatedWebp(30, 20,
+      Seq((8, 5, 0, (_: Int, _: Int) => (1, 2, 3))), 40)
+    val pf = Webp.parseWebpFrames(plain).get._3.head
+    assert(pf.sumA == 255L * 8 * 5)
+  }
 }
