@@ -401,4 +401,39 @@ class WarcSpec extends SparkSpec {
     assert(ws0.next() == null)
     assert(ws0.endReason == "io_error")
   }
+
+  test("warcCaptures: revisit rows carry refers-to + digest; a " +
+       "revisit without refers-to still rows (null pointer); " +
+       "responses carry routed text + digest") {
+    import spark.implicits._
+    def rec(uri: String, wtype: String, extra: String,
+            payload: Array[Byte]): Array[Byte] = {
+      val hdr = (s"WARC/1.0\r\nWARC-Type: $wtype\r\n" +
+        s"WARC-Target-URI: $uri\r\n" + extra +
+        s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
+      hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
+      "<p>stored body text here</p>").getBytes("UTF-8")
+    val w = rec("http://e/a", "response",
+        "WARC-Payload-Digest: sha1:AAA\r\n", body) ++
+      rec("http://e/b", "revisit",
+        "WARC-Refers-To-Target-URI: http://e/a\r\n" +
+          "WARC-Payload-Digest: sha1:AAA\r\n",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1")) ++
+      rec("http://e/c", "revisit", "",
+        "HTTP/1.1 200 OK\r\n\r\n".getBytes("ISO-8859-1"))
+    val df = Seq((1L, w)).toDF("media_id", "payload")
+    val rows = Warc.warcCaptures(
+        Multimodal.asMedia(df, "media_id", "payload", "warc"))
+      .orderBy("record_idx").collect()
+    assert(rows.length == 3)
+    assert(rows(0).getAs[String]("kind") == "response" &&
+      rows(0).getAs[String]("digest") == "sha1:AAA" &&
+      rows(0).getAs[String]("text") == "stored body text here")
+    assert(rows(1).getAs[String]("kind") == "revisit" &&
+      rows(1).getAs[String]("refers_to") == "http://e/a")
+    assert(rows(2).getAs[String]("kind") == "revisit" &&
+      rows(2).isNullAt(rows(2).fieldIndex("refers_to")))
+  }
 }
