@@ -6509,6 +6509,47 @@ object SparkEntry {
         .orderBy("url")
     }),
 
+    // Q339 — recrawl scheduling: the crawl-ops composition of three
+    // round pieces — the sitemap frontier's lastmod, the fetch log,
+    // and robots crawl-delay ([[graft.functions.RobotsCrawlDelay]]).
+    // A URL needs refetch when it was never fetched or its declared
+    // lastmod is newer than the last fetch; the refetch set is then
+    // SCHEDULED per host under the host's politeness delay: rank
+    // within host (newest lastmod first, URL tie-break) × delay =
+    // the fetch-slot offset in seconds. One left join against the
+    // fetch log, one per-host window — both keyed by host/url, no
+    // global coordination at any corpus size.
+    "q339_recrawl_schedule" -> ((s, d) => {
+      import s.implicits._
+      val frontier = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        val hostIdx = (id % 5).toInt
+        val host = s"h$hostIdx.ex.com"
+        val robots = s"User-agent: *\nCrawl-delay: ${2 + hostIdx}\n"
+        (id, host, s"http://$host/p/$id",
+          s"2024-01-0${1 + id % 5}", robots)
+      }.toDF("doc_id", "host", "url", "lastmod", "robots")
+      val fetchlog = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        (id % 3) match {
+          case 0 => None // never fetched
+          case 1 => Some((s"http://h${id % 5}.ex.com/p/$id", "2024-01-03"))
+          case _ => Some((s"http://h${id % 5}.ex.com/p/$id", "2024-12-31"))
+        }
+      }.toDF("url", "fetched_at")
+      val delta = frontier.join(fetchlog, Seq("url"), "left")
+        .where(col("fetched_at").isNull ||
+          col("lastmod") > col("fetched_at"))
+        .withColumn("delay_s",
+          graft.functions.RobotsCrawlDelay(col("robots"), lit("graftbot")))
+      val w = org.apache.spark.sql.expressions.Window
+        .partitionBy(col("host"))
+        .orderBy(desc("lastmod"), col("url"))
+      delta.withColumn("slot_s",
+          (row_number().over(w) - 1) * col("delay_s"))
+        .select(col("host"), col("url"), col("lastmod"),
+          col("delay_s"), col("slot_s"))
+        .orderBy("host", "slot_s", "url")
+    }),
+
     // Q336 — URL-level corpus gate (the FineWeb/CCNet front filter —
     // the cheapest drop in the whole pipeline runs BEFORE any byte
     // of content is fetched or parsed): a domain blocklist applied
@@ -9731,6 +9772,27 @@ object SparkEntry {
         |      FROM w, generate_series(1, 2000) t(i) WHERE t.i <= LENGTH(w.w) - 1
         |      GROUP BY 1)
         |SELECT pair, freq FROM p ORDER BY freq DESC, pair LIMIT 20""".stripMargin,
+
+    // The schedule replayed: refetch = never-fetched (id%3=0) or
+    // stale (id%3=1 and lastmod after 2024-01-03); per-host rank
+    // (lastmod desc, url) times the host's delay.
+    "q339_recrawl_schedule" ->
+      """WITH f AS (SELECT doc_id, doc_id % 5 AS hi,
+        |    'h' || (doc_id % 5) || '.ex.com' AS host,
+        |    'http://h' || (doc_id % 5) || '.ex.com/p/' || doc_id AS url,
+        |    '2024-01-0' || (1 + doc_id % 5) AS lastmod
+        |  FROM documents),
+        |delta AS (SELECT * FROM f
+        |  WHERE doc_id % 3 = 0
+        |     OR (doc_id % 3 = 1 AND lastmod > '2024-01-03')),
+        |s AS (SELECT host, url, lastmod,
+        |        CAST(2 + hi AS BIGINT) AS delay_s,
+        |        CAST((ROW_NUMBER() OVER (PARTITION BY host
+        |          ORDER BY lastmod DESC, url) - 1) * (2 + hi) AS BIGINT)
+        |          AS slot_s
+        |      FROM delta)
+        |SELECT host, url, lastmod, delay_s, slot_s FROM s
+        |ORDER BY host, slot_s, url""".stripMargin,
 
     // The gate restated by arm: label-boundary domain blocks on
     // id%5 in {1,2,4} (the goodbad.example arm stays clean), term
