@@ -6550,6 +6550,73 @@ object SparkEntry {
         .orderBy("host", "slot_s", "url")
     }),
 
+    // Q340 — HTTP payload decoding in the WARC walk ([[graft.sources
+    // .Warc.decodeHttpPayload]]): Heritrix-/browser-produced WARCs
+    // store the HTTP message AS ON THE WIRE — `Transfer-Encoding:
+    // chunked` framing and `Content-Encoding: gzip/deflate` sit
+    // between the archive and the page bytes, so without this decode
+    // a gzip'd HTML body reaches html_to_text as binary mojibake and
+    // chunk-size lines leak into training text (r16 verdict item 1).
+    // The fixture plants all four wire forms plus an undecodable
+    // `Content-Encoding: br` claim (no JVM brotli — the raw bytes
+    // pass through under a loud `br!undecoded` label and, being
+    // plain HTML here, still extract); every variant must reproduce
+    // the identity variant's text EXACTLY. Decode runs inside the
+    // same flatMap kernel on both doors (cell + streaming, shared
+    // [[graft.sources.Warc]] walk code) — bodies still never shuffle.
+    "q340_warc_http_decode" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val entity =
+            (s"<h1>Doc $id</h1><p>payload $id decodes exactly.</p>")
+              .getBytes("UTF-8")
+          def chunked(b: Array[Byte]): Array[Byte] = {
+            val cut = math.max(1, b.length / 3)
+            val o = new java.io.ByteArrayOutputStream()
+            def wr(t: String): Unit = o.write(t.getBytes("ISO-8859-1"))
+            wr(Integer.toHexString(cut) + ";x=1\r\n")
+            o.write(b, 0, cut); wr("\r\n")
+            wr(Integer.toHexString(b.length - cut) + "\r\n")
+            o.write(b, cut, b.length - cut); wr("\r\n")
+            wr("0\r\n\r\ntrailer: ignored\r\n")
+            o.toByteArray
+          }
+          def zlib(b: Array[Byte]): Array[Byte] = {
+            val df = new java.util.zip.Deflater()
+            df.setInput(b); df.finish()
+            val o = new java.io.ByteArrayOutputStream()
+            val buf = new Array[Byte](1024)
+            while (!df.finished()) o.write(buf, 0, df.deflate(buf))
+            df.end(); o.toByteArray
+          }
+          val (wire, body) = (id % 5) match {
+            case 1 => ("Transfer-Encoding: chunked\r\n", chunked(entity))
+            case 2 => ("Content-Encoding: gzip\r\n", gzipBytes(entity))
+            case 3 => ("Content-Encoding: deflate\r\n", zlib(entity))
+            case 4 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+              chunked(gzipBytes(entity)))
+            case _ =>
+              if (id % 3 == 0) ("Content-Encoding: br\r\n", entity)
+              else ("", entity)
+          }
+          val http = ("HTTP/1.1 200 OK\r\n" +
+            "Content-Type: text/html; charset=utf-8\r\n" + wire + "\r\n")
+            .getBytes("ISO-8859-1") ++ body
+          val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://ex.com/p/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          (id, hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "url", "carrier", "encoding",
+          "text")
+        .orderBy("media_id")
+    }),
+
     // Q336 — URL-level corpus gate (the FineWeb/CCNet front filter —
     // the cheapest drop in the whole pipeline runs BEFORE any byte
     // of content is fetched or parsed): a domain blocklist applied
@@ -13487,6 +13554,25 @@ object SparkEntry {
     // Resolution restated: every revisit finds its stored capture
     // through the canonicalized refers-to key; every 3rd id's digest
     // contradicts the identity claim.
+    // Wire-form decode stated: every variant reproduces the identity
+    // text; the labels replay the applied decode chain, with the
+    // brotli claim loud-but-kept (no JVM decoder, raw HTML passes).
+    "q340_warc_http_decode" ->
+      """SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/p/' || doc_id AS url, 'html' AS carrier,
+        |  CASE doc_id % 5
+        |    WHEN 1 THEN 'chunked'
+        |    WHEN 2 THEN 'gzip'
+        |    WHEN 3 THEN 'deflate'
+        |    WHEN 4 THEN 'chunked+gzip'
+        |    ELSE CASE WHEN doc_id % 3 = 0 THEN 'br!undecoded'
+        |              ELSE 'identity' END
+        |  END AS encoding,
+        |  'Doc ' || doc_id || chr(10) ||
+        |    'payload ' || doc_id || ' decodes exactly.' AS text
+        |FROM documents WHERE doc_id % 50 <> 0
+        |ORDER BY media_id""".stripMargin,
+
     "q334_warc_revisit" ->
       """SELECT doc_id AS media_id, CAST(1 AS INTEGER) AS record_idx,
         |  'http://ex.com/again/' || doc_id AS url,

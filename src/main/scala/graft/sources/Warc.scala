@@ -39,7 +39,8 @@ object Warc {
                               bodyTruncated: Boolean = false,
                               xRobotsTag: Option[String] = None,
                               refersTo: Option[String] = None,
-                              payloadDigest: Option[String] = None)
+                              payloadDigest: Option[String] = None,
+                              encoding: String = "identity")
 
   /** One container's full parse result: the records that decoded plus
     * WHY the walk stopped — fences must be loud (r11 verdict: an
@@ -55,6 +56,11 @@ object Warc {
     * - `empty`         — fewer than 9 bytes of input */
   final case class WarcParse(records: Seq[WarcRecord], endReason: String) {
     def truncatedBodies: Int = records.count(_.bodyTruncated)
+    /** Bodies whose HTTP wire decode failed (label carries a `!`) —
+      * raw bytes were kept, the row is still present, the counter is
+      * the loudness channel. */
+    def undecodableBodies: Int =
+      records.count(r => r.encoding != null && r.encoding.indexOf('!') >= 0)
   }
 
   /** Inflate a (possibly multi-member) gzip stream, fenced. Returns
@@ -74,6 +80,150 @@ object Warc {
       }
       if (out.size > maxOut) null else out.toByteArray
     } catch { case _: java.io.IOException => null }
+  }
+
+  // ==== HTTP payload decoding (wire bytes → entity bytes) ===========
+  //
+  // Heritrix-/browser-produced WARCs store the HTTP message AS SENT
+  // ON THE WIRE: a response body may carry `Transfer-Encoding:
+  // chunked` framing (hex size lines interleaved with the data) and
+  // sit under `Content-Encoding: gzip/deflate/zstd`. Handing those
+  // raw bytes to the carriers turns a gzip'd HTML page into binary
+  // mojibake and leaks `1ff8\r\n` chunk framing into training text
+  // (r16 verdict item 1). The wire order is charset-independent:
+  // the server applies Content-Encoding first and Transfer-Encoding
+  // last, so decoding runs chunked-first, then content codings in
+  // reverse header order. Every step is bounded by the body fence
+  // and never throws; a step that cannot decode keeps the bytes it
+  // had and marks the applied-steps label with `!failed` /
+  // `!over_fence` / `!undecoded` — the loudness channel the
+  // `bodies_undecodable` fence counter aggregates.
+
+  /** De-chunk a `Transfer-Encoding: chunked` HTTP body: hex size
+    * line (`;ext` tolerated) + CRLF + data + CRLF, repeated, ended by
+    * the 0-chunk (trailers skipped). Returns null on malformed
+    * framing or when the reassembled body exceeds maxOut. */
+  private[sources] def dechunk(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    val out = new java.io.ByteArrayOutputStream(math.min(bytes.length, 1 << 16))
+    var p = 0
+    while (true) {
+      // hex chunk-size line (chunk extensions after ';' ignored)
+      var q = p
+      var size = 0L
+      var digits = 0
+      while (q < bytes.length && hexDigit(bytes(q)) >= 0 && digits <= 8) {
+        size = size * 16 + hexDigit(bytes(q)); q += 1; digits += 1
+      }
+      if (digits == 0 || digits > 8) return null
+      while (q < bytes.length && bytes(q) != '\r' && bytes(q) != '\n') q += 1 // ;ext
+      if (q + 1 < bytes.length && bytes(q) == '\r' && bytes(q + 1) == '\n') q += 2
+      else if (q < bytes.length && bytes(q) == '\n') q += 1
+      else return null
+      if (size == 0) return if (out.size > maxOut) null else out.toByteArray
+      if (q + size > bytes.length || out.size + size > maxOut) return null
+      out.write(bytes, q, size.toInt)
+      p = (q + size).toInt
+      // the CRLF closing the chunk data
+      if (p + 1 < bytes.length && bytes(p) == '\r' && bytes(p + 1) == '\n') p += 2
+      else if (p < bytes.length && bytes(p) == '\n') p += 1
+      else return null
+    }
+    null // unreachable
+  }
+
+  private def hexDigit(b: Byte): Int = {
+    val c = b & 0xff
+    if (c >= '0' && c <= '9') c - '0'
+    else if (c >= 'a' && c <= 'f') c - 'a' + 10
+    else if (c >= 'A' && c <= 'F') c - 'A' + 10
+    else -1
+  }
+
+  /** Inflate a zlib- OR raw-deflate body (servers send both under
+    * `Content-Encoding: deflate` — RFC 9110 §8.4.1.1 notes the
+    * widespread raw-deflate deviation), fenced. Null on failure. */
+  private def inflateDeflate(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
+    def run(nowrap: Boolean): Array[Byte] =
+      try {
+        val inf = new java.util.zip.Inflater(nowrap)
+        inf.setInput(bytes)
+        val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, maxOut))
+        val buf = new Array[Byte](1 << 16)
+        while (!inf.finished() && out.size <= maxOut) {
+          val n = inf.inflate(buf)
+          if (n == 0 && !inf.finished()) { inf.end(); return null } // needs input/dict
+          out.write(buf, 0, n)
+        }
+        inf.end()
+        if (out.size > maxOut || out.size == 0) null else out.toByteArray
+      } catch { case _: Exception => null }
+    val zlib = run(nowrap = false)
+    if (zlib != null) zlib else run(nowrap = true)
+  }
+
+  /** Bounded zstd decode (zstd-jni, already on Spark's classpath —
+    * the Archives door's codec). Null on failure/over-fence. */
+  private def unzstd(bytes: Array[Byte], maxOut: Int): Array[Byte] =
+    try {
+      val in = new com.github.luben.zstd.ZstdInputStream(
+        new java.io.ByteArrayInputStream(bytes))
+      val out = new java.io.ByteArrayOutputStream(math.min(bytes.length * 4, maxOut))
+      val buf = new Array[Byte](1 << 16)
+      var n = in.read(buf)
+      while (n > 0 && out.size <= maxOut) { out.write(buf, 0, n); n = in.read(buf) }
+      if (out.size > maxOut) null else out.toByteArray
+    } catch { case _: Throwable => null }
+
+  /** Decode one HTTP body from its wire form: de-chunk first when
+    * `Transfer-Encoding` says chunked, then undo `Content-Encoding`
+    * codings in reverse header order (gzip/x-gzip, deflate, zstd;
+    * identity/none skipped; anything else — br without a JVM decoder,
+    * unknown tokens — stops with an `!undecoded` label and the bytes
+    * as far as decoding got). Returns (bytes, applied-steps label);
+    * the label is `identity` when nothing applied and carries a `!`
+    * marker on any failure — never throws, never unbounded. */
+  private[sources] def decodeHttpPayload(body: Array[Byte],
+                                         transferEncoding: Option[String],
+                                         contentEncoding: Option[String],
+                                         maxOut: Int): (Array[Byte], String) = {
+    var cur = body
+    val steps = Seq.newBuilder[String]
+    var failed = false
+    val chunked = transferEncoding.exists(
+      _.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
+    if (chunked) {
+      val d = dechunk(cur, maxOut)
+      if (d == null) { steps += "chunked!failed"; failed = true }
+      else { steps += "chunked"; cur = d }
+    }
+    if (!failed) {
+      val codings = contentEncoding.toSeq
+        .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(","))
+        .map(_.trim).filter(c => c.nonEmpty && c != "identity" && c != "none")
+        .reverse // applied first = listed first, so undo in reverse
+      val it = codings.iterator
+      while (it.hasNext && !failed) {
+        val c = it.next()
+        c match {
+          case "gzip" | "x-gzip" =>
+            val d = gunzipAll(cur, maxOut)
+            if (d == null) { steps += "gzip!failed"; failed = true }
+            else { steps += "gzip"; cur = d }
+          case "deflate" =>
+            val d = inflateDeflate(cur, maxOut)
+            if (d == null) { steps += "deflate!failed"; failed = true }
+            else { steps += "deflate"; cur = d }
+          case "zstd" =>
+            val d = unzstd(cur, maxOut)
+            if (d == null) { steps += "zstd!failed"; failed = true }
+            else { steps += "zstd"; cur = d }
+          case other =>
+            steps += s"$other!undecoded"; failed = true
+        }
+      }
+    }
+    val parts = steps.result()
+    (cur, if (parts.isEmpty) "identity" else parts.mkString("+"))
   }
 
   /** Parse WARC records (auto-gunzips). None = not a WARC at all;
@@ -128,6 +278,7 @@ object Warc {
       var xRobots: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
+      var enc = "identity"
       if (wType.equalsIgnoreCase("response") &&
           startsWith(data, bodyStart, "HTTP/")) {
         val httpHeaderEnd = findBlank(data, bodyStart)
@@ -141,8 +292,15 @@ object Warc {
           ctype = hh.get("content-type")
           xRobots = hh.get("x-robots-tag")
           val bl = (bodyEnd - httpHeaderEnd).toInt
-          if (bl > 0 && bl <= maxBody)
+          if (bl > 0 && bl <= maxBody) {
             body = java.util.Arrays.copyOfRange(data, httpHeaderEnd, bodyEnd.toInt)
+            // wire form → entity form: de-chunk + Content-Encoding
+            // decode BEFORE any carrier sees the bytes (r16 item 1)
+            val (decoded, label) = decodeHttpPayload(body,
+              hh.get("transfer-encoding"), hh.get("content-encoding"), maxBody)
+            body = decoded
+            enc = label
+          }
           // maxBody == 0 is the deliberate listing projection, not a
           // fence: only a POSITIVE cap that cut a body counts as loud
           else if (bl > 0 && maxBody > 0) bodyCut = true
@@ -150,7 +308,7 @@ object Warc {
       }
       out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut,
         xRobots, headers.get("warc-refers-to-target-uri"),
-        headers.get("warc-payload-digest"))
+        headers.get("warc-payload-digest"), enc)
       k += 1
       // payload + the record-separating CRLFCRLF (tolerant at EOF).
       // q is Long: a hostile multi-GB Content-Length must clamp here,
@@ -277,7 +435,13 @@ object Warc {
     * counts `io_error_partial` under containers_truncated (ADVICE
     * r13 — such a container is cut short, not absent); records_capped
     * / bodies_truncated name per-record fence cuts. */
-  private def withFenceCounters(rows: DataFrame, name: String): (DataFrame, Observation) =
+  private def withFenceCounters(rows: DataFrame, name: String): (DataFrame, Observation) = {
+    // walks that decode HTTP payloads also carry a per-container
+    // undecodable-body count; the listing/raw walks don't
+    val undec =
+      if (rows.columns.contains("__undec_n"))
+        sum(coalesce(col("__undec_n"), lit(0)).cast("long"))
+      else lit(0L)
     graft.core.Counters.observed(
       rows.withColumn("__is_sentinel", col("record_idx") < 0),
       name,
@@ -292,7 +456,9 @@ object Warc {
         1L).otherwise(0L)),
       "records_capped" -> sum(when(col("__is_sentinel") &&
         (col("__end_reason") === "record_cap"), 1L).otherwise(0L)),
-      "bodies_truncated" -> sum(coalesce(col("__truncated_n"), lit(0)).cast("long")))
+      "bodies_truncated" -> sum(coalesce(col("__truncated_n"), lit(0)).cast("long")),
+      "bodies_undecodable" -> undec)
+  }
 
   /** One row per WARC record (no body bytes — the listing). Fence
     * drops are loud: see [[describeWarcObserved]]; this wrapper keeps
@@ -385,17 +551,17 @@ object Warc {
             val (html, cs) = decodeHtml(r.body, r.contentType)
             (id, r.recordIdx, Option(r.targetUri), cs,
               graft.functions.HtmlToText.clean(html),
-              null.asInstanceOf[String], 0)
+              null.asInstanceOf[String], 0, 0)
         }
         pages :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
           null.asInstanceOf[String], parse.endReason,
-          parse.truncatedBodies))
+          parse.truncatedBodies, parse.undecodableBodies))
       }
       .toDF("media_id", "record_idx", "url", "charset", "text",
-        "__end_reason", "__truncated_n")
+        "__end_reason", "__truncated_n", "__undec_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+      .drop("__end_reason", "__truncated_n", "__undec_n", "__is_sentinel"), obs)
   }
 
   /** Multi-carrier crawl-to-text: ONE pass that routes each 2xx
@@ -499,20 +665,21 @@ object Warc {
         val rows = parse.records.flatMap { r =>
           routeDocRecord(r).map { case (carrier, text, codes, unmapped, canon) =>
             (id, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, codes, unmapped, Option(canon),
-              null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, Option(canon), r.encoding,
+              null.asInstanceOf[String], 0, 0)
           }
         }
         rows :+ ((id, -1, None: Option[String], null.asInstanceOf[String],
           null.asInstanceOf[String], None: Option[String], 0L, 0L,
-          None: Option[String], parse.endReason, parse.truncatedBodies))
+          None: Option[String], null.asInstanceOf[String],
+          parse.endReason, parse.truncatedBodies, parse.undecodableBodies))
       }
       .toDF("media_id", "record_idx", "url", "carrier", "text",
-        "x_robots", "type0_codes", "type0_unmapped", "canonical",
-        "__end_reason", "__truncated_n")
+        "x_robots", "type0_codes", "type0_unmapped", "canonical", "encoding",
+        "__end_reason", "__truncated_n", "__undec_n")
     val (observed, obs) = withFenceCounters(raw, "warc_fences")
     (observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+      .drop("__end_reason", "__truncated_n", "__undec_n", "__is_sentinel"), obs)
   }
 
   /** The streaming-path multi-carrier router — [[warcDocText]] over
@@ -535,23 +702,24 @@ object Warc {
     val raw = spark.createDataset(paths).repartition(n)
       .flatMap { path =>
         streamRows[(String, Int, Option[String], String, String,
-            Option[String], Long, Long, Option[String], String, Int)](
+            Option[String], Long, Long, Option[String], String, String, Int, Int)](
           path, maxBody, maxRecords,
           r => routeDocRecord(r).map { case (carrier, text, codes, unmapped, canon) =>
             (path, r.recordIdx, Option(r.targetUri), carrier, text,
-              r.xRobotsTag, codes, unmapped, Option(canon),
-              null.asInstanceOf[String], 0)
+              r.xRobotsTag, codes, unmapped, Option(canon), r.encoding,
+              null.asInstanceOf[String], 0, 0)
           },
-          (reason, tb) => (path, -1, None: Option[String],
+          (reason, tb, un) => (path, -1, None: Option[String],
             null.asInstanceOf[String], null.asInstanceOf[String],
-            None: Option[String], 0L, 0L, None: Option[String], reason, tb))
+            None: Option[String], 0L, 0L, None: Option[String],
+            null.asInstanceOf[String], reason, tb, un))
       }
       .toDF("path", "record_idx", "url", "carrier", "text", "x_robots",
-        "type0_codes", "type0_unmapped", "canonical",
-        "__end_reason", "__truncated_n")
+        "type0_codes", "type0_unmapped", "canonical", "encoding",
+        "__end_reason", "__truncated_n", "__undec_n")
     val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
     (observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+      .drop("__end_reason", "__truncated_n", "__undec_n", "__is_sentinel"), obs)
   }
 
   /** The RAW decoded page surface: like [[warcHtmlText]] but emitting
@@ -620,6 +788,7 @@ object Warc {
                                           maxRecords: Int = 1 << 20) {
     var endReason: String = null
     var truncatedBodies: Int = 0
+    var undecodableBodies: Int = 0
     private var idx = 0
     // gzip / zstd / passthrough by magic — the shared archive-door
     // sniff (Common Crawl distributes .warc.gz AND .warc.zst)
@@ -706,6 +875,7 @@ object Warc {
       var xRobots: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
+      var enc = "identity"
       if (wType.equalsIgnoreCase("response") && startsWith(payload, 0, "HTTP/")) {
         val httpHeaderEnd = findBlank(payload, 0)
         if (httpHeaderEnd > 0 && httpHeaderEnd <= got) {
@@ -717,9 +887,17 @@ object Warc {
           ctype = hh.get("content-type")
           xRobots = hh.get("x-robots-tag")
           val bl = clen - httpHeaderEnd // true HTTP body length
-          if (bl > 0 && bl <= maxBody && httpHeaderEnd + bl <= got)
+          if (bl > 0 && bl <= maxBody && httpHeaderEnd + bl <= got) {
             body = java.util.Arrays.copyOfRange(payload, httpHeaderEnd,
               (httpHeaderEnd + bl).toInt)
+            // wire form → entity form, the same decode as the cell
+            // door (r16 item 1: both doors by construction)
+            val (decoded, label) = decodeHttpPayload(body,
+              hh.get("transfer-encoding"), hh.get("content-encoding"), maxBody)
+            body = decoded
+            enc = label
+            if (label.indexOf('!') >= 0) undecodableBodies += 1
+          }
           else if (bl > 0 && maxBody > 0) {
             bodyCut = true
             truncatedBodies += 1
@@ -727,7 +905,7 @@ object Warc {
         }
       }
       val rec = WarcRecord(idx, wType, uri, clen, status, ctype, body,
-        bodyCut, xRobots)
+        bodyCut, xRobots, encoding = enc)
       idx += 1
       if (shortRead) endReason = "truncated" // emit this record, then stop
       rec
@@ -740,7 +918,7 @@ object Warc {
     * more than one record resident. */
   private def streamRows[T](path: String, maxBody: Int, maxRecords: Int,
                             mk: WarcRecord => Option[T],
-                            sentinel: (String, Int) => T): Iterator[T] = {
+                            sentinel: (String, Int, Int) => T): Iterator[T] = {
     var stream: java.io.InputStream = null
     val ws =
       try {
@@ -754,7 +932,7 @@ object Warc {
       } catch {
         case _: Exception =>
           if (stream != null) { try stream.close() catch { case _: Exception => () } }
-          return Iterator.single(sentinel("io_error", 0))
+          return Iterator.single(sentinel("io_error", 0, 0))
       }
     new Iterator[T] {
       private var pending: Option[T] = None
@@ -764,7 +942,8 @@ object Warc {
           val r = ws.next()
           if (r == null) {
             try stream.close() catch { case _: Exception => () }
-            pending = Some(sentinel(ws.endReason, ws.truncatedBodies))
+            pending = Some(sentinel(ws.endReason, ws.truncatedBodies,
+              ws.undecodableBodies))
             sentinelSent = true
           } else pending = mk(r)
         }
@@ -796,7 +975,7 @@ object Warc {
           r => Some((path, r.recordIdx, r.warcType, Option(r.targetUri),
             r.contentLength, r.httpStatus, r.contentType,
             null.asInstanceOf[String], 0)),
-          (reason, tb) => (path, -1, null.asInstanceOf[String],
+          (reason, tb, _) => (path, -1, null.asInstanceOf[String],
             None: Option[String], -1L, None: Option[Int],
             None: Option[String], reason, tb))
       }
@@ -825,7 +1004,7 @@ object Warc {
     val n = math.max(1, math.min(paths.size, spark.sparkContext.defaultParallelism))
     val raw = spark.createDataset(paths).repartition(n)
       .flatMap { path =>
-        streamRows[(String, Int, Option[String], String, String, String, Int)](
+        streamRows[(String, Int, Option[String], String, String, String, Int, Int)](
           path, maxBody, maxRecords,
           r => if (r.warcType.equalsIgnoreCase("response") &&
               r.httpStatus.exists(s => s >= 200 && s < 300) &&
@@ -834,15 +1013,15 @@ object Warc {
             val (html, cs) = decodeHtml(r.body, r.contentType)
             Some((path, r.recordIdx, Option(r.targetUri), cs,
               graft.functions.HtmlToText.clean(html),
-              null.asInstanceOf[String], 0))
+              null.asInstanceOf[String], 0, 0))
           } else None,
-          (reason, tb) => (path, -1, None: Option[String],
-            null.asInstanceOf[String], null.asInstanceOf[String], reason, tb))
+          (reason, tb, un) => (path, -1, None: Option[String],
+            null.asInstanceOf[String], null.asInstanceOf[String], reason, tb, un))
       }
       .toDF("path", "record_idx", "url", "charset", "text",
-        "__end_reason", "__truncated_n")
+        "__end_reason", "__truncated_n", "__undec_n")
     val (observed, obs) = withFenceCounters(raw, "warc_paths_fences")
     (observed.where(col("record_idx") >= 0)
-      .drop("__end_reason", "__truncated_n", "__is_sentinel"), obs)
+      .drop("__end_reason", "__truncated_n", "__undec_n", "__is_sentinel"), obs)
   }
 }

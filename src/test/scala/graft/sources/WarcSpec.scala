@@ -1,6 +1,7 @@
 package graft.sources
 
 import graft.SparkSpec
+import org.apache.spark.sql.Row
 import org.apache.spark.sql.functions._
 
 /** Pins [[Warc]] — the crawl container walk — on hand-built WARC
@@ -435,5 +436,118 @@ class WarcSpec extends SparkSpec {
       rows(1).getAs[String]("refers_to") == "http://e/a")
     assert(rows(2).getAs[String]("kind") == "revisit" &&
       rows(2).isNullAt(rows(2).fieldIndex("refers_to")))
+  }
+
+  // ==== HTTP wire-form payload decoding (r16 verdict item 1) ========
+
+  private def chunkize(b: Array[Byte]): Array[Byte] = {
+    val cut = math.max(1, b.length / 3)
+    val o = new java.io.ByteArrayOutputStream()
+    def wr(t: String): Unit = o.write(t.getBytes("ISO-8859-1"))
+    wr(Integer.toHexString(cut) + ";ext=v\r\n"); o.write(b, 0, cut); wr("\r\n")
+    wr(Integer.toHexString(b.length - cut) + "\r\n")
+    o.write(b, cut, b.length - cut); wr("\r\n")
+    wr("0\r\nx-trailer: t\r\n\r\n")
+    o.toByteArray
+  }
+
+  private def zlibDeflate(b: Array[Byte], nowrap: Boolean = false): Array[Byte] = {
+    val d = new java.util.zip.Deflater(java.util.zip.Deflater.DEFAULT_COMPRESSION, nowrap)
+    d.setInput(b); d.finish()
+    val o = new java.io.ByteArrayOutputStream()
+    val buf = new Array[Byte](1024)
+    while (!d.finished()) o.write(buf, 0, d.deflate(buf))
+    d.end(); o.toByteArray
+  }
+
+  test("decodeHttpPayload: chunked, gzip, deflate (zlib AND raw), chains, failures") {
+    val entity = "<p>the true page bytes</p>".getBytes("UTF-8")
+    val max = 1 << 20
+    // identity: no headers → untouched
+    val (i1, l1) = decodeHttpPayload(entity, None, None, max)
+    assert(i1.sameElements(entity) && l1 == "identity")
+    // chunked framing strips exactly
+    val (c1, cl1) = decodeHttpPayload(chunkize(entity), Some("chunked"), None, max)
+    assert(c1.sameElements(entity) && cl1 == "chunked")
+    // gzip / x-gzip / deflate-zlib / deflate-raw / zstd
+    val (g1, gl1) = decodeHttpPayload(gzip(entity), None, Some("gzip"), max)
+    assert(g1.sameElements(entity) && gl1 == "gzip")
+    val (g2, gl2) = decodeHttpPayload(gzip(entity), None, Some("x-gzip"), max)
+    assert(g2.sameElements(entity) && gl2 == "gzip")
+    val (d1, dl1) = decodeHttpPayload(zlibDeflate(entity), None, Some("deflate"), max)
+    assert(d1.sameElements(entity) && dl1 == "deflate")
+    val (d2, dl2) = decodeHttpPayload(zlibDeflate(entity, nowrap = true),
+      None, Some("deflate"), max)
+    assert(d2.sameElements(entity) && dl2 == "deflate")
+    // chunked + gzip: wire order is chunk(gzip(body)) → undo chunked first
+    val (cg, cgl) = decodeHttpPayload(chunkize(gzip(entity)),
+      Some("chunked"), Some("gzip"), max)
+    assert(cg.sameElements(entity) && cgl == "chunked+gzip")
+    // multi-coding list undoes in reverse header order
+    val (m1, ml1) = decodeHttpPayload(gzip(zlibDeflate(entity)),
+      None, Some("deflate, gzip"), max)
+    assert(m1.sameElements(entity) && ml1 == "gzip+deflate")
+    // brotli: no JVM decoder — loud label, bytes kept
+    val (b1, bl1) = decodeHttpPayload(entity, None, Some("br"), max)
+    assert(b1.sameElements(entity) && bl1 == "br!undecoded")
+    // malformed chunk framing: loud label, raw bytes kept
+    val (f1, fl1) = decodeHttpPayload("ZZZ not chunked".getBytes,
+      Some("chunked"), None, max)
+    assert(new String(f1) == "ZZZ not chunked" && fl1 == "chunked!failed")
+    // gzip claim over non-gzip bytes: loud label, raw kept
+    val (f2, fl2) = decodeHttpPayload(entity, None, Some("gzip"), max)
+    assert(f2.sameElements(entity) && fl2 == "gzip!failed")
+    // fence: inflating past maxOut fails loudly, keeps wire bytes
+    val big = gzip(Array.fill[Byte](1 << 16)('a'))
+    val (f3, fl3) = decodeHttpPayload(big, None, Some("gzip"), 1 << 10)
+    assert(f3.sameElements(big) && fl3 == "gzip!failed")
+  }
+
+  test("wire-form bodies decode identically through BOTH doors; fences loud") {
+    val html = "<h1>T</h1><p>wire decode parity.</p>"
+    val entity = html.getBytes("UTF-8")
+    def resp(uri: String, wire: String, body: Array[Byte]): Array[Byte] = {
+      val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
+        wire + "\r\n").getBytes("ISO-8859-1") ++ body
+      record("response", uri, http)
+    }
+    val warc =
+      resp("http://e/id", "", entity) ++
+      resp("http://e/ch", "Transfer-Encoding: chunked\r\n", chunkize(entity)) ++
+      resp("http://e/gz", "Content-Encoding: gzip\r\n", gzip(entity)) ++
+      resp("http://e/cg",
+        "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
+        chunkize(gzip(entity))) ++
+      resp("http://e/bad", "Content-Encoding: gzip\r\n", entity) // lying claim
+    // cell door
+    val df = Seq((1L, warc)).toDF("media_id", "payload")
+    val (cell, cellObs) = Warc.warcDocTextObserved(
+      Multimodal.asMedia(df, "media_id", "payload", "warc"))
+    // local sort, not orderBy: a range-shuffle's sampling pass would
+    // evaluate the observed plan twice and double the counters
+    val cellRows = cell.select("record_idx", "url", "encoding", "text")
+      .collect().sortBy(_.getInt(0)).map(r => Row(r.get(1), r.get(2), r.get(3)))
+    // streaming door over the same bytes on disk
+    val dir = java.nio.file.Files.createTempDirectory("warc-wire").toFile
+    val f = new java.io.File(dir, "w.warc")
+    java.nio.file.Files.write(f.toPath, warc)
+    val (path, pathObs) = Warc.warcPathsDocTextObserved(spark, Seq(f.getPath))
+    val pathRows = path.select("record_idx", "url", "encoding", "text")
+      .collect().sortBy(_.getInt(0)).map(r => Row(r.get(1), r.get(2), r.get(3)))
+    val want = Seq(
+      ("http://e/id", "identity"), ("http://e/ch", "chunked"),
+      ("http://e/gz", "gzip"), ("http://e/cg", "chunked+gzip"),
+      ("http://e/bad", "gzip!failed"))
+    for (rows <- Seq(cellRows, pathRows)) {
+      assert(rows.length == 5)
+      rows.zip(want).foreach { case (r, (u, enc)) =>
+        assert(r.getString(0) == u && r.getString(1) == enc)
+      }
+      // every decodable variant reproduces the identity text EXACTLY
+      rows.take(4).foreach(r => assert(r.getString(2) == "T\nwire decode parity."))
+    }
+    // the lying-gzip body's fence counter fired once on each door
+    assert(cellObs.get("bodies_undecodable") == 1L)
+    assert(pathObs.get("bodies_undecodable") == 1L)
   }
 }

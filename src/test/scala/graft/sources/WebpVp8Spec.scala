@@ -2,8 +2,10 @@ package graft.sources
 
 /** Differential pins for the VP8 (lossy WebP) keyframe decoder:
   * every fixture under src/test/resources/vp8 was produced by the
-  * system reference encoder (libwebp, filter_strength = 0 so the
-  * unapplied in-loop filter is a no-op) and decoded by the reference
+  * system reference encoder (libwebp — 8 of the 20 with the in-loop
+  * filter ON: strengths 30-100, sharpness 0-7, simple type, 4
+  * segments; [[Vp8.decode]] applies the full deblocking filter) and
+  * decoded by the reference
   * decoder; [[Vp8.decode]] must reproduce the exact Y/U/V planes
   * (CRC32 over y ++ u ++ v, plus per-plane sums). The fixture set
   * covers flat / formula / random / gradient content, qualities

@@ -1,10 +1,11 @@
 #!/usr/bin/env python3
 """Generate VP8 (lossy WebP) differential fixtures: encode test
-images with the system reference codec (libwebp) at filter_strength=0
-(the graft decoder parses but does not apply the in-loop filter, so
-level-0 streams must decode bit-exactly), decode them back with the
-same reference codec, and record the decoded YUV planes' sums and
-CRC32. The spec (WebpVp8Spec) replays every .webp through
+images with the system reference codec (libwebp) — including
+filtered cases (strengths 30-100, sharpness 0-7, simple-filter and
+segment variants; the graft decoder applies the full in-loop
+deblocking filter, so every stream must decode bit-exactly) —
+decode them back with the same reference codec, and record the
+decoded YUV planes' sums and CRC32. The spec (WebpVp8Spec) replays every .webp through
 graft.sources.Vp8 and must reproduce the planes exactly.
 
 Writes src/test/resources/vp8/<name>.webp + manifest.json.
