@@ -112,7 +112,11 @@ object GraftExtensions {
     ("html_meta",
       info("html_meta",
         "html_meta(s) - struct<title, description, canonical, lang, og array<struct<property,content>>, jsonld array<string>>: page-level metadata (first-wins scalars, OpenGraph/Twitter pairs in order, raw JSON-LD blocks)"),
-      (es: Seq[Expression]) => graft.functions.HtmlMeta(es.head)))
+      (es: Seq[Expression]) => graft.functions.HtmlMeta(es.head)),
+    ("registered_domain",
+      info("registered_domain",
+        "registered_domain(host) - eTLD+1 via the public-suffix-list algorithm (bundled snapshot subset); null when the host IS a public suffix or invalid"),
+      (es: Seq[Expression]) => graft.functions.RegisteredDomain(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

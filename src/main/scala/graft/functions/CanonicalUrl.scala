@@ -2,7 +2,7 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -14,6 +14,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Rules applied (the RFC's safe, semantics-preserving set):
   * - scheme and host lower-case; fragment dropped
+  * - Unicode hosts fold to their IDNA A-label (`xn--`) form — one
+  *   direction, via `java.net.IDN` — so `http://bücher.example/`
+  *   and `http://xn--bcher-kva.example/` share one dedup key
   * - default ports dropped (http:80, https:443)
   * - dot-segments resolved (`/a/./b/../c` → `/a/c`); empty path → `/`
   * - percent-encoding normalized: unreserved octets (ALPHA / DIGIT /
@@ -25,14 +28,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * Anything that doesn't parse as `scheme://…` returns unchanged —
   * the conservative contract for a crawled url column. Null → null.
   * Map-only native expression, SQL name `canonical_url`. */
-case class CanonicalUrl(child: Expression) extends UnaryExpression with CodegenFallback {
+case class CanonicalUrl(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "canonical_url"
 
+  def canonOf(input: UTF8String): UTF8String =
+    UTF8String.fromString(CanonicalUrl.canonicalize(input.toString))
+
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(CanonicalUrl.canonicalize(
-      input.asInstanceOf[UTF8String].toString))
+    canonOf(input.asInstanceOf[UTF8String])
+
+  // real codegen (not CodegenFallback): runs on every v13/v14
+  // capstone row — a fallback breaks whole-stage codegen for the
+  // projection it sits in (r16 verdict item 2)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("canonicalUrl", this,
+      classOf[CanonicalUrl].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.canonOf($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -74,7 +89,18 @@ object CanonicalUrl {
       else (hostPort, null)
     if (host0.isEmpty) return url
     val schemeL = scheme.toLowerCase(java.util.Locale.ROOT)
-    val host = host0.toLowerCase(java.util.Locale.ROOT)
+    val host = {
+      val low = host0.toLowerCase(java.util.Locale.ROOT)
+      // IDN fold, ONE direction (Unicode → A-label): a Unicode host
+      // and its xn-- form are the same page identity, so URL-keyed
+      // dedup must see one key. Already-ASCII hosts (incl. existing
+      // xn-- labels) pass untouched; a host IDNA can't encode keeps
+      // its lower-case form (the conservative contract).
+      if (low.forall(_ < 0x80)) low
+      else try java.net.IDN.toASCII(low, java.net.IDN.ALLOW_UNASSIGNED)
+        .toLowerCase(java.util.Locale.ROOT)
+      catch { case _: Exception => low }
+    }
     val port = {
       // RFC: the port is a NUMBER — ':080' is the default port too,
       // and a kept port drops leading zeros so aliases share one key

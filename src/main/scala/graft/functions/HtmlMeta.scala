@@ -3,7 +3,7 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,13 +29,27 @@ import org.apache.spark.unsafe.types.UTF8String
   * Total: any byte soup in, a (possibly all-null) struct out, never
   * a throw. Null → null. Map-only native expression, SQL name
   * `html_meta`. */
-case class HtmlMeta(child: Expression) extends UnaryExpression with CodegenFallback {
+case class HtmlMeta(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = HtmlMeta.Shape
   override def prettyName: String = "html_meta"
 
+  def rowOf(input: UTF8String): InternalRow =
+    HtmlMeta.toRow(HtmlMeta.extract(input.toString))
+
   override def nullSafeEval(input: Any): Any =
-    HtmlMeta.toRow(HtmlMeta.extract(input.asInstanceOf[UTF8String].toString))
+    rowOf(input.asInstanceOf[UTF8String])
+
+  // real codegen (not CodegenFallback): evaluated on every routed
+  // v13/v14 capstone row — a fallback breaks whole-stage codegen for
+  // the projection it sits in (r16 verdict item 2); subexpression
+  // elimination keeps the walk at once per row across field reads
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("htmlMeta", this,
+      classOf[HtmlMeta].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.rowOf($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }

@@ -2,7 +2,8 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -43,13 +44,26 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference anchor: the reference ships no HTML extraction; this
   * serves SURVEY §2's text-pipeline tier (element semantics per the
   * WHATWG HTML living standard's flow-content list). */
-case class HtmlToText(child: Expression) extends UnaryExpression with CodegenFallback {
+case class HtmlToText(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "html_to_text"
 
+  def textOf(input: UTF8String): UTF8String =
+    UTF8String.fromString(HtmlToText.clean(input.toString))
+
   override def nullSafeEval(input: Any): Any =
-    UTF8String.fromString(HtmlToText.clean(input.asInstanceOf[UTF8String].toString))
+    textOf(input.asInstanceOf[UTF8String])
+
+  // real codegen (not CodegenFallback): the kernel runs on every
+  // routed crawl row — a fallback here breaks whole-stage codegen
+  // for the entire capstone projection (r16 verdict item 2)
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("htmlToText", this,
+      classOf[HtmlToText].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.textOf($c);")
+  }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
@@ -63,16 +77,27 @@ case class HtmlToText(child: Expression) extends UnaryExpression with CodegenFal
   * (navigation, footers, tag clouds) are link-dominated; body prose
   * is not — so the keep rule downstream is integer arithmetic over
   * these two numbers, declarative and oracle-replayable. Map-only. */
-case class HtmlBlocks(child: Expression) extends UnaryExpression with CodegenFallback {
+case class HtmlBlocks(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = HtmlBlocks.Shape
   override def prettyName: String = "html_blocks"
 
-  override def nullSafeEval(input: Any): Any = {
-    val bs = HtmlToText.blocks(input.asInstanceOf[UTF8String].toString)
-    new org.apache.spark.sql.catalyst.util.GenericArrayData(
+  def blocksOf(input: UTF8String): GenericArrayData = {
+    val bs = HtmlToText.blocks(input.toString)
+    new GenericArrayData(
       bs.map(b => org.apache.spark.sql.catalyst.InternalRow(
         UTF8String.fromString(b.text), b.linkChars)).toArray[Any])
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    blocksOf(input.asInstanceOf[UTF8String])
+
+  // real codegen — see [[HtmlToText.doGenCode]]
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("htmlBlocks", this,
+      classOf[HtmlBlocks].getName)
+    nullSafeCodeGen(ctx, ev, c => s"${ev.value} = $ref.blocksOf($c);")
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)

@@ -1,0 +1,213 @@
+package graft.functions
+
+import org.apache.spark.sql.Column
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.graft.ColumnBridge
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Registered-domain (eTLD+1) extraction via the public-suffix-list
+  * algorithm (publicsuffix.org — public data) — the key FineWeb-class
+  * host-dominance rules, per-domain crawl quotas, and domain
+  * blocklists actually group on. Raw host labels get it wrong both
+  * ways: a quota keyed on `host` treats `a.example.co.uk` and
+  * `b.example.co.uk` as different "domains" while treating `co.uk`
+  * as one (the classic eTLD+1 bug — r16 verdict item 3).
+  *
+  * The ALGORITHM is the PSL's, in full: among all matching rules an
+  * exception rule (`!www.ck`) prevails immediately (its public
+  * suffix is the rule minus its leftmost label); otherwise the rule
+  * with the most labels wins, where `*.ck` matches any one label in
+  * its starred position; when nothing matches the implicit rule is
+  * `*` (the bare TLD is the public suffix). The registered domain is
+  * the public suffix plus exactly one more label — and a host that
+  * IS a public suffix has none (returns null; `co.uk` must never be
+  * a quota key).
+  *
+  * The RULE SET is a bundled snapshot SUBSET of the list (the
+  * multi-label ICANN rules a web corpus actually hits — UK/AU/JP/BR/
+  * IN/… families, the ck wildcard/exception pair — plus the
+  * hosting-platform private rules like github.io where one
+  * "domain" is thousands of unrelated sites). The full list is ~10k
+  * rules of public data; swap it in by passing custom rules to
+  * [[PublicSuffix.parse]] — every entry point takes the rules as a
+  * parameter, the snapshot is only the default. Single-label TLDs
+  * need no rule at all (the implicit `*` covers them), so the subset
+  * is exact wherever no multi-label rule exists.
+  *
+  * Scale posture: a pure per-row label walk over an O(100)-entry
+  * broadcast-class map baked into the expression — map-only, real
+  * codegen, no join (the q336 suffix-explode stays the right
+  * mechanism when the list is a DataFrame; this is the expression
+  * form for when it is list-literal data). Null/invalid (empty
+  * labels, IP literals) → null, never a throw. SQL name
+  * `registered_domain`. */
+case class RegisteredDomain(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "registered_domain"
+
+  def domainOf(input: UTF8String): UTF8String = {
+    val d = PublicSuffix.registeredDomain(input.toString)
+    if (d == null) null else UTF8String.fromString(d)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    domainOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("registeredDomain", this,
+      classOf[RegisteredDomain].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.domainOf($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object RegisteredDomain {
+  def apply(host: Column): Column =
+    ColumnBridge.column(RegisteredDomain(ColumnBridge.expression(host)))
+}
+
+object PublicSuffix {
+
+  /** Parsed rule set: exact rules, wildcard stems (the labels after
+    * the `*.`), and exception rules (without their `!`). */
+  final case class Rules(exact: Set[String], wildcardStem: Set[String],
+                         exception: Set[String])
+
+  /** PSL-format lines → [[Rules]] (comments `//` and blanks skipped,
+    * the section markers too — rules fold to lower-case). */
+  def parse(lines: Seq[String]): Rules = {
+    val exact = Set.newBuilder[String]
+    val wild = Set.newBuilder[String]
+    val exc = Set.newBuilder[String]
+    lines.foreach { raw =>
+      val l = raw.trim.toLowerCase(java.util.Locale.ROOT)
+      if (l.nonEmpty && !l.startsWith("//")) {
+        if (l.startsWith("!")) exc += l.substring(1)
+        else if (l.startsWith("*.")) wild += l.substring(2)
+        else if (l != "*") exact += l
+      }
+    }
+    Rules(exact.result(), wild.result(), exc.result())
+  }
+
+  /** The bundled snapshot (see class doc: a SUBSET — multi-label
+    * ICANN families + hosting-platform private rules; bare TLDs ride
+    * the implicit `*`). Public data from publicsuffix.org. */
+  val SnapshotLines: Seq[String] = Seq(
+    // ICANN section (multi-label families)
+    "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
+    "police.uk", "me.uk", "ltd.uk", "plc.uk",
+    "com.au", "net.au", "org.au", "edu.au", "gov.au", "asn.au", "id.au",
+    "co.jp", "or.jp", "ne.jp", "ac.jp", "ad.jp", "ed.jp", "go.jp",
+    "gr.jp", "lg.jp",
+    "*.kawasaki.jp", "!city.kawasaki.jp",
+    "*.kitakyushu.jp", "!city.kitakyushu.jp",
+    "*.kobe.jp", "!city.kobe.jp",
+    "*.nagoya.jp", "!city.nagoya.jp",
+    "*.sapporo.jp", "!city.sapporo.jp",
+    "*.sendai.jp", "!city.sendai.jp",
+    "*.yokohama.jp", "!city.yokohama.jp",
+    "co.nz", "net.nz", "org.nz", "govt.nz", "ac.nz", "school.nz",
+    "geek.nz", "gen.nz", "maori.nz",
+    "co.za", "org.za", "net.za", "gov.za", "ac.za", "web.za",
+    "com.br", "net.br", "org.br", "gov.br", "edu.br", "blog.br", "art.br",
+    "co.in", "net.in", "org.in", "firm.in", "gen.in", "ind.in",
+    "ac.in", "edu.in", "res.in", "gov.in", "nic.in",
+    "com.cn", "net.cn", "org.cn", "gov.cn", "edu.cn", "ac.cn",
+    "com.mx", "net.mx", "org.mx", "gob.mx", "edu.mx",
+    "com.ar", "net.ar", "org.ar", "gob.ar", "edu.ar",
+    "co.kr", "ne.kr", "or.kr", "re.kr", "go.kr", "ac.kr", "pe.kr",
+    "com.tw", "net.tw", "org.tw", "gov.tw", "edu.tw", "idv.tw",
+    "com.tr", "net.tr", "org.tr", "gov.tr", "edu.tr", "bel.tr", "web.tr",
+    "co.il", "org.il", "net.il", "ac.il", "gov.il", "muni.il", "k12.il",
+    "com.ua", "net.ua", "org.ua", "edu.ua", "gov.ua", "in.ua",
+    "com.pl", "net.pl", "org.pl", "edu.pl", "gov.pl", "info.pl",
+    "biz.pl", "waw.pl",
+    "co.id", "or.id", "net.id", "ac.id", "web.id", "sch.id", "go.id",
+    "my.id", "biz.id",
+    "co.th", "or.th", "net.th", "ac.th", "go.th", "in.th",
+    "com.sg", "net.sg", "org.sg", "edu.sg", "gov.sg", "per.sg",
+    "com.my", "net.my", "org.my", "edu.my", "gov.my",
+    "com.ph", "net.ph", "org.ph", "edu.ph", "gov.ph",
+    "com.vn", "net.vn", "org.vn", "edu.vn", "gov.vn",
+    "com.hk", "net.hk", "org.hk", "edu.hk", "gov.hk", "idv.hk",
+    "com.sa", "edu.sa", "gov.sa", "med.sa",
+    "co.ae", "net.ae", "org.ae", "ac.ae", "gov.ae",
+    "com.eg", "net.eg", "org.eg", "edu.eg", "gov.eg",
+    "com.ng", "net.ng", "org.ng", "edu.ng", "gov.ng",
+    "co.ke", "or.ke", "ne.ke", "ac.ke", "go.ke",
+    "gc.ca",
+    "*.ck", "!www.ck",
+    "*.bd",
+    // private section (hosting platforms — one "domain", many sites)
+    "github.io", "githubusercontent.com", "gitlab.io", "blogspot.com",
+    "wordpress.com", "tumblr.com", "herokuapp.com", "netlify.app",
+    "vercel.app", "web.app", "firebaseapp.com", "appspot.com",
+    "cloudfront.net", "azurewebsites.net", "pages.dev", "workers.dev",
+    "onrender.com", "fly.dev", "surge.sh", "neocities.org",
+    "readthedocs.io", "s3.amazonaws.com", "glitch.me", "bitbucket.io")
+
+  lazy val Default: Rules = parse(SnapshotLines)
+
+  private def labelsOf(host: String): Array[String] = {
+    if (host == null) return null
+    var h = host.trim.toLowerCase(java.util.Locale.ROOT)
+    if (h.endsWith(".")) h = h.substring(0, h.length - 1) // FQDN dot
+    if (h.isEmpty || h.startsWith("[") || h.indexOf(':') >= 0) return null // IPv6/port
+    val ls = h.split("\\.", -1)
+    if (ls.exists(_.isEmpty)) return null // empty label → invalid host
+    if (ls.forall(_.forall(_.isDigit))) return null // IPv4 literal
+    ls
+  }
+
+  /** Number of labels in the prevailing public suffix of `labels`
+    * (the PSL algorithm; ≥ 1 via the implicit `*` rule). */
+  private def suffixLen(labels: Array[String], rules: Rules): Int = {
+    var best = 1 // implicit rule "*": the bare TLD
+    var k = 1
+    var suffix = labels(labels.length - 1)
+    while (k <= labels.length) {
+      if (rules.exception.contains(suffix))
+        return k - 1 // exception prevails immediately: rule minus left label
+      if (rules.exact.contains(suffix) && k > best) best = k
+      // "*.stem" matches a k-label suffix whose last k-1 labels are stem
+      if (k >= 2) {
+        val stem = suffix.substring(suffix.indexOf('.') + 1)
+        if (rules.wildcardStem.contains(stem) && k > best) best = k
+      }
+      k += 1
+      if (k <= labels.length)
+        suffix = labels(labels.length - k) + "." + suffix
+    }
+    best
+  }
+
+  /** The public suffix of a host (never null for a valid host —
+    * the implicit `*` rule floors it at the TLD); null on invalid
+    * hosts/IP literals. */
+  def publicSuffix(host: String, rules: Rules = Default): String = {
+    val ls = labelsOf(host)
+    if (ls == null) return null
+    val n = suffixLen(ls, rules)
+    ls.takeRight(math.min(n, ls.length)).mkString(".")
+  }
+
+  /** The registered domain (eTLD+1): public suffix + one label;
+    * null when the host IS a public suffix (or is invalid) — such a
+    * host must never be a quota/blocklist key. */
+  def registeredDomain(host: String, rules: Rules = Default): String = {
+    val ls = labelsOf(host)
+    if (ls == null) return null
+    val n = suffixLen(ls, rules)
+    if (ls.length <= n) null
+    else ls.takeRight(n + 1).mkString(".")
+  }
+}

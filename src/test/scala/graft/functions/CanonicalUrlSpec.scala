@@ -68,4 +68,18 @@ class CanonicalUrlSpec extends SparkSpec {
     val viaCol = urls.select(CanonicalUrl(col("u")).as("k")).as[String].collect().toSeq
     assert(viaCol == keys)
   }
+
+  test("IDN hosts fold to the A-label: Unicode and xn-- aliases share one key") {
+    val want = "http://xn--bcher-kva.example/p/1"
+    assert(canonicalize("http://bücher.example/p/1") == want)
+    assert(canonicalize("http://BÜCHER.example:80/p/1") == want)
+    assert(canonicalize("http://xn--bcher-kva.example/p/1") == want)
+    // already-ASCII hosts (incl. existing xn-- labels) never change
+    assert(canonicalize("http://plain.example.com/a") == "http://plain.example.com/a")
+    // multi-label: only the Unicode labels encode
+    assert(canonicalize("http://www.köln.de/x") == "http://www.xn--kln-sna.de/x")
+    // a host IDNA can't encode keeps its lower-case form, no throw
+    assert(canonicalize("http://bü\uD800cher.example/") ==
+      "http://bü\uD800cher.example/".toLowerCase(java.util.Locale.ROOT))
+  }
 }
