@@ -1012,71 +1012,114 @@ object SparkEntry {
   /** v14 fixture: v13 VERBATIM plus the two records only the URL
     * gate can drop — a blocked-domain fetch and a term-flagged URL,
     * each carrying long unique clean English text. */
-  private def warcV14FixturePaths(s: SparkSession, d: String): Seq[String] = {
+  /** One WARC response record (the v14/v15 fixture's record form). */
+  private def warcRespRec(uri: String, ctype: String, body: Array[Byte],
+                          extra: String = ""): Array[Byte] = {
+    val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+      extra + "\r\n").getBytes("ISO-8859-1") ++ body
+    (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+      s"WARC-Target-URI: $uri\r\n" +
+      s"Content-Length: ${http.length}\r\n\r\n")
+      .getBytes("ISO-8859-1") ++
+      http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+  }
+
+  /** The per-id v14 fixture bytes (pre-gzip) — shared by the v14
+    * paths fixture and v15's (which appends the content-farm arm).
+    * Record indexes: v9's 0–5, noindexed 6, foreign 7, gibberish 8,
+    * clean Type0 PDF 9, subset PDF 10, dup-one 11, dup-two 12,
+    * blocked domain 13, term URL 14. */
+  private def warcV14Bytes(id: Long, ruSample: String): Array[Byte] = {
+    val rec = warcRespRec _
+    val noindexed = rec(s"http://ex.com/n/$id", "text/html",
+      (s"<p>secret page $id would pass every gate " +
+        "but the publisher opted out.</p>").getBytes("UTF-8"),
+      "X-Robots-Tag: noindex\r\n")
+    val foreign = rec(s"http://ex.com/ru/$id", "text/html",
+      s"<p>$ruSample</p>".getBytes("UTF-8"), "")
+    val gibberish = rec(s"http://ex.com/g/$id", "text/html",
+      "<p>zzz 0101 #### @@@@ !!!! 0101 zzz qqq 0101 xxxx</p>"
+        .getBytes("UTF-8"), "")
+    val cleanPdf = rec(s"http://ex.com/t0/$id", "application/pdf",
+      graft.sources.Pdf.buildType0Pdf(Seq(Seq(
+        s"Clean type0 page $id keeps the words that the gate needs.")),
+        xrefStream = id % 2 == 0), "")
+    val subsetPdf = rec(s"http://ex.com/sub/$id", "application/pdf",
+      graft.sources.Pdf.buildType0PdfNoToUnicode(Seq(Seq(
+        s"Subset font page $id would pass the other gates easily."))), "")
+    def dupPage(which: String): Array[Byte] =
+      rec(s"http://ex.com/dup-$which/$id", "text/html",
+        (s"""<html><head><link rel="canonical" """ +
+          s"""href="HTTP://Ex.COM:80/canon/./$id"></head>""" +
+          s"<body><p>dup page $which for $id with enough " +
+          "plain english words to keep.</p></body></html>")
+          .getBytes("UTF-8"), "")
+    val blockedDomain = rec(s"http://sub.bad.example/p/$id",
+      "text/html",
+      (s"<p>blocked domain page $id reads perfectly clean " +
+        "and would pass every text gate.</p>").getBytes("UTF-8"), "")
+    val termUrl = rec(s"http://ok.site/xxx-casino/$id",
+      "text/html",
+      (s"<p>term flagged page $id also reads clean and " +
+        "would pass every text gate.</p>").getBytes("UTF-8"), "")
+    warcV9Fixture(id) ++ noindexed ++ foreign ++ gibberish ++
+      cleanPdf ++ subsetPdf ++ dupPage("one") ++ dupPage("two") ++
+      blockedDomain ++ termUrl
+  }
+
+  /** Executor-side tmp-file fixture writer shared by the v14/v15
+    * paths fixtures (same discipline as the other warc fixtures:
+    * cached by existence, tmp-write + rename). */
+  private def warcFixtureFiles(s: SparkSession, d: String, tag: String)(
+      mk: Long => Array[Byte]): Seq[String] = {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
-      s"graft_warc_v14_v1_${Integer.toHexString(d.hashCode)}")
-    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+      s"graft_warc_${tag}_${Integer.toHexString(d.hashCode)}")
     docs(s, d).select(col("doc_id")).as[Long].map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
-        val bytes =
-          if (id % 50 == 0) "warc? no".getBytes("UTF-8")
-          else {
-            def rec(uri: String, ctype: String, body: Array[Byte],
-                    extra: String = ""): Array[Byte] = {
-              val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
-                extra + "\r\n").getBytes("ISO-8859-1") ++ body
-              (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-                s"WARC-Target-URI: $uri\r\n" +
-                s"Content-Length: ${http.length}\r\n\r\n")
-                .getBytes("ISO-8859-1") ++
-                http ++ "\r\n\r\n".getBytes("ISO-8859-1")
-            }
-            val noindexed = rec(s"http://ex.com/n/$id", "text/html",
-              (s"<p>secret page $id would pass every gate " +
-                "but the publisher opted out.</p>").getBytes("UTF-8"),
-              "X-Robots-Tag: noindex\r\n")
-            val foreign = rec(s"http://ex.com/ru/$id", "text/html",
-              s"<p>$ruSample</p>".getBytes("UTF-8"))
-            val gibberish = rec(s"http://ex.com/g/$id", "text/html",
-              "<p>zzz 0101 #### @@@@ !!!! 0101 zzz qqq 0101 xxxx</p>"
-                .getBytes("UTF-8"))
-            val cleanPdf = rec(s"http://ex.com/t0/$id", "application/pdf",
-              graft.sources.Pdf.buildType0Pdf(Seq(Seq(
-                s"Clean type0 page $id keeps the words that the gate needs.")),
-                xrefStream = id % 2 == 0))
-            val subsetPdf = rec(s"http://ex.com/sub/$id", "application/pdf",
-              graft.sources.Pdf.buildType0PdfNoToUnicode(Seq(Seq(
-                s"Subset font page $id would pass the other gates easily."))))
-            def dupPage(which: String): Array[Byte] =
-              rec(s"http://ex.com/dup-$which/$id", "text/html",
-                (s"""<html><head><link rel="canonical" """ +
-                  s"""href="HTTP://Ex.COM:80/canon/./$id"></head>""" +
-                  s"<body><p>dup page $which for $id with enough " +
-                  "plain english words to keep.</p></body></html>")
-                  .getBytes("UTF-8"))
-            val blockedDomain = rec(s"http://sub.bad.example/p/$id",
-              "text/html",
-              (s"<p>blocked domain page $id reads perfectly clean " +
-                "and would pass every text gate.</p>").getBytes("UTF-8"))
-            val termUrl = rec(s"http://ok.site/xxx-casino/$id",
-              "text/html",
-              (s"<p>term flagged page $id also reads clean and " +
-                "would pass every text gate.</p>").getBytes("UTF-8"))
-            val b = warcV9Fixture(id) ++ noindexed ++ foreign ++ gibberish ++
-              cleanPdf ++ subsetPdf ++ dupPage("one") ++ dupPage("two") ++
-              blockedDomain ++ termUrl
-            if (id % 4 == 1) gzipBytes(b) else b
-          }
-        val tmp = java.io.File.createTempFile("w14tmp", ".part", dir)
+        val bytes = mk(id)
+        val tmp = java.io.File.createTempFile("wtmp", ".part", dir)
         val out = new java.io.FileOutputStream(tmp)
         try out.write(bytes) finally out.close()
         if (!tmp.renameTo(f)) tmp.delete()
       }
       f.getAbsolutePath
     }.collect().toSeq.sorted
+  }
+
+  private def warcV14FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    warcFixtureFiles(s, d, "v14_v1") { id =>
+      if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+      else {
+        val b = warcV14Bytes(id, ruSample)
+        if (id % 4 == 1) gzipBytes(b) else b
+      }
+    }
+  }
+
+  /** v15 fixture: v14's records + the CONTENT-FARM arm — three clean
+    * unique pages per id published from sibling subdomains of
+    * farm<id%5>.co.uk (record indexes 15–17), so the per-registered-
+    * domain cap has real dominance to cut: each farm's eTLD+1
+    * aggregates pages from every id sharing id%5 while raw-host
+    * keying would see them all as distinct "domains". */
+  private def warcV15FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    warcFixtureFiles(s, d, "v15_v1") { id =>
+      if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+      else {
+        val farms = (0 until 3).map { j =>
+          warcRespRec(s"http://a$j.farm${id % 5}.co.uk/f/$id", "text/html",
+            (s"<p>farm page $id $j has enough unique english words " +
+              "to keep around.</p>").getBytes("UTF-8"))
+        }.reduce(_ ++ _)
+        val b = warcV14Bytes(id, ruSample) ++ farms
+        if (id % 4 == 1) gzipBytes(b) else b
+      }
+    }
   }
   /** q288's oracle, GENERATED from [[graft.llm.LangId.CrawlProfiles]]
     * and CrawlSamples: the fixture text (per-id sample repeated 1–3×),
@@ -6617,6 +6660,74 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q342 — registered-domain (eTLD+1) quotas + blocklist
+    // ([[graft.functions.RegisteredDomain]], SQL `registered_domain`
+    // — the public-suffix-list algorithm over a bundled snapshot):
+    // the q239 per-domain quota re-keyed on what "domain" actually
+    // means on the web. The fixture pins every PSL rule class:
+    // `a.example.co.uk` and `b.example.co.uk` share ONE quota key
+    // (multi-label ICANN rule) while `co.uk` itself — a public
+    // suffix — has NO registrable domain and never becomes a key
+    // (its rows drop from the quota entirely); `github.io` (private
+    // hosting rule) keeps each site a separate domain; `www.ck`
+    // (exception rule) IS registrable; `shop.foo.ck` rides the
+    // `*.ck` wildcard; an unknown TLD rides the implicit `*` rule.
+    // The blocklist leg keys on eTLD+1 the same way: blocking
+    // `example.co.uk` catches every subdomain without substring
+    // false-positives. Map-only codegen'd expression + ONE top-k
+    // window per domain (Partial WindowGroupLimit) — no join, the
+    // rule set is baked into the expression.
+    "q342_registered_domain" -> ((s, d) => {
+      val host = element_at(array(
+        lit("a.example.co.uk"), lit("b.example.co.uk"), lit("co.uk"),
+        concat(lit("site"), (col("doc_id") % 7).cast("string"),
+          lit(".github.io")),
+        lit("www.ck"), lit("shop.foo.ck"),
+        concat(lit("news.example"), (col("doc_id") % 3).cast("string"),
+          lit(".com.br")),
+        lit("x.unknown-tld.zz")),
+        (pmod(col("doc_id"), lit(8)) + 1).cast("int"))
+      val tagged = docs(s, d).select(col("doc_id"), col("n_chars"))
+        .withColumn("host", host)
+        .withColumn("domain", graft.functions.RegisteredDomain(col("host")))
+        .where(col("domain").isNotNull) // public suffixes are never keys
+        .withColumn("blocked",
+          col("domain").isin("example.co.uk", "badsite.com"))
+      graft.ops.TopK.perGroup(tagged, Seq("domain"), 3,
+          col("n_chars").desc, col("doc_id"))
+        .select(col("doc_id"), col("host"), col("domain"), col("blocked"),
+          col("n_chars").cast("long").as("n_chars"),
+          col("rank").cast("long").as("kept_rank"))
+        .orderBy("doc_id")
+    }),
+
+    // Q343 — IDN/punycode equivalence in `canonical_url` ([[graft
+    // .functions.CanonicalUrl]] + `java.net.IDN`): a Unicode host
+    // and its `xn--` A-label form are the SAME page identity — the
+    // fixture publishes each page under four aliases (Unicode,
+    // upper-case Unicode, the A-label, the A-label with case + the
+    // default port) and URL-keyed dedup must count all four on ONE
+    // key. The fold is one direction (Unicode → A-label) so
+    // already-ASCII crawl URLs never change — q272's aliases are
+    // pinned unchanged. Map-only expression + one keyed window.
+    "q343_idn_url_canon" -> ((s, d) => {
+      val b = (col("doc_id") / 4).cast("long")
+      val alias = element_at(array(
+        concat(lit("http://bücher.example/p/"), b),
+        concat(lit("http://BÜCHER.example/p/"), b),
+        concat(lit("http://xn--bcher-kva.example/p/"), b),
+        concat(lit("http://XN--BCHER-KVA.Example:80/p/"), b)),
+        (pmod(col("doc_id"), lit(4)) + 1).cast("int"))
+      docs(s, d).select(col("doc_id"))
+        .withColumn("url", when(col("doc_id") % 50 === 0,
+          concat(lit("not a url "), col("doc_id"))).otherwise(alias))
+        .withColumn("canon", graft.functions.CanonicalUrl(col("url")))
+        .withColumn("n_dups", count(lit(1)).over(
+          org.apache.spark.sql.expressions.Window.partitionBy(col("canon"))))
+        .select(col("doc_id"), col("canon"), col("n_dups"))
+        .orderBy("doc_id")
+    }),
+
     // Q336 — URL-level corpus gate (the FineWeb/CCNet front filter —
     // the cheapest drop in the whole pipeline runs BEFORE any byte
     // of content is fetched or parsed): a domain blocklist applied
@@ -7102,47 +7213,37 @@ object SparkEntry {
     // Still join-free on the text path: the one new join is the
     // broadcast semi-join against the O(list)-sized blocklist.
     "q337_curation_v14" -> ((s, d) => {
-      import s.implicits._
-      val blocklist = Seq("bad.example", "spam.test").toDF("bdomain")
+      // the chain itself lives in [[graft.llm.Curation]] since r17 —
+      // ONE code path serves this batch query AND the Structured
+      // Streaming leg (Curation.v14Stream, parity-pinned in
+      // CurationStreamSpec)
       val pages = graft.sources.Warc.warcPathsDocText(
           s, warcV14FixturePaths(s, d))
         .withColumn("media_id",
           regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
-        .withColumn("host",
-          regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1))
-      val blockedIds = pages.select(col("media_id"), col("record_idx"),
-          explode(expr(
-            "transform(sequence(1, size(split(host, '\\\\.'))), " +
-              "i -> array_join(slice(split(host, '\\\\.'), i, 100), '.'))"))
-            .as("suffix"))
-        .join(broadcast(blocklist), col("suffix") === col("bdomain"),
-          "left_semi")
-        .select(col("media_id"), col("record_idx")).distinct()
-        .withColumn("domain_blocked", lit(true))
-      val gated = pages
-        .join(blockedIds, Seq("media_id", "record_idx"), "left")
-        .where(coalesce(col("domain_blocked"), lit(false)) === false)
-        .where(!lower(col("url")).rlike("(xxx|casino|viagra)"))
-        .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
-        .where(length(col("text")) >= 20)
-        .where(col("type0_unmapped") * 5 <= col("type0_codes"))
-      val signed = graft.llm.LangId.withCrawlLang(gated, "text")
-        .where(!(col("lang_total") >= 8 && col("pred_lang") =!= "en"))
-        .where(graft.functions.TextFunctions.qualityScore(col("text"))
-          >= 0.3)
-        .withColumn("url_canon", graft.functions.CanonicalUrl(
-          coalesce(col("canonical"), col("url"))))
-      val urlW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("url_canon"))
-        .orderBy(col("media_id"), col("record_idx"))
-      val urlKept = signed.withColumn("rn", row_number().over(urlW))
-        .where(col("rn") === 1).drop("rn")
-      val textW = org.apache.spark.sql.expressions.Window
-        .partitionBy(col("text")).orderBy(col("media_id"), col("record_idx"))
-      urlKept.withColumn("rn", row_number().over(textW))
-        .where(col("rn") === 1)
-        .select(col("media_id"), col("record_idx"), col("carrier"),
-          col("url_canon").as("url"), col("text"))
+      graft.llm.Curation.v14Batch(pages, Seq("bad.example", "spam.test"))
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q344 — curation v15: the PER-REGISTERED-DOMAIN dominance cap
+    // ([[graft.llm.Curation.v15Batch]] — the FineWeb host-dominance
+    // rule composed onto v14). Survivors key on eTLD+1 of their
+    // canonical host via `registered_domain` (q342's PSL walk), and
+    // each domain keeps its first 7 by (media_id, record_idx). The
+    // fixture adds the CONTENT-FARM arm: three clean unique pages
+    // per id from sibling subdomains a0/a1/a2 of farm<id%5>.co.uk —
+    // pages raw-host keying would treat as thousands of distinct
+    // "domains" but eTLD+1 aggregates onto five farm keys, cutting
+    // each to 7 rows; ex.com (the v14 survivor mass) is capped by
+    // the same uniform rule. One more keyed WindowGroupLimit on a
+    // lower-cardinality key — no join, rules baked into codegen.
+    "q344_curation_v15" -> ((s, d) => {
+      val pages = graft.sources.Warc.warcPathsDocText(
+          s, warcV15FixturePaths(s, d))
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+      graft.llm.Curation.v15Batch(pages, Seq("bad.example", "spam.test"),
+          domainCap = 7)
         .orderBy("media_id", "record_idx")
     }),
 
@@ -11898,6 +11999,53 @@ object SparkEntry {
 
     "q238_text_fold" -> q238OracleSql,
 
+    // The PSL walk stated per arm: the multi-label rule merges the
+    // co.uk sisters onto one key, the bare suffix vanishes (NULL
+    // domain), exception/wildcard/implicit-* arms each restate their
+    // prevailing rule; the quota window replays on the stated keys.
+    "q342_registered_domain" ->
+      """WITH h AS (SELECT doc_id, n_chars,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'a.example.co.uk'
+        |    WHEN 1 THEN 'b.example.co.uk'
+        |    WHEN 2 THEN 'co.uk'
+        |    WHEN 3 THEN 'site' || (doc_id % 7) || '.github.io'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN 'shop.foo.ck'
+        |    WHEN 6 THEN 'news.example' || (doc_id % 3) || '.com.br'
+        |    ELSE 'x.unknown-tld.zz' END AS host,
+        |  CASE doc_id % 8
+        |    WHEN 0 THEN 'example.co.uk'
+        |    WHEN 1 THEN 'example.co.uk'
+        |    WHEN 2 THEN NULL
+        |    WHEN 3 THEN 'site' || (doc_id % 7) || '.github.io'
+        |    WHEN 4 THEN 'www.ck'
+        |    WHEN 5 THEN 'shop.foo.ck'
+        |    WHEN 6 THEN 'example' || (doc_id % 3) || '.com.br'
+        |    ELSE 'unknown-tld.zz' END AS domain
+        |  FROM documents),
+        |r AS (SELECT doc_id, host, domain,
+        |        domain IN ('example.co.uk', 'badsite.com') AS blocked,
+        |        n_chars,
+        |        ROW_NUMBER() OVER (PARTITION BY domain
+        |          ORDER BY n_chars DESC, doc_id) AS rnk
+        |      FROM h WHERE domain IS NOT NULL)
+        |SELECT doc_id, host, domain, blocked,
+        |  CAST(n_chars AS BIGINT) AS n_chars,
+        |  CAST(rnk AS BIGINT) AS kept_rank
+        |FROM r WHERE rnk <= 3 ORDER BY doc_id""".stripMargin,
+
+    // All four alias arms state the ONE A-label canonical; the dup
+    // count replays per 4-alias bucket (non-URLs pass unchanged).
+    "q343_idn_url_canon" ->
+      """WITH c AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 50 = 0 THEN 'not a url ' || doc_id
+        |       ELSE 'http://xn--bcher-kva.example/p/' || (doc_id // 4)
+        |  END AS canon FROM documents)
+        |SELECT doc_id, canon,
+        |  CAST(COUNT(*) OVER (PARTITION BY canon) AS BIGINT) AS n_dups
+        |FROM c ORDER BY doc_id""".stripMargin,
+
     "q239_domain_quota" ->
       """WITH u AS (SELECT doc_id, n_chars,
         |  'https://site' || (doc_id % 37) || '.' ||
@@ -13296,6 +13444,64 @@ object SparkEntry {
         |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
         |  carrier, canon AS url, text
         |FROM c WHERE rn2 = 1
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // v15 = v14's survivor arms + the farm arm, then the uniform
+    // per-eTLD+1 cap: ex.com is ONE key (all v14 arms), each farm's
+    // three sibling subdomains collapse onto farm<k>.co.uk, and the
+    // first 7 per key by (media_id, record_idx) survive.
+    "q344_curation_v15" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf', 'http://ex.com/d/' || doc_id || '.pdf',
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown', 'http://ex.com/m/' || doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 9, 'pdf', 'http://ex.com/t0/' || doc_id,
+        |    'Clean type0 page ' || doc_id ||
+        |      ' keeps the words that the gate needs.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 11, 'html', 'http://ex.com/canon/' || doc_id,
+        |    'dup page one for ' || doc_id ||
+        |      ' with enough plain english words to keep.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 15 + j, 'html',
+        |    'http://a' || j || '.farm' || (doc_id % 5) || '.co.uk/f/' || doc_id,
+        |    'farm page ' || doc_id || ' ' || j ||
+        |      ' has enough unique english words to keep around.'
+        |  FROM ids, generate_series(0, 2) t(j)),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q),
+        |s AS (SELECT media_id, record_idx, carrier, canon, text
+        |      FROM c WHERE rn2 = 1),
+        |dd AS (SELECT *,
+        |        CASE WHEN canon LIKE 'http://ex.com/%' THEN 'ex.com'
+        |             ELSE 'farm' || (media_id % 5) || '.co.uk' END AS domain
+        |      FROM s),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY media_id, record_idx) AS dr FROM dd)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, domain,
+        |  CAST(dr AS BIGINT) AS domain_rank, text
+        |FROM k WHERE dr <= 7
         |ORDER BY media_id, record_idx""".stripMargin,
 
     // v13 = v12's survivor set (projected to the lean columns) + the

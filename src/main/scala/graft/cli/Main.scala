@@ -325,6 +325,22 @@ object Main {
           .toDF("rank", "a", "b", "freq")
           .coalesce(1).write.mode("overwrite").parquet(out)
 
+      // unigram-LM tokenizer trainer to a usage fixed point
+      // (hard-EM + vocab-size schedule — graft.llm.Unigram.train)
+      case "unigram-train" :: in :: textCol :: targetMulti :: maxRounds :: out :: Nil =>
+        val words = spark.read.parquet(in)
+          .select(explode(split(lower(col(textCol)), " ")).as("w"))
+          .where(col("w") =!= "" && length(col("w")).between(2, 12))
+          .groupBy("w").agg(count(lit(1)).as("c"))
+        val r = graft.llm.Unigram.train(words, "w", "c",
+          targetMulti = targetMulti.toInt, maxRounds = maxRounds.toInt)
+        System.err.println(
+          s"[unigram-train] rounds=${r.rounds} converged=${r.converged} " +
+            s"vocab=${r.vocab.size}")
+        import spark.implicits._
+        r.vocab.toDF("piece", "weight")
+          .coalesce(1).write.mode("overwrite").parquet(out)
+
       // Streaming aggregation as a batch-bounded job: AvailableNow
       // processes everything currently in `in` through the streaming
       // engine (state, watermark, checkpoint) and terminates. Windows

@@ -64,4 +64,61 @@ object Unigram {
       .groupBy(col("piece"))
       .agg(sum(col("c")).as("usage"),
         countDistinct(col("w")).as("n_words"))
+
+  /** Result of [[train]]: the final (piece, weight) vocabulary, the
+    * hard-EM rounds actually run, and whether they reached a fixed
+    * point before `maxRounds`. */
+  final case class TrainResult(vocab: Seq[(String, Long)], rounds: Int,
+                               converged: Boolean)
+
+  /** The full trainer — the convergence loop q323/q330 open, closed
+    * (the [[graft.llm.Clustering.lloyd]] discipline): seed, then
+    * iterate hard-EM rounds — E-step Viterbi-segments every distinct
+    * word under the current weights, M-step re-estimates weights
+    * from usage — with a VOCAB-SIZE SCHEDULE (SentencePiece's prune:
+    * each round the multi-char vocabulary keeps the top
+    * `max(targetMulti, ceil(current · shrink))` survivors by
+    * (usage desc, piece), single chars always stay for coverage) —
+    * until the vocabulary repeats EXACTLY (pieces AND weights).
+    * Assignment is a pure function of the vocabulary and the next
+    * vocabulary a pure function of the assignment, so a repeated
+    * vocabulary is a fixed point: every later round reproduces it
+    * verbatim — the integer-exact convergence test, no epsilon
+    * (lloyd's argument, restated for tokenizers).
+    *
+    * Scale posture (the q108 contract): per round ONE map-only
+    * E-step over the DISTINCT-WORD table + one partial-agg shuffle;
+    * the only driver traffic is the O(chars + topK) usage collect
+    * that becomes the next round's baked-in expression state —
+    * vocabulary-sized, never corpus-sized. Plan depth is O(1) in the
+    * round count BY CONSTRUCTION: every round plans fresh from
+    * `words` with the vocab as literals (no chained lineage to cut —
+    * spec-pinned in UnigramSpec). */
+  def train(words: DataFrame, wordCol: String, countCol: String,
+            maxPieceLen: Int = 4, topK: Int = 200, minFreq: Long = 2L,
+            targetMulti: Int = 20, shrink: Double = 0.75,
+            maxRounds: Int = 10): TrainResult = {
+    require(maxRounds >= 1, s"train: maxRounds must be >= 1, got $maxRounds")
+    require(shrink > 0 && shrink <= 1.0, s"train: shrink in (0,1], got $shrink")
+    var vocab = seedVocab(words, wordCol, countCol, maxPieceLen, topK, minFreq)
+      .collect().map(r => (r.getString(0), r.getLong(1))).toSeq
+    var rounds = 0
+    var converged = false
+    while (rounds < maxRounds && !converged) {
+      val usage = usageCounts(words, wordCol, countCol, vocab)
+        .collect().map(r => (r.getString(0), r.getLong(1))).toMap
+      val chars = vocab.filter(_._1.length == 1)
+        .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+      val survivors = vocab.filter(_._1.length >= 2)
+        .flatMap { case (p, _) => usage.get(p).map(u => (p, u)) }
+        .sortBy { case (p, u) => (-u, p) }
+      val nMulti = vocab.count(_._1.length >= 2)
+      val keep = math.max(targetMulti, math.ceil(nMulti * shrink).toInt)
+      val next = chars ++ survivors.take(keep)
+      rounds += 1
+      converged = next == vocab
+      vocab = next
+    }
+    TrainResult(vocab, rounds, converged)
+  }
 }

@@ -570,4 +570,26 @@ class PlanSpec extends SparkSpec {
     assert(p.contains("partial_count") || p.contains("partial_sum"), p)
     assert(!p.contains("CartesianProduct") && !p.contains("FileScan"), p)
   }
+
+  test("q337: the v14 capstone projection executes INSIDE WholeStageCodegen") {
+    // r16 verdict item 6: canonical_url (and the html kernels) were
+    // CodegenFallback, breaking whole-stage codegen for the capstone
+    // projection on every routed row. AQE prints plans pre-execution
+    // without codegen ids, so this pin EXECUTES the query and reads
+    // the final plan: the Project evaluating canonical_url must sit
+    // in a codegen stage (its line carries the "*(n)" marker).
+    val df = SparkEntry.queries("q337_curation_v14")(spark, sf)
+    df.collect()
+    val s = df.queryExecution.executedPlan.toString
+    val canonLines = s.linesIterator.filter(l =>
+      l.contains("canonical_url") && l.contains("Project")).toSeq
+    assert(canonLines.nonEmpty, s.take(800))
+    // the AQE string echoes the pre-codegen "Initial Plan" too — the
+    // EXECUTED occurrence is the one carrying the "*(n)" stage marker
+    assert(canonLines.exists(l => l.indexOf("*(") >= 0 &&
+        l.indexOf("*(") < l.indexOf("Project")),
+      s"canonical_url projection outside WholeStageCodegen:\n" +
+        canonLines.mkString("\n"))
+    spark.catalog.clearCache()
+  }
 }

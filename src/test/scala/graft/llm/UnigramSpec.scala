@@ -93,4 +93,58 @@ class UnigramSpec extends SparkSpec {
     assert(u("c") == ((1L, 1L)))
     assert(!u.contains("a"))
   }
+
+  // ==== the convergence loop (r16 verdict item 5) ===================
+
+  private def corpusWords() = Seq(
+    ("interesting", 40L), ("interested", 30L), ("interests", 20L),
+    ("resting", 25L), ("rested", 15L), ("rest", 50L),
+    ("testing", 35L), ("tested", 22L), ("test", 60L),
+    ("nesting", 8L), ("nested", 6L)).toDF("w", "c")
+
+  test("train reaches a usage FIXED POINT and the fixed point is real") {
+    val r = Unigram.train(corpusWords(), "w", "c",
+      targetMulti = 8, maxRounds = 10)
+    assert(r.converged, s"no fixed point within 10 rounds (ran ${r.rounds})")
+    assert(r.rounds < 10)
+    // single chars all present (coverage); multi capped at the target
+    val (chars, multi) = r.vocab.partition(_._1.length == 1)
+    assert(chars.map(_._1).toSet ==
+      corpusWords().collect().flatMap(_.getString(0)).map(_.toString).toSet)
+    assert(multi.size <= 8)
+    // the fixed point IS one: re-running a round reproduces the
+    // vocabulary verbatim (weights and pieces)
+    val usage = Unigram.usageCounts(corpusWords(), "w", "c", r.vocab)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toMap
+    val reChars = r.vocab.filter(_._1.length == 1)
+      .map { case (p, _) => (p, usage.getOrElse(p, 0L)) }
+    val reMulti = r.vocab.filter(_._1.length >= 2)
+      .flatMap { case (p, _) => usage.get(p).map(u => (p, u)) }
+      .sortBy { case (p, u) => (-u, p) }.take(8)
+    assert((reChars ++ reMulti) == r.vocab)
+  }
+
+  test("train's vocab-size schedule shrinks multi pieces toward the target") {
+    val r = Unigram.train(corpusWords(), "w", "c",
+      topK = 50, targetMulti = 4, shrink = 0.5, maxRounds = 10)
+    assert(r.converged)
+    assert(r.vocab.count(_._1.length >= 2) <= 4)
+    // ceil-shrink from 50 at 0.5 needs ~4 rounds to reach 4, then at
+    // least one more to verify the fixed point
+    assert(r.rounds >= 4)
+  }
+
+  test("train plan depth is O(1) in the round count (vocab is literal state)") {
+    val words = corpusWords()
+    val seed = Unigram.seedVocab(words, "w", "c", 4, 50, 1L)
+      .collect().map(x => (x.getString(0), x.getLong(1))).toSeq
+    val r = Unigram.train(words, "w", "c", topK = 50,
+      targetMulti = 4, shrink = 0.5, maxRounds = 10)
+    def nodes(v: Seq[(String, Long)]): Int =
+      Unigram.usageCounts(words, "w", "c", v)
+        .queryExecution.optimizedPlan.collect { case p => p }.size
+    // the round-N E-step plans exactly like round 1: state rides in
+    // the expression literals, never in chained lineage
+    assert(nodes(r.vocab) == nodes(seed))
+  }
 }

@@ -1,0 +1,106 @@
+package graft.streaming
+
+import graft.SparkSpec
+import graft.llm.Curation
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+
+/** Streaming-vs-batch parity for the curation-v14 capstone
+  * ([[Curation.v14Stream]]): the union of per-batch survivor
+  * segments must equal the one-shot [[Curation.v14Batch]] of the
+  * batches CONCATENATED — every gate drops on the batch it arrives
+  * in, every keep-first key blocks across batches — and a replayed
+  * lineage must REWRITE segments, not double-append (the
+  * applyChangesStream idempotency discipline). */
+class CurationStreamSpec extends SparkSpec {
+  import spark.implicits._
+
+  private type PageRow = (Long, Int, String, String, String,
+    Option[String], Long, Long, Option[String])
+
+  private def enTxt(i: Int): String =
+    s"the quick brown fox number $i jumps over the lazy dog and " +
+      "keeps running through the quiet morning field without a pause."
+
+  private def page(id: Long, url: String, text: String,
+                   xRobots: Option[String] = None,
+                   codes: Long = 0L, unmapped: Long = 0L,
+                   canonical: Option[String] = None): PageRow =
+    (id, 0, url, "html", text, xRobots, codes, unmapped, canonical)
+
+  /** Three in-order batches planting every drop class plus both
+    * CROSS-BATCH keep-first shapes (same canonical URL later, same
+    * text later) and a cross-batch canonical-link consolidation. */
+  private val batches: Seq[Seq[PageRow]] = Seq(
+    Seq(
+      page(1, "http://ok.site/a/1", enTxt(1)),
+      page(2, "http://dup.example/p", enTxt(2)),
+      page(3, "http://ok.site/short", "tiny"), // length gate
+      page(4, "http://sub.bad.example/x", enTxt(4)), // domain blocklist
+      page(5, "http://ok.site/noidx", enTxt(5), xRobots = Some("noindex"))),
+    Seq(
+      page(6, "http://DUP.example:80/p", enTxt(6)), // url dup of 2 (canon)
+      page(7, "http://ok.site/t", enTxt(1)), // text dup of 1
+      page(8, "http://ok.site/xxx-casino/8", enTxt(8)), // term gate
+      page(9, "http://ok.site/conf", enTxt(9), codes = 10L, unmapped = 9L),
+      page(10, "http://ok.site/b/10", enTxt(10))),
+    Seq(
+      page(11, "http://mirror.site/m/11", enTxt(11),
+        canonical = Some("http://dup.example/p")), // canonical dup of 2
+      page(12, "http://ok.site/c/12", enTxt(12))))
+
+  private val block = Seq("bad.example", "spam.test")
+
+  private def tmp(p: String) = java.nio.file.Files.createTempDirectory(p).toString
+
+  private def runStream(outDir: String, keysDir: String): Unit = {
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[PageRow]
+    val q = Curation.v14Stream(
+      ms.toDF().toDF("media_id", "record_idx", "url", "carrier", "text",
+        "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+      block, outDir, keysDir, tmp("cur-ck"))
+    try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.catalog.clearCache()
+  }
+
+  private def survivors(outDir: String): Set[(Long, String, String)] =
+    spark.read.parquet(s"$outDir/b*")
+      .select("media_id", "url", "text")
+      .as[(Long, String, String)].collect().toSet
+
+  test("streamed survivor segments equal the one-shot v14 of the concatenation") {
+    val (outDir, keysDir) = (tmp("cur-out"), tmp("cur-keys"))
+    runStream(outDir, keysDir)
+    val streamed = survivors(outDir)
+    val full = Curation.v14Batch(
+        batches.flatten.toDF("media_id", "record_idx", "url", "carrier",
+          "text", "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+        block)
+      .select("media_id", "url", "text")
+      .as[(Long, String, String)].collect().toSet
+    spark.catalog.clearCache()
+    // the fixture's survivor set is exactly the planted keeps: every
+    // drop class fired, both cross-batch keep-firsts blocked
+    assert(full.map(_._1) == Set(1L, 2L, 10L, 12L), full.toString)
+    assert(streamed == full,
+      s"stream/batch divergence: only-stream=${streamed -- full}, " +
+        s"only-batch=${full -- streamed}")
+    // one survivor segment and one key segment per batch
+    val segs = new java.io.File(outDir).listFiles().map(_.getName).toSet
+    assert(segs == Set("b0", "b1", "b2"), segs.toString)
+  }
+
+  test("a replayed lineage rewrites the same segments instead of double-appending") {
+    val (outDir, keysDir) = (tmp("cur-out2"), tmp("cur-keys2"))
+    runStream(outDir, keysDir)
+    val first = survivors(outDir)
+    // same dirs, fresh checkpoint: batch ids restart at 0 — every
+    // segment must REWRITE to the same content
+    runStream(outDir, keysDir)
+    assert(survivors(outDir) == first)
+    val n = spark.read.parquet(s"$outDir/b*").count()
+    assert(n == first.size, s"double-append: $n rows for ${first.size} survivors")
+  }
+}
