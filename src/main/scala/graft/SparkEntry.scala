@@ -6728,6 +6728,56 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q345 — RSS/Atom feed carrier ([[graft.sources.Feed]] routed by
+    // [[graft.sources.Warc.warcDocText]]): the syndication XML a
+    // crawl hits on every news/blog front door — RSS `<item>` / Atom
+    // `<entry>` entries yield title + body (description | summary |
+    // content, CDATA unwrapped), each through the SAME html_to_text
+    // kernel as the page path (feed bodies are routinely HTML). The
+    // fixture serves RSS under application/rss+xml AND the generic
+    // text/xml (root-sniffed), Atom under application/atom+xml AND
+    // application/xml — all four content-type doors must land on the
+    // same text. Map-only flatMap kernel; entries capped.
+    "q345_feed_text" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val n = (1 + id % 3).toInt
+          val (ctype, xml) =
+            if (id % 2 == 0) {
+              val items = (0 until n).map { j =>
+                s"<item><title>Item $id $j</title><description>" +
+                  s"<![CDATA[<b>story $id</b> part $j &amp; more]]>" +
+                  "</description></item>"
+              }.mkString
+              (if (id % 4 == 0) "application/rss+xml" else "text/xml",
+                "<?xml version=\"1.0\"?><rss version=\"2.0\"><channel>" +
+                  s"<title>Feed $id</title>$items</channel></rss>")
+            } else {
+              val entries = (0 until n).map { j =>
+                s"<entry><title>Entry $id $j</title>" +
+                  s"<summary>plain note $id $j</summary></entry>"
+              }.mkString
+              (if (id % 4 == 1) "application/atom+xml" else "application/xml",
+                "<?xml version=\"1.0\"?>" +
+                  "<feed xmlns=\"http://www.w3.org/2005/Atom\">" +
+                  s"<title>Feed $id</title>$entries</feed>")
+            }
+          val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ xml.getBytes("UTF-8")
+          val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://ex.com/feed/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          (id, hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcDocText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .select("media_id", "record_idx", "url", "carrier", "text")
+        .orderBy("media_id")
+    }),
+
     // Q336 — URL-level corpus gate (the FineWeb/CCNet front filter —
     // the cheapest drop in the whole pipeline runs BEFORE any byte
     // of content is fetched or parsed): a domain blocklist applied
@@ -13760,6 +13810,31 @@ object SparkEntry {
     // Resolution restated: every revisit finds its stored capture
     // through the canonicalized refers-to key; every 3rd id's digest
     // contradicts the identity claim.
+    // Per-entry title+body restated with the HTML strip and entity
+    // decode applied (CDATA-wrapped <b> drops, &amp; decodes); the
+    // four content-type doors are invisible in the output — all land
+    // on the same text.
+    "q345_feed_text" ->
+      """WITH ids AS (SELECT doc_id, 1 + doc_id % 3 AS n FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |it AS (SELECT doc_id, j FROM ids, generate_series(0, 2) t(j)
+        |       WHERE j < n),
+        |tx AS (SELECT doc_id,
+        |  CASE WHEN doc_id % 2 = 0
+        |    THEN STRING_AGG('Item ' || doc_id || ' ' || j || chr(10) ||
+        |           'story ' || doc_id || ' part ' || j || ' & more',
+        |           chr(10) ORDER BY j)
+        |    ELSE STRING_AGG('Entry ' || doc_id || ' ' || j || chr(10) ||
+        |           'plain note ' || doc_id || ' ' || j,
+        |           chr(10) ORDER BY j)
+        |  END AS text
+        |  FROM it GROUP BY doc_id)
+        |SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/feed/' || doc_id AS url,
+        |  CASE WHEN doc_id % 2 = 0 THEN 'rss' ELSE 'atom' END AS carrier,
+        |  text
+        |FROM tx ORDER BY media_id""".stripMargin,
+
     // Wire-form decode stated: every variant reproduces the identity
     // text; the labels replay the applied decode chain, with the
     // brotli claim loud-but-kept (no JVM decoder, raw HTML passes).

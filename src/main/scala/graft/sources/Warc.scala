@@ -643,6 +643,12 @@ object Warc {
       Ole2.pptToText(r.body).filter(_.nonEmpty).map(("ppt", _))
     } else if (ct.exists(_.startsWith("message/rfc822"))) {
       Mime.parseEml(r.body).filter(_.text.nonEmpty).map(d => ("eml", d.text))
+    } else if (ct.exists(c => c.startsWith("application/rss+xml") ||
+        c.startsWith("application/atom+xml") ||
+        // generic XML types carry feeds constantly — root-sniffed
+        c.startsWith("application/xml") || c.startsWith("text/xml"))) {
+      val (xml, _) = decodeHtml(r.body, r.contentType) // charset negotiation
+      Feed.feedToText(xml).filter(_.text.nonEmpty).map(d => (d.kind, d.text))
     } else if (ct.exists(c => c.startsWith("application/rtf") ||
         c.startsWith("text/rtf") || c.startsWith("application/x-rtf"))) {
       val (rtf, _) = decodeHtml(r.body, r.contentType)
