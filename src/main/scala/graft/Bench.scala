@@ -217,6 +217,34 @@ object Bench {
     if (baselineCpu <= 0 || baselineWall <= 0) -1.0
     else { val avg = baselineCpu / baselineWall; if (avg > 2.0) cpus else avg }
 
+  /** Final-quiet-re-measure verdict for one suspect (round 17 — the
+    * r16 false rc=1 closer). Inputs are the ONE re-run taken after
+    * the bounded load-drain wait (the pre-window is at the margin by
+    * construction — the caller only re-runs once load1 settled):
+    * - `wall <= 0` (runner died) → "regressed": the original verdict
+    *   stands, a broken re-run is not exculpatory;
+    * - window not POSITIVELY quiet (after-sample past the flat
+    *   threshold, or no clean during-run ConcProbe witness at the
+    *   reference) → "unconfirmed": absence of a quiet measurement
+    *   never confirms a regression — the entry parks in contended;
+    * - quiet AND still past the trip line → "confirmed";
+    * - quiet and back under it → "recovered" (the clean wall is the
+    *   honest number to record).
+    * Deliberately the FLAT threshold on the after-sample, not the
+    * width-aware test: a full-width entry's own just-finished burst
+    * raises the 1-min EMA past the margin on an otherwise idle box,
+    * which would park every wide regression in unconfirmed forever;
+    * the during-run probe is the witness that actually saw the
+    * measurement window. */
+  private[graft] def remeasureVerdict(wall: Double, gate: Double,
+                                      postLoad: Double, loadThreshold: Double,
+                                      concNow: Double, concGate: Double): String =
+    if (wall <= 0) "regressed"
+    else if (!(postLoad <= loadThreshold && concGate > 0 && concNow > 0 &&
+        concNow <= concGate * 1.25 + 0.005)) "unconfirmed"
+    else if (tripped(wall, gate)) "confirmed"
+    else "recovered"
+
   /** SMT-sibling signature (round 14, r12 verdict task): CPU-seconds
     * inflated ≥1.3× MORE than wall did (+0.1 absolute slack on the
     * ratio-of-ratios). More work at unchanged machine speed inflates
@@ -1074,32 +1102,24 @@ object Bench {
                 entryLoadPre += name -> preLoad
               }
               val g = prevConcGate.getOrElse(name, -1.0)
-              // Quiet = pre-window at the margin (the else-branch
-              // guard above), after-sample under the FLAT threshold,
-              // and the during-run ConcProbe at the clean reference.
-              // Deliberately NOT the width-aware after test: a
-              // full-width entry's own just-finished burst raises the
-              // 1-min EMA past the margin on an otherwise idle box,
-              // which would park every wide regression in contended
-              // forever — the during-run probe is the witness that
-              // actually saw the measurement window.
-              val quietOk = postLoad <= loadThreshold &&
-                g > 0 && cc > 0 && cc <= g * 1.25 + 0.005
-              if (w <= 0) regressedF ::= name // runner died on the re-run
-              else if (!quietOk) {
-                contendedF ::= name; unconfirmedQuiet ::= name
-                System.err.println(s"[bench] $name: re-measure window not " +
-                  s"positively quiet (load $postLoad, conc ${r3(cc)} vs " +
-                  s"gate ${r3(g)}) - contended, regression UNCONFIRMED")
-              } else if (tripped(w, prevGate.getOrElse(name, -1.0))) {
-                regressedF ::= name
-                System.err.println(s"[bench] $name: CONFIRMED regressed on " +
-                  s"a quiet box - ${r3(w)}s vs gate " +
-                  s"${r3(prevGate.getOrElse(name, -1.0))}s")
-              } else
-                System.err.println(s"[bench] $name: RECOVERED on the quiet " +
-                  s"re-measure (${r3(w)}s) - the loaded first pass was " +
-                  "contention; clean wall recorded")
+              remeasureVerdict(w, prevGate.getOrElse(name, -1.0),
+                postLoad, loadThreshold, cc, g) match {
+                case "regressed" => regressedF ::= name // re-run died
+                case "unconfirmed" =>
+                  contendedF ::= name; unconfirmedQuiet ::= name
+                  System.err.println(s"[bench] $name: re-measure window not " +
+                    s"positively quiet (load $postLoad, conc ${r3(cc)} vs " +
+                    s"gate ${r3(g)}) - contended, regression UNCONFIRMED")
+                case "confirmed" =>
+                  regressedF ::= name
+                  System.err.println(s"[bench] $name: CONFIRMED regressed on " +
+                    s"a quiet box - ${r3(w)}s vs gate " +
+                    s"${r3(prevGate.getOrElse(name, -1.0))}s")
+                case _ =>
+                  System.err.println(s"[bench] $name: RECOVERED on the quiet " +
+                    s"re-measure (${r3(w)}s) - the loaded first pass was " +
+                    "contention; clean wall recorded")
+              }
             }
         }
       }

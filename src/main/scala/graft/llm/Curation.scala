@@ -134,35 +134,106 @@ object Curation {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         val gated = v14Gates(batch, blockDomains)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
         try {
-          val earlier = (0L until batchId).map(i => s"$keysDir/b$i")
-            .filter(p => new java.io.File(p).exists())
-          val (priorUrl, priorText) =
-            if (earlier.isEmpty)
-              (Seq.empty[String].toDF("url_canon"),
-                Seq.empty[String].toDF("text"))
-            else {
-              val k = spark.read.parquet(earlier: _*)
-              (k.where(col("kind") === "url")
-                 .select(col("key").as("url_canon")),
-               k.where(col("kind") === "text").select(col("key").as("text")))
-            }
-          val urlKept = keepFirstBy(
-            gated.join(priorUrl, Seq("url_canon"), "left_anti"), "url_canon")
-          val survivors = keepFirstBy(
-            urlKept.join(priorText, Seq("text"), "left_anti"), "text")
+          val (urlKept, survivors) =
+            batchSurvivors(spark, gated, keysDir, batchId)
           survivors
             .select(col("media_id"), col("record_idx"), col("carrier"),
               col("url_canon").as("url"), col("text"))
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          gated.select(lit("url").as("kind"), col("url_canon").as("key"))
-            .distinct()
-            .unionAll(urlKept.select(lit("text").as("kind"),
-              col("text").as("key")).distinct())
-            .write.mode("overwrite").parquet(s"$keysDir/b$batchId")
+          writeKeys(gated, urlKept, s"$keysDir/b$batchId")
+        } finally { gated.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** The shared per-batch keep-first body: anti-join strictly-earlier
+    * URL keys, keep-first within the batch on url_canon, anti-join
+    * earlier TEXT keys, keep-first on text. Returns (urlKept,
+    * survivors). */
+  private def batchSurvivors(spark: org.apache.spark.sql.SparkSession,
+                             gated: DataFrame, keysDir: String,
+                             batchId: Long): (DataFrame, DataFrame) = {
+    import spark.implicits._
+    val earlier = (0L until batchId).map(i => s"$keysDir/b$i")
+      .filter(p => new java.io.File(p).exists())
+    val (priorUrl, priorText) =
+      if (earlier.isEmpty)
+        (Seq.empty[String].toDF("url_canon"), Seq.empty[String].toDF("text"))
+      else {
+        val k = spark.read.parquet(earlier: _*)
+        (k.where(col("kind") === "url").select(col("key").as("url_canon")),
+         k.where(col("kind") === "text").select(col("key").as("text")))
+      }
+    val urlKept = keepFirstBy(
+      gated.join(priorUrl, Seq("url_canon"), "left_anti"), "url_canon")
+    val survivors = keepFirstBy(
+      urlKept.join(priorText, Seq("text"), "left_anti"), "text")
+    (urlKept, survivors)
+  }
+
+  private def writeKeys(gated: DataFrame, urlKept: DataFrame,
+                        segment: String): Unit =
+    gated.select(lit("url").as("kind"), col("url_canon").as("key"))
+      .distinct()
+      .unionAll(urlKept.select(lit("text").as("kind"),
+        col("text").as("key")).distinct())
+      .write.mode("overwrite").parquet(segment)
+
+  /** [[v15Batch]]'s streaming leg: v14's per-batch keep-first state
+    * PLUS the per-registered-domain running count as one more
+    * bounded cross-batch state segment. Each micro-batch ranks its
+    * own survivors within each domain, offsets by the TOTAL
+    * v14-survivor count of earlier batches for that domain (the
+    * one-shot ROW_NUMBER restated as prior-count + in-batch rank —
+    * counts persist UNCAPPED, because a row past the cap still
+    * consumes rank positions every later row in its domain sits
+    * above), and keeps ranks ≤ `domainCap`. Same idempotency
+    * discipline: `countsDir/b<b>` is a pure function of the replayed
+    * batch, and only segments `< b` are read. Parity with
+    * [[v15Batch]] under in-order delivery is spec-pinned. */
+  def v15Stream(pages: DataFrame, blockDomains: Seq[String], domainCap: Int,
+                outDir: String, keysDir: String, countsDir: String,
+                checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    pages.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        import spark.implicits._
+        val gated = v14Gates(batch, blockDomains)
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          val (urlKept, survivors0) =
+            batchSurvivors(spark, gated, keysDir, batchId)
+          val withDomain = survivors0.withColumn("domain",
+            graft.functions.RegisteredDomain(
+              regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1)))
+          val earlier = (0L until batchId).map(i => s"$countsDir/b$i")
+            .filter(p => new java.io.File(p).exists())
+          val prior =
+            if (earlier.isEmpty) Seq.empty[(String, Long)].toDF("domain", "n")
+            else spark.read.parquet(earlier: _*)
+              .groupBy("domain").agg(sum("n").as("n"))
+          val w = org.apache.spark.sql.expressions.Window
+            .partitionBy(col("domain"))
+            .orderBy(col("media_id"), col("record_idx"))
+          val ranked = withDomain
+            .withColumn("__r", row_number().over(w))
+            .join(broadcast(prior), Seq("domain"), "left")
+            .withColumn("domain_rank",
+              (col("__r") + coalesce(col("n"), lit(0L))).cast("long"))
+          ranked.where(col("domain_rank") <= domainCap)
+            .select(col("media_id"), col("record_idx"), col("carrier"),
+              col("url_canon").as("url"), col("domain"), col("domain_rank"),
+              col("text"))
+            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+          writeKeys(gated, urlKept, s"$keysDir/b$batchId")
+          // UNCAPPED per-domain survivor counts — this batch's alone
+          withDomain.groupBy("domain").agg(count(lit(1)).as("n"))
+            .write.mode("overwrite").parquet(s"$countsDir/b$batchId")
         } finally { gated.unpersist(); () }
       }
       .start()

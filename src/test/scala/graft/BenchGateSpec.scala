@@ -299,4 +299,29 @@ class BenchGateSpec extends AnyFunSuite {
     val (medShort, _) = short.finish()
     assert(medShort == -1.0 || medShort > 0)
   }
+
+  test("remeasureVerdict replaying BENCH_r16: the false rc=1 cannot recur") {
+    import Bench.remeasureVerdict
+    // r16's recorded numbers: q27_minhash_neardup measured 4.16 vs
+    // gate 1.23 on a box at loadavg 4.29→17.9 (cpus=32, threshold 8).
+    // The judge's quiet re-run measured 1.38 — under the trip line
+    // (1.23*1.5+0.3 = 2.145). With the quiet re-measure that wall
+    // RECOVERS the entry instead of shipping rc=1:
+    assert(remeasureVerdict(wall = 1.38, gate = 1.23, postLoad = 1.0,
+      loadThreshold = 8.0, concNow = 0.025, concGate = 0.025) == "recovered")
+    // same for q217: judge 2.23 vs gate 2.16 (trip line 3.54)
+    assert(remeasureVerdict(2.23, 2.16, 1.0, 8.0, 0.025, 0.025) == "recovered")
+    // had the re-measure itself run on a still-loaded box (r16's
+    // actual situation all round), the verdict is UNCONFIRMED —
+    // parked contended, named, never rc=1
+    assert(remeasureVerdict(4.16, 1.23, 12.0, 8.0, 0.025, 0.025) == "unconfirmed")
+    // no clean during-run witness (probe inflated vs reference, or
+    // no reference at all) → unconfirmed even at low loadavg
+    assert(remeasureVerdict(4.16, 1.23, 1.0, 8.0, 0.040, 0.025) == "unconfirmed")
+    assert(remeasureVerdict(4.16, 1.23, 1.0, 8.0, 0.025, -1.0) == "unconfirmed")
+    // a GENUINE regression still trips: quiet window, wall past the line
+    assert(remeasureVerdict(4.16, 1.23, 1.0, 8.0, 0.025, 0.025) == "confirmed")
+    // a runner that dies on the re-run is not exculpatory
+    assert(remeasureVerdict(-1.0, 1.23, 1.0, 8.0, 0.025, 0.025) == "regressed")
+  }
 }

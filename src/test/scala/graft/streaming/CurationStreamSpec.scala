@@ -92,6 +92,38 @@ class CurationStreamSpec extends SparkSpec {
     assert(segs == Set("b0", "b1", "b2"), segs.toString)
   }
 
+  test("v15 streaming leg: per-domain running counts replicate the one-shot cap") {
+    val (outDir, keysDir, countsDir) =
+      (tmp("cur15-out"), tmp("cur15-keys"), tmp("cur15-counts"))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[PageRow]
+    val q = Curation.v15Stream(
+      ms.toDF().toDF("media_id", "record_idx", "url", "carrier", "text",
+        "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+      block, domainCap = 2, outDir, keysDir, countsDir, tmp("cur15-ck"))
+    try batches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.catalog.clearCache()
+    val streamed = spark.read.parquet(s"$outDir/b*")
+      .select("media_id", "domain", "domain_rank")
+      .as[(Long, String, Long)].collect().toSet
+    val full = Curation.v15Batch(
+        batches.flatten.toDF("media_id", "record_idx", "url", "carrier",
+          "text", "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+        block, domainCap = 2)
+      .select("media_id", "domain", "domain_rank")
+      .as[(Long, String, Long)].collect().toSet
+    spark.catalog.clearCache()
+    // v14 survivors are 1, 2, 10, 12 with ok.site carrying 1, 10, 12:
+    // the cap=2 cut drops 12 — and the streamed leg must drop it in
+    // batch 2 via the PRIOR counts (1 arrived in b0, 10 in b1)
+    assert(full == Set((1L, "ok.site", 1L), (10L, "ok.site", 2L),
+      (2L, "dup.example", 1L)), full.toString)
+    assert(streamed == full,
+      s"v15 stream/batch divergence: only-stream=${streamed -- full}, " +
+        s"only-batch=${full -- streamed}")
+  }
+
   test("a replayed lineage rewrites the same segments instead of double-appending") {
     val (outDir, keysDir) = (tmp("cur-out2"), tmp("cur-keys2"))
     runStream(outDir, keysDir)
