@@ -6728,6 +6728,25 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q346 — public_suffix beside registered_domain ([[graft
+    // .functions.PublicSuffixOf]]): the two PSL projections on one
+    // row pin the walk's geometry per rule class — the suffix is
+    // what a host registers UNDER, the domain is suffix + one label,
+    // and a host that IS its own public suffix (the *.kawasaki.jp
+    // wildcard arm) has suffix == host and domain NULL. Map-only
+    // codegen'd expressions, rules baked in.
+    "q346_public_suffix" -> ((s, d) => {
+      val host = element_at(array(
+        lit("a.example.co.uk"), lit("example.fr"), lit("www.ck"),
+        lit("shop.foo.ck"), lit("x.github.io"), lit("b.kawasaki.jp")),
+        (pmod(col("doc_id"), lit(6)) + 1).cast("int"))
+      docs(s, d).select(col("doc_id")).withColumn("host", host)
+        .withColumn("suffix", graft.functions.PublicSuffixOf(col("host")))
+        .withColumn("domain", graft.functions.RegisteredDomain(col("host")))
+        .select("doc_id", "host", "suffix", "domain")
+        .orderBy("doc_id")
+    }),
+
     // Q345 — RSS/Atom feed carrier ([[graft.sources.Feed]] routed by
     // [[graft.sources.Warc.warcDocText]]): the syndication XML a
     // crawl hits on every news/blog front door — RSS `<item>` / Atom
@@ -13810,6 +13829,24 @@ object SparkEntry {
     // Resolution restated: every revisit finds its stored capture
     // through the canonicalized refers-to key; every 3rd id's digest
     // contradicts the identity claim.
+    // Both PSL projections stated per arm; the wildcard arm's host
+    // IS its own suffix, so its domain is NULL.
+    "q346_public_suffix" ->
+      """SELECT doc_id,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'a.example.co.uk' WHEN 1 THEN 'example.fr'
+        |    WHEN 2 THEN 'www.ck' WHEN 3 THEN 'shop.foo.ck'
+        |    WHEN 4 THEN 'x.github.io' ELSE 'b.kawasaki.jp' END AS host,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'co.uk' WHEN 1 THEN 'fr'
+        |    WHEN 2 THEN 'ck' WHEN 3 THEN 'foo.ck'
+        |    WHEN 4 THEN 'github.io' ELSE 'b.kawasaki.jp' END AS suffix,
+        |  CASE doc_id % 6
+        |    WHEN 0 THEN 'example.co.uk' WHEN 1 THEN 'example.fr'
+        |    WHEN 2 THEN 'www.ck' WHEN 3 THEN 'shop.foo.ck'
+        |    WHEN 4 THEN 'x.github.io' ELSE NULL END AS domain
+        |FROM documents ORDER BY doc_id""".stripMargin,
+
     // Per-entry title+body restated with the HTML strip and entity
     // decode applied (CDATA-wrapped <b> drops, &amp; decodes); the
     // four content-type doors are invisible in the output — all land

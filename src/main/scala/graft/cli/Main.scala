@@ -516,6 +516,18 @@ object Main {
         tdf.write.mode("overwrite").parquet(out)
         printWarcFences("warc-paths-text", tobs)
 
+      case "warc2wet" :: in :: out :: Nil =>
+        // the WET-generation workload (Common Crawl's WARC → extracted
+        // conversion) as one verb: the streaming multi-carrier router
+        // over FILES — every routed carrier (html/pdf/office/feed/…),
+        // wire-form bodies decoded, per-record bounded memory — to
+        // a (path, record_idx, url, carrier, encoding, text) table
+        val (wdf, wobs) =
+          graft.sources.Warc.warcPathsDocTextObserved(spark, warcPathList(in))
+        wdf.select("path", "record_idx", "url", "carrier", "encoding", "text")
+          .write.mode("overwrite").parquet(out)
+        printWarcFences("warc2wet", wobs)
+
       case "warc-doc-text" :: in :: idCol :: payloadCol :: out :: Nil =>
         // multi-carrier crawl text: html AND application/pdf bodies
         // route to extractors in one pass; fences print LOUD

@@ -116,7 +116,11 @@ object GraftExtensions {
     ("registered_domain",
       info("registered_domain",
         "registered_domain(host) - eTLD+1 via the public-suffix-list algorithm (bundled snapshot subset); null when the host IS a public suffix or invalid"),
-      (es: Seq[Expression]) => graft.functions.RegisteredDomain(es.head)))
+      (es: Seq[Expression]) => graft.functions.RegisteredDomain(es.head)),
+    ("public_suffix",
+      info("public_suffix",
+        "public_suffix(host) - the public suffix a host registers under (same PSL walk as registered_domain); null only for invalid hosts"),
+      (es: Seq[Expression]) => graft.functions.PublicSuffixOf(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -47,6 +47,11 @@ case class RegisteredDomain(child: Expression) extends UnaryExpression {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "registered_domain"
+  // a public-suffix host yields NULL even from a non-null input —
+  // without this override the inherited child.nullable would declare
+  // the column non-nullable and the parquet writer would corrupt the
+  // file on the first suffix row
+  override def nullable: Boolean = true
 
   def domainOf(input: UTF8String): UTF8String = {
     val d = PublicSuffix.registeredDomain(input.toString)
@@ -72,6 +77,45 @@ case class RegisteredDomain(child: Expression) extends UnaryExpression {
 object RegisteredDomain {
   def apply(host: Column): Column =
     ColumnBridge.column(RegisteredDomain(ColumnBridge.expression(host)))
+}
+
+/** The public suffix itself (the eTLD a host registers UNDER —
+  * `co.uk` for `a.example.co.uk`): the diagnostic sibling of
+  * [[RegisteredDomain]], same PSL walk, same snapshot, same codegen
+  * posture. Null only for invalid hosts/IP literals (a valid host
+  * always has a suffix via the implicit `*` rule). SQL name
+  * `public_suffix`. */
+case class PublicSuffixOf(child: Expression) extends UnaryExpression {
+
+  override def dataType: DataType = StringType
+  override def prettyName: String = "public_suffix"
+  // invalid hosts/IP literals yield NULL even from non-null input
+  override def nullable: Boolean = true
+
+  def suffixOf(input: UTF8String): UTF8String = {
+    val s = PublicSuffix.publicSuffix(input.toString)
+    if (s == null) null else UTF8String.fromString(s)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    suffixOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("publicSuffixOf", this,
+      classOf[PublicSuffixOf].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.suffixOf($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object PublicSuffixOf {
+  def apply(host: Column): Column =
+    ColumnBridge.column(PublicSuffixOf(ColumnBridge.expression(host)))
 }
 
 object PublicSuffix {

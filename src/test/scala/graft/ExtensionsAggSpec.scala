@@ -41,7 +41,8 @@ class GraftExtensionsSpec extends SparkSpec {
       Set("cosine_similarity", "simhash64", "shingle_hashes", "minhash_signature",
         "repetition_stats", "rolling_winnow", "cdc_cuts", "jaro_winkler",
         "fold_text", "html_to_text", "html_blocks", "canonical_url",
-        "robots_allowed", "html_meta", "registered_domain"))
+        "robots_allowed", "html_meta", "registered_domain",
+        "public_suffix"))
   }
 }
 

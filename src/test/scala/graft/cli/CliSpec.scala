@@ -473,4 +473,39 @@ class CliSpec extends SparkSpec {
     val tm = spark.read.parquet(s"$dir/tm")
     assert(tm.where(col("format") === "bmp").count() == 1)
   }
+
+  test("warc2wet verb converts a WARC file dir to the extracted-text table") {
+    val dir = java.nio.file.Files.createTempDirectory("cli-wet").toFile
+    def resp(uri: String, ctype: String, wire: String,
+             body: Array[Byte]): Array[Byte] = {
+      val http = (s"HTTP/1.1 200 OK\r\nContent-Type: $ctype\r\n" +
+        wire + "\r\n").getBytes("ISO-8859-1") ++ body
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    def gz(b: Array[Byte]): Array[Byte] = {
+      val bos = new java.io.ByteArrayOutputStream()
+      val g = new java.util.zip.GZIPOutputStream(bos); g.write(b); g.close()
+      bos.toByteArray
+    }
+    val warc =
+      resp("http://e/p", "text/html", "", "<p>plain page</p>".getBytes("UTF-8")) ++
+      resp("http://e/z", "text/html", "Content-Encoding: gzip\r\n",
+        gz("<p>gzipped page</p>".getBytes("UTF-8"))) ++
+      resp("http://e/f", "application/rss+xml", "",
+        ("<rss><channel><item><title>T</title>" +
+          "<description>feed body</description></item></channel></rss>")
+          .getBytes("UTF-8"))
+    java.nio.file.Files.write(new java.io.File(dir, "a.warc").toPath, warc)
+    runVerb("warc2wet", dir.getAbsolutePath, s"$dir/wet")
+    val wet = spark.read.parquet(s"$dir/wet").orderBy("record_idx")
+      .select("url", "carrier", "encoding", "text").collect()
+    assert(wet.length == 3)
+    assert(wet(0).getString(3) == "plain page" &&
+      wet(0).getString(2) == "identity")
+    assert(wet(1).getString(3) == "gzipped page" &&
+      wet(1).getString(2) == "gzip")
+    assert(wet(2).getString(1) == "rss" && wet(2).getString(3) == "T\nfeed body")
+  }
 }

@@ -84,8 +84,32 @@ class PublicSuffixSpec extends SparkSpec {
     val want = hosts.map(PublicSuffix.registeredDomain(_))
     assert(viaExpr.toSeq == want)
     assert(viaSql.toSeq == want)
-    // the expression is real codegen, not CodegenFallback
+    // the sibling public_suffix function shares the walk
+    val viaPs = df.selectExpr("public_suffix(h)").as[String].collect()
+    assert(viaPs.toSeq == hosts.map(PublicSuffix.publicSuffix(_)))
+    // both expressions are real codegen, not CodegenFallback
     assert(!RegisteredDomain(org.apache.spark.sql.catalyst.expressions.Literal("x"))
       .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+    assert(!PublicSuffixOf(org.apache.spark.sql.catalyst.expressions.Literal("x"))
+      .isInstanceOf[org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback])
+  }
+
+  test("nullable contract: NULL out of non-null input survives a parquet round-trip") {
+    // regression pin: both expressions return NULL from NON-NULL
+    // input (a public-suffix host / an invalid host), so they must
+    // DECLARE nullable regardless of the child — the inherited
+    // child.nullable wrote corrupt parquet on the first suffix row
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(RegisteredDomain(Literal("co.uk")).nullable)
+    assert(PublicSuffixOf(Literal("co.uk")).nullable)
+    val dir = java.nio.file.Files.createTempDirectory("psl-null").toString
+    Seq("a.example.co.uk", "co.uk").toDF("h") // literal-array source: non-null child
+      .select(col("h"), RegisteredDomain(col("h")).as("d"),
+        PublicSuffixOf(col("h")).as("s"))
+      .write.mode("overwrite").parquet(dir)
+    val back = spark.read.parquet(dir).orderBy("h").collect()
+    assert(back.length == 2)
+    assert(back(0).getString(1) == "example.co.uk")
+    assert(back(1).isNullAt(1) && back(1).getString(2) == "co.uk")
   }
 }
