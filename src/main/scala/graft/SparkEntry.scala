@@ -6728,6 +6728,29 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q347 — sentence segmentation (training-data chunking at
+    // sentence boundaries — the unit seq-packing and dedup pipelines
+    // actually want): boundary = sentence punctuation + one space +
+    // an ASCII uppercase opener, applied as PURE BUILT-INS
+    // (regexp_replace inserts a U+0001 sentinel, split explodes) —
+    // Catalyst-codegen'd, no custom expression needed, and the
+    // oracle replays the IDENTICAL regex on the identical text so
+    // both engines' left-to-right match consumption agrees by
+    // construction. Runs on the REAL documents text plus a planted
+    // tail that guarantees boundaries. Map-only + one explode.
+    "q347_sentence_split" -> ((s, d) => {
+      val t0 = concat(col("text"),
+        lit(" Alpha beta. Gamma delta! Epsilon zeta? Tail end"))
+      docs(s, d).select(col("doc_id"), t0.as("t"))
+        .select(col("doc_id"), posexplode(split(
+          regexp_replace(col("t"), "([.!?]) ([A-Z])", "$1\u0001$2"),
+          "\u0001")))
+        .toDF("doc_id", "sent_idx", "sentence")
+        .select(col("doc_id"), col("sent_idx"), col("sentence"),
+          length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "sent_idx")
+    }),
+
     // Q346 — public_suffix beside registered_domain ([[graft
     // .functions.PublicSuffixOf]]): the two PSL projections on one
     // row pin the walk's geometry per rule class — the suffix is
@@ -13829,6 +13852,22 @@ object SparkEntry {
     // Resolution restated: every revisit finds its stored capture
     // through the canonicalized refers-to key; every 3rd id's digest
     // contradicts the identity claim.
+    // The IDENTICAL regex on the identical text: both engines insert
+    // the same sentinel with the same left-to-right consumption, so
+    // the split agrees even on adjacent-boundary edge cases.
+    "q347_sentence_split" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' Alpha beta. Gamma delta! Epsilon zeta? Tail end' AS t0
+        |  FROM documents),
+        |r AS (SELECT doc_id, STRING_SPLIT(
+        |    REGEXP_REPLACE(t0, '([.!?]) ([A-Z])',
+        |                   '\1' || chr(1) || '\2', 'g'),
+        |    chr(1)) AS ss FROM t)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS sent_idx,
+        |  ss[i] AS sentence, CAST(LENGTH(ss[i]) AS BIGINT) AS n_chars
+        |FROM r, generate_series(1, 2000) g(i) WHERE i <= len(ss)
+        |ORDER BY doc_id, sent_idx""".stripMargin,
+
     // Both PSL projections stated per arm; the wildcard arm's host
     // IS its own suffix, so its domain is NULL.
     "q346_public_suffix" ->

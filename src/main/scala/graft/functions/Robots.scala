@@ -64,6 +64,11 @@ case class RobotsCrawlDelay(left: Expression, right: Expression)
 
   override def dataType: DataType = LongType
   override def prettyName: String = "robots_crawl_delay"
+  // an undeclared Crawl-delay yields NULL even from non-null inputs;
+  // inheriting the children's nullability would declare the column
+  // non-nullable and corrupt a parquet write on the first such row
+  // (the PublicSuffix lesson, r17)
+  override def nullable: Boolean = true
 
   override def nullSafeEval(rules: Any, agent: Any): Any =
     Robots.crawlDelay(rules.asInstanceOf[UTF8String].toString,

@@ -180,4 +180,10 @@ class RobotsSpec extends AnyFunSuite {
     assert(Robots.crawlDelay(t, "a").isEmpty)
     assert(Robots.crawlDelay(t, "b").contains(7L))
   }
+
+  test("crawl-delay declares nullable (NULL from non-null inputs — r17 lesson)") {
+    // the parquet round-trip itself is pinned in NullableContractSpec
+    import org.apache.spark.sql.catalyst.expressions.Literal
+    assert(RobotsCrawlDelay(Literal("x"), Literal("y")).nullable)
+  }
 }
