@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -29,7 +28,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * produces — surrogate pairs stay whole), matching the trainer's
   * `chars`. */
 case class BpeSegment(child: Expression, merges: Seq[(String, String)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   merges.foreach { case (a, b) =>
     require(a.nonEmpty && b.nonEmpty, s"BpeSegment: empty merge side in ($a, $b)")

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,11 +20,11 @@ import org.apache.spark.unsafe.types.UTF8String
   * oracle nor a parallel scan can replay independently).
   *
   * A text shorter than `k` has no windows and no cuts (one chunk).
-  * Fused native expression (CodegenFallback): the per-character
+  * Fused native expression (real codegen via the kernel bridge): the per-character
   * rolling update is the loop interpreted HOFs run ~10× slower.
   */
 case class CdcCuts(child: Expression, k: Int, mod: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(k >= 1, s"k must be >= 1: $k")
   require(mod >= 2, s"mod must be >= 2 (mod 1 cuts everywhere): $mod")
 

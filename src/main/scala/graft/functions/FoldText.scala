@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -21,7 +20,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Unicode standard algorithms, so the engines agree by spec, not by
   * luck). Whitespace handling deliberately stays OUT: compose with
   * `regexp_replace(col, "\\s+", " ")` where collapse is wanted. */
-case class FoldText(child: Expression) extends UnaryExpression with CodegenFallback {
+case class FoldText(child: Expression) extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "fold_text"

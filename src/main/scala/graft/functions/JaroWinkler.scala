@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, DoubleType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -22,7 +21,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * [[RollingWinnow]]).
   */
 case class JaroWinkler(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
 
   override def dataType: DataType = DoubleType
   override def prettyName: String = "jaro_winkler"

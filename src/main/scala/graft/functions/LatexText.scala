@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -43,7 +42,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Map-only, total, bounded scans (unclosed math or environments skip
   * to end — hostile input can only lose text, never loop or throw). */
 case class LatexToText(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with UnaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "latex_to_text"

@@ -3,7 +3,6 @@ package graft.functions
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types.{DataType, StringType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -34,7 +33,7 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Map-only, total, never throws. */
 case class MarkdownToText(child: Expression) extends UnaryExpression
-    with CodegenFallback {
+    with UnaryKernelCodegen {
 
   override def dataType: DataType = StringType
   override def prettyName: String = "markdown_to_text"

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -27,7 +26,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * inside duplicated `dupN`-grams.
   */
 case class RepetitionStats(child: Expression, topN: Int, dupN: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = StructType(Seq(
     StructField("n_lines", LongType, nullable = false),

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, TernaryExpression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -33,7 +32,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * Reference anchor: the reference ships no robots evaluation; this
   * extends SURVEY §2's crawl tier (semantics per RFC 9309 §2). */
 case class RobotsAllowed(first: Expression, second: Expression, third: Expression)
-    extends TernaryExpression with CodegenFallback {
+    extends TernaryExpression with TernaryKernelCodegen {
 
   override def dataType: DataType = BooleanType
   override def prettyName: String = "robots_allowed"
@@ -60,7 +59,7 @@ object RobotsAllowed {
   * [[RobotsAllowed]]'s yes/no. Same RFC 9309 group selection. */
 case class RobotsCrawlDelay(left: Expression, right: Expression)
     extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
-    with CodegenFallback {
+    with BinaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "robots_crawl_delay"
@@ -88,7 +87,7 @@ object RobotsCrawlDelay {
   * 9309) — the crawl-frontier seed a robots fetch yields besides its
   * rules. */
 case class RobotsSitemaps(child: Expression)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(StringType, containsNull = false)
   override def prettyName: String = "robots_sitemaps"

@@ -1,7 +1,6 @@
 package graft.functions
 
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
@@ -27,12 +26,12 @@ import org.apache.spark.unsafe.types.UTF8String
   * hashes the single clamped window still yields one (every
   * non-trivial document gets at least one fingerprint).
   *
-  * Fused native expression (CodegenFallback, plain-JVM loop) — the
+  * Fused native expression (real codegen, plain-JVM loop) — the
   * per-character rolling update is exactly the pattern that
   * interpreted HOFs evaluate ~10× slower (see [[RepetitionStats]]).
   */
 case class RollingWinnow(child: Expression, k: Int, w: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   require(k >= 1 && w >= 1, s"k and w must be >= 1: $k, $w")
 
   private val P = (1L << 31) - 1

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -30,7 +29,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * always attained by the numerically smallest shingle hashes and all
   * 64 components were correlated, wrecking the Jaccard estimate.) */
 case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   private val p = (1L << 31) - 1
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
@@ -63,7 +62,7 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
 
 /** 64-bit SimHash from a token array: per bit, majority vote of 64-bit
   * FNV-1a token hashes. One pass over tokens, primitive counters. */
-case class SimHash64(child: Expression) extends UnaryExpression with CodegenFallback {
+case class SimHash64(child: Expression) extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = LongType
   override def prettyName: String = "simhash64"
@@ -110,7 +109,7 @@ case class SimHash64(child: Expression) extends UnaryExpression with CodegenFall
   * would perturb the intersection count; at 64 bits the collision odds
   * per pair are ~1e-14. */
 case class ShingleHashes(child: Expression, n: Int, mask31: Boolean = true)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   override def dataType: DataType = ArrayType(LongType, containsNull = false)
   override def prettyName: String = "shingle_hashes"
@@ -150,7 +149,7 @@ case class ShingleHashes(child: Expression, n: Int, mask31: Boolean = true)
   * sf0.1); a binary column is one memcpy. The packed form is the cache/
   * shuffle representation of sketches; [[SigAgreeCount]],
   * [[PackedIntersectCount]] and [[BandKeys]] consume it directly. */
-case class PackLongs(child: Expression) extends UnaryExpression with CodegenFallback {
+case class PackLongs(child: Expression) extends UnaryExpression with UnaryKernelCodegen {
   override def dataType: DataType = BinaryType
   override def prettyName: String = "pack_longs"
   override def nullSafeEval(input: Any): Any = {
@@ -180,7 +179,7 @@ private object Packed {
 /** Number of positions where two equal-length packed long arrays agree —
   * the MinHash signature-agreement count (Jaccard estimate × width). */
 case class SigAgreeCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "sig_agree_count"
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -200,7 +199,7 @@ case class SigAgreeCount(left: Expression, right: Expression)
 /** |A ∩ B| of two packed distinct-long sets, via an open-addressed
   * primitive hash probe — no boxing, no per-row collection churn. */
 case class PackedIntersectCount(left: Expression, right: Expression)
-    extends BinaryExpression with CodegenFallback {
+    extends BinaryExpression with BinaryKernelCodegen {
   override def dataType: DataType = IntegerType
   override def prettyName: String = "packed_intersect_count"
   override def nullSafeEval(l: Any, r: Any): Any = {
@@ -245,7 +244,7 @@ case class PackedIntersectCount(left: Expression, right: Expression)
   * of length `bands` — posexplode gives (band, key) rows without any
   * per-band array slicing. */
 case class BandKeys(child: Expression, bands: Int, rowsPerBand: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
   override def dataType: DataType = ArrayType(IntegerType, containsNull = false)
   override def prettyName: String = "band_keys"
   override def nullSafeEval(input: Any): Any = {

@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.GenericArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -31,7 +30,7 @@ import org.apache.spark.unsafe.types.UTF8String
   * vocabulary lives in instance state (the [[BpeSegment]] posture):
   * plan depth O(1) at any vocabulary size. */
 case class UnigramSegment(child: Expression, vocab: Seq[(String, Long)])
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   vocab.foreach { case (p, f) =>
     require(p.nonEmpty && !p.contains(' '),

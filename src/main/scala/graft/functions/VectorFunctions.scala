@@ -104,7 +104,7 @@ class VectorMeanAgg(dim: Int)
   * all-zero bytes (its cosine is null in every tier). */
 case class QuantizeInt8(child: Expression)
     extends org.apache.spark.sql.catalyst.expressions.UnaryExpression
-    with org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback {
+    with UnaryKernelCodegen {
   override def dataType: DataType = org.apache.spark.sql.types.BinaryType
   override def nullable: Boolean = true
   override def prettyName: String = "quantize_int8"

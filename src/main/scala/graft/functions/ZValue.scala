@@ -2,7 +2,6 @@ package graft.functions
 
 import org.apache.spark.sql.Column
 import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
-import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
 import org.apache.spark.sql.catalyst.util.ArrayData
 import org.apache.spark.sql.graft.ColumnBridge
 import org.apache.spark.sql.types._
@@ -23,7 +22,7 @@ import org.apache.spark.sql.types._
   * bottom-left corner, the conservative cluster for missing keys).
   * Map-only, exact integers — oracle-replayable bit arithmetic. */
 case class ZValue(child: Expression, bits: Int)
-    extends UnaryExpression with CodegenFallback {
+    extends UnaryExpression with UnaryKernelCodegen {
 
   require(bits >= 1 && bits <= 63, s"z_value: bits out of range: $bits")
 
