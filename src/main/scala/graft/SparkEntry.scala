@@ -6728,6 +6728,42 @@ object SparkEntry {
         .orderBy("doc_id")
     }),
 
+    // Q348 — undeclared-charset fallback ([[graft.sources.Warc
+    // .htmlCharset]] + `looksUtf8`): real crawls carry a large
+    // undeclared-legacy fraction — no HTTP charset, no meta — that
+    // the old UTF-8 default silently mojibaked. The walk now
+    // validates undeclared bodies as UTF-8 (bounded structural scan)
+    // and falls back to windows-1252 (the browsers' WHATWG legacy
+    // default) when they fail: the planted cp1252 page's 0xE9/0x92
+    // bytes must decode to é and the U+2019 quote, the valid-UTF-8
+    // and pure-ASCII arms must stay utf-8. Declared pages are
+    // untouched (q277 pins those). Map-only flatMap kernel.
+    "q348_charset_fallback" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val (cs, body) = (id % 3) match {
+            case 0 => ("windows-1252",
+              s"<p>café page $id with a ’smart’ quote</p>")
+            case 1 => ("UTF-8", s"<p>café page $id in valid utf8</p>")
+            case _ => ("US-ASCII", s"<p>plain ascii page $id</p>")
+          }
+          val bytes = body.getBytes(cs)
+          // NO charset anywhere: bare text/html, no meta
+          val http = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ bytes
+          val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://ex.com/cs/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          (id, hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id")
+    }),
+
     // Q347 — sentence segmentation (training-data chunking at
     // sentence boundaries — the unit seq-packing and dedup pipelines
     // actually want): boundary = sentence punctuation + one space +
@@ -13852,6 +13888,24 @@ object SparkEntry {
     // Resolution restated: every revisit finds its stored capture
     // through the canonicalized refers-to key; every 3rd id's digest
     // contradicts the identity claim.
+    // Decoded text stated per arm: the cp1252 bytes come back as é
+    // (chr 233) and the U+2019 quote (chr 8217) under the fallback;
+    // the utf-8/ascii arms pass through.
+    "q348_charset_fallback" ->
+      """SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/cs/' || doc_id AS url,
+        |  CASE doc_id % 3 WHEN 0 THEN 'windows-1252'
+        |       ELSE 'utf-8' END AS charset,
+        |  CASE doc_id % 3
+        |    WHEN 0 THEN 'caf' || chr(233) || ' page ' || doc_id ||
+        |      ' with a ' || chr(8217) || 'smart' || chr(8217) || ' quote'
+        |    WHEN 1 THEN 'caf' || chr(233) || ' page ' || doc_id ||
+        |      ' in valid utf8'
+        |    ELSE 'plain ascii page ' || doc_id
+        |  END AS text
+        |FROM documents WHERE doc_id % 50 <> 0
+        |ORDER BY media_id""".stripMargin,
+
     // The IDENTICAL regex on the identical text: both engines insert
     // the same sentinel with the same left-to-right consumption, so
     // the split agrees even on adjacent-boundary edge cases.

@@ -388,7 +388,15 @@ object Warc {
     * (ISO-8859-1, windows-125x, GBK, Shift_JIS); decoding them as
     * UTF-8 silently mojibakes the training text. Returns the
     * lower-case canonical-input name; unknown/unsupported names fall
-    * back to utf-8 so the decode can never throw. */
+    * back to utf-8 so the decode can never throw.
+    *
+    * UNDECLARED pages (r17): a body with no charset anywhere that
+    * fails UTF-8 validation falls back to windows-1252 — the
+    * browsers' own legacy default (WHATWG encoding standard) and the
+    * superset-of-latin1 that covers the dominant undeclared-legacy
+    * fraction of a real crawl; a valid-UTF-8 body keeps the UTF-8
+    * default. Validation is a bounded structural scan, never a
+    * throw. */
   private[sources] def htmlCharset(contentType: Option[String],
                                    body: Array[Byte]): String = {
     def fromParams(s: String): Option[String] = {
@@ -411,7 +419,36 @@ object Warc {
       mc.findFirstMatchIn(head).map(_.group(1)).orElse(fromParams(head))
     }
     declared.filter(c => try java.nio.charset.Charset.isSupported(c)
-      catch { case _: Exception => false }).getOrElse("utf-8")
+      catch { case _: Exception => false })
+      .getOrElse(if (looksUtf8(body)) "utf-8" else "windows-1252")
+  }
+
+  /** Bounded UTF-8 structural validation over the first `limit`
+    * bytes: continuation counts, no bare continuations, no 0xC0/C1 or
+    * >0xF4 lead bytes; a multi-byte sequence cut by the limit (or the
+    * body end) is tolerated. Pure scan, never throws. */
+  private[sources] def looksUtf8(b: Array[Byte], limit: Int = 4096): Boolean = {
+    val n = math.min(b.length, limit)
+    var i = 0
+    while (i < n) {
+      val c = b(i) & 0xff
+      val need =
+        if (c < 0x80) 0
+        else if (c >= 0xc2 && c <= 0xdf) 1
+        else if (c >= 0xe0 && c <= 0xef) 2
+        else if (c >= 0xf0 && c <= 0xf4) 3
+        else return false // bare continuation or invalid lead
+      var k = 1
+      while (k <= need) {
+        // a sequence cut by the SCAN LIMIT is fine (more bytes exist);
+        // one cut at the true end of the body is invalid UTF-8
+        if (i + k >= n) return n < b.length
+        if ((b(i + k) & 0xc0) != 0x80) return false
+        k += 1
+      }
+      i += need + 1
+    }
+    true
   }
 
   /** Decode an HTML body with its declared charset (never throws). */

@@ -438,6 +438,28 @@ class WarcSpec extends SparkSpec {
       rows(2).isNullAt(rows(2).fieldIndex("refers_to")))
   }
 
+  test("undeclared charset: UTF-8 validation falls back to windows-1252") {
+    import Warc.{htmlCharset, looksUtf8}
+    // looksUtf8 structural pins
+    assert(looksUtf8("plain ascii".getBytes("US-ASCII")))
+    assert(looksUtf8("café ünïcode — em".getBytes("UTF-8")))
+    assert(!looksUtf8("café".getBytes("windows-1252"))) // bare 0xE9
+    assert(!looksUtf8(Array(0xC0.toByte, 0xAF.toByte))) // overlong lead
+    assert(!looksUtf8(Array(0xF5.toByte, 0x80.toByte))) // >U+10FFFF lead
+    assert(!looksUtf8(Array(0x80.toByte))) // bare continuation
+    // a multi-byte sequence cut at the validation bound is tolerated
+    val cut = ("a" * 4095).getBytes("US-ASCII") ++ "é".getBytes("UTF-8")
+    assert(looksUtf8(cut, limit = 4096))
+    // htmlCharset: undeclared + invalid-UTF-8 → windows-1252;
+    // undeclared + valid → utf-8; any DECLARATION still wins
+    assert(htmlCharset(None, "café".getBytes("windows-1252")) == "windows-1252")
+    assert(htmlCharset(None, "café".getBytes("UTF-8")) == "utf-8")
+    assert(htmlCharset(Some("text/html; charset=iso-8859-1"),
+      "café".getBytes("windows-1252")) == "iso-8859-1")
+    assert(htmlCharset(None,
+      "<meta charset=gbk><p>x</p>".getBytes("US-ASCII")) == "gbk")
+  }
+
   // ==== HTTP wire-form payload decoding (r16 verdict item 1) ========
 
   private def chunkize(b: Array[Byte]): Array[Byte] = {
