@@ -235,15 +235,46 @@ object Bench {
     * raises the 1-min EMA past the margin on an otherwise idle box,
     * which would park every wide regression in unconfirmed forever;
     * the during-run probe is the witness that actually saw the
-    * measurement window. */
+    * measurement window.
+    *
+    * Round 18 (r17 verdict item 3 — the r17 re-measure CONFIRMED a
+    * regression the judge's quiet box refuted: entry loadavg 4.4
+    * during the re-run passed the flat cpus/4=8.0 bound, and its
+    * ConcProbe squeaked by at 1.21× of the 1.25× bound): the caller
+    * now passes `loadThreshold` = busy margin (~cpus/16) PLUS the
+    * entry's own expected EMA contribution ([[ownBurstLoad]]) — the
+    * after-sample may carry the entry's just-finished burst but no
+    * more than ~a margin of external load — and the witness bar
+    * tightens to 1.15× with a 1 ms slack: the classification path's
+    * 1.25×+5 ms bound let r17's 0.029-vs-0.024 (1.21×) probe pass
+    * because the ABSOLUTE slack dominates at ~25 ms probe medians.
+    * The FINAL exculpatory-or-confirming measurement demands a
+    * genuinely clean witness; a merely-plausible one parks the entry
+    * in `unconfirmed`, which is always safe (named, never rc=1). The
+    * caller also re-runs TWICE and passes the MIN (residual drain
+    * inflates any single re-run). */
   private[graft] def remeasureVerdict(wall: Double, gate: Double,
                                       postLoad: Double, loadThreshold: Double,
                                       concNow: Double, concGate: Double): String =
     if (wall <= 0) "regressed"
     else if (!(postLoad <= loadThreshold && concGate > 0 && concNow > 0 &&
-        concNow <= concGate * 1.25 + 0.005)) "unconfirmed"
+        concNow <= concGate * 1.15 + 0.001)) "unconfirmed"
     else if (tripped(wall, gate)) "confirmed"
     else "recovered"
+
+  /** The 1-min loadavg contribution the entry's OWN just-finished
+    * burst leaves in the after-sample: `width` runnable threads for
+    * `burstSec` seconds move the EMA by width·(1−e^(−t/60)). Bounding
+    * the re-measure after-sample at margin + this keeps the bound
+    * TIGHT for short/narrow entries (a 0.5 s burst allows ~0.3 extra)
+    * without parking wide long entries in `unconfirmed` forever (the
+    * documented full-width blind spot a flat margin bound would
+    * reintroduce). Width ≤ 0 (no baseline) assumes full width. */
+  private[graft] def ownBurstLoad(width: Double, cpus: Double,
+                                  burstSec: Double): Double = {
+    val w = if (width > 0) math.min(width, cpus) else cpus
+    if (burstSec <= 0) 0.0 else w * (1.0 - math.exp(-burstSec / 60.0))
+  }
 
   /** SMT-sibling signature (round 14, r12 verdict task): CPU-seconds
     * inflated ≥1.3× MORE than wall did (+0.1 absolute slack on the
@@ -267,10 +298,24 @@ object Bench {
     * in which case the prior clean gate carries forward (never the
     * suspect wall). r11's recorded run violated this for regressed
     * entries and polluted q150_x10's gate from 7.11 to 14.58,
-    * which would have masked a real regression up to ~22 s. */
+    * which would have masked a real regression up to ~22 s.
+    *
+    * Round 18 (r17 verdict item 5b): `loadedWindow` extends the
+    * carry to ANY entry whose own measurement window was loaded,
+    * suspect or not — non-suspect entries measured under load still
+    * ratcheted their gates upward (q27_x10 8.25→11.29, q298
+    * 11.27→11.75 in r17 while the quiet truth was 4.78/10.08). And a
+    * FIRST-TIME entry (no prior gate) measured under load gets NO
+    * gate at all (-1, absent next round) rather than a loose
+    * first-ever gate: q344's committed first gate was 134.7 s against
+    * a quiet truth of ~10.7 (item 5a) — a gate is only ever born in
+    * a quiet window. */
   private[graft] def gateCarry(v: Double, prevGate: Double,
-                               suspect: Boolean): Double =
-    if (suspect && prevGate > 0) math.min(v, prevGate) else v
+                               suspect: Boolean,
+                               loadedWindow: Boolean = false): Double =
+    if ((suspect || loadedWindow) && prevGate > 0) math.min(v, prevGate)
+    else if (loadedWindow) -1.0
+    else v
 
   /** The DURING-run machine-speed witness (round 12; since round 14
     * the ONLY machine-speed probe — the start-of-run and
@@ -531,6 +576,12 @@ object Bench {
     // is cleared before every timed run — operators that persist
     // intermediates (minhash signatures) must not serve run 2 from
     // run 1's cache.
+    // Construction is deliberately INSIDE the timed region: iterative
+    // entries (q49's component loop, q226's k-means rounds) do their
+    // real work in construction-time actions, and timing only the
+    // result-frame write would let a loop regression escape the gate
+    // entirely. One-time fixture generation is instead paid by the
+    // UNTIMED pre-construction pass below (r17 verdict item 5a).
     def noopRun(f: => org.apache.spark.sql.DataFrame): Double = {
       spark.catalog.clearCache()
       time(f.write.mode("overwrite").format("noop").save())
@@ -690,6 +741,22 @@ object Bench {
     // first-pass window counts as LOADED only when both samples
     // exceed threshold (r10: q217_x10's own samples read 25+ while
     // the run-start sample read 3.44 — the gate never saw it).
+    // UNTIMED fixture pre-generation at the TARGET sfDir (r17 verdict
+    // item 5a: q344's first-ever gate was 134.7 s because its
+    // 3×~5,000-file WARC fixture generation ran inside the timed
+    // window — the sf0.001 warm pass above never generates the sf0.1
+    // fixtures, their caches are keyed by sfDir). Every headline
+    // CONSTRUCTION runs once here: the path-fixture builders
+    // generate-and-cache on first construction (existence-keyed), so
+    // no timed attempt below ever pays one-time fixture cost. The
+    // construction-time work of iterative entries runs once extra —
+    // acceptable, and it doubles as a JIT warm for the loop bodies.
+    headline.foreach { name =>
+      try { SparkEntry.queries(name)(spark, sfDir); () }
+      catch { case _: Throwable => () } // the timed attempt reports it
+    }
+    spark.catalog.clearCache()
+
     var entryLoadPre: Map[String, Double] = Map.empty
     var entryLoad: Map[String, Double] = Map.empty
     val firstPassFull: Seq[(String, (Double, Double, Double))] =
@@ -1092,7 +1159,14 @@ object Bench {
               System.err.println(s"[bench] $name: box never settled " +
                 s"(loadavg $preLoad) - contended, regression UNCONFIRMED")
             } else {
-              val (w, c, cc) = attempt(run)
+              // MIN of two re-measure attempts (r17 verdict item 3:
+              // one attempt under residual drain re-confirmed the
+              // contention it was supposed to rule out); the min
+              // attempt's CPU and during-run witness ride along
+              val a1 = attempt(run)
+              val a2 = attempt(run)
+              val (w, c, cc) =
+                if (a2._1 >= 0 && (a1._1 < 0 || a2._1 < a1._1)) a2 else a1
               val postLoad = load1()
               if (w > 0) {
                 remeasured += name -> w
@@ -1102,8 +1176,15 @@ object Bench {
                 entryLoadPre += name -> preLoad
               }
               val g = prevConcGate.getOrElse(name, -1.0)
+              // the re-measure after-sample allows the entry's OWN
+              // burst EMA plus at most ~a busy margin of external
+              // load — far tighter than the flat cpus/4 the r17
+              // false-confirm slid under
+              val burst = a1._1.max(0) + a2._1.max(0)
+              val bound = margin + ownBurstLoad(entryWidth(name),
+                cpus.toDouble, burst)
               remeasureVerdict(w, prevGate.getOrElse(name, -1.0),
-                postLoad, loadThreshold, cc, g) match {
+                postLoad, bound, cc, g) match {
                 case "regressed" => regressedF ::= name // re-run died
                 case "unconfirmed" =>
                   contendedF ::= name; unconfirmedQuiet ::= name
@@ -1151,10 +1232,22 @@ object Bench {
     // regressed verdict write its inflated wall as the gate);
     // everything else's gate reference IS its measurement — a
     // RECOVERED entry (quiet re-measure back under the line) records
-    // its clean re-measured wall
+    // its clean re-measured wall. Round 18 (r17 item 5b): ANY entry
+    // whose own pre-window was loaded also carries min(v, prevGate)
+    // — non-suspect entries under load ratcheted gates upward — and
+    // a FIRST-TIME entry measured under load gets no gate at all
+    // (gates are only born in quiet windows; re-measured entries use
+    // their re-measure window's pre-sample).
+    // flat threshold on the pre-sample, deliberately NOT the
+    // width-aware test: between back-to-back entries the 1-min EMA
+    // carries the bench's OWN just-finished burst, so the width test
+    // would read nearly every window loaded even on a quiet box and
+    // freeze every gate forever
     val gateJson = resultsF.map { case (k, v) =>
+      val loadedPre = entryLoadPre.getOrElse(k, -1.0) > loadThreshold
       val g = gateCarry(v, prevGate.getOrElse(k, -1.0),
-        contendedFinal.contains(k) || regressedFinal.contains(k))
+        contendedFinal.contains(k) || regressedFinal.contains(k),
+        loadedWindow = loadedPre)
       "\"" + k + "\":" + r3(g)
     }.mkString("{", ",", "}")
     // during-run witness sections: the kept window's probe median and

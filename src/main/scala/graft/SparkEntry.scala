@@ -6764,6 +6764,50 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q349 — undeclared CJK charset sniff ([[graft.sources.Warc
+    // .sniffCjk]]): the East-Asian fraction of a real crawl often
+    // carries NO charset declaration either, and q348's cp1252
+    // fallback mojibaked it. Undeclared non-UTF-8 bodies now run a
+    // bounded byte-distribution detection for Shift_JIS / EUC-JP /
+    // EUC-KR / GBK (structure-distinctive evidence: SJIS low leads,
+    // EUC-JP kana rows, GBK low trails / dense hanzi rows vs the
+    // hangul block) before falling back to windows-1252. The fixture
+    // plants the same Japanese text under BOTH its legacy encodings
+    // (they must separate), Korean under EUC-KR, Chinese under GBK,
+    // and an accented-Latin cp1252 arm that must keep the q348
+    // fallback. Map-only flatMap kernel; q277/q348 pin declared and
+    // Latin-undeclared behavior unchanged.
+    "q349_cjk_sniff" -> ((s, d) => {
+      import s.implicits._
+      val ja = "これは日本語のテキストです。記事の本文が続きます。"
+      val ko = "한국어는 한글로 표기한다 기사 본문이 이어진다"
+      val zh = "这是一段中文文本没有空格 新闻正文在此继续展开"
+      val latin = "l'été café année passée déjà vu née et protégé"
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val (cs, sample) = (id % 5) match {
+            case 0 => ("shift_jis", ja)
+            case 1 => ("euc-jp", ja)
+            case 2 => ("euc-kr", ko)
+            case 3 => ("gbk", zh)
+            case _ => ("windows-1252", latin)
+          }
+          val bytes = s"<p>$sample page $id</p>".getBytes(cs)
+          // NO charset anywhere: bare text/html, no meta
+          val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            .getBytes("ISO-8859-1") ++ bytes
+          val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://ex.com/cjk/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          (id, hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id")
+    }),
+
     // Q347 — sentence segmentation (training-data chunking at
     // sentence boundaries — the unit seq-packing and dedup pipelines
     // actually want): boundary = sentence punctuation + one space +
@@ -7331,15 +7375,17 @@ object SparkEntry {
 
     // Q337 — curation v14: the URL gate IN FRONT. q336's pre-fetch
     // filter composes as the capstone's first stage — the domain
-    // blocklist (label-boundary suffix semi-join) and URL term gate
-    // run on the router's url column BEFORE any text-level work, so
-    // at 100 TB the blocked records' LangId/quality expressions are
-    // never evaluated (Catalyst orders the cheap URL predicates
-    // first). Fixture: v13's records + a planted record from a
-    // blocked domain and one with a term-flagged URL, each carrying
-    // long unique CLEAN text that would survive every other gate.
-    // Still join-free on the text path: the one new join is the
-    // broadcast semi-join against the O(list)-sized blocklist.
+    // blocklist (a MAP-SIDE label-boundary expression over the
+    // O(list) literal: arrays_overlap of the host's label-suffix set,
+    // since r18 — the r17 suffix-explode semi-join re-executed the
+    // whole WARC router a second time; r17 verdict item 1) and URL
+    // term gate run on the router's url column BEFORE any text-level
+    // work, so at 100 TB the blocked records' LangId/quality
+    // expressions are never evaluated (Catalyst orders the cheap URL
+    // predicates first). Fixture: v13's records + a planted record
+    // from a blocked domain and one with a term-flagged URL, each
+    // carrying long unique CLEAN text that would survive every other
+    // gate. The whole chain is JOIN-FREE — ONE MapPartitions decode.
     "q337_curation_v14" -> ((s, d) => {
       // the chain itself lives in [[graft.llm.Curation]] since r17 —
       // ONE code path serves this batch query AND the Structured
@@ -13902,6 +13948,25 @@ object SparkEntry {
         |    WHEN 1 THEN 'caf' || chr(233) || ' page ' || doc_id ||
         |      ' in valid utf8'
         |    ELSE 'plain ascii page ' || doc_id
+        |  END AS text
+        |FROM documents WHERE doc_id % 50 <> 0
+        |ORDER BY media_id""".stripMargin,
+
+    // The expected decoded text stated literally per arm (UTF-8 SQL
+    // literals — DuckDB never needs the legacy decoders, the Spark
+    // side must RECOVER these exact characters from the legacy bytes).
+    "q349_cjk_sniff" ->
+      """SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/cjk/' || doc_id AS url,
+        |  CASE doc_id % 5 WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp'
+        |       WHEN 2 THEN 'euc-kr' WHEN 3 THEN 'gbk'
+        |       ELSE 'windows-1252' END AS charset,
+        |  CASE doc_id % 5
+        |    WHEN 0 THEN 'これは日本語のテキストです。記事の本文が続きます。 page ' || doc_id
+        |    WHEN 1 THEN 'これは日本語のテキストです。記事の本文が続きます。 page ' || doc_id
+        |    WHEN 2 THEN '한국어는 한글로 표기한다 기사 본문이 이어진다 page ' || doc_id
+        |    WHEN 3 THEN '这是一段中文文本没有空格 新闻正文在此继续展开 page ' || doc_id
+        |    ELSE 'l''été café année passée déjà vu née et protégé page ' || doc_id
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,

@@ -27,8 +27,15 @@ object Verify {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     new java.io.File(outDir).mkdirs()
+    // Per-query wall seconds, written as timings.json beside the
+    // results (r17 verdict item 7: the driver's CORRECTNESS file
+    // covered 326 of 345 queries — if its budget cuts the run, the
+    // cut point and the queries worth optimizing must be visible
+    // from the artifact alone).
+    val timings = Seq.newBuilder[(String, Double)]
     SparkEntry.queries.foreach { case (name, fn) =>
       if (keep(name)) {
+        val t0 = System.nanoTime()
         try fn(spark, sfDir).coalesce(1).write.mode("overwrite")
           .parquet(s"$outDir/$name")
         catch { case e: Throwable =>
@@ -38,9 +45,19 @@ object Verify {
         // unpersisting; across 215 queries those entries accumulate and
         // evict each other (ADVICE r8). One harness-level drop per
         // query keeps every run's cache to its own frames.
-        finally spark.catalog.clearCache()
+        finally {
+          spark.catalog.clearCache()
+          val w = (System.nanoTime() - t0) / 1e9
+          timings += name -> w
+          if (w > 10)
+            System.err.println(f"[verify] slow: $name took $w%.1f s")
+        }
       }
     }
+    val tJson = timings.result()
+      .map { case (k, v) => "\"" + k + "\": " + math.round(v * 100) / 100.0 }
+      .mkString("{", ", ", "}")
+    Files.writeString(Paths.get(s"$outDir/timings.json"), tJson)
     // JSON string escape: backslash, quote, and ALL control chars (<0x20)
     // — a tab or CR in builder-authored SQL would otherwise make the
     // driver's json.load fail and silently zero the round's correctness.

@@ -25,22 +25,19 @@ import org.apache.spark.unsafe.types.UTF8String
   * IS a public suffix has none (returns null; `co.uk` must never be
   * a quota key).
   *
-  * The RULE SET is a bundled snapshot SUBSET of the list (the
-  * multi-label ICANN rules a web corpus actually hits — UK/AU/JP/BR/
-  * IN/… families, the ck wildcard/exception pair — plus the
-  * hosting-platform private rules like github.io where one
-  * "domain" is thousands of unrelated sites). The full list is ~10k
-  * rules of public data; swap it in by passing custom rules to
-  * [[PublicSuffix.parse]] — every entry point takes the rules as a
-  * parameter, the snapshot is only the default. Single-label TLDs
-  * need no rule at all (the implicit `*` covers them), so the subset
-  * is exact wherever no multi-label rule exists.
+  * The RULE SET is the FULL public-suffix list, bundled as a
+  * resource snapshot (~9.5k rules of public data from
+  * publicsuffix.org, ICANN + private sections; IDN rules registered
+  * in both U-label and `xn--` A-label form). A newer list swaps in
+  * by passing custom rules to [[PublicSuffix.parse]] — every entry
+  * point takes the rules as a parameter, the snapshot is only the
+  * default.
   *
-  * Scale posture: a pure per-row label walk over an O(100)-entry
-  * broadcast-class map baked into the expression — map-only, real
-  * codegen, no join (the q336 suffix-explode stays the right
-  * mechanism when the list is a DataFrame; this is the expression
-  * form for when it is list-literal data). Null/invalid (empty
+  * Scale posture: a pure per-row label walk over an O(10k)-entry
+  * hash set baked into the expression (parsed once per executor
+  * JVM) — map-only, real codegen, no join (the q336 suffix-explode
+  * stays the right mechanism when the list is a DataFrame; this is
+  * the expression form for when it is list data). Null/invalid (empty
   * labels, IP literals) → null, never a throw. SQL name
   * `registered_domain`. */
 case class RegisteredDomain(child: Expression) extends UnaryExpression {
@@ -126,25 +123,52 @@ object PublicSuffix {
                          exception: Set[String])
 
   /** PSL-format lines → [[Rules]] (comments `//` and blanks skipped,
-    * the section markers too — rules fold to lower-case). */
+    * the section markers too — rules fold to lower-case). Rules with
+    * non-ASCII labels (the list publishes IDN rules in U-label form:
+    * `公司.cn`) are ALSO registered under their `xn--` A-label form
+    * via `java.net.IDN`, so hosts arriving punycoded — the form
+    * [[graft.functions.CanonicalUrl]] folds to — match the same
+    * rule. */
   def parse(lines: Seq[String]): Rules = {
     val exact = Set.newBuilder[String]
     val wild = Set.newBuilder[String]
     val exc = Set.newBuilder[String]
+    def add(b: scala.collection.mutable.Builder[String, Set[String]],
+            rule: String): Unit = {
+      b += rule
+      if (rule.exists(_ >= 0x80))
+        try b += java.net.IDN.toASCII(rule)
+        catch { case _: Exception => () } // unconvertible rule: U-form only
+    }
     lines.foreach { raw =>
       val l = raw.trim.toLowerCase(java.util.Locale.ROOT)
       if (l.nonEmpty && !l.startsWith("//")) {
-        if (l.startsWith("!")) exc += l.substring(1)
-        else if (l.startsWith("*.")) wild += l.substring(2)
-        else if (l != "*") exact += l
+        if (l.startsWith("!")) add(exc, l.substring(1))
+        else if (l.startsWith("*.")) add(wild, l.substring(2))
+        else if (l != "*") add(exact, l)
       }
     }
     Rules(exact.result(), wild.result(), exc.result())
   }
 
-  /** The bundled snapshot (see class doc: a SUBSET — multi-label
-    * ICANN families + hosting-platform private rules; bare TLDs ride
-    * the implicit `*`). Public data from publicsuffix.org. */
+  /** The FULL public-suffix list snapshot, bundled as a resource
+    * (public data from publicsuffix.org, ~9.5k rules, ICANN +
+    * private sections — r17 verdict item 6 retired the hand-picked
+    * subset: hosts under un-bundled multi-label suffixes, most
+    * private-section platforms especially, mis-keyed as registered
+    * domains). Parsed once per JVM. Falls back to [[SnapshotLines]]
+    * (the legacy subset) only if the resource is unreadable —
+    * loudly, since silent fallback would change every eTLD+1 key. */
+  def loadBundledList(): Seq[String] = {
+    val in = getClass.getResourceAsStream("/graft/public_suffix_list.dat")
+    if (in == null) return null
+    try scala.io.Source.fromInputStream(in, "UTF-8").getLines().toVector
+    finally in.close()
+  }
+
+  /** The legacy hand-picked subset (kept for spec fixtures and as the
+    * loud fallback when the bundled resource is missing). Public data
+    * from publicsuffix.org. */
   val SnapshotLines: Seq[String] = Seq(
     // ICANN section (multi-label families)
     "co.uk", "org.uk", "net.uk", "ac.uk", "gov.uk", "sch.uk", "nhs.uk",
@@ -199,7 +223,15 @@ object PublicSuffix {
     "onrender.com", "fly.dev", "surge.sh", "neocities.org",
     "readthedocs.io", "s3.amazonaws.com", "glitch.me", "bitbucket.io")
 
-  lazy val Default: Rules = parse(SnapshotLines)
+  lazy val Default: Rules = {
+    val bundled = loadBundledList()
+    if (bundled == null) {
+      System.err.println("[graft] WARNING: bundled public_suffix_list.dat " +
+        "resource missing - falling back to the legacy subset; eTLD+1 " +
+        "keys under un-bundled suffixes will differ")
+      parse(SnapshotLines)
+    } else parse(bundled)
+  }
 
   private def labelsOf(host: String): Array[String] = {
     if (host == null) return null

@@ -15,9 +15,11 @@ import org.apache.spark.sql.functions._
   * columns plus `media_id` — (media_id, record_idx, url, carrier,
   * text, x_robots, type0_codes, type0_unmapped, canonical).
   *
-  * Scale posture (unchanged from q337): the gate stage is per-record
-  * — pushed URL/length/confidence predicates, the LangId/quality
-  * kernels, one broadcast LeftSemi against the O(list) blocklist;
+  * Scale posture: the gate stage is per-record — pushed URL/length/
+  * confidence predicates, the LangId/quality kernels, and a MAP-SIDE
+  * label-boundary blocklist expression (no join, and exactly ONE
+  * scan of the WARC router — the r17 suffix-explode semi-join
+  * re-decoded every record a second time just to read `url`);
   * the ONLY cross-record state is the two keep-first keys
   * (canonical URL, text), which stream as bounded per-batch key
   * segments exactly like the incremental-dedup index
@@ -26,29 +28,34 @@ object Curation {
 
   /** The per-record gate stage — a PURE function of its input rows
     * (no cross-record state): URL gate (label-boundary domain
-    * blocklist via bounded suffix-explode + broadcast semi-join,
-    * term rlike), X-Robots noindex, length, Type0
+    * blocklist as a MAP-SIDE expression — the host's label-suffix
+    * set intersected with the O(list) literal via `arrays_overlap`;
+    * no join, and critically no second scan of `pages`: the r17
+    * suffix-explode semi-join re-executed the whole WARC router just
+    * to read `url`, doubling the pipeline's dominant decode cost —
+    * r17 verdict item 1), X-Robots noindex, length, Type0
     * extraction-confidence ratio, confident-foreign LangId drop,
     * quality score; survivors carry their canonical-URL dedup key
-    * (canonical link preferred — the v13 consolidation). */
+    * (canonical link preferred — the v13 consolidation).
+    *
+    * Host extraction runs on `lower(url)` so an upper/mixed-case
+    * scheme or host (`HTTP://Sub.BAD.example/x`) cannot bypass the
+    * blocklist (ADVICE r17), and blocklist entries fold to
+    * lower-case for the same reason. */
   def v14Gates(pages: DataFrame, blockDomains: Seq[String]): DataFrame = {
-    val spark = pages.sparkSession
-    import spark.implicits._
-    val blocklist = blockDomains.toDF("bdomain")
     val withHost = pages.withColumn("host",
-      regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1))
-    val blockedIds = withHost.select(col("media_id"), col("record_idx"),
-        explode(expr(
-          "transform(sequence(1, size(split(host, '\\\\.'))), " +
-            "i -> array_join(slice(split(host, '\\\\.'), i, 100), '.'))"))
-          .as("suffix"))
-      .join(broadcast(blocklist), col("suffix") === col("bdomain"),
-        "left_semi")
-      .select(col("media_id"), col("record_idx")).distinct()
-      .withColumn("domain_blocked", lit(true))
+      regexp_extract(lower(col("url")), "^[a-z]+://([^/:]+)", 1))
+    // every dot-boundary suffix of the host ("a.b.co" -> [a.b.co,
+    // b.co, co]) — label-boundary matching, never substring
+    val suffixes = expr(
+      "transform(sequence(1, size(split(host, '\\\\.'))), " +
+        "i -> array_join(slice(split(host, '\\\\.'), i, 100), '.'))")
+    val blocked =
+      if (blockDomains.isEmpty) lit(false)
+      else arrays_overlap(suffixes, lit(blockDomains
+        .map(_.toLowerCase(java.util.Locale.ROOT)).toArray))
     val gated = withHost
-      .join(blockedIds, Seq("media_id", "record_idx"), "left")
-      .where(coalesce(col("domain_blocked"), lit(false)) === false)
+      .where(!blocked)
       .where(!lower(col("url")).rlike("(xxx|casino|viagra)"))
       .where(!graft.functions.XRobotsTag.noindex(col("x_robots")))
       .where(length(col("text")) >= 20)
@@ -91,7 +98,7 @@ object Curation {
                domainCap: Int): DataFrame = {
     val kept = v14Batch(pages, blockDomains)
       .withColumn("domain", graft.functions.RegisteredDomain(
-        regexp_extract(col("url"), "^[a-z]+://([^/:]+)", 1)))
+        regexp_extract(lower(col("url")), "^[a-z]+://([^/:]+)", 1)))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(col("domain"))
       .orderBy(col("media_id"), col("record_idx"))
@@ -149,6 +156,29 @@ object Curation {
       .start()
   }
 
+  /** Strictly-earlier state segments `dir/b0 … b(upTo-1)`, resolved
+    * through the Hadoop FileSystem API so HDFS/S3 state dirs work —
+    * `java.io.File.exists` only sees the local filesystem, which
+    * silently DISABLED cross-batch dedup and domain caps on any
+    * non-local deployment (ADVICE r17). Every earlier batch commits
+    * its segment before the checkpoint advances, so a missing one is
+    * corrupt state: fail LOUDLY instead of quietly re-admitting
+    * duplicates. */
+  private def earlierSegments(spark: org.apache.spark.sql.SparkSession,
+                              dir: String, upTo: Long): Seq[String] = {
+    val conf = spark.sparkContext.hadoopConfiguration
+    (0L until upTo).map { i =>
+      val p = s"$dir/b$i"
+      val path = new org.apache.hadoop.fs.Path(p)
+      if (!path.getFileSystem(conf).exists(path))
+        throw new IllegalStateException(
+          s"curation stream state segment missing: $p (earlier batches " +
+            "always commit their segment before the checkpoint advances " +
+            "- state dir corrupted or wrong?)")
+      p
+    }
+  }
+
   /** The shared per-batch keep-first body: anti-join strictly-earlier
     * URL keys, keep-first within the batch on url_canon, anti-join
     * earlier TEXT keys, keep-first on text. Returns (urlKept,
@@ -157,8 +187,7 @@ object Curation {
                              gated: DataFrame, keysDir: String,
                              batchId: Long): (DataFrame, DataFrame) = {
     import spark.implicits._
-    val earlier = (0L until batchId).map(i => s"$keysDir/b$i")
-      .filter(p => new java.io.File(p).exists())
+    val earlier = earlierSegments(spark, keysDir, batchId)
     val (priorUrl, priorText) =
       if (earlier.isEmpty)
         (Seq.empty[String].toDF("url_canon"), Seq.empty[String].toDF("text"))
@@ -208,21 +237,31 @@ object Curation {
         try {
           val (urlKept, survivors0) =
             batchSurvivors(spark, gated, keysDir, batchId)
+          // NULL-SAFE domain key (ADVICE r17): NULL domains
+          // (IP-literal hosts, hosts that ARE public suffixes) form
+          // ONE capped group in v15Batch's window, but a null join
+          // key never matches — each micro-batch would independently
+          // re-cap the null group at domainCap, breaking the
+          // spec-pinned batch parity. The window, the counts join
+          // AND the persisted counts all key on a sentinel-coalesced
+          // `__dkey` (' ' can never be a registered domain);
+          // the OUTPUT `domain` column stays honestly NULL.
+          val nullKey = " "
           val withDomain = survivors0.withColumn("domain",
-            graft.functions.RegisteredDomain(
-              regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1)))
-          val earlier = (0L until batchId).map(i => s"$countsDir/b$i")
-            .filter(p => new java.io.File(p).exists())
+              graft.functions.RegisteredDomain(
+                regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1)))
+            .withColumn("__dkey", coalesce(col("domain"), lit(nullKey)))
+          val earlier = earlierSegments(spark, countsDir, batchId)
           val prior =
-            if (earlier.isEmpty) Seq.empty[(String, Long)].toDF("domain", "n")
+            if (earlier.isEmpty) Seq.empty[(String, Long)].toDF("__dkey", "n")
             else spark.read.parquet(earlier: _*)
-              .groupBy("domain").agg(sum("n").as("n"))
+              .groupBy("__dkey").agg(sum("n").as("n"))
           val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("domain"))
+            .partitionBy(col("__dkey"))
             .orderBy(col("media_id"), col("record_idx"))
           val ranked = withDomain
             .withColumn("__r", row_number().over(w))
-            .join(broadcast(prior), Seq("domain"), "left")
+            .join(broadcast(prior), Seq("__dkey"), "left")
             .withColumn("domain_rank",
               (col("__r") + coalesce(col("n"), lit(0L))).cast("long"))
           ranked.where(col("domain_rank") <= domainCap)
@@ -232,7 +271,7 @@ object Curation {
             .write.mode("overwrite").parquet(s"$outDir/b$batchId")
           writeKeys(gated, urlKept, s"$keysDir/b$batchId")
           // UNCAPPED per-domain survivor counts — this batch's alone
-          withDomain.groupBy("domain").agg(count(lit(1)).as("n"))
+          withDomain.groupBy("__dkey").agg(count(lit(1)).as("n"))
             .write.mode("overwrite").parquet(s"$countsDir/b$batchId")
         } finally { gated.unpersist(); () }
       }

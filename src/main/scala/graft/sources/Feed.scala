@@ -78,6 +78,18 @@ object Feed {
     sb.toString
   }
 
+  /** Tolerant `type=html` attribute scan over a (lowercased) opening
+    * tag: optional whitespace around `=`, optional single/double
+    * quotes, any terminator (ADVICE r17 — the literal
+    * `type="html"` match missed unquoted and spaced forms, leaking
+    * escaped markup into training text). `type="xhtml"` is
+    * deliberately NOT matched: RFC 4287 §3.1.1.3 xhtml content is
+    * LITERAL inline markup, which the single html_to_text pass
+    * already strips — only `html` content is entity-ESCAPED markup
+    * needing the second pass. */
+  private val TypeHtmlAttr =
+    """type\s*=\s*["']?\s*html\s*["']?(?=[\s/>"'])""".r
+
   /** Clean one element body: CDATA-unwrap, then the html_to_text
     * pass. Atom bodies declared `type="html"` carry ESCAPED HTML —
     * the first pass's entity decode yields the markup, a second
@@ -85,8 +97,7 @@ object Feed {
   private def cleanPiece(el: El): String = {
     if (el == null) return ""
     val once = graft.functions.HtmlToText.clean(unwrapCdata(el.body))
-    if (el.openTag.contains("type=\"html\"") ||
-        el.openTag.contains("type='html'"))
+    if (TypeHtmlAttr.findFirstIn(el.openTag).isDefined)
       graft.functions.HtmlToText.clean(once)
     else once
   }

@@ -64,7 +64,8 @@ object Warc {
   }
 
   /** Inflate a (possibly multi-member) gzip stream, fenced. Returns
-    * null when not gzip or on corrupt/oversized data. */
+    * null when not gzip or on corrupt data, [[OverFence]] when the
+    * stream inflates past maxOut. */
   private def gunzipAll(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     if (bytes.length < 2 || (bytes(0) & 0xff) != 0x1f ||
         (bytes(1) & 0xff) != 0x8b) return null
@@ -78,7 +79,7 @@ object Warc {
         out.write(buf, 0, n)
         n = in.read(buf)
       }
-      if (out.size > maxOut) null else out.toByteArray
+      if (out.size > maxOut) OverFence else out.toByteArray
     } catch { case _: java.io.IOException => null }
   }
 
@@ -99,10 +100,20 @@ object Warc {
   // `!over_fence` / `!undecoded` — the loudness channel the
   // `bodies_undecodable` fence counter aggregates.
 
+  /** Identity-compared sentinel distinguishing OVER-FENCE from
+    * corrupt-stream in the decoder returns (ADVICE r17: an entity
+    * that decompressed past maxBody surfaced as `gzip!failed`,
+    * indistinguishable from corrupt data — the documented
+    * `!over_fence` label had no emitter). Decoders return: the bytes
+    * on success, `null` on corrupt data, `OverFence` when the ONLY
+    * failure was the size fence. */
+  private[sources] val OverFence: Array[Byte] = new Array[Byte](0)
+
   /** De-chunk a `Transfer-Encoding: chunked` HTTP body: hex size
     * line (`;ext` tolerated) + CRLF + data + CRLF, repeated, ended by
     * the 0-chunk (trailers skipped). Returns null on malformed
-    * framing or when the reassembled body exceeds maxOut. */
+    * framing, [[OverFence]] when the reassembled body exceeds
+    * maxOut. */
   private[sources] def dechunk(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     val out = new java.io.ByteArrayOutputStream(math.min(bytes.length, 1 << 16))
     var p = 0
@@ -119,8 +130,10 @@ object Warc {
       if (q + 1 < bytes.length && bytes(q) == '\r' && bytes(q + 1) == '\n') q += 2
       else if (q < bytes.length && bytes(q) == '\n') q += 1
       else return null
-      if (size == 0) return if (out.size > maxOut) null else out.toByteArray
-      if (q + size > bytes.length || out.size + size > maxOut) return null
+      if (size == 0)
+        return if (out.size > maxOut) OverFence else out.toByteArray
+      if (q + size > bytes.length) return null // truncated = corrupt
+      if (out.size + size > maxOut) return OverFence
       out.write(bytes, q, size.toInt)
       p = (q + size).toInt
       // the CRLF closing the chunk data
@@ -141,7 +154,8 @@ object Warc {
 
   /** Inflate a zlib- OR raw-deflate body (servers send both under
     * `Content-Encoding: deflate` — RFC 9110 §8.4.1.1 notes the
-    * widespread raw-deflate deviation), fenced. Null on failure. */
+    * widespread raw-deflate deviation), fenced. Null on failure,
+    * [[OverFence]] when the stream inflates past maxOut. */
   private def inflateDeflate(bytes: Array[Byte], maxOut: Int): Array[Byte] = {
     def run(nowrap: Boolean): Array[Byte] =
       try {
@@ -155,14 +169,17 @@ object Warc {
           out.write(buf, 0, n)
         }
         inf.end()
-        if (out.size > maxOut || out.size == 0) null else out.toByteArray
+        if (out.size > maxOut) OverFence
+        else if (out.size == 0) null
+        else out.toByteArray
       } catch { case _: Exception => null }
     val zlib = run(nowrap = false)
     if (zlib != null) zlib else run(nowrap = true)
   }
 
   /** Bounded zstd decode (zstd-jni, already on Spark's classpath —
-    * the Archives door's codec). Null on failure/over-fence. */
+    * the Archives door's codec). Null on failure, [[OverFence]] past
+    * the fence. */
   private def unzstd(bytes: Array[Byte], maxOut: Int): Array[Byte] =
     try {
       val in = new com.github.luben.zstd.ZstdInputStream(
@@ -171,7 +188,7 @@ object Warc {
       val buf = new Array[Byte](1 << 16)
       var n = in.read(buf)
       while (n > 0 && out.size <= maxOut) { out.write(buf, 0, n); n = in.read(buf) }
-      if (out.size > maxOut) null else out.toByteArray
+      if (out.size > maxOut) OverFence else out.toByteArray
     } catch { case _: Throwable => null }
 
   /** Decode one HTTP body from its wire form: de-chunk first when
@@ -189,13 +206,21 @@ object Warc {
     var cur = body
     val steps = Seq.newBuilder[String]
     var failed = false
+    // One decode step: success advances `cur`; corrupt data keeps the
+    // wire bytes under `!failed` (diagnosable, and a sniffing carrier
+    // may still salvage); OVER-FENCE blanks the body under
+    // `!over_fence` — the step positively established the content is
+    // compressed beyond the fence, so forwarding compressed bytes to
+    // the carriers could only produce mojibake (ADVICE r17).
+    def step(name: String, d: Array[Byte]): Unit =
+      if (d eq OverFence) {
+        steps += s"$name!over_fence"; cur = Array.emptyByteArray; failed = true
+      }
+      else if (d == null) { steps += s"$name!failed"; failed = true }
+      else { steps += name; cur = d }
     val chunked = transferEncoding.exists(
       _.toLowerCase(java.util.Locale.ROOT).contains("chunked"))
-    if (chunked) {
-      val d = dechunk(cur, maxOut)
-      if (d == null) { steps += "chunked!failed"; failed = true }
-      else { steps += "chunked"; cur = d }
-    }
+    if (chunked) step("chunked", dechunk(cur, maxOut))
     if (!failed) {
       val codings = contentEncoding.toSeq
         .flatMap(_.toLowerCase(java.util.Locale.ROOT).split(","))
@@ -203,20 +228,10 @@ object Warc {
         .reverse // applied first = listed first, so undo in reverse
       val it = codings.iterator
       while (it.hasNext && !failed) {
-        val c = it.next()
-        c match {
-          case "gzip" | "x-gzip" =>
-            val d = gunzipAll(cur, maxOut)
-            if (d == null) { steps += "gzip!failed"; failed = true }
-            else { steps += "gzip"; cur = d }
-          case "deflate" =>
-            val d = inflateDeflate(cur, maxOut)
-            if (d == null) { steps += "deflate!failed"; failed = true }
-            else { steps += "deflate"; cur = d }
-          case "zstd" =>
-            val d = unzstd(cur, maxOut)
-            if (d == null) { steps += "zstd!failed"; failed = true }
-            else { steps += "zstd"; cur = d }
+        it.next() match {
+          case "gzip" | "x-gzip" => step("gzip", gunzipAll(cur, maxOut))
+          case "deflate" => step("deflate", inflateDeflate(cur, maxOut))
+          case "zstd" => step("zstd", unzstd(cur, maxOut))
           case other =>
             steps += s"$other!undecoded"; failed = true
         }
@@ -245,7 +260,7 @@ object Warc {
       (bytes(1) & 0xff) == 0x8b
     val data = {
       val g = gunzipAll(bytes, 1 << 26)
-      if (g != null) g else bytes
+      if (g == null || (g eq OverFence)) bytes else g
     }
     // a gzip container that would not inflate within the cell fence is
     // a DISTINCT loud outcome: the data may be a perfectly good WARC
@@ -396,7 +411,15 @@ object Warc {
     * superset-of-latin1 that covers the dominant undeclared-legacy
     * fraction of a real crawl; a valid-UTF-8 body keeps the UTF-8
     * default. Validation is a bounded structural scan, never a
-    * throw. */
+    * throw.
+    *
+    * UNDECLARED CJK (r18): before the cp1252 fallback, [[sniffCjk]]
+    * runs a bounded byte-distribution detection for Shift_JIS /
+    * EUC-JP / EUC-KR / GBK — the East-Asian crawl fraction where
+    * declarations are also often absent decoded as cp1252 mojibake
+    * under the r17 rule. The sniff is conservative (≥8 high bytes,
+    * ≥4 violation-free pairs, structure-distinctive evidence), so
+    * accented-Latin cp1252 pages keep falling to cp1252. */
   private[sources] def htmlCharset(contentType: Option[String],
                                    body: Array[Byte]): String = {
     def fromParams(s: String): Option[String] = {
@@ -420,7 +443,13 @@ object Warc {
     }
     declared.filter(c => try java.nio.charset.Charset.isSupported(c)
       catch { case _: Exception => false })
-      .getOrElse(if (looksUtf8(body)) "utf-8" else "windows-1252")
+      .getOrElse {
+        if (looksUtf8(body)) "utf-8"
+        else {
+          val cjk = sniffCjk(body)
+          if (cjk != null) cjk else "windows-1252"
+        }
+      }
   }
 
   /** Bounded UTF-8 structural validation over the first `limit`
@@ -449,6 +478,120 @@ object Warc {
       i += need + 1
     }
     true
+  }
+
+  /** Bounded byte-distribution sniff for the four major East-Asian
+    * legacy encodings over an UNDECLARED non-UTF-8 body (r17 verdict
+    * missing item 3 / r18: the cp1252 fallback mojibakes the CJK
+    * crawl fraction, where meta declarations are also often absent).
+    * Chardet-class, but deterministic and documented: one structural
+    * walk per candidate over the first `limit` bytes, then a fixed
+    * decision tree on structure-distinctive evidence —
+    *
+    *  1. EUC-JP: valid EUC walk AND kana evidence (an `0x8E` +
+    *     half-width-katakana pair, or JIS rows A4/A5 — hiragana/
+    *     katakana — carrying ≥¼ of the pairs; Japanese text is
+    *     kana-heavy, Korean/Chinese text never sits in those rows).
+    *  2. Shift_JIS: valid SJIS walk AND leads in 0x81–0x9F carrying
+    *     ≥¼ of the pairs (SJIS puts punctuation, kana and the common
+    *     kanji there; GBK parks rare extension hanzi in those rows).
+    *  3. GBK by structure: valid GBK walk with any trail byte in
+    *     0x40–0xA0 — impossible in the EUC family.
+    *  4. EUC-KR vs GB2312-range split (structurally identical): lead
+    *     bytes past 0xC8 (beyond the hangul block, dense hanzi rows)
+    *     on ≥15% of pairs → gbk, else euc-kr.
+    *
+    * Requires ≥8 high bytes and ≥4 clean pairs (the cp1252 page with
+    * a couple of accents must never sniff CJK); a walk with any
+    * violation disqualifies its candidate. Returns the JVM charset
+    * name or null (→ the windows-1252 fallback). Sequences cut by
+    * the SCAN LIMIT are tolerated, cut by the body end are not —
+    * the looksUtf8 discipline. */
+  private[sources] def sniffCjk(b: Array[Byte], limit: Int = 4096): String = {
+    val n = math.min(b.length, limit)
+    var hi = 0
+    var i = 0
+    while (i < n) { if ((b(i) & 0xff) >= 0x80) hi += 1; i += 1 }
+    if (hi < 8) return null
+    val cut = n < b.length // a pair cut at the scan limit is tolerated
+    // generic two-byte walk: (pairs, violations, distinctive, highLead)
+    final class W { var pairs = 0; var bad = 0; var key = 0; var hiLead = 0 }
+    def walkSjis(): W = {
+      val w = new W; var i = 0
+      while (i < n) {
+        val c = b(i) & 0xff
+        if (c < 0x80 || (c >= 0xa1 && c <= 0xdf)) i += 1 // ASCII | kana single
+        else if ((c >= 0x81 && c <= 0x9f) || (c >= 0xe0 && c <= 0xfc)) {
+          if (i + 1 >= n) { if (!cut) w.bad += 1; i = n }
+          else {
+            val t = b(i + 1) & 0xff
+            if (t >= 0x40 && t <= 0xfc && t != 0x7f) {
+              w.pairs += 1; if (c <= 0x9f) w.key += 1; i += 2
+            } else { w.bad += 1; i += 1 }
+          }
+        } else { w.bad += 1; i += 1 }
+      }
+      w
+    }
+    def walkEuc(jp: Boolean): W = {
+      val w = new W; var i = 0
+      while (i < n) {
+        val c = b(i) & 0xff
+        if (c < 0x80) i += 1
+        else if (jp && c == 0x8e) { // EUC-JP half-width katakana
+          if (i + 1 >= n) { if (!cut) w.bad += 1; i = n }
+          else {
+            val t = b(i + 1) & 0xff
+            if (t >= 0xa1 && t <= 0xdf) { w.pairs += 1; w.key += 1; i += 2 }
+            else { w.bad += 1; i += 1 }
+          }
+        } else if (c >= 0xa1 && c <= 0xfe) {
+          if (i + 1 >= n) { if (!cut) w.bad += 1; i = n }
+          else {
+            val t = b(i + 1) & 0xff
+            if (t >= 0xa1 && t <= 0xfe) {
+              w.pairs += 1
+              if (jp && (c == 0xa4 || c == 0xa5)) w.key += 1 // kana rows
+              if (c > 0xc8) w.hiLead += 1
+              i += 2
+            } else { w.bad += 1; i += 1 }
+          }
+        } else { w.bad += 1; i += 1 }
+      }
+      w
+    }
+    def walkGbk(): W = {
+      val w = new W; var i = 0
+      while (i < n) {
+        val c = b(i) & 0xff
+        if (c < 0x80) i += 1
+        else if (c >= 0x81 && c <= 0xfe) {
+          if (i + 1 >= n) { if (!cut) w.bad += 1; i = n }
+          else {
+            val t = b(i + 1) & 0xff
+            if (t >= 0x40 && t <= 0xfe && t != 0x7f) {
+              w.pairs += 1
+              if (t <= 0xa0) w.key += 1 // low trail: EUC-impossible
+              if (c > 0xc8) w.hiLead += 1
+              i += 2
+            } else { w.bad += 1; i += 1 }
+          }
+        } else { w.bad += 1; i += 1 }
+      }
+      w
+    }
+    val eucjp = walkEuc(jp = true)
+    val sjis = walkSjis()
+    val gbk = walkGbk()
+    val euckr = walkEuc(jp = false)
+    def ok(w: W) = w.bad == 0 && w.pairs >= 4
+    if (ok(eucjp) && eucjp.key * 4 >= eucjp.pairs) "euc-jp"
+    else if (ok(sjis) && sjis.key * 4 >= sjis.pairs) "shift_jis"
+    else if (ok(gbk) && gbk.key > 0) "gbk"
+    else if (ok(euckr) || ok(gbk)) {
+      val w = if (ok(euckr)) euckr else gbk
+      if (w.hiLead * 100 >= w.pairs * 15) "gbk" else "euc-kr"
+    } else null
   }
 
   /** Decode an HTML body with its declared charset (never throws). */

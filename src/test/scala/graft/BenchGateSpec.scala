@@ -324,4 +324,51 @@ class BenchGateSpec extends AnyFunSuite {
     // a runner that dies on the re-run is not exculpatory
     assert(remeasureVerdict(-1.0, 1.23, 1.0, 8.0, 0.025, 0.025) == "regressed")
   }
+
+  test("remeasureVerdict replaying BENCH_r17: residual drain cannot confirm") {
+    import Bench.remeasureVerdict
+    // r17's false confirm: q49_dup_components re-measured 4.353 s vs
+    // gate 1.74 while the box was still draining — its ConcProbe read
+    // 0.029 vs gate 0.024 (1.21×), inside the old 1.25×+5 ms bound
+    // (the absolute slack dominates at ~25 ms medians). The
+    // re-measure's tightened 1.15×+1 ms bar parks it unconfirmed:
+    assert(remeasureVerdict(wall = 4.353, gate = 1.74, postLoad = 1.56,
+      loadThreshold = 8.0, concNow = 0.029, concGate = 0.024) == "unconfirmed")
+    // q68_curation_v2, same round, same shape (2.334 vs gate 1.303)
+    assert(remeasureVerdict(2.334, 1.303, 1.56, 8.0, 0.029, 0.024)
+      == "unconfirmed")
+    // the judge's genuinely quiet twin walls RECOVER (q49 2.39 under
+    // trip line 2.91; q68 1.81 under 2.25) with a clean witness
+    assert(remeasureVerdict(2.39, 1.74, 1.0, 8.0, 0.024, 0.024) == "recovered")
+    assert(remeasureVerdict(1.81, 1.303, 1.0, 8.0, 0.024, 0.024) == "recovered")
+    // the after-sample bound is now margin + the entry's own burst
+    // EMA: a wide 2×4.35 s re-run may leave ~4.3 of its own load
+    // (32·(1−e^(−8.7/60))) — external load beyond that parks it
+    val bound = 2.0 + Bench.ownBurstLoad(32.0, 32.0, 8.7)
+    assert(bound > 6.0 && bound < 6.6, bound.toString)
+    assert(remeasureVerdict(4.353, 1.74, bound + 0.5, bound, 0.020, 0.024)
+      == "unconfirmed")
+    // ownBurstLoad stays TIGHT for short/narrow entries
+    assert(Bench.ownBurstLoad(2.0, 32.0, 1.0) < 0.04)
+    assert(Bench.ownBurstLoad(-1.0, 32.0, 0.5) < 0.27) // no baseline: full width
+  }
+
+  test("gateCarry: a loaded pre-window never raises a gate, never births one") {
+    // r17 item 5b: non-suspect entries measured under load ratcheted
+    // gates upward (q27_x10 8.25→11.29 while the quiet truth was
+    // 4.78). A loaded window now carries min(v, prevGate)…
+    assert(Bench.gateCarry(11.29, 8.25, suspect = false, loadedWindow = true)
+      == 8.25)
+    // …still lets a FASTER loaded measurement improve the gate…
+    assert(Bench.gateCarry(7.0, 8.25, suspect = false, loadedWindow = true)
+      == 7.0)
+    // …and a first-time entry under load gets NO gate (q344's
+    // first-ever gate was 134.7 s of fixture generation + load; the
+    // quiet truth was ~10.7 — gates are only born in quiet windows)
+    assert(Bench.gateCarry(134.698, -1.0, suspect = false,
+      loadedWindow = true) == -1.0)
+    // quiet windows keep the round-12 behavior exactly
+    assert(Bench.gateCarry(9.0, 7.11, suspect = false) == 9.0)
+    assert(Bench.gateCarry(5.0, 7.11, suspect = false) == 5.0)
+  }
 }

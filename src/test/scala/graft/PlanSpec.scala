@@ -592,4 +592,20 @@ class PlanSpec extends SparkSpec {
         canonLines.mkString("\n"))
     spark.catalog.clearCache()
   }
+
+  test("q337/q344: the curation capstone decodes the WARC router exactly ONCE") {
+    // r17 verdict item 1: the blocklist branch was a suffix-explode
+    // semi-join whose build side RE-EXECUTED the whole WARC router
+    // (a second MapPartitions leg) just to read `url` — doubling the
+    // pipeline's dominant decode cost at 100 TB. The blocklist is now
+    // a map-side arrays_overlap over the O(list) literal: exactly one
+    // MapPartitions (the router kernel) and ZERO joins in both plans.
+    for (q <- Seq("q337_curation_v14", "q344_curation_v15")) {
+      val p = plan(q)
+      val nMapPartitions = p.linesIterator.count(_.contains("MapPartitions"))
+      assert(nMapPartitions == 1,
+        s"$q: expected ONE MapPartitions router leg, got $nMapPartitions:\n$p")
+      assert(!p.contains("Join"), s"$q: capstone must be join-free:\n$p")
+    }
+  }
 }

@@ -38,6 +38,24 @@ class FeedSpec extends AnyFunSuite {
     assert(d.text == "A\nlong form\nB\nonly summary")
   }
 
+  test("Atom type=html detection tolerates unquoted/spaced/cased attribute forms") {
+    // ADVICE r17: the literal type="html" match missed unquoted,
+    // spaced and upper-cased forms, leaking escaped markup. All four
+    // declare escaped-HTML content and must double-decode; the xhtml
+    // form carries LITERAL markup (RFC 4287 §3.1.1.3) and must NOT.
+    def entry(attr: String) =
+      s"""<entry><title>T</title><content $attr>&lt;i&gt;x&lt;/i&gt; y</content></entry>"""
+    for (attr <- Seq("""type="html"""", "type='html'", "type=html",
+        """type = "html"""", """TYPE="HTML"""")) {
+      val d = feedToText(s"<feed>${entry(attr)}</feed>").get
+      assert(d.text == "T\nx y", s"attr form [$attr] -> [${d.text}]")
+    }
+    // xhtml: literal inline markup, ONE strip pass (already clean)
+    val x = feedToText("""<feed><entry><title>T</title>""" +
+      """<content type="xhtml"><div><i>x</i> y</div></content></entry></feed>""").get
+    assert(x.text == "T\nx y", x.text)
+  }
+
   test("non-feeds and hostile bytes refuse or bound, never throw") {
     assert(feedToText(null).isEmpty)
     assert(feedToText("").isEmpty)

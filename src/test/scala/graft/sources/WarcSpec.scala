@@ -460,6 +460,40 @@ class WarcSpec extends SparkSpec {
       "<meta charset=gbk><p>x</p>".getBytes("US-ASCII")) == "gbk")
   }
 
+  test("undeclared CJK sniff: Shift_JIS / EUC-JP / EUC-KR / GBK detect; Latin stays cp1252") {
+    import Warc.{htmlCharset, sniffCjk}
+    val ja = "これは日本語のテキストです。記事の本文が続きます。"
+    val ko = "한국어는 한글로 표기한다 기사 본문이 이어진다"
+    val zh = "这是一段中文文本没有空格 新闻正文在此继续展开"
+    // each sample round-trips through its undeclared legacy encoding
+    assert(sniffCjk(ja.getBytes("shift_jis")) == "shift_jis")
+    assert(sniffCjk(ja.getBytes("euc-jp")) == "euc-jp")
+    assert(sniffCjk(ko.getBytes("euc-kr")) == "euc-kr")
+    assert(sniffCjk(zh.getBytes("gbk")) == "gbk")
+    // htmlCharset routes undeclared non-UTF-8 CJK through the sniff…
+    for ((s, cs) <- Seq((ja, "shift_jis"), (ja, "euc-jp"),
+        (ko, "euc-kr"), (zh, "gbk"))) {
+      val body = s"<p>$s</p>".getBytes(cs)
+      assert(htmlCharset(None, body) == cs, s"$cs not sniffed")
+      // and the full decode restores the original characters
+      val (txt, dcs) = Warc.decodeHtml(body, None)
+      assert(dcs == cs && txt.contains(s.take(6)), s"$cs decode: $txt")
+    }
+    // …while accented-Latin cp1252 keeps the r17 fallback (few high
+    // bytes, and word-final accents break every CJK pair structure)
+    assert(sniffCjk("café page with a ’smart’ quote".getBytes("windows-1252")) == null)
+    val latin = ("l'été café année passée déjà vu née et aussi protégé " +
+      "qualité société réalité idée musée").getBytes("windows-1252")
+    assert(sniffCjk(latin) == null)
+    assert(htmlCharset(None, latin) == "windows-1252")
+    // a DECLARED charset always wins over the sniff
+    assert(htmlCharset(Some("text/html; charset=utf-8"),
+      ja.getBytes("shift_jis")) == "utf-8")
+    // hostile: random high bytes don't crash and don't force a sniff
+    val junk = Array.tabulate[Byte](64)(i => (0x80 + (i * 37) % 0x7f).toByte)
+    sniffCjk(junk) // any answer is fine; must not throw
+  }
+
   // ==== HTTP wire-form payload decoding (r16 verdict item 1) ========
 
   private def chunkize(b: Array[Byte]): Array[Byte] = {
@@ -519,10 +553,27 @@ class WarcSpec extends SparkSpec {
     // gzip claim over non-gzip bytes: loud label, raw kept
     val (f2, fl2) = decodeHttpPayload(entity, None, Some("gzip"), max)
     assert(f2.sameElements(entity) && fl2 == "gzip!failed")
-    // fence: inflating past maxOut fails loudly, keeps wire bytes
+    // fence: inflating past maxOut is the DISTINCT !over_fence label
+    // (ADVICE r17 — it used to surface as gzip!failed,
+    // indistinguishable from corrupt data), and the body BLANKS:
+    // the step positively established the content is compressed
+    // beyond the fence, so forwarding compressed bytes to the
+    // carriers could only mojibake
     val big = gzip(Array.fill[Byte](1 << 16)('a'))
     val (f3, fl3) = decodeHttpPayload(big, None, Some("gzip"), 1 << 10)
-    assert(f3.sameElements(big) && fl3 == "gzip!failed")
+    assert(f3.isEmpty && fl3 == "gzip!over_fence")
+    // ... while CORRUPT data keeps its wire bytes under !failed (the
+    // two outcomes must stay distinguishable both ways)
+    val cut = gzip(Array.fill[Byte](1 << 16)('a')).take(40)
+    val (f4, fl4) = decodeHttpPayload(cut, None, Some("gzip"), 1 << 10)
+    assert(f4.sameElements(cut) && fl4 == "gzip!failed")
+    // the chunked and deflate/zstd fences speak the same label
+    val bigChunked = chunkize(Array.fill[Byte](1 << 16)('a'))
+    val (f5, fl5) = decodeHttpPayload(bigChunked, Some("chunked"), None, 1 << 10)
+    assert(f5.isEmpty && fl5 == "chunked!over_fence")
+    val bigDeflate = zlibDeflate(Array.fill[Byte](1 << 16)('a'))
+    val (f6, fl6) = decodeHttpPayload(bigDeflate, None, Some("deflate"), 1 << 10)
+    assert(f6.isEmpty && fl6 == "deflate!over_fence")
   }
 
   test("wire-form bodies decode identically through BOTH doors; fences loud") {

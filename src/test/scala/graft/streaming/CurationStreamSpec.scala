@@ -124,6 +124,47 @@ class CurationStreamSpec extends SparkSpec {
         s"only-batch=${full -- streamed}")
   }
 
+  test("v15 streaming leg: NULL-domain rows share ONE capped group across batches") {
+    // hosts with NO registrable domain — a public suffix (co.uk) and
+    // an IP literal — yield domain NULL. v15Batch's window groups all
+    // NULLs into one partition capped at domainCap; the streamed leg
+    // must do the same ACROSS batches, which a plain equi-join on the
+    // nullable domain silently breaks (null keys never match, so each
+    // batch re-capped its null group from zero — ADVICE r17). The
+    // sentinel-keyed counts make batch 2's arrival see prior=2 and
+    // drop.
+    val nullBatches: Seq[Seq[PageRow]] = Seq(
+      Seq(page(1, "http://co.uk/a/1", enTxt(21)),
+        page(2, "http://198.51.100.7/b/2", enTxt(22))),
+      Seq(page(3, "http://co.uk/a/3", enTxt(23))),
+      Seq(page(4, "http://203.0.113.9/c/4", enTxt(24))))
+    val (outDir, keysDir, countsDir) =
+      (tmp("curnull-out"), tmp("curnull-keys"), tmp("curnull-counts"))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[PageRow]
+    val q = Curation.v15Stream(
+      ms.toDF().toDF("media_id", "record_idx", "url", "carrier", "text",
+        "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+      block, domainCap = 2, outDir, keysDir, countsDir, tmp("curnull-ck"))
+    try nullBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.catalog.clearCache()
+    val streamed = spark.read.parquet(s"$outDir/b*")
+      .select("media_id", "domain", "domain_rank")
+      .as[(Long, Option[String], Long)].collect().toSet
+    val full = Curation.v15Batch(
+        nullBatches.flatten.toDF("media_id", "record_idx", "url", "carrier",
+          "text", "x_robots", "type0_codes", "type0_unmapped", "canonical"),
+        block, domainCap = 2)
+      .select("media_id", "domain", "domain_rank")
+      .as[(Long, Option[String], Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(full == Set((1L, None, 1L), (2L, None, 2L)), full.toString)
+    assert(streamed == full,
+      s"null-domain stream/batch divergence: only-stream=${streamed -- full}, " +
+        s"only-batch=${full -- streamed}")
+  }
+
   test("a replayed lineage rewrites the same segments instead of double-appending") {
     val (outDir, keysDir) = (tmp("cur-out2"), tmp("cur-keys2"))
     runStream(outDir, keysDir)
