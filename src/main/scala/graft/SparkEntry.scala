@@ -6641,7 +6641,10 @@ object SparkEntry {
             case 4 => ("Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
               chunked(gzipBytes(entity)))
             case _ =>
-              if (id % 3 == 0) ("Content-Encoding: br\r\n", entity)
+              // r18: real brotli (the r17 arm was a lying claim pinned
+              // to br!undecoded — now the pure-JVM decoder reads it)
+              if (id % 3 == 0) ("Content-Encoding: br\r\n",
+                graft.sources.Brotli.encodeUncompressed(entity))
               else ("", entity)
           }
           val http = ("HTTP/1.1 200 OK\r\n" +
@@ -6806,6 +6809,42 @@ object SparkEntry {
       graft.sources.Warc.warcHtmlText(
           graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
         .orderBy("media_id")
+    }),
+
+    // Q350 — brotli Content-Encoding through the STREAMING door
+    // ([[graft.sources.Brotli]], RFC 7932 pure-JVM — r17 verdict item
+    // 5 closed: `br` is the second-most-common coding on the modern
+    // web and every br response previously dropped its text under
+    // `br!undecoded`): on-disk WARC files walk the split-streaming
+    // reader, each carrying a br-coded page, a `gzip, br` CHAIN
+    // (codings undone in reverse header order: br first, then gzip),
+    // and an identity control — all three must land on the same text
+    // with the applied chain surfaced in `encoding`. The decoder
+    // itself is differentially pinned bit-exact against the reference
+    // encoder across quality 0–11 / window 10–24 in BrotliSpec; q340
+    // covers the cell door. Map-only flatMap kernel, fenced, loud.
+    "q350_brotli_stream" -> ((s, d) => {
+      val paths = warcFixtureFiles(s, d, "br_v1") { id =>
+        if (id % 50 == 0) "warc? no".getBytes("UTF-8")
+        else {
+          val entity = (s"<h1>Doc $id</h1><p>brotli payload $id " +
+            "restores exactly.</p>").getBytes("UTF-8")
+          def rec(uri: String, wire: String, body: Array[Byte]) =
+            warcRespRec(uri, "text/html; charset=utf-8", body, wire)
+          rec(s"http://ex.com/br/$id", "Content-Encoding: br\r\n",
+              graft.sources.Brotli.encodeUncompressed(entity)) ++
+            rec(s"http://ex.com/brgz/$id",
+              "Content-Encoding: gzip, br\r\n",
+              graft.sources.Brotli.encodeUncompressed(gzipBytes(entity))) ++
+            rec(s"http://ex.com/plain/$id", "", entity)
+        }
+      }
+      graft.sources.Warc.warcPathsDocText(s, paths)
+        .withColumn("media_id",
+          regexp_extract(col("path"), "w(\\d+)\\.warc$", 1).cast("long"))
+        .select(col("media_id"), col("record_idx"), col("url"),
+          col("encoding"), col("text"))
+        .orderBy("media_id", "record_idx")
     }),
 
     // Q347 — sentence segmentation (training-data chunking at
@@ -13952,6 +13991,27 @@ object SparkEntry {
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
 
+    // Three records per file, all restating the SAME entity text; the
+    // coding chain is visible only in `encoding` (applied steps in
+    // undo order: br first, then gzip).
+    "q350_brotli_stream" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 0 AS record_idx,
+        |    'http://ex.com/br/' || doc_id AS url, 'br' AS encoding
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 1, 'http://ex.com/brgz/' || doc_id, 'br+gzip'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'http://ex.com/plain/' || doc_id, 'identity'
+        |  FROM ids)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx, url,
+        |  encoding,
+        |  'Doc ' || media_id || chr(10) ||
+        |    'brotli payload ' || media_id || ' restores exactly.' AS text
+        |FROM r ORDER BY media_id, record_idx""".stripMargin,
+
     // The expected decoded text stated literally per arm (UTF-8 SQL
     // literals — DuckDB never needs the legacy decoders, the Spark
     // side must RECOVER these exact characters from the legacy bytes).
@@ -14041,7 +14101,7 @@ object SparkEntry {
         |    WHEN 2 THEN 'gzip'
         |    WHEN 3 THEN 'deflate'
         |    WHEN 4 THEN 'chunked+gzip'
-        |    ELSE CASE WHEN doc_id % 3 = 0 THEN 'br!undecoded'
+        |    ELSE CASE WHEN doc_id % 3 = 0 THEN 'br'
         |              ELSE 'identity' END
         |  END AS encoding,
         |  'Doc ' || doc_id || chr(10) ||

@@ -193,12 +193,14 @@ object Warc {
 
   /** Decode one HTTP body from its wire form: de-chunk first when
     * `Transfer-Encoding` says chunked, then undo `Content-Encoding`
-    * codings in reverse header order (gzip/x-gzip, deflate, zstd;
-    * identity/none skipped; anything else — br without a JVM decoder,
-    * unknown tokens — stops with an `!undecoded` label and the bytes
-    * as far as decoding got). Returns (bytes, applied-steps label);
-    * the label is `identity` when nothing applied and carries a `!`
-    * marker on any failure — never throws, never unbounded. */
+    * codings in reverse header order (gzip/x-gzip, deflate, zstd,
+    * and — since r18, via the pure-JVM RFC 7932 [[Brotli]] decoder —
+    * br, the second-most-common coding on the modern web;
+    * identity/none skipped; unknown tokens stop with an `!undecoded`
+    * label and the bytes as far as decoding got). Returns (bytes,
+    * applied-steps label); the label is `identity` when nothing
+    * applied and carries a `!` marker on any failure — never throws,
+    * never unbounded. */
   private[sources] def decodeHttpPayload(body: Array[Byte],
                                          transferEncoding: Option[String],
                                          contentEncoding: Option[String],
@@ -232,6 +234,11 @@ object Warc {
           case "gzip" | "x-gzip" => step("gzip", gunzipAll(cur, maxOut))
           case "deflate" => step("deflate", inflateDeflate(cur, maxOut))
           case "zstd" => step("zstd", unzstd(cur, maxOut))
+          case "br" => // pure-JVM RFC 7932 decoder (r18)
+            step("br", {
+              val d = Brotli.decode(cur, maxOut)
+              if (d eq Brotli.OverFence) OverFence else d
+            })
           case other =>
             steps += s"$other!undecoded"; failed = true
         }

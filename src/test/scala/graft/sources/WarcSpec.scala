@@ -543,9 +543,22 @@ class WarcSpec extends SparkSpec {
     val (m1, ml1) = decodeHttpPayload(gzip(zlibDeflate(entity)),
       None, Some("deflate, gzip"), max)
     assert(m1.sameElements(entity) && ml1 == "gzip+deflate")
-    // brotli: no JVM decoder — loud label, bytes kept
-    val (b1, bl1) = decodeHttpPayload(entity, None, Some("br"), max)
-    assert(b1.sameElements(entity) && bl1 == "br!undecoded")
+    // brotli decodes (r18: the pure-JVM RFC 7932 decoder) — both the
+    // uncompressed-metablock form and inside a coding chain
+    val (b1, bl1) = decodeHttpPayload(
+      Brotli.encodeUncompressed(entity), None, Some("br"), max)
+    assert(b1.sameElements(entity) && bl1 == "br")
+    val (b2, bl2) = decodeHttpPayload(
+      Brotli.encodeUncompressed(gzip(entity)), None, Some("gzip, br"), max)
+    assert(b2.sameElements(entity) && bl2 == "br+gzip")
+    // a TRUNCATED br stream is deterministically corrupt: loud label,
+    // wire bytes kept
+    val cutBr = Brotli.encodeUncompressed(entity).dropRight(6)
+    val (b3, bl3) = decodeHttpPayload(cutBr, None, Some("br"), max)
+    assert(b3.sameElements(cutBr) && bl3 == "br!failed")
+    // a genuinely unknown token still stops with !undecoded
+    val (b4, bl4) = decodeHttpPayload(entity, None, Some("sdch"), max)
+    assert(b4.sameElements(entity) && bl4 == "sdch!undecoded")
     // malformed chunk framing: loud label, raw bytes kept
     val (f1, fl1) = decodeHttpPayload("ZZZ not chunked".getBytes,
       Some("chunked"), None, max)
@@ -591,6 +604,8 @@ class WarcSpec extends SparkSpec {
       resp("http://e/cg",
         "Content-Encoding: gzip\r\nTransfer-Encoding: chunked\r\n",
         chunkize(gzip(entity))) ++
+      resp("http://e/br", "Content-Encoding: br\r\n",
+        Brotli.encodeUncompressed(entity)) ++
       resp("http://e/bad", "Content-Encoding: gzip\r\n", entity) // lying claim
     // cell door
     val df = Seq((1L, warc)).toDF("media_id", "payload")
@@ -610,14 +625,15 @@ class WarcSpec extends SparkSpec {
     val want = Seq(
       ("http://e/id", "identity"), ("http://e/ch", "chunked"),
       ("http://e/gz", "gzip"), ("http://e/cg", "chunked+gzip"),
+      ("http://e/br", "br"),
       ("http://e/bad", "gzip!failed"))
     for (rows <- Seq(cellRows, pathRows)) {
-      assert(rows.length == 5)
+      assert(rows.length == 6)
       rows.zip(want).foreach { case (r, (u, enc)) =>
         assert(r.getString(0) == u && r.getString(1) == enc)
       }
       // every decodable variant reproduces the identity text EXACTLY
-      rows.take(4).foreach(r => assert(r.getString(2) == "T\nwire decode parity."))
+      rows.take(5).foreach(r => assert(r.getString(2) == "T\nwire decode parity."))
     }
     // the lying-gzip body's fence counter fired once on each door
     assert(cellObs.get("bodies_undecodable") == 1L)
