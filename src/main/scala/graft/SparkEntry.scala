@@ -6123,7 +6123,10 @@ object SparkEntry {
           val members = Seq(("d/", Array.emptyByteArray)) ++
             (0 until n).map(k =>
               (s"m$k.txt", s"7z member $id $k".getBytes("UTF-8")))
-          val bytes = graft.sources.Archives.sevenZFixture(members)
+          // LZMA2 on 1-in-4 ids pins the codec path; COPY elsewhere
+          // keeps the per-row encode off Verify's critical path
+          val bytes = graft.sources.Archives.sevenZFixture(members,
+            lzma2 = id % 4 == 0)
           (id, if (id % 7 == 3) bytes.dropRight(40) else bytes)
         }
       }.toDF("doc_id", "sz")
@@ -6845,6 +6848,29 @@ object SparkEntry {
         .select(col("media_id"), col("record_idx"), col("url"),
           col("encoding"), col("text"))
         .orderBy("media_id", "record_idx")
+    }),
+
+    // Q351 — CJK-aware sentence segmentation (the q347 rule's
+    // declared boundary: terminal-punctuation + space + uppercase is
+    // a LATIN convention — CJK text has no inter-word spaces and no
+    // case, so 。！？ terminate sentences unconditionally). Two
+    // sentinel passes, still pure built-ins (fully codegen'd): the
+    // Latin rule first, then the CJK terminals; empty pieces drop in
+    // BOTH engines (adjacent terminals yield no empty sentences).
+    // The oracle replays the identical regexes in the same order.
+    "q351_sentence_cjk" -> ((s, d) => {
+      val t0 = concat(col("text"),
+        lit(" Latin one. Two! 日本語の文です。二つ目！三つ目？末尾"))
+      val marked = regexp_replace(
+        regexp_replace(t0, "([.!?]) ([A-Z])", "$1$2"),
+        "([。！？])", "$1")
+      docs(s, d).select(col("doc_id"), marked.as("m"))
+        .select(col("doc_id"), posexplode(split(col("m"), "")))
+        .toDF("doc_id", "piece_idx", "sentence")
+        .where(length(col("sentence")) > 0)
+        .select(col("doc_id"), col("piece_idx"), col("sentence"),
+          length(col("sentence")).cast("long").as("n_chars"))
+        .orderBy("doc_id", "piece_idx")
     }),
 
     // Q347 — sentence segmentation (training-data chunking at
@@ -14030,6 +14056,25 @@ object SparkEntry {
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
+
+    // The identical two regex passes in the identical order; piece
+    // indexes keep PRE-filter positions in both engines (the empty
+    // drop happens after posexplode/generate_series numbering).
+    "q351_sentence_cjk" ->
+      """WITH t AS (SELECT doc_id,
+        |    text || ' Latin one. Two! 日本語の文です。二つ目！三つ目？末尾' AS t0
+        |  FROM documents),
+        |r AS (SELECT doc_id, STRING_SPLIT(
+        |    REGEXP_REPLACE(
+        |      REGEXP_REPLACE(t0, '([.!?]) ([A-Z])',
+        |                     '\1' || chr(1) || '\2', 'g'),
+        |      '([。！？])', '\1' || chr(1), 'g'),
+        |    chr(1)) AS ss FROM t)
+        |SELECT doc_id, CAST(i - 1 AS INTEGER) AS piece_idx,
+        |  ss[i] AS sentence, CAST(LENGTH(ss[i]) AS BIGINT) AS n_chars
+        |FROM r, generate_series(1, 4000) g(i)
+        |WHERE i <= len(ss) AND LENGTH(ss[i]) > 0
+        |ORDER BY doc_id, piece_idx""".stripMargin,
 
     // The IDENTICAL regex on the identical text: both engines insert
     // the same sentinel with the same left-to-right consumption, so

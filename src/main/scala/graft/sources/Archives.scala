@@ -330,10 +330,17 @@ object Archives {
   /** Deterministic .7z writer (LZMA2) for fixtures/oracles — the
     * classpath encoder, so the reader faces a true third-party
     * compressor, like the JDK-ZIP fixtures. */
-  def sevenZFixture(members: Seq[(String, Array[Byte])]): Array[Byte] = {
+  /** `lzma2 = false` writes COPY-method members — same container
+    * geometry at a fraction of the encode cost (the LZMA2 encoder
+    * allocates per archive; q316's per-row fixtures only need a
+    * sample of real LZMA2 streams to pin the decode path). */
+  def sevenZFixture(members: Seq[(String, Array[Byte])],
+                    lzma2: Boolean = true): Array[Byte] = {
     val ch = new org.apache.commons.compress.utils.SeekableInMemoryByteChannel()
     val out = new org.apache.commons.compress.archivers.sevenz
       .SevenZOutputFile(ch)
+    if (!lzma2) out.setContentCompression(
+      org.apache.commons.compress.archivers.sevenz.SevenZMethod.COPY)
     members.foreach { case (name, body) =>
       val e = new org.apache.commons.compress.archivers.sevenz
         .SevenZArchiveEntry()
