@@ -6775,28 +6775,32 @@ object SparkEntry {
     // carries NO charset declaration either, and q348's cp1252
     // fallback mojibaked it. Undeclared non-UTF-8 bodies now run a
     // bounded byte-distribution detection for Shift_JIS / EUC-JP /
-    // EUC-KR / GBK (structure-distinctive evidence: SJIS low leads,
-    // EUC-JP kana rows, GBK low trails / dense hanzi rows vs the
+    // EUC-KR / GBK / Big5 (structure-distinctive evidence: SJIS low
+    // leads, EUC-JP kana rows, Big5's heavy low-trail half under a
+    // strict lead range, GBK low trails / dense hanzi rows vs the
     // hangul block) before falling back to windows-1252. The fixture
     // plants the same Japanese text under BOTH its legacy encodings
-    // (they must separate), Korean under EUC-KR, Chinese under GBK,
-    // and an accented-Latin cp1252 arm that must keep the q348
-    // fallback. Map-only flatMap kernel; q277/q348 pin declared and
+    // (they must separate), Korean under EUC-KR, simplified Chinese
+    // under GBK, traditional Chinese under Big5, and an
+    // accented-Latin cp1252 arm that must keep the q348 fallback.
+    // Map-only flatMap kernel; q277/q348 pin declared and
     // Latin-undeclared behavior unchanged.
     "q349_cjk_sniff" -> ((s, d) => {
       import s.implicits._
       val ja = "これは日本語のテキストです。記事の本文が続きます。"
       val ko = "한국어는 한글로 표기한다 기사 본문이 이어진다"
       val zh = "这是一段中文文本没有空格 新闻正文在此继续展开"
+      val zhT = "這是一段繁體中文網頁沒有空格 新聞內容在這裡繼續"
       val latin = "l'été café année passée déjà vu née et protégé"
       val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
-          val (cs, sample) = (id % 5) match {
+          val (cs, sample) = (id % 6) match {
             case 0 => ("shift_jis", ja)
             case 1 => ("euc-jp", ja)
             case 2 => ("euc-kr", ko)
             case 3 => ("gbk", zh)
+            case 4 => ("big5", zhT)
             case _ => ("windows-1252", latin)
           }
           val bytes = s"<p>$sample page $id</p>".getBytes(cs)
@@ -14044,14 +14048,15 @@ object SparkEntry {
     "q349_cjk_sniff" ->
       """SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
         |  'http://ex.com/cjk/' || doc_id AS url,
-        |  CASE doc_id % 5 WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp'
-        |       WHEN 2 THEN 'euc-kr' WHEN 3 THEN 'gbk'
+        |  CASE doc_id % 6 WHEN 0 THEN 'shift_jis' WHEN 1 THEN 'euc-jp'
+        |       WHEN 2 THEN 'euc-kr' WHEN 3 THEN 'gbk' WHEN 4 THEN 'big5'
         |       ELSE 'windows-1252' END AS charset,
-        |  CASE doc_id % 5
+        |  CASE doc_id % 6
         |    WHEN 0 THEN 'これは日本語のテキストです。記事の本文が続きます。 page ' || doc_id
         |    WHEN 1 THEN 'これは日本語のテキストです。記事の本文が続きます。 page ' || doc_id
         |    WHEN 2 THEN '한국어는 한글로 표기한다 기사 본문이 이어진다 page ' || doc_id
         |    WHEN 3 THEN '这是一段中文文本没有空格 新闻正文在此继续展开 page ' || doc_id
+        |    WHEN 4 THEN '這是一段繁體中文網頁沒有空格 新聞內容在這裡繼續 page ' || doc_id
         |    ELSE 'l''été café année passée déjà vu née et protégé page ' || doc_id
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0

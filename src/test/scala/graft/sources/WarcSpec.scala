@@ -460,19 +460,21 @@ class WarcSpec extends SparkSpec {
       "<meta charset=gbk><p>x</p>".getBytes("US-ASCII")) == "gbk")
   }
 
-  test("undeclared CJK sniff: Shift_JIS / EUC-JP / EUC-KR / GBK detect; Latin stays cp1252") {
+  test("undeclared CJK sniff: Shift_JIS / EUC-JP / EUC-KR / GBK / Big5 detect; Latin stays cp1252") {
     import Warc.{htmlCharset, sniffCjk}
     val ja = "これは日本語のテキストです。記事の本文が続きます。"
     val ko = "한국어는 한글로 표기한다 기사 본문이 이어진다"
     val zh = "这是一段中文文本没有空格 新闻正文在此继续展开"
+    val zhT = "這是一段繁體中文網頁沒有空格 新聞內容在這裡繼續"
     // each sample round-trips through its undeclared legacy encoding
     assert(sniffCjk(ja.getBytes("shift_jis")) == "shift_jis")
     assert(sniffCjk(ja.getBytes("euc-jp")) == "euc-jp")
     assert(sniffCjk(ko.getBytes("euc-kr")) == "euc-kr")
     assert(sniffCjk(zh.getBytes("gbk")) == "gbk")
+    assert(sniffCjk(zhT.getBytes("big5")) == "big5")
     // htmlCharset routes undeclared non-UTF-8 CJK through the sniff…
     for ((s, cs) <- Seq((ja, "shift_jis"), (ja, "euc-jp"),
-        (ko, "euc-kr"), (zh, "gbk"))) {
+        (ko, "euc-kr"), (zh, "gbk"), (zhT, "big5"))) {
       val body = s"<p>$s</p>".getBytes(cs)
       assert(htmlCharset(None, body) == cs, s"$cs not sniffed")
       // and the full decode restores the original characters
