@@ -6818,6 +6818,71 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q352 — redirect-chain resolution ([[graft.sources.Warc
+    // .warcRedirects]] + [[graft.ops.Redirects.resolve]]): a crawl
+    // stores page moves as 3xx captures, and fetch-URL keying counts
+    // every hop of a moved page as a distinct identity. The reader
+    // surfaces (url, status, location, target) per 3xx record with
+    // the Location RESOLVED against the request URL (absolute,
+    // protocol-relative, root-relative, path-relative — RFC 9110
+    // allows all four) and canonicalized; the resolver follows
+    // chains through bounded keyed self-joins (maxHops=4 here) and
+    // flags cycle/over-long cuts terminal=false. Fixture per id: a
+    // 200 landing page, a 301 via ROOT-RELATIVE Location, a 302 via
+    // absolute, a 308 via a CASE-DENORMALIZED absolute (3-hop
+    // chain), and a planted 2-cycle on every 5th id; the landing
+    // text joins on via the resolved identity. No driver iteration;
+    // cycle rows land with NULL text and terminal=false.
+    "q352_redirect_resolve" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          def rec(uri: String, status: Int, extra: String,
+                  body: Array[Byte]): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status X\r\n" +
+              "Content-Type: text/html\r\n" + extra + "\r\n")
+              .getBytes("ISO-8859-1") ++ body
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val landing = rec(s"http://ex.com/final/$id", 200, "",
+            (s"<p>redirect landing page $id content.</p>")
+              .getBytes("UTF-8"))
+          val hop1 = rec(s"http://ex.com/old/$id", 301,
+            s"Location: /final/$id\r\n", Array.emptyByteArray)
+          val hop2 = rec(s"http://ex.com/older/$id", 302,
+            s"Location: http://ex.com/old/$id\r\n", Array.emptyByteArray)
+          val hop3 = rec(s"http://mirror.site/m/$id", 308,
+            s"Location: HTTP://Ex.COM/older/$id\r\n", Array.emptyByteArray)
+          val loop =
+            if (id % 5 == 0)
+              rec(s"http://loop.a/$id", 301,
+                s"Location: http://loop.b/$id\r\n", Array.emptyByteArray) ++
+                rec(s"http://loop.b/$id", 302,
+                  s"Location: http://loop.a/$id\r\n", Array.emptyByteArray)
+            else Array.emptyByteArray
+          (id, landing ++ hop1 ++ hop2 ++ hop3 ++ loop)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      val edges = graft.sources.Warc.warcRedirects(media)
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      val resolved = graft.ops.Redirects.resolve(edges, "src", "dst",
+        maxHops = 4)
+      val pages = graft.sources.Warc.warcHtmlText(media)
+        .select(graft.functions.CanonicalUrl(col("url")).as("final_url"),
+          col("text"))
+      resolved.join(pages, Seq("final_url"), "left")
+        .select(col("src").as("url"), col("final_url"), col("hops"),
+          col("terminal"), col("text"))
+        .orderBy("url")
+    }),
+
     // Q350 — brotli Content-Encoding through the STREAMING door
     // ([[graft.sources.Brotli]], RFC 7932 pure-JVM — r17 verdict item
     // 5 closed: `br` is the second-most-common coding on the modern
@@ -14020,6 +14085,38 @@ object SparkEntry {
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
+
+    // Closed-form chain restatement per arm: the fixture's shapes are
+    // fixed, so the oracle states each source's landing identity, hop
+    // count and terminal flag directly (cycle arms NULL their text).
+    "q352_redirect_resolve" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT 'http://ex.com/old/' || doc_id AS url,
+        |    'http://ex.com/final/' || doc_id AS final_url,
+        |    1 AS hops, TRUE AS terminal,
+        |    'redirect landing page ' || doc_id || ' content.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT 'http://ex.com/older/' || doc_id,
+        |    'http://ex.com/final/' || doc_id, 2, TRUE,
+        |    'redirect landing page ' || doc_id || ' content.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT 'http://mirror.site/m/' || doc_id,
+        |    'http://ex.com/final/' || doc_id, 3, TRUE,
+        |    'redirect landing page ' || doc_id || ' content.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT 'http://loop.a/' || doc_id, 'http://loop.a/' || doc_id,
+        |    4, FALSE, NULL
+        |  FROM ids WHERE doc_id % 5 = 0
+        |  UNION ALL
+        |  SELECT 'http://loop.b/' || doc_id, 'http://loop.b/' || doc_id,
+        |    4, FALSE, NULL
+        |  FROM ids WHERE doc_id % 5 = 0)
+        |SELECT url, final_url, CAST(hops AS BIGINT) AS hops, terminal, text
+        |FROM r ORDER BY url""".stripMargin,
 
     // Three records per file, all restating the SAME entity text; the
     // coding chain is visible only in `encoding` (applied steps in

@@ -117,6 +117,17 @@ object Brotli {
       v
     }
     def readBit(): Int = readBits(1)
+    /** Next `n` stream bits WITHOUT consuming, or -1 when fewer than
+      * `n` remain (the caller falls back to the bit-serial decode,
+      * which raises the honest corrupt() on a true underrun). */
+    def peekBits(n: Int): Int = {
+      while (bitCnt < n && pos < b.length) {
+        bitBuf |= (b(pos) & 0xffL) << bitCnt
+        pos += 1; bitCnt += 8
+      }
+      if (bitCnt < n) -1 else (bitBuf & ((1L << n) - 1)).toInt
+    }
+    def consume(n: Int): Unit = { bitBuf >>>= n; bitCnt -= n }
     /** Drop bits to the next byte boundary (uncompressed-metablock /
       * metadata alignment; the spec wants zeros, hostile nonzero is
       * tolerated — never a throw for padding). */
@@ -203,8 +214,46 @@ object Brotli {
       s
     }
     private val single: Int = if (syms.length == 1) syms(0) else -1
+    // Peek-table fast path (the DEFLATE trick): one table lookup over
+    // the next `tbits` stream bits decodes any code of length ≤ tbits
+    // — which is nearly every symbol in real streams (literals and
+    // commands cluster under 8 bits). Codes are MSB-first over the
+    // LSB-first bit stream, so entries key on the BIT-REVERSED code
+    // plus all filler suffixes. Longer codes (and near-EOF windows)
+    // fall back to the exact bit-serial walk. Entry layout:
+    // (len << 16) | symbol; 0 = no code of length ≤ tbits here.
+    private val tbits = math.min(maxLen, 8)
+    private val table: Array[Int] =
+      if (single >= 0 || maxLen == 0) null
+      else {
+        val t = new Array[Int](1 << tbits)
+        var l = 1
+        while (l <= tbits) {
+          var k = 0
+          while (k < count(l)) {
+            val code = firstCode(l) + k
+            var rev = 0
+            var j = 0
+            while (j < l) { rev = (rev << 1) | ((code >>> j) & 1); j += 1 }
+            val entry = (l << 16) | syms(firstIdx(l) + k)
+            var f = 0
+            while (f < (1 << (tbits - l))) {
+              t(rev | (f << l)) = entry
+              f += 1
+            }
+            k += 1
+          }
+          l += 1
+        }
+        t
+      }
     def read(r: Reader): Int = {
       if (single >= 0) return single
+      val idx = r.peekBits(tbits)
+      if (idx >= 0) {
+        val e = table(idx)
+        if (e != 0) { r.consume(e >>> 16); return e & 0xffff }
+      }
       var code = 0; var l = 1
       while (l <= maxLen) {
         code = (code << 1) | r.readBit()

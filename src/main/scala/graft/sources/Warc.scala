@@ -40,7 +40,8 @@ object Warc {
                               xRobotsTag: Option[String] = None,
                               refersTo: Option[String] = None,
                               payloadDigest: Option[String] = None,
-                              encoding: String = "identity")
+                              encoding: String = "identity",
+                              location: Option[String] = None)
 
   /** One container's full parse result: the records that decoded plus
     * WHY the walk stopped — fences must be loud (r11 verdict: an
@@ -298,6 +299,7 @@ object Warc {
       var status: Option[Int] = None
       var ctype: Option[String] = None
       var xRobots: Option[String] = None
+      var location: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
       var enc = "identity"
@@ -313,6 +315,7 @@ object Warc {
           val hh = parseHeaders(data, nextLine(data, bodyStart), httpHeaderEnd)
           ctype = hh.get("content-type")
           xRobots = hh.get("x-robots-tag")
+          location = hh.get("location")
           val bl = (bodyEnd - httpHeaderEnd).toInt
           if (bl > 0 && bl <= maxBody) {
             body = java.util.Arrays.copyOfRange(data, httpHeaderEnd, bodyEnd.toInt)
@@ -330,7 +333,7 @@ object Warc {
       }
       out += WarcRecord(k, wType, uri, clen, status, ctype, body, bodyCut,
         xRobots, headers.get("warc-refers-to-target-uri"),
-        headers.get("warc-payload-digest"), enc)
+        headers.get("warc-payload-digest"), enc, location)
       k += 1
       // payload + the record-separating CRLFCRLF (tolerant at EOF).
       // q is Long: a hostile multi-GB Content-Length must clamp here,
@@ -745,6 +748,76 @@ object Warc {
         "digest", "carrier", "text")
   }
 
+  /** Redirect edges — one row per 3xx RESPONSE record with a
+    * `Location` header: (media_id, record_idx, url, status,
+    * location, target) where `target` is the Location RESOLVED
+    * against the request URL ([[resolveLocation]]: absolute,
+    * protocol-relative, root-relative and path-relative forms) and
+    * canonicalized. Feed into [[graft.ops.Redirects.resolve]] to
+    * collapse chains onto final page identities — the crawl-side
+    * URL aliasing that fetch-URL dedup misses (a page fetched via
+    * its old URL and its new one is ONE identity). Map-only flatMap;
+    * bodies never read. */
+  def warcRedirects(media: DataFrame, maxRecords: Int = 1 << 12): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        parseWarcOutcome(p, maxRecords, maxBody = 0).records.flatMap { r =>
+          (r.httpStatus, r.location) match {
+            case (Some(st), Some(loc))
+                if st >= 300 && st < 400 && r.targetUri != null =>
+              val tgt = resolveLocation(r.targetUri, loc)
+              if (tgt == null) None
+              else Some((id, r.recordIdx, r.targetUri, st, loc, tgt))
+            case _ => None
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "url", "status", "location", "target")
+  }
+
+  /** Resolve an HTTP `Location` value against the request URL
+    * (RFC 9110 §10.2.2 allows relative references): absolute URLs
+    * pass through; `//host/...` takes the base scheme;
+    * `/path` takes the base origin; other relative forms resolve
+    * against the base URL's directory. The result is canonicalized
+    * ([[graft.functions.CanonicalUrl]] — case/port/dot-segment
+    * normalization, IDN fold) so chain joins key on page identity.
+    * Null for unusable inputs — never a throw. */
+  private[graft] def resolveLocation(base: String, loc: String): String = {
+    if (loc == null || base == null) return null
+    val l = loc.trim
+    if (l.isEmpty) return null
+    val abs =
+      if (l.matches("(?i)^[a-z][a-z0-9+.-]*://.*")) l
+      else {
+        val schemeEnd = base.indexOf("://")
+        if (schemeEnd < 0) return null
+        val scheme = base.substring(0, schemeEnd)
+        val hostStart = schemeEnd + 3
+        val pathStart = {
+          val i = base.indexOf('/', hostStart)
+          if (i < 0) base.length else i
+        }
+        val origin = base.substring(0, pathStart)
+        if (l.startsWith("//")) scheme + ":" + l
+        else if (l.startsWith("/")) origin + l
+        else {
+          // path-relative: resolve against the base path's directory
+          val path = if (pathStart < base.length)
+            base.substring(pathStart) else "/"
+          val q = path.indexOf('?')
+          val p0 = if (q >= 0) path.substring(0, q) else path
+          val dir = p0.substring(0, p0.lastIndexOf('/') + 1)
+          origin + dir + l
+        }
+      }
+    val canon = graft.functions.CanonicalUrl.canonicalize(abs)
+    if (canon == null) abs else canon
+  }
+
   /** The crawl-to-text pass: HTML response bodies (2xx, text/html)
     * through [[graft.functions.HtmlToText]]'s kernel — one row per
     * page with its URL, the charset it decoded with (HTTP header,
@@ -1100,6 +1173,7 @@ object Warc {
       var status: Option[Int] = None
       var ctype: Option[String] = None
       var xRobots: Option[String] = None
+      var location: Option[String] = None
       var body: Array[Byte] = Array.emptyByteArray
       var bodyCut = false
       var enc = "identity"
@@ -1113,6 +1187,7 @@ object Warc {
           val hh = parseHeaders(payload, nextLine(payload, 0), httpHeaderEnd)
           ctype = hh.get("content-type")
           xRobots = hh.get("x-robots-tag")
+          location = hh.get("location")
           val bl = clen - httpHeaderEnd // true HTTP body length
           if (bl > 0 && bl <= maxBody && httpHeaderEnd + bl <= got) {
             body = java.util.Arrays.copyOfRange(payload, httpHeaderEnd,
@@ -1132,7 +1207,7 @@ object Warc {
         }
       }
       val rec = WarcRecord(idx, wType, uri, clen, status, ctype, body,
-        bodyCut, xRobots, encoding = enc)
+        bodyCut, xRobots, encoding = enc, location = location)
       idx += 1
       if (shortRead) endReason = "truncated" // emit this record, then stop
       rec

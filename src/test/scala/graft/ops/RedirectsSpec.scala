@@ -1,0 +1,65 @@
+package graft.ops
+
+import graft.SparkSpec
+import org.apache.spark.sql.functions._
+
+/** Pins [[Redirects.resolve]] (chain shapes, cycles, bounds,
+  * determinism) and [[graft.sources.Warc.resolveLocation]] (the
+  * RFC 9110 relative-Location forms). */
+class RedirectsSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def resolveAll(edges: Seq[(String, String)], maxHops: Int = 8) =
+    Redirects.resolve(edges.toDF("s", "t"), "s", "t", maxHops)
+      .as[(String, String, Long, Boolean)].collect()
+      .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
+
+  test("chains resolve to their landing URL with hop counts") {
+    val r = resolveAll(Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d", // 3-hop chain
+      "x" -> "d",                         // 1-hop
+      "p" -> "q"))                        // separate chain
+    assert(r("a") == (("d", 3L, true)))
+    assert(r("b") == (("d", 2L, true)))
+    assert(r("c") == (("d", 1L, true)))
+    assert(r("x") == (("d", 1L, true)))
+    assert(r("p") == (("q", 1L, true)))
+    assert(!r.contains("d")) // landing URLs are not sources
+  }
+
+  test("cycles and over-long chains are cut at the bound, terminal=false") {
+    val cyc = resolveAll(Seq("a" -> "b", "b" -> "a"), maxHops = 5)
+    // hop parity: 5 hops from a through the 2-cycle lands on b — and
+    // the cut is FLAGGED, never silently keyed on
+    assert(cyc("a") == (("b", 5L, false)))
+    assert(cyc("b") == (("a", 5L, false)))
+    val long = resolveAll(
+      (0 until 12).map(i => s"u$i" -> s"u${i + 1}"), maxHops = 8)
+    assert(long("u0") == (("u8", 8L, false))) // cut, flagged
+    assert(long("u5") == (("u12", 7L, true))) // fits within the bound
+  }
+
+  test("self-redirects drop; duplicate captures resolve deterministically") {
+    val r = resolveAll(Seq("a" -> "a", "b" -> "c"))
+    assert(!r.contains("a") && r("b") == (("c", 1L, true)))
+    // two captures of one source: lexicographically-least target wins
+    val d = resolveAll(Seq("s" -> "z", "s" -> "m"))
+    assert(d("s") == (("m", 1L, true)))
+  }
+
+  test("resolveLocation: absolute, protocol-relative, root-relative, path-relative") {
+    import graft.sources.Warc.resolveLocation
+    val base = "http://ex.com/dir/page?x=1"
+    assert(resolveLocation(base, "https://other.site/p") ==
+      "https://other.site/p")
+    assert(resolveLocation(base, "//cdn.site/a") == "http://cdn.site/a")
+    assert(resolveLocation(base, "/root/x") == "http://ex.com/root/x")
+    assert(resolveLocation(base, "sibling") == "http://ex.com/dir/sibling")
+    // canonicalization applies: case/port/dot-segment fold
+    assert(resolveLocation(base, "HTTP://Ex.COM:80/./a") == "http://ex.com/a")
+    // hostile: null/empty/baseless never throw
+    assert(resolveLocation(base, null) == null)
+    assert(resolveLocation(base, "   ") == null)
+    assert(resolveLocation("no-scheme", "/x") == null)
+  }
+}

@@ -82,6 +82,24 @@ class BrotliSpec extends AnyFunSuite {
       || true) // garbage may accidentally parse a prefix; no-throw is the pin
   }
 
+  test("throughput floor: the peek-table decoder sustains real decode rates") {
+    // visibility + a very loose floor (hard machines vary): decode the
+    // largest mixed vector repeatedly and require > 20 MB/s of OUTPUT.
+    // The peek-table prefix decode (one lookup for codes <= 8 bits)
+    // is what keeps this kernel-class; a regression to bit-serial
+    // everywhere would land ~5-10x lower.
+    val (_, payload, stream) = vectors().find(_._1 == "mixed_q11").get
+    (0 until 3).foreach(_ => Brotli.decode(stream, 1 << 26)) // warm JIT
+    val n = 40
+    val t0 = System.nanoTime()
+    var k = 0
+    while (k < n) { Brotli.decode(stream, 1 << 26); k += 1 }
+    val sec = (System.nanoTime() - t0) / 1e9
+    val mbps = payload.length.toLong * n / 1e6 / sec
+    info(f"brotli decode throughput: $mbps%.1f MB/s (output bytes)")
+    assert(mbps > 20, f"suspiciously slow: $mbps%.1f MB/s")
+  }
+
   test("dictionary transforms: uppercase + affix forms round-trip") {
     // quality-11 English with capitalized dictionary words exercises
     // ferment transforms; build it here with distinctive casing that

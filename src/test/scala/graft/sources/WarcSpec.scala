@@ -438,6 +438,30 @@ class WarcSpec extends SparkSpec {
       rows(2).isNullAt(rows(2).fieldIndex("refers_to")))
   }
 
+  test("warcRedirects: 3xx + Location rows with resolved targets; others silent") {
+    def resp(uri: String, status: Int, extra: String,
+             body: String = ""): Array[Byte] =
+      record("response", uri,
+        (s"HTTP/1.1 $status X\r\nContent-Type: text/html\r\n$extra\r\n")
+          .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8"))
+    val warc =
+      resp("http://ex.com/a", 301, "Location: /new/a\r\n") ++
+      resp("http://ex.com/b", 302, "Location: http://other.site/b2\r\n") ++
+      resp("http://ex.com/dir/c", 307, "Location: sib\r\n") ++
+      resp("http://ex.com/ok", 200, "", "<p>fine</p>") ++ // 2xx: no row
+      resp("http://ex.com/nl", 301, "") ++                // no Location
+      record("request", "http://ex.com/a", "GET / HTTP/1.1\r\n\r\n".getBytes)
+    val media = Multimodal.asMedia(
+      Seq((1L, warc)).toDF("id", "bytes"), "id", "bytes", "warc")
+    val rows = Warc.warcRedirects(media)
+      .select("url", "status", "target").as[(String, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("http://ex.com/a", 301, "http://ex.com/new/a"),
+      ("http://ex.com/b", 302, "http://other.site/b2"),
+      ("http://ex.com/dir/c", 307, "http://ex.com/dir/sib")))
+  }
+
   test("undeclared charset: UTF-8 validation falls back to windows-1252") {
     import Warc.{htmlCharset, looksUtf8}
     // looksUtf8 structural pins
