@@ -6818,6 +6818,77 @@ object SparkEntry {
         .orderBy("media_id")
     }),
 
+    // Q353 — curation v16: REDIRECT-AWARE URL identity ([[graft.llm
+    // .Curation.v16Batch]] — q352's resolver composed into the
+    // capstone). v15 keyed the keep-first on the canonical FETCH
+    // URL; a page captured at its old URL next to a 3xx record
+    // moving that URL to its new home is the SAME identity, which
+    // fetch-URL keying (and content keying, when the old capture's
+    // text drifted) misses. The fixture is v15's plus: a 301
+    // `h-old/$id → /h/$b` edge and a 200 capture AT h-old with
+    // unique clean text (only the resolved identity can drop it —
+    // the bucket page at /h/$b is earlier), and a planted 2-cycle
+    // whose 200 page must SURVIVE (a chain cut at the hop bound is
+    // not an identity; cycle pages keep their fetch key, and
+    // cyc.example's pages land under their own eTLD+1 cap). One
+    // keyed left join of gated pages against the resolved edge map;
+    // edges are the crawl's 3xx fraction.
+    "q353_curation_v16" -> ((s, d) => {
+      import s.implicits._
+      val ruSample = graft.llm.LangId.CrawlSamples("ru")
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val b = id / 5
+          def redir(uri: String, status: Int, loc: String): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status Moved\r\n" +
+              s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
+              .getBytes("ISO-8859-1")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val farms = (0 until 3).map { j =>
+            warcRespRec(s"http://a$j.farm${id % 5}.co.uk/f/$id", "text/html",
+              (s"<p>farm page $id $j has enough unique english words " +
+                "to keep around.</p>").getBytes("UTF-8"))
+          }.reduce(_ ++ _)
+          val moved301 = redir(s"http://ex.com/h-old/$id", 301, s"/h/$b")
+          val movedPage = warcRespRec(s"http://ex.com/h-old/$id",
+            "text/html",
+            (s"<p>moved fetch $id stays clean with plenty of good " +
+              "english words.</p>").getBytes("UTF-8"))
+          val cycPage = warcRespRec(s"http://cyc.example/p/$id",
+            "text/html",
+            (s"<p>cycle page $id keeps enough english words " +
+              "alive.</p>").getBytes("UTF-8"))
+          val cyc301 = redir(s"http://cyc.example/p/$id", 301,
+            s"http://cyc2.example/p/$id")
+          val cyc302 = redir(s"http://cyc2.example/p/$id", 302,
+            s"http://cyc.example/p/$id")
+          val bytes = warcV14Bytes(id, ruSample) ++ farms ++
+            moved301 ++ movedPage ++ cycPage ++ cyc301 ++ cyc302
+          (id, if (id % 4 == 1) gzipBytes(bytes) else bytes)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      // ONE decode walk for BOTH row kinds (the q232 diamond: persist
+      // the fork, filter twice) — separate page/redirect readers
+      // would gunzip and walk every container twice (the r17 lesson)
+      val rows = graft.sources.Warc.warcDocRows(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = rows.where(col("kind") === "page")
+        .drop("kind", "status", "target")
+      val edges = rows.where(col("kind") === "redirect")
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      graft.llm.Curation.v16Batch(pages, edges,
+          Seq("bad.example", "spam.test"), domainCap = 7)
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q352 — redirect-chain resolution ([[graft.sources.Warc
     // .warcRedirects]] + [[graft.ops.Redirects.resolve]]): a crawl
     // stores page moves as 3xx captures, and fetch-URL keying counts
@@ -14085,6 +14156,71 @@ object SparkEntry {
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
+
+    // v16 = v15's survivor arms + the cycle pages (their chains cut
+    // at the hop bound, so they keep their fetch identity and rank
+    // under cyc.example's own cap); the moved-fetch arm leaves NO
+    // trace — its 200 capture resolves onto the earlier bucket page's
+    // identity and the keep-first drops it, the one behavior fetch-URL
+    // and content keying both miss.
+    "q353_curation_v16" ->
+      """WITH ids AS (SELECT doc_id, doc_id // 5 AS b FROM documents
+        |             WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 2 AS record_idx, 'html' AS carrier,
+        |    'http://ex.com/h/' || b AS canon,
+        |    'html body for bucket ' || b ||
+        |      ' carries enough words to keep.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 3, 'pdf', 'http://ex.com/d/' || doc_id || '.pdf',
+        |    'pdf doc ' || (b % 7) || ' line one keeps' || chr(10) ||
+        |      'pdf doc ' || (b % 7) || ' line two'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'markdown', 'http://ex.com/m/' || doc_id,
+        |    'Doc ' || doc_id || chr(10) ||
+        |      'markdown note ' || doc_id || ' with a link kept.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 9, 'pdf', 'http://ex.com/t0/' || doc_id,
+        |    'Clean type0 page ' || doc_id ||
+        |      ' keeps the words that the gate needs.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 11, 'html', 'http://ex.com/canon/' || doc_id,
+        |    'dup page one for ' || doc_id ||
+        |      ' with enough plain english words to keep.'
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 15 + j, 'html',
+        |    'http://a' || j || '.farm' || (doc_id % 5) || '.co.uk/f/' || doc_id,
+        |    'farm page ' || doc_id || ' ' || j ||
+        |      ' has enough unique english words to keep around.'
+        |  FROM ids, generate_series(0, 2) t(j)
+        |  UNION ALL
+        |  SELECT doc_id, 20, 'html', 'http://cyc.example/p/' || doc_id,
+        |    'cycle page ' || doc_id || ' keeps enough english words alive.'
+        |  FROM ids),
+        |u AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY canon
+        |        ORDER BY media_id, record_idx) AS rn FROM r),
+        |q AS (SELECT * FROM u WHERE rn = 1),
+        |c AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY text
+        |        ORDER BY media_id, record_idx) AS rn2 FROM q),
+        |s AS (SELECT media_id, record_idx, carrier, canon, text
+        |      FROM c WHERE rn2 = 1),
+        |dd AS (SELECT *,
+        |        CASE WHEN canon LIKE 'http://cyc.example/%' THEN 'cyc.example'
+        |             WHEN canon LIKE 'http://ex.com/%' THEN 'ex.com'
+        |             ELSE 'farm' || (media_id % 5) || '.co.uk' END AS domain
+        |      FROM s),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY media_id, record_idx) AS dr FROM dd)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, canon AS url, domain,
+        |  CAST(dr AS BIGINT) AS domain_rank, text
+        |FROM k WHERE dr <= 7
+        |ORDER BY media_id, record_idx""".stripMargin,
 
     // Closed-form chain restatement per arm: the fixture's shapes are
     // fixed, so the oracle states each source's landing identity, hop

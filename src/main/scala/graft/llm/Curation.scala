@@ -109,6 +109,50 @@ object Curation {
         col("domain_rank").cast("long").as("domain_rank"), col("text"))
   }
 
+  /** Curation v16: v15 plus REDIRECT-AWARE URL identity. A crawl
+    * stores page moves as 3xx captures; v15's keep-first keys on the
+    * canonical FETCH URL, so content fetched at an old URL and its
+    * new home counts as two identities. v16 resolves each survivor's
+    * url_canon through the redirect graph
+    * ([[graft.ops.Redirects.resolve]] over `redirects` = (src, dst)
+    * canonicalized 3xx edges, e.g. [[graft.sources.Warc
+    * .warcRedirects]]'s (CanonicalUrl(url), target)) and keeps first
+    * by the LANDING identity. Discipline: only `terminal` resolutions
+    * re-key (a chain cut by the hop bound — cycle or over-long — is
+    * NOT an identity; such pages keep their fetch key and survive).
+    *
+    * Scale posture: ONE keyed left join of the gated pages against
+    * the resolved edge map — edges are the crawl's 3xx fraction
+    * (far smaller than pages), the join key is the canonical URL,
+    * and the resolve itself is maxHops keyed self-joins of the edge
+    * set alone (never touches page rows). Everything else is v15's
+    * keyed WindowGroupLimit chain. */
+  def v16Batch(pages: DataFrame, redirects: DataFrame,
+               blockDomains: Seq[String], domainCap: Int): DataFrame = {
+    val resolved = graft.ops.Redirects
+      .resolve(redirects, "src", "dst", maxHops = 8)
+      .where(col("terminal"))
+      .select(col("src").as("url_canon"), col("final_url"))
+    val gated = v14Gates(pages, blockDomains)
+      .join(resolved, Seq("url_canon"), "left")
+      .withColumn("url_canon",
+        coalesce(col("final_url"), col("url_canon")))
+      .drop("final_url")
+    val kept = keepFirstBy(keepFirstBy(gated, "url_canon"), "text")
+      .select(col("media_id"), col("record_idx"), col("carrier"),
+        col("url_canon").as("url"), col("text"))
+      .withColumn("domain", graft.functions.RegisteredDomain(
+        regexp_extract(lower(col("url")), "^[a-z]+://([^/:]+)", 1)))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("domain"))
+      .orderBy(col("media_id"), col("record_idx"))
+    kept.withColumn("domain_rank", row_number().over(w))
+      .where(col("domain_rank") <= domainCap)
+      .select(col("media_id"), col("record_idx"), col("carrier"),
+        col("url"), col("domain"),
+        col("domain_rank").cast("long").as("domain_rank"), col("text"))
+  }
+
   /** The Structured Streaming leg. Each micro-batch `b`:
     *
     *  1. runs the per-record gate stage on the batch alone,

@@ -982,6 +982,47 @@ object Warc {
       .drop("__end_reason", "__truncated_n", "__undec_n", "__is_sentinel"), obs)
   }
 
+  /** ONE walk emitting page rows AND redirect edges — the decode-once
+    * input for redirect-aware curation ([[graft.llm.Curation
+    * .v16Batch]]). Running [[warcDocText]] and [[warcRedirects]]
+    * separately scans (and gunzips) every container twice — the r17
+    * double-decode lesson; this router emits both row kinds from one
+    * pass, discriminated by `kind` ('page' rows carry the doc-text
+    * columns, 'redirect' rows carry status + the resolved canonical
+    * `target`). Callers persist the frame once and filter twice (the
+    * q232 diamond discipline). */
+  def warcDocRows(media: DataFrame, maxRecords: Int = 1 << 12,
+                  maxBody: Int = 1 << 24): DataFrame = {
+    val spark = media.sparkSession
+    import spark.implicits._
+    media.select(col("media_id"), col("payload"))
+      .as[(Long, Array[Byte])]
+      .flatMap { case (id, p) =>
+        parseWarcOutcome(p, maxRecords, maxBody).records.flatMap { r =>
+          routeDocRecord(r).map { case (carrier, text, codes, unmapped, canon) =>
+            (id, r.recordIdx, "page", Option(r.targetUri), carrier, text,
+              r.xRobotsTag, codes, unmapped, Option(canon),
+              None: Option[Int], None: Option[String])
+          }.orElse {
+            (r.httpStatus, r.location) match {
+              case (Some(st), Some(loc))
+                  if st >= 300 && st < 400 && r.targetUri != null =>
+                val tgt = resolveLocation(r.targetUri, loc)
+                if (tgt == null) None
+                else Some((id, r.recordIdx, "redirect", Option(r.targetUri),
+                  null.asInstanceOf[String], null.asInstanceOf[String],
+                  None: Option[String], 0L, 0L, None: Option[String],
+                  Some(st), Some(tgt)))
+              case _ => None
+            }
+          }
+        }
+      }
+      .toDF("media_id", "record_idx", "kind", "url", "carrier", "text",
+        "x_robots", "type0_codes", "type0_unmapped", "canonical",
+        "status", "target")
+  }
+
   /** The streaming-path multi-carrier router — [[warcDocText]] over
     * FILE PATHS (the 100 TB front door): one task per path, records
     * stream one at a time through the bounded reader and route

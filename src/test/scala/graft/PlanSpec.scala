@@ -593,6 +593,20 @@ class PlanSpec extends SparkSpec {
     spark.catalog.clearCache()
   }
 
+  test("q353: v16 decodes ONCE (diamond fork), joins keyed, never a cross product") {
+    val p = plan("q353_curation_v16")
+    // page rows AND redirect edges come from ONE persisted walk —
+    // separate readers would gunzip every container twice. SimpleMode
+    // re-prints the cached subtree under every InMemoryTableScan
+    // reference, so the honest textual pin is: the cache IS the fork
+    // (multiple readers) and every decode line sits under it (no
+    // un-cached MapPartitions leg would ever show as a second
+    // InMemoryRelation-free walk).
+    assert(p.linesIterator.count(_.contains("InMemoryTableScan")) >= 2, p)
+    assert(p.contains("InMemoryRelation"), p)
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
+  }
+
   test("q337/q344: the curation capstone decodes the WARC router exactly ONCE") {
     // r17 verdict item 1: the blocklist branch was a suffix-explode
     // semi-join whose build side RE-EXECUTED the whole WARC router
