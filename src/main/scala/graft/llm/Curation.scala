@@ -275,49 +275,113 @@ object Curation {
       .option("checkpointLocation", checkpointDir)
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val spark = batch.sparkSession
-        import spark.implicits._
         val gated = v14Gates(batch, blockDomains)
           .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-        try {
-          val (urlKept, survivors0) =
-            batchSurvivors(spark, gated, keysDir, batchId)
-          // NULL-SAFE domain key (ADVICE r17): NULL domains
-          // (IP-literal hosts, hosts that ARE public suffixes) form
-          // ONE capped group in v15Batch's window, but a null join
-          // key never matches — each micro-batch would independently
-          // re-cap the null group at domainCap, breaking the
-          // spec-pinned batch parity. The window, the counts join
-          // AND the persisted counts all key on a sentinel-coalesced
-          // `__dkey` (' ' can never be a registered domain);
-          // the OUTPUT `domain` column stays honestly NULL.
-          val nullKey = " "
-          val withDomain = survivors0.withColumn("domain",
-              graft.functions.RegisteredDomain(
-                regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1)))
-            .withColumn("__dkey", coalesce(col("domain"), lit(nullKey)))
-          val earlier = earlierSegments(spark, countsDir, batchId)
-          val prior =
-            if (earlier.isEmpty) Seq.empty[(String, Long)].toDF("__dkey", "n")
-            else spark.read.parquet(earlier: _*)
-              .groupBy("__dkey").agg(sum("n").as("n"))
-          val w = org.apache.spark.sql.expressions.Window
-            .partitionBy(col("__dkey"))
-            .orderBy(col("media_id"), col("record_idx"))
-          val ranked = withDomain
-            .withColumn("__r", row_number().over(w))
-            .join(broadcast(prior), Seq("__dkey"), "left")
-            .withColumn("domain_rank",
-              (col("__r") + coalesce(col("n"), lit(0L))).cast("long"))
-          ranked.where(col("domain_rank") <= domainCap)
-            .select(col("media_id"), col("record_idx"), col("carrier"),
-              col("url_canon").as("url"), col("domain"), col("domain_rank"),
-              col("text"))
-            .write.mode("overwrite").parquet(s"$outDir/b$batchId")
-          writeKeys(gated, urlKept, s"$keysDir/b$batchId")
-          // UNCAPPED per-domain survivor counts — this batch's alone
-          withDomain.groupBy("__dkey").agg(count(lit(1)).as("n"))
-            .write.mode("overwrite").parquet(s"$countsDir/b$batchId")
-        } finally { gated.unpersist(); () }
+        try cappedBatchBody(spark, gated, batchId, domainCap,
+          outDir, keysDir, countsDir)
+        finally { gated.unpersist(); () }
+      }
+      .start()
+  }
+
+  /** The shared v15/v16 per-batch body AFTER the gate stage: the two
+    * cross-batch keep-firsts, the null-safe per-domain running cap,
+    * and the three idempotent segment writes. `gated` must carry the
+    * batch's keep-first key in `url_canon` (v16 passes the
+    * redirect-RESOLVED key). */
+  private def cappedBatchBody(spark: org.apache.spark.sql.SparkSession,
+                              gated: DataFrame, batchId: Long,
+                              domainCap: Int, outDir: String,
+                              keysDir: String, countsDir: String): Unit = {
+    import spark.implicits._
+    val (urlKept, survivors0) = batchSurvivors(spark, gated, keysDir, batchId)
+    // NULL-SAFE domain key (ADVICE r17): NULL domains (IP-literal
+    // hosts, hosts that ARE public suffixes) form ONE capped group in
+    // v15Batch's window, but a null join key never matches - each
+    // micro-batch would independently re-cap the null group at
+    // domainCap, breaking the spec-pinned batch parity. The window,
+    // the counts join AND the persisted counts all key on a
+    // sentinel-coalesced `__dkey` (' ' can never be a registered
+    // domain); the OUTPUT `domain` column stays honestly NULL.
+    val nullKey = " "
+    val withDomain = survivors0.withColumn("domain",
+        graft.functions.RegisteredDomain(
+          regexp_extract(col("url_canon"), "^[a-z]+://([^/:]+)", 1)))
+      .withColumn("__dkey", coalesce(col("domain"), lit(nullKey)))
+    val earlier = earlierSegments(spark, countsDir, batchId)
+    val prior =
+      if (earlier.isEmpty) Seq.empty[(String, Long)].toDF("__dkey", "n")
+      else spark.read.parquet(earlier: _*)
+        .groupBy("__dkey").agg(sum("n").as("n"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(col("__dkey"))
+      .orderBy(col("media_id"), col("record_idx"))
+    val ranked = withDomain
+      .withColumn("__r", row_number().over(w))
+      .join(broadcast(prior), Seq("__dkey"), "left")
+      .withColumn("domain_rank",
+        (col("__r") + coalesce(col("n"), lit(0L))).cast("long"))
+    ranked.where(col("domain_rank") <= domainCap)
+      .select(col("media_id"), col("record_idx"), col("carrier"),
+        col("url_canon").as("url"), col("domain"), col("domain_rank"),
+        col("text"))
+      .write.mode("overwrite").parquet(s"$outDir/b$batchId")
+    writeKeys(gated, urlKept, s"$keysDir/b$batchId")
+    // UNCAPPED per-domain survivor counts - this batch's alone
+    withDomain.groupBy("__dkey").agg(count(lit(1)).as("n"))
+      .write.mode("overwrite").parquet(s"$countsDir/b$batchId")
+  }
+
+  /** [[v16Batch]]'s streaming leg: the input stream carries BOTH row
+    * kinds ([[graft.sources.Warc.warcDocRows]]'s kind-discriminated
+    * schema). Each micro-batch writes its own 3xx edges to
+    * `edgesDir/b<b>` (a pure function of the batch - replay
+    * rewrites), resolves the gate survivors' keys against ALL edges
+    * seen so far (segments <= b, the batch's own included), and runs
+    * the shared v15 keep-first/cap body on the RESOLVED key.
+    *
+    * Honest streaming semantic: identity resolution uses the edges
+    * KNOWN AT ARRIVAL TIME - an edge arriving after its page does not
+    * retro-rekey already-emitted survivors (no retraction under
+    * at-least-once replay). Parity with [[v16Batch]] of the
+    * concatenation holds when every page's edges arrive in its own
+    * batch or earlier (spec-pinned); a crawl that interleaves 3xx
+    * records with their targets satisfies this naturally. */
+  def v16Stream(rows: DataFrame, blockDomains: Seq[String], domainCap: Int,
+                outDir: String, keysDir: String, countsDir: String,
+                edgesDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery = {
+    rows.writeStream
+      .option("checkpointLocation", checkpointDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        // persist the BATCH: the edges write and the gate stage are
+        // two actions over it, and a WARC-backed source would decode
+        // every container twice without the pin (decode-once
+        // discipline, same as the batch query's warcDocRows diamond)
+        val b0 = batch.persist(
+          org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        val pages = b0.where(col("kind") === "page")
+          .drop("kind", "status", "target")
+        b0.where(col("kind") === "redirect")
+          .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+            col("target").as("dst"))
+          .write.mode("overwrite").parquet(s"$edgesDir/b$batchId")
+        val edgeSegs =
+          earlierSegments(spark, edgesDir, batchId) :+ s"$edgesDir/b$batchId"
+        val resolved = graft.ops.Redirects
+          .resolve(spark.read.parquet(edgeSegs: _*), "src", "dst", maxHops = 8)
+          .where(col("terminal"))
+          .select(col("src").as("url_canon"), col("final_url"))
+        val gated = v14Gates(pages, blockDomains)
+          .join(resolved, Seq("url_canon"), "left")
+          .withColumn("url_canon",
+            coalesce(col("final_url"), col("url_canon")))
+          .drop("final_url")
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try cappedBatchBody(spark, gated, batchId, domainCap,
+          outDir, keysDir, countsDir)
+        finally { gated.unpersist(); b0.unpersist(); () }
       }
       .start()
   }

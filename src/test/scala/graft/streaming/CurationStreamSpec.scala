@@ -18,6 +18,11 @@ class CurationStreamSpec extends SparkSpec {
   private type PageRow = (Long, Int, String, String, String,
     Option[String], Long, Long, Option[String])
 
+  /** warcDocRows' kind-discriminated schema (v16 stream input). */
+  private type RowT = (Long, Int, String, String, String, String,
+    Option[String], Long, Long, Option[String], Option[Int],
+    Option[String])
+
   private def enTxt(i: Int): String =
     s"the quick brown fox number $i jumps over the lazy dog and " +
       "keeps running through the quiet morning field without a pause."
@@ -162,6 +167,62 @@ class CurationStreamSpec extends SparkSpec {
     assert(full == Set((1L, None, 1L), (2L, None, 2L)), full.toString)
     assert(streamed == full,
       s"null-domain stream/batch divergence: only-stream=${streamed -- full}, " +
+        s"only-batch=${full -- streamed}")
+  }
+
+  test("v16 streaming leg: redirect identity resolves across batches; cycles survive") {
+    // kind-discriminated rows (the warcDocRows schema): a page, the
+    // 3xx edge moving an old URL onto it, a page AT the old URL with
+    // different text (only the resolved identity can drop it), a
+    // CROSS-BATCH case (edge in b0, aliased page in b1), and a
+    // planted 2-cycle whose page must survive (hop-bound cuts are
+    // not identities).
+    def pageRow(id: Long, url: String, text: String): RowT =
+      (id, 0, "page", url, "html", text, None, 0L, 0L, None, None, None)
+    def edgeRow(id: Long, url: String, target: String): RowT =
+      (id, 1, "redirect", url, null, null, None, 0L, 0L, None,
+        Some(301), Some(target))
+    val rowBatches: Seq[Seq[RowT]] = Seq(
+      Seq(pageRow(1, "http://site.a/p1", enTxt(31)),
+        edgeRow(2, "http://old.a/x", "http://site.a/p1"),
+        pageRow(3, "http://old.a/x", enTxt(33)), // same-batch alias: drop
+        edgeRow(4, "http://moved.b/y", "http://site.a/p1")),
+      Seq(pageRow(5, "http://moved.b/y", enTxt(35)), // cross-batch alias: drop
+        pageRow(6, "http://cyc.c/p", enTxt(36)), // cycle page: SURVIVES
+        edgeRow(7, "http://cyc.c/p", "http://cyc2.c/p"),
+        edgeRow(8, "http://cyc2.c/p", "http://cyc.c/p")))
+    val (outDir, keysDir, countsDir, edgesDir) =
+      (tmp("cur16-out"), tmp("cur16-keys"), tmp("cur16-counts"),
+        tmp("cur16-edges"))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RowT]
+    val cols = Seq("media_id", "record_idx", "kind", "url", "carrier",
+      "text", "x_robots", "type0_codes", "type0_unmapped", "canonical",
+      "status", "target")
+    val q = Curation.v16Stream(ms.toDF().toDF(cols: _*), block,
+      domainCap = 2, outDir, keysDir, countsDir, edgesDir, tmp("cur16-ck"))
+    try rowBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.catalog.clearCache()
+    val streamed = spark.read.parquet(s"$outDir/b*")
+      .select("media_id", "url", "domain", "domain_rank")
+      .as[(Long, String, String, Long)].collect().toSet
+    // batch twin over the concatenation (edges precede/co-batch their
+    // pages, so parity holds)
+    val all = rowBatches.flatten.toDF(cols: _*)
+    val full = graft.llm.Curation.v16Batch(
+        all.where(col("kind") === "page").drop("kind", "status", "target"),
+        all.where(col("kind") === "redirect")
+          .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+            col("target").as("dst")),
+        block, domainCap = 2)
+      .select("media_id", "url", "domain", "domain_rank")
+      .as[(Long, String, String, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(full == Set((1L, "http://site.a/p1", "site.a", 1L),
+      (6L, "http://cyc.c/p", "cyc.c", 1L)), full.toString)
+    assert(streamed == full,
+      s"v16 stream/batch divergence: only-stream=${streamed -- full}, " +
         s"only-batch=${full -- streamed}")
   }
 
