@@ -6889,6 +6889,95 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q354 — soft redirects: `<meta http-equiv=refresh>` joins the
+    // identity graph ([[graft.functions.MetaRefreshUrl]], SQL
+    // `meta_refresh_url`): parked pages and JS-era interstitials
+    // move pages WITHOUT a 3xx, and a crawler that only follows
+    // HTTP redirects counts the interstitial and its target as two
+    // identities. The fixture chains MIX mechanisms per id — a 301
+    // hops onto an interstitial whose meta refresh (relative URL,
+    // quoted, spaced `; URL=` form by id parity) points at the
+    // landing page — and both edge kinds resolve through ONE
+    // [[graft.ops.Redirects.resolve]] graph: start → hop (3xx) →
+    // land (meta) = 2 hops. A refresh WITHOUT a url reloads self
+    // and is NOT an edge (the control arm stays terminal at 1 hop).
+    // Pages decode once (persisted warcHtmlPages); the 3xx listing
+    // is the body-free walk.
+    "q354_meta_refresh" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          def rec(uri: String, status: Int, extra: String,
+                  body: Array[Byte]): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status X\r\n" +
+              "Content-Type: text/html; charset=utf-8\r\n" + extra + "\r\n")
+              .getBytes("ISO-8859-1") ++ body
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val refreshAttr =
+            if (id % 2 == 0) s"""content="0;url=/land/$id""""
+            else s"""content="3; URL='/land/$id'""""
+          val landing = rec(s"http://ex.com/land/$id", 200, "",
+            (s"<p>soft landing page $id holds the real words.</p>")
+              .getBytes("UTF-8"))
+          val interstitial = rec(s"http://ex.com/hop/$id", 200, "",
+            (s"""<html><head><meta http-equiv="refresh" $refreshAttr>""" +
+              s"</head><body><p>interstitial $id moving you along " +
+              "now.</p></body></html>").getBytes("UTF-8"))
+          val start = rec(s"http://ex.com/start/$id", 301,
+            s"Location: /hop/$id\r\n", Array.emptyByteArray)
+          // control: a url-less refresh reloads self — never an edge
+          val selfish = rec(s"http://ex.com/self/$id", 200, "",
+            (s"""<html><head><meta http-equiv=refresh content="30">""" +
+              s"</head><body><p>self refreshing page $id keeps its " +
+              "own words.</p></body></html>").getBytes("UTF-8"))
+          (id, landing ++ interstitial ++ start ++ selfish)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      val pages = graft.sources.Warc.warcHtmlPages(media)
+        .select(graft.functions.CanonicalUrl(col("url")).as("purl"),
+          col("html"))
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val metaEdges = pages
+        .withColumn("refresh",
+          graft.functions.MetaRefreshUrl(col("html")))
+        .where(col("refresh").isNotNull)
+        .select(col("purl").as("src"),
+          graft.functions.CanonicalUrl(col("refresh")).as("dst"))
+        .where(col("dst").startsWith("http")) // relative forms below
+      // relative refresh targets resolve against the page URL — same
+      // discipline as the Location header; expression-side here via
+      // concat of origin + path when the target is root-relative
+      val metaEdgesResolved = pages
+        .withColumn("refresh",
+          graft.functions.MetaRefreshUrl(col("html")))
+        .where(col("refresh").isNotNull &&
+          col("refresh").startsWith("/"))
+        .select(col("purl").as("src"),
+          graft.functions.CanonicalUrl(concat(
+            regexp_extract(col("purl"), "^(https?://[^/]+)", 1),
+            col("refresh"))).as("dst"))
+      val httpEdges = graft.sources.Warc.warcRedirects(media)
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      val edges = httpEdges.unionByName(metaEdges)
+        .unionByName(metaEdgesResolved)
+      val landingText = pages
+        .select(col("purl").as("final_url"),
+          graft.functions.HtmlToText(col("html")).as("text"))
+      graft.ops.Redirects.resolve(edges, "src", "dst", maxHops = 4)
+        .join(landingText, Seq("final_url"), "left")
+        .select(col("src").as("url"), col("final_url"), col("hops"),
+          col("terminal"), col("text"))
+        .orderBy("url")
+    }),
+
     // Q352 — redirect-chain resolution ([[graft.sources.Warc
     // .warcRedirects]] + [[graft.ops.Redirects.resolve]]): a crawl
     // stores page moves as 3xx captures, and fetch-URL keying counts
@@ -14156,6 +14245,22 @@ object SparkEntry {
         |  END AS text
         |FROM documents WHERE doc_id % 50 <> 0
         |ORDER BY media_id""".stripMargin,
+
+    // Mixed-mechanism chains stated closed-form: the 301 start hops
+    // onto the interstitial whose meta refresh lands — 2 hops; the
+    // interstitial itself is 1; the url-less self-refresh page never
+    // becomes a source.
+    "q354_meta_refresh" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id, 'http://ex.com/hop/' || doc_id AS url, 1 AS hops
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 'http://ex.com/start/' || doc_id, 2 FROM ids)
+        |SELECT url, 'http://ex.com/land/' || doc_id AS final_url,
+        |  CAST(hops AS BIGINT) AS hops, TRUE AS terminal,
+        |  'soft landing page ' || doc_id || ' holds the real words.' AS text
+        |FROM r ORDER BY url""".stripMargin,
 
     // v16 = v15's survivor arms + the cycle pages (their chains cut
     // at the hop bound, so they keep their fetch identity and rank

@@ -115,12 +115,16 @@ object GraftExtensions {
       (es: Seq[Expression]) => graft.functions.HtmlMeta(es.head)),
     ("registered_domain",
       info("registered_domain",
-        "registered_domain(host) - eTLD+1 via the public-suffix-list algorithm (bundled snapshot subset); null when the host IS a public suffix or invalid"),
+        "registered_domain(host) - eTLD+1 via the public-suffix-list algorithm (full bundled snapshot); null when the host IS a public suffix or invalid"),
       (es: Seq[Expression]) => graft.functions.RegisteredDomain(es.head)),
     ("public_suffix",
       info("public_suffix",
         "public_suffix(host) - the public suffix a host registers under (same PSL walk as registered_domain); null only for invalid hosts"),
-      (es: Seq[Expression]) => graft.functions.PublicSuffixOf(es.head)))
+      (es: Seq[Expression]) => graft.functions.PublicSuffixOf(es.head)),
+    ("meta_refresh_url",
+      info("meta_refresh_url",
+        "meta_refresh_url(html) - the first meta http-equiv=refresh redirect target (WHATWG content rule, url= optional, quotes tolerated); null when the page has none or it reloads self"),
+      (es: Seq[Expression]) => graft.functions.MetaRefreshUrl(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

@@ -54,6 +54,44 @@ case class HtmlMeta(child: Expression) extends UnaryExpression {
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The first `<meta http-equiv=refresh>` redirect target of a page,
+  * or NULL — the soft-redirect mechanism beside HTTP 3xx
+  * ([[HtmlMeta.refreshUrl]]; feed into [[graft.ops.Redirects]]
+  * alongside 3xx edges for one identity graph). Same walk
+  * discipline as [[HtmlMeta]], map-only, real codegen, never a
+  * throw. SQL name `meta_refresh_url`. */
+case class MetaRefreshUrl(child: Expression) extends UnaryExpression {
+  override def dataType: DataType = StringType
+  override def prettyName: String = "meta_refresh_url"
+  // a URL-less refresh (self-reload) yields NULL from non-null input
+  override def nullable: Boolean = true
+
+  def urlOf(input: UTF8String): UTF8String = {
+    val u = HtmlMeta.refreshUrl(input.toString)
+    if (u == null) null else UTF8String.fromString(u)
+  }
+
+  override def nullSafeEval(input: Any): Any =
+    urlOf(input.asInstanceOf[UTF8String])
+
+  override protected def doGenCode(ctx: CodegenContext,
+                                   ev: ExprCode): ExprCode = {
+    val ref = ctx.addReferenceObj("metaRefresh", this,
+      classOf[MetaRefreshUrl].getName)
+    nullSafeCodeGen(ctx, ev, c => s"""
+      ${ev.value} = $ref.urlOf($c);
+      ${ev.isNull} = ${ev.value} == null;""")
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression =
+    copy(child = c)
+}
+
+object MetaRefreshUrl {
+  def apply(html: Column): Column =
+    ColumnBridge.column(MetaRefreshUrl(ColumnBridge.expression(html)))
+}
+
 object HtmlMeta {
 
   /** Bound on collected og/twitter pairs (hostile meta-stuffing). */
@@ -294,6 +332,83 @@ object HtmlMeta {
     }
     Meta(title, desc, canonical, lang, og.result(), jsonld.result(),
       alternates.result())
+  }
+
+  /** The FIRST `<meta http-equiv=refresh>` redirect target, or null —
+    * the OTHER redirect mechanism crawlers honor beside HTTP 3xx
+    * (soft redirects: parked pages, JS-era interstitials, moved
+    * blogs). Content parses per the WHATWG rule, simplified: an
+    * optional delay number, a `;`/`,` separator, an optional
+    * `url =` prefix (any case, spaces tolerated), optional quotes
+    * around the URL; a refresh WITHOUT a URL reloads self and is NOT
+    * a redirect (null). The delay value is deliberately ignored —
+    * identity resolution cares where the page points, not when.
+    * Values arrive entity-decoded via the shared attribute parser. */
+  def refreshUrl(html: String): String = {
+    if (html == null) return null
+    val n = html.length
+    var i = 0
+    while (i < n) {
+      val lt = html.indexOf('<', i)
+      if (lt < 0) return null
+      if (lt + 3 < n && html.charAt(lt + 1) == '!' &&
+          html.charAt(lt + 2) == '-' && html.charAt(lt + 3) == '-') {
+        val end = html.indexOf("-->", lt + 4)
+        i = if (end < 0) n else end + 3
+      } else {
+        var j = lt + 1
+        val ns = j
+        while (j < n && html.charAt(j).isLetterOrDigit) j += 1
+        val name = lowerAscii(html.substring(ns, j))
+        var gt = html.indexOf('>', j)
+        if (gt < 0) gt = n
+        if (name == "meta") {
+          val as = parseAttrs(html, j, gt)
+          val he = as.collectFirst { case ("http-equiv", v) => v }
+            .map(v => lowerAscii(v.trim))
+          if (he.contains("refresh")) {
+            val content = as.collectFirst { case ("content", v) => v }
+            content.foreach { c =>
+              val u = parseRefreshContent(c)
+              if (u != null) return u
+            }
+          }
+        } else if (name == "script" || name == "style") {
+          val close = indexOfIgnoreCase(html, "</" + name, gt + 1)
+          gt = if (close < 0) n - 1 else html.indexOf('>', close) match {
+            case -1 => n - 1
+            case g => g
+          }
+        }
+        i = gt + 1
+      }
+    }
+    null
+  }
+
+  /** `content` → URL (null when the refresh is a self-reload). */
+  private[functions] def parseRefreshContent(c: String): String = {
+    var i = 0
+    val n = c.length
+    while (i < n && c.charAt(i).isWhitespace) i += 1
+    while (i < n && (c.charAt(i).isDigit || c.charAt(i) == '.')) i += 1
+    while (i < n && (c.charAt(i).isWhitespace || c.charAt(i) == ';' ||
+      c.charAt(i) == ',')) i += 1
+    if (i >= n) return null
+    // optional "url" "=" prefix, any case, spaces tolerated
+    if (i + 3 <= n && lowerAscii(c.substring(i, i + 3)) == "url") {
+      var k = i + 3
+      while (k < n && c.charAt(k).isWhitespace) k += 1
+      if (k < n && c.charAt(k) == '=') {
+        i = k + 1
+        while (i < n && c.charAt(i).isWhitespace) i += 1
+      }
+    }
+    var end = n
+    while (end > i && c.charAt(end - 1).isWhitespace) end -= 1
+    if (end > i + 1 && (c.charAt(i) == '"' || c.charAt(i) == '\'') &&
+        c.charAt(end - 1) == c.charAt(i)) { i += 1; end -= 1 }
+    if (end <= i) null else c.substring(i, end)
   }
 
   private def indexOfIgnoreCase(s: String, needle: String, from: Int): Int = {
