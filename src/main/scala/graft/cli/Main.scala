@@ -528,6 +528,21 @@ object Main {
           .write.mode("overwrite").parquet(out)
         printWarcFences("warc2wet", wobs)
 
+      case "warc-redirects" :: in :: idCol :: payloadCol :: out :: rest
+          if rest.size <= 1 =>
+        // the redirect-identity workload as one verb: 3xx + Location
+        // edges (body-free walk) resolved through bounded keyed
+        // self-joins to (src, final_url, hops, terminal) — the map a
+        // dedup or quota stage joins to key on landing identities
+        val maxHops = rest.headOption.map(_.toInt).getOrElse(8)
+        val edges = graft.sources.Warc.warcRedirects(
+            graft.sources.Multimodal.asMedia(
+              spark.read.parquet(in), idCol, payloadCol, "warc"))
+          .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+            col("target").as("dst"))
+        graft.ops.Redirects.resolve(edges, "src", "dst", maxHops)
+          .write.mode("overwrite").parquet(out)
+
       case "warc-doc-text" :: in :: idCol :: payloadCol :: out :: Nil =>
         // multi-carrier crawl text: html AND application/pdf bodies
         // route to extractors in one pass; fences print LOUD

@@ -508,4 +508,28 @@ class CliSpec extends SparkSpec {
       wet(1).getString(2) == "gzip")
     assert(wet(2).getString(1) == "rss" && wet(2).getString(3) == "T\nfeed body")
   }
+
+  test("warc-redirects verb resolves 3xx chains to landing identities") {
+    import spark.implicits._
+    val dir = java.nio.file.Files.createTempDirectory("cli-redir").toFile
+    def rec(uri: String, status: Int, extra: String): Array[Byte] = {
+      val http = (s"HTTP/1.1 $status X\r\nContent-Type: text/html\r\n" +
+        extra + "\r\n").getBytes("ISO-8859-1")
+      (s"WARC/1.0\r\nWARC-Type: response\r\nWARC-Target-URI: $uri\r\n" +
+        s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1") ++
+        http ++ "\r\n\r\n".getBytes("ISO-8859-1")
+    }
+    val warc =
+      rec("http://e/a", 301, "Location: /b\r\n") ++
+      rec("http://e/b", 302, "Location: http://e/c\r\n") ++
+      rec("http://e/ok", 200, "")
+    Seq((1L, warc)).toDF("id", "payload")
+      .write.mode("overwrite").parquet(s"$dir/in")
+    runVerb("warc-redirects", s"$dir/in", "id", "payload", s"$dir/out", "5")
+    val rows = spark.read.parquet(s"$dir/out")
+      .select("src", "final_url", "hops", "terminal")
+      .as[(String, String, Long, Boolean)].collect().sortBy(_._1).toSeq
+    assert(rows == Seq(("http://e/a", "http://e/c", 2L, true),
+      ("http://e/b", "http://e/c", 1L, true)))
+  }
 }
