@@ -6889,6 +6889,158 @@ object SparkEntry {
         .orderBy("media_id", "record_idx")
     }),
 
+    // Q355 — undeclared Cyrillic + UTF-16 charset sniff (r18 verdict
+    // missing item 2, the q349 follow-through): KOI8-R vs
+    // windows-1251 discrimination by CASE BANDING (KOI8-R lowercase
+    // а-я at 0xC0–0xDF, cp1251's at 0xE0–0xFF — prose is
+    // lowercase-dominant) and UTF-16 by BOM or ALTERNATING-NUL
+    // structure (ASCII-heavy UTF-16 is byte-wise valid UTF-8, so the
+    // UTF-16 tier runs FIRST). Arms per id: bare KOI8-R, bare
+    // cp1251, BOM-less UTF-16LE and UTF-16BE, BOM'd UTF-16, and the
+    // accented-Latin cp1252 control that must keep the r17 fallback
+    // (isolated accents never reach the ≥5-runs-of-3 floor). Same
+    // map-only bounded-scan posture as q349.
+    "q355_charset_cyrillic" -> ((s, d) => {
+      import s.implicits._
+      val ru = "Это русский текст статьи продолжение материала здесь"
+      val u16 = "утф text body here"
+      val latin = "l'été café année passée déjà vu née et protégé"
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          val bytes = (id % 6) match {
+            case 0 => s"<p>$ru page $id</p>".getBytes("KOI8-R")
+            case 1 => s"<p>$ru page $id</p>".getBytes("windows-1251")
+            case 2 => s"<p>$u16 page $id</p>".getBytes("UTF-16LE")
+            case 3 => s"<p>$u16 page $id</p>".getBytes("UTF-16BE")
+            case 4 => s"<p>$u16 page $id</p>".getBytes("UTF-16") // BOM'd
+            case _ => s"<p>$latin page $id</p>".getBytes("windows-1252")
+          }
+          // NO charset anywhere: bare text/html, no meta, no BOM
+          // except the one arm that pins BOM handling
+          val http = "HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n"
+            .getBytes("ISO-8859-1") ++ bytes
+          val hdr = ("WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: http://ex.com/cyr/$id\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
+          (id, hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1"))
+        }
+      }.toDF("doc_id", "warc")
+      graft.sources.Warc.warcHtmlText(
+          graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc"))
+        .orderBy("media_id")
+    }),
+
+    // Q356 — the dominance cap BINDS ON THE LANDING DOMAIN (r18
+    // verdict missing item 5, pinned by construction): a content
+    // farm 301-ing throwaway fetch domains (t0/t1.example) onto one
+    // landing host must have ALL its pages counted against the
+    // landing domain's cap — fetch-domain counting would give every
+    // throwaway domain its own fresh quota. [[graft.llm.Curation
+    // .v16Batch]] derives the cap key from the redirect-RESOLVED
+    // identity, so the farm's pages rank in ONE land.example group
+    // (first `domainCap` by (media_id, record_idx) survive, across
+    // ALL fetch domains) while the redirect-free control domain
+    // keeps its own independent quota. One keyed left join against
+    // the resolved edge map; the cap is a keyed WindowGroupLimit.
+    "q356_redirect_farm_cap" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          def redir(uri: String, status: Int, loc: String): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status Moved\r\n" +
+              s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
+              .getBytes("ISO-8859-1")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val farm = (0 until 2).map { j =>
+            redir(s"http://t$j.example/p/$id", 301,
+              s"http://land.example/p/$id/$j") ++
+              warcRespRec(s"http://t$j.example/p/$id", "text/html",
+                (s"<p>farm content $id $j keeps plenty of good " +
+                  "english words alive.</p>").getBytes("UTF-8"))
+          }.reduce(_ ++ _)
+          val ctrl = warcRespRec(s"http://ctrl.example/c/$id", "text/html",
+            (s"<p>control page $id keeps plenty of good english " +
+              "words too.</p>").getBytes("UTF-8"))
+          (id, farm ++ ctrl)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      val rows = graft.sources.Warc.warcDocRows(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = rows.where(col("kind") === "page")
+        .drop("kind", "status", "target")
+      val edges = rows.where(col("kind") === "redirect")
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      graft.llm.Curation.v16Batch(pages, edges,
+          Seq("bad.example"), domainCap = 5)
+        .orderBy("media_id", "record_idx")
+    }),
+
+    // Q357 — the HTTP `Refresh:` RESPONSE HEADER joins the identity
+    // graph (r18 verdict missing item 3): q354 handles the meta TAG;
+    // the equivalent response header (`Refresh: 0; url=…` —
+    // non-standard but emitted by real servers and honored by
+    // browsers) is one header lookup in the existing
+    // [[graft.sources.Warc.warcRedirects]] walk, same WHATWG content
+    // syntax, same [[resolveLocation]], same edge schema. The
+    // fixture chains a 302 onto a 200 interstitial whose Refresh
+    // header (absolute / root-relative by id parity) lands the
+    // chain: start → hop (3xx) → land (Refresh) = 2 hops. A URL-less
+    // `Refresh: 30` is a self-reload (NO edge), and a
+    // `Refresh: 0; url=mailto:…` must NOT fabricate a path-relative
+    // edge (the ADVICE r18 resolveLocation pin) — both arms appear
+    // only by their ABSENCE from the resolved output. Body-free
+    // listing walk (maxBody=0), map-only.
+    "q357_refresh_header" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          def redir(uri: String, status: Int, loc: String): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status Moved\r\n" +
+              s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
+              .getBytes("ISO-8859-1")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val hop = redir(s"http://s.example/a/$id", 302,
+            s"http://go.example/r/$id")
+          val interstitial = warcRespRec(s"http://go.example/r/$id",
+            "text/html",
+            s"<p>hold on, moving you along $id.</p>".getBytes("UTF-8"),
+            if (id % 2 == 0)
+              s"Refresh: 0; url=http://dest.example/d/$id\r\n"
+            else s"Refresh: 0; URL=/d/$id\r\n")
+          val reload = warcRespRec(s"http://plain.example/p/$id",
+            "text/html",
+            s"<p>plain page $id reloads itself.</p>".getBytes("UTF-8"),
+            "Refresh: 30\r\n")
+          val mailto = warcRespRec(s"http://spam.example/m/$id",
+            "text/html",
+            s"<p>mailto page $id goes nowhere.</p>".getBytes("UTF-8"),
+            "Refresh: 0; url=mailto:x@y.example\r\n")
+          (id, hop ++ interstitial ++ reload ++ mailto)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      val edges = graft.sources.Warc.warcRedirects(media)
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      graft.ops.Redirects.resolve(edges, "src", "dst", maxHops = 4)
+        .orderBy("src")
+    }),
+
     // Q354 — soft redirects: `<meta http-equiv=refresh>` joins the
     // identity graph ([[graft.functions.MetaRefreshUrl]], SQL
     // `meta_refresh_url`): parked pages and JS-era interstitials
@@ -14326,6 +14478,67 @@ object SparkEntry {
         |  CAST(dr AS BIGINT) AS domain_rank, text
         |FROM k WHERE dr <= 7
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    "q355_charset_cyrillic" ->
+      """SELECT doc_id AS media_id, CAST(0 AS INTEGER) AS record_idx,
+        |  'http://ex.com/cyr/' || doc_id AS url,
+        |  CASE doc_id % 6 WHEN 0 THEN 'koi8-r' WHEN 1 THEN 'windows-1251'
+        |       WHEN 2 THEN 'utf-16le' WHEN 3 THEN 'utf-16be'
+        |       WHEN 4 THEN 'utf-16' ELSE 'windows-1252' END AS charset,
+        |  CASE WHEN doc_id % 6 IN (0, 1)
+        |    THEN 'Это русский текст статьи продолжение материала здесь page ' || doc_id
+        |    WHEN doc_id % 6 IN (2, 3, 4)
+        |    THEN 'утф text body here page ' || doc_id
+        |    ELSE 'l''été café année passée déjà vu née et protégé page ' || doc_id
+        |  END AS text
+        |FROM documents WHERE doc_id % 50 <> 0
+        |ORDER BY media_id""".stripMargin,
+
+    // Landing-domain cap restated: every farm page ranks in ONE
+    // land.example window regardless of its fetch domain; record
+    // indexes are the fixture's WARC layout (3xx records consume an
+    // index but emit no page row: pages sit at 1, 3, 4).
+    "q356_redirect_farm_cap" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 1 + 2 * j AS record_idx,
+        |    'html' AS carrier,
+        |    'http://land.example/p/' || doc_id || '/' || j AS url,
+        |    'land.example' AS domain,
+        |    'farm content ' || doc_id || ' ' || j ||
+        |      ' keeps plenty of good english words alive.' AS text
+        |  FROM ids, generate_series(0, 1) t(j)
+        |  UNION ALL
+        |  SELECT doc_id, 4, 'html', 'http://ctrl.example/c/' || doc_id,
+        |    'ctrl.example',
+        |    'control page ' || doc_id ||
+        |      ' keeps plenty of good english words too.'
+        |  FROM ids),
+        |k AS (SELECT *, ROW_NUMBER() OVER (PARTITION BY domain
+        |        ORDER BY media_id, record_idx) AS dr FROM r)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, url, domain, CAST(dr AS BIGINT) AS domain_rank, text
+        |FROM k WHERE dr <= 5
+        |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Closed-form per arm: the 302 hop chains onto the interstitial
+    // whose Refresh header lands it (2 hops from the start, 1 from
+    // the interstitial); the self-reload and mailto arms contribute
+    // NO edges, so their sources never appear.
+    "q357_refresh_header" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |d AS (SELECT doc_id, CASE WHEN doc_id % 2 = 0
+        |        THEN 'http://dest.example/d/' || doc_id
+        |        ELSE 'http://go.example/d/' || doc_id END AS dest
+        |      FROM ids),
+        |r AS (
+        |  SELECT 'http://s.example/a/' || doc_id AS src, dest AS final_url,
+        |    CAST(2 AS BIGINT) AS hops, TRUE AS terminal FROM d
+        |  UNION ALL
+        |  SELECT 'http://go.example/r/' || doc_id, dest,
+        |    CAST(1 AS BIGINT), TRUE FROM d)
+        |SELECT src, final_url, hops, terminal FROM r
+        |ORDER BY src""".stripMargin,
 
     // Closed-form chain restatement per arm: the fixture's shapes are
     // fixed, so the oracle states each source's landing identity, hop

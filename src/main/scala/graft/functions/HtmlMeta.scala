@@ -386,8 +386,11 @@ object HtmlMeta {
     null
   }
 
-  /** `content` → URL (null when the refresh is a self-reload). */
-  private[functions] def parseRefreshContent(c: String): String = {
+  /** `content` → URL (null when the refresh is a self-reload). Also
+    * reused for the HTTP `Refresh:` RESPONSE header (same WHATWG
+    * content syntax; non-standard but emitted by real servers and
+    * honored by browsers — [[graft.sources.Warc.warcRedirects]]). */
+  private[graft] def parseRefreshContent(c: String): String = {
     var i = 0
     val n = c.length
     while (i < n && c.charAt(i).isWhitespace) i += 1

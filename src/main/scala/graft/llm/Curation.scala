@@ -124,9 +124,12 @@ object Curation {
     * Scale posture: ONE keyed left join of the gated pages against
     * the resolved edge map — edges are the crawl's 3xx fraction
     * (far smaller than pages), the join key is the canonical URL,
-    * and the resolve itself is maxHops keyed self-joins of the edge
-    * set alone (never touches page rows). Everything else is v15's
-    * keyed WindowGroupLimit chain. */
+    * and the resolve itself is ~2·log₂(maxHops) pointer-doubled
+    * keyed self-joins of the edge set alone (never touches page
+    * rows). The dominance cap keys on the RESOLVED landing identity
+    * too — a farm 301-ing throwaway fetch domains onto one landing
+    * host counts against THAT host's quota (q356 pins it).
+    * Everything else is v15's keyed WindowGroupLimit chain. */
   def v16Batch(pages: DataFrame, redirects: DataFrame,
                blockDomains: Seq[String], domainCap: Int): DataFrame = {
     val resolved = graft.ops.Redirects

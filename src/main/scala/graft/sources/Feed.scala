@@ -82,13 +82,16 @@ object Feed {
     * tag: optional whitespace around `=`, optional single/double
     * quotes, any terminator (ADVICE r17 — the literal
     * `type="html"` match missed unquoted and spaced forms, leaking
-    * escaped markup into training text). `type="xhtml"` is
+    * escaped markup into training text). The name is anchored on the
+    * left (ADVICE r18): attribute names merely ENDING in "type"
+    * (`data-type=html`, `xsi:type='html'`) must not trigger the
+    * second unescape pass over literal content. `type="xhtml"` is
     * deliberately NOT matched: RFC 4287 §3.1.1.3 xhtml content is
     * LITERAL inline markup, which the single html_to_text pass
     * already strips — only `html` content is entity-ESCAPED markup
     * needing the second pass. */
   private val TypeHtmlAttr =
-    """type\s*=\s*["']?\s*html\s*["']?(?=[\s/>"'])""".r
+    """(?<![\w:-])type\s*=\s*["']?\s*html\s*["']?(?=[\s/>"'])""".r
 
   /** Clean one element body: CDATA-unwrap, then the html_to_text
     * pass. Atom bodies declared `type="html"` carry ESCAPED HTML —

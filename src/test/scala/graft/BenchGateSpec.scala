@@ -353,6 +353,36 @@ class BenchGateSpec extends AnyFunSuite {
     assert(Bench.ownBurstLoad(-1.0, 32.0, 0.5) < 0.27) // no baseline: full width
   }
 
+  test("remeasureVerdict replaying BENCH_r18: external load in the " +
+      "pre-window cannot confirm") {
+    import Bench.remeasureVerdict
+    // r18's false confirm (the SIXTH loaded-box round): q289 min-of-2
+    // re-measured 2.472 s vs gate 1.253 (trip 2.179) with the
+    // pre-window at loadavg ~1.7 — pure EXTERNAL load (the entry's
+    // own burst hadn't run yet), which passed the old busy margin
+    // (cpus/16 = 2.0). The quiet truth was 1.41 s = 1.13× gate. The
+    // confirming verdict now demands preLoad ≤ ~0.5 runnable threads:
+    assert(remeasureVerdict(wall = 2.472, gate = 1.253, postLoad = 1.83,
+      loadThreshold = 4.5, concNow = 0.024, concGate = 0.024,
+      preLoad = 1.7) == "unconfirmed")
+    // even with a quiet pre-window, two DISAGREEING attempts (>15%)
+    // park the entry — drain inflation is unstable run-to-run, a
+    // real regression reproduces tightly
+    assert(remeasureVerdict(2.472, 1.253, 1.0, 4.5, 0.024, 0.024,
+      preLoad = 0.3, attemptsAgree = false) == "unconfirmed")
+    // the judge's quiet wall RECOVERS the entry (1.41 < trip 2.179)
+    assert(remeasureVerdict(1.41, 1.253, 1.0, 4.5, 0.024, 0.024,
+      preLoad = 0.3) == "recovered")
+    // a genuine regression — quiet pre-window, agreeing attempts,
+    // clean witness, wall past the line — still confirms
+    assert(remeasureVerdict(2.9, 1.253, 1.0, 4.5, 0.024, 0.024,
+      preLoad = 0.3) == "confirmed")
+    // recovery does NOT require the tight pre-window: a wall under
+    // the trip line despite residual load is still exculpatory
+    assert(remeasureVerdict(1.41, 1.253, 1.0, 4.5, 0.024, 0.024,
+      preLoad = 1.7) == "recovered")
+  }
+
   test("gateCarry: a loaded pre-window never raises a gate, never births one") {
     // r17 item 5b: non-suspect entries measured under load ratcheted
     // gates upward (q27_x10 8.25→11.29 while the quiet truth was

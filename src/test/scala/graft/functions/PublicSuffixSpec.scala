@@ -112,4 +112,38 @@ class PublicSuffixSpec extends SparkSpec {
     assert(back(0).getString(1) == "example.co.uk")
     assert(back(1).isNullAt(1) && back(1).getString(2) == "co.uk")
   }
+
+  test("bundled snapshot drift gate: rule-class floors, sentinels, provenance") {
+    // r18 verdict item 7 (the brotli extraction-provenance pattern):
+    // the PSL changes monthly, so the snapshot is refreshed by
+    // tools/refresh_psl.py and THIS spec re-validates whatever is
+    // installed — a truncated or mangled refresh can never ship.
+    // Floors mirror the script's (well under the current ~9.5k
+    // rules, far above any truncation), sentinels sample one rule
+    // per class, and the provenance header pins the refresh path.
+    val lines = PublicSuffix.loadBundledList()
+    assert(lines != null, "bundled public_suffix_list.dat missing")
+    assert(lines.head.startsWith("// graft PSL snapshot:"),
+      "provenance header missing - refresh via tools/refresh_psl.py")
+    assert(lines.exists(_.contains("===BEGIN ICANN DOMAINS===")))
+    assert(lines.exists(_.contains("===BEGIN PRIVATE DOMAINS===")))
+    val rules = PublicSuffix.parse(lines)
+    assert(rules.exact.size >= 9000, s"exact rules: ${rules.exact.size}")
+    assert(rules.wildcardStem.size >= 80,
+      s"wildcard rules: ${rules.wildcardStem.size}")
+    assert(rules.exception.size >= 5,
+      s"exception rules: ${rules.exception.size}")
+    // one sentinel per class (decade-stable entries)
+    assert(Seq("com", "co.uk", "github.io", "blogspot.com")
+      .forall(rules.exact.contains))
+    assert(rules.wildcardStem.contains("bd"))
+    assert(rules.exception.contains("city.kawasaki.jp"))
+    // IDN rules register BOTH U-label and A-label forms
+    val idn = rules.exact.filter(_.exists(_ >= 0x80))
+    assert(idn.size >= 300, s"IDN rules: ${idn.size}")
+    assert(idn.forall(u =>
+      try rules.exact.contains(java.net.IDN.toASCII(u))
+      catch { case _: Exception => true } // unconvertible: U-form only
+    ), "A-label sibling missing for an IDN rule")
+  }
 }

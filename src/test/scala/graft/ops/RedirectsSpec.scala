@@ -39,6 +39,24 @@ class RedirectsSpec extends SparkSpec {
     assert(long("u5") == (("u12", 7L, true))) // fits within the bound
   }
 
+  test("pointer doubling is exact at non-power-of-2 hop bounds") {
+    // r19: resolve is pointer-doubled (descending greedy binary
+    // decomposition) — the cap must stay EXACT, not round to a power
+    // of two. Chain of 10 at maxHops=6: cut at exactly 6, flagged.
+    val chain10 = (0 until 10).map(i => s"u$i" -> s"u${i + 1}")
+    val cut = resolveAll(chain10, maxHops = 6)
+    assert(cut("u0") == (("u6", 6L, false)))
+    // dist < bound lands on the sink with its true hop count…
+    val chain5 = (0 until 5).map(i => s"v$i" -> s"v${i + 1}")
+    assert(resolveAll(chain5, maxHops = 6)("v0") == (("v5", 5L, true)))
+    // …and dist == bound exactly reaches the sink (the last greedy
+    // level shrinks at the tail instead of overshooting)
+    val chain6 = (0 until 6).map(i => s"w$i" -> s"w${i + 1}")
+    assert(resolveAll(chain6, maxHops = 6)("w0") == (("w6", 6L, true)))
+    // maxHops=1: only the first edge, never more
+    assert(resolveAll(chain10, maxHops = 1)("u0") == (("u1", 1L, false)))
+  }
+
   test("self-redirects drop; duplicate captures resolve deterministically") {
     val r = resolveAll(Seq("a" -> "a", "b" -> "c"))
     assert(!r.contains("a") && r("b") == (("c", 1L, true)))
@@ -61,5 +79,14 @@ class RedirectsSpec extends SparkSpec {
     assert(resolveLocation(base, null) == null)
     assert(resolveLocation(base, "   ") == null)
     assert(resolveLocation("no-scheme", "/x") == null)
+    // non-hierarchical schemes are NOT page identities and must not
+    // resolve as path-relative (ADVICE r18: http://ex.com/dir/mailto:x
+    // edges fabricated from mailto Location values)
+    assert(resolveLocation(base, "mailto:x@y.example") == null)
+    assert(resolveLocation(base, "tel:+15551234567") == null)
+    assert(resolveLocation(base, "javascript:void(0)") == null)
+    assert(resolveLocation(base, "ftp://files.example/a") == null)
+    // a colon AFTER the first path segment is not a scheme
+    assert(resolveLocation(base, "a/b:c") == "http://ex.com/dir/a/b:c")
   }
 }

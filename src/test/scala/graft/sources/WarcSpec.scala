@@ -462,6 +462,91 @@ class WarcSpec extends SparkSpec {
       ("http://ex.com/dir/c", 307, "http://ex.com/dir/sib")))
   }
 
+  test("warcRedirects: HTTP Refresh response headers join the edge set") {
+    def resp(uri: String, status: Int, extra: String,
+             body: String = ""): Array[Byte] =
+      record("response", uri,
+        (s"HTTP/1.1 $status X\r\nContent-Type: text/html\r\n$extra\r\n")
+          .getBytes("ISO-8859-1") ++ body.getBytes("UTF-8"))
+    val warc =
+      // 200 interstitial with an absolute Refresh target
+      resp("http://go.ex/r1", 200,
+        "Refresh: 0; url=http://dest.ex/d1\r\n", "<p>moving</p>") ++
+      // root-relative, spaced `URL =` form, case-insensitive
+      resp("http://go.ex/r2", 200,
+        "Refresh: 5; URL = /d2\r\n", "<p>moving</p>") ++
+      // URL-less self-reload: NO edge
+      resp("http://go.ex/r3", 200, "Refresh: 30\r\n", "<p>stay</p>") ++
+      // non-http scheme: NO edge, and NEVER a path-relative mangle
+      resp("http://go.ex/r4", 200,
+        "Refresh: 0; url=mailto:x@y.ex\r\n", "<p>mail</p>") ++
+      // a 3xx with BOTH: Location is authoritative (one edge)
+      resp("http://go.ex/r5", 301,
+        "Location: /moved\r\nRefresh: 0; url=/wrong\r\n")
+    val media = Multimodal.asMedia(
+      Seq((1L, warc)).toDF("id", "bytes"), "id", "bytes", "warc")
+    val rows = Warc.warcRedirects(media)
+      .select("url", "status", "target").as[(String, Int, String)]
+      .collect().sortBy(_._1).toSeq
+    assert(rows == Seq(
+      ("http://go.ex/r1", 200, "http://dest.ex/d1"),
+      ("http://go.ex/r2", 200, "http://go.ex/d2"),
+      ("http://go.ex/r5", 301, "http://go.ex/moved")))
+  }
+
+  test("undeclared Cyrillic sniff: KOI8-R vs windows-1251 case banding; Latin stays cp1252") {
+    import Warc.{htmlCharset, sniffCyrillic}
+    val ru = "Это русский текст статьи продолжение материала здесь"
+    assert(sniffCyrillic(ru.getBytes("KOI8-R")) == "koi8-r")
+    assert(sniffCyrillic(ru.getBytes("windows-1251")) == "windows-1251")
+    // htmlCharset routes undeclared non-UTF-8 Cyrillic through the
+    // sniff, and the full decode restores the original characters
+    for (cs <- Seq("KOI8-R", "windows-1251")) {
+      val body = s"<p>$ru</p>".getBytes(cs)
+      val want = cs.toLowerCase(java.util.Locale.ROOT)
+      assert(htmlCharset(None, body) == want, s"$cs not sniffed")
+      val (txt, dcs) = Warc.decodeHtml(body, None)
+      assert(dcs == want && txt.contains("русский"), s"$cs decode: $txt")
+    }
+    // accented Latin: isolated high bytes never reach the
+    // runs-of-3 floor — the cp1252 fallback is preserved
+    val latin = ("l'été café année passée déjà vu née et aussi protégé " +
+      "qualité société réalité idée musée").getBytes("windows-1252")
+    assert(sniffCyrillic(latin) == null)
+    assert(htmlCharset(None, latin) == "windows-1252")
+    // CJK text must keep sniffing CJK (the tier order holds)
+    val ja = "これは日本語のテキストです。記事の本文が続きます。"
+    assert(htmlCharset(None, ja.getBytes("shift_jis")) == "shift_jis")
+    // hostile: junk bytes never throw
+    sniffCyrillic(Array.tabulate[Byte](64)(i => (0x80 + i).toByte))
+  }
+
+  test("undeclared UTF-16: BOM or alternating-NUL structure, before the UTF-8 tier") {
+    import Warc.{htmlCharset, sniffUtf16}
+    val s = "<p>утф text body here page 7</p>"
+    assert(sniffUtf16(s.getBytes("UTF-16LE")) == "utf-16le")
+    assert(sniffUtf16(s.getBytes("UTF-16BE")) == "utf-16be")
+    assert(sniffUtf16(s.getBytes("UTF-16")) == "utf-16") // BOM'd
+    // ASCII-heavy UTF-16LE is byte-wise VALID UTF-8 — the UTF-16
+    // tier must catch it first or NULs thread through the text
+    assert(Warc.looksUtf8(s.getBytes("UTF-16LE")))
+    for (cs <- Seq("UTF-16LE", "UTF-16BE", "UTF-16")) {
+      val body = s.getBytes(cs)
+      assert(htmlCharset(None, body) == cs.toLowerCase(java.util.Locale.ROOT))
+      val (txt, _) = Warc.decodeHtml(body, None)
+      assert(txt.contains("утф text body here"), s"$cs decode: $txt")
+    }
+    // single-byte text has no NULs: never sniffs UTF-16
+    assert(sniffUtf16("plain ascii text with no nulls at all here ok"
+      .getBytes("US-ASCII")) == null)
+    assert(sniffUtf16("café page".getBytes("windows-1252")) == null)
+    // too short to trust the structure (under 16 units)
+    assert(sniffUtf16("hi there".getBytes("UTF-16LE")) == null)
+    // hostile: odd lengths / empty never throw
+    assert(sniffUtf16(Array[Byte](0x41)) == null)
+    assert(sniffUtf16(Array.emptyByteArray) == null)
+  }
+
   test("undeclared charset: UTF-8 validation falls back to windows-1252") {
     import Warc.{htmlCharset, looksUtf8}
     // looksUtf8 structural pins
