@@ -7041,6 +7041,98 @@ object SparkEntry {
         .orderBy("src")
     }),
 
+    // Q358 — tracking-parameter URL identity ([[graft.functions
+    // .StripTrackingParams]], SQL `strip_tracking_params`): the same
+    // article arrives from a newsletter (`utm_*`), Facebook
+    // (`fbclid`), and an ad click (`gclid`) under distinct query
+    // strings, so URL-keyed dedup counts one page several times.
+    // Keying on `canonical_url(strip_tracking_params(url))` collapses
+    // the attribution variants while a REAL routing parameter
+    // (`page=2`) keeps its own identity — and a mixed query
+    // (`page=2&utm_source=…`) lands with its real-param sibling.
+    // Deliberately NOT inside canonical_url (dropping a parameter is
+    // a semantic judgment, not RFC 3986 normalization). Map-only
+    // expressions into one partial-aggregated groupBy.
+    "q358_tracking_dedup" -> ((s, d) => {
+      import s.implicits._
+      val urls = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+        val base = s"http://news.example/art/$id"
+        Seq(
+          (id, 0, base),
+          (id, 1, s"$base?utm_source=newsletter&utm_medium=email"),
+          (id, 2, s"$base?fbclid=F$id"),
+          (id, 3, s"$base?gclid=G$id&utm_campaign=q3"),
+          (id, 4, s"$base?page=2"),
+          (id, 5, s"$base?page=2&utm_source=tw"))
+      }.toDF("doc_id", "variant", "url")
+      urls.select(col("doc_id"), col("variant"),
+          graft.functions.CanonicalUrl(
+            graft.functions.StripTrackingParams(col("url"))).as("url_key"))
+        .groupBy("url_key")
+        .agg(count(lit(1)).as("n_urls"),
+          min("variant").as("first_variant"))
+        .orderBy("url_key")
+    }),
+
+    // Q359 — curation v17: TRACKING-PARAMETER identity in the
+    // capstone ([[graft.llm.Curation.v17Batch]] — q358's fold
+    // composed into v16). The keep-first key, the cap domain and
+    // BOTH redirect-edge endpoints strip utm_*/click-ids after
+    // canonicalization, so per id: the `?utm_source=nl` capture and
+    // the bare re-crawl (different text — only URL identity can
+    // collapse them) are ONE key (first kept), a 301 whose source
+    // AND Location both carry tracking params still lands its
+    // old-URL page on the same identity, and the REAL `page=2`
+    // routing param keeps its own. Same plan shape as v16 — the
+    // fold is one more codegen'd map-side expression.
+    "q359_curation_v17" -> ((s, d) => {
+      import s.implicits._
+      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+        else {
+          def redir(uri: String, status: Int, loc: String): Array[Byte] = {
+            val http = (s"HTTP/1.1 $status Moved\r\n" +
+              s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
+              .getBytes("ISO-8859-1")
+            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+              s"WARC-Target-URI: $uri\r\n" +
+              s"Content-Length: ${http.length}\r\n\r\n")
+              .getBytes("ISO-8859-1") ++ http ++
+              "\r\n\r\n".getBytes("ISO-8859-1")
+          }
+          val tracked = warcRespRec(
+            s"http://m$id.example/a/$id?utm_source=nl", "text/html",
+            (s"<p>article $id version one keeps plenty of good " +
+              "english words.</p>").getBytes("UTF-8"))
+          val bare = warcRespRec(s"http://m$id.example/a/$id", "text/html",
+            (s"<p>article $id version two keeps plenty of different " +
+              "english words.</p>").getBytes("UTF-8"))
+          val paged = warcRespRec(
+            s"http://m$id.example/a/$id?page=2", "text/html",
+            (s"<p>article $id page two keeps plenty of extra " +
+              "english words.</p>").getBytes("UTF-8"))
+          val moved = redir(s"http://old$id.example/o/$id?utm_campaign=x",
+            301, s"http://m$id.example/a/$id?utm_medium=email")
+          val oldPage = warcRespRec(s"http://old$id.example/o/$id",
+            "text/html",
+            (s"<p>article $id old home keeps plenty of good english " +
+              "words too.</p>").getBytes("UTF-8"))
+          (id, tracked ++ bare ++ paged ++ moved ++ oldPage)
+        }
+      }.toDF("doc_id", "warc")
+      val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
+      val rows = graft.sources.Warc.warcDocRows(media)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      val pages = rows.where(col("kind") === "page")
+        .drop("kind", "status", "target")
+      val edges = rows.where(col("kind") === "redirect")
+        .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+          col("target").as("dst"))
+      graft.llm.Curation.v17Batch(pages, edges,
+          Seq("bad.example"), domainCap = 7)
+        .orderBy("media_id", "record_idx")
+    }),
+
     // Q354 — soft redirects: `<meta http-equiv=refresh>` joins the
     // identity graph ([[graft.functions.MetaRefreshUrl]], SQL
     // `meta_refresh_url`): parked pages and JS-era interstitials
@@ -14520,6 +14612,43 @@ object SparkEntry {
         |  carrier, url, domain, CAST(dr AS BIGINT) AS domain_rank, text
         |FROM k WHERE dr <= 5
         |ORDER BY media_id, record_idx""".stripMargin,
+
+    // Two identities per article: the tracking variants (3 + the
+    // bare URL) collapse, the real `page=2` pair keeps its own key.
+    "q358_tracking_dedup" ->
+      """WITH ids AS (SELECT doc_id FROM documents),
+        |r AS (
+        |  SELECT 'http://news.example/art/' || doc_id AS url_key,
+        |    CAST(4 AS BIGINT) AS n_urls, 0 AS first_variant FROM ids
+        |  UNION ALL
+        |  SELECT 'http://news.example/art/' || doc_id || '?page=2',
+        |    CAST(2 AS BIGINT), 4 FROM ids)
+        |SELECT url_key, n_urls, CAST(first_variant AS INTEGER) AS first_variant
+        |FROM r ORDER BY url_key""".stripMargin,
+
+    // Two survivors per id: the tracked first capture (its bare
+    // re-crawl and the redirect-moved old page collapse onto the
+    // stripped key) and the real page=2 identity.
+    "q359_curation_v17" ->
+      """WITH ids AS (SELECT doc_id FROM documents WHERE doc_id % 50 <> 0),
+        |r AS (
+        |  SELECT doc_id AS media_id, 0 AS record_idx, 'html' AS carrier,
+        |    'http://m' || doc_id || '.example/a/' || doc_id AS url,
+        |    'm' || doc_id || '.example' AS domain,
+        |    CAST(1 AS BIGINT) AS domain_rank,
+        |    'article ' || doc_id ||
+        |      ' version one keeps plenty of good english words.' AS text
+        |  FROM ids
+        |  UNION ALL
+        |  SELECT doc_id, 2, 'html',
+        |    'http://m' || doc_id || '.example/a/' || doc_id || '?page=2',
+        |    'm' || doc_id || '.example', CAST(2 AS BIGINT),
+        |    'article ' || doc_id ||
+        |      ' page two keeps plenty of extra english words.'
+        |  FROM ids)
+        |SELECT media_id, CAST(record_idx AS INTEGER) AS record_idx,
+        |  carrier, url, domain, domain_rank, text
+        |FROM r ORDER BY media_id, record_idx""".stripMargin,
 
     // Closed-form per arm: the 302 hop chains onto the interstitial
     // whose Refresh header lands it (2 hops from the start, 1 from

@@ -124,7 +124,11 @@ object GraftExtensions {
     ("meta_refresh_url",
       info("meta_refresh_url",
         "meta_refresh_url(html) - the first meta http-equiv=refresh redirect target (WHATWG content rule, url= optional, quotes tolerated); null when the page has none or it reloads self"),
-      (es: Seq[Expression]) => graft.functions.MetaRefreshUrl(es.head)))
+      (es: Seq[Expression]) => graft.functions.MetaRefreshUrl(es.head)),
+    ("strip_tracking_params",
+      info("strip_tracking_params",
+        "strip_tracking_params(url) - drop utm_* and well-known click/campaign ids (fbclid, gclid, mc_cid, ...) from the query; surviving params keep their order; compose with canonical_url for the dedup key"),
+      (es: Seq[Expression]) => graft.functions.StripTrackingParams(es.head)))
 
   /** Register the functions on an already-built session. */
   def register(spark: SparkSession): Unit =

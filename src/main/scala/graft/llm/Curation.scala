@@ -131,12 +131,43 @@ object Curation {
     * host counts against THAT host's quota (q356 pins it).
     * Everything else is v15's keyed WindowGroupLimit chain. */
   def v16Batch(pages: DataFrame, redirects: DataFrame,
-               blockDomains: Seq[String], domainCap: Int): DataFrame = {
+               blockDomains: Seq[String], domainCap: Int): DataFrame =
+    resolvedBatchBody(pages, redirects, blockDomains, domainCap,
+      fold = c => c)
+
+  /** Curation v17: v16 plus TRACKING-PARAMETER identity
+    * ([[graft.functions.StripTrackingParams]]): the keep-first key,
+    * the dominance-cap domain AND both redirect-edge endpoints fold
+    * through `strip_tracking_params` after canonicalization, so the
+    * same article referred via `utm_*`/`fbclid`/`gclid` variants —
+    * or 301-moved with tracking params on either side of the
+    * `Location` — is ONE identity. The fold applies to edges too:
+    * a chain key must match whether the capture carried the params
+    * or not. Same plan shape as v16 (the fold is one more map-side
+    * codegen'd expression in the existing projections). */
+  def v17Batch(pages: DataFrame, redirects: DataFrame,
+               blockDomains: Seq[String], domainCap: Int): DataFrame =
+    resolvedBatchBody(pages, redirects, blockDomains, domainCap,
+      fold = graft.functions.StripTrackingParams.apply)
+
+  /** The shared v16/v17 post-gate body: resolve the (already
+    * canonicalized) edge graph, re-key TERMINAL resolutions onto
+    * their landing identity, keep-first by URL then text, cap per
+    * landing registered domain. `fold` maps a canonical URL to the
+    * identity key (v16: identity; v17: strip_tracking_params) and
+    * applies uniformly to page keys and BOTH edge endpoints so
+    * chain joins stay aligned. */
+  private def resolvedBatchBody(pages: DataFrame, redirects: DataFrame,
+                                blockDomains: Seq[String], domainCap: Int,
+                                fold: org.apache.spark.sql.Column =>
+                                  org.apache.spark.sql.Column): DataFrame = {
     val resolved = graft.ops.Redirects
-      .resolve(redirects, "src", "dst", maxHops = 8)
+      .resolve(redirects.select(fold(col("src")).as("src"),
+        fold(col("dst")).as("dst")), "src", "dst", maxHops = 8)
       .where(col("terminal"))
       .select(col("src").as("url_canon"), col("final_url"))
     val gated = v14Gates(pages, blockDomains)
+      .withColumn("url_canon", fold(col("url_canon")))
       .join(resolved, Seq("url_canon"), "left")
       .withColumn("url_canon",
         coalesce(col("final_url"), col("url_canon")))
@@ -353,6 +384,29 @@ object Curation {
   def v16Stream(rows: DataFrame, blockDomains: Seq[String], domainCap: Int,
                 outDir: String, keysDir: String, countsDir: String,
                 edgesDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    resolvedStream(rows, blockDomains, domainCap, outDir, keysDir,
+      countsDir, edgesDir, checkpointDir, fold = c => c)
+
+  /** [[v17Batch]]'s streaming leg — v16's with the
+    * strip-tracking-params identity fold on page keys and both edge
+    * endpoints (persisted edge segments store the FOLDED form, so
+    * cross-batch resolution keys align). Same idempotency and parity
+    * discipline. */
+  def v17Stream(rows: DataFrame, blockDomains: Seq[String], domainCap: Int,
+                outDir: String, keysDir: String, countsDir: String,
+                edgesDir: String, checkpointDir: String)
+      : org.apache.spark.sql.streaming.StreamingQuery =
+    resolvedStream(rows, blockDomains, domainCap, outDir, keysDir,
+      countsDir, edgesDir, checkpointDir,
+      fold = graft.functions.StripTrackingParams.apply)
+
+  private def resolvedStream(rows: DataFrame, blockDomains: Seq[String],
+                             domainCap: Int, outDir: String,
+                             keysDir: String, countsDir: String,
+                             edgesDir: String, checkpointDir: String,
+                             fold: org.apache.spark.sql.Column =>
+                               org.apache.spark.sql.Column)
       : org.apache.spark.sql.streaming.StreamingQuery = {
     rows.writeStream
       .option("checkpointLocation", checkpointDir)
@@ -367,8 +421,8 @@ object Curation {
         val pages = b0.where(col("kind") === "page")
           .drop("kind", "status", "target")
         b0.where(col("kind") === "redirect")
-          .select(graft.functions.CanonicalUrl(col("url")).as("src"),
-            col("target").as("dst"))
+          .select(fold(graft.functions.CanonicalUrl(col("url"))).as("src"),
+            fold(col("target")).as("dst"))
           .write.mode("overwrite").parquet(s"$edgesDir/b$batchId")
         val edgeSegs =
           earlierSegments(spark, edgesDir, batchId) :+ s"$edgesDir/b$batchId"
@@ -377,6 +431,7 @@ object Curation {
           .where(col("terminal"))
           .select(col("src").as("url_canon"), col("final_url"))
         val gated = v14Gates(pages, blockDomains)
+          .withColumn("url_canon", fold(col("url_canon")))
           .join(resolved, Seq("url_canon"), "left")
           .withColumn("url_canon",
             coalesce(col("final_url"), col("url_canon")))

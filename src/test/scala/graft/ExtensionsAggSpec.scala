@@ -42,7 +42,7 @@ class GraftExtensionsSpec extends SparkSpec {
         "repetition_stats", "rolling_winnow", "cdc_cuts", "jaro_winkler",
         "fold_text", "html_to_text", "html_blocks", "canonical_url",
         "robots_allowed", "html_meta", "registered_domain",
-        "public_suffix", "meta_refresh_url"))
+        "public_suffix", "meta_refresh_url", "strip_tracking_params"))
   }
 }
 

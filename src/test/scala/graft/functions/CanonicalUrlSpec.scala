@@ -82,4 +82,42 @@ class CanonicalUrlSpec extends SparkSpec {
     assert(canonicalize("http://bü\uD800cher.example/") ==
       "http://bü\uD800cher.example/".toLowerCase(java.util.Locale.ROOT))
   }
+
+  test("strip_tracking_params: utm_*/click-id removal, order preserved, conservative") {
+    import StripTrackingParams.strip
+    // the newsletter/ad/social forms of ONE article collapse
+    assert(strip("http://ex.com/a?utm_source=nl&utm_medium=email") ==
+      "http://ex.com/a")
+    assert(strip("http://ex.com/a?fbclid=AbC123") == "http://ex.com/a")
+    assert(strip("http://ex.com/a?gclid=x&utm_campaign=q3&id=7") ==
+      "http://ex.com/a?id=7")
+    // surviving params keep their relative order and exact bytes
+    assert(strip("http://ex.com/s?b=2&utm_x=1&a=1") ==
+      "http://ex.com/s?b=2&a=1")
+    // name match is case-insensitive, value-blind, `=`-optional
+    assert(strip("http://ex.com/a?UTM_SOURCE=X&Fbclid") == "http://ex.com/a")
+    // conservative: non-tracking names NEVER strip, even look-alikes
+    assert(strip("http://ex.com/a?id=utm_source&utmx=1&page=2") ==
+      "http://ex.com/a?id=utm_source&utmx=1&page=2")
+    // fragments pass through; a fully-stripped query drops its `?`
+    assert(strip("http://ex.com/a?utm_s=1#sec") == "http://ex.com/a#sec")
+    assert(strip("http://ex.com/a?mc_cid=9&mc_eid=8#x") ==
+      "http://ex.com/a#x")
+    // no query / empty query / null: unchanged, never a throw
+    assert(strip("http://ex.com/a") == "http://ex.com/a")
+    assert(strip("http://ex.com/a?") == "http://ex.com/a?")
+    assert(strip(null) == null)
+    // composes with canonical_url into the dedup key
+    assert(canonicalize(strip(
+      "HTTP://Ex.COM:80/a/../b?utm_source=feed&gclid=1")) ==
+      "http://ex.com/b")
+    // the Column + SQL surfaces agree with the kernel
+    val urls = Seq("http://ex.com/a?utm_source=nl&id=3").toDF("u")
+    assert(urls.select(StripTrackingParams(col("u")).as("s"))
+      .as[String].head() == "http://ex.com/a?id=3")
+    graft.core.GraftExtensions.register(spark)
+    urls.createOrReplaceTempView("stp_urls")
+    assert(spark.sql("SELECT strip_tracking_params(u) FROM stp_urls")
+      .as[String].head() == "http://ex.com/a?id=3")
+  }
 }

@@ -226,6 +226,57 @@ class CurationStreamSpec extends SparkSpec {
         s"only-batch=${full -- streamed}")
   }
 
+  test("v17 streaming leg: tracking-param identity folds across batches") {
+    // v16's shapes with tracking params in the mix: a utm capture
+    // and its bare CROSS-BATCH re-crawl (different text) must fold
+    // to one key; a 301 whose source and Location both carry
+    // tracking params still re-keys the old page; a real `page=2`
+    // param keeps its identity.
+    def pageRow(id: Long, url: String, text: String): RowT =
+      (id, 0, "page", url, "html", text, None, 0L, 0L, None, None, None)
+    def edgeRow(id: Long, url: String, target: String): RowT =
+      (id, 1, "redirect", url, null, null, None, 0L, 0L, None,
+        Some(301), Some(target))
+    val rowBatches: Seq[Seq[RowT]] = Seq(
+      Seq(pageRow(1, "http://site.a/p1?utm_source=nl", enTxt(41)),
+        edgeRow(2, "http://old.a/x?utm_campaign=q", // folded edge src
+          "http://site.a/p1?utm_medium=email")), // folded edge dst
+      Seq(pageRow(3, "http://site.a/p1?fbclid=F3", enTxt(43)), // cross-batch fold: drop
+        pageRow(4, "http://old.a/x", enTxt(44)), // resolves onto p1: drop
+        pageRow(5, "http://site.a/p1?page=2", enTxt(45)))) // real param: keeps
+    val (outDir, keysDir, countsDir, edgesDir) =
+      (tmp("cur17-out"), tmp("cur17-keys"), tmp("cur17-counts"),
+        tmp("cur17-edges"))
+    implicit val sqlCtx = spark.sqlContext
+    val ms = MemoryStream[RowT]
+    val cols = Seq("media_id", "record_idx", "kind", "url", "carrier",
+      "text", "x_robots", "type0_codes", "type0_unmapped", "canonical",
+      "status", "target")
+    val q = Curation.v17Stream(ms.toDF().toDF(cols: _*), block,
+      domainCap = 3, outDir, keysDir, countsDir, edgesDir, tmp("cur17-ck"))
+    try rowBatches.foreach { b => ms.addData(b: _*); q.processAllAvailable() }
+    finally q.stop()
+    spark.catalog.clearCache()
+    val streamed = spark.read.parquet(s"$outDir/b*")
+      .select("media_id", "url", "domain", "domain_rank")
+      .as[(Long, String, String, Long)].collect().toSet
+    val all = rowBatches.flatten.toDF(cols: _*)
+    val full = graft.llm.Curation.v17Batch(
+        all.where(col("kind") === "page").drop("kind", "status", "target"),
+        all.where(col("kind") === "redirect")
+          .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+            col("target").as("dst")),
+        block, domainCap = 3)
+      .select("media_id", "url", "domain", "domain_rank")
+      .as[(Long, String, String, Long)].collect().toSet
+    spark.catalog.clearCache()
+    assert(full == Set((1L, "http://site.a/p1", "site.a", 1L),
+      (5L, "http://site.a/p1?page=2", "site.a", 2L)), full.toString)
+    assert(streamed == full,
+      s"v17 stream/batch divergence: only-stream=${streamed -- full}, " +
+        s"only-batch=${full -- streamed}")
+  }
+
   test("a replayed lineage rewrites the same segments instead of double-appending") {
     val (outDir, keysDir) = (tmp("cur-out2"), tmp("cur-keys2"))
     runStream(outDir, keysDir)
