@@ -508,7 +508,12 @@ object Bench {
       // round-19: curation v16, the redirect-identity capstone
       // (supersedes v15 as the tracked end-to-end pipeline; v15
       // stays as the no-redirect twin for isolation). Gate born in
-      // a quiet window per the r18 first-gate discipline.
+      // a quiet window per the r18 first-gate discipline. v17
+      // (q359) is deliberately NOT a separate entry: its plan is
+      // v16's with one more codegen'd map-side expression (the
+      // strip-tracking fold), so v16's gate covers it — a drift
+      // that only shows in v17 would have to live in the fold's
+      // string walk, which StripTracking's specs pin functionally.
       "q353_curation_v16")
 
     def time(f: => Unit): Double = {

@@ -435,8 +435,12 @@ object Archives {
   // zero members are counted, never silently absent.
 
   /** One streamed TAR member row (sentinel rows carry entryIdx -1 and
-    * the walk's end reason — the loudness channel). */
-  private final case class TarRow(path: String, entryIdx: Int, name: String,
+    * the walk's end reason — the loudness channel). Qualified-private,
+    * NOT `private`: a Java-private nested class makes the Dataset
+    * encoder's generated accessors uncompilable (Janino lives outside
+    * this class), silently demoting every tar row to the interpreted
+    * encoder — a per-row boxing tax on the whole archive walk. */
+  private[sources] final case class TarRow(path: String, entryIdx: Int, name: String,
                                   nBytes: Long, isDir: Boolean,
                                   truncated: Boolean, payload: Array[Byte],
                                   endReason: String)
@@ -687,10 +691,12 @@ object Archives {
   // are counted, never silently absent.
 
   /** One streamed ZIP member row (sentinels carry entryIdx -1). */
-  private final case class ZipRow(path: String, entryIdx: Int, name: String,
-                                  nBytes: Long, isDir: Boolean,
-                                  truncated: Boolean, payload: Array[Byte],
-                                  endReason: String)
+  // qualified-private, not `private`: see TarRow (encoder codegen)
+  private[sources] final case class ZipRow(path: String, entryIdx: Int,
+                                           name: String, nBytes: Long,
+                                           isDir: Boolean, truncated: Boolean,
+                                           payload: Array[Byte],
+                                           endReason: String)
 
   /** Bounded streaming local-header walk over one ZIP stream.
     * `next()` returns null at end; `endReason` then says why:

@@ -607,6 +607,35 @@ class PlanSpec extends SparkSpec {
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
   }
 
+  test("Redirects.resolve is pointer-doubled: join depth logarithmic in maxHops") {
+    // r18 verdict: the naive walk carried maxHops−1 sequential join
+    // barriers (PLANS §q353 showed a 9-deep nested join chain at
+    // maxHops=8). Pointer doubling hangs the jump-table builds off
+    // the build SIDES; the critical chain is ⌈log₂⌉ advances +
+    // outgoing. Depth here counts the longest root-to-leaf run of
+    // Join nodes in the optimized plan — the barrier chain.
+    import spark.implicits._
+    def joinDepth(p: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): Int = {
+      val kid = if (p.children.isEmpty) 0 else p.children.map(joinDepth).max
+      p match {
+        case _: org.apache.spark.sql.catalyst.plans.logical.Join => 1 + kid
+        case _ => kid
+      }
+    }
+    val edges = Seq(("a", "b"), ("b", "c")).toDF("src", "dst")
+    val d8 = joinDepth(graft.ops.Redirects.resolve(edges, "src", "dst",
+      maxHops = 8).queryExecution.optimizedPlan)
+    // 3 advances + outgoing, with the deepest jump build (2) under
+    // the first advance: 6. The naive walk was 8 (7 advances +
+    // outgoing).
+    assert(d8 <= 6, s"join depth $d8 at maxHops=8 - resolve regressed " +
+      "to the sequential one-edge walk?")
+    val d64 = joinDepth(graft.ops.Redirects.resolve(edges, "src", "dst",
+      maxHops = 64).queryExecution.optimizedPlan)
+    assert(d64 <= 12, s"join depth $d64 at maxHops=64 (naive would be 64)")
+    spark.catalog.clearCache()
+  }
+
   test("q337/q344: the curation capstone decodes the WARC router exactly ONCE") {
     // r17 verdict item 1: the blocklist branch was a suffix-explode
     // semi-join whose build side RE-EXECUTED the whole WARC router
