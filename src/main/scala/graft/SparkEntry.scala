@@ -66,6 +66,24 @@ object SparkEntry {
   private def nat(s: SparkSession, d: String) = Tables.nation(s, d)
   private def ev(s: SparkSession, d: String) = Tables.events(s, d)
   private def docs(s: SparkSession, d: String) = Tables.documents(s, d)
+
+  /** doc_id source for the in-plan fixture synthesizers, WIDENED to
+    * the session's parallelism (optimization r19, guide §2.5 input
+    * skew): documents.parquet is one scan split at bench scale, so
+    * every `.map`/`.flatMap` fixture synthesis — and the whole decode
+    * kernel chain fused behind it — otherwise runs as ONE task while
+    * the other cores idle. Repartitioning the BARE ids is a ~40 KB
+    * shuffle; the target derives from the runtime (defaultParallelism
+    * — executor cores on a cluster), not a local constant. Results
+    * are unchanged: synthesis is a pure function of the id and every
+    * declared query ends in a total ORDER BY. */
+  private def docIds(s: SparkSession, d: String)
+      : org.apache.spark.sql.Dataset[Long] = {
+    import s.implicits._
+    docs(s, d).select(col("doc_id"))
+      .repartition(s.sparkContext.defaultParallelism)
+      .as[Long]
+  }
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
   // PNG fixture plumbing shared by q242/q244/q249 (executor-side:
@@ -594,7 +612,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_stream_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -620,7 +638,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_tar_stream_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"t$id%08d.tar")
       if (!f.exists) {
         dir.mkdirs()
@@ -661,7 +679,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_zst_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc.zst")
       if (!f.exists) {
         dir.mkdirs()
@@ -688,7 +706,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_tar_zst_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"t$id%08d.tar.zst")
       if (!f.exists) {
         dir.mkdirs()
@@ -731,7 +749,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_bz2_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc.bz2")
       if (!f.exists) {
         dir.mkdirs()
@@ -757,7 +775,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_tar_xz_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"t$id%08d.tar.xz")
       if (!f.exists) {
         dir.mkdirs()
@@ -785,7 +803,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_docs_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -812,7 +830,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_v10_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -852,7 +870,7 @@ object SparkEntry {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_v11_v1_${Integer.toHexString(d.hashCode)}")
     val ruSample = graft.llm.LangId.CrawlSamples("ru")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -900,7 +918,7 @@ object SparkEntry {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_v12_v1_${Integer.toHexString(d.hashCode)}")
     val ruSample = graft.llm.LangId.CrawlSamples("ru")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -957,7 +975,7 @@ object SparkEntry {
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_v13_v1_${Integer.toHexString(d.hashCode)}")
     val ruSample = graft.llm.LangId.CrawlSamples("ru")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -1067,6 +1085,54 @@ object SparkEntry {
       blockedDomain ++ termUrl
   }
 
+  /** The q353/v16 WARC fixture — extracted from the query body so the
+    * optimization round's stage profiler can time fixture synthesis
+    * apart from the decode walk and the v16 body. Identical bytes to
+    * the inline r19 construction (the query's computed result is
+    * unchanged). */
+  private[graft] def q353Fixture(s: SparkSession, d: String)
+      : org.apache.spark.sql.DataFrame = {
+    import s.implicits._
+    val ruSample = graft.llm.LangId.CrawlSamples("ru")
+    docIds(s, d).map { id =>
+      if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
+      else {
+        val b = id / 5
+        def redir(uri: String, status: Int, loc: String): Array[Byte] = {
+          val http = (s"HTTP/1.1 $status Moved\r\n" +
+            s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
+            .getBytes("ISO-8859-1")
+          (s"WARC/1.0\r\nWARC-Type: response\r\n" +
+            s"WARC-Target-URI: $uri\r\n" +
+            s"Content-Length: ${http.length}\r\n\r\n")
+            .getBytes("ISO-8859-1") ++ http ++
+            "\r\n\r\n".getBytes("ISO-8859-1")
+        }
+        val farms = (0 until 3).map { j =>
+          warcRespRec(s"http://a$j.farm${id % 5}.co.uk/f/$id", "text/html",
+            (s"<p>farm page $id $j has enough unique english words " +
+              "to keep around.</p>").getBytes("UTF-8"))
+        }.reduce(_ ++ _)
+        val moved301 = redir(s"http://ex.com/h-old/$id", 301, s"/h/$b")
+        val movedPage = warcRespRec(s"http://ex.com/h-old/$id",
+          "text/html",
+          (s"<p>moved fetch $id stays clean with plenty of good " +
+            "english words.</p>").getBytes("UTF-8"))
+        val cycPage = warcRespRec(s"http://cyc.example/p/$id",
+          "text/html",
+          (s"<p>cycle page $id keeps enough english words " +
+            "alive.</p>").getBytes("UTF-8"))
+        val cyc301 = redir(s"http://cyc.example/p/$id", 301,
+          s"http://cyc2.example/p/$id")
+        val cyc302 = redir(s"http://cyc2.example/p/$id", 302,
+          s"http://cyc.example/p/$id")
+        val bytes = warcV14Bytes(id, ruSample) ++ farms ++
+          moved301 ++ movedPage ++ cycPage ++ cyc301 ++ cyc302
+        (id, if (id % 4 == 1) gzipBytes(bytes) else bytes)
+      }
+    }.toDF("doc_id", "warc")
+  }
+
   /** Executor-side tmp-file fixture writer shared by the v14/v15
     * paths fixtures (same discipline as the other warc fixtures:
     * cached by existence, tmp-write + rename). */
@@ -1075,7 +1141,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_warc_${tag}_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"w$id%08d.warc")
       if (!f.exists) {
         dir.mkdirs()
@@ -1181,7 +1247,7 @@ object SparkEntry {
     import s.implicits._
     val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
       s"graft_zip_stream_v1_${Integer.toHexString(d.hashCode)}")
-    docs(s, d).select(col("doc_id")).as[Long].map { id =>
+    docIds(s, d).map { id =>
       val f = new java.io.File(dir, f"z$id%08d.zip")
       if (!f.exists) {
         dir.mkdirs()
@@ -5334,7 +5400,7 @@ object SparkEntry {
     // shuffle (the Multimodal plumbing contract).
     "q233_pcm_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "not audio at all".getBytes("UTF-8"))
         else {
           val n = (8 + id % 32).toInt
@@ -5370,7 +5436,7 @@ object SparkEntry {
     // nulls. Map-only; payloads never shuffle.
     "q234_bmp_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "not an image".getBytes("UTF-8"))
         else {
           val w = (2 + id % 6).toInt; val h = (1 + id % 4).toInt
@@ -5413,7 +5479,7 @@ object SparkEntry {
     // exactly what this tier doesn't need. Map-only, no shuffle.
     "q235_gif_frames" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "definitely not a gif".getBytes("UTF-8"))
         else {
           val w = (2 + id % 7).toInt; val h = (1 + id % 3).toInt
@@ -5507,7 +5573,7 @@ object SparkEntry {
     // stays SQL-replayable.
     "q242_png_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "png? hardly".getBytes("UTF-8"))
         else {
           val w = (2 + id % 5).toInt; val h = (1 + id % 3).toInt
@@ -5534,7 +5600,7 @@ object SparkEntry {
     // shuffle.
     "q244_png_palette" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "png? still not".getBytes("UTF-8"))
         else {
           val depth = Seq(1, 2, 4, 8)((id % 4).toInt)
@@ -5582,7 +5648,7 @@ object SparkEntry {
     // (q252-pinned). Map-only.
     "q253_audio_fingerprint" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "audio? inaudible".getBytes("UTF-8"))
         else (id, auFixture(1, 65 * (2 + id % 3).toInt,
           i => ((id * 7 + i * 13) % 256).toInt))
@@ -5607,7 +5673,7 @@ object SparkEntry {
     // Map-only — payload bytes never cross a shuffle.
     "q254_video_metadata" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "video? nope".getBytes("UTF-8"))
         else if (id % 7 == 3)
           (id, aviFixture((320 + (id % 5) * 16).toInt,
@@ -5637,7 +5703,7 @@ object SparkEntry {
     // n_samples is null BY CONTRACT on this leg. Map-only.
     "q255_mkv_metadata" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "ebml? hardly".getBytes("UTF-8"))
         else {
           val codec = (id % 3) match {
@@ -5662,7 +5728,7 @@ object SparkEntry {
     // and integer formulas replay directly. Map-only.
     "q256_exif" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "exif? never".getBytes("UTF-8"))
         else {
           val tiff = exifTiff((1 + id % 8).toInt, s"Camera${id % 5}",
@@ -5684,7 +5750,7 @@ object SparkEntry {
     // on both engines). Map-only.
     "q257_mp3_metadata" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "mp3? silence".getBytes("UTF-8"))
         else {
           val kbps = (id % 3) match { case 0 => 64; case 1 => 128; case _ => 160 }
@@ -5708,7 +5774,7 @@ object SparkEntry {
     // bytes never cross a shuffle at any corpus size.
     "q258_video_frames" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "avi? no".getBytes("UTF-8"))
         else if (id % 5 == 2) {
           val w = (4 + id % 7).toInt; val h = (2 + id % 3).toInt
@@ -5743,7 +5809,7 @@ object SparkEntry {
     // routing is what's under test. flatMap kernel.
     "q274_mp4_frames" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "mp4? no".getBytes("UTF-8"))
         else {
           val tw = (1 + id % 2).toInt
@@ -5770,7 +5836,7 @@ object SparkEntry {
     // Hash ships as 32-bit halves (q251 contract). Map-only.
     "q259_video_framehash" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
         else if (id % 5 == 2) {
           val tw = (1 + id % 2).toInt
@@ -5812,7 +5878,7 @@ object SparkEntry {
     // pigeonhole completeness AND the threshold arithmetic.
     "q260_video_neardup" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
         else {
           val g = id / 6
@@ -5847,7 +5913,7 @@ object SparkEntry {
     // flatMap kernel, payloads never shuffle.
     "q261_subtitles" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
         else {
           val n = (1 + id % 4).toInt
@@ -5888,7 +5954,7 @@ object SparkEntry {
     // shuffle keyed by video, then a partial-agg rollup.
     "q262_scene_cuts" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
         else {
           val n = (5 + id % 4).toInt
@@ -5924,7 +5990,7 @@ object SparkEntry {
     // (25 fps ⇒ 40 ms) and the argmin pick.
     "q263_cue_frame_align" -> ((s, d) => {
       import s.implicits._
-      val base = docs(s, d).select(col("doc_id")).as[Long]
+      val base = docIds(s, d)
       val subPay = base.map { id =>
         if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
         else {
@@ -5965,7 +6031,7 @@ object SparkEntry {
     // &amp;; the oracle states the clean text directly. Map-only.
     "q264_cue_markup" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
         else {
           val n = (1 + id % 3).toInt
@@ -5993,7 +6059,7 @@ object SparkEntry {
     // partial-agg shuffle + a text-keyed join back.
     "q265_cue_boilerplate" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
         else {
           val n = (2 + id % 2).toInt
@@ -6028,7 +6094,7 @@ object SparkEntry {
     // keyed joins — nothing new at 100 TB.
     "q266_curation_v6" -> ((s, d) => {
       import s.implicits._
-      val base = docs(s, d).select(col("doc_id")).as[Long]
+      val base = docIds(s, d)
       val vidPay = base.map { id =>
         if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
         else {
@@ -6089,7 +6155,7 @@ object SparkEntry {
     // pass through untouched. Native expression, map-only.
     "q267_html_extract" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         val html =
           if (id % 50 == 0) s"plain, no markup $id"
           else s"<!DOCTYPE html><html><head><title>T$id</title>" +
@@ -6116,7 +6182,7 @@ object SparkEntry {
     // empty. flatMap kernel; members never shuffle.
     "q316_sevenz_members" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "7z? no".getBytes("UTF-8"))
         else {
           val n = (1 + id % 3).toInt
@@ -6145,7 +6211,7 @@ object SparkEntry {
     // flatMap kernel, payloads never shuffle.
     "q268_archive_entries" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
         else if (id % 3 == 0) {
           val n = (1 + (id / 3) % 3).toInt
@@ -6176,7 +6242,7 @@ object SparkEntry {
     // never shuffle.
     "q269_archive_media" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
         else (id, zipFixture((0 until 2).map(k =>
           (s"img$k.bmp", bmp24Fixture(10, 8, (x, y) => (
@@ -6203,7 +6269,7 @@ object SparkEntry {
     // integer Content-Length arithmetic. flatMap kernel.
     "q270_warc_records" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val b = warcFixture(id)
@@ -6223,7 +6289,7 @@ object SparkEntry {
     // URL and clean text from the formulas.
     "q271_warc_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val b = warcFixture(id)
@@ -6244,7 +6310,7 @@ object SparkEntry {
     // per-key count. One window shuffle on the canonical key.
     "q272_url_canon" -> ((s, d) => {
       import s.implicits._
-      val urls = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val urls = docIds(s, d).map { id =>
         val b = id / 5
         val u =
           if (id % 50 == 0) s"not a url $id"
@@ -6274,7 +6340,7 @@ object SparkEntry {
     // url, content hash) — the web mirror of q266's video chain.
     "q273_curation_v7" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else (id, warcV7Fixture(id))
       }.toDF("doc_id", "warc")
@@ -6339,7 +6405,7 @@ object SparkEntry {
     // utf-8 fallback).
     "q277_warc_charset" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else (id, charsetFixture(id))
       }.toDF("doc_id", "warc")
@@ -6357,7 +6423,7 @@ object SparkEntry {
     // block and its link count from the formulas. Map-only explode.
     "q278_html_blocks" -> ((s, d) => {
       import s.implicits._
-      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pages = docIds(s, d).map { id =>
         val html =
           s"""<ul><li><a href="/">Home $id</a></li><li><a href="/m">More</a></li></ul>""" +
             s"<p>Body text $id tells a longer story &amp; then continues on.</p>" +
@@ -6381,7 +6447,7 @@ object SparkEntry {
     // fuses it into the page scan.
     "q279_main_content" -> ((s, d) => {
       import s.implicits._
-      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pages = docIds(s, d).map { id =>
         val html =
           s"""<ul><li><a href="/">Home $id</a></li><li><a href="/m">More</a></li></ul>""" +
             s"<p>Body text $id tells a longer story &amp; then continues on.</p>" +
@@ -6412,7 +6478,7 @@ object SparkEntry {
     // into the text scan); the oracle states the surviving text.
     "q280_c4_lines" -> ((s, d) => {
       import s.implicits._
-      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pages = docIds(s, d).map { id =>
         val lines = Seq(
           s"This is a good sentence number $id with many words.",
           s"short $id",
@@ -6450,7 +6516,7 @@ object SparkEntry {
     // keyed windows — everything else is map-side.
     "q281_curation_v8" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else (id, warcV8Fixture(id))
       }.toDF("doc_id", "warc")
@@ -6501,7 +6567,7 @@ object SparkEntry {
     // rule class; the oracle states each decision. Map-only.
     "q282_robots_gate" -> ((s, d) => {
       import s.implicits._
-      val rows = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+      val rows = docIds(s, d).flatMap { id =>
         val k = (id % 3).toInt
         val robots = s"# policy $id\nUser-agent: graftbot\n" +
           s"Disallow: /blocked$k/\nAllow: /blocked$k/open/\n" +
@@ -6527,7 +6593,7 @@ object SparkEntry {
     "q283_sitemap_frontier" -> ((s, d) => {
       import s.implicits._
       val policy = "User-agent: *\nDisallow: /blocked\n"
-      val sm = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val sm = docIds(s, d).map { id =>
         val b = id / 5
         val xml = "<?xml version=\"1.0\"?><urlset>" +
           s"<url><loc>HTTP://EX.COM/p/$b#f</loc>" +
@@ -6567,14 +6633,14 @@ object SparkEntry {
     // global coordination at any corpus size.
     "q339_recrawl_schedule" -> ((s, d) => {
       import s.implicits._
-      val frontier = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val frontier = docIds(s, d).map { id =>
         val hostIdx = (id % 5).toInt
         val host = s"h$hostIdx.ex.com"
         val robots = s"User-agent: *\nCrawl-delay: ${2 + hostIdx}\n"
         (id, host, s"http://$host/p/$id",
           s"2024-01-0${1 + id % 5}", robots)
       }.toDF("doc_id", "host", "url", "lastmod", "robots")
-      val fetchlog = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+      val fetchlog = docIds(s, d).flatMap { id =>
         (id % 3) match {
           case 0 => None // never fetched
           case 1 => Some((s"http://h${id % 5}.ex.com/p/$id", "2024-01-03"))
@@ -6612,7 +6678,7 @@ object SparkEntry {
     // [[graft.sources.Warc]] walk code) — bodies still never shuffle.
     "q340_warc_http_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val entity =
@@ -6746,7 +6812,7 @@ object SparkEntry {
     // untouched (q277 pins those). Map-only flatMap kernel.
     "q348_charset_fallback" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val (cs, body) = (id % 3) match {
@@ -6792,7 +6858,7 @@ object SparkEntry {
       val zh = "这是一段中文文本没有空格 新闻正文在此继续展开"
       val zhT = "這是一段繁體中文網頁沒有空格 新聞內容在這裡繼續"
       val latin = "l'été café année passée déjà vu née et protégé"
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val (cs, sample) = (id % 6) match {
@@ -6834,45 +6900,7 @@ object SparkEntry {
     // keyed left join of gated pages against the resolved edge map;
     // edges are the crawl's 3xx fraction.
     "q353_curation_v16" -> ((s, d) => {
-      import s.implicits._
-      val ruSample = graft.llm.LangId.CrawlSamples("ru")
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
-        if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
-        else {
-          val b = id / 5
-          def redir(uri: String, status: Int, loc: String): Array[Byte] = {
-            val http = (s"HTTP/1.1 $status Moved\r\n" +
-              s"Content-Type: text/html\r\nLocation: $loc\r\n\r\n")
-              .getBytes("ISO-8859-1")
-            (s"WARC/1.0\r\nWARC-Type: response\r\n" +
-              s"WARC-Target-URI: $uri\r\n" +
-              s"Content-Length: ${http.length}\r\n\r\n")
-              .getBytes("ISO-8859-1") ++ http ++
-              "\r\n\r\n".getBytes("ISO-8859-1")
-          }
-          val farms = (0 until 3).map { j =>
-            warcRespRec(s"http://a$j.farm${id % 5}.co.uk/f/$id", "text/html",
-              (s"<p>farm page $id $j has enough unique english words " +
-                "to keep around.</p>").getBytes("UTF-8"))
-          }.reduce(_ ++ _)
-          val moved301 = redir(s"http://ex.com/h-old/$id", 301, s"/h/$b")
-          val movedPage = warcRespRec(s"http://ex.com/h-old/$id",
-            "text/html",
-            (s"<p>moved fetch $id stays clean with plenty of good " +
-              "english words.</p>").getBytes("UTF-8"))
-          val cycPage = warcRespRec(s"http://cyc.example/p/$id",
-            "text/html",
-            (s"<p>cycle page $id keeps enough english words " +
-              "alive.</p>").getBytes("UTF-8"))
-          val cyc301 = redir(s"http://cyc.example/p/$id", 301,
-            s"http://cyc2.example/p/$id")
-          val cyc302 = redir(s"http://cyc2.example/p/$id", 302,
-            s"http://cyc.example/p/$id")
-          val bytes = warcV14Bytes(id, ruSample) ++ farms ++
-            moved301 ++ movedPage ++ cycPage ++ cyc301 ++ cyc302
-          (id, if (id % 4 == 1) gzipBytes(bytes) else bytes)
-        }
-      }.toDF("doc_id", "warc")
+      val pay = q353Fixture(s, d)
       val media = graft.sources.Multimodal.asMedia(pay, "doc_id", "warc", "warc")
       // ONE decode walk for BOTH row kinds (the q232 diamond: persist
       // the fork, filter twice) — separate page/redirect readers
@@ -6905,7 +6933,7 @@ object SparkEntry {
       val ru = "Это русский текст статьи продолжение материала здесь"
       val u16 = "утф text body here"
       val latin = "l'été café année passée déjà vu née et protégé"
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val bytes = (id % 6) match {
@@ -6945,7 +6973,7 @@ object SparkEntry {
     // the resolved edge map; the cap is a keyed WindowGroupLimit.
     "q356_redirect_farm_cap" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           def redir(uri: String, status: Int, loc: String): Array[Byte] = {
@@ -7001,7 +7029,7 @@ object SparkEntry {
     // listing walk (maxBody=0), map-only.
     "q357_refresh_header" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           def redir(uri: String, status: Int, loc: String): Array[Byte] = {
@@ -7055,7 +7083,7 @@ object SparkEntry {
     // expressions into one partial-aggregated groupBy.
     "q358_tracking_dedup" -> ((s, d) => {
       import s.implicits._
-      val urls = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+      val urls = docIds(s, d).flatMap { id =>
         val base = s"http://news.example/art/$id"
         Seq(
           (id, 0, base),
@@ -7087,7 +7115,7 @@ object SparkEntry {
     // fold is one more codegen'd map-side expression.
     "q359_curation_v17" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           def redir(uri: String, status: Int, loc: String): Array[Byte] = {
@@ -7149,7 +7177,7 @@ object SparkEntry {
     // is the body-free walk.
     "q354_meta_refresh" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           def rec(uri: String, status: Int, extra: String,
@@ -7239,7 +7267,7 @@ object SparkEntry {
     // cycle rows land with NULL text and terminal=false.
     "q352_redirect_resolve" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           def rec(uri: String, status: Int, extra: String,
@@ -7400,7 +7428,7 @@ object SparkEntry {
     // same text. Map-only flatMap kernel; entries capped.
     "q345_feed_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val n = (1 + id % 3).toInt
@@ -7450,7 +7478,7 @@ object SparkEntry {
     "q336_url_filter" -> ((s, d) => {
       import s.implicits._
       val blocklist = Seq("bad.example", "spam.test").toDF("bdomain")
-      val urls = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val urls = docIds(s, d).map { id =>
         val host = (id % 5) match {
           case 1 => "bad.example"
           case 2 => "sub.bad.example"
@@ -7493,14 +7521,14 @@ object SparkEntry {
     // fetch-join plus one grouped shuffle.
     "q329_sitemap_index" -> ((s, d) => {
       import s.implicits._
-      val idx = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val idx = docIds(s, d).map { id =>
         val xml = "<?xml version=\"1.0\"?><sitemapindex>" +
           s"<sitemap><loc>HTTP://EX.COM:80/sm/$id/a.xml</loc></sitemap>" +
           s"<sitemap><loc>http://ex.com/sm/./$id/b.xml</loc></sitemap>" +
           "</sitemapindex>"
         (id, xml)
       }.toDF("doc_id", "idx_xml")
-      val bodies = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+      val bodies = docIds(s, d).flatMap { id =>
         Seq("a", "b").map { c =>
           val month = if (c == "a") "02" else "03"
           val xml = "<?xml version=\"1.0\"?><urlset>" +
@@ -7568,7 +7596,7 @@ object SparkEntry {
     // Map-only: payload bytes never shuffle at any corpus size.
     "q285_pdf_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "portable document? no".getBytes("UTF-8"))
         else {
           val pages = (0 until (1 + (id % 3)).toInt).map { p =>
@@ -7635,7 +7663,7 @@ object SparkEntry {
       def page(body: String): Array[Byte] =
         ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" + body)
           .getBytes("UTF-8")
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val p1 = (id % 3) match {
@@ -7685,7 +7713,7 @@ object SparkEntry {
         ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n" +
           (if (xRobots != null) s"X-Robots-Tag: $xRobots\r\n" else "") +
           "\r\n" + body).getBytes("UTF-8")
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val headerNoindex = (id % 3) match {
@@ -7723,7 +7751,7 @@ object SparkEntry {
     // formulas; nothing about the container routing may move.
     "q310_archive_webp" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
         else (id, zipFixture((0 until 2).map { k =>
           (s"img$k.webp", graft.sources.Webp.buildLosslessWebp(10, 8,
@@ -7753,7 +7781,7 @@ object SparkEntry {
     // sums all replay in the oracle. Map-only flatMap kernel.
     "q309_webp_frames" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "anim? no".getBytes("UTF-8"))
         else {
           val nFrames = (1 + id % 3).toInt
@@ -8008,7 +8036,7 @@ object SparkEntry {
     // flatMap byte kernel; pixels never shuffle.
     "q311_webp_lossy" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
         else {
           val mw = (2 + id % 3).toInt
@@ -8045,7 +8073,7 @@ object SparkEntry {
     // flatMap byte kernel; samples never shuffle.
     "q321_flac_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "flac? no".getBytes("UTF-8"))
         else {
           val n = (48 + (id % 3) * 16).toInt
@@ -8079,7 +8107,7 @@ object SparkEntry {
     // nothing about the container routing may move.
     "q328_archive_flac" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "archive? no".getBytes("UTF-8"))
         else (id, zipFixture(Seq(
           ("a0.flac", graft.sources.Flac.buildFlac(
@@ -8122,7 +8150,7 @@ object SparkEntry {
           s"Content-Length: ${payload.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ payload ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val body = ("HTTP/1.1 200 OK\r\nContent-Type: text/html\r\n\r\n" +
@@ -8166,7 +8194,7 @@ object SparkEntry {
     // Map-only flatMap kernel.
     "q333_heif_dims" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "heif? no".getBytes("UTF-8"))
         else {
           val w = 320L + (id % 10) * 16
@@ -8192,7 +8220,7 @@ object SparkEntry {
     // are the container facts curation filters on. Map-only flatMap.
     "q322_ogg_info" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "ogg? no".getBytes("UTF-8"))
         else {
           val vorbis = id % 2 == 0
@@ -8222,7 +8250,7 @@ object SparkEntry {
     // ID3v1 trailer fallback is load-bearing. Map-only flatMap.
     "q324_id3_tags" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "id3? no".getBytes("UTF-8"))
         else {
           val major = (2 + id % 3).toInt
@@ -8252,7 +8280,7 @@ object SparkEntry {
     // declarative columns over the robots fixture.
     "q327_robots_directives" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         val sb = new StringBuilder
         sb.append("User-agent: graftbot\n")
         if (id % 3 != 0) sb.append(s"Crawl-delay: ${1 + id % 5}.5\n")
@@ -8286,7 +8314,7 @@ object SparkEntry {
     // duration and the alpha formula replay exactly. Map-only.
     "q338_webp_anim_alpha" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "anim? no".getBytes("UTF-8"))
         else {
           val nFrames = (1 + id % 3).toInt
@@ -8319,7 +8347,7 @@ object SparkEntry {
     // planes never shuffle.
     "q335_webp_alpha" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
         else {
           val mw = (1 + id % 2).toInt
@@ -8338,7 +8366,7 @@ object SparkEntry {
 
     "q307_webp_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "webp? no".getBytes("UTF-8"))
         else {
           val w = (19 + id % 4).toInt
@@ -8398,7 +8426,7 @@ object SparkEntry {
     // the integer gate unmapped*5 <= codes keeps the first two.
     "q314_pdf_confidence" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "pdf? no".getBytes("UTF-8"))
         else (id % 3) match {
           case 0 => (id, graft.sources.Pdf.buildSimplePdf(
@@ -8428,7 +8456,7 @@ object SparkEntry {
     // per mailbox; one linear pass per message.
     "q313_mbox_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "mbox? no".getBytes("UTF-8"))
         else {
           val n = (1 + id % 3).toInt
@@ -8495,7 +8523,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val xls = graft.sources.Ole2.buildXls(
@@ -8532,7 +8560,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val ppt = graft.sources.Ole2.buildPpt(Seq(
@@ -8563,7 +8591,7 @@ object SparkEntry {
     // linear walk per page, fused into the scan.
     "q319_html_meta" -> ((s, d) => {
       import s.implicits._
-      val pages = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pages = docIds(s, d).map { id =>
         val html =
           if (id % 50 == 0) s"no head here, just text $id"
           else if (id % 2 == 0)
@@ -8615,7 +8643,7 @@ object SparkEntry {
     // every 5th id's 'de' variant) must survive on its own key.
     "q332_hreflang_cluster" -> ((s, d) => {
       import s.implicits._
-      val pages = docs(s, d).select(col("doc_id")).as[Long].flatMap { id =>
+      val pages = docIds(s, d).flatMap { id =>
         Seq("de", "en", "fr").map { l =>
           val standalone = l == "de" && id % 5 == 0
           val alts =
@@ -8668,7 +8696,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val doc = graft.sources.Ole2.buildDoc(
@@ -8703,7 +8731,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val rtf = "{\\rtf1\\ansi{\\fonttbl{\\f0 Times New Roman;}}" +
@@ -8745,7 +8773,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else (id,
           rec(s"http://ex.com/$id/h", "text/html", null,
@@ -8773,7 +8801,7 @@ object SparkEntry {
     // Same synthesize-and-replay contract as q286/q299. Map-only.
     "q303_odt_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "odt? no".getBytes("UTF-8"))
         else {
           val paras = (0 until (1 + (id % 4)).toInt).map { p =>
@@ -8832,7 +8860,7 @@ object SparkEntry {
     // q286: the extracted text is a stated formula. Map-only.
     "q299_pptx_xlsx_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "office deck? no".getBytes("UTF-8"))
         else if (id % 2 == 0) {
           val slides = (0 until (1 + (id % 3)).toInt).map { sl =>
@@ -8919,7 +8947,7 @@ object SparkEntry {
           s"Content-Length: ${http.length}\r\n\r\n").getBytes("ISO-8859-1")
         hdr ++ http ++ "\r\n\r\n".getBytes("ISO-8859-1")
       }
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val tex =
@@ -8969,7 +8997,7 @@ object SparkEntry {
     // Map-only: payload bytes never shuffle at any corpus size.
     "q295_pdf_type0" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "composite font? no".getBytes("UTF-8"))
         else {
           val pages = (0 until (1 + (id % 3)).toInt).map { p =>
@@ -8999,7 +9027,7 @@ object SparkEntry {
     // The before/after differential lives in the unit spec. Map-only.
     "q293_exif_scrub" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "photo? no".getBytes("UTF-8"))
         else {
           val tiff = exifTiff((1 + id % 8).toInt, s"Camera${id % 5}",
@@ -9041,7 +9069,7 @@ object SparkEntry {
     // kernel + two keyed windows — no join, nothing global.
     "q292_curation_v9" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else (id, warcV9Fixture(id))
       }.toDF("doc_id", "warc")
@@ -9072,7 +9100,7 @@ object SparkEntry {
     // string formula. Map-only native expression; one scan.
     "q290_markdown_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         val md = new StringBuilder
         md.append(s"# Doc $id\n\n")
         md.append(s"intro $id with [a link](http://x/$id) and **bold ${id % 7}**\n\n")
@@ -9100,7 +9128,7 @@ object SparkEntry {
     // except the markdown expression; no shuffle.
     "q291_notebook_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "not a notebook at all")
         else {
           val extra =
@@ -9135,7 +9163,7 @@ object SparkEntry {
       import s.implicits._
       val langs = graft.llm.LangId.CrawlProfiles.keys.toSeq.sorted
       val samples = graft.llm.LangId.CrawlSamples
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         val lang = langs((id % langs.size).toInt)
         val r = (1 + id % 3).toInt
         (id, Seq.fill(r)(samples(lang)).mkString(" "))
@@ -9157,7 +9185,7 @@ object SparkEntry {
     // container structure. Map-only; containers never shuffle.
     "q286_office_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "office doc? no".getBytes("UTF-8"))
         else if (id % 2 == 0) {
           val paras = (0 until (1 + (id % 4)).toInt).map { p =>
@@ -9191,7 +9219,7 @@ object SparkEntry {
     // kernel; bodies never shuffle.
     "q289_warc_doc_text" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "warc? no".getBytes("UTF-8"))
         else {
           val b = warcMixedFixture(id)
@@ -9215,7 +9243,7 @@ object SparkEntry {
     // 18×16 BMPs (exact 2×2 blocks). Map-only.
     "q251_image_dhash" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "image? unlikely".getBytes("UTF-8"))
         else (id, bmp24Fixture(18, 16, (x, y) => (
           ((id * 7 + x * 13 + y * 29) % 256).toInt,
@@ -9242,7 +9270,7 @@ object SparkEntry {
     // pigeonhole completeness.
     "q252_image_neardup" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "image? unlikely".getBytes("UTF-8"))
         else {
           val g = id / 7 // septet base
@@ -9272,7 +9300,7 @@ object SparkEntry {
     // Map-only; payloads never shuffle.
     "q250_media_inspect" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "multimodal? not today".getBytes("UTF-8"))
         else (id % 8).toInt match {
           case 0 => // PNG (q242 formulas, same builder)
@@ -9328,7 +9356,7 @@ object SparkEntry {
     // payload is non-ICO → nulls. Map-only; payloads never shuffle.
     "q249_ico_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "ico? no".getBytes("UTF-8"))
         else {
           val w = (3 + id % 5).toInt; val h = (2 + id % 3).toInt
@@ -9369,7 +9397,7 @@ object SparkEntry {
     // Map-only; payloads never shuffle.
     "q248_audio_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "audio? silence".getBytes("UTF-8"))
         else {
           val n = (40 + id % 30).toInt
@@ -9401,7 +9429,7 @@ object SparkEntry {
     // non-TIFF → nulls. Map-only; payloads never shuffle.
     "q247_tiff_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "tiff? nope".getBytes("UTF-8"))
         else (id, tiffRgbFixture((2 + id % 7).toInt, (1 + id % 5).toInt,
           packBits = id % 2 == 1,
@@ -9430,7 +9458,7 @@ object SparkEntry {
     // nulls. Map-only; payloads never shuffle.
     "q246_jpeg_progressive" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "jpeg? progressively not".getBytes("UTF-8"))
         else (id, jpegFlatTileFixture((1 + id % 4).toInt, (1 + (id / 2) % 2).toInt,
           (tx, ty) => ((id * 11 + tx * 23 + ty * 31) % 256).toInt,
@@ -9455,7 +9483,7 @@ object SparkEntry {
     // payloads never shuffle.
     "q245_gif_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "gif? afraid not".getBytes("UTF-8"))
         else {
           val k = (1 + id % 3).toInt // palette 2^k entries: 2, 4, 8
@@ -9484,7 +9512,7 @@ object SparkEntry {
     // formula can't. Map-only; payloads never shuffle.
     "q243_jpeg_decode" -> ((s, d) => {
       import s.implicits._
-      val pay = docs(s, d).select(col("doc_id")).as[Long].map { id =>
+      val pay = docIds(s, d).map { id =>
         if (id % 50 == 0) (id, "jpeg? hardly".getBytes("UTF-8"))
         else (id, jpegFlatTileFixture((1 + id % 3).toInt, (1 + id % 2).toInt,
           (tx, ty) => ((id * 7 + tx * 13 + ty * 29) % 256).toInt,
