@@ -138,6 +138,171 @@ object ProfileStages {
             math.min(a, b)
           })
         )
+      case "q150" =>
+        import org.apache.spark.sql.functions._
+        def docsX10 = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+          .repartition(32)
+        import graft.functions.{SketchExpressions => SE}
+        def toksDf = graft.core.Engine.widen(docsX10)
+          .select(col("doc_id").as("id"),
+            explode(SE.shingleHashes64(col("text"), 3)).as("tok"))
+        def oldJaccard = {
+          import graft.functions.{SketchExpressions => SE}
+          val toks = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          toks.count()
+          val dfc = toks.groupBy("tok").agg(count(lit(1)).as("dfc"))
+          val docs = toks.join(dfc, "tok")
+            .groupBy("id")
+            .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"),
+              count(lit(1)).as("n"))
+          val prefixLen = expr(s"CAST(n - ((n * 1 + 1) DIV 2) + 1 AS INT)")
+          val prefix = docs
+            .select(col("id"), col("n"),
+              posexplode(slice(col("arr").getField("tok"), lit(1), prefixLen))
+                .as(Seq("p0", "tok")))
+            .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("tok"))
+          val a = prefix.select(col("id").as("id1"), col("n").as("n1"),
+            col("p").as("pa"), col("tok"))
+          val b = prefix.select(col("id").as("id2"), col("n").as("n2"),
+            col("p").as("pb"), col("tok"))
+          val cands = a.join(b, Seq("tok"))
+            .where(col("id1") < col("id2") &&
+              col("n1") * 1 <= col("n2") * 2 &&
+              col("n2") * 1 <= col("n1") * 2 &&
+              (least(col("n1") - col("pa"), col("n2") - col("pb")) + 1) * 3
+                >= (col("n1") + col("n2")) * 1)
+            .select(col("id1"), col("n1"), col("id2"), col("n2"))
+            .distinct()
+          val blobs = toks.groupBy("id")
+            .agg(SE.packLongs(sort_array(collect_list(col("tok")))).as("blob"))
+          cands
+            .join(blobs.select(col("id").as("id1"), col("blob").as("b1")), "id1")
+            .join(blobs.select(col("id").as("id2"), col("blob").as("b2")), "id2")
+            .withColumn("inter", SE.packedIntersectCount(col("b1"), col("b2")).cast("long"))
+            .where(col("inter") * 2 >= (col("n1") + col("n2") - col("inter")) * 1)
+            .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+        }
+        def newJaccard = graft.llm.SetSimJoin.jaccardPairs(
+            docsX10, "doc_id", "text", 1, 2, ngram = 3)
+          .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+        Seq(
+          "docsx10" -> (() => minOf2(docsX10)),
+          "toks" -> (() => minOf2(toksDf)),
+          "full_new_1" -> (() => noop(newJaccard)),
+          "full_old_1" -> (() => noop(oldJaccard)),
+          "full_new_2" -> (() => noop(newJaccard)),
+          "full_old_2" -> (() => noop(oldJaccard)),
+          "full_new_3" -> (() => noop(newJaccard)),
+          "full_old_3" -> (() => noop(oldJaccard)),
+          "cands_from_cached_toks" -> (() => {
+            spark.catalog.clearCache()
+            val t = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t.count()
+            val dfc = t.groupBy("tok").agg(count(lit(1)).as("dfc"))
+            val docs = t.join(dfc, "tok")
+              .groupBy("id")
+              .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"),
+                count(lit(1)).as("n"))
+            val prefixLen = expr(s"CAST(n - ((n * 1 + 1) DIV 2) + 1 AS INT)")
+            val prefix = docs
+              .select(col("id"), col("n"),
+                posexplode(slice(col("arr").getField("tok"), lit(1), prefixLen))
+                  .as(Seq("p0", "tok")))
+              .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("tok"))
+            val a = prefix.select(col("id").as("id1"), col("n").as("n1"),
+              col("p").as("pa"), col("tok"))
+            val b = prefix.select(col("id").as("id2"), col("n").as("n2"),
+              col("p").as("pb"), col("tok"))
+            def cands = a.join(b, Seq("tok"))
+              .where(col("id1") < col("id2") &&
+                col("n1") * 1 <= col("n2") * 2 &&
+                col("n2") * 1 <= col("n1") * 2 &&
+                (least(col("n1") - col("pa"), col("n2") - col("pb")) + 1) * 3
+                  >= (col("n1") + col("n2")) * 1)
+              .select(col("id1"), col("n1"), col("id2"), col("n2"))
+              .distinct()
+            val x = time(cands.write.mode("overwrite").format("noop").save())
+            val y = time(cands.write.mode("overwrite").format("noop").save())
+            t.unpersist()
+            math.min(x, y)
+          }),
+          "docsagg_from_cached_toks" -> (() => {
+            spark.catalog.clearCache()
+            val t = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t.count()
+            val dfc = t.groupBy("tok").agg(count(lit(1)).as("dfc"))
+            def docs = t.join(dfc, "tok")
+              .groupBy("id")
+              .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"),
+                count(lit(1)).as("n"))
+            val x = time(docs.write.mode("overwrite").format("noop").save())
+            val y = time(docs.write.mode("overwrite").format("noop").save())
+            t.unpersist()
+            math.min(x, y)
+          }),
+          "dfc_from_cached_toks" -> (() => {
+            spark.catalog.clearCache()
+            val t = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t.count()
+            def dfc = t.groupBy("tok").agg(count(lit(1)).as("dfc"))
+            val x = time(dfc.write.mode("overwrite").format("noop").save())
+            val y = time(dfc.write.mode("overwrite").format("noop").save())
+            t.unpersist()
+            math.min(x, y)
+          }),
+          "blobs_from_cached_toks" -> (() => {
+            spark.catalog.clearCache()
+            val t = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            t.count()
+            def blobs = t.groupBy("id")
+              .agg(SE.packLongs(sort_array(collect_list(col("tok")))).as("blob"))
+            val x = time(blobs.write.mode("overwrite").format("noop").save())
+            val y = time(blobs.write.mode("overwrite").format("noop").save())
+            t.unpersist()
+            math.min(x, y)
+          })
+        )
+      case "q298" =>
+        import spark.implicits._
+        val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+          s"graft_warc_zst_v1_${Integer.toHexString(sfDir.hashCode)}")
+        val paths = Option(dir.listFiles()).getOrElse(Array.empty)
+          .map(_.getAbsolutePath).sorted.toSeq
+        System.err.println(s"[profile] ${paths.size} zst files under $dir")
+        val n = math.max(1, math.min(paths.size,
+          spark.sparkContext.defaultParallelism))
+        def rawRead = spark.createDataset(paths).repartition(n).map { p =>
+          java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)).length.toLong
+        }.toDF("n")
+        def zstStream = spark.createDataset(paths).repartition(n).map { p =>
+          try {
+            val in = new com.github.luben.zstd.ZstdInputStream(
+              new java.io.BufferedInputStream(
+                new java.io.FileInputStream(p), 1 << 16))
+            val buf = new Array[Byte](1 << 16)
+            var total = 0L
+            var r = in.read(buf)
+            while (r >= 0) { total += r; r = in.read(buf) }
+            in.close()
+            total
+          } catch { case _: Throwable => -1L }
+        }.toDF("n")
+        def zstOneShot = spark.createDataset(paths).repartition(n).map { p =>
+          val c = java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p))
+          try com.github.luben.zstd.Zstd.decompressFrame(c, 1 << 24).length.toLong
+          catch { case _: Throwable => -1L }
+        }.toDF("n")
+        Seq(
+          "raw_read" -> (() => minOf2(rawRead)),
+          "zst_stream" -> (() => minOf2(zstStream)),
+          "zst_oneshot" -> (() => minOf2(zstOneShot)),
+          "full_q298" -> (() => minOf2(
+            SparkEntry.queries("q298_warc_zst")(spark, sfDir)))
+        )
       case _ => sys.error(s"unknown profile target: $what")
     }
     val results = stages.map { case (n, f) => n -> f() }

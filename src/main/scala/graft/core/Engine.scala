@@ -13,6 +13,18 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
   * the 200 default.
   */
 object Engine {
+  /** Executor-side Hadoop Configuration, constructed ONCE per JVM.
+    * `new Configuration()` parses core-site.xml & friends off the
+    * classpath every call (~tens of ms); the streaming path doors
+    * (WARC/tar/zip) used to pay that PER FILE, which dominated their
+    * wall time on many-small-file corpora (optimization r19 — q298's
+    * 5000-file fixture spent ~8 of its 9 s here). Scheme resolution is
+    * unchanged: hdfs://, s3a:// and file:// resolve exactly as before,
+    * and Hadoop's own FileSystem cache keys on (scheme, authority,
+    * ugi), so one shared Configuration is the intended use. */
+  lazy val executorHadoopConf: org.apache.hadoop.conf.Configuration =
+    new org.apache.hadoop.conf.Configuration()
+
   def session(appName: String = "graft",
               master: String = s"local[${Runtime.getRuntime.availableProcessors}]",
               shufflePartitions: Int = 32): SparkSession = {

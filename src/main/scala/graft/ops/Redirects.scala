@@ -13,10 +13,11 @@ import org.apache.spark.sql.functions._
   * gives the identity key those stages should join on.
   *
   * Scale posture: pointer-doubled keyed self-joins of the
-  * (src → dst) edge set — ~2·⌈log₂ maxHops⌉ barrier stages (5 for
-  * the default 8, vs 7 for the naive one-edge-per-round walk),
-  * shuffle volume O(log hops · |edges|), every join on the chain
-  * key. No driver-side iteration state, no collect; a cycle (a→b→a)
+  * (src → dst) edge set — ⌊log₂ maxHops⌋ jump-table builds plus one
+  * set-bit composition join per extra binary digit of maxHops (3
+  * joins + the terminal probe for the default 8, vs 7 for the naive
+  * one-edge-per-round walk), shuffle volume O(log hops · |edges|),
+  * every join on the chain key. No driver-side iteration state, no collect; a cycle (a→b→a)
   * simply stops advancing at the hop bound and reports
   * `terminal = false`. The reference ships no redirect machinery;
   * this extends SURVEY §2's crawl tier. */
@@ -45,42 +46,53 @@ object Redirects {
       .groupBy("__s").agg(min("__d").as("__d"))
     // Pointer doubling (r18 verdict: the naive one-edge-per-round
     // walk carried maxHops−1 sequential shuffle barriers even when
-    // every chain is one hop). Build jump tables by repeated
-    // squaring — jump_p(u) = (node after min(p, dist-to-sink) edges,
-    // that count), jump_2p = jump_p ∘ jump_p with keep-on-miss — in
-    // ⌈log₂ maxHops⌉−1 keyed self-joins of the EDGE set, then
-    // advance every source through the levels in DESCENDING span
-    // order with a per-row hop budget (greedy binary decomposition:
-    // descending powers reach EXACTLY min(maxHops, dist) hops, and a
-    // sink simply stops matching). Identical semantics to the
-    // one-edge walk — hops ≤ maxHops, deterministic edge collapse, a
-    // cycle lands mid-walk with `terminal = false` — in ~2·log₂
-    // maxHops barrier stages instead of maxHops−1.
-    var levels = List(edges.select(col("__s").as("u"), col("__d").as("v"),
-      lit(1).as("len")))
+    // every chain is one hop). Build SATURATING jump tables by
+    // repeated squaring — jump_p(u) = (node after min(p,
+    // dist-to-sink) edges, that count), jump_2p = jump_p ∘ jump_p
+    // with keep-on-miss — in ⌊log₂ maxHops⌋ keyed self-joins of the
+    // EDGE set. Saturating composition is EXACT (jump_a ∘ jump_b
+    // follows min(a+b, dist) edges: a sink stops matching, a
+    // non-sink advances the full remaining span), so composing the
+    // levels of maxHops' SET BITS in descending order reaches
+    // exactly min(maxHops, dist) hops with NO per-row budget and no
+    // no-op join rounds (optimization r19 — the r18 form re-joined
+    // EVERY level with a budget test, 6 barrier rounds at maxHops=8
+    // where the set-bit composition needs 3 builds and none after).
+    // Identical semantics to the one-edge walk — hops ≤ maxHops,
+    // deterministic edge collapse, a cycle lands mid-walk with
+    // `terminal = false`.
+    var levels = List((edges.select(col("__s").as("u"), col("__d").as("v"),
+      lit(1).as("len")), 1))
     var span = 1
-    while (span * 2 < maxHops) {
-      val j = levels.head
+    while (span * 2 <= maxHops) {
+      val j = levels.head._1
       val right = j.select(col("u").as("v"), col("v").as("__v2"),
         col("len").as("__len2"))
-      levels ::= j.join(right, Seq("v"), "left")
+      levels ::= (j.join(right, Seq("v"), "left")
         .select(col("u"),
           coalesce(col("__v2"), col("v")).as("v"),
-          (col("len") + coalesce(col("__len2"), lit(0))).as("len"))
+          (col("len") + coalesce(col("__len2"), lit(0))).as("len")), span * 2)
       span *= 2
     }
-    var cur = edges.select(col("__s").as("src"), col("__d").as("cur"),
-      lit(1).as("hops"))
-    levels.foreach { j => // head = widest span: descending greedy
-      val right = j.select(col("u").as("cur"), col("v").as("__v2"),
-        col("len").as("__len2"))
-      val take = col("__v2").isNotNull &&
-        col("hops") + col("__len2") <= maxHops
-      cur = cur.join(right, Seq("cur"), "left")
-        .select(col("src"),
-          when(take, col("__v2")).otherwise(col("cur")).as("cur"),
-          when(take, col("hops") + col("__len2")).otherwise(col("hops"))
-            .as("hops"))
+    // head = widest span; compose exactly the set-bit levels
+    var cur: DataFrame = null
+    var remaining = maxHops
+    levels.foreach { case (j, s) =>
+      if (s <= remaining) {
+        remaining -= s
+        cur =
+          if (cur == null)
+            j.select(col("u").as("src"), col("v").as("cur"),
+              col("len").as("hops"))
+          else {
+            val right = j.select(col("u").as("cur"), col("v").as("__v2"),
+              col("len").as("__len2"))
+            cur.join(right, Seq("cur"), "left")
+              .select(col("src"),
+                coalesce(col("__v2"), col("cur")).as("cur"),
+                (col("hops") + coalesce(col("__len2"), lit(0))).as("hops"))
+          }
+      }
     }
     val outgoing = edges.select(col("__s").as("cur"),
       lit(true).as("__has_out"))

@@ -1401,10 +1401,12 @@ object Warc {
     val ws =
       try {
         val p = new org.apache.hadoop.fs.Path(path)
-        // executor-side Configuration: loads core-site.xml from the
+        // executor-side Configuration (loads core-site.xml from the
         // classpath, so hdfs://, s3a:// and file:// all resolve the
-        // same way they do for Spark's own readers
-        val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+        // same way they do for Spark's own readers) — ONE per JVM,
+        // never per file: constructing it per path re-parses the XML
+        // resources and dominated many-small-file walks (r19)
+        val fs = p.getFileSystem(graft.core.Engine.executorHadoopConf)
         stream = fs.open(p)
         new WarcStream(stream, maxBody, maxRecords)
       } catch {
