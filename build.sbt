@@ -30,5 +30,13 @@ javaOptions ++= jdk17AddOpens ++ Seq(
   "-Dspark.ui.enabled=false",
   "-Dspark.sql.session.timeZone=UTC",
   "-Dderby.stream.error.file=/tmp/derby.log",
-  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "8g")}",
+  // 16g default (was 8g): local[$cpus] runs up to 32 concurrent tasks
+  // in ONE JVM that is driver + executor at once, and the heaviest
+  // bench entries (q353's persisted decode fork, q150_x10's cached
+  // posting table) spent most of their wall in GC at 8g — q353
+  // measured 9.0 s at 8g vs 4.5 s at 16g with identical plans
+  // (optimization r19). Parameterized via env; a production cluster
+  // sizes executor memory per spark.executor.memory, not this local
+  // harness default.
+  s"-Xmx${sys.env.getOrElse("SPARK_DRIVER_MEM", "16g")}",
 )

@@ -341,6 +341,23 @@ object Archives {
       .SevenZOutputFile(ch)
     if (!lzma2) out.setContentCompression(
       org.apache.commons.compress.archivers.sevenz.SevenZMethod.COPY)
+    else {
+      // real LZMA2 streams with a SMALL dictionary: the default
+      // preset's 8 MiB dict makes the encoder allocate ~75 MB per
+      // archive (~150 ms), which dominated q316's per-row fixture
+      // synthesis (optimization r19 — 18 s of its 18.3 s Verify wall).
+      // Fixture members are tens of bytes; a 64 KiB dict exercises the
+      // identical decode path and the reader sizes its dict from the
+      // stream header, so decode allocations shrink too. Decoded
+      // member bytes — the oracle surface — are unchanged.
+      val opts = new org.tukaani.xz.LZMA2Options()
+      opts.setDictSize(1 << 16)
+      out.setContentMethods(java.util.Collections.singletonList(
+        new org.apache.commons.compress.archivers.sevenz
+          .SevenZMethodConfiguration(
+            org.apache.commons.compress.archivers.sevenz.SevenZMethod.LZMA2,
+            opts)))
+    }
     members.foreach { case (name, body) =>
       val e = new org.apache.commons.compress.archivers.sevenz
         .SevenZArchiveEntry()
@@ -621,7 +638,7 @@ object Archives {
         val ts =
           try {
             val p = new org.apache.hadoop.fs.Path(path)
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = p.getFileSystem(graft.core.Engine.executorHadoopConf)
             stream = fs.open(p)
             new TarStream(stream, maxBytes, maxEntries)
           } catch {
@@ -928,7 +945,7 @@ object Archives {
         val zs =
           try {
             val p = new org.apache.hadoop.fs.Path(path)
-            val fs = p.getFileSystem(new org.apache.hadoop.conf.Configuration())
+            val fs = p.getFileSystem(graft.core.Engine.executorHadoopConf)
             stream = fs.open(p)
             new ZipStream(stream, maxBytes, maxEntries)
           } catch {
