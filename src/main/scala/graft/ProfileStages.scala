@@ -22,8 +22,15 @@ object ProfileStages {
       .config("spark.ui.enabled", "false")
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
+    val osBean = java.lang.management.ManagementFactory.getOperatingSystemMXBean
+      .asInstanceOf[com.sun.management.OperatingSystemMXBean]
     def time(f: => Unit): Double = {
-      val t0 = System.nanoTime(); f; (System.nanoTime() - t0) / 1e9
+      val c0 = osBean.getProcessCpuTime
+      val t0 = System.nanoTime(); f
+      val w = (System.nanoTime() - t0) / 1e9
+      val c = (osBean.getProcessCpuTime - c0) / 1e9
+      System.err.println(f"[cpu] wall=$w%.3f cpu=$c%.3f")
+      w
     }
     def noop(df: DataFrame): Double = {
       spark.catalog.clearCache()
@@ -32,6 +39,10 @@ object ProfileStages {
     def minOf2(mk: => DataFrame): Double = {
       val a = noop(mk); val b = noop(mk); math.min(a, b)
     }
+    // noop WITHOUT clearing the cache — for timing a leg downstream
+    // of a deliberately persisted input
+    def noopKeepCache(df: DataFrame): Double =
+      time(df.write.mode("overwrite").format("noop").save())
 
     val stages: Seq[(String, () => Double)] = what match {
       case "q353" =>
@@ -198,6 +209,10 @@ object ProfileStages {
           "full_old_2" -> (() => noop(oldJaccard)),
           "full_new_3" -> (() => noop(newJaccard)),
           "full_old_3" -> (() => noop(oldJaccard)),
+          "full_new_4" -> (() => noop(newJaccard)),
+          "full_old_4" -> (() => noop(oldJaccard)),
+          "full_new_5" -> (() => noop(newJaccard)),
+          "full_old_5" -> (() => noop(oldJaccard)),
           "cands_from_cached_toks" -> (() => {
             spark.catalog.clearCache()
             val t = toksDf.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
@@ -264,6 +279,193 @@ object ProfileStages {
             val y = time(blobs.write.mode("overwrite").format("noop").save())
             t.unpersist()
             math.min(x, y)
+          })
+        )
+      case "q150v" =>
+        // candidate-stage variant A/B for the r20 SetSimJoin work:
+        // cardinalities first (how big is each leg), then timed
+        // variants of the candidate pipeline from cached toks.
+        import org.apache.spark.sql.functions._
+        import graft.functions.{SketchExpressions => SE}
+        def docsX10v = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            regexp_replace(col("text"), lit("(\\S+)"),
+              concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+          .repartition(32)
+        def toksDfv = graft.core.Engine.widen(docsX10v)
+          .select(col("doc_id").as("id"),
+            explode(SE.shingleHashes64(col("text"), 3)).as("tok"))
+        val num = 1; val den = 2
+        def withToks[T](f: org.apache.spark.sql.DataFrame => T): T = {
+          spark.catalog.clearCache()
+          val t = toksDfv.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          t.count()
+          val r = f(t)
+          t.unpersist()
+          r
+        }
+        def prefixOf(docs: org.apache.spark.sql.DataFrame) = {
+          val prefixLen = expr(s"CAST(n - ((n * $num + ${den - 1}) DIV $den) + 1 AS INT)")
+          docs.select(col("id"), col("n"),
+              posexplode(slice(col("arr").getField("tok"), lit(1), prefixLen))
+                .as(Seq("p0", "tok")))
+            .select(col("id"), col("n"), (col("p0") + 1).as("p"), col("tok"))
+        }
+        def selfJoin(prefix: org.apache.spark.sql.DataFrame,
+                     shj: Boolean) = {
+          val a = prefix.select(col("id").as("id1"), col("n").as("n1"),
+            col("p").as("pa"), col("tok"))
+          val b0 = prefix.select(col("id").as("id2"), col("n").as("n2"),
+            col("p").as("pb"), col("tok"))
+          val b = if (shj) b0.hint("SHUFFLE_HASH") else b0
+          a.join(b, Seq("tok"))
+            .where(col("id1") < col("id2") &&
+              col("n1") * num <= col("n2") * den &&
+              col("n2") * num <= col("n1") * den &&
+              (least(col("n1") - col("pa"), col("n2") - col("pb")) + 1) * (num + den)
+                >= (col("n1") + col("n2")) * num)
+            .select(col("id1"), col("n1"), col("id2"), col("n2"))
+            .distinct()
+        }
+        def docsCur(t: org.apache.spark.sql.DataFrame, shj: Boolean) = {
+          val dfc0 = t.groupBy("tok").agg(count(lit(1)).as("dfc"))
+          val dfc = if (shj) dfc0.hint("SHUFFLE_HASH") else dfc0
+          t.join(dfc, "tok")
+            .groupBy("id")
+            .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"),
+              count(lit(1)).as("n"))
+        }
+        def docsNoJoin(t: org.apache.spark.sql.DataFrame) =
+          t.groupBy("tok").agg(collect_list(col("id")).as("ids"))
+            .select(size(col("ids")).cast("long").as("dfc"), col("tok"),
+              explode(col("ids")).as("id"))
+            .groupBy("id")
+            .agg(sort_array(collect_list(struct(col("dfc"), col("tok")))).as("arr"),
+              count(lit(1)).as("n"))
+        // PPJoin accumulated-overlap candidate filter: aggregate the
+        // join output per pair instead of distinct() — c shared
+        // prefix tokens with last-match positions (max pa, max pb)
+        // bound the total overlap at c + min(n1-pa*, n2-pb*); the
+        // first-match positions (min pa, min pb) bound it at
+        // 1 + min(n1-pa1, n2-pb1). Both complete (see r20 notes).
+        def selfJoinAgg(prefix: org.apache.spark.sql.DataFrame) = {
+          val a = prefix.select(col("id").as("id1"), col("n").as("n1"),
+            col("p").as("pa"), col("tok"))
+          val b = prefix.select(col("id").as("id2"), col("n").as("n2"),
+            col("p").as("pb"), col("tok"))
+          a.join(b, Seq("tok"))
+            .where(col("id1") < col("id2") &&
+              col("n1") * num <= col("n2") * den &&
+              col("n2") * num <= col("n1") * den)
+            .groupBy("id1", "id2", "n1", "n2")
+            .agg(count(lit(1)).as("c"),
+              max(col("pa")).as("pam"), max(col("pb")).as("pbm"),
+              min(col("pa")).as("pa1"), min(col("pb")).as("pb1"))
+            .where(
+              (col("c") + least(col("n1") - col("pam"), col("n2") - col("pbm")))
+                * (num + den) >= (col("n1") + col("n2")) * num &&
+              (least(col("n1") - col("pa1"), col("n2") - col("pb1")) + 1)
+                * (num + den) >= (col("n1") + col("n2")) * num)
+            .select(col("id1"), col("n1"), col("id2"), col("n2"))
+        }
+        // the committed (new) candidate pipeline, via a copy of the
+        // asymmetric indexing-prefix form, to count its candidates
+        def selfJoinAsym(prefix: org.apache.spark.sql.DataFrame) = {
+          val a = prefix.select(col("id").as("ida"), col("n").as("na"),
+            col("p").as("pa"), col("tok"))
+          val ixLen = expr(
+            s"n - ((2 * $num * n + ${num + den - 1}) DIV ${num + den}) + 1")
+          val b = prefix.where(col("p") <= ixLen)
+            .select(col("id").as("idb"), col("n").as("nb"),
+              col("p").as("pb"), col("tok"))
+          a.join(b.hint("SHUFFLE_HASH"), Seq("tok"))
+            .where((col("nb") < col("na") ||
+                (col("nb") === col("na") && col("idb") < col("ida"))) &&
+              col("na") * num <= col("nb") * den)
+            .groupBy("ida", "idb", "na", "nb")
+            .agg(count(lit(1)).as("c"),
+              max(col("pa")).as("pam"), max(col("pb")).as("pbm"),
+              min(col("pa")).as("pa1"), min(col("pb")).as("pb1"))
+            .where(
+              (col("c") + least(col("na") - col("pam"), col("nb") - col("pbm")))
+                * (num + den) >= (col("na") + col("nb")) * num &&
+              (least(col("na") - col("pa1"), col("nb") - col("pb1")) + 1)
+                * (num + den) >= (col("na") + col("nb")) * num)
+            .select(least(col("ida"), col("idb")).as("id1"),
+              greatest(col("ida"), col("idb")).as("id2"))
+        }
+        Seq(
+          "counts" -> (() => withToks { t =>
+            val nPost = t.count()
+            val prefix = prefixOf(docsCur(t, shj = false))
+            val nCand = selfJoin(prefix, shj = false).count()
+            val nCandAsym = selfJoinAsym(prefix).count()
+            System.err.println(s"[q150v] postings=$nPost " +
+              s"candsOld=$nCand candsAsym=$nCandAsym")
+            nPost.toDouble
+          }),
+          "cands_agg" -> (() => withToks { t =>
+            def c = selfJoinAgg(prefixOf(docsCur(t, shj = false)))
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "full_agg_variant" -> (() => withToks { t =>
+            import graft.functions.{SketchExpressions => SE2}
+            def full = {
+              val cands = selfJoinAgg(prefixOf(docsCur(t, shj = false)))
+              val blobs = t.groupBy("id")
+                .agg(SE2.packLongs(sort_array(collect_list(col("tok")))).as("blob"))
+              cands
+                .join(blobs.select(col("id").as("id1"), col("blob").as("b1")), "id1")
+                .join(blobs.select(col("id").as("id2"), col("blob").as("b2")), "id2")
+                .withColumn("inter", SE2.packedIntersectCount(col("b1"), col("b2")).cast("long"))
+                .where(col("inter") * den >= (col("n1") + col("n2") - col("inter")) * num)
+                .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+            }
+            val x = noopKeepCache(full); val y = noopKeepCache(full); math.min(x, y)
+          }),
+          "full_cur_variant" -> (() => withToks { t =>
+            import graft.functions.{SketchExpressions => SE2}
+            def full = {
+              val cands = selfJoin(prefixOf(docsCur(t, shj = false)), shj = false)
+              val blobs = t.groupBy("id")
+                .agg(SE2.packLongs(sort_array(collect_list(col("tok")))).as("blob"))
+              cands
+                .join(blobs.select(col("id").as("id1"), col("blob").as("b1")), "id1")
+                .join(blobs.select(col("id").as("id2"), col("blob").as("b2")), "id2")
+                .withColumn("inter", SE2.packedIntersectCount(col("b1"), col("b2")).cast("long"))
+                .where(col("inter") * den >= (col("n1") + col("n2") - col("inter")) * num)
+                .select(col("id1"), col("id2"), col("inter"), col("n1"), col("n2"))
+            }
+            val x = noopKeepCache(full); val y = noopKeepCache(full); math.min(x, y)
+          }),
+          "cands_cur" -> (() => withToks { t =>
+            def c = selfJoin(prefixOf(docsCur(t, shj = false)), shj = false)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "cands_shj" -> (() => withToks { t =>
+            def c = selfJoin(prefixOf(docsCur(t, shj = true)), shj = true)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "cands_nojoin" -> (() => withToks { t =>
+            def c = selfJoin(prefixOf(docsNoJoin(t)), shj = false)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "cands_nojoin_shjpair" -> (() => withToks { t =>
+            def c = selfJoin(prefixOf(docsNoJoin(t)), shj = true)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "docs_cur" -> (() => withToks { t =>
+            def c = docsCur(t, shj = false)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "docs_shj" -> (() => withToks { t =>
+            def c = docsCur(t, shj = true)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
+          }),
+          "docs_nojoin" -> (() => withToks { t =>
+            def c = docsNoJoin(t)
+            val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
           })
         )
       case "q298" =>

@@ -239,6 +239,36 @@ case class PackedIntersectCount(left: Expression, right: Expression)
     copy(left = l, right = r)
 }
 
+/** |A ∩ B| of two packed SORTED distinct-long sets via a linear merge
+  * walk — ZERO allocation per row. [[PackedIntersectCount]] builds an
+  * open-addressed table per evaluation (~1 KB of fresh arrays); at
+  * millions of candidate pairs (the SetSimJoin verification stage)
+  * that is gigabytes of pure GC churn for sets the merge walks in
+  * ~|A|+|B| compares. Inputs MUST be ascending-sorted (signed long
+  * order, i.e. `pack_longs(sort_array(...))`) — [[graft.llm
+  * .SetSimJoin]]'s blobs are by construction; [[graft.llm.Dedup]]'s
+  * `shhb` blobs are NOT (insertion order, persisted in the
+  * incremental sketch index), so they keep the hash form. */
+case class SortedIntersectCount(left: Expression, right: Expression)
+    extends BinaryExpression with BinaryKernelCodegen {
+  override def dataType: DataType = IntegerType
+  override def prettyName: String = "sorted_intersect_count"
+  override def nullSafeEval(l: Any, r: Any): Any = {
+    val a = l.asInstanceOf[Array[Byte]]; val b = r.asInstanceOf[Array[Byte]]
+    val n = a.length / 8; val m = b.length / 8
+    var i = 0; var j = 0; var c = 0
+    while (i < n && j < m) {
+      val va = Packed.longAt(a, i); val vb = Packed.longAt(b, j)
+      if (va == vb) { c += 1; i += 1; j += 1 }
+      else if (va < vb) i += 1
+      else j += 1
+    }
+    c
+  }
+  override protected def withNewChildrenInternal(l: Expression, r: Expression): Expression =
+    copy(left = l, right = r)
+}
+
 /** LSH band keys from a packed MinHash signature: one int key per band,
   * mixing that band's `rowsPerBand` signature words. Output array<int>
   * of length `bands` — posexplode gives (band, key) rows without any
@@ -285,6 +315,10 @@ object SketchExpressions {
 
   def packedIntersectCount(a: Column, b: Column): Column =
     ColumnBridge.column(PackedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
+
+  /** Merge-walk intersection for ASCENDING-SORTED packed sets only. */
+  def sortedIntersectCount(a: Column, b: Column): Column =
+    ColumnBridge.column(SortedIntersectCount(ColumnBridge.expression(a), ColumnBridge.expression(b)))
 
   def bandKeys(packedSig: Column, bands: Int, rowsPerBand: Int): Column =
     ColumnBridge.column(BandKeys(ColumnBridge.expression(packedSig), bands, rowsPerBand))

@@ -111,12 +111,24 @@ object TextFunctions {
 
   /** Composite quality score in [0,1]: penalizes very short docs, high
     * punctuation ratio, and low stopword incidence. Heuristic only —
-    * thresholds are engine-defined, deterministic. */
+    * thresholds are engine-defined, deterministic.
+    *
+    * The token/stopword/punctuation counters come from ONE fused
+    * native pass ([[QualityStats]] — optimization r20; the unfused
+    * form ran three splits, an interpreted higher-order filter and a
+    * regexp_replace per row on every curation-gate row); the double
+    * arithmetic below is unchanged from r19, so the scores are
+    * bit-identical (QualityStatsSpec pins the parity). */
   def qualityScore(c: Column, stopwords: Seq[String] = defaultStopwords): Column = {
-    val lenScore = least(tokenCount(c).cast("double") / lit(20.0), lit(1.0))
-    val stopScore = least(stopwordCount(c, stopwords).cast("double") * lit(4.0) /
-      greatest(tokenCount(c), lit(1L)).cast("double"), lit(1.0))
-    val punctScore = lit(1.0) - least(punctRatio(c) * lit(4.0), lit(1.0))
+    val st = QualityStats(c, stopwords)
+    val tok = element_at(st, 1)
+    val stop = element_at(st, 2)
+    val lenScore = least(tok.cast("double") / lit(20.0), lit(1.0))
+    val stopScore = least(stop.cast("double") * lit(4.0) /
+      greatest(tok, lit(1L)).cast("double"), lit(1.0))
+    val punctScore = lit(1.0) - least(
+      (element_at(st, 3).cast("double") /
+        greatest(element_at(st, 4), lit(1L)).cast("double")) * lit(4.0), lit(1.0))
     round((lenScore + stopScore + punctScore) / lit(3.0), 4)
   }
 

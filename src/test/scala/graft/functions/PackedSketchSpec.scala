@@ -44,6 +44,28 @@ class PackedSketchSpec extends SparkSpec {
     assert(got.where(col("packed") =!= col("tier")).count() == 0)
   }
 
+  test("SortedIntersectCount equals PackedIntersectCount on sorted sets") {
+    val df = arrays.toDF("a", "b")
+    val got = df.select(
+      SE.sortedIntersectCount(
+        SE.packLongs(sort_array(col("a"))),
+        SE.packLongs(sort_array(col("b")))).as("merged"),
+      SE.packedIntersectCount(SE.packLongs(col("a")), SE.packLongs(col("b"))).as("hashed"))
+    assert(got.where(col("merged") =!= col("hashed")).count() == 0)
+    // negative longs sort before positive in the signed order the
+    // merge walk assumes — pin it explicitly
+    val neg = Seq((Seq(-5L, -1L, 3L, Long.MaxValue), Seq(Long.MinValue, -1L, 3L)))
+      .toDF("a", "b")
+    val n = neg.select(SE.sortedIntersectCount(
+      SE.packLongs(sort_array(col("a"))),
+      SE.packLongs(sort_array(col("b")))).as("c")).head.getInt(0)
+    assert(n == 2)
+    // empty-side safety
+    val e = Seq((Seq.empty[Long], Seq(1L, 2L))).toDF("a", "b")
+    assert(e.select(SE.sortedIntersectCount(
+      SE.packLongs(col("a")), SE.packLongs(col("b")))).head.getInt(0) == 0)
+  }
+
   test("PackedIntersectCount equals size(array_intersect) on distinct sets") {
     val df = arrays.toDF("a", "b")
     val got = df.select(
