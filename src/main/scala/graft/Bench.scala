@@ -2,6 +2,63 @@ package graft
 
 import org.apache.spark.sql.SparkSession
 
+/** `regexp_replace(text, "(\\S+)", concat("r", rep, "x$1"))` as one
+  * native byte pass (`tag_words`) — the docsX10 fixture's
+  * word-tagging. The regex form Java-regex-scans and StringBuffer-
+  * rebuilds every document inside FOUR timed x10 entries (~1.5 s wall
+  * / ~40 cpu-s per bench entry at sf0.1, all fixture apparatus, none
+  * of it the operator under test — optimization r20). Byte-exact
+  * parity with the regex form is pinned by BenchFixtureSpec: a word
+  * is a maximal run of non-[ \t\n\f\r] bytes (Java `\S`;
+  * UTF-8 continuation bytes are never those, so the byte walk is
+  * codepoint-safe), each prefixed with `r<rep>x`. Null in → null out. */
+private[graft] case class TagWords(
+    left: org.apache.spark.sql.catalyst.expressions.Expression,
+    right: org.apache.spark.sql.catalyst.expressions.Expression)
+    extends org.apache.spark.sql.catalyst.expressions.BinaryExpression
+    with graft.functions.BinaryKernelCodegen {
+  override def dataType: org.apache.spark.sql.types.DataType =
+    org.apache.spark.sql.types.StringType
+  override def prettyName: String = "tag_words"
+  private def isWs(b: Byte): Boolean =
+    b == 0x20 || b == 0x09 || b == 0x0A || b == 0x0B || b == 0x0C || b == 0x0D
+  override def nullSafeEval(t: Any, r: Any): Any = {
+    val s = t.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val tag = ("r" + r.asInstanceOf[Long] + "x").getBytes("US-ASCII")
+    // exact output size: one tag per ws→word boundary
+    var words = 0; var i = 0; var prevWs = true
+    while (i < s.length) {
+      val ws = isWs(s(i))
+      if (!ws && prevWs) words += 1
+      prevWs = ws; i += 1
+    }
+    val out = new Array[Byte](s.length + words * tag.length)
+    var o = 0; i = 0; prevWs = true
+    while (i < s.length) {
+      val ws = isWs(s(i))
+      if (!ws && prevWs) {
+        System.arraycopy(tag, 0, out, o, tag.length); o += tag.length
+      }
+      out(o) = s(i); o += 1
+      prevWs = ws; i += 1
+    }
+    org.apache.spark.unsafe.types.UTF8String.fromBytes(out)
+  }
+  override protected def withNewChildrenInternal(
+      l: org.apache.spark.sql.catalyst.expressions.Expression,
+      r: org.apache.spark.sql.catalyst.expressions.Expression)
+      : org.apache.spark.sql.catalyst.expressions.Expression =
+    copy(left = l, right = r)
+}
+
+private[graft] object TagWords {
+  def apply(text: org.apache.spark.sql.Column,
+            rep: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    org.apache.spark.sql.graft.ColumnBridge.column(TagWords(
+      org.apache.spark.sql.graft.ColumnBridge.expression(text),
+      org.apache.spark.sql.graft.ColumnBridge.expression(rep)))
+}
+
 /** Benchmark main. Runs the headline query subset (BASELINE.md: Q2
   * aggregation, Q6 join, Q10 total-order sort, plus wordcount and the
   * LLM dedup/similarity ops) against SPARK_GRAFT_SF_DIR, and a
@@ -522,13 +579,16 @@ object Bench {
 
     // 10× documents for the dedup-family scale trends: replica-tagged
     // ids AND replica-tagged words (see the q27_x10 comment below).
+    // Word tagging is the native [[TagWords]] byte pass — byte-exact
+    // with the r19 regexp_replace form (BenchFixtureSpec pins it),
+    // minus the per-document Java-regex scan the four x10 entries
+    // were paying inside their timed windows (optimization r20).
     def docsX10(spark: SparkSession, dir: String) = {
       import org.apache.spark.sql.functions._
       spark.read.parquet(s"$dir/documents.parquet")
         .crossJoin(spark.range(10).select(col("id").as("rep")))
         .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
-          regexp_replace(col("text"), lit("(\\S+)"),
-            concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+          TagWords(col("text"), col("rep")).as("text"))
         .repartition(32)
     }
 

@@ -154,8 +154,7 @@ object ProfileStages {
         def docsX10 = spark.read.parquet(s"$sfDir/documents.parquet")
           .crossJoin(spark.range(10).select(col("id").as("rep")))
           .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
-            regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+            TagWords(col("text"), col("rep")).as("text"))
           .repartition(32)
         import graft.functions.{SketchExpressions => SE}
         def toksDf = graft.core.Engine.widen(docsX10)
@@ -290,8 +289,7 @@ object ProfileStages {
         def docsX10v = spark.read.parquet(s"$sfDir/documents.parquet")
           .crossJoin(spark.range(10).select(col("id").as("rep")))
           .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
-            regexp_replace(col("text"), lit("(\\S+)"),
-              concat(lit("r"), col("rep"), lit("x$1"))).as("text"))
+            TagWords(col("text"), col("rep")).as("text"))
           .repartition(32)
         def toksDfv = graft.core.Engine.widen(docsX10v)
           .select(col("doc_id").as("id"),
@@ -481,6 +479,80 @@ object ProfileStages {
           "full_q266" -> (() => minOf2(
             SparkEntry.queries("q266_curation_v6")(spark, sfDir)))
         )
+      case "cacherace" =>
+        // r20 Verify-concurrency diagnosis: does a concurrent
+        // clearCache make the q49 components pipeline evaluate EMPTY?
+        Seq("race" -> (() => {
+          @volatile var stop = false
+          val clearer = new Thread(() => {
+            while (!stop) { spark.catalog.clearCache(); Thread.sleep(20) }
+          })
+          clearer.setDaemon(true); clearer.start()
+          var bad = 0
+          for (i <- 1 to 8) {
+            val n = SparkEntry.queries("q49_dup_components")(spark, sfDir).count()
+            System.err.println(s"[race] iter $i rows=$n")
+            if (n == 0) bad += 1
+          }
+          stop = true
+          bad.toDouble
+        }))
+      case "twinrace2" =>
+        // narrower: can the PAIRS frame itself evaluate empty next to
+        // a concurrent q27 (no clearCache at all)?
+        Seq(
+          "pairs_noclear" -> (() => {
+            var bad = 0
+            for (i <- 1 to 6) {
+              val t27 = new Thread(() => {
+                SparkEntry.queries("q27_minhash_neardup")(spark, sfDir).count(); ()
+              })
+              t27.start()
+              val n = graft.llm.Dedup.minHashVerifiedPairs(
+                graft.core.Tables.documents(spark, sfDir), "doc_id", "text",
+                3, 0.5).count()
+              t27.join()
+              System.err.println(s"[race2] iter $i pairs=$n")
+              if (n == 0) bad += 1
+            }
+            bad.toDouble
+          }),
+          "q49_noclear" -> (() => {
+            var bad = 0
+            for (i <- 1 to 6) {
+              val t27 = new Thread(() => {
+                SparkEntry.queries("q27_minhash_neardup")(spark, sfDir).count(); ()
+              })
+              t27.start()
+              val n = SparkEntry.queries("q49_dup_components")(spark, sfDir).count()
+              t27.join()
+              System.err.println(s"[race2] iter $i q49=$n")
+              if (n == 0) bad += 1
+            }
+            bad.toDouble
+          }))
+      case "twinrace" =>
+        // does running q27 (same sketch/banded cached plans) + q49
+        // concurrently make q49 empty? clearCache after each, like
+        // the concurrent Verify.
+        Seq("race" -> (() => {
+          var bad = 0
+          for (i <- 1 to 6) {
+            val t27 = new Thread(() => {
+              try {
+                SparkEntry.queries("q27_minhash_neardup")(spark, sfDir).count()
+              } finally spark.catalog.clearCache()
+            })
+            t27.start()
+            val n = try
+              SparkEntry.queries("q49_dup_components")(spark, sfDir).count()
+            finally spark.catalog.clearCache()
+            t27.join()
+            System.err.println(s"[race] iter $i q49 rows=$n")
+            if (n == 0) bad += 1
+          }
+          bad.toDouble
+        }))
       case "q298" =>
         import spark.implicits._
         val dir = new java.io.File(System.getProperty("java.io.tmpdir"),
