@@ -147,6 +147,74 @@ object ProfileStages {
             val b = time(body.write.mode("overwrite").format("noop").save())
             r.unpersist()
             math.min(a, b)
+          }),
+          "resolve_cut_variant" -> (() => {
+            // r20: same pointer-doubled set-bit resolve, but each jump
+            // level localCheckpoint-cut so nested broadcast builds
+            // stop recomputing lower levels
+            spark.catalog.clearCache()
+            val r = rows.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            r.count()
+            val edgesIn = r.where(col("kind") === "redirect")
+              .select(graft.functions.CanonicalUrl(col("url")).as("src"),
+                col("target").as("dst"))
+            def cut(df: org.apache.spark.sql.DataFrame) = {
+              val rdd = df.rdd.localCheckpoint()
+              rdd.count()
+              spark.createDataFrame(rdd, df.schema)
+            }
+            def body = {
+              val maxHops = 8
+              val edges = cut(edgesIn
+                .select(col("src").as("__s"), col("dst").as("__d"))
+                .where(col("__s").isNotNull && col("__d").isNotNull &&
+                  col("__s") =!= col("__d"))
+                .groupBy("__s").agg(min("__d").as("__d")))
+              var levels = List((edges.select(col("__s").as("u"),
+                col("__d").as("v"), lit(1).as("len")), 1))
+              var span = 1
+              while (span * 2 <= maxHops) {
+                val j = levels.head._1
+                val right = j.select(col("u").as("v"), col("v").as("__v2"),
+                  col("len").as("__len2"))
+                val nxt = j.join(right, Seq("v"), "left")
+                  .select(col("u"),
+                    coalesce(col("__v2"), col("v")).as("v"),
+                    (col("len") + coalesce(col("__len2"), lit(0))).as("len"))
+                levels ::= ((if (span * 2 * 2 <= maxHops) cut(nxt) else nxt),
+                  span * 2)
+                span *= 2
+              }
+              var cur: org.apache.spark.sql.DataFrame = null
+              var remaining = maxHops
+              levels.foreach { case (j, s) =>
+                if (s <= remaining) {
+                  remaining -= s
+                  cur =
+                    if (cur == null)
+                      j.select(col("u").as("src"), col("v").as("cur"),
+                        col("len").as("hops"))
+                    else {
+                      val right = j.select(col("u").as("cur"), col("v").as("__v2"),
+                        col("len").as("__len2"))
+                      cur.join(right, Seq("cur"), "left")
+                        .select(col("src"),
+                          coalesce(col("__v2"), col("cur")).as("cur"),
+                          (col("hops") + coalesce(col("__len2"), lit(0))).as("hops"))
+                    }
+                }
+              }
+              val outgoing = edges.select(col("__s").as("cur"),
+                lit(true).as("__has_out"))
+              cur.join(outgoing, Seq("cur"), "left")
+                .select(col("src"), col("cur").as("final_url"),
+                  col("hops").cast("long").as("hops"),
+                  coalesce(!col("__has_out"), lit(true)).as("terminal"))
+            }
+            val a = time(body.write.mode("overwrite").format("noop").save())
+            val b = time(body.write.mode("overwrite").format("noop").save())
+            r.unpersist()
+            math.min(a, b)
           })
         )
       case "q150" =>

@@ -161,9 +161,15 @@ object Curation {
                                 blockDomains: Seq[String], domainCap: Int,
                                 fold: org.apache.spark.sql.Column =>
                                   org.apache.spark.sql.Column): DataFrame = {
+    // cutLineage: the batch path runs resolve once per query, so the
+    // jump levels materialize once instead of recomputing under each
+    // broadcast build (2× on q353's resolve leg, r20-profiled); the
+    // per-micro-batch streaming leg keeps the lazy default (its
+    // checkpoint blocks would accumulate for the stream's life)
     val resolved = graft.ops.Redirects
       .resolve(redirects.select(fold(col("src")).as("src"),
-        fold(col("dst")).as("dst")), "src", "dst", maxHops = 8)
+        fold(col("dst")).as("dst")), "src", "dst", maxHops = 8,
+        cutLineage = true)
       .where(col("terminal"))
       .select(col("src").as("url_canon"), col("final_url"))
     val gated = v14Gates(pages, blockDomains)

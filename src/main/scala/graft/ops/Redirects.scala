@@ -36,14 +36,33 @@ object Redirects {
     * landing URL), false when the walk was cut by the bound (cycle
     * or over-long chain — flag those for refetch, don't key on
     * them). */
+  /** `cutLineage = true` (EAGER) localCheckpoints the edge map and
+    * every jump level that gets squared again. Without the cut, each
+    * level's plan appears BOTH as a streaming input and under the
+    * next level's broadcast build, so the builds recompute every
+    * lower level (R2 up to 4× at maxHops = 8 — optimization r20,
+    * profiled 2× end-to-end on q353's edge set). The cut runs one
+    * tiny job per level at CONSTRUCTION (the minHashVerifiedPairs
+    * eager precedent) and leaves the checkpoint blocks to the
+    * session (a few |edges|-row tables per call) — so batch callers
+    * opt in, while unbounded per-micro-batch callers
+    * ([[graft.llm.Curation]]'s resolvedStream) keep the lazy
+    * default. */
   def resolve(edges0: DataFrame, srcCol: String, dstCol: String,
-              maxHops: Int = 8): DataFrame = {
+              maxHops: Int = 8, cutLineage: Boolean = false): DataFrame = {
     require(maxHops >= 1 && maxHops <= 64, "maxHops out of range")
-    val edges = edges0
+    def cut(df: DataFrame): DataFrame =
+      if (!cutLineage) df
+      else {
+        val rdd = df.rdd.localCheckpoint()
+        rdd.count() // eager: materialize so consumers share one compute
+        df.sparkSession.createDataFrame(rdd, df.schema)
+      }
+    val edges = cut(edges0
       .select(col(srcCol).as("__s"), col(dstCol).as("__d"))
       .where(col("__s").isNotNull && col("__d").isNotNull &&
         col("__s") =!= col("__d")) // a self-redirect is no move: dropped
-      .groupBy("__s").agg(min("__d").as("__d"))
+      .groupBy("__s").agg(min("__d").as("__d")))
     // Pointer doubling (r18 verdict: the naive one-edge-per-round
     // walk carried maxHops−1 sequential shuffle barriers even when
     // every chain is one hop). Build SATURATING jump tables by
@@ -68,10 +87,13 @@ object Redirects {
       val j = levels.head._1
       val right = j.select(col("u").as("v"), col("v").as("__v2"),
         col("len").as("__len2"))
-      levels ::= (j.join(right, Seq("v"), "left")
+      val nxt = j.join(right, Seq("v"), "left")
         .select(col("u"),
           coalesce(col("__v2"), col("v")).as("v"),
-          (col("len") + coalesce(col("__len2"), lit(0))).as("len")), span * 2)
+          (col("len") + coalesce(col("__len2"), lit(0))).as("len"))
+      // only levels that get squared AGAIN are multi-consumer; the
+      // widest level is consumed once by the set-bit composition
+      levels ::= ((if (span * 4 <= maxHops) cut(nxt) else nxt), span * 2)
       span *= 2
     }
     // head = widest span; compose exactly the set-bit levels

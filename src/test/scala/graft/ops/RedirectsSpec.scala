@@ -14,6 +14,27 @@ class RedirectsSpec extends SparkSpec {
       .as[(String, String, Long, Boolean)].collect()
       .map(r => r._1 -> ((r._2, r._3, r._4))).toMap
 
+  test("cutLineage = true is row-identical to the lazy form") {
+    // chains, a cycle, a fork collapse, across power-of-2 and
+    // non-power-of-2 bounds — the eager lineage cut must be purely
+    // physical (r20: it exists so the jump levels stop recomputing
+    // under each broadcast build)
+    val edges = Seq(
+      "a" -> "b", "b" -> "c", "c" -> "d",
+      "x" -> "d", "p" -> "q",
+      "c1" -> "c2", "c2" -> "c1",
+      "f" -> "z", "f" -> "a") ++
+      (0 until 12).map(i => s"u$i" -> s"u${i + 1}")
+    for (hops <- Seq(1, 2, 3, 6, 8)) {
+      val lazyRows = Redirects.resolve(edges.toDF("s", "t"), "s", "t", hops)
+        .as[(String, String, Long, Boolean)].collect().toSet
+      val cutRows = Redirects.resolve(edges.toDF("s", "t"), "s", "t", hops,
+          cutLineage = true)
+        .as[(String, String, Long, Boolean)].collect().toSet
+      assert(cutRows == lazyRows, s"cutLineage drift at maxHops=$hops")
+    }
+  }
+
   test("chains resolve to their landing URL with hop counts") {
     val r = resolveAll(Seq(
       "a" -> "b", "b" -> "c", "c" -> "d", // 3-hop chain
