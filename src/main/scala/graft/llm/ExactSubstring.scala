@@ -43,28 +43,23 @@ object ExactSubstring {
 
   private val byIdx = Window.partitionBy(col("doc_id")).orderBy(col("idx"))
 
-  /** Non-empty tokens, renumbered contiguously per document:
-    * (doc_id, idx, w), idx 1-based. */
-  private def tokens(df: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val byDoc = Window.partitionBy(col("doc_id")).orderBy(col("pos"))
-    df.select(col(idCol).as("doc_id"),
-        posexplode(split(col(textCol), " ")).as(Seq("pos", "w")))
-      .where(col("w") =!= "")
-      .withColumn("idx", row_number().over(byDoc))
-      .select("doc_id", "idx", "w")
-  }
-
-  /** The length-minRun gram STARTING at each idx; md5 keeps the
-    * count-stage exchange at 16 bytes/position independent of
-    * minRun: (doc_id, idx, gh). */
-  private def grams(toks: DataFrame, minRun: Int): DataFrame = {
-    val gramCols = col("w") +: (1 until minRun).map(i => lead(col("w"), i).over(byIdx))
-    toks
-      .withColumn("last", lead(col("w"), minRun - 1).over(byIdx))
-      .withColumn("gh", md5(concat_ws(" ", gramCols: _*)))
-      .where(col("last").isNotNull)
-      .select(col("doc_id"), col("idx"), col("gh"))
-  }
+  /** Fused per-document token+gram rows (optimization r20):
+    * (doc_id, idx, w, gh) — idx 1-based over non-empty single-space
+    * tokens, gh the 16-byte digest of the length-`minRun` gram
+    * starting at idx (null past the last full window). One
+    * [[graft.functions.TokenGrams]] map pass replaces the r19
+    * row-number window + minRun−1 lead windows, which shuffled and
+    * SORTED every token row twice before the first real aggregate —
+    * positions and grams are per-document facts, so they now ride
+    * the scan (widened for small inputs: the r19 docIds lesson). */
+  private def tokenGramRows(df: DataFrame, idCol: String, textCol: String,
+                            minRun: Int): DataFrame =
+    graft.core.Engine.widen(df)
+      .select(col(idCol).as("doc_id"),
+        posexplode(graft.functions.TokenGrams(col(textCol), minRun))
+          .as(Seq("p0", "tg")))
+      .select(col("doc_id"), (col("p0") + 1).as("idx"),
+        col("tg").getField("w").as("w"), col("tg").getField("gh").as("gh"))
 
   /** Window starts whose gram repeats corpus-wide (any second verbatim
     * occurrence, same doc or another — the paper's rule), with their
@@ -82,7 +77,8 @@ object ExactSubstring {
   def duplicatedExtents(df: DataFrame, idCol: String, textCol: String,
                         minRun: Int): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    dupStarts(grams(tokens(df, idCol, textCol), minRun))
+    dupStarts(tokenGramRows(df, idCol, textCol, minRun)
+        .where(col("gh").isNotNull).select(col("doc_id"), col("idx"), col("gh")))
       .groupBy(col("doc_id"), col("island"))
       .agg(min("idx").as("start_idx"),
         (max("idx") + lit(minRun - 1)).as("end_idx"))
@@ -143,10 +139,14 @@ object ExactSubstring {
   private def flaggedTokens(df: DataFrame, idCol: String, textCol: String,
                             minRun: Int): DataFrame = {
     require(minRun >= 2, s"minRun must be >= 2, got $minRun")
-    val toks = tokens(df, idCol, textCol)
+    // ONE cached frame serves both the token view and the gram view
+    // (r19 cached them separately — two columnar caches of the same
+    // rows)
+    val rows = tokenGramRows(df, idCol, textCol, minRun)
       .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
-    val g = grams(toks, minRun)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val toks = rows.select(col("doc_id"), col("idx"), col("w"))
+    val g = rows.where(col("gh").isNotNull)
+      .select(col("doc_id"), col("idx"), col("gh"))
     val extents = dupStarts(g)
       .groupBy(col("doc_id"), col("island"))
       .agg(min("idx").as("start_idx"), (max("idx") + lit(minRun - 1)).as("end_idx"))
