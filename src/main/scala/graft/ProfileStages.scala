@@ -545,7 +545,36 @@ object ProfileStages {
         Seq(
           "vid_synth" -> (() => minOf2(vidSynth)),
           "full_q266" -> (() => minOf2(
-            SparkEntry.queries("q266_curation_v6")(spark, sfDir)))
+            SparkEntry.queries("q266_curation_v6")(spark, sfDir))),
+          "hashes_only" -> (() => {
+            spark.catalog.clearCache()
+            def vidPay = SparkEntry.q266VidPayProbe(spark, sfDir)
+            def h = graft.sources.Multimodal.describeVideoHashes(
+              graft.sources.Multimodal.asMedia(vidPay, "doc_id", "vid", "video"))
+            minOf2(h)
+          }),
+          "neardup_from_cached_hashes" -> (() => {
+            spark.catalog.clearCache()
+            val h = graft.sources.Multimodal.describeVideoHashes(
+              graft.sources.Multimodal.asMedia(
+                SparkEntry.q266VidPayProbe(spark, sfDir), "doc_id", "vid", "video"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            h.count()
+            def nd = graft.sources.Multimodal.videoNearDupPairs(h, 3)
+            val a = noopKeepCache(nd); val b = noopKeepCache(nd)
+            h.unpersist(); math.min(a, b)
+          }),
+          "scenes_from_cached_hashes" -> (() => {
+            spark.catalog.clearCache()
+            val h = graft.sources.Multimodal.describeVideoHashes(
+              graft.sources.Multimodal.asMedia(
+                SparkEntry.q266VidPayProbe(spark, sfDir), "doc_id", "vid", "video"))
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            h.count()
+            def sc = graft.sources.Multimodal.sceneCuts(h, 10)
+            val a = noopKeepCache(sc); val b = noopKeepCache(sc)
+            h.unpersist(); math.min(a, b)
+          })
         )
       case "cacherace" =>
         // r20 Verify-concurrency diagnosis: does a concurrent
