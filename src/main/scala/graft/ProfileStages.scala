@@ -534,6 +534,34 @@ object ProfileStages {
             val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
           })
         )
+      case "q226ck" =>
+        // q226 checkpoint cadence A/B, BENCH-style: construction (the
+        // eager round jobs) INSIDE the timed region, cache cleared
+        // before each rep — QueryTime leaves construction untimed,
+        // which hid the uncut DAG's recompute blowup (r20 final bench
+        // caught it: wall 3.21→3.69, cpu 5.4→13.5).
+        def kmRun(ck: Int): Double = {
+          spark.catalog.clearCache()
+          time {
+            val r = graft.llm.Clustering.iterateSteps(
+              graft.core.Tables.embeddings(spark, sfDir)
+                .select(col("vec_id"), col("embedding"), col("label")),
+              "vec_id", "embedding", "label", rounds = 3, dim = 64,
+              scale = 1000, checkpointEvery = ck)
+            r.release()
+            r.assign.groupBy(col("label").as("cluster"))
+              .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
+              .orderBy("cluster")
+              .write.mode("overwrite").format("noop").save()
+          }
+        }
+        Seq(
+          "ck1_a" -> (() => kmRun(1)), "ck1_b" -> (() => kmRun(1)),
+          "ck2_a" -> (() => kmRun(2)), "ck2_b" -> (() => kmRun(2)),
+          "ck3_a" -> (() => kmRun(3)), "ck3_b" -> (() => kmRun(3)),
+          "ck1_c" -> (() => kmRun(1)), "ck2_c" -> (() => kmRun(2)),
+          "ck3_c" -> (() => kmRun(3))
+        )
       case "q266" =>
         // r20 item 3: how much of q266 is AVI fixture synthesis vs
         // decode+pipeline. vid_synth replicates the vidPay leg alone

@@ -5336,16 +5336,19 @@ object SparkEntry {
     // lifecycle, bounded plan depth at any round count), vectors
     // persisted once and released via the handle.
     "q226_kmeans_iter" -> ((s, d) => {
-      // checkpointEvery = 3: three rounds is bounded plan depth, so
-      // the chain runs as ONE uncut DAG (the final round still
-      // checkpoints — release() below needs a checkpoint-rooted
-      // result); the per-round count() jobs were pure stage-latency
-      // at this size (optimization r20, profiled 5.4 cpu-s / 3.2 s
-      // wall). Same math, same rounds, identical assignment.
+      // checkpointEvery stays 1 (per-round cut): the r20 uncut-DAG
+      // variant (checkpointEvery = 3) re-embeds each round's plan in
+      // the next round's centroid aggregate AND assignment join, so
+      // round work compounds — bench-style A/B (construction timed,
+      // ProfileStages q226ck) measured ~2× the CPU and ~1.6× the
+      // wall of the per-round cut, and the r20 final bench caught it
+      // (3.21 → 3.69 s, cpu 5.4 → 13.5). The per-round count() jobs
+      // are the cheaper evil at this size; the stage-latency floor
+      // (~1 s/round at sf0.1) is inherent to the chained contract.
       val r = graft.llm.Clustering.iterateSteps(
         emb(s, d).select(col("vec_id"), col("embedding"), col("label")),
         "vec_id", "embedding", "label", rounds = 3, dim = 64, scale = 1000,
-        checkpointEvery = 3)
+        checkpointEvery = 1)
       r.release() // result is checkpoint-rooted; the vector cache can go
       r.assign.groupBy(col("label").as("cluster"))
         .agg(count(lit(1)).as("n"), sum("vec_id").as("id_sum"))
