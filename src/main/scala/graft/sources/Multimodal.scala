@@ -2631,8 +2631,14 @@ object Multimodal {
           col("a.hp_id") < col("b.hp_id"))
       .select(col("a.hp_id").as("id1"), col("b.hp_id").as("id2"),
         bit_count(col("a.hp_hash").bitwiseXOR(col("b.hp_hash"))).as("hamming"))
-      .dropDuplicates("id1", "id2")
+      // gate BEFORE the dedup exchange: every duplicate of an
+      // (id1, id2) candidate carries the SAME hash pair (the dup rows
+      // differ only in which chunk matched), so the Hamming filter
+      // commutes with dropDuplicates — and map-side it drops the
+      // overwhelming non-matching majority before anything shuffles
+      // (optimization r20, guide §2.3)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2")
   }
 
   /** Channel-0 16-bit samples of an AU payload (μ-law / A-law /
@@ -3775,8 +3781,15 @@ object Multimodal {
       .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
         col("a.fi").as("fi"),
         bit_count(col("a.vh").bitwiseXOR(col("b.vh"))).as("hamming"))
-      .dropDuplicates("id1", "id2", "fi")
+      // gate BEFORE the dedup exchange — duplicates of an
+      // (id1, id2, fi) candidate differ only in which chunk matched,
+      // never in the frame-hash pair, so the Hamming filter commutes
+      // with dropDuplicates; map-side it cuts the exchange to the
+      // matching minority (optimization r20, guide §2.3: q266's
+      // neardup leg was 33 of its 67 cpu-s, candidate rows shuffling
+      // just to be dropped)
       .where(col("hamming") <= maxHamming)
+      .dropDuplicates("id1", "id2", "fi")
     framePairs.groupBy(col("id1"), col("id2"))
       .agg(count(lit(1)).as("matched_frames"))
       .join(counts.withColumnRenamed("vid", "id1").withColumnRenamed("nf", "n1"), "id1")
