@@ -534,6 +534,176 @@ object ProfileStages {
             val x = noopKeepCache(c); val y = noopKeepCache(c); math.min(x, y)
           })
         )
+      case "sketch" =>
+        // r20 session 2: the MinHash sketch pass A/B — the old
+        // two-expression form (tokenize+FNV twice per row) vs the
+        // fused one-pass MinHashSketch, on the x10 corpus the q27/q49
+        // x10 entries sketch. old/fused time the map pass alone;
+        // q27_x10 is the whole verified-pairs chain (bench shape,
+        // construction inside the timed region).
+        import graft.functions.{SketchExpressions => SE}
+        def docsX10Fix = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            TagWords(col("text"), col("rep")).as("text"))
+          .repartition(32)
+        def oldSketch = docsX10Fix.select(col("doc_id"),
+          SE.packLongs(graft.llm.Dedup.minHashSignature(col("text"), 3)).as("sigb"),
+          SE.packLongs(SE.shingleHashes64(col("text"), 3)).as("shhb"))
+        def fusedSketch =
+          graft.llm.Dedup.sketchFrame(docsX10Fix, "doc_id", "text", 3)
+        def chain(): Double = {
+          spark.catalog.clearCache()
+          time(graft.llm.Dedup.minHashVerifiedPairs(
+              docsX10Fix, "doc_id", "text", 3, 0.5)
+            .write.mode("overwrite").format("noop").save())
+        }
+        Seq(
+          "old_two_pass_a" -> (() => minOf2(oldSketch)),
+          "fused_a" -> (() => minOf2(fusedSketch)),
+          "old_two_pass_b" -> (() => minOf2(oldSketch)),
+          "fused_b" -> (() => minOf2(fusedSketch)),
+          "q27_x10_chain_a" -> (() => { val a = chain(); val b = chain(); math.min(a, b) }),
+          "q27_x10_chain_b" -> (() => { val a = chain(); val b = chain(); math.min(a, b) })
+        )
+      case "dedup27" =>
+        // Decompose q27_x10's ~42 cpu-s: sketch pass, band table,
+        // candidate pairs, attach+verify — each leg from the cached
+        // predecessor so the deltas are attributable.
+        import graft.functions.{SketchExpressions => SE}
+        def docsX10Fix = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            TagWords(col("text"), col("rep")).as("text"))
+          .repartition(32)
+        def withCachedSketch[T](f: (DataFrame, DataFrame) => T): T = {
+          spark.catalog.clearCache()
+          val sk = graft.llm.Dedup.sketchFrame(docsX10Fix, "doc_id", "text", 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sk.count()
+          val base = sk.where(length(col("shhb")) > 0)
+          val banded = base.select(col("doc_id"),
+              posexplode(SE.bandKeys(col("sigb"), 32, 2)))
+            .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          banded.count()
+          val r = f(base, banded)
+          sk.unpersist(); banded.unpersist(); r
+        }
+        Seq(
+          "fixture_only" -> (() => minOf2(
+            docsX10Fix.select(sum(length(col("text"))).as("n")))),
+          "sketch_pass" -> (() => minOf2(
+            graft.llm.Dedup.sketchFrame(docsX10Fix, "doc_id", "text", 3))),
+          "cand_from_cached" -> (() => withCachedSketch { (_, banded) =>
+            def cand = graft.llm.Dedup.bandedPairsForProfile(banded)
+            val a = noopKeepCache(cand); val b = noopKeepCache(cand)
+            System.err.println(s"[profile] candidates=${cand.count()}")
+            math.min(a, b)
+          }),
+          "verify_from_cached" -> (() => withCachedSketch { (base, banded) =>
+            def full = {
+              val cand = graft.llm.Dedup.bandedPairsForProfile(banded)
+              cand
+                .join(base.select(col("doc_id").as("id1"), col("sigb").as("sig1"), col("shhb").as("sh1")), "id1")
+                .join(base.select(col("doc_id").as("id2"), col("sigb").as("sig2"), col("shhb").as("sh2")), "id2")
+                .withColumn("est", SE.sigAgreeCount(col("sig1"), col("sig2"))
+                  .cast("double") / lit(64.0))
+                .where(col("est") >= 0.2)
+                .withColumn("inter", SE.packedIntersectCount(col("sh1"), col("sh2")))
+                .withColumn("jaccard", col("inter").cast("double") /
+                  ((length(col("sh1")) + length(col("sh2"))) / 8 - col("inter")))
+                .where(col("jaccard") >= 0.5)
+            }
+            val a = noopKeepCache(full); val b = noopKeepCache(full)
+            math.min(a, b)
+          })
+        )
+      case "dedup27b" =>
+        // Finer split of the q27_x10 candidate stage: hot-bucket agg,
+        // fenced self-join pre-dedup, the dedup, and the attach joins.
+        import graft.functions.{SketchExpressions => SE}
+        def docsX10Fix = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            TagWords(col("text"), col("rep")).as("text"))
+          .repartition(32)
+        def withCachedBands[T](f: (DataFrame, DataFrame) => T): T = {
+          spark.catalog.clearCache()
+          val sk = graft.llm.Dedup.sketchFrame(docsX10Fix, "doc_id", "text", 3)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          sk.count()
+          val base = sk.where(length(col("shhb")) > 0)
+          val banded = base.select(col("doc_id"),
+              posexplode(SE.bandKeys(col("sigb"), 32, 2)))
+            .withColumnRenamed("pos", "band").withColumnRenamed("col", "bkey")
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          banded.count()
+          val r = f(base, banded)
+          sk.unpersist(); banded.unpersist(); r
+        }
+        Seq(
+          "hotbuckets_agg" -> (() => withCachedBands { (_, banded) =>
+            def hb = graft.llm.Dedup.hotBuckets(banded, Seq("band", "bkey"), 100000)
+            val a = noopKeepCache(hb); val b = noopKeepCache(hb); math.min(a, b)
+          }),
+          "selfjoin_nodedup" -> (() => withCachedBands { (_, banded) =>
+            def kept = graft.llm.Dedup.fenceHotBuckets(banded, Seq("band", "bkey"), 100000)
+            def j = kept.alias("a").join(kept.alias("b"),
+                col("a.band") === col("b.band") && col("a.bkey") === col("b.bkey") &&
+                  col("a.doc_id") < col("b.doc_id"))
+              .select(col("a.doc_id").as("id1"), col("b.doc_id").as("id2"))
+            val a = noopKeepCache(j); val b = noopKeepCache(j)
+            System.err.println(s"[profile] prejoin_pairs=${j.count()}")
+            math.min(a, b)
+          }),
+          "selfjoin_dedup" -> (() => withCachedBands { (_, banded) =>
+            def cand = graft.llm.Dedup.bandedPairsForProfile(banded)
+            val a = noopKeepCache(cand); val b = noopKeepCache(cand); math.min(a, b)
+          }),
+          "attach_only" -> (() => withCachedBands { (base, banded) =>
+            val cand = graft.llm.Dedup.bandedPairsForProfile(banded)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            cand.count()
+            def att = cand
+              .join(base.select(col("doc_id").as("id1"), col("sigb").as("sig1"), col("shhb").as("sh1")), "id1")
+              .join(base.select(col("doc_id").as("id2"), col("sigb").as("sig2"), col("shhb").as("sh2")), "id2")
+              .withColumn("est", SE.sigAgreeCount(col("sig1"), col("sig2"))
+                .cast("double") / lit(64.0))
+              .where(col("est") >= 0.2)
+              .withColumn("inter", SE.packedIntersectCount(col("sh1"), col("sh2")))
+              .select(col("id1"), col("id2"), col("inter"))
+            val a = noopKeepCache(att); val b = noopKeepCache(att)
+            cand.unpersist(); math.min(a, b)
+          })
+        )
+      case "dedup27c" =>
+        // A/B: AQE SMJ→SHJ conversion for the dedup chain (guide
+        // §3.1 — hash join skips the two 16M-row sorts of the band
+        // self-join and the blob sort of the attach joins).
+        def chainOnce(): Double = {
+          spark.catalog.clearCache()
+          time(graft.llm.Dedup.minHashVerifiedPairs(
+              spark.read.parquet(s"$sfDir/documents.parquet")
+                .crossJoin(spark.range(10).select(col("id").as("rep")))
+                .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+                  TagWords(col("text"), col("rep")).as("text"))
+                .repartition(32), "doc_id", "text", 3, 0.5)
+            .write.mode("overwrite").format("noop").save())
+        }
+        def withConf(v: String)(f: => Double): Double = {
+          spark.conf.set("spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", v)
+          try f finally spark.conf.set(
+            "spark.sql.adaptive.maxShuffledHashJoinLocalMapThreshold", "0")
+        }
+        Seq(
+          "smj_a" -> (() => { val a = chainOnce(); val b = chainOnce(); math.min(a, b) }),
+          "shj_a" -> (() => withConf("256m") {
+            val a = chainOnce(); val b = chainOnce(); math.min(a, b) }),
+          "smj_b" -> (() => { val a = chainOnce(); val b = chainOnce(); math.min(a, b) }),
+          "shj_b" -> (() => withConf("256m") {
+            val a = chainOnce(); val b = chainOnce(); math.min(a, b) })
+        )
       case "q226ck" =>
         // q226 checkpoint cadence A/B, BENCH-style: construction (the
         // eager round jobs) INSIDE the timed region, cache cleared

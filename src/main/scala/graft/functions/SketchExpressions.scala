@@ -47,7 +47,18 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
       else {
       val h = arr.getLong(j); var i = 0
       while (i < k) {
-        val v = (aArr(i) * h + bArr(i)) % p
+        // exact Mersenne reduction of (a·h+b) mod p for any x ≥ 0 —
+        // 2^31 ≡ 1 (mod p), so fold hi+lo twice and conditionally
+        // subtract; identical to the hardware %, minus the division
+        // (optimization r20; PackedSketchSpec pins the equality).
+        // x < 0 (out-of-contract SQL input overflowing the product)
+        // keeps the old Java % semantics bit-for-bit.
+        val x = aArr(i) * h + bArr(i)
+        var v = if (x >= 0) {
+          val f1 = (x & p) + (x >>> 31)
+          (f1 & p) + (f1 >>> 31)
+        } else x % p
+        if (v >= p) v -= p
         if (v < sig(i)) sig(i) = v
         i += 1
       }
@@ -55,6 +66,124 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
       }
     }
     new GenericArrayData(sig)
+  }
+
+  override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
+}
+
+/** Fused MinHash sketch: ONE tokenize+hash pass over the text emitting
+  * BOTH packed sketches [[graft.llm.Dedup.sketchFrame]] caches —
+  * `sigb` (packed 64-long MinHash signature) and `shhb` (packed
+  * distinct 64-bit shingle-hash set, first-occurrence order).
+  * Bit-identical to
+  * `pack_longs(minhash_signature(shingle_hashes(text)))` +
+  * `pack_longs(shingle_hashes64(text))` (PackedSketchSpec pins it):
+  * the byte-level single-space split equals `split(text, " ", -1)`
+  * because 0x20 never occurs inside a UTF-8 multibyte sequence; the
+  * FNV-1a window hash (NUL-separated tokens) reads the same bytes;
+  * the signature min runs over DISTINCT 64-bit hashes only (min is
+  * multiset-invariant, and masking to 31 bits commutes with the
+  * dedup for the min's purposes); and `(a·h+b) mod (2^31-1)` is
+  * computed by exact Mersenne reduction (2^31 ≡ 1 mod p: fold
+  * hi+lo twice, one conditional subtract) instead of a hardware
+  * division per (shingle × hash). Replaces: two full tokenize+hash
+  * passes over the text, a String[] per row, per-window UTF-8
+  * re-encoding, LinkedHashSet boxing, and two GenericArrayData
+  * materializations. */
+case class MinHashSketch(child: Expression, n: Int, a: Seq[Long], b: Seq[Long])
+    extends UnaryExpression with UnaryKernelCodegen {
+
+  private val p = (1L << 31) - 1
+  private val aArr = a.toArray
+  private val bArr = b.toArray
+
+  override def dataType: DataType = StructType(Seq(
+    StructField("sigb", BinaryType, nullable = false),
+    StructField("shhb", BinaryType, nullable = false)))
+  override def prettyName: String = "minhash_sketch"
+
+  private def packLE(vals: Array[Long], count: Int): Array[Byte] = {
+    val out = new Array[Byte](count * 8)
+    var i = 0
+    while (i < count) {
+      var v = vals(i); var k = 0
+      while (k < 8) { out(i * 8 + k) = (v & 0xff).toByte; v >>>= 8; k += 1 }
+      i += 1
+    }
+    out
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[UTF8String].getBytes
+    val k = aArr.length
+    // single-space split, trailing empties kept (split(text," ",-1))
+    var tokens = 1; var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) tokens += 1; i += 1 }
+    if (tokens < n) {
+      // matches ShingleHashes' empty output: empty shhb, all-sentinel
+      // signature (the MinHashSignature fold over zero shingles)
+      val sig = new Array[Long](k)
+      java.util.Arrays.fill(sig, p)
+      return org.apache.spark.sql.catalyst.InternalRow(
+        packLE(sig, k), Array.emptyByteArray)
+    }
+    // token start offsets; end of token t is starts(t+1)-1
+    val starts = new Array[Int](tokens + 1)
+    var t = 1; i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = bytes.length + 1
+    val windows = tokens - n + 1
+    // open-addressed distinct set over the 64-bit window hashes,
+    // insertion order preserved (the shhb contract — the incremental
+    // sketch index stores these bytes)
+    var cap = 16
+    while (cap < windows * 2) cap <<= 1
+    val table = new Array[Long](cap); val used = new Array[Boolean](cap)
+    val order = new Array[Long](windows); var cnt = 0
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, p)
+    var w = 0
+    while (w < windows) {
+      var h = 0xcbf29ce484222325L
+      var tok = w
+      while (tok < w + n) {
+        var bi = starts(tok)
+        val end = starts(tok + 1) - 1
+        while (bi < end) { h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1 }
+        h *= 0x100000001b3L // NUL separator (h ^= 0 is a no-op)
+        tok += 1
+      }
+      var slot = java.lang.Long.hashCode(h * 0x9E3779B97F4A7C15L) & (cap - 1)
+      var isNew = true; var probing = true
+      while (probing) {
+        if (!used(slot)) probing = false
+        else if (table(slot) == h) { isNew = false; probing = false }
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (isNew) {
+        used(slot) = true; table(slot) = h
+        order(cnt) = h; cnt += 1
+        val h31 = h & 0x7FFFFFFFL
+        var j = 0
+        while (j < k) {
+          // same guarded Mersenne reduction as [[MinHashSignature]]
+          // (in-contract x = a·h31+b < 2^62 never takes the % branch)
+          val x = aArr(j) * h31 + bArr(j)
+          var v = if (x >= 0) {
+            val f1 = (x & p) + (x >>> 31)
+            (f1 & p) + (f1 >>> 31)
+          } else x % p
+          if (v >= p) v -= p
+          if (v < sig(j)) sig(j) = v
+          j += 1
+        }
+      }
+      w += 1
+    }
+    org.apache.spark.sql.catalyst.InternalRow(packLE(sig, k), packLE(order, cnt))
   }
 
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
@@ -325,6 +454,10 @@ object SketchExpressions {
 
   def minHashSignature(hashes: Column, a: Seq[Long], b: Seq[Long]): Column =
     ColumnBridge.column(MinHashSignature(ColumnBridge.expression(hashes), a, b))
+
+  /** Fused one-pass (sigb, shhb) sketch — see [[MinHashSketch]]. */
+  def minHashSketch(text: Column, n: Int, a: Seq[Long], b: Seq[Long]): Column =
+    ColumnBridge.column(MinHashSketch(ColumnBridge.expression(text), n, a, b))
 
   def simHash64(tokens: Column): Column =
     ColumnBridge.column(SimHash64(ColumnBridge.expression(tokens)))

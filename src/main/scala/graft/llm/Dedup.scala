@@ -435,6 +435,11 @@ object Dedup {
       keys, "left_anti")
 
   /** Distinct (id1, id2) pairs sharing ≥1 (band, bkey) bucket. */
+  /** Measurement hook for [[graft.ProfileStages]] only: the candidate
+    * stage from an externally cached band table. */
+  private[graft] def bandedPairsForProfile(banded: DataFrame): DataFrame =
+    pairsFromBandRows(banded, DefaultMaxBucketSize)
+
   private def pairsFromBandRows(banded: DataFrame, maxBucketSize: Int): DataFrame = {
     val kept = fenceHotBuckets(banded, Seq("band", "bkey"), maxBucketSize)
     kept.alias("a").join(kept.alias("b"),
@@ -545,9 +550,17 @@ object Dedup {
     * `length(shhb) > 0` on the cached/stored column. */
   def sketchFrame(df: DataFrame, idCol: String, textCol: String, n: Int): DataFrame = {
     import graft.functions.{SketchExpressions => SE}
+    // ONE fused tokenize+hash pass emits both packed sketches
+    // (optimization r20: the two-expression form tokenized and
+    // FNV-hashed every text twice — mask31 and 64-bit passes — plus
+    // String[]/LinkedHashSet churn; [[graft.functions.MinHashSketch]]
+    // is bit-identical by PackedSketchSpec). The two struct-field
+    // projections share the single evaluation via whole-stage
+    // subexpression elimination (plan-checked: one minhash_sketch
+    // call in the generated project).
     widen(df).select(col(idCol).as("doc_id"),
-        SE.packLongs(minHashSignature(col(textCol), n)).as("sigb"),
-        SE.packLongs(SE.shingleHashes64(col(textCol), n)).as("shhb"))
+        SE.minHashSketch(col(textCol), n, hashA.toSeq, hashB.toSeq).as("sk"))
+      .select(col("doc_id"), col("sk.sigb").as("sigb"), col("sk.shhb").as("shhb"))
   }
 
   /** Near-dups of an INCREMENT against a persisted sketch index —

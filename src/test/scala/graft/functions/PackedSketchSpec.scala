@@ -78,6 +78,54 @@ class PackedSketchSpec extends SparkSpec {
     assert(e.head().getInt(0) == 0)
   }
 
+  test("MinHashSketch fused pass is bit-identical to the two-pass composition") {
+    val seeded = new scala.util.Random(13)
+    val texts: Seq[String] = Seq(
+      "", " ", "  ", "a", "a b", "a b c", "a b c d e f g h",
+      "the quick brown fox jumps over the lazy dog the quick brown fox",
+      "a a a a a a a a", "tab\tkept and  double  spaces", "unicode é ü 中文 字 word mix",
+      "trailing space ", " leading space", "a  b   c d") ++
+      Seq.fill(40)(Seq.fill(3 + seeded.nextInt(40))(
+        seeded.nextInt(9).toString * (1 + seeded.nextInt(3))).mkString(" "))
+    val A = graft.llm.Dedup.hashFamilyA
+    val B = graft.llm.Dedup.hashFamilyB
+    for (n <- Seq(1, 2, 3, 5)) {
+      val got = texts.toDF("text").select(
+        SE.minHashSketch(col("text"), n, A, B).as("sk"),
+        SE.packLongs(SE.minHashSignature(SE.shingleHashes(col("text"), n), A, B)).as("sigb0"),
+        SE.packLongs(SE.shingleHashes64(col("text"), n)).as("shhb0"))
+      assert(got.where(col("sk.sigb") =!= col("sigb0") ||
+        col("sk.shhb") =!= col("shhb0")).count() == 0, s"n=$n")
+    }
+  }
+
+  test("MinHashSignature's Mersenne reduction equals the hardware modulo") {
+    val p = (1L << 31) - 1
+    val rnd = new scala.util.Random(11)
+    // in-contract 31-bit hashes plus boundary values
+    val hs: Seq[Long] = Seq(0L, 1L, p - 1, p) ++
+      Seq.fill(100)(rnd.nextLong() & 0x7FFFFFFFL)
+    val a = Seq(1L, p - 1, 0x7FFFFFFEL, 12345L)
+    val b = Seq(0L, p - 1, 1L, 67890L)
+    val got = Seq(hs).toDF("h")
+      .select(SE.minHashSignature(col("h"), a, b).as("sig"))
+      .head.getSeq[Long](0)
+    val want = a.indices.map { i =>
+      hs.map(h => (a(i) * h + b(i)) % p).min
+    }
+    assert(got == want)
+    // out-of-contract (negative / overflowing) inputs keep Java %
+    // semantics: compare against a direct scalar recomputation
+    val wild: Seq[Long] = Seq(Long.MaxValue, Long.MinValue, -1L, 1L << 62)
+    val gotW = Seq(wild).toDF("h")
+      .select(SE.minHashSignature(col("h"), a, b).as("sig"))
+      .head.getSeq[Long](0)
+    val wantW = a.indices.map { i =>
+      wild.map(h => (a(i) * h + b(i)) % p).min
+    }
+    assert(gotW == wantW)
+  }
+
   test("BandKeys: equal band words collide, differing band words (almost surely) do not") {
     val sig1 = (0L until 64L).toArray
     val sig2 = sig1.clone; sig2(10) = 999L // band 5 of 32×2 differs
