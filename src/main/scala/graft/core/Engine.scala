@@ -21,8 +21,12 @@ object Engine {
     * 5000-file fixture spent ~8 of its 9 s here). Scheme resolution is
     * unchanged: hdfs://, s3a:// and file:// resolve exactly as before,
     * and Hadoop's own FileSystem cache keys on (scheme, authority,
-    * ugi), so one shared Configuration is the intended use. */
-  lazy val executorHadoopConf: org.apache.hadoop.conf.Configuration =
+    * ugi), so one shared Configuration is the intended use.
+    * READ-ONLY BY CONTRACT (ADVICE r19, hence `private[graft]`): it
+    * is shared JVM-wide, so setting a property on it would leak into
+    * every WARC/tar/zip reader; a caller needing per-job overrides
+    * must take `new Configuration(executorHadoopConf)` instead. */
+  private[graft] lazy val executorHadoopConf: org.apache.hadoop.conf.Configuration =
     new org.apache.hadoop.conf.Configuration()
 
   def session(appName: String = "graft",

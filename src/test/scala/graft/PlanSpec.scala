@@ -14,6 +14,23 @@ class PlanSpec extends SparkSpec {
   private def plan(q: String): String =
     SparkEntry.queries(q)(spark, sf).queryExecution.explainString(SimpleMode)
 
+  /** ADVICE r19: the round-robin exemption in the payload-never-
+    * shuffles pins must not silently cover a payload-bearing
+    * repartition. Checks, in FORMATTED mode (node detail blocks carry
+    * the Input column list), that every RoundRobinPartitioning
+    * exchange in the query's plan shuffles exactly the bare doc_id —
+    * the r19 pre-synthesis widening exchange and nothing else. */
+  private def assertRoundRobinCarriesOnlyDocId(q: String): Unit = {
+    val fp = SparkEntry.queries(q)(spark, sf).queryExecution
+      .explainString(org.apache.spark.sql.execution.FormattedMode)
+    fp.split("\n\n").filter(_.contains("Arguments: RoundRobinPartitioning"))
+      .foreach { b =>
+        val in = b.linesIterator.find(_.startsWith("Input [")).getOrElse("?")
+        assert(in.matches("Input \\[1\\]: \\[doc_id#\\d+L?\\]"),
+          s"$q: round-robin exchange carries more than the bare doc_id:\n$b")
+      }
+  }
+
   test("q01: predicates are pushed into the parquet scan") {
     val p = plan("q01_filter_project")
     assert(p.contains("PushedFilters: [IsNotNull(l_shipdate)"), p)
@@ -477,6 +494,7 @@ class PlanSpec extends SparkSpec {
       assert(p.linesIterator.count(l =>
         l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
         == 1, s"$q:\n$p")
+      assertRoundRobinCarriesOnlyDocId(q) // ADVICE r19: exemption is doc_id-only
       assert(!p.contains("Join") && !p.contains("CartesianProduct"), q)
       assert(p.linesIterator.count(_.contains("FileScan parquet")) == 1, q)
     }
@@ -495,6 +513,7 @@ class PlanSpec extends SparkSpec {
     assert(ph.linesIterator.count(l =>
       l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
       == 1, ph)
+    assertRoundRobinCarriesOnlyDocId("q259_video_framehash")
     assert(!ph.contains("Join") && !ph.contains("CartesianProduct"), ph)
     val p = plan("q260_video_neardup")
     assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoop"), p)
@@ -557,6 +576,7 @@ class PlanSpec extends SparkSpec {
     val exchanges = p.split("\n").count(l =>
       l.contains("Exchange") && !l.contains("RoundRobinPartitioning"))
     assert(exchanges <= 1, p)
+    assertRoundRobinCarriesOnlyDocId("q291_notebook_text")
   }
 
   test("q262: scene cuts are one keyed window + rollup, no join") {
