@@ -704,6 +704,60 @@ object ProfileStages {
           "shj_b" -> (() => withConf("256m") {
             val a = chainOnce(); val b = chainOnce(); math.min(a, b) })
         )
+      case "q266nd" =>
+        // q266 near-dup leg forensics: chunk-row volume, bucket-size
+        // histogram, pre-gate candidate count — is the 18 cpu-s leg
+        // enumeration-bound, and from which buckets?
+        Seq("forensics" -> (() => {
+          spark.catalog.clearCache()
+          val h = graft.sources.Multimodal.describeVideoHashes(
+            graft.sources.Multimodal.asMedia(
+              SparkEntry.q266VidPayProbe(spark, sfDir), "doc_id", "vid", "video"))
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          h.count()
+          val hashed = h.where(col("dhash").isNotNull)
+            .select(col("media_id").cast("long").as("vid"),
+              col("frame_idx").cast("int").as("fi"), col("dhash").as("vh"))
+          System.err.println(s"[profile] frame_rows=${hashed.count()}")
+          val chunks = hashed.select(col("vid"), col("fi"), col("vh"),
+              graft.sources.Multimodal.chunk16ExplodeForProfile("vh").as("c"))
+            .select(col("vid"), col("fi"), col("c.ci"), col("c.cv"))
+          System.err.println(s"[profile] chunk_rows=${chunks.count()}")
+          val buckets = chunks.groupBy("fi", "ci", "cv").count()
+          val hist = buckets.groupBy(col("count").as("sz")).agg(count(lit(1)).as("n"))
+            .orderBy(col("sz").desc).limit(12).collect()
+          hist.foreach(r => System.err.println(s"[profile] bucket_sz=${r.get(0)} n=${r.get(1)}"))
+          val pairs = buckets.select((col("count") * (col("count") - 1) / 2).as("pp"))
+            .agg(sum("pp")).head.get(0)
+          System.err.println(s"[profile] enumerated_pairs=$pairs")
+          // sub-legs of videoNearDupPairs, all from the cached hashes
+          val counts = hashed.groupBy(col("vid")).agg(count(lit(1)).as("nf"))
+          val chunkT = hashed.select(col("vid"), col("fi"),
+              col("vh"), graft.sources.Multimodal.chunk16ExplodeForProfile("vh").as("c"))
+            .select(col("vid"), col("fi"), col("vh"), col("c.ci"), col("c.cv"))
+          val fenced = graft.llm.Dedup.fenceHotBuckets(chunkT, Seq("fi", "ci", "cv"), 100000)
+          def framePairs = fenced.alias("a")
+            .join(fenced.alias("b"),
+              col("a.fi") === col("b.fi") && col("a.ci") === col("b.ci") &&
+                col("a.cv") === col("b.cv") && col("a.vid") < col("b.vid"))
+            .select(col("a.vid").as("id1"), col("b.vid").as("id2"),
+              col("a.fi").as("fi"),
+              bit_count(col("a.vh").bitwiseXOR(col("b.vh"))).as("hamming"))
+            .where(col("hamming") <= 3)
+          System.err.println("[profile] joinleg (fence+join+gate, no dedup):")
+          val t1 = math.min(noopKeepCache(framePairs), noopKeepCache(framePairs))
+          System.err.println(s"[profile] joinleg_min=$t1 framePairs=${framePairs.count()}")
+          def deduped = framePairs.dropDuplicates("id1", "id2", "fi")
+          System.err.println("[profile] dedupleg:")
+          val t2 = math.min(noopKeepCache(deduped), noopKeepCache(deduped))
+          def full = graft.sources.Multimodal.videoNearDupPairs(h, 3)
+          System.err.println("[profile] fullleg:")
+          val t3 = math.min(noopKeepCache(full), noopKeepCache(full))
+          System.err.println(s"[profile] joinleg=$t1 dedupleg=$t2 full=$t3")
+          System.err.println("[profile] PLAN:\n" + framePairs.queryExecution
+            .executedPlan.toString.linesIterator.take(40).mkString("\n"))
+          h.unpersist(); 0.0
+        }))
       case "q226ck" =>
         // q226 checkpoint cadence A/B, BENCH-style: construction (the
         // eager round jobs) INSIDE the timed region, cache cleared

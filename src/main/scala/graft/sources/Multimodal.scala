@@ -2600,6 +2600,10 @@ object Multimodal {
         s"struct($i as ci, shiftright($hashCol, ${16 * i}) & 65535 as cv)")
         .mkString(",") + ")"))
 
+  /** Measurement hook for [[graft.ProfileStages]] only. */
+  private[graft] def chunk16ExplodeForProfile(hashCol: String) =
+    chunk16Explode(hashCol)
+
   /** The (hp_id, hp_hash, ci, cv) chunk table behind
     * [[hammingPairs64]] and [[hammingHotBuckets]] — one definition so
     * the fence audits the exact rows the pair join consumes. */
