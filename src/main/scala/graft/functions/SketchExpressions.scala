@@ -71,6 +71,63 @@ case class MinHashSignature(child: Expression, a: Seq[Long], b: Seq[Long])
   override protected def withNewChildInternal(c: Expression): Expression = copy(child = c)
 }
 
+/** The shared shingle byte-walk behind [[ShingleHashes]] and
+  * [[MinHashSketch]]: single-space tokenization straight off the
+  * UTF8String bytes (0x20 never occurs inside a UTF-8 multibyte
+  * sequence, so the byte split equals `split(text, " ", -1)`), FNV-1a
+  * over each n-token window with NUL separators, dedup via an
+  * open-addressed primitive table that preserves FIRST-OCCURRENCE
+  * order (the LinkedHashSet contract the packed/stored sketches
+  * inherited). `mask` is applied BEFORE dedup (the mask31 tier
+  * dedups masked values — two 64-bit hashes colliding in the low 31
+  * bits are ONE element there). Returns null when tokens < n. */
+private[functions] object ShingleWalk {
+  /** (first-occurrence-ordered distinct hashes, count), or null. */
+  def distinctWindowHashes(bytes: Array[Byte], n: Int, mask: Long): (Array[Long], Int) = {
+    var tokens = 1; var i = 0
+    while (i < bytes.length) { if (bytes(i) == 0x20) tokens += 1; i += 1 }
+    if (tokens < n) return null
+    val starts = new Array[Int](tokens + 1)
+    var t = 1; i = 0
+    while (i < bytes.length) {
+      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+      i += 1
+    }
+    starts(tokens) = bytes.length + 1 // end of token j is starts(j+1)-1
+    val windows = tokens - n + 1
+    var cap = 16
+    while (cap < windows * 2) cap <<= 1
+    val table = new Array[Long](cap); val used = new Array[Boolean](cap)
+    val order = new Array[Long](windows); var cnt = 0
+    var w = 0
+    while (w < windows) {
+      var h = 0xcbf29ce484222325L
+      var tok = w
+      while (tok < w + n) {
+        var bi = starts(tok)
+        val end = starts(tok + 1) - 1
+        while (bi < end) { h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1 }
+        h *= 0x100000001b3L // NUL separator (h ^= 0 is a no-op)
+        tok += 1
+      }
+      val v = h & mask
+      var slot = java.lang.Long.hashCode(v * 0x9E3779B97F4A7C15L) & (cap - 1)
+      var isNew = true; var probing = true
+      while (probing) {
+        if (!used(slot)) probing = false
+        else if (table(slot) == v) { isNew = false; probing = false }
+        else slot = (slot + 1) & (cap - 1)
+      }
+      if (isNew) {
+        used(slot) = true; table(slot) = v
+        order(cnt) = v; cnt += 1
+      }
+      w += 1
+    }
+    (order, cnt)
+  }
+}
+
 /** Fused MinHash sketch: ONE tokenize+hash pass over the text emitting
   * BOTH packed sketches [[graft.llm.Dedup.sketchFrame]] caches —
   * `sigb` (packed 64-long MinHash signature) and `shhb` (packed
@@ -116,72 +173,37 @@ case class MinHashSketch(child: Expression, n: Int, a: Seq[Long], b: Seq[Long])
   override def nullSafeEval(input: Any): Any = {
     val bytes = input.asInstanceOf[UTF8String].getBytes
     val k = aArr.length
-    // single-space split, trailing empties kept (split(text," ",-1))
-    var tokens = 1; var i = 0
-    while (i < bytes.length) { if (bytes(i) == 0x20) tokens += 1; i += 1 }
-    if (tokens < n) {
+    val sig = new Array[Long](k)
+    java.util.Arrays.fill(sig, p)
+    // distinct 64-bit window hashes, first-occurrence order (the shhb
+    // contract — the incremental sketch index stores these bytes)
+    val walked = ShingleWalk.distinctWindowHashes(bytes, n, -1L)
+    if (walked == null) {
       // matches ShingleHashes' empty output: empty shhb, all-sentinel
       // signature (the MinHashSignature fold over zero shingles)
-      val sig = new Array[Long](k)
-      java.util.Arrays.fill(sig, p)
       return org.apache.spark.sql.catalyst.InternalRow(
         packLE(sig, k), Array.emptyByteArray)
     }
-    // token start offsets; end of token t is starts(t+1)-1
-    val starts = new Array[Int](tokens + 1)
-    var t = 1; i = 0
-    while (i < bytes.length) {
-      if (bytes(i) == 0x20) { starts(t) = i + 1; t += 1 }
+    val (order, cnt) = walked
+    // the signature min runs per DISTINCT 64-bit hash (min is
+    // multiset-invariant, and masking commutes with the min's dedup)
+    var i = 0
+    while (i < cnt) {
+      val h31 = order(i) & 0x7FFFFFFFL
+      var j = 0
+      while (j < k) {
+        // same guarded Mersenne reduction as [[MinHashSignature]]
+        // (in-contract x = a·h31+b < 2^62 never takes the % branch)
+        val x = aArr(j) * h31 + bArr(j)
+        var v = if (x >= 0) {
+          val f1 = (x & p) + (x >>> 31)
+          (f1 & p) + (f1 >>> 31)
+        } else x % p
+        if (v >= p) v -= p
+        if (v < sig(j)) sig(j) = v
+        j += 1
+      }
       i += 1
-    }
-    starts(tokens) = bytes.length + 1
-    val windows = tokens - n + 1
-    // open-addressed distinct set over the 64-bit window hashes,
-    // insertion order preserved (the shhb contract — the incremental
-    // sketch index stores these bytes)
-    var cap = 16
-    while (cap < windows * 2) cap <<= 1
-    val table = new Array[Long](cap); val used = new Array[Boolean](cap)
-    val order = new Array[Long](windows); var cnt = 0
-    val sig = new Array[Long](k)
-    java.util.Arrays.fill(sig, p)
-    var w = 0
-    while (w < windows) {
-      var h = 0xcbf29ce484222325L
-      var tok = w
-      while (tok < w + n) {
-        var bi = starts(tok)
-        val end = starts(tok + 1) - 1
-        while (bi < end) { h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1 }
-        h *= 0x100000001b3L // NUL separator (h ^= 0 is a no-op)
-        tok += 1
-      }
-      var slot = java.lang.Long.hashCode(h * 0x9E3779B97F4A7C15L) & (cap - 1)
-      var isNew = true; var probing = true
-      while (probing) {
-        if (!used(slot)) probing = false
-        else if (table(slot) == h) { isNew = false; probing = false }
-        else slot = (slot + 1) & (cap - 1)
-      }
-      if (isNew) {
-        used(slot) = true; table(slot) = h
-        order(cnt) = h; cnt += 1
-        val h31 = h & 0x7FFFFFFFL
-        var j = 0
-        while (j < k) {
-          // same guarded Mersenne reduction as [[MinHashSignature]]
-          // (in-contract x = a·h31+b < 2^62 never takes the % branch)
-          val x = aArr(j) * h31 + bArr(j)
-          var v = if (x >= 0) {
-            val f1 = (x & p) + (x >>> 31)
-            (f1 & p) + (f1 >>> 31)
-          } else x % p
-          if (v >= p) v -= p
-          if (v < sig(j)) sig(j) = v
-          j += 1
-        }
-      }
-      w += 1
     }
     org.apache.spark.sql.catalyst.InternalRow(packLE(sig, k), packLE(order, cnt))
   }
@@ -244,28 +266,18 @@ case class ShingleHashes(child: Expression, n: Int, mask31: Boolean = true)
   override def prettyName: String = "shingle_hashes"
 
   override def nullSafeEval(input: Any): Any = {
-    val toks = input.asInstanceOf[UTF8String].toString.split(" ", -1)
-    if (toks.length < n) new GenericArrayData(Array.emptyLongArray)
+    // one byte walk via [[ShingleWalk]] (optimization r20): same
+    // tokenization, same FNV window hash, same first-occurrence
+    // order as the String.split + LinkedHashSet form this replaces —
+    // minus the String[] per row, the per-window UTF-8 re-encode and
+    // the boxing (PackedSketchSpec pins the equality transitively)
+    val walked = ShingleWalk.distinctWindowHashes(
+      input.asInstanceOf[UTF8String].getBytes, n,
+      if (mask31) 0x7FFFFFFFL else -1L)
+    if (walked == null) new GenericArrayData(Array.emptyLongArray)
     else {
-      val seen = new java.util.LinkedHashSet[java.lang.Long]()
-      var i = 0
-      while (i <= toks.length - n) {
-        var h = 0xcbf29ce484222325L
-        var k = 0
-        while (k < n) {
-          val bytes = toks(i + k).getBytes("UTF-8")
-          var bi = 0
-          while (bi < bytes.length) { h ^= (bytes(bi) & 0xffL); h *= 0x100000001b3L; bi += 1 }
-          h ^= 0L; h *= 0x100000001b3L // NUL separator between tokens
-          k += 1
-        }
-        seen.add(if (mask31) h & 0x7FFFFFFFL else h)
-        i += 1
-      }
-      val out = new Array[Long](seen.size)
-      val it = seen.iterator(); var j = 0
-      while (it.hasNext) { out(j) = it.next(); j += 1 }
-      new GenericArrayData(out)
+      val (order, cnt) = walked
+      new GenericArrayData(java.util.Arrays.copyOf(order, cnt))
     }
   }
 
