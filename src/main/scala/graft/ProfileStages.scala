@@ -758,6 +758,40 @@ object ProfileStages {
             .executedPlan.toString.linesIterator.take(40).mkString("\n"))
           h.unpersist(); 0.0
         }))
+      case "q150legs" =>
+        // Committed-shape leg split of q150_x10: token pass, the
+        // docsRarity double aggregate, candidates-from-docs, full.
+        import graft.functions.{SketchExpressions => SE}
+        def docsX10L = spark.read.parquet(s"$sfDir/documents.parquet")
+          .crossJoin(spark.range(10).select(col("id").as("rep")))
+          .select((col("doc_id") * 10 + col("rep")).as("doc_id"),
+            TagWords(col("text"), col("rep")).as("text"))
+          .repartition(32)
+        def toksL = graft.core.Engine.widen(docsX10L)
+          .select(col("doc_id").as("id"),
+            explode(SE.shingleHashes64(col("text"), 3)).as("tok"))
+        Seq(
+          "tok_pass" -> (() => minOf2( // shiftright: ANSI-safe sum
+            toksL.select(sum(shiftright(col("tok"), 32)).as("s")))),
+          "docs_rarity" -> (() => minOf2(
+            graft.llm.SetSimJoin.docsRarityForProfile(toksL)
+              .select(sum(col("n")).as("s")))),
+          "cands_from_docs" -> (() => {
+            spark.catalog.clearCache()
+            val docs = graft.llm.SetSimJoin.docsRarityForProfile(toksL)
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            docs.count()
+            def cand = graft.llm.SetSimJoin.candidatesForProfile(docs, 1, 2)
+            val a = noopKeepCache(cand); val b = noopKeepCache(cand)
+            System.err.println(s"[profile] cands=${cand.count()}")
+            docs.unpersist(); math.min(a, b)
+          }),
+          "full_q150_x10" -> (() => {
+            def full = graft.llm.SetSimJoin.jaccardPairs(
+              docsX10L, "doc_id", "text", 1, 2, ngram = 3)
+            val a = noop(full); val b = noop(full); math.min(a, b)
+          })
+        )
       case "q226ck" =>
         // q226 checkpoint cadence A/B, BENCH-style: construction (the
         // eager round jobs) INSIDE the timed region, cache cleared
